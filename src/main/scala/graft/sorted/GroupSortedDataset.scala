@@ -1,0 +1,210 @@
+package graft.sorted
+
+import java.nio.ByteBuffer
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.SparkEnv
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.col
+
+/**
+ * A `Dataset[(K, V)]` carrying the *group-sorted layout invariant*:
+ * rows are hash-partitioned by key, each key's rows are consecutive within a
+ * single partition, keys are sorted within a partition, and values are sorted
+ * per key by a caller-chosen sort expression.
+ *
+ * Spark-native rebuild of the reference's SQL surface
+ * (tresata/spark-sorted `sql/GroupSortedDataset.scala:12-47`) plus the RDD-only
+ * operators of `GroupSorted.scala:29-103` re-expressed on Dataset. The layout is
+ * established declaratively — `repartition(key).sortWithinPartitions(key, v)` —
+ * so Catalyst plans a single hash exchange + spillable in-partition sort
+ * (`SortExec`), and AQE can still re-plan partition counts at runtime. All
+ * per-key operators below are *narrow* (mapPartitions) on top of that layout:
+ * groups stream through [[iterators]] and are never materialized, so a key with
+ * 100M rows costs O(1) heap, which is what makes this viable at 100 TB.
+ *
+ * By convention (inherited from the reference) the key is the FIRST column and
+ * the value the LAST column of the tuple Dataset.
+ */
+class GroupSortedDataset[K: Encoder, V] private[sorted] (dataset: Dataset[(K, V)], valueSort: Option[Column] = None) extends Serializable {
+  import GroupSortedDataset.tupleEnc
+
+  /** Escape hatch: the underlying Dataset, layout guaranteed. */
+  def toDS: Dataset[(K, V)] = dataset
+
+  private[sorted] def valueSortOrDefault: Column = valueSort.getOrElse(col(dataset.columns.last))
+
+  /**
+   * Stream `f` over each key's values (in the established value order), with a
+   * per-partition reusable context. Emits one output row per element `f`
+   * yields; keys with empty output are skipped (reference issue #5 semantics).
+   */
+  def mapStreamByKey[W: Encoder, C](ctx: () => C)(f: (C, Iterator[V]) => IterableOnce[W]): Dataset[(K, W)] =
+    dataset.mapPartitions(it => iterators.mapStreamWithContext(it)(ctx, f))(tupleEnc[K, W])
+
+  /** Stream `f` over each key's values in value order. */
+  def mapStreamByKey[W: Encoder](f: Iterator[V] => IterableOnce[W]): Dataset[(K, W)] =
+    dataset.mapPartitions(it => iterators.mapStream(it)(f))(tupleEnc[K, W])
+
+  /** Order-sensitive left fold per key; one row per key. The zero value is
+    * serializer-cloned per key so mutable accumulators are safe. */
+  def foldLeftByKey[W: ClassTag: Encoder](zero: W)(f: (W, V) => W): Dataset[(K, W)] = {
+    val freshZero = GroupSortedDataset.zeroFactory(zero)
+    mapStreamByKey(vs => Iterator.single(vs.foldLeft(freshZero())(f)))
+  }
+
+  /** Order-sensitive left reduce per key (every key has >= 1 value). */
+  def reduceLeftByKey[W >: V: Encoder](f: (W, V) => W): Dataset[(K, W)] =
+    mapStreamByKey(vs => Iterator.single(vs.reduceLeft(f)))
+
+  /** Per-key prefix scan in value order; emits N+1 rows per key, INCLUDING the
+    * zero element (reference `GroupSortedSpec.scala:169-186` semantics). */
+  def scanLeftByKey[W: ClassTag: Encoder](zero: W)(f: (W, V) => W): Dataset[(K, W)] = {
+    val freshZero = GroupSortedDataset.zeroFactory(zero)
+    mapStreamByKey(vs => vs.scanLeft(freshZero())(f))
+  }
+
+  /** Value projection. Narrow: grouping layout survives, per-key value ORDER is
+    * no longer meaningful under the new value type. */
+  def mapValues[W: Encoder](f: V => W): GroupSortedDataset[K, W] =
+    new GroupSortedDataset(dataset.map(kv => (kv._1, f(kv._2)))(tupleEnc[K, W]))
+
+  /** 1-to-N value expansion; narrow, grouping layout survives. */
+  def flatMapValues[W: Encoder](f: V => IterableOnce[W]): GroupSortedDataset[K, W] =
+    new GroupSortedDataset(dataset.flatMap(kv => f(kv._2).iterator.map(w => (kv._1, w)))(tupleEnc[K, W]))
+
+  /** Value projection that can read the key; narrow. */
+  def mapKeyValuesToValues[W: Encoder](f: ((K, V)) => W): GroupSortedDataset[K, W] =
+    new GroupSortedDataset(dataset.map(kv => (kv._1, f(kv)))(tupleEnc[K, W]))
+
+  /** Row filter; narrow, preserves BOTH grouping and per-key value order. */
+  def filter(f: ((K, V)) => Boolean): GroupSortedDataset[K, V] =
+    new GroupSortedDataset(dataset.filter(f))
+
+  /**
+   * Generalized sort-merge cogroup: for every key on either side, `f` sees both
+   * (possibly empty) value iterators and streams its output. Planned via
+   * `KeyValueGroupedDataset.cogroupSorted` — Spark's native shuffle+sort-merge
+   * cogroup, the Catalyst analog of the reference's `zipPartitions` +
+   * 2-pointer merge (`GroupSorted.scala:57-74`).
+   */
+  def mergeJoin[W, U: Encoder](other: GroupSortedDataset[K, W])(f: (Iterator[V], Iterator[W]) => IterableOnce[U]): Dataset[(K, U)] = {
+    val left = dataset
+    val right = other.toDS
+    val enc = tupleEnc[K, U]
+    // value = LAST column by the key-first/value-last convention; `.as[(K, V)]`
+    // keeps original column names, so don't assume "_2". Reuse the sort order
+    // groupSort established when it is known.
+    val leftSort = valueSort.getOrElse(col(left.columns.last))
+    val rightSort = other.valueSortOrDefault
+    left
+      .groupByKey(_._1)
+      .cogroupSorted(right.groupByKey(_._1))(leftSort)(rightSort) { (k, vs, ws) =>
+        f(vs.map(_._2), ws.map(_._2)).iterator.map(u => (k, u))
+      }(enc)
+  }
+
+  /** Full-outer merge join: per key, cross product of values with `None` for a
+    * missing side. `bufferLeft` flips which side is buffered per key. */
+  def mergeJoinOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], Option[W])]): Dataset[(K, (Option[V], Option[W]))] = {
+    val f =
+      if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
+      else iterators.outerProduct[V, W]
+    mergeJoin(other)(f)
+  }
+
+  /** Inner merge join: only keys present on both sides. */
+  def mergeJoinInner[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, W)]): Dataset[(K, (V, W))] = {
+    val f =
+      if (bufferLeft) iterators.flipped(iterators.innerProduct[W, V])
+      else iterators.innerProduct[V, W]
+    mergeJoin(other)(f)
+  }
+
+  /** Left-outer merge join. */
+  def mergeJoinLeftOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, Option[W])]): Dataset[(K, (V, Option[W]))] = {
+    val f =
+      if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
+      else iterators.outerProduct[V, W]
+    mergeJoin(other) { (vs, ws) =>
+      f(vs, ws).iterator.collect { case (Some(v), mw) => (v, mw) }
+    }
+  }
+
+  /** Right-outer merge join. */
+  def mergeJoinRightOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], W)]): Dataset[(K, (Option[V], W))] = {
+    val f =
+      if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
+      else iterators.outerProduct[V, W]
+    mergeJoin(other) { (vs, ws) =>
+      f(vs, ws).iterator.collect { case (mv, Some(w)) => (mv, w) }
+    }
+  }
+
+  /**
+   * Order-preserving multiset union with another GroupSortedDataset laid out
+   * with a compatible sort. When partition counts match, this is a NARROW
+   * zip-partitions 2-way merge (no shuffle — the direct analog of the
+   * reference's `mergeUnion`, `GroupSorted.scala:100-103`); otherwise it falls
+   * back to `union` + re-establishing the layout (one shuffle).
+   */
+  def mergeUnion(other: GroupSortedDataset[K, V])(implicit ordK: Ordering[K], ordV: Ordering[V]): GroupSortedDataset[K, V] = {
+    val left = dataset
+    val right = other.toDS
+    implicit val ordKV: Ordering[(K, V)] = Ordering.Tuple2(ordK, ordV)
+    if (left.rdd.getNumPartitions == right.rdd.getNumPartitions) {
+      val spark = left.sparkSession
+      val merged = left.rdd.zipPartitions(right.rdd, preservesPartitioning = true)(iterators.mergeUnion(_, _))
+      new GroupSortedDataset(spark.createDataset(merged)(dataset.encoder))
+    } else {
+      GroupSortedDataset(left.union(right), None, reverse = false, identity)
+    }
+  }
+}
+
+object GroupSortedDataset {
+  private[sorted] def tupleEnc[A: Encoder, B: Encoder]: Encoder[(A, B)] =
+    Encoders.tuple(implicitly[Encoder[A]], implicitly[Encoder[B]])
+
+  /**
+   * Establish the group-sorted layout: hash-partition by the first column,
+   * sort within partitions by (key, sortBy(lastColumn)). `numPartitions <= 0`
+   * defers to `spark.sql.shuffle.partitions` (and AQE coalescing).
+   */
+  private[sorted] def apply[K: Encoder, V](dataset: Dataset[(K, V)], numPartitions: Option[Int], reverse: Boolean, sortBy: Column => Column): GroupSortedDataset[K, V] = {
+    val key = col(dataset.columns.head)
+    val valueSort = {
+      val s = sortBy(col(dataset.columns.last))
+      if (reverse) s.desc else s.asc
+    }
+    val repartitioned = numPartitions match {
+      case Some(n) if n > 0 => dataset.repartition(n, key)
+      case _ => dataset.repartition(key)
+    }
+    new GroupSortedDataset(repartitioned.sortWithinPartitions(key, valueSort), Some(valueSort))
+  }
+
+  /**
+   * Clone a fold/scan zero once per key via the executor's configured Spark
+   * serializer, so mutable zero values (builders, buffers) are safe to reuse —
+   * same guarantee the reference provides (`package.scala:175-182`). Falls back
+   * to java serialization when no SparkEnv exists (pure unit tests).
+   */
+  private[sorted] def zeroFactory[W: ClassTag](zero: W): () => W = {
+    val env = SparkEnv.get
+    if (env != null) {
+      val buf = env.serializer.newInstance().serialize(zero)
+      val bytes = new Array[Byte](buf.limit)
+      buf.get(bytes)
+      () => SparkEnv.get.serializer.newInstance().deserialize[W](ByteBuffer.wrap(bytes))
+    } else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(zero)
+      oos.close()
+      val bytes = bos.toByteArray
+      () => new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes)).readObject().asInstanceOf[W]
+    }
+  }
+}

@@ -1,0 +1,227 @@
+package graft.sorted
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.SparkSuite
+import graft.sorted.syntax._
+
+case class TimeValue(time: Int, value: Double)
+
+/** Golden + property tests for the Dataset surface, mirroring the reference's
+  * `GroupSortedSpec` / `sql/GroupSortedDatasetSpec` behavioral contract. */
+class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  private val fiveRows = Seq(("a", 1), ("b", 10), ("a", 3), ("b", 1), ("c", 5))
+
+  describe("groupSort") {
+    it("establishes the layout invariant (with value sort)") {
+      val gs = fiveRows.toDS().groupSort(2)
+      assertGroupSorted(gs.toDS, Some(Ordering.Int))
+      assertMultiset(gs.toDS, fiveRows)
+    }
+
+    it("supports reverse value order") {
+      val gs = fiveRows.toDS().groupSort(2, reverse = true)
+      assertGroupSorted(gs.toDS, Some(Ordering.Int.reverse))
+    }
+
+    it("supports a sortBy expression on nested values") {
+      val ds = Seq(("a", (2, "x")), ("a", (1, "y")), ("b", (3, "z"))).toDS()
+      val gs = ds.groupSort(2, sortBy = _.getField("_1"))
+      assertGroupSorted(gs.toDS, Some(Ordering.by[(Int, String), Int](_._1)))
+    }
+
+    it("handles an empty dataset") {
+      val gs = Seq.empty[(String, Int)].toDS().groupSort(2)
+      assert(gs.toDS.collect().isEmpty)
+    }
+
+    it("defers to default shuffle partitions when numPartitions <= 0") {
+      val gs = fiveRows.toDS().groupSort()
+      assertMultiset(gs.toDS, fiveRows)
+    }
+  }
+
+  describe("mapStreamByKey") {
+    it("take(1) of descending values = max per key") {
+      val got = fiveRows.toDS().groupSort(2, reverse = true)
+        .mapStreamByKey(vs => vs.take(1))
+      assertMultiset(got, Seq(("a", 3), ("b", 10), ("c", 5)))
+    }
+
+    it("keys with empty output are skipped, later keys still emit (issue #5)") {
+      val got = fiveRows.toDS().groupSort(2)
+        .mapStreamByKey(vs => vs.filter(_ > 5))
+      assertMultiset(got, Seq(("b", 10)))
+    }
+
+    it("f that does not exhaust its iterator leaves later keys intact") {
+      val got = fiveRows.toDS().groupSort(2)
+        .mapStreamByKey(vs => Iterator.single(vs.next()))
+      assertMultiset(got, Seq(("a", 1), ("b", 1), ("c", 5)))
+    }
+
+    it("per-partition mutable context is reused across keys") {
+      val got = fiveRows.toDS().groupSort(1)
+        .mapStreamByKey(() => new scala.collection.mutable.ArrayBuffer[Int]) { (buf, vs) =>
+          vs.foreach(buf += _)
+          Iterator.single(buf.length) // cumulative across keys in the partition
+        }
+      assert(got.collect().map(_._2).max === 5)
+    }
+  }
+
+  describe("foldLeftByKey") {
+    it("ordered string fold") {
+      val ds = Seq(("c", "x"), ("a", "b"), ("a", "c"), ("b", "e"), ("b", "d")).toDS()
+      val got = ds.groupSort(2).foldLeftByKey("")(_ + _)
+      assertMultiset(got, Seq(("a", "bc"), ("b", "de"), ("c", "x")))
+    }
+
+    it("EMA time-series fold (reference flagship golden case)") {
+      val ds = Seq(
+        (5, TimeValue(2, 0.5)), (1, TimeValue(1, 1.2)), (5, TimeValue(1, 1.0)),
+        (1, TimeValue(2, 2.0)), (1, TimeValue(3, 3.0))).toDS()
+      val got = ds.groupSort(2, sortBy = _.getField("time"))
+        .foldLeftByKey(0.0)((acc, tv) => 0.8 * acc + 0.2 * tv.value)
+        .collect().toMap
+      assert(math.abs(got(1) - 1.0736) < 1e-9)
+      assert(math.abs(got(5) - 0.26) < 1e-9)
+    }
+
+    it("mutable zero values are cloned per key") {
+      val ds = Seq(("a", 1), ("a", 2), ("b", 3)).toDS()
+      // The zero is an Array mutated in place; without per-key cloning, key "b"
+      // would observe key "a"'s accumulation.
+      val got = ds.groupSort(1)
+        .foldLeftByKey(Array(0)) { (acc, v) => acc(0) += v; acc }
+        .map { case (k, acc) => (k, acc(0)) }
+      assertMultiset(got, Seq(("a", 3), ("b", 3)))
+    }
+  }
+
+  describe("reduceLeftByKey / scanLeftByKey") {
+    it("reduceLeft in value order") {
+      val ds = Seq(("c", "x"), ("a", "b"), ("a", "c"), ("b", "e"), ("b", "d")).toDS()
+      val got = ds.groupSort(2).reduceLeftByKey(_ + _)
+      assertMultiset(got, Seq(("a", "bc"), ("b", "de"), ("c", "x")))
+    }
+
+    it("scanLeft emits N+1 rows per key including the zero element") {
+      val ds = Seq(("a", 1), ("a", 2), ("b", 3)).toDS()
+      val got = ds.groupSort(2).scanLeftByKey(0)(_ + _)
+      assertMultiset(got, Seq(("a", 0), ("a", 1), ("a", 3), ("b", 0), ("b", 3)))
+    }
+  }
+
+  describe("narrow ops preserve the layout") {
+    it("mapValues then mapStreamByKey works without re-sorting") {
+      val got = fiveRows.toDS().groupSort(2)
+        .mapValues(_ * 2)
+        .mapStreamByKey(vs => Iterator.single(vs.toList.last))
+      assertMultiset(got, Seq(("a", 6), ("b", 20), ("c", 10)))
+    }
+
+    it("flatMapValues expands values in place") {
+      val got = Seq(("a", 2), ("b", 1)).toDS().groupSort(2)
+        .flatMapValues(v => Seq.fill(v)(v)).toDS
+      assertMultiset(got, Seq(("a", 2), ("a", 2), ("b", 1)))
+    }
+
+    it("mapKeyValuesToValues can read the key") {
+      val got = Seq(("a", 1), ("b", 2)).toDS().groupSort(2)
+        .mapKeyValuesToValues { case (k, v) => s"$k$v" }.toDS
+      assertMultiset(got, Seq(("a", "a1"), ("b", "b2")))
+    }
+
+    it("filter preserves grouping AND value order") {
+      val gs = fiveRows.toDS().groupSort(2).filter(_._2 != 3)
+      assertGroupSorted(gs.toDS, Some(Ordering.Int))
+      assertMultiset(gs.toDS, fiveRows.filter(_._2 != 3))
+    }
+  }
+
+  describe("mergeJoin family") {
+    val left = Seq(("a", 1), ("a", 2), ("c", 3)).toDS()
+    val right = Seq(("a", 10), ("b", 20), ("c", 30), ("c", 31)).toDS()
+
+    it("mergeJoinInner") {
+      val got = left.groupSort(2).mergeJoinInner(right.groupSort(2))
+      assertMultiset(got, Seq(
+        ("a", (1, 10)), ("a", (2, 10)), ("c", (3, 30)), ("c", (3, 31))))
+    }
+
+    it("mergeJoinOuter emits None for missing sides") {
+      val got = left.groupSort(2).mergeJoinOuter(right.groupSort(2))
+      assertMultiset(got, Seq(
+        ("a", (Some(1), Some(10))), ("a", (Some(2), Some(10))),
+        ("b", (None, Some(20))),
+        ("c", (Some(3), Some(30))), ("c", (Some(3), Some(31)))))
+    }
+
+    it("mergeJoinLeftOuter / RightOuter") {
+      val l = left.groupSort(2).mergeJoinLeftOuter(right.groupSort(2))
+      assertMultiset(l, Seq(
+        ("a", (1, Some(10))), ("a", (2, Some(10))),
+        ("c", (3, Some(30))), ("c", (3, Some(31)))))
+      val r = left.groupSort(2).mergeJoinRightOuter(right.groupSort(2))
+      assertMultiset(r, Seq(
+        ("a", (Some(1), 10)), ("a", (Some(2), 10)),
+        ("b", (None, 20)),
+        ("c", (Some(3), 30)), ("c", (Some(3), 31))))
+    }
+
+    it("bufferLeft flips buffering but not results") {
+      val a = left.groupSort(2).mergeJoinInner(right.groupSort(2))
+      val b = left.groupSort(2).mergeJoinInner(right.groupSort(2), bufferLeft = true)
+      assert(a.collect().sortBy(_.toString).toSeq === b.collect().sortBy(_.toString).toSeq)
+    }
+
+    it("custom merge function sees both (possibly empty) sides") {
+      val got = left.groupSort(2).mergeJoin(right.groupSort(2)) { (vs, ws) =>
+        Iterator.single(vs.size * 100 + ws.size)
+      }
+      assertMultiset(got, Seq(("a", 201), ("b", 1), ("c", 102)))
+    }
+  }
+
+  describe("mergeUnion") {
+    it("merges two group-sorted datasets preserving the layout") {
+      val a = Seq(("a", 1), ("b", 5), ("a", 3)).toDS().groupSort(2)
+      val b = Seq(("a", 2), ("c", 7)).toDS().groupSort(2)
+      val got = a.mergeUnion(b)
+      assertGroupSorted(got.toDS, Some(Ordering.Int))
+      assertMultiset(got.toDS, Seq(("a", 1), ("a", 2), ("a", 3), ("b", 5), ("c", 7)))
+    }
+  }
+
+  describe("groupSortCombine / groupSortReduce") {
+    it("combiner aggregation with map-side combine semantics") {
+      val got = fiveRows.toDS()
+        .groupSortCombine[List[Int]](v => List(v), (c, v) => v :: c, (c1, c2) => c1 ++ c2)
+        .map { case (k, c) => (k, c.sorted.mkString(",")) }
+      assertMultiset(got, Seq(("a", "1,3"), ("b", "1,10"), ("c", "5")))
+    }
+
+    it("semigroup reduce") {
+      val got = fiveRows.toDS().groupSortReduce(_ + _)
+      assertMultiset(got, Seq(("a", 4), ("b", 11), ("c", 5)))
+    }
+  }
+
+  describe("random property: groupSort+fold vs Scala oracle") {
+    it("matches groupBy/sortBy/foldLeft on random data (20 cases)") {
+      val rng = new scala.util.Random(7)
+      for (_ <- 1 to 20) {
+        val xs = List.fill(rng.nextInt(60))((rng.nextInt(6).toString, rng.nextInt(50)))
+        val got = xs.toDS().groupSort(3).foldLeftByKey(List.empty[Int])((acc, v) => v :: acc)
+          .map { case (k, l) => (k, l.reverse.mkString(",")) }
+        val want = xs.groupBy(_._1).view
+          .mapValues(_.map(_._2).sorted.mkString(",")).toMap
+          .map(identity).toSeq
+        assertMultiset(got, want)
+      }
+    }
+  }
+}
