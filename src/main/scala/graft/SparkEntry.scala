@@ -240,6 +240,104 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+    }),
+
+    // ---- training-data pipeline extensions (dedup / text / similarity / media) ----
+
+    // exact dedup: one representative (min id) per distinct text
+    "q19_dedup_exact" -> ((s, dir) =>
+      operators.Dedup.exact(tbl(s, dir, "documents"), "doc_id", col("text"))),
+
+    // corpus stats per language
+    "q20_text_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))),
+
+    // whitespace token counting (native expressions only)
+    "q21_token_count" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), functions.Text.tokenCount(col("text")).as("n_tokens"))),
+
+    // n-gram-heuristic language id (deterministic marker-word argmax)
+    "q22_lang_guess" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), functions.Text.langGuess(col("text")).as("lang_guess"))),
+
+    // quality scoring (length / token / stopword heuristics)
+    "q23_quality" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id") +: functions.Text.qualityColumns(col("text")): _*)
+    }),
+
+    // document fingerprinting (exact content hash)
+    "q24_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), functions.Text.fingerprint(col("text")).as("fp"))),
+
+    // ANN baseline: brute-force cosine top-5 for a small broadcast query set,
+    // reduced with a bounded-heap map-side combiner
+    "q25_sim_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      operators.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+    }),
+
+    // exact all-pairs cosine above threshold (bounded corpus; LSH is the scale path)
+    "q26_embed_sim_pairs" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") < 500)
+      operators.Similarity.exactSimilarPairs(emb, "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash + LSH near-dup candidates, verified with exact shingle Jaccard
+    "q27_minhash_neardup" -> ((s, dir) =>
+      operators.Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", col("text"))
+        .select(col("id_a"), col("id_b"))),
+
+    // SimHash near-dups (Hamming <= 3 via pigeonhole banding)
+    "q28_simhash_neardup" -> ((s, dir) =>
+      operators.Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", col("text"))
+        .select(col("id_a"), col("id_b"))),
+
+    // LSH-bucketed approximate near-neighbors over embeddings
+    "q29_ann_lsh" -> ((s, dir) =>
+      operators.Similarity.lshNearNeighbors(tbl(s, dir, "embeddings"), "vec_id", "embedding", 64)),
+
+    // multimodal: binary blobs + batch feature extraction (decode stubbed)
+    "q30_media_meta" -> ((s, dir) => {
+      val blobs = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      multimodal.Media.extractFeatures(blobs, "doc_id", "blob")
+        .toDF().select(col("id").as("doc_id"), col("n_bytes"), col("width"), col("height"))
+    }),
+
+    // gap sessionization as a single streaming pass per user (30 min gap)
+    "q31_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ds = tbl(s, dir, "events")
+        .select($"user_id", struct($"ts", $"event_id").as("v"))
+        .as[(Long, (Long, Long))]
+      operators.Sessions.sessionCounts[Long, (Long, Long)](
+          ds.groupSort(), _._1, 30L * 60 * 1000 * 1000 * 1000)
+        .toDF("user_id", "n_sessions")
+    }),
+
+    // backward as-of match: last preceding purchase for every error event
+    "q32_asof_last_purchase" -> ((s, dir) => {
+      import s.implicits._
+      val ds = tbl(s, dir, "events")
+        .select($"user_id", struct($"ts", $"event_id", $"event_type").as("v"))
+        .as[(Long, (Long, Long, String))]
+      operators.Sessions.asOfLastMarker(ds.groupSort())(
+          isTarget = _._3 == "error",
+          isMarker = _._3 == "purchase",
+          emit = (v: (Long, Long, String), m: Option[(Long, Long, String)]) => (v._2, m.map(_._2)))
+        .map { case (k, (eid, mid)) => (k, eid, mid) }
+        .toDF("user_id", "event_id", "last_purchase")
     })
   )
 
@@ -300,6 +398,95 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
         |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q19_dedup_exact" ->
+      "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text",
+    "q20_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q21_token_count" ->
+      """SELECT doc_id,
+        |       CASE WHEN len(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin,
+    "q22_lang_guess" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    (len(pt) - len(replace(pt, ' the ', ''))) // 5 AS c_en,
+        |    (len(pt) - len(replace(pt, ' der ', ''))) // 5 AS c_de,
+        |    (len(pt) - len(replace(pt, ' le ', ''))) // 4 AS c_fr,
+        |    (len(pt) - len(replace(pt, ' el ', ''))) // 4 AS c_es
+        |  FROM (SELECT doc_id, concat(' ', text, ' ') AS pt FROM documents) p)
+        |SELECT doc_id,
+        |  CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |       WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+        |       WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+        |       WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+        |       ELSE 'und' END AS lang_guess
+        |FROM c""".stripMargin,
+    "q23_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+        |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+        |       THEN CAST(len(trim(text)) AS DOUBLE) /
+        |            CAST((CASE WHEN len(trim(text)) = 0 THEN 0
+        |                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE)
+        |       ELSE 0.0 END AS mean_token_len,
+        |  CAST((len(concat(' ', text, ' ')) - len(replace(concat(' ', text, ' '), ' the ', ''))) // 5
+        |     + (len(concat(' ', text, ' ')) - len(replace(concat(' ', text, ' '), ' a ', ''))) // 3 AS BIGINT) AS stopword_hits,
+        |  (CASE WHEN len(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 5 AND 100000
+        |   AND (CAST(len(trim(text)) AS DOUBLE) /
+        |        CAST(greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+        |                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE))
+        |       BETWEEN 2.0 AND 20.0 AS quality_ok
+        |FROM documents""".stripMargin,
+    "q24_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q25_sim_topk" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+        |           c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+    "q26_embed_sim_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |      >= 0.4""".stripMargin,
+    // q27/q28/q29 (minhash, simhash, LSH ANN): hash-permutation internals are
+    // not expressible in ANSI SQL -> driver records rows-only checks.
+    "q30_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
+        |       CAST(octet_length(encode(text)) % 48 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+    "q31_sessionize" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE THEN 1
+        |              ELSE 0 END AS is_start
+        |  FROM events) t
+        |WHERE is_start = 1 GROUP BY user_id""".stripMargin,
+    "q32_asof_last_purchase" ->
+      """SELECT user_id, event_id, last_purchase FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |  FROM events) t
+        |WHERE event_type = 'error'""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale corpus pipelines, built ONLY from
+ * codegen'd native Spark SQL functions (no UDFs) so they stay inside
+ * whole-stage codegen and push through the vectorized Parquet scan at 100 TB.
+ *
+ * Every function here is also expressible in ANSI SQL with identical,
+ * integer-exact results — which is what the DuckDB oracle queries rely on.
+ */
+object Text {
+
+  /** Whitespace token count (0 for blank/empty text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Exact number of occurrences of literal `token` via replace-arithmetic —
+    * identical semantics in every SQL engine, exact integer math. */
+  def substrCount(text: Column, token: String): Column =
+    ((length(text) - length(replace(text, lit(token), lit("")))) / token.length).cast("long")
+
+  /** Marker words used by the language heuristic, with their language codes.
+    * Space-padded so they only match whole words. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ")
+
+  /**
+   * Deterministic n-gram-heuristic language guess: count marker-word hits per
+   * language, pick the first maximum in fixed (en, de, fr, es) order, or
+   * "und" (undetermined) when no marker fires. A real pipeline would plug a
+   * proper model here; the *shape* (pure column expression, single scan,
+   * no shuffle) is the part that matters at scale.
+   */
+  def langGuess(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val counts = langMarkers.map { case (lang, marker) => lang -> substrCount(padded, marker) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, cnt), els) =>
+      when(cnt > 0 && cnt === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Exact-dup fingerprint: MD5 hex of the text (identical across engines). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Rolling-hash style content signature over whitespace tokens: polynomial
+    * hash mod 10^9+7 (intermediates < 2^62: safe under ANSI long math). */
+  def tokenRollingHash(text: Column): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(146959810393L),
+      (acc, tok) => (acc % 1000000007L) * lit(31L) + crc32(tok).cast("long"))
+
+  /** Quality heuristics: token count, mean token length (exact ints + one
+    * division), stopword hits, and an accept flag. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nTokens = tokenCount(text)
+    val nChars = length(trim(text)).cast("long")
+    val meanTokLen = when(nTokens > 0, nChars.cast("double") / nTokens.cast("double")).otherwise(lit(0.0))
+    val stopHits = substrCount(concat(lit(" "), text, lit(" ")), " the ") +
+      substrCount(concat(lit(" "), text, lit(" ")), " a ")
+    val ok = nTokens >= 5 && nTokens <= 100000 && meanTokLen >= 2.0 && meanTokLen <= 20.0
+    Seq(
+      nTokens.as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      stopHits.as("stopword_hits"),
+      ok.as("quality_ok"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata extracted from an opaque media blob. */
+case class MediaFeatures(
+    id: Long,
+    n_bytes: Long,
+    kind: String,   // sniffed container type
+    width: Long,    // STUB decode output (deterministic fake)
+    height: Long,   // STUB decode output (deterministic fake)
+    checksum: Long) // sum of sampled bytes — real byte-level work
+
+/**
+ * Multimodal-column plumbing: media (image/audio/video) travels as an opaque
+ * `binary` column plus typed metadata, exactly like a production training-data
+ * pipeline. Decode runs batch-at-a-time inside `mapPartitions` so a real
+ * decoder (JNI/ffi image lib) could allocate its native context once per
+ * partition — same execution shape as Python's `mapInPandas`, kept JVM-native
+ * here.
+ *
+ * The actual pixel decode is a clearly-marked STUB (`fakeDecode`): this
+ * container has no image/audio libraries, so it derives deterministic fake
+ * dimensions from the byte stream. Everything around it — binary column
+ * handling, schema, per-partition batching, byte-level feature math — is real
+ * and tested.
+ */
+object Media {
+
+  /** Magic-byte container sniffing on the first bytes of the blob. */
+  private[multimodal] def sniffKind(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "riff"
+    else "unknown"
+
+  /** STUB decode ??? — a real implementation would hand `bytes` to an image
+    * decoder. Deterministic fake: dimensions derived from blob length. */
+  private[multimodal] def fakeDecode(bytes: Array[Byte]): (Long, Long) =
+    (bytes.length.toLong % 64, bytes.length.toLong % 48)
+
+  /** Byte-level feature: sum of every 16th byte (unsigned) — stands in for
+    * real sampled-pixel statistics; forces an actual pass over the blob. */
+  private[multimodal] def sampleChecksum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc += bytes(i) & 0xff; i += 16 }
+    acc
+  }
+
+  /**
+   * Extract features from (id, blob) rows, batch-at-a-time per partition.
+   * Input: DataFrame with `idCol` (long) and `binCol` (binary).
+   */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder context would be allocated here (STUB: none)
+        rows.map { case (id, bytes) =>
+          val (w, h) = fakeDecode(bytes)
+          MediaFeatures(id, bytes.length.toLong, sniffKind(bytes), w, h, sampleChecksum(bytes))
+        }
+      }
+  }
+}

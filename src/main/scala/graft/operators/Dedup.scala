@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for web-scale corpora. All of them are pure
+ * DataFrame transformations — shuffles only on the candidate keys, no
+ * driver-side loops, no group materialization — so every step scales out
+ * with `spark.sql.shuffle.partitions` / AQE.
+ *
+ * Pipeline shape (the standard MinHash-LSH dedup):
+ *   shingle -> minhash signature -> band buckets -> bucket self-join
+ *   (candidates) -> exact-similarity verify.
+ * The LSH band join bounds the quadratic blow-up to rows sharing a band
+ * bucket, which is what makes near-dup detection feasible at 100 TB.
+ */
+object Dedup {
+
+  /** Exact dedup: smallest id per identical value of `on`. A single
+    * hash-aggregation with map-side partial combine; at scale this is the
+    * cheapest possible exact dedup (one shuffle on the dedup key). */
+  def exact(df: DataFrame, idCol: String, on: Column): DataFrame =
+    df.groupBy(on.as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Distinct word n-gram shingles as an array column (native expressions:
+    * `sequence` + `transform` + `slice`, fully codegen'd). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + lit(1), lit(n))))
+    array_distinct(when(size(words) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Fixed affine permutation for minhash over the field mod 2^31-1 (Mersenne
+    * prime). All intermediates stay below 2^62, so ANSI-mode long arithmetic
+    * cannot overflow; constants are arbitrary public values, deterministic. */
+  private val MersenneP = 2147483647L
+  private def permute(h: Column, i: Int): Column = {
+    val hMod = (h % MersenneP + MersenneP) % MersenneP
+    (hMod * lit((2L * i + 12345L) % MersenneP) + lit((981234567L * (i + 1)) % MersenneP)) % MersenneP
+  }
+
+  /**
+   * MinHash signature (numHashes lanes) per id: explode shingles, hash each
+   * once with xxhash64, take per-lane mins in one aggregation (partial
+   * combine on the map side — the shuffle carries only numHashes longs/id).
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, text: Column, shingleN: Int, numHashes: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(text, shingleN)).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val lanes = (0 until numHashes).map(i => min(permute(col("h"), i)).as(s"mh_$i"))
+    exploded.groupBy(col(idCol)).agg(lanes.head, lanes.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("signature"))
+  }
+
+  /**
+   * LSH banding: split the signature into `bands` bands of `rowsPerBand`
+   * lanes, hash each band to a bucket, self-join on (band, bucket).
+   * Returns candidate pairs (id_a < id_b), deduplicated.
+   */
+  def lshCandidates(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(
+      col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r).cast("string")): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for given candidate pairs (verify step).
+    * Joins the shingle arrays back per side — only for candidates, so the
+    * expensive set math runs on a tiny fraction of the corpus. */
+  def jaccardVerify(candidates: DataFrame, corpus: DataFrame, idCol: String, text: Column, shingleN: Int, threshold: Double): DataFrame = {
+    val sh = corpus.select(col(idCol).as("jid"), shingles(text, shingleN).as("sh"))
+    val j = candidates
+      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+    j.where(col("jaccard") >= threshold).select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates then exact verify. */
+  def minhashNearDups(df: DataFrame, idCol: String, text: Column, shingleN: Int = 3,
+                      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, text, shingleN, numHashes)
+    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
+    jaccardVerify(cands, df, idCol, text, shingleN, threshold)
+  }
+
+  /**
+   * SimHash (64-bit) per id: per bit position, sum +1/-1 votes of each
+   * token-hash's bit, assemble the sign vector into one long. One explode +
+   * one aggregation (64 conditional-sum lanes, map-side combined).
+   */
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(split(trim(text), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val agg = exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /**
+   * SimHash near-dups with Hamming distance <= maxHamming: band the 64 bits
+   * into (maxHamming+1) chunks — by pigeonhole, any pair within the distance
+   * agrees exactly on at least one chunk — join per chunk, then verify with
+   * `bit_count(xor)`.
+   */
+  def simhashNearDups(df: DataFrame, idCol: String, text: Column, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sigs = simhash(df, idCol, text)
+    val banded = sigs.select(
+      col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk", "chunk_val")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sim_a"), col("chunk"), col("chunk_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"), col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

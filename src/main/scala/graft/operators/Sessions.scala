@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+import graft.sorted.GroupSortedDataset
+
+/**
+ * Ordered-stream operators built on the group-sorted layout — showcases of
+ * `mapStreamByKey` doing single-pass, O(1)-heap-per-key computations that SQL
+ * window functions would need full sorts + multiple passes for.
+ */
+object Sessions {
+
+  /**
+   * Gap-based sessionization in one streaming pass per key: a new session
+   * starts when the time gap to the previous row exceeds `gapTicks`.
+   * Input: group-sorted (key, (ticks, ...)) with values in time order.
+   * Returns one row per key with its session count.
+   */
+  def sessionCounts[K: Encoder, V](gs: GroupSortedDataset[K, V], ticksOf: V => Long, gapTicks: Long)(
+      implicit el: Encoder[Long], ekl: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    gs.mapStreamByKey { vs =>
+      var sessions = 0L
+      var lastTick = Long.MinValue
+      vs.foreach { v =>
+        val t = ticksOf(v)
+        if (lastTick == Long.MinValue || t - lastTick > gapTicks) sessions += 1
+        lastTick = t
+      }
+      Iterator.single(sessions)
+    }
+
+  /**
+   * Backward as-of match in one streaming pass: for every value selected by
+   * `isTarget`, emit the most recent preceding value (in the established
+   * value order) accepted by `isMarker`, or None when no marker has been
+   * seen yet for that key. (Rows can be both marker and target; markers take
+   * effect for SUBSEQUENT rows — the current row never matches itself.)
+   */
+  def asOfLastMarker[K: Encoder, V, W: Encoder](gs: GroupSortedDataset[K, V])(
+      isTarget: V => Boolean, isMarker: V => Boolean, emit: (V, Option[V]) => W)(
+      implicit ekw: Encoder[(K, W)]): Dataset[(K, W)] =
+    gs.mapStreamByKey { vs =>
+      var lastMarker: Option[V] = None
+      vs.flatMap { v =>
+        val out = if (isTarget(v)) Iterator.single(emit(v, lastMarker)) else Iterator.empty
+        if (isMarker(v)) lastMarker = Some(v)
+        out
+      }
+    }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sorted.syntax._
+
+/**
+ * Similarity search over embedding columns (`array<float>`), designed for the
+ * two regimes that matter at 100 TB:
+ *
+ *  - a SMALL query set against a huge corpus: `broadcast` the queries so the
+ *    corpus is scanned exactly once with no shuffle of corpus rows, and
+ *    reduce per-query top-k with a bounded-heap combiner (map-side partial
+ *    combine => the shuffle carries at most k rows per query per partition);
+ *  - ALL-PAIRS near-neighbor: LSH-bucket by random-hyperplane signature so
+ *    the quadratic join only happens within buckets.
+ *
+ * All dot products are sequential double accumulation (`aggregate` over
+ * `zip_with`), which is bit-identical to DuckDB's `list_dot_product` — that
+ * exactness is what lets the oracle hash-compare ranked results.
+ */
+object Similarity {
+
+  /** Cast an array<float> column to array<double> (do this once, up front). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-order double dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity: dot / (||a|| * ||b||), all sequential double math. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /**
+   * Exact top-k neighbors for each query vector: broadcast the (small) query
+   * side, one pass over the corpus, then per-query bounded top-k reduction
+   * via `groupSortCombine` — a bounded insertion-sort combiner, so partial
+   * aggregation keeps the shuffle tiny regardless of corpus size.
+   *
+   * Input frames must have (idCol, vecCol) columns. Self-matches are dropped.
+   * Returns (query_id, neighbor_id, rank) with rank 1..k by (cos desc, id).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), struct(cosine(col("qv"), col("cv")).as("cos"), col("neighbor_id").as("nid")).as("scored"))
+      .as[(Long, (Double, Long))]
+    // bounded top-k combiner: ordered by (cos desc, id asc), capped at k
+    def insert(acc: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] =
+      ((v :: acc).sortBy { case (cos, id) => (-cos, id) }).take(k)
+    scored
+      .groupSortCombine[List[(Double, Long)]](v => List(v), insert, (a, b) => (a ++ b).sortBy { case (cos, id) => (-cos, id) }.take(k))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((_, nid), i) => (qid, nid, (i + 1).toLong) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim) —
+    * fixed public constants, no RNG state, identical across runs/executors. */
+  private def coef(plane: Int, dim: Column): Column = {
+    val h = (dim * lit(2654435761L) + lit(plane.toLong * 40503L + 7L)) % lit(1000003L)
+    (h.cast("double") / lit(1000003.0)) - lit(0.5)
+  }
+
+  /** Random-hyperplane LSH bucket signature (numPlanes sign bits -> long). */
+  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) => x * coef(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /**
+   * Approximate near-neighbor pairs with OR-amplified random-hyperplane LSH:
+   * `tables` independent hash tables of `planesPerTable` sign bits each; a
+   * pair is a candidate if it collides in ANY table (recall amplification),
+   * then exact cosine verifies. The scale path for all-pairs similarity —
+   * quadratic work is confined to same-bucket rows, and both the bucketing
+   * pass and the verify join shuffle only on (table, bucket).
+   */
+  def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       planesPerTable: Int = 4, tables: Int = 8, threshold: Double = 0.35): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val allBits = hyperplaneBucket(v, dim, planesPerTable * tables)
+    val withSig = df.select(col(idCol), v.as("v"), allBits.as("sig"))
+    val banded = withSig.select(
+      col(idCol), col("v"),
+      posexplode(array((0 until tables).map { t =>
+        shiftrightunsigned(col("sig"), t * planesPerTable)
+          .bitwiseAND(lit((1L << planesPerTable) - 1))
+      }: _*)).as(Seq("table", "bucket")))
+    val a = banded.select(col(idCol).as("id_a"), col("v").as("v_a"), col("table"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("v").as("v_b"), col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact all-pairs similarity above a threshold (block-nested cross join —
+    * use only when n is bounded or pre-blocked; prefer lshNearNeighbors). */
+  def exactSimilarPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.Text
+import graft.multimodal.Media
+import graft.sorted.syntax._
+
+class ExtensionsSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  describe("Text functions") {
+    it("tokenCount counts whitespace tokens, 0 for blank") {
+      val df = Seq((1L, "a b  c"), (2L, "   "), (3L, "single")).toDF("id", "t")
+      val got = df.select($"id", Text.tokenCount($"t").as("n")).as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+    }
+
+    it("substrCount counts non-overlapping literal occurrences") {
+      val df = Seq((1L, " the cat the dog ")).toDF("id", "t")
+      val got = df.select(Text.substrCount($"t", " the ").as("n")).as[Long].head()
+      assert(got === 2L) // same as SQL replace-count arithmetic
+    }
+
+    it("langGuess picks marker-word argmax with fixed precedence") {
+      val df = Seq(
+        (1L, "the cat sat on the mat"),
+        (2L, "der hund und der mann"),
+        (3L, "xyzzy plugh")).toDF("id", "t")
+      val got = df.select($"id", Text.langGuess($"t").as("g")).as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+    }
+
+    it("fingerprint is a stable md5 hex") {
+      val got = Seq((1L, "abc")).toDF("id", "t")
+        .select(Text.fingerprint($"t")).as[String].head()
+      assert(got === "900150983cd24fb0d6963f7d28e17f72")
+    }
+
+    it("tokenRollingHash is deterministic and order-sensitive") {
+      val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("id", "t")
+      val got = df.select($"id", Text.tokenRollingHash($"t").as("h")).as[(Long, Long)].collect().toMap
+      assert(got(1L) !== got(2L))
+      val again = df.select($"id", Text.tokenRollingHash($"t").as("h")).as[(Long, Long)].collect().toMap
+      assert(got === again)
+    }
+  }
+
+  describe("Dedup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "the quick brown fox jumps over the lazy dog every single day"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog every single night"), // near dup of 1
+      (4L, "completely different words about spark and large scale engines here"),
+      (5L, "tiny")).toDF("doc_id", "text")
+
+    it("exact dedup keeps min id per identical text") {
+      val got = Dedup.exact(docs, "doc_id", col("text")).as[Long].collect().toSet
+      assert(got === Set(1L, 3L, 4L, 5L))
+    }
+
+    it("shingles builds distinct word n-grams; short docs yield none") {
+      val got = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got(1L).contains("the quick brown"))
+      assert(got(5L).isEmpty)
+      assert(got(1L).size === 10)
+    }
+
+    it("minhashNearDups finds exact and near dup pairs, not unrelated docs") {
+      val got = Dedup.minhashNearDups(docs, "doc_id", col("text"), shingleN = 3,
+          numHashes = 16, bands = 8, threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 2L)))
+      assert(got.exists(p => p == (1L, 3L) || p == (2L, 3L))) // near-dup caught
+      assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    }
+
+    it("simhash: identical texts hash identically, dissimilar texts differ") {
+      val sh = Dedup.simhash(docs, "doc_id", col("text"))
+        .as[(Long, Long)].collect().toMap
+      assert(sh(1L) === sh(2L))
+      assert(sh(1L) !== sh(4L))
+    }
+
+    it("simhashNearDups respects the Hamming bound") {
+      val got = Dedup.simhashNearDups(docs, "doc_id", col("text"), maxHamming = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 2L))) // distance 0
+      assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    }
+  }
+
+  describe("Similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+    it("cosine matches scala math") {
+      val got = vecs.filter($"vec_id" === 1)
+        .select(Similarity.cosine(
+          Similarity.asDouble($"embedding"),
+          Similarity.asDouble($"embedding"))).as[Double].head()
+      assert(math.abs(got - 1.0) < 1e-12)
+    }
+
+    it("bruteForceTopK ranks by cosine desc with id tie-break") {
+      val got = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((0L, 1L, 1L), (0L, 2L, 2L))) // closest first
+    }
+
+    it("exactSimilarPairs finds the close pair only") {
+      val got = Similarity.exactSimilarPairs(vecs, "vec_id", "embedding", 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === Set((0L, 1L)))
+    }
+
+    it("lshNearNeighbors is a subset of exact pairs and finds the closest") {
+      val exact = Similarity.exactSimilarPairs(vecs, "vec_id", "embedding", 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val approx = Similarity.lshNearNeighbors(vecs, "vec_id", "embedding", 3,
+        planesPerTable = 2, tables = 8, threshold = 0.9)
+        .as[(Long, Long)].collect().toSet
+      assert(approx.subsetOf(exact))
+      assert(approx.contains((0L, 1L))) // high recall for near-identical
+    }
+  }
+
+  describe("Sessions") {
+    it("sessionCounts splits on gaps > threshold in one pass") {
+      val ev = Seq(
+        (1L, (0L, 1L)), (1L, (10L, 2L)), (1L, (100L, 3L)), // gap 90 > 50: new session
+        (2L, (0L, 4L))).toDS()
+      val got = Sessions.sessionCounts[Long, (Long, Long)](ev.groupSort(2), _._1, 50L)
+        .collect().toMap
+      assert(got === Map(1L -> 2L, 2L -> 1L))
+    }
+
+    it("asOfLastMarker emits the most recent preceding marker") {
+      val ev = Seq(
+        (1L, (1L, 10L, "purchase")),
+        (1L, (2L, 11L, "error")),   // after purchase 10
+        (1L, (3L, 12L, "purchase")),
+        (1L, (4L, 13L, "error")),   // after purchase 12
+        (2L, (1L, 20L, "error"))).toDS() // no marker yet
+      val got = Sessions.asOfLastMarker(ev.groupSort(2))(
+          isTarget = (v: (Long, Long, String)) => v._3 == "error",
+          isMarker = (v: (Long, Long, String)) => v._3 == "purchase",
+          emit = (v: (Long, Long, String), m: Option[(Long, Long, String)]) => (v._2, m.map(_._2)))
+        .collect().toSet
+      assert(got === Set(
+        (1L, (11L, Some(10L))), (1L, (13L, Some(12L))), (2L, (20L, None))))
+    }
+  }
+
+  describe("Media") {
+    it("extracts byte features and sniffs container kinds") {
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
+      val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 4, 5)
+      val txt = "hello world".getBytes("UTF-8")
+      val df = Seq((1L, png), (2L, jpg), (3L, txt)).toDF("id", "blob")
+      val got = Media.extractFeatures(df, "id", "blob").collect().map(m => m.id -> m).toMap
+      assert(got(1L).kind === "png")
+      assert(got(2L).kind === "jpeg")
+      assert(got(3L).kind === "unknown")
+      assert(got(3L).n_bytes === 11L)
+      assert(got(3L).width === 11L % 64)
+      assert(got(1L).checksum === (0x89L)) // every 16th byte of an 11-byte blob = byte 0
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funspec.AnyFunSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+
+class StreamOpsSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  // offset from epoch: a record exactly at the initial watermark (0) is dropped as late
+  private def ts(minute: Int): Timestamp = new Timestamp((minute + 60) * 60000L)
+
+  describe("sessionize (flatMapGroupsWithState)") {
+    it("closes a session when the gap is exceeded within a batch") {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val sessions = StreamOps.sessionize(input.toDS(), gapMs = 10 * 60000L, watermarkDelay = "0 seconds")
+      val q = sessions.writeStream.format("memory").queryName("sess1")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // user 1: events at minute 0,5 then 30 (gap 25 min > 10) then 31
+        input.addData(
+          StreamEvent(1L, ts(0), "click", 1.0),
+          StreamEvent(1L, ts(5), "click", 1.0),
+          StreamEvent(1L, ts(30), "click", 1.0),
+          StreamEvent(1L, ts(31), "click", 1.0))
+        q.processAllAvailable()
+        val closed = spark.table("sess1").as[SessionClosed].collect()
+        assert(closed.toSeq === Seq(SessionClosed(1L, ts(0).getTime, ts(5).getTime, 2L)))
+      } finally q.stop()
+    }
+
+    it("closes open sessions via event-time timeout when the watermark advances") {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val sessions = StreamOps.sessionize(input.toDS(), gapMs = 10 * 60000L, watermarkDelay = "0 seconds")
+      val q = sessions.writeStream.format("memory").queryName("sess2")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(StreamEvent(7L, ts(0), "click", 1.0))
+        q.processAllAvailable()
+        // watermark jumps far past lastSeen+gap -> timeout fires for user 7
+        input.addData(StreamEvent(8L, ts(120), "click", 1.0))
+        q.processAllAvailable()
+        input.addData(StreamEvent(9L, ts(300), "click", 1.0))
+        q.processAllAvailable()
+        val closed = spark.table("sess2").as[SessionClosed].collect().map(_.user_id).toSet
+        assert(closed.contains(7L))
+      } finally q.stop()
+    }
+  }
+
+  describe("windowedCounts (watermarked sliding windows)") {
+    it("counts per window and type") {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val counts = StreamOps.windowedCounts(input.toDS(), "10 minutes", "10 minutes", "0 seconds")
+      val q = counts.writeStream.format("memory").queryName("wc")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        input.addData(
+          StreamEvent(1L, ts(1), "click", 2.0),
+          StreamEvent(2L, ts(2), "click", 3.0),
+          StreamEvent(1L, ts(11), "buy", 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("wc")
+          .selectExpr("event_type", "n", "sum_value").as[(String, Long, Double)]
+          .collect().toSet
+        assert(rows === Set(("click", 2L, 5.0), ("buy", 1L, 5.0)))
+      } finally q.stop()
+    }
+  }
+}
