@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.VectorExpressions.dotProduct
 import graft.sorted.syntax._
 
 /**
@@ -25,9 +26,10 @@ object Similarity {
   /** Cast an array<float> column to array<double> (do this once, up front). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-order double dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-order double dot product of two array<double> columns —
+    * a codegen'd native expression (see [[graft.expressions.DotProduct]]);
+    * bit-identical to `aggregate(zip_with(..))` and DuckDB `list_dot_product`. */
+  def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
   /** Cosine similarity: dot / (||a|| * ||b||), all sequential double math. */
   def cosine(a: Column, b: Column): Column =
@@ -63,18 +65,18 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim) —
     * fixed public constants, no RNG state, identical across runs/executors. */
-  private def coef(plane: Int, dim: Column): Column = {
-    val h = (dim * lit(2654435761L) + lit(plane.toLong * 40503L + 7L)) % lit(1000003L)
-    (h.cast("double") / lit(1000003.0)) - lit(0.5)
+  private def coef(plane: Int, dim: Int): Double = {
+    val h = (dim.toLong * 2654435761L + plane.toLong * 40503L + 7L) % 1000003L
+    h.toDouble / 1000003.0 - 0.5
   }
 
-  /** Random-hyperplane LSH bucket signature (numPlanes sign bits -> long). */
+  /** Random-hyperplane LSH bucket signature (numPlanes sign bits -> long).
+    * Each projection is a codegen'd dot product against a CONSTANT coefficient
+    * array, so the signature pass stays in whole-stage codegen. */
   def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) => x * coef(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = typedLit((0 until dim).map(i => coef(p, i)))
+      when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /**
@@ -87,23 +89,32 @@ object Similarity {
    */
   def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        planesPerTable: Int = 4, tables: Int = 8, threshold: Double = 0.35): DataFrame = {
+    // 1) signature pass: one scan, codegen'd constant-plane projections
     val v = asDouble(col(vecCol))
-    val allBits = hyperplaneBucket(v, dim, planesPerTable * tables)
-    val withSig = df.select(col(idCol), v.as("v"), allBits.as("sig"))
+    val withSig = df.select(
+      col(idCol), v.as("v"),
+      hyperplaneBucket(v, dim, planesPerTable * tables).as("sig"))
+    // 2) candidate pairs: explode per-table buckets, self-join on (table,
+    //    bucket) carrying ONLY ids, dedup across tables BEFORE verification
     val banded = withSig.select(
-      col(idCol), col("v"),
+      col(idCol),
       posexplode(array((0 until tables).map { t =>
         shiftrightunsigned(col("sig"), t * planesPerTable)
           .bitwiseAND(lit((1L << planesPerTable) - 1))
       }: _*)).as(Seq("table", "bucket")))
-    val a = banded.select(col(idCol).as("id_a"), col("v").as("v_a"), col("table"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("v").as("v_b"), col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    val a = banded.select(col(idCol).as("id_a"), col("table"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("table"), col("bucket"))
+    val candidates = a.join(b, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+    // 3) verify: join vectors back, exact cosine (codegen'd), once per pair
+    val vecs = withSig.select(col(idCol), col("v"))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("v").as("v_b")), "id_b")
+      .where(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Exact all-pairs similarity above a threshold (block-nested cross join —
