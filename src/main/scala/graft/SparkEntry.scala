@@ -295,7 +295,7 @@ object SparkEntry {
 
     // MinHash + LSH near-dup candidates, verified with exact shingle Jaccard
     "q27_minhash_neardup" -> ((s, dir) =>
-      operators.Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", col("text"))
+      operators.Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("id_a"), col("id_b"))),
 
     // SimHash near-dups (Hamming <= 3 via pigeonhole banding)

@@ -35,6 +35,42 @@ object Dedup {
     array_distinct(when(size(words) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
+  /**
+   * Distinct word n-gram shingles as 64-bit FNV-1a hashes, one (id, h) row per
+   * shingle — computed in typed JVM code (`mapPartitions`), NOT as Catalyst
+   * higher-order functions: `transform`/`slice` are interpreted per row and
+   * dominated the whole minhash pipeline. Hashing words directly also skips
+   * materializing shingle strings through the shuffle.
+   */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val words = text.trim.split("\\s+")
+          if (words.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[java.lang.Long]()
+            (0 to words.length - n).iterator.flatMap { i =>
+              var h = 1469598103934665603L // FNV-1a 64 offset basis
+              var j = i
+              while (j < i + n) {
+                val w = words(j)
+                var k = 0
+                while (k < w.length) { h ^= w.charAt(k); h *= 1099511628211L; k += 1 }
+                h ^= ' '; h *= 1099511628211L
+                j += 1
+              }
+              if (seen.add(h)) Iterator.single((id, h)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF(idCol, "h")
+  }
+
   /** Fixed affine permutation for minhash over the field mod 2^31-1 (Mersenne
     * prime). All intermediates stay below 2^62, so ANSI-mode long arithmetic
     * cannot overflow; constants are arbitrary public values, deterministic. */
@@ -49,10 +85,8 @@ object Dedup {
    * once with xxhash64, take per-lane mins in one aggregation (partial
    * combine on the map side — the shuffle carries only numHashes longs/id).
    */
-  def minhashSignatures(df: DataFrame, idCol: String, text: Column, shingleN: Int, numHashes: Int): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(text, shingleN)).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, shingleN: Int, numHashes: Int): DataFrame = {
+    val exploded = shingleHashes(df, idCol, textCol, shingleN)
     val lanes = (0 until numHashes).map(i => min(permute(col("h"), i)).as(s"mh_$i"))
     exploded.groupBy(col(idCol)).agg(lanes.head, lanes.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("signature"))
@@ -79,13 +113,19 @@ object Dedup {
   }
 
   /** Exact shingle-set Jaccard for given candidate pairs (verify step).
-    * Joins the shingle arrays back per side — only for candidates, so the
-    * expensive set math runs on a tiny fraction of the corpus. */
-  def jaccardVerify(candidates: DataFrame, corpus: DataFrame, idCol: String, text: Column, shingleN: Int, threshold: Double): DataFrame = {
-    val sh = corpus.select(col(idCol).as("jid"), shingles(text, shingleN).as("sh"))
+    * Shingle sets are re-derived as FNV-1a hash arrays only for ids that
+    * appear in a candidate pair (semi-join first), so the expensive set math
+    * runs on a tiny fraction of the corpus. */
+  def jaccardVerify(candidates: DataFrame, corpus: DataFrame, idCol: String, textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val ids = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val needed = corpus.join(ids, Seq(idCol), "left_semi")
+    val sh = shingleHashes(needed, idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(collect_list(col("h")).as("sh"))
     val j = candidates
-      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") / col("uni"))
@@ -93,11 +133,11 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates then exact verify. */
-  def minhashNearDups(df: DataFrame, idCol: String, text: Column, shingleN: Int = 3,
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
                       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, text, shingleN, numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
-    jaccardVerify(cands, df, idCol, text, shingleN, threshold)
+    jaccardVerify(cands, df, idCol, textCol, shingleN, threshold)
   }
 
   /**

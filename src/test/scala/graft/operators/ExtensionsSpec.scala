@@ -70,7 +70,7 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
     }
 
     it("minhashNearDups finds exact and near dup pairs, not unrelated docs") {
-      val got = Dedup.minhashNearDups(docs, "doc_id", col("text"), shingleN = 3,
+      val got = Dedup.minhashNearDups(docs, "doc_id", "text", shingleN = 3,
           numHashes = 16, bands = 8, threshold = 0.5)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got.contains((1L, 2L)))
