@@ -300,7 +300,7 @@ object SparkEntry {
 
     // SimHash near-dups (Hamming <= 3 via pigeonhole banding)
     "q28_simhash_neardup" -> ((s, dir) =>
-      operators.Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", col("text"))
+      operators.Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("id_a"), col("id_b"))),
 
     // LSH-bucketed approximate near-neighbors over embeddings

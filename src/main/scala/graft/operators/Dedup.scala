@@ -72,24 +72,57 @@ object Dedup {
   }
 
   /** Fixed affine permutation for minhash over the field mod 2^31-1 (Mersenne
-    * prime). All intermediates stay below 2^62, so ANSI-mode long arithmetic
-    * cannot overflow; constants are arbitrary public values, deterministic. */
+    * prime). All intermediates stay below 2^62, so long arithmetic cannot
+    * overflow; constants are arbitrary public values, deterministic. */
   private val MersenneP = 2147483647L
-  private def permute(h: Column, i: Int): Column = {
-    val hMod = (h % MersenneP + MersenneP) % MersenneP
-    (hMod * lit((2L * i + 12345L) % MersenneP) + lit((981234567L * (i + 1)) % MersenneP)) % MersenneP
-  }
 
   /**
-   * MinHash signature (numHashes lanes) per id: explode shingles, hash each
-   * once with xxhash64, take per-lane mins in one aggregation (partial
-   * combine on the map side — the shuffle carries only numHashes longs/id).
+   * MinHash signature (numHashes lanes) per id, computed in ONE narrow pass:
+   * for each document, FNV-1a-hash every word n-gram and fold it into the
+   * per-lane running minima. Duplicate shingles cannot change a min, so no
+   * dedup set is needed and the result is identical to the explode →
+   * groupBy(min) formulation — without shuffling a row per shingle. Documents
+   * shorter than the shingle width yield no signature (no shingle set).
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, shingleN: Int, numHashes: Int): DataFrame = {
-    val exploded = shingleHashes(df, idCol, textCol, shingleN)
-    val lanes = (0 until numHashes).map(i => min(permute(col("h"), i)).as(s"mh_$i"))
-    exploded.groupBy(col(idCol)).agg(lanes.head, lanes.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("signature"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = MersenneP
+    val as = Array.tabulate(numHashes)(i => (2L * i + 12345L) % p)
+    val bs = Array.tabulate(numHashes)(i => (981234567L * (i + 1)) % p)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val words = text.trim.split("\\s+")
+          if (words.length < shingleN) Iterator.empty
+          else {
+            val mins = Array.fill(numHashes)(Long.MaxValue)
+            var i = 0
+            while (i <= words.length - shingleN) {
+              var h = 1469598103934665603L // FNV-1a 64 offset basis
+              var j = i
+              while (j < i + shingleN) {
+                val w = words(j)
+                var k = 0
+                while (k < w.length) { h ^= w.charAt(k); h *= 1099511628211L; k += 1 }
+                h ^= ' '; h *= 1099511628211L
+                j += 1
+              }
+              val hMod = (h % p + p) % p
+              var l = 0
+              while (l < numHashes) {
+                val perm = (hMod * as(l) + bs(l)) % p
+                if (perm < mins(l)) mins(l) = perm
+                l += 1
+              }
+              i += 1
+            }
+            Iterator.single((id, mins.toSeq))
+          }
+        }
+      }
+      .toDF(idCol, "signature")
   }
 
   /**
@@ -142,21 +175,40 @@ object Dedup {
 
   /**
    * SimHash (64-bit) per id: per bit position, sum +1/-1 votes of each
-   * token-hash's bit, assemble the sign vector into one long. One explode +
-   * one aggregation (64 conditional-sum lanes, map-side combined).
+   * token-hash's bit, assemble the sign vector into one long. Computed in one
+   * NARROW pass per document (FNV-1a token hash, local vote array) — a
+   * per-doc-computable signature needs no explode/aggregate shuffle at all.
    */
-  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(split(trim(text), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
-    }
-    val agg = exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sim.as("simhash"))
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val votes = new Array[Int](64) // reused across docs in the partition
+        rows.map { case (id, text) =>
+          java.util.Arrays.fill(votes, 0)
+          val words = text.trim.split("\\s+")
+          var i = 0
+          while (i < words.length) {
+            val w = words(i)
+            var h = 1469598103934665603L // FNV-1a 64
+            var k = 0
+            while (k < w.length) { h ^= w.charAt(k); h *= 1099511628211L; k += 1 }
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+            i += 1
+          }
+          var sim = 0L
+          var b = 0
+          while (b < 64) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+          (id, sim)
+        }
+      }
+      .toDF(idCol, "simhash")
   }
 
   /**
@@ -165,10 +217,10 @@ object Dedup {
    * agrees exactly on at least one chunk — join per chunk, then verify with
    * `bit_count(xor)`.
    */
-  def simhashNearDups(df: DataFrame, idCol: String, text: Column, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val sigs = simhash(df, idCol, text)
+    val sigs = simhash(df, idCol, textCol)
     val banded = sigs.select(
       col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map { c =>

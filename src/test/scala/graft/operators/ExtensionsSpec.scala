@@ -79,14 +79,14 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
     }
 
     it("simhash: identical texts hash identically, dissimilar texts differ") {
-      val sh = Dedup.simhash(docs, "doc_id", col("text"))
+      val sh = Dedup.simhash(docs, "doc_id", "text")
         .as[(Long, Long)].collect().toMap
       assert(sh(1L) === sh(2L))
       assert(sh(1L) !== sh(4L))
     }
 
     it("simhashNearDups respects the Hamming bound") {
-      val got = Dedup.simhashNearDups(docs, "doc_id", col("text"), maxHamming = 3)
+      val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got.contains((1L, 2L))) // distance 0
       assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
