@@ -338,6 +338,51 @@ object SparkEntry {
           emit = (v: (Long, Long, String), m: Option[(Long, Long, String)]) => (v._2, m.map(_._2)))
         .map { case (k, (eid, mid)) => (k, eid, mid) }
         .toDF("user_id", "event_id", "last_purchase")
+    }),
+
+    // ---- further relational surface (SURVEY §2c "missing surface" list) ----
+
+    // hierarchical subtotals: ROLLUP over (returnflag, linestatus)
+    "q33_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"))),
+
+    // exact distinct aggregation (Catalyst plans expand + two-phase agg)
+    "q34_distinct_count" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count_distinct(col("o_orderpriority")).as("n_prio"))),
+
+    // set intersection: users with both purchases and errors
+    "q35_intersect" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "error").select(col("user_id")))
+    }),
+
+    // set difference: customers with no high-value orders
+    "q36_except" -> ((s, dir) =>
+      tbl(s, dir, "customer").select(col("c_custkey"))
+        .except(tbl(s, dir, "orders")
+          .filter(col("o_totalprice") > 150000.0)
+          .select(col("o_custkey")))),
+
+    // HLL sketch distinct count (approximate; register-max merge is
+    // deterministic, but impl differs from DuckDB's -> rows-only check)
+    "q37_approx_distinct" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
+    // IVF approximate nearest neighbors (coarse-quantizer inverted lists);
+    // probing-dependent recall -> rows-only check
+    "q38_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      operators.Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
     })
   )
 
@@ -487,6 +532,19 @@ object SparkEntry {
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
         |  FROM events) t
-        |WHERE event_type = 'error'""".stripMargin
+        |WHERE event_type = 'error'""".stripMargin,
+    "q33_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q34_distinct_count" ->
+      "SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_prio FROM orders GROUP BY o_custkey",
+    "q35_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q36_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0"
+    // q37 (HLL impl-specific), q38 (IVF probing recall): rows-only checks.
   )
 }

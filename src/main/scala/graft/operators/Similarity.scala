@@ -117,6 +117,53 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: the classic two-level ANN index,
+   * Spark-first. A coarse quantizer of `nCentroids` deterministic seed
+   * vectors (lowest ids) partitions the corpus into inverted lists — one
+   * broadcast join + a `max_by` aggregation with map-side partial combine,
+   * so assignment is a single corpus scan. Each query then probes only its
+   * `nProbe` nearest lists; exact cosine ranks the candidates. At 100 TB the
+   * expensive exact scoring touches ~nProbe/nCentroids of the corpus, and no
+   * stage shuffles full vectors except the bounded candidate set.
+   *
+   * `nProbe >= nCentroids` degenerates to exact brute force (useful for
+   * recall testing). Self-matches are dropped. Returns
+   * (query_id, neighbor_id, rank) with rank 1..k by (cos desc, id).
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent_v")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // nearest centroid per corpus vector: broadcast product + partial max_by
+    val assigned = c.join(cents)
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(
+        struct(col("cent_id"), col("cv")),
+        struct(cosine(col("cv"), col("cent_v")).as("cos"), (-col("cent_id")).as("tb"))).as("best"))
+      .select(col("neighbor_id"), col("best.cent_id").as("cent_id"), col("best.cv").as("cv"))
+    // nProbe nearest centroids per query (query set is small by contract)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("qv"), col("cent_v")).desc, col("cent_id"))
+    val probes = q.join(cents)
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    // candidates = union of probed inverted lists; exact cosine top-k
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned, "cent_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Exact all-pairs similarity above a threshold (block-nested cross join —
     * use only when n is bounded or pre-blocked; prefer lshNearNeighbors). */
   def exactSimilarPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {

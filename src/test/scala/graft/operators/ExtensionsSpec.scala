@@ -120,6 +120,18 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got === Set((0L, 1L)))
     }
 
+    it("ivfTopK with exhaustive probing equals brute force; partial probing is a subset") {
+      val exact = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val full = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",
+        k = 2, nCentroids = 2, nProbe = 2).as[(Long, Long, Long)].collect().toSet
+      assert(full === exact) // probing every list degenerates to exact search
+      val partial = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",
+        k = 2, nCentroids = 2, nProbe = 1).as[(Long, Long, Long)].collect()
+      assert(partial.map(_._2).toSet.subsetOf(vecs.as[(Long, Array[Float])].collect().map(_._1).toSet))
+      assert(partial.forall(_._1 == 0L))
+    }
+
     it("lshNearNeighbors is a subset of exact pairs and finds the closest") {
       val exact = Similarity.exactSimilarPairs(vecs, "vec_id", "embedding", 0.9)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
