@@ -23,7 +23,9 @@ import graft.sorted.syntax._
  */
 object Similarity {
 
-  /** Cast an array<float> column to array<double> (do this once, up front). */
+  /** Cast an array<float> column to array<double>. Interpreted (`transform`
+    * is a higher-order function) — hot paths pass float arrays straight to
+    * [[dot]]/[[cosine]] instead, which widen per element inside codegen. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Sequential-order double dot product of two array<double> columns —
@@ -47,8 +49,8 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), struct(cosine(col("qv"), col("cv")).as("cos"), col("neighbor_id").as("nid")).as("scored"))
       .as[(Long, (Double, Long))]
@@ -72,12 +74,42 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket signature (numPlanes sign bits -> long).
     * Each projection is a codegen'd dot product against a CONSTANT coefficient
-    * array, so the signature pass stays in whole-stage codegen. */
+    * array. Fine for a handful of planes; for wide signatures prefer
+    * [[hyperplaneSignatures]] — a 64-plane expression tree blows past
+    * codegen's method-size sweet spot and costs ~1s of Janino compilation. */
   def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
       val plane = typedLit((0 until dim).map(i => coef(p, i)))
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** All numPlanes sign bits per row in ONE narrow typed pass over a
+    * precomputed coefficient matrix (same `coef` constants, same ascending
+    * accumulation — bit-identical to [[hyperplaneBucket]]). Emits (id, sig). */
+  def hyperplaneSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int, numPlanes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coefs = Array.tabulate(numPlanes, dim)(coef)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          var sig = 0L
+          var p = 0
+          while (p < numPlanes) {
+            val cs = coefs(p)
+            val n = math.min(v.length, dim)
+            var acc = 0.0
+            var i = 0
+            while (i < n) { acc += v(i) * cs(i); i += 1 }
+            if (acc > 0) sig |= 1L << p
+            p += 1
+          }
+          (id, sig)
+        }
+      }
+      .toDF(idCol, "sig")
+  }
 
   /**
    * Approximate near-neighbor pairs with OR-amplified random-hyperplane LSH:
@@ -86,17 +118,20 @@ object Similarity {
    * then exact cosine verifies. The scale path for all-pairs similarity —
    * quadratic work is confined to same-bucket rows, and both the bucketing
    * pass and the verify join shuffle only on (table, bucket).
+   *
+   * Bucket width governs the quadratic blow-up: `planesPerTable` sign bits
+   * give 2^bits buckets per table, and candidates grow with (rows/bucket)^2.
+   * The default 8 bits keeps per-table collision probability ~(1-θ/π)^8 —
+   * ≈0.3 per table / ≈0.94 OR-amplified over 8 tables for cos≥0.9 pairs,
+   * while a 4-bit table would put ~6% of ALL pairs in the candidate set.
    */
   def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                       planesPerTable: Int = 4, tables: Int = 8, threshold: Double = 0.35): DataFrame = {
-    // 1) signature pass: one scan, codegen'd constant-plane projections
-    val v = asDouble(col(vecCol))
-    val withSig = df.select(
-      col(idCol), v.as("v"),
-      hyperplaneBucket(v, dim, planesPerTable * tables).as("sig"))
+                       planesPerTable: Int = 8, tables: Int = 8, threshold: Double = 0.35): DataFrame = {
+    // 1) signature pass: one narrow typed scan, no wide expression tree
+    val sigs = hyperplaneSignatures(df, idCol, vecCol, dim, planesPerTable * tables)
     // 2) candidate pairs: explode per-table buckets, self-join on (table,
     //    bucket) carrying ONLY ids, dedup across tables BEFORE verification
-    val banded = withSig.select(
+    val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until tables).map { t =>
         shiftrightunsigned(col("sig"), t * planesPerTable)
@@ -108,8 +143,9 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // 3) verify: join vectors back, exact cosine (codegen'd), once per pair
-    val vecs = withSig.select(col(idCol), col("v"))
+    // 3) verify: join vectors back, exact cosine (codegen'd, float-widening),
+    //    once per pair
+    val vecs = df.select(col(idCol), col(vecCol).as("v"))
     candidates
       .join(vecs.select(col(idCol).as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col("v").as("v_b")), "id_b")
@@ -136,8 +172,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(
       corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent_v")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // nearest centroid per corpus vector: broadcast product + partial max_by
     val assigned = c.join(cents)
       .groupBy(col("neighbor_id"))
@@ -146,7 +182,7 @@ object Similarity {
         struct(cosine(col("cv"), col("cent_v")).as("cos"), (-col("cent_id")).as("tb"))).as("best"))
       .select(col("neighbor_id"), col("best.cent_id").as("cent_id"), col("best.cv").as("cv"))
     // nProbe nearest centroids per query (query set is small by contract)
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(cosine(col("qv"), col("cent_v")).desc, col("cent_id"))
     val probes = q.join(cents)
@@ -167,8 +203,8 @@ object Similarity {
   /** Exact all-pairs similarity above a threshold (block-nested cross join —
     * use only when n is bounded or pre-blocked; prefer lshNearNeighbors). */
   def exactSimilarPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)

@@ -3,21 +3,23 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, TypeCollection}
 
 /**
- * Sequential-order dot product over two `array<double>` columns as a native
- * Catalyst expression WITH whole-stage codegen.
+ * Sequential-order dot product over two `array<double>` / `array<float>`
+ * columns as a native Catalyst expression WITH whole-stage codegen.
  *
- * Why this exists: Spark's higher-order functions (`aggregate`, `zip_with`)
- * are evaluated interpreted — fine per row, ruinous inside an LSH-bucket
- * verify join touching millions of candidate pairs. This compiles to a tight
- * primitive loop (`acc += a[i]*b[i]`), keeping similarity verification inside
- * WholeStageCodegen.
+ * Why this exists: Spark's higher-order functions (`aggregate`, `zip_with`,
+ * `transform`) are evaluated interpreted — fine per row, ruinous inside an
+ * LSH-bucket verify join touching millions of candidate pairs, or when a
+ * signature pass projects a vector against dozens of hyperplanes. This
+ * compiles to a tight primitive loop (`acc += a[i]*b[i]`), keeping similarity
+ * work inside WholeStageCodegen.
  *
- * Accumulation order is ascending index, so results are bit-identical to both
- * the `aggregate(zip_with(...))` formulation and DuckDB's `list_dot_product`
- * — which is what the oracle hash-compare relies on.
+ * Float inputs are widened per element (exact), so `dot(float_vec, x)` is
+ * bit-identical to `dot(cast(float_vec as array<double>), x)` — and therefore
+ * to DuckDB's `list_dot_product(CAST(v AS DOUBLE[]), ...)`, which is what the
+ * oracle hash-compare relies on. Accumulation order is ascending index.
  *
  * (Lives in an `org.apache.spark.sql` subpackage because `AbstractDataType`
  * / `ExpectsInputTypes` are private[sql]; same access pattern as Spark
@@ -26,27 +28,42 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes with Serializable {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
+        TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getA = if (isFloat(left)) s"(double) $a.getFloat(graftI)" else s"$a.getDouble(graftI)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat(graftI)" else s"$b.getDouble(graftI)"
       s"""
          |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
          |double graftAcc = 0.0;
          |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  graftAcc += $a.getDouble(graftI) * $b.getDouble(graftI);
+         |  graftAcc += $getA * $getB;
          |}
          |${ev.value} = graftAcc;
        """.stripMargin
