@@ -383,7 +383,12 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       operators.Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
         k = 5, nCentroids = 16, nProbe = 4)
-    })
+    }),
+
+    // BPE-style pre-tokenization counting (alpha/digit/punct runs)
+    "q39_bpe_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), functions.Text.bpeTokenCount(col("text")).as("n_bpe")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -544,7 +549,10 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
     "q36_except" ->
-      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0"
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0",
+    "q39_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin
     // q37 (HLL impl-specific), q38 (IVF probing recall): rows-only checks.
   )
 }

@@ -44,6 +44,14 @@ object Text {
     }
   }
 
+  /** BPE-style pre-tokenization count: alphabetic runs, digit runs, and
+    * punctuation runs each count as one token (the GPT-2 pre-tokenizer shape,
+    * ASCII simplification — real BPE merges happen inside these pieces, so
+    * this upper-bounds subword count). `regexp_count` is a native codegen'd
+    * function and the same regex runs verbatim in DuckDB. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")).cast("long")
+
   /** Exact-dup fingerprint: MD5 hex of the text (identical across engines). */
   def fingerprint(text: Column): Column = md5(text)
 

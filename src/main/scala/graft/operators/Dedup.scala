@@ -137,6 +137,9 @@ object Dedup {
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r).cast("string")): _*))
       }: _*)).as(Seq("band", "bucket")))
+      // both self-join sides read this (ids + band buckets only) — persist so
+      // the signature pass scans the corpus once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -165,11 +168,15 @@ object Dedup {
     j.where(col("jaccard") >= threshold).select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates then exact verify. */
+  /** Full MinHash-LSH near-dup pipeline: candidates then exact verify.
+    * The candidate-pair set (small: ids only, LSH-bounded) is persisted —
+    * `jaccardVerify` references it three times (both id sides + the pair
+    * join), and recomputing the bucket-join subtree 3x dominates runtime. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
                       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(cands, df, idCol, textCol, shingleN, threshold)
   }
 
@@ -226,6 +233,9 @@ object Dedup {
       posexplode(array((0 until chunks).map { c =>
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk", "chunk_val")))
+      // both self-join sides read this (id + simhash + chunk) — persist so the
+      // signature pass runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sim_a"), col("chunk"), col("chunk_val"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"), col("chunk"), col("chunk_val"))
     a.join(b, Seq("chunk", "chunk_val"))

@@ -137,6 +137,9 @@ object Similarity {
         shiftrightunsigned(col("sig"), t * planesPerTable)
           .bitwiseAND(lit((1L << planesPerTable) - 1))
       }: _*)).as(Seq("table", "bucket")))
+      // both sides of the self-join read this (ids + buckets only) — persist
+      // so the signature pass runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("table"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("table"), col("bucket"))
     val candidates = a.join(b, Seq("table", "bucket"))

@@ -33,6 +33,12 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got === Map(1L -> "en", 2L -> "de", 3L -> "und"))
     }
 
+    it("bpeTokenCount splits alpha/digit/punct runs") {
+      val df = Seq((1L, "ab cd3,4"), (2L, ""), (3L, "hello, world!")).toDF("id", "t")
+      val got = df.select($"id", Text.bpeTokenCount($"t").as("n")).as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 5L, 2L -> 0L, 3L -> 4L)) // ab|cd|3|,|4 ; - ; hello|,|world|!
+    }
+
     it("fingerprint is a stable md5 hex") {
       val got = Seq((1L, "abc")).toDF("id", "t")
         .select(Text.fingerprint($"t")).as[String].head()
