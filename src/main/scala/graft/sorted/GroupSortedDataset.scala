@@ -27,11 +27,22 @@ import org.apache.spark.sql.functions.col
  * By convention (inherited from the reference) the key is the FIRST column and
  * the value the LAST column of the tuple Dataset.
  */
-class GroupSortedDataset[K: Encoder, V] private[sorted] (dataset: Dataset[(K, V)], valueSort: Option[Column] = None) extends Serializable {
+class GroupSortedDataset[K: Encoder, V] private[sorted] (
+    dataset: Dataset[(K, V)],
+    valueSort: Option[Column] = None,
+    sourceOpt: Option[Dataset[(K, V)]] = None) extends Serializable {
   import GroupSortedDataset.tupleEnc
 
   /** Escape hatch: the underlying Dataset, layout guaranteed. */
   def toDS: Dataset[(K, V)] = dataset
+
+  /** The pre-shuffle input when this instance came straight from `groupSort`.
+    * `mergeJoin` plans its own exchange+sort (`cogroupSorted`), so feeding it
+    * the already-laid-out dataset would shuffle and sort each side TWICE —
+    * Catalyst cannot see that the typed grouping key equals the repartition
+    * column through the lambda. After narrow ops this falls back to the
+    * laid-out dataset (still correct, cogroup re-establishes order itself). */
+  private[sorted] def source: Dataset[(K, V)] = sourceOpt.getOrElse(dataset)
 
   private[sorted] def valueSortOrDefault: Column = valueSort.getOrElse(col(dataset.columns.last))
 
@@ -90,8 +101,8 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (dataset: Dataset[(K, V)
    * 2-pointer merge (`GroupSorted.scala:57-74`).
    */
   def mergeJoin[W, U: Encoder](other: GroupSortedDataset[K, W])(f: (Iterator[V], Iterator[W]) => IterableOnce[U]): Dataset[(K, U)] = {
-    val left = dataset
-    val right = other.toDS
+    val left = source
+    val right = other.source
     val enc = tupleEnc[K, U]
     // value = LAST column by the key-first/value-last convention; `.as[(K, V)]`
     // keeps original column names, so don't assume "_2". Reuse the sort order
@@ -182,7 +193,7 @@ object GroupSortedDataset {
       case Some(n) if n > 0 => dataset.repartition(n, key)
       case _ => dataset.repartition(key)
     }
-    new GroupSortedDataset(repartitioned.sortWithinPartitions(key, valueSort), Some(valueSort))
+    new GroupSortedDataset(repartitioned.sortWithinPartitions(key, valueSort), Some(valueSort), Some(dataset))
   }
 
   /**
