@@ -153,8 +153,8 @@ object Dedup {
     * appear in a candidate pair (semi-join first), so the expensive set math
     * runs on a tiny fraction of the corpus. */
   def jaccardVerify(candidates: DataFrame, corpus: DataFrame, idCol: String, textCol: String, shingleN: Int, threshold: Double): DataFrame = {
-    val ids = candidates.select(col("id_a").as(idCol))
-      .union(candidates.select(col("id_b").as(idCol)))
+    val ids = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
     val needed = corpus.join(ids, Seq(idCol), "left_semi")
     val sh = shingleHashes(needed, idCol, textCol, shingleN)

@@ -186,6 +186,16 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("merge join planning") {
+    it("plans ONE exchange and ONE sort per side (no double shuffle)") {
+      val l = Seq((1L, "a"), (2L, "b")).toDS.groupSort(2)
+      val r = Seq((1L, 10L), (2L, 20L)).toDS.groupSort(2)
+      val plan = l.mergeJoinInner(r).queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length === 2, plan)
+      assert("Sort ".r.findAllIn(plan).length === 2, plan)
+    }
+  }
+
   describe("mergeUnion") {
     it("merges two group-sorted datasets preserving the layout") {
       val a = Seq(("a", 1), ("b", 5), ("a", 3)).toDS().groupSort(2)
