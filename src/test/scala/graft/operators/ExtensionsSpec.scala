@@ -106,6 +106,17 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       (2L, Array(0.0f, 1.0f, 0.0f)),
       (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
 
+    it("dot_product is callable from SQL text after registration") {
+      graft.expressions.VectorExpressions.registerSql(spark)
+      vecs.createOrReplaceTempView("ext_vecs")
+      val got = spark.sql(
+        "SELECT vec_id, dot_product(embedding, embedding) AS d FROM ext_vecs WHERE vec_id = 1")
+        .as[(Long, Double)].head()
+      // elements widen to double BEFORE multiplying (exact float->double)
+      val expect = 0.9f.toDouble * 0.9f.toDouble + 0.1f.toDouble * 0.1f.toDouble
+      assert(got._2 === expect)
+    }
+
     it("cosine matches scala math") {
       val got = vecs.filter($"vec_id" === 1)
         .select(Similarity.cosine(
