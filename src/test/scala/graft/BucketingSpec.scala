@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+/**
+ * Scale-technique guard: bucketed tables co-locate equi-joins, so repeated
+ * joins on the bucket key read pre-partitioned data with NO exchange — the
+ * pattern a 100 TB deployment uses for its hot join keys instead of paying a
+ * shuffle per query.
+ */
+class BucketingSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  it("equi-join of co-bucketed tables plans no exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val l = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
+    val r = (1L to 1000L).map(i => (i % 100, i * 2)).toDF("k", "w")
+    l.write.mode("overwrite").bucketBy(4, "k").sortBy("k").option("path", s"$dir/tl").saveAsTable("bucket_l")
+    r.write.mode("overwrite").bucketBy(4, "k").sortBy("k").option("path", s"$dir/tr").saveAsTable("bucket_r")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join path
+    try {
+      val j = spark.table("bucket_l").join(spark.table("bucket_r"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(j.count() === 10000L) // 100 keys x 10 x 10
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bucket_l")
+      spark.sql("DROP TABLE IF EXISTS bucket_r")
+    }
+  }
+}
