@@ -66,6 +66,18 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
   }
 
+  /**
+   * Streaming exact dedup: drop events whose key columns repeat within the
+   * watermark horizon — the streaming analog of `Dedup.exact`. State is
+   * bounded by the watermark (old keys age out), which is what makes exact
+   * dedup feasible on an unbounded 100 TB/day stream.
+   */
+  def dedupWithinWatermark(events: Dataset[StreamEvent], keyCols: Seq[String],
+                           watermarkDelay: String = "10 minutes"): Dataset[StreamEvent] =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Sliding-window event counts per type with a watermark for late data —
     * the streaming analog of the batch groupBy/agg layer. */
   def windowedCounts(events: Dataset[StreamEvent], window: String, slide: String, watermarkDelay: String = "10 minutes"): DataFrame =

@@ -32,6 +32,19 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
       assertGroupSorted(gs.toDS, Some(Ordering.by[(Int, String), Int](_._1)))
     }
 
+    it("supports tuple keys with nested map values (reference parity)") {
+      val ds = Seq(
+        ((1, "x"), Map("b" -> 2)),
+        ((1, "x"), Map("a" -> 1)),
+        ((2, "y"), Map("c" -> 3))).toDS()
+      val got = ds
+        .groupSort(2, sortBy = v => org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.map_keys(v), 1))
+        .mapStreamByKey(vs => Iterator.single(vs.flatMap(_.keys).mkString(",")))
+        .collect().toSet
+      assert(got === Set(((1, "x"), "a,b"), ((2, "y"), "c")))
+    }
+
     it("handles an empty dataset") {
       val gs = Seq.empty[(String, Int)].toDS().groupSort(2)
       assert(gs.toDS.collect().isEmpty)

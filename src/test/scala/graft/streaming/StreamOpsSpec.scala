@@ -54,6 +54,26 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("dedupWithinWatermark") {
+    it("drops repeated keys within the watermark horizon") {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val deduped = StreamOps.dedupWithinWatermark(input.toDS(), Seq("user_id", "event_type"), "10 minutes")
+      val q = deduped.writeStream.format("memory").queryName("dd")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          StreamEvent(1L, ts(0), "click", 1.0),
+          StreamEvent(1L, ts(1), "click", 2.0), // dup (user, type) within horizon
+          StreamEvent(1L, ts(2), "buy", 3.0),
+          StreamEvent(2L, ts(0), "click", 4.0))
+        q.processAllAvailable()
+        val got = spark.table("dd").as[StreamEvent].collect().map(e => (e.user_id, e.event_type)).toSeq
+        assert(got.sorted === Seq((1L, "buy"), (1L, "click"), (2L, "click")))
+      } finally q.stop()
+    }
+  }
+
   describe("windowedCounts (watermarked sliding windows)") {
     it("counts per window and type") {
       implicit val sc = spark.sqlContext
