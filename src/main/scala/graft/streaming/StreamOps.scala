@@ -73,10 +73,13 @@ object StreamOps {
    * dedup feasible on an unbounded 100 TB/day stream.
    */
   def dedupWithinWatermark(events: Dataset[StreamEvent], keyCols: Seq[String],
-                           watermarkDelay: String = "10 minutes"): Dataset[StreamEvent] =
+                           watermarkDelay: String = "10 minutes"): Dataset[StreamEvent] = {
+    require(keyCols.nonEmpty,
+      "dedupWithinWatermark needs at least one key column (an empty list would collapse the stream to one row)")
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
 
   /** Sliding-window event counts per type with a watermark for late data —
     * the streaming analog of the batch groupBy/agg layer. */

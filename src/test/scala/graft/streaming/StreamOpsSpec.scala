@@ -70,7 +70,26 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         q.processAllAvailable()
         val got = spark.table("dd").as[StreamEvent].collect().map(e => (e.user_id, e.event_type)).toSeq
         assert(got.sorted === Seq((1L, "buy"), (1L, "click"), (2L, "click")))
+        // cross-batch duplicate within the horizon is still dropped
+        input.addData(StreamEvent(1L, ts(3), "click", 9.0))
+        q.processAllAvailable()
+        assert(spark.table("dd").count() === 3L)
+        // watermark advances past the horizon -> state ages out, key re-admits
+        input.addData(StreamEvent(9L, ts(500), "marker", 0.0))
+        q.processAllAvailable()
+        input.addData(StreamEvent(1L, ts(501), "click", 7.0))
+        q.processAllAvailable()
+        assert(spark.table("dd").count() === 5L) // 3 + marker + re-admitted dup
       } finally q.stop()
+    }
+
+    it("rejects an empty key-column list with a clear message") {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val e = intercept[IllegalArgumentException] {
+        StreamOps.dedupWithinWatermark(input.toDS(), Seq.empty)
+      }
+      assert(e.getMessage.contains("at least one key column"))
     }
   }
 
