@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
  *   (candidates) -> exact-similarity verify.
  * The LSH band join bounds the quadratic blow-up to rows sharing a band
  * bucket, which is what makes near-dup detection feasible at 100 TB.
+ *
+ * CACHE LIFETIME: the near-dup pipelines persist their small id-only
+ * candidate/bucket frames (read by both self-join sides) and, being lazy,
+ * cannot unpersist them. One-shot jobs are unaffected; long-lived
+ * applications calling these repeatedly should `spark.catalog.clearCache()`
+ * between pipelines or manage eviction via storage-memory limits.
  */
 object Dedup {
 
@@ -49,7 +55,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
-          val words = text.trim.split("\\s+")
+          val words = if (text == null) Array.empty[String] else text.trim.split("\\s+")
           if (words.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[java.lang.Long]()
@@ -94,7 +100,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
-          val words = text.trim.split("\\s+")
+          val words = if (text == null) Array.empty[String] else text.trim.split("\\s+")
           if (words.length < shingleN) Iterator.empty
           else {
             val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -174,6 +180,10 @@ object Dedup {
     * join), and recomputing the bucket-join subtree 3x dominates runtime. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
                       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands): " +
+        "integer division would silently drop signature lanes, and rowsPerBand=0 " +
+        "hashes an empty band for every row, degenerating to an all-pairs join")
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -193,7 +203,8 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val votes = new Array[Int](64) // reused across docs in the partition
-        rows.map { case (id, text) =>
+        rows.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty else Iterator.single {
           java.util.Arrays.fill(votes, 0)
           val words = text.trim.split("\\s+")
           var i = 0
@@ -213,7 +224,7 @@ object Dedup {
           var b = 0
           while (b < 64) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
           (id, sim)
-        }
+        } }
       }
       .toDF(idCol, "simhash")
   }

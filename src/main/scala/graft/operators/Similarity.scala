@@ -33,9 +33,14 @@ object Similarity {
     * bit-identical to `aggregate(zip_with(..))` and DuckDB `list_dot_product`. */
   def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
-  /** Cosine similarity: dot / (||a|| * ||b||), all sequential double math. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity: dot / (||a|| * ||b||), all sequential double math.
+    * Zero-norm vectors (padding / failed encodes) get similarity 0.0 — the
+    * raw 0/0 would be NaN, and Spark SQL orders NaN ABOVE every number, so an
+    * unguarded NaN passes `>= threshold` filters and ranks first in top-k. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /**
    * Exact top-k neighbors for each query vector: broadcast the (small) query
@@ -93,7 +98,8 @@ object Similarity {
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>
-        rows.map { case (id, v) =>
+        rows.flatMap { case (id, v) =>
+          if (v == null) Iterator.empty else Iterator.single {
           var sig = 0L
           var p = 0
           while (p < numPlanes) {
@@ -106,7 +112,7 @@ object Similarity {
             p += 1
           }
           (id, sig)
-        }
+        } }
       }
       .toDF(idCol, "sig")
   }
@@ -173,17 +179,52 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Coarse quantizer materialized to the driver once — O(nCentroids * dim),
+    // the index-build step every IVF implementation performs. NOT a data
+    // collect: bounded by the centroid count regardless of corpus size.
+    val centArr: Array[(Long, Array[Double])] = corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(daa) * math.sqrt(dbb)
+      if (denom == 0.0) 0.0 else dab / denom
+    }
+
+    // nearest centroid per corpus vector: a NARROW typed argmax against the
+    // closure-captured centroid array — assignment shuffles nothing at all
+    // (the previous groupBy(max_by) formulation moved every corpus vector
+    // through an exchange once)
+    val assigned = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, v) =>
+          if (v == null) Iterator.empty
+          else {
+            var best = Long.MaxValue
+            var bestCos = Double.NegativeInfinity
+            var ci = 0
+            while (ci < centArr.length) {
+              val (cid, cv) = centArr(ci)
+              val cs = cosLocal(v, cv)
+              if (cs > bestCos || (cs == bestCos && cid < best)) { bestCos = cs; best = cid }
+              ci += 1
+            }
+            Iterator.single((id, best, v))
+          }
+        }
+      }
+      .toDF("neighbor_id", "cent_id", "cv")
     val cents = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // nearest centroid per corpus vector: broadcast product + partial max_by
-    val assigned = c.join(cents)
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(
-        struct(col("cent_id"), col("cv")),
-        struct(cosine(col("cv"), col("cent_v")).as("cos"), (-col("cent_id")).as("tb"))).as("best"))
-      .select(col("neighbor_id"), col("best.cent_id").as("cent_id"), col("best.cv").as("cv"))
+      spark.createDataset(centArr.toSeq).toDF("cent_id", "cent_v"))
     // nProbe nearest centroids per query (query set is small by contract)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))

@@ -26,11 +26,19 @@ import org.apache.spark.sql.functions.col
  *
  * By convention (inherited from the reference) the key is the FIRST column and
  * the value the LAST column of the tuple Dataset.
+ *
+ * KEY TYPE CONSTRAINT: key-run detection compares keys with JVM `==`, so key
+ * types must have value-based equality consistent with their Catalyst sort
+ * order — primitives, Strings, case classes, tuples. `Array[_]` keys
+ * (reference equality) and `Double.NaN` keys (NaN != NaN) would silently
+ * split one key's run into many; wrap such keys (e.g. `Seq` instead of
+ * `Array`) before grouping. The reference has the same constraint.
  */
 class GroupSortedDataset[K: Encoder, V] private[sorted] (
     dataset: Dataset[(K, V)],
     valueSort: Option[Column] = None,
-    sourceOpt: Option[Dataset[(K, V)]] = None) extends Serializable {
+    sourceOpt: Option[Dataset[(K, V)]] = None,
+    private[sorted] val explicitPartitions: Option[Int] = None) extends Serializable {
   import GroupSortedDataset.tupleEnc
 
   /** Escape hatch: the underlying Dataset, layout guaranteed. */
@@ -89,9 +97,10 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
   def mapKeyValuesToValues[W: Encoder](f: ((K, V)) => W): GroupSortedDataset[K, W] =
     new GroupSortedDataset(dataset.map(kv => (kv._1, f(kv)))(tupleEnc[K, W]))
 
-  /** Row filter; narrow, preserves BOTH grouping and per-key value order. */
+  /** Row filter; narrow, preserves BOTH grouping and per-key value order
+    * (the sort metadata is carried so later mergeJoins keep the order too). */
   def filter(f: ((K, V)) => Boolean): GroupSortedDataset[K, V] =
-    new GroupSortedDataset(dataset.filter(f))
+    new GroupSortedDataset(dataset.filter(f), valueSort, None, explicitPartitions)
 
   /**
    * Generalized sort-merge cogroup: for every key on either side, `f` sees both
@@ -164,12 +173,28 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
     val left = dataset
     val right = other.toDS
     implicit val ordKV: Ordering[(K, V)] = Ordering.Tuple2(ordK, ordV)
-    if (left.rdd.getNumPartitions == right.rdd.getNumPartitions) {
+    // The narrow zip is only sound when both sides PROVABLY share the same
+    // key->partition mapping: same explicit partition count on the same key
+    // hash. Equal runtime counts alone are not proof — AQE can coalesce the
+    // two sides' implicit repartitions differently, and zipping mismatched
+    // partitionings would silently split a key across merged partitions.
+    val samePartitioning = (explicitPartitions, other.explicitPartitions) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => false
+    }
+    if (samePartitioning && left.rdd.getNumPartitions == right.rdd.getNumPartitions) {
       val spark = left.sparkSession
       val merged = left.rdd.zipPartitions(right.rdd, preservesPartitioning = true)(iterators.mergeUnion(_, _))
-      new GroupSortedDataset(spark.createDataset(merged)(dataset.encoder))
+      new GroupSortedDataset(spark.createDataset(merged)(dataset.encoder), valueSort, None, explicitPartitions)
     } else {
-      GroupSortedDataset(left.union(right), None, reverse = false, identity)
+      // shuffle fallback: re-establish the layout PRESERVING this side's
+      // established value sort (both sides must share a compatible sort for
+      // mergeUnion to be meaningful at all)
+      val u = left.union(right)
+      val key = col(u.columns.head)
+      val sort = valueSortOrDefault
+      new GroupSortedDataset(
+        u.repartition(key).sortWithinPartitions(key, sort), Some(sort), None)
     }
   }
 }

@@ -57,15 +57,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (isFloat(left)) s"(double) $a.getFloat(graftI)" else s"$a.getDouble(graftI)"
-      val getB = if (isFloat(right)) s"(double) $b.getFloat(graftI)" else s"$b.getDouble(graftI)"
+      // fresh names per instance: several DotProducts can share one generated
+      // method scope (e.g. cosine() = three in one projection) and fixed local
+      // names would collide -> Janino failure -> silent interpreted fallback
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftAcc = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  graftAcc += $getA * $getB;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getA * $getB;
          |}
-         |${ev.value} = graftAcc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
