@@ -388,7 +388,17 @@ object SparkEntry {
     // BPE-style pre-tokenization counting (alpha/digit/punct runs)
     "q39_bpe_tokens" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        .select(col("doc_id"), functions.Text.bpeTokenCount(col("text")).as("n_bpe")))
+        .select(col("doc_id"), functions.Text.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    // batch time-window aggregation: events per (hour bucket, type).
+    // `div` keeps the bucket math in exact long arithmetic — a double
+    // division would lose precision at nanosecond epoch magnitudes (~1.7e18
+    // exceeds double's 53-bit mantissa)
+    "q40_window_counts" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -552,7 +562,11 @@ object SparkEntry {
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0",
     "q39_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q40_window_counts" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin
     // q37 (HLL impl-specific), q38 (IVF probing recall): rows-only checks.
   )
 }
