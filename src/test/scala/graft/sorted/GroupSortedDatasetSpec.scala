@@ -219,6 +219,18 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("mergeUnion shuffle fallback") {
+    it("preserves the established (descending) value order when partition counts differ") {
+      val a = Seq(("k", 1), ("k", 3)).toDS().groupSort(2, reverse = true)
+      val b = Seq(("k", 2), ("m", 9)).toDS().groupSort(3, reverse = true)
+      val merged = a.mergeUnion(b)(implicitly[Ordering[String]], Ordering.Int.reverse)
+      assertMultiset(merged.toDS, Seq(("k", 1), ("k", 2), ("k", 3), ("m", 9)))
+      // per-key DESC order must survive the fallback re-layout
+      val vs = merged.mapStreamByKey(it => Iterator.single(it.mkString(","))).collect().toMap
+      assert(vs("k") === "3,2,1")
+    }
+  }
+
   describe("groupSortCombine / groupSortReduce") {
     it("combiner aggregation with map-side combine semantics") {
       val got = fiveRows.toDS()
