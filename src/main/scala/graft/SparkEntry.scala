@@ -398,7 +398,16 @@ object SparkEntry {
       tbl(s, dir, "events")
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("sum_value_cents")))
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))),
+
+    // multimodal frame-sampling plumbing: 1-to-N bounded explode per blob
+    // (stub decode; frame count/offsets derive from byte length -> oracle-able)
+    "q41_media_frames" -> ((s, dir) => {
+      val blobs = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      multimodal.Media.sampleFrames(blobs, "doc_id", "blob", stride = 256, maxFrames = 8)
+        .select(col("doc_id"), col("frame_idx"), col("offset"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -566,7 +575,12 @@ object SparkEntry {
     "q40_window_counts" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q41_media_frames" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 256 AS BIGINT) AS offset
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) d,
+        |     (SELECT unnest(range(0, 8)) AS f) frames
+        |WHERE d.len > 0 AND f < least(8, (d.len + 255) // 256)""".stripMargin
     // q37 (HLL impl-specific), q38 (IVF probing recall): rows-only checks.
   )
 }

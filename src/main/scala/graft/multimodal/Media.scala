@@ -67,4 +67,65 @@ object Media {
         }
       }
   }
+
+  /**
+   * Resize plumbing: (id, blob) -> (id, kind, resized blob) at a target
+   * `w`x`h`. The pixel transform is a STUB ??? (real impl: decode, scale,
+   * re-encode via a native library) — deterministically faked by cycling the
+   * source bytes into a w*h-byte output so downstream schema, sizes, and
+   * partition-batch shape are exactly what a real resize would produce.
+   * Null blobs pass through as null (a real decoder would skip them too).
+   */
+  def resize(df: DataFrame, idCol: String, binCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          if (bytes == null) (id, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]])
+          else {
+            val out = new Array[Byte](w * h)
+            if (bytes.length > 0) {
+              var i = 0
+              while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+            }
+            (id, sniffKind(bytes), out)
+          }
+        }
+      }
+      .toDF(idCol, "kind", "resized")
+  }
+
+  /**
+   * Frame-sampling plumbing for video-ish blobs: emit up to `maxFrames`
+   * rows per blob, one per `stride`-byte window — the 1-to-N explode shape
+   * (and bounded output) of real video frame extraction, with the decode
+   * STUBBED as a window checksum. Output: (id, frame_idx, offset, checksum).
+   */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   stride: Int = 256, maxFrames: Int = 16): DataFrame = {
+    require(stride > 0 && maxFrames > 0, "stride and maxFrames must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.length == 0) Iterator.empty
+          else {
+            val nFrames = math.min(maxFrames, (bytes.length + stride - 1) / stride)
+            (0 until nFrames).iterator.map { f =>
+              val off = f * stride
+              val end = math.min(off + stride, bytes.length)
+              var acc = 0L
+              var i = off
+              while (i < end) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
+              (id, f.toLong, off.toLong, acc)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "offset", "checksum")
+  }
 }

@@ -188,6 +188,29 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
   }
 
   describe("Media") {
+    it("resize emits exactly w*h bytes per blob, preserving kind") {
+      val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 4, 5)
+      val df = Seq((1L, jpg), (2L, Array.empty[Byte])).toDF("id", "blob")
+      val got = Media.resize(df, "id", "blob", 8, 4)
+        .as[(Long, String, Array[Byte])].collect().map(r => r._1 -> r).toMap
+      assert(got(1L)._2 === "jpeg")
+      assert(got(1L)._3.length === 32)
+      assert(got(1L)._3(0) === 0xff.toByte) // cycled from source
+      assert(got(2L)._3.length === 32)      // empty source -> zero-filled
+    }
+
+    it("sampleFrames emits one bounded row per stride window") {
+      val blob = Array.tabulate[Byte](600)(i => (i % 127).toByte)
+      val df = Seq((1L, blob), (2L, Array.empty[Byte])).toDF("id", "blob")
+      val got = Media.sampleFrames(df, "id", "blob", stride = 256, maxFrames = 16)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.forall(_._1 == 1L)) // empty blob emits nothing
+      assert(got.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L)) // ceil(600/256) = 3 frames
+      assert(got.map(_._3).sorted.toSeq === Seq(0L, 256L, 512L))
+      val capped = Media.sampleFrames(df, "id", "blob", stride = 100, maxFrames = 2).count()
+      assert(capped === 2L) // maxFrames bound respected
+    }
+
     it("extracts byte features and sniffs container kinds") {
       val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
       val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 4, 5)
