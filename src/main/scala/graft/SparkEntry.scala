@@ -407,6 +407,28 @@ object SparkEntry {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       multimodal.Media.sampleFrames(blobs, "doc_id", "blob", stride = 256, maxFrames = 8)
         .select(col("doc_id"), col("frame_idx"), col("offset"))
+    }),
+
+    // two-stream backward as-of join (trades/quotes shape): for every event,
+    // the latest order DATE of the same customer at-or-before the event time.
+    // Emitting the matched date (not key) keeps ties deterministic on both
+    // engines. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q42_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = tbl(s, dir, "events")
+        .select($"user_id", struct(expr("ts div 1000").as("ts_us"), $"event_id").as("v"))
+        .as[(Long, (Long, Long))]
+      val ord = tbl(s, dir, "orders")
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast gives
+        // the same wall-clock epoch DuckDB's epoch_us computes
+        .select($"o_custkey", struct(unix_micros($"o_orderdate".cast("timestamp")).as("d_us"), $"o_orderkey").as("v"))
+        .as[(Long, (Long, Long))]
+      operators.AsOf.asOfJoin(ev.groupSort(), ord.groupSort())(
+          tsL = (l: (Long, Long)) => l._1,
+          tsR = (r: (Long, Long)) => r._1,
+          emit = (l: (Long, Long), r: Option[(Long, Long)]) => (l._2, r.map(_._1)))
+        .map { case (k, (eid, md)) => (k, eid, md) }
+        .toDF("user_id", "event_id", "matched_date_us")
     })
   )
 
@@ -580,7 +602,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 256 AS BIGINT) AS offset
         |FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) d,
         |     (SELECT unnest(range(0, 8)) AS f) frames
-        |WHERE d.len > 0 AND f < least(8, (d.len + 255) // 256)""".stripMargin
+        |WHERE d.len > 0 AND f < least(8, (d.len + 255) // 256)""".stripMargin,
+    "q42_asof_join" ->
+      """SELECT e.user_id, e.event_id, epoch_us(o.o_orderdate) AS matched_date_us
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
     // q37 (HLL impl-specific), q38 (IVF probing recall): rows-only checks.
   )
 }

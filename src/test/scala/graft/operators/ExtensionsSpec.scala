@@ -187,6 +187,27 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("AsOf") {
+    it("asOfJoin matches the latest right row at-or-before each left row") {
+      val trades = Seq(
+        (1L, (10L, 100L)), (1L, (20L, 101L)), (1L, (30L, 102L)),
+        (2L, (5L, 200L))).toDS() // (key, (ts, id))
+      val quotes = Seq(
+        (1L, (10L, 900L)), (1L, (15L, 901L)), (1L, (25L, 902L)),
+        (3L, (1L, 999L))).toDS() // key 2 has no quotes; key 3 has no trades
+      val got = AsOf.asOfJoin(trades.groupSort(2), quotes.groupSort(2))(
+          tsL = (l: (Long, Long)) => l._1,
+          tsR = (r: (Long, Long)) => r._1,
+          emit = (l: (Long, Long), r: Option[(Long, Long)]) => (l._2, r.map(_._2)))
+        .collect().toSet
+      assert(got === Set(
+        (1L, (100L, Some(900L))), // ts 10: quote at exactly 10 matches (<=)
+        (1L, (101L, Some(901L))), // ts 20: latest quote <= 20 is 15
+        (1L, (102L, Some(902L))),
+        (2L, (200L, None))))      // no quotes for key 2
+    }
+  }
+
   describe("Media") {
     it("resize emits exactly w*h bytes per blob, preserving kind") {
       val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 4, 5)
