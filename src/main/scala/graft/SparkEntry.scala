@@ -429,6 +429,24 @@ object SparkEntry {
           emit = (l: (Long, Long), r: Option[(Long, Long)]) => (l._2, r.map(_._1)))
         .map { case (k, (eid, md)) => (k, eid, md) }
         .toDF("user_id", "event_id", "matched_date_us")
+    }),
+
+    // range join: per purchase event, how many same-user events follow within
+    // 30 minutes. Declared as a plain join with an equi-key + range predicates
+    // — Catalyst keys the join on user_id and applies the range as a join
+    // condition (the standard interval-join formulation)
+    "q43_range_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+          expr("ts div 1000").as("p_ts_us"))
+      val e = ev.select(col("user_id").as("e_user"), expr("ts div 1000").as("e_ts_us"))
+      p.join(e,
+          col("e_user") === col("p_user") &&
+          col("e_ts_us") > col("p_ts_us") &&
+          col("e_ts_us") <= col("p_ts_us") + lit(30L * 60 * 1000000L))
+        .groupBy(col("p_event"))
+        .agg(count(lit(1)).as("n_follow"))
     })
   )
 
@@ -606,7 +624,15 @@ object SparkEntry {
     "q42_asof_join" ->
       """SELECT e.user_id, e.event_id, epoch_us(o.o_orderdate) AS matched_date_us
         |FROM events e ASOF LEFT JOIN orders o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q43_range_join" ->
+      """SELECT p.event_id AS p_event, count(*) AS n_follow
+        |FROM events p JOIN events e
+        |  ON e.user_id = p.user_id
+        | AND epoch_us(e.ts) > epoch_us(p.ts)
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + CAST(30 AS BIGINT) * 60 * 1000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id""".stripMargin
     // q37 (HLL impl-specific), q38 (IVF probing recall): rows-only checks.
   )
 }
