@@ -203,8 +203,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val votes = new Array[Int](64) // reused across docs in the partition
-        rows.flatMap { case (id, text) =>
-          if (text == null) Iterator.empty else Iterator.single {
+        rows.filter(_._2 != null).map { case (id, text) =>
           java.util.Arrays.fill(votes, 0)
           val words = text.trim.split("\\s+")
           var i = 0
@@ -224,7 +223,7 @@ object Dedup {
           var b = 0
           while (b < 64) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
           (id, sim)
-        } }
+        }
       }
       .toDF(idCol, "simhash")
   }

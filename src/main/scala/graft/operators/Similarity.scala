@@ -98,8 +98,7 @@ object Similarity {
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, v) =>
-          if (v == null) Iterator.empty else Iterator.single {
+        rows.filter(_._2 != null).map { case (id, v) =>
           var sig = 0L
           var p = 0
           while (p < numPlanes) {
@@ -112,7 +111,7 @@ object Similarity {
             p += 1
           }
           (id, sig)
-        } }
+        }
       }
       .toDF(idCol, "sig")
   }
