@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,13 +19,29 @@ object Bench {
     SparkEntry.tbl(spark, sfDir, "lineitem").limit(10).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Force EVERY output column: a bare count() would let Catalyst prune
+      // the projections under test (expression-only queries would measure a
+      // parquet row count, nothing else). Hashing all columns into one sum
+      // makes each expression's evaluation observable.
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
+          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+            .agg(expr("bit_xor(h)")).collect()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failed = results.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -267,10 +267,12 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), functions.Text.langGuess(col("text")).as("lang_guess"))),
 
-    // quality scoring (length / token / stopword heuristics)
+    // quality scoring (length / token / stopword heuristics); coalesce keeps
+    // NULL-text behavior identical to DuckDB (whose concat skips NULL args
+    // while Spark's propagates it)
     "q23_quality" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      d.select(col("doc_id") +: functions.Text.qualityColumns(col("text")): _*)
+      d.select(col("doc_id") +: functions.Text.qualityColumns(coalesce(col("text"), lit(""))): _*)
     }),
 
     // document fingerprinting (exact content hash)
@@ -535,22 +537,23 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess
         |FROM c""".stripMargin,
     "q23_quality" ->
+      // coalesce(text,'') mirrors the Spark side's NULL guard
       """SELECT doc_id,
-        |  CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |  CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
-        |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
-        |       THEN CAST(len(trim(text)) AS DOUBLE) /
-        |            CAST((CASE WHEN len(trim(text)) = 0 THEN 0
-        |                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE)
+        |  CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS n_tokens,
+        |  CASE WHEN (CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END) > 0
+        |       THEN CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
+        |            CAST((CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |                       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END) AS DOUBLE)
         |       ELSE 0.0 END AS mean_token_len,
-        |  CAST((len(concat(' ', text, ' ')) - len(replace(concat(' ', text, ' '), ' the ', ''))) // 5
-        |     + (len(concat(' ', text, ' ')) - len(replace(concat(' ', text, ' '), ' a ', ''))) // 3 AS BIGINT) AS stopword_hits,
-        |  (CASE WHEN len(trim(text)) = 0 THEN 0
-        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 5 AND 100000
-        |   AND (CAST(len(trim(text)) AS DOUBLE) /
-        |        CAST(greatest(CASE WHEN len(trim(text)) = 0 THEN 0
-        |                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE))
+        |  CAST((len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' the ', ''))) // 5
+        |     + (len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' a ', ''))) // 3 AS BIGINT) AS stopword_hits,
+        |  (CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END) BETWEEN 5 AND 100000
+        |   AND (CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
+        |        CAST(greatest(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+        |                           ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END, 1) AS DOUBLE))
         |       BETWEEN 2.0 AND 20.0 AS quality_ok
         |FROM documents""".stripMargin,
     "q24_fingerprint" ->

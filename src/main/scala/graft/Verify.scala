@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous output FIRST: a query that fails before writing
+      // must not leave a stale result for the comparer to greenlight
+      deleteRec(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

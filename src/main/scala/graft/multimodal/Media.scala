@@ -61,7 +61,7 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder context would be allocated here (STUB: none)
-        rows.map { case (id, bytes) =>
+        rows.filter(_._2 != null).map { case (id, bytes) =>
           val (w, h) = fakeDecode(bytes)
           MediaFeatures(id, bytes.length.toLong, sniffKind(bytes), w, h, sampleChecksum(bytes))
         }
@@ -77,6 +77,8 @@ object Media {
    * Null blobs pass through as null (a real decoder would skip them too).
    */
   def resize(df: DataFrame, idCol: String, binCol: String, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      s"resize dimensions must be positive and w*h must fit an Int (got ${w}x$h)")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))

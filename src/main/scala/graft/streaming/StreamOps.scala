@@ -42,8 +42,17 @@ object StreamOps {
       var cur = state.getOption
       times.foreach { t =>
         cur match {
-          case Some(s) if t - s.lastSeen <= gapMs =>
-            cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t), nEvents = s.nEvents + 1))
+          case Some(s) if t >= s.lastSeen && t - s.lastSeen <= gapMs =>
+            cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+          case Some(s) if t < s.lastSeen =>
+            // late event (prior batch's watermark admitted it): absorb only if
+            // within gap of the open session's span, extending its start
+            // backward — a naive `t - lastSeen <= gap` is negative and would
+            // swallow ANY late event into the wrong session
+            if (t >= s.sessionStart - gapMs)
+              cur = Some(s.copy(sessionStart = math.min(s.sessionStart, t), nEvents = s.nEvents + 1))
+            else
+              closed ::= SessionClosed(userId, t, t, 1) // too old to join anything
           case Some(s) =>
             closed ::= SessionClosed(userId, s.sessionStart, s.lastSeen, s.nEvents)
             cur = Some(SessionState(t, t, 1))

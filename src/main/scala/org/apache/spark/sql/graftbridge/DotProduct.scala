@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
  * to DuckDB's `list_dot_product(CAST(v AS DOUBLE[]), ...)`, which is what the
  * oracle hash-compare relies on. Accumulation order is ascending index.
  *
+ * Malformed-data semantics (documented divergence from DuckDB, which ERRORS
+ * on mismatched list lengths): mismatched arrays truncate to the shorter
+ * length, and null ELEMENTS read as 0.0. Callers feeding heterogeneous or
+ * null-holed vectors get silently degraded similarities — validate upstream
+ * if that matters (the graft pipelines produce fixed-dim non-null vectors).
+ *
  * (Lives in an `org.apache.spark.sql` subpackage because `AbstractDataType`
  * / `ExpectsInputTypes` are private[sql]; same access pattern as Spark
  * connector libraries.)

@@ -34,6 +34,26 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
 
+    it("does not absorb a late event into a session it is not near") {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      // generous watermark delay keeps late events alive across batches
+      val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, watermarkDelay = "2 hours")
+      val q = sessions.writeStream.format("memory").queryName("sess3")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(StreamEvent(4L, ts(60), "click", 1.0)) // open session at minute 60
+        q.processAllAvailable()
+        // late event at minute 40: 20 min before the open session's start,
+        // far beyond the 5-min gap -> must NOT merge (pre-fix it merged
+        // because t - lastSeen was negative and so <= gapMs)
+        input.addData(StreamEvent(4L, ts(40), "click", 1.0))
+        q.processAllAvailable()
+        val closed = spark.table("sess3").as[SessionClosed].collect().toSeq
+        assert(closed === Seq(SessionClosed(4L, ts(40).getTime, ts(40).getTime, 1L)))
+      } finally q.stop()
+    }
+
     it("closes open sessions via event-time timeout when the watermark advances") {
       implicit val sc = spark.sqlContext
       val input = MemoryStream[StreamEvent]
