@@ -449,7 +449,17 @@ object SparkEntry {
           col("e_ts_us") <= col("p_ts_us") + lit(30L * 60 * 1000000L))
         .groupBy(col("p_event"))
         .agg(count(lit(1)).as("n_follow"))
-    })
+    }),
+
+    // pivot: per-user event-type counts as columns (fixed value list keeps
+    // the output schema deterministic; Catalyst rewrites to one aggregation
+    // with conditional counts - no extra pass per pivot column)
+    "q44_pivot" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -635,7 +645,15 @@ object SparkEntry {
         | AND epoch_us(e.ts) > epoch_us(p.ts)
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + CAST(30 AS BIGINT) * 60 * 1000000
         |WHERE p.event_type = 'purchase'
-        |GROUP BY p.event_id""".stripMargin
+        |GROUP BY p.event_id""".stripMargin,
+    "q44_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin
     // q37 (HLL impl-specific), q38 (IVF probing recall): rows-only checks.
   )
 }
