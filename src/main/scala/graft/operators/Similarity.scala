@@ -33,14 +33,14 @@ object Similarity {
     * bit-identical to `aggregate(zip_with(..))` and DuckDB `list_dot_product`. */
   def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
-  /** Cosine similarity: dot / (||a|| * ||b||), all sequential double math.
-    * Zero-norm vectors (padding / failed encodes) get similarity 0.0 — the
-    * raw 0/0 would be NaN, and Spark SQL orders NaN ABOVE every number, so an
-    * unguarded NaN passes `>= threshold` filters and ranks first in top-k. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine similarity: dot / (||a|| * ||b||), all sequential double math in
+    * ONE codegen'd array pass (the composed dot/dot/dot formulation traverses
+    * each array three times). Zero-norm vectors (padding / failed encodes)
+    * get similarity 0.0 — the raw 0/0 would be NaN, and Spark SQL orders NaN
+    * ABOVE every number, so an unguarded NaN passes `>= threshold` filters
+    * and ranks first in top-k. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineSim(a, b)
 
   /**
    * Exact top-k neighbors for each query vector: broadcast the (small) query

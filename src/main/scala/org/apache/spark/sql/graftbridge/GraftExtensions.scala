@@ -27,6 +27,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"dot_product requires exactly 2 arguments, got ${args.length}")
         DotProduct(args(0), args(1))
+      }),
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"cosine_sim requires exactly 2 arguments, got ${args.length}")
+        CosineSim(args(0), args(1))
       }))
 
   /** Register all graft functions into an existing session's registry. */
