@@ -199,6 +199,17 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("filter keeps the established value order through a mergeJoin") {
+    it("custom merge f sees DESCENDING values after groupSort(reverse).filter") {
+      val l = Seq(("k", 1), ("k", 3), ("k", 2), ("k", 9)).toDS().groupSort(2, reverse = true)
+        .filter(_._2 != 9) // narrow op between layout and join
+      val r = Seq(("k", 0L)).toDS().groupSort(2)
+      val got = l.mergeJoin(r) { (vs, _) => Iterator.single(vs.mkString(",")) }
+        .collect().toMap
+      assert(got("k") === "3,2,1") // pre-fix: valueSort dropped -> "1,2,3"
+    }
+  }
+
   describe("merge join planning") {
     it("plans ONE exchange and ONE sort per side (no double shuffle)") {
       val l = Seq((1L, "a"), (2L, "b")).toDS.groupSort(2)
