@@ -27,6 +27,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a mid-write failure can leave fresh-but-partial part files; remove
+        // them so the comparer sees a missing result, not a truncated one
+        deleteRec(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -29,9 +29,23 @@ object AsOf {
     left.mergeJoin(right) { (ls, rs) =>
       val rb = rs.buffered
       var last: Option[R] = None
+      var prevL = Long.MinValue
+      var prevR = Long.MinValue
       ls.map { l =>
         val t = tsL(l)
-        while (rb.hasNext && tsR(rb.head) <= t) last = Some(rb.next())
+        // the single-pass merge is only correct when both sides arrive in
+        // ascending extracted-timestamp order (i.e. the groupSort value sort
+        // matches tsL/tsR); turn a violated precondition into a failure
+        // instead of silently wrong matches
+        assert(t >= prevL, s"asOfJoin: left values not ascending by timestamp ($prevL then $t)")
+        prevL = t
+        while (rb.hasNext && tsR(rb.head) <= t) {
+          val r = rb.next()
+          val tr = tsR(r)
+          assert(tr >= prevR, s"asOfJoin: right values not ascending by timestamp ($prevR then $tr)")
+          prevR = tr
+          last = Some(r)
+        }
         emit(l, last)
       }
     }

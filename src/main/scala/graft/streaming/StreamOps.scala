@@ -9,8 +9,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event on the stream (event-time in `ts`). */
 case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
-/** Open-session state tracked per user between micro-batches. */
+/** One not-yet-final session tracked per user between micro-batches. */
 case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+
+/** All of a user's not-yet-final sessions (finalized only once the watermark
+  * passes lastSeen + gap, so admissible late events can still join them). */
+case class SessionsState(sessions: List[SessionState])
 
 /** Emitted when a session closes (gap exceeded / timeout fired). */
 case class SessionClosed(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
@@ -24,49 +28,48 @@ object StreamOps {
 
   /**
    * Event-time sessionization with a gap timeout, as a stateful streaming op.
-   * Emits one row per CLOSED session; open sessions close via event-time
-   * timeout once the watermark passes lastSeen + gap.
+   *
+   * Sessions are INTERVALS kept in state until the watermark passes their
+   * `lastSeen + gap` — only then is a `SessionClosed` emitted. This is what
+   * makes late data correct: an admissible late event (above the watermark)
+   * always finds its session still in state and merges into it, possibly
+   * BRIDGING two sessions the gap had split (they collapse into one). An
+   * emit-on-gap design would stamp out sessions a later-admissible event
+   * should have joined. State is bounded: the watermark finalizes and drops
+   * sessions, so at most the sessions of the last `watermarkDelay + gap` of
+   * event time live per key.
    */
   def sessionize(events: Dataset[StreamEvent], gapMs: Long, watermarkDelay: String = "10 minutes"): Dataset[SessionClosed] = {
     val spark = events.sparkSession
     import spark.implicits._
 
-    def updateState(userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]): Iterator[SessionClosed] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        return Iterator.single(SessionClosed(userId, s.sessionStart, s.lastSeen, s.nEvents))
-      }
-      val times = batch.map(_.ts.getTime).toArray.sorted
-      var closed = List.empty[SessionClosed]
-      var cur = state.getOption
-      times.foreach { t =>
-        cur match {
-          case Some(s) if t >= s.lastSeen && t - s.lastSeen <= gapMs =>
-            cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
-          case Some(s) if t < s.lastSeen =>
-            // late event (prior batch's watermark admitted it): absorb only if
-            // within gap of the open session's span, extending its start
-            // backward — a naive `t - lastSeen <= gap` is negative and would
-            // swallow ANY late event into the wrong session
-            if (t >= s.sessionStart - gapMs)
-              cur = Some(s.copy(sessionStart = math.min(s.sessionStart, t), nEvents = s.nEvents + 1))
-            else
-              closed ::= SessionClosed(userId, t, t, 1) // too old to join anything
-          case Some(s) =>
-            closed ::= SessionClosed(userId, s.sessionStart, s.lastSeen, s.nEvents)
-            cur = Some(SessionState(t, t, 1))
-          case None =>
-            cur = Some(SessionState(t, t, 1))
+    def updateState(userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionsState]): Iterator[SessionClosed] = {
+      var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+      if (!state.hasTimedOut) {
+        batch.map(_.ts.getTime).toArray.sorted.foreach { t =>
+          // a session absorbs t when t lies within gap of its span; one event
+          // can bridge several sessions -> merge them all
+          val (near, far) = sessions.partition(s =>
+            t >= s.sessionStart - gapMs && t <= s.lastSeen + gapMs)
+          val merged = (SessionState(t, t, 1) :: near).reduce((a, b) =>
+            SessionState(
+              math.min(a.sessionStart, b.sessionStart),
+              math.max(a.lastSeen, b.lastSeen),
+              a.nEvents + b.nEvents))
+          sessions = merged :: far
         }
       }
-      cur match {
-        case Some(s) =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.lastSeen + gapMs)
-        case None => // no events and no timeout: nothing to do
+      // finalize every session the watermark has passed; keep the rest
+      val wm = state.getCurrentWatermarkMs()
+      val (done, open) = sessions.partition(_.lastSeen + gapMs <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionsState(open))
+        // earliest possible finalization instant (> wm by the partition above)
+        state.setTimeoutTimestamp(open.map(_.lastSeen).min + gapMs)
       }
-      closed.reverseIterator
+      done.sortBy(_.sessionStart).iterator
+        .map(s => SessionClosed(userId, s.sessionStart, s.lastSeen, s.nEvents))
     }
 
     events

@@ -34,7 +34,9 @@ case class CosineSim(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
     while (i < n) {
@@ -43,6 +45,11 @@ case class CosineSim(left: Expression, right: Expression)
       dab += xi * yi; daa += xi * xi; dbb += yi * yi
       i += 1
     }
+    // norms run over each FULL array (the composed dot(a,a)/dot(b,b) form
+    // does), so mismatched lengths stay bit-identical to composition
+    while (i < nx) { val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i); daa += xi * xi; i += 1 }
+    i = n
+    while (i < ny) { val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i); dbb += yi * yi; i += 1 }
     val denom = math.sqrt(daa) * math.sqrt(dbb)
     if (denom == 0.0) 0.0 else dab / denom
   }
@@ -57,16 +64,23 @@ case class CosineSim(left: Expression, right: Expression)
       val xi = ctx.freshName("cosXi")
       val yi = ctx.freshName("cosYi")
       val denom = ctx.freshName("cosDenom")
+      val nx = ctx.freshName("cosNx")
+      val ny = ctx.freshName("cosNy")
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
          |double $dab = 0.0; double $daa = 0.0; double $dbb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |int $i = 0;
+         |for (; $i < $n; $i++) {
          |  double $xi = $getA;
          |  double $yi = $getB;
          |  $dab += $xi * $yi; $daa += $xi * $xi; $dbb += $yi * $yi;
          |}
+         |for (; $i < $nx; $i++) { double $xi = $getA; $daa += $xi * $xi; }
+         |for ($i = $n; $i < $ny; $i++) { double $yi = $getB; $dbb += $yi * $yi; }
          |double $denom = java.lang.Math.sqrt($daa) * java.lang.Math.sqrt($dbb);
          |${ev.value} = ($denom == 0.0) ? 0.0 : $dab / $denom;
        """.stripMargin

@@ -15,7 +15,7 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
   private def ts(minute: Int): Timestamp = new Timestamp((minute + 60) * 60000L)
 
   describe("sessionize (flatMapGroupsWithState)") {
-    it("closes a session when the gap is exceeded within a batch") {
+    it("finalizes a gap-split session once the watermark passes its end + gap") {
       implicit val sc = spark.sqlContext
       val input = MemoryStream[StreamEvent]
       val sessions = StreamOps.sessionize(input.toDS(), gapMs = 10 * 60000L, watermarkDelay = "0 seconds")
@@ -29,28 +29,41 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
           StreamEvent(1L, ts(30), "click", 1.0),
           StreamEvent(1L, ts(31), "click", 1.0))
         q.processAllAvailable()
+        // sessions are held until the watermark passes (late data could still
+        // join them); a later event advances the watermark to minute 120 and
+        // the engine's no-data batch then fires the event-time timeouts,
+        // finalizing BOTH of user 1's sessions
+        input.addData(StreamEvent(99L, ts(120), "click", 1.0))
+        q.processAllAvailable()
         val closed = spark.table("sess1").as[SessionClosed].collect()
-        assert(closed.toSeq === Seq(SessionClosed(1L, ts(0).getTime, ts(5).getTime, 2L)))
+          .filter(_.user_id == 1L).sortBy(_.start_ms)
+        assert(closed.toSeq === Seq(
+          SessionClosed(1L, ts(0).getTime, ts(5).getTime, 2L),
+          SessionClosed(1L, ts(30).getTime, ts(31).getTime, 2L)))
       } finally q.stop()
     }
 
-    it("does not absorb a late event into a session it is not near") {
+    it("an admissible late event BRIDGES two sessions the gap had split") {
       implicit val sc = spark.sqlContext
       val input = MemoryStream[StreamEvent]
-      // generous watermark delay keeps late events alive across batches
-      val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, watermarkDelay = "2 hours")
+      val sessions = StreamOps.sessionize(input.toDS(), gapMs = 10 * 60000L, watermarkDelay = "2 hours")
       val q = sessions.writeStream.format("memory").queryName("sess3")
         .outputMode(OutputMode.Append()).start()
       try {
-        input.addData(StreamEvent(4L, ts(60), "click", 1.0)) // open session at minute 60
+        // minute 0 and minute 16: gap 16 > 10 -> two provisional sessions
+        input.addData(StreamEvent(4L, ts(0), "click", 1.0), StreamEvent(4L, ts(16), "click", 1.0))
         q.processAllAvailable()
-        // late event at minute 40: 20 min before the open session's start,
-        // far beyond the 5-min gap -> must NOT merge (pre-fix it merged
-        // because t - lastSeen was negative and so <= gapMs)
-        input.addData(StreamEvent(4L, ts(40), "click", 1.0))
+        // late event at minute 8 is within gap of BOTH -> they collapse to one
+        input.addData(StreamEvent(4L, ts(8), "click", 1.0))
         q.processAllAvailable()
-        val closed = spark.table("sess3").as[SessionClosed].collect().toSeq
-        assert(closed === Seq(SessionClosed(4L, ts(40).getTime, ts(40).getTime, 1L)))
+        // advance the watermark far enough to finalize everything (2 batches:
+        // the watermark used by a batch comes from the previous one)
+        input.addData(StreamEvent(98L, ts(600), "x", 1.0))
+        q.processAllAvailable()
+        input.addData(StreamEvent(98L, ts(601), "x", 1.0))
+        q.processAllAvailable()
+        val closed = spark.table("sess3").as[SessionClosed].collect().filter(_.user_id == 4L)
+        assert(closed.toSeq === Seq(SessionClosed(4L, ts(0).getTime, ts(16).getTime, 3L)))
       } finally q.stop()
     }
 
