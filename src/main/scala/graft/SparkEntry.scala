@@ -379,12 +379,12 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
-    // IVF approximate nearest neighbors (coarse-quantizer inverted lists);
-    // probing-dependent recall -> rows-only check
+    // IVF approximate nearest neighbors (k-means-trained coarse quantizer,
+    // inverted lists); probing-dependent recall -> rows-only check
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       operators.Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4)
+        k = 5, nCentroids = 16, nProbe = 4, trainIters = 1)
     }),
 
     // BPE-style pre-tokenization counting (alpha/digit/punct runs)

@@ -162,6 +162,69 @@ object Similarity {
   }
 
   /**
+   * Deterministic Lloyd's k-means refinement of an IVF coarse quantizer:
+   * seed centroids are the lowest-id vectors, then `iters` rounds of
+   * cosine-assignment + mean update. Each round is ONE distributed pass —
+   * per-partition accumulators reduce to O(k * dim) driver state, no shuffle
+   * of corpus vectors. Empty clusters keep their previous centroid, so the
+   * result is always k centroids and fully deterministic.
+   */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).as[Array[Double]].collect()
+    val vecs = corpus.select(col(vecCol).cast("array<double>")).as[Array[Double]]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val (sums, counts) = vecs
+        .mapPartitions { rows =>
+          val cs = bc.value
+          val dim = if (cs.nonEmpty) cs(0).length else 0
+          val acc = Array.fill(cs.length)(new Array[Double](dim))
+          val cnt = new Array[Long](cs.length)
+          rows.foreach { v =>
+            if (v != null && v.nonEmpty) {
+              var best = 0; var bestCos = Double.NegativeInfinity
+              var ci = 0
+              while (ci < cs.length) {
+                var dab = 0.0; var daa = 0.0; var dbb = 0.0
+                val n = math.min(v.length, cs(ci).length)
+                var i = 0
+                while (i < n) { dab += v(i) * cs(ci)(i); daa += v(i) * v(i); dbb += cs(ci)(i) * cs(ci)(i); i += 1 }
+                val denom = math.sqrt(daa) * math.sqrt(dbb)
+                val c = if (denom == 0.0) 0.0 else dab / denom
+                if (c > bestCos) { bestCos = c; best = ci }
+                ci += 1
+              }
+              val a = acc(best)
+              var i = 0
+              while (i < math.min(v.length, a.length)) { a(i) += v(i); i += 1 }
+              cnt(best) += 1
+            }
+          }
+          Iterator.single((acc, cnt))
+        }
+        .reduce { (x, y) =>
+          val (ax, cx) = x; val (ay, cy) = y
+          var ci = 0
+          while (ci < ax.length) {
+            var i = 0
+            while (i < ax(ci).length) { ax(ci)(i) += ay(ci)(i); i += 1 }
+            cx(ci) += cy(ci)
+            ci += 1
+          }
+          (ax, cx)
+        }
+      cents = Array.tabulate(cents.length) { ci =>
+        if (counts(ci) == 0) cents(ci) // empty cluster: keep previous centroid
+        else sums(ci).map(_ / counts(ci))
+      }
+    }
+    cents
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k: the classic two-level ANN index,
    * Spark-first. A coarse quantizer of `nCentroids` deterministic seed
    * vectors (lowest ids) partitions the corpus into inverted lists — one
@@ -176,17 +239,23 @@ object Similarity {
    * (query_id, neighbor_id, rank) with rank 1..k by (cos desc, id).
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     // Coarse quantizer materialized to the driver once — O(nCentroids * dim),
     // the index-build step every IVF implementation performs. NOT a data
     // collect: bounded by the centroid count regardless of corpus size.
-    val centArr: Array[(Long, Array[Double])] = corpus
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect()
+    // `trainIters > 0` refines the seed vectors with that many k-means rounds
+    // (one distributed corpus pass each).
+    val centArr: Array[(Long, Array[Double])] =
+      if (trainIters > 0)
+        trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      else corpus
+        .orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])].collect()
 
     def cosLocal(a: Array[Double], b: Array[Double]): Double = {
       val n = math.min(a.length, b.length)

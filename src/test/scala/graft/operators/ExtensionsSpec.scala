@@ -149,6 +149,18 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(partial.forall(_._1 == 0L))
     }
 
+    it("k-means-trained IVF still equals brute force under exhaustive probing; training is deterministic") {
+      val exact = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val trained = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",
+        k = 2, nCentroids = 2, nProbe = 2, trainIters = 3).as[(Long, Long, Long)].collect().toSet
+      assert(trained === exact) // exhaustive probing is exact regardless of quantizer quality
+      val c1 = Similarity.trainCentroids(vecs, "vec_id", "embedding", 2, 3).map(_.toSeq).toSeq
+      val c2 = Similarity.trainCentroids(vecs, "vec_id", "embedding", 2, 3).map(_.toSeq).toSeq
+      assert(c1 === c2)
+      assert(c1.length === 2 && c1.forall(_.length === 3))
+    }
+
     it("lshNearNeighbors is a subset of exact pairs and finds the closest") {
       val exact = Similarity.exactSimilarPairs(vecs, "vec_id", "embedding", 0.9)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
