@@ -19,6 +19,9 @@ import graft.sorted.syntax._
  *    nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong`), DuckDB truncates
  *    to microseconds — ordering agrees (µs values are unique in the data);
  *    queries never output raw ts, only `ts div 1000` (µs) when needed;
+ *    DATA INVARIANT (verified at sf0.01/sf0.1): every ts is an exact µs
+ *    multiple (zero ns residue), so gap math on raw nanos (q31) and as-of
+ *    boundaries (q42) classify identically in both engines;
  *  - every per-key value order carries the unique tie-breaker `event_id`.
  */
 object SparkEntry {
@@ -372,19 +375,34 @@ object SparkEntry {
           .filter(col("o_totalprice") > 150000.0)
           .select(col("o_custkey")))),
 
-    // HLL sketch distinct count (approximate; register-max merge is
-    // deterministic, but impl differs from DuckDB's -> rows-only check)
-    "q37_approx_distinct" -> ((s, dir) =>
-      tbl(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+    // HLL sketch distinct count, quantitatively gated: the estimate itself is
+    // implementation-specific (not DuckDB-reproducible), so the query emits
+    // the sketch's ACCURACY CLAIM — |approx/exact - 1| <= 5% per group at
+    // rsd=0.02 — and the oracle asserts it holds for every event_type. A
+    // regression in the sketch (or its merge) flips a boolean and fails the
+    // hash gate.
+    "q37_approx_distinct" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val approx = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      approx.join(exact, "event_type")
+        .select(col("event_type"),
+          (abs(col("approx_users").cast("double") / col("exact_users").cast("double") - 1.0)
+            <= 0.05).as("within_5pct"))
+    }),
 
-    // IVF approximate nearest neighbors (k-means-trained coarse quantizer,
-    // inverted lists); probing-dependent recall -> rows-only check
+    // IVF nearest neighbors (k-means-trained coarse quantizer, inverted
+    // lists) probed EXHAUSTIVELY (nProbe = nCentroids): every stage of the
+    // index — training, assignment, probe selection, candidate ranking —
+    // runs, and exhaustive probing must reproduce exact brute force, so the
+    // DuckDB top-k oracle hash-gates the whole pipeline. Partial-probe recall
+    // (the approximation knob) is pinned by IvfRecallSpec at >= 0.8.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       operators.Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4, trainIters = 1)
+        k = 5, nCentroids = 16, nProbe = 16, trainIters = 1)
     }),
 
     // BPE-style pre-tokenization counting (alpha/digit/punct runs)
@@ -459,7 +477,82 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
-        .na.fill(0L))
+        .na.fill(0L)),
+
+    // ---- quantitative gates for the approximate/near-dup kernels ----
+
+    // EXACT shingle-set Jaccard, fully DuckDB-oracle'd: candidates are pairs
+    // sharing >= 2 shingles (a deterministic, SQL-expressible prefilter that
+    // bounds the pair set), verified by the same `jaccardVerify` kernel the
+    // q27 minhash pipeline uses. Output is exact integers (inter, uni) — this
+    // hash-gates the verify kernel's set math end to end.
+    "q45_jaccard_exact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sh = operators.Dedup.shingleHashes(docs, "doc_id", "text", 3)
+      val cands = sh.select(col("doc_id").as("id_a"), col("h"))
+        .join(sh.select(col("doc_id").as("id_b"), col("h")), "h")
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .select(col("id_a"), col("id_b"))
+      operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text", 3, 0.1)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+    }),
+
+    // planted-duplicate recall for hyperplane-LSH ANN: exact copies of the
+    // first 100 vectors (ids shifted by 1e6) MUST all be found — an identical
+    // vector collides in every hash table with certainty and verifies at
+    // cosine 1.0, so n_found == n_planted deterministically. This pins the
+    // recall floor of the q29 pipeline with a hard hash gate (natural-corpus
+    // recall on near-threshold pairs is pinned by LshRecallSpec).
+    "q46_lsh_planted" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val first = emb.where(col("vec_id") < 100)
+      val planted = first.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+      val lsh = operators.Similarity.lshNearNeighbors(corpus, "vec_id", "embedding", 64)
+      val found = lsh
+        .where(col("id_a") < 100 && col("id_b") === col("id_a") + 1000000L)
+        .agg(count(lit(1)).as("n_found"))
+      first.agg(count(lit(1)).as("n_planted")).crossJoin(found)
+    }),
+
+    // simhash banding completeness: pigeonhole banding is EXACT w.r.t. the
+    // signature — the banded pair set must equal brute-force all-pairs
+    // Hamming <= 3 over the same signatures. An empty symmetric difference is
+    // a deterministic TRUE the oracle hash-gates.
+    "q47_simhash_complete" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sigs = operators.Dedup.simhash(docs, "doc_id", "text")
+      val banded = operators.Dedup.simhashNearDups(docs, "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"))
+      val brute = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b")), col("id_a") < col("id_b"))
+        .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+        .select(col("id_a"), col("id_b"))
+      brute.exceptAll(banded).unionByName(banded.exceptAll(brute))
+        .agg(count(lit(1)).as("n_diff"))
+        .select((col("n_diff") === 0).as("banding_complete"))
+    }),
+
+    // planted-duplicate recall for the minhash near-dup pipeline: exact
+    // copies of the first 100 shingle-bearing documents (ids shifted by 1e6)
+    // MUST all surface — identical text gives an identical signature (all
+    // bands collide) and verifies at Jaccard 1.0 >= 0.5. Deterministic
+    // n_found == n_planted, hash-gated.
+    "q48_minhash_planted" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eligible = docs.where(col("doc_id") < 100 && col("text").isNotNull &&
+        size(split(trim(col("text")), "\\s+")) >= 3)
+      val planted = eligible.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(planted)
+      val mh = operators.Dedup.minhashNearDups(corpus, "doc_id", "text")
+      val found = mh
+        .where(col("id_a") < 100 && col("id_b") === col("id_a") + 1000000L)
+        .agg(count(lit(1)).as("n_found"))
+      eligible.agg(count(lit(1)).as("n_planted")).crossJoin(found)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -586,13 +679,13 @@ object SparkEntry {
         |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
         |      >= 0.4""".stripMargin,
-    // q27/q28/q29 (minhash, simhash, LSH ANN): hash-permutation internals are
-    // not expressible in ANSI SQL -> driver records rows-only checks.
     "q30_media_meta" ->
+      // text IS NOT NULL mirrors Media.extractFeatures's documented
+      // drop-null-blob decode semantics (a NULL blob has no features)
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
         |       CAST(octet_length(encode(text)) % 48 AS BIGINT) AS height
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q31_sessionize" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM (
         |  SELECT user_id,
@@ -653,7 +746,57 @@ object SparkEntry {
         |       count(*) FILTER (event_type = 'purchase') AS purchase,
         |       count(*) FILTER (event_type = 'signup') AS signup,
         |       count(*) FILTER (event_type = 'view') AS view
-        |FROM events GROUP BY user_id""".stripMargin
-    // q37 (HLL impl-specific), q38 (IVF probing recall): rows-only checks.
+        |FROM events GROUP BY user_id""".stripMargin,
+    // q37: the HLL estimate is impl-specific, but its accuracy claim is not —
+    // the oracle asserts within-5% holds for every group.
+    "q37_approx_distinct" ->
+      "SELECT DISTINCT event_type, TRUE AS within_5pct FROM events",
+    // q38: exhaustive probing (nProbe = nCentroids) must reproduce exact
+    // brute-force top-k, so the oracle is the same exact top-5 as q25.
+    "q38_ann_ivf" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+        |           c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+    // q45: exact shingle Jaccard — DuckDB re-derives word-trigram shingle
+    // sets as strings (the Spark side hashes them; 64-bit FNV collisions are
+    // ~n^2/2^65, negligible) and recomputes inter/union for the same
+    // shared>=2 candidate prefilter.
+    "q45_jaccard_exact" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
+        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+        |  FROM d WHERE len(words) >= 3)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT id_a, id_b, inter, CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+        |FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+        |           JOIN sizes sb ON sb.doc_id = pairs.id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1""".stripMargin,
+    // q46/q48: planted exact duplicates are found with certainty (identical
+    // signatures collide in every band/table), so found == planted.
+    "q46_lsh_planted" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_found
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "q47_simhash_complete" ->
+      "SELECT TRUE AS banding_complete",
+    "q48_minhash_planted" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_found
+        |FROM documents
+        |WHERE doc_id < 100 AND text IS NOT NULL
+        |  AND len(regexp_split_to_array(trim(text), '\s+')) >= 3""".stripMargin
+    // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
+    // hash-permutation internals are not expressible in ANSI SQL -> driver
+    // records rows-only checks; their kernels are hash-gated by q45-q48 and
+    // recall-pinned by LshRecallSpec/IvfRecallSpec.
   )
 }

@@ -10,24 +10,30 @@ import org.apache.spark.sql.functions._
  * with `spark.sql.shuffle.partitions` / AQE.
  *
  * Pipeline shape (the standard MinHash-LSH dedup):
- *   shingle -> minhash signature -> band buckets -> bucket self-join
+ *   shingle -> minhash signature -> band buckets -> in-bucket pair expansion
  *   (candidates) -> exact-similarity verify.
- * The LSH band join bounds the quadratic blow-up to rows sharing a band
+ * The LSH band grouping bounds the quadratic blow-up to rows sharing a band
  * bucket, which is what makes near-dup detection feasible at 100 TB.
  *
- * CACHE LIFETIME: the near-dup pipelines persist their small id-only
- * candidate/bucket frames (read by both self-join sides) and, being lazy,
- * cannot unpersist them. One-shot jobs are unaffected; long-lived
- * applications calling these repeatedly should `spark.catalog.clearCache()`
- * between pipelines or manage eviction via storage-memory limits.
+ * DAG SHAPE: every stage is single-consumer — candidate pairs come from ONE
+ * `groupBy(band, bucket)` pass (not a self-join reading the bucketed frame
+ * twice), and the verify step streams shingle rows through two aggregations
+ * (never materializing per-document shingle arrays). The only reused frame is
+ * the tiny id-pair candidate set, persisted by [[minhashNearDups]]; the
+ * expensive corpus/signature scans run exactly once per pipeline with no
+ * cache-race window.
  */
 object Dedup {
 
   /** Exact dedup: smallest id per identical value of `on`. A single
-    * hash-aggregation with map-side partial combine; at scale this is the
-    * cheapest possible exact dedup (one shuffle on the dedup key). */
+    * hash-aggregation with map-side partial combine, grouped by a 128-bit
+    * CONTENT HASH of the dedup key — the exchange carries 16 bytes + id per
+    * row instead of the full key bytes (at 100 TB, grouping by raw `text`
+    * would move the whole corpus through the shuffle). md5 collisions merging
+    * two genuinely different keys are negligible at any realistic corpus size
+    * (~n^2 / 2^129); callers needing certainty can re-verify within groups. */
   def exact(df: DataFrame, idCol: String, on: Column): DataFrame =
-    df.groupBy(on.as("dedup_key"))
+    df.groupBy(md5(on.cast("string")).as("dedup_key"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
@@ -131,10 +137,34 @@ object Dedup {
       .toDF(idCol, "signature")
   }
 
+  /** All (a, b) pairs with a < b from each bucket's sorted member list —
+    * shared pair-expansion kernel for the LSH candidate generators. Input
+    * frame must have columns (ids: array<long> sorted ascending); output is
+    * (id_a, id_b), deduplicated across buckets. */
+  private[operators] def bucketPairs(buckets: DataFrame): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets.select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1) until ids.size
+        } yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+  }
+
   /**
    * LSH banding: split the signature into `bands` bands of `rowsPerBand`
-   * lanes, hash each band to a bucket, self-join on (band, bucket).
-   * Returns candidate pairs (id_a < id_b), deduplicated.
+   * lanes, hash each band to a bucket, expand candidate pairs WITHIN each
+   * bucket group. One `groupBy(band, bucket)` shuffle carrying (band, bucket,
+   * id) — no self-join, so the signature scan is consumed exactly once and
+   * nothing needs caching. Returns candidate pairs (id_a < id_b), dedup'd.
+   *
+   * A bucket's member list is materialized per group; by LSH design buckets
+   * are small (the band hash spreads 2^64 values), and a pathological hot
+   * bucket costs the same quadratic output a self-join would.
    */
   def lshCandidates(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = signatures.select(
@@ -143,43 +173,57 @@ object Dedup {
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r).cast("string")): _*))
       }: _*)).as(Seq("band", "bucket")))
-      // both self-join sides read this (ids + band buckets only) — persist so
-      // the signature pass scans the corpus once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    bucketPairs(buckets)
   }
 
-  /** Exact shingle-set Jaccard for given candidate pairs (verify step).
-    * Shingle sets are re-derived as FNV-1a hash arrays only for ids that
-    * appear in a candidate pair (semi-join first), so the expensive set math
-    * runs on a tiny fraction of the corpus. */
+  /**
+   * Exact shingle-set Jaccard for given candidate pairs (verify step).
+   * Shingle hashes are re-derived only for ids that appear in a candidate
+   * pair (semi-join first), so the expensive set math runs on a tiny fraction
+   * of the corpus. Intersection/union sizes are computed by STREAMING the
+   * shingle rows through two aggregations — per-document shingle sets are
+   * never materialized as arrays, so a pathological multi-MB document costs
+   * rows, not row width. Returns (id_a, id_b, inter, uni, jaccard) for pairs
+   * with jaccard >= threshold; a pair where both docs have empty shingle sets
+   * never surfaces (Jaccard 0/0 is undefined).
+   */
   def jaccardVerify(candidates: DataFrame, corpus: DataFrame, idCol: String, textCol: String, shingleN: Int, threshold: Double): DataFrame = {
-    val ids = candidates
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-      .distinct()
+    // melt each pair to two (pair, member-id) rows; both the semi-join id set
+    // and the shingle join derive from this single frame
+    val edges = candidates.select(
+      col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as(idCol))
+    val ids = edges.select(col(idCol)).distinct()
     val needed = corpus.join(ids, Seq(idCol), "left_semi")
-    val sh = shingleHashes(needed, idCol, textCol, shingleN)
-      .groupBy(col(idCol)).agg(collect_list(col("h")).as("sh"))
-    val j = candidates
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
-    j.where(col("jaccard") >= threshold).select(col("id_a"), col("id_b"), col("jaccard"))
+    val sh = shingleHashes(needed, idCol, textCol, shingleN) // (id, h), distinct per id
+    edges.join(sh, idCol)
+      // one row per (pair, shingle): n_sides = 1 (one member has it) or 2 (both)
+      .groupBy(col("id_a"), col("id_b"), col("h"))
+      .agg(count(lit(1)).as("n_sides"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("inter"),
+        count(lit(1)).as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates then exact verify.
     * The candidate-pair set (small: ids only, LSH-bounded) is persisted —
-    * `jaccardVerify` references it three times (both id sides + the pair
-    * join), and recomputing the bucket-join subtree 3x dominates runtime. */
+    * `jaccardVerify`'s melt frame feeds both the semi-join and the shingle
+    * join, and recomputing the whole signature+bucket subtree for each
+    * dominates runtime. This is the pipeline's ONLY cached frame; everything
+    * upstream is single-consumer. `unpersistHook` (if given) receives an
+    * unpersist callback so long-lived applications can release the cache once
+    * the returned frame has been consumed. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
-                      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+                      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands): " +
         "integer division would silently drop signature lanes, and rowsPerBand=0 " +
@@ -187,6 +231,7 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unpersistHook(() => { cands.unpersist(); () })
     jaccardVerify(cands, df, idCol, textCol, shingleN, threshold)
   }
 
@@ -231,28 +276,36 @@ object Dedup {
   /**
    * SimHash near-dups with Hamming distance <= maxHamming: band the 64 bits
    * into (maxHamming+1) chunks — by pigeonhole, any pair within the distance
-   * agrees exactly on at least one chunk — join per chunk, then verify with
-   * `bit_count(xor)`.
+   * agrees exactly on at least one chunk — group per chunk value, expand
+   * in-bucket pairs, verify Hamming with `Long.bitCount` right in the pair
+   * expansion. One `groupBy` shuffle, signature pass consumed once, no cache.
+   * EXACT w.r.t. the signature: pigeonhole banding cannot miss a pair within
+   * `maxHamming` (unlike probabilistic minhash banding).
    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val sigs = simhash(df, idCol, textCol)
-    val banded = sigs.select(
-      col(idCol), col("simhash"),
-      posexplode(array((0 until chunks).map { c =>
-        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
-      }: _*)).as(Seq("chunk", "chunk_val")))
-      // both self-join sides read this (id + simhash + chunk) — persist so the
-      // signature pass runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sim_a"), col("chunk"), col("chunk_val"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"), col("chunk"), col("chunk_val"))
-    a.join(b, Seq("chunk", "chunk_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    sigs.select(
+        col(idCol), col("simhash"),
+        posexplode(array((0 until chunks).map { c =>
+          shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
+        }: _*)).as(Seq("chunk", "chunk_val")))
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col(idCol).cast("long"), col("simhash")))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { ms =>
+        for {
+          i <- ms.indices.iterator
+          j <- (i + 1) until ms.size
+          ham = java.lang.Long.bitCount(ms(i)._2 ^ ms(j)._2)
+          if ham <= maxHamming
+        } yield (ms(i)._1, ms(j)._1, ham.toLong)
+      }
+      .toDF("id_a", "id_b", "hamming")
       .distinct()
   }
 }

@@ -134,23 +134,21 @@ object Similarity {
                        planesPerTable: Int = 8, tables: Int = 8, threshold: Double = 0.35): DataFrame = {
     // 1) signature pass: one narrow typed scan, no wide expression tree
     val sigs = hyperplaneSignatures(df, idCol, vecCol, dim, planesPerTable * tables)
-    // 2) candidate pairs: explode per-table buckets, self-join on (table,
-    //    bucket) carrying ONLY ids, dedup across tables BEFORE verification
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(array((0 until tables).map { t =>
-        shiftrightunsigned(col("sig"), t * planesPerTable)
-          .bitwiseAND(lit((1L << planesPerTable) - 1))
-      }: _*)).as(Seq("table", "bucket")))
-      // both sides of the self-join read this (ids + buckets only) — persist
-      // so the signature pass runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("table"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("table"), col("bucket"))
-    val candidates = a.join(b, Seq("table", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    // 2) candidate pairs: explode per-table buckets, group by (table, bucket),
+    //    expand in-bucket pairs carrying ONLY ids, dedup across tables BEFORE
+    //    verification. One groupBy shuffle — the signature pass has a single
+    //    consumer, so nothing needs caching (a self-join formulation forced a
+    //    persist whose cold-run cache race double-computed the scan).
+    val buckets = sigs.select(
+        col(idCol),
+        posexplode(array((0 until tables).map { t =>
+          shiftrightunsigned(col("sig"), t * planesPerTable)
+            .bitwiseAND(lit((1L << planesPerTable) - 1))
+        }: _*)).as(Seq("table", "bucket")))
+      .groupBy(col("table"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val candidates = Dedup.bucketPairs(buckets)
     // 3) verify: join vectors back, exact cosine (codegen'd, float-widening),
     //    once per pair
     val vecs = df.select(col(idCol), col(vecCol).as("v"))
@@ -167,13 +165,18 @@ object Similarity {
    * cosine-assignment + mean update. Each round is ONE distributed pass —
    * per-partition accumulators reduce to O(k * dim) driver state, no shuffle
    * of corpus vectors. Empty clusters keep their previous centroid, so the
-   * result is always k centroids and fully deterministic.
+   * result is always k centroids and fully deterministic. Requires a corpus
+   * with at least k vectors (fewer would silently shrink the quantizer).
    */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>")).as[Array[Double]].collect()
+    require(cents.length == k,
+      s"corpus has only ${cents.length} vectors but k=$k centroids were requested: " +
+        "a silently smaller quantizer would contradict the k-centroid contract " +
+        "(and Dataset.reduce throws on an empty corpus)")
     val vecs = corpus.select(col(vecCol).cast("array<double>")).as[Array[Double]]
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
