@@ -387,8 +387,11 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       val exact = ev.groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("exact_users"))
-      approx.join(exact, "event_type")
-        .select(col("event_type"),
+      // null-SAFE join key: a NULL event_type group must survive the
+      // approx/exact self-comparison (DuckDB's SELECT DISTINCT retains NULL)
+      approx.alias("a").join(exact.alias("e"),
+          col("a.event_type") <=> col("e.event_type"))
+        .select(col("a.event_type").as("event_type"),
           (abs(col("approx_users").cast("double") / col("exact_users").cast("double") - 1.0)
             <= 0.05).as("within_5pct"))
     }),
@@ -482,16 +485,21 @@ object SparkEntry {
     // ---- quantitative gates for the approximate/near-dup kernels ----
 
     // EXACT shingle-set Jaccard, fully DuckDB-oracle'd: candidates are pairs
-    // sharing >= 2 shingles (a deterministic, SQL-expressible prefilter that
-    // bounds the pair set), verified by the same `jaccardVerify` kernel the
-    // q27 minhash pipeline uses. Output is exact integers (inter, uni) — this
-    // hash-gates the verify kernel's set math end to end.
+    // sharing >= 2 RARE shingles (document frequency <= 50 — a deterministic,
+    // SQL-expressible prefilter; a shingle in more docs is a stop-phrase that
+    // carries no dedup signal and makes the pair expansion quadratic in its
+    // df), verified on FULL shingle sets by the same `jaccardVerify` kernel
+    // the q27 minhash pipeline uses. Output is exact integers (inter, uni) —
+    // this hash-gates the verify kernel's set math end to end.
     "q45_jaccard_exact" -> ((s, dir) => {
+      import s.implicits._
       val docs = tbl(s, dir, "documents")
       val sh = operators.Dedup.shingleHashes(docs, "doc_id", "text", 3)
-      val cands = sh.select(col("doc_id").as("id_a"), col("h"))
-        .join(sh.select(col("doc_id").as("id_b"), col("h")), "h")
-        .where(col("id_a") < col("id_b"))
+      // one groupBy-per-shingle pass with capped in-bucket pair expansion —
+      // the df cap IS the bucket cap (no shingle self-join, no second shuffle)
+      val banded = sh.select(lit(0), col("h"), col("doc_id").cast("long"), lit(0L))
+        .as[(Int, Long, Long, Long)]
+      val cands = operators.Dedup.bucketPairs(banded, 50)
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 2)
@@ -543,8 +551,12 @@ object SparkEntry {
     // n_found == n_planted, hash-gated.
     "q48_minhash_planted" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val eligible = docs.where(col("doc_id") < 100 && col("text").isNotNull &&
-        size(split(trim(col("text")), "\\s+")) >= 3)
+      // eligibility must match the minhash KERNEL's tokenization exactly
+      // (Java trim/split, which strips ALL whitespace <= U+0020 — SQL trim
+      // only strips spaces, so a leading tab/newline would skew the count);
+      // a typed filter reuses the kernel's split on the 100 candidate rows
+      val eligible = docs.where(col("doc_id") < 100 && col("text").isNotNull)
+        .filter(r => r.getAs[String]("text").trim.split("\\s+").length >= 3)
       val planted = eligible.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = docs.unionByName(planted)
       val mh = operators.Dedup.minhashNearDups(corpus, "doc_id", "text")
@@ -766,17 +778,26 @@ object SparkEntry {
     // q45: exact shingle Jaccard — DuckDB re-derives word-trigram shingle
     // sets as strings (the Spark side hashes them; 64-bit FNV collisions are
     // ~n^2/2^65, negligible) and recomputes inter/union for the same
-    // shared>=2 candidate prefilter.
+    // candidate prefilter (>= 2 shared shingles of document frequency <= 50).
+    // Words are non-whitespace runs (`\S+`), which equals the kernel's Java
+    // trim+split for any leading/trailing whitespace — SQL trim only strips
+    // spaces, so trim-then-split would miscount around tabs/newlines.
     "q45_jaccard_exact" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
         |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
         |  FROM d WHERE len(words) >= 3)),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         JOIN rare r ON r.s = a.s
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+        |          GROUP BY 1, 2),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
         |SELECT id_a, id_b, inter, CAST(sa.n + sb.n - inter AS BIGINT) AS uni
         |FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
@@ -789,11 +810,13 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "q47_simhash_complete" ->
       "SELECT TRUE AS banding_complete",
+    // eligibility counts non-whitespace runs (`\S+`) — equal to the minhash
+    // kernel's Java trim+split tokenization (SQL trim strips spaces only)
     "q48_minhash_planted" ->
       """SELECT count(*) AS n_planted, count(*) AS n_found
         |FROM documents
         |WHERE doc_id < 100 AND text IS NOT NULL
-        |  AND len(regexp_split_to_array(trim(text), '\s+')) >= 3""".stripMargin
+        |  AND len(regexp_extract_all(text, '\S+')) >= 3""".stripMargin
     // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
     // hash-permutation internals are not expressible in ANSI SQL -> driver
     // records rows-only checks; their kernels are hash-gated by q45-q48 and

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -31,11 +31,21 @@ object Dedup {
     * row instead of the full key bytes (at 100 TB, grouping by raw `text`
     * would move the whole corpus through the shuffle). md5 collisions merging
     * two genuinely different keys are negligible at any realistic corpus size
-    * (~n^2 / 2^129); callers needing certainty can re-verify within groups. */
-  def exact(df: DataFrame, idCol: String, on: Column): DataFrame =
-    df.groupBy(md5(on.cast("string")).as("dedup_key"))
+    * (~n^2 / 2^129); callers needing certainty can re-verify within groups.
+    * BINARY keys are hashed raw (never through a string cast, which would
+    * collapse distinct invalid-UTF-8 byte sequences to the same replacement
+    * characters before hashing — a collision mode far likelier than md5's). */
+  def exact(df: DataFrame, idCol: String, on: Column): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val keyBytes = df.select(on).schema.head.dataType match {
+      case BinaryType => on
+      case StringType => on.cast("binary")
+      case _ => on.cast("string").cast("binary")
+    }
+    df.groupBy(md5(keyBytes).as("dedup_key"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
+  }
 
   /** Distinct word n-gram shingles as an array column (native expressions:
     * `sequence` + `transform` + `slice`, fully codegen'd). */
@@ -137,47 +147,82 @@ object Dedup {
       .toDF(idCol, "signature")
   }
 
-  /** All (a, b) pairs with a < b from each bucket's sorted member list —
-    * shared pair-expansion kernel for the LSH candidate generators. Input
-    * frame must have columns (ids: array<long> sorted ascending); output is
-    * (id_a, id_b), deduplicated across buckets. */
-  private[operators] def bucketPairs(buckets: DataFrame): DataFrame = {
-    val spark = buckets.sparkSession
+  /** Default per-bucket member cap for the LSH pair expanders: a bucket this
+    * populated carries no discriminating signal (standard LSH practice is to
+    * drop it), and capping bounds both the single-group state (O(cap) heap —
+    * no `collect_list` array row that could hit the 2 GiB row limit on a hot
+    * bucket) and the single-task quadratic expansion (<= cap^2/2 pairs). */
+  val DefaultMaxBucket: Int = 1024
+
+  /**
+   * All (a, b) member pairs with `id_a < id_b` within each (band, bucket)
+   * group, streamed group-at-a-time — the shared pair-expansion kernel for
+   * the LSH candidate generators. Input must be rows of
+   * `(band, bucket, id, payload)` (payload carries a per-member tag the
+   * caller needs at verify time, e.g. the simhash signature; pass 0 when
+   * unused). Output is `(id_a, pay_a, id_b, pay_b)` rows, NOT deduplicated
+   * across buckets — callers project and `distinct()` on their id pairs.
+   *
+   * Buckets with more than `cap` members are dropped whole (logged on the
+   * executor): by LSH design a hot bucket means the hash carries no signal
+   * for those rows, and expanding it would concentrate O(n^2) work in one
+   * task. The group is streamed through a bounded buffer, so a pathological
+   * bucket costs O(cap) memory and O(bucket size) time, never a giant row.
+   * Members are buffered (bounded), sorted, and expanded with `i < j`;
+   * duplicate-id members never self-pair (ids(i) == ids(j) is skipped).
+   */
+  private[graft] def bucketPairs(banded: Dataset[(Int, Long, Long, Long)], cap: Int): DataFrame = {
+    val spark = banded.sparkSession
     import spark.implicits._
-    buckets.select(col("ids")).as[Seq[Long]]
-      .flatMap { ids =>
-        for {
-          i <- ids.indices.iterator
-          j <- (i + 1) until ids.size
-        } yield (ids(i), ids(j))
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, rows) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](16)
+        var overflow = false
+        while (!overflow && rows.hasNext) {
+          val r = rows.next()
+          if (buf.length < cap) buf += ((r._3, r._4)) else overflow = true
+        }
+        if (overflow) {
+          org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+            .warn(s"dropping hot LSH bucket ${key}: more than $cap members (no discriminating signal)")
+          Iterator.empty
+        } else if (buf.length < 2) Iterator.empty
+        else {
+          val ms = buf.sorted.toArray
+          for {
+            i <- ms.indices.iterator
+            j <- ((i + 1) until ms.length).iterator
+            if ms(i)._1 != ms(j)._1 // duplicate ids must not self-pair
+          } yield (ms(i)._1, ms(i)._2, ms(j)._1, ms(j)._2)
+        }
       }
-      .toDF("id_a", "id_b")
-      .distinct()
+      .toDF("id_a", "pay_a", "id_b", "pay_b")
   }
 
   /**
    * LSH banding: split the signature into `bands` bands of `rowsPerBand`
    * lanes, hash each band to a bucket, expand candidate pairs WITHIN each
-   * bucket group. One `groupBy(band, bucket)` shuffle carrying (band, bucket,
+   * bucket group. One group-by-(band, bucket) shuffle carrying (band, bucket,
    * id) — no self-join, so the signature scan is consumed exactly once and
    * nothing needs caching. Returns candidate pairs (id_a < id_b), dedup'd.
-   *
-   * A bucket's member list is materialized per group; by LSH design buckets
-   * are small (the band hash spreads 2^64 values), and a pathological hot
-   * bucket costs the same quadratic output a self-join would.
+   * Buckets above `maxBucket` members are dropped (see [[bucketPairs]]).
    */
-  def lshCandidates(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = signatures.sparkSession
+    import spark.implicits._
     val banded = signatures.select(
-      col(idCol),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r).cast("string")): _*))
-      }: _*)).as(Seq("band", "bucket")))
-    val buckets = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    bucketPairs(buckets)
+        col(idCol),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(concat_ws(",",
+            (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r).cast("string")): _*))
+        }: _*)).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col(idCol).cast("long"), lit(0L))
+      .as[(Int, Long, Long, Long)]
+    bucketPairs(banded, maxBucket)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /**
@@ -190,11 +235,16 @@ object Dedup {
    * rows, not row width. Returns (id_a, id_b, inter, uni, jaccard) for pairs
    * with jaccard >= threshold; a pair where both docs have empty shingle sets
    * never surfaces (Jaccard 0/0 is undefined).
+   *
+   * Candidate pairs are made distinct internally (cheap — id pairs only): the
+   * count-based set math requires it — a duplicated (id_a, id_b) row would
+   * double every (pair, h) count, so single-side shingles would hit
+   * n_sides = 2 and be miscounted as intersection.
    */
   def jaccardVerify(candidates: DataFrame, corpus: DataFrame, idCol: String, textCol: String, shingleN: Int, threshold: Double): DataFrame = {
     // melt each pair to two (pair, member-id) rows; both the semi-join id set
     // and the shingle join derive from this single frame
-    val edges = candidates.select(
+    val edges = candidates.select(col("id_a"), col("id_b")).distinct().select(
       col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as(idCol))
     val ids = edges.select(col(idCol)).distinct()
@@ -223,13 +273,14 @@ object Dedup {
     * the returned frame has been consumed. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
                       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+                      maxBucket: Int = DefaultMaxBucket,
                       unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands): " +
         "integer division would silently drop signature lanes, and rowsPerBand=0 " +
         "hashes an empty band for every row, degenerating to an all-pairs join")
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
+    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     unpersistHook(() => { cands.unpersist(); () })
     jaccardVerify(cands, df, idCol, textCol, shingleN, threshold)
@@ -277,35 +328,31 @@ object Dedup {
    * SimHash near-dups with Hamming distance <= maxHamming: band the 64 bits
    * into (maxHamming+1) chunks — by pigeonhole, any pair within the distance
    * agrees exactly on at least one chunk — group per chunk value, expand
-   * in-bucket pairs, verify Hamming with `Long.bitCount` right in the pair
-   * expansion. One `groupBy` shuffle, signature pass consumed once, no cache.
-   * EXACT w.r.t. the signature: pigeonhole banding cannot miss a pair within
-   * `maxHamming` (unlike probabilistic minhash banding).
+   * in-bucket pairs (carrying each member's signature as the pair payload),
+   * verify Hamming with `Long.bitCount` right after the expansion. One
+   * group-by shuffle, signature pass consumed once, no cache. EXACT w.r.t.
+   * the signature for buckets within `maxBucket` members: pigeonhole banding
+   * cannot miss a pair within `maxHamming` (unlike probabilistic minhash
+   * banding); hotter buckets are dropped (see [[bucketPairs]]).
    */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val sigs = simhash(df, idCol, textCol)
-    sigs.select(
+    val banded = sigs.select(
         col(idCol), col("simhash"),
         posexplode(array((0 until chunks).map { c =>
           shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
         }: _*)).as(Seq("chunk", "chunk_val")))
-      .groupBy(col("chunk"), col("chunk_val"))
-      .agg(sort_array(collect_list(struct(col(idCol).cast("long"), col("simhash")))).as("members"))
-      .where(size(col("members")) > 1)
-      .select(col("members")).as[Seq[(Long, Long)]]
-      .flatMap { ms =>
-        for {
-          i <- ms.indices.iterator
-          j <- (i + 1) until ms.size
-          ham = java.lang.Long.bitCount(ms(i)._2 ^ ms(j)._2)
-          if ham <= maxHamming
-        } yield (ms(i)._1, ms(j)._1, ham.toLong)
-      }
-      .toDF("id_a", "id_b", "hamming")
+      .select(col("chunk"), col("chunk_val"), col(idCol).cast("long"), col("simhash"))
+      .as[(Int, Long, Long, Long)]
+    bucketPairs(banded, maxBucket)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("pay_a").bitwiseXOR(col("pay_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
       .distinct()
   }
 }

@@ -23,11 +23,6 @@ import graft.sorted.syntax._
  */
 object Similarity {
 
-  /** Cast an array<float> column to array<double>. Interpreted (`transform`
-    * is a higher-order function) — hot paths pass float arrays straight to
-    * [[dot]]/[[cosine]] instead, which widen per element inside codegen. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   /** Sequential-order double dot product of two array<double> columns —
     * a codegen'd native expression (see [[graft.expressions.DotProduct]]);
     * bit-identical to `aggregate(zip_with(..))` and DuckDB `list_dot_product`. */
@@ -43,10 +38,32 @@ object Similarity {
     graft.expressions.VectorExpressions.cosineSim(a, b)
 
   /**
+   * Per-query bounded top-k ranking of `(query_id, (cos, neighbor_id))` rows
+   * via `groupSortCombine` — a bounded insertion-sort combiner ordered by
+   * (cos desc, id asc), capped at k. Map-side partial aggregation keeps the
+   * per-query state O(k) and the shuffle at most k rows per query per
+   * partition, regardless of how many candidates were scored — the scale-safe
+   * alternative to a `row_number` window, which would sort ALL of a query's
+   * candidates in a single task. Shared by [[bruteForceTopK]] and [[ivfTopK]].
+   */
+  private def rankTopK(scored: Dataset[(Long, (Double, Long))], k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    def insert(acc: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] =
+      ((v :: acc).sortBy { case (cos, id) => (-cos, id) }).take(k)
+    scored
+      .groupSortCombine[List[(Double, Long)]](v => List(v), insert, (a, b) => (a ++ b).sortBy { case (cos, id) => (-cos, id) }.take(k))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((_, nid), i) => (qid, nid, (i + 1).toLong) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
+  }
+
+  /**
    * Exact top-k neighbors for each query vector: broadcast the (small) query
    * side, one pass over the corpus, then per-query bounded top-k reduction
-   * via `groupSortCombine` — a bounded insertion-sort combiner, so partial
-   * aggregation keeps the shuffle tiny regardless of corpus size.
+   * via [[rankTopK]]'s combiner, so partial aggregation keeps the shuffle
+   * tiny regardless of corpus size.
    *
    * Input frames must have (idCol, vecCol) columns. Self-matches are dropped.
    * Returns (query_id, neighbor_id, rank) with rank 1..k by (cos desc, id).
@@ -59,15 +76,7 @@ object Similarity {
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), struct(cosine(col("qv"), col("cv")).as("cos"), col("neighbor_id").as("nid")).as("scored"))
       .as[(Long, (Double, Long))]
-    // bounded top-k combiner: ordered by (cos desc, id asc), capped at k
-    def insert(acc: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] =
-      ((v :: acc).sortBy { case (cos, id) => (-cos, id) }).take(k)
-    scored
-      .groupSortCombine[List[(Double, Long)]](v => List(v), insert, (a, b) => (a ++ b).sortBy { case (cos, id) => (-cos, id) }.take(k))
-      .flatMap { case (qid, top) =>
-        top.iterator.zipWithIndex.map { case ((_, nid), i) => (qid, nid, (i + 1).toLong) }
-      }
-      .toDF("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim) —
@@ -131,24 +140,29 @@ object Similarity {
    * while a 4-bit table would put ~6% of ALL pairs in the candidate set.
    */
   def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                       planesPerTable: Int = 8, tables: Int = 8, threshold: Double = 0.35): DataFrame = {
+                       planesPerTable: Int = 8, tables: Int = 8, threshold: Double = 0.35,
+                       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // 1) signature pass: one narrow typed scan, no wide expression tree
     val sigs = hyperplaneSignatures(df, idCol, vecCol, dim, planesPerTable * tables)
     // 2) candidate pairs: explode per-table buckets, group by (table, bucket),
     //    expand in-bucket pairs carrying ONLY ids, dedup across tables BEFORE
-    //    verification. One groupBy shuffle — the signature pass has a single
+    //    verification. One group-by shuffle — the signature pass has a single
     //    consumer, so nothing needs caching (a self-join formulation forced a
-    //    persist whose cold-run cache race double-computed the scan).
-    val buckets = sigs.select(
+    //    persist whose cold-run cache race double-computed the scan). Buckets
+    //    hotter than `maxBucket` are dropped (see [[Dedup.bucketPairs]]).
+    val banded = sigs.select(
         col(idCol),
         posexplode(array((0 until tables).map { t =>
           shiftrightunsigned(col("sig"), t * planesPerTable)
             .bitwiseAND(lit((1L << planesPerTable) - 1))
         }: _*)).as(Seq("table", "bucket")))
-      .groupBy(col("table"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    val candidates = Dedup.bucketPairs(buckets)
+      .select(col("table"), col("bucket"), col(idCol).cast("long"), lit(0L))
+      .as[(Int, Long, Long, Long)]
+    val candidates = Dedup.bucketPairs(banded, maxBucket)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
     // 3) verify: join vectors back, exact cosine (codegen'd, float-widening),
     //    once per pair
     val vecs = df.select(col(idCol), col(vecCol).as("v"))
@@ -304,15 +318,19 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .where(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id"))
-    // candidates = union of probed inverted lists; exact cosine top-k
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(probes).join(assigned, "cent_id")
+    // candidates = union of probed inverted lists; exact cosine scoring, then
+    // per-query top-k via the bounded-heap combiner (each corpus vector lives
+    // in exactly ONE inverted list and each (query, cent) probe row is unique,
+    // so a (query, neighbor) candidate is scored at most once — no dedup
+    // needed before ranking). A row_number window here would sort every
+    // probed candidate of a query in a single task — under exhaustive probing
+    // that is the whole corpus per query.
+    val scored = broadcast(probes).join(assigned, "cent_id")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id").cast("long"),
+        struct(cosine(col("qv"), col("cv")).as("cos"), col("neighbor_id").as("nid")).as("scored"))
+      .as[(Long, (Double, Long))]
+    rankTopK(scored, k)
   }
 
   /** Exact all-pairs similarity above a threshold (block-nested cross join —

@@ -119,9 +119,7 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
 
     it("cosine matches scala math") {
       val got = vecs.filter($"vec_id" === 1)
-        .select(Similarity.cosine(
-          Similarity.asDouble($"embedding"),
-          Similarity.asDouble($"embedding"))).as[Double].head()
+        .select(Similarity.cosine($"embedding", $"embedding")).as[Double].head()
       assert(math.abs(got - 1.0) < 1e-12)
     }
 
