@@ -38,7 +38,8 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
     dataset: Dataset[(K, V)],
     valueSort: Option[Column] = None,
     sourceOpt: Option[Dataset[(K, V)]] = None,
-    private[sorted] val explicitPartitions: Option[Int] = None) extends Serializable {
+    private[sorted] val explicitPartitions: Option[Int] = None,
+    private[sorted] val reverseLayout: Boolean = false) extends Serializable {
   import GroupSortedDataset.tupleEnc
 
   /** Escape hatch: the underlying Dataset, layout guaranteed. */
@@ -100,66 +101,96 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
   /** Row filter; narrow, preserves BOTH grouping and per-key value order
     * (the sort metadata is carried so later mergeJoins keep the order too). */
   def filter(f: ((K, V)) => Boolean): GroupSortedDataset[K, V] =
-    new GroupSortedDataset(dataset.filter(f), valueSort, None, explicitPartitions)
+    new GroupSortedDataset(dataset.filter(f), valueSort, None, explicitPartitions, reverseLayout)
+
+  /** True when `this` and `other` PROVABLY share the same key->partition
+    * mapping: both laid out with the same EXPLICIT partition count over the
+    * same key hash (`repartition(n, key)` pins n — AQE does not coalesce
+    * user-numbered repartitions, while equal runtime counts of two implicit
+    * layouts prove nothing). */
+  private def coPartitioned[W](other: GroupSortedDataset[K, W]): Boolean =
+    (explicitPartitions, other.explicitPartitions) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => false
+    }
 
   /**
    * Generalized sort-merge cogroup: for every key on either side, `f` sees both
-   * (possibly empty) value iterators and streams its output. Planned via
-   * `KeyValueGroupedDataset.cogroupSorted` — Spark's native shuffle+sort-merge
-   * cogroup, the Catalyst analog of the reference's `zipPartitions` +
-   * 2-pointer merge (`GroupSorted.scala:57-74`).
+   * (possibly empty) value iterators and streams its output.
+   *
+   * When both sides are provably co-partitioned (equal EXPLICIT partition
+   * counts from `groupSort(n)`) and an `Ordering[K]` consistent with the
+   * layout's key sort is available, this is a NARROW `zipPartitions` 2-pointer
+   * merge over the already-established layouts — zero additional exchanges,
+   * the direct analog of the reference's co-partitioned plan
+   * (tresata/spark-sorted `GroupSorted.scala:63-72`). The merge kernel
+   * ([[iterators.mergeJoin]]) asserts key sortedness as it streams, so an
+   * `Ordering[K]` inconsistent with Catalyst's sort (exotic non-BMP strings)
+   * fails loud, not wrong.
+   *
+   * Otherwise it is planned via `KeyValueGroupedDataset.cogroupSorted` —
+   * Spark's native shuffle+sort-merge cogroup (one exchange + sort per side,
+   * planned from the PRE-layout `source` so nothing shuffles twice).
    */
-  def mergeJoin[W, U: Encoder](other: GroupSortedDataset[K, W])(f: (Iterator[V], Iterator[W]) => IterableOnce[U]): Dataset[(K, U)] = {
-    val left = source
-    val right = other.source
+  def mergeJoin[W, U](other: GroupSortedDataset[K, W])(f: (Iterator[V], Iterator[W]) => IterableOnce[U])(implicit encU: Encoder[U], ordK: Ordering[K] = null): Dataset[(K, U)] = {
     val enc = tupleEnc[K, U]
-    // value = LAST column by the key-first/value-last convention; `.as[(K, V)]`
-    // keeps original column names, so don't assume "_2". Reuse the sort order
-    // groupSort established when it is known.
-    val leftSort = valueSort.getOrElse(col(left.columns.last))
-    val rightSort = other.valueSortOrDefault
-    left
-      .groupByKey(_._1)
-      .cogroupSorted(right.groupByKey(_._1))(leftSort)(rightSort) { (k, vs, ws) =>
-        f(vs.map(_._2), ws.map(_._2)).iterator.map(u => (k, u))
-      }(enc)
+    if (ordK != null && coPartitioned(other)) {
+      val spark = dataset.sparkSession
+      val merged = dataset.rdd.zipPartitions(other.toDS.rdd) { (l, r) =>
+        iterators.mergeJoin(l, r)(f)(ordK)
+      }
+      spark.createDataset(merged)(enc)
+    } else {
+      val left = source
+      val right = other.source
+      // value = LAST column by the key-first/value-last convention; `.as[(K, V)]`
+      // keeps original column names, so don't assume "_2". Reuse the sort order
+      // groupSort established when it is known.
+      val leftSort = valueSort.getOrElse(col(left.columns.last))
+      val rightSort = other.valueSortOrDefault
+      left
+        .groupByKey(_._1)
+        .cogroupSorted(right.groupByKey(_._1))(leftSort)(rightSort) { (k, vs, ws) =>
+          f(vs.map(_._2), ws.map(_._2)).iterator.map(u => (k, u))
+        }(enc)
+    }
   }
 
   /** Full-outer merge join: per key, cross product of values with `None` for a
     * missing side. `bufferLeft` flips which side is buffered per key. */
-  def mergeJoinOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], Option[W])]): Dataset[(K, (Option[V], Option[W]))] = {
+  def mergeJoinOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], Option[W])], ordK: Ordering[K] = null): Dataset[(K, (Option[V], Option[W]))] = {
     val f =
       if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
       else iterators.outerProduct[V, W]
-    mergeJoin(other)(f)
+    mergeJoin(other)(f)(e, ordK)
   }
 
   /** Inner merge join: only keys present on both sides. */
-  def mergeJoinInner[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, W)]): Dataset[(K, (V, W))] = {
+  def mergeJoinInner[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, W)], ordK: Ordering[K] = null): Dataset[(K, (V, W))] = {
     val f =
       if (bufferLeft) iterators.flipped(iterators.innerProduct[W, V])
       else iterators.innerProduct[V, W]
-    mergeJoin(other)(f)
+    mergeJoin(other)(f)(e, ordK)
   }
 
   /** Left-outer merge join. */
-  def mergeJoinLeftOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, Option[W])]): Dataset[(K, (V, Option[W]))] = {
+  def mergeJoinLeftOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, Option[W])], ordK: Ordering[K] = null): Dataset[(K, (V, Option[W]))] = {
     val f =
       if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
       else iterators.outerProduct[V, W]
     mergeJoin(other) { (vs, ws) =>
       f(vs, ws).iterator.collect { case (Some(v), mw) => (v, mw) }
-    }
+    }(e, ordK)
   }
 
   /** Right-outer merge join. */
-  def mergeJoinRightOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], W)]): Dataset[(K, (Option[V], W))] = {
+  def mergeJoinRightOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], W)], ordK: Ordering[K] = null): Dataset[(K, (Option[V], W))] = {
     val f =
       if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
       else iterators.outerProduct[V, W]
     mergeJoin(other) { (vs, ws) =>
       f(vs, ws).iterator.collect { case (mv, Some(w)) => (mv, w) }
-    }
+    }(e, ordK)
   }
 
   /**
@@ -172,20 +203,23 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
   def mergeUnion(other: GroupSortedDataset[K, V])(implicit ordK: Ordering[K], ordV: Ordering[V]): GroupSortedDataset[K, V] = {
     val left = dataset
     val right = other.toDS
-    implicit val ordKV: Ordering[(K, V)] = Ordering.Tuple2(ordK, ordV)
+    // Rows are laid out (key asc, value asc-or-desc): a `reverse = true`
+    // layout merges under the REVERSED value ordering — the caller passes the
+    // natural `Ordering[V]` either way (reference `GroupSorted.scala:100-103`
+    // parity; previously a descending layout assert-failed in the merge).
+    implicit val ordKV: Ordering[(K, V)] =
+      Ordering.Tuple2(ordK, if (reverseLayout) ordV.reverse else ordV)
     // The narrow zip is only sound when both sides PROVABLY share the same
-    // key->partition mapping: same explicit partition count on the same key
-    // hash. Equal runtime counts alone are not proof — AQE can coalesce the
+    // key->partition mapping (same explicit partition count on the same key
+    // hash — equal runtime counts alone are not proof: AQE can coalesce the
     // two sides' implicit repartitions differently, and zipping mismatched
-    // partitionings would silently split a key across merged partitions.
-    val samePartitioning = (explicitPartitions, other.explicitPartitions) match {
-      case (Some(a), Some(b)) => a == b
-      case _ => false
-    }
-    if (samePartitioning && left.rdd.getNumPartitions == right.rdd.getNumPartitions) {
+    // partitionings would silently split a key across merged partitions) AND
+    // the same value sort direction.
+    if (coPartitioned(other) && reverseLayout == other.reverseLayout &&
+        left.rdd.getNumPartitions == right.rdd.getNumPartitions) {
       val spark = left.sparkSession
       val merged = left.rdd.zipPartitions(right.rdd, preservesPartitioning = true)(iterators.mergeUnion(_, _))
-      new GroupSortedDataset(spark.createDataset(merged)(dataset.encoder), valueSort, None, explicitPartitions)
+      new GroupSortedDataset(spark.createDataset(merged)(dataset.encoder), valueSort, None, explicitPartitions, reverseLayout)
     } else {
       // shuffle fallback: re-establish the layout PRESERVING this side's
       // established value sort (both sides must share a compatible sort for
@@ -194,7 +228,8 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
       val key = col(u.columns.head)
       val sort = valueSortOrDefault
       new GroupSortedDataset(
-        u.repartition(key).sortWithinPartitions(key, sort), Some(sort), None)
+        u.repartition(key).sortWithinPartitions(key, sort), Some(sort), None,
+        None, reverseLayout)
     }
   }
 }
@@ -218,7 +253,8 @@ object GroupSortedDataset {
       case Some(n) if n > 0 => dataset.repartition(n, key)
       case _ => dataset.repartition(key)
     }
-    new GroupSortedDataset(repartitioned.sortWithinPartitions(key, valueSort), Some(valueSort), Some(dataset))
+    new GroupSortedDataset(repartitioned.sortWithinPartitions(key, valueSort), Some(valueSort), Some(dataset),
+      numPartitions.filter(_ > 0), reverse)
   }
 
   /**

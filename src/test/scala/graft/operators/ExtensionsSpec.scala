@@ -97,6 +97,33 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got.contains((1L, 2L))) // distance 0
       assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
     }
+
+    it("a pathologically hot bucket (10k identical signatures) is dropped, not expanded") {
+      // 10^4 identical docs share every band bucket; quadratic expansion
+      // would be ~5*10^7 pairs in ONE task. The cap drops the bucket whole:
+      // the pipeline completes quickly and emits nothing for the hot cluster,
+      // while unrelated small clusters are unaffected.
+      val hot = (0L until 10000L).map(i => (i, "all these documents carry exactly the same words"))
+      val cool = Seq(
+        (20001L, "an unrelated pair of documents with its own shared phrasing here"),
+        (20002L, "an unrelated pair of documents with its own shared phrasing here"))
+      val corpus = (hot ++ cool).toDF("doc_id", "text")
+      val mh = Dedup.minhashNearDups(corpus, "doc_id", "text")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(mh === Set((20001L, 20002L))) // hot cluster dropped, cool pair intact
+      val sh = Dedup.simhashNearDups(corpus, "doc_id", "text")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(sh === Set((20001L, 20002L)))
+    }
+
+    it("the bucket cap is a parameter: raising it re-admits the cluster") {
+      val cluster = (0L until 20L).map(i => (i, "five identical words repeated across this tiny cluster"))
+      val corpus = cluster.toDF("doc_id", "text")
+      val capped = Dedup.minhashNearDups(corpus, "doc_id", "text", maxBucket = 10).count()
+      assert(capped === 0L) // 20 members > cap 10: dropped
+      val admitted = Dedup.minhashNearDups(corpus, "doc_id", "text", maxBucket = 100).count()
+      assert(admitted === 20L * 19 / 2) // all pairs verify at Jaccard 1.0
+    }
   }
 
   describe("Similarity") {

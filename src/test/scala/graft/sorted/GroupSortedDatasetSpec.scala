@@ -211,12 +211,44 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
   }
 
   describe("merge join planning") {
-    it("plans ONE exchange and ONE sort per side (no double shuffle)") {
+    it("co-partitioned sides (equal EXPLICIT partition counts) join NARROW: 0 exchanges") {
       val l = Seq((1L, "a"), (2L, "b")).toDS.groupSort(2)
       val r = Seq((1L, 10L), (2L, 20L)).toDS.groupSort(2)
+      val joined = l.mergeJoinInner(r)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).isEmpty, plan) // zipPartitions over the layouts
+      assertMultiset(joined, Seq((1L, ("a", 10L)), (2L, ("b", 20L))))
+    }
+
+    it("non-co-partitioned sides plan ONE exchange and ONE sort per side (no double shuffle)") {
+      val l = Seq((1L, "a"), (2L, "b")).toDS.groupSort(2)
+      val r = Seq((1L, 10L), (2L, 20L)).toDS.groupSort(3) // counts differ: no co-partition proof
       val plan = l.mergeJoinInner(r).queryExecution.executedPlan.toString
       assert("Exchange".r.findAllIn(plan).length === 2, plan)
       assert("Sort ".r.findAllIn(plan).length === 2, plan)
+    }
+
+    it("keys without an Ordering still join co-partitioned (cogroup fallback, 2 exchanges)") {
+      // TimeValue is a case class with no implicit Ordering: even with equal
+      // explicit partition counts the narrow path cannot prove key order, so
+      // the join must fall back to cogroupSorted rather than zip blind
+      val l = Seq((TimeValue(1, 1.0), "a"), (TimeValue(2, 2.0), "b")).toDS.groupSort(2)
+      val r = Seq((TimeValue(1, 1.0), 9L)).toDS.groupSort(2)
+      val joined = l.mergeJoinInner(r)
+      assert("Exchange".r.findAllIn(joined.queryExecution.executedPlan.toString).length === 2)
+      assertMultiset(joined, Seq((TimeValue(1, 1.0), ("a", 9L))))
+    }
+
+    it("narrow join agrees with the cogroup plan on outer/inner semantics") {
+      val l = Seq(("a", 1), ("a", 2), ("b", 3)).toDS().groupSort(4)
+      val rNarrow = Seq(("a", 10L), ("c", 30L)).toDS().groupSort(4)
+      val rWide = Seq(("a", 10L), ("c", 30L)).toDS().groupSort(5)
+      val narrow = l.mergeJoinOuter(rNarrow).collect().toSet
+      val wide = l.mergeJoinOuter(rWide).collect().toSet
+      assert(narrow === wide)
+      assert(narrow === Set(
+        ("a", (Some(1), Some(10L))), ("a", (Some(2), Some(10L))),
+        ("b", (Some(3), None)), ("c", (None, Some(30L)))))
     }
   }
 
@@ -228,13 +260,43 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
       assertGroupSorted(got.toDS, Some(Ordering.Int))
       assertMultiset(got.toDS, Seq(("a", 1), ("a", 2), ("a", 3), ("b", 5), ("c", 7)))
     }
+
+    it("co-partitioned union is NARROW (0 exchanges in the merged plan)") {
+      val a = Seq(("a", 1), ("b", 5)).toDS().groupSort(2)
+      val b = Seq(("a", 2)).toDS().groupSort(2)
+      val plan = a.mergeUnion(b).toDS.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).isEmpty, plan)
+    }
+
+    it("merges two DESCENDING layouts through the narrow path under the natural ordering") {
+      // reverse = true layouts carry their direction: the caller passes the
+      // NATURAL Ordering[V] and the merge flips it internally (reference
+      // GroupSorted.scala:100-103 parity; this previously assert-failed)
+      val a = Seq(("k", 1), ("k", 3), ("m", 2)).toDS().groupSort(2, reverse = true)
+      val b = Seq(("k", 2), ("m", 9)).toDS().groupSort(2, reverse = true)
+      val merged = a.mergeUnion(b)
+      assert("Exchange".r.findAllIn(merged.toDS.queryExecution.executedPlan.toString).isEmpty)
+      assertGroupSorted(merged.toDS, Some(Ordering.Int.reverse))
+      val vs = merged.mapStreamByKey(it => Iterator.single(it.mkString(","))).collect().toMap
+      assert(vs("k") === "3,2,1" && vs("m") === "9,2")
+    }
+
+    it("ascending and descending layouts do not zip: falls back to one shuffle") {
+      val a = Seq(("k", 1), ("k", 3)).toDS().groupSort(2)
+      val b = Seq(("k", 2)).toDS().groupSort(2, reverse = true)
+      val merged = a.mergeUnion(b)
+      assertMultiset(merged.toDS, Seq(("k", 1), ("k", 2), ("k", 3)))
+      // a's established ASC order wins in the re-layout
+      val vs = merged.mapStreamByKey(it => Iterator.single(it.mkString(","))).collect().toMap
+      assert(vs("k") === "1,2,3")
+    }
   }
 
   describe("mergeUnion shuffle fallback") {
     it("preserves the established (descending) value order when partition counts differ") {
       val a = Seq(("k", 1), ("k", 3)).toDS().groupSort(2, reverse = true)
       val b = Seq(("k", 2), ("m", 9)).toDS().groupSort(3, reverse = true)
-      val merged = a.mergeUnion(b)(implicitly[Ordering[String]], Ordering.Int.reverse)
+      val merged = a.mergeUnion(b)
       assertMultiset(merged.toDS, Seq(("k", 1), ("k", 2), ("k", 3), ("m", 9)))
       // per-key DESC order must survive the fallback re-layout
       val vs = merged.mapStreamByKey(it => Iterator.single(it.mkString(","))).collect().toMap
