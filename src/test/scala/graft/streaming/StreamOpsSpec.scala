@@ -7,6 +7,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSuite
+import graft.operators.Sessions
+import graft.sorted.syntax._
 
 class StreamOpsSpec extends AnyFunSpec with SparkSuite {
   import spark.implicits._
@@ -84,6 +86,71 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         val closed = spark.table("sess2").as[SessionClosed].collect().map(_.user_id).toSet
         assert(closed.contains(7L))
       } finally q.stop()
+    }
+  }
+
+  describe("sessionize ≡ batch sessionCounts (finite replay equivalence)") {
+    // The driver's DuckDB oracle cannot check a streaming query, so this is the
+    // strongest available gate: the SAME finite event set, delivered in several
+    // arrival orders (including late data split across micro-batches), must
+    // close exactly the sessions the batch operator derives — same per-user
+    // session COUNT (vs Sessions.sessionCounts), same event totals, and the
+    // same (start, end, n) intervals under every permutation.
+    val gapMs = 10 * 60000L
+    val userMinutes: Map[Long, Seq[Int]] = Map(
+      1L -> Seq(0, 5, 30, 31, 45),   // 3 sessions: [0,5] [30,31] [45]
+      2L -> Seq(0, 8, 16),           // 1 session — the 8 bridges 0 and 16 when it arrives LAST
+      3L -> Seq(2, 12, 22, 32, 42),  // gaps exactly == gap: 1 session in both engines
+      4L -> Seq(7),                  // singleton session
+      5L -> Seq(0, 11, 21, 40))      // 3 sessions: [0] [11,21] [40]
+    val allEvents: Seq[StreamEvent] =
+      userMinutes.toSeq.flatMap { case (u, ms) => ms.map(m => StreamEvent(u, ts(m), "click", 1.0)) }
+
+    def runStreaming(arrival: Seq[StreamEvent], name: String): Seq[SessionClosed] = {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      // 2h watermark delay: every permutation of a <=45-minute replay is admissible late data
+      val q = StreamOps.sessionize(input.toDS(), gapMs, watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        arrival.grouped(6).foreach { batch => input.addData(batch); q.processAllAvailable() }
+        // two flush batches: the watermark a batch USES comes from the previous one
+        input.addData(StreamEvent(999L, ts(600), "x", 1.0)); q.processAllAvailable()
+        input.addData(StreamEvent(999L, ts(601), "x", 1.0)); q.processAllAvailable()
+        spark.table(name).as[SessionClosed].collect().toSeq.filter(_.user_id != 999L)
+      } finally q.stop()
+    }
+
+    it("closes the batch operator's sessions under in-order, reversed, and shuffled late arrival") {
+      val batchCounts: Map[Long, Long] =
+        Sessions.sessionCounts[Long, Long](
+          allEvents.map(e => (e.user_id, e.ts.getTime)).toDS().groupSort(4), identity, gapMs)
+          .collect().toMap
+
+      val inOrder = allEvents.sortBy(_.ts.getTime)
+      val permutations = Seq(
+        "eq_inorder" -> inOrder,
+        "eq_reversed" -> inOrder.reverse,
+        "eq_shuffled" -> new scala.util.Random(42).shuffle(allEvents))
+      val results = permutations.map { case (name, arrival) =>
+        val closed = runStreaming(arrival, name)
+        // per-user session count matches the batch operator exactly
+        val streamCounts = closed.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+        assert(streamCounts === batchCounts, s"session counts diverged for arrival order $name")
+        // no event lost or duplicated: per-user n_events sums to the replay size
+        val eventTotals = closed.groupBy(_.user_id).view.mapValues(_.map(_.n_events).sum).toMap
+        assert(eventTotals === userMinutes.view.mapValues(_.size.toLong).toMap, s"event totals diverged for $name")
+        // closed sessions are genuinely gap-separated intervals
+        closed.groupBy(_.user_id).values.foreach { ss =>
+          ss.sortBy(_.start_ms).sliding(2).foreach {
+            case Seq(a, b) => assert(b.start_ms - a.end_ms > gapMs, s"adjacent sessions within gap for $name")
+            case _ =>
+          }
+        }
+        closed.map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+      }
+      // every arrival order closes the IDENTICAL session set
+      assert(results.distinct.size === 1, "arrival order changed the closed-session set")
     }
   }
 
