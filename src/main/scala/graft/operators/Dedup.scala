@@ -247,8 +247,10 @@ object Dedup {
     val edges = candidates.select(col("id_a"), col("id_b")).distinct().select(
       col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as(idCol))
-    val ids = edges.select(col(idCol)).distinct()
-    val needed = corpus.join(ids, Seq(idCol), "left_semi")
+    // no distinct on the id side: left_semi never multiplies rows, so the
+    // duplicate ids in the melted frame are harmless and skipping the
+    // exchange removes a whole codegen stage from the pipeline
+    val needed = corpus.join(edges.select(col(idCol)), Seq(idCol), "left_semi")
     val sh = shingleHashes(needed, idCol, textCol, shingleN) // (id, h), distinct per id
     edges.join(sh, idCol)
       // one row per (pair, shingle): n_sides = 1 (one member has it) or 2 (both)
