@@ -564,6 +564,33 @@ object SparkEntry {
         .where(col("id_a") < 100 && col("id_b") === col("id_a") + 1000000L)
         .agg(count(lit(1)).as("n_found"))
       eligible.agg(count(lit(1)).as("n_planted")).crossJoin(found)
+    }),
+
+    // co-bucketed equi-join: both sides pre-bucketed on the join key, so the
+    // sort-merge join reads pre-partitioned data with NO exchange on either
+    // side — the posture a 100 TB deployment uses for its hot join keys
+    // (bucket once, join shuffle-free in every query after). The only
+    // exchange in the plan is the final groupBy. BucketingSpec pins the
+    // no-exchange plan; this query puts the result under the DuckDB oracle.
+    "q49_bucketed_join" -> ((s, dir) => {
+      val wh = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-q49-" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable("graft_q49_customer")
+      tbl(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("graft_q49_orders")
+      s.table("graft_q49_customer")
+        // MERGE hint: without it the small dimension side would broadcast,
+        // bypassing the co-located bucket layout this query demonstrates
+        .hint("MERGE")
+        .join(s.table("graft_q49_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")).as("sum_price_cents"))
+        .select(col("mktsegment"), col("n_orders"), col("sum_price_cents"))
     })
   )
 
@@ -816,7 +843,12 @@ object SparkEntry {
       """SELECT count(*) AS n_planted, count(*) AS n_found
         |FROM documents
         |WHERE doc_id < 100 AND text IS NOT NULL
-        |  AND len(regexp_extract_all(text, '\S+')) >= 3""".stripMargin
+        |  AND len(regexp_extract_all(text, '\S+')) >= 3""".stripMargin,
+    "q49_bucketed_join" ->
+      """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin
     // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
     // hash-permutation internals are not expressible in ANSI SQL -> driver
     // records rows-only checks; their kernels are hash-gated by q45-q48 and

@@ -11,6 +11,21 @@ import org.scalatest.funspec.AnyFunSpec
 class BucketingSpec extends AnyFunSpec with SparkSuite {
   import spark.implicits._
 
+  it("q49's co-bucketed join plans exactly one exchange (the final groupBy)") {
+    val df = SparkEntry.queries("q49_bucketed_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    try {
+      assert(plan.contains("SortMergeJoin"), plan)
+      // both scans read the bucketed layout, so the join needs no exchange;
+      // the only one left is the final groupBy(mktsegment)
+      assert("Exchange".r.findAllIn(plan).size === 1, plan)
+      assert(df.count() === 5L) // one row per market segment
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_q49_customer")
+      spark.sql("DROP TABLE IF EXISTS graft_q49_orders")
+    }
+  }
+
   it("equi-join of co-bucketed tables plans no exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val l = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
