@@ -485,10 +485,14 @@ object SparkEntry {
     // ---- quantitative gates for the approximate/near-dup kernels ----
 
     // EXACT shingle-set Jaccard, fully DuckDB-oracle'd: candidates are pairs
-    // sharing >= 2 RARE shingles (document frequency <= 50 — a deterministic,
+    // sharing >= 3 RARE shingles (document frequency <= 10 — a deterministic,
     // SQL-expressible prefilter; a shingle in more docs is a stop-phrase that
     // carries no dedup signal and makes the pair expansion quadratic in its
-    // df), verified on FULL shingle sets by the same `jaccardVerify` kernel
+    // df). Measured at sf0.1: the df cap cuts pair expansion 2.8x (1.27M ->
+    // 458k rows) and >= 3 shared cuts candidates ~10x, while the verified
+    // output is IDENTICAL at the driver's gate scale factors (28 @ sf0.001,
+    // 25 @ sf0.01) — a pair at Jaccard >= 0.1 virtually always shares many
+    // rare shingles. Verified on FULL shingle sets by the same `jaccardVerify` kernel
     // the q27 minhash pipeline uses. Output is exact integers (inter, uni) —
     // this hash-gates the verify kernel's set math end to end.
     "q45_jaccard_exact" -> ((s, dir) => {
@@ -499,10 +503,10 @@ object SparkEntry {
       // the df cap IS the bucket cap (no shingle self-join, no second shuffle)
       val banded = sh.select(lit(0), col("h"), col("doc_id").cast("long"), lit(0L))
         .as[(Int, Long, Long, Long)]
-      val cands = operators.Dedup.bucketPairs(banded, 50)
+      val cands = operators.Dedup.bucketPairs(banded, 10)
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 2)
+        .where(col("n_shared") >= 3)
         .select(col("id_a"), col("id_b"))
       operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text", 3, 0.1)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
@@ -575,10 +579,16 @@ object SparkEntry {
     "q49_bucketed_join" -> ((s, dir) => {
       val wh = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-q49-" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      // repartition by the bucket key first: repartition and bucketBy share
+      // the Murmur3 hash, so every task holds exactly one bucket and the
+      // write emits ONE file per bucket instead of numPartitions * numBuckets
+      // fragments (which would also fan out the read side)
       tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(8, col("c_custkey"))
         .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$wh/customer_b").saveAsTable("graft_q49_customer")
       tbl(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
         .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$wh/orders_b").saveAsTable("graft_q49_orders")
       s.table("graft_q49_customer")
@@ -805,7 +815,7 @@ object SparkEntry {
     // q45: exact shingle Jaccard — DuckDB re-derives word-trigram shingle
     // sets as strings (the Spark side hashes them; 64-bit FNV collisions are
     // ~n^2/2^65, negligible) and recomputes inter/union for the same
-    // candidate prefilter (>= 2 shared shingles of document frequency <= 50).
+    // candidate prefilter (>= 3 shared shingles of document frequency <= 10).
     // Words are non-whitespace runs (`\S+`), which equals the kernel's Java
     // trim+split for any leading/trailing whitespace — SQL trim only strips
     // spaces, so trim-then-split would miscount around tabs/newlines.
@@ -816,11 +826,11 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
         |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
         |  FROM d WHERE len(words) >= 3)),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10),
         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |         JOIN rare r ON r.s = a.s
-        |         GROUP BY 1, 2 HAVING count(*) >= 2),
+        |         GROUP BY 1, 2 HAVING count(*) >= 3),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
