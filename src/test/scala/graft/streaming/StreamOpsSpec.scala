@@ -194,6 +194,38 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
   }
 
   describe("windowedCounts (watermarked sliding windows)") {
+    it("equals the batch window aggregation on a finite replay (late arrivals included)") {
+      implicit val sc = spark.sqlContext
+      // deterministic event set across 3 users / 4 windows, delivered with the
+      // second batch strictly EARLIER in event time than the first (late data
+      // under a wide-enough watermark must still land in its window)
+      val events = Seq(
+        StreamEvent(1L, ts(1), "click", 2.0), StreamEvent(2L, ts(3), "view", 1.5),
+        StreamEvent(1L, ts(12), "click", 4.0), StreamEvent(3L, ts(25), "buy", 9.0),
+        StreamEvent(2L, ts(14), "click", 1.0), StreamEvent(1L, ts(35), "view", 3.0))
+      val (batch1, batch2) = events.splitAt(4)
+      val input = MemoryStream[StreamEvent]
+      val counts = StreamOps.windowedCounts(input.toDS(), "10 minutes", "10 minutes", "2 hours")
+      val q = counts.writeStream.format("memory").queryName("wceq")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        input.addData(batch1); q.processAllAvailable()
+        input.addData(batch2); q.processAllAvailable()
+        val streamed = spark.table("wceq")
+          .selectExpr("window.start AS ws", "event_type", "n",
+            "CAST(round(sum_value*100) AS BIGINT) AS sv")
+          .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+        val batch = events.toDS()
+          .groupBy(org.apache.spark.sql.functions.window($"ts", "10 minutes").as("window"), $"event_type")
+          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum($"value").as("sum_value"))
+          .selectExpr("window.start AS ws", "event_type", "n",
+            "CAST(round(sum_value*100) AS BIGINT) AS sv")
+          .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+        assert(streamed === batch)
+      } finally q.stop()
+    }
+
     it("counts per window and type") {
       implicit val sc = spark.sqlContext
       val input = MemoryStream[StreamEvent]
