@@ -601,6 +601,20 @@ object SparkEntry {
           count(lit(1)).as("n_orders"),
           sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")).as("sum_price_cents"))
         .select(col("mktsegment"), col("n_orders"), col("sum_price_cents"))
+    }),
+
+    // dedup clustering: connected components over the exact similar-pair
+    // graph (near-duplication is transitive in practice — A~B and B~C are one
+    // cluster, and the cluster minimum is the canonical representative every
+    // dedup pipeline keeps). Alternating large-star/small-star, O(log n)
+    // rounds over the edge set only; the oracle recomputes the same pairs and
+    // closes them transitively with a recursive CTE.
+    "q50_dedup_components" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val pairs = operators.Similarity.exactSimilarPairs(emb, "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+      operators.Dedup.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("component"))
     })
   )
 
@@ -858,7 +872,28 @@ object SparkEntry {
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q50: the oracle closes the q26 pair set transitively (recursive CTE)
+    // and labels each node with the minimum reachable id — the same
+    // component definition large-star/small-star converges to.
+    "q50_dedup_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |        >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |)
+        |SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS component FROM reach GROUP BY u""".stripMargin
     // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
     // hash-permutation internals are not expressible in ANSI SQL -> driver
     // records rows-only checks; their kernels are hash-gated by q45-q48 and

@@ -289,6 +289,91 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected (id_a, id_b) edge list — the
+   * clustering step every dedup pipeline runs AFTER near-dup pair generation:
+   * near-duplicate pairs are transitive in practice (A~B, B~C => one cluster),
+   * and the canonical representative of each cluster is its component id (the
+   * minimum member id).
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014) — converges in
+   * O(log n) rounds, each round two groupBy shuffles over the EDGE set (which
+   * for dedup is tiny relative to the corpus: only near-dup pairs), no
+   * driver-side graph state. Per round:
+   *
+   *  - large-star: every node's strictly-larger neighbors are re-pointed at
+   *    the minimum of its closed neighborhood;
+   *  - small-star: every node's smaller-or-equal neighbors (and itself) are
+   *    re-pointed at that minimum.
+   *
+   * Each iteration's edge frame is LOCALLY CHECKPOINTED, not merely persisted:
+   * every round references the previous frame several times, so the logical
+   * plan would double per iteration (exponential `treeString`/optimizer blowup
+   * by ~iteration 10 — a persisted frame still carries its full plan);
+   * `localCheckpoint` truncates the lineage to the materialized RDD, which is
+   * exactly the iterative-graph-algorithm pattern. Superseded checkpoint
+   * blocks are released by Spark's context cleaner as references drop.
+   * Convergence is detected when the canonical edge set stops changing (equal
+   * cardinality + empty one-sided difference — both distinct sets). The
+   * converged graph is a forest of stars, so the component of x is
+   * min(x, neighbors of x).
+   *
+   * Returns (id, component) for every id appearing in `edges`, where
+   * `component` is the smallest id in x's component. Self-loops are ignored;
+   * isolated ids (no edges) don't appear — union them back as their own
+   * component if needed.
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val cols = edges.columns
+    var e = edges
+      .select(col(cols(0)).cast("long").as("a"), col(cols(1)).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // large-star: m(u) = min of u's closed neighborhood; (v, m(u)) for v > u
+      val dir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = dir.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      // small-star: view each edge from its larger endpoint; connect the
+      // smaller neighbors AND the node itself to the neighborhood minimum
+      val down = ls.select(col("v").as("u"), col("u").as("v")) // v < u now
+      val mins2 = down.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = down.join(mins2, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      val nNew = ss.count()
+      converged = nNew == eCount && ss.except(e).isEmpty
+      e = ss
+      eCount = nNew
+      it += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+        .warn(s"connectedComponents hit maxIter=$maxIter before the edge set stabilized; " +
+          "labels may split components that more rounds would merge")
+    // converged graph is a star forest: component(x) = min(x, neighbors)
+    val dir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("component"))
+  }
+
+  /**
    * SimHash (64-bit) per id: per bit position, sum +1/-1 votes of each
    * token-hash's bit, assemble the sign vector into one long. Computed in one
    * NARROW pass per document (FNV-1a token hash, local vote array) — a

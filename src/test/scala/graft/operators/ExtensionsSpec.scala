@@ -124,6 +124,54 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       val admitted = Dedup.minhashNearDups(corpus, "doc_id", "text", maxBucket = 100).count()
       assert(admitted === 20L * 19 / 2) // all pairs verify at Jaccard 1.0
     }
+
+    // local union-find ground truth for the connected-components tests
+    def localComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+
+    def ccOf(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toDF("id_a", "id_b"), maxIter)
+        .as[(Long, Long)].collect().toMap
+
+    it("connectedComponents labels every node with its component minimum") {
+      // two cliques bridged by one edge + an isolated pair + a triangle
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+        (3L, 10L), (50L, 51L), (70L, 71L), (71L, 72L), (70L, 72L))
+      assert(ccOf(edges) === localComponents(edges))
+    }
+
+    it("connectedComponents converges on a long chain (multi-round star collapse)") {
+      // a 60-node path has diameter 59 — naive min-propagation would need ~59
+      // rounds; large-star/small-star must collapse it within the default 20
+      val chain = (0L until 59L).map(i => (i, i + 1))
+      val got = ccOf(chain)
+      assert(got === (0L to 59L).map(_ -> 0L).toMap)
+    }
+
+    it("connectedComponents matches union-find on seeded random graphs") {
+      val rnd = new scala.util.Random(7)
+      for (_ <- 1 to 3) {
+        val n = 80
+        val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter { case (a, b) => a != b }
+        assert(ccOf(edges) === localComponents(edges))
+      }
+    }
+
+    it("connectedComponents ignores self-loops and handles an empty edge set") {
+      assert(ccOf(Seq((5L, 5L))) === Map.empty[Long, Long])
+      assert(ccOf(Seq.empty[(Long, Long)]) === Map.empty[Long, Long])
+    }
   }
 
   describe("Similarity") {
