@@ -331,7 +331,18 @@ object Dedup {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint()
-    var eCount = e.count()
+    // per-round convergence probe in ONE job: cardinality + an
+    // order-insensitive content hash (bit_xor of per-row xxhash64). Equal
+    // (count, hash) almost certainly means an unchanged edge set; the exact
+    // `except` check then CONFIRMS it (so a 2^-64 hash collision can only
+    // cost one extra round, never a wrong early stop).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.select(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (eCount, eHash) = fingerprint(e)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -357,10 +368,11 @@ object Dedup {
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
         .localCheckpoint()
-      val nNew = ss.count()
-      converged = nNew == eCount && ss.except(e).isEmpty
+      val (nNew, hNew) = fingerprint(ss)
+      converged = nNew == eCount && hNew == eHash && ss.except(e).isEmpty
       e = ss
       eCount = nNew
+      eHash = hNew
       it += 1
     }
     if (!converged)
