@@ -503,11 +503,16 @@ object SparkEntry {
       // the df cap IS the bucket cap (no shingle self-join, no second shuffle)
       val banded = sh.select(lit(0), col("h"), col("doc_id").cast("long"), lit(0L))
         .as[(Int, Long, Long, Long)]
+      // persist the tiny id-pair frame: jaccardVerify consumes it in two
+      // branches (the semi-join id list and the pair join), and without the
+      // persist the whole shingle->bucket->count candidate subtree executes
+      // TWICE (visible as two identical aggregation subtrees in the plan)
       val cands = operators.Dedup.bucketPairs(banded, 10)
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 3)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text", 3, 0.1)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
     }),
