@@ -506,7 +506,10 @@ object SparkEntry {
       // persist the tiny id-pair frame: jaccardVerify consumes it in two
       // branches (the semi-join id list and the pair join), and without the
       // persist the whole shingle->bucket->count candidate subtree executes
-      // TWICE (visible as two identical aggregation subtrees in the plan)
+      // TWICE (visible as two identical aggregation subtrees in the plan).
+      // The cache (a few KB of id pairs) lives for the session — acceptable
+      // in the driver's one-shot Bench/Verify JVMs; a long-lived service
+      // would route this through minhashNearDups-style unpersistHook plumbing
       val cands = operators.Dedup.bucketPairs(banded, 10)
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_shared"))
@@ -522,7 +525,10 @@ object SparkEntry {
     // vector collides in every hash table with certainty and verifies at
     // cosine 1.0, so n_found == n_planted deterministically. This pins the
     // recall floor of the q29 pipeline with a hard hash gate (natural-corpus
-    // recall on near-threshold pairs is pinned by LshRecallSpec).
+    // recall on near-threshold pairs is pinned by LshRecallSpec). Gates the
+    // DEFAULT pipeline config, including the hot-bucket cap: certainty holds
+    // while natural bucket occupancy stays under the cap, true by orders of
+    // magnitude at the driver's scale factors.
     "q46_lsh_planted" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val first = emb.where(col("vec_id") < 100)
@@ -542,7 +548,12 @@ object SparkEntry {
     "q47_simhash_complete" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val sigs = operators.Dedup.simhash(docs, "doc_id", "text")
-      val banded = operators.Dedup.simhashNearDups(docs, "doc_id", "text", 3)
+      // uncapped banding: the oracle asserts completeness UNCONDITIONALLY, so
+      // the banded side must not drop hot buckets — with the default cap, a
+      // corpus where >maxBucket docs share a 16-bit chunk would make the
+      // pigeonhole theorem false by construction, not by a banding bug. The
+      // brute-force comparison side bounds this gate to small corpora anyway.
+      val banded = operators.Dedup.simhashNearDups(docs, "doc_id", "text", 3, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"))
       val brute = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"))
         .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b")), col("id_a") < col("id_b"))
@@ -557,7 +568,9 @@ object SparkEntry {
     // copies of the first 100 shingle-bearing documents (ids shifted by 1e6)
     // MUST all surface — identical text gives an identical signature (all
     // bands collide) and verifies at Jaccard 1.0 >= 0.5. Deterministic
-    // n_found == n_planted, hash-gated.
+    // n_found == n_planted, hash-gated. Like q46, gates the DEFAULT config:
+    // holds while natural band-bucket occupancy stays under the hot-bucket
+    // cap, true by orders of magnitude at the driver's scale factors.
     "q48_minhash_planted" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       // eligibility must match the minhash KERNEL's tokenization exactly
@@ -835,11 +848,14 @@ object SparkEntry {
     // sets as strings (the Spark side hashes them; 64-bit FNV collisions are
     // ~n^2/2^65, negligible) and recomputes inter/union for the same
     // candidate prefilter (>= 3 shared shingles of document frequency <= 10).
-    // Words are non-whitespace runs (`\S+`), which equals the kernel's Java
-    // trim+split for any leading/trailing whitespace — SQL trim only strips
-    // spaces, so trim-then-split would miscount around tabs/newlines.
+    // Word derivation replicates the kernel's Java `trim` + `split("\\s+")`
+    // EXACTLY: strip edge chars <= U+0020 (Java trim — includes C0 controls,
+    // which RE2's `\S` would instead keep as token bytes), then tokens are
+    // runs of non-[space \x09-\x0D] (Java's \s class precisely).
     "q45_jaccard_exact" ->
-      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -866,13 +882,16 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "q47_simhash_complete" ->
       "SELECT TRUE AS banding_complete",
-    // eligibility counts non-whitespace runs (`\S+`) — equal to the minhash
-    // kernel's Java trim+split tokenization (SQL trim strips spaces only)
+    // eligibility replicates the minhash kernel's Java trim+split exactly
+    // (strip edge chars <= U+0020, then split on Java's \s class) — plain
+    // `\S+` would count a trailing C0 control char as a token the kernel's
+    // trim discards
     "q48_minhash_planted" ->
       """SELECT count(*) AS n_planted, count(*) AS n_found
         |FROM documents
         |WHERE doc_id < 100 AND text IS NOT NULL
-        |  AND len(regexp_extract_all(text, '\S+')) >= 3""".stripMargin,
+        |  AND len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                             '[^ \x09-\x0D]+')) >= 3""".stripMargin,
     "q49_bucketed_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents

@@ -147,6 +147,11 @@ object Dedup {
       .toDF(idCol, "signature")
   }
 
+  /** Executor-JVM-wide counter of dropped hot buckets, for rate-limited drop
+    * logging in [[bucketPairs]] (shared across tasks by design — it throttles
+    * a per-JVM log stream). */
+  private object DroppedBuckets extends java.util.concurrent.atomic.AtomicLong
+
   /** Default per-bucket member cap for the LSH pair expanders: a bucket this
     * populated carries no discriminating signal (standard LSH practice is to
     * drop it), and capping bounds both the single-group state (O(cap) heap —
@@ -184,8 +189,14 @@ object Dedup {
           if (buf.length < cap) buf += ((r._3, r._4)) else overflow = true
         }
         if (overflow) {
-          org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
-            .warn(s"dropping hot LSH bucket ${key}: more than $cap members (no discriminating signal)")
+          // rate-limited: in prefilter uses (e.g. a document-frequency cap)
+          // dropping is the EXPECTED common case — per-bucket WARN would
+          // flood the logs; first and every 1000th drop per executor JVM
+          // surface at WARN, the rest at DEBUG
+          val n = DroppedBuckets.incrementAndGet()
+          val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+          val msg = s"dropping hot LSH bucket ${key}: more than $cap members (no discriminating signal; $n dropped so far in this JVM)"
+          if (n == 1 || n % 1000 == 0) log.warn(msg) else log.debug(msg)
           Iterator.empty
         } else if (buf.length < 2) Iterator.empty
         else {
