@@ -633,6 +633,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       operators.Dedup.connectedComponents(pairs)
         .select(col("id").as("vec_id"), col("component"))
+    }),
+
+    // skew-mitigated join: lineitem (fact) salted across 8 cells per order
+    // key, orders (dim) replicated per salt — semantically IDENTICAL to the
+    // plain equi-join (each matching pair meets in exactly one salt cell), so
+    // the oracle is the plain join. The technique a 100 TB pipeline reaches
+    // for when one hot key would turn a shuffle partition into a straggler.
+    "q51_salted_join" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ords = tbl(s, dir, "orders").select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      operators.Skew.saltedEquiJoin(li, ords, "okey", 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_quantity*100) AS BIGINT)")).as("sum_qty_cents"))
     })
   )
 
@@ -917,7 +932,14 @@ object SparkEntry {
         |  UNION
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
         |)
-        |SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS component FROM reach GROUP BY u""".stripMargin
+        |SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS component FROM reach GROUP BY u""".stripMargin,
+    // q51: salting is an identity transformation on inner-join semantics, so
+    // the oracle is the PLAIN join + aggregation.
+    "q51_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin
     // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
     // hash-permutation internals are not expressible in ANSI SQL -> driver
     // records rows-only checks; their kernels are hash-gated by q45-q48 and

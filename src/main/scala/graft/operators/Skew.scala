@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-mitigation operators. Spark's AQE splits skewed partitions for
+ * sort-merge joins at runtime, but salting remains the explicit, planner-
+ * independent tool when a handful of hot keys dominate a shuffle — the
+ * classic 100 TB failure mode (one user / one order id with millions of rows
+ * turns a partition into a straggler or an OOM).
+ */
+object Skew {
+
+  /**
+   * Inner equi-join that spreads each hot key of `left` across `numSalts`
+   * shuffle partitions: every left row gets a deterministic salt derived from
+   * its full row content (`xxhash64 pmod numSalts` — uniform, no RNG state,
+   * stable across retries/runs), and `right` is replicated once per salt
+   * value, so the join key becomes (key, salt) and a key with 10M rows
+   * shuffles as `numSalts` cells of ~10M/numSalts rows each.
+   *
+   * SEMANTICALLY IDENTICAL to `left.join(right, key)`: each (left row,
+   * right row) pair with equal keys meets in exactly one salt cell — the left
+   * row's. The cost is `numSalts - 1` extra copies of `right` through the
+   * shuffle; size numSalts to the hot key's row count over a comfortable
+   * per-partition cell, and keep `right` the smaller side.
+   *
+   * Both inputs must share ONLY the join column name; other columns must be
+   * disjoint (standard equi-join hygiene). `__salt` is reserved.
+   */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String, numSalts: Int): DataFrame = {
+    require(numSalts > 0, s"numSalts must be positive, got $numSalts")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "__salt is reserved by saltedEquiJoin")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(numSalts.toLong)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until numSalts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+}

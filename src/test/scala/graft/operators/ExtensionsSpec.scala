@@ -174,6 +174,37 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Skew") {
+    it("saltedEquiJoin equals the plain join on a heavily skewed fact side") {
+      // one hot key with 10k rows + a long tail; dim has keys 0..99
+      val fact = ((0 until 10000).map(i => (7L, i.toLong)) ++
+        (0 until 500).map(i => ((i % 100).toLong, 100000L + i)))
+        .toDF("k", "payload")
+      val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val salted = Skew.saltedEquiJoin(fact, dim, "k", 8)
+      val plain = fact.join(dim, Seq("k"), "inner")
+      // identical result multiset, salt column gone
+      assert(salted.columns.toSeq === plain.columns.toSeq)
+      assert(salted.count() === plain.count())
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+      // the join key is genuinely (k, __salt): the hot key's rows hash into
+      // multiple shuffle cells instead of one straggler partition
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), plan)
+      val hotCells = fact.where(col("k") === 7L)
+        .withColumn("__salt", pmod(xxhash64(struct(col("k"), col("payload"))), lit(8L)).cast("int"))
+        .select(col("__salt")).distinct().count()
+      assert(hotCells > 1, s"hot key occupied only $hotCells salt cell(s)")
+    }
+
+    it("saltedEquiJoin rejects a reserved column and non-positive salt counts") {
+      val df = Seq((1L, "x")).toDF("k", "__salt")
+      intercept[IllegalArgumentException](Skew.saltedEquiJoin(df, df, "k", 4))
+      val ok = Seq((1L, "x")).toDF("k", "v")
+      intercept[IllegalArgumentException](Skew.saltedEquiJoin(ok, ok, "k", 0))
+    }
+  }
+
   describe("Similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
