@@ -648,7 +648,20 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_items"),
           sum(expr("CAST(round(l_quantity*100) AS BIGINT)")).as("sum_qty_cents"))
-    })
+    }),
+
+    // deterministic 25% corpus sample: decision is a pure function of the id
+    // (md5-prefix hash), so the sample is identical on any cluster, any
+    // partitioning, any engine — the DuckDB oracle recomputes the same hash
+    "q52_det_sample" -> ((s, dir) =>
+      operators.Sampling.deterministicSample(tbl(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"))),
+
+    // deterministic 3-per-user event sample via the bounded-heap combiner
+    // (hash-minima = uniform per-key reservoir; shuffle <= k rows/key/part)
+    "q53_per_key_sample" -> ((s, dir) =>
+      operators.Sampling.perKeySample(tbl(s, dir, "events"), "user_id", "event_id", 3)
+        .select(col("user_id").cast("long").as("user_id"), col("event_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -939,7 +952,21 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_items,
         |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q52/q53: the md5-prefix hash is reproduced exactly — first 8 hex chars
+    // of md5 of the id's decimal string, read as a 32-bit integer.
+    "q52_det_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      < CAST(0.25 * 4294967296 AS UBIGINT)""".stripMargin,
+    "q53_per_key_sample" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+        |             event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin
     // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
     // hash-permutation internals are not expressible in ANSI SQL -> driver
     // records rows-only checks; their kernels are hash-gated by q45-q48 and

@@ -205,6 +205,47 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Sampling") {
+    val ids = (0L until 2000L).map(i => (i, s"row_$i")).toDF("id", "payload")
+
+    it("deterministicSample is stable, fraction-accurate, and monotone in fraction") {
+      val s25a = Sampling.deterministicSample(ids, "id", 0.25).select("id").as[Long].collect().toSet
+      val s25b = Sampling.deterministicSample(ids.repartition(13), "id", 0.25)
+        .select("id").as[Long].collect().toSet
+      assert(s25a === s25b) // identical under any partitioning
+      assert(math.abs(s25a.size - 500) < 100, s"got ${s25a.size} of expected ~500")
+      val s50 = Sampling.deterministicSample(ids, "id", 0.5).select("id").as[Long].collect().toSet
+      assert(s25a.subsetOf(s50)) // raising the fraction never evicts a row
+      assert(Sampling.deterministicSample(ids, "id", 0.0).count() === 0L)
+      assert(Sampling.deterministicSample(ids, "id", 1.0).count() === 2000L)
+    }
+
+    it("withSplit partitions every row into exactly one split, complementing the sample") {
+      val split = Sampling.withSplit(ids, "id", 0.25)
+      val holdout = split.where(col("is_holdout")).select("id").as[Long].collect().toSet
+      val sampled = Sampling.deterministicSample(ids, "id", 0.25).select("id").as[Long].collect().toSet
+      assert(holdout === sampled)
+      assert(split.count() === 2000L)
+    }
+
+    it("perKeySample keeps exactly k per key (all, when the group is smaller) and matches the hash-rank oracle") {
+      val ev = (0L until 1000L).map(i => (i % 7, i)).toDF("k", "id")
+      val got = Sampling.perKeySample(ev, "k", "id", 5)
+        .select(col("k").cast("long"), col("id")).as[(Long, Long)].collect()
+      assert(got.groupBy(_._1).forall(_._2.length == 5))
+      // window-rank reference: smallest 5 hashes per key, ties by id
+      val ref = ev.withColumn("h", Sampling.hash32(col("id")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+            .orderBy(col("h"), col("id"))))
+        .where(col("rn") <= 5)
+        .select(col("k"), col("id")).as[(Long, Long)].collect()
+      assert(got.toSet === ref.toSet)
+      val tiny = Sampling.perKeySample(Seq((1L, 10L), (1L, 11L)).toDF("k", "id"), "k", "id", 5)
+      assert(tiny.count() === 2L) // group smaller than k: keep all
+    }
+  }
+
   describe("Similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
