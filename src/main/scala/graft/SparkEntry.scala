@@ -661,7 +661,13 @@ object SparkEntry {
     // (hash-minima = uniform per-key reservoir; shuffle <= k rows/key/part)
     "q53_per_key_sample" -> ((s, dir) =>
       operators.Sampling.perKeySample(tbl(s, dir, "events"), "user_id", "event_id", 3)
-        .select(col("user_id").cast("long").as("user_id"), col("event_id")))
+        .select(col("user_id").cast("long").as("user_id"), col("event_id"))),
+
+    // context-window chunking: 8-token windows every 6 tokens (overlap 2) —
+    // a pure narrow 1-to-N pass; the oracle re-derives the same windows with
+    // the exact-parity tokenization
+    "q54_chunk_words" -> ((s, dir) =>
+      operators.Chunking.chunkWords(tbl(s, dir, "documents"), "doc_id", "text", 8, 2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -966,7 +972,18 @@ object SparkEntry {
         |    ORDER BY CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT),
         |             event_id) AS rn
         |  FROM events) t
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+    "q54_chunk_words" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
+        |      FROM d WHERE len(words) > 0)
+        |SELECT doc_id, CAST(start // 6 AS BIGINT) AS chunk_idx,
+        |       CAST(least(len(words) - start, 8) AS BIGINT) AS n_tokens,
+        |       array_to_string(words[start+1 : least(start+8, len(words))], ' ') AS chunk_text
+        |FROM s""".stripMargin
     // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
     // hash-permutation internals are not expressible in ANSI SQL -> driver
     // records rows-only checks; their kernels are hash-gated by q45-q48 and

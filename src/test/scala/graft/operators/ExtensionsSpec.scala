@@ -246,6 +246,31 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Chunking") {
+    it("chunkWords windows with overlap, truncated tail, full coverage") {
+      val docs = Seq(
+        (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 words
+        (2L, "a b c"),                          // shorter than a chunk
+        (3L, null.asInstanceOf[String]),
+        (4L, "   ")).toDF("doc_id", "text")
+      val got = Chunking.chunkWords(docs, "doc_id", "text", chunkSize = 8, overlap = 2)
+        .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq === Seq(
+        (1L, 0L, 8L, "w0 w1 w2 w3 w4 w5 w6 w7"),
+        (1L, 1L, 4L, "w6 w7 w8 w9"), // overlap of 2, truncated at doc end
+        (2L, 0L, 3L, "a b c")))
+      // every word index of doc 1 appears in at least one chunk
+      val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+      assert(covered === (0 until 10).map(i => s"w$i").toSet)
+    }
+
+    it("chunkWords validates window parameters") {
+      val df = Seq((1L, "x")).toDF("doc_id", "text")
+      intercept[IllegalArgumentException](Chunking.chunkWords(df, "doc_id", "text", 0, 0))
+      intercept[IllegalArgumentException](Chunking.chunkWords(df, "doc_id", "text", 8, 8))
+    }
+  }
+
   describe("Similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
