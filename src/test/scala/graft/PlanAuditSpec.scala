@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+
+/**
+ * Plan-shape guards for the scan layer: a query that projects two columns
+ * must READ two columns (`ReadSchema`), and filters must reach the parquet
+ * scan (`PushedFilters`). These are the properties that decide whether a
+ * 100 TB scan reads 100 TB or 2 columns' worth — pinned here so an innocent
+ * refactor (a select * upstream, a filter moved above a non-pushable op)
+ * fails loudly instead of silently inflating IO.
+ */
+class PlanAuditSpec extends AnyFunSpec with SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  it("q21 token count reads ONLY (doc_id, text) from the documents scan") {
+    val p = plan("q21_token_count")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  it("q18 per-status stats prune the orders scan to the aggregated columns") {
+    val p = plan("q18_agg_stats")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!read.contains("o_orderdate") && !read.contains("o_orderpriority"),
+      s"scan reads unused columns: $read\n$p")
+  }
+
+  it("q25 similarity reads only (vec_id, embedding) and broadcasts the query side") {
+    val p = plan("q25_sim_topk")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  it("q43's event-type filter is pushed down to the events scan") {
+    val p = plan("q43_range_join")
+    assert(p.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*EqualTo\\(event_type,purchase\\)".r.findFirstIn(p).isDefined, p)
+  }
+}
