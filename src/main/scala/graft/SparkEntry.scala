@@ -33,6 +33,32 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Shared exact-Jaccard pair pipeline for q45 (gate on the verify kernel)
+    * and q55 (end-to-end dedup survivors): candidates are pairs sharing >= 3
+    * rare shingles (document frequency <= 10 — the df cap IS the bucket cap:
+    * one groupBy-per-shingle pass with capped in-bucket expansion, no shingle
+    * self-join), verified on FULL shingle sets by `jaccardVerify`. The tiny
+    * id-pair candidate frame is persisted because the verify step consumes it
+    * in two branches — without it the whole shingle->bucket->count subtree
+    * executes twice (two identical aggregation subtrees in the plan). The
+    * few-KB cache lives for the session — acceptable in the driver's one-shot
+    * Bench/Verify JVMs; a long-lived service would route this through
+    * minhashNearDups-style unpersistHook plumbing. */
+  private def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    val docs = tbl(s, dir, "documents")
+    val sh = operators.Dedup.shingleHashes(docs, "doc_id", "text", 3)
+    val banded = sh.select(lit(0), col("h"), col("doc_id").cast("long"), lit(0L))
+      .as[(Int, Long, Long, Long)]
+    val cands = operators.Dedup.bucketPairs(banded, 10)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text", 3, threshold)
+  }
+
   /** Flagship query on sf=0.001: per-user exponential moving average over the
     * event stream in (ts, event_id) order — the reference's motivating
     * time-series use case, as an order-sensitive streaming fold. */
@@ -495,30 +521,9 @@ object SparkEntry {
     // rare shingles. Verified on FULL shingle sets by the same `jaccardVerify` kernel
     // the q27 minhash pipeline uses. Output is exact integers (inter, uni) —
     // this hash-gates the verify kernel's set math end to end.
-    "q45_jaccard_exact" -> ((s, dir) => {
-      import s.implicits._
-      val docs = tbl(s, dir, "documents")
-      val sh = operators.Dedup.shingleHashes(docs, "doc_id", "text", 3)
-      // one groupBy-per-shingle pass with capped in-bucket pair expansion —
-      // the df cap IS the bucket cap (no shingle self-join, no second shuffle)
-      val banded = sh.select(lit(0), col("h"), col("doc_id").cast("long"), lit(0L))
-        .as[(Int, Long, Long, Long)]
-      // persist the tiny id-pair frame: jaccardVerify consumes it in two
-      // branches (the semi-join id list and the pair join), and without the
-      // persist the whole shingle->bucket->count candidate subtree executes
-      // TWICE (visible as two identical aggregation subtrees in the plan).
-      // The cache (a few KB of id pairs) lives for the session — acceptable
-      // in the driver's one-shot Bench/Verify JVMs; a long-lived service
-      // would route this through minhashNearDups-style unpersistHook plumbing
-      val cands = operators.Dedup.bucketPairs(banded, 10)
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 3)
-        .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text", 3, 0.1)
-        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
-    }),
+    "q45_jaccard_exact" -> ((s, dir) =>
+      exactJaccardPairs(s, dir, threshold = 0.1)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))),
 
     // planted-duplicate recall for hyperplane-LSH ANN: exact copies of the
     // first 100 vectors (ids shifted by 1e6) MUST all be found — an identical
@@ -667,7 +672,23 @@ object SparkEntry {
     // a pure narrow 1-to-N pass; the oracle re-derives the same windows with
     // the exact-parity tokenization
     "q54_chunk_words" -> ((s, dir) =>
-      operators.Chunking.chunkWords(tbl(s, dir, "documents"), "doc_id", "text", 8, 2))
+      operators.Chunking.chunkWords(tbl(s, dir, "documents"), "doc_id", "text", 8, 2)),
+
+    // the COMPLETE dedup pipeline, end to end and fully hash-gated:
+    // candidates -> exact Jaccard verify (>= 0.5) -> connected-components
+    // clustering -> drop every non-canonical cluster member. The survivors
+    // are what a training pipeline actually keeps; the oracle replays the
+    // identical pipeline in SQL (shingle CTEs + recursive closure + anti-join)
+    "q55_dedup_survivors" -> ((s, dir) => {
+      val pairs = exactJaccardPairs(s, dir, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val nonCanonical = operators.Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      tbl(s, dir, "documents")
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -983,7 +1004,45 @@ object SparkEntry {
         |SELECT doc_id, CAST(start // 6 AS BIGINT) AS chunk_idx,
         |       CAST(least(len(words) - start, 8) AS BIGINT) AS n_tokens,
         |       array_to_string(words[start+1 : least(start+8, len(words))], ' ') AS chunk_text
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // q55: same candidate chain as q45 at threshold 0.5, closed transitively
+    // with a recursive CTE; survivors = documents minus non-minimum members.
+    "q55_dedup_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
+        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+        |  FROM d WHERE len(words) >= 3)),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         JOIN rare r ON r.s = a.s
+        |         GROUP BY 1, 2 HAVING count(*) >= 3),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |dup_pairs AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = pairs.id_a
+        |  JOIN sizes sb ON sb.doc_id = pairs.id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM dup_pairs
+        |          UNION SELECT id_b, id_a FROM dup_pairs),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |),
+        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin
     // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
     // hash-permutation internals are not expressible in ANSI SQL -> driver
     // records rows-only checks; their kernels are hash-gated by q45-q48 and
