@@ -341,7 +341,7 @@ object Dedup {
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the fingerprint job below materializes it
     // per-round convergence probe in ONE job: cardinality + an
     // order-insensitive content hash (bit_xor of per-row xxhash64). Equal
     // (count, hash) almost certainly means an unchanged edge set; the exact
@@ -378,7 +378,7 @@ object Dedup {
         .where(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: materialized by the fingerprint job
       val (nNew, hNew) = fingerprint(ss)
       converged = nNew == eCount && hNew == eHash && ss.except(e).isEmpty
       e = ss
