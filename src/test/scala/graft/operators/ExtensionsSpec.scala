@@ -271,6 +271,49 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("multilingual robustness (kernels on non-ASCII text)") {
+    // CJK, accented Latin, RTL Arabic, and an astral-plane emoji (surrogate
+    // pair in UTF-16) — 100 TB corpora are multilingual, and the typed
+    // kernels hash UTF-16 units directly, so identical text MUST produce
+    // identical signatures and token decisions regardless of script
+    val uni = Seq(
+      (1L, "机器 学习 模型 训练 数据 管道 构建 完成"),
+      (2L, "机器 学习 模型 训练 数据 管道 构建 完成"),       // exact dup of 1
+      (3L, "café naïve résumé señor jalapeño über garçon œuvre"),
+      (4L, "تعلم الآلة نموذج تدريب بيانات خط أنابيب بناء"),
+      (5L, "🚀 rocket 🌟 star 🎯 target 🔥 fire model data")).toDF("doc_id", "text")
+
+    it("minhash and simhash treat identical non-ASCII texts as exact duplicates") {
+      val mh = Dedup.minhashNearDups(uni, "doc_id", "text")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(mh.contains((1L, 2L)))
+      assert(!mh.exists(p => p._1 >= 3L)) // distinct scripts never pair
+      val sh = Dedup.simhash(uni, "doc_id", "text").as[(Long, Long)].collect().toMap
+      assert(sh(1L) === sh(2L))
+      assert(Set(sh(1L), sh(3L), sh(4L), sh(5L)).size === 4)
+    }
+
+    it("chunkWords round-trips every non-ASCII word incl. surrogate pairs") {
+      val chunks = Chunking.chunkWords(uni, "doc_id", "text", 3, 1)
+        .as[(Long, Long, Long, String)].collect()
+      for (id <- 1L to 5L) {
+        val original = uni.where(col("doc_id") === id)
+          .select("text").as[String].head().trim.split("\\s+").toSet
+        val covered = chunks.filter(_._1 == id).flatMap(_._4.split(" ")).toSet
+        assert(covered === original, s"doc $id lost words in chunking")
+      }
+    }
+
+    it("deterministic sampling hash is byte-stable for ids regardless of platform") {
+      // pin two hash32 values so any change to the hashing recipe (and thus
+      // to every persisted sample) fails loudly
+      val got = Sampling.deterministicSample(
+        spark.range(0, 2, 1, 1).toDF("id"), "id", 1.0)
+        .select(Sampling.hash32(col("id")).as("h")).as[Long].collect().toSeq
+      assert(got === Seq(3486326916L, 3301589560L))
+    }
+  }
+
   describe("Similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
