@@ -981,16 +981,17 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
     // q52/q53: the md5-prefix hash is reproduced exactly — first 8 hex chars
-    // of md5 of the id's decimal string, read as a 32-bit integer.
+    // of md5 of the id's decimal string + the operator's purpose salt, read
+    // as a 32-bit integer.
     "q52_det_sample" ->
       """SELECT doc_id FROM documents
-        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 8)) AS UBIGINT)
         |      < CAST(0.25 * 4294967296 AS UBIGINT)""".stripMargin,
     "q53_per_key_sample" ->
       """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id, row_number() OVER (
         |    PARTITION BY user_id
-        |    ORDER BY CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+        |    ORDER BY CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'perkey'), 1, 8)) AS UBIGINT),
         |             event_id) AS rn
         |  FROM events) t
         |WHERE rn <= 3""".stripMargin,
@@ -999,8 +1000,10 @@ object SparkEntry {
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
-        |s AS (SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
-        |      FROM d WHERE len(words) > 0)
+        |s AS (SELECT doc_id, words, start FROM (
+        |        SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
+        |        FROM d WHERE len(words) > 0)
+        |      WHERE start = 0 OR start + 2 < len(words))
         |SELECT doc_id, CAST(start // 6 AS BIGINT) AS chunk_idx,
         |       CAST(least(len(words) - start, 8) AS BIGINT) AS n_tokens,
         |       array_to_string(words[start+1 : least(start+8, len(words))], ' ') AS chunk_text

@@ -14,9 +14,11 @@ object Chunking {
 
   /**
    * Word windows of `chunkSize` tokens every `chunkSize - overlap` tokens:
-   * window i covers words [i*stride, i*stride + chunkSize) and the final
-   * windows are truncated at the document end (a document shorter than
-   * `chunkSize` yields exactly one window). Tokenization is Java
+   * window i covers words [i*stride, i*stride + chunkSize), the final window
+   * is truncated at the document end, and a window whose NEW content would be
+   * empty (everything it covers lies inside the previous window's overlap) is
+   * not emitted — so a document shorter than `chunkSize` yields exactly one
+   * window and no tail window duplicates content. Tokenization is Java
    * `trim` + `split("\\s+")` — identical to the dedup/minhash kernels, and
    * replicated exactly by the DuckDB oracle's edge-strip + `\s`-class regex.
    *
@@ -38,7 +40,10 @@ object Chunking {
           else {
             val words = text.trim.split("\\s+")
             if (words.length == 0 || (words.length == 1 && words(0).isEmpty)) Iterator.empty
-            else Iterator.iterate(0)(_ + stride).takeWhile(_ < words.length).map { start =>
+            // a window at start > 0 contributes new tokens iff the document
+            // extends past the previous window's end (= start + overlap)
+            else Iterator.iterate(0)(_ + stride)
+              .takeWhile(s => s == 0 || s + overlap < words.length).map { start =>
               val end = math.min(start + chunkSize, words.length)
               (id, (start / stride).toLong, (end - start).toLong,
                 words.slice(start, end).mkString(" "))

@@ -18,27 +18,36 @@ import graft.sorted.syntax._
 object Sampling {
 
   /** Uniform deterministic hash of an id into [0, 2^32): the first 8 hex
-    * chars of md5 of the id's decimal string. Pure function of the value —
-    * stable across runs, partitionings, and engines. */
-  def hash32(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+    * chars of md5 of the id's decimal string concatenated with a PURPOSE
+    * SALT. Pure function of (value, salt) — stable across runs,
+    * partitionings, and engines. The salt decorrelates the sampling
+    * operators from each other: with one unsalted hash, `withSplit(0.25)`
+    * after `deterministicSample(0.25)` would mark 100% of survivors as
+    * holdout (the sample IS the low-hash set) instead of 25%. */
+  def hash32(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")
 
   /** Keep ~`fraction` of rows, deterministically: a row survives iff its id
-    * hash falls below fraction * 2^32. Rerunning, repartitioning, or scaling
-    * the cluster cannot change the sample; growing the corpus never evicts a
-    * previously sampled row (the decision is per-row, not per-quota). */
+    * hash (salt "sample") falls below fraction * 2^32. Rerunning,
+    * repartitioning, or scaling the cluster cannot change the sample;
+    * growing the corpus never evicts a previously sampled row (the decision
+    * is per-row, not per-quota); composes independently with [[withSplit]]
+    * and [[perKeySample]] (distinct salts). */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    df.where(hash32(col(idCol)) < (fraction * 4294967296.0).toLong)
+    df.where(hash32(col(idCol), "sample") < (fraction * 4294967296.0).toLong)
   }
 
   /** Deterministic train/holdout assignment: adds `is_holdout`, true for
-    * ~`holdoutFraction` of rows. The complement of [[deterministicSample]]'s
-    * predicate — a row is in exactly one split, forever. */
+    * ~`holdoutFraction` of rows (salt "split" — INDEPENDENT of
+    * [[deterministicSample]]'s selection, so splitting a sampled corpus
+    * yields the requested fraction, not an artifact of the shared hash).
+    * A row is in exactly one split, forever. */
   def withSplit(df: DataFrame, idCol: String, holdoutFraction: Double): DataFrame = {
     require(holdoutFraction >= 0.0 && holdoutFraction <= 1.0,
       s"holdoutFraction must be in [0,1], got $holdoutFraction")
-    df.withColumn("is_holdout", hash32(col(idCol)) < (holdoutFraction * 4294967296.0).toLong)
+    require(!df.columns.contains("is_holdout"), "is_holdout is reserved by withSplit")
+    df.withColumn("is_holdout", hash32(col(idCol), "split") < (holdoutFraction * 4294967296.0).toLong)
   }
 
   /**
@@ -58,7 +67,7 @@ object Sampling {
     import spark.implicits._
     val scored = df.select(
         col(keyCol).cast("string"),
-        struct(hash32(col(idCol)).as("h"), col(idCol).cast("long").as("id")).as("s"))
+        struct(hash32(col(idCol), "perkey").as("h"), col(idCol).cast("long").as("id")).as("s"))
       .as[(String, (Long, Long))]
     def ins(acc: List[(Long, Long)], v: (Long, Long)): List[(Long, Long)] =
       ((v :: acc).sorted).take(k)

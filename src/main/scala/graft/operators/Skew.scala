@@ -14,11 +14,16 @@ object Skew {
 
   /**
    * Inner equi-join that spreads each hot key of `left` across `numSalts`
-   * shuffle partitions: every left row gets a deterministic salt derived from
-   * its full row content (`xxhash64 pmod numSalts` — uniform, no RNG state,
-   * stable across retries/runs), and `right` is replicated once per salt
+   * shuffle partitions: every left row gets a salt derived from its full row
+   * content MIXED WITH a per-partition row index (`xxhash64(row,
+   * monotonically_increasing_id) pmod numSalts` — no RNG state; the index
+   * keeps DUPLICATE rows of a hot key spreading across cells, where a pure
+   * content hash would collapse 10M identical rows into one cell and
+   * reintroduce the straggler), and `right` is replicated once per salt
    * value, so the join key becomes (key, salt) and a key with 10M rows
-   * shuffles as `numSalts` cells of ~10M/numSalts rows each.
+   * shuffles as `numSalts` cells of ~10M/numSalts rows each. Any salt value
+   * yields the same join result (each pair meets in the left row's cell), so
+   * the index's sensitivity to partitioning does not affect the output.
    *
    * SEMANTICALLY IDENTICAL to `left.join(right, key)`: each (left row,
    * right row) pair with equal keys meets in exactly one salt cell — the left
@@ -34,7 +39,8 @@ object Skew {
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "__salt is reserved by saltedEquiJoin")
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(numSalts.toLong)).cast("int"))
+      pmod(xxhash64((left.columns.map(col) :+ monotonically_increasing_id()): _*),
+        lit(numSalts.toLong)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(array((0 until numSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")

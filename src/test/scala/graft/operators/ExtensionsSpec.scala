@@ -191,10 +191,23 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       // multiple shuffle cells instead of one straggler partition
       val plan = salted.queryExecution.executedPlan.toString
       assert(plan.contains("__salt"), plan)
-      val hotCells = fact.where(col("k") === 7L)
-        .withColumn("__salt", pmod(xxhash64(struct(col("k"), col("payload"))), lit(8L)).cast("int"))
-        .select(col("__salt")).distinct().count()
-      assert(hotCells > 1, s"hot key occupied only $hotCells salt cell(s)")
+    }
+
+    it("saltedEquiJoin spreads even IDENTICAL hot-key rows across salt cells") {
+      // 10k byte-identical fact rows: a pure content hash would collapse them
+      // all into one cell, reintroducing the straggler; the mixed-in row
+      // index must keep them spread — and the join result must still equal
+      // the plain join exactly (duplicates preserved)
+      val fact = (0 until 10000).map(_ => (7L, 1L)).toDF("k", "payload")
+      val dim = Seq((7L, "hot"), (8L, "cold")).toDF("k", "name")
+      val salted = Skew.saltedEquiJoin(fact, dim, "k", 8)
+      assert(salted.count() === 10000L)
+      assert(salted.exceptAll(fact.join(dim, Seq("k"), "inner")).isEmpty)
+      val cells = fact
+        .withColumn("__salt", pmod(xxhash64(col("k"), col("payload"),
+          monotonically_increasing_id()), lit(8L)).cast("int"))
+        .select("__salt").distinct().count()
+      assert(cells === 8L, s"identical rows occupied only $cells of 8 salt cells")
     }
 
     it("saltedEquiJoin rejects a reserved column and non-positive salt counts") {
@@ -220,12 +233,27 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(Sampling.deterministicSample(ids, "id", 1.0).count() === 2000L)
     }
 
-    it("withSplit partitions every row into exactly one split, complementing the sample") {
+    it("withSplit is INDEPENDENT of the sample (distinct purpose salts) and covers every row") {
       val split = Sampling.withSplit(ids, "id", 0.25)
       val holdout = split.where(col("is_holdout")).select("id").as[Long].collect().toSet
       val sampled = Sampling.deterministicSample(ids, "id", 0.25).select("id").as[Long].collect().toSet
-      assert(holdout === sampled)
       assert(split.count() === 2000L)
+      assert(math.abs(holdout.size - 500) < 100)
+      // correlated hashes would make holdout == sampled (every sampled row
+      // lands in holdout when splitting a sampled corpus); independence means
+      // the overlap is ~ fraction^2 of the corpus (~125 of 2000), not 100%
+      val overlap = holdout.intersect(sampled).size
+      assert(overlap < 250, s"sample/split overlap $overlap suggests correlated hashes")
+      // splitting the SAMPLED corpus must hold out ~25% of it, not 100%
+      val sampledDf = Sampling.deterministicSample(ids, "id", 0.25)
+      val nested = Sampling.withSplit(sampledDf, "id", 0.25)
+      val frac = nested.where(col("is_holdout")).count().toDouble / nested.count()
+      assert(frac > 0.1 && frac < 0.45, s"holdout fraction of a sampled corpus was $frac")
+    }
+
+    it("withSplit rejects a frame that already carries is_holdout") {
+      val pre = Sampling.withSplit(ids, "id", 0.25)
+      intercept[IllegalArgumentException](Sampling.withSplit(pre, "id", 0.1))
     }
 
     it("perKeySample keeps exactly k per key (all, when the group is smaller) and matches the hash-rank oracle") {
@@ -234,7 +262,7 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
         .select(col("k").cast("long"), col("id")).as[(Long, Long)].collect()
       assert(got.groupBy(_._1).forall(_._2.length == 5))
       // window-rank reference: smallest 5 hashes per key, ties by id
-      val ref = ev.withColumn("h", Sampling.hash32(col("id")))
+      val ref = ev.withColumn("h", Sampling.hash32(col("id"), "perkey"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
             .orderBy(col("h"), col("id"))))
@@ -252,13 +280,16 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
         (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 words
         (2L, "a b c"),                          // shorter than a chunk
         (3L, null.asInstanceOf[String]),
-        (4L, "   ")).toDF("doc_id", "text")
+        (4L, "   "),
+        (5L, "x0 x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text") // 7 words: tail
+      // window [6,7) would add NO new tokens -> exactly one window
       val got = Chunking.chunkWords(docs, "doc_id", "text", chunkSize = 8, overlap = 2)
         .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
       assert(got.toSeq === Seq(
         (1L, 0L, 8L, "w0 w1 w2 w3 w4 w5 w6 w7"),
         (1L, 1L, 4L, "w6 w7 w8 w9"), // overlap of 2, truncated at doc end
-        (2L, 0L, 3L, "a b c")))
+        (2L, 0L, 3L, "a b c"),
+        (5L, 0L, 7L, "x0 x1 x2 x3 x4 x5 x6")))
       // every word index of doc 1 appears in at least one chunk
       val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
       assert(covered === (0 until 10).map(i => s"w$i").toSet)
@@ -286,8 +317,7 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
     it("minhash and simhash treat identical non-ASCII texts as exact duplicates") {
       val mh = Dedup.minhashNearDups(uni, "doc_id", "text")
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-      assert(mh.contains((1L, 2L)))
-      assert(!mh.exists(p => p._1 >= 3L)) // distinct scripts never pair
+      assert(mh === Set((1L, 2L))) // the dup pair and NOTHING else — no cross-script pairs
       val sh = Dedup.simhash(uni, "doc_id", "text").as[(Long, Long)].collect().toMap
       assert(sh(1L) === sh(2L))
       assert(Set(sh(1L), sh(3L), sh(4L), sh(5L)).size === 4)
@@ -309,8 +339,8 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       // to every persisted sample) fails loudly
       val got = Sampling.deterministicSample(
         spark.range(0, 2, 1, 1).toDF("id"), "id", 1.0)
-        .select(Sampling.hash32(col("id")).as("h")).as[Long].collect().toSeq
-      assert(got === Seq(3486326916L, 3301589560L))
+        .select(Sampling.hash32(col("id"), "sample").as("h")).as[Long].collect().toSeq
+      assert(got === Seq(3531617373L, 2677363853L)) // md5("0sample"/"1sample") prefixes
     }
   }
 
