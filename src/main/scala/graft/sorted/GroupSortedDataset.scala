@@ -86,17 +86,22 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
   }
 
   /** Value projection. Narrow: grouping layout survives, per-key value ORDER is
-    * no longer meaningful under the new value type. */
+    * no longer meaningful under the new value type (so the value-sort column is
+    * dropped), but the key->partition mapping and key order are untouched — the
+    * co-partition proof (`explicitPartitions`) is carried so a later
+    * `mergeJoin`/`mergeUnion` still plans the 0-exchange narrow path, matching
+    * the reference's partitioner preservation (`GroupSorted.scala:33-39`). */
   def mapValues[W: Encoder](f: V => W): GroupSortedDataset[K, W] =
-    new GroupSortedDataset(dataset.map(kv => (kv._1, f(kv._2)))(tupleEnc[K, W]))
+    new GroupSortedDataset(dataset.map(kv => (kv._1, f(kv._2)))(tupleEnc[K, W]), None, None, explicitPartitions, reverseLayout)
 
-  /** 1-to-N value expansion; narrow, grouping layout survives. */
+  /** 1-to-N value expansion; narrow, grouping layout AND co-partition proof
+    * survive (key runs stay contiguous and in key order). */
   def flatMapValues[W: Encoder](f: V => IterableOnce[W]): GroupSortedDataset[K, W] =
-    new GroupSortedDataset(dataset.flatMap(kv => f(kv._2).iterator.map(w => (kv._1, w)))(tupleEnc[K, W]))
+    new GroupSortedDataset(dataset.flatMap(kv => f(kv._2).iterator.map(w => (kv._1, w)))(tupleEnc[K, W]), None, None, explicitPartitions, reverseLayout)
 
-  /** Value projection that can read the key; narrow. */
+  /** Value projection that can read the key; narrow, co-partition proof survives. */
   def mapKeyValuesToValues[W: Encoder](f: ((K, V)) => W): GroupSortedDataset[K, W] =
-    new GroupSortedDataset(dataset.map(kv => (kv._1, f(kv)))(tupleEnc[K, W]))
+    new GroupSortedDataset(dataset.map(kv => (kv._1, f(kv)))(tupleEnc[K, W]), None, None, explicitPartitions, reverseLayout)
 
   /** Row filter; narrow, preserves BOTH grouping and per-key value order
     * (the sort metadata is carried so later mergeJoins keep the order too). */

@@ -26,9 +26,13 @@ object syntax {
     def groupSort(numPartitions: Int = -1, reverse: Boolean = false, sortBy: Column => Column = identity)(implicit ek: Encoder[K]): GroupSortedDataset[K, V] =
       GroupSortedDataset(self, if (numPartitions > 0) Some(numPartitions) else None, reverse, sortBy)
 
-    /** Co-layout with `other` (reference overload #8): same partition count. */
+    /** Co-layout with `other` (reference overload #8): same partition count.
+      * When `other` carries an EXPLICIT count, adopt it so BOTH sides hold the
+      * co-partition proof and `mergeJoin`/`mergeUnion` plan the 0-exchange
+      * narrow path; otherwise fall back to the runtime count (layout matches
+      * but neither side can prove it, so joins use the cogroup path). */
     def groupSortWith[W](other: GroupSortedDataset[K, W])(implicit ek: Encoder[K]): GroupSortedDataset[K, V] =
-      groupSort(other.toDS.rdd.getNumPartitions)
+      groupSort(other.explicitPartitions.getOrElse(other.toDS.rdd.getNumPartitions))
 
     /**
      * Combiner-style aggregation (reference overloads #9-#11,

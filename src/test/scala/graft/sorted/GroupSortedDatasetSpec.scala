@@ -252,6 +252,45 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("co-partition proof survives value-projection ops") {
+    it("groupSort(8).mapValues(f).mergeJoin(other.groupSort(8)) plans 0 exchanges") {
+      val l = Seq((1L, 1), (2L, 2)).toDS.groupSort(8).mapValues(_ * 10)
+      val r = Seq((1L, "x"), (3L, "z")).toDS.groupSort(8)
+      val joined = l.mergeJoinInner(r)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).isEmpty, plan)
+      assertMultiset(joined, Seq((1L, (10, "x"))))
+    }
+
+    it("flatMapValues and mapKeyValuesToValues also keep the proof (0-exchange joins)") {
+      val base = Seq((1L, 2), (2L, 1)).toDS.groupSort(4)
+      val r = Seq((1L, "x"), (2L, "y")).toDS.groupSort(4)
+      val viaFlat = base.flatMapValues(v => Seq.fill(v)(v)).mergeJoinInner(r)
+      assert("Exchange".r.findAllIn(viaFlat.queryExecution.executedPlan.toString).isEmpty)
+      assertMultiset(viaFlat, Seq((1L, (2, "x")), (1L, (2, "x")), (2L, (1, "y"))))
+      val viaKv = base.mapKeyValuesToValues { case (k, v) => k + v }.mergeJoinInner(r)
+      assert("Exchange".r.findAllIn(viaKv.queryExecution.executedPlan.toString).isEmpty)
+      assertMultiset(viaKv, Seq((1L, (3L, "x")), (2L, (3L, "y"))))
+    }
+
+    it("mapValues between a DESCENDING layout and mergeUnion still zips narrow") {
+      val a = Seq(("k", 1), ("k", 3)).toDS().groupSort(2, reverse = true).mapValues(_ * 2)
+      val b = Seq(("k", 4)).toDS().groupSort(2, reverse = true)
+      val merged = a.mergeUnion(b)
+      assert("Exchange".r.findAllIn(merged.toDS.queryExecution.executedPlan.toString).isEmpty)
+      val vs = merged.mapStreamByKey(it => Iterator.single(it.mkString(","))).collect().toMap
+      assert(vs("k") === "6,4,2")
+    }
+
+    it("groupSortWith adopts the other side's EXPLICIT count so the join is narrow") {
+      val r = Seq((1L, 10L), (2L, 20L)).toDS.groupSort(8)
+      val l = Seq((1L, "a"), (2L, "b")).toDS.groupSortWith(r)
+      val joined = l.mergeJoinInner(r)
+      assert("Exchange".r.findAllIn(joined.queryExecution.executedPlan.toString).isEmpty)
+      assertMultiset(joined, Seq((1L, ("a", 10L)), (2L, ("b", 20L))))
+    }
+  }
+
   describe("mergeUnion") {
     it("merges two group-sorted datasets preserving the layout") {
       val a = Seq(("a", 1), ("b", 5), ("a", 3)).toDS().groupSort(2)
