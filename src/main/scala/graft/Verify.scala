@@ -30,7 +30,7 @@ object Verify {
         // a mid-write failure can leave fresh-but-partial part files; remove
         // them so the comparer sees a missing result, not a truncated one
         deleteRec(new java.io.File(s"$outDir/$name"))
-      }
+      } finally SparkEntry.drainCleanups() // release per-query caches
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

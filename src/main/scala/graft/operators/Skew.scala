@@ -34,15 +34,31 @@ object Skew {
    * Both inputs must share ONLY the join column name; other columns must be
    * disjoint (standard equi-join hygiene). `__salt` is reserved.
    */
-  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String, numSalts: Int): DataFrame = {
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String, numSalts: Int): DataFrame =
+    saltedJoin(left, right, key, numSalts, "inner")
+
+  /**
+   * LEFT-OUTER variant — the fact-preserving enrich shape (keep every left
+   * row, attach right columns where the key matches). Same salt scheme as
+   * [[saltedEquiJoin]]: each left row carries exactly ONE salt, so an
+   * unmatched left row survives exactly once (with NULL right columns), and a
+   * matched left row meets ALL of the key's right rows in its own salt cell —
+   * semantically identical to `left.join(right, key, "left")`. Left rows with
+   * a NULL key never match (standard equi-join semantics) and likewise
+   * survive exactly once.
+   */
+  def saltedLeftOuterJoin(left: DataFrame, right: DataFrame, key: String, numSalts: Int): DataFrame =
+    saltedJoin(left, right, key, numSalts, "left")
+
+  private def saltedJoin(left: DataFrame, right: DataFrame, key: String, numSalts: Int, joinType: String): DataFrame = {
     require(numSalts > 0, s"numSalts must be positive, got $numSalts")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
-      "__salt is reserved by saltedEquiJoin")
+      "__salt is reserved by salted joins")
     val salted = left.withColumn("__salt",
       pmod(xxhash64((left.columns.map(col) :+ monotonically_increasing_id()): _*),
         lit(numSalts.toLong)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(array((0 until numSalts).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

@@ -14,16 +14,14 @@ class BucketingSpec extends AnyFunSpec with SparkSuite {
   it("q49's co-bucketed join plans exactly one exchange (the final groupBy)") {
     val df = SparkEntry.queries("q49_bucketed_join")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    try {
-      assert(plan.contains("SortMergeJoin"), plan)
-      // both scans read the bucketed layout, so the join needs no exchange;
-      // the only one left is the final groupBy(mktsegment)
-      assert("Exchange".r.findAllIn(plan).size === 1, plan)
-      assert(df.count() === 5L) // one row per market segment
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_q49_customer")
-      spark.sql("DROP TABLE IF EXISTS graft_q49_orders")
-    }
+    assert(plan.contains("SortMergeJoin"), plan)
+    // both scans read the bucketed layout, so the join needs no exchange;
+    // the only one left is the final groupBy(mktsegment)
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    assert(df.count() === 5L) // one row per market segment
+    // the bucketed tables are deliberately NOT dropped: SparkEntry memoizes
+    // the layout per dir (ensureBucketedTables), so dropping them here would
+    // strand any later q49 call in this JVM with a stale "already built" note
   }
 
   it("equi-join of co-bucketed tables plans no exchange") {

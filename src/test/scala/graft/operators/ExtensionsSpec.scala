@@ -216,6 +216,35 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       val ok = Seq((1L, "x")).toDF("k", "v")
       intercept[IllegalArgumentException](Skew.saltedEquiJoin(ok, ok, "k", 0))
     }
+
+    it("saltedLeftOuterJoin equals the plain left join incl. unmatched and null keys") {
+      // matched keys, an unmatched key (99), and a NULL key — the outer
+      // shapes: each must survive exactly once per left row
+      val fact = ((0 until 5000).map(i => (java.lang.Long.valueOf(7L), i.toLong)) ++
+        Seq((java.lang.Long.valueOf(99L), -1L), (null.asInstanceOf[java.lang.Long], -2L)))
+        .toDF("k", "payload")
+      val dim = Seq((7L, "hot"), (8L, "cold")).toDF("k", "name")
+      val salted = Skew.saltedLeftOuterJoin(fact, dim, "k", 8)
+      val plain = fact.join(dim, Seq("k"), "left")
+      assert(salted.columns.toSeq === plain.columns.toSeq)
+      assert(salted.count() === plain.count())
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+      // unmatched + null-key rows survive exactly once with a null dim column
+      assert(salted.where(col("name").isNull).count() === 2L)
+    }
+
+    it("saltedLeftOuterJoin spreads IDENTICAL hot-key rows and keeps outer duplicates") {
+      // the q51-style identical-row hot key, extended to the OUTER case:
+      // 10k byte-identical matched rows AND 10k byte-identical UNMATCHED rows
+      // (key 9 has no dim row) must each come back exactly once per input row
+      val fact = ((0 until 10000).map(_ => (7L, 1L)) ++
+        (0 until 10000).map(_ => (9L, 2L))).toDF("k", "payload")
+      val dim = Seq((7L, "hot")).toDF("k", "name")
+      val salted = Skew.saltedLeftOuterJoin(fact, dim, "k", 8)
+      assert(salted.count() === 20000L)
+      assert(salted.where(col("name").isNull).count() === 10000L)
+      assert(salted.exceptAll(fact.join(dim, Seq("k"), "left")).isEmpty)
+    }
   }
 
   describe("Sampling") {
