@@ -120,6 +120,21 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
     }
 
   /**
+   * Diagnostic: would `mergeJoin(other)` plan the NARROW 0-exchange path
+   * under the implicits in scope at the call site? The narrow path needs (a)
+   * a co-partition proof — both sides `groupSort(n)` with the same explicit
+   * `n`, carried through any narrow ops in between — and (b) an `Ordering[K]`
+   * in implicit scope. (b) is the silent one: `mergeJoin`'s `ordK` defaults
+   * to `null` when no implicit exists (Scala 2 has no way to express "use
+   * this instance only if none is available" without a wrapper typeclass),
+   * so a key type without an Ordering quietly selects the shuffle-cogroup
+   * fallback. Pin the plan with this method (or an Exchange-count plan
+   * assertion) where the narrow path is load-bearing.
+   */
+  def canNarrowJoinWith[W](other: GroupSortedDataset[K, W])(implicit ordK: Ordering[K] = null): Boolean =
+    ordK != null && coPartitioned(other)
+
+  /**
    * Generalized sort-merge cogroup: for every key on either side, `f` sees both
    * (possibly empty) value iterators and streams its output.
    *
@@ -136,6 +151,12 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
    * Otherwise it is planned via `KeyValueGroupedDataset.cogroupSorted` —
    * Spark's native shuffle+sort-merge cogroup (one exchange + sort per side,
    * planned from the PRE-layout `source` so nothing shuffles twice).
+   *
+   * CALL-SITE CAVEAT: `ordK` is an implicit with a `null` default, so a key
+   * type with no `Ordering` in scope does not fail to compile — it silently
+   * takes the cogroup path (correct, but two exchanges). When the narrow
+   * plan is the point, assert [[canNarrowJoinWith]] or pin the plan's
+   * Exchange count in a test.
    */
   def mergeJoin[W, U](other: GroupSortedDataset[K, W])(f: (Iterator[V], Iterator[W]) => IterableOnce[U])(implicit encU: Encoder[U], ordK: Ordering[K] = null): Dataset[(K, U)] = {
     val enc = tupleEnc[K, U]

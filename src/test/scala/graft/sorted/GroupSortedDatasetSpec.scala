@@ -289,6 +289,19 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
       assert("Exchange".r.findAllIn(joined.queryExecution.executedPlan.toString).isEmpty)
       assertMultiset(joined, Seq((1L, ("a", 10L)), (2L, ("b", 20L))))
     }
+
+    it("canNarrowJoinWith reports the planned path (proof + Ordering both required)") {
+      val a = Seq((1L, "x")).toDS.groupSort(4)
+      val b = Seq((1L, 1L)).toDS.groupSort(4)
+      val c = Seq((1L, 1L)).toDS.groupSort(5)
+      assert(a.canNarrowJoinWith(b))           // same explicit count + Ordering[Long]
+      assert(!a.canNarrowJoinWith(c))          // counts differ: no proof
+      assert(a.mapValues(_.length).canNarrowJoinWith(b)) // proof survives projection
+      // no Ordering[TimeValue] in scope -> ordK defaults to null -> cogroup path
+      val t1 = Seq((TimeValue(1, 1.0), "a")).toDS.groupSort(4)
+      val t2 = Seq((TimeValue(1, 1.0), 2L)).toDS.groupSort(4)
+      assert(!t1.canNarrowJoinWith(t2))
+    }
   }
 
   describe("mergeUnion") {

@@ -193,6 +193,63 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("dedupWithinWatermark ≡ batch Dedup.exact (finite replay equivalence)") {
+    // The same finite event set, replayed in several arrival orders (batches
+    // split so duplicates cross micro-batch boundaries, including LATE
+    // arrivals under a wide watermark), must keep exactly one survivor per
+    // distinct (user_id, event_type) — the same key set the batch operator
+    // derives. The surviving REPRESENTATIVE is engine-defined (streaming
+    // keeps the first arrival, Dedup.exact the minimum id), which mirrors
+    // real dedup usage: for exact dedup the keyed content is identical, so
+    // any representative is equivalent.
+    val raw: Seq[StreamEvent] = Seq(
+      StreamEvent(1L, ts(0), "click", 1.0), StreamEvent(1L, ts(4), "click", 2.0),
+      StreamEvent(1L, ts(9), "buy", 3.0),
+      StreamEvent(2L, ts(1), "click", 4.0), StreamEvent(2L, ts(2), "click", 5.0),
+      StreamEvent(2L, ts(8), "click", 6.0),
+      StreamEvent(3L, ts(5), "view", 7.0),
+      StreamEvent(4L, ts(3), "buy", 8.0), StreamEvent(4L, ts(7), "buy", 8.0))
+
+    def runStream(arrival: Seq[StreamEvent], name: String): Seq[(Long, String)] = {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      // 2h watermark: every permutation of this <=10-minute replay is
+      // admissible, so no duplicate can sneak past an aged-out state entry
+      val q = StreamOps.dedupWithinWatermark(input.toDS(), Seq("user_id", "event_type"), "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        // batches of 3: duplicate keys land both within one batch and across
+        // batches, exercising intra-batch and stateful cross-batch dropping
+        arrival.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name).as[StreamEvent].collect().toSeq.map(e => (e.user_id, e.event_type))
+      } finally q.stop()
+    }
+
+    it("keeps exactly the batch operator's surviving key set under every arrival order") {
+      import org.apache.spark.sql.functions.{col, concat_ws}
+      // batch side: Dedup.exact over the same rows keyed by the same columns
+      // (\u0001 separator keeps composite keys unambiguous), representatives
+      // joined back to their keys
+      val df = raw.zipWithIndex
+        .map { case (e, i) => (i.toLong, e.user_id, e.event_type) }
+        .toDF("eid", "user_id", "event_type")
+      val batchKeys = graft.operators.Dedup.exact(df, "eid", concat_ws("\u0001", col("user_id"), col("event_type")))
+        .join(df, "eid")
+        .select("user_id", "event_type").as[(Long, String)].collect().toSet
+
+      val inOrder = raw.sortBy(_.ts.getTime)
+      for ((name, arrival) <- Seq(
+          "ddeq_inorder" -> inOrder,
+          "ddeq_reversed" -> inOrder.reverse,
+          "ddeq_shuffled" -> new scala.util.Random(7).shuffle(raw))) {
+        val kept = runStream(arrival, name)
+        // one survivor per key, and the key set is the batch operator's
+        assert(kept.size === kept.toSet.size, s"$name emitted a duplicate key")
+        assert(kept.toSet === batchKeys, s"$name key set diverged from Dedup.exact")
+      }
+    }
+  }
+
   describe("windowedCounts (watermarked sliding windows)") {
     it("equals the batch window aggregation on a finite replay (late arrivals included)") {
       implicit val sc = spark.sqlContext
