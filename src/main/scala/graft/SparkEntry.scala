@@ -779,6 +779,32 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       operators.Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // EMBEDDING dedup survivors, end to end — the vector-space analog of
+    // q55's text pipeline: LSH-bucketed candidates (subquadratic, never an
+    // all-pairs join) -> codegen'd exact-cosine verify -> connected
+    // components -> drop non-canonical members. Planted exact duplicates
+    // (vec_id+1000000, identical embedding) make the gate deterministic:
+    // identical vectors share every sign bit so LSH surfaces every planted
+    // pair in all 8 tables, the 0.999 verify keeps only them (measured max
+    // NATURAL cosine in this corpus: 0.60 — enormous margin), and each
+    // cluster keeps its minimum id. Survivors must therefore be EXACTLY the
+    // original vec_ids: one missed candidate (recall) or one false merge
+    // (precision) breaks the hash.
+    "q59_embed_dedup_survivors" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+      val pairs = operators.Similarity
+        .lshNearNeighbors(corpus, "vec_id", "embedding", 64, threshold = 0.999)
+        .select(col("id_a"), col("id_b"))
+      val nonCanonical = operators.Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("vec_id"))
+      corpus.select(col("vec_id"))
+        .join(nonCanonical, Seq("vec_id"), "left_anti")
     })
   )
 
@@ -1205,7 +1231,16 @@ object SparkEntry {
         |  UNION
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
         |)
-        |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component FROM reach GROUP BY u""".stripMargin
+        |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component FROM reach GROUP BY u""".stripMargin,
+    // q59: survivors of the embedding dedup pipeline must be EXACTLY the
+    // original vec_ids — every planted copy (vec_id+1000000, identical
+    // vector) clusters with its original and is dropped as non-canonical,
+    // and no natural pair reaches the 0.999 cosine verify (measured max
+    // natural cosine in this corpus: 0.60). A missed candidate leaves a
+    // planted id in the output; a false merge removes an original — either
+    // breaks the hash.
+    "q59_embed_dedup_survivors" ->
+      "SELECT vec_id FROM embeddings"
     // q27/q28/q29 (minhash, simhash, LSH ANN on the natural corpus):
     // hash-permutation internals are not expressible in ANSI SQL -> driver
     // records rows-only checks; their kernels are hash-gated by q45-q48 and

@@ -442,6 +442,24 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(approx.subsetOf(exact))
       assert(approx.contains((0L, 1L))) // high recall for near-identical
     }
+
+    it("embedding dedup pipeline (LSH -> cosine verify -> CC -> keep) removes exactly the planted copies") {
+      // q59's shape on a toy corpus: identical vectors share every sign bit,
+      // so LSH MUST surface every planted pair; the tight verify admits
+      // nothing else; CC keeps the minimum id per cluster. Also plants a
+      // 3-member cluster (two copies of vec 0) to check transitive collapse.
+      val planted = vecs.select(($"vec_id" + 100L).as("vec_id"), $"embedding")
+        .union(vecs.filter($"vec_id" === 0).select(($"vec_id" + 200L).as("vec_id"), $"embedding"))
+      val corpus = vecs.union(planted)
+      val pairs = Similarity.lshNearNeighbors(corpus, "vec_id", "embedding", 3,
+        planesPerTable = 2, tables = 8, threshold = 0.999)
+        .select($"id_a", $"id_b")
+      val survivors = corpus.select($"vec_id")
+        .join(Dedup.connectedComponents(pairs).where($"id" =!= $"component")
+          .select($"id".as("vec_id")), Seq("vec_id"), "left_anti")
+        .as[Long].collect().toSet
+      assert(survivors === Set(0L, 1L, 2L, 3L))
+    }
   }
 
   describe("Sessions") {
