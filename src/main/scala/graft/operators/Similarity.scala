@@ -242,29 +242,32 @@ object Similarity {
   }
 
   /**
-   * IVF (inverted-file) approximate top-k: the classic two-level ANN index,
-   * Spark-first. A coarse quantizer of `nCentroids` deterministic seed
-   * vectors (lowest ids) partitions the corpus into inverted lists — one
-   * broadcast join + a `max_by` aggregation with map-side partial combine,
-   * so assignment is a single corpus scan. Each query then probes only its
-   * `nProbe` nearest lists; exact cosine ranks the candidates. At 100 TB the
-   * expensive exact scoring touches ~nProbe/nCentroids of the corpus, and no
-   * stage shuffles full vectors except the bounded candidate set.
-   *
-   * `nProbe >= nCentroids` degenerates to exact brute force (useful for
-   * recall testing). Self-matches are dropped. Returns
-   * (query_id, neighbor_id, rank) with rank 1..k by (cos desc, id).
+   * A standing IVF index: the trained coarse quantizer plus the corpus
+   * assignment frame `(neighbor_id, cent_id, cv)` (each corpus vector's
+   * inverted-list membership). At 100 TB this is the layout a deployment
+   * builds ONCE — exactly like a bucketed table — and every query run pays
+   * probe + rank only; callers owning a long-lived index should
+   * `index.assigned.persist(...)` (or write it out partitioned by `cent_id`)
+   * and release it when retiring the index.
    */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  final class IvfIndex private[operators] (
+      private[operators] val centroids: Array[(Long, Array[Double])],
+      val assigned: DataFrame) extends Serializable
+
+  /**
+   * Build the IVF coarse quantizer + inverted-list assignment (the index-build
+   * half of [[ivfTopK]]). The quantizer is `nCentroids` deterministic seed
+   * vectors (lowest ids), optionally refined by `trainIters` k-means rounds
+   * (one distributed corpus pass each); materializing it to the driver is
+   * O(nCentroids * dim) — bounded by the centroid count, never a data collect.
+   * Assignment is a NARROW typed argmax against the closure-captured centroid
+   * array — one corpus scan, zero shuffle (the previous groupBy(max_by)
+   * formulation moved every corpus vector through an exchange once).
+   */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int = 16, trainIters: Int = 0): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Coarse quantizer materialized to the driver once — O(nCentroids * dim),
-    // the index-build step every IVF implementation performs. NOT a data
-    // collect: bounded by the centroid count regardless of corpus size.
-    // `trainIters > 0` refines the seed vectors with that many k-means rounds
-    // (one distributed corpus pass each).
     val centArr: Array[(Long, Array[Double])] =
       if (trainIters > 0)
         trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
@@ -283,10 +286,6 @@ object Similarity {
       if (denom == 0.0) 0.0 else dab / denom
     }
 
-    // nearest centroid per corpus vector: a NARROW typed argmax against the
-    // closure-captured centroid array — assignment shuffles nothing at all
-    // (the previous groupBy(max_by) formulation moved every corpus vector
-    // through an exchange once)
     val assigned = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -308,8 +307,23 @@ object Similarity {
         }
       }
       .toDF("neighbor_id", "cent_id", "cv")
+    new IvfIndex(centArr, assigned)
+  }
+
+  /**
+   * Probe a standing [[IvfIndex]]: each query scores only its `nProbe`
+   * nearest inverted lists; exact cosine ranks the candidates. The recurring
+   * cost of an IVF deployment — the expensive exact scoring touches
+   * ~nProbe/nCentroids of the corpus, and no stage shuffles full vectors
+   * except the bounded candidate set.
+   */
+  def ivfProbe(index: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
     val cents = broadcast(
-      spark.createDataset(centArr.toSeq).toDF("cent_id", "cent_v"))
+      spark.createDataset(index.centroids.toSeq).toDF("cent_id", "cent_v"))
     // nProbe nearest centroids per query (query set is small by contract)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -325,13 +339,29 @@ object Similarity {
     // needed before ranking). A row_number window here would sort every
     // probed candidate of a query in a single task — under exhaustive probing
     // that is the whole corpus per query.
-    val scored = broadcast(probes).join(assigned, "cent_id")
+    val scored = broadcast(probes).join(index.assigned, "cent_id")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id").cast("long"),
         struct(cosine(col("qv"), col("cv")).as("cos"), col("neighbor_id").as("nid")).as("scored"))
       .as[(Long, (Double, Long))]
     rankTopK(scored, k)
   }
+
+  /**
+   * IVF (inverted-file) approximate top-k: the classic two-level ANN index,
+   * Spark-first — [[buildIvfIndex]] then [[ivfProbe]] in one call. One-shot
+   * convenience: a deployment (or benchmark) running many query batches
+   * should build the index once and call [[ivfProbe]] per batch, the way
+   * `SparkEntry.prepare` memoizes it for q38.
+   *
+   * `nProbe >= nCentroids` degenerates to exact brute force (useful for
+   * recall testing). Self-matches are dropped. Returns
+   * (query_id, neighbor_id, rank) with rank 1..k by (cos desc, id).
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame =
+    ivfProbe(buildIvfIndex(corpus, idCol, vecCol, nCentroids, trainIters),
+      queries, idCol, vecCol, k, nProbe)
 
   /** Exact all-pairs similarity above a threshold (block-nested cross join —
     * use only when n is bounded or pre-blocked; prefer lshNearNeighbors). */

@@ -123,16 +123,15 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
    * Diagnostic: would `mergeJoin(other)` plan the NARROW 0-exchange path
    * under the implicits in scope at the call site? The narrow path needs (a)
    * a co-partition proof — both sides `groupSort(n)` with the same explicit
-   * `n`, carried through any narrow ops in between — and (b) an `Ordering[K]`
-   * in implicit scope. (b) is the silent one: `mergeJoin`'s `ordK` defaults
-   * to `null` when no implicit exists (Scala 2 has no way to express "use
-   * this instance only if none is available" without a wrapper typeclass),
-   * so a key type without an Ordering quietly selects the shuffle-cogroup
-   * fallback. Pin the plan with this method (or an Exchange-count plan
-   * assertion) where the narrow path is load-bearing.
+   * `n`, carried through any narrow ops in between — and (b) a
+   * [[NarrowJoinSupport]] instance carrying an `Ordering[K]` (derived
+   * automatically whenever `K` has one in implicit scope; the low-priority
+   * fallback for unordered keys selects cogroup). Pin the plan with this
+   * method (or an Exchange-count plan assertion) where the narrow path is
+   * load-bearing.
    */
-  def canNarrowJoinWith[W](other: GroupSortedDataset[K, W])(implicit ordK: Ordering[K] = null): Boolean =
-    ordK != null && coPartitioned(other)
+  def canNarrowJoinWith[W](other: GroupSortedDataset[K, W])(implicit nj: NarrowJoinSupport[K]): Boolean =
+    nj.keyOrdering.isDefined && coPartitioned(other)
 
   /**
    * Generalized sort-merge cogroup: for every key on either side, `f` sees both
@@ -152,71 +151,74 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
    * Spark's native shuffle+sort-merge cogroup (one exchange + sort per side,
    * planned from the PRE-layout `source` so nothing shuffles twice).
    *
-   * CALL-SITE CAVEAT: `ordK` is an implicit with a `null` default, so a key
-   * type with no `Ordering` in scope does not fail to compile — it silently
-   * takes the cogroup path (correct, but two exchanges). When the narrow
-   * plan is the point, assert [[canNarrowJoinWith]] or pin the plan's
-   * Exchange count in a test.
+   * CALL-SITE CAVEAT: the physical path is chosen by the
+   * [[NarrowJoinSupport]] typeclass — an ordered key resolves the narrow
+   * instance, an unordered key resolves the low-priority cogroup fallback
+   * (correct, but two exchanges), and `NarrowJoinSupport.cogroupOnly[K]` is
+   * the explicit opt-out. When the narrow plan is the point, assert
+   * [[canNarrowJoinWith]] or pin the plan's Exchange count in a test.
    */
-  def mergeJoin[W, U](other: GroupSortedDataset[K, W])(f: (Iterator[V], Iterator[W]) => IterableOnce[U])(implicit encU: Encoder[U], ordK: Ordering[K] = null): Dataset[(K, U)] = {
+  def mergeJoin[W, U](other: GroupSortedDataset[K, W])(f: (Iterator[V], Iterator[W]) => IterableOnce[U])(implicit encU: Encoder[U], nj: NarrowJoinSupport[K]): Dataset[(K, U)] = {
     val enc = tupleEnc[K, U]
-    if (ordK != null && coPartitioned(other)) {
-      val spark = dataset.sparkSession
-      val merged = dataset.rdd.zipPartitions(other.toDS.rdd) { (l, r) =>
-        iterators.mergeJoin(l, r)(f)(ordK)
-      }
-      spark.createDataset(merged)(enc)
-    } else {
-      val left = source
-      val right = other.source
-      // value = LAST column by the key-first/value-last convention; `.as[(K, V)]`
-      // keeps original column names, so don't assume "_2". Reuse the sort order
-      // groupSort established when it is known.
-      val leftSort = valueSort.getOrElse(col(left.columns.last))
-      val rightSort = other.valueSortOrDefault
-      left
-        .groupByKey(_._1)
-        .cogroupSorted(right.groupByKey(_._1))(leftSort)(rightSort) { (k, vs, ws) =>
-          f(vs.map(_._2), ws.map(_._2)).iterator.map(u => (k, u))
-        }(enc)
+    val narrowOrd = if (coPartitioned(other)) nj.keyOrdering else None
+    narrowOrd match {
+      case Some(ordK) =>
+        val spark = dataset.sparkSession
+        val merged = dataset.rdd.zipPartitions(other.toDS.rdd) { (l, r) =>
+          iterators.mergeJoin(l, r)(f)(ordK)
+        }
+        spark.createDataset(merged)(enc)
+      case None =>
+        val left = source
+        val right = other.source
+        // value = LAST column by the key-first/value-last convention; `.as[(K, V)]`
+        // keeps original column names, so don't assume "_2". Reuse the sort order
+        // groupSort established when it is known.
+        val leftSort = valueSort.getOrElse(col(left.columns.last))
+        val rightSort = other.valueSortOrDefault
+        left
+          .groupByKey(_._1)
+          .cogroupSorted(right.groupByKey(_._1))(leftSort)(rightSort) { (k, vs, ws) =>
+            f(vs.map(_._2), ws.map(_._2)).iterator.map(u => (k, u))
+          }(enc)
     }
   }
 
   /** Full-outer merge join: per key, cross product of values with `None` for a
     * missing side. `bufferLeft` flips which side is buffered per key. */
-  def mergeJoinOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], Option[W])], ordK: Ordering[K] = null): Dataset[(K, (Option[V], Option[W]))] = {
+  def mergeJoinOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], Option[W])], nj: NarrowJoinSupport[K]): Dataset[(K, (Option[V], Option[W]))] = {
     val f =
       if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
       else iterators.outerProduct[V, W]
-    mergeJoin(other)(f)(e, ordK)
+    mergeJoin(other)(f)(e, nj)
   }
 
   /** Inner merge join: only keys present on both sides. */
-  def mergeJoinInner[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, W)], ordK: Ordering[K] = null): Dataset[(K, (V, W))] = {
+  def mergeJoinInner[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, W)], nj: NarrowJoinSupport[K]): Dataset[(K, (V, W))] = {
     val f =
       if (bufferLeft) iterators.flipped(iterators.innerProduct[W, V])
       else iterators.innerProduct[V, W]
-    mergeJoin(other)(f)(e, ordK)
+    mergeJoin(other)(f)(e, nj)
   }
 
   /** Left-outer merge join. */
-  def mergeJoinLeftOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, Option[W])], ordK: Ordering[K] = null): Dataset[(K, (V, Option[W]))] = {
+  def mergeJoinLeftOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, Option[W])], nj: NarrowJoinSupport[K]): Dataset[(K, (V, Option[W]))] = {
     val f =
       if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
       else iterators.outerProduct[V, W]
     mergeJoin(other) { (vs, ws) =>
       f(vs, ws).iterator.collect { case (Some(v), mw) => (v, mw) }
-    }(e, ordK)
+    }(e, nj)
   }
 
   /** Right-outer merge join. */
-  def mergeJoinRightOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], W)], ordK: Ordering[K] = null): Dataset[(K, (Option[V], W))] = {
+  def mergeJoinRightOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], W)], nj: NarrowJoinSupport[K]): Dataset[(K, (Option[V], W))] = {
     val f =
       if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
       else iterators.outerProduct[V, W]
     mergeJoin(other) { (vs, ws) =>
       f(vs, ws).iterator.collect { case (mv, Some(w)) => (mv, w) }
-    }(e, ordK)
+    }(e, nj)
   }
 
   /**
@@ -281,6 +283,28 @@ object GroupSortedDataset {
     }
     new GroupSortedDataset(repartitioned.sortWithinPartitions(key, valueSort), Some(valueSort), Some(dataset),
       numPartitions.filter(_ > 0), reverse)
+  }
+
+  /**
+   * Establish a RANGE-partitioned group-sorted layout (see
+   * `syntax.groupSortByRange`): keys are range-partitioned so partitions
+   * concatenate globally key-ordered, then sorted within partitions by
+   * (key, valueSort) as usual. `explicitPartitions` stays `None` — range
+   * bounds are sample-dependent, so no co-partition proof exists and joins
+   * from this layout always plan the cogroup path.
+   */
+  private[sorted] def byRange[K: Encoder, V](dataset: Dataset[(K, V)], numPartitions: Option[Int], reverse: Boolean, sortBy: Column => Column): GroupSortedDataset[K, V] = {
+    val key = col(dataset.columns.head)
+    val valueSort = {
+      val s = sortBy(col(dataset.columns.last))
+      if (reverse) s.desc else s.asc
+    }
+    val repartitioned = numPartitions match {
+      case Some(n) if n > 0 => dataset.repartitionByRange(n, key.asc)
+      case _ => dataset.repartitionByRange(key.asc)
+    }
+    new GroupSortedDataset(repartitioned.sortWithinPartitions(key, valueSort), Some(valueSort), Some(dataset),
+      None, reverse)
   }
 
   /**

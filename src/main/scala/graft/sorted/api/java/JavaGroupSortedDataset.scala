@@ -8,7 +8,7 @@ import scala.reflect.ClassTag
 import org.apache.spark.api.java.function.{FlatMapFunction => JFlatMapFunction, Function => JFunction, Function0 => JFunction0, Function2 => JFunction2}
 import org.apache.spark.sql.{Dataset, Encoder}
 
-import graft.sorted.GroupSortedDataset
+import graft.sorted.{GroupSortedDataset, NarrowJoinSupport}
 import graft.sorted.syntax._
 
 /**
@@ -116,7 +116,7 @@ class JavaGroupSortedDataset[K, V] private (
   /** Would `mergeJoin(other, ..., keyComparator, ...)` take the narrow
     * 0-exchange path? See [[graft.sorted.GroupSortedDataset.canNarrowJoinWith]]. */
   def canNarrowJoinWith[W](other: JavaGroupSortedDataset[K, W], keyComparator: Comparator[K]): Boolean =
-    underlying.canNarrowJoinWith(other.underlying)(toOrdering(keyComparator))
+    underlying.canNarrowJoinWith(other.underlying)(NarrowJoinSupport.narrow(toOrdering(keyComparator)))
 
   /**
    * Generalized sort-merge cogroup: `f` sees both sides' value iterators per
@@ -132,7 +132,7 @@ class JavaGroupSortedDataset[K, V] private (
       f: JFunction2[JIterator[V], JIterator[W], JIterator[U]],
       keyComparator: Comparator[K],
       resultEncoder: Encoder[U]): Dataset[(K, U)] =
-    underlying.mergeJoin(other.underlying)((vs, ws) => f.call(vs.asJava, ws.asJava).asScala)(resultEncoder, toOrdering(keyComparator))
+    underlying.mergeJoin(other.underlying)((vs, ws) => f.call(vs.asJava, ws.asJava).asScala)(resultEncoder, NarrowJoinSupport.narrow(toOrdering(keyComparator)))
 
   /** Order-preserving multiset union; narrow 2-way merge when co-partitioned
     * with the same layout direction, shuffle re-layout otherwise. */

@@ -26,6 +26,21 @@ object syntax {
     def groupSort(numPartitions: Int = -1, reverse: Boolean = false, sortBy: Column => Column = identity)(implicit ek: Encoder[K]): GroupSortedDataset[K, V] =
       GroupSortedDataset(self, if (numPartitions > 0) Some(numPartitions) else None, reverse, sortBy)
 
+    /**
+     * Range-partitioned groupSort — the rebuild of the reference's custom-
+     * `Partitioner` surface (`PairRDDFunctions.scala:14` with e.g. a
+     * `RangePartitioner`). Same per-key invariant as [[groupSort]], but keys
+     * are RANGE-partitioned: partition i holds a contiguous key interval, so
+     * the concatenation of partitions in index order is GLOBALLY key-sorted —
+     * the layout for sorted sinks and range-pruned scans. Range bounds come
+     * from `repartitionByRange`'s reservoir sample, so two range layouts are
+     * never provably aligned: no co-partition proof is carried, and a later
+     * `mergeJoin`/`mergeUnion` against ANY layout correctly plans the
+     * shuffle-cogroup path.
+     */
+    def groupSortByRange(numPartitions: Int = -1, reverse: Boolean = false, sortBy: Column => Column = identity)(implicit ek: Encoder[K]): GroupSortedDataset[K, V] =
+      GroupSortedDataset.byRange(self, if (numPartitions > 0) Some(numPartitions) else None, reverse, sortBy)
+
     /** Co-layout with `other` (reference overload #8): same partition count.
       * When `other` carries an EXPLICIT count, adopt it so BOTH sides hold the
       * co-partition proof and `mergeJoin`/`mergeUnion` plan the 0-exchange

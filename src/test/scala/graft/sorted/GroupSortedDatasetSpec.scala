@@ -56,6 +56,40 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("groupSortByRange") {
+    it("establishes the layout invariant AND global key order across partitions") {
+      val rows = (1 to 100).map(i => (i % 17, i))
+      val gs = rows.toDS().groupSortByRange(4)
+      assertGroupSorted(gs.toDS, Some(Ordering.Int))
+      assertMultiset(gs.toDS, rows)
+      // range partitioning: partitions concatenate globally key-ordered
+      val perPartitionKeys: Array[Seq[Int]] = gs.toDS.rdd
+        .mapPartitions(it => Iterator.single(it.map(_._1).toSeq), preservesPartitioning = true)
+        .collect()
+      val nonEmpty = perPartitionKeys.filter(_.nonEmpty)
+      nonEmpty.sliding(2).foreach {
+        case Array(a, b) => assert(a.max <= b.min, s"partitions out of key range order: $a vs $b")
+        case _ => ()
+      }
+      assert(nonEmpty.length > 1, "expected keys spread over multiple range partitions")
+    }
+
+    it("supports reverse value order and per-key streaming ops") {
+      val got = fiveRows.toDS().groupSortByRange(2, reverse = true)
+        .mapStreamByKey(vs => vs.take(1))
+      assertMultiset(got, Seq(("a", 3), ("b", 10), ("c", 5)))
+    }
+
+    it("carries no co-partition proof: joins from a range layout take the cogroup path") {
+      val l = Seq((1L, "x"), (2L, "y")).toDS.groupSortByRange(2)
+      val r = Seq((1L, 10L), (3L, 30L)).toDS.groupSort(2)
+      assert(!l.canNarrowJoinWith(r) && !r.canNarrowJoinWith(l))
+      val got = l.mergeJoinOuter(r)
+      assertMultiset(got, Seq(
+        (1L, (Some("x"), Some(10L))), (2L, (Some("y"), None)), (3L, (None, Some(30L)))))
+    }
+  }
+
   describe("mapStreamByKey") {
     it("take(1) of descending values = max per key") {
       val got = fiveRows.toDS().groupSort(2, reverse = true)
@@ -297,10 +331,13 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
       assert(a.canNarrowJoinWith(b))           // same explicit count + Ordering[Long]
       assert(!a.canNarrowJoinWith(c))          // counts differ: no proof
       assert(a.mapValues(_.length).canNarrowJoinWith(b)) // proof survives projection
-      // no Ordering[TimeValue] in scope -> ordK defaults to null -> cogroup path
+      // no Ordering[TimeValue] in scope -> the low-priority NarrowJoinSupport
+      // fallback resolves -> cogroup path
       val t1 = Seq((TimeValue(1, 1.0), "a")).toDS.groupSort(4)
       val t2 = Seq((TimeValue(1, 1.0), 2L)).toDS.groupSort(4)
       assert(!t1.canNarrowJoinWith(t2))
+      // explicit opt-out forces the cogroup path even for an ordered key
+      assert(!a.canNarrowJoinWith(b)(NarrowJoinSupport.cogroupOnly))
     }
   }
 
