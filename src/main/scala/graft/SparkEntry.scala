@@ -68,7 +68,8 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= 3)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // SER: id pairs compress well, and the serialized cache spills cheaply
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     onCleanup(() => { cands.unpersist(); () })
     operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text", 3, threshold)
   }

@@ -165,6 +165,17 @@ object Dedup {
     * a per-JVM log stream). */
   private object DroppedBuckets extends java.util.concurrent.atomic.AtomicLong
 
+  /** Per-SparkContext accumulator of hot buckets dropped by [[bucketPairs]]
+    * since the context started — the production monitoring hook for the cap:
+    * a dashboard reads this (it surfaces in the Spark UI / status API as a
+    * named accumulator) instead of grepping executor logs. Task retries can
+    * overcount, as with any Spark accumulator used for monitoring. */
+  def droppedHotBuckets(spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator =
+    droppedAcc.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("graft.dedup.droppedHotBuckets"))
+  private val droppedAcc =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
+
   /** Default per-bucket member cap for the LSH pair expanders: a bucket this
     * populated carries no discriminating signal (standard LSH practice is to
     * drop it), and capping bounds both the single-group state (O(cap) heap —
@@ -192,6 +203,7 @@ object Dedup {
   private[graft] def bucketPairs(banded: Dataset[(Int, Long, Long, Long)], cap: Int): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
+    val acc = droppedHotBuckets(spark)
     banded
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key, rows) =>
@@ -202,6 +214,7 @@ object Dedup {
           if (buf.length < cap) buf += ((r._3, r._4)) else overflow = true
         }
         if (overflow) {
+          acc.add(1L)
           // rate-limited: in prefilter uses (e.g. a document-frequency cap)
           // dropping is the EXPECTED common case — per-bucket WARN would
           // flood the logs; first and every 1000th drop per executor JVM
@@ -306,8 +319,10 @@ object Dedup {
         "integer division would silently drop signature lanes, and rowsPerBand=0 " +
         "hashes an empty band for every row, degenerating to an all-pairs join")
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    // SER: id pairs are tiny and compress well; serialized blocks keep the
+    // cache footprint minimal and spill cheaply
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     unpersistHook(() => { cands.unpersist(); () })
     jaccardVerify(cands, df, idCol, textCol, shingleN, threshold)
   }

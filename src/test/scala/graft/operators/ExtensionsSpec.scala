@@ -108,12 +108,16 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
         (20001L, "an unrelated pair of documents with its own shared phrasing here"),
         (20002L, "an unrelated pair of documents with its own shared phrasing here"))
       val corpus = (hot ++ cool).toDF("doc_id", "text")
+      val dropped0 = Dedup.droppedHotBuckets(spark).value
       val mh = Dedup.minhashNearDups(corpus, "doc_id", "text")
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(mh === Set((20001L, 20002L))) // hot cluster dropped, cool pair intact
       val sh = Dedup.simhashNearDups(corpus, "doc_id", "text")
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(sh === Set((20001L, 20002L)))
+      // the monitoring accumulator observed the drops (dashboards read this
+      // instead of grepping executor logs)
+      assert(Dedup.droppedHotBuckets(spark).value > dropped0)
     }
 
     it("the bucket cap is a parameter: raising it re-admits the cluster") {
