@@ -57,6 +57,12 @@ object JavaGroupSortedDataset {
   def groupSort[K, V](ds: Dataset[(K, V)], numPartitions: Int, reverse: Boolean, keyEncoder: Encoder[K]): JavaGroupSortedDataset[K, V] =
     new JavaGroupSortedDataset(ds.groupSort(numPartitions, reverse)(keyEncoder), keyEncoder)
 
+  /** Range-partitioned layout (see `syntax.groupSortByRange`): partitions
+    * concatenate globally key-ordered; no co-partition proof is carried, so
+    * joins from this layout plan the cogroup path. */
+  def groupSortByRange[K, V](ds: Dataset[(K, V)], numPartitions: Int, reverse: Boolean, keyEncoder: Encoder[K]): JavaGroupSortedDataset[K, V] =
+    new JavaGroupSortedDataset(ds.groupSortByRange(numPartitions, reverse)(keyEncoder), keyEncoder)
+
   private def toOrdering[T](cmp: Comparator[T]): Ordering[T] = Ordering.comparatorToOrdering(cmp)
 
   // Same fake-ClassTag idiom Spark's Java API (and the reference,

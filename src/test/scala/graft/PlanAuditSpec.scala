@@ -40,4 +40,18 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("PushedFilters") &&
       "PushedFilters: \\[[^\\]]*EqualTo\\(event_type,purchase\\)".r.findFirstIn(p).isDefined, p)
   }
+
+  it("q60's range layout plans EXACTLY one exchange (rangepartitioning) + in-partition sort") {
+    val p = plan("q60_range_topn")
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected a single exchange:\n$p")
+    // the sort is within partitions (no global Sort node above the exchange)
+    assert(p.contains("Sort ["), p)
+  }
+
+  it("q38 probes the STANDING IVF index (cached assignment scan, no rebuild in the query plan)") {
+    val p = plan("q38_ann_ivf")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the probe to read the persisted inverted-list assignment:\n$p")
+  }
 }

@@ -425,6 +425,21 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(partial.forall(_._1 == 0L))
     }
 
+    it("a standing IvfIndex probed repeatedly equals the one-shot ivfTopK (build-once contract)") {
+      val idx = Similarity.buildIvfIndex(vecs, "vec_id", "embedding", nCentroids = 2, trainIters = 1)
+      idx.assigned.persist()
+      try {
+        val oneShot = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",
+          k = 2, nCentroids = 2, nProbe = 2, trainIters = 1).as[(Long, Long, Long)].collect().toSet
+        val probe1 = Similarity.ivfProbe(idx, vecs.filter($"vec_id" === 0), "vec_id", "embedding",
+          k = 2, nProbe = 2).as[(Long, Long, Long)].collect().toSet
+        val probe2 = Similarity.ivfProbe(idx, vecs.filter($"vec_id" === 1), "vec_id", "embedding",
+          k = 2, nProbe = 2).as[(Long, Long, Long)].collect().toSet
+        assert(probe1 === oneShot) // probing the standing index ≡ build-and-probe
+        assert(probe2.nonEmpty && probe2.forall(_._1 == 1L)) // second batch reuses the same index
+      } finally { idx.assigned.unpersist(); () }
+    }
+
     it("k-means-trained IVF still equals brute force under exhaustive probing; training is deterministic") {
       val exact = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
         .as[(Long, Long, Long)].collect().toSet

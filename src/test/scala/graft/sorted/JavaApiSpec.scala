@@ -48,6 +48,13 @@ class JavaApiSpec extends AnyFunSpec with SparkSuite {
       assertGroupSorted(g.toDS(), Some(Ordering.Int.reverse))
     }
 
+    it("groupSortByRange establishes the layout and takes the cogroup join path") {
+      val g = JavaGroupSortedDataset.groupSortByRange(rows.toDS(), 2, false, kString)
+      assertGroupSorted(g.toDS(), Some(Ordering.Int))
+      assertMultiset(g.toDS(), rows)
+      assert(!g.canNarrowJoinWith(gs(), natural)) // no co-partition proof from a range layout
+    }
+
     it("mapStreamByKey streams each key's values in order") {
       val top1: JFunction[JIterator[Int], JIterator[Int]] =
         (it: JIterator[Int]) => Iterator.single(it.next()).asJava
