@@ -886,6 +886,65 @@ object SparkEntry {
       ds.groupSortByRange(reverse = true)
         .mapStreamByKey(_.take(2).map(_._2))
         .toDF("user_id", "event_id")
+    }),
+
+    // train/eval decontamination: eval set = every 50th document, training
+    // corpus = the rest; a (train, eval) pair is contaminated when it shares
+    // >= 3 distinct word trigrams. The eval shingle frame is BROADCAST (the
+    // benchmark set is the small side by contract), so the training corpus is
+    // scanned once with a narrow hash probe and no corpus-side shuffle — the
+    // decontamination shape a 100 TB pipeline runs (plan pinned by
+    // PlanAuditSpec).
+    "q61_contamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % 50 === 0)
+      val train = docs.where(col("doc_id") % 50 =!= 0)
+      operators.Contamination.overlapPairs(train, evalSet, "doc_id", "text", 3, 3)
+    }),
+
+    // sequence packing: 8-token chunks (no overlap — training packs must not
+    // duplicate content), sharded by doc_id % 8, greedy next-fit into
+    // 24-token bins per shard in (doc_id, chunk_idx) order. Chunking is
+    // narrow; packing is ONE group-sort exchange on the shard key + a narrow
+    // streaming pass with O(1) state (bin index + fill). The oracle replays
+    // the same next-fit scan with a recursive CTE.
+    "q62_pack_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = operators.Chunking
+        .chunkWords(tbl(s, dir, "documents"), "doc_id", "text", 8, 0)
+      val ds = chunks.select(
+          (col("doc_id") % 8).as("shard"),
+          struct(col("doc_id"), col("chunk_idx"), col("n_tokens")).as("v"))
+        .as[(Long, (Long, Long, Long))]
+      operators.Packing.packGreedy(ds.groupSort(), capacity = 24L)
+        .map { case (shard, (d, c, n, b)) => (shard, d, c, n, b) }
+        .toDF("shard", "doc_id", "chunk_idx", "n_tokens", "bin")
+    }),
+
+    // Gopher-style repetition filter: token/distinct-token/top-bigram counts
+    // + integer-exact accept flag, all native expressions in one scan
+    "q63_repetition" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id") +: functions.Text.repetitionColumns(coalesce(col("text"), lit(""))): _*)
+    }),
+
+    // top-3 terms per document by (tf DESC, df ASC, term ASC) — integer-exact
+    // tf-idf selection (rarer term wins ties, no float scores to drift across
+    // engines); the vocabulary df frame is a broadcast dim (Heaps' law:
+    // vocab << corpus)
+    "q64_top_terms" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
     })
   )
 
@@ -1355,6 +1414,84 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY value DESC, event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn <= 2""".stripMargin
+        |WHERE rn <= 2""".stripMargin,
+    // q61: same trigram-shingle derivation as q45 (Java trim + split parity),
+    // restricted to train (doc_id % 50 <> 0) x eval (doc_id % 50 = 0) pairs;
+    // n_shared counts distinct shared shingle STRINGS (the Spark side counts
+    // distinct shared 64-bit FNV hashes — collisions ~grams^2/2^64, nil)
+    "q61_contamination" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
+        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+        |  FROM d WHERE len(words) >= 3))
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh t JOIN sh e ON t.s = e.s
+        |WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // q62: re-derive the 8-token/stride-8 windows (q54's derivation with
+    // overlap 0), then replay greedy next-fit per shard with a recursive CTE
+    // stepping one chunk per shard per iteration (rn = the in-shard scan
+    // order; fill > 0 always holds mid-scan, so overflow is just
+    // fill + n > capacity)
+    "q62_pack_chunks" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+        |             CAST(start // 8 AS BIGINT) AS chunk_idx,
+        |             CAST(least(len(words) - start, 8) AS BIGINT) AS n_tokens,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, start) AS rn
+        |      FROM (SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 8)) AS start
+        |            FROM d WHERE len(words) > 0)),
+        |pack AS (
+        |  SELECT shard, rn, doc_id, chunk_idx, n_tokens,
+        |         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.doc_id, c.chunk_idx, c.n_tokens,
+        |         CASE WHEN p.fill + c.n_tokens > 24 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n_tokens > 24 THEN c.n_tokens ELSE p.fill + c.n_tokens END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1)
+        |SELECT shard, doc_id, chunk_idx, n_tokens, bin FROM pack""".stripMargin,
+    // q63: words/bigram derivation mirrors the Spark side's trim + \s+ split
+    // (q21/q23 parity); top bigram count via per-bigram group counts
+    "q63_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |             CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+        |                  ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+') END AS words
+        |           FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
+        |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g
+        |       FROM w WHERE len(words) >= 2),
+        |top AS (SELECT doc_id, max(cnt) AS top_n FROM (
+        |          SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2) GROUP BY 1)
+        |SELECT w.doc_id,
+        |       CAST(len(words) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+        |       CAST(coalesce(top.top_n, 0) AS BIGINT) AS top_bigram_n,
+        |       len(words) < 10 OR (len(list_distinct(words)) * 2 >= len(words)
+        |         AND coalesce(top.top_n, 0) * 5 <= len(words) - 1) AS repetition_ok
+        |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin,
+    // q64: integer-exact ranking (tf DESC, df ASC, term ASC) — binary string
+    // collation on lowercase-ASCII terms agrees across engines
+    "q64_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN dfreq USING (term))
+        |WHERE rank <= 3""".stripMargin
   )
 }

@@ -63,6 +63,59 @@ object Text {
       lit(146959810393L),
       (acc, tok) => (acc % 1000000007L) * lit(31L) + crc32(tok).cast("long"))
 
+  /** Distinct whitespace-token count (0 for blank/empty text). */
+  def distinctTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(array_distinct(split(trim(text), "\\s+"))).cast("long"))
+
+  /** Occurrence count of the MOST FREQUENT word bigram (0 when the text has
+    * fewer than two tokens) — the Gopher-style "top n-gram fraction"
+    * repetition signal's numerator, kept integer-exact. Computed entirely in
+    * native higher-order functions: build the bigram array, sort it, and take
+    * the longest equal-run with one `aggregate` — per-row work, no shuffle,
+    * no per-document state beyond the row itself. */
+  def topBigramCount(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    val grams = array_sort(transform(
+      sequence(lit(0), size(words) - 2),
+      i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+    val best = aggregate(
+      grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        // equal-run length in the sorted array == per-bigram count
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(length(trim(text)) === 0 || size(words) < 2, lit(0L)).otherwise(best)
+  }
+
+  /**
+   * Gopher-style intra-document repetition metrics: token count, distinct
+   * token count, top-bigram occurrence count, and an accept flag from two
+   * integer-exact rules (distinct tokens >= half the tokens; the most
+   * frequent bigram covers <= a fifth of the bigram positions). Documents
+   * under 10 tokens pass unconditionally — repetition ratios are degenerate
+   * on a handful of tokens (a 2-token doc's only bigram "covers 100%"), and
+   * short docs are the length filter's job, not this one's. All columns are
+   * single-scan native expressions — the repetition filter runs at
+   * corpus-scan speed with zero shuffles.
+   */
+  def repetitionColumns(text: Column): Seq[Column] = {
+    val nTokens = tokenCount(text)
+    val nDistinct = distinctTokenCount(text)
+    val topBigram = topBigramCount(text)
+    val ok = nTokens < 10 ||
+      (nDistinct * 2 >= nTokens && topBigram * 5 <= nTokens - 1)
+    Seq(
+      nTokens.as("n_tokens"),
+      nDistinct.as("n_distinct"),
+      topBigram.as("top_bigram_n"),
+      ok.as("repetition_ok"))
+  }
+
   /** Quality heuristics: token count, mean token length (exact ints + one
     * division), stopword hits, and an accept flag. */
   def qualityColumns(text: Column): Seq[Column] = {

@@ -54,4 +54,22 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("InMemoryTableScan"),
       s"expected the probe to read the persisted inverted-list assignment:\n$p")
   }
+
+  it("q61 contamination broadcasts the eval side; the only shuffle is the pair-count agg") {
+    val p = plan("q61_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange (the (train,eval) count):\n$p")
+  }
+
+  it("q63 repetition metrics run in a single scan with zero exchanges") {
+    val p = plan("q63_repetition")
+    assert(!p.contains("Exchange"), s"repetition scan must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  it("q64 top-terms broadcasts the vocabulary df dim") {
+    val p = plan("q64_top_terms")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

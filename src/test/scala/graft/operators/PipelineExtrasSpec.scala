@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.Text
+import graft.sorted.syntax._
+
+/** Round-5 pipeline extensions: contamination detection, sequence packing,
+  * repetition metrics. */
+class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  describe("Contamination.overlapPairs") {
+    val train = Seq(
+      (1L, "a b c d e f g"), // shares trigrams (b c d), (c d e), (d e f) with eval 100
+      (2L, "z y x w v u t"), // no overlap
+      (3L, "b c d q r s t")  // shares only (b c d) — below minShared
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "b c d e f x")).toDF("doc_id", "text")
+
+    it("finds pairs sharing >= minShared distinct n-grams, and only those") {
+      val got = Contamination.overlapPairs(train, eval, "doc_id", "text", 3, 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L, 3L)))
+    }
+
+    it("counts DISTINCT shared grams (repeated grams don't inflate)") {
+      val t = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text") // (a b c) thrice
+      val e = Seq((9L, "a b c a b c")).toDF("doc_id", "text")
+      val got = Contamination.overlapPairs(t, e, "doc_id", "text", 3, 1)
+        .as[(Long, Long, Long)].collect().toSet
+      // shared distinct trigrams: (a b c), (b c a), (c a b) — once each
+      assert(got === Set((1L, 9L, 3L)))
+    }
+
+    it("broadcasts the eval side (no corpus-side shuffle before the join)") {
+      val p = Contamination.overlapPairs(train, eval, "doc_id", "text", 3, 1)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastExchange"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+
+    it("evalGramHits aggregates across the whole eval set per training doc") {
+      val e2 = Seq((100L, "b c d e f x"), (101L, "z y x w n m")).toDF("doc_id", "text")
+      val got = Contamination.evalGramHits(train, e2, "doc_id", "text", 3)
+        .as[(Long, Long)].collect().toMap
+      // doc 1: 3 grams from eval 100; doc 2: (z y x), (y x w) from eval 101;
+      // doc 3: (b c d) from eval 100
+      assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    }
+  }
+
+  describe("Packing.packGreedy") {
+    it("replays greedy next-fit per shard in value order") {
+      // shard 0 in scan order: 4, 4, 4, 10, 3 at capacity 10
+      // -> bins 0 (4+4), 1 (4), 2 (the oversize-fit 10), 3 (3)
+      val rows = Seq(
+        (0L, (2L, 1L, 3L)), // scrambled input: groupSort must restore order
+        (0L, (1L, 0L, 4L)),
+        (0L, (2L, 0L, 10L)),
+        (0L, (1L, 2L, 4L)),
+        (0L, (1L, 1L, 4L)),
+        (1L, (7L, 0L, 9L)), // second shard packs independently from bin 0
+        (1L, (7L, 1L, 2L))
+      ).toDS()
+      val got = Packing.packGreedy(rows.groupSort(), capacity = 10L)
+        .map { case (s, (d, c, n, b)) => (s, d, c, n, b) }.collect().toSet
+      assert(got === Set(
+        (0L, 1L, 0L, 4L, 0L), (0L, 1L, 1L, 4L, 0L), (0L, 1L, 2L, 4L, 1L),
+        (0L, 2L, 0L, 10L, 2L), (0L, 2L, 1L, 3L, 3L),
+        (1L, 7L, 0L, 9L, 0L), (1L, 7L, 1L, 2L, 1L)))
+    }
+
+    it("gives an oversize chunk a bin of its own without splitting it") {
+      val rows = Seq((0L, (1L, 0L, 25L)), (0L, (1L, 1L, 2L))).toDS()
+      val got = Packing.packGreedy(rows.groupSort(), capacity = 10L)
+        .map { case (_, (_, c, _, b)) => (c, b) }.collect().toSet
+      assert(got === Set((0L, 0L), (1L, 1L)))
+    }
+
+    it("never overfills a bin except for a singleton oversize chunk") {
+      // pseudo-random sizes, fixed seed: packing invariant must hold
+      val rnd = new scala.util.Random(42)
+      val chunks = (0 until 400).map(i =>
+        ((i % 5).toLong, (i.toLong / 5, i.toLong % 5, 1L + rnd.nextInt(30))))
+      val packed = Packing.packGreedy(chunks.toDS().groupSort(), capacity = 32L)
+        .map { case (s, (_, _, n, b)) => (s, b, n) }.collect()
+      packed.groupBy(p => (p._1, p._2)).foreach { case ((s, b), members) =>
+        val fill = members.map(_._3).sum
+        assert(fill <= 32L || members.length == 1,
+          s"shard $s bin $b overfilled: $fill with ${members.length} chunks")
+      }
+    }
+  }
+
+  describe("Text repetition metrics") {
+    it("counts distinct tokens and the top bigram") {
+      val df = Seq(
+        (1L, "a a a b"),  // bigrams: (a a) x2, (a b) -> top 2
+        (2L, ""),         // empty
+        (3L, "x y"),      // one bigram
+        (4L, "p q p q p"), // bigrams: (p q) x2, (q p) x2 -> top 2
+        (5L, "solo")      // single token: no bigrams (guards the sequence() bound)
+      ).toDF("doc_id", "text")
+      val got = df.select($"doc_id", Text.distinctTokenCount($"text").as("d"),
+          Text.topBigramCount($"text").as("t"))
+        .as[(Long, Long, Long)].collect().map { case (k, d, t) => k -> ((d, t)) }.toMap
+      assert(got === Map(1L -> ((2L, 2L)), 2L -> ((0L, 0L)), 3L -> ((2L, 1L)),
+        4L -> ((2L, 2L)), 5L -> ((1L, 0L))))
+    }
+
+    it("accept flag: short docs pass; repetitive long docs fail both ways") {
+      val dup = ("spam " * 20).trim           // 20 tokens, 1 distinct
+      val loop = ("tick tock " * 10).trim     // top bigram covers ~half
+      val clean = (1 to 20).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, "tiny doc"), (2L, dup), (3L, loop), (4L, clean)).toDF("doc_id", "text")
+      val got = df.select($"doc_id" +: Text.repetitionColumns($"text"): _*)
+        .select($"doc_id", $"repetition_ok").as[(Long, Boolean)].collect().toMap
+      assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    }
+  }
+}
