@@ -122,14 +122,26 @@ object SparkEntry {
       idx
     })
 
+  /** Memoized STANDING MinHash-LSH index over `documents` for q65 (same
+    * single-session contract as [[ensureIvfIndex]]): at 100 TB the deduped
+    * corpus is a standing asset — its banded signature index is built once,
+    * and each arriving batch probes it at the cost of the batch's signatures
+    * only. Cross-query layout, so not released by [[drainCleanups]]. */
+  private val minhashIndexes = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def ensureMinhashIndex(s: SparkSession, dir: String): DataFrame =
+    minhashIndexes.computeIfAbsent(dir, _ =>
+      operators.Dedup.minhashIndex(tbl(s, dir, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
   /** One-time setup for a (session, data dir): pre-creates layouts that are a
     * deployment's standing investment, not per-query work (today: the q49
-    * bucketed tables and the q38 IVF index). Bench calls this during warm-up
-    * so timed rows measure the recurring query, not the one-time layout
-    * build. */
+    * bucketed tables, the q38 IVF index and the q65 minhash index). Bench
+    * calls this during warm-up so timed rows measure the recurring query,
+    * not the one-time layout build. */
   def prepare(s: SparkSession, dir: String): Unit = {
     ensureBucketedTables(s, dir)
     ensureIvfIndex(s, dir).assigned.count() // force assignment materialization
+    ensureMinhashIndex(s, dir).count()
     ()
   }
 
@@ -945,6 +957,26 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+    }),
+
+    // incremental dedup: a new batch (exact copies of the first 100 docs,
+    // ids shifted by 1e6) probes the STANDING minhash index (built once in
+    // `prepare` — the recurring cost is the batch's signatures + cross-side
+    // bucket pairs only, never corpus-vs-corpus). Planted gate: an identical
+    // text has an identical signature, so every copy collides with its
+    // original in every band and verifies at jaccard 1.0 deterministically;
+    // the output is restricted to the planted (batch, original) matches,
+    // whose (inter, uni) = the original's distinct-shingle count — the same
+    // deterministic form as q27's oracle.
+    "q65_incremental_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val batch = docs.where(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val found = operators.Dedup.incrementalNearDups(
+        ensureMinhashIndex(s, dir), docs, batch, "doc_id", "text",
+        threshold = 0.99, unpersistHook = onCleanup)
+      found.where(col("standing_id") === col("batch_id") - 1000000L)
+        .select(col("batch_id"), col("standing_id"), col("inter"), col("uni"))
     })
   )
 
@@ -1492,6 +1524,24 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY tf.doc_id
         |                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
         |  FROM tf JOIN dfreq USING (term))
-        |WHERE rank <= 3""".stripMargin
+        |WHERE rank <= 3""".stripMargin,
+    // q65: planted exact copies probe the standing index with certainty
+    // (identical signature -> collides in every band; jaccard exactly 1.0),
+    // so the planted-match output is deterministic: (inter, uni) = the
+    // original's distinct trigram-shingle count (q27's oracle form, same
+    // Java-trim/split word derivation)
+    "q65_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
+        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+        |  FROM d WHERE len(words) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT doc_id + 1000000 AS batch_id, doc_id AS standing_id,
+        |       CAST(n AS BIGINT) AS inter, CAST(n AS BIGINT) AS uni
+        |FROM sizes""".stripMargin
   )
 }

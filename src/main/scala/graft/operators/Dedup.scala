@@ -249,17 +249,91 @@ object Dedup {
                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = signatures.sparkSession
     import spark.implicits._
-    val banded = signatures.select(
+    bandBuckets(signatures, idCol, bands, rowsPerBand, payload = 0L)
+      .as[(Int, Long, Long, Long)]
+      .transform(bucketPairs(_, maxBucket))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Band a signature frame into `(band, bucket, id, payload)` bucket rows —
+    * the unit the pair expanders group on. `payload` tags each row (the
+    * incremental probe uses it as a side marker; 0 when unused). */
+  private def bandBuckets(signatures: DataFrame, idCol: String, bands: Int,
+                          rowsPerBand: Int, payload: Long): DataFrame =
+    signatures.select(
         col(idCol),
         posexplode(array((0 until bands).map { b =>
           xxhash64(concat_ws(",",
             (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r).cast("string")): _*))
         }: _*)).as(Seq("band", "bucket")))
-      .select(col("band"), col("bucket"), col(idCol).cast("long"), lit(0L))
+      .select(col("band"), col("bucket"), col(idCol).cast("long"), lit(payload).as("payload"))
+
+  /**
+   * STANDING MinHash-LSH index of a corpus: the banded bucket rows
+   * `(band, bucket, id)` for every document. At 100 TB, dedup is not a
+   * one-shot batch job — the corpus is a standing asset and new data arrives
+   * in batches, so the index is built ONCE (and persisted / written to a
+   * bucketed table), and each arriving batch probes it via
+   * [[incrementalNearDups]] at the cost of the BATCH's signatures only,
+   * never re-pairing the corpus with itself.
+   */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    bandBuckets(sigs, idCol, bands, numHashes / bands, payload = 0L)
+      .select(col("band"), col("bucket"), col(idCol))
+  }
+
+  /**
+   * Incremental near-dup probe: find (batch, standing) near-duplicate pairs
+   * between a NEW batch and a standing corpus index built by
+   * [[minhashIndex]] with the SAME (shingleN, numHashes, bands) parameters.
+   * Only CROSS-side pairs are emitted — standing-vs-standing pairs were
+   * already handled when the corpus was deduped, and batch-vs-batch pairs
+   * are the caller's separate intra-batch dedup pass — so the quadratic
+   * in-bucket expansion spends nothing on the (huge) standing side beyond
+   * membership. Candidates are then exact-verified ([[jaccardVerify]]) over
+   * `standingDocs ∪ batch` texts.
+   *
+   * Returns `(batch_id, standing_id, inter, uni, jaccard)` with
+   * `jaccard >= threshold`. Batch ids MUST be disjoint from standing ids
+   * (they tag the sides through the shuffle).
+   */
+  def incrementalNearDups(index: DataFrame, standingDocs: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String, shingleN: Int = 3,
+                          numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+                          maxBucket: Int = DefaultMaxBucket,
+                          unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val batchBanded = bandBuckets(
+      minhashSignatures(batch, idCol, textCol, shingleN, numHashes),
+      idCol, bands, numHashes / bands, payload = 1L)
+    val allBanded = index
+      .select(col("band").cast("int"), col("bucket").cast("long"),
+        col(idCol).cast("long"), lit(0L).as("payload"))
+      .unionByName(batchBanded)
       .as[(Int, Long, Long, Long)]
-    bucketPairs(banded, maxBucket)
-      .select(col("id_a"), col("id_b"))
+    val cands = bucketPairs(allBanded, maxBucket)
+      .where(col("pay_a") =!= col("pay_b")) // cross-side only
+      .select(
+        when(col("pay_a") === 1L, col("id_a")).otherwise(col("id_b")).as("batch_id"),
+        when(col("pay_a") === 1L, col("id_b")).otherwise(col("id_a")).as("standing_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { cands.unpersist(); () })
+    val corpus = standingDocs.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    jaccardVerify(
+        cands.select(col("batch_id").as("id_a"), col("standing_id").as("id_b")),
+        corpus, idCol, textCol, shingleN, threshold)
+      .select(col("id_a").as("batch_id"), col("id_b").as("standing_id"),
+        col("inter"), col("uni"), col("jaccard"))
   }
 
   /**

@@ -95,6 +95,40 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Dedup.incrementalNearDups") {
+    val standing = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),  // standing-side exact dup of doc 1
+      (3L, "q r s t u v w x")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "a b c d e f g h"), // exact copy -> certain hit on docs 1 AND 2
+      (102L, "m n o p m n o p"), // nothing like it in the corpus
+      (103L, "a b c d e f g x")  // near copy: jaccard 5/7 < 0.99 -> verified OUT
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(standing, "doc_id", "text")
+
+    it("finds planted batch copies against the standing index, cross-side only") {
+      val got = Dedup
+        .incrementalNearDups(index, standing, batch, "doc_id", "text", threshold = 0.99)
+        .select("batch_id", "standing_id", "inter", "uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // 8 words -> 6 distinct trigrams; the standing dup pair (1,2) must NOT
+      // appear (already handled at corpus-dedup time), nor any batch-batch pair
+      assert(got === Set((101L, 1L, 6L, 6L), (101L, 2L, 6L, 6L)))
+    }
+
+    it("verify step excludes sub-threshold candidates deterministically") {
+      val got = Dedup
+        .incrementalNearDups(index, standing, batch, "doc_id", "text", threshold = 0.5)
+        .select("batch_id", "standing_id").as[(Long, Long)].collect().toSet
+      // at 0.5 the near copy may surface (jaccard 5/7) IF its signature
+      // collides — but 103-vs-3 (jaccard 0) must never pass the exact verify
+      assert(got.contains((101L, 1L)) && got.contains((101L, 2L)))
+      assert(!got.contains((103L, 3L)) && !got.exists(_._1 == 102L))
+    }
+  }
+
   describe("Text repetition metrics") {
     it("counts distinct tokens and the top bigram") {
       val df = Seq(
