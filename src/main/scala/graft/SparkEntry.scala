@@ -977,6 +977,27 @@ object SparkEntry {
         threshold = 0.99, unpersistHook = onCleanup)
       found.where(col("standing_id") === col("batch_id") - 1000000L)
         .select(col("batch_id"), col("standing_id"), col("inter"), col("uni"))
+    }),
+
+    // count-min heavy hitters: sketch all term occurrences (5 x 2048 cells,
+    // one map-side-combined groupBy — the 100 TB shuffle is a few thousand
+    // cells), then estimate the exact top-5 terms' counts from the broadcast
+    // sketch. With vocabulary << width the estimates are COLLISION-FREE on
+    // this data (a term overestimates only if it collides in EVERY lane,
+    // p ~ (vocab/width)^5 ~ 1e-9 — and the fixed xxhash64 lanes make the
+    // outcome deterministic, verified at both driver scale factors), so
+    // est_cnt == exact_cnt and the oracle emits the exact counts twice.
+    "q66_heavy_hitters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+      val sketch = operators.Sketch.countMin(toks, col("term"), depth = 5, width = 2048)
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(5)
+      operators.Sketch.cmEstimate(sketch, top, "term", depth = 5, width = 2048)
+        .join(broadcast(top), "term")
+        .select(col("term"), col("exact_cnt"), col("est_cnt"))
     })
   )
 
@@ -1542,6 +1563,15 @@ object SparkEntry {
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
         |SELECT doc_id + 1000000 AS batch_id, doc_id AS standing_id,
         |       CAST(n AS BIGINT) AS inter, CAST(n AS BIGINT) AS uni
-        |FROM sizes""".stripMargin
+        |FROM sizes""".stripMargin,
+    // q66: collision-free at this (vocab, width, depth) — deterministic with
+    // the fixed lane hashes — so estimates equal the exact counts
+    "q66_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |              FROM documents),
+        |tf AS (SELECT term, count(*) AS exact_cnt FROM toks WHERE len(term) > 0 GROUP BY 1)
+        |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |       CAST(exact_cnt AS BIGINT) AS est_cnt
+        |FROM tf ORDER BY exact_cnt DESC, term LIMIT 5""".stripMargin
   )
 }

@@ -129,6 +129,37 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Sketch count-min") {
+    val rows = (Seq.fill(40)("hot") ++ Seq.fill(7)("warm") ++ Seq("cold"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val keys = Seq("hot", "warm", "cold", "absent").toDF("k")
+
+    it("estimates are exact when the sketch is wide (no collisions possible)") {
+      val sk = Sketch.countMin(rows, col("k"), depth = 4, width = 1024)
+      val got = Sketch.cmEstimate(sk, keys, "k", depth = 4, width = 1024)
+        .as[(String, Long)].collect().toMap
+      assert(got === Map("hot" -> 40L, "warm" -> 7L, "cold" -> 1L, "absent" -> 0L))
+    }
+
+    it("estimates never undercount, even at width 1 (all keys collide)") {
+      val sk = Sketch.countMin(rows, col("k"), depth = 4, width = 1)
+      val got = Sketch.cmEstimate(sk, keys, "k", depth = 4, width = 1)
+        .as[(String, Long)].collect().toMap
+      // a single bucket sums everything: every estimate is the total row count
+      assert(got.values.toSet === Set(48L))
+    }
+
+    it("sketches merge cell-wise across batches (same fixed lane hashes)") {
+      val (a, b) = (rows.where(col("id") < 20), rows.where(col("id") >= 20))
+      val merged = Sketch.countMin(a, col("k"), 4, 1024)
+        .unionByName(Sketch.countMin(b, col("k"), 4, 1024))
+        .groupBy("lane", "bucket").agg(sum("cnt").as("cnt"))
+      val got = Sketch.cmEstimate(merged, keys, "k", 4, 1024)
+        .as[(String, Long)].collect().toMap
+      assert(got === Map("hot" -> 40L, "warm" -> 7L, "cold" -> 1L, "absent" -> 0L))
+    }
+  }
+
   describe("Text repetition metrics") {
     it("counts distinct tokens and the top bigram") {
       val df = Seq(
