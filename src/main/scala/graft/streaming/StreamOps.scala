@@ -102,4 +102,27 @@ object StreamOps {
         org.apache.spark.sql.functions.window(col("ts"), window, slide),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /**
+   * Streaming count-min sketch over a key expression — the streaming analog
+   * of [[graft.operators.Sketch.countMin]]. Count-min cells are sums, and
+   * sums stream: the running aggregation maintains the same
+   * `(lane, bucket) -> cnt` grid the batch build produces, updated per
+   * micro-batch (OutputMode.Update/Complete sinks read the running sketch).
+   * State is bounded by `depth × width` CELLS — constant, independent of
+   * stream length or key cardinality — so an unbounded 100 TB/day stream
+   * tracks heavy hitters in a few thousand rows of state with no watermark
+   * needed. The lane hashes are the batch build's fixed xxhash64 seeds, so a
+   * streaming sketch equals the batch sketch of the same prefix and merges
+   * cell-wise with any batch-built sketch.
+   */
+  def streamingCountMin(events: DataFrame, key: org.apache.spark.sql.Column,
+                        depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive, got $depth x $width")
+    events.select(explode(array((0 until depth).map { d =>
+        struct(lit(d).as("lane"), pmod(xxhash64(lit(d), key), lit(width.toLong)).as("bucket"))
+      }: _*)).as("lb"))
+      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

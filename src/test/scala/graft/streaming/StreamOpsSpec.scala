@@ -302,4 +302,35 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
   }
+
+  describe("streamingCountMin ≡ batch Sketch.countMin (finite replay equivalence)") {
+    it("the running sketch equals the batch sketch of everything ingested so far") {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val sketch = StreamOps.streamingCountMin(
+        input.toDS().toDF(), org.apache.spark.sql.functions.col("event_type"),
+        depth = 4, width = 64)
+      val q = sketch.writeStream.format("memory").queryName("cms")
+        .outputMode(OutputMode.Complete()).start()
+      val batch1 = (1 to 30).map(i => StreamEvent(i.toLong, ts(i), "click", 1.0)) :+
+        StreamEvent(99L, ts(1), "buy", 1.0)
+      val batch2 = (1 to 5).map(i => StreamEvent(i.toLong, ts(40 + i), "buy", 1.0))
+      try {
+        input.addData(batch1); q.processAllAvailable()
+        input.addData(batch2); q.processAllAvailable()
+        val streamed = spark.table("cms")
+          .as[(Int, Long, Long)].collect().toSet
+        val batch = graft.operators.Sketch.countMin(
+            (batch1 ++ batch2).toDF(), org.apache.spark.sql.functions.col("event_type"),
+            depth = 4, width = 64)
+          .as[(Int, Long, Long)].collect().toSet
+        assert(streamed === batch)
+        // and the running sketch answers point queries exactly like the batch one
+        val est = graft.operators.Sketch.cmEstimate(
+            spark.table("cms"), Seq("click", "buy", "nope").toDF("k"), "k", 4, 64)
+          .as[(String, Long)].collect().toMap
+        assert(est("click") >= 30L && est("buy") >= 6L)
+      } finally q.stop()
+    }
+  }
 }
