@@ -934,11 +934,11 @@ object SparkEntry {
     }),
 
     // Gopher-style repetition filter: token/distinct-token/top-bigram counts
-    // + integer-exact accept flag, all native expressions in one scan
-    "q63_repetition" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      d.select(col("doc_id") +: functions.Text.repetitionColumns(coalesce(col("text"), lit(""))): _*)
-    }),
+    // + integer-exact accept flag, one narrow typed pass (the Column-form
+    // HOFs are kept for composability but the interpreted aggregate was 8x
+    // slower — parity between the two is spec-pinned)
+    "q63_repetition" -> ((s, dir) =>
+      functions.Text.repetitionMetrics(tbl(s, dir, "documents"), "doc_id", "text")),
 
     // top-3 terms per document by (tf DESC, df ASC, term ASC) — integer-exact
     // tf-idf selection (rarer term wins ties, no float scores to drift across
@@ -1512,12 +1512,13 @@ object SparkEntry {
         |         CASE WHEN p.fill + c.n_tokens > 24 THEN c.n_tokens ELSE p.fill + c.n_tokens END
         |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1)
         |SELECT shard, doc_id, chunk_idx, n_tokens, bin FROM pack""".stripMargin,
-    // q63: words/bigram derivation mirrors the Spark side's trim + \s+ split
-    // (q21/q23 parity); top bigram count via per-bigram group counts
+    // q63: word derivation replicates the kernel's Java trim + split exactly
+    // (edge-strip <= U+0020 then runs of non-\s, as in q45/q54's oracles);
+    // top bigram count via per-bigram group counts
     "q63_repetition" ->
       """WITH w AS (SELECT doc_id,
-        |             CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
-        |                  ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+') END AS words
+        |             regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
         |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g

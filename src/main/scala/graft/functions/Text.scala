@@ -116,6 +116,52 @@ object Text {
       ok.as("repetition_ok"))
   }
 
+  /**
+   * Typed single-pass kernel for the repetition metrics — the hot-path form
+   * of [[repetitionColumns]]: one tokenization + one bigram-count map per
+   * document in plain JVM code. The Column form's `aggregate` higher-order
+   * function is interpreted per element (struct state allocated per bigram)
+   * and dominated the corpus scan ~8×, the same reason
+   * `Dedup.shingleHashes` is a typed kernel. Semantics are identical
+   * (parity-pinned in spec); tokenization is Java `trim` + `split("\\s+")`,
+   * the dedup kernels' convention. Narrow (mapPartitions) — no shuffle.
+   */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val words: Array[String] =
+            if (text == null) Array.empty
+            else {
+              val w = text.trim.split("\\s+")
+              if (w.length == 1 && w(0).isEmpty) Array.empty else w
+            }
+          val n = words.length.toLong
+          val distinct = new java.util.HashSet[String]()
+          words.foreach(distinct.add)
+          var top = 0L
+          if (words.length >= 2) {
+            val counts = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i < words.length - 1) {
+              val g = words(i) + " " + words(i + 1)
+              val c = counts.getOrDefault(g, 0L) + 1L
+              counts.put(g, c)
+              if (c > top) top = c
+              i += 1
+            }
+          }
+          val nd = distinct.size.toLong
+          val ok = n < 10 || (nd * 2 >= n && top * 5 <= n - 1)
+          (id, n, nd, top, ok)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_distinct", "top_bigram_n", "repetition_ok")
+  }
+
   /** Quality heuristics: token count, mean token length (exact ints + one
     * division), stopword hits, and an accept flag. */
   def qualityColumns(text: Column): Seq[Column] = {

@@ -185,5 +185,19 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         .select($"doc_id", $"repetition_ok").as[(Long, Boolean)].collect().toMap
       assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
     }
+
+    it("typed kernel (hot path) equals the Column form on every metric") {
+      val docs = Seq(
+        (1L, "a a a b"), (2L, ""), (3L, "x y"), (4L, "p q p q p"), (5L, "solo"),
+        (6L, ("spam " * 20).trim), (7L, ("tick tock " * 10).trim),
+        (8L, (1 to 20).map(i => s"w$i").mkString(" "))
+      ).toDF("doc_id", "text")
+      val kernel = Text.repetitionMetrics(docs, "doc_id", "text")
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      val columns = docs
+        .select($"doc_id" +: Text.repetitionColumns(coalesce($"text", lit(""))): _*)
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(kernel === columns)
+    }
   }
 }
