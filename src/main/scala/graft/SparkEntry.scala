@@ -998,6 +998,18 @@ object SparkEntry {
       operators.Sketch.cmEstimate(sketch, top, "term", depth = 5, width = 2048)
         .join(broadcast(top), "term")
         .select(col("term"), col("exact_cnt"), col("est_cnt"))
+    }),
+
+    // per-user p50/p90/p99 of event value (cents) — ORDER STATISTICS
+    // (percentile_disc semantics, value at rank ceil(p*n)), integer-exact in
+    // both engines: no interpolation floats, rank math is pure integer. One
+    // exchange + one sort; the final per-key agg reuses the window's
+    // partitioning (plan-pinned).
+    "q67_per_key_quantiles" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        round(col("value") * 100).cast("long").as("v"), col("event_id"))
+      operators.Quantiles.perKeyExact(ev, "user_id", "v", "event_id",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
     })
   )
 
@@ -1573,6 +1585,19 @@ object SparkEntry {
         |tf AS (SELECT term, count(*) AS exact_cnt FROM toks WHERE len(term) > 0 GROUP BY 1)
         |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
         |       CAST(exact_cnt AS BIGINT) AS est_cnt
-        |FROM tf ORDER BY exact_cnt DESC, term LIMIT 5""".stripMargin
+        |FROM tf ORDER BY exact_cnt DESC, term LIMIT 5""".stripMargin,
+    // q67: identical order-statistic definition — value at integer rank
+    // ceil(p*n) = (n*num + 999999) // 1000000, no floats anywhere
+    "q67_per_key_quantiles" ->
+      """WITH r AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS rn,
+        |                  count(*) OVER (PARTITION BY user_id) AS n
+        |           FROM events)
+        |SELECT user_id,
+        |       max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS p50,
+        |       max(CASE WHEN rn = (n*900000 + 999999) // 1000000 THEN v END) AS p90,
+        |       max(CASE WHEN rn = (n*990000 + 999999) // 1000000 THEN v END) AS p99
+        |FROM r GROUP BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact per-key quantiles with `percentile_disc` semantics: the quantile at
+ * probability p is the VALUE AT RANK ceil(p·n) in the key's sorted values —
+ * an order statistic, not an interpolation, so results are integer-exact on
+ * integer inputs (no float drift between engines, unlike `percentile`/
+ * `quantile_cont`) — the form a pipeline uses to pick truncation/filter
+ * thresholds from length and quality distributions.
+ *
+ * SCALE SHAPE: one hash exchange on the key + one in-partition sort (the two
+ * window specs share their partitioning, and the final per-key aggregation
+ * reuses the window's hash partitioning, so Catalyst plans NO second
+ * exchange — plan-pinned). Rank arithmetic is pure integer math:
+ * ceil(p·n) = (n·num + den−1) div den with p rationalized at 1e-6
+ * precision (exact for n < ~4.6e12 rows per key).
+ */
+object Quantiles {
+
+  private val Den = 1000000L
+
+  /**
+   * Per-key order-statistic quantiles. `ps` maps output column name to
+   * probability in (0, 1]; `tieCol` makes the rank order total (the selected
+   * value is tie-invariant, but a deterministic order keeps row_number
+   * reproducible). Returns one row per key: (keyCol, ps...).
+   */
+  def perKeyExact(df: DataFrame, keyCol: String, valueCol: String, tieCol: String,
+                  ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one probability")
+    ps.foreach { case (name, p) =>
+      require(p > 0.0 && p <= 1.0, s"probability $name=$p outside (0, 1]")
+    }
+    val byValue = Window.partitionBy(keyCol).orderBy(col(valueCol), col(tieCol))
+    val byKey = Window.partitionBy(keyCol)
+    val ranked = df.select(col(keyCol), col(valueCol), col(tieCol))
+      .withColumn("__rn", row_number().over(byValue).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+    val aggs = ps.map { case (name, p) =>
+      val num = math.round(p * Den)
+      // ceil(p*n) in pure integer math: (n*num + Den - 1) div Den
+      val rank = expr(s"(__n * ${num}L + ${Den - 1}L) div ${Den}L")
+      max(when(col("__rn") === rank, col(valueCol))).as(name)
+    }
+    ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

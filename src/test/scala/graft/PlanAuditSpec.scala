@@ -72,4 +72,22 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     val p = plan("q64_top_terms")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  it("q62 packing plans exactly one exchange (the shard groupSort)") {
+    val p = plan("q62_pack_chunks")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"chunking must stay narrow; packing shuffles once on the shard key:\n$p")
+  }
+
+  it("q65 incremental probe reads the STANDING minhash index (cached scan, no corpus re-signature)") {
+    val p = plan("q65_incremental_dedup")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the probe to read the persisted banded-signature index:\n$p")
+  }
+
+  it("q67 quantiles plan exactly one exchange (window + final agg share the key partitioning)") {
+    val p = plan("q67_per_key_quantiles")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected the per-key agg to reuse the window exchange:\n$p")
+  }
 }

@@ -129,6 +129,36 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Quantiles.perKeyExact") {
+    it("selects the value at rank ceil(p*n) per key (percentile_disc semantics)") {
+      // key 1: values 10..100 step 10 (n=10): p50 -> rank 5 = 50, p90 -> rank 9 = 90, p100 -> 100
+      // key 2: single value (n=1): every quantile = that value
+      val rows = ((1 to 10).map(i => (1L, i * 10L, i.toLong)) :+ ((2L, 7L, 99L)))
+        .toDF("k", "v", "tie")
+      val got = Quantiles.perKeyExact(rows, "k", "v", "tie",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0))
+        .as[(Long, Long, Long, Long)].collect().map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+      assert(got === Map(1L -> ((50L, 90L, 100L)), 2L -> ((7L, 7L, 7L))))
+    }
+
+    it("odd n and duplicate values: the selected value is tie-invariant") {
+      // n=5 of values 1,2,2,2,9: p50 -> rank 3 = 2; p99 -> rank ceil(4.95)=5 = 9
+      val rows = Seq((1L, 2L, 1L), (1L, 9L, 2L), (1L, 2L, 3L), (1L, 1L, 4L), (1L, 2L, 5L))
+        .toDF("k", "v", "tie")
+      val got = Quantiles.perKeyExact(rows, "k", "v", "tie",
+          Seq("p50" -> 0.5, "p99" -> 0.99))
+        .as[(Long, Long, Long)].collect().head
+      assert(got === ((1L, 2L, 9L)))
+    }
+
+    it("rejects probabilities outside (0, 1]") {
+      val rows = Seq((1L, 1L, 1L)).toDF("k", "v", "tie")
+      intercept[IllegalArgumentException] {
+        Quantiles.perKeyExact(rows, "k", "v", "tie", Seq("p0" -> 0.0))
+      }
+    }
+  }
+
   describe("Sketch count-min") {
     val rows = (Seq.fill(40)("hot") ++ Seq.fill(7)("warm") ++ Seq("cold"))
       .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
