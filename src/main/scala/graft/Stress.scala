@@ -13,11 +13,19 @@ import org.apache.spark.sql.functions._
  * study) is recorded in BASELINE.md; this main keeps the embedding study
  * reproducible.
  *
- * Usage: runMain graft.Stress [sfDir] (default /root/testdata/sf0.1)
+ * A second mode (`runMain graft.Stress incremental [sfDir]`) stresses the
+ * round-5 incremental probe: the sf documents become the STANDING corpus
+ * (index built once), and a 10x batch — every standing doc copied 10 times
+ * with shifted ids — probes it, the worst case for the cross-side expander
+ * (each hit bucket holds 1 standing doc + 10 batch copies).
+ *
+ * Usage: runMain graft.Stress [incremental] [sfDir] (default /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = if (args.headOption.contains("incremental")) "incremental" else "embed"
+    val sfDir = args.drop(if (mode == "incremental") 1 else 0)
+      .headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,12 +34,7 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    if (mode == "incremental") { incrementalStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -74,5 +77,44 @@ object Stress {
       pairs.unpersist(); comps.unpersist()
     }
     spark.stop()
+  }
+
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  /** 10x incremental-probe stress: standing docs indexed once, a 10x-copied
+    * batch probes them. Every eligible copy (>= 3 tokens) must find its
+    * original at jaccard 1.0 — exact planted recall, LSH certainty. */
+  private def incrementalStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val docs = SparkEntry.tbl(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val index = operators.Dedup.minhashIndex(docs, "doc_id", "text").persist(MEMORY_AND_DISK_SER)
+    timed("standing index build (one-time)")(index.count())
+
+    val batch = (1 to 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+      .persist(MEMORY_AND_DISK_SER)
+    val bn = timed("batch build (10x replicated)")(batch.count())
+
+    // eligible = docs the minhash kernel signs (>= 3 Java-split tokens)
+    import spark.implicits._
+    val eligible = docs.as[(Long, String)]
+      .filter(r => r._2 != null && r._2.trim.split("\\s+").length >= 3).count()
+    val drops0 = operators.Dedup.droppedHotBuckets(spark).value
+    val found = operators.Dedup.incrementalNearDups(
+      index, docs, batch, "doc_id", "text", threshold = 0.99)
+      .persist(MEMORY_AND_DISK_SER)
+    val nFound = timed("incremental probe (batch sigs + cross pairs + verify)")(found.count())
+    val planted = found.where(col("standing_id") === col("batch_id") % 10000000L).count()
+    val drops = operators.Dedup.droppedHotBuckets(spark).value - drops0
+    println(s"[stress] batch rows: $bn, eligible originals: $eligible, " +
+      s"planted matches found: $planted / ${eligible * 10}, total pairs: $nFound, " +
+      s"dropped hot buckets: $drops")
+    found.unpersist(); batch.unpersist(); index.unpersist()
   }
 }

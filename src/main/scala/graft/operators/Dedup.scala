@@ -269,6 +269,41 @@ object Dedup {
         }: _*)).as(Seq("band", "bucket")))
       .select(col("band"), col("bucket"), col(idCol).cast("long"), lit(payload).as("payload"))
 
+  /** Cross-side pair expansion for the incremental probe: rows are
+    * `(band, bucket, id, side)` with side 0 = standing, 1 = batch; emits
+    * ONLY standing×batch pairs per bucket — a bucket holding one standing
+    * doc and its k batch copies costs k pairs, not (k+1)k/2 as the
+    * symmetric expander would. Each side is buffered up to `cap`; a bucket
+    * where either side overflows is dropped whole (same rationale and
+    * accumulator as [[bucketPairs]]). */
+  private[graft] def crossBucketPairs(banded: Dataset[(Int, Long, Long, Long)], cap: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val acc = droppedHotBuckets(spark)
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, rows) =>
+        val standing = new scala.collection.mutable.ArrayBuffer[Long](8)
+        val batch = new scala.collection.mutable.ArrayBuffer[Long](8)
+        var overflow = false
+        while (!overflow && rows.hasNext) {
+          val r = rows.next()
+          val buf = if (r._4 == 0L) standing else batch
+          if (buf.length < cap) buf += r._3 else overflow = true
+        }
+        if (overflow) {
+          acc.add(1L)
+          val n = DroppedBuckets.incrementAndGet()
+          val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+          val msg = s"dropping hot LSH bucket ${key}: one side exceeds $cap members ($n dropped so far in this JVM)"
+          if (n == 1 || n % 1000 == 0) log.warn(msg) else log.debug(msg)
+          Iterator.empty
+        } else if (standing.isEmpty || batch.isEmpty) Iterator.empty
+        else for (s <- standing.iterator; b <- batch.iterator) yield (s, b)
+      }
+      .toDF("standing_id", "batch_id")
+  }
+
   /**
    * STANDING MinHash-LSH index of a corpus: the banded bucket rows
    * `(band, bucket, id)` for every document. At 100 TB, dedup is not a
@@ -291,12 +326,12 @@ object Dedup {
    * Incremental near-dup probe: find (batch, standing) near-duplicate pairs
    * between a NEW batch and a standing corpus index built by
    * [[minhashIndex]] with the SAME (shingleN, numHashes, bands) parameters.
-   * Only CROSS-side pairs are emitted — standing-vs-standing pairs were
-   * already handled when the corpus was deduped, and batch-vs-batch pairs
-   * are the caller's separate intra-batch dedup pass — so the quadratic
-   * in-bucket expansion spends nothing on the (huge) standing side beyond
-   * membership. Candidates are then exact-verified ([[jaccardVerify]]) over
-   * `standingDocs ∪ batch` texts.
+   * Only CROSS-side pairs are generated ([[crossBucketPairs]]): standing-vs-
+   * standing pairs were already handled when the corpus was deduped, and
+   * batch-vs-batch pairs are the caller's separate intra-batch dedup pass —
+   * so a bucket holding one standing doc and its k batch copies costs k
+   * pairs, not (k+1)k/2. Candidates are then exact-verified
+   * ([[jaccardVerify]]) over `standingDocs ∪ batch` texts.
    *
    * Returns `(batch_id, standing_id, inter, uni, jaccard)` with
    * `jaccard >= threshold`. Batch ids MUST be disjoint from standing ids
@@ -319,11 +354,8 @@ object Dedup {
         col(idCol).cast("long"), lit(0L).as("payload"))
       .unionByName(batchBanded)
       .as[(Int, Long, Long, Long)]
-    val cands = bucketPairs(allBanded, maxBucket)
-      .where(col("pay_a") =!= col("pay_b")) // cross-side only
-      .select(
-        when(col("pay_a") === 1L, col("id_a")).otherwise(col("id_b")).as("batch_id"),
-        when(col("pay_a") === 1L, col("id_b")).otherwise(col("id_a")).as("standing_id"))
+    val cands = crossBucketPairs(allBanded, maxBucket)
+      .select(col("batch_id"), col("standing_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     unpersistHook(() => { cands.unpersist(); () })
