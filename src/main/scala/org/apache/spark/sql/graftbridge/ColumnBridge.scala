@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column -> Expression conversion: unfolds the whole column-node
+    * tree into catalyst expressions now (built-in function nodes become
+    * `UnresolvedFunction`s the analyzer then resolves). `expression` defers
+    * behind an opaque `ColumnNodeExpression`, which is fine inside Dataset
+    * calls but opaque to analysis when returned from a FunctionRegistry
+    * builder — this is the conversion SQL-registered composed functions
+    * need. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

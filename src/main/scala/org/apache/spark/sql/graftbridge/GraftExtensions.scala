@@ -21,6 +21,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** A 1-arg function built by composing native Columns (the text layer):
+    * the composition is unfolded into a plain Expression tree at resolution,
+    * so SQL callers get the same codegen'd plan the Scala API builds. */
+  private def composed1(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name requires exactly 1 argument, got ${args.length}")
+        ColumnBridge.eagerExpression(f(ColumnBridge.column(args(0))))
+      })
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
@@ -33,7 +45,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"cosine_sim requires exactly 2 arguments, got ${args.length}")
         CosineSim(args(0), args(1))
-      }))
+      }),
+    composed1("graft_token_count", graft.functions.Text.tokenCount),
+    composed1("graft_bpe_token_count", graft.functions.Text.bpeTokenCount),
+    composed1("graft_lang_guess", graft.functions.Text.langGuess),
+    composed1("graft_fingerprint", graft.functions.Text.fingerprint),
+    composed1("graft_rolling_hash", graft.functions.Text.tokenRollingHash))
 
   /** Register all graft functions into an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -395,6 +395,18 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got._2 === expect)
     }
 
+    it("the text layer is callable from SQL text (composed-Column registration)") {
+      graft.expressions.VectorExpressions.registerSql(spark)
+      Seq((1L, "the cat sat on the mat"), (2L, "  "))
+        .toDF("id", "t").createOrReplaceTempView("ext_docs")
+      val got = spark.sql(
+        """SELECT id, graft_token_count(t) AS n, graft_lang_guess(t) AS lang,
+          |       graft_bpe_token_count(t) AS bpe FROM ext_docs""".stripMargin)
+        .as[(Long, Long, String, Long)].collect().map { case (i, n, l, b) => i -> ((n, l, b)) }.toMap
+      assert(got(1L) === ((6L, "en", 6L)))
+      assert(got(2L) === ((0L, "und", 0L)))
+    }
+
     it("cosine matches scala math") {
       val got = vecs.filter($"vec_id" === 1)
         .select(Similarity.cosine($"embedding", $"embedding")).as[Double].head()

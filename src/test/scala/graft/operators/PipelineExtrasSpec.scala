@@ -190,6 +190,53 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("randomized brute-force comparisons (fixed seed)") {
+    val rnd = new scala.util.Random(7)
+
+    it("Quantiles.perKeyExact == in-memory rank selection on 2000 random rows") {
+      val rows = (0 until 2000).map(i =>
+        ((i % 40).toLong, rnd.nextInt(1000).toLong - 500L, i.toLong))
+      val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p100" -> 1.0)
+      val got = Quantiles.perKeyExact(rows.toDF("k", "v", "tie"), "k", "v", "tie", ps)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map { case (k, a, b, c, d) => k -> Seq(a, b, c, d) }.toMap
+      val expect = rows.groupBy(_._1).view.mapValues { kvs =>
+        val sorted = kvs.map(_._2).sorted
+        ps.map { case (_, p) => sorted(math.ceil(p * sorted.size).toInt - 1) }
+      }.toMap
+      assert(got === expect)
+    }
+
+    it("count-min estimates never undercount on 2000 random rows at width 32") {
+      val rows = (0 until 2000).map(i => (i.toLong, s"k${rnd.nextInt(100)}"))
+        .toDF("id", "k")
+      val exact = rows.groupBy("k").count().as[(String, Long)].collect().toMap
+      val sk = Sketch.countMin(rows, col("k"), depth = 3, width = 32)
+      val est = Sketch.cmEstimate(sk, exact.keys.toSeq.toDF("k"), "k", depth = 3, width = 32)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (k, n) =>
+        assert(est(k) >= n, s"key $k: estimate ${est(k)} < exact $n")
+      }
+    }
+
+    it("Contamination.overlapPairs == brute-force shingle intersection on random docs") {
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      def doc(len: Int) = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val train = (1L to 30L).map(i => (i, doc(8 + rnd.nextInt(10))))
+      val eval = (100L to 103L).map(i => (i, doc(10)))
+      def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val expect = (for {
+        (ti, tt) <- train; (ei, et) <- eval
+        shared = (grams(tt) intersect grams(et)).size if shared >= 2
+      } yield (ti, ei, shared.toLong)).toSet
+      val got = Contamination
+        .overlapPairs(train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+          "doc_id", "text", 3, 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expect)
+    }
+  }
+
   describe("Text repetition metrics") {
     it("counts distinct tokens and the top bigram") {
       val df = Seq(
