@@ -1010,6 +1010,18 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("v"), col("event_id"))
       operators.Quantiles.perKeyExact(ev, "user_id", "v", "event_id",
         Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    }),
+
+    // per-user trailing-1-hour rolling sum — a time-RANGE window frame (every
+    // prior op uses ROWS/bucket semantics; range frames are the shape feature
+    // stores and leakage-safe training labels need). Frame bounds in exact
+    // long microseconds; cents keep the sum integer-exact.
+    "q68_rolling_window" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), round(col("value") * 100).cast("long").as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      ev.select(col("user_id"), col("event_id"), sum(col("v")).over(w).as("roll_cents"))
     })
   )
 
@@ -1598,6 +1610,15 @@ object SparkEntry {
         |       max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS p50,
         |       max(CASE WHEN rn = (n*900000 + 999999) // 1000000 THEN v END) AS p90,
         |       max(CASE WHEN rn = (n*990000 + 999999) // 1000000 THEN v END) AS p99
-        |FROM r GROUP BY user_id""".stripMargin
+        |FROM r GROUP BY user_id""".stripMargin,
+    // q68: identical RANGE frame on epoch microseconds (ts is µs-exact in
+    // this data, and RANGE includes peers, so the frame set is engine-
+    // independent either way)
+    "q68_rolling_window" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+        |FROM events""".stripMargin
   )
 }

@@ -24,6 +24,22 @@ class BucketingSpec extends AnyFunSpec with SparkSuite {
     // strand any later q49 call in this JVM with a stale "already built" note
   }
 
+  it("partitionBy sink + filtered read scans ONLY the matching partition (partition pruning)") {
+    // the other half of the 100 TB layout story: a corpus written
+    // partitioned by a hot filter column is read back with PartitionFilters
+    // at the scan, so a one-partition query touches one directory, not 100 TB
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "events")
+    events.select($"event_id", $"user_id", $"value", $"event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/ev")
+    val back = spark.read.parquet(s"$dir/ev").where($"event_type" === "purchase")
+    val plan = back.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"expected the event_type filter to prune partitions at the scan:\n$plan")
+    // pruning is semantically invisible: same rows as filtering the source
+    assert(back.count() === events.where($"event_type" === "purchase").count())
+  }
+
   it("equi-join of co-bucketed tables plans no exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val l = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
