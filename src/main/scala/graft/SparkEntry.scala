@@ -1557,12 +1557,15 @@ object SparkEntry {
         |         AND coalesce(top.top_n, 0) * 5 <= len(words) - 1) AS repetition_ok
         |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin,
     // q64: integer-exact ranking (tf DESC, df ASC, term ASC) — binary string
-    // collation on lowercase-ASCII terms agrees across engines
+    // collation on lowercase-ASCII terms agrees across engines; tokens are
+    // runs of non-Java-\s chars ('[^ \x09-\x0D]+' — RE2's '\s' lacks \x0B,
+    // so a '\s+' split would diverge from Spark's Java-regex split on
+    // vertical tabs)
     "q64_top_terms" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
-        |              FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |              FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       CAST(rank AS BIGINT) AS rank FROM (
@@ -1590,11 +1593,12 @@ object SparkEntry {
         |       CAST(n AS BIGINT) AS inter, CAST(n AS BIGINT) AS uni
         |FROM sizes""".stripMargin,
     // q66: collision-free at this (vocab, width, depth) — deterministic with
-    // the fixed lane hashes — so estimates equal the exact counts
+    // the fixed lane hashes — so estimates equal the exact counts; same
+    // Java-\s token class as q64
     "q66_heavy_hitters" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
-        |              FROM documents),
-        |tf AS (SELECT term, count(*) AS exact_cnt FROM toks WHERE len(term) > 0 GROUP BY 1)
+      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |              FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1)
         |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
         |       CAST(exact_cnt AS BIGINT) AS est_cnt
         |FROM tf ORDER BY exact_cnt DESC, term LIMIT 5""".stripMargin,

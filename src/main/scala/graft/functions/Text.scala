@@ -122,9 +122,12 @@ object Text {
    * document in plain JVM code. The Column form's `aggregate` higher-order
    * function is interpreted per element (struct state allocated per bigram)
    * and dominated the corpus scan ~8×, the same reason
-   * `Dedup.shingleHashes` is a typed kernel. Semantics are identical
-   * (parity-pinned in spec); tokenization is Java `trim` + `split("\\s+")`,
-   * the dedup kernels' convention. Narrow (mapPartitions) — no shuffle.
+   * `Dedup.shingleHashes` is a typed kernel. Semantics are identical on
+   * non-null text (parity-pinned in spec); on NULL text the kernel treats
+   * the document as empty — (0, 0, 0, ok=true) — while the Column form
+   * propagates NULL, so Column-form callers should `coalesce(text, '')`.
+   * Tokenization is Java `trim` + `split("\\s+")`, the dedup kernels'
+   * convention. Narrow (mapPartitions) — no shuffle.
    */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession

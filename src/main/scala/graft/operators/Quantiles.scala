@@ -34,6 +34,11 @@ object Quantiles {
     require(ps.nonEmpty, "need at least one probability")
     ps.foreach { case (name, p) =>
       require(p > 0.0 && p <= 1.0, s"probability $name=$p outside (0, 1]")
+      // below the rationalization precision, num would round to 0 and the
+      // rank expression to 0 — no row matches and the quantile silently
+      // reads NULL instead of the per-key minimum; reject instead
+      require(math.round(p * Den) >= 1,
+        s"probability $name=$p below the 1e-6 rank precision")
     }
     val byValue = Window.partitionBy(keyCol).orderBy(col(valueCol), col(tieCol))
     val byKey = Window.partitionBy(keyCol)

@@ -117,12 +117,9 @@ object StreamOps {
    * cell-wise with any batch-built sketch.
    */
   def streamingCountMin(events: DataFrame, key: org.apache.spark.sql.Column,
-                        depth: Int, width: Int): DataFrame = {
-    require(depth > 0 && width > 0, s"depth/width must be positive, got $depth x $width")
-    events.select(explode(array((0 until depth).map { d =>
-        struct(lit(d).as("lane"), pmod(xxhash64(lit(d), key), lit(width.toLong)).as("bucket"))
-      }: _*)).as("lb"))
-      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-  }
+                        depth: Int, width: Int): DataFrame =
+    // the batch build IS the streaming build (cells are sums, and the same
+    // declarative aggregation runs incrementally on a streaming frame);
+    // delegating keeps the two mergeable by construction
+    graft.operators.Sketch.countMin(events, key, depth, width)
 }

@@ -151,10 +151,14 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(got === ((1L, 2L, 9L)))
     }
 
-    it("rejects probabilities outside (0, 1]") {
+    it("rejects probabilities outside (0, 1] and below the rank precision") {
       val rows = Seq((1L, 1L, 1L)).toDF("k", "v", "tie")
       intercept[IllegalArgumentException] {
         Quantiles.perKeyExact(rows, "k", "v", "tie", Seq("p0" -> 0.0))
+      }
+      // p < 1e-6 would rationalize to rank 0 and silently return NULL
+      intercept[IllegalArgumentException] {
+        Quantiles.perKeyExact(rows, "k", "v", "tie", Seq("tiny" -> 1e-7))
       }
     }
   }
