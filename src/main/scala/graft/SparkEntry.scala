@@ -1022,6 +1022,78 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-3600000000L, Window.currentRow)
       ev.select(col("user_id"), col("event_id"), sum(col("v")).over(w).as("roll_cents"))
+    }),
+
+    // PII scrubbing: chained native regexp_replace redacts URL -> email ->
+    // IPv4 -> phone, plus per-category audit counts over the raw text — all
+    // RE2-compatible patterns that run verbatim in both engines. The corpus
+    // carries no natural PII, so a deterministic contact line derived from
+    // doc_id is appended identically in query and oracle: every row
+    // exercises all four patterns. Whole-stage codegen, zero shuffles —
+    // scrubbing rides the corpus scan.
+    "q69_pii_scrub" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val aug = concat(coalesce(col("text"), lit("")),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://site"), col("doc_id").cast("string"),
+        lit(".example.org/p?d="), col("doc_id").cast("string"),
+        lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docs.select(col("doc_id") +: functions.Text.scrubPii(aug).as("clean") +:
+        functions.Text.piiCounts(aug): _*)
+    }),
+
+    // stratified deterministic sampling: per-language keep fractions (rebalance
+    // the dominant stratum, keep all of a rare one) via the salted md5 hash —
+    // the same partitioning-invariant contract as q52, one narrow CASE filter
+    // at scan speed. DuckDB recomputes the hash and thresholds exactly.
+    "q70_stratified_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedSample(tbl(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    // quantile SKETCH with an accuracy gate (q37's pattern, for order
+    // statistics): percentile_approx is the mergeable, map-side-combinable
+    // 100 TB path (no global sort; a cluster merges per-partition summaries),
+    // and its rank-error contract — returned value's rank within
+    // [floor((p-1/acc)·n), ceil((p+1/acc)·n)] — is checked IN-QUERY against
+    // exact counts, per group and probability. Output anchors the hash with
+    // q67-style exact order statistics; the boolean is the sketch's graded
+    // claim. A regression in the sketch or its merge flips the gate.
+    "q71_quantile_sketch" -> ((s, dir) => {
+      val acc = 10000L
+      val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"), col("l_orderkey"))
+      val exact = operators.Quantiles.perKeyExact(li, "l_returnflag", "v", "l_orderkey",
+        Seq("p50_cents" -> 0.5, "p90_cents" -> 0.9, "p99_cents" -> 0.99))
+      val approx = li.groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("v"), lit(0.5), lit(acc.toInt)).as("a50"),
+        percentile_approx(col("v"), lit(0.9), lit(acc.toInt)).as("a90"),
+        percentile_approx(col("v"), lit(0.99), lit(acc.toInt)).as("a99"))
+      val gateAggs = Seq(count(lit(1)).as("n")) ++ Seq(50, 90, 99).flatMap { p =>
+        Seq(sum(when(col("v") <= col(s"a$p"), 1L).otherwise(0L)).as(s"hi$p"),
+            sum(when(col("v") < col(s"a$p"), 1L).otherwise(0L)).as(s"lo$p"))
+      }
+      val gated = li.join(broadcast(approx), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(gateAggs.head, gateAggs.tail: _*)
+      // rank-contract check in pure integer math: num = p*100, bounds at
+      // 1/acc rank error -> floor((num*acc/100 - 1)*n / (100*acc/100)) etc.,
+      // scaled to avoid fractions: floor(n*(num*acc - 100)/(100*acc)) and
+      // ceil(n*(num*acc + 100)/(100*acc))
+      val ok = Seq(50L, 90L, 99L).map { num =>
+        // the returned value occupies ranks [lo+1, hi]; the contract interval
+        // is [floor((p-1/acc)·n), ceil((p+1/acc)·n)], cushioned ±1 rank so the
+        // gate is robust to the sketch's 0- vs 1-based rank convention
+        val loB = expr(s"(n * ${num * acc - 100}L) div ${100 * acc}L") - 1L
+        val hiB = expr(s"(n * ${num * acc + 100}L + ${100 * acc - 1}L) div ${100 * acc}L") + 1L
+        col(s"hi$num") >= loB && col(s"lo$num") + 1 <= hiB
+      }.reduce(_ && _)
+      exact.alias("e").join(gated.alias("g"),
+          col("e.l_returnflag") <=> col("g.l_returnflag"))
+        .select(col("e.l_returnflag").as("l_returnflag"), col("p50_cents"),
+          col("p90_cents"), col("p99_cents"), ok.as("within_rank_bound"))
     })
   )
 
@@ -1623,6 +1695,50 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
         |         PARTITION BY user_id ORDER BY epoch_us(ts)
         |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // q69: the SAME RE2-compatible patterns run verbatim in DuckDB ('g' flag
+    // = Spark's replace-all), over the same deterministic augmentation
+    "q69_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         coalesce(text, '') || ' Contact user' || doc_id || '@example.com via https://site'
+        |           || doc_id || '.example.org/p?d=' || doc_id
+        |           || ' host 10.0.' || (doc_id % 256) || '.7 call 555-'
+        |           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |         'https?://[^\s]+', '<URL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
+        |       CAST(length(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |       CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |       CAST(length(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |       CAST(length(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+        |FROM aug""".stripMargin,
+    // q70: DuckDB recomputes the salted md5-prefix hash and CASE thresholds
+    "q70_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)) AS UBIGINT)
+        |      < CASE lang WHEN 'en' THEN CAST(0.5 * 4294967296 AS UBIGINT)
+        |                  WHEN 'de' THEN CAST(0.25 * 4294967296 AS UBIGINT)
+        |                  WHEN 'fr' THEN CAST(1.0 * 4294967296 AS UBIGINT)
+        |                  ELSE CAST(0.1 * 4294967296 AS UBIGINT) END""".stripMargin,
+    // q71: the exact order statistics anchor the hash (q67's integer rank
+    // math); the sketch's rank-error contract is the in-query boolean
+    "q71_quantile_sketch" ->
+      """WITH r AS (SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+        |                  row_number() OVER (PARTITION BY l_returnflag
+        |                    ORDER BY CAST(round(l_extendedprice*100) AS BIGINT), l_orderkey) AS rn,
+        |                  count(*) OVER (PARTITION BY l_returnflag) AS n
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |       max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS p50_cents,
+        |       max(CASE WHEN rn = (n*900000 + 999999) // 1000000 THEN v END) AS p90_cents,
+        |       max(CASE WHEN rn = (n*990000 + 999999) // 1000000 THEN v END) AS p99_cents,
+        |       TRUE AS within_rank_bound
+        |FROM r GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -165,6 +165,34 @@ object Text {
       .toDF(idCol, "n_tokens", "n_distinct", "top_bigram_n", "repetition_ok")
   }
 
+  /**
+   * PII scrubbing patterns: (name, regex, replacement token), applied in this
+   * fixed order. The regexes are restricted to the RE2-compatible subset (no
+   * backreferences, no lookaround) so the SAME pattern string runs verbatim
+   * under Java regex (Spark) and RE2 (DuckDB/production scrubber audits) with
+   * identical matches. Deliberately simple recall-oriented shapes — a version
+   * string like 1.2.3.4 does match the IP pattern; at corpus-cleaning scale
+   * that false positive is the standard trade.
+   */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Redact URLs, then emails, then IPv4s, then phone numbers (order matters:
+    * a URL's userinfo could otherwise be half-eaten by the email pass).
+    * Chained native `regexp_replace` — whole-stage codegen, zero shuffles,
+    * scrubbing runs at scan speed. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, lit(p), lit(r)) }
+
+  /** Per-category match counts over the RAW text (counts are independent per
+    * pattern; an email inside a URL counts once for each — the audit number a
+    * compliance report wants, and what the oracle recomputes). */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (n, p, _) => regexp_count(text, lit(p)).cast("long").as(s"n_$n") }
+
   /** Quality heuristics: token count, mean token length (exact ints + one
     * division), stopword hits, and an accept flag. */
   def qualityColumns(text: Column): Seq[Column] = {

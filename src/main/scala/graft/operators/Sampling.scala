@@ -51,6 +51,28 @@ object Sampling {
   }
 
   /**
+   * Per-stratum deterministic sampling: keep ~`fractions(stratum)` of each
+   * stratum's rows (strata compared as strings; strata absent from the map
+   * keep `defaultFraction`). Rebalancing a skewed corpus — downsample the
+   * dominant language, keep all of a rare one — is THE curation use of
+   * sampling at 100 TB, and it must be deterministic for reproducible
+   * retrains. Same [[hash32]] contract with its own salt ("strata"), so it
+   * composes independently with the other samplers; the per-stratum
+   * threshold folds into one CASE column — a single narrow filter at scan
+   * speed, no shuffle, no join.
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(
+        lit((defaultFraction * 4294967296.0).toLong)) { case (els, (k, f)) =>
+      when(col(stratumCol).cast("string") === k, lit((f * 4294967296.0).toLong)).otherwise(els)
+    }
+    df.where(hash32(col(idCol), "strata") < thr)
+  }
+
+  /**
    * k rows per key, chosen as the k SMALLEST id-hashes (hash-minima are a
    * uniform random sample under a uniform hash — deterministic "reservoir"
    * sampling). Ranked through a bounded insertion-sort combiner with map-side

@@ -90,4 +90,16 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert("Exchange".r.findAllIn(p).size == 1,
       s"expected the per-key agg to reuse the window exchange:\n$p")
   }
+
+  it("q69 PII scrub rides the corpus scan: zero exchanges, pruned read") {
+    val p = plan("q69_pii_scrub")
+    assert(!p.contains("Exchange"), s"scrubbing must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  it("q70 stratified sample is one narrow filter: zero exchanges, pruned read") {
+    val p = plan("q70_stratified_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
 }

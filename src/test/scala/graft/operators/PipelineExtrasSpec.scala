@@ -281,4 +281,94 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(kernel === columns)
     }
   }
+
+  describe("Text.scrubPii / piiCounts") {
+    // same vector the DuckDB parity check uses: all four categories plus a
+    // version string that must NOT match the IP/phone shapes
+    val s = "mail a.b@x.co.uk and http://h.com/z?a=1 ip 10.0.42.7 call 555-042-0042 v2.13.8 end"
+
+    it("redacts URL, email, IPv4 and phone; counts each over the raw text") {
+      val got = Seq(s).toDF("t")
+        .select(Text.scrubPii(col("t")).as("clean") +: Text.piiCounts(col("t")): _*)
+        .as[(String, Long, Long, Long, Long)].head()
+      assert(got === (("mail <EMAIL> and <URL> ip <IP> call <PHONE> v2.13.8 end", 1L, 1L, 1L, 1L)))
+    }
+
+    it("URL pass runs before email: a userinfo URL redacts whole but audits as both") {
+      val got = Seq("go http://bob@h.io/x now").toDF("t")
+        .select(Text.scrubPii(col("t")).as("clean") +: Text.piiCounts(col("t")): _*)
+        .as[(String, Long, Long, Long, Long)].head()
+      assert(got._1 === "go <URL> now")
+      assert((got._2, got._3) === ((1L, 1L))) // n_url, n_email
+    }
+
+    it("text without PII passes through unchanged with zero counts") {
+      val got = Seq("just words here").toDF("t")
+        .select(Text.scrubPii(col("t")).as("clean") +: Text.piiCounts(col("t")): _*)
+        .as[(String, Long, Long, Long, Long)].head()
+      assert(got === (("just words here", 0L, 0L, 0L, 0L)))
+    }
+
+    it("pins the documented recall trade: a bare dotted quad matches the IP shape") {
+      val got = Seq("release 1.2.3.4 shipped").toDF("t")
+        .select(Text.scrubPii(col("t")).as("clean")).as[String].head()
+      assert(got === "release <IP> shipped")
+    }
+  }
+
+  describe("Sampling.stratifiedSample") {
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "z"),
+      (6L, null.asInstanceOf[String])).toDF("id", "lang")
+
+    it("fraction 1.0 keeps a stratum whole; 0.0 drops it; default covers the rest") {
+      val got = Sampling.stratifiedSample(rows, "lang", "id",
+          Map("a" -> 1.0, "b" -> 0.0), defaultFraction = 1.0)
+        .select("id").as[Long].collect().toSet
+      assert(got === Set(1L, 2L, 5L, 6L)) // all of a, none of b, default keeps z and NULL
+    }
+
+    it("matches the manual md5-prefix hash exactly (the cross-engine contract)") {
+      def h(id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest((id.toString + "strata").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(8), 16)
+      }
+      val many = (0L until 500L).map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("id", "lang")
+      val got = Sampling.stratifiedSample(many, "lang", "id",
+          Map("x" -> 0.5, "y" -> 0.2)).select("id").as[Long].collect().toSet
+      val want = (0L until 500L).filter { i =>
+        val thr = if (i % 2 == 0) (0.5 * 4294967296.0).toLong else (0.2 * 4294967296.0).toLong
+        h(i) < thr
+      }.toSet
+      assert(got === want)
+    }
+
+    it("is invariant to partitioning") {
+      val many = (0L until 300L).map(i => (i, "s" + (i % 3))).toDF("id", "lang")
+      val a = Sampling.stratifiedSample(many, "lang", "id", Map("s0" -> 0.4), 0.3)
+        .select("id").as[Long].collect().toSet
+      val b = Sampling.stratifiedSample(many.repartition(7), "lang", "id", Map("s0" -> 0.4), 0.3)
+        .select("id").as[Long].collect().toSet
+      assert(a === b)
+    }
+
+    it("rejects fractions outside [0, 1]") {
+      intercept[IllegalArgumentException] {
+        Sampling.stratifiedSample(rows, "lang", "id", Map("a" -> 1.5))
+      }
+      intercept[IllegalArgumentException] {
+        Sampling.stratifiedSample(rows, "lang", "id", Map.empty, defaultFraction = -0.1)
+      }
+    }
+  }
+
+  describe("quantile sketch gate (q71)") {
+    it("the sketch's rank-error contract holds on sf0.001 (gate all-true)") {
+      val rows = graft.SparkEntry
+        .queries("q71_quantile_sketch")(spark, "/root/testdata/sf0.001").collect()
+      assert(rows.length === 3)
+      assert(rows.forall(_.getAs[Boolean]("within_rank_bound")), rows.mkString("\n"))
+    }
+  }
 }
