@@ -1094,6 +1094,44 @@ object SparkEntry {
           col("e.l_returnflag") <=> col("g.l_returnflag"))
         .select(col("e.l_returnflag").as("l_returnflag"), col("p50_cents"),
           col("p90_cents"), col("p99_cents"), ok.as("within_rank_bound"))
+    }),
+
+    // z-order (Morton) curve values: the 2-D data-skipping sort key —
+    // ZOrderSpec proves the geometry (a b-selective box overlaps a fraction
+    // of z-tiled files vs ALL linearly-sorted ones); this query pins the
+    // curve itself bit-for-bit against DuckDB's identical shift/mask ladder.
+    // Pure integer projection: zero shuffles, codegen'd.
+    "q72_zorder_curve" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.select(col("o_orderkey"),
+        operators.ZOrder.zValue16(col("o_custkey"), expr("cents div 1024")).as("z"))
+    }),
+
+    // global top-k WITHOUT a global sort: orderBy+limit plans
+    // TakeOrderedAndProject — per-partition bounded heaps, then a k-row merge
+    // on one reducer (plan-pinned). The 100 TB shape for "show me the k most
+    // expensive items": shuffle carries k rows per partition, never the data.
+    "q73_global_topk" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // semi-structured props: parse the JSON event payload with an EXPLICIT
+    // schema (from_json struct, not schema inference — at 100 TB you declare
+    // the contract) and aggregate a typed field per event type. Parsing is a
+    // narrow codegen'd projection riding the scan; the only shuffle is the
+    // 5-group agg.
+    "q74_json_props" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      ev.select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     })
   )
 
@@ -1739,6 +1777,41 @@ object SparkEntry {
         |       max(CASE WHEN rn = (n*900000 + 999999) // 1000000 THEN v END) AS p90_cents,
         |       max(CASE WHEN rn = (n*990000 + 999999) // 1000000 THEN v END) AS p99_cents,
         |       TRUE AS within_rank_bound
-        |FROM r GROUP BY l_returnflag""".stripMargin
+        |FROM r GROUP BY l_returnflag""".stripMargin,
+    // q72: the identical Morton mask ladder in DuckDB bit arithmetic
+    // (16711935 = 0x00FF00FF, 252645135 = 0x0F0F0F0F, 858993459 = 0x33333333,
+    //  1431655765 = 0x55555555)
+    "q72_zorder_curve" ->
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |         least(greatest(o_custkey, 0), 65535) AS a,
+        |         least(greatest(CAST(round(o_totalprice*100) AS BIGINT) // 1024, 0), 65535) AS b
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey,
+        |              ((a | (a << 8)) & 16711935) AS a1,
+        |              ((b | (b << 8)) & 16711935) AS b1 FROM c),
+        |s2 AS (SELECT o_orderkey,
+        |              ((a1 | (a1 << 4)) & 252645135) AS a2,
+        |              ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+        |s3 AS (SELECT o_orderkey,
+        |              ((a2 | (a2 << 2)) & 858993459) AS a3,
+        |              ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+        |s4 AS (SELECT o_orderkey,
+        |              ((a3 | (a3 << 1)) & 1431655765) AS a4,
+        |              ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3)
+        |SELECT o_orderkey, (a4 | (b4 << 1)) AS z FROM s4""".stripMargin,
+    // q73: same total order, same k
+    "q73_global_topk" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |ORDER BY price_cents DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    // q74: DuckDB's JSON path extraction over the same payloads
+    "q74_json_props" ->
+      """SELECT event_type,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -122,4 +122,32 @@ object StreamOps {
     // declarative aggregation runs incrementally on a streaming frame);
     // delegating keeps the two mergeable by construction
     graft.operators.Sketch.countMin(events, key, depth, width)
+
+  /**
+   * Watermarked stream-stream INTERVAL join — the attribution shape: each
+   * `right` event (e.g. purchase) pairs with the same user's `left` events
+   * (e.g. clicks) whose event time falls in `[right.ts - windowMs, right.ts]`.
+   *
+   * Both sides carry watermarks and the join condition bounds each side's
+   * event time by the other's, which is exactly what lets Spark bound the
+   * JOIN STATE: a left event can be dropped once the watermark guarantees no
+   * admissible right event can still reach back to it (and vice versa). An
+   * unbounded stream-stream join without these two bounds would buffer both
+   * streams forever — the difference between a 100 TB/day attribution job
+   * that runs and one that OOMs. Inner join: output rows are final on emit
+   * (Append mode), so the sink never sees retractions.
+   */
+  def intervalJoin(left: Dataset[StreamEvent], right: Dataset[StreamEvent],
+                   windowMs: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(windowMs % 1000 == 0, s"windowMs must be whole seconds, got $windowMs")
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r,
+        expr(s"l.user_id = r.user_id AND " +
+          s"l.ts BETWEEN r.ts - INTERVAL ${windowMs / 1000} SECOND AND r.ts"))
+      .select(col("l.user_id").as("user_id"),
+        col("l.ts").as("left_ts"), col("l.event_type").as("left_type"),
+        col("r.ts").as("right_ts"), col("r.event_type").as("right_type"))
+  }
 }

@@ -50,7 +50,8 @@ object GraftExtensions {
     composed1("graft_bpe_token_count", graft.functions.Text.bpeTokenCount),
     composed1("graft_lang_guess", graft.functions.Text.langGuess),
     composed1("graft_fingerprint", graft.functions.Text.fingerprint),
-    composed1("graft_rolling_hash", graft.functions.Text.tokenRollingHash))
+    composed1("graft_rolling_hash", graft.functions.Text.tokenRollingHash),
+    composed1("graft_scrub_pii", graft.functions.Text.scrubPii))
 
   /** Register all graft functions into an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -102,4 +102,15 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
   }
+
+  it("q72 z-curve is a pure projection: zero exchanges") {
+    val p = plan("q72_zorder_curve")
+    assert(!p.contains("Exchange"), s"the curve must ride the scan:\n$p")
+  }
+
+  it("q73 global top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q73_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"a full Sort node would sort the world for 100 rows:\n$p")
+  }
 }

@@ -407,6 +407,13 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got(2L) === ((0L, "und", 0L)))
     }
 
+    it("graft_scrub_pii is callable from SQL text") {
+      graft.expressions.VectorExpressions.registerSql(spark)
+      Seq("mail a@b.io via http://x.y/z").toDF("t").createOrReplaceTempView("ext_pii")
+      val got = spark.sql("SELECT graft_scrub_pii(t) AS c FROM ext_pii").as[String].head()
+      assert(got === "mail <EMAIL> via <URL>")
+    }
+
     it("cosine matches scala math") {
       val got = vecs.filter($"vec_id" === 1)
         .select(Similarity.cosine($"embedding", $"embedding")).as[Double].head()

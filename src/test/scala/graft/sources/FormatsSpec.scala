@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.SparkSuite
+
+/** Source formats: lossless round-trips under adversarial content, and the
+  * corrupt-record quarantine posture. */
+class FormatsSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("data").toString
+
+  // embedded delimiter, quote, newline, unicode, empty string and NULL —
+  // everything that breaks naive CSV handling
+  private val tricky = Seq(
+    (1L, "plain", Some(10L)),
+    (2L, "comma, inside", Some(20L)),
+    (3L, "quote \" inside", None),
+    (4L, "line\nbreak", Some(40L)),
+    (5L, "ünïcødé ✓", Some(50L)),
+    (6L, "", None),
+    (7L, null.asInstanceOf[String], Some(70L)))
+  private val ddl = "id BIGINT, s STRING, v BIGINT"
+
+  it("CSV round-trips adversarial strings losslessly under the strict reader") {
+    val path = tmp("csv")
+    val df = tricky.toDF("id", "s", "v")
+    Formats.writeCsv(df, path)
+    val back = Formats.readCsv(spark, path, ddl)
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    // CSV cannot distinguish NULL from empty string (both write as nothing);
+    // normalize that one documented ambiguity, everything else must be exact
+    val want = df.as[(Long, Option[String], Option[Long])].collect()
+      .map { case (i, s, v) => (i, s.filter(_.nonEmpty), v) }.toSet
+    assert(back === want)
+  }
+
+  it("JSON-lines round-trips the same content exactly (NULL vs empty preserved)") {
+    val path = tmp("jsonl")
+    val df = tricky.toDF("id", "s", "v")
+    Formats.writeJsonLines(df, path)
+    val back = Formats.readJsonLines(spark, path, ddl)
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(back === df.as[(Long, Option[String], Option[Long])].collect().toSet)
+  }
+
+  it("JSON-lines carries nested structs and arrays CSV cannot") {
+    val path = tmp("jsonn")
+    val df = Seq((1L, ("a", 2L), Seq(1L, 2L, 3L)), (2L, ("b", 4L), Seq.empty[Long]))
+      .toDF("id", "kv", "xs")
+    Formats.writeJsonLines(df, path)
+    val back = Formats.readJsonLines(spark, path,
+        "id BIGINT, kv STRUCT<_1: STRING, _2: BIGINT>, xs ARRAY<BIGINT>")
+      .as[(Long, (String, Long), Seq[Long])].collect().toSet
+    assert(back === df.as[(Long, (String, Long), Seq[Long])].collect().toSet)
+  }
+
+  it("audited read quarantines malformed lines in _corrupt_record, keeps good rows") {
+    val path = tmp("quarantine")
+    Seq("""{"id": 1, "s": "ok", "v": 10}""",
+        """{"id": 2, "s": "also ok"}""",
+        """{"id": "NOT A NUMBER", "s": "bad types", "v": 3}""",
+        """not json at all""")
+      .toDF("value").coalesce(1).write.text(path)
+    // Spark refuses queries touching ONLY _corrupt_record straight off the
+    // raw files; materialize the parse first (the quarantine pattern does
+    // this anyway — parse once, split good/bad from the cached frame)
+    val got = Formats.readJsonLinesAudited(spark, path, ddl).cache()
+    val good = got.where($"_corrupt_record".isNull)
+      .select("id", "s").as[(Long, String)].collect().toSet
+    val bad = got.where($"_corrupt_record".isNotNull).count()
+    assert(good === Set((1L, "ok"), (2L, "also ok")))
+    assert(bad === 2L)
+  }
+}

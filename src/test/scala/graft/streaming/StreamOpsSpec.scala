@@ -333,4 +333,60 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
   }
+
+  describe("intervalJoin ≡ batch interval join (finite replay equivalence)") {
+    // attribution shape: purchases pair with the same user's clicks in the
+    // trailing 10 minutes
+    val clicks = Seq(
+      StreamEvent(1L, ts(0), "click", 1.0), StreamEvent(1L, ts(7), "click", 1.0),
+      StreamEvent(1L, ts(30), "click", 1.0),
+      StreamEvent(2L, ts(3), "click", 1.0), // 17 min before the purchase: outside
+      StreamEvent(3L, ts(5), "click", 1.0)) // user with no purchase
+    val purchases = Seq(
+      StreamEvent(1L, ts(9), "purchase", 5.0),
+      StreamEvent(1L, ts(35), "purchase", 7.0),
+      StreamEvent(2L, ts(20), "purchase", 9.0),
+      StreamEvent(4L, ts(1), "purchase", 2.0)) // user with no clicks
+    val windowMs = 10 * 60000L
+
+    def runStream(leftArrival: Seq[StreamEvent], rightArrival: Seq[StreamEvent],
+                  name: String): Set[(Long, Long, Long)] = {
+      implicit val sc = spark.sqlContext
+      val l = MemoryStream[StreamEvent]
+      val r = MemoryStream[StreamEvent]
+      val q = StreamOps.intervalJoin(l.toDS(), r.toDS(), windowMs, "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        // drip both sides in small batches so matches must span micro-batches
+        val lb = leftArrival.grouped(2).toSeq
+        val rb = rightArrival.grouped(2).toSeq
+        (0 until math.max(lb.size, rb.size)).foreach { i =>
+          if (i < lb.size) l.addData(lb(i))
+          if (i < rb.size) r.addData(rb(i))
+          q.processAllAvailable()
+        }
+        spark.table(name)
+          .selectExpr("user_id", "CAST(left_ts AS LONG) AS lms", "CAST(right_ts AS LONG) AS rms")
+          .as[(Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+
+    it("emits exactly the batch join's pairs under in-order and reversed arrival") {
+      // batch truth: the same join condition on static frames
+      val expected = (for {
+        p <- purchases
+        c <- clicks
+        if c.user_id == p.user_id
+        if c.ts.getTime >= p.ts.getTime - windowMs && c.ts.getTime <= p.ts.getTime
+      } yield (p.user_id, c.ts.getTime / 1000, p.ts.getTime / 1000)).toSet
+      assert(expected.size === 3) // (1: 0->9), (1: 7->9), (1: 30->35)
+
+      for ((name, la, ra) <- Seq(
+          ("ijeq_inorder", clicks, purchases),
+          ("ijeq_reversed", clicks.reverse, purchases.reverse))) {
+        val got = runStream(la, ra, name)
+        assert(got === expected, s"arrival order $name diverged from the batch join")
+      }
+    }
+  }
 }
