@@ -1132,6 +1132,28 @@ object SparkEntry {
             .getField("k").as("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    }),
+
+    // the END-TO-END curation pipeline, one oracle'd query: quality gate ->
+    // repetition gate (both narrow, scan speed) -> exact dedup among
+    // survivors via `exactRows` (the pipeline's ONLY wide stage: one hash
+    // shuffle of the gate-surviving rows, payload moved exactly once) ->
+    // stratified language rebalance (narrow) -> PII scrub on the way out
+    // (narrow). Every stage is individually proven (q23/q63/q19/q70/q69);
+    // this row proves they COMPOSE deterministically — the whole cleaning
+    // pass a training-data pipeline runs, replayed by DuckDB end to end.
+    "q75_curation_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val t = coalesce(col("text"), lit(""))
+      val flagged = docs.select(Seq(col("doc_id"), col("lang"), col("text")) ++
+        functions.Text.qualityColumns(t) ++ functions.Text.repetitionColumns(t): _*)
+      val kept = flagged.where(col("quality_ok") && col("repetition_ok"))
+        .select("doc_id", "lang", "text")
+      val survivors = operators.Dedup.exactRows(kept, "doc_id", col("text"))
+      val sampled = operators.Sampling.stratifiedSample(survivors, "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+      sampled.select(col("doc_id"), col("lang"),
+        functions.Text.scrubPii(col("text")).as("clean"))
     })
   )
 
@@ -1812,6 +1834,42 @@ object SparkEntry {
       """SELECT event_type,
         |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |       count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // q75: the whole curation pass replayed stage by stage — tokenization is
+    // the q21/q23-proven SQL-split pair (Spark `split` keeps the same
+    // empty-token artifacts as regexp_split_to_array); bigrams, dedup group,
+    // sampling threshold and scrub chain are the q63/q19/q70/q69 fragments
+    "q75_curation_pipeline" ->
+      """WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
+        |tok AS (SELECT doc_id, lang, t,
+        |          CASE WHEN len(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+        |               ELSE regexp_split_to_array(trim(t), '\s+') END AS words
+        |        FROM base),
+        |qual AS (SELECT * FROM tok
+        |         WHERE len(words) >= 5 AND len(words) <= 100000
+        |           AND CAST(len(trim(t)) AS DOUBLE) / len(words) >= 2.0
+        |           AND CAST(len(trim(t)) AS DOUBLE) / len(words) <= 20.0),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
+        |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g
+        |       FROM qual WHERE len(words) >= 2),
+        |top AS (SELECT doc_id, max(cnt) AS top_n FROM (
+        |          SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |rep AS (SELECT q.doc_id, q.lang, q.t FROM qual q LEFT JOIN top ON q.doc_id = top.doc_id
+        |        WHERE len(q.words) < 10 OR (len(list_distinct(q.words)) * 2 >= len(q.words)
+        |          AND coalesce(top.top_n, 0) * 5 <= len(q.words) - 1)),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM rep GROUP BY t),
+        |surv AS (SELECT r.doc_id, r.lang, r.t FROM rep r JOIN ded USING (doc_id)),
+        |samp AS (SELECT doc_id, lang, t FROM surv
+        |         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)) AS UBIGINT)
+        |               < CASE lang WHEN 'en' THEN CAST(0.5 * 4294967296 AS UBIGINT)
+        |                           WHEN 'zh' THEN CAST(1.0 * 4294967296 AS UBIGINT)
+        |                           ELSE CAST(0.25 * 4294967296 AS UBIGINT) END)
+        |SELECT doc_id, lang,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |         'https?://[^\s]+', '<URL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM samp""".stripMargin
   )
 }

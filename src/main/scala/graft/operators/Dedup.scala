@@ -36,15 +36,35 @@ object Dedup {
     * collapse distinct invalid-UTF-8 byte sequences to the same replacement
     * characters before hashing — a collision mode far likelier than md5's). */
   def exact(df: DataFrame, idCol: String, on: Column): DataFrame = {
+    df.groupBy(md5(contentBytes(df, on)).as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+  }
+
+  /** The hashable byte form of a dedup key (see [[exact]]'s binary-safety
+    * note: BINARY hashes raw, STRING as its bytes, everything else through a
+    * canonical string rendering). */
+  private def contentBytes(df: DataFrame, on: Column): Column = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
-    val keyBytes = df.select(on).schema.head.dataType match {
+    df.select(on).schema.head.dataType match {
       case BinaryType => on
       case StringType => on.cast("binary")
       case _ => on.cast("string").cast("binary")
     }
-    df.groupBy(md5(keyBytes).as("dedup_key"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(idCol)
+  }
+
+  /** Canonical surviving ROW per exact-content group (the row with the
+    * smallest id). [[exact]] returns ids — right when the survivors feed an
+    * anti-join or audit; a pipeline that keeps PROCESSING the survivors
+    * would have to join those ids back, shuffling the payload a second
+    * time. This form does it in ONE hash shuffle of the input
+    * (`row_number` over the content hash), payload moved exactly once. */
+  def exactRows(df: DataFrame, idCol: String, on: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__dedup_rn"), "__dedup_rn is reserved by exactRows")
+    val w = Window.partitionBy(md5(contentBytes(df, on))).orderBy(col(idCol))
+    df.withColumn("__dedup_rn", row_number().over(w))
+      .where(col("__dedup_rn") === 1).drop("__dedup_rn")
   }
 
   /** Distinct word n-gram shingles as an array column (native expressions:

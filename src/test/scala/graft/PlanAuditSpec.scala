@@ -113,4 +113,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Sort ["), s"a full Sort node would sort the world for 100 rows:\n$p")
   }
+
+  it("q75 the ENTIRE curation pipeline shuffles exactly once (the dedup hash exchange)") {
+    val p = plan("q75_curation_pipeline")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"quality/repetition/sampling/scrub must stay narrow; only exactRows shuffles:\n$p")
+  }
 }

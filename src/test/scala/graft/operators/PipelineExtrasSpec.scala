@@ -363,6 +363,25 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Dedup.exactRows") {
+    it("keeps the min-id ROW per content group — exact()'s ids with their payloads") {
+      val df = Seq((3L, "a", "x"), (1L, "a", "y"), (2L, "b", "z"), (5L, "b", "w"),
+        (4L, "c", "v")).toDF("id", "text", "payload")
+      val got = Dedup.exactRows(df, "id", col("text"))
+        .as[(Long, String, String)].collect().toSet
+      assert(got === Set((1L, "a", "y"), (2L, "b", "z"), (4L, "c", "v")))
+      val ids = Dedup.exact(df, "id", col("text")).as[Long].collect().toSet
+      assert(got.map(_._1) === ids)
+    }
+
+    it("rejects a frame that already carries the reserved rank column") {
+      val df = Seq((1L, "a")).toDF("id", "__dedup_rn")
+      intercept[IllegalArgumentException] {
+        Dedup.exactRows(df, "id", col("__dedup_rn"))
+      }
+    }
+  }
+
   describe("quantile sketch gate (q71)") {
     it("the sketch's rank-error contract holds on sf0.001 (gate all-true)") {
       val rows = graft.SparkEntry
