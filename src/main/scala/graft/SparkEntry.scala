@@ -1145,10 +1145,11 @@ object SparkEntry {
     "q75_curation_pipeline" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val t = coalesce(col("text"), lit(""))
-      val flagged = docs.select(Seq(col("doc_id"), col("lang"), col("text")) ++
-        functions.Text.qualityColumns(t) ++ functions.Text.repetitionColumns(t): _*)
-      val kept = flagged.where(col("quality_ok") && col("repetition_ok"))
-        .select("doc_id", "lang", "text")
+      // both gates inline in ONE narrow filter (selecting qualityColumns ++
+      // repetitionColumns would collide on their shared n_tokens name and
+      // tokenize twice)
+      val kept = docs.select(col("doc_id"), col("lang"), col("text"))
+        .where(functions.Text.qualityOk(t) && functions.Text.repetitionOk(t))
       val survivors = operators.Dedup.exactRows(kept, "doc_id", col("text"))
       val sampled = operators.Sampling.stratifiedSample(survivors, "lang", "doc_id",
         Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
@@ -1452,7 +1453,7 @@ object SparkEntry {
     "q52_det_sample" ->
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 8)) AS UBIGINT)
-        |      < CAST(0.25 * 4294967296 AS UBIGINT)""".stripMargin,
+        |      < CAST(floor(0.25 * 4294967296) AS UBIGINT)""".stripMargin,
     "q53_per_key_sample" ->
       """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id, row_number() OVER (
@@ -1769,11 +1770,11 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |         'https?://[^\s]+', '<URL>', 'g'),
+        |         'https?://[^ \x09-\x0D]+', '<URL>', 'g'),
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
-        |       CAST(length(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |       CAST(length(regexp_extract_all(t, 'https?://[^ \x09-\x0D]+')) AS BIGINT) AS n_url,
         |       CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
         |       CAST(length(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
         |       CAST(length(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
@@ -1782,10 +1783,10 @@ object SparkEntry {
     "q70_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)) AS UBIGINT)
-        |      < CASE lang WHEN 'en' THEN CAST(0.5 * 4294967296 AS UBIGINT)
-        |                  WHEN 'de' THEN CAST(0.25 * 4294967296 AS UBIGINT)
-        |                  WHEN 'fr' THEN CAST(1.0 * 4294967296 AS UBIGINT)
-        |                  ELSE CAST(0.1 * 4294967296 AS UBIGINT) END""".stripMargin,
+        |      < CASE lang WHEN 'en' THEN CAST(floor(0.5 * 4294967296) AS UBIGINT)
+        |                  WHEN 'de' THEN CAST(floor(0.25 * 4294967296) AS UBIGINT)
+        |                  WHEN 'fr' THEN CAST(floor(1.0 * 4294967296) AS UBIGINT)
+        |                  ELSE CAST(floor(0.1 * 4294967296) AS UBIGINT) END""".stripMargin,
     // q71: the exact order statistics anchor the hash (q67's integer rank
     // math); the sketch's rank-error contract is the in-query boolean
     "q71_quantile_sketch" ->
@@ -1861,12 +1862,12 @@ object SparkEntry {
         |surv AS (SELECT r.doc_id, r.lang, r.t FROM rep r JOIN ded USING (doc_id)),
         |samp AS (SELECT doc_id, lang, t FROM surv
         |         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)) AS UBIGINT)
-        |               < CASE lang WHEN 'en' THEN CAST(0.5 * 4294967296 AS UBIGINT)
-        |                           WHEN 'zh' THEN CAST(1.0 * 4294967296 AS UBIGINT)
-        |                           ELSE CAST(0.25 * 4294967296 AS UBIGINT) END)
+        |               < CASE lang WHEN 'en' THEN CAST(floor(0.5 * 4294967296) AS UBIGINT)
+        |                           WHEN 'zh' THEN CAST(floor(1.0 * 4294967296) AS UBIGINT)
+        |                           ELSE CAST(floor(0.25 * 4294967296) AS UBIGINT) END)
         |SELECT doc_id, lang,
         |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |         'https?://[^\s]+', '<URL>', 'g'),
+        |         'https?://[^ \x09-\x0D]+', '<URL>', 'g'),
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean

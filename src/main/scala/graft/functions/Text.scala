@@ -170,12 +170,15 @@ object Text {
    * fixed order. The regexes are restricted to the RE2-compatible subset (no
    * backreferences, no lookaround) so the SAME pattern string runs verbatim
    * under Java regex (Spark) and RE2 (DuckDB/production scrubber audits) with
-   * identical matches. Deliberately simple recall-oriented shapes — a version
+   * identical matches — note the URL terminator is the EXPLICIT class
+   * `[^ \x09-\x0D]` (Java's `\s`), not `\s` itself, because RE2's `\s`
+   * lacks vertical tab and the two engines would split a match differently
+   * around \x0B. Deliberately simple recall-oriented shapes — a version
    * string like 1.2.3.4 does match the IP pattern; at corpus-cleaning scale
    * that false positive is the standard trade.
    */
   val piiPatterns: Seq[(String, String, String)] = Seq(
-    ("url", "https?://[^\\s]+", "<URL>"),
+    ("url", "https?://[^ \\x09-\\x0D]+", "<URL>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
@@ -192,6 +195,13 @@ object Text {
     * compliance report wants, and what the oracle recomputes). */
   def piiCounts(text: Column): Seq[Column] =
     piiPatterns.map { case (n, p, _) => regexp_count(text, lit(p)).cast("long").as(s"n_$n") }
+
+  /** Just the accept flag from [[qualityColumns]] (for WHERE-clause use
+    * without materializing the sibling metric columns). */
+  def qualityOk(text: Column): Column = qualityColumns(text).last
+
+  /** Just the accept flag from [[repetitionColumns]]. */
+  def repetitionOk(text: Column): Column = repetitionColumns(text).last
 
   /** Quality heuristics: token count, mean token length (exact ints + one
     * division), stopword hits, and an accept flag. */

@@ -50,6 +50,7 @@ object ZOrder {
    */
   def layoutByZ(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(!df.columns.contains("__z"), "__z is reserved by layoutByZ")
     df.withColumn("__z", zValue16(a, b))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
