@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,12 +19,21 @@ import org.apache.spark.sql.functions._
  * with shifted ids — probes it, the worst case for the cross-side expander
  * (each hit bucket holds 1 standing doc + 10 batch copies).
  *
- * Usage: runMain graft.Stress [incremental] [sfDir] (default /root/testdata/sf0.1)
+ * A third mode (`runMain graft.Stress curation [sfDir]`) stresses the q75
+ * end-to-end curation pass on the 10x corpus and checks EXACT scale
+ * invariance: every replica dedups onto its original (smallest id), so the
+ * 10x output must equal the 1x output row for row.
+ *
+ * Usage: runMain graft.Stress [incremental|curation] [sfDir] (default /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val mode = if (args.headOption.contains("incremental")) "incremental" else "embed"
-    val sfDir = args.drop(if (mode == "incremental") 1 else 0)
+    val mode = args.headOption match {
+      case Some("incremental") => "incremental"
+      case Some("curation") => "curation"
+      case _ => "embed"
+    }
+    val sfDir = args.drop(if (mode == "embed") 0 else 1)
       .headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -35,6 +44,7 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
 
     if (mode == "incremental") { incrementalStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "curation") { curationStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -116,5 +126,44 @@ object Stress {
       s"planted matches found: $planted / ${eligible * 10}, total pairs: $nFound, " +
       s"dropped hot buckets: $drops")
     found.unpersist(); batch.unpersist(); index.unpersist()
+  }
+
+  /** 10x curation stress: q75's five-stage pass over a 10x-replicated corpus.
+    * Replicas carry shifted-UP ids, so `exactRows` keeps each content group's
+    * original row — the 10x output must therefore EQUAL the 1x output exactly
+    * (scale invariance), while the gates/scrub do 10x the narrow work and the
+    * single dedup exchange carries 10x the survivors. */
+  private def curationStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val corpus = (0 until 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("lang"), col("text")))
+      .reduce(_.unionByName(_)).persist(MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (10x replicated)")(corpus.count())
+    println(s"[stress] corpus rows: $n")
+
+    def pipeline(src: DataFrame): DataFrame = {
+      val t = coalesce(col("text"), lit(""))
+      val kept = src.where(functions.Text.qualityOk(t) && functions.Text.repetitionOk(t))
+      val survivors = operators.Dedup.exactRows(kept, "doc_id", col("text"))
+      operators.Sampling.stratifiedSample(survivors, "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+        .select(col("doc_id"), col("lang"), functions.Text.scrubPii(col("text")).as("clean"))
+    }
+
+    val out10 = pipeline(corpus).persist(MEMORY_AND_DISK_SER)
+    val n10 = timed("curation pass over 10x corpus")(out10.count())
+    val out1 = pipeline(docs).persist(MEMORY_AND_DISK_SER)
+    val n1 = timed("curation pass over 1x corpus")(out1.count())
+    // exact scale invariance: rows of the two outputs must pair up 1:1
+    // (each output is doc_id-unique, so "every row appears exactly twice in
+    // the union" == set equality)
+    val diff = out10.unionByName(out1)
+      .groupBy("doc_id", "lang", "clean").count()
+      .where(col("count") =!= 2).count()
+    println(s"[stress] rows 10x: $n10, 1x: $n1, symmetric-diff rows: $diff (expect 0)")
+    out10.unpersist(); out1.unpersist(); corpus.unpersist()
   }
 }
