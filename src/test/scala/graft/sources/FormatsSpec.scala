@@ -59,6 +59,17 @@ class FormatsSpec extends AnyFunSpec with SparkSuite {
     assert(back === df.as[(Long, (String, Long), Seq[Long])].collect().toSet)
   }
 
+  it("the strict reader FAILS FAST on malformed input instead of dropping rows") {
+    val path = tmp("strict")
+    Seq("""{"id": 1, "s": "ok", "v": 10}""", """not json at all""")
+      .toDF("value").coalesce(1).write.text(path)
+    val e = intercept[org.apache.spark.SparkException] {
+      Formats.readJsonLines(spark, path, ddl).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")), e.getMessage)
+  }
+
   it("audited read quarantines malformed lines in _corrupt_record, keeps good rows") {
     val path = tmp("quarantine")
     Seq("""{"id": 1, "s": "ok", "v": 10}""",
