@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked JVM's stdio instead of piping it through sbt's logger:
+// Bench/Verify emit machine-read JSON lines and the `[info] ` prefix (plus
+// sbt's line buffering) has truncated the driver's capture before.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,6 +14,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Types DuckDB can produce that Spark parquet never will; a value-equal
+# result with one of these still hash-mismatches in the driver (its hash is
+# type-sensitive). sum(BIGINT) silently widening to HUGEINT is the classic
+# case (q74, round 5) — always wrap the outer CAST(... AS BIGINT).
+BANNED_ORACLE_TYPES = {"HUGEINT", "UHUGEINT"}
+BANNED_ORACLE_PREFIXES = ("DECIMAL",)
+
+
+def type_problems(name, cols, types, spark_types):
+    """Lint oracle column types against the Spark parquet's (both DuckDB-typed,
+    matched by column name). Returns a list of human-readable problems."""
+    spark_by_col = dict(zip(*spark_types)) if spark_types else {}
+    problems = []
+    for c, t in zip(cols, types):
+        tn = str(t).upper()
+        if tn in BANNED_ORACLE_TYPES or tn.startswith(BANNED_ORACLE_PREFIXES):
+            problems.append(f"oracle column {c} has banned type {tn} "
+                            f"(wrap an outer CAST)")
+        st = spark_by_col.get(c)
+        if st is not None and str(st).upper() != tn:
+            problems.append(f"type mismatch on {c}: oracle {tn} vs spark {st}")
+    return problems
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -41,8 +65,13 @@ def main(sf_dir, out_dir):
             want_rel = con.sql(sql)
             want_cols = [c.lower() for c in want_rel.columns]
             want = normalize(want_rel.fetchall(), want_cols)
+            lint = type_problems(name, want_cols, want_rel.types,
+                                 (got_cols, got_rel.types))
             if sorted(got_cols) != sorted(want_cols):
                 print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+                n_fail += 1
+            elif lint:
+                print(f"FAIL {name}: " + "; ".join(lint))
                 n_fail += 1
             elif got != want:
                 print(f"FAIL {name}: {len(got)} rows vs {len(want)} rows; "

@@ -53,7 +53,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val failed = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // write + flush the machine-read line explicitly: with sbt's
+    // StdoutOutput strategy this reaches the driver's capture verbatim
+    // (no [info] prefix), and flushing before spark.stop() guards against
+    // the JVM tearing down with the line still buffered
+    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

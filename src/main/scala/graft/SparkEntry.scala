@@ -1225,7 +1225,7 @@ object SparkEntry {
     "q21_token_count" ->
       """SELECT doc_id,
         |       CASE WHEN len(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |            ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS n_tokens
         |FROM documents""".stripMargin,
     "q22_lang_guess" ->
       """WITH c AS (
@@ -1246,20 +1246,20 @@ object SparkEntry {
       // coalesce(text,'') mirrors the Spark side's NULL guard
       """SELECT doc_id,
         |  CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS n_tokens,
+        |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END AS n_tokens,
         |  CASE WHEN (CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
-        |                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END) > 0
+        |                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) > 0
         |       THEN CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
         |            CAST((CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
-        |                       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END) AS DOUBLE)
+        |                       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) AS DOUBLE)
         |       ELSE 0.0 END AS mean_token_len,
         |  CAST((len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' the ', ''))) // 5
         |     + (len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' a ', ''))) // 3 AS BIGINT) AS stopword_hits,
         |  (CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
-        |        ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END) BETWEEN 5 AND 100000
+        |        ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) BETWEEN 5 AND 100000
         |   AND (CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
         |        CAST(greatest(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
-        |                           ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END, 1) AS DOUBLE))
+        |                           ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END, 1) AS DOUBLE))
         |       BETWEEN 2.0 AND 20.0 AS quality_ok
         |FROM documents""".stripMargin,
     "q24_fingerprint" ->
@@ -1830,21 +1830,25 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY price_cents DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
-    // q74: DuckDB's JSON path extraction over the same payloads
+    // q74: DuckDB's JSON path extraction over the same payloads. The outer
+    // CAST matters: DuckDB widens sum(BIGINT) to HUGEINT and the driver's
+    // hash is type-sensitive (the q05/q18 convention).
     "q74_json_props" ->
       """SELECT event_type,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     // q75: the whole curation pass replayed stage by stage — tokenization is
     // the q21/q23-proven SQL-split pair (Spark `split` keeps the same
-    // empty-token artifacts as regexp_split_to_array); bigrams, dedup group,
+    // empty-token artifacts as regexp_split_to_array; the split class is the
+    // explicit [ \x09-\x0D] because RE2's \s lacks \x0B, the q64 dialect
+    // note); bigrams, dedup group,
     // sampling threshold and scrub chain are the q63/q19/q70/q69 fragments
     "q75_curation_pipeline" ->
       """WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
         |tok AS (SELECT doc_id, lang, t,
         |          CASE WHEN len(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
-        |               ELSE regexp_split_to_array(trim(t), '\s+') END AS words
+        |               ELSE regexp_split_to_array(trim(t), '[ \x09-\x0D]+') END AS words
         |        FROM base),
         |qual AS (SELECT * FROM tok
         |         WHERE len(words) >= 5 AND len(words) <= 100000

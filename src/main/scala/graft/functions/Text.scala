@@ -123,11 +123,16 @@ object Text {
    * function is interpreted per element (struct state allocated per bigram)
    * and dominated the corpus scan ~8×, the same reason
    * `Dedup.shingleHashes` is a typed kernel. Semantics are identical on
-   * non-null text (parity-pinned in spec); on NULL text the kernel treats
-   * the document as empty — (0, 0, 0, ok=true) — while the Column form
-   * propagates NULL, so Column-form callers should `coalesce(text, '')`.
-   * Tokenization is Java `trim` + `split("\\s+")`, the dedup kernels'
-   * convention. Narrow (mapPartitions) — no shuffle.
+   * non-null text whose EDGES carry no control characters (parity-pinned in
+   * spec, interior tabs/newlines included): tokenization here is Java
+   * `trim` + `split("\\s+")` — the dedup kernels' convention — and Java
+   * `trim` strips every char <= U+0020 at the edges, while the Column
+   * form's SQL `trim` strips only spaces, so text with a leading tab or
+   * newline gives the Column form one phantom empty first token (divergence
+   * pinned in spec too). On NULL text the kernel treats the document as
+   * empty — (0, 0, 0, ok=true) — while the Column form propagates NULL, so
+   * Column-form callers should `coalesce(text, '')`.
+   * Narrow (mapPartitions) — no shuffle.
    */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession

@@ -58,6 +58,7 @@ object Contamination {
   def evalGramHits(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
     val trainSh = Dedup.shingleHashes(train, idCol, textCol, n)
       .withColumnRenamed(idCol, "train_id")
     val evalGrams = Dedup.shingleHashes(eval, idCol, textCol, n)

@@ -57,14 +57,18 @@ object Dedup {
     * smallest id). [[exact]] returns ids — right when the survivors feed an
     * anti-join or audit; a pipeline that keeps PROCESSING the survivors
     * would have to join those ids back, shuffling the payload a second
-    * time. This form does it in ONE hash shuffle of the input
-    * (`row_number` over the content hash), payload moved exactly once. */
+    * time. This form does it in ONE hash shuffle of the input:
+    * `min_by(struct(*), id)` grouped by the content hash — a hash
+    * aggregation with partial (map-side) combine, strictly cheaper than the
+    * equivalent `row_number` window, which needs the same exchange PLUS a
+    * full sort of every partition. Payload moved exactly once, never
+    * sorted. Requires a non-null `idCol` (rows with a null id are ignored
+    * by `min_by`, same as they'd be unrankable in any canonical-pick). */
   def exactRows(df: DataFrame, idCol: String, on: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(!df.columns.contains("__dedup_rn"), "__dedup_rn is reserved by exactRows")
-    val w = Window.partitionBy(md5(contentBytes(df, on))).orderBy(col(idCol))
-    df.withColumn("__dedup_rn", row_number().over(w))
-      .where(col("__dedup_rn") === 1).drop("__dedup_rn")
+    val cols = df.columns
+    df.groupBy(md5(contentBytes(df, on)).as("__dedup_key"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__dedup_row"))
+      .select(cols.map(c => col("__dedup_row").getField(c).as(c)): _*)
   }
 
   /** Distinct word n-gram shingles as an array column (native expressions:
@@ -189,12 +193,39 @@ object Dedup {
     * since the context started — the production monitoring hook for the cap:
     * a dashboard reads this (it surfaces in the Spark UI / status API as a
     * named accumulator) instead of grepping executor logs. Task retries can
-    * overcount, as with any Spark accumulator used for monitoring. */
+    * overcount, as with any Spark accumulator used for monitoring; for an
+    * exact per-query signal use the observed metric instead (see
+    * [[observeDrops]] / [[HotBucketMetricPrefix]]). */
   def droppedHotBuckets(spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator =
     droppedAcc.computeIfAbsent(spark.sparkContext.applicationId,
       _ => spark.sparkContext.longAccumulator("graft.dedup.droppedHotBuckets"))
   private val droppedAcc =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
+
+  /** Name prefix of the per-query `Dataset.observe` metric emitted by the
+    * pair expanders (see [[observeDrops]]). */
+  val HotBucketMetricPrefix = "graft.dedup.hotBuckets."
+  private val obsId = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-QUERY drop signal, complementing the per-context accumulator:
+    * dropped buckets surface as an observed metric `dropped_hot_buckets`
+    * under an observation named [[HotBucketMetricPrefix]]`<n>` (the suffix is
+    * a process-unique counter — Spark requires observation names to be
+    * unique within a plan, and one query can run several LSH stages), which
+    * a `QueryExecutionListener` receives in `observedMetrics` per execution —
+    * the production hook for "did THIS run's cap fire", with exact
+    * once-per-query semantics (CollectMetrics deduplicates task retries,
+    * unlike the accumulator). Expanders emit one sentinel row per dropped
+    * bucket (`__dropped = 1`); this counts them and strips them out.
+    * Caveat: if the query's downstream result is EMPTY, AQE's empty-relation
+    * propagation can replace the whole subtree (CollectMetrics included)
+    * with an empty scan and the metric is not reported for that query — the
+    * accumulator still counts those drops, so monitoring should read both. */
+  private def observeDrops(df: DataFrame): DataFrame =
+    df.observe(s"$HotBucketMetricPrefix${obsId.incrementAndGet()}",
+        sum(col("__dropped")).cast("long").as("dropped_hot_buckets"))
+      .where(col("__dropped") === 0)
+      .drop("__dropped")
 
   /** Default per-bucket member cap for the LSH pair expanders: a bucket this
     * populated carries no discriminating signal (standard LSH practice is to
@@ -243,7 +274,7 @@ object Dedup {
           val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
           val msg = s"dropping hot LSH bucket ${key}: more than $cap members (no discriminating signal; $n dropped so far in this JVM)"
           if (n == 1 || n % 1000 == 0) log.warn(msg) else log.debug(msg)
-          Iterator.empty
+          Iterator.single((0L, 0L, 0L, 0L, 1)) // sentinel: counted by observeDrops, then stripped
         } else if (buf.length < 2) Iterator.empty
         else {
           val ms = buf.sorted.toArray
@@ -251,10 +282,11 @@ object Dedup {
             i <- ms.indices.iterator
             j <- ((i + 1) until ms.length).iterator
             if ms(i)._1 != ms(j)._1 // duplicate ids must not self-pair
-          } yield (ms(i)._1, ms(i)._2, ms(j)._1, ms(j)._2)
+          } yield (ms(i)._1, ms(i)._2, ms(j)._1, ms(j)._2, 0)
         }
       }
-      .toDF("id_a", "pay_a", "id_b", "pay_b")
+      .toDF("id_a", "pay_a", "id_b", "pay_b", "__dropped")
+      .transform(observeDrops)
   }
 
   /**
@@ -317,11 +349,12 @@ object Dedup {
           val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
           val msg = s"dropping hot LSH bucket ${key}: one side exceeds $cap members ($n dropped so far in this JVM)"
           if (n == 1 || n % 1000 == 0) log.warn(msg) else log.debug(msg)
-          Iterator.empty
+          Iterator.single((0L, 0L, 1)) // sentinel: counted by observeDrops, then stripped
         } else if (standing.isEmpty || batch.isEmpty) Iterator.empty
-        else for (s <- standing.iterator; b <- batch.iterator) yield (s, b)
+        else for (s <- standing.iterator; b <- batch.iterator) yield (s, b, 0)
       }
-      .toDF("standing_id", "batch_id")
+      .toDF("standing_id", "batch_id", "__dropped")
+      .transform(observeDrops)
   }
 
   /**

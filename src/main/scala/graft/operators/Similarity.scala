@@ -244,7 +244,9 @@ object Similarity {
   /**
    * A standing IVF index: the trained coarse quantizer plus the corpus
    * assignment frame `(neighbor_id, cent_id, cv)` (each corpus vector's
-   * inverted-list membership). At 100 TB this is the layout a deployment
+   * inverted-list membership; `cv` is stored `array<float>` — the source
+   * embedding width — so the standing index costs 4 bytes/dim, not 8; all
+   * scoring widens to double exactly). At 100 TB this is the layout a deployment
    * builds ONCE — exactly like a bucketed table — and every query run pays
    * probe + rank only; callers owning a long-lived index should
    * `index.assigned.persist(...)` (or write it out partitioned by `cent_id`)
@@ -277,18 +279,27 @@ object Similarity {
         .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
         .as[(Long, Array[Double])].collect()
 
-    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    // Widening float->double per element: the standing index stores vectors
+    // as array<float> (the source embedding width — half the bytes of the
+    // previous array<double> frame, and the index's footprint IS the
+    // dominant standing cost of an ANN deployment), while all similarity
+    // math stays double. float->double widening is exact, so scores are
+    // bit-identical to the double-stored form.
+    def cosLocal(a: Array[Float], b: Array[Double]): Double = {
       val n = math.min(a.length, b.length)
       var dab = 0.0; var daa = 0.0; var dbb = 0.0
       var i = 0
-      while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      while (i < n) {
+        val ai = a(i).toDouble
+        dab += ai * b(i); daa += ai * ai; dbb += b(i) * b(i); i += 1
+      }
       val denom = math.sqrt(daa) * math.sqrt(dbb)
       if (denom == 0.0) 0.0 else dab / denom
     }
 
     val assigned = corpus
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, v) =>
           if (v == null) Iterator.empty
@@ -363,12 +374,45 @@ object Similarity {
     ivfProbe(buildIvfIndex(corpus, idCol, vecCol, nCentroids, trainIters),
       queries, idCol, vecCol, k, nProbe)
 
-  /** Exact all-pairs similarity above a threshold (block-nested cross join —
-    * use only when n is bounded or pre-blocked; prefer lshNearNeighbors). */
-  def exactSimilarPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
+  /** One side of the triangle-blocked all-pairs self-join: hash each row
+    * into one of `nBlocks` blocks and replicate it into every block-pair
+    * CELL it can meet another row in — cell key (lo, hi) with lo <= hi,
+    * encoded `lo * nBlocks + hi`. A pair with blocks (bi, bj), bi != bj,
+    * shares exactly the one cell (min, max); a SAME-block pair shares all
+    * nBlocks cells (both rows carry identical cell sets), so the join must
+    * additionally pin the match to the pair's canonical cell — the caller
+    * keeps only rows where the joined cell equals the cell derived from the
+    * two block ids (carried through as `blkAs`). */
+  private def blockCells(df: DataFrame, idCol: String, vecCol: String,
+                         nBlocks: Int, idAs: String, vecAs: String,
+                         blkAs: String, cellAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        pmod(xxhash64(col(idCol)), lit(nBlocks)).cast("int").as(blkAs))
+      .withColumn("__x", explode(sequence(lit(0), lit(nBlocks - 1))))
+      .select(col(idAs), col(vecAs), col(blkAs),
+        (least(col(blkAs), col("__x")) * nBlocks + greatest(col(blkAs), col("__x"))).as(cellAs))
+
+  /** Exact all-pairs similarity above a threshold, as a TRIANGLE-BLOCKED
+    * self-equi-join: both sides replicate each row into its `nBlocks`
+    * block-pair cells and join on the cell key, so every unordered pair is
+    * scored exactly once. The n^2/2 cosine evaluations are inherent to the
+    * EXACT contract — what blocking changes is the SHAPE: a shuffled
+    * equi-join over ~nBlocks^2/2 evenly-sized cells (no CartesianProduct /
+    * BroadcastNestedLoopJoin node, no single task owning the whole
+    * quadratic), at the price of nBlocks-way row replication through one
+    * shuffle. Size `nBlocks` so a cell's rows (~2n/nBlocks per side) fit a
+    * task comfortably. For open-ended corpora where n^2 compute itself is
+    * the problem, use [[lshNearNeighbors]] + exact verify instead. */
+  def exactSimilarPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                        nBlocks: Int = 16): DataFrame = {
+    require(nBlocks >= 1, s"nBlocks must be positive, got $nBlocks")
+    val a = blockCells(df, idCol, vecCol, nBlocks, "id_a", "v_a", "__blk_a", "__cell_a")
+    val b = blockCells(df, idCol, vecCol, nBlocks, "id_b", "v_b", "__blk_b", "__cell_b")
+    a.join(b, col("__cell_a") === col("__cell_b") && col("id_a") < col("id_b") &&
+        // pin each pair to its ONE canonical cell (same-block pairs share
+        // all nBlocks cells; every other cell copy is discarded here)
+        col("__cell_a") === least(col("__blk_a"), col("__blk_b")) * nBlocks +
+          greatest(col("__blk_a"), col("__blk_b")))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }

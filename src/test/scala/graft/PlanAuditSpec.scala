@@ -118,5 +118,31 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     val p = plan("q75_curation_pipeline")
     assert("Exchange".r.findAllIn(p).size == 1,
       s"quality/repetition/sampling/scrub must stay narrow; only exactRows shuffles:\n$p")
+    // exactRows is a min_by AGGREGATION, not a row_number window: the plan
+    // must show partial (map-side) aggregation — the shuffle then carries one
+    // row per distinct content hash per map partition, where the window
+    // shuffled EVERY row. (Spark plans SortAggregate here, not HashAggregate:
+    // a struct-with-strings buffer isn't UnsafeRow-mutable — but its sorts
+    // are local, spill-safe, and partial-aggregated, unlike a window's
+    // full-shuffle + post-exchange rank.)
+    assert(p.contains("partial_min_by"), s"expected map-side partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"expected a min_by canonical pick, not a window:\n$p")
+  }
+
+  it("q26 exact all-pairs is a blocked EQUI-join: no cartesian / nested-loop node") {
+    val p = plan("q26_embed_sim_pairs")
+    assert(!p.contains("CartesianProduct"), s"all-pairs must block, not cross-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs must block, not nested-loop:\n$p")
+  }
+
+  // q50's FINAL plan reads from the checkpointed component iteration, so the
+  // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
+  it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {
+    val emb = SparkEntry.tbl(spark, dir, "embeddings")
+    val p = operators.Similarity.exactSimilarPairs(emb, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs must block, not cross-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs must block, not nested-loop:\n$p")
+    assert(p.contains("Join"), s"expected a (hash/sort-merge) equi-join node:\n$p")
   }
 }

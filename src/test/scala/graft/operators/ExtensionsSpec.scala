@@ -120,6 +120,40 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(Dedup.droppedHotBuckets(spark).value > dropped0)
     }
 
+    it("dropped hot buckets surface as a per-query observed metric (Dataset.observe)") {
+      // hot cluster (dropped, counted) + a cool pair (kept): the pipeline
+      // output must be NON-empty — AQE's empty-relation propagation replaces
+      // an all-empty subtree with a LocalTableScan, discarding the
+      // CollectMetrics node and its metric (documented on observeDrops)
+      val corpus = ((0L until 200L)
+        .map(i => (i, "identical words shared by every single document here")) ++ Seq(
+          (20001L, "an unrelated pair of documents with its own shared phrasing here"),
+          (20002L, "an unrelated pair of documents with its own shared phrasing here")))
+        .toDF("doc_id", "text")
+      @volatile var seen = Option.empty[Long]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(Dedup.HotBucketMetricPrefix)) {
+              val v = row.getAs[Long]("dropped_hot_buckets")
+              if (v > 0) seen = Some(v)
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        Dedup.minhashNearDups(corpus, "doc_id", "text", maxBucket = 50).collect()
+        // listener delivery is async on the listener bus — poll briefly
+        val deadline = System.currentTimeMillis() + 20000
+        while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        // every band's bucket holds all 200 identical docs: 4 dropped buckets
+        assert(seen.exists(_ > 0), "expected an observed dropped_hot_buckets metric > 0")
+      } finally spark.listenerManager.unregister(listener)
+    }
+
     it("the bucket cap is a parameter: raising it re-admits the cluster") {
       val cluster = (0L until 20L).map(i => (i, "five identical words repeated across this tiny cluster"))
       val corpus = cluster.toDF("doc_id", "text")

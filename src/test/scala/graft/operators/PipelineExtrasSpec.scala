@@ -268,10 +268,13 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
 
     it("typed kernel (hot path) equals the Column form on every metric") {
+      // interior tabs/newlines are in-contract (both forms split on Java \s);
+      // only EDGE control chars diverge — see the next test
       val docs = Seq(
         (1L, "a a a b"), (2L, ""), (3L, "x y"), (4L, "p q p q p"), (5L, "solo"),
         (6L, ("spam " * 20).trim), (7L, ("tick tock " * 10).trim),
-        (8L, (1 to 20).map(i => s"w$i").mkString(" "))
+        (8L, (1 to 20).map(i => s"w$i").mkString(" ")),
+        (9L, "a\tb\nc a\tb")
       ).toDF("doc_id", "text")
       val kernel = Text.repetitionMetrics(docs, "doc_id", "text")
         .as[(Long, Long, Long, Long, Boolean)].collect().toSet
@@ -279,6 +282,18 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         .select($"doc_id" +: Text.repetitionColumns(coalesce($"text", lit(""))): _*)
         .as[(Long, Long, Long, Long, Boolean)].collect().toSet
       assert(kernel === columns)
+    }
+
+    it("documented divergence: a leading tab is edge-stripped by the kernel " +
+       "(Java trim) but yields a phantom empty token in the Column form (SQL trim)") {
+      val docs = Seq((1L, "\ta b")).toDF("doc_id", "text")
+      val kernel = Text.repetitionMetrics(docs, "doc_id", "text")
+        .as[(Long, Long, Long, Long, Boolean)].head()
+      val column = docs
+        .select($"doc_id" +: Text.repetitionColumns($"text"): _*)
+        .as[(Long, Long, Long, Long, Boolean)].head()
+      assert(kernel._2 === 2L && kernel._3 === 2L)   // ["a", "b"]
+      assert(column._2 === 3L && column._3 === 3L)   // ["", "a", "b"]
     }
   }
 
@@ -374,11 +389,15 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(got.map(_._1) === ids)
     }
 
-    it("rejects a frame that already carries the reserved rank column") {
-      val df = Seq((1L, "a")).toDF("id", "__dedup_rn")
-      intercept[IllegalArgumentException] {
-        Dedup.exactRows(df, "id", col("__dedup_rn"))
-      }
+    it("reserves no column names: frames with dunder columns pass through intact") {
+      // the row_number-window predecessor reserved __dedup_rn; the min_by
+      // aggregation's intermediates live only in its own agg output, so any
+      // input column name round-trips
+      val df = Seq((1L, "a", "p"), (2L, "a", "q"), (3L, "b", "r"))
+        .toDF("id", "__dedup_rn", "__dedup_row")
+      val got = Dedup.exactRows(df, "id", col("__dedup_rn"))
+        .as[(Long, String, String)].collect().toSet
+      assert(got === Set((1L, "a", "p"), (3L, "b", "r")))
     }
   }
 
