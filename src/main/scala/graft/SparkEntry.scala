@@ -1155,6 +1155,60 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
       sampled.select(col("doc_id"), col("lang"),
         functions.Text.scrubPii(col("text")).as("clean"))
+    }),
+
+    // blocklist filtering: remove every document whose EXACT content appears
+    // in a banned set (takedown list / known-bad crawl / eval-set exact
+    // copies) — the blocklist (here: the texts of docs 0..49) broadcasts;
+    // the corpus-side anti-join rides the scan with zero corpus shuffle.
+    // coalesce(text,'') on BOTH sides keeps NULL-text handling engine-
+    // consistent (anti-join vs NOT IN treat null keys differently).
+    "q76_blocklist_filter" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val banned = docs.where(col("doc_id") < 50)
+      operators.Dedup.removeFingerprinted(
+          docs, banned,
+          on = coalesce(col("text"), lit("")),
+          bannedOn = coalesce(col("text"), lit("")))
+        .select(col("doc_id"))
+    }),
+
+    // adaptive language rebalancing: cap every language at an EXPECTED 60
+    // docs with per-language fractions computed FROM the observed counts
+    // (min(1, 60/n)) — the dominant language is downsampled, rare languages
+    // survive whole, and nothing about the mix is hard-coded. The count agg
+    // is tiny; its result broadcasts back; the corpus never shuffles.
+    "q77_lang_rebalance" -> ((s, dir) =>
+      operators.Sampling.rebalanceToBudget(
+          tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", budget = 60L)
+        .select(col("doc_id"), col("lang"))),
+
+    // corpus-level duplicate-shingle profile: per document, how many of its
+    // distinct 3-gram shingles occur in at least one OTHER document (the
+    // across-document repetition signal; q63 measures WITHIN-document
+    // repetition). Integer-exact; the oracle recomputes document frequency
+    // over string shingles with the kernel's tokenization.
+    "q78_dup_ngram_profile" -> ((s, dir) =>
+      operators.Dedup.duplicateShingleStats(
+        tbl(s, dir, "documents"), "doc_id", "text", n = 3)),
+
+    // snapshot diff: classify every doc id across two corpus snapshots as
+    // added / removed / changed / unchanged by content hash. The "new"
+    // snapshot is derived deterministically from the old one (ids =3 mod 10
+    // deleted, ids =7 mod 10 edited, copies of ids < 20 added under new
+    // ids), so the oracle can rebuild it exactly. Only (id, hash) pairs
+    // cross the full-outer join — payloads never shuffle.
+    "q79_snapshot_diff" -> ((s, dir) => {
+      val old = tbl(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val edited = old.where(pmod(col("doc_id"), lit(10)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 7, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val added = old.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      operators.Snapshot.diff(old, edited.unionByName(added), "doc_id", "text")
     })
   )
 
@@ -1875,6 +1929,56 @@ object SparkEntry {
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
-        |FROM samp""".stripMargin
+        |FROM samp""".stripMargin,
+    // q76: NOT IN over the same md5 fingerprints; coalesce keeps NULL text
+    // out of the NOT-IN null trap (engine-consistent with the anti-join)
+    "q76_blocklist_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE md5(coalesce(text, '')) NOT IN
+        |  (SELECT md5(coalesce(text, '')) FROM documents WHERE doc_id < 50)""".stripMargin,
+    // q77: thresholds re-derived from the counts with the same double math
+    // and floor (the q70 threshold convention, salt "rebalance")
+    "q77_lang_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT lang,
+        |        CAST(floor(least(1.0, 60.0 / CAST(n AS DOUBLE)) * 4294967296) AS BIGINT) AS thr
+        |      FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'rebalance'), 1, 8)) AS UBIGINT)
+        |      < CAST(t.thr AS UBIGINT)""".stripMargin,
+    // q78: document frequency over STRING shingles with the kernel's
+    // tokenization (edge-strip <= U+0020 then runs of non-Java-\s, the
+    // q45/q63 convention) — hash-collision-free at this scale, the q45
+    // posture
+    "q78_dup_ngram_profile" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
+        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+        |  FROM d WHERE len(words) >= 3)),
+        |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY s)
+        |SELECT sh.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |FROM sh JOIN freq f ON f.s = sh.s
+        |GROUP BY sh.doc_id""".stripMargin,
+    // q79: the "new" snapshot rebuilt by the same deterministic rules;
+    // string equality stands in for the operator's md5-of-same-bytes
+    "q79_snapshot_diff" ->
+      """WITH olds AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |news AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN t || ' rev2' ELSE t END AS t
+        |  FROM olds WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, t FROM olds WHERE doc_id < 20)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.t = n.t THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM olds o FULL JOIN news n ON o.doc_id = n.doc_id""".stripMargin
   )
 }

@@ -44,7 +44,7 @@ object Dedup {
   /** The hashable byte form of a dedup key (see [[exact]]'s binary-safety
     * note: BINARY hashes raw, STRING as its bytes, everything else through a
     * canonical string rendering). */
-  private def contentBytes(df: DataFrame, on: Column): Column = {
+  private[operators] def contentBytes(df: DataFrame, on: Column): Column = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
     df.select(on).schema.head.dataType match {
       case BinaryType => on
@@ -69,6 +69,53 @@ object Dedup {
     df.groupBy(md5(contentBytes(df, on)).as("__dedup_key"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__dedup_row"))
       .select(cols.map(c => col("__dedup_row").getField(c).as(c)): _*)
+  }
+
+  /** Drop every row whose content fingerprint appears in a BLOCKLIST — the
+    * curation primitive behind "remove known-bad documents", eval-set
+    * decontamination by exact copy, and takedown lists. The blocklist is a
+    * frame of banned content (`bannedOn` within `banned`); matching is by
+    * md5 of the same canonical byte form [[exact]] hashes, so a banned text
+    * removes ALL its byte-identical copies regardless of id. At 100 TB the
+    * blocklist is small by nature (an eval set, a takedown list) while the
+    * corpus is not: the blocklist is broadcast and the corpus never
+    * shuffles — the anti-join rides the scan. NULL content never matches a
+    * blocklist entry (Spark's anti-join keeps null-keyed rows); callers
+    * wanting NULL≡empty should coalesce before calling, as the q76 query
+    * does. */
+  def removeFingerprinted(df: DataFrame, banned: DataFrame, on: Column, bannedOn: Column): DataFrame = {
+    val keys = broadcast(
+      banned.select(md5(contentBytes(banned, bannedOn)).as("__ban_fp")).distinct())
+    df.join(keys, md5(contentBytes(df, on)) === col("__ban_fp"), "left_anti")
+  }
+
+  /**
+   * Corpus-level duplication profile per document: how many of a document's
+   * distinct word n-gram shingles also appear in at least one OTHER
+   * document (the Dolma/Gopher-style "duplicate n-gram fraction" signal —
+   * intra-document repetition is [[graft.functions.Text.repetitionColumns]]'s
+   * job; this measures repetition ACROSS documents, the precursor signal to
+   * near-dup clustering and boilerplate detection).
+   *
+   * Returns `(idCol, n_shingles, n_dup)` for every document with at least
+   * one shingle; fraction = n_dup / n_shingles is left to the caller (the
+   * integers hash exactly across engines). Counting is by the kernel's
+   * 64-bit shingle hash ([[shingleHashes]] — same collision posture as the
+   * verify path). Plan shape: the (id, h) frame feeds both the
+   * document-frequency aggregation and the join back, which partition on
+   * the SAME key (h) — Spark reuses one exchange for both consumers — and
+   * the per-document rollup is the only other shuffle. A shingle occurring
+   * in `df` docs costs `df` join rows (never df^2): cost is linear in
+   * shingle mass, no pair expansion anywhere.
+   */
+  def duplicateShingleStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n)
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    sh.join(freq, "h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup"))
   }
 
   /** Distinct word n-gram shingles as an array column (native expressions:

@@ -73,6 +73,35 @@ object Sampling {
   }
 
   /**
+   * ADAPTIVE stratified rebalancing: downsample every stratum to an expected
+   * `budget` rows, with the per-stratum fraction min(1, budget / count)
+   * computed FROM the data — the "cap the dominant language, keep the rare
+   * ones whole" curation move when the mix isn't known up front
+   * ([[stratifiedSample]] is its fixed-fraction sibling). Two-pass but
+   * corpus-light: pass one is a tiny count-per-stratum aggregation, whose
+   * result (a handful of rows) broadcasts back as the threshold dim — the
+   * corpus itself never shuffles, the keep-decision is the same narrow
+   * [[hash32]] filter (salt "rebalance", independent of the other
+   * samplers). Expected (not exact) per-stratum size, like every
+   * hash-threshold sampler here: the decision stays per-row, so growing a
+   * stratum never evicts previously kept rows of OTHER strata (exact-N
+   * quotas would reshuffle everything on every ingest). Rows with a NULL
+   * stratum are dropped (they match no threshold row).
+   */
+  def rebalanceToBudget(df: DataFrame, stratumCol: String, idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val thr = df
+      .groupBy(col(stratumCol).cast("string").as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__stratum"),
+        floor(least(lit(1.0), lit(budget.toDouble) / col("__n")) * 4294967296.0)
+          .cast("long").as("__thr"))
+    df.join(broadcast(thr), df(stratumCol).cast("string") === col("__stratum"))
+      .where(hash32(col(idCol), "rebalance") < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
+  /**
    * k rows per key, chosen as the k SMALLEST id-hashes (hash-minima are a
    * uniform random sample under a uniform hash — deterministic "reservoir"
    * sampling). Ranked through a bounded insertion-sort combiner with map-side

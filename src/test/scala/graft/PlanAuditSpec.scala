@@ -135,6 +135,37 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs must block, not nested-loop:\n$p")
   }
 
+  it("q76 blocklist: the corpus side anti-joins against a BROADCAST, never shuffles") {
+    val p = plan("q76_blocklist_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchange is the tiny blocklist-distinct, not the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"corpus must not shuffle; only the blocklist dedup may:\n$p")
+  }
+
+  it("q77 rebalance: thresholds broadcast back; the corpus only feeds the tiny count agg") {
+    val p = plan("q77_lang_rebalance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the per-stratum count aggregation may shuffle:\n$p")
+  }
+
+  it("q79 snapshot diff joins (id, hash) projections — text never crosses the exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE's wrapper node hides its subtree from collect(); plan shape is
+    // identical either way, so pin the non-adaptive tree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("q79_snapshot_diff")(spark, dir).queryExecution
+      val shuffles = qe.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, qe.executedPlan.toString)
+      // each shuffled row is (doc_id, 16-byte content hash, presence lit) —
+      // never the text payload
+      val leaked = shuffles.flatMap(_.output.map(_.name)).filter(_ == "text")
+      assert(leaked.isEmpty, s"payload column crossed a shuffle:\n${qe.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {

@@ -401,6 +401,87 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Dedup.removeFingerprinted") {
+    it("drops every byte-identical copy of a banned text, regardless of id") {
+      val docs = Seq(
+        (1L, "banned words"), (2L, "kept words"),
+        (3L, "banned words"),       // copy of a banned text under another id
+        (4L, null.asInstanceOf[String]), (5L, "also kept")
+      ).toDF("id", "t")
+      val banned = Seq((100L, "banned words")).toDF("id", "t")
+      val got = Dedup.removeFingerprinted(docs, banned,
+          coalesce(col("t"), lit("")), coalesce(col("t"), lit("")))
+        .select($"id").as[Long].collect().toSet
+      assert(got === Set(2L, 4L, 5L))
+    }
+
+    it("a NULL-text ban with coalesce removes null-text rows; without, it removes nothing") {
+      val docs = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("id", "t")
+      val banned = Seq((9L, null.asInstanceOf[String])).toDF("id", "t")
+      val coalesced = Dedup.removeFingerprinted(docs, banned,
+        coalesce(col("t"), lit("")), coalesce(col("t"), lit("")))
+      assert(coalesced.select($"id").as[Long].collect().toSet === Set(2L))
+      // raw NULL keys never match in an anti-join: everything survives
+      val raw = Dedup.removeFingerprinted(docs, banned, col("t"), col("t"))
+      assert(raw.select($"id").as[Long].collect().toSet === Set(1L, 2L))
+    }
+  }
+
+  describe("Sampling.rebalanceToBudget") {
+    it("derives min(1, budget/count) per stratum and matches the explicit-threshold filter") {
+      // 40 'en' docs, 3 'fr', 1 null-lang
+      val docs = ((0L until 40L).map(i => (i, "en")) ++
+        Seq((100L, "fr"), (101L, "fr"), (102L, "fr"), (103L, null.asInstanceOf[String])))
+        .toDF("doc_id", "lang")
+      val got = Sampling.rebalanceToBudget(docs, "lang", "doc_id", budget = 10L)
+        .as[(Long, String)].collect().toSet
+      // fr is under budget: kept whole; null stratum dropped
+      assert(got.filter(_._2 == "fr").map(_._1) === Set(100L, 101L, 102L))
+      assert(!got.exists(_._2 == null))
+      // en must equal the fixed-fraction sampler at fraction 10/40 with the
+      // same salt — i.e. the adaptive threshold IS the derived fraction
+      val exp = docs.where($"lang" === "en")
+        .where(Sampling.hash32($"doc_id", "rebalance") < math.floor(0.25 * 4294967296.0).toLong)
+        .as[(Long, String)].collect().toSet
+      assert(got.filter(_._2 == "en") === exp)
+    }
+  }
+
+  describe("Dedup.duplicateShingleStats") {
+    it("counts per-doc shingles shared with at least one other document") {
+      val docs = Seq(
+        (1L, "a b c d"),      // shingles: "a b c", "b c d"
+        (2L, "a b c x"),      // shingles: "a b c", "b c x"
+        (3L, "q r s"),        // shingle:  "q r s" (unique)
+        (4L, "ab")            // too short: absent from output
+      ).toDF("doc_id", "text")
+      val got = Dedup.duplicateShingleStats(docs, "doc_id", "text", n = 3)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, d) => id -> ((n, d)) }.toMap
+      // "a b c" occurs in docs 1 AND 2 (df=2 -> duplicated); every other
+      // shingle is unique; doc 4 has no shingle and is absent
+      assert(got === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((1L, 0L))))
+    }
+  }
+
+  describe("Snapshot.diff") {
+    it("classifies added / removed / changed / unchanged by content") {
+      val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("id", "t")
+      val neu = Seq((1L, "same"), (2L, "now this"), (4L, "fresh")).toDF("id", "t")
+      val got = Snapshot.diff(old, neu, "id", "t").as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    }
+
+    it("a present row with NULL content is never an add/remove; NULL vs NULL is changed") {
+      val old = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("id", "t")
+      val neu = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("id", "t")
+      val got = Snapshot.diff(old, neu, "id", "t").as[(Long, String)].collect().toMap
+      // md5(NULL) compares as null => not equal => 'changed' (documented;
+      // callers wanting NULL==empty coalesce first)
+      assert(got === Map(1L -> "changed", 2L -> "unchanged"))
+    }
+  }
+
   describe("quantile sketch gate (q71)") {
     it("the sketch's rank-error contract holds on sf0.001 (gate all-true)") {
       val rows = graft.SparkEntry
