@@ -1209,6 +1209,25 @@ object SparkEntry {
       val added = old.where(col("doc_id") < 20)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       operators.Snapshot.diff(old, edited.unionByName(added), "doc_id", "text")
+    }),
+
+    // leakage-safe split: train/holdout assignment by NEAR-DUP CLUSTER, not
+    // by document — the q50 component graph (exact cosine >= 0.4 over the
+    // bounded vector set) plus singletons as their own component, split by
+    // the component hash, so two near-duplicate vectors can never straddle
+    // the train/eval boundary (the contamination mode per-row splitting
+    // can't prevent).
+    "q80_leakage_safe_split" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val pairs = operators.Similarity.exactSimilarPairs(emb, "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+      val cc = operators.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "vec_id")
+      val comp = emb.select(col("vec_id").cast("long").as("vec_id"))
+        .join(cc, Seq("vec_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("vec_id")))
+      operators.Sampling.splitByGroup(comp, "component", holdoutFraction = 0.25)
+        .select(col("vec_id"), col("component"), col("is_holdout"))
     })
   )
 
@@ -1979,6 +1998,34 @@ object SparkEntry {
         |            WHEN n.doc_id IS NULL THEN 'removed'
         |            WHEN o.t = n.t THEN 'unchanged'
         |            ELSE 'changed' END AS status
-        |FROM olds o FULL JOIN news n ON o.doc_id = n.doc_id""".stripMargin
+        |FROM olds o FULL JOIN news n ON o.doc_id = n.doc_id""".stripMargin,
+    // q80: the q50 recursive-CTE component closure, singletons unioned back
+    // as their own component, then the same md5-prefix hash on the component
+    // (salt "groupsplit"; 0.25 * 2^32 = 1073741824)
+    "q80_leakage_safe_split" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |        >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |),
+        |comp AS (SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS component FROM reach GROUP BY u),
+        |allv AS (SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
+        |         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 500) e
+        |         LEFT JOIN comp c ON c.vec_id = e.vec_id)
+        |SELECT vec_id, component,
+        |       CAST(('0x' || substring(md5(CAST(component AS VARCHAR) || 'groupsplit'), 1, 8)) AS UBIGINT)
+        |         < CAST(1073741824 AS UBIGINT) AS is_holdout
+        |FROM allv""".stripMargin
   )
 }

@@ -24,13 +24,14 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [incremental|curation] [sfDir] (default /root/testdata/sf0.1)
+ * Usage: runMain graft.Stress [incremental|curation|snapshot] [sfDir] (default /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption match {
       case Some("incremental") => "incremental"
       case Some("curation") => "curation"
+      case Some("snapshot") => "snapshot"
       case _ => "embed"
     }
     val sfDir = args.drop(if (mode == "embed") 0 else 1)
@@ -45,6 +46,7 @@ object Stress {
 
     if (mode == "incremental") { incrementalStudy(spark, sfDir); spark.stop(); return }
     if (mode == "curation") { curationStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "snapshot") { snapshotStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -133,6 +135,57 @@ object Stress {
     * original row — the 10x output must therefore EQUAL the 1x output exactly
     * (scale invariance), while the gates/scrub do 10x the narrow work and the
     * single dedup exchange carries 10x the survivors. */
+  /** Fourth mode (`runMain graft.Stress snapshot [sfDir]`): the q79 snapshot
+    * diff on a 10x corpus (ids shifted into disjoint bands that PRESERVE the
+    * mod-10 class, so the q79 edit/delete rules act identically within each
+    * band) with an exact scale-invariance check: every band's per-status
+    * counts must equal the 1x counts — the diff is per-id and the join
+    * carries (id, hash) only, so 10x data is 10 independent copies of the
+    * same problem. */
+  private def snapshotStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val base = SparkEntry.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    // band shift 10,000,000 is a multiple of 10: pmod(id, 10) is replica-invariant
+    val old10 = (0 until 10)
+      .map(i => base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_)).persist(MEMORY_AND_DISK_SER)
+    println(s"[stress] old snapshot rows (10x): ${old10.count()}")
+
+    // the q79 derivation, band-relative (`% 10000000 < 20` == `< 20` at 1x)
+    def derive(old: DataFrame): DataFrame = {
+      val edited = old.where(pmod(col("doc_id"), lit(10)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 7, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val added = old.where(pmod(col("doc_id"), lit(10000000L)) < 20)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      edited.unionByName(added)
+    }
+    def counts(old: DataFrame, label: String): Map[String, Long] =
+      timed(s"diff over $label")(
+        operators.Snapshot.diff(old, derive(old), "doc_id", "text")
+          .groupBy("status").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+    val one = counts(base, "1x snapshot")
+    val ten = counts(old10, "10x snapshot")
+    // exact invariance: 10x counts are exactly 10 * 1x counts, per status
+    val scaled = one.map { case (k, v) => k -> v * 10 }
+    println(s"[stress] 1x counts: $one")
+    println(s"[stress] 10x counts: $ten (expect exactly ${scaled})")
+    // and per band: each of the 10 bands reproduces the 1x counts exactly
+    val perBand = operators.Snapshot.diff(old10, derive(old10), "doc_id", "text")
+      .groupBy(floor(col("doc_id") / 10000000L).as("band"), col("status")).count()
+      .groupBy("status").agg(
+        countDistinct(col("count")).as("distinct_counts"),
+        min(col("count")).as("cnt"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bandsUniform = perBand.forall { case (st, (d, c)) => d == 1L && c == one(st) }
+    println(s"[stress] per-band uniformity: $perBand (every status: distinct_counts=1, cnt=1x) -> " +
+      (if (ten == scaled && bandsUniform) "EXACT" else "MISMATCH"))
+  }
+
   private def curationStudy(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val docs = SparkEntry.tbl(spark, sfDir, "documents")

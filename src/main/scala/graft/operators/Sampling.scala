@@ -102,6 +102,25 @@ object Sampling {
   }
 
   /**
+   * GROUP-level train/holdout assignment: `is_holdout` is a function of
+   * `groupCol`'s hash (salt "groupsplit"), not the row's — every member of a
+   * group lands on the same side of the split. THE leakage guard for
+   * training pipelines: split a deduplicated corpus by near-dup CLUSTER
+   * (component id from [[Dedup.connectedComponents]]) and no pair of
+   * near-duplicates can straddle train/eval — per-document splitting
+   * ([[withSplit]]) leaks every cluster that crosses the boundary. Same
+   * deterministic [[hash32]] contract: narrow, partitioning-invariant,
+   * engine-reproducible.
+   */
+  def splitByGroup(df: DataFrame, groupCol: String, holdoutFraction: Double): DataFrame = {
+    require(holdoutFraction >= 0.0 && holdoutFraction <= 1.0,
+      s"holdoutFraction must be in [0,1], got $holdoutFraction")
+    require(!df.columns.contains("is_holdout"), "is_holdout is reserved by splitByGroup")
+    df.withColumn("is_holdout",
+      hash32(col(groupCol), "groupsplit") < (holdoutFraction * 4294967296.0).toLong)
+  }
+
+  /**
    * k rows per key, chosen as the k SMALLEST id-hashes (hash-minima are a
    * uniform random sample under a uniform hash — deterministic "reservoir"
    * sampling). Ranked through a bounded insertion-sort combiner with map-side

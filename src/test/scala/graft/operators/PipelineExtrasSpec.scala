@@ -464,6 +464,37 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Sampling.splitByGroup") {
+    it("assigns the split per GROUP: cluster members never straddle the boundary") {
+      // two clusters + a singleton, components as q80 derives them
+      val rows = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (99L, 99L))
+        .toDF("vec_id", "component")
+      val got = Sampling.splitByGroup(rows, "component", 0.5)
+        .as[(Long, Long, Boolean)].collect()
+      val byComp = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+      assert(byComp.values.forall(_.size == 1), s"a cluster straddled the split: $got")
+      // and the flag is exactly the salted-hash threshold of the component
+      val expect = rows.select($"component",
+          (Sampling.hash32($"component", "groupsplit") <
+            math.floor(0.5 * 4294967296.0).toLong).as("e"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(got.forall { case (_, c, h) => expect(c) == h })
+    }
+
+    it("q80: every similar pair (the q50 edges) lands on one side at sf0.001") {
+      val dir = "/root/testdata/sf0.001"
+      val split = graft.SparkEntry.queries("q80_leakage_safe_split")(spark, dir)
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+      val edges = graft.SparkEntry.queries("q50_dedup_components")(spark, dir)
+        .as[(Long, Long)].collect()
+      // q50 rows are (vec_id, component): all members of a component must
+      // share the split flag with their component's members
+      val leak = edges.groupBy(_._2).values
+        .filter(members => members.map(m => split(m._1)).toSet.size > 1)
+      assert(leak.isEmpty, s"near-dup cluster straddles train/holdout: $leak")
+    }
+  }
+
   describe("Snapshot.diff") {
     it("classifies added / removed / changed / unchanged by content") {
       val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("id", "t")
