@@ -1191,7 +1191,7 @@ object SparkEntry {
     // over string shingles with the kernel's tokenization.
     "q78_dup_ngram_profile" -> ((s, dir) =>
       operators.Dedup.duplicateShingleStats(
-        tbl(s, dir, "documents"), "doc_id", "text", n = 3)),
+        tbl(s, dir, "documents"), "doc_id", "text", n = 3, unpersistHook = onCleanup)),
 
     // snapshot diff: classify every doc id across two corpus snapshots as
     // added / removed / changed / unchanged by content hash. The "new"

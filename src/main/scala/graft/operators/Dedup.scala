@@ -102,14 +102,20 @@ object Dedup {
    * integers hash exactly across engines). Counting is by the kernel's
    * 64-bit shingle hash ([[shingleHashes]] — same collision posture as the
    * verify path). Plan shape: the (id, h) frame feeds both the
-   * document-frequency aggregation and the join back, which partition on
-   * the SAME key (h) — Spark reuses one exchange for both consumers — and
-   * the per-document rollup is the only other shuffle. A shingle occurring
-   * in `df` docs costs `df` join rows (never df^2): cost is linear in
-   * shingle mass, no pair expansion anywhere.
+   * document-frequency aggregation and the join back, so it is PERSISTED
+   * (SER: two compact longs per row, strictly smaller than re-reading and
+   * re-tokenizing the corpus — Spark does not reuse the exchange across the
+   * two consumers, so without the cache the shingle kernel would run
+   * twice). `unpersistHook` receives the release callback, the
+   * [[minhashNearDups]] convention. A shingle occurring in `df` docs costs
+   * `df` join rows (never df^2): cost is linear in shingle mass, no pair
+   * expansion anywhere.
    */
-  def duplicateShingleStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def duplicateShingleStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                            unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { sh.unpersist(); () })
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     sh.join(freq, "h")
       .groupBy(col(idCol))
