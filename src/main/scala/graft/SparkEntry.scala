@@ -1228,7 +1228,17 @@ object SparkEntry {
         .withColumn("component", coalesce(col("component"), col("vec_id")))
       operators.Sampling.splitByGroup(comp, "component", holdoutFraction = 0.25)
         .select(col("vec_id"), col("component"), col("is_holdout"))
-    })
+    }),
+
+    // per-label embedding centroids as integer-exact elementwise sums
+    // (classifier init / nearest-centroid labeling / drift monitoring):
+    // float avg would depend on parallel reduction order, so the query
+    // emits exact micro-unit sums + counts and leaves the division to the
+    // consumer. The explode never survives the map side — partial agg
+    // collapses to (labels x dims) rows before the one tiny shuffle.
+    "q81_label_centroids" -> ((s, dir) =>
+      operators.Similarity.vectorSumsByKey(tbl(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos"), col("sum_micros"), col("n")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2026,6 +2036,17 @@ object SparkEntry {
         |SELECT vec_id, component,
         |       CAST(('0x' || substring(md5(CAST(component AS VARCHAR) || 'groupsplit'), 1, 8)) AS UBIGINT)
         |         < CAST(1073741824 AS UBIGINT) AS is_holdout
-        |FROM allv""".stripMargin
+        |FROM allv""".stripMargin,
+    // q81: zipped unnest + generate_subscripts re-derive (pos, value); the
+    // float->double widening, *1e6, round, and integer sum are all
+    // bit-identical across engines
+    "q81_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |       CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+        |       count(*) AS n
+        |FROM ex GROUP BY label, pos""".stripMargin
   )
 }

@@ -374,6 +374,26 @@ object Similarity {
     ivfProbe(buildIvfIndex(corpus, idCol, vecCol, nCentroids, trainIters),
       queries, idCol, vecCol, k, nProbe)
 
+  /**
+   * Per-key elementwise vector sums — the building block of class centroids
+   * (classifier init, nearest-centroid labeling, embedding-drift
+   * monitoring): `(key, pos, sum_micros, n)` where `sum_micros` is the
+   * EXACT integer sum of `round(v[pos] * 1e6)` across the key's vectors and
+   * `n` the vector count; mean = sum_micros / (n * 1e6) is then exact
+   * double division. Integer sums on purpose: a float/double `avg` depends
+   * on parallel reduction order and can't hash-compare across engines or
+   * even across runs. Plan shape: `posexplode` is narrow (n·dim rows that
+   * never leave the map side intact) and the partial hash-agg collapses
+   * them to (keys × dims) rows per partition before the one tiny shuffle —
+   * at any corpus size the exchange carries dimensions, not data.
+   */
+  def vectorSumsByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(
+        sum(round(col("__v").cast("double") * 1000000.0).cast("long")).as("sum_micros"),
+        count(lit(1)).as("n"))
+
   /** One side of the triangle-blocked all-pairs self-join: hash each row
     * into one of `nBlocks` blocks and replicate it into every block-pair
     * CELL it can meet another row in — cell key (lo, hi) with lo <= hi,

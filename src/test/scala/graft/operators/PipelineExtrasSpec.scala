@@ -513,6 +513,21 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Similarity.vectorSumsByKey") {
+    it("sums each dimension exactly in micro-units per key") {
+      val df = Seq(
+        (1, Array(0.5f, -1.25f)),
+        (1, Array(0.25f, 0.75f)),
+        (2, Array(2.0f, 0.0f))
+      ).toDF("label", "vec")
+      val got = Similarity.vectorSumsByKey(df, "label", "vec")
+        .as[(Int, Int, Long, Long)].collect().toSet
+      assert(got === Set(
+        (1, 0, 750000L, 2L), (1, 1, -500000L, 2L),
+        (2, 0, 2000000L, 1L), (2, 1, 0L, 1L)))
+    }
+  }
+
   describe("quantile sketch gate (q71)") {
     it("the sketch's rank-error contract holds on sf0.001 (gate all-true)") {
       val rows = graft.SparkEntry
