@@ -62,12 +62,15 @@ object Dedup {
     * aggregation with partial (map-side) combine, strictly cheaper than the
     * equivalent `row_number` window, which needs the same exchange PLUS a
     * full sort of every partition. Payload moved exactly once, never
-    * sorted. Requires a non-null `idCol` (rows with a null id are ignored
-    * by `min_by`, same as they'd be unrankable in any canonical-pick). */
+    * sorted. Rows with a NULL `idCol` are unrankable in any canonical-pick
+    * and are ignored: a content group whose ids are ALL null produces no
+    * output row (the null-struct group is filtered, not emitted as a
+    * phantom all-null row). */
   def exactRows(df: DataFrame, idCol: String, on: Column): DataFrame = {
     val cols = df.columns
     df.groupBy(md5(contentBytes(df, on)).as("__dedup_key"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__dedup_row"))
+      .where(col("__dedup_row").isNotNull)
       .select(cols.map(c => col("__dedup_row").getField(c).as(c)): _*)
   }
 
@@ -84,6 +87,7 @@ object Dedup {
     * wanting NULL≡empty should coalesce before calling, as the q76 query
     * does. */
   def removeFingerprinted(df: DataFrame, banned: DataFrame, on: Column, bannedOn: Column): DataFrame = {
+    require(!df.columns.contains("__ban_fp"), "__ban_fp is reserved by removeFingerprinted")
     val keys = broadcast(
       banned.select(md5(contentBytes(banned, bannedOn)).as("__ban_fp")).distinct())
     df.join(keys, md5(contentBytes(df, on)) === col("__ban_fp"), "left_anti")
@@ -113,6 +117,7 @@ object Dedup {
    */
   def duplicateShingleStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
                             unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
     val sh = shingleHashes(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     unpersistHook(() => { sh.unpersist(); () })

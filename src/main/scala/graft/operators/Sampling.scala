@@ -90,6 +90,8 @@ object Sampling {
    */
   def rebalanceToBudget(df: DataFrame, stratumCol: String, idCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    Seq("__stratum", "__thr").foreach(c =>
+      require(!df.columns.contains(c), s"$c is reserved by rebalanceToBudget"))
     val thr = df
       .groupBy(col(stratumCol).cast("string").as("__stratum"))
       .agg(count(lit(1)).as("__n"))

@@ -279,45 +279,54 @@ object Similarity {
         .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
         .as[(Long, Array[Double])].collect()
 
-    // Widening float->double per element: the standing index stores vectors
-    // as array<float> (the source embedding width — half the bytes of the
-    // previous array<double> frame, and the index's footprint IS the
-    // dominant standing cost of an ANN deployment), while all similarity
-    // math stays double. float->double widening is exact, so scores are
-    // bit-identical to the double-stored form.
-    def cosLocal(a: Array[Float], b: Array[Double]): Double = {
+    // The standing index stores vectors at the SOURCE width: a float32
+    // corpus (this repo's embeddings) stays array<float> — half the bytes of
+    // a double frame, and the index footprint IS the dominant standing cost
+    // of an ANN deployment — while a double corpus stays array<double>
+    // (narrowing it would silently drop mantissa bits and change scores).
+    // All similarity math widens to double, which is exact from float, so
+    // float-source scores are bit-identical to a double-stored index.
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
       val n = math.min(a.length, b.length)
       var dab = 0.0; var daa = 0.0; var dbb = 0.0
       var i = 0
-      while (i < n) {
-        val ai = a(i).toDouble
-        dab += ai * b(i); daa += ai * ai; dbb += b(i) * b(i); i += 1
-      }
+      while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
       val denom = math.sqrt(daa) * math.sqrt(dbb)
       if (denom == 0.0) 0.0 else dab / denom
     }
-
-    val assigned = corpus
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        rows.flatMap { case (id, v) =>
-          if (v == null) Iterator.empty
-          else {
-            var best = Long.MaxValue
-            var bestCos = Double.NegativeInfinity
-            var ci = 0
-            while (ci < centArr.length) {
-              val (cid, cv) = centArr(ci)
-              val cs = cosLocal(v, cv)
-              if (cs > bestCos || (cs == bestCos && cid < best)) { bestCos = cs; best = cid }
-              ci += 1
-            }
-            Iterator.single((id, best, v))
-          }
-        }
+    def argmax(v: Array[Double]): Long = {
+      var best = Long.MaxValue
+      var bestCos = Double.NegativeInfinity
+      var ci = 0
+      while (ci < centArr.length) {
+        val (cid, cv) = centArr(ci)
+        val cs = cosLocal(v, cv)
+        if (cs > bestCos || (cs == bestCos && cid < best)) { bestCos = cs; best = cid }
+        ci += 1
       }
-      .toDF("neighbor_id", "cent_id", "cv")
+      best
+    }
+
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val sourceIsFloat = corpus.select(col(vecCol)).schema.head.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val assigned =
+      if (sourceIsFloat)
+        corpus.select(col(idCol).cast("long"), col(vecCol))
+          .as[(Long, Array[Float])]
+          .mapPartitions(_.collect { case (id, v) if v != null =>
+            (id, argmax(v.map(_.toDouble)), v)
+          })
+          .toDF("neighbor_id", "cent_id", "cv")
+      else
+        corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .as[(Long, Array[Double])]
+          .mapPartitions(_.collect { case (id, v) if v != null =>
+            (id, argmax(v), v)
+          })
+          .toDF("neighbor_id", "cent_id", "cv")
     new IvfIndex(centArr, assigned)
   }
 

@@ -54,6 +54,22 @@ class IvfRecallSpec extends AnyFunSpec with SparkSuite {
       assert(r1 <= r4 && r4 <= r8, s"recall not monotone: $r1, $r4, $r8")
     }
 
+    it("stores the index at SOURCE width: float stays float, double stays double") {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+      val f = Similarity.buildIvfIndex(emb, "vec_id", "embedding", 4)
+      assert(f.assigned.schema("cv").dataType.asInstanceOf[ArrayType].elementType === FloatType)
+      val dEmb = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val d = Similarity.buildIvfIndex(dEmb, "vec_id", "embedding", 4)
+      // a double corpus must NOT be narrowed (that would silently change scores)
+      assert(d.assigned.schema("cv").dataType.asInstanceOf[ArrayType].elementType === DoubleType)
+      // identical assignments either way on float-origin data (widening is exact)
+      val fa = f.assigned.select("neighbor_id", "cent_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val da = d.assigned.select("neighbor_id", "cent_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fa === da)
+    }
+
     it("metric sensitivity: a broken ranking scores far below the pinned bound") {
       // Worst-possible impostor: top-k of the NEGATED queries is the true
       // bottom-k by cosine. If the recall metric could not tell this apart

@@ -389,6 +389,16 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(got.map(_._1) === ids)
     }
 
+    it("NULL ids are unrankable: an all-null-id group emits NO row (not a phantom null row)") {
+      val df = Seq(
+        (Some(7L), "a"), (None, "a"),   // mixed: the non-null id wins
+        (None, "b"), (None, "b")        // all-null group: absent from output
+      ).toDF("id", "text")
+      val got = Dedup.exactRows(df, "id", col("text"))
+        .as[(Option[Long], String)].collect().toSet
+      assert(got === Set((Some(7L), "a")))
+    }
+
     it("reserves no column names: frames with dunder columns pass through intact") {
       // the row_number-window predecessor reserved __dedup_rn; the min_by
       // aggregation's intermediates live only in its own agg output, so any
