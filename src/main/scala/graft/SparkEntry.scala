@@ -1238,7 +1238,15 @@ object SparkEntry {
     // collapses to (labels x dims) rows before the one tiny shuffle.
     "q81_label_centroids" -> ((s, dir) =>
       operators.Similarity.vectorSumsByKey(tbl(s, dir, "embeddings"), "label", "embedding")
-        .select(col("label"), col("pos"), col("sum_micros"), col("n")))
+        .select(col("label"), col("pos"), col("sum_micros"), col("n"))),
+
+    // quality-WEIGHTED deterministic sampling: keep probability scales with
+    // min(n_chars, 2000)/2000 * 0.5 — longer documents survive more often.
+    // The per-row threshold is pure 64-bit integer math (no float at the
+    // boundary), so the oracle replays the identical keep decision.
+    "q82_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedSample(tbl(s, dir, "documents"), "doc_id", "n_chars", 2000L, 0.5)
+        .select(col("doc_id"), col("n_chars")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2047,6 +2055,12 @@ object SparkEntry {
         |SELECT label, CAST(pos AS INTEGER) AS pos,
         |       CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
         |       count(*) AS n
-        |FROM ex GROUP BY label, pos""".stripMargin
+        |FROM ex GROUP BY label, pos""".stripMargin,
+    // q82: the weighted threshold is integer-exact in both engines —
+    // floor(0.5 * 2^32) = 2147483648, then integer multiply + integer div
+    "q82_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 8)) AS UBIGINT)
+        |      < CAST(2147483648 * least(greatest(CAST(n_chars AS BIGINT), 0), 2000) // 2000 AS UBIGINT)""".stripMargin
   )
 }

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (local iteration
+    // only — the driver always runs the full map with 2 args)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +23,7 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
       f.delete(): Unit
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       // drop any previous output FIRST: a query that fails before writing
       // must not leave a stale result for the comparer to greenlight
       deleteRec(new java.io.File(s"$outDir/$name"))

@@ -104,6 +104,34 @@ object Sampling {
   }
 
   /**
+   * WEIGHTED deterministic Bernoulli sampling: a row is kept with probability
+   * `baseFraction * min(max(weight, 0), maxWeight) / maxWeight` — the
+   * quality-weighted curation move ("keep more of the long/high-quality
+   * documents, less of the short ones") with the same reproducibility
+   * contract as [[deterministicSample]]. The per-row threshold is computed
+   * ENTIRELY in 64-bit integer math —
+   * `floor(baseFraction * 2^32) * w div maxWeight` — so the keep decision is
+   * bit-identical across engines (no float rounding at the boundary; the
+   * DuckDB oracle replays the identical integer expression). Same
+   * per-row/never-evict posture: a narrow filter at scan speed, no shuffle,
+   * salt "wsample" decorrelates it from every other sampler.
+   *
+   * `maxWeight` is capped at 2^30 so `scaledBase * w` stays within Int64
+   * (2^32 * 2^30 = 2^62).
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      maxWeight: Long, baseFraction: Double): DataFrame = {
+    require(maxWeight > 0 && maxWeight <= (1L << 30),
+      s"maxWeight must be in [1, 2^30], got $maxWeight")
+    require(baseFraction >= 0.0 && baseFraction <= 1.0,
+      s"baseFraction must be in [0,1], got $baseFraction")
+    val scaledBase = (baseFraction * 4294967296.0).toLong
+    val thr = expr(
+      s"${scaledBase}L * least(greatest(CAST(`$weightCol` AS BIGINT), 0L), ${maxWeight}L) div ${maxWeight}L")
+    df.where(hash32(col(idCol), "wsample") < thr)
+  }
+
+  /**
    * GROUP-level train/holdout assignment: `is_holdout` is a function of
    * `groupCol`'s hash (salt "groupsplit"), not the row's — every member of a
    * group lands on the same side of the split. THE leakage guard for

@@ -300,6 +300,30 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(Sampling.deterministicSample(ids, "id", 1.0).count() === 2000L)
     }
 
+    it("weightedSample scales the keep rate with the weight, deterministically") {
+      // weight = id capped at 1000, maxWeight 1000, base 0.8: low-id rows
+      // (small weight) should survive far less often than high-id rows
+      val weighted = (0L until 2000L).map(i => (i, i)).toDF("id", "w")
+      val kept = Sampling.weightedSample(weighted, "id", "w", 1000L, 0.8)
+        .select("id").as[Long].collect().toSet
+      val keptAgain = Sampling.weightedSample(weighted.repartition(7), "id", "w", 1000L, 0.8)
+        .select("id").as[Long].collect().toSet
+      assert(kept === keptAgain) // partitioning-invariant
+      val lowRate = (0L until 500L).count(kept).toDouble / 500
+      val highRate = (1000L until 2000L).count(kept).toDouble / 1000
+      assert(lowRate < 0.35, s"low-weight keep rate $lowRate should be ~0.2")
+      assert(highRate > 0.65 && highRate < 0.95, s"capped-weight keep rate $highRate should be ~0.8")
+      // weight <= 0 can never survive; weight >= max behaves as baseFraction
+      assert(Sampling.weightedSample(weighted.withColumn("w", lit(-5L)), "id", "w", 1000L, 0.8)
+        .count() === 0L)
+      // monotone in baseFraction: same hash, larger threshold
+      val kept50 = Sampling.weightedSample(weighted, "id", "w", 1000L, 0.5)
+        .select("id").as[Long].collect().toSet
+      assert(kept50.subsetOf(kept))
+      intercept[IllegalArgumentException](Sampling.weightedSample(weighted, "id", "w", 0L, 0.5))
+      intercept[IllegalArgumentException](Sampling.weightedSample(weighted, "id", "w", 10L, 1.5))
+    }
+
     it("withSplit is INDEPENDENT of the sample (distinct purpose salts) and covers every row") {
       val split = Sampling.withSplit(ids, "id", 0.25)
       val holdout = split.where(col("is_holdout")).select("id").as[Long].collect().toSet
