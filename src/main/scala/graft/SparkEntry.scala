@@ -1246,7 +1246,32 @@ object SparkEntry {
     // boundary), so the oracle replays the identical keep decision.
     "q82_weighted_sample" -> ((s, dir) =>
       operators.Sampling.weightedSample(tbl(s, dir, "documents"), "doc_id", "n_chars", 2000L, 0.5)
-        .select(col("doc_id"), col("n_chars")))
+        .select(col("doc_id"), col("n_chars"))),
+
+    // Misra-Gries vocabulary heavy hitters — count-min's deterministic
+    // complement (q66 estimates candidate counts; this GUARANTEES candidate
+    // coverage): O(k) state per partition, <= k rows per partition shuffled,
+    // merged lower bounds. The gates are the two MG theorems, computed
+    // in-query as real booleans: every term with freq > n/(k+1) is present
+    // in the summary (covered), and its deficit is <= n/(k+1) (bound_ok).
+    // The full-vocabulary exact recount exists only to VERIFY the gates —
+    // the production path recounts candidates alone.
+    "q83_misra_gries" -> ((s, dir) => {
+      val k = 64
+      val toks = tbl(s, dir, "documents").select(
+          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+      val mg = operators.Sketch.misraGries(toks, "term", k)
+      val tot = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(tot))
+        .where(col("exact_cnt") * (k + 1) > col("n"))
+        .join(mg, Seq("term"), "left")
+        .select(col("term"), col("exact_cnt"),
+          col("mg_lower").isNotNull.as("covered"),
+          ((col("exact_cnt") - coalesce(col("mg_lower"), lit(0L))) * (k + 1) <= col("n"))
+            .as("bound_ok"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2061,6 +2086,16 @@ object SparkEntry {
     "q82_weighted_sample" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 8)) AS UBIGINT)
-        |      < CAST(2147483648 * least(greatest(CAST(n_chars AS BIGINT), 0), 2000) // 2000 AS UBIGINT)""".stripMargin
+        |      < CAST(2147483648 * least(greatest(CAST(n_chars AS BIGINT), 0), 2000) // 2000 AS UBIGINT)""".stripMargin,
+    // q83: the oracle recomputes the exact heavy-hitter set (freq > n/65,
+    // k=64) and asserts both Misra-Gries theorems hold (TRUE gates)
+    "q83_misra_gries" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |              FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |       TRUE AS covered, TRUE AS bound_ok
+        |FROM tf, tot WHERE exact_cnt * 65 > n""".stripMargin
   )
 }

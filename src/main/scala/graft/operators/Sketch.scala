@@ -32,6 +32,62 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /**
+   * Misra-Gries heavy-hitter summary (Misra & Gries 1982): at most `k`
+   * counters per partition, merged by per-key sum — count-min's DETERMINISTIC
+   * complement. Where [[countMin]] gives probabilistic UPPER bounds, the
+   * merged Misra-Gries counts are guaranteed LOWER bounds with a bounded
+   * deficit: for every key, `freq - n/(k+1) <= mg_lower <= freq` (n = total
+   * non-null rows). Hence every key with `freq > n/(k+1)` — a true heavy
+   * hitter — is guaranteed present in the summary, under ANY partitioning.
+   *
+   * SCALE SHAPE: per-partition state is O(k) regardless of key cardinality
+   * (the decrement-all step amortizes to O(1) per input row: each decrement
+   * round retires k+1 units of count), and the shuffle carries at most k rows
+   * per partition — a 100 TB token stream reduces to executors × k candidate
+   * rows, never a full groupBy of the vocabulary. Null keys are skipped (they
+   * don't count toward n).
+   *
+   * Returns one row per surviving key: `(keyCol, mg_lower)`. The summary may
+   * hold more than k keys after the merge; it is a SUPERSET of the true
+   * heavy-hitter set, so callers filter candidates by an exact count of the
+   * candidates only (a broadcast-semi-join-sized recount, not a full
+   * vocabulary aggregation).
+   */
+  def misraGries(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string")).as[String]
+      .mapPartitions { iter =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        iter.foreach { key =>
+          if (key != null) {
+            counters.get(key) match {
+              case Some(c) => counters(key) = c + 1
+              case None if counters.size < k => counters(key) = 1L
+              case None =>
+                // decrement-all (the incoming key is dropped with them):
+                // one round retires k+1 units of count, bounding rounds by
+                // n_p/(k+1) and therefore each counter's deficit
+                val keys = counters.keysIterator.toArray
+                var i = 0
+                while (i < keys.length) {
+                  val t = keys(i)
+                  val c = counters(t) - 1
+                  if (c == 0L) counters.remove(t) else counters(t) = c
+                  i += 1
+                }
+            }
+          }
+        }
+        counters.iterator
+      }
+      .toDF(keyCol, "mg_lower")
+      .groupBy(col(keyCol))
+      .agg(sum(col("mg_lower")).as("mg_lower"))
+  }
+
   /** Point-frequency estimates for `keys` (small by contract — the handful
     * of candidates being checked): min over lanes of the key's cell counts.
     * The sketch is broadcast; a key hashing to an absent cell reads 0. */

@@ -194,6 +194,42 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Sketch Misra-Gries") {
+    it("merged summary covers every true heavy hitter with bounded deficit, under any partitioning") {
+      // skewed stream: key h0 40%, h1 20%, then a long uniform tail
+      val rnd0 = new scala.util.Random(11)
+      val keys = (0 until 5000).map { _ =>
+        val r = rnd0.nextInt(10)
+        if (r < 4) "h0" else if (r < 6) "h1" else s"t${rnd0.nextInt(500)}"
+      }
+      val k = 9
+      for (parts <- Seq(1, 4, 13)) {
+        val df = keys.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("id", "key").repartition(parts)
+        val mg = Sketch.misraGries(df, "key", k)
+          .as[(String, Long)].collect().toMap
+        val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = keys.size.toLong
+        exact.foreach { case (key, freq) =>
+          val lower = mg.getOrElse(key, 0L)
+          assert(lower <= freq, s"$key: mg $lower overcounts exact $freq")
+          assert(freq - lower <= n / (k + 1) + 1,
+            s"$key: deficit ${freq - lower} exceeds n/(k+1)")
+          if (freq * (k + 1) > n)
+            assert(mg.contains(key), s"heavy hitter $key missing from summary at $parts parts")
+        }
+      }
+    }
+
+    it("skips null keys and counts a single-key stream exactly") {
+      val df = (Seq.fill(100)(Some("only")) ++ Seq.fill(5)(Option.empty[String]))
+        .zipWithIndex.map { case (k, i) => (i.toLong, k.orNull) }.toDF("id", "key")
+      val got = Sketch.misraGries(df, "key", 4).as[(String, Long)].collect().toMap
+      assert(got === Map("only" -> 100L))
+      intercept[IllegalArgumentException](Sketch.misraGries(df, "key", 0))
+    }
+  }
+
   describe("randomized brute-force comparisons (fixed seed)") {
     val rnd = new scala.util.Random(7)
 
