@@ -57,7 +57,7 @@ object SparkEntry {
     * aggregation subtrees in the plan); its release callback goes through the
     * same hook plumbing as `minhashNearDups`, drained by Bench/Verify after
     * each query. */
-  private def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  private def rareShingleCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = tbl(s, dir, "documents")
     val sh = operators.Dedup.shingleHashes(docs, "doc_id", "text", 3)
@@ -71,8 +71,12 @@ object SparkEntry {
       // SER: id pairs compress well, and the serialized cache spills cheaply
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     onCleanup(() => { cands.unpersist(); () })
-    operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text", 3, threshold)
+    cands
   }
+
+  private def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    operators.Dedup.jaccardVerify(rareShingleCandidates(s, dir),
+      tbl(s, dir, "documents"), "doc_id", "text", 3, threshold)
 
   /** One-time bucketed-layout creation for q49, memoized per source dir: the
     * write is the layout INVESTMENT a 100 TB deployment makes once (bucket the
@@ -1271,6 +1275,54 @@ object SparkEntry {
           col("mg_lower").isNotNull.as("covered"),
           ((col("exact_cnt") - coalesce(col("mg_lower"), lit(0L))) * (k + 1) <= col("n"))
             .as("bound_ok"))
+    }),
+
+    // Bloom-filter runtime join pruning: the urgent-orders dim builds a
+    // 64 Kbit filter (one tiny broadcast row), lineitem is pruned at scan
+    // speed BEFORE its shuffle, then the real join removes false positives.
+    // The gate recomputes the unpruned join's aggregates in-query and
+    // asserts bit-equality — the no-false-negative guarantee, live.
+    "q84_bloom_prejoin" -> ((s, dir) => {
+      val urgent = tbl(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      def aggBy(j: DataFrame) = j.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_quantity*100) AS BIGINT)")).as("sum_qty_cents"))
+      val exact = aggBy(li.join(urgent, "l_orderkey"))
+      val pruned = aggBy(operators.Bloom.prunedEquiJoin(li, urgent, "l_orderkey"))
+        .withColumnRenamed("n_items", "p_n").withColumnRenamed("sum_qty_cents", "p_sum")
+      exact.join(pruned, "o_orderstatus")
+        .select(col("o_orderstatus"), col("n_items"), col("sum_qty_cents"),
+          (col("n_items") === col("p_n") && col("sum_qty_cents") === col("p_sum"))
+            .as("no_false_negatives"))
+    }),
+
+    // asymmetric CONTAINMENT near-dup — catches subset/superset duplicates
+    // (a document quoted whole inside a longer one) that symmetric Jaccard
+    // misses. Same subquadratic candidate source as q45 (>=3 shared rare
+    // shingles, df <= 10), scored as intersection over the SMALLER set.
+    "q85_containment_neardup" -> ((s, dir) =>
+      operators.Dedup.containmentVerify(rareShingleCandidates(s, dir),
+          tbl(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))),
+
+    // int8-quantized ANN: 4x smaller vectors, integer-exact scoring, gated
+    // in-query on recall@10 >= 0.8 against the exact float ranking for the
+    // same broadcast query set as q25. The quantized path is the one that
+    // scales — the float brute force here is the recall oracle.
+    "q86_quantized_ann" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val exact = operators.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val quant = operators.Similarity.quantizedTopK(queries, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(quant, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 8L).as("recall_ok"))
     })
   )
 
@@ -2096,6 +2148,46 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n FROM toks)
         |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
         |       TRUE AS covered, TRUE AS bound_ok
-        |FROM tf, tot WHERE exact_cnt * 65 > n""".stripMargin
+        |FROM tf, tot WHERE exact_cnt * 65 > n""".stripMargin,
+    // q84: the oracle is the UNPRUNED join — the bloom path must reproduce
+    // it exactly (no false negatives), so the gate is a constant TRUE
+    "q84_bloom_prejoin" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |       TRUE AS no_false_negatives
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+    // q85: q45's candidate CTEs, scored as containment (inter over the
+    // smaller shingle set) instead of Jaccard
+    "q85_containment_neardup" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
+        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+        |  FROM d WHERE len(words) >= 3)),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         JOIN rare r ON r.s = a.s
+        |         GROUP BY 1, 2 HAVING count(*) >= 3),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+        |FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+        |           JOIN sizes sb ON sb.doc_id = pairs.id_b
+        |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.5""".stripMargin,
+    // q86: recall@10 of the int8-quantized ranking vs the exact float
+    // ranking is deterministic (integer scores, id tie-breaks); the gate
+    // asserts >= 0.8 for every query
+    "q86_quantized_ann" ->
+      "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8"
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bloom-filter runtime join pruning — the "semi-join reduction" a 100 TB
+ * fact-dim join lives on: summarize the (filtered) build side's join keys
+ * into a fixed-size bitset, broadcast it, and drop probe-side rows BEFORE
+ * they reach the shuffle. Spark's own runtime row-level filtering does this
+ * only for eligible plan shapes; this operator makes the reduction explicit
+ * and composable (build once, prune many probe frames, or persist the bitset
+ * alongside a snapshot for incremental loads).
+ *
+ * Everything is codegen'd builtins — xxhash64 lanes, integer bit math, a
+ * broadcast single-row map — no UDFs, no custom expressions, so the prune
+ * predicate rides WholeStageCodegen at scan speed.
+ *
+ * GUARANTEE: no false negatives — every key inserted by [[buildFilter]]
+ * passes [[mightContain]] (same lane hashes, deterministic). False positives
+ * only cost un-pruned rows, never correctness; the rate is the classic
+ * (1 - e^(-kn/m))^k.
+ *
+ * SCALE SHAPE: the build is one hash aggregation whose shuffle carries at
+ * most `numBits/64` words per map partition (map-side `bit_or` collapses the
+ * corpus first); the filter itself is O(numBits) bytes regardless of build
+ * cardinality, so it broadcasts even when the dim side would not.
+ */
+object Bloom {
+
+  private val BitsCol = "__bloom_bits"
+
+  private def lanePositions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
+
+  /** Bloom bitset over `keyCol`, as ONE row holding a map<word-index, word>
+    * (absent words are implicit zeros). `numBits` need not be a power of two. */
+  def buildFilter(df: DataFrame, keyCol: String, numBits: Int, numHashes: Int): DataFrame = {
+    require(numBits > 0 && numHashes > 0,
+      s"numBits/numHashes must be positive, got $numBits/$numHashes")
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array(lanePositions(col(keyCol), numBits, numHashes): _*)).as("pos"))
+      .groupBy((col("pos") / 64).cast("int").as("word_idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64L)).cast("int")))
+        .as("word"))
+      .agg(map_from_entries(collect_list(struct(col("word_idx"), col("word")))).as(BitsCol))
+  }
+
+  /** True iff every lane bit of `key` is set in the bitset map (never false
+    * for an inserted key). NULL keys return false — they can't equi-join. */
+  def mightContain(bits: Column, key: Column, numBits: Int, numHashes: Int): Column = {
+    require(numBits > 0 && numHashes > 0,
+      s"numBits/numHashes must be positive, got $numBits/$numHashes")
+    lanePositions(key, numBits, numHashes).map { pos =>
+      call_function("shiftright",
+          coalesce(element_at(bits, (pos / 64).cast("int")), lit(0L)),
+          pmod(pos, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _) && key.isNotNull
+  }
+
+  /**
+   * Inner equi-join with the probe side Bloom-pruned before the shuffle:
+   * build the filter from `build`'s keys, broadcast it (one tiny row), keep
+   * only probe rows that might match, then run the real join. Result is
+   * EXACTLY `probe.join(build, key)` — false positives are removed by the
+   * join itself, false negatives cannot exist.
+   */
+  def prunedEquiJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+      numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    require(!probe.columns.contains(BitsCol) && !build.columns.contains(BitsCol),
+      s"$BitsCol is reserved by prunedEquiJoin")
+    val filt = buildFilter(build, keyCol, numBits, numHashes)
+    probe.crossJoin(broadcast(filt))
+      .where(mightContain(col(BitsCol), col(keyCol), numBits, numHashes))
+      .drop(BitsCol)
+      .join(build, keyCol)
+  }
+}

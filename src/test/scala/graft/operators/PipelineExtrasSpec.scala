@@ -230,6 +230,36 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Bloom join pruning") {
+    it("inserted keys always pass; most absent keys are pruned") {
+      val dim = (0L until 200L).map(i => (i * 7, s"d$i")).toDF("k", "name")
+      val filt = Bloom.buildFilter(dim, "k", 1 << 14, 3)
+      val probeKeys = (0L until 5000L).toDF("k")
+      val passed = probeKeys.crossJoin(broadcast(filt))
+        .where(Bloom.mightContain(col("__bloom_bits"), col("k"), 1 << 14, 3))
+        .select("k").as[Long].collect().toSet
+      // no false negatives: every multiple of 7 under 1400 must pass
+      (0L until 200L).foreach(i => assert(passed.contains(i * 7), s"false negative on ${i * 7}"))
+      // false positives exist but are rare at 16384 bits / 200 keys
+      val fp = passed.count(k => k % 7 != 0 || k >= 1400)
+      assert(fp < 100, s"$fp false positives out of 4800 absent keys")
+    }
+
+    it("prunedEquiJoin is exactly the plain inner join, including empty and null cases") {
+      val rnd1 = new scala.util.Random(3)
+      val probe = (0 until 3000).map { i =>
+        (if (rnd1.nextInt(50) == 0) null.asInstanceOf[java.lang.Long]
+         else java.lang.Long.valueOf(rnd1.nextInt(400).toLong), i.toLong)
+      }.toDF("k", "payload")
+      val build = (0L until 120L).map(i => (i * 3, s"b$i")).toDF("k", "attr")
+      val got = Bloom.prunedEquiJoin(probe, build, "k")
+      assert(got.exceptAll(probe.join(build, "k")).isEmpty)
+      assert(probe.join(build, "k").exceptAll(got).isEmpty)
+      // empty build side prunes everything
+      assert(Bloom.prunedEquiJoin(probe, build.where(lit(false)), "k").count() === 0L)
+    }
+  }
+
   describe("randomized brute-force comparisons (fixed seed)") {
     val rnd = new scala.util.Random(7)
 
