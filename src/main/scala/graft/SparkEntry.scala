@@ -1323,6 +1323,31 @@ object SparkEntry {
       queries.select(col("vec_id").as("query_id"))
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 8L).as("recall_ok"))
+    }),
+
+    // incremental distinct-count state: HLL-sketch disjoint batches
+    // separately and merge the sketches. Gates: (a) SPLIT-INVARIANCE — a
+    // 2-way and a 3-way batching of the same rows merge to the identical
+    // estimate (union registers are per-slot maxima over the whole stream,
+    // so the merged state is a pure function of the row set — the property
+    // incremental pipelines rely on to never drift); (b) accuracy within 5%
+    // of the exact distinct count, computed in-query.
+    "q87_hll_incremental" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      def sk(df: DataFrame) = operators.Sketch.distinctSketchByKey(df, "event_type", "user_id")
+      def mergedEst(splits: Int, outCol: String) = {
+        val batches = (0 until splits).map(i => sk(ev.where(pmod(col("event_id"), lit(splits)) === i)))
+        operators.Sketch.estimateDistinct(
+          operators.Sketch.mergeDistinctSketches(batches.reduce(_.unionByName(_)), "event_type"),
+          "event_type").withColumnRenamed("est_distinct", outCol)
+      }
+      ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .join(mergedEst(2, "est_2way"), "event_type")
+        .join(mergedEst(3, "est_3way"), "event_type")
+        .select(col("event_type"), col("exact_distinct"),
+          (col("est_2way") === col("est_3way")).as("split_invariant"),
+          (abs(col("est_2way") - col("exact_distinct"))
+            <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
     })
   )
 
@@ -2188,6 +2213,12 @@ object SparkEntry {
     // ranking is deterministic (integer scores, id tie-breaks); the gate
     // asserts >= 0.8 for every query
     "q86_quantized_ann" ->
-      "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8"
+      "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
+    // q87: exact distinct recomputed; both sketch gates are deterministic
+    // properties of the fixed HLL register state
+    "q87_hll_incremental" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |       TRUE AS split_invariant, TRUE AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -88,6 +88,38 @@ object Sketch {
       .agg(sum(col("mg_lower")).as("mg_lower"))
   }
 
+  /**
+   * Per-key Datasketches-HLL distinct-count state: `(keyCol, hll_sk binary)`.
+   * The sketch IS the incremental-ingest primitive for distinct counts at
+   * 100 TB: persist it alongside each snapshot, sketch only the new batch on
+   * the next load, and [[mergeDistinctSketches]] folds the two in O(2^lgK)
+   * per key — no re-scan of history, no shuffle of raw ids (the map side
+   * collapses each partition to one sketch per key before the exchange).
+   * Register-maximum semantics make the merged state SPLIT-INVARIANT: the
+   * union's registers are per-slot maxima over the whole stream, so ANY
+   * batching of the same rows merges to the same estimate (q87 gates this
+   * live). Note the merged estimate is NOT bit-equal to a from-scratch
+   * direct sketch of the concatenated stream: direct sketching uses the
+   * order-sensitive HIP estimator, which a union cannot preserve — both
+   * remain within the same relative-error bound, but only the union path is
+   * a pure function of the row SET, which is why incremental pipelines
+   * should standardize on it.
+   */
+  def distinctSketchByKey(df: DataFrame, keyCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK")
+    df.groupBy(col(keyCol)).agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll_sk"))
+  }
+
+  /** Fold several per-key sketch frames (same lgK) into one: cell cost is
+    * O(2^lgK) per key regardless of how many ids each sketch absorbed. */
+  def mergeDistinctSketches(sketches: DataFrame, keyCol: String): DataFrame =
+    sketches.groupBy(col(keyCol)).agg(hll_union_agg(col("hll_sk")).as("hll_sk"))
+
+  /** Rounded distinct-count estimate per key from the sketch state. */
+  def estimateDistinct(sketches: DataFrame, keyCol: String): DataFrame =
+    sketches.select(col(keyCol), hll_sketch_estimate(col("hll_sk")).as("est_distinct"))
+
   /** Point-frequency estimates for `keys` (small by contract — the handful
     * of candidates being checked): min over lanes of the key's cell counts.
     * The sketch is broadcast; a key hashing to an absent cell reads 0. */

@@ -194,6 +194,24 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Sketch HLL distinct state") {
+    it("merged estimates are split-invariant and within the error bound; direct HIP estimates may differ") {
+      val rows = (0 until 20000).map(i => (i.toLong, s"g${i % 3}", s"u${i % 4000}"))
+        .toDF("id", "grp", "uid")
+      def est(splits: Int): Map[String, Long] = {
+        val batches = (0 until splits).map(i =>
+          Sketch.distinctSketchByKey(rows.where(pmod(col("id"), lit(splits)) === i), "grp", "uid"))
+        Sketch.estimateDistinct(
+          Sketch.mergeDistinctSketches(batches.reduce(_.unionByName(_)), "grp"), "grp")
+          .as[(String, Long)].collect().toMap
+      }
+      val (e2, e5) = (est(2), est(5))
+      assert(e2 === e5) // union state is a pure function of the row set
+      e2.values.foreach(v => assert(math.abs(v - 4000L) <= 200L, s"estimate $v vs exact 4000"))
+      intercept[IllegalArgumentException](Sketch.distinctSketchByKey(rows, "grp", "uid", 2))
+    }
+  }
+
   describe("Sketch Misra-Gries") {
     it("merged summary covers every true heavy hitter with bounded deficit, under any partitioning") {
       // skewed stream: key h0 40%, h1 20%, then a long uniform tail
