@@ -166,6 +166,35 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  it("q82 weighted sampling is a narrow scan-speed filter: zero exchanges, two-column read") {
+    val p = plan("q82_weighted_sample")
+    assert(!p.contains("Exchange"), s"the keep decision is per-row; nothing may shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
+  }
+
+  it("q84 bloom prune: the bitset broadcasts as ONE row and the prune filter sits probe-side") {
+    val p = plan("q84_bloom_prejoin")
+    // the single-row bitset rides a broadcast nested-loop join (trivially
+    // tiny); the prune predicate (shiftright bit test) must appear in the
+    // plan BELOW the real join, i.e. on the lineitem branch
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("shiftright"), s"expected the codegen'd bit-test prune filter:\n$p")
+    // lineitem reads only the join key + aggregated column
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  it("q86 quantized ANN broadcasts the query side; the corpus reads two columns once per branch") {
+    val p = plan("q86_quantized_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
+  it("q83 Misra-Gries reads ONLY the text column; candidate merge shuffles counters, not tokens") {
+    val p = plan("q83_misra_gries")
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+    assert(p.contains("MapPartitions"), s"expected the O(k)-state kernel:\n$p")
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {
