@@ -1348,7 +1348,24 @@ object SparkEntry {
           (col("est_2way") === col("est_3way")).as("split_invariant"),
           (abs(col("est_2way") - col("exact_distinct"))
             <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
-    })
+    }),
+
+    // hard-negative mining for contrastive training: per query, the top-3
+    // most-similar vectors with a DIFFERENT label (same broadcast/combiner
+    // shape as q25; the label test joins before scoring)
+    "q88_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      operators.Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", "label", 3)
+    }),
+
+    // temperature-flattened source mixing (T=2): per-language expected size
+    // ∝ sqrt(share) of a 200-row budget — the multilingual rebalance that
+    // up-weights rare languages without fully equalizing. All integer math
+    // after the correctly-rounded sqrt; the oracle replays it exactly.
+    "q89_temperature_mix" -> ((s, dir) =>
+      operators.Sampling.temperatureMix(tbl(s, dir, "documents"), "lang", "doc_id", 200L)
+        .select(col("doc_id"), col("lang")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2219,6 +2236,30 @@ object SparkEntry {
     "q87_hll_incremental" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
         |       TRUE AS split_invariant, TRUE AS within_5pct
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    // q88: q25's exact-cosine ranking restricted to cross-label pairs
+    "q88_hard_negatives" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+        |           c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.label <> q.label) t
+        |WHERE rank <= 3""".stripMargin,
+    // q89: identical integer pipeline — floor(sqrt(n)) weights (IEEE sqrt is
+    // correctly rounded, so bit-equal cross-engine), integer target and
+    // threshold, md5-prefix hash with the tempmix salt
+    "q89_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM cnt),
+        |tw AS (SELECT sum(wt) AS W FROM w),
+        |thr AS (SELECT lang, CAST(4294967296 * least((200 * wt) // W, n) // n AS UBIGINT) AS t
+        |        FROM w, tw)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON thr.lang = d.lang
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'tempmix'), 1, 8)) AS UBIGINT)
+        |      < t""".stripMargin
   )
 }

@@ -132,6 +132,42 @@ object Sampling {
   }
 
   /**
+   * TEMPERATURE-flattened mixture sampling — the standard multilingual /
+   * multi-source data-mixing move: sample stratum s with expected size
+   * `budget * sqrt(n_s) / Σ sqrt(n_t)` (capped at n_s), i.e. mixture weights
+   * ∝ n^(1/2) instead of n, so dominant sources are flattened and rare ones
+   * up-weighted relative to their natural share (temperature T = 2 in the
+   * p^(1/T) convention). [[rebalanceToBudget]] is the T → ∞ limit (equal
+   * budgets); natural sampling is T = 1.
+   *
+   * The exponent is FIXED at 1/2 deliberately: IEEE-754 `sqrt` is correctly
+   * rounded on every platform/engine, so `floor(sqrt(n))` is bit-identical
+   * everywhere and all downstream math stays in 64-bit integers — an
+   * arbitrary `pow(n, alpha)` is NOT correctly rounded and would make the
+   * keep decision engine-dependent at threshold boundaries. Same
+   * [[hash32]] contract (salt "tempmix"): the corpus never shuffles, the
+   * tiny per-stratum threshold dim broadcasts back, rows with a NULL
+   * stratum are dropped. `budget` is bounded to 2^31 so `2^32 * target`
+   * stays within Int64.
+   */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String, budget: Long): DataFrame = {
+    require(budget > 0 && budget < (1L << 31),
+      s"budget must be in [1, 2^31), got $budget")
+    Seq("__stratum", "__n", "__wt", "__W", "__thr").foreach(c =>
+      require(!df.columns.contains(c), s"$c is reserved by temperatureMix"))
+    val wts = df
+      .groupBy(col(stratumCol).cast("string").as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wt", expr("CAST(floor(sqrt(CAST(__n AS DOUBLE))) AS BIGINT)"))
+    val tot = wts.agg(sum(col("__wt")).as("__W"))
+    val thr = wts.crossJoin(broadcast(tot)).select(col("__stratum"),
+      expr(s"4294967296L * least((${budget}L * __wt) div __W, __n) div __n").as("__thr"))
+    df.join(broadcast(thr), df(stratumCol).cast("string") === col("__stratum"))
+      .where(hash32(col(idCol), "tempmix") < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
+  /**
    * GROUP-level train/holdout assignment: `is_holdout` is a function of
    * `groupCol`'s hash (salt "groupsplit"), not the row's — every member of a
    * group lands on the same side of the split. THE leakage guard for

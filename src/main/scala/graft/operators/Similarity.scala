@@ -80,6 +80,36 @@ object Similarity {
   }
 
   /**
+   * HARD-NEGATIVE mining for contrastive training: for each query vector,
+   * the top-k most-similar corpus vectors with a DIFFERENT label — the
+   * near-boundary examples that make embedding models learn, mined here as
+   * "similar but not same-class". Identical scale shape to
+   * [[bruteForceTopK]] (broadcast query side, one corpus pass, bounded
+   * combiner — shuffle <= k rows per query per partition); the label
+   * inequality is part of the join predicate so mismatched pairs are dropped
+   * before scoring. Rows whose label is NULL on either side are excluded
+   * (unknown class can't be certified a negative).
+   *
+   * Returns (query_id, neighbor_id, rank), rank 1..k by (cos desc, id).
+   */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("clabel"))
+    val scored = c.join(q,
+        col("query_id") =!= col("neighbor_id") && col("qlabel") =!= col("clabel"))
+      .select(col("query_id"), struct(cosine(col("qv"), col("cv")).as("cos"),
+        col("neighbor_id").as("nid")).as("scored"))
+      .as[(Long, (Double, Long))]
+    rankTopK(scored, k)
+  }
+
+  /**
    * INT8-quantized top-k cosine search — the memory-bound scale path: one
    * global symmetric scale (127 / max|v| over the corpus, an O(1)-per-row
    * order-independent aggregate), vectors stored as 1-byte lanes (4× smaller

@@ -341,6 +341,27 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](Sampling.weightedSample(weighted, "id", "w", 10L, 1.5))
     }
 
+    it("temperatureMix flattens dominant strata toward sqrt-share, deterministically") {
+      // 1600 'big' rows vs 100 'rare': weights 40 vs 10, so of a 200 budget
+      // big targets 160 (rate 0.1) and rare targets 40 (rate 0.4) — the rare
+      // stratum's keep RATE is ~4x the dominant one's
+      val mixed = ((0L until 1600L).map(i => (i, "big")) ++
+        (10000L until 10100L).map(i => (i, "rare"))).toDF("id", "src")
+      val kept = Sampling.temperatureMix(mixed, "src", "id", 200L)
+        .select(col("id"), col("src")).as[(Long, String)].collect()
+      val keptAgain = Sampling.temperatureMix(mixed.repartition(9), "src", "id", 200L)
+        .select(col("id"), col("src")).as[(Long, String)].collect()
+      assert(kept.toSet === keptAgain.toSet)
+      val byStratum = kept.groupBy(_._2).view.mapValues(_.size).toMap
+      val bigRate = byStratum.getOrElse("big", 0).toDouble / 1600
+      val rareRate = byStratum.getOrElse("rare", 0).toDouble / 100
+      assert(bigRate > 0.05 && bigRate < 0.15, s"big keep rate $bigRate should be ~0.1")
+      assert(rareRate > 0.25 && rareRate < 0.55, s"rare keep rate $rareRate should be ~0.4")
+      // a budget >= corpus keeps every row (targets cap at n_s)
+      assert(Sampling.temperatureMix(mixed, "src", "id", 100000L).count() === 1700L)
+      intercept[IllegalArgumentException](Sampling.temperatureMix(mixed, "src", "id", 0L))
+    }
+
     it("withSplit is INDEPENDENT of the sample (distinct purpose salts) and covers every row") {
       val split = Sampling.withSplit(ids, "id", 0.25)
       val holdout = split.where(col("is_holdout")).select("id").as[Long].collect().toSet
@@ -458,6 +479,21 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       (1L, Array(0.9f, 0.1f, 0.0f)),
       (2L, Array(0.0f, 1.0f, 0.0f)),
       (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+    it("hardNegatives ranks only cross-label neighbors, skipping null labels") {
+      val labeled = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f), java.lang.Integer.valueOf(1)),   // query, label 1
+        (1L, Array(0.99f, 0.1f, 0.0f), java.lang.Integer.valueOf(1)),  // nearest overall — same label
+        (2L, Array(0.9f, 0.2f, 0.0f), java.lang.Integer.valueOf(2)),   // nearest cross-label
+        (3L, Array(0.5f, 0.5f, 0.0f), java.lang.Integer.valueOf(2)),
+        (4L, Array(0.95f, 0.05f, 0.0f), null.asInstanceOf[java.lang.Integer]), // null label: excluded
+        (5L, Array(0.0f, 0.0f, 1.0f), java.lang.Integer.valueOf(3))
+      ).toDF("vec_id", "embedding", "label")
+      val got = Similarity.hardNegatives(labeled.where(col("vec_id") === 0),
+          labeled, "vec_id", "embedding", "label", 2)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+      assert(got === Seq((0L, 2L, 1L), (0L, 3L, 2L))) // 1 (same label) and 4 (null) never rank
+    }
 
     it("quantizedTopK matches exact brute-force ranking on well-separated vectors, invariant to partitioning") {
       // 60 random-ish 16-dim vectors from fixed integer seeds: quantization
