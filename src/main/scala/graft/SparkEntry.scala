@@ -1365,7 +1365,17 @@ object SparkEntry {
     // after the correctly-rounded sqrt; the oracle replays it exactly.
     "q89_temperature_mix" -> ((s, dir) =>
       operators.Sampling.temperatureMix(tbl(s, dir, "documents"), "lang", "doc_id", 200L)
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+
+    // per-language quantile calibration: every document gets its length
+    // QUARTILE within its own language (order-statistic cuts broadcast
+    // back; assignment is a narrow comparison chain — payload never
+    // shuffles, unlike an ntile window)
+    "q90_quantile_buckets" -> ((s, dir) =>
+      operators.Quantiles.bucketByQuantile(
+          tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", "doc_id", 4)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2260,6 +2270,23 @@ object SparkEntry {
         |        FROM w, tw)
         |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON thr.lang = d.lang
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'tempmix'), 1, 8)) AS UBIGINT)
-        |      < t""".stripMargin
+        |      < t""".stripMargin,
+    // q90: cuts re-derived with the q67 rank formula (value at rank
+    // ceil(p*n), p rationalized at 1e-6), bucket = 1 + #cuts below
+    "q90_quantile_buckets" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |cuts AS (SELECT lang,
+        |           max(CASE WHEN rn = (n*250000 + 999999) // 1000000 THEN n_chars END) AS c1,
+        |           max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN n_chars END) AS c2,
+        |           max(CASE WHEN rn = (n*750000 + 999999) // 1000000 THEN n_chars END) AS c3
+        |         FROM r GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       CAST(1 + CAST(d.n_chars > c1 AS INTEGER) + CAST(d.n_chars > c2 AS INTEGER)
+        |              + CAST(d.n_chars > c3 AS INTEGER) AS BIGINT) AS bucket
+        |FROM documents d JOIN cuts USING (lang)
+        |WHERE d.n_chars IS NOT NULL""".stripMargin
   )
 }

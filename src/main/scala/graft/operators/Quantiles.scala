@@ -53,4 +53,35 @@ object Quantiles {
     }
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Per-key quantile BUCKETING — score calibration ("is this document long
+   * for ITS language?"): each row gets the 1-based index of its value's
+   * equal-probability bin within its key's distribution, using
+   * [[perKeyExact]]'s order-statistic cuts (bucket = 1 + #cuts strictly
+   * below the value; ties share a bucket, so the assignment is a pure
+   * function of (key, value)).
+   *
+   * SCALE SHAPE: the cut computation shuffles only the (key, value, tie)
+   * PROJECTION once; the cut table (keys × nBuckets−1, tiny) broadcasts
+   * back and the assignment is a narrow comparison chain at scan speed —
+   * payload columns never cross an exchange. The per-row window
+   * formulation (ntile) would instead sort EVERY key's full rows in one
+   * task per key. Rows with a NULL key or value are dropped (they have no
+   * distribution to calibrate against).
+   */
+  def bucketByQuantile(df: DataFrame, keyCol: String, valueCol: String, tieCol: String,
+                       nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000, s"nBuckets must be in [2,1000], got $nBuckets")
+    require(!df.columns.contains("bucket"), "bucket is reserved by bucketByQuantile")
+    val ps = (1 until nBuckets).map(i => (s"__c$i", i.toDouble / nBuckets))
+    val rows = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+    val cuts = perKeyExact(rows, keyCol, valueCol, tieCol, ps)
+    val bucket = ps.map { case (name, _) =>
+      when(col(valueCol) > col(name), 1).otherwise(0)
+    }.reduce(_ + _) + lit(1)
+    rows.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("bucket", bucket.cast("long"))
+      .drop(ps.map(_._1): _*)
+  }
 }

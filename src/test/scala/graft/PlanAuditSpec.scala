@@ -195,6 +195,15 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("MapPartitions"), s"expected the O(k)-state kernel:\n$p")
   }
 
+  it("q90 quantile buckets: cuts shuffle only the projection; assignment joins a BROADCAST") {
+    val p = plan("q90_quantile_buckets")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the window that ranks the (key, value, tie) projection is the only
+    // hash exchange — the assignment branch of the corpus never shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the cut-projection window may shuffle:\n$p")
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {

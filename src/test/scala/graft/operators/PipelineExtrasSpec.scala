@@ -141,6 +141,23 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(got === Map(1L -> ((50L, 90L, 100L)), 2L -> ((7L, 7L, 7L))))
     }
 
+    it("bucketByQuantile assigns equal-probability bins per key; nulls and ties behave") {
+      // key a: 1..8 -> quartile cuts 2,4,6 -> buckets 1,1,2,2,3,3,4,4
+      // key b: all-equal values -> everything lands in bucket 1 (ties share)
+      def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+      val rows = ((1 to 8).map(i => ("a", jl(i.toLong), i.toLong)) ++
+        (1 to 4).map(i => ("b", jl(5L), i.toLong)) ++
+        Seq((null.asInstanceOf[String], jl(3L), 100L), ("a", null.asInstanceOf[java.lang.Long], 101L)))
+        .toDF("k", "v", "tie")
+      val got = Quantiles.bucketByQuantile(rows, "k", "v", "tie", 4)
+        .select(col("k"), col("v"), col("bucket")).as[(String, Long, Long)].collect()
+      assert(got.length === 12) // null key / null value rows dropped
+      val aBuckets = got.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq
+      assert(aBuckets === Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+      assert(got.filter(_._1 == "b").forall(_._3 == 1L))
+      intercept[IllegalArgumentException](Quantiles.bucketByQuantile(rows, "k", "v", "tie", 1))
+    }
+
     it("odd n and duplicate values: the selected value is tie-invariant") {
       // n=5 of values 1,2,2,2,9: p50 -> rank 3 = 2; p99 -> rank ceil(4.95)=5 = 9
       val rows = Seq((1L, 2L, 1L), (1L, 9L, 2L), (1L, 2L, 3L), (1L, 1L, 4L), (1L, 2L, 5L))
