@@ -55,6 +55,11 @@ def main(sf_dir, out_dir, only=None):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        unknown = only - set(oracle)
+        if unknown:  # a typo'd filter must not report a false green
+            print(f"FAIL <filter>: unknown query name(s): {sorted(unknown)}")
+            return 1
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:

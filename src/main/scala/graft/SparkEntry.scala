@@ -1333,10 +1333,15 @@ object SparkEntry {
     // incremental pipelines rely on to never drift); (b) accuracy within 5%
     // of the exact distinct count, computed in-query.
     "q87_hll_incremental" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
+      // NULL guards keep both engines on the same row set: a NULL event_id
+      // would fall out of every pmod batch (never === i), and a NULL
+      // event_type group would survive the oracle's GROUP BY but not the
+      // equi-joins below. Zero such rows in the fixtures; explicit anyway.
+      val ev = tbl(s, dir, "events").where(col("event_type").isNotNull)
       def sk(df: DataFrame) = operators.Sketch.distinctSketchByKey(df, "event_type", "user_id")
       def mergedEst(splits: Int, outCol: String) = {
-        val batches = (0 until splits).map(i => sk(ev.where(pmod(col("event_id"), lit(splits)) === i)))
+        val batches = (0 until splits).map(i =>
+          sk(ev.where(pmod(coalesce(col("event_id"), lit(0L)), lit(splits)) === i)))
         operators.Sketch.estimateDistinct(
           operators.Sketch.mergeDistinctSketches(batches.reduce(_.unionByName(_)), "event_type"),
           "event_type").withColumnRenamed("est_distinct", outCol)
@@ -2246,7 +2251,7 @@ object SparkEntry {
     "q87_hll_incremental" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
         |       TRUE AS split_invariant, TRUE AS within_5pct
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL GROUP BY 1""".stripMargin,
     // q88: q25's exact-cosine ranking restricted to cross-label pairs
     "q88_hard_negatives" ->
       """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (

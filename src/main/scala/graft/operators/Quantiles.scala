@@ -73,8 +73,9 @@ object Quantiles {
   def bucketByQuantile(df: DataFrame, keyCol: String, valueCol: String, tieCol: String,
                        nBuckets: Int): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 1000, s"nBuckets must be in [2,1000], got $nBuckets")
-    require(!df.columns.contains("bucket"), "bucket is reserved by bucketByQuantile")
     val ps = (1 until nBuckets).map(i => (s"__c$i", i.toDouble / nBuckets))
+    ("bucket" +: ps.map(_._1)).foreach(c =>
+      require(!df.columns.contains(c), s"$c is reserved by bucketByQuantile"))
     val rows = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
     val cuts = perKeyExact(rows, keyCol, valueCol, tieCol, ps)
     val bucket = ps.map { case (name, _) =>

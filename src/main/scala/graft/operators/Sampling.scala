@@ -155,7 +155,10 @@ object Sampling {
       s"budget must be in [1, 2^31), got $budget")
     Seq("__stratum", "__n", "__wt", "__W", "__thr").foreach(c =>
       require(!df.columns.contains(c), s"$c is reserved by temperatureMix"))
-    val wts = df
+    // NULL strata are dropped BEFORE weighting: a NULL group would inflate
+    // Σ√n (shrinking every real stratum's share) while its own rows could
+    // never be emitted through the equi-join below
+    val wts = df.where(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol).cast("string").as("__stratum"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__wt", expr("CAST(floor(sqrt(CAST(__n AS DOUBLE))) AS BIGINT)"))

@@ -124,6 +124,13 @@ object Similarity {
    *
    * The scale collect is one scalar — the same driver-side O(1) investment as
    * the IVF centroid collect, paid once per corpus version.
+   *
+   * Vectors that quantize to ALL-ZERO lanes (norm 0) are excluded on BOTH
+   * sides — cosine is undefined for them. Note a QUERY can quantize to zero
+   * when a large-magnitude corpus outlier dominates the global scale (every
+   * component under max|v|/254 rounds to 0); such a query emits no rows, so
+   * callers that must not lose queries should check the output's query_id
+   * coverage (q86's recall join does — a dropped query reads recall 0).
    */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
