@@ -1380,7 +1380,70 @@ object SparkEntry {
       operators.Quantiles.bucketByQuantile(
           tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
           "lang", "n_chars", "doc_id", 4)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket")))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))),
+
+    // per-source document cap — no crawl source may contribute more than 50
+    // docs, keeping its LONGEST ones (deterministic tiebreak by id). The
+    // bounded combiner shuffles <= 50 rows per source per partition; a
+    // 10M-page domain never sorts its full row set in one task the way the
+    // window formulation would.
+    "q91_source_caps" -> ((s, dir) =>
+      operators.Sampling.topKPerKey(tbl(s, dir, "documents"),
+        "source", "doc_id", "n_chars", 50)),
+
+    // per-user winsorized spend — every user's event values clipped into
+    // their own [p05, p95] order-statistic range before summing (outlier
+    // clipping that is integer-exact and engine-reproducible, unlike
+    // mean±k·sigma whose float moments drift with reduction order)
+    "q92_winsorize" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        round(col("value") * 100).cast("long").as("v"), col("event_id"))
+      operators.Quantiles.winsorize(ev, "user_id", "v", "event_id", 0.05, 0.95)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("winsorized")).as("wsum_cents"))
+    }),
+
+    // corpus-df stopword detection: terms appearing in >= 60% of documents
+    // (the boilerplate/stopword list a curation pass derives FROM the
+    // corpus, not from a hand-curated file). Distinct-per-doc explode is
+    // narrow; only (term) rows cross the one shuffle; the doc count joins
+    // as a broadcast scalar.
+    "q93_stopword_df" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("text").isNotNull)
+      val docTerms = docs.select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+        .where(length(col("term")) > 0)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .where(col("df") * 100L >= col("n_docs") * 60L)
+        .select(col("term"), col("df"), col("n_docs"))
+    }),
+
+    // length-bucketed batching accounting: docs bucket to the smallest
+    // power-of-two token capacity that fits (fixed comparison chain — no
+    // float log2 at the decision boundary), and the query reports the
+    // padding waste a pad-to-bucket batcher would pay. Narrow bucket
+    // assignment rides the scan; only (bucket) groups cross the shuffle.
+    "q94_length_buckets" -> ((s, dir) => {
+      val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+      val toks = functions.Text.tokenCount(col("text"))
+      val cap = caps.foldRight(lit(2048L): org.apache.spark.sql.Column)((c, acc) =>
+        when(toks <= c, lit(c)).otherwise(acc))
+      tbl(s, dir, "documents").where(col("text").isNotNull)
+        .select(cap.as("bucket_cap"), toks.as("toks"))
+        .groupBy(col("bucket_cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"),
+          (col("bucket_cap") * count(lit(1)) - sum(col("toks"))).as("waste_tokens"))
+    }),
+
+    // per-label per-dimension embedding moments — integer-exact sums and
+    // sums of squares in micro-units (variance = one exact division
+    // downstream): the embedding-drift monitor. Float variance would be
+    // reduction-order dependent and un-hashable across engines.
+    "q95_dim_moments" -> ((s, dir) =>
+      operators.Similarity.vectorMomentsByKey(tbl(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos"), col("sum_micros"), col("sumsq_micros"), col("n")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2292,6 +2355,71 @@ object SparkEntry {
         |       CAST(1 + CAST(d.n_chars > c1 AS INTEGER) + CAST(d.n_chars > c2 AS INTEGER)
         |              + CAST(d.n_chars > c3 AS INTEGER) AS BIGINT) AS bucket
         |FROM documents d JOIN cuts USING (lang)
-        |WHERE d.n_chars IS NOT NULL""".stripMargin
+        |WHERE d.n_chars IS NOT NULL""".stripMargin,
+    // q91: same (n_chars DESC, doc_id ASC) ranking as a window — correct at
+    // sf0.01; the Spark side's bounded combiner is the form that survives a
+    // hot domain
+    "q91_source_caps" ->
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND doc_id IS NOT NULL AND n_chars IS NOT NULL) t
+        |WHERE rn <= 50""".stripMargin,
+    // q92: p05/p95 re-derived with the q67 integer rank formula, then the
+    // identical clamp and sum
+    "q92_winsorize" ->
+      """WITH r AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v, event_id
+        |           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT user_id, v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |       FROM r),
+        |c AS (SELECT user_id,
+        |        max(CASE WHEN rn = (n*50000 + 999999) // 1000000 THEN v END) AS lo,
+        |        max(CASE WHEN rn = (n*950000 + 999999) // 1000000 THEN v END) AS hi
+        |      FROM rk GROUP BY user_id)
+        |SELECT r.user_id, count(*) AS n,
+        |       CAST(sum(least(greatest(r.v, c.lo), c.hi)) AS BIGINT) AS wsum_cents
+        |FROM r JOIN c ON r.user_id = c.user_id
+        |GROUP BY r.user_id""".stripMargin,
+    // q93: distinct (doc, term) pairs with the kernel tokenization, df over
+    // the same doc universe
+    "q93_stopword_df" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |            FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT DISTINCT doc_id, term FROM tk),
+        |nd AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL)
+        |SELECT term, count(*) AS df, n_docs FROM dt, nd GROUP BY term, n_docs
+        |HAVING count(*) * 100 >= n_docs * 60""".stripMargin,
+    // q94: q21's token-count expression, the identical power-of-two CASE
+    // chain, integer waste arithmetic
+    "q94_length_buckets" ->
+      """WITH t AS (SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+        |                  ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT toks,
+        |        CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32
+        |             WHEN toks <= 64 THEN 64 WHEN toks <= 128 THEN 128
+        |             WHEN toks <= 256 THEN 256 WHEN toks <= 512 THEN 512
+        |             WHEN toks <= 1024 THEN 1024 ELSE 2048 END AS bucket_cap
+        |      FROM t)
+        |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, count(*) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |       CAST(bucket_cap * count(*) - sum(toks) AS BIGINT) AS waste_tokens
+        |FROM b GROUP BY bucket_cap""".stripMargin,
+    // q95: q81's zipped-unnest form plus the squared micro-unit sum
+    "q95_dim_moments" ->
+      """WITH ex AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
+        |  FROM embeddings),
+        |m AS (SELECT label, pos,
+        |        CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS mv FROM ex)
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |       CAST(sum(mv) AS BIGINT) AS sum_micros,
+        |       CAST(sum(mv * mv) AS BIGINT) AS sumsq_micros,
+        |       count(*) AS n
+        |FROM m GROUP BY label, pos""".stripMargin
   )
 }

@@ -85,4 +85,32 @@ object Quantiles {
       .withColumn("bucket", bucket.cast("long"))
       .drop(ps.map(_._1): _*)
   }
+
+  /**
+   * Per-key WINSORIZATION — outlier clipping for score/length features:
+   * each value is clamped into its key's [pLo, pHi] order-statistic range
+   * from [[perKeyExact]] (a crawl pipeline clips per-language length and
+   * quality tails before they dominate mixture weights or loss scales).
+   * Clamping to an order statistic keeps the result integer-exact on
+   * integer inputs — engine-reproducible, unlike mean±k·stddev clipping
+   * whose float moments drift with reduction order.
+   *
+   * SCALE SHAPE: the cut computation shuffles only the (key, value, tie)
+   * projection; the per-key cut pair (tiny) broadcasts back and the clamp
+   * is a narrow two-comparison projection at scan speed — payload columns
+   * never cross an exchange. Output = the non-NULL-key/value input rows
+   * plus a `winsorized` column.
+   */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String, tieCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
+    Seq("__lo", "__hi", "winsorized").foreach(c =>
+      require(!df.columns.contains(c), s"$c is reserved by winsorize"))
+    val rows = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+    val cuts = perKeyExact(rows, keyCol, valueCol, tieCol, Seq("__lo" -> pLo, "__hi" -> pHi))
+    rows.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("winsorized", least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -215,4 +215,44 @@ object Sampling {
       .flatMap { case (key, vs) => vs.iterator.map(v => (key, v._2)) }
       .toDF(keyCol, idCol)
   }
+
+  /**
+   * Per-key CAP keeping the k BEST rows — the per-domain document cap of
+   * crawl curation: no source may contribute more than k documents, and the
+   * kept ones are the best by an explicit score (not an arbitrary subset the
+   * way a plain limit would pick). Ranked by (valueCol DESC, idCol ASC)
+   * through the same bounded insertion-sort combiner as [[perKeySample]]:
+   * per-key state is O(k) and the shuffle carries at most k rows per key per
+   * partition — a hot domain with 10M pages never sorts its full row set in
+   * one task (the row_number-window formulation would). Rows with a NULL
+   * key, id, or value are dropped; keys compare as strings, id and value
+   * must cast to long (score integerization is the caller's contract, same
+   * as the quantile operators).
+   */
+  def topKPerKey(df: DataFrame, keyCol: String, idCol: String, valueCol: String,
+                 k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // (value DESC, id ASC) as an explicit Ordering — negating the value
+    // would overflow on Long.MinValue
+    implicit val byScore: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+      def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val scored = df
+      .where(col(keyCol).isNotNull && col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string"),
+        struct(col(valueCol).cast("long").as("v"), col(idCol).cast("long").as("id")).as("s"))
+      .as[(String, (Long, Long))]
+    def ins(acc: List[(Long, Long)], v: (Long, Long)): List[(Long, Long)] =
+      ((v :: acc).sorted(byScore)).take(k)
+    scored
+      .groupSortCombine[List[(Long, Long)]](v => List(v), ins,
+        (a, b) => (a ++ b).sorted(byScore).take(k))
+      .flatMap { case (key, vs) => vs.iterator.map(v => (key, v._2, v._1)) }
+      .toDF(keyCol, idCol, valueCol)
+  }
 }

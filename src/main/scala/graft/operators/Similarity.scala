@@ -486,6 +486,25 @@ object Similarity {
         sum(round(col("__v").cast("double") * 1000000.0).cast("long")).as("sum_micros"),
         count(lit(1)).as("n"))
 
+  /**
+   * [[vectorSumsByKey]] plus the second moment: `(key, pos, sum_micros,
+   * sumsq_micros, n)` with `sumsq_micros` the exact integer sum of squared
+   * micro-units — per-dimension variance (the embedding-drift /
+   * feature-scaling monitor: a collapsing dimension reads variance → 0) is
+   * then ONE exact-integer-fed division downstream:
+   * var = (sumsq − sum²/n) / n in micro² units. Same plan shape as the sums
+   * (narrow posexplode, partial hash-agg, a dims-not-data shuffle); squares
+   * stay in range for |v| < ~10^3 at up to ~10^6 rows per (key, dim).
+   */
+  def vectorMomentsByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .withColumn("__m", round(col("__v").cast("double") * 1000000.0).cast("long"))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(
+        sum(col("__m")).as("sum_micros"),
+        sum(col("__m") * col("__m")).as("sumsq_micros"),
+        count(lit(1)).as("n"))
+
   /** One side of the triangle-blocked all-pairs self-join: hash each row
     * into one of `nBlocks` blocks and replicate it into every block-pair
     * CELL it can meet another row in — cell key (lo, hi) with lo <= hi,

@@ -204,6 +204,41 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       s"only the cut-projection window may shuffle:\n$p")
   }
 
+  it("q91 source caps rank through the bounded combiner: one exchange, no Window") {
+    val p = plan("q91_source_caps")
+    assert(!p.contains("Window"), s"the cap must not window-rank full rows:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"only the O(k)-state combiner merge may shuffle:\n$p")
+  }
+
+  it("q92 winsorize: cuts broadcast back; only the projection window and final agg shuffle") {
+    val p = plan("q92_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the cut window + the per-user sum, nothing else:\n$p")
+  }
+
+  it("q93 stopword df: the doc count joins as a 1-row broadcast; terms shuffle once") {
+    val p = plan("q93_stopword_df")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the per-term df agg may hash-shuffle:\n$p")
+  }
+
+  it("q94 length buckets: narrow bucket assignment, one exchange, text-only read") {
+    val p = plan("q94_length_buckets")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"bucket assignment rides the scan; only the group agg shuffles:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
+  it("q95 dim moments: partial agg collapses exploded rows before the one exchange") {
+    val p = plan("q95_dim_moments")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"the shuffle must carry (keys x dims) partials, never exploded rows:\n$p")
+    assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {

@@ -362,6 +362,23 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](Sampling.temperatureMix(mixed, "src", "id", 0L))
     }
 
+    it("topKPerKey keeps the k best rows per key (value desc, id asc), invariant to partitioning") {
+      val rows = Seq(
+        ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L),
+        ("b", 5L, 5L), ("b", 7L, Long.MinValue), // MinValue: no negation overflow
+        (null.asInstanceOf[String], 6L, 99L)
+      ).toDF("k", "id", "v")
+      val got = Sampling.topKPerKey(rows, "k", "id", "v", 2)
+        .as[(String, Long, Long)].collect().toSet
+      // a: the two 30s survive on the id tiebreak, the 20 falls; b: under cap
+      assert(got === Set(("a", 2L, 30L), ("a", 3L, 30L),
+        ("b", 5L, 5L), ("b", 7L, Long.MinValue)))
+      val again = Sampling.topKPerKey(rows.repartition(7), "k", "id", "v", 2)
+        .as[(String, Long, Long)].collect().toSet
+      assert(again === got) // combiner merge order cannot change the answer
+      intercept[IllegalArgumentException](Sampling.topKPerKey(rows, "k", "id", "v", 0))
+    }
+
     it("withSplit is INDEPENDENT of the sample (distinct purpose salts) and covers every row") {
       val split = Sampling.withSplit(ids, "id", 0.25)
       val holdout = split.where(col("is_holdout")).select("id").as[Long].collect().toSet

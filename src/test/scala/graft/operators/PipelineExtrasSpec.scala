@@ -158,6 +158,19 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](Quantiles.bucketByQuantile(rows, "k", "v", "tie", 1))
     }
 
+    it("winsorize clamps into the per-key [pLo, pHi] order-statistic range") {
+      // n=10, values 10..100: pLo=0.2 -> rank 2 = 20, pHi=0.8 -> rank 8 = 80
+      val rows = (1 to 10).map(i => (1L, i * 10L, i.toLong)).toDF("k", "v", "tie")
+      val got = Quantiles.winsorize(rows, "k", "v", "tie", 0.2, 0.8)
+        .select(col("v"), col("winsorized")).as[(Long, Long)].collect().toMap
+      assert(got.size === 10) // all rows survive, only values clamp
+      assert(got(10L) === 20L && got(20L) === 20L && got(50L) === 50L &&
+        got(80L) === 80L && got(90L) === 80L && got(100L) === 80L)
+      intercept[IllegalArgumentException](Quantiles.winsorize(rows, "k", "v", "tie", 0.9, 0.5))
+      intercept[IllegalArgumentException](
+        Quantiles.winsorize(rows.withColumn("winsorized", lit(1)), "k", "v", "tie", 0.1, 0.9))
+    }
+
     it("odd n and duplicate values: the selected value is tie-invariant") {
       // n=5 of values 1,2,2,2,9: p50 -> rank 3 = 2; p99 -> rank ceil(4.95)=5 = 9
       val rows = Seq((1L, 2L, 1L), (1L, 9L, 2L), (1L, 2L, 3L), (1L, 1L, 4L), (1L, 2L, 5L))
@@ -636,6 +649,25 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(got === Set(
         (1, 0, 750000L, 2L), (1, 1, -500000L, 2L),
         (2, 0, 2000000L, 1L), (2, 1, 0L, 1L)))
+    }
+  }
+
+  describe("Similarity.vectorMomentsByKey") {
+    it("sums and squared-sums each dimension exactly in micro-units, negatives included") {
+      val df = Seq(
+        (1, Array(0.5f, -1.25f)),
+        (1, Array(0.25f, 0.75f)),
+        (2, Array(2.0f, 0.0f))
+      ).toDF("label", "vec")
+      val got = Similarity.vectorMomentsByKey(df, "label", "vec")
+        .as[(Int, Int, Long, Long, Long)].collect().toSet
+      // dim0 key1: 500000^2 + 250000^2 = 3.125e11; dim1 key1 (negative lane):
+      // (-1250000)^2 + 750000^2 = 2.125e12
+      assert(got === Set(
+        (1, 0, 750000L, 312500000000L, 2L),
+        (1, 1, -500000L, 2125000000000L, 2L),
+        (2, 0, 2000000L, 4000000000000L, 1L),
+        (2, 1, 0L, 0L, 1L)))
     }
   }
 
