@@ -1443,8 +1443,69 @@ object SparkEntry {
     // reduction-order dependent and un-hashable across engines.
     "q95_dim_moments" -> ((s, dir) =>
       operators.Similarity.vectorMomentsByKey(tbl(s, dir, "embeddings"), "label", "embedding")
-        .select(col("label"), col("pos"), col("sum_micros"), col("sumsq_micros"), col("n")))
+        .select(col("label"), col("pos"), col("sum_micros"), col("sumsq_micros"), col("n"))),
+
+    // cross-document repeated-span PROFILE (Lee et al. exact-substring
+    // dedup): per doc, how many 5-token window starts repeat in another
+    // document and how many tokens a span cut would remove. Planted partial
+    // copies (first 25 tokens of each doc_id < 50 under a fresh id, prefixed
+    // with a unique token so only the copied REGION matches) make the span
+    // geometry deterministic: a planted doc shares exactly the windows fully
+    // inside its copied region, not its unique head.
+    "q96_repeated_spans" -> ((s, dir) =>
+      operators.Dedup.repeatedSpanProfile(
+        plantPartialCopies(tbl(s, dir, "documents")), "doc_id", "text",
+        w = 5, unpersistHook = onCleanup)),
+
+    // the CUT: rewrite every doc with its repeated-span tokens removed
+    // (output text = space-joined survivors; whitespace canonicalizes by
+    // contract since positions are defined by the kernel tokenization)
+    "q97_cut_repeated_spans" -> ((s, dir) =>
+      operators.Dedup.cutRepeatedSpans(
+        plantPartialCopies(tbl(s, dir, "documents")), "doc_id", "text",
+        w = 5, unpersistHook = onCleanup))
   )
+
+  /** Shared CTE chain for the q96/q97 oracles: planted corpus, positional
+    * 5-token windows (zipped parallel unnests), repeated starts (window
+    * string in >= 2 distinct docs), and the covered-position set. */
+  private val repeatedSpanCtes: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |bw AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D]+') AS words
+      |       FROM base WHERE text IS NOT NULL),
+      |plant AS (SELECT doc_id + 2000000 AS doc_id,
+      |                 'uniq' || doc_id || ' ' || array_to_string(words[1:25], ' ') AS text
+      |          FROM bw WHERE doc_id < 50 AND len(words) >= 25),
+      |corpus AS (SELECT doc_id, text FROM base
+      |           UNION ALL SELECT doc_id, text FROM plant),
+      |w AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D]+') AS words
+      |      FROM corpus WHERE text IS NOT NULL),
+      |ws AS (SELECT doc_id,
+      |              unnest(range(len(words) - 4)) AS pos,
+      |              unnest(list_transform(range(len(words) - 4),
+      |                i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4], words[i+5]))) AS s
+      |       FROM w WHERE len(words) >= 5),
+      |freq AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM ws) GROUP BY s HAVING count(*) > 1),
+      |rep AS (SELECT ws.doc_id, ws.pos FROM ws JOIN freq USING (s)),
+      |cov AS (SELECT DISTINCT doc_id, t
+      |        FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS t FROM rep) u)
+      |""".stripMargin
+
+  /** q96/q97's planted corpus: for every doc_id < 50 with >= 25 tokens, add
+    * a copy of its first 25 tokens under id+2e6, prefixed with a unique
+    * token — a PARTIAL overlap, so the repeated-span machinery has to find
+    * the copied region (not the whole doc) and the unique head must stay
+    * uncut. The oracle rebuilds the same corpus with the same expressions. */
+  private def plantPartialCopies(docs: DataFrame): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val plant = docs
+      .where(col("doc_id") < 50 && col("text").isNotNull && size(words) >= 25)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("uniq"), col("doc_id").cast("string")),
+          concat_ws(" ", slice(words, 1, 25))).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(plant)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_topn_per_key" ->
@@ -2409,6 +2470,27 @@ object SparkEntry {
         |       CAST(sum(toks) AS BIGINT) AS sum_tokens,
         |       CAST(bucket_cap * count(*) - sum(toks) AS BIGINT) AS waste_tokens
         |FROM b GROUP BY bucket_cap""".stripMargin,
+    // q96/q97: the corpus (base + planted partial copies), windows, and
+    // repeated-start/coverage sets are all re-derived in SQL — parallel
+    // unnests zip positions with window strings; window identity is the
+    // STRING (the kernel's 64-bit hash is collision-free at this scale,
+    // same adjudication as q78)
+    "q96_repeated_spans" ->
+      (repeatedSpanCtes +
+        """SELECT nw.doc_id, nw.n_windows,
+          |       CAST(coalesce(nr.n_repeated, 0) AS BIGINT) AS n_repeated,
+          |       CAST(coalesce(ct.covered_tokens, 0) AS BIGINT) AS covered_tokens
+          |FROM (SELECT doc_id, count(*) AS n_windows FROM ws GROUP BY 1) nw
+          |LEFT JOIN (SELECT doc_id, count(*) AS n_repeated FROM rep GROUP BY 1) nr USING (doc_id)
+          |LEFT JOIN (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY 1) ct USING (doc_id)""".stripMargin),
+    "q97_cut_repeated_spans" ->
+      (repeatedSpanCtes +
+        """,
+          |covl AS (SELECT doc_id, list(t) AS cl FROM cov GROUP BY doc_id)
+          |SELECT w.doc_id,
+          |       coalesce(array_to_string(list_filter(w.words,
+          |         (x, i) -> cl IS NULL OR NOT list_contains(cl, i - 1)), ' '), '') AS text
+          |FROM w LEFT JOIN covl USING (doc_id)""".stripMargin),
     // q95: q81's zipped-unnest form plus the squared micro-unit sum
     "q95_dim_moments" ->
       """WITH ex AS (

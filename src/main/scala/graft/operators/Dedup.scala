@@ -175,6 +175,125 @@ object Dedup {
       .toDF(idCol, "h")
   }
 
+  /** POSITIONAL w-token window hashes: one `(id, pos, h)` row per window
+    * START (0-based token index), NOT deduplicated — positions are the
+    * point: they let a caller locate and cut a repeated span, which the
+    * distinct [[shingleHashes]] form cannot. Same FNV-1a-64 kernel and
+    * tokenization (JVM trim + `\s+` split) as the shingle path. */
+  def windowHashes(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w > 0, s"window size must be positive, got $w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val words = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          if (words.length < w) Iterator.empty
+          else (0 to words.length - w).iterator.map { i =>
+            var h = 1469598103934665603L // FNV-1a 64 offset basis
+            var j = i
+            while (j < i + w) {
+              val word = words(j)
+              var k = 0
+              while (k < word.length) { h ^= word.charAt(k); h *= 1099511628211L; k += 1 }
+              h ^= ' '; h *= 1099511628211L
+              j += 1
+            }
+            (id, i.toLong, h)
+          }
+        }
+      }
+      .toDF(idCol, "pos", "h")
+  }
+
+  /**
+   * Cross-document REPEATED-SPAN profile — the exact-substring dedup signal
+   * of Lee et al.'s "Deduplicating Training Data Makes Language Models
+   * Better": a w-token window is repeated iff its hash occurs in >= 2
+   * DISTINCT documents (within-document repetition is
+   * [[graft.functions.Text.repetitionColumns]]'s job). Per document:
+   * `(idCol, n_windows, n_repeated, covered_tokens)` where
+   * `covered_tokens` is the size of the union of `[pos, pos+w)` over
+   * repeated starts — exactly the token count [[cutRepeatedSpans]] would
+   * remove. Docs with < w tokens emit no row (they have no window).
+   *
+   * SCALE SHAPE: the positional (id, pos, h) frame is persisted-SER for its
+   * consumers (frequency agg + join back — three compact longs per row,
+   * cheaper than re-running the kernel; Spark does not reuse exchanges
+   * across consumers). A window repeated in `d` docs costs `d` join rows,
+   * never d^2; the coverage union is computed by exploding each repeated
+   * start into its w positions and distinct-counting, so the expansion is
+   * w x repeated-mass only — no per-document interval state, no window
+   * function, nothing driver-side.
+   */
+  def repeatedSpanProfile(df: DataFrame, idCol: String, textCol: String, w: Int = 5,
+                          unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    val wh = windowHashes(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { wh.unpersist(); () })
+    val rep = repeatedStarts(wh, idCol)
+    val cov = rep
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("__t"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("covered_tokens"))
+    val repCnt = rep.groupBy(col(idCol)).agg(count(lit(1)).as("n_repeated"))
+    wh.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+      .join(repCnt, Seq(idCol), "left")
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
+  /** The (id, pos) starts whose window hash occurs in >= 2 distinct docs. */
+  private def repeatedStarts(wh: DataFrame, idCol: String): DataFrame = {
+    val docsPerH = wh.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__docs"))
+    wh.join(docsPerH.where(col("__docs") > 1), "h").select(col(idCol), col("pos"))
+  }
+
+  /**
+   * CUT repeated spans — the exact-substring dedup ACTION: rewrite each
+   * document with every token covered by a cross-document repeated window
+   * removed. Output `(idCol, textCol)` where the text is the space-joined
+   * surviving tokens: whitespace canonicalizes by contract, because the
+   * kernel's tokenization defines the positions (the rebuilt string is a
+   * pure function of the surviving token sequence). Documents shorter than
+   * w tokens carry no window and survive whole (canonicalized); NULL-text
+   * rows are dropped.
+   *
+   * SCALE SHAPE: hashes and positions flow exactly as in
+   * [[repeatedSpanProfile]]; the rebuild joins each document's covered-set
+   * array (w x its repeated mass, usually tiny) back to the payload — the
+   * one payload shuffle any remote-information rewrite must pay (bucketed
+   * corpora co-locate it away).
+   */
+  def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String, w: Int = 5,
+                       unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.where(col(textCol).isNotNull)
+    val wh = windowHashes(rows, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { wh.unpersist(); () })
+    val covSet = repeatedStarts(wh, idCol)
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("__t"))
+      .distinct()
+      .groupBy(col(idCol)).agg(collect_list(col("__t")).as("__cov"))
+    rows.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .join(covSet, Seq(idCol), "left")
+      .as[(Long, String, Array[Long])]
+      .map { case (id, text, cov) =>
+        val words = text.trim.split("\\s+")
+        val covered: Set[Long] = if (cov == null) Set.empty else cov.toSet
+        val kept = words.iterator.zipWithIndex
+          .collect { case (t, i) if !covered(i.toLong) => t }
+        (id, kept.mkString(" "))
+      }
+      .toDF(idCol, textCol)
+  }
+
   /** Fixed affine permutation for minhash over the field mod 2^31-1 (Mersenne
     * prime). All intermediates stay below 2^62, so long arithmetic cannot
     * overflow; constants are deterministic splitmix64 mixes of the lane index

@@ -239,6 +239,20 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
   }
 
+  it("q96 repeated spans read the PERSISTED positional window frame; no window function") {
+    val p = plan("q96_repeated_spans")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the (id, pos, h) frame to be cached for its consumers:\n$p")
+    assert(!p.contains("Window"), s"coverage is a distinct-count, never a window:\n$p")
+  }
+
+  it("q97 span cut runs the typed kernel; no cartesian anywhere in the rewrite") {
+    val p = plan("q97_cut_repeated_spans")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"expected the JVM tokenize/rebuild kernels:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {

@@ -588,6 +588,44 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Dedup repeated spans (cross-document exact-substring dedup)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // shares "a b c d e" with doc 2
+      (2L, "x a b c d e y z"),
+      (3L, "p q r s t"),              // unique single window
+      (4L, "g1 g2 g3 g4 g5 g6 m n"),  // shares TWO OVERLAPPING windows w/ doc 5
+      (5L, "q g1 g2 g3 g4 g5 g6 w"),
+      (6L, "k l m2 n2 o k l m2 n2 o"),// repeats WITHIN one doc only
+      (7L, "too short"),              // < w tokens: no window
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+
+    it("profiles repeated starts and the union of covered tokens; within-doc repeats don't count") {
+      val got = Dedup.repeatedSpanProfile(docs, "doc_id", "text", w = 5)
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, nw, nr, ct) => id -> ((nw, nr, ct)) }.toMap
+      assert(got === Map(
+        1L -> ((4L, 1L, 5L)), 2L -> ((4L, 1L, 5L)),
+        3L -> ((1L, 0L, 0L)),
+        // overlapping shared windows (starts 0,1 / 1,2): union = 6, not 10
+        4L -> ((4L, 2L, 6L)), 5L -> ((4L, 2L, 6L)),
+        // "k l m2 n2 o" occurs twice but only inside doc 6: not repeated
+        6L -> ((6L, 0L, 0L))))
+    }
+
+    it("cutRepeatedSpans removes exactly the covered tokens; short/unique docs pass through") {
+      val got = Dedup.cutRepeatedSpans(docs, "doc_id", "text", w = 5)
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(
+        1L -> "f g h", 2L -> "x y z",
+        3L -> "p q r s t",
+        4L -> "m n", 5L -> "q w",
+        6L -> "k l m2 n2 o k l m2 n2 o",
+        7L -> "too short")) // null-text doc 8 is dropped
+      intercept[IllegalArgumentException](Dedup.cutRepeatedSpans(docs, "doc_id", "text", 0))
+    }
+  }
+
   describe("Sampling.splitByGroup") {
     it("assigns the split per GROUP: cluster members never straddle the boundary") {
       // two clusters + a singleton, components as q80 derives them
