@@ -1463,7 +1463,21 @@ object SparkEntry {
     "q97_cut_repeated_spans" -> ((s, dir) =>
       operators.Dedup.cutRepeatedSpans(
         plantPartialCopies(tbl(s, dir, "documents")), "doc_id", "text",
-        w = 5, unpersistHook = onCleanup))
+        w = 5, unpersistHook = onCleanup)),
+
+    // per-user robust stats: median + MAD as exact order statistics (a
+    // corrupt value can't move either; mean/stddev would follow it) — the
+    // normalization pair for per-key score calibration
+    "q98_robust_stats" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        round(col("value") * 100).cast("long").as("v"), col("event_id"))
+      operators.Quantiles.robustStats(ev, "user_id", "v", "event_id")
+    }),
+
+    // key-skew profile: the 20 hottest user_ids with integer per-mille
+    // shares — the diagnostic that decides whether a join needs q51's salt
+    "q99_skew_profile" -> ((s, dir) =>
+      operators.Skew.profileKeys(tbl(s, dir, "events"), "user_id", 20))
   )
 
   /** Shared CTE chain for the q96/q97 oracles: planted corpus, positional
@@ -1490,6 +1504,25 @@ object SparkEntry {
       |cov AS (SELECT DISTINCT doc_id, t
       |        FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS t FROM rep) u)
       |""".stripMargin
+
+  private val q98Oracle: String =
+    """WITH r AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v, event_id
+      |           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |rk AS (SELECT user_id, v,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n FROM r),
+      |med AS (SELECT user_id,
+      |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS median
+      |        FROM rk GROUP BY user_id),
+      |d AS (SELECT r.user_id, abs(r.v - med.median) AS av, r.event_id
+      |      FROM r JOIN med ON r.user_id = med.user_id),
+      |dk AS (SELECT user_id, av,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY av, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n FROM d),
+      |mad AS (SELECT user_id,
+      |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN av END) AS mad
+      |        FROM dk GROUP BY user_id)
+      |SELECT med.user_id, median, mad FROM med JOIN mad USING (user_id)""".stripMargin
 
   /** q96/q97's planted corpus: for every doc_id < 50 with >= 25 tokens, add
     * a copy of its first 25 tokens under id+2e6, prefixed with a unique
@@ -2491,6 +2524,15 @@ object SparkEntry {
           |       coalesce(array_to_string(list_filter(w.words,
           |         (x, i) -> cl IS NULL OR NOT list_contains(cl, i - 1)), ' '), '') AS text
           |FROM w LEFT JOIN covl USING (doc_id)""".stripMargin),
+    // q98: median and MAD re-derived with two q67-style integer rank passes
+    "q98_robust_stats" -> q98Oracle,
+    // q99: NULLS FIRST matches Spark's asc null ordering on the tiebreak;
+    // the driver compares multisets, so only the top-20 SET must agree
+    "q99_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id, cnt, CAST(cnt * 1000 // total AS BIGINT) AS share_permille
+        |FROM c, t ORDER BY cnt DESC, user_id NULLS FIRST LIMIT 20""".stripMargin,
     // q95: q81's zipped-unnest form plus the squared micro-unit sum
     "q95_dim_moments" ->
       """WITH ex AS (

@@ -113,4 +113,29 @@ object Quantiles {
       .withColumn("winsorized", least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /**
+   * Per-key ROBUST location/scale — median and MAD (median absolute
+   * deviation), both exact order statistics: the outlier-insensitive
+   * alternative to mean/stddev for score normalization (one corrupt
+   * quality score cannot move either number, where it moves a mean
+   * arbitrarily). Integer-exact on integer inputs, so the pair
+   * hash-compares across engines; robust z = (v - median) / (1.4826 * mad)
+   * is one float division the CALLER applies.
+   *
+   * SCALE SHAPE: two [[perKeyExact]] passes — (key, value, tie) projection
+   * shuffles, medians broadcast back, |v - median| re-ranks — each pass a
+   * single exchange of the projection, payloads never move.
+   */
+  def robustStats(df: DataFrame, keyCol: String, valueCol: String, tieCol: String): DataFrame = {
+    Seq("median", "mad", "__absdev").foreach(c =>
+      require(!df.columns.contains(c), s"$c is reserved by robustStats"))
+    val rows = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol), col(tieCol))
+    val med = perKeyExact(rows, keyCol, valueCol, tieCol, Seq("median" -> 0.5))
+    val dev = rows.join(broadcast(med), Seq(keyCol))
+      .withColumn("__absdev", abs(col(valueCol) - col("median")))
+    val mad = perKeyExact(dev, keyCol, "__absdev", tieCol, Seq("mad" -> 0.5))
+    med.join(mad, Seq(keyCol))
+  }
 }

@@ -61,4 +61,30 @@ object Skew {
       explode(array((0 until numSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /**
+   * Key-distribution diagnostic BEFORE reaching for the salt: the k hottest
+   * keys with their row counts and integer per-mille share of the table —
+   * the number that says whether a join/agg needs [[saltedEquiJoin]] at all
+   * (one key at 300‰ of a 100 TB fact table is a guaranteed straggler; a
+   * flat profile means salting only adds replication cost). NULL keys are
+   * profiled too — in practice the null group IS the hot key.
+   *
+   * SCALE SHAPE: map-side-combined count agg (keys, not rows, cross the
+   * shuffle), the one-row total broadcasts, and top-k plans
+   * TakeOrderedAndProject — k rows per partition to the driver-side merge,
+   * never a global sort. Integer share: cnt * 1000 div total, reproducible
+   * everywhere.
+   */
+  def profileKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(keyCol != "cnt" && keyCol != "share_permille",
+      "cnt/share_permille are reserved by profileKeys")
+    val tot = df.agg(count(lit(1)).as("__total"))
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col(keyCol), col("cnt"), expr("cnt * 1000 div __total").as("share_permille"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

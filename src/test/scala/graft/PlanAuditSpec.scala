@@ -239,6 +239,20 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
   }
 
+  it("q98 robust stats: two projection rank passes, medians broadcast back") {
+    val p = plan("q98_robust_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"expected the two rank windows (+ final join co-partitioning at most):\n$p")
+  }
+
+  it("q99 skew profile plans TakeOrderedAndProject over the count agg — never a global sort") {
+    val p = plan("q99_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"top-k must not sort the world:\n$p")
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"), p)
+  }
+
   it("q96 repeated spans read the PERSISTED positional window frame; no window function") {
     val p = plan("q96_repeated_spans")
     assert(p.contains("InMemoryTableScan"),

@@ -230,6 +230,18 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
   }
 
   describe("Skew") {
+    it("profileKeys surfaces the hottest keys with integer per-mille shares, nulls included") {
+      val rows = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c") ++
+        Seq.fill(2)(null.asInstanceOf[String])).zipWithIndex.toDF("k", "i")
+      val top2 = Skew.profileKeys(rows, "k", 2)
+        .as[(String, Long, Long)].collect().toSet
+      assert(top2 === Set(("a", 5L, 454L), ("b", 3L, 272L))) // 5*1000 div 11, 3*1000 div 11
+      val top3 = Skew.profileKeys(rows, "k", 3)
+        .as[(String, Long, Long)].collect().toSet
+      assert(top3.contains((null, 2L, 181L)), s"the null group must be profiled: $top3")
+      intercept[IllegalArgumentException](Skew.profileKeys(rows, "k", 0))
+    }
+
     it("saltedEquiJoin equals the plain join on a heavily skewed fact side") {
       // one hot key with 10k rows + a long tail; dim has keys 0..99
       val fact = ((0 until 10000).map(i => (7L, i.toLong)) ++

@@ -171,6 +171,20 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         Quantiles.winsorize(rows.withColumn("winsorized", lit(1)), "k", "v", "tie", 0.1, 0.9))
     }
 
+    it("robustStats: an extreme outlier moves neither the median nor the MAD") {
+      val rows = ((1 to 9).map(i => (1L, i.toLong, i.toLong)) ++
+        Seq((2L, 1L, 1L), (2L, 2L, 2L), (2L, 3L, 3L), (2L, 1000000L, 4L)))
+        .toDF("k", "v", "tie")
+      val got = Quantiles.robustStats(rows, "k", "v", "tie")
+        .as[(Long, Long, Long)].collect().map { case (k, m, d) => k -> ((m, d)) }.toMap
+      // key 1: median=5, absdevs 0,1,1,2,2,3,3,4,4 -> MAD=2
+      // key 2 (outlier 1e6): median = rank ceil(0.5*4)=2 -> 2; absdevs
+      // 0,1,1,999998 -> MAD = rank 2 -> 1. The outlier is invisible.
+      assert(got === Map(1L -> ((5L, 2L)), 2L -> ((2L, 1L))))
+      intercept[IllegalArgumentException](
+        Quantiles.robustStats(rows.withColumn("mad", lit(1)), "k", "v", "tie"))
+    }
+
     it("odd n and duplicate values: the selected value is tie-invariant") {
       // n=5 of values 1,2,2,2,9: p50 -> rank 3 = 2; p99 -> rank ceil(4.95)=5 = 9
       val rows = Seq((1L, 2L, 1L), (1L, 9L, 2L), (1L, 2L, 3L), (1L, 1L, 4L), (1L, 2L, 5L))
