@@ -1477,7 +1477,60 @@ object SparkEntry {
     // key-skew profile: the 20 hottest user_ids with integer per-mille
     // shares — the diagnostic that decides whether a join needs q51's salt
     "q99_skew_profile" -> ((s, dir) =>
-      operators.Skew.profileKeys(tbl(s, dir, "events"), "user_id", 20))
+      operators.Skew.profileKeys(tbl(s, dir, "events"), "user_id", 20)),
+
+    // best-of-cluster: q55's duplicate clusters, but keeping the member
+    // with the MOST content (max n_chars, ties to min id) instead of the
+    // smallest id — representative selection as curation actually does it
+    "q100_cluster_best" -> ((s, dir) => {
+      val pairs = exactJaccardPairs(s, dir, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val members = operators.Dedup.connectedComponents(pairs)
+      operators.Dedup.bestOfCluster(
+        members, tbl(s, dir, "documents"), "doc_id", "n_chars")
+    }),
+
+    // cross-source 3-gram overlap matrix: which sources share content —
+    // the corpus-level contamination diagnostic
+    "q101_source_overlap" -> ((s, dir) =>
+      operators.Dedup.groupOverlap(
+        tbl(s, dir, "documents"), "source", "doc_id", "text", shingleN = 3)),
+
+    // weekly cohort retention: users grouped by first-active week, distinct
+    // actives per (cohort, weeks-since) cell — integer week buckets from the
+    // raw nano ticks, so the cells hash-compare exactly
+    "q102_cohort_retention" -> ((s, dir) => {
+      val ew = tbl(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+        .distinct()
+      val first = ew.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      ew.join(first, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ordered funnel (view -> click -> purchase) per user in ONE streaming
+    // pass over the group-sorted layout — the chained-self-join query shape,
+    // collapsed to one Int of per-key state
+    "q103_funnel_stages" -> ((s, dir) => {
+      import s.implicits._
+      val ds = tbl(s, dir, "events")
+        .select($"user_id", struct($"ts", $"event_id", $"event_type").as("v"))
+        .as[(Long, (Long, Long, String))]
+      operators.Sessions.funnelStages(ds.groupSort(), Seq[((Long, Long, String)) => Boolean](
+          _._3 == "view", _._3 == "click", _._3 == "purchase"))
+        .toDF("user_id", "stages_completed")
+    }),
+
+    // kNN label vote over the first 64 vectors: majority label of the 10
+    // nearest neighbors vs the vector's own label — label-noise candidates
+    // where they disagree
+    "q104_label_vote" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      operators.Similarity.knnLabelVote(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding", "label", 10)
+    })
   )
 
   /** Shared CTE chain for the q96/q97 oracles: planted corpus, positional
@@ -1504,6 +1557,45 @@ object SparkEntry {
       |cov AS (SELECT DISTINCT doc_id, t
       |        FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS t FROM rep) u)
       |""".stripMargin
+
+  /** Shared recursive-CTE chain for the q55/q100 oracles: the q45 shingle
+    * candidate chain at threshold 0.5, transitively closed; ends with
+    * `comp(doc_id, component)` = every clustered doc and its canonical
+    * (minimum) member. */
+  private val jaccardClusterCte: String =
+    """WITH RECURSIVE d AS (SELECT doc_id,
+      |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+      |                                '[^ \x09-\x0D]+') AS words
+      |           FROM documents WHERE text IS NOT NULL),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
+      |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+      |  FROM d WHERE len(words) >= 3)),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         JOIN rare r ON r.s = a.s
+      |         GROUP BY 1, 2 HAVING count(*) >= 3),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+      |          GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |dup_pairs AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = pairs.id_a
+      |  JOIN sizes sb ON sb.doc_id = pairs.id_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM dup_pairs
+      |          UNION SELECT id_b, id_a FROM dup_pairs),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      |),
+      |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)""".stripMargin
 
   private val q98Oracle: String =
     """WITH r AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v, event_id
@@ -1859,42 +1951,10 @@ object SparkEntry {
         |FROM s""".stripMargin,
     // q55: same candidate chain as q45 at threshold 0.5, closed transitively
     // with a recursive CTE; survivors = documents minus non-minimum members.
-    "q55_dedup_survivors" ->
-      """WITH RECURSIVE d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
-        |                                '[^ \x09-\x0D]+') AS words
-        |           FROM documents WHERE text IS NOT NULL),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
-        |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
-        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
-        |  FROM d WHERE len(words) >= 3)),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |         JOIN rare r ON r.s = a.s
-        |         GROUP BY 1, 2 HAVING count(*) >= 3),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
-        |          GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |dup_pairs AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  JOIN sizes sa ON sa.doc_id = pairs.id_a
-        |  JOIN sizes sb ON sb.doc_id = pairs.id_b
-        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM dup_pairs
-        |          UNION SELECT id_b, id_a FROM dup_pairs),
-        |reach(u, v) AS (
-        |  SELECT u, u FROM edges
-        |  UNION
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-        |),
-        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+    "q55_dedup_survivors" -> (jaccardClusterCte +
+      """
         |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin,
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin),
     // q56: the resize stub cycles source bytes into a 192-byte output;
     // DuckDB reconstructs the identical bytes by cycling the HEX string
     // (2 hex chars per byte, 384 chars; both 384 and the source hex length
@@ -2533,6 +2593,86 @@ object SparkEntry {
         |t AS (SELECT count(*) AS total FROM events)
         |SELECT user_id, cnt, CAST(cnt * 1000 // total AS BIGINT) AS share_permille
         |FROM c, t ORDER BY cnt DESC, user_id NULLS FIRST LIMIT 20""".stripMargin,
+    // q100: q55's cluster chain, but the kept member maximizes (n_chars, -id)
+    "q100_cluster_best" -> (jaccardClusterCte +
+      """
+        |SELECT component, keep_id, keep_score FROM (
+        |  SELECT comp.component, d2.doc_id AS keep_id, d2.n_chars AS keep_score,
+        |         row_number() OVER (PARTITION BY comp.component
+        |                            ORDER BY d2.n_chars DESC, d2.doc_id) AS rn
+        |  FROM comp JOIN documents d2 ON d2.doc_id = comp.doc_id) t
+        |WHERE rn = 1""".stripMargin),
+    // q101: per-source distinct shingle sets re-derived on the STRINGS (the
+    // hash-distinct == string-distinct assumption q55 already rests on);
+    // source comparisons are binary collation in both engines
+    "q101_source_overlap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |gs AS (SELECT DISTINCT source, s FROM (
+        |  SELECT source, unnest(list_transform(range(len(words)-2),
+        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+        |  FROM d WHERE len(words) >= 3)),
+        |sizes AS (SELECT source, count(*) AS n FROM gs GROUP BY 1),
+        |inter AS (SELECT a.source AS group_a, b.source AS group_b, count(*) AS inter
+        |          FROM gs a JOIN gs b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT group_a, group_b, inter, sa.n AS n_a, sb.n AS n_b,
+        |       CAST(inter * 1000 // (sa.n + sb.n - inter) AS BIGINT) AS jaccard_permille
+        |FROM inter JOIN sizes sa ON sa.source = inter.group_a
+        |           JOIN sizes sb ON sb.source = inter.group_b""".stripMargin,
+    // q102: micros//week == nanos//week by nested-floor-division (the week
+    // divisor is 1000 * the micro divisor), so the buckets agree exactly
+    "q102_cohort_retention" ->
+      """WITH ew AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM ew GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       count(DISTINCT ew.user_id) AS n_users
+        |FROM ew JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // q103: the chained-min formulation of the greedy funnel; struct min/
+    // comparison is lexicographic on (ts, event_id), and micro-vs-nano ts
+    // truncation can't reorder because no user has two events in the same
+    // microsecond (checked at every SF)
+    "q103_funnel_stages" ->
+      """WITH s1 AS (SELECT user_id, min({'t': ts, 'e': event_id}) AS m
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min({'t': e.ts, 'e': e.event_id}) AS m
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND {'t': e.ts, 'e': e.event_id} > s1.m
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min({'t': e.ts, 'e': e.event_id}) AS m
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND {'t': e.ts, 'e': e.event_id} > s2.m
+        |       GROUP BY 1)
+        |SELECT u.user_id, CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |                            WHEN s2.user_id IS NOT NULL THEN 2
+        |                            WHEN s1.user_id IS NOT NULL THEN 1
+        |                            ELSE 0 END AS BIGINT) AS stages_completed
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin,
+    // q104: q25's ranked-neighbor form + a vote count per label; majority =
+    // min(-votes, label) struct, mirroring Spark's max(votes, -label)
+    "q104_label_vote" ->
+      """WITH knn AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+        |           c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 64 AND c.vec_id <> q.vec_id) t
+        |  WHERE rank <= 10),
+        |votes AS (SELECT query_id, e.label, count(*) AS v
+        |          FROM knn JOIN embeddings e ON e.vec_id = knn.neighbor_id
+        |          WHERE e.label IS NOT NULL GROUP BY 1, 2),
+        |maj AS (SELECT query_id, min({'nv': -v, 'l': label}) AS m FROM votes GROUP BY 1)
+        |SELECT q.vec_id, q.label AS own_label, (maj.m).l AS majority_label,
+        |       CAST(-((maj.m).nv) AS BIGINT) AS n_votes
+        |FROM maj JOIN embeddings q ON q.vec_id = maj.query_id""".stripMargin,
     // q95: q81's zipped-unnest form plus the squared micro-unit sum
     "q95_dim_moments" ->
       """WITH ex AS (

@@ -799,6 +799,69 @@ object Dedup {
   }
 
   /**
+   * BEST-of-cluster representative selection: given duplicate-cluster
+   * membership (`members`: (id, component) as produced by
+   * [[connectedComponents]]) and an integer quality score per id, keep the
+   * member with the HIGHEST score (ties to the smallest id) — what a curation
+   * pipeline actually wants from dedup, which is rarely "keep the smallest
+   * id" and usually "keep the best copy" (longest, highest-quality,
+   * most-recent). Scores are cast to long so the selection is exact and
+   * engine-reproducible; float scores should be micro-unit-quantized by the
+   * caller first (the q67/q98 convention).
+   *
+   * SCALE SHAPE: one co-partitioned join of (id, component) with (id, score)
+   * — three longs per row — then a single aggregation whose state is one
+   * (score, id) pair per component regardless of cluster size; the document
+   * payloads never move. The lexicographic max over struct(score, -id)
+   * resolves "max score then min id" in ONE aggregate (a separate
+   * max-score-then-min-id pass would be a second shuffle).
+   *
+   * Returns (component, keep_id, keep_score).
+   */
+  def bestOfCluster(members: DataFrame, scores: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val s = scores.select(col(idCol).cast("long").as("id"), col(scoreCol).cast("long").as("score"))
+    members.select(col("id"), col("component"))
+      .join(s, "id")
+      .groupBy(col("component"))
+      .agg(max(struct(col("score"), (-col("id")).as("neg_id"))).as("m"))
+      .select(col("component"), (-col("m.neg_id")).as("keep_id"), col("m.score").as("keep_score"))
+  }
+
+  /**
+   * Cross-GROUP n-gram overlap matrix — which sources/snapshots/languages
+   * share content: per group, the set of distinct shingle hashes its
+   * documents contain; per group PAIR, the intersection size and an integer
+   * per-mille Jaccard. The corpus-level contamination diagnostic (one source
+   * mirroring another, a crawl snapshot duplicating a curated set) that
+   * document-pair dedup doesn't surface directly.
+   *
+   * CONTRACT: `groupCol` cardinality must be modest (sources, langs — not
+   * doc_ids): a shingle shared by g groups expands to g·(g−1)/2 pair rows.
+   * Documents are never self-joined; the join key is the shingle hash and
+   * the frames carry (group, hash) only, so the shuffle is bounded by the
+   * distinct (group, shingle) mass, not by document payloads.
+   *
+   * Returns (group_a, group_b, inter, n_a, n_b, jaccard_permille) for pairs
+   * with at least one shared shingle, group_a < group_b.
+   */
+  def groupOverlap(df: DataFrame, groupCol: String, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, shingleN)
+      .join(df.select(col(idCol), col(groupCol).as("g")), idCol)
+      .select(col("g"), col("h")).distinct()
+    val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("n_a"))), "group_a")
+      .join(broadcast(sizes.select(col("g").as("group_b"), col("n").as("n_b"))), "group_b")
+      .select(col("group_a"), col("group_b"), col("inter"), col("n_a"), col("n_b"),
+        expr("inter * 1000 div (n_a + n_b - inter)").as("jaccard_permille"))
+  }
+
+  /**
    * SimHash (64-bit) per id: per bit position, sum +1/-1 votes of each
    * token-hash's bit, assemble the sign vector into one long. Computed in one
    * NARROW pass per document (FNV-1a token hash, local vote array) — a

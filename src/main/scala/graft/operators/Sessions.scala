@@ -48,4 +48,24 @@ object Sessions {
         out
       }
     }
+
+  /**
+   * Ordered FUNNEL progression in one streaming pass: scan each key's values
+   * in the established order and advance one stage each time the CURRENT
+   * stage's predicate accepts a value; emit how many stages completed
+   * (0..stages.length). Greedy earliest-advance is exactly the classic
+   * funnel semantics "first A, then the first B after it, then the first C
+   * after that" — the SQL formulation is a chain of per-stage min-scans and
+   * self-joins, one per stage, where this is a single pass with one Int of
+   * state per key.
+   */
+  def funnelStages[K: Encoder, V](gs: GroupSortedDataset[K, V], stages: Seq[V => Boolean])(
+      implicit el: Encoder[Long], ekl: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    require(stages.nonEmpty, "funnelStages needs at least one stage predicate")
+    gs.mapStreamByKey { vs =>
+      var stage = 0
+      vs.foreach { v => if (stage < stages.length && stages(stage)(v)) stage += 1 }
+      Iterator.single(stage.toLong)
+    }
+  }
 }

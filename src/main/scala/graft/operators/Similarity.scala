@@ -110,6 +110,39 @@ object Similarity {
   }
 
   /**
+   * kNN LABEL-NOISE detection / pseudo-labeling: for each query vector, the
+   * majority label among its k nearest corpus neighbors (exact cosine,
+   * self-match excluded) next to its own label — rows where the two disagree
+   * are mislabel candidates, and rows where they agree with a strong vote
+   * are high-confidence. Same scale shape as [[bruteForceTopK]] (broadcast
+   * query side, bounded per-query combiner state); the voting itself
+   * aggregates at most k rows per query, and "max votes, ties to the
+   * smallest label" is one lexicographic max over struct(votes, -label) —
+   * fully deterministic given the neighbor ranking, which breaks cosine
+   * ties by id. Neighbors with a NULL label are excluded from the vote
+   * (they can't testify).
+   *
+   * Returns (vec_id, own_label, majority_label, n_votes): n_votes = how many
+   * of the k neighbors carry the majority label.
+   */
+  def knnLabelVote(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val knn = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl"))
+      .where(col("__nl").isNotNull)
+    val votes = labels.join(broadcast(knn), "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("v"))
+    votes
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("v"), (-col("__nl")).as("neg_l"))).as("m"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(labelCol).as("own_label"))),
+        "query_id")
+      .select(col("query_id").as("vec_id"), col("own_label"),
+        (-col("m.neg_l")).as("majority_label"), col("m.v").as("n_votes"))
+  }
+
+  /**
    * INT8-quantized top-k cosine search — the memory-bound scale path: one
    * global symmetric scale (127 / max|v| over the corpus, an O(1)-per-row
    * order-independent aggregate), vectors stored as 1-byte lanes (4× smaller

@@ -253,6 +253,31 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("ReadSchema: struct<user_id:bigint>"), p)
   }
 
+  it("q101 source overlap joins on the shingle hash — never a cartesian over docs or groups") {
+    val p = plan("q101_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"group sizes should broadcast:\n$p")
+  }
+
+  it("q102 cohort retention carries only (user_id, week) through its exchanges") {
+    val p = plan("q102_cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+      s"scan must prune to (ts, user_id):\n$p")
+  }
+
+  it("q103 funnel is ONE exchange (the groupSort layout), no window, no join") {
+    val p = plan("q103_funnel_stages")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
+  it("q104 label vote broadcasts the bounded knn/query frames; corpus is never shuffled for a join") {
+    val p = plan("q104_label_vote")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"all joins should broadcast the bounded side:\n$p")
+  }
+
   it("q96 repeated spans read the PERSISTED positional window frame; no window function") {
     val p = plan("q96_repeated_spans")
     assert(p.contains("InMemoryTableScan"),

@@ -227,6 +227,31 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(ccOf(Seq((5L, 5L))) === Map.empty[Long, Long])
       assert(ccOf(Seq.empty[(Long, Long)]) === Map.empty[Long, Long])
     }
+
+    it("bestOfCluster keeps the highest-score member, ties to the smallest id") {
+      val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+        .toDF("id", "component")
+      val scores = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 2L), (99L, 100L))
+        .toDF("doc_id", "score")
+      val got = Dedup.bestOfCluster(members, scores, "doc_id", "score")
+        .as[(Long, Long, Long)].collect().toSet
+      // cluster 1: scores 10/30/30 -> tie between 2 and 3 -> min id 2;
+      // id 99 scores highest of all but belongs to no cluster
+      assert(got === Set((1L, 2L, 30L), (7L, 7L, 5L)))
+    }
+
+    it("groupOverlap counts shared distinct shingles per group pair with integer per-mille Jaccard") {
+      val docs = Seq(
+        (1L, "a", "w x y z"),  // shingles {w x y, x y z}
+        (2L, "b", "w x y"),    // {w x y}
+        (3L, "b", "x y z q"),  // {x y z, y z q}
+        (4L, "c", "p q r"))    // {p q r} — no overlap with anyone
+        .toDF("doc_id", "source", "text")
+      val got = Dedup.groupOverlap(docs, "source", "doc_id", "text", 3)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      // a = {wxy, xyz} (2), b = {wxy, xyz, yzq} (3); inter 2 -> J = 2/3 -> 666 permille
+      assert(got === Set(("a", "b", 2L, 2L, 3L, 666L)))
+    }
   }
 
   describe("Skew") {
@@ -524,6 +549,27 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got === Seq((0L, 2L, 1L), (0L, 3L, 2L))) // 1 (same label) and 4 (null) never rank
     }
 
+    it("knnLabelVote reports the neighbor-majority label with vote count; ties go to the smaller label") {
+      val labeled = Seq(
+        (0L, Array(1.0f, 0.0f), Integer.valueOf(1)),
+        (1L, Array(0.95f, 0.1f), Integer.valueOf(2)),
+        (2L, Array(0.9f, 0.2f), Integer.valueOf(2)),
+        (3L, Array(0.85f, 0.3f), Integer.valueOf(1)),
+        (4L, Array(0.0f, 1.0f), Integer.valueOf(3))).toDF("vec_id", "embedding", "label")
+      // query 0, k=3: neighbors 1,2,3 carry labels 2,2,1 -> majority 2 with
+      // 2 votes, own label 1 -> a mislabel candidate
+      val noisy = Similarity.knnLabelVote(labeled.where(col("vec_id") === 0), labeled,
+          "vec_id", "embedding", "label", 3)
+        .as[(Long, Int, Int, Long)].collect().toSet
+      assert(noisy === Set((0L, 1, 2, 2L)))
+      // query 4, k=2: nearest are 3 (label 1) and 2 (label 2) -> 1-1 tie
+      // resolves to the smaller label
+      val tie = Similarity.knnLabelVote(labeled.where(col("vec_id") === 4), labeled,
+          "vec_id", "embedding", "label", 2)
+        .as[(Long, Int, Int, Long)].collect().toSet
+      assert(tie === Set((4L, 3, 1, 1L)))
+    }
+
     it("quantizedTopK matches exact brute-force ranking on well-separated vectors, invariant to partitioning") {
       // 60 random-ish 16-dim vectors from fixed integer seeds: quantization
       // error ~1/127 cannot reorder neighbors separated by > ~2% cosine
@@ -676,6 +722,19 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       val got = Sessions.sessionCounts[Long, (Long, Long)](ev.groupSort(2), _._1, 50L)
         .collect().toMap
       assert(got === Map(1L -> 2L, 2L -> 1L))
+    }
+
+    it("funnelStages advances greedily in value order; out-of-order stages don't count") {
+      val ev = Seq(
+        (1L, (1L, "view")), (1L, (2L, "click")), (1L, (3L, "purchase")), // full funnel
+        (2L, (1L, "click")), (2L, (2L, "view")), (2L, (3L, "click")),    // early click ignored; view->click = 2
+        (3L, (1L, "purchase")), (3L, (2L, "error")),                     // nothing matches stage 1
+        (4L, (1L, "view")), (4L, (2L, "view"))).toDS()                   // stage 1 only
+      val got = Sessions.funnelStages(ev.groupSort(2), Seq[((Long, String)) => Boolean](
+          _._2 == "view", _._2 == "click", _._2 == "purchase")).collect().toMap
+      assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
+      intercept[IllegalArgumentException](
+        Sessions.funnelStages(ev.groupSort(2), Seq.empty[((Long, String)) => Boolean]))
     }
 
     it("asOfLastMarker emits the most recent preceding marker") {
