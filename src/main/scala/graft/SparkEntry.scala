@@ -1530,6 +1530,28 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       operators.Similarity.knnLabelVote(
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding", "label", 10)
+    }),
+
+    // character-level fuzzy-dup verify over the q45 candidate chain: banded
+    // Levenshtein (O(len·50), not O(len²)) on the df-capped pair source —
+    // the typo/OCR/template-fill duplicates token-set Jaccard is blind to
+    "q105_edit_distance" -> ((s, dir) =>
+      operators.Dedup.editDistanceVerify(
+        rareShingleCandidates(s, dir), tbl(s, dir, "documents"),
+        "doc_id", "text", maxDist = 50)),
+
+    // time-to-convert: first view -> first purchase after it, per user, in
+    // micros (ticks truncated to micros BEFORE the diff so the lag is
+    // engine-exact); non-converting users emit nothing
+    "q106_conversion_lag" -> ((s, dir) => {
+      import s.implicits._
+      val ds = tbl(s, dir, "events")
+        .select($"user_id", struct($"ts", $"event_id", $"event_type").as("v"))
+        .as[(Long, (Long, Long, String))]
+      operators.Sessions.conversionLag(ds.groupSort())(
+          isStart = _._3 == "view", isEnd = _._3 == "purchase",
+          ticksOf = v => v._1 / 1000L)
+        .toDF("user_id", "lag_us")
     })
   )
 
@@ -1558,11 +1580,11 @@ object SparkEntry {
       |        FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS t FROM rep) u)
       |""".stripMargin
 
-  /** Shared recursive-CTE chain for the q55/q100 oracles: the q45 shingle
-    * candidate chain at threshold 0.5, transitively closed; ends with
-    * `comp(doc_id, component)` = every clustered doc and its canonical
-    * (minimum) member. */
-  private val jaccardClusterCte: String =
+  /** The q45 df-capped shingle candidate chain as a CTE prefix, ending with
+    * `cand(id_a, id_b)` — shared by the q55/q100 closure and q105's
+    * edit-distance verify. (`WITH RECURSIVE` is harmless when no CTE in the
+    * final statement recurses.) */
+  private val candidateCte: String =
     """WITH RECURSIVE d AS (SELECT doc_id,
       |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
       |                                '[^ \x09-\x0D]+') AS words
@@ -1575,7 +1597,14 @@ object SparkEntry {
       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |         JOIN rare r ON r.s = a.s
-      |         GROUP BY 1, 2 HAVING count(*) >= 3),
+      |         GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+
+  /** Shared recursive-CTE chain for the q55/q100 oracles: the q45 shingle
+    * candidate chain at threshold 0.5, transitively closed; ends with
+    * `comp(doc_id, component)` = every clustered doc and its canonical
+    * (minimum) member. */
+  private val jaccardClusterCte: String = candidateCte +
+    """,
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
@@ -2654,6 +2683,25 @@ object SparkEntry {
         |LEFT JOIN s1 ON u.user_id = s1.user_id
         |LEFT JOIN s2 ON u.user_id = s2.user_id
         |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin,
+    // q105: the same candidate CTE + DuckDB's levenshtein; byte-based vs
+    // Spark's code points, equal on this ASCII corpus (checked both SFs)
+    "q105_edit_distance" -> (candidateCte +
+      """
+        |SELECT c.id_a, c.id_b, CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+        |FROM cand c JOIN documents da ON da.doc_id = c.id_a
+        |            JOIN documents db ON db.doc_id = c.id_b
+        |WHERE levenshtein(da.text, db.text) <= 50""".stripMargin),
+    // q106: chained struct-min (first view, first purchase strictly after);
+    // lag in micros on both sides — Spark truncates nanos BEFORE the diff
+    "q106_conversion_lag" ->
+      """WITH v AS (SELECT user_id, min({'t': ts, 'e': event_id}) AS m
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min({'t': e.ts, 'e': e.event_id}) AS m
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND {'t': e.ts, 'e': e.event_id} > v.m
+        |      GROUP BY 1)
+        |SELECT p.user_id, epoch_us((p.m).t) - epoch_us((v.m).t) AS lag_us
+        |FROM p JOIN v ON p.user_id = v.user_id""".stripMargin,
     // q104: q25's ranked-neighbor form + a vote count per label; majority =
     // min(-votes, label) struct, mirroring Spark's max(votes, -label)
     "q104_label_vote" ->

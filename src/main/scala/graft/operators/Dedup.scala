@@ -799,6 +799,36 @@ object Dedup {
   }
 
   /**
+   * Edit-distance verification of candidate pairs — the fuzzy-match
+   * complement to [[jaccardVerify]]: token-set similarity is blind to
+   * CHARACTER-level edits (typo variants, OCR noise, template fills), which
+   * Levenshtein distance measures directly. Distance is computed with
+   * Spark's built-in codegen'd `levenshtein(l, r, threshold)` — the banded
+   * O(len·maxDist) form, NOT the full O(len²) matrix — so cost per pair is
+   * linear in text length for small thresholds; pairs above the threshold
+   * never materialize a distance at all.
+   *
+   * CONTRACT: pair cost is still O(len·maxDist), so candidates must come
+   * from a bounded source (the df-capped shingle chain, a blocking key) and
+   * the operator suits short-to-medium text fields. Spark counts CODE
+   * POINTS; byte-based engines (e.g. DuckDB) agree only on ASCII text —
+   * the q105 oracle rests on the corpus being ASCII (checked).
+   *
+   * Returns (id_a, id_b, edit_dist) for pairs with distance <= maxDist.
+   */
+  def editDistanceVerify(candidates: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val texts = corpus.select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(texts.select(col("__id").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(texts.select(col("__id").as("id_b"), col("__t").as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("edit_dist"))
+      .where(col("edit_dist") >= 0) // threshold form returns -1 above maxDist
+  }
+
+  /**
    * BEST-of-cluster representative selection: given duplicate-cluster
    * membership (`members`: (id, component) as produced by
    * [[connectedComponents]]) and an integer quality score per id, keep the

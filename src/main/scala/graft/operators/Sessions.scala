@@ -68,4 +68,26 @@ object Sessions {
       Iterator.single(stage.toLong)
     }
   }
+
+  /**
+   * Time-to-convert in one streaming pass: for each key, the tick distance
+   * from its FIRST value accepted by `isStart` to the first value accepted
+   * by `isEnd` STRICTLY AFTER it (in the established order). Keys that never
+   * start, or start but never convert, emit nothing — the output is the
+   * converted population with its latency, ready for q67/q98-style
+   * latency-quantile analysis downstream. One comparison + two Longs of
+   * state per key.
+   */
+  def conversionLag[K: Encoder, V](gs: GroupSortedDataset[K, V])(
+      isStart: V => Boolean, isEnd: V => Boolean, ticksOf: V => Long)(
+      implicit el: Encoder[Long], ekl: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    gs.mapStreamByKey { vs =>
+      var startTick = Long.MinValue
+      var lag = Long.MinValue
+      vs.foreach { v =>
+        if (startTick == Long.MinValue) { if (isStart(v)) startTick = ticksOf(v) }
+        else if (lag == Long.MinValue && isEnd(v)) lag = ticksOf(v) - startTick
+      }
+      if (lag != Long.MinValue) Iterator.single(lag) else Iterator.empty
+    }
 }

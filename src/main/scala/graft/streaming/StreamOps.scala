@@ -19,6 +19,14 @@ case class SessionsState(sessions: List[SessionState])
 /** Emitted when a session closes (gap exceeded / timeout fired). */
 case class SessionClosed(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
+/** Per-user funnel progression: completed stage count + the events the
+  * watermark has not yet finalized (event-time ms, type). */
+case class FunnelState(stage: Int, pending: List[(Long, String)])
+
+/** Emitted when a user's funnel advances to `stage` (1-based) at event time
+  * `at_ms`. */
+case class StageReached(user_id: Long, stage: Int, at_ms: Long)
+
 /**
  * Structured Streaming counterparts of the batch operators: the group-sorted
  * per-key streaming semantics carry over to unbounded data via watermarks and
@@ -122,6 +130,68 @@ object StreamOps {
     // declarative aggregation runs incrementally on a streaming frame);
     // delegating keeps the two mergeable by construction
     graft.operators.Sketch.countMin(events, key, depth, width)
+
+  /**
+   * Streaming funnel progression — the streaming analog of
+   * [[graft.operators.Sessions.funnelStages]]: advance a per-user stage
+   * counter through `stages` (matched against `event_type`) in EVENT-TIME
+   * order, emitting a `StageReached` row each time a stage completes.
+   *
+   * Out-of-order correctness is what makes this non-trivial: greedy
+   * advancement is order-sensitive, so an event may only be folded once the
+   * watermark guarantees nothing earlier can still arrive. Events above the
+   * watermark BUFFER in state; each batch (or event-time timeout) finalizes
+   * the prefix the watermark has passed, folds it in (ts, type) order, and
+   * re-arms the timeout for the earliest still-buffered event. Emissions are
+   * final on emit (Append mode), at most one row per stage per user,
+   * monotonically increasing — exactly the batch operator's answer on any
+   * finite replay, under any arrival order of admissible data.
+   *
+   * State is the watermark-bounded buffer plus one Int; users between stage
+   * 1 and completion keep that Int indefinitely (the funnel's irreducible
+   * memory — stage 0 and completed users are dropped from state entirely).
+   * Within one millisecond, ordering falls back to the type string — give
+   * events distinct timestamps where that matters.
+   */
+  def streamingFunnel(events: Dataset[StreamEvent], stages: Seq[String],
+                      watermarkDelay: String = "10 minutes"): Dataset[StageReached] = {
+    require(stages.nonEmpty, "streamingFunnel needs at least one stage type")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, batch: Iterator[StreamEvent],
+               state: GroupState[FunnelState]): Iterator[StageReached] = {
+      var (stage, pending) = state.getOption
+        .map(s => (s.stage, s.pending)).getOrElse((0, List.empty[(Long, String)]))
+      if (!state.hasTimedOut)
+        pending = batch.map(e => (e.ts.getTime, e.event_type)).toList ::: pending
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, hold) = pending.partition(_._1 <= wm)
+      val out = List.newBuilder[StageReached]
+      ready.sorted.foreach { case (t, tpe) =>
+        if (stage < stages.length && tpe == stages(stage)) {
+          stage += 1
+          out += StageReached(userId, stage, t)
+        }
+      }
+      if (hold.isEmpty) {
+        // stage 0 state is indistinguishable from no state; a completed
+        // funnel can never advance again — both drop cleanly
+        if (stage == 0 || stage == stages.length) state.remove()
+        else state.update(FunnelState(stage, Nil))
+      } else {
+        state.update(FunnelState(stage, hold))
+        // earliest instant the next prefix can finalize (> wm by partition)
+        state.setTimeoutTimestamp(hold.map(_._1).min)
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
 
   /**
    * Watermarked stream-stream INTERVAL join — the attribution shape: each

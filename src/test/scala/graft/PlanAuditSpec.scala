@@ -278,6 +278,18 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"all joins should broadcast the bounded side:\n$p")
   }
 
+  it("q105 edit distance runs the BANDED levenshtein on equi-joined candidates — no cartesian") {
+    val p = plan("q105_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.toLowerCase.contains("levenshtein"), s"expected the codegen'd kernel in-plan:\n$p")
+  }
+
+  it("q106 conversion lag is ONE exchange (the groupSort layout), no join") {
+    val p = plan("q106_conversion_lag")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
   it("q96 repeated spans read the PERSISTED positional window frame; no window function") {
     val p = plan("q96_repeated_spans")
     assert(p.contains("InMemoryTableScan"),

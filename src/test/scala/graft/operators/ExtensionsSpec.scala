@@ -228,6 +228,21 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(ccOf(Seq.empty[(Long, Long)]) === Map.empty[Long, Long])
     }
 
+    it("editDistanceVerify computes banded distances on candidates, dropping pairs above maxDist") {
+      val corpus = Seq(
+        (1L, "the quick brown fox"),
+        (2L, "the quick brown fx"),          // one deletion from doc 1
+        (3L, "completely different words"),
+        (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+      val got = Dedup.editDistanceVerify(cands, corpus, "doc_id", "text", 5)
+        .as[(Long, Long, Int)].collect().toSet
+      // (1,3) is far above 5; (1,4) has a NULL side -> NULL distance, dropped
+      assert(got === Set((1L, 2L, 1)))
+      intercept[IllegalArgumentException](
+        Dedup.editDistanceVerify(cands, corpus, "doc_id", "text", -1))
+    }
+
     it("bestOfCluster keeps the highest-score member, ties to the smallest id") {
       val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
         .toDF("id", "component")
@@ -735,6 +750,20 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
       intercept[IllegalArgumentException](
         Sessions.funnelStages(ev.groupSort(2), Seq.empty[((Long, String)) => Boolean]))
+    }
+
+    it("conversionLag emits first-start to first-end-after latency; non-converters are silent") {
+      val ev = Seq(
+        (1L, (10L, 1L, "view")), (1L, (25L, 2L, "purchase")),  // lag 15
+        (2L, (10L, 3L, "purchase")), (2L, (20L, 4L, "view")),  // end before any start: no conversion
+        (3L, (10L, 5L, "view")), (3L, (12L, 6L, "view")),      // first view anchors...
+        (3L, (30L, 7L, "purchase")),                           // ...lag 20, not 18
+        (4L, (10L, 8L, "click"))).toDS()                       // never starts
+      val got = Sessions.conversionLag(ev.groupSort(2))(
+          isStart = (v: (Long, Long, String)) => v._3 == "view",
+          isEnd = (v: (Long, Long, String)) => v._3 == "purchase",
+          ticksOf = (v: (Long, Long, String)) => v._1).collect().toMap
+      assert(got === Map(1L -> 15L, 3L -> 20L))
     }
 
     it("asOfLastMarker emits the most recent preceding marker") {

@@ -334,6 +334,60 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingFunnel ≡ batch funnelStages (finite replay equivalence)") {
+    val stages = Seq("view", "click", "purchase")
+    val userEvents: Map[Long, Seq[(Int, String)]] = Map(
+      1L -> Seq((0, "view"), (5, "click"), (9, "purchase")),             // full funnel
+      2L -> Seq((0, "click"), (4, "view"), (8, "click")),                // early click ignored -> 2
+      3L -> Seq((1, "purchase"), (2, "error")),                          // never starts -> 0
+      4L -> Seq((3, "view")),                                            // stage 1 only
+      5L -> Seq((0, "view"), (2, "view"), (6, "purchase"), (7, "click"),
+        (9, "purchase")))                                                // view@0 click@7 purchase@9 -> 3
+    val allEvents: Seq[StreamEvent] = userEvents.toSeq.flatMap { case (u, evs) =>
+      evs.map { case (m, t) => StreamEvent(u, ts(m), t, 1.0) }
+    }
+
+    def runStream(arrival: Seq[StreamEvent], name: String): Seq[StageReached] = {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val q = StreamOps.streamingFunnel(input.toDS(), stages, watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        arrival.grouped(4).foreach { batch => input.addData(batch); q.processAllAvailable() }
+        // two flush batches: the watermark a batch USES comes from the previous one
+        input.addData(StreamEvent(999L, ts(600), "x", 1.0)); q.processAllAvailable()
+        input.addData(StreamEvent(999L, ts(601), "x", 1.0)); q.processAllAvailable()
+        spark.table(name).as[StageReached].collect().toSeq.filter(_.user_id != 999L)
+      } finally q.stop()
+    }
+
+    it("reaches exactly the batch operator's stages under in-order, reversed, and shuffled arrival") {
+      val batchStages: Map[Long, Long] = Sessions.funnelStages(
+          allEvents.map(e => (e.user_id, (e.ts.getTime, e.event_type))).toDS().groupSort(4),
+          Seq[((Long, String)) => Boolean](
+            _._2 == "view", _._2 == "click", _._2 == "purchase"))
+        .collect().toMap
+      val inOrder = allEvents.sortBy(_.ts.getTime)
+      val permutations = Seq(
+        "fun_inorder" -> inOrder,
+        "fun_reversed" -> inOrder.reverse,
+        "fun_shuffled" -> new scala.util.Random(11).shuffle(allEvents))
+      val results = permutations.map { case (name, arrival) =>
+        val reached = runStream(arrival, name)
+        // final depth per user matches the batch fold (streaming is silent at 0)
+        val depth = reached.groupBy(_.user_id).view.mapValues(_.map(_.stage).max.toLong).toMap
+        assert(depth === batchStages.filter(_._2 > 0L), s"funnel depth diverged for $name")
+        // each stage 1..depth emitted exactly once, monotone in event time
+        reached.groupBy(_.user_id).foreach { case (u, rs) =>
+          assert(rs.map(_.stage).sorted === (1 to rs.size).toSeq, s"stage emissions broken for user $u in $name")
+          assert(rs.sortBy(_.stage).map(_.at_ms) === rs.map(_.at_ms).sorted, s"non-monotone stage times for $u in $name")
+        }
+        reached.map(r => (r.user_id, r.stage, r.at_ms)).toSet
+      }
+      assert(results.distinct.size === 1, "arrival order changed the emitted stage set")
+    }
+  }
+
   describe("intervalJoin ≡ batch interval join (finite replay equivalence)") {
     // attribution shape: purchases pair with the same user's clicks in the
     // trailing 10 minutes
