@@ -46,26 +46,20 @@ object SparkEntry {
     while (cb != null) { cb(); cb = cleanups.poll() }
   }
 
-  /** Shared exact-Jaccard pair pipeline for q45 (gate on the verify kernel),
-    * q55 (end-to-end dedup survivors) and q58 (cluster labels): candidates
-    * are pairs sharing >= 3 rare shingles (document frequency <= 10 — the df
-    * cap IS the bucket cap: one groupBy-per-shingle pass with capped
-    * in-bucket expansion, no shingle self-join), verified on FULL shingle
-    * sets by `jaccardVerify`. The tiny id-pair candidate frame is persisted
-    * because the verify step consumes it in two branches — without it the
-    * whole shingle->bucket->count subtree executes twice (two identical
-    * aggregation subtrees in the plan); its release callback goes through the
-    * same hook plumbing as `minhashNearDups`, drained by Bench/Verify after
-    * each query. */
-  /** MEMOIZED near-dup candidate frame (df-capped rare-shingle pairs) for a
-    * (session, dir) — SIX consumers read it (q45 Jaccard, q55 survivors, q58
+  /** MEMOIZED near-dup candidate frame: pairs sharing >= 3 RARE shingles
+    * (document frequency <= 10 — the df cap IS the bucket cap: one
+    * groupBy-per-shingle pass with capped in-bucket expansion, no shingle
+    * self-join). SIX consumers read it (q45 Jaccard, q55 survivors, q58
     * clusters, q85 containment, q100 best-of-cluster, q105 edit distance):
     * in one pipeline these would share a DAG stage, but Spark cannot reuse
     * work across actions, so the derived frame persists once as a standing
     * asset (the `ensureMinhashIndex` posture — at 100 TB the candidate pairs
     * of the current corpus version ARE a standing asset, rebuilt on ingest,
-    * consumed by every dedup product). Not registered with [[onCleanup]]:
-    * cross-query layout, like the q38/q49/q65 caches. */
+    * consumed by every dedup product). Keyed by dir with the SAME
+    * single-session contract as `ivfIndexes`/`minhashIndexes` (the first
+    * caller's session is captured; a new session against the same dir must
+    * be a new process). Not registered with [[onCleanup]]: cross-query
+    * layout, like the q38/q49/q65 caches. */
   private val candidateCaches = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def rareShingleCandidates(s: SparkSession, dir: String): DataFrame =
     candidateCaches.computeIfAbsent(dir, _ => {

@@ -820,7 +820,10 @@ object Dedup {
       textCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val texts = corpus.select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"))
-    candidates.select(col("id_a"), col("id_b"))
+    // distinct: the sibling verifiers (jaccardVerify/containmentVerify) share
+    // this defensive contract — a duplicated candidate row must not pay the
+    // O(len·maxDist) kernel twice or duplicate output
+    candidates.select(col("id_a"), col("id_b")).distinct()
       .join(texts.select(col("__id").as("id_a"), col("__t").as("__ta")), "id_a")
       .join(texts.select(col("__id").as("id_b"), col("__t").as("__tb")), "id_b")
       .select(col("id_a"), col("id_b"),

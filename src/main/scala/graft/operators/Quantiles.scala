@@ -27,10 +27,14 @@ object Quantiles {
    * Per-key order-statistic quantiles. `ps` maps output column name to
    * probability in (0, 1]; `tieCol` makes the rank order total (the selected
    * value is tie-invariant, but a deterministic order keeps row_number
-   * reproducible). Returns one row per key: (keyCol, ps...).
+   * reproducible). `carry` names columns CONSTANT within each key to pass
+   * through to the output unchanged (aggregated as their per-key max — lets
+   * a second quantile pass keep the first pass's result without re-running
+   * its plan, the [[robustStats]] shape). Returns one row per key:
+   * (keyCol, ps..., carry...).
    */
   def perKeyExact(df: DataFrame, keyCol: String, valueCol: String, tieCol: String,
-                  ps: Seq[(String, Double)]): DataFrame = {
+                  ps: Seq[(String, Double)], carry: Seq[String] = Nil): DataFrame = {
     require(ps.nonEmpty, "need at least one probability")
     ps.foreach { case (name, p) =>
       require(p > 0.0 && p <= 1.0, s"probability $name=$p outside (0, 1]")
@@ -42,7 +46,7 @@ object Quantiles {
     }
     val byValue = Window.partitionBy(keyCol).orderBy(col(valueCol), col(tieCol))
     val byKey = Window.partitionBy(keyCol)
-    val ranked = df.select(col(keyCol), col(valueCol), col(tieCol))
+    val ranked = df.select((Seq(keyCol, valueCol, tieCol) ++ carry).map(col): _*)
       .withColumn("__rn", row_number().over(byValue).cast("long"))
       .withColumn("__n", count(lit(1)).over(byKey))
     val aggs = ps.map { case (name, p) =>
@@ -50,7 +54,7 @@ object Quantiles {
       // ceil(p*n) in pure integer math: (n*num + Den - 1) div Den
       val rank = expr(s"(__n * ${num}L + ${Den - 1}L) div ${Den}L")
       max(when(col("__rn") === rank, col(valueCol))).as(name)
-    }
+    } ++ carry.map(c => max(col(c)).as(c))
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -124,8 +128,10 @@ object Quantiles {
    * is one float division the CALLER applies.
    *
    * SCALE SHAPE: two [[perKeyExact]] passes — (key, value, tie) projection
-   * shuffles, medians broadcast back, |v - median| re-ranks — each pass a
-   * single exchange of the projection, payloads never move.
+   * shuffles, medians broadcast back, |v - median| re-ranks with the median
+   * CARRIED through the second pass's aggregation (so the median subplan
+   * runs once, not once per consumer, and no third join is needed) — each
+   * pass a single exchange of the projection, payloads never move.
    */
   def robustStats(df: DataFrame, keyCol: String, valueCol: String, tieCol: String): DataFrame = {
     Seq("median", "mad", "__absdev").foreach(c =>
@@ -135,7 +141,7 @@ object Quantiles {
     val med = perKeyExact(rows, keyCol, valueCol, tieCol, Seq("median" -> 0.5))
     val dev = rows.join(broadcast(med), Seq(keyCol))
       .withColumn("__absdev", abs(col(valueCol) - col("median")))
-    val mad = perKeyExact(dev, keyCol, "__absdev", tieCol, Seq("mad" -> 0.5))
-    med.join(mad, Seq(keyCol))
+    perKeyExact(dev, keyCol, "__absdev", tieCol, Seq("mad" -> 0.5), carry = Seq("median"))
+      .select(col(keyCol), col("median"), col("mad"))
   }
 }

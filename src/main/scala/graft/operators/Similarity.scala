@@ -127,6 +127,7 @@ object Similarity {
    */
   def knnLabelVote(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val knn = bruteForceTopK(queries, corpus, idCol, vecCol, k)
     val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl"))
       .where(col("__nl").isNotNull)

@@ -239,11 +239,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
   }
 
-  it("q98 robust stats: two projection rank passes, medians broadcast back") {
+  it("q98 robust stats: two projection rank passes, medians broadcast back, NO third join") {
     val p = plan("q98_robust_stats")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
-      s"expected the two rank windows (+ final join co-partitioning at most):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"expected exactly the two rank-window exchanges (median carried, not re-joined):\n$p")
   }
 
   it("q99 skew profile plans TakeOrderedAndProject over the count agg — never a global sort") {

@@ -583,6 +583,8 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
           "vec_id", "embedding", "label", 2)
         .as[(Long, Int, Int, Long)].collect().toSet
       assert(tie === Set((4L, 3, 1, 1L)))
+      intercept[IllegalArgumentException](
+        Similarity.knnLabelVote(labeled, labeled, "vec_id", "embedding", "label", 0))
     }
 
     it("quantizedTopK matches exact brute-force ranking on well-separated vectors, invariant to partitioning") {
