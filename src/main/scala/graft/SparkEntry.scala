@@ -1556,6 +1556,25 @@ object SparkEntry {
           isStart = _._3 == "view", isEnd = _._3 == "purchase",
           ticksOf = v => v._1 / 1000L)
         .toDF("user_id", "lag_us")
+    }),
+
+    // vocabulary growth (Heaps-law curve): new distinct terms and cumulative
+    // vocabulary size per 50-doc ingest bucket — the saturation diagnostic
+    // that says whether more of a source still adds lexical diversity. Terms
+    // die map-side into (term, first_doc); the cumulative sum runs over the
+    // TINY bucket frame only (corpus_size/50 rows), never the corpus
+    "q107_vocab_growth" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("text").isNotNull)
+      val terms = docs.select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+        .where(length(col("term")) > 0)
+      val firstSeen = terms.groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      firstSeen.groupBy(expr("first_doc div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_terms"))
+        .withColumn("vocab_size",
+          sum(col("new_terms")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bucket"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     })
   )
 
@@ -2706,6 +2725,17 @@ object SparkEntry {
         |      GROUP BY 1)
         |SELECT p.user_id, epoch_us((p.m).t) - epoch_us((v.m).t) AS lag_us
         |FROM p JOIN v ON p.user_id = v.user_id""".stripMargin,
+    // q107: first-seen doc per term with the kernel tokenization; cumulative
+    // sum over the bucket frame
+    "q107_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |            FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT term, min(doc_id) AS first_doc FROM tk GROUP BY 1),
+        |b AS (SELECT first_doc // 50 AS bucket, count(*) AS new_terms FROM f GROUP BY 1)
+        |SELECT bucket, new_terms,
+        |       CAST(sum(new_terms) OVER (ORDER BY bucket
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+        |FROM b""".stripMargin,
     // q104: q25's ranked-neighbor form + a vote count per label; majority =
     // min(-votes, label) struct, mirroring Spark's max(votes, -label)
     "q104_label_vote" ->

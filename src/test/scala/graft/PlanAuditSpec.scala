@@ -290,6 +290,17 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
+  it("q107 vocab growth: the cumulative window runs AFTER the bucket agg, on the tiny frame") {
+    val p = plan("q107_vocab_growth")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // the single-partition exchange feeding the running sum must sit above
+    // both aggregations — it carries bucket rows, not terms or docs
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"cumulative sum must consume the aggregated bucket frame:\n$p")
+  }
+
   it("q96 repeated spans read the PERSISTED positional window frame; no window function") {
     val p = plan("q96_repeated_spans")
     assert(p.contains("InMemoryTableScan"),
