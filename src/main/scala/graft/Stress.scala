@@ -32,6 +32,7 @@ object Stress {
       case Some("incremental") => "incremental"
       case Some("curation") => "curation"
       case Some("snapshot") => "snapshot"
+      case Some("events") => "events"
       case _ => "embed"
     }
     val sfDir = args.drop(if (mode == "embed") 0 else 1)
@@ -47,6 +48,7 @@ object Stress {
     if (mode == "incremental") { incrementalStudy(spark, sfDir); spark.stop(); return }
     if (mode == "curation") { curationStudy(spark, sfDir); spark.stop(); return }
     if (mode == "snapshot") { snapshotStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "events") { eventsStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -183,6 +185,58 @@ object Stress {
     val bandsUniform = perBand.forall { case (st, (d, c)) => d == 1L && c == one(st) }
     println(s"[stress] per-band uniformity: $perBand (every status: distinct_counts=1, cnt=1x) -> " +
       (if (ten == scaled && bandsUniform) "EXACT" else "MISMATCH"))
+  }
+
+  /** Fifth mode (`runMain graft.Stress events [sfDir]`): the round-6 ordered
+    * event-stream operators (q103 funnel, q106 conversion lag) on a corpus of
+    * 10x the USERS — each replica band carries the same per-user event
+    * sequences under shifted user_ids, so both per-key streaming folds are
+    * replica-invariant: the 10x funnel-depth histogram must be EXACTLY 10x
+    * the 1x histogram, and the 10x lag multiset exactly 10 copies of the 1x
+    * multiset. Exercises the groupSort core at 10x key cardinality (the
+    * scaling axis a 100 TB event store actually grows along). */
+  private def eventsStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    import spark.implicits._
+    import graft.sorted.syntax._
+    val ev = SparkEntry.tbl(spark, sfDir, "events")
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val ten = (0 until 10)
+      .map(i => ev.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("ts"), col("event_id"), col("event_type")))
+      .reduce(_.unionByName(_)).persist(MEMORY_AND_DISK_SER)
+    println(s"[stress] event rows (10x users): ${ten.count()}")
+
+    def funnelHist(df: DataFrame): Map[Long, Long] = {
+      val ds = df.select($"user_id", struct($"ts", $"event_id", $"event_type").as("v"))
+        .as[(Long, (Long, Long, String))]
+      operators.Sessions.funnelStages(ds.groupSort(), Seq[((Long, Long, String)) => Boolean](
+          _._3 == "view", _._3 == "click", _._3 == "purchase"))
+        .toDF("user_id", "stage").groupBy("stage").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def lagHist(df: DataFrame): Map[Long, Long] = {
+      val ds = df.select($"user_id", struct($"ts", $"event_id", $"event_type").as("v"))
+        .as[(Long, (Long, Long, String))]
+      operators.Sessions.conversionLag(ds.groupSort())(
+          isStart = _._3 == "view", isEnd = _._3 == "purchase", ticksOf = _._1 / 1000L)
+        .toDF("user_id", "lag").groupBy("lag").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    val f1 = timed("funnel over 1x users")(funnelHist(ev))
+    val f10 = timed("funnel over 10x users")(funnelHist(ten))
+    val fOk = f10 == f1.map { case (k, v) => k -> v * 10 }
+    println(s"[stress] funnel 1x: $f1")
+    println(s"[stress] funnel 10x: $f10 -> " + (if (fOk) "EXACT 10x" else "MISMATCH"))
+
+    val l1 = timed("conversion lag over 1x users")(lagHist(ev))
+    val l10 = timed("conversion lag over 10x users")(lagHist(ten))
+    val lOk = l10 == l1.map { case (k, v) => k -> v * 10 }
+    println(s"[stress] lag multisets: 1x ${l1.size} distinct lags, 10x ${l10.size} -> " +
+      (if (lOk) "EXACT 10x" else "MISMATCH"))
+    ten.unpersist()
   }
 
   private def curationStudy(spark: SparkSession, sfDir: String): Unit = {
