@@ -1558,6 +1558,37 @@ object SparkEntry {
         .toDF("user_id", "lag_us")
     }),
 
+    // robust-z anomaly detection: events whose value deviates from THEIR
+    // USER's median by more than 5 robust sigmas (5 · 1.4826 · MAD) — the
+    // per-entity outlier rule that a global threshold can't express; the
+    // integer inequality |v−med|·10000 > mad·74130 keeps the decision
+    // boundary float-free and engine-exact
+    "q108_outlier_events" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        round(col("value") * 100).cast("long").as("v"), col("event_id"))
+      val stats = operators.Quantiles.robustStats(ev, "user_id", "v", "event_id")
+      ev.join(broadcast(stats), "user_id")
+        .where(abs(col("v") - col("median")) * 10000L > col("mad") * 74130L)
+        .select(col("user_id"), col("event_id"), col("v"), col("median"), col("mad"))
+    }),
+
+    // behavior transition matrix: global (from_type -> to_type) counts over
+    // per-user adjacent event pairs in (ts, event_id) order — one look-behind
+    // value of state per user, where the lag-window form sorts every user's
+    // full rows
+    "q109_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val ds = tbl(s, dir, "events")
+        .select($"user_id", struct($"ts", $"event_id", $"event_type").as("v"))
+        .as[(Long, (Long, Long, String))]
+      operators.Sessions.adjacentPairs(ds.groupSort())(
+          (a, b) => (a._3, b._3))
+        .map { case (_, (f, t)) => (f, t) }
+        .toDF("from_type", "to_type")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // vocabulary growth (Heaps-law curve): new distinct terms and cumulative
     // vocabulary size per 50-doc ingest bucket — the saturation diagnostic
     // that says whether more of a source still adds lexical diversity. Terms
@@ -2725,6 +2756,22 @@ object SparkEntry {
         |      GROUP BY 1)
         |SELECT p.user_id, epoch_us((p.m).t) - epoch_us((v.m).t) AS lag_us
         |FROM p JOIN v ON p.user_id = v.user_id""".stripMargin,
+    // q108: the q98 robust-stats chain + the identical integer inequality
+    // (the final SELECT swaps for a joined-rows CTE, leading-comma spliced)
+    "q108_outlier_events" -> (q98Oracle.replace("SELECT med.user_id, median, mad FROM med JOIN mad USING (user_id)",
+      """,j AS (SELECT r.user_id, r.event_id, r.v, median, mad
+        |      FROM r JOIN med USING (user_id) JOIN mad USING (user_id))
+        |SELECT user_id, event_id, v, median, mad FROM j
+        |WHERE abs(v - median) * 10000 > mad * 74130""".stripMargin)),
+    // q109: the lag-window formulation of adjacent pairs; (ts, event_id)
+    // ordering parity as established for q103/q106
+    "q109_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // q107: first-seen doc per term with the kernel tokenization; cumulative
     // sum over the bucket frame
     "q107_vocab_growth" ->

@@ -90,4 +90,26 @@ object Sessions {
       }
       if (lag != Long.MinValue) Iterator.single(lag) else Iterator.empty
     }
+
+  /**
+   * Adjacent-pair emission in the established value order — the raw material
+   * of transition matrices and bigram behavior models: for each key, emit
+   * `emit(prev, next)` for every consecutive value pair, in one streaming
+   * pass with one value of look-behind state (a `lag` window would sort and
+   * materialize every key's rows; this rides the group-sorted layout).
+   * Keys with fewer than two values emit nothing.
+   */
+  def adjacentPairs[K: Encoder, V, W: Encoder](gs: GroupSortedDataset[K, V])(
+      emit: (V, V) => W)(implicit ekw: Encoder[(K, W)]): Dataset[(K, W)] =
+    gs.mapStreamByKey { vs =>
+      var prev: Option[V] = None
+      vs.flatMap { v =>
+        val out = prev match {
+          case Some(p) => Iterator.single(emit(p, v))
+          case None => Iterator.empty
+        }
+        prev = Some(v)
+        out
+      }
+    }
 }

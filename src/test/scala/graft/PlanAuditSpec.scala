@@ -290,6 +290,18 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
+  it("q108 outliers: robust stats broadcast back to the event projection; no extra shuffle") {
+    val p = plan("q108_outlier_events")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"the stats frame must broadcast, not co-shuffle:\n$p")
+  }
+
+  it("q109 transitions: one groupSort exchange + the count agg; no Window over raw events") {
+    val p = plan("q109_transitions")
+    assert(!p.contains("Window"), s"adjacent pairs must not use a lag window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   it("q107 vocab growth: the cumulative window runs AFTER the bucket agg, on the tiny frame") {
     val p = plan("q107_vocab_growth")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)

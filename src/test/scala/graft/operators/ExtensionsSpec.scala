@@ -768,6 +768,16 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got === Map(1L -> 15L, 3L -> 20L))
     }
 
+    it("adjacentPairs emits each consecutive pair once; singleton keys are silent") {
+      val ev = Seq(
+        (1L, (1L, "a")), (1L, (2L, "b")), (1L, (3L, "c")),
+        (2L, (1L, "x"))).toDS()
+      val got = Sessions.adjacentPairs(ev.groupSort(2))(
+          (p: (Long, String), n: (Long, String)) => (p._2, n._2))
+        .collect().toSet
+      assert(got === Set((1L, ("a", "b")), (1L, ("b", "c"))))
+    }
+
     it("asOfLastMarker emits the most recent preceding marker") {
       val ev = Seq(
         (1L, (1L, 10L, "purchase")),
