@@ -27,6 +27,13 @@ case class FunnelState(stage: Int, pending: List[(Long, String)])
   * `at_ms`. */
 case class StageReached(user_id: Long, stage: Int, at_ms: Long)
 
+/** Per-user transition look-behind: the last FINALIZED event (ms, type) if
+  * any, plus the not-yet-finalized buffer. */
+case class TransitionState(prevMs: Long, prevType: String, pending: List[(Long, String)])
+
+/** One consecutive-pair observation on the finalized event-time order. */
+case class TransitionSeen(user_id: Long, from_type: String, to_type: String, at_ms: Long)
+
 /**
  * Structured Streaming counterparts of the batch operators: the group-sorted
  * per-key streaming semantics carry over to unbounded data via watermarks and
@@ -183,6 +190,54 @@ object StreamOps {
         state.update(FunnelState(stage, hold))
         // earliest instant the next prefix can finalize (> wm by partition)
         state.setTimeoutTimestamp(hold.map(_._1).min)
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /**
+   * Streaming adjacent-pair emission — the streaming analog of
+   * [[graft.operators.Sessions.adjacentPairs]] feeding live transition
+   * matrices / click-path models: for each user, emit every consecutive
+   * (from_type, to_type) pair of the EVENT-TIME order, late-data-correct
+   * via the same buffer-until-watermark discipline as [[streamingFunnel]]
+   * (look-behind is order-sensitive, so an event folds only once nothing
+   * earlier can still arrive). State per user = the watermark-bounded
+   * buffer + ONE finalized look-behind event (the operator's irreducible
+   * memory — kept so a pair can span two finalization rounds). Emissions
+   * are final on emit (Append mode); downstream counts are one ordinary
+   * aggregation. Same same-millisecond caveat as the funnel: ordering
+   * falls back to the type string within one ms.
+   */
+  def streamingTransitions(events: Dataset[StreamEvent],
+                           watermarkDelay: String = "10 minutes"): Dataset[TransitionSeen] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, batch: Iterator[StreamEvent],
+               state: GroupState[TransitionState]): Iterator[TransitionSeen] = {
+      var (prev, pending) = state.getOption
+        .map(s => (Option(s.prevType).map(t => (s.prevMs, t)), s.pending))
+        .getOrElse((None: Option[(Long, String)], List.empty[(Long, String)]))
+      if (!state.hasTimedOut)
+        pending = batch.map(e => (e.ts.getTime, e.event_type)).toList ::: pending
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, hold) = pending.partition(_._1 <= wm)
+      val out = List.newBuilder[TransitionSeen]
+      ready.sorted.foreach { case (t, tpe) =>
+        prev.foreach { case (_, pt) => out += TransitionSeen(userId, pt, tpe, t) }
+        prev = Some((t, tpe))
+      }
+      val (pm, pt) = prev.map { case (m, t) => (m, t) }.getOrElse((Long.MinValue, null: String))
+      if (hold.isEmpty && prev.isEmpty) state.remove()
+      else {
+        state.update(TransitionState(pm, pt, hold))
+        if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
       }
       out.result().iterator
     }

@@ -388,6 +388,47 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingTransitions ≡ batch adjacentPairs (finite replay equivalence)") {
+    val userEvents: Map[Long, Seq[(Int, String)]] = Map(
+      1L -> Seq((0, "view"), (4, "click"), (8, "purchase"), (12, "view")),
+      2L -> Seq((1, "click")),                       // singleton: no pairs
+      3L -> Seq((2, "view"), (6, "view"), (10, "error")))
+    val allEvents: Seq[StreamEvent] = userEvents.toSeq.flatMap { case (u, evs) =>
+      evs.map { case (m, t) => StreamEvent(u, ts(m), t, 1.0) }
+    }
+
+    def runStream(arrival: Seq[StreamEvent], name: String): Set[(Long, String, String, Long)] = {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val q = StreamOps.streamingTransitions(input.toDS(), watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        arrival.grouped(3).foreach { batch => input.addData(batch); q.processAllAvailable() }
+        input.addData(StreamEvent(999L, ts(600), "x", 1.0)); q.processAllAvailable()
+        input.addData(StreamEvent(999L, ts(601), "x", 1.0)); q.processAllAvailable()
+        spark.table(name).as[TransitionSeen].collect().toSeq.filter(_.user_id != 999L)
+          .map(r => (r.user_id, r.from_type, r.to_type, r.at_ms)).toSet
+      } finally q.stop()
+    }
+
+    it("emits exactly the batch operator's pairs under in-order, reversed, and shuffled arrival") {
+      val batchPairs = Sessions.adjacentPairs(
+          allEvents.map(e => (e.user_id, (e.ts.getTime, e.event_type))).toDS().groupSort(4))(
+          (p: (Long, String), n: (Long, String)) => (p._2, n._2, n._1))
+        .collect().map { case (u, (f, t, at)) => (u, f, t, at) }.toSet
+      val inOrder = allEvents.sortBy(_.ts.getTime)
+      val results = Seq(
+        "tr_inorder" -> inOrder,
+        "tr_reversed" -> inOrder.reverse,
+        "tr_shuffled" -> new scala.util.Random(5).shuffle(allEvents)).map { case (name, arrival) =>
+        val got = runStream(arrival, name)
+        assert(got === batchPairs, s"transition pairs diverged for $name")
+        got
+      }
+      assert(results.distinct.size === 1)
+    }
+  }
+
   describe("intervalJoin ≡ batch interval join (finite replay equivalence)") {
     // attribution shape: purchases pair with the same user's clicks in the
     // trailing 10 minutes
