@@ -1558,6 +1558,21 @@ object SparkEntry {
         .toDF("user_id", "lag_us")
     }),
 
+    // session intervals: q31's gap sessionization, but emitting each
+    // session's (start, end, n_events) — the input a downstream
+    // engagement/duration model actually needs; gap decided on nano ticks
+    // (q31 parity), bounds OUTPUT as micros (engine-exact)
+    "q110_session_intervals" -> ((s, dir) => {
+      import s.implicits._
+      val ds = tbl(s, dir, "events")
+        .select($"user_id", struct($"ts", $"event_id").as("v"))
+        .as[(Long, (Long, Long))]
+      operators.Sessions.sessionIntervals(ds.groupSort(),
+          (v: (Long, Long)) => v._1, 30L * 60 * 1000 * 1000 * 1000)
+        .map { case (u, (st, en, n)) => (u, st / 1000L, en / 1000L, n) }
+        .toDF("user_id", "start_us", "end_us", "n_events")
+    }),
+
     // robust-z anomaly detection: events whose value deviates from THEIR
     // USER's median by more than 5 robust sigmas (5 · 1.4826 · MAD) — the
     // per-entity outlier rule that a global threshold can't express; the
@@ -2756,6 +2771,21 @@ object SparkEntry {
         |      GROUP BY 1)
         |SELECT p.user_id, epoch_us((p.m).t) - epoch_us((v.m).t) AS lag_us
         |FROM p JOIN v ON p.user_id = v.user_id""".stripMargin,
+    // q110: q31's is-start flags -> running session ids -> per-session
+    // min/max/count; micro bounds via epoch_us
+    "q110_session_intervals" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_start
+        |       FROM events
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // q108: the q98 robust-stats chain + the identical integer inequality
     // (the final SELECT swaps for a joined-rows CTE, leading-comma spliced)
     "q108_outlier_events" -> (q98Oracle.replace("SELECT med.user_id, median, mad FROM med JOIN mad USING (user_id)",

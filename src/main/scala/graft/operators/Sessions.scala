@@ -31,6 +31,40 @@ object Sessions {
     }
 
   /**
+   * Gap-based sessionization emitting the session INTERVALS, not just the
+   * count: one (startTick, endTick, nEvents) row per closed session, in one
+   * streaming pass with three Longs of state (the window formulation needs a
+   * lag + running-sum + group-by chain over every row). The trailing open
+   * session flushes when the key's values end — the lazily-concatenated
+   * flush iterator evaluates only after the main pass exhausts, so the
+   * state it reads is final.
+   */
+  def sessionIntervals[K: Encoder, V](gs: GroupSortedDataset[K, V], ticksOf: V => Long,
+      gapTicks: Long)(implicit ew: Encoder[(Long, Long, Long)],
+      ekw: Encoder[(K, (Long, Long, Long))]): Dataset[(K, (Long, Long, Long))] =
+    gs.mapStreamByKey { vs =>
+      var start = Long.MinValue
+      var last = Long.MinValue
+      var n = 0L
+      val closed = vs.flatMap { v =>
+        val t = ticksOf(v)
+        val out =
+          if (start != Long.MinValue && t - last > gapTicks) {
+            val s = (start, last, n)
+            start = t; n = 0L
+            Iterator.single(s)
+          } else {
+            if (start == Long.MinValue) start = t
+            Iterator.empty
+          }
+        last = t
+        n += 1
+        out
+      }
+      closed ++ (if (start != Long.MinValue) Iterator.single((start, last, n)) else Iterator.empty)
+    }
+
+  /**
    * Backward as-of match in one streaming pass: for every value selected by
    * `isTarget`, emit the most recent preceding value (in the established
    * value order) accepted by `isMarker`, or None when no marker has been

@@ -290,6 +290,12 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
+  it("q110 session intervals: one groupSort exchange, no Window chain over raw events") {
+    val p = plan("q110_session_intervals")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Window"), s"the interval emission must not use lag/running-sum windows:\n$p")
+  }
+
   it("q108 outliers: robust stats broadcast back to the event projection; no extra shuffle") {
     val p = plan("q108_outlier_events")
     assert(p.contains("BroadcastHashJoin"), p)

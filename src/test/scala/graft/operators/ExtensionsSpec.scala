@@ -768,6 +768,20 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got === Map(1L -> 15L, 3L -> 20L))
     }
 
+    it("sessionIntervals emits (start, end, n) per gap-closed session incl. the trailing one") {
+      val ev = Seq(
+        (1L, (0L, 1L)), (1L, (10L, 2L)), (1L, (100L, 3L)), (1L, (105L, 4L)), // gap 90 > 50 splits
+        (2L, (7L, 5L))).toDS()
+      val got = Sessions.sessionIntervals(ev.groupSort(2), (v: (Long, Long)) => v._1, 50L)
+        .collect().toSet
+      assert(got === Set(
+        (1L, (0L, 10L, 2L)), (1L, (100L, 105L, 2L)), (2L, (7L, 7L, 1L))))
+      // interval count agrees with sessionCounts on the same input
+      val counts = Sessions.sessionCounts[Long, (Long, Long)](ev.groupSort(2), _._1, 50L)
+        .collect().toMap
+      assert(got.groupBy(_._1).view.mapValues(_.size.toLong).toMap === counts)
+    }
+
     it("adjacentPairs emits each consecutive pair once; singleton keys are silent") {
       val ev = Seq(
         (1L, (1L, "a")), (1L, (2L, "b")), (1L, (3L, "c")),
