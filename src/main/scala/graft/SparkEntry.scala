@@ -1558,6 +1558,16 @@ object SparkEntry {
         .toDF("user_id", "lag_us")
     }),
 
+    // GLOBAL exact quantiles with no global sort: the corpus collapses to a
+    // (value, count) histogram map-side — the shuffle carries distinct
+    // values, not rows — and the rank reads off the cumulative count
+    "q111_global_quantiles" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").where(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("v"))
+      operators.Quantiles.globalExact(ev, "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    }),
+
     // session intervals: q31's gap sessionization, but emitting each
     // session's (start, end, n_events) — the input a downstream
     // engagement/duration model actually needs; gap decided on nano ticks
@@ -2771,6 +2781,18 @@ object SparkEntry {
         |      GROUP BY 1)
         |SELECT p.user_id, epoch_us((p.m).t) - epoch_us((v.m).t) AS lag_us
         |FROM p JOIN v ON p.user_id = v.user_id""".stripMargin,
+    // q111: the same ceil(p·n) integer rank over a row_number ranking (the
+    // value at a rank is tie-invariant, so the window tiebreak is free)
+    "q111_global_quantiles" ->
+      """WITH r AS (SELECT CAST(round(value*100) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |              count(*) OVER () AS n FROM r)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |       max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS p50,
+        |       max(CASE WHEN rn = (n*900000 + 999999) // 1000000 THEN v END) AS p90,
+        |       max(CASE WHEN rn = (n*990000 + 999999) // 1000000 THEN v END) AS p99
+        |FROM rk""".stripMargin,
     // q110: q31's is-start flags -> running session ids -> per-session
     // min/max/count; micro bounds via epoch_us
     "q110_session_intervals" ->

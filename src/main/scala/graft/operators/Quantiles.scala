@@ -119,6 +119,43 @@ object Quantiles {
   }
 
   /**
+   * GLOBAL exact order-statistic quantiles WITHOUT a global sort: collapse
+   * the corpus to a (value, count) histogram in one map-side-combined
+   * aggregation — the shuffle carries DISTINCT VALUES, not rows — then read
+   * the quantile off the running cumulative count in value order. Same
+   * `percentile_disc` rank semantics as [[perKeyExact]] (value at rank
+   * ceil(p·n), pure integer math).
+   *
+   * CONTRACT: the value domain's cardinality must be far below the row
+   * count (quantized scores, cents, token counts — the discrete columns a
+   * pipeline thresholds on). The cumulative pass runs in a single task over
+   * the distinct-value frame, which is exactly as large as the domain, not
+   * the data; a 100 TB column with millions of rows per distinct value pays
+   * one narrow scan + one tiny sort. Returns ONE row: (n, ps...).
+   */
+  def globalExact(df: DataFrame, valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one probability")
+    ps.foreach { case (name, p) =>
+      require(p > 0.0 && p <= 1.0, s"probability $name=$p outside (0, 1]")
+      require(math.round(p * Den) >= 1, s"probability $name=$p below the 1e-6 rank precision")
+    }
+    require(!ps.map(_._1).contains("n"), "column name n is reserved by globalExact")
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col(valueCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over())
+    val aggs = ps.map { case (name, p) =>
+      val num = math.round(p * Den)
+      val rank = expr(s"(__n * ${num}L + ${Den - 1}L) div ${Den}L")
+      min(when(col("__cum") >= rank, col(valueCol))).as(name)
+    }
+    cum.agg(max(col("__n")).as("n"), aggs: _*)
+  }
+
+  /**
    * Per-key ROBUST location/scale — median and MAD (median absolute
    * deviation), both exact order statistics: the outlier-insensitive
    * alternative to mean/stddev for score normalization (one corrupt

@@ -290,6 +290,17 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
+  it("q111 global quantiles: the histogram agg is map-side combined; no row-level global sort") {
+    val p = plan("q111_global_quantiles")
+    assert(p.contains("partial_count") || p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"expected a map-side-combined histogram aggregation:\n$p")
+    // the only Sort allowed is the one over the DISTINCT-VALUE frame (below
+    // the histogram aggregate), never over the raw scan
+    val scanIdx = p.indexOf("FileScan")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(scanIdx > aggIdx, s"the scan must feed the histogram aggregate directly:\n$p")
+  }
+
   it("q110 session intervals: one groupSort exchange, no Window chain over raw events") {
     val p = plan("q110_session_intervals")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)

@@ -171,6 +171,22 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         Quantiles.winsorize(rows.withColumn("winsorized", lit(1)), "k", "v", "tie", 0.1, 0.9))
     }
 
+    it("globalExact reads quantiles off the value histogram; ties and duplicates are exact") {
+      // values 1,2,2,2,9 (n=5): p50 -> rank 3 = 2; p99 -> rank 5 = 9; p20 -> rank 1 = 1
+      val rows = Seq(2L, 9L, 2L, 1L, 2L).toDF("v")
+      val got = Quantiles.globalExact(rows, "v",
+          Seq("p20" -> 0.2, "p50" -> 0.5, "p99" -> 0.99))
+        .as[(Long, Long, Long, Long)].head()
+      assert(got === ((5L, 1L, 2L, 9L)))
+      // agrees with the per-key form under a constant key
+      val perKey = Quantiles.perKeyExact(
+          rows.withColumn("k", lit(1L)).withColumn("tie", col("v")),
+          "k", "v", "tie", Seq("p50" -> 0.5))
+        .select("p50").as[Long].head()
+      assert(perKey === 2L)
+      intercept[IllegalArgumentException](Quantiles.globalExact(rows, "v", Seq("n" -> 0.5)))
+    }
+
     it("robustStats: an extreme outlier moves neither the median nor the MAD") {
       val rows = ((1 to 9).map(i => (1L, i.toLong, i.toLong)) ++
         Seq((2L, 1L, 1L), (2L, 2L, 2L), (2L, 3L, 3L), (2L, 1000000L, 4L)))
