@@ -1558,6 +1558,22 @@ object SparkEntry {
         .toDF("user_id", "lag_us")
     }),
 
+    // mixed-language detection: language-ID votes over q54's context chunks
+    // — a doc whose chunks disagree is a code-switching / concatenation
+    // artifact that a single whole-doc language label hides. main_lang =
+    // most chunks, ties to the lexicographically smallest tag
+    "q112_mixed_language" -> ((s, dir) => {
+      val chunks = operators.Chunking.chunkWords(tbl(s, dir, "documents"), "doc_id", "text", 8, 2)
+      val counts = chunks
+        .select(col("doc_id"), functions.Text.langGuess(col("chunk_text")).as("lg"))
+        .groupBy(col("doc_id"), col("lg")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_chunks"),
+          countDistinct(col("lg")).as("n_langs"),
+          min(struct((-col("c")).as("nc"), col("lg").as("l"))).as("m"))
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"), col("m.l").as("main_lang"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -2781,6 +2797,38 @@ object SparkEntry {
         |      GROUP BY 1)
         |SELECT p.user_id, epoch_us((p.m).t) - epoch_us((v.m).t) AS lag_us
         |FROM p JOIN v ON p.user_id = v.user_id""".stripMargin,
+    // q112: q54's chunk windows + q22's marker-count language CASE per
+    // chunk; majority via the struct-min(-count, lang) trick
+    "q112_mixed_language" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, words, start FROM (
+        |        SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
+        |        FROM d WHERE len(words) > 0)
+        |      WHERE start = 0 OR start + 2 < len(words)),
+        |ch AS (SELECT doc_id,
+        |         concat(' ', array_to_string(words[start+1 : least(start+8, len(words))], ' '), ' ') AS pt
+        |       FROM s),
+        |c AS (SELECT doc_id,
+        |        (len(pt) - len(replace(pt, ' the ', ''))) // 5 AS c_en,
+        |        (len(pt) - len(replace(pt, ' der ', ''))) // 5 AS c_de,
+        |        (len(pt) - len(replace(pt, ' le ', ''))) // 4 AS c_fr,
+        |        (len(pt) - len(replace(pt, ' el ', ''))) // 4 AS c_es
+        |      FROM ch),
+        |lg AS (SELECT doc_id,
+        |         CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |              WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+        |              WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+        |              WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+        |              ELSE 'und' END AS lg
+        |       FROM c),
+        |cnt AS (SELECT doc_id, lg, count(*) AS c FROM lg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+        |       count(DISTINCT lg) AS n_langs,
+        |       (min({'nc': -c, 'l': lg})).l AS main_lang
+        |FROM cnt GROUP BY doc_id""".stripMargin,
     // q111: the same ceil(p·n) integer rank over a row_number ranking (the
     // value at a rank is tie-invariant, so the window tiebreak is free)
     "q111_global_quantiles" ->
