@@ -845,7 +845,7 @@ object Dedup {
    * SCALE SHAPE: one co-partitioned join of (id, component) with (id, score)
    * — three longs per row — then a single aggregation whose state is one
    * (score, id) pair per component regardless of cluster size; the document
-   * payloads never move. The lexicographic max over struct(score, -id)
+   * payloads never move. The lexicographic max over struct(score, ~id)
    * resolves "max score then min id" in ONE aggregate (a separate
    * max-score-then-min-id pass would be a second shuffle).
    *
@@ -853,11 +853,14 @@ object Dedup {
    */
   def bestOfCluster(members: DataFrame, scores: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     val s = scores.select(col(idCol).cast("long").as("id"), col(scoreCol).cast("long").as("score"))
+    // bitwise NOT, not arithmetic negation, inverts the id order inside the
+    // struct max: ~a > ~b iff a < b for ALL longs (including Long.MinValue,
+    // where -id overflows back to itself and would break the tie order)
     members.select(col("id"), col("component"))
       .join(s, "id")
       .groupBy(col("component"))
-      .agg(max(struct(col("score"), (-col("id")).as("neg_id"))).as("m"))
-      .select(col("component"), (-col("m.neg_id")).as("keep_id"), col("m.score").as("keep_score"))
+      .agg(max(struct(col("score"), bitwise_not(col("id")).as("not_id"))).as("m"))
+      .select(col("component"), bitwise_not(col("m.not_id")).as("keep_id"), col("m.score").as("keep_score"))
   }
 
   /**

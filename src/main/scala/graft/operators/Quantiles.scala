@@ -67,12 +67,16 @@ object Quantiles {
    * function of (key, value)).
    *
    * SCALE SHAPE: the cut computation shuffles only the (key, value, tie)
-   * PROJECTION once; the cut table (keys × nBuckets−1, tiny) broadcasts
-   * back and the assignment is a narrow comparison chain at scan speed —
-   * payload columns never cross an exchange. The per-row window
-   * formulation (ntile) would instead sort EVERY key's full rows in one
-   * task per key. Rows with a NULL key or value are dropped (they have no
-   * distribution to calibrate against).
+   * PROJECTION once; the cut table (keys × nBuckets−1) joins back as a
+   * plain equi-join — NOT a forced broadcast: AQE broadcasts it at runtime
+   * when it is actually small (per-language strata), and falls back to a
+   * shuffle join when the key is high-cardinality (per-user, per-document),
+   * where a mandatory broadcast of the O(keys) frame would OOM the driver.
+   * The assignment itself is a narrow comparison chain; payload columns
+   * cross at most the one cut join. The per-row window formulation (ntile)
+   * would instead sort EVERY key's full rows in one task per key. Rows with
+   * a NULL key or value are dropped (they have no distribution to calibrate
+   * against).
    */
   def bucketByQuantile(df: DataFrame, keyCol: String, valueCol: String, tieCol: String,
                        nBuckets: Int): DataFrame = {
@@ -85,7 +89,7 @@ object Quantiles {
     val bucket = ps.map { case (name, _) =>
       when(col(valueCol) > col(name), 1).otherwise(0)
     }.reduce(_ + _) + lit(1)
-    rows.join(broadcast(cuts), Seq(keyCol))
+    rows.join(cuts, Seq(keyCol))
       .withColumn("bucket", bucket.cast("long"))
       .drop(ps.map(_._1): _*)
   }
@@ -100,9 +104,11 @@ object Quantiles {
    * whose float moments drift with reduction order.
    *
    * SCALE SHAPE: the cut computation shuffles only the (key, value, tie)
-   * projection; the per-key cut pair (tiny) broadcasts back and the clamp
-   * is a narrow two-comparison projection at scan speed — payload columns
-   * never cross an exchange. Output = the non-NULL-key/value input rows
+   * projection; the per-key cut pair joins back as a plain equi-join — AQE
+   * broadcasts it when small, shuffle-joins it when the key cardinality is
+   * data-proportional (a forced broadcast of an O(keys) frame is the
+   * classic per-user-stats OOM). The clamp itself is a narrow
+   * two-comparison projection. Output = the non-NULL-key/value input rows
    * plus a `winsorized` column.
    */
   def winsorize(df: DataFrame, keyCol: String, valueCol: String, tieCol: String,
@@ -113,7 +119,7 @@ object Quantiles {
       require(!df.columns.contains(c), s"$c is reserved by winsorize"))
     val rows = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
     val cuts = perKeyExact(rows, keyCol, valueCol, tieCol, Seq("__lo" -> pLo, "__hi" -> pHi))
-    rows.join(broadcast(cuts), Seq(keyCol))
+    rows.join(cuts, Seq(keyCol))
       .withColumn("winsorized", least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
@@ -165,10 +171,13 @@ object Quantiles {
    * is one float division the CALLER applies.
    *
    * SCALE SHAPE: two [[perKeyExact]] passes — (key, value, tie) projection
-   * shuffles, medians broadcast back, |v - median| re-ranks with the median
-   * CARRIED through the second pass's aggregation (so the median subplan
-   * runs once, not once per consumer, and no third join is needed) — each
-   * pass a single exchange of the projection, payloads never move.
+   * shuffles, medians join back (plain equi-join: AQE broadcasts a small
+   * per-stratum frame, shuffle-joins a per-user-sized one — the median
+   * frame is O(keys), so a forced broadcast would OOM exactly when the
+   * operator is most useful), |v - median| re-ranks with the median CARRIED
+   * through the second pass's aggregation (so the median subplan runs once,
+   * not once per consumer, and no third join is needed) — each pass a
+   * single exchange of the projection, payloads never move.
    */
   def robustStats(df: DataFrame, keyCol: String, valueCol: String, tieCol: String): DataFrame = {
     Seq("median", "mad", "__absdev").foreach(c =>
@@ -176,7 +185,7 @@ object Quantiles {
     val rows = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol), col(valueCol), col(tieCol))
     val med = perKeyExact(rows, keyCol, valueCol, tieCol, Seq("median" -> 0.5))
-    val dev = rows.join(broadcast(med), Seq(keyCol))
+    val dev = rows.join(med, Seq(keyCol))
       .withColumn("__absdev", abs(col(valueCol) - col("median")))
     perKeyExact(dev, keyCol, "__absdev", tieCol, Seq("mad" -> 0.5), carry = Seq("median"))
       .select(col(keyCol), col("median"), col("mad"))

@@ -179,14 +179,19 @@ object Sampling {
    * near-duplicates can straddle train/eval — per-document splitting
    * ([[withSplit]]) leaks every cluster that crosses the boundary. Same
    * deterministic [[hash32]] contract: narrow, partitioning-invariant,
-   * engine-reproducible.
+   * engine-reproducible. A NULL group hashes to NULL, so the predicate is
+   * coalesced to FALSE: ungrouped rows land deterministically in TRAIN
+   * (never silently in neither slice — a NULL `is_holdout` would fall out
+   * of both `where(is_holdout)` and `where(!is_holdout)`); callers wanting
+   * NULL groups held out should coalesce the group column first.
    */
   def splitByGroup(df: DataFrame, groupCol: String, holdoutFraction: Double): DataFrame = {
     require(holdoutFraction >= 0.0 && holdoutFraction <= 1.0,
       s"holdoutFraction must be in [0,1], got $holdoutFraction")
     require(!df.columns.contains("is_holdout"), "is_holdout is reserved by splitByGroup")
     df.withColumn("is_holdout",
-      hash32(col(groupCol), "groupsplit") < (holdoutFraction * 4294967296.0).toLong)
+      coalesce(hash32(col(groupCol), "groupsplit") < (holdoutFraction * 4294967296.0).toLong,
+        lit(false)))
   }
 
   /**

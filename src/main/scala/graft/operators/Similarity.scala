@@ -117,7 +117,8 @@ object Similarity {
    * are high-confidence. Same scale shape as [[bruteForceTopK]] (broadcast
    * query side, bounded per-query combiner state); the voting itself
    * aggregates at most k rows per query, and "max votes, ties to the
-   * smallest label" is one lexicographic max over struct(votes, -label) —
+   * smallest label" resolves as max(votes) then min(label) over the tied
+   * rows — label-type-generic (numeric or string, no negation edge) and
    * fully deterministic given the neighbor ranking, which breaks cosine
    * ties by id. Neighbors with a NULL label are excluded from the vote
    * (they can't testify).
@@ -134,13 +135,23 @@ object Similarity {
     val votes = labels.join(broadcast(knn), "neighbor_id")
       .groupBy(col("query_id"), col("__nl"))
       .agg(count(lit(1)).as("v"))
-    votes
-      .groupBy(col("query_id"))
-      .agg(max(struct(col("v"), (-col("__nl")).as("neg_l"))).as("m"))
+    // "max votes, then smallest label" without negating the label column:
+    // max(v) first, then min(label) among the tied rows — works for ANY
+    // orderable label type (strings included) and has no Long.MinValue
+    // negation edge. Both aggregates run over the tiny (queries x labels)
+    // vote frame, never the corpus.
+    // broadcast is safe HERE (unlike the stats operators): top is bounded by
+    // the query-set size, which is this operator's documented small-side
+    // contract (the query frame itself already broadcasts)
+    val top = votes.groupBy(col("query_id")).agg(max(col("v")).as("n_votes"))
+    votes.join(broadcast(top), Seq("query_id"))
+      .where(col("v") === col("n_votes"))
+      .groupBy(col("query_id"), col("n_votes"))
+      .agg(min(col("__nl")).as("majority_label"))
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(labelCol).as("own_label"))),
         "query_id")
       .select(col("query_id").as("vec_id"), col("own_label"),
-        (-col("m.neg_l")).as("majority_label"), col("m.v").as("n_votes"))
+        col("majority_label"), col("n_votes"))
   }
 
   /**

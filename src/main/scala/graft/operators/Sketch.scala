@@ -86,6 +86,11 @@ object Sketch {
       .toDF(keyCol, "mg_lower")
       .groupBy(col(keyCol))
       .agg(sum(col("mg_lower")).as("mg_lower"))
+      // the kernel counts over the key's STRING form; cast the summary key
+      // back to the input column's type so a numeric-key caller can equi-join
+      // candidates for the exact recount without implicit casts (exact
+      // round-trip for integral types)
+      .withColumn(keyCol, col(keyCol).cast(df.schema(keyCol).dataType))
   }
 
   /**

@@ -43,4 +43,30 @@ object Snapshot {
           .when(col("__h_old") === col("__h_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /**
+   * The INCREMENTAL-WORK driver: ids whose content is new or changed between
+   * snapshots — [[diff]] restricted to the slice downstream work must
+   * actually touch (re-embed, re-index, re-dedup via the standing-index
+   * probe). Content hashes with `xxhash64` over the raw column, so ANY
+   * Spark-hashable type works (arrays — embedding columns — included) and
+   * the full-outer join co-shuffles (id, 8-byte hash) pairs only, never
+   * payloads; the changed slice of a 100 TB corpus is identified for the
+   * price of two narrow scans + one 16-byte-per-row shuffle. Unlike
+   * [[diff]], NULL content compares EQUAL to NULL (hash-of-null semantics) —
+   * a doc that stays NULL is not re-touched.
+   *
+   * Returns `(idCol, status)` with status in {added, changed} only.
+   */
+  def changedSlice(oldSnap: DataFrame, newSnap: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), xxhash64(col(contentCol)).as("__h_old"),
+      lit(true).as("__in_old"))
+    val n = newSnap.select(col(idCol), xxhash64(col(contentCol)).as("__h_new"),
+      lit(true).as("__in_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .where(col("__in_new").isNotNull &&
+        (col("__in_old").isNull || !(col("__h_old") <=> col("__h_new"))))
+      .select(col(idCol),
+        when(col("__in_old").isNull, lit("added")).otherwise(lit("changed")).as("status"))
+  }
 }
