@@ -477,10 +477,27 @@ object SparkEntry {
 
     // multimodal: binary blobs + batch feature extraction (decode stubbed)
     "q30_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      // REAL media decode: each doc's bytes travel inside a spec-valid PNG
+      // (even ids) or JPEG (odd ids) container with dimensions derived from
+      // the id; extractFeatures must parse width/height back out of the
+      // IHDR/SOF headers — actual byte-level decoding, same parse any real
+      // PNG/JPEG file would get — and sniff the container from its magic
       val blobs = tbl(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          val w = (16 + id % 640).toInt
+          val h = (16 + id % 480).toInt
+          val blob =
+            if (id % 2 == 0) multimodal.Media.syntheticPng(w, h, p)
+            else multimodal.Media.syntheticJpeg(w, h, p)
+          (id, blob)
+        }.toDF("doc_id", "blob")
       multimodal.Media.extractFeatures(blobs, "doc_id", "blob")
-        .toDF().select(col("id").as("doc_id"), col("n_bytes"), col("width"), col("height"))
+        .toDF().select(col("id").as("doc_id"), col("n_bytes"), col("kind"),
+          col("width"), col("height"))
     }),
 
     // gap sessionization as a single streaming pass per user (30 min gap)
@@ -1933,10 +1950,17 @@ object SparkEntry {
         |      >= 0.4""".stripMargin,
     "q30_media_meta" ->
       // text IS NOT NULL mirrors Media.extractFeatures's documented
-      // drop-null-blob decode semantics (a NULL blob has no features)
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
-        |       CAST(octet_length(encode(text)) % 48 AS BIGINT) AS height
+      // drop-null-blob decode semantics (a NULL blob has no features).
+      // Container overhead is fixed by construction (PNG sig+IHDR = 33
+      // bytes, JPEG SOI+SOF0 = 21); width/height replay the id arithmetic
+      // the headers were built from — the Spark side must PARSE them back
+      // out of the real IHDR/SOF bytes to match
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END
+        |            + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+        |       CAST(16 + doc_id % 640 AS BIGINT) AS width,
+        |       CAST(16 + doc_id % 480 AS BIGINT) AS height
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q31_sessionize" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM (

@@ -8,8 +8,8 @@ case class MediaFeatures(
     id: Long,
     n_bytes: Long,
     kind: String,   // sniffed container type
-    width: Long,    // STUB decode output (deterministic fake)
-    height: Long,   // STUB decode output (deterministic fake)
+    width: Long,    // REAL header parse (PNG IHDR / JPEG SOF); fake fallback otherwise
+    height: Long,   // REAL header parse (PNG IHDR / JPEG SOF); fake fallback otherwise
     checksum: Long) // sum of sampled bytes — real byte-level work
 
 /**
@@ -20,11 +20,14 @@ case class MediaFeatures(
  * partition — same execution shape as Python's `mapInPandas`, kept JVM-native
  * here.
  *
- * The actual pixel decode is a clearly-marked STUB (`fakeDecode`): this
- * container has no image/audio libraries, so it derives deterministic fake
- * dimensions from the byte stream. Everything around it — binary column
- * handling, schema, per-partition batching, byte-level feature math — is real
- * and tested.
+ * DIMENSION extraction is REAL for PNG and JPEG ([[decodeDims]]): the IHDR
+ * chunk and SOF segment carry width/height as plain big-endian integers, so
+ * no decoder library is needed — the same parse works on any real PNG/JPEG
+ * file. Full PIXEL decode (needed for resize/feature-extract beyond
+ * dimensions) remains a clearly-marked STUB (`fakeDecode`, the fallback for
+ * containers without a parsed header): this container has no image/audio
+ * libraries. Everything else — binary column handling, schema, per-partition
+ * batching, byte-level feature math — is real and tested.
  */
 object Media {
 
@@ -36,10 +39,113 @@ object Media {
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "riff"
     else "unknown"
 
-  /** STUB decode ??? — a real implementation would hand `bytes` to an image
-    * decoder. Deterministic fake: dimensions derived from blob length. */
+  /** STUB pixel decode ??? — a real implementation would hand `bytes` to an
+    * image decoder. Deterministic fake: dimensions derived from blob length.
+    * Only reached for containers [[decodeDims]] cannot header-parse. */
   private[multimodal] def fakeDecode(bytes: Array[Byte]): (Long, Long) =
     (bytes.length.toLong % 64, bytes.length.toLong % 48)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def be16(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
+
+  /**
+   * REAL dimension extraction — pure byte math, no decoder library:
+   *
+   *  - PNG: the spec mandates IHDR as the first chunk, at a fixed offset —
+   *    width/height are the two big-endian u32s at bytes 16 and 20
+   *    (8-byte signature, 4-byte length, 4-byte "IHDR" type).
+   *  - JPEG: walk the marker segments from SOI until a start-of-frame
+   *    marker (0xC0–0xCF minus DHT 0xC4, JPG 0xC8, DAC 0xCC); height and
+   *    width are the big-endian u16s at segment offsets +5 and +7.
+   *    Standalone markers (RSTn, SOI, EOI, TEM) carry no length field and
+   *    are stepped over; scanning stops at SOS (0xDA — past the headers,
+   *    entropy-coded data follows) or any malformed length.
+   *
+   * Returns None when the blob is not a parseable PNG/JPEG — callers fall
+   * back to [[fakeDecode]], keeping the no-library container honest.
+   */
+  private[multimodal] def decodeDims(bytes: Array[Byte]): Option[(Long, Long)] =
+    sniffKind(bytes) match {
+      case "png" =>
+        if (bytes.length >= 24 &&
+          bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+          Some((be32(bytes, 16), be32(bytes, 20)))
+        else None
+      case "jpeg" =>
+        var pos = 2
+        while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff) {
+          val marker = bytes(pos + 1) & 0xff
+          if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            return if (pos + 8 < bytes.length) Some((be16(bytes, pos + 7), be16(bytes, pos + 5)))
+            else None
+          } else if (marker == 0xd8 || marker == 0xd9 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) {
+            pos += 2 // standalone marker, no length field
+          } else if (marker == 0xda || pos + 3 >= bytes.length) {
+            return None // entropy-coded data from here; no SOF seen
+          } else {
+            val segLen = be16(bytes, pos + 2).toInt
+            if (segLen < 2) return None
+            pos += 2 + segLen
+          }
+        }
+        None
+      case _ => None
+    }
+
+  /**
+   * Deterministic synthetic PNG: real 8-byte signature + a spec-valid IHDR
+   * chunk (8-bit RGB, correct CRC32) with the given dimensions, payload
+   * bytes appended as the body. [[decodeDims]] — or any real PNG header
+   * reader — parses back exactly (w, h); doubles as the fixture generator
+   * for decode tests and the q30 oracle.
+   */
+  def syntheticPng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"dimensions must be positive, got ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream(33 + payload.length)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    val chunk = new Array[Byte](17) // "IHDR" + 13 data bytes
+    chunk(0) = 'I'; chunk(1) = 'H'; chunk(2) = 'D'; chunk(3) = 'R'
+    def putBe32(a: Array[Byte], i: Int, v: Long): Unit = {
+      a(i) = ((v >> 24) & 0xff).toByte; a(i + 1) = ((v >> 16) & 0xff).toByte
+      a(i + 2) = ((v >> 8) & 0xff).toByte; a(i + 3) = (v & 0xff).toByte
+    }
+    putBe32(chunk, 4, w.toLong); putBe32(chunk, 8, h.toLong)
+    chunk(12) = 8; chunk(13) = 2; chunk(14) = 0; chunk(15) = 0; chunk(16) = 0
+    val lenAndCrc = new Array[Byte](4)
+    putBe32(lenAndCrc, 0, 13L); out.write(lenAndCrc, 0, 4)
+    out.write(chunk, 0, 17)
+    val crc = new java.util.zip.CRC32
+    crc.update(chunk, 0, 17)
+    putBe32(lenAndCrc, 0, crc.getValue); out.write(lenAndCrc, 0, 4)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  /**
+   * Deterministic synthetic JPEG: SOI + a spec-valid 3-component SOF0
+   * segment carrying the dimensions, payload appended. 21 header bytes;
+   * see [[syntheticPng]] for the role.
+   */
+  def syntheticJpeg(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
+      s"JPEG dimensions must fit u16, got ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream(21 + payload.length)
+    val hdr = Array[Int](
+      0xff, 0xd8,             // SOI
+      0xff, 0xc0, 0x00, 0x11, // SOF0, length 17
+      0x08,                   // precision
+      (h >> 8) & 0xff, h & 0xff,
+      (w >> 8) & 0xff, w & 0xff,
+      0x03,                   // 3 components
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    out.write(hdr.map(_.toByte), 0, hdr.length)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
 
   /** Byte-level feature: sum of every 16th byte (unsigned) — stands in for
     * real sampled-pixel statistics; forces an actual pass over the blob. */
@@ -60,9 +166,10 @@ object Media {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder context would be allocated here (STUB: none)
+        // per-partition decoder context would be allocated here (none needed
+        // for the header parse; a pixel decoder would be)
         rows.filter(_._2 != null).map { case (id, bytes) =>
-          val (w, h) = fakeDecode(bytes)
+          val (w, h) = decodeDims(bytes).getOrElse(fakeDecode(bytes))
           MediaFeatures(id, bytes.length.toLong, sniffKind(bytes), w, h, sampleChecksum(bytes))
         }
       }

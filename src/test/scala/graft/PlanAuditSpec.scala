@@ -348,6 +348,36 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  it("q80 sources its edges from the LSH chain — no block-cell self-join, no cartesian") {
+    val p = plan("q80_leakage_safe_split")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the O(n^2) blocked exact-pairs source replicates rows into __cell_*
+    // block cells; the scale path must not — its candidate join is on LSH
+    // band signatures
+    assert(!p.contains("__cell_"), s"q80 must not use the blocked all-pairs source:\n$p")
+  }
+
+  it("q113 probes the STANDING IVF index; the snapshot diff joins (id, hash) projections only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val qe = SparkEntry.queries("q113_incremental_reembed")(spark, dir).queryExecution
+    assert(qe.executedPlan.toString.contains("InMemoryTableScan"),
+      s"expected the probe to read the memoized inverted-list assignment:\n${qe.executedPlan}")
+    // pin the diff kernel separately (AQE hides subtrees from collect): the
+    // changed-slice full-outer join must co-shuffle (id, 8-byte hash) pairs,
+    // never the embedding payloads
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      val slice = operators.Snapshot.changedSlice(
+        emb, emb.limit(10), "vec_id", "embedding")
+      val shuffles = slice.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, slice.queryExecution.executedPlan.toString)
+      val leaked = shuffles.flatMap(_.output.map(_.name)).filter(_ == "embedding")
+      assert(leaked.isEmpty,
+        s"payload column crossed the diff shuffle:\n${slice.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   // The per-key stats operators join O(keys)-cardinality frames (medians,
   // winsorize cuts, quantile cut tables) back to the rows. That join must
   // NOT be a mandatory broadcast: on a per-user key at 100x scale the stats

@@ -867,5 +867,39 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got(3L).width === 11L % 64)
       assert(got(1L).checksum === (0x89L)) // every 16th byte of an 11-byte blob = byte 0
     }
+
+    it("REALLY parses dimensions out of PNG IHDR and JPEG SOF headers") {
+      val payload = "the pixel data would live here".getBytes("UTF-8")
+      val png = Media.syntheticPng(640, 481, payload)
+      val jpg = Media.syntheticJpeg(1023, 77, payload)
+      // a JPEG whose SOF sits BEHIND an APP0 segment (the real-file layout):
+      // the marker walk must skip segments by their length fields
+      val app0 = Array[Int](0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0)
+        .map(_.toByte)
+      val jpgApp0 = {
+        val sof = Media.syntheticJpeg(300, 200, Array.empty[Byte]).drop(2) // SOF0 segment only
+        (Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof)
+      }
+      val df = Seq((1L, png), (2L, jpg), (3L, jpgApp0)).toDF("id", "blob")
+      val got = Media.extractFeatures(df, "id", "blob").collect().map(m => m.id -> m).toMap
+      assert(got(1L).kind === "png")
+      assert((got(1L).width, got(1L).height) === (640L, 481L))
+      assert(got(1L).n_bytes === 33L + payload.length) // sig(8) + len(4) + IHDR(17) + crc(4)
+      assert(got(2L).kind === "jpeg")
+      assert((got(2L).width, got(2L).height) === (1023L, 77L))
+      assert(got(2L).n_bytes === 21L + payload.length)
+      assert((got(3L).width, got(3L).height) === (300L, 200L))
+      // the synthetic PNG's IHDR carries a spec-correct CRC32 (a real reader
+      // would verify it before trusting the fields)
+      val crc = new java.util.zip.CRC32
+      crc.update(png, 12, 17)
+      assert(crc.getValue === ((png(29) & 0xffL) << 24 | (png(30) & 0xffL) << 16 |
+        (png(31) & 0xffL) << 8 | (png(32) & 0xffL)))
+      // truncated magic-only blobs fall back to the documented fake decode
+      val bare = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      val fb = Media.extractFeatures(Seq((9L, bare)).toDF("id", "blob"), "id", "blob")
+        .collect().head
+      assert((fb.width, fb.height) === (8L % 64, 8L % 48))
+    }
   }
 }

@@ -673,17 +673,27 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(got.forall { case (_, c, h) => expect(c) == h })
     }
 
-    it("q80: every similar pair (the q50 edges) lands on one side at sf0.001") {
+    it("q80: every near-dup pair lands on one side; components match the planted ground truth") {
       val dir = "/root/testdata/sf0.001"
-      val split = graft.SparkEntry.queries("q80_leakage_safe_split")(spark, dir)
-        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
-      val edges = graft.SparkEntry.queries("q50_dedup_components")(spark, dir)
-        .as[(Long, Long)].collect()
-      // q50 rows are (vec_id, component): all members of a component must
-      // share the split flag with their component's members
-      val leak = edges.groupBy(_._2).values
-        .filter(members => members.map(m => split(m._1)).toSet.size > 1)
-      assert(leak.isEmpty, s"near-dup cluster straddles train/holdout: $leak")
+      val rows = graft.SparkEntry.queries("q80_leakage_safe_split")(spark, dir)
+        .as[(Long, Long, Boolean)].collect()
+      val byId = rows.map(r => r._1 -> r).toMap
+      // ground truth: the LSH chain's verified edges are exactly the planted
+      // exact-duplicate pairs {v, v+1000000} for v < 50 — each must form the
+      // component v and share ONE split flag (the leakage guarantee); all
+      // other vectors are singletons under their own id
+      val planted = rows.collect { case (id, _, _) if id >= 1000000L => id - 1000000L }
+      assert(planted.nonEmpty)
+      planted.foreach { v =>
+        val (_, compA, holdA) = byId(v)
+        val (_, compB, holdB) = byId(v + 1000000L)
+        assert(compA === v && compB === v, s"pair {$v, ${v + 1000000L}} not in component $v")
+        assert(holdA === holdB, s"near-dup pair {$v, ${v + 1000000L}} straddles train/holdout")
+      }
+      rows.foreach { case (id, comp, _) =>
+        if (id < 1000000L && !planted.contains(id))
+          assert(comp === id, s"unplanted vector $id must be its own component, got $comp")
+      }
     }
   }
 
@@ -702,6 +712,23 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       // md5(NULL) compares as null => not equal => 'changed' (documented;
       // callers wanting NULL==empty coalesce first)
       assert(got === Map(1L -> "changed", 2L -> "unchanged"))
+    }
+
+    it("changedSlice returns only the added/changed ids, over any hashable column type") {
+      val old = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)), (3L, Array(5.0f, 6.0f)))
+        .toDF("id", "v")
+      val neu = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(9.0f, 4.0f)), (4L, Array(7.0f, 8.0f)))
+        .toDF("id", "v")
+      val got = Snapshot.changedSlice(old, neu, "id", "v").as[(Long, String)].collect().toMap
+      // 1 unchanged and 3 removed are NOT work; 2 changed and 4 added are
+      assert(got === Map(2L -> "changed", 4L -> "added"))
+    }
+
+    it("changedSlice treats NULL content as equal to NULL (not re-touched)") {
+      val old = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("id", "t")
+      val neu = Seq((1L, null.asInstanceOf[String]), (2L, "y")).toDF("id", "t")
+      val got = Snapshot.changedSlice(old, neu, "id", "t").as[(Long, String)].collect().toMap
+      assert(got === Map(2L -> "changed"))
     }
   }
 
