@@ -22,6 +22,73 @@ BANNED_ORACLE_TYPES = {"HUGEINT", "UHUGEINT"}
 BANNED_ORACLE_PREFIXES = ("DECIMAL",)
 
 
+# Aggregates whose RESULT VALUE depends on input order: an ORDER BY inside
+# one must pin NULL placement explicitly on EVERY sort key. Spark orders
+# NULLS FIRST on ASC / NULLS LAST on DESC; DuckDB defaults to the opposite
+# (NULLS LAST on ASC) — a value-equal-looking oracle silently diverges the
+# moment a NULL reaches the sort key (same failure class as the q74 type
+# drift: hash-different while eyeballing equal).
+ORDER_SENSITIVE_AGGS = ("string_agg", "array_agg", "list", "group_concat",
+                        "first", "last")
+
+
+def _call_spans(sql_lower, fn):
+    """Yield the argument text of each `fn(...)` call (paren-balanced)."""
+    start = 0
+    while True:
+        i = sql_lower.find(fn + "(", start)
+        if i < 0:
+            return
+        # must be a function name, not a suffix of a longer identifier
+        if i > 0 and (sql_lower[i - 1].isalnum() or sql_lower[i - 1] == "_"):
+            start = i + len(fn)
+            continue
+        j = i + len(fn) + 1
+        depth = 1
+        while j < len(sql_lower) and depth:
+            if sql_lower[j] == "(":
+                depth += 1
+            elif sql_lower[j] == ")":
+                depth -= 1
+            j += 1
+        yield sql_lower[i + len(fn) + 1:j - 1]
+        start = j
+
+
+def _split_top_level(text, sep=","):
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def null_order_problems(name, sql):
+    """Lint ORDER BY clauses inside order-sensitive aggregate calls: every
+    sort key must carry an explicit NULLS FIRST/LAST."""
+    problems = []
+    low = sql.lower()
+    for fn in ORDER_SENSITIVE_AGGS:
+        for args in _call_spans(low, fn):
+            k = args.find("order by")
+            if k < 0:
+                continue
+            for key in _split_top_level(args[k + len("order by"):]):
+                if "nulls first" not in key and "nulls last" not in key:
+                    problems.append(
+                        f"{fn}(... ORDER BY {key.strip()[:40]}) lacks an explicit "
+                        f"NULLS FIRST/LAST (Spark and DuckDB default opposite)")
+    return problems
+
+
 def type_problems(name, cols, types, spark_types):
     """Lint oracle column types against the Spark parquet's (both DuckDB-typed,
     matched by column name). Returns a list of human-readable problems."""
@@ -72,8 +139,9 @@ def main(sf_dir, out_dir, only=None):
             want_rel = con.sql(sql)
             want_cols = [c.lower() for c in want_rel.columns]
             want = normalize(want_rel.fetchall(), want_cols)
-            lint = type_problems(name, want_cols, want_rel.types,
-                                 (got_cols, got_rel.types))
+            lint = (type_problems(name, want_cols, want_rel.types,
+                                  (got_cols, got_rel.types))
+                    + null_order_problems(name, sql))
             if sorted(got_cols) != sorted(want_cols):
                 print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
                 n_fail += 1
@@ -94,6 +162,23 @@ def main(sf_dir, out_dir, only=None):
     return 1 if n_fail else 0
 
 
+def selftest():
+    """The lints must catch their deliberately-broken exemplars."""
+    bad = "SELECT k, string_agg(v, ',' ORDER BY ts DESC, eid) AS path FROM t GROUP BY k"
+    good = ("SELECT k, string_agg(v, ',' ORDER BY ts DESC NULLS LAST, "
+            "eid NULLS FIRST) AS path FROM t GROUP BY k")
+    assert len(null_order_problems("bad", bad)) == 2, null_order_problems("bad", bad)
+    assert null_order_problems("good", good) == []
+    assert null_order_problems("nested", "SELECT list(x ORDER BY f(a, b), c) FROM t") and \
+        len(null_order_problems("nested", "SELECT list(x ORDER BY f(a, b), c) FROM t")) == 2
+    assert null_order_problems("noob", "SELECT list(x) FROM t") == []
+    assert type_problems("t", ["n"], ["HUGEINT"], None)
+    print("selftest OK")
+    return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2],
                   set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))

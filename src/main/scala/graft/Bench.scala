@@ -41,23 +41,30 @@ object Bench {
         } finally SparkEntry.drainCleanups() // release per-query caches
       }
       try {
-        val best = (1 to reps).map(_ => once()).min
-        (name, best, true)
+        val times = (1 to reps).map(_ => once())
+        (name, times.min, times, true)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          (name, -1.0, false)
+          (name, -1.0, Nil: Seq[Double], false)
       }
     }
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, _, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val failed = results.count(!_._3)
+    // raw per-rep times: the min is the steal-free estimator, but a
+    // min-vs-median gap in the RAW reps is what makes an ambient CPU-steal
+    // burst self-evident in the artifact (instead of needing a re-run to
+    // adjudicate an elevated row)
+    val raw = results.collect { case (k, _, ts, true) =>
+      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    val failed = results.count(!_._4)
     // write + flush the machine-read line explicitly: with sbt's
     // StdoutOutput strategy this reaches the driver's capture verbatim
     // (no [info] prefix), and flushing before spark.stop() guards against
     // the JVM tearing down with the line still buffered
-    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$raw,"failed":$failed,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

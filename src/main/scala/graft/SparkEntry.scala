@@ -1832,7 +1832,9 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn <= 3""".stripMargin,
     "q02_fold_concat" ->
-      "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path FROM events GROUP BY user_id",
+      // NULLS FIRST pinned explicitly: Spark's ASC default — DuckDB would
+      // default NULLS LAST, silent drift the moment a key went nullable
+      "SELECT user_id, string_agg(event_type, ',' ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS path FROM events GROUP BY user_id",
     "q03_reduce_max" ->
       "SELECT user_id, max(value) AS max_value FROM events GROUP BY user_id",
     "q04_scan_running" ->
