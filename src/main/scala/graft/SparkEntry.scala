@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1635,6 +1635,97 @@ object SparkEntry {
         .select(col("vec_id"), col("status"), col("neighbor_id"))
     }),
 
+    // per-document shingle NOVELTY — the curriculum/crawl-ordering signal:
+    // how many of a doc's distinct 3-gram shingles occur FIRST (minimum
+    // doc_id) in this doc. The corpus-level complement of q78's order-blind
+    // shared-shingle count; integer-exact, df-join linear in shingle mass
+    "q114_shingle_novelty" -> ((s, dir) =>
+      operators.Dedup.noveltyProfile(tbl(s, dir, "documents"), "doc_id", "text",
+          n = 3, unpersistHook = onCleanup)
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"))),
+
+    // crawl-boundary continuation detection: (a, b) pairs where a's LAST 12
+    // tokens equal b's FIRST 12 — the fetcher-split-a-page-mid-paragraph
+    // artifact. Planted continuations (+3000000, head = source's tail,
+    // unique token appended) give the oracle a deterministic pair set to
+    // replay; natural matches (if any) are computed identically by both
+    // engines since the oracle re-derives head/tail strings itself
+    "q115_boundary_overlap" -> ((s, dir) =>
+      operators.Dedup.boundaryOverlapPairs(
+          plantContinuations(tbl(s, dir, "documents")), "doc_id", "text",
+          k = 12, unpersistHook = onCleanup)
+        .select(col("id_a"), col("id_b"))),
+
+    // INCREMENTAL corpus-stat maintenance: the new snapshot's token total
+    // computed as old_total + tokens(added/changed new slice) -
+    // tokens(changed/removed old slice) — the touch-only-the-delta loop for
+    // keeping corpus statistics current without rescanning 100 TB. The
+    // exact full recount runs IN-QUERY as the correctness gate (the honest
+    // q84-style price of a computed gate); production would ship only the
+    // incremental path. Same derived snapshot as q79, so the oracle replays
+    // it; token counts shuffle as (id, long) projections
+    "q116_incremental_tokens" -> ((s, dir) => {
+      val old = tbl(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val edited = old.where(pmod(col("doc_id"), lit(10)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 7, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val added = old.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val news = edited.unionByName(added)
+      val st = operators.Snapshot.diff(old, news, "doc_id", "text")
+      val tokOld = old.select(col("doc_id"), functions.Text.tokenCount(col("text")).as("t"))
+      val tokNew = news.select(col("doc_id"), functions.Text.tokenCount(col("text")).as("t"))
+      val oldTotal = tokOld.agg(sum(col("t")).as("old_total"))
+      val newExact = tokNew.agg(sum(col("t")).as("new_total"))
+      val plus = tokNew.join(st.where(col("status").isin("added", "changed")), "doc_id")
+        .agg(coalesce(sum(col("t")), lit(0L)).as("__plus"))
+      val minus = tokOld.join(st.where(col("status").isin("changed", "removed")), "doc_id")
+        .agg(coalesce(sum(col("t")), lit(0L)).as("__minus"))
+      oldTotal.crossJoin(newExact).crossJoin(plus).crossJoin(minus)
+        .select(col("old_total"), col("new_total"),
+          (col("old_total") + col("__plus") - col("__minus") === col("new_total"))
+            .as("incremental_consistent"))
+    }),
+
+    // difficulty-curriculum buckets: per language, how many docs are
+    // easy/mid/hard by length relative to THEIR language's robust
+    // distribution (|n_chars - median| vs 1 robust sigma = 1.4826 * MAD) —
+    // a global length threshold would label every CJK-style compact
+    // language "easy". Integer inequality keeps the boundary engine-exact
+    "q117_difficulty_buckets" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+      val stats = operators.Quantiles.robustStats(docs, "lang", "n_chars", "doc_id")
+      docs.join(stats, "lang")
+        .withColumn("bucket",
+          when((col("n_chars") - col("median")) * 10000L > col("mad") * 14826L, "hard")
+            .when((col("median") - col("n_chars")) * 10000L > col("mad") * 14826L, "easy")
+            .otherwise("mid"))
+        .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    // embedding-store hygiene audit: vectors whose squared norm deviates
+    // from THEIR label's robust center by > 2 robust sigmas (2 * 1.4826 *
+    // MAD) — truncated/corrupt/mis-scaled embeddings poison both ANN
+    // ranking and centroid math long before they fail anything loudly.
+    // norm^2 is the exact integer sum of round(v*1e6)^2, computed narrow
+    // (higher-order aggregate, no explode past the map side)
+    "q118_norm_outliers" -> ((s, dir) => {
+      val m = (x: Column) => round(x.cast("double") * 1000000.0).cast("long")
+      val n2 = tbl(s, dir, "embeddings")
+        .where(col("label").isNotNull)
+        .select(col("vec_id"), col("label"),
+          aggregate(col("embedding"), lit(0L), (acc, x) => acc + m(x) * m(x))
+            .as("norm2_micros"))
+      val stats = operators.Quantiles.robustStats(n2, "label", "norm2_micros", "vec_id")
+      n2.join(stats, "label")
+        .where(abs(col("norm2_micros") - col("median")) * 10000L > col("mad") * 29652L)
+        .select(col("vec_id"), col("label"), col("norm2_micros"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -1821,6 +1912,22 @@ object SparkEntry {
         concat_ws(" ",
           concat(lit("uniq"), col("doc_id").cast("string")),
           concat_ws(" ", slice(words, 1, 25))).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(plant)
+  }
+
+  /** q115's planted corpus: for every doc_id < 30 with >= 12 tokens, add a
+    * CONTINUATION doc under id+3e6 whose text is the source's LAST 12 tokens
+    * plus one unique token — the boundary-overlap machinery must pair
+    * (source, continuation) by tail-hash == head-hash. Same edge-strip
+    * tokenization as the kernel and oracle. */
+  private def plantContinuations(docs: DataFrame): DataFrame = {
+    val words = split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+")
+    val plant = docs
+      .where(col("doc_id") < 30 && col("text").isNotNull && size(words) >= 12)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(words, -12, 12)),
+          concat(lit("cont"), col("doc_id").cast("string"))).as("text"))
     docs.select(col("doc_id"), col("text")).unionByName(plant)
   }
 
@@ -2912,6 +3019,112 @@ object SparkEntry {
         |SELECT vec_id, status, neighbor_id FROM ch
         |UNION ALL
         |SELECT vec_id, status, neighbor_id FROM ad""".stripMargin,
+    // q114: q45's shingle CTEs, then first-occurrence = min doc_id per
+    // shingle; novelty = shingles whose first occurrence is this doc
+    "q114_shingle_novelty" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
+        |         i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS s
+        |  FROM d WHERE len(words) >= 3)),
+        |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |FROM sh JOIN f ON f.s = sh.s
+        |GROUP BY sh.doc_id""".stripMargin,
+    // q115: head/tail 12-token strings re-derived per doc (original corpus +
+    // the replayed planted continuations); pairs on tail = head, a <> b —
+    // string equality here, FNV-hash equality on the Spark side (64-bit
+    // collisions negligible, the q45 convention)
+    "q115_boundary_overlap" ->
+      """WITH tok AS (SELECT doc_id,
+        |               regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |                                  '[^ \x09-\x0D]+') AS words
+        |             FROM documents WHERE text IS NOT NULL),
+        |base AS (
+        |  SELECT doc_id, words FROM tok
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         list_append(words[len(words)-11 : len(words)], concat('cont', doc_id))
+        |  FROM tok WHERE doc_id < 30 AND len(words) >= 12),
+        |hb AS (SELECT doc_id,
+        |         array_to_string(words[1 : 12], ' ') AS head_s,
+        |         array_to_string(words[len(words)-11 : len(words)], ' ') AS tail_s
+        |       FROM base WHERE len(words) >= 12)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM hb a JOIN hb b ON a.tail_s = b.head_s AND a.doc_id <> b.doc_id""".stripMargin,
+    // q116: q79's derived snapshot + q21's token-count convention; the
+    // consistency gate is an arithmetic identity, so the oracle pins TRUE
+    "q116_incremental_tokens" ->
+      """WITH olds AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |news AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN text || ' rev2' ELSE text END AS text
+        |  FROM olds WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM olds WHERE doc_id < 20),
+        |toko AS (SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS t
+        |         FROM olds),
+        |tokn AS (SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS t
+        |         FROM news)
+        |SELECT CAST((SELECT sum(t) FROM toko) AS BIGINT) AS old_total,
+        |       CAST((SELECT sum(t) FROM tokn) AS BIGINT) AS new_total,
+        |       TRUE AS incremental_consistent""".stripMargin,
+    // q117: the q98 median/MAD chain keyed on lang over n_chars, then the
+    // same 1-robust-sigma integer bucket inequality and group count
+    "q117_difficulty_buckets" ->
+      """WITH r AS (SELECT lang, n_chars AS v, doc_id
+        |           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |rk AS (SELECT lang, v,
+        |         row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n FROM r),
+        |med AS (SELECT lang,
+        |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS median
+        |        FROM rk GROUP BY lang),
+        |d AS (SELECT r.lang, abs(r.v - med.median) AS av, r.doc_id
+        |      FROM r JOIN med ON r.lang = med.lang),
+        |dk AS (SELECT lang, av,
+        |         row_number() OVER (PARTITION BY lang ORDER BY av, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |mad AS (SELECT lang,
+        |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN av END) AS mad
+        |        FROM dk GROUP BY lang),
+        |b AS (SELECT r.lang,
+        |        CASE WHEN (r.v - med.median) * 10000 > mad.mad * 14826 THEN 'hard'
+        |             WHEN (med.median - r.v) * 10000 > mad.mad * 14826 THEN 'easy'
+        |             ELSE 'mid' END AS bucket
+        |      FROM r JOIN med ON r.lang = med.lang JOIN mad ON r.lang = mad.lang)
+        |SELECT lang, bucket, count(*) AS n FROM b GROUP BY 1, 2""".stripMargin,
+    // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
+    // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
+    "q118_norm_outliers" ->
+      """WITH n2 AS (
+        |  SELECT vec_id, label, CAST(sum(m * m) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, label,
+        |          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |        FROM embeddings WHERE label IS NOT NULL)
+        |  GROUP BY vec_id, label),
+        |rk AS (SELECT label, v,
+        |         row_number() OVER (PARTITION BY label ORDER BY v, vec_id) AS rn,
+        |         count(*) OVER (PARTITION BY label) AS n FROM n2),
+        |med AS (SELECT label,
+        |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS median
+        |        FROM rk GROUP BY label),
+        |d AS (SELECT n2.label, abs(n2.v - med.median) AS av, n2.vec_id
+        |      FROM n2 JOIN med ON n2.label = med.label),
+        |dk AS (SELECT label, av,
+        |         row_number() OVER (PARTITION BY label ORDER BY av, vec_id) AS rn,
+        |         count(*) OVER (PARTITION BY label) AS n FROM d),
+        |mad AS (SELECT label,
+        |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN av END) AS mad
+        |        FROM dk GROUP BY label)
+        |SELECT n2.vec_id, n2.label, n2.v AS norm2_micros
+        |FROM n2 JOIN med ON n2.label = med.label JOIN mad ON n2.label = mad.label
+        |WHERE abs(n2.v - med.median) * 10000 > mad.mad * 29652""".stripMargin,
     // q111: the same ceil(p·n) integer rank over a row_number ranking (the
     // value at a rank is tie-invariant, so the window tiebreak is free)
     "q111_global_quantiles" ->

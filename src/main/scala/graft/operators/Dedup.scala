@@ -129,6 +129,37 @@ object Dedup {
         sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup"))
   }
 
+  /**
+   * Per-document n-gram NOVELTY — the curriculum / crawl-ordering signal:
+   * how many of a document's distinct n-gram shingles appear FIRST in this
+   * document (global first = the minimum id over every document containing
+   * the shingle). A document full of shingles first seen elsewhere is
+   * boilerplate or near-copy; a high-novelty document introduces new
+   * content — the corpus-level complement of [[duplicateShingleStats]]
+   * (which counts shared-anywhere, order-blind).
+   *
+   * SCALE SHAPE: identical to [[duplicateShingleStats]] — the (id, 64-bit
+   * hash) projection shuffles once for the per-shingle min, joins back by
+   * hash (linear in shingle mass, never doc x doc), and the persisted-SER
+   * frame keeps the tokenize kernel from running twice. Documents with
+   * fewer than n tokens emit no row.
+   *
+   * Returns (idCol, n_shingles, n_novel).
+   */
+  def noveltyProfile(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                     unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val sh = shingleHashes(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { sh.unpersist(); () })
+    val first = sh.groupBy(col("h")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, "h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+  }
+
   /** Distinct word n-gram shingles as an array column (native expressions:
     * `sequence` + `transform` + `slice`, fully codegen'd). */
   def shingles(text: Column, n: Int): Column = {
@@ -205,6 +236,41 @@ object Dedup {
         }
       }
       .toDF(idCol, "pos", "h")
+  }
+
+  /**
+   * Document BOUNDARY-OVERLAP pairs — the crawl-segmentation artifact
+   * detector: (id_a, id_b) where the LAST k tokens of a equal the FIRST k
+   * tokens of b (a != b). A page split mid-paragraph by the fetcher, or a
+   * continuation scrape, shows up exactly this way; chaining the pairs
+   * reconstructs the original document order. Matching uses
+   * [[windowHashes]]'s FNV-1a window hashes, so the comparison never
+   * materializes token strings.
+   *
+   * SCALE SHAPE: one window-kernel pass collapses per document to a single
+   * (id, head_hash, tail_hash) row — min/max over the positional struct in
+   * ONE aggregation whose shuffle carries three longs per document — then a
+   * hash-equi-join pairs tails with heads (linear in matches, never doc x
+   * doc; a boilerplate k-gram shared by d heads and d tails costs d^2 pair
+   * rows for THAT hash only, the same df-locality as every shingle join
+   * here). Documents with fewer than k tokens have no boundary and emit
+   * nothing.
+   */
+  def boundaryOverlapPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+                           unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    require(k > 0, s"boundary window must be positive, got $k")
+    val hb = windowHashes(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("pos"), col("h"))).as("__head"),
+        max(struct(col("pos"), col("h"))).as("__tail"))
+      .select(col(idCol), col("__head.h").as("__head_h"), col("__tail.h").as("__tail_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { hb.unpersist(); () })
+    hb.select(col(idCol).as("id_a"), col("__tail_h").as("__h"))
+      .join(hb.select(col(idCol).as("id_b"), col("__head_h").as("__h")), "__h")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /**

@@ -618,6 +618,46 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Dedup.noveltyProfile") {
+    it("counts shingles whose global FIRST occurrence (min id) is this doc") {
+      val docs = Seq(
+        (1L, "a b c d"),      // introduces "a b c", "b c d"
+        (2L, "a b c x"),      // "a b c" first seen in doc 1; introduces "b c x"
+        (3L, "b c d y"),      // both shingles first seen elsewhere? "b c d"@1, introduces "c d y"
+        (4L, "ab")            // too short: absent
+      ).toDF("doc_id", "text")
+      val got = Dedup.noveltyProfile(docs, "doc_id", "text", n = 3)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, nov) => id -> ((n, nov)) }.toMap
+      assert(got === Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L))))
+    }
+  }
+
+  describe("Dedup.boundaryOverlapPairs") {
+    it("pairs docs whose last k tokens equal another doc's first k tokens") {
+      val docs = Seq(
+        (1L, "a b c d e"),      // tail-3 = "c d e"
+        (2L, "c d e f g"),      // head-3 = "c d e" -> (1, 2); tail-3 = "e f g"
+        (3L, "e f g h"),        // head-3 = "e f g" -> (2, 3)
+        (4L, "x y"),            // too short: no boundary
+        (5L, "p q r")           // exactly k: head == tail, no partner
+      ).toDF("doc_id", "text")
+      val got = Dedup.boundaryOverlapPairs(docs, "doc_id", "text", k = 3)
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L), (2L, 3L)))
+    }
+
+    it("a doc whose head equals its OWN tail never self-pairs, but pairs with an identical-boundary doc") {
+      val docs = Seq(
+        (1L, "s s s"),          // head == tail == "s s s"
+        (2L, "s s s")           // same boundary: both directions pair
+      ).toDF("doc_id", "text")
+      val got = Dedup.boundaryOverlapPairs(docs, "doc_id", "text", k = 3)
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L), (2L, 1L)))
+    }
+  }
+
   describe("Dedup repeated spans (cross-document exact-substring dedup)") {
     val docs = Seq(
       (1L, "a b c d e f g h"),        // shares "a b c d e" with doc 2
