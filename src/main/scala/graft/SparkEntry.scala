@@ -1726,6 +1726,65 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("norm2_micros"))
     }),
 
+    // MERGEABLE bloom filters — the bloom analog of q87's HLL invariance:
+    // per-batch bitsets OR together into EXACTLY the from-scratch bitset
+    // (insertion is itself a bit_or of deterministic lane bits), so an
+    // incremental load never rebuilds over history. merge_exact is the
+    // in-query word-compare gate; the join result through the MERGED
+    // filter must equal the oracle's unpruned join (no false negatives)
+    "q119_bloom_merge" -> ((s, dir) => {
+      val bits = 1 << 16; val k = 3
+      val urgent = tbl(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val merged = operators.Bloom.mergeFilters(
+        operators.Bloom.buildFilter(
+          urgent.where(pmod(col("o_orderkey"), lit(2)) === 0), "o_orderkey", bits, k),
+        operators.Bloom.buildFilter(
+          urgent.where(pmod(col("o_orderkey"), lit(2)) === 1), "o_orderkey", bits, k))
+      val direct = operators.Bloom.buildFilter(urgent, "o_orderkey", bits, k)
+      val mism = operators.Bloom.filterMismatch(merged, direct)
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      operators.Bloom.pruneWith(li, merged, "l_orderkey", bits, k)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"))
+        .crossJoin(mism)
+        .select(col("n_items"), col("sum_qty_cents"),
+          (col("n_mismatch") === 0L).as("merge_exact"))
+    }),
+
+    // encoding/mojibake audit: U+FFFD replacement chars and C0 control
+    // bytes are the fingerprints of double-decoded or truncated crawl text
+    // — cheap narrow counts that catch corruption before tokenization eats
+    // it. Planted corrupt docs (+4000000, a replacement char and a control
+    // char appended) give the oracle deterministic non-zero rows
+    "q120_encoding_audit" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val corrupt = base.where(col("doc_id") < 15)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit("\uFFFD bad \u0001x")).as("text"))
+      base.unionByName(corrupt)
+        .select(col("doc_id"),
+          functions.Text.substrCount(col("text"), "\uFFFD").as("n_replacement"),
+          regexp_count(col("text"), lit("[\\x00-\\x08\\x0E-\\x1F]")).cast("long")
+            .as("n_control"))
+        .withColumn("is_suspect", col("n_replacement") > 0 || col("n_control") > 0)
+    }),
+
+    // FILTERED vector search: q38's probe restricted to an allow-list
+    // (even labels) by semi-joining the standing index's inverted lists —
+    // no rebuild, no vector movement; exhaustive probing keeps the ranking
+    // exact so the oracle is brute force over the filtered corpus
+    "q121_filtered_ann" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val keep = emb.where(pmod(col("label"), lit(2)) === 0).select(col("vec_id"))
+      val idx = operators.Similarity.restrict(ensureIvfIndex(s, dir), keep, "vec_id")
+      operators.Similarity.ivfProbe(idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, nProbe = 16)
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3125,6 +3184,43 @@ object SparkEntry {
         |SELECT n2.vec_id, n2.label, n2.v AS norm2_micros
         |FROM n2 JOIN med ON n2.label = med.label JOIN mad ON n2.label = mad.label
         |WHERE abs(n2.v - med.median) * 10000 > mad.mad * 29652""".stripMargin,
+    // q119: the oracle is the UNPRUNED join (pruning must not lose a row)
+    // and the merge-exactness gate is an algebraic identity -> constant TRUE
+    "q119_bloom_merge" ->
+      """SELECT count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |       TRUE AS merge_exact
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // q120: replacement chars via the replace-arithmetic count, C0 controls
+    // (minus tab/newline/CR — legitimate whitespace) via regexp_extract_all;
+    // the planted corrupt docs replay with chr()
+    "q120_encoding_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text || chr(65533) || ' bad ' || chr(1) || 'x'
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 15)
+        |SELECT doc_id,
+        |       CAST(len(text) - len(replace(text, chr(65533), '')) AS BIGINT) AS n_replacement,
+        |       CAST(len(regexp_extract_all(text, '[\x00-\x08\x0E-\x1F]')) AS BIGINT) AS n_control,
+        |       (len(text) - len(replace(text, chr(65533), '')) > 0
+        |        OR len(regexp_extract_all(text, '[\x00-\x08\x0E-\x1F]')) > 0) AS is_suspect
+        |FROM base""".stripMargin,
+    // q121: q38's brute-force oracle restricted to the even-label corpus —
+    // exhaustive probing of the semi-joined lists is exact, so rank parity
+    // is deterministic
+    "q121_filtered_ann" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+        |           c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.label % 2 = 0) t
+        |WHERE rank <= 5""".stripMargin,
     // q111: the same ceil(p·n) integer rank over a row_number ranking (the
     // value at a rank is tie-invariant, so the window tiebreak is free)
     "q111_global_quantiles" ->

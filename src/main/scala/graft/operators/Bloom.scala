@@ -60,6 +60,50 @@ object Bloom {
   }
 
   /**
+   * Merge Bloom bitsets built with the SAME (numBits, numHashes): word-wise
+   * `bit_or`. Because insertion is itself a bit_or of deterministic lane
+   * bits, the merge is EXACT: filter(A) merged with filter(B) is
+   * bit-identical to filter(A ∪ B) — the incremental-ingest primitive
+   * (build per batch/source/snapshot, persist, OR together at read time;
+   * never rebuild over history). O(numBits) work regardless of how many
+   * keys the inputs summarized.
+   */
+  def mergeFilters(filters: DataFrame*): DataFrame = {
+    require(filters.nonEmpty, "need at least one filter to merge")
+    filters.reduce(_ unionByName _)
+      .select(explode(col(BitsCol)).as(Seq("word_idx", "word")))
+      .groupBy(col("word_idx"))
+      .agg(bit_or(col("word")).as("word"))
+      .agg(map_from_entries(collect_list(struct(col("word_idx"), col("word")))).as(BitsCol))
+  }
+
+  /** Single-row `(n_mismatch)`: count of 64-bit words differing between two
+    * bitsets (absent words compare as zero). The in-query gate for
+    * [[mergeFilters]]' exactness claim — 0 iff the bitsets are identical. */
+  def filterMismatch(a: DataFrame, b: DataFrame): DataFrame = {
+    val ea = a.select(explode(col(BitsCol)).as(Seq("word_idx", "__wa")))
+    val eb = b.select(explode(col(BitsCol)).as(Seq("word_idx", "__wb")))
+    ea.join(eb, Seq("word_idx"), "full_outer")
+      .agg(coalesce(sum(when(
+          coalesce(col("__wa"), lit(0L)) =!= coalesce(col("__wb"), lit(0L)), 1L)
+        .otherwise(0L)), lit(0L)).as("n_mismatch"))
+  }
+
+  /**
+   * Prune `probe` with an ALREADY-BUILT filter (from [[buildFilter]] or
+   * [[mergeFilters]]) — the persisted-bitset path of an incremental load,
+   * where [[prunedEquiJoin]] would rebuild from scratch. Same no-false-
+   * negative guarantee; `numBits`/`numHashes` must match the build.
+   */
+  def pruneWith(probe: DataFrame, filter: DataFrame, keyCol: String,
+      numBits: Int, numHashes: Int): DataFrame = {
+    require(!probe.columns.contains(BitsCol), s"$BitsCol is reserved by pruneWith")
+    probe.crossJoin(broadcast(filter))
+      .where(mightContain(col(BitsCol), col(keyCol), numBits, numHashes))
+      .drop(BitsCol)
+  }
+
+  /**
    * Inner equi-join with the probe side Bloom-pruned before the shuffle:
    * build the filter from `build`'s keys, broadcast it (one tiny row), keep
    * only probe rows that might match, then run the real join. Result is

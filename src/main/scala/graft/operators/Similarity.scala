@@ -459,6 +459,22 @@ object Similarity {
   }
 
   /**
+   * FILTERED vector search: restrict a standing [[IvfIndex]] to an
+   * allow-list of ids (the metadata-predicate result — "only label X",
+   * "only license-clean docs", "only this snapshot's survivors") without
+   * rebuilding anything. The semi-join prunes the inverted lists; the
+   * quantizer is untouched, so probing behaves identically with fewer
+   * candidates — the standard pre-filtered ANN shape. The keep-set frame
+   * joins by id only (no vectors move), and the planner broadcasts it when
+   * small.
+   */
+  def restrict(index: IvfIndex, keep: DataFrame, idCol: String): IvfIndex =
+    new IvfIndex(index.centroids,
+      index.assigned.join(
+        keep.select(col(idCol).cast("long").as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi"))
+
+  /**
    * Probe a standing [[IvfIndex]]: each query scores only its `nProbe`
    * nearest inverted lists; exact cosine ranks the candidates. The recurring
    * cost of an IVF deployment — the expensive exact scoring touches

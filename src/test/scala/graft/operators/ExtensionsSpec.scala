@@ -690,6 +690,19 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       } finally { idx.assigned.unpersist(); () }
     }
 
+    it("restrict() pre-filters the lists: results == brute force over the allow-listed corpus only") {
+      val idx = Similarity.buildIvfIndex(vecs, "vec_id", "embedding", nCentroids = 2)
+      val keep = vecs.where($"vec_id" =!= 1L).select($"vec_id")
+      val got = Similarity.ivfProbe(Similarity.restrict(idx, keep, "vec_id"),
+        vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 2, nProbe = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val exact = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0),
+        vecs.where($"vec_id" =!= 1L), "vec_id", "embedding", 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === exact)
+      assert(!got.exists(_._2 == 1L), "excluded id surfaced from the restricted index")
+    }
+
     it("k-means-trained IVF still equals brute force under exhaustive probing; training is deterministic") {
       val exact = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
         .as[(Long, Long, Long)].collect().toSet

@@ -336,6 +336,30 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       // empty build side prunes everything
       assert(Bloom.prunedEquiJoin(probe, build.where(lit(false)), "k").count() === 0L)
     }
+
+    it("mergeFilters(a, b) is bit-identical to building over the union") {
+      val all = (0L until 300L).map(i => (i * 11, i)).toDF("k", "x")
+      val direct = Bloom.buildFilter(all, "k", 1 << 12, 3)
+      val merged = Bloom.mergeFilters(
+        Bloom.buildFilter(all.where(col("x") % 3 === 0), "k", 1 << 12, 3),
+        Bloom.buildFilter(all.where(col("x") % 3 === 1), "k", 1 << 12, 3),
+        Bloom.buildFilter(all.where(col("x") % 3 === 2), "k", 1 << 12, 3))
+      assert(Bloom.filterMismatch(merged, direct).as[Long].head() === 0L)
+      // and a genuinely different filter DOES mismatch
+      val other = Bloom.buildFilter(Seq((99999L, 0)).toDF("k", "x"), "k", 1 << 12, 3)
+      assert(Bloom.filterMismatch(merged, other).as[Long].head() > 0L)
+    }
+
+    it("pruneWith a merged filter keeps every true match (no false negatives)") {
+      val build = (0L until 150L).map(i => (i * 5, i)).toDF("k", "x")
+      val merged = Bloom.mergeFilters(
+        Bloom.buildFilter(build.where(col("x") < 75), "k", 1 << 14, 3),
+        Bloom.buildFilter(build.where(col("x") >= 75), "k", 1 << 14, 3))
+      val probe = (0L until 1000L).toDF("k")
+      val kept = Bloom.pruneWith(probe, merged, "k", 1 << 14, 3)
+        .as[Long].collect().toSet
+      (0L until 150L).foreach(i => assert(kept.contains(i * 5), s"lost true key ${i * 5}"))
+    }
   }
 
   describe("randomized brute-force comparisons (fixed seed)") {
