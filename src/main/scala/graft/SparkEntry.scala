@@ -27,10 +27,26 @@ import graft.sorted.syntax._
 object SparkEntry {
 
   private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS,false) which Spark 4 refuses by
-    // default; read as raw nanos Long (idempotent session conf).
+    // The driver's parquet has carried both TIMESTAMP(NANOS,false) (read as
+    // raw nanos Long via the legacy conf) and timestamp[us] (read as
+    // TIMESTAMP_NTZ) across regenerations. Normalize EVERY timestamp column
+    // to epoch-NANOS Long at the single load point, so all downstream
+    // nano-tick logic (session gaps, as-of boundaries, `ts div 1000` micro
+    // conversion) and the DuckDB oracles' `epoch_us(ts)` agree regardless of
+    // the on-disk unit. NTZ wall-clock is interpreted in UTC (pinned here,
+    // idempotent) — the same convention the oracle session uses.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.TimestampNTZType |
+             _: org.apache.spark.sql.types.TimestampType =>
+          acc.withColumn(f.name,
+            (unix_micros(col(f.name).cast("timestamp")) * 1000L).as(f.name))
+        case _ => acc
+      }
+    }
   }
 
   /** Cache-release callbacks registered by queries that persist an
@@ -624,9 +640,9 @@ object SparkEntry {
         .select($"user_id", struct(expr("ts div 1000").as("ts_us"), $"event_id").as("v"))
         .as[(Long, (Long, Long))]
       val ord = tbl(s, dir, "orders")
-        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast gives
-        // the same wall-clock epoch DuckDB's epoch_us computes
-        .select($"o_custkey", struct(unix_micros($"o_orderdate".cast("timestamp")).as("d_us"), $"o_orderkey").as("v"))
+        // tbl() normalizes o_orderdate to epoch NANOS; div 1000 gives the
+        // same wall-clock epoch-µs DuckDB's epoch_us computes
+        .select($"o_custkey", struct(expr("o_orderdate div 1000").as("d_us"), $"o_orderkey").as("v"))
         .as[(Long, (Long, Long))]
       operators.AsOf.asOfJoin(ev.groupSort(), ord.groupSort())(
           tsL = (l: (Long, Long)) => l._1,

@@ -266,7 +266,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
   it("q102 cohort retention carries only (user_id, week) through its exchanges") {
     val p = plan("q102_cohort_retention")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+    // the on-disk ts type varies across driver data regenerations
+    // (TIMESTAMP(NANOS) read as bigint vs timestamp[us] read as NTZ); the
+    // pin is COLUMN pruning, not the physical type
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>") ||
+      p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
       s"scan must prune to (ts, user_id):\n$p")
   }
 
