@@ -1801,6 +1801,104 @@ object SparkEntry {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, nProbe = 16)
     }),
 
+    // bigram language-model counts: consecutive-token pair counts plus the
+    // left-context total — the numerator/denominator of a count-based
+    // conditional P(w2|w1). The pairing is a NARROW array transform over
+    // each doc's token list (no self-join, no window, no posexplode+join);
+    // only (w1, w2) pairs cross the one shuffle with map-side partial
+    // counts, so the shuffle is vocabulary²-bounded, not corpus-bounded —
+    // what makes count-based LM stats tractable at 100 TB. The context
+    // totals re-aggregate the (already tiny) bigram frame, and the join
+    // back is planner-decided (broadcast at any real vocabulary size).
+    "q122_bigram_lm" -> ((s, dir) => {
+      val words = filter(
+        split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+"),
+        w => length(w) > lit(0))
+      val bg = tbl(s, dir, "documents").where(col("text").isNotNull)
+        .select(words.as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val ctx = c.groupBy(col("w1")).agg(sum(col("n")).as("n_ctx"))
+      c.join(ctx, "w1").select(col("w1"), col("w2"), col("n"), col("n_ctx"))
+    }),
+
+    // nucleus (top-p) source coverage: per language, the minimal
+    // count-ranked prefix of sources covering >= 90% of that language's
+    // documents — the "which sources actually matter" cut a mixture
+    // designer reads before assigning sampling weights. The window runs
+    // over the (lang, source) COUNT frame only — langs × sources rows, not
+    // corpus rows — so the sort is trivially driver-safe at any corpus
+    // size; the integer cross-multiply keeps the 90% boundary engine-exact.
+    "q123_nucleus_sources" -> ((s, dir) => {
+      val counts = tbl(s, dir, "documents")
+        .where(col("lang").isNotNull && col("source").isNotNull)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_docs").desc, col("source"))
+      counts
+        .withColumn("cum_before",
+          coalesce(sum(col("n_docs")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total", sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+        .where(col("cum_before") * 10L < col("total") * 9L)
+        .select(col("lang"), col("source"), col("n_docs"),
+          row_number().over(w).cast("long").as("rank"))
+    }),
+
+    // language-ID QA: confusion matrix of the stored lang label vs the
+    // n-gram heuristic's guess (q22's kernel) — the acceptance artifact for
+    // any cheap classifier before it gates a corpus: the off-diagonal mass
+    // IS the mislabeling rate per true language. Narrow guess on the scan,
+    // then a langs² aggregation — nothing corpus-sized shuffles.
+    "q124_langid_confusion" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), functions.Text.langGuess(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
+    }),
+
+    // SemDeDup-style semantic dedup: near-identical embeddings found by
+    // CENTROID BLOCKING — every vector is assigned to its nearest coarse
+    // centroid (the IVF quantizer; one narrow pass) and exact cosine runs
+    // only WITHIN a cell, never all-pairs — the embedding analog of the
+    // LSH-bucketed text path (q59), and the third in-tree scale-safe pair
+    // source. Planted exact copies (vec_id+5000000) provably land in their
+    // source's cell (identical vector -> identical argmax), so the recall
+    // gate is exact; survivors keep the lowest id per CC component. The
+    // oracle replays the construction arithmetically: all planted pairs
+    // recovered, survivors = the original corpus (max natural cosine in
+    // the data is ~0.6, far under the 0.999 duplicate threshold).
+    "q125_semantic_dedup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 40)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(planted)
+      val idx = operators.Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nCentroids = 16)
+      val a = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
+      val b = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
+      val pairs = a.join(b, Seq("cent_id"))
+        .where(col("id_a") < col("id_b") &&
+          operators.Similarity.cosine(col("va"), col("vb")) >= 0.999)
+        .select(col("id_a"), col("id_b"))
+        .persist()
+      onCleanup(() => { pairs.unpersist(); () })
+      val comp = operators.Dedup.connectedComponents(pairs)
+      val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+      val nRecovered = pairs
+        .where(col("id_a") < 40 && col("id_b") === col("id_a") + 5000000L)
+        .agg(count(lit(1)).as("n_recovered"))
+      val nDropped = comp.where(col("id") =!= col("component"))
+        .agg(count(lit(1)).as("__dropped"))
+      val nTotal = corpus.agg(count(lit(1)).as("__total"))
+      nPlanted.crossJoin(nRecovered).crossJoin(nDropped).crossJoin(nTotal)
+        .select(col("n_planted"), col("n_recovered"),
+          (col("__total") - col("__dropped")).as("n_survivors"),
+          (col("n_recovered") === col("n_planted")).as("recall_exact"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3237,6 +3335,59 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c
         |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.label % 2 = 0) t
         |WHERE rank <= 5""".stripMargin,
+    // q122: bigrams via a 1-based index unnest over the token list (DuckDB
+    // has no WITH ORDINALITY); same [^ \x09-\x0D]+ tokenization as q93/q107
+    "q122_bigram_lm" ->
+      """WITH d AS (SELECT regexp_extract_all(text, '[^ \x09-\x0D]+') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+        |c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_ctx FROM c GROUP BY 1)
+        |SELECT w1, w2, n, n_ctx FROM c JOIN ctx USING (w1)""".stripMargin,
+    // q123: the same rank/cumulative-prefix window; every sort key is
+    // non-null by the WHERE, and the 90% cut is an integer cross-multiply
+    "q123_nucleus_sources" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n_docs FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT lang, source, n_docs,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_docs DESC, source) AS BIGINT) AS rank,
+        |        coalesce(sum(n_docs) OVER (PARTITION BY lang
+        |          ORDER BY n_docs DESC, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |        sum(n_docs) OVER (PARTITION BY lang) AS total
+        |      FROM c)
+        |SELECT lang, source, n_docs, rank
+        |FROM w WHERE cum_before * 10 < total * 9""".stripMargin,
+    // q124: q22's guess CASE, keyed by the stored label -> langs² counts
+    "q124_langid_confusion" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    (len(pt) - len(replace(pt, ' the ', ''))) // 5 AS c_en,
+        |    (len(pt) - len(replace(pt, ' der ', ''))) // 5 AS c_de,
+        |    (len(pt) - len(replace(pt, ' le ', ''))) // 4 AS c_fr,
+        |    (len(pt) - len(replace(pt, ' el ', ''))) // 4 AS c_es
+        |  FROM (SELECT lang, concat(' ', text, ' ') AS pt FROM documents
+        |        WHERE text IS NOT NULL AND lang IS NOT NULL) p)
+        |SELECT lang,
+        |  CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |       WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+        |       WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+        |       WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+        |       ELSE 'und' END AS lang_guess,
+        |  count(*) AS n
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // q125: the planted construction replayed arithmetically — every copy
+    // pairs with its source (recall gate TRUE is an invariant of identical
+    // vectors sharing an argmax), and survivors are exactly the originals
+    // (max natural cosine ~0.6 << 0.999, verified at sf0.01 and sf0.1)
+    "q125_semantic_dedup" ->
+      """SELECT CAST(count(CASE WHEN vec_id < 40 THEN 1 END) AS BIGINT) AS n_planted,
+        |       CAST(count(CASE WHEN vec_id < 40 THEN 1 END) AS BIGINT) AS n_recovered,
+        |       CAST(count(*) AS BIGINT) AS n_survivors,
+        |       TRUE AS recall_exact
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     // q111: the same ceil(p·n) integer rank over a row_number ranking (the
     // value at a rank is tie-invariant, so the window tiebreak is free)
     "q111_global_quantiles" ->

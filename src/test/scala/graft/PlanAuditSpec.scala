@@ -404,6 +404,53 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  it("q122 bigram counts pair tokens NARROW (no self-join/window before the count shuffle)") {
+    val p = plan("q122_bigram_lm")
+    assert(!p.contains("Window"), s"bigram pairing must not window over tokens:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"scan must prune to text only:\n$p")
+    // the only exchanges are the two count aggs + the ctx join — token rows
+    // themselves never shuffle (Generate sits below the partial aggregate)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  it("q123 nucleus coverage windows the (lang, source) COUNT frame, not corpus rows") {
+    val p = plan("q123_nucleus_sources")
+    // the Window's child must be the aggregated count frame: exactly one
+    // pre-window hash aggregate pair over the pruned 2-column scan
+    assert(p.contains("ReadSchema: struct<lang:string,source:string>"),
+      s"scan must prune to (lang, source):\n$p")
+    assert(p.contains("Window"), p)
+    val genIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", genIdx) >= 0,
+      s"window must sit above the count aggregate:\n$p")
+  }
+
+  it("q125 semantic dedup blocks by centroid cell: equi-join on cent_id, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    // the final q125 plan reads cached/checkpointed frames, so pin the pair
+    // SOURCE at the operator (as the exactSimilarPairs test does): the
+    // within-cell compare must plan a hash-family equi-join on cent_id
+    val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val idx = operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCentroids = 16)
+    val a = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
+    val b = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
+    val pp = a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b") &&
+        operators.Similarity.cosine(col("va"), col("vb")) >= 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"within-cell compare must equi-join on cent_id:\n$pp")
+    assert(pp.contains("Join"), pp)
+    // full-query plan: the only non-equi joins are the 1-row scalar
+    // assembly crossJoins (q84/q119 convention)
+    val p = plan("q125_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {

@@ -85,6 +85,18 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
       val r = Seq((1L, 10L), (3L, 30L)).toDS.groupSort(2)
       assert(!l.canNarrowJoinWith(r) && !r.canNarrowJoinWith(l))
       val got = l.mergeJoinOuter(r)
+      // plan pin (the range↔hash analog of the narrow-merge parity test): the
+      // fallback must be the SQL cogroup — a CoGroup node fed by sorted
+      // exchanges — while a provable same-layout join plans NO CoGroup (it
+      // zips partitions in RDD land, surfacing as an ExternalRDD scan)
+      val mixedPlan = got.queryExecution.executedPlan.toString
+      assert(mixedPlan.contains("CoGroup"),
+        s"mixed range/hash layouts must take the cogroup path:\n$mixedPlan")
+      val narrowPlan = Seq((1L, "x")).toDS.groupSort(2)
+        .mergeJoinOuter(Seq((1L, 10L)).toDS.groupSort(2))
+        .queryExecution.executedPlan.toString
+      assert(!narrowPlan.contains("CoGroup") && narrowPlan.contains("Scan[obj"),
+        s"co-partitioned same-layout join must zip narrow (an object scan over the zipped RDD):\n$narrowPlan")
       assertMultiset(got, Seq(
         (1L, (Some("x"), Some(10L))), (2L, (Some("y"), None)), (3L, (None, Some(30L)))))
     }
