@@ -1899,6 +1899,83 @@ object SparkEntry {
           (col("n_recovered") === col("n_planted")).as("recall_exact"))
     }),
 
+    // the third MERGEABLE sketch (HLL q87, bloom q119): corpus-level
+    // MinHash signatures per source over token 3-gram shingles. Insertion
+    // is a per-seed min, so the signature of a union is the elementwise
+    // least() of the parts — per-batch signatures (doc-id parity models two
+    // incremental loads) merge into EXACTLY the from-scratch signature
+    // without re-reading history. merge_exact is the in-query per-seed
+    // compare (computed from three conditional mins in ONE aggregation
+    // pass, not three jobs); n_shingles grounds each row in an
+    // oracle-checkable exact value. Only (source, shingle) distincts and
+    // seeds×sources signature rows cross the shuffles — never raw text.
+    "q126_minhash_merge" -> ((s, dir) => {
+      val nSeeds = 16
+      val words = filter(
+        split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+"),
+        w => length(w) > lit(0))
+      val sh = tbl(s, dir, "documents")
+        .where(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("doc_id"), words.as("tk"))
+        .where(size(col("tk")) >= 3)
+        .select(col("source"), col("doc_id"), explode(expr(
+          "transform(slice(tk, 1, size(tk)-2), (w, i) -> concat_ws(' ', w, element_at(tk, i+2), element_at(tk, i+3)))"))
+          .as("shingle"))
+      val d = sh.groupBy(col("source"), col("shingle")).agg(
+        max(when(pmod(col("doc_id"), lit(2)) === 0, 1).otherwise(0)).as("in_a"),
+        max(when(pmod(col("doc_id"), lit(2)) === 1, 1).otherwise(0)).as("in_b"))
+      val seeded = d.select(col("source"), col("in_a"), col("in_b"),
+        posexplode(array((0 until nSeeds).map(i => xxhash64(col("shingle"), lit(i))): _*))
+          .as(Seq("seed", "h")))
+      val sig = seeded.groupBy(col("source"), col("seed")).agg(
+        min(col("h")).as("m_full"),
+        min(when(col("in_a") === 1, col("h"))).as("m_a"),
+        min(when(col("in_b") === 1, col("h"))).as("m_b"))
+      // least() skips NULLs (a shingle absent from one batch), matching the
+      // merge of a signature with an empty-set signature
+      val gate = sig.groupBy(col("source")).agg(
+        count(lit(1)).as("n_seeds"),
+        sum(when(least(col("m_a"), col("m_b")) =!= col("m_full"), 1L).otherwise(0L)).as("__mm"))
+      val nsh = d.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+      gate.join(nsh, "source")
+        .select(col("source"), col("n_seeds"),
+          (col("__mm") === 0L).as("merge_exact"), col("n_shingles"))
+    }),
+
+    // referential-integrity audit across the star: orphan foreign keys per
+    // edge via LEFT ANTI joins — only miss COUNTS materialize, never rows.
+    // On a 100 TB fact table this is the standing data-contract check run
+    // before any join-based pipeline trusts its keys; each anti-join's dim
+    // side is planner-decided (broadcast when it fits, shuffle when not),
+    // and a NULL foreign key counts as an orphan on both engines (an
+    // anti-join keeps it; NOT EXISTS with a null never matches).
+    "q127_fk_audit" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val ord = tbl(s, dir, "orders")
+      val edges: Seq[(String, DataFrame, DataFrame)] = Seq(
+        ("lineitem.l_orderkey->orders",
+          li.select(col("l_orderkey").as("k")),
+          ord.select(col("o_orderkey").as("k"))),
+        ("lineitem.l_partkey->part",
+          li.select(col("l_partkey").as("k")),
+          tbl(s, dir, "part").select(col("p_partkey").as("k"))),
+        ("lineitem.l_suppkey->supplier",
+          li.select(col("l_suppkey").as("k")),
+          tbl(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))),
+        ("orders.o_custkey->customer",
+          ord.select(col("o_custkey").as("k")),
+          tbl(s, dir, "customer").select(col("c_custkey").cast("long").as("k"))),
+        ("events.user_id->customer",
+          tbl(s, dir, "events").select(col("user_id").as("k")),
+          tbl(s, dir, "customer").select(col("c_custkey").cast("long").as("k"))))
+      edges.map { case (name, fact, dim) =>
+        fact.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(fact.join(dim, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3388,6 +3465,49 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_survivors,
         |       TRUE AS recall_exact
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    // q126: merge-exactness is the min-of-mins algebraic identity (constant
+    // TRUE); the shingle count is recomputed exactly with the shared
+    // [^ \x09-\x0D]+ tokenization
+    "q126_minhash_merge" ->
+      """WITH d AS (SELECT source, regexp_extract_all(text, '[^ \x09-\x0D]+') AS tk
+        |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |sh AS (SELECT DISTINCT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |       FROM d, unnest(generate_series(1, len(tk)-2)) AS u(i))
+        |SELECT source, CAST(16 AS BIGINT) AS n_seeds, TRUE AS merge_exact,
+        |       CAST(count(*) AS BIGINT) AS n_shingles
+        |FROM sh GROUP BY source""".stripMargin,
+    // q127: NOT EXISTS replays each anti-join; a NULL fk never matches, so
+    // it counts as an orphan on both engines
+    "q127_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS edge,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) FILTER (WHERE NOT EXISTS
+        |         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(*) FILTER (WHERE NOT EXISTS
+        |         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(*) FILTER (WHERE NOT EXISTS
+        |         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(*) FILTER (WHERE NOT EXISTS
+        |         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |FROM orders o
+        |UNION ALL
+        |SELECT 'events.user_id->customer',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(*) FILTER (WHERE NOT EXISTS
+        |         (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT)
+        |FROM events e""".stripMargin,
     // q111: the same ceil(p·n) integer rank over a row_number ranking (the
     // value at a rank is tie-invariant, so the window tiebreak is free)
     "q111_global_quantiles" ->
