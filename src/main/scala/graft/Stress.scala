@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [incremental|curation|snapshot] [sfDir] (default /root/testdata/sf0.1)
+ * Usage: runMain graft.Stress [incremental|curation|snapshot|events|semantic] [sfDir]
+ * (default sfDir /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -33,6 +34,7 @@ object Stress {
       case Some("curation") => "curation"
       case Some("snapshot") => "snapshot"
       case Some("events") => "events"
+      case Some("semantic") => "semantic"
       case _ => "embed"
     }
     val sfDir = args.drop(if (mode == "embed") 0 else 1)
@@ -49,6 +51,7 @@ object Stress {
     if (mode == "curation") { curationStudy(spark, sfDir); spark.stop(); return }
     if (mode == "snapshot") { snapshotStudy(spark, sfDir); spark.stop(); return }
     if (mode == "events") { eventsStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "semantic") { semanticStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -98,6 +101,49 @@ object Stress {
     val r = f
     println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     r
+  }
+
+  /** 10x semantic-dedup stress (the q125 chain): centroid-blocked embedding
+    * dedup on the corpus and on a 10x replica (every vector a 10-clique of
+    * identical copies — worst-case duplicate mass). The quantizer is sized
+    * to the corpus (k = n/500, the production rule that keeps the target
+    * cell width FIXED as data grows, so within-cell compare stays linear in
+    * n at constant cell size rather than O(n²)); identical vectors share an
+    * argmax regardless of k, so every clique lands intact in one cell and
+    * survivors must be scale-invariant: 10x survivors == 1x survivors. */
+  private def semanticStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    import operators.{Dedup, Similarity}
+    val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+      .persist(MEMORY_AND_DISK_SER)
+    def run(label: String, corpus: DataFrame): Long = {
+      val n = corpus.count()
+      val k = math.max(4, (n / 500).toInt)
+      val idx = timed(s"$label quantize+assign (k=$k)") {
+        val i = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nCentroids = k)
+        i.assigned.persist(MEMORY_AND_DISK_SER); i.assigned.count(); i
+      }
+      val a = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
+      val b = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
+      val pairs = a.join(b, Seq("cent_id"))
+        .where(col("id_a") < col("id_b") &&
+          Similarity.cosine(col("va"), col("vb")) >= 0.999)
+        .select(col("id_a"), col("id_b")).persist(MEMORY_AND_DISK_SER)
+      val np = timed(s"$label within-cell verified pairs")(pairs.count())
+      val dropped = timed(s"$label components + survivors")(
+        Dedup.connectedComponents(pairs).where(col("id") =!= col("component")).count())
+      println(s"[stress] $label: corpus=$n cells=$k pairs=$np survivors=${n - dropped}")
+      idx.assigned.unpersist(); pairs.unpersist()
+      n - dropped
+    }
+    val s1 = run("semantic 1x", emb)
+    val corpus10 = (0 until 10)
+      .map(i => emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_)).persist(MEMORY_AND_DISK_SER)
+    corpus10.count()
+    val s10 = run("semantic 10x", corpus10)
+    println(s"[stress] survivor scale-invariance: 1x=$s1 10x=$s10 equal=${s1 == s10}")
   }
 
   /** 10x incremental-probe stress: standing docs indexed once, a 10x-copied
