@@ -1927,17 +1927,20 @@ object SparkEntry {
       val seeded = d.select(col("source"), col("in_a"), col("in_b"),
         posexplode(array((0 until nSeeds).map(i => xxhash64(col("shingle"), lit(i))): _*))
           .as(Seq("seed", "h")))
+      // the shingle count rides the SAME aggregation (each (source, seed)
+      // group holds one row per shingle), so the whole query is one scan —
+      // a separate count frame would re-tokenize the corpus a second time
       val sig = seeded.groupBy(col("source"), col("seed")).agg(
         min(col("h")).as("m_full"),
         min(when(col("in_a") === 1, col("h"))).as("m_a"),
-        min(when(col("in_b") === 1, col("h"))).as("m_b"))
+        min(when(col("in_b") === 1, col("h"))).as("m_b"),
+        count(lit(1)).as("n_sh"))
       // least() skips NULLs (a shingle absent from one batch), matching the
       // merge of a signature with an empty-set signature
-      val gate = sig.groupBy(col("source")).agg(
+      sig.groupBy(col("source")).agg(
         count(lit(1)).as("n_seeds"),
-        sum(when(least(col("m_a"), col("m_b")) =!= col("m_full"), 1L).otherwise(0L)).as("__mm"))
-      val nsh = d.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
-      gate.join(nsh, "source")
+        sum(when(least(col("m_a"), col("m_b")) =!= col("m_full"), 1L).otherwise(0L)).as("__mm"),
+        max(col("n_sh")).as("n_shingles"))
         .select(col("source"), col("n_seeds"),
           (col("__mm") === 0L).as("merge_exact"), col("n_shingles"))
     }),
@@ -1974,6 +1977,26 @@ object SparkEntry {
             .agg(count(lit(1)).as("n_orphans")))
           .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
       }.reduce(_.unionByName(_))
+    }),
+
+    // the flagship EMA (the reference README's motivating use case) as an
+    // ORACLE'D query, not just a smoke check: an integer-exact EMA
+    // (ema' = (3*ema + v) / 4 over value-cents; all values positive, so
+    // Spark's truncating division and DuckDB's // agree) folded per user in
+    // (ts, event_id) order with reduceLeftByKey — order-sensitive per-key
+    // state on the group-sorted layout, replayed exactly by the oracle's
+    // ordered list_reduce.
+    "q128_ema_reduce" -> ((s, dir) => {
+      import s.implicits._
+      val ds = tbl(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select($"user_id",
+          struct($"ts", $"event_id", round($"value" * 100).cast("long").as("cents")).as("v"))
+        .as[(Long, (Long, Long, Long))]
+      ds.groupSort()
+        .reduceLeftByKey((acc, v) => (acc._1, acc._2, (3L * acc._3 + v._3) / 4L))
+        .map { case (u, (_, _, ema)) => (u, ema) }
+        .toDF("user_id", "ema_cents")
     }),
 
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
@@ -3508,6 +3531,16 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE NOT EXISTS
         |         (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT)
         |FROM events e""".stripMargin,
+    // q128: the ordered list_reduce replays the integer EMA recurrence; all
+    // cents are positive so // (truncating) matches Scala's /
+    "q128_ema_reduce" ->
+      """WITH v AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |                  ts, event_id
+        |           FROM events WHERE value IS NOT NULL)
+        |SELECT user_id,
+        |       list_reduce(list(cents ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
+        |                   (acc, x) -> (3*acc + x) // 4) AS ema_cents
+        |FROM v GROUP BY user_id""".stripMargin,
     // q111: the same ceil(p·n) integer rank over a row_number ranking (the
     // value at a rank is tie-invariant, so the window tiebreak is free)
     "q111_global_quantiles" ->

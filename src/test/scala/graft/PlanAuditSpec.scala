@@ -451,6 +451,28 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  it("q126 minhash merge: one aggregation pass computes all three signatures; text never re-reads") {
+    val p = plan("q126_minhash_merge")
+    // three conditional mins in ONE HashAggregate keyed (source, seed) — a
+    // per-batch re-scan would show three separate scans of documents
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"signature build must scan documents ONCE:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  it("q127 fk audit: every edge is an anti-join (counts only), no cartesian anywhere") {
+    val p = plan("q127_fk_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    // LEFT ANTI appears per fact->dim edge
+    assert("LeftAnti".r.findAllIn(p).size === 5, s"expected 5 anti-join edges:\n$p")
+  }
+
+  it("q128 flagship EMA: one exchange (the groupSort layout), no window, no join") {
+    val p = plan("q128_ema_reduce")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {
