@@ -29,15 +29,12 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption match {
-      case Some("incremental") => "incremental"
-      case Some("curation") => "curation"
-      case Some("snapshot") => "snapshot"
-      case Some("events") => "events"
-      case Some("semantic") => "semantic"
-      case _ => "embed"
-    }
-    val sfDir = args.drop(if (mode == "embed") 0 else 1)
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic")
+    val explicitMode = args.headOption.filter(modes)
+    val mode = explicitMode.getOrElse("embed")
+    // an explicit mode token consumes args(0) — previously `Stress embed <dir>`
+    // read "embed" as the sfDir
+    val sfDir = args.drop(if (explicitMode.isDefined) 1 else 0)
       .headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
