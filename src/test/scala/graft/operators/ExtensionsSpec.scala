@@ -549,6 +549,28 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       (2L, Array(0.0f, 1.0f, 0.0f)),
       (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
 
+    it("centroid-blocked dedup (q125's chain): planted copies land in their source's cell; survivors are the originals") {
+      // three well-separated clusters of 3; ids 0..8, plus exact copies of
+      // 0/3/6 under +100 — the q125 construction at unit scale
+      val base = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.98f, 0.05f, 0.0f)), (2L, Array(0.97f, 0.0f, 0.05f)),
+        (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.05f, 0.98f, 0.0f)), (5L, Array(0.0f, 0.97f, 0.05f)),
+        (6L, Array(0.0f, 0.0f, 1.0f)), (7L, Array(0.05f, 0.0f, 0.98f)), (8L, Array(0.0f, 0.05f, 0.97f)))
+      val corpus = (base ++ Seq(0L, 3L, 6L).map(i => (i + 100L, base(i.toInt)._2)))
+        .toDF("vec_id", "embedding")
+      val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nCentroids = 3)
+      val a = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
+      val b = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
+      val pairs = a.join(b, Seq("cent_id"))
+        .where(col("id_a") < col("id_b") && Similarity.cosine(col("va"), col("vb")) >= 0.999)
+        .select(col("id_a"), col("id_b"))
+      // exactly the three planted (source, copy) pairs survive the verify
+      assert(pairs.as[(Long, Long)].collect().toSet === Set((0L, 100L), (3L, 103L), (6L, 106L)))
+      val comp = Dedup.connectedComponents(pairs)
+      val survivors = 12L - comp.where(col("id") =!= col("component")).count()
+      assert(survivors === 9L) // every copy collapses onto its original
+    }
+
     it("hardNegatives ranks only cross-label neighbors, skipping null labels") {
       val labeled = Seq(
         (0L, Array(1.0f, 0.0f, 0.0f), java.lang.Integer.valueOf(1)),   // query, label 1
