@@ -1999,6 +1999,37 @@ object SparkEntry {
         .toDF("user_id", "ema_cents")
     }),
 
+    // perplexity-proxy quality filter from q122's count-based LM, in pure
+    // integer math (no logs — float log-prob sums drift across engines): a
+    // doc is suspect when most of its bigrams are RARE in the corpus
+    // (count < 5). The probe broadcasts the COMMON set, not the rare one —
+    // Zipf puts most distinct bigrams in the rare tail, so the common head
+    // is the vocabulary-bounded small side; per-doc bigrams then mark
+    // themselves with one broadcast lookup, no corpus-sized shuffle. The
+    // (doc_id, w1, w2) frame persists for its two consumers (global counts
+    // + per-doc probe) instead of re-tokenizing the corpus twice.
+    "q129_rare_bigram_rate" -> ((s, dir) => {
+      val words = filter(
+        split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+"),
+        w => length(w) > lit(0))
+      val bg = tbl(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), words.as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+        .persist()
+      onCleanup(() => { bg.unpersist(); () })
+      val common = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5L).select(col("w1"), col("w2"), lit(1).as("__common"))
+      bg.join(broadcast(common), Seq("w1", "w2"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("__common").isNull, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("is_suspect", col("n_rare") * 2L > col("n_bigrams"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3541,6 +3572,19 @@ object SparkEntry {
         |       list_reduce(list(cents ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
         |                   (acc, x) -> (3*acc + x) // 4) AS ema_cents
         |FROM v GROUP BY user_id""".stripMargin,
+    // q129: per-doc rare-bigram rate against the corpus bigram counts —
+    // same tokenization and the same integer threshold
+    "q129_rare_bigram_rate" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D]+') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+        |c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(count(*) FILTER (WHERE c.n < 5) AS BIGINT) AS n_rare,
+        |       count(*) FILTER (WHERE c.n < 5) * 2 > count(*) AS is_suspect
+        |FROM bg JOIN c USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
     // q111: the same ceil(p·n) integer rank over a row_number ranking (the
     // value at a rank is tie-invariant, so the window tiebreak is free)
     "q111_global_quantiles" ->

@@ -467,6 +467,15 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert("LeftAnti".r.findAllIn(p).size === 5, s"expected 5 anti-join edges:\n$p")
   }
 
+  it("q129 rare-bigram probe joins the BROADCAST common set (the Zipf head), never shuffling doc bigrams for the lookup") {
+    val p = plan("q129_rare_bigram_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"common-set lookup must broadcast (the vocabulary-bounded side):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the (doc_id, w1, w2) frame must persist for its two consumers:\n$p")
+  }
+
   it("q128 flagship EMA: one exchange (the groupSort layout), no window, no join") {
     val p = plan("q128_ema_reduce")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
