@@ -55,8 +55,11 @@ object Bench {
     // min-vs-median gap in the RAW reps is what makes an ambient CPU-steal
     // burst self-evident in the artifact (instead of needing a re-run to
     // adjudicate an elevated row)
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator would scramble the JSON array
     val raw = results.collect { case (k, _, ts, true) =>
-      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, true) => v }.sum
     val failed = results.count(!_._4)

@@ -1691,8 +1691,14 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val news = edited.unionByName(added)
       val st = operators.Snapshot.diff(old, news, "doc_id", "text")
+      // each token frame feeds TWO aggregates (total + the diff-joined
+      // slice); persist the compact (doc_id, t) projection so the corpus is
+      // scanned and tokenized once per side, not twice (q129's convention)
       val tokOld = old.select(col("doc_id"), functions.Text.tokenCount(col("text")).as("t"))
+        .persist()
       val tokNew = news.select(col("doc_id"), functions.Text.tokenCount(col("text")).as("t"))
+        .persist()
+      onCleanup(() => { tokOld.unpersist(); tokNew.unpersist(); () })
       val oldTotal = tokOld.agg(sum(col("t")).as("old_total"))
       val newExact = tokNew.agg(sum(col("t")).as("new_total"))
       val plus = tokNew.join(st.where(col("status").isin("added", "changed")), "doc_id")
@@ -1811,9 +1817,7 @@ object SparkEntry {
     // totals re-aggregate the (already tiny) bigram frame, and the join
     // back is planner-decided (broadcast at any real vocabulary size).
     "q122_bigram_lm" -> ((s, dir) => {
-      val words = filter(
-        split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+"),
-        w => length(w) > lit(0))
+      val words = functions.Text.edgeStrippedTokens(col("text"))
       val bg = tbl(s, dir, "documents").where(col("text").isNotNull)
         .select(words.as("tk"))
         .where(size(col("tk")) >= 2)
@@ -1877,13 +1881,7 @@ object SparkEntry {
         .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
       val corpus = emb.unionByName(planted)
       val idx = operators.Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nCentroids = 16)
-      val a = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
-      val b = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
-      val pairs = a.join(b, Seq("cent_id"))
-        .where(col("id_a") < col("id_b") &&
-          operators.Similarity.cosine(col("va"), col("vb")) >= 0.999)
-        .select(col("id_a"), col("id_b"))
-        .persist()
+      val pairs = operators.Similarity.centroidBlockedPairs(idx, 0.999).persist()
       onCleanup(() => { pairs.unpersist(); () })
       val comp = operators.Dedup.connectedComponents(pairs)
       val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
@@ -1911,9 +1909,7 @@ object SparkEntry {
     // seeds×sources signature rows cross the shuffles — never raw text.
     "q126_minhash_merge" -> ((s, dir) => {
       val nSeeds = 16
-      val words = filter(
-        split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+"),
-        w => length(w) > lit(0))
+      val words = functions.Text.edgeStrippedTokens(col("text"))
       val sh = tbl(s, dir, "documents")
         .where(col("text").isNotNull && col("source").isNotNull)
         .select(col("source"), col("doc_id"), words.as("tk"))
@@ -2009,9 +2005,7 @@ object SparkEntry {
     // (doc_id, w1, w2) frame persists for its two consumers (global counts
     // + per-doc probe) instead of re-tokenizing the corpus twice.
     "q129_rare_bigram_rate" -> ((s, dir) => {
-      val words = filter(
-        split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+"),
-        w => length(w) > lit(0))
+      val words = functions.Text.edgeStrippedTokens(col("text"))
       val bg = tbl(s, dir, "documents").where(col("text").isNotNull)
         .select(col("doc_id"), words.as("tk"))
         .where(size(col("tk")) >= 2)
@@ -2140,7 +2134,7 @@ object SparkEntry {
     * final statement recurses.) */
   private val candidateCte: String =
     """WITH RECURSIVE d AS (SELECT doc_id,
-      |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+      |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
       |                                '[^ \x09-\x0D]+') AS words
       |           FROM documents WHERE text IS NOT NULL),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -2209,7 +2203,7 @@ object SparkEntry {
     // Java trim), NOT SQL trim (spaces only): the q96/q97 oracle's bw CTE
     // strips the same class, and a fixture text with a leading tab would
     // otherwise yield a phantom empty token that shifts the 25-token slice
-    val words = split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+")
+    val words = functions.Text.edgeStrippedTokens(col("text"))
     val plant = docs
       .where(col("doc_id") < 50 && col("text").isNotNull && size(words) >= 25)
       .select((col("doc_id") + 2000000L).as("doc_id"),
@@ -2225,7 +2219,7 @@ object SparkEntry {
     * (source, continuation) by tail-hash == head-hash. Same edge-strip
     * tokenization as the kernel and oracle. */
   private def plantContinuations(docs: DataFrame): DataFrame = {
-    val words = split(regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+")
+    val words = functions.Text.edgeStrippedTokens(col("text"))
     val plant = docs
       .where(col("doc_id") < 30 && col("text").isNotNull && size(words) >= 12)
       .select((col("doc_id") + 3000000L).as("doc_id"),
@@ -2462,7 +2456,7 @@ object SparkEntry {
     // runs of non-[space \x09-\x0D] (Java's \s class precisely).
     "q45_jaccard_exact" ->
       """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -2498,7 +2492,7 @@ object SparkEntry {
       """SELECT count(*) AS n_planted, count(*) AS n_found
         |FROM documents
         |WHERE doc_id < 100 AND text IS NOT NULL
-        |  AND len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |  AND len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                             '[^ \x09-\x0D]+')) >= 3""".stripMargin,
     "q49_bucketed_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
@@ -2550,7 +2544,7 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
     "q54_chunk_words" ->
       """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, words, start FROM (
@@ -2604,7 +2598,7 @@ object SparkEntry {
     // themselves rather than q55's surviving documents.
     "q58_dedup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -2654,7 +2648,7 @@ object SparkEntry {
     // pinned by q45-q48 + LshRecallSpec/IvfRecallSpec.
     "q27_minhash_neardup" ->
       """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL AND doc_id < 100),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -2685,7 +2679,7 @@ object SparkEntry {
     // distinct shared 64-bit FNV hashes — collisions ~grams^2/2^64, nil)
     "q61_contamination" ->
       """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -2704,7 +2698,7 @@ object SparkEntry {
     // fill + n > capacity)
     "q62_pack_chunks" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
@@ -2768,7 +2762,7 @@ object SparkEntry {
     // Java-trim/split word derivation)
     "q65_incremental_dedup" ->
       """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL AND doc_id < 100),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -3037,7 +3031,7 @@ object SparkEntry {
     // smaller shingle set) instead of Jaccard
     "q85_containment_neardup" ->
       """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -3208,7 +3202,7 @@ object SparkEntry {
     // source comparisons are binary collation in both engines
     "q101_source_overlap" ->
       """WITH d AS (SELECT doc_id, source,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |gs AS (SELECT DISTINCT source, s FROM (
@@ -3278,7 +3272,7 @@ object SparkEntry {
     // chunk; majority via the struct-min(-count, lang) trick
     "q112_mixed_language" ->
       """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, words, start FROM (
@@ -3327,7 +3321,7 @@ object SparkEntry {
     // shingle; novelty = shingles whose first occurrence is this doc
     "q114_shingle_novelty" ->
       """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                '[^ \x09-\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -3345,7 +3339,7 @@ object SparkEntry {
     // collisions negligible, the q45 convention)
     "q115_boundary_overlap" ->
       """WITH tok AS (SELECT doc_id,
-        |               regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', ''),
+        |               regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
         |                                  '[^ \x09-\x0D]+') AS words
         |             FROM documents WHERE text IS NOT NULL),
         |base AS (
@@ -3469,7 +3463,8 @@ object SparkEntry {
     // q122: bigrams via a 1-based index unnest over the token list (DuckDB
     // has no WITH ORDINALITY); same [^ \x09-\x0D]+ tokenization as q93/q107
     "q122_bigram_lm" ->
-      """WITH d AS (SELECT regexp_extract_all(text, '[^ \x09-\x0D]+') AS tk
+      """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
         |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),
@@ -3523,7 +3518,8 @@ object SparkEntry {
     // TRUE); the shingle count is recomputed exactly with the shared
     // [^ \x09-\x0D]+ tokenization
     "q126_minhash_merge" ->
-      """WITH d AS (SELECT source, regexp_extract_all(text, '[^ \x09-\x0D]+') AS tk
+      """WITH d AS (SELECT source, regexp_extract_all(regexp_replace(text,
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
         |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
         |sh AS (SELECT DISTINCT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
         |       FROM d, unnest(generate_series(1, len(tk)-2)) AS u(i))
@@ -3575,7 +3571,8 @@ object SparkEntry {
     // q129: per-doc rare-bigram rate against the corpus bigram counts —
     // same tokenization and the same integer threshold
     "q129_rare_bigram_rate" ->
-      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D]+') AS tk
+      """WITH d AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
         |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),

@@ -121,12 +121,7 @@ object Stress {
         val i = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nCentroids = k)
         i.assigned.persist(MEMORY_AND_DISK_SER); i.assigned.count(); i
       }
-      val a = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
-      val b = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
-      val pairs = a.join(b, Seq("cent_id"))
-        .where(col("id_a") < col("id_b") &&
-          Similarity.cosine(col("va"), col("vb")) >= 0.999)
-        .select(col("id_a"), col("id_b")).persist(MEMORY_AND_DISK_SER)
+      val pairs = Similarity.centroidBlockedPairs(idx, 0.999).persist(MEMORY_AND_DISK_SER)
       val np = timed(s"$label within-cell verified pairs")(pairs.count())
       val dropped = timed(s"$label components + survivors")(
         Dedup.connectedComponents(pairs).where(col("id") =!= col("component")).count())

@@ -18,6 +18,19 @@ object Text {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
+  /** THE canonical token array every bigram/shingle kernel and its DuckDB
+    * oracle share: strip the full `[\x00-\x20]` class (= Java trim) at the
+    * EDGES only, split on `\s+`, drop empties. Interior control bytes stay
+    * inside tokens — exactly what the oracle's
+    * `regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$',
+    * '', 'g'), '[^ \x09-\x0D]+')` extraction produces (the `'g'` flag
+    * matters: both edges must strip). Centralized here because five kernels
+    * share it and a drifted copy is a silent Spark/oracle divergence. */
+  def edgeStrippedTokens(text: Column): Column =
+    filter(
+      split(regexp_replace(text, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+"),
+      w => length(w) > lit(0))
+
   /** Exact number of occurrences of literal `token` via replace-arithmetic —
     * identical semantics in every SQL engine, exact integer math. */
   def substrCount(text: Column, token: String): Column =

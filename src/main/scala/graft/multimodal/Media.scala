@@ -78,7 +78,12 @@ object Media {
         var pos = 2
         while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff) {
           val marker = bytes(pos + 1) & 0xff
-          if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (marker == 0xff) {
+            // spec-legal 0xFF fill bytes may pad before any marker; the
+            // marker byte is the first non-0xFF after the run — treating a
+            // fill byte as a marker would consume a bogus length field
+            pos += 1
+          } else if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
             return if (pos + 8 < bytes.length) Some((be16(bytes, pos + 7), be16(bytes, pos + 5)))
             else None
           } else if (marker == 0xd8 || marker == 0xd9 || marker == 0x01 ||

@@ -29,12 +29,30 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   private val BitsCol = "__bloom_bits"
+  private val NumBitsCol = "__bloom_num_bits"
+  private val NumHashesCol = "__bloom_num_hashes"
 
   private def lanePositions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
 
+  /** A lazily-evaluated guard that the filter row's recorded geometry matches
+    * the caller's (numBits, numHashes): lane positions are computed modulo
+    * numBits, so mismatched geometry silently voids the no-false-negative
+    * guarantee — the one failure mode a bitset cannot self-detect. Returns a
+    * Column that is TRUE on match and raises at execution time on mismatch
+    * (no extra job: the check rides the probe's own evaluation). */
+  private def geometryGuard(numBits: Int, numHashes: Int): Column =
+    when(col(NumBitsCol) =!= numBits || col(NumHashesCol) =!= numHashes,
+      raise_error(concat(
+        lit(s"bloom geometry mismatch: caller ($numBits bits, $numHashes hashes) vs built ("),
+        col(NumBitsCol), lit(" bits, "), col(NumHashesCol), lit(" hashes)"))).cast("boolean"))
+      .otherwise(lit(true))
+
   /** Bloom bitset over `keyCol`, as ONE row holding a map<word-index, word>
-    * (absent words are implicit zeros). `numBits` need not be a power of two. */
+    * (absent words are implicit zeros) plus the build geometry — consumers
+    * verify (numBits, numHashes) against the recorded values, because a
+    * probe modulo the wrong numBits silently drops true matches. `numBits`
+    * need not be a power of two. */
   def buildFilter(df: DataFrame, keyCol: String, numBits: Int, numHashes: Int): DataFrame = {
     require(numBits > 0 && numHashes > 0,
       s"numBits/numHashes must be positive, got $numBits/$numHashes")
@@ -44,6 +62,7 @@ object Bloom {
       .agg(bit_or(call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64L)).cast("int")))
         .as("word"))
       .agg(map_from_entries(collect_list(struct(col("word_idx"), col("word")))).as(BitsCol))
+      .select(col(BitsCol), lit(numBits).as(NumBitsCol), lit(numHashes).as(NumHashesCol))
   }
 
   /** True iff every lane bit of `key` is set in the bitset map (never false
@@ -70,11 +89,26 @@ object Bloom {
    */
   def mergeFilters(filters: DataFrame*): DataFrame = {
     require(filters.nonEmpty, "need at least one filter to merge")
-    filters.reduce(_ unionByName _)
+    val u = filters.reduce(_ unionByName _)
+    val merged = u
       .select(explode(col(BitsCol)).as(Seq("word_idx", "word")))
       .groupBy(col("word_idx"))
       .agg(bit_or(col("word")).as("word"))
       .agg(map_from_entries(collect_list(struct(col("word_idx"), col("word")))).as(BitsCol))
+    // geometry must agree across ALL inputs — ORing maps whose bit positions
+    // were computed modulo different numBits is silent data loss. Checked
+    // lazily in the merged row itself (no extra job).
+    val geom = u.agg(
+      min(col(NumBitsCol)).as("__gb_min"), max(col(NumBitsCol)).as("__gb_max"),
+      min(col(NumHashesCol)).as("__gh_min"), max(col(NumHashesCol)).as("__gh_max"))
+    merged.crossJoin(geom)
+      .select(col(BitsCol),
+        when(col("__gb_min") =!= col("__gb_max") || col("__gh_min") =!= col("__gh_max"),
+          raise_error(concat(lit("bloom geometry mismatch across merged filters: bits ["),
+            col("__gb_min"), lit(", "), col("__gb_max"), lit("], hashes ["),
+            col("__gh_min"), lit(", "), col("__gh_max"), lit("]"))).cast("int"))
+          .otherwise(col("__gb_min")).as(NumBitsCol),
+        col("__gh_min").as(NumHashesCol))
   }
 
   /** Single-row `(n_mismatch)`: count of 64-bit words differing between two
@@ -98,9 +132,12 @@ object Bloom {
   def pruneWith(probe: DataFrame, filter: DataFrame, keyCol: String,
       numBits: Int, numHashes: Int): DataFrame = {
     require(!probe.columns.contains(BitsCol), s"$BitsCol is reserved by pruneWith")
+    require(filter.columns.contains(NumBitsCol),
+      "filter lacks recorded geometry — build it with Bloom.buildFilter/mergeFilters")
     probe.crossJoin(broadcast(filter))
-      .where(mightContain(col(BitsCol), col(keyCol), numBits, numHashes))
-      .drop(BitsCol)
+      .where(geometryGuard(numBits, numHashes) &&
+        mightContain(col(BitsCol), col(keyCol), numBits, numHashes))
+      .drop(BitsCol, NumBitsCol, NumHashesCol)
   }
 
   /**
@@ -117,7 +154,7 @@ object Bloom {
     val filt = buildFilter(build, keyCol, numBits, numHashes)
     probe.crossJoin(broadcast(filt))
       .where(mightContain(col(BitsCol), col(keyCol), numBits, numHashes))
-      .drop(BitsCol)
+      .drop(BitsCol, NumBitsCol, NumHashesCol)
       .join(build, keyCol)
   }
 }

@@ -475,6 +475,24 @@ object Similarity {
         Seq("neighbor_id"), "left_semi"))
 
   /**
+   * SemDeDup-style centroid-blocked near-duplicate pair source over a built
+   * [[IvfIndex]]: exact cosine runs only WITHIN a quantizer cell (a
+   * `cent_id` equi-join), never all-pairs — the embedding analog of the
+   * LSH-bucketed text path. Size the quantizer to the corpus
+   * (k ≈ n / targetCellWidth) and the within-cell compare stays linear in n
+   * at a fixed cell width; identical vectors share an argmax at ANY k, so
+   * exact duplicates always meet in a cell. Returns (id_a, id_b) with
+   * id_a < id_b and cosine >= minCosine.
+   */
+  def centroidBlockedPairs(index: IvfIndex, minCosine: Double): DataFrame = {
+    val a = index.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
+    val b = index.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
+    a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /**
    * Probe a standing [[IvfIndex]]: each query scores only its `nProbe`
    * nearest inverted lists; exact cosine ranks the candidates. The recurring
    * cost of an IVF deployment — the expensive exact scoring touches

@@ -436,11 +436,7 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     val emb = SparkEntry.tbl(spark, dir, "embeddings")
       .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
     val idx = operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCentroids = 16)
-    val a = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
-    val b = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
-    val pp = a.join(b, Seq("cent_id"))
-      .where(col("id_a") < col("id_b") &&
-        operators.Similarity.cosine(col("va"), col("vb")) >= 0.999)
+    val pp = operators.Similarity.centroidBlockedPairs(idx, 0.999)
       .queryExecution.executedPlan.toString
     assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
       s"within-cell compare must equi-join on cent_id:\n$pp")

@@ -559,11 +559,7 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       val corpus = (base ++ Seq(0L, 3L, 6L).map(i => (i + 100L, base(i.toInt)._2)))
         .toDF("vec_id", "embedding")
       val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nCentroids = 3)
-      val a = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
-      val b = idx.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
-      val pairs = a.join(b, Seq("cent_id"))
-        .where(col("id_a") < col("id_b") && Similarity.cosine(col("va"), col("vb")) >= 0.999)
-        .select(col("id_a"), col("id_b"))
+      val pairs = Similarity.centroidBlockedPairs(idx, 0.999)
       // exactly the three planted (source, copy) pairs survive the verify
       assert(pairs.as[(Long, Long)].collect().toSet === Set((0L, 100L), (3L, 103L), (6L, 106L)))
       val comp = Dedup.connectedComponents(pairs)
@@ -915,8 +911,15 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
         val sof = Media.syntheticJpeg(300, 200, Array.empty[Byte]).drop(2) // SOF0 segment only
         (Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof)
       }
-      val df = Seq((1L, png), (2L, jpg), (3L, jpgApp0)).toDF("id", "blob")
+      // spec-legal 0xFF fill bytes may pad before any marker — a walker that
+      // treats a fill byte as a marker reads a bogus length and desyncs
+      val jpgFill = {
+        val sof = Media.syntheticJpeg(300, 200, Array.empty[Byte]).drop(2)
+        (Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xff.toByte) ++ sof)
+      }
+      val df = Seq((1L, png), (2L, jpg), (3L, jpgApp0), (4L, jpgFill)).toDF("id", "blob")
       val got = Media.extractFeatures(df, "id", "blob").collect().map(m => m.id -> m).toMap
+      assert((got(4L).width, got(4L).height) === (300L, 200L))
       assert(got(1L).kind === "png")
       assert((got(1L).width, got(1L).height) === (640L, 481L))
       assert(got(1L).n_bytes === 33L + payload.length) // sig(8) + len(4) + IHDR(17) + crc(4)

@@ -350,6 +350,21 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(Bloom.filterMismatch(merged, other).as[Long].head() > 0L)
     }
 
+    it("mismatched geometry fails LOUD: merge of unequal filters and prune with wrong args both raise") {
+      val build = (0L until 50L).map(i => (i * 3, i)).toDF("k", "x")
+      val f16 = Bloom.buildFilter(build, "k", 1 << 16, 3)
+      val f12 = Bloom.buildFilter(build, "k", 1 << 12, 3)
+      // bit positions are computed modulo numBits — ORing maps of different
+      // geometry, or probing with the wrong one, silently drops true matches,
+      // so the recorded geometry must be enforced, not assumed
+      val merged = Bloom.mergeFilters(f16, f12)
+      val ex1 = intercept[Exception](merged.collect())
+      assert(ex1.getMessage.contains("geometry mismatch"), ex1.getMessage)
+      val ex2 = intercept[Exception](
+        Bloom.pruneWith((0L until 10L).toDF("k"), f16, "k", 1 << 12, 3).collect())
+      assert(ex2.getMessage.contains("geometry mismatch"), ex2.getMessage)
+    }
+
     it("pruneWith a merged filter keeps every true match (no false negatives)") {
       val build = (0L until 150L).map(i => (i * 5, i)).toDF("k", "x")
       val merged = Bloom.mergeFilters(
