@@ -2024,6 +2024,31 @@ object SparkEntry {
         .withColumn("is_suspect", col("n_rare") * 2L > col("n_bigrams"))
     }),
 
+    // curriculum mixing: q117's per-language difficulty buckets sampled at
+    // bucket-specific rates — keep ALL hard, 1/2 mid, 1/4 easy — the
+    // difficulty-weighted mix a curriculum trainer reads. The keep decision
+    // is the sampling suite's deterministic per-row md5 threshold (salt
+    // "curriculum"), so the mix is engine-reproducible, rerun-stable, and
+    // growing the corpus never evicts a kept row; the per-language robust
+    // stats join back planner-decided, and the filter itself is narrow.
+    "q130_curriculum_mix" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val stats = operators.Quantiles.robustStats(docs, "lang", "n_chars", "doc_id")
+      val keepNum = when(col("bucket") === "hard", lit(4L))
+        .when(col("bucket") === "mid", lit(2L)).otherwise(lit(1L))
+      docs.join(stats, "lang")
+        .withColumn("bucket",
+          when((col("n_chars") - col("median")) * 10000L > col("mad") * 14826L, "hard")
+            .when((col("median") - col("n_chars")) * 10000L > col("mad") * 14826L, "easy")
+            .otherwise("mid"))
+        // hash*4 < keepNum*2^32  <=>  hash < (keepNum/4)*2^32, exact in longs
+        .where(operators.Sampling.hash32(col("doc_id"), "curriculum") * 4L <
+          keepNum * 4294967296L)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3397,6 +3422,32 @@ object SparkEntry {
         |             ELSE 'mid' END AS bucket
         |      FROM r JOIN med ON r.lang = med.lang JOIN mad ON r.lang = mad.lang)
         |SELECT lang, bucket, count(*) AS n FROM b GROUP BY 1, 2""".stripMargin,
+    // q130: q117's bucket derivation + the md5-threshold keep replay
+    "q130_curriculum_mix" ->
+      """WITH r AS (SELECT lang, n_chars AS v, doc_id
+        |           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |rk AS (SELECT lang, v,
+        |         row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n FROM r),
+        |med AS (SELECT lang,
+        |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS median
+        |        FROM rk GROUP BY lang),
+        |d AS (SELECT r.lang, abs(r.v - med.median) AS av, r.doc_id
+        |      FROM r JOIN med ON r.lang = med.lang),
+        |dk AS (SELECT lang, av,
+        |         row_number() OVER (PARTITION BY lang ORDER BY av, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |mad AS (SELECT lang,
+        |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN av END) AS mad
+        |        FROM dk GROUP BY lang),
+        |b AS (SELECT r.doc_id, r.lang,
+        |        CASE WHEN (r.v - med.median) * 10000 > mad.mad * 14826 THEN 'hard'
+        |             WHEN (med.median - r.v) * 10000 > mad.mad * 14826 THEN 'easy'
+        |             ELSE 'mid' END AS bucket
+        |      FROM r JOIN med ON r.lang = med.lang JOIN mad ON r.lang = mad.lang)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'curriculum'), 1, 8)) AS UBIGINT) * 4
+        |      < (CASE bucket WHEN 'hard' THEN 4 WHEN 'mid' THEN 2 ELSE 1 END) * 4294967296""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->
