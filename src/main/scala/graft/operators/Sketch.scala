@@ -48,7 +48,11 @@ object Sketch {
    * rows, never a full groupBy of the vocabulary. Null keys are skipped (they
    * don't count toward n).
    *
-   * Returns one row per surviving key: `(keyCol, mg_lower)`. The summary may
+   * Returns one row per surviving key: `(keyCol, mg_lower)` — the key comes
+   * back as a STRING (counters key on the cast form); numeric-key callers
+   * re-joining the summary against the source should cast their side to
+   * string (or the summary key back) to avoid implicit-cast surprises.
+   * The summary may
    * hold more than k keys after the merge; it is a SUPERSET of the true
    * heavy-hitter set, so callers filter candidates by an exact count of the
    * candidates only (a broadcast-semi-join-sized recount, not a full
