@@ -2049,6 +2049,84 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bucket"))
     }),
 
+    // ---- RDD compat surface (graft.rdd) driven through the correctness
+    // gate: the reference's PRIMARY API, with the key sort done by the
+    // shuffle itself (repartitionAndSortWithinPartitions) — the one
+    // semantic the Dataset surface can't express ----
+
+    // q131: secondary-sorted groupSort + mapStreamByKey — q01's semantics
+    // (top-3 events per user in (ts, event_id) order) so it shares q01's
+    // proven oracle, but the layout/streaming runs on RDDs end to end
+    "q131_rdd_topn_per_key" -> ((s, dir) => {
+      import s.implicits._
+      import graft.rdd.syntax._
+      val rdd = tbl(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id").as[(Long, Long, Long)]
+        .rdd.map { case (u, ts, eid) => (u, (ts, eid)) }
+      rdd.groupSort(implicitly[Ordering[(Long, Long)]])
+        .mapStreamByKey(_.take(3).map(_._2))
+        .toDF("user_id", "event_id")
+    }),
+
+    // q132: ONE-shuffle combiner aggregation (map-side partial sums riding
+    // the sorted shuffle) + co-layout (`groupSort(other)`) + narrow
+    // mergeJoinInner — zero exchanges after the two layout shuffles
+    "q132_rdd_merge_join" -> ((s, dir) => {
+      import s.implicits._
+      import graft.rdd.syntax._
+      val orders = tbl(s, dir, "orders")
+        .where(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+        .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+        .as[(Long, Long)].rdd
+      val cust = tbl(s, dir, "customer")
+        .where(col("c_custkey").isNotNull)
+        .select($"c_custkey", $"c_mktsegment").as[(Long, String)].rdd
+      val sums = orders.groupSort((a: Long, b: Long) => a + b)
+      val segs = cust.groupSort(sums) // co-layout: join below zips partitions
+      sums.mergeJoinInner(segs)
+        .map { case (k, (cents, seg)) => (k, cents, seg) }
+        .toDF("c_custkey", "sum_price_cents", "c_mktsegment")
+    }),
+
+    // ---- retrieval: lexical scoring + hybrid rank fusion ----
+
+    // q133: BM25 top-10 for a fixed query-term bag — integer-exact (ratio
+    // idf, no ln; per-(doc,term) contributions scaled to BIGINT before the
+    // order-free sum); global top-k via TakeOrderedAndProject (no global
+    // sort), rank stamped on the 10-row result
+    "q133_bm25_topk" -> ((s, dir) => {
+      val scores = operators.Retrieval.bm25(
+        tbl(s, dir, "documents"), "doc_id", "text", Seq("spark", "vector", "merge"))
+      val top = scores.orderBy(col("bm25_scaled").desc, col("doc_id").asc).limit(10)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(col("bm25_scaled").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("bm25_scaled"), col("rank"))
+    }),
+
+    // q134: hybrid search — the q133 lexical ranking fused with a vector
+    // ranking (exact cosine top-50 around doc 0's embedding; vec_id aligns
+    // with doc_id) via reciprocal-rank fusion. RRF compares RANKS, never
+    // raw scores across lists, so the fused score is a pure function of
+    // two engine-exact rank lists
+    "q134_hybrid_rrf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val lexScores = operators.Retrieval.bm25(
+        tbl(s, dir, "documents"), "doc_id", "text", Seq("spark", "vector", "merge"))
+      val lex = lexScores.orderBy(col("bm25_scaled").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("bm25_scaled").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val vec = operators.Similarity.bruteForceTopK(
+          emb.where(col("vec_id") === 0), emb.where(col("vec_id") =!= 0),
+          "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = operators.Retrieval.rrfFuse(Seq(lex, vec), "doc_id", "rank")
+      val top = fused.orderBy(col("rrf_scaled").desc, col("doc_id").asc).limit(10)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(col("rrf_scaled").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("rrf_scaled"), col("n_lists"), col("rank"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3448,6 +3526,89 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'curriculum'), 1, 8)) AS UBIGINT) * 4
         |      < (CASE bucket WHEN 'hard' THEN 4 WHEN 'mid' THEN 2 ELSE 1 END) * 4294967296""".stripMargin,
+    // q131: the RDD surface computes q01's semantics — same proven oracle
+    "q131_rdd_topn_per_key" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin,
+    "q132_rdd_merge_join" ->
+      """SELECT o.o_custkey AS c_custkey,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |       c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 3""".stripMargin,
+    // q133/q134: every float op is the SAME IEEE expression tree Spark
+    // builds (ratio idf — no ln; +,*,/ are correctly rounded, literals
+    // written unfolded as (1.2 + 1.0) etc so both engines fold identically),
+    // and each contribution is scaled to BIGINT before the order-free sum
+    "q133_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |              FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |           ((tf.tf * (1.2 + 1.0)) /
+        |            (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |              (dl.dl / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs))))) * 1e9
+        |         ) AS BIGINT)) AS BIGINT) AS bm25_scaled
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+        |  GROUP BY 1)
+        |SELECT doc_id, bm25_scaled, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, bm25_scaled,
+        |         row_number() OVER (ORDER BY bm25_scaled DESC, doc_id ASC) AS rank
+        |  FROM scores) WHERE rank <= 10""".stripMargin,
+    "q134_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |              FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |           ((tf.tf * (1.2 + 1.0)) /
+        |            (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |              (dl.dl / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs))))) * 1e9
+        |         ) AS BIGINT)) AS BIGINT) AS bm25_scaled
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+        |  GROUP BY 1),
+        |lex AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25_scaled DESC, doc_id ASC) AS rank
+        |  FROM scores) WHERE rank <= 50),
+        |vec AS (SELECT vec_id AS doc_id, rank FROM (
+        |  SELECT c.vec_id, row_number() OVER (ORDER BY
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+        |    c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0) t
+        |  WHERE rank <= 50),
+        |contribs AS (
+        |  SELECT doc_id, CAST(round(1e9 / (60.0 + rank)) AS BIGINT) AS contrib FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST(round(1e9 / (60.0 + rank)) AS BIGINT) AS contrib FROM vec),
+        |fused AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_scaled,
+        |                 CAST(count(*) AS BIGINT) AS n_lists
+        |          FROM contribs GROUP BY 1)
+        |SELECT doc_id, rrf_scaled, n_lists, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, rrf_scaled, n_lists,
+        |         row_number() OVER (ORDER BY rrf_scaled DESC, doc_id ASC) AS rank
+        |  FROM fused) WHERE rank <= 10""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Lexical retrieval scoring and rank fusion — the search half of a
+ * training-data curation stack (mining docs relevant to a probe query,
+ * fusing lexical and vector rankings before dedup/decontamination).
+ *
+ * Engine-exact discipline: no transcendentals. BM25's usual `ln` idf is
+ * replaced by its ratio core `(N - df + 0.5) / (df + 0.5)` (the
+ * Robertson-Sparck Jones odds without the log damping); every remaining op
+ * is IEEE +,*,/ — correctly rounded, so two engines evaluating the SAME
+ * expression tree produce bit-identical doubles — and each per-(doc, term)
+ * contribution is scaled to `round(x * 1e9)` BIGINT before the order-free
+ * integer SUM (float summation order is partition-dependent; integer
+ * summation is not).
+ */
+object Retrieval {
+
+  /**
+   * BM25-style relevance of every document to a fixed bag of query terms.
+   *
+   * One pass tokenizes (whitespace split, Java-trim edges — the q64/q21
+   * oracle convention), then:
+   *  - `dl` per-doc token length, `corpus` the 1-row (n_docs, total_dl);
+   *  - `tf` only for query terms (the corpus-wide token stream is filtered
+   *    BEFORE the per-term aggregate, so the shuffle carries query-term hits
+   *    only — |terms| is a user-bounded constant);
+   *  - `df` per query term, broadcast (|terms| rows);
+   *  - per-(doc, term) contribution
+   *    `idf_ratio * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`,
+   *    scaled to BIGINT, summed per doc.
+   *
+   * SCALE SHAPE: one shuffle keyed by doc id (tf ⋈ dl co-partitioned), the
+   * term table and the 1-row corpus stats broadcast; nothing is
+   * keys-proportional on the driver. Returns `(idCol, bm25_scaled)`; only
+   * docs containing at least one query term appear (a doc with score 0
+   * carries no information for ranking).
+   *
+   * k1/b reach the plan as `lit(k1) + lit(1.0)`-shaped expressions (never
+   * pre-folded in Scala) so an oracle writing the same literals folds to the
+   * same doubles.
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = toks.where(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfn = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl") / avgdl)))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib", round(idf * tfn * lit(1.0e9)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("bm25_scaled"))
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): each ranked list
+   * contributes `1 / (k0 + rank)` per id; ids high in ANY list surface, ids
+   * high in SEVERAL dominate. Contributions are scaled to
+   * `round(1e9 / (k0 + rank))` BIGINT — rank is a small integer, so the
+   * score is a pure function of rank positions, immune to float-sum order
+   * and to cross-engine score-scale differences (fusion never compares raw
+   * scores across lists, only ranks — the property that makes RRF the
+   * default hybrid-search combiner).
+   *
+   * Input frames carry `(idCol, rankCol)`; ranks should be bounded (top-k
+   * lists), making this a union of tiny frames + one hash aggregate.
+   * Returns `(idCol, rrf_scaled, n_lists)`.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contribs = rankings.map(_.select(col(idCol),
+      round(lit(1.0e9) / (lit(k0.toDouble) + col(rankCol))).cast("long").as("contrib")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
+  }
+}
