@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/**
+ * BM25 / RRF against an in-test reference implementation on a tiny corpus —
+ * the unit-level complement of the q133/q134 cross-engine oracle gate.
+ */
+class RetrievalSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark fast"),
+    (2L, "spark merge"),
+    (3L, "other words here"),
+    (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+  private val terms = Seq("spark", "merge")
+
+  // local double-precision BM25 with the operator's exact formula shape
+  private def expectedBm25: Map[Long, Long] = {
+    val toks = Map(1L -> Seq("spark", "spark", "fast"), 2L -> Seq("spark", "merge"),
+      3L -> Seq("other", "words", "here"))
+    val nDocs = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    val dfm = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    toks.flatMap { case (id, ts) =>
+      val contribs = terms.flatMap { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val idf = (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5)
+          val tfn = (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (ts.size / avgdl)))
+          Some(math.round(idf * tfn * 1.0e9))
+        }
+      }
+      if (contribs.isEmpty) None else Some(id -> contribs.sum)
+    }
+  }
+
+  test("bm25 matches the reference formula; null-text and no-hit docs are absent") {
+    val got = Retrieval.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expectedBm25)
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  test("bm25 is invariant to input partitioning (integer contributions sum order-free)") {
+    val sliced = docs.repartition(7)
+    val a = Retrieval.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Retrieval.bm25(sliced, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("rrfFuse sums round(1e9/(k0+rank)) per id and counts contributing lists") {
+    val l1 = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val l2 = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    def c(rank: Long): Long = math.round(1.0e9 / (60.0 + rank))
+    val got = Retrieval.rrfFuse(Seq(l1, l2), "id", "rank")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      10L -> (c(1), 1L),
+      20L -> ((c(2) + c(1)), 2L),
+      30L -> (c(2), 1L)))
+  }
+}
