@@ -478,6 +478,24 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
   }
 
+  it("q133 BM25 prunes the documents scan, broadcasts df/corpus stats, and top-ks without a global sort") {
+    val p = plan("q133_bm25_topk")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // per-term df (|terms| rows) and the 1-row corpus stats ride broadcasts;
+    // the only equi-joins key on term / doc id — never a cartesian
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // global top-10 is per-partition k + driver merge, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k:\n$p")
+  }
+
+  it("q134 hybrid RRF fuses two bounded rank lists: no cartesian, broadcast query vector, top-k merge") {
+    val p = plan("q134_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k:\n$p")
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {
