@@ -2127,6 +2127,39 @@ object SparkEntry {
         .select(col("doc_id"), col("rrf_scaled"), col("n_lists"), col("rank"))
     }),
 
+    // q135: PMI-ranked collocations — adjacent token pairs co-occurring far
+    // above chance (the association measure behind multiword-expression
+    // mining). PMI's log is MONOTONE, so ranking by the raw ratio
+    // P(ab)/(P(a)P(b)) = c_ab*T*T/(P*c_a*c_b) needs no transcendental at
+    // all: the ratio is scaled x100 in exact BIGINT cross-multiplication
+    // (T^3*100 fits a long through sf10; document-scale beyond that drops
+    // the x100). Count frames are vocab-/pair-bounded, never corpus-row-
+    // bounded; the top-20 is a TakeOrderedAndProject.
+    "q135_pmi_collocations" -> ((s, dir) => {
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val docs = tbl(s, dir, "documents").where(col("text").isNotNull)
+      val toks = docs.select(explode(words).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val bg = docs.select(words.as("tk")).where(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      val totT = uni.agg(sum(col("c_w")).as("t_tok"))
+      val totP = pair.agg(sum(col("c_ab")).as("t_pair"))
+      val scored = pair.where(col("c_ab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+        .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+        .withColumn("pmi_x100",
+          expr("(c_ab * t_tok * t_tok * 100) div (t_pair * c_a * c_b)"))
+      val top = scored.orderBy(col("pmi_x100").desc, col("w1").asc, col("w2").asc).limit(20)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(col("pmi_x100").desc, col("w1").asc, col("w2").asc)).cast("long"))
+        .select(col("w1"), col("w2"), col("c_ab"), col("pmi_x100"), col("rank"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3609,6 +3642,33 @@ object SparkEntry {
         |  SELECT doc_id, rrf_scaled, n_lists,
         |         row_number() OVER (ORDER BY rrf_scaled DESC, doc_id ASC) AS rank
         |  FROM fused) WHERE rank <= 10""".stripMargin,
+    // q135: same tokenize/bigram CTEs as q122; ranking ratio in exact
+    // BIGINT cross-multiplication (PMI's log is monotone — never computed)
+    "q135_pmi_collocations" ->
+      """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT unnest(tk) AS w FROM d),
+        |uni AS (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
+        |tott AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_tok FROM uni),
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+        |pair AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |totp AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t_pair FROM pair),
+        |scored AS (
+        |  SELECT pair.w1, pair.w2, pair.c_ab,
+        |         (pair.c_ab * tott.t_tok * tott.t_tok * 100) //
+        |         (totp.t_pair * a.c_w * b.c_w) AS pmi_x100
+        |  FROM pair
+        |  JOIN uni a ON a.w = pair.w1
+        |  JOIN uni b ON b.w = pair.w2
+        |  CROSS JOIN tott CROSS JOIN totp
+        |  WHERE pair.c_ab >= 5)
+        |SELECT w1, w2, c_ab, CAST(pmi_x100 AS BIGINT) AS pmi_x100,
+        |       CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT w1, w2, c_ab, pmi_x100,
+        |         row_number() OVER (ORDER BY pmi_x100 DESC, w1 ASC, w2 ASC) AS rank
+        |  FROM scored) WHERE rank <= 20""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->

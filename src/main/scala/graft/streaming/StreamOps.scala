@@ -108,6 +108,31 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /**
+   * Stream-static dimension enrichment: join each micro-batch of an
+   * unbounded event stream against a bounded dimension frame by `key` —
+   * the ingestion-time lookup (user -> segment, source -> license tier)
+   * that batch pipelines do with a broadcast join, expressed as the same
+   * broadcast join under streaming execution (stateless — no watermark, no
+   * keyed state; every micro-batch plans a fresh BroadcastHashJoin).
+   *
+   * `keepUnmatched = true` (default) is a LEFT join: events without a dim
+   * row pass through with null dim columns — dropping them silently would
+   * hide dim-table staleness, the same "report, don't swallow" posture as
+   * the batch blocklist/coverage operators. `false` is the inner join.
+   *
+   * SCALE SHAPE: the static side is re-evaluated per micro-batch (Spark's
+   * stream-static contract — that's what picks up dim-table updates);
+   * callers should `.cache()` a dim that is expensive to produce. The
+   * broadcast hint bounds the join to a map-side hash lookup per batch —
+   * correct for dimension-sized frames only, which is this operator's
+   * documented contract (a corpus-sized right side belongs in
+   * [[intervalJoin]] or a batch join, not here).
+   */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String,
+      keepUnmatched: Boolean = true): DataFrame =
+    events.join(broadcast(dim), Seq(key), if (keepUnmatched) "left_outer" else "inner")
+
   /** Sliding-window event counts per type with a watermark for late data —
     * the streaming analog of the batch groupBy/agg layer. */
   def windowedCounts(events: Dataset[StreamEvent], window: String, slide: String, watermarkDelay: String = "10 minutes"): DataFrame =

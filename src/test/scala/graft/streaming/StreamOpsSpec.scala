@@ -484,4 +484,41 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       }
     }
   }
+
+  describe("enrichWithDim (stream-static broadcast lookup)") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val events = Seq(
+      StreamEvent(1L, ts(0), "click", 1.0),
+      StreamEvent(2L, ts(1), "click", 1.0),
+      StreamEvent(7L, ts(2), "click", 1.0)) // no dim row
+
+    def run(keepUnmatched: Boolean, name: String): Seq[(Long, String)] = {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val out = StreamOps.enrichWithDim(input.toDS().toDF(), dim, "user_id", keepUnmatched)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(events: _*)
+        q.processAllAvailable()
+        spark.table(name).select($"user_id", $"segment")
+          .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      } finally q.stop()
+    }
+
+    it("left mode keeps unmatched events with null dims; matches the batch join") {
+      val got = run(keepUnmatched = true, "enrich_left").sortBy(_._1)
+      assert(got === Seq((1L, "gold"), (2L, "basic"), (7L, null)))
+      val batch = events.toDF().join(dim, Seq("user_id"), "left_outer")
+        .select($"user_id", $"segment")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toSeq.sortBy(_._1)
+      assert(got === batch)
+    }
+
+    it("inner mode drops unmatched events") {
+      assert(run(keepUnmatched = false, "enrich_inner").sortBy(_._1) ===
+        Seq((1L, "gold"), (2L, "basic")))
+    }
+  }
 }
