@@ -2131,10 +2131,14 @@ object SparkEntry {
     // above chance (the association measure behind multiword-expression
     // mining). PMI's log is MONOTONE, so ranking by the raw ratio
     // P(ab)/(P(a)P(b)) = c_ab*T*T/(P*c_a*c_b) needs no transcendental at
-    // all: the ratio is scaled x100 in exact BIGINT cross-multiplication
-    // (T^3*100 fits a long through sf10; document-scale beyond that drops
-    // the x100). Count frames are vocab-/pair-bounded, never corpus-row-
-    // bounded; the top-20 is a TakeOrderedAndProject.
+    // all: the ratio is scaled x100 in exact BIGINT cross-multiplication.
+    // INTEGER ENVELOPE: worst numerator is c_ab*T^2*100 — with this corpus
+    // shape that stays under 2^63 through roughly sf1 (verified headroom at
+    // sf0.1: ~1e16); beyond that, rank on the DOUBLE ratio instead (one
+    // correctly-rounded division — ranking stays engine-exact, only the
+    // display value loses exactness; the Stress retrieval study runs that
+    // variant at 10x). Count frames are vocab-/pair-bounded, never
+    // corpus-row-bounded; the top-20 is a TakeOrderedAndProject.
     "q135_pmi_collocations" -> ((s, dir) => {
       val words = functions.Text.edgeStrippedTokens(col("text"))
       val docs = tbl(s, dir, "documents").where(col("text").isNotNull)

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval")
     val explicitMode = args.headOption.filter(modes)
     val mode = explicitMode.getOrElse("embed")
     // an explicit mode token consumes args(0) — previously `Stress embed <dir>`
@@ -49,6 +49,7 @@ object Stress {
     if (mode == "snapshot") { snapshotStudy(spark, sfDir); spark.stop(); return }
     if (mode == "events") { eventsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "semantic") { semanticStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "retrieval") { retrievalStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -275,6 +276,73 @@ object Stress {
     println(s"[stress] lag multisets: 1x ${l1.size} distinct lags, 10x ${l10.size} -> " +
       (if (lOk) "EXACT 10x" else "MISMATCH"))
     ten.unpersist()
+  }
+
+  /** 10x retrieval stress: BM25 + PMI over a 10x-replicated documents table
+    * (ids shifted into disjoint ranges, text identical). Invariants:
+    *  - BM25 matches exactly 10x the docs (each copy matches iff its base
+    *    does) and all 10 copies of a base doc score IDENTICALLY (score is a
+    *    pure function of (tf, dl, df, N), which replication scales
+    *    uniformly) — determinism across both corpus sizes;
+    *  - PMI's ratio is exactly scale-invariant under replication
+    *    (c_ab, c_a, c_b, T, P all scale x10 and the x10 factors cancel), so
+    *    the top-20 collocation list must be IDENTICAL at 1x and 10x. Ranked
+    *    here on the double ratio (the documented large-corpus path — the
+    *    x100 integer form would overflow at 10x sf0.1's T^2).
+    * Timings show both passes growing ~linearly with corpus mass. */
+  private def retrievalStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val terms = Seq("spark", "vector", "merge")
+    val docs = SparkEntry.tbl(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val corpus = (0 until 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_)).persist(MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (10x replicated)")(corpus.count())
+    println(s"[stress] corpus rows: $n")
+
+    val bm1 = operators.Retrieval.bm25(docs, "doc_id", "text", terms).persist(MEMORY_AND_DISK_SER)
+    val m1 = timed("bm25 over 1x corpus")(bm1.count())
+    val bm10 = operators.Retrieval.bm25(corpus, "doc_id", "text", terms).persist(MEMORY_AND_DISK_SER)
+    val m10 = timed("bm25 over 10x corpus")(bm10.count())
+    // every copy group carries ONE score
+    val splitScores = bm10
+      .groupBy((col("doc_id") % 10000000L).as("base_id"))
+      .agg(countDistinct(col("bm25_scaled")).as("d"))
+      .where(col("d") =!= 1L).count()
+    println(s"[stress] bm25 matched 1x: $m1, 10x: $m10 (expect ${10 * m1}); " +
+      s"copy groups with diverging scores: $splitScores (expect 0)")
+
+    // minCount scales with the corpus (5 at 1x, 50 at 10x): a support
+    // threshold is a RATE, not an absolute — kept absolute it would admit
+    // rare (high-PMI) pairs at 10x that the 1x gate filtered
+    def pmiTop20(src: DataFrame, minCount: Long): Seq[(String, String)] = {
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val base = src.where(col("text").isNotNull)
+      val uni = base.select(explode(words).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val pair = base.select(words.as("tk")).where(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      val totT = uni.agg(sum(col("c_w")).as("t_tok"))
+      val totP = pair.agg(sum(col("c_ab")).as("t_pair"))
+      pair.where(col("c_ab") >= minCount)
+        .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+        .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+        .withColumn("r", col("c_ab").cast("double") * col("t_tok") * col("t_tok") /
+          (col("t_pair").cast("double") * col("c_a") * col("c_b")))
+        .orderBy(col("r").desc, col("w1").asc, col("w2").asc).limit(20)
+        .select(col("w1"), col("w2"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+
+    val p1 = timed("pmi top-20 over 1x corpus")(pmiTop20(docs, 5L))
+    val p10 = timed("pmi top-20 over 10x corpus")(pmiTop20(corpus, 50L))
+    println(s"[stress] pmi top-20 scale-invariant: ${p1 == p10} (expect true)")
+    bm1.unpersist(); bm10.unpersist(); corpus.unpersist()
   }
 
   private def curationStudy(spark: SparkSession, sfDir: String): Unit = {
