@@ -2164,6 +2164,48 @@ object SparkEntry {
         .select(col("w1"), col("w2"), col("c_ab"), col("pmi_x100"), col("rank"))
     }),
 
+    // q136: training-shard assignment audit — every doc lands on a shard by
+    // the deterministic md5-derived hash (stable across runs, partitionings,
+    // and engines — the same contract as the sampling suite), and the audit
+    // reports per-shard doc/token mass plus the deviation from the ideal
+    // 1/8 share in integer basis points — the "are my shards balanced
+    // enough to stream round-robin" check before a training run. One
+    // hash-agg over 8 groups; the token count never leaves the map side.
+    "q136_shard_balance" -> ((s, dir) => {
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val docs = tbl(s, dir, "documents").where(col("text").isNotNull)
+        .select((operators.Sampling.hash32(col("doc_id"), "shard") % 8L).as("shard"),
+          size(words).cast("long").as("n_tok"))
+      val per = docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t_tok"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("dev_bp", expr("(n_tokens * 8 * 10000) div t_tok - 10000"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("dev_bp"))
+    }),
+
+    // q137: quality-RULES report (Gopher-style bounds) — not a per-doc score
+    // (q23 does that) but the corpus-level filter-funnel accounting a
+    // curation run prints: how many docs each rule rejects and how many
+    // survive all rules. Integer-exact: mean-word-length bounds as
+    // cross-multiplications, one scan, one 1-row aggregate.
+    "q137_quality_rules" -> ((s, dir) => {
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val d = tbl(s, dir, "documents").where(col("text").isNotNull)
+        .select(words.as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("tok_chars",
+          expr("aggregate(transform(tk, w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)"))
+      val rShort = col("n_tok") < 15L
+      val rLong = col("n_tok") > 512L
+      val rWordLen = col("tok_chars") < col("n_tok") * 3L || col("tok_chars") > col("n_tok") * 10L
+      d.agg(
+        sum(when(rShort, 1L).otherwise(0L)).as("n_short"),
+        sum(when(rLong, 1L).otherwise(0L)).as("n_long"),
+        sum(when(rWordLen, 1L).otherwise(0L)).as("n_word_len"),
+        sum(when(!rShort && !rLong && !rWordLen, 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3673,6 +3715,38 @@ object SparkEntry {
         |  SELECT w1, w2, c_ab, pmi_x100,
         |         row_number() OVER (ORDER BY pmi_x100 DESC, w1 ASC, w2 ASC) AS rank
         |  FROM scored) WHERE rank <= 20""".stripMargin,
+    // q136: shard = md5-hash32 (the q130/q52 oracle convention) mod 8;
+    // deviation as integer floor division, all counts BIGINT-cast
+    "q136_shard_balance" ->
+      """WITH d AS (SELECT
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 8)) AS UBIGINT) % 8 AS shard,
+        |    len(regexp_extract_all(regexp_replace(text,
+        |      '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+')) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tok FROM per)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+        |       CAST((n_tokens * 8 * 10000) // t_tok - 10000 AS BIGINT) AS dev_bp
+        |FROM per CROSS JOIN tot""".stripMargin,
+    // q137: same edge-strip tokenization; rule bounds as integer
+    // cross-multiplications (no division anywhere)
+    "q137_quality_rules" ->
+      """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT len(tk) AS n_tok,
+        |        CAST(coalesce(list_sum(list_transform(tk, t -> len(t))), 0) AS BIGINT) AS tok_chars
+        |      FROM d)
+        |SELECT
+        |  CAST(sum(CASE WHEN n_tok < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |  CAST(sum(CASE WHEN tok_chars < n_tok * 3 OR tok_chars > n_tok * 10
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len,
+        |  CAST(sum(CASE WHEN n_tok >= 15 AND n_tok <= 512
+        |                 AND NOT (tok_chars < n_tok * 3 OR tok_chars > n_tok * 10)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM m""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->
