@@ -2206,6 +2206,35 @@ object SparkEntry {
         sum(when(!rShort && !rLong && !rWordLen, 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // q138: join-size estimation from count-min sketches — "will this join
+    // explode?" answered from two depth x width cell frames WITHOUT
+    // executing the join. The query computes the exact size AND the sketch
+    // estimate and emits the theorem gates in-query (the q84/q87
+    // discipline): est >= exact always (collisions only add), and the
+    // estimate from a cell-wise MERGE of two half-corpus sketches equals
+    // the whole-build estimate (integer sums — the mergeability that makes
+    // the sketch shippable across 1000 executors).
+    "q138_join_size_estimate" -> ((s, dir) => {
+      val ord = tbl(s, dir, "orders").where(col("o_custkey").isNotNull)
+        .select(col("o_custkey").as("k"))
+      val cust = tbl(s, dir, "customer").where(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("k"))
+      val (depth, width) = (5, 4096)
+      val sa = operators.Sketch.countMin(ord, col("k"), depth, width)
+      val sb = operators.Sketch.countMin(cust, col("k"), depth, width)
+      val est = operators.Sketch.joinSizeEstimate(sa, sb)
+      val saMerged = operators.Sketch.countMin(ord.where(col("k") % 2 === 0), col("k"), depth, width)
+        .unionByName(operators.Sketch.countMin(ord.where(col("k") % 2 =!= 0), col("k"), depth, width))
+        .groupBy(col("lane"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      val estMerged = operators.Sketch.joinSizeEstimate(saMerged, sb)
+        .select(col("est_join_size").as("est_m"))
+      val exact = ord.join(cust, Seq("k")).agg(count(lit(1)).as("exact_size"))
+      exact.crossJoin(broadcast(est)).crossJoin(broadcast(estMerged))
+        .select(col("exact_size"),
+          (col("est_join_size") >= col("exact_size")).as("est_ge_exact"),
+          (col("est_m") === col("est_join_size")).as("merge_invariant"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3747,6 +3776,13 @@ object SparkEntry {
         |                 AND NOT (tok_chars < n_tok * 3 OR tok_chars > n_tok * 10)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM m""".stripMargin,
+    // q138: the exact join size is SQL; the sketch gates are theorems the
+    // Spark side computes in-query (est >= exact; merge-invariance of
+    // integer cell sums), so the oracle pins them TRUE
+    "q138_join_size_estimate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS exact_size,
+        |       TRUE AS est_ge_exact, TRUE AS merge_invariant
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->

@@ -144,4 +144,27 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  /**
+   * JOIN-SIZE estimate from two count-min sketches of the join keys (the
+   * count-min inner-product estimator, Cormode & Muthukrishnan 2005 §4.2):
+   * `|A ⋈_k B| = Σ_k fA(k)·fB(k)`, and each lane's cell-wise dot product
+   * OVERESTIMATES that sum (hash collisions only ever add mass); the
+   * estimate is the min over lanes. The one-sided guarantee a join planner
+   * wants — "will this join explode?" answered from two `depth × width`
+   * frames without executing the join or scanning either side again.
+   *
+   * Both sketches must come from [[countMin]] with the SAME depth/width
+   * (same seeded lane hashes — the property that makes cells comparable).
+   * Absent cells are implicit zeros and contribute nothing to a dot
+   * product, so the inner join over present cells is exact. Returns one row
+   * `(est_join_size)`; estimates are LONG-exact (cell counts are integers,
+   * products/sums exact).
+   */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.select(col("lane"), col("bucket"), col("cnt").as("ca"))
+      .join(sketchB.select(col("lane"), col("bucket"), col("cnt").as("cb")),
+        Seq("lane", "bucket"))
+      .groupBy(col("lane")).agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("est_join_size"))
 }

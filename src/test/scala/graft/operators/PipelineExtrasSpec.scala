@@ -252,6 +252,23 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         .as[(String, Long)].collect().toMap
       assert(got === Map("hot" -> 40L, "warm" -> 7L, "cold" -> 1L, "absent" -> 0L))
     }
+
+    it("joinSizeEstimate is exact without collisions and the worst case Na*Nb at width 1") {
+      // other side: 3 "hot" rows, 2 "cold", 5 "absent-from-left" rows
+      val other = (Seq.fill(3)("hot") ++ Seq.fill(2)("cold") ++ Seq.fill(5)("other"))
+        .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+      val wide = Sketch.joinSizeEstimate(
+        Sketch.countMin(rows, col("k"), 4, 1024),
+        Sketch.countMin(other, col("k"), 4, 1024)).head().getLong(0)
+      // exact inner-product: 40*3 (hot) + 1*2 (cold) = 122
+      assert(wide === 122L)
+      val narrow = Sketch.joinSizeEstimate(
+        Sketch.countMin(rows, col("k"), 4, 1),
+        Sketch.countMin(other, col("k"), 4, 1)).head().getLong(0)
+      // one bucket holds all mass on both sides: the estimate degrades to
+      // Na*Nb = 48*10 but NEVER undercounts
+      assert(narrow === 480L && narrow >= 122L)
+    }
   }
 
   describe("Sketch HLL distinct state") {
