@@ -157,6 +157,23 @@ class GroupSortedRDDSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq((1, (5, 10)), (2, (5, 0)), (3, (0, 7))))
   }
 
+  test("co-partitioned mergeJoin lineage has EXACTLY the two layout shuffles (narrow join)") {
+    val left = sc.parallelize(data, 3).groupSort(2)
+    val right = sc.parallelize(Seq(("a", 1), ("c", 2)), 2).groupSort(left)
+    val joined = left.mergeJoinInner(right)
+    // the join itself must not add a shuffle: 2 DISTINCT ShuffledRDDs = the
+    // layouts (a shared lineage prints twice under a union — count ids)
+    def shuffleIds(rdd: org.apache.spark.rdd.RDD[_]): Set[String] =
+      "ShuffledRDD\\[(\\d+)\\]".r.findAllMatchIn(rdd.toDebugString).map(_.group(1)).toSet
+    assert(shuffleIds(joined).size == 2,
+      s"expected 2 layout shuffles, lineage:\n${joined.toDebugString}")
+    // a chain of narrow transforms adds none either
+    val chained = joined.mapValues(_.toString).filter(_ => true)
+      .mergeUnion(joined.mapValues(_.toString))
+    assert(shuffleIds(chained).size == 2,
+      s"narrow chain must not re-shuffle:\n${chained.toDebugString}")
+  }
+
   test("hash-first ordering keeps runs clean on hash collisions") {
     // "Aa" and "BB" collide on String.hashCode; tie-break keeps them separate runs
     val gs = sc.parallelize(Seq(("Aa", 1), ("BB", 2), ("Aa", 3), ("BB", 4)), 2).groupSort(1)
