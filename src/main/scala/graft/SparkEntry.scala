@@ -2235,6 +2235,23 @@ object SparkEntry {
           (col("est_m") === col("est_join_size")).as("merge_invariant"))
     }),
 
+    // q139: templated-document detection — docs sharing a STRUCTURE
+    // fingerprint (the md5 of the token-LENGTH sequence, not the tokens)
+    // are template spam / boilerplate fills: same skeleton, different fill
+    // words, the shape token-level dedup is structurally blind to (planted
+    // siblings prove it: 'x'-fills share no token with their source). One
+    // narrow fingerprint pass + one df hash-agg; the corpus never re-reads.
+    "q139_templated_docs" -> ((s, dir) => {
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val d = plantTemplates(tbl(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(concat_ws("-", transform(words, w => length(w).cast("string")))).as("skel"))
+      val dfreq = d.groupBy(col("skel")).agg(count(lit(1)).as("n_group"))
+      d.join(dfreq, "skel").where(col("n_group") >= 2L)
+        .select(col("doc_id"), col("skel"), col("n_group"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -2409,6 +2426,20 @@ object SparkEntry {
     * token — a PARTIAL overlap, so the repeated-span machinery has to find
     * the copied region (not the whole doc) and the unique head must stay
     * uncut. The oracle rebuilds the same corpus with the same expressions. */
+  /** q139's planted corpus: for every doc_id < 40 with >= 10 tokens, add a
+    * TEMPLATE sibling under id+4e6 whose tokens are 'x'-fills of the same
+    * LENGTHS — same structure skeleton, entirely different fill words (the
+    * shape token-level dedup is blind to). Same edge-strip tokenization as
+    * the kernel and oracle. */
+  private def plantTemplates(docs: DataFrame): DataFrame = {
+    val words = functions.Text.edgeStrippedTokens(col("text"))
+    val plant = docs
+      .where(col("doc_id") < 40 && col("text").isNotNull && size(words) >= 10)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat_ws(" ", transform(words, w => repeat(lit("x"), length(w)))).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(plant)
+  }
+
   private def plantPartialCopies(docs: DataFrame): DataFrame = {
     // edge-strip the full [\x00-\x20] class (the q45 kernel convention, =
     // Java trim), NOT SQL trim (spaces only): the q96/q97 oracle's bw CTE
@@ -3783,6 +3814,25 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS exact_size,
         |       TRUE AS est_ge_exact, TRUE AS merge_invariant
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    // q139: same edge-strip tokenization; the plant rebuilds each source's
+    // 'x'-fill sibling, skeleton = md5 of the dash-joined length sequence
+    "q139_templated_docs" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |plant AS (SELECT doc_id + 4000000 AS doc_id,
+        |            array_to_string(list_transform(tk, t -> repeat('x', len(t))), ' ') AS text
+        |          FROM w WHERE doc_id < 40 AND len(tk) >= 10),
+        |all_docs AS (SELECT doc_id, text FROM documents
+        |             UNION ALL SELECT doc_id, text FROM plant),
+        |s AS (SELECT doc_id, md5(array_to_string(list_transform(
+        |        regexp_extract_all(regexp_replace(text,
+        |          '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+'),
+        |        t -> CAST(len(t) AS VARCHAR)), '-')) AS skel
+        |      FROM all_docs WHERE text IS NOT NULL),
+        |g AS (SELECT skel, CAST(count(*) AS BIGINT) AS n_group FROM s GROUP BY 1)
+        |SELECT s.doc_id, s.skel, g.n_group FROM s JOIN g USING (skel)
+        |WHERE g.n_group >= 2""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->
