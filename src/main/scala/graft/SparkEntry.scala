@@ -2140,22 +2140,7 @@ object SparkEntry {
     // variant at 10x). Count frames are vocab-/pair-bounded, never
     // corpus-row-bounded; the top-20 is a TakeOrderedAndProject.
     "q135_pmi_collocations" -> ((s, dir) => {
-      val words = functions.Text.edgeStrippedTokens(col("text"))
-      val docs = tbl(s, dir, "documents").where(col("text").isNotNull)
-      val toks = docs.select(explode(words).as("w"))
-      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-      val bg = docs.select(words.as("tk")).where(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
-          .as("p"))
-        .select(col("p.w1"), col("p.w2"))
-      val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-      val totT = uni.agg(sum(col("c_w")).as("t_tok"))
-      val totP = pair.agg(sum(col("c_ab")).as("t_pair"))
-      val scored = pair.where(col("c_ab") >= 5)
-        .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
-        .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
-        .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+      val scored = operators.Retrieval.pmiPairs(tbl(s, dir, "documents"), "text", 5L)
         .withColumn("pmi_x100",
           expr("(c_ab * t_tok * t_tok * 100) div (t_pair * c_a * c_b)"))
       val top = scored.orderBy(col("pmi_x100").desc, col("w1").asc, col("w2").asc).limit(20)
@@ -2222,11 +2207,11 @@ object SparkEntry {
       val (depth, width) = (5, 4096)
       val sa = operators.Sketch.countMin(ord, col("k"), depth, width)
       val sb = operators.Sketch.countMin(cust, col("k"), depth, width)
-      val est = operators.Sketch.joinSizeEstimate(sa, sb)
+      val est = operators.Sketch.joinSizeEstimate(sa, sb, depth)
       val saMerged = operators.Sketch.countMin(ord.where(col("k") % 2 === 0), col("k"), depth, width)
         .unionByName(operators.Sketch.countMin(ord.where(col("k") % 2 =!= 0), col("k"), depth, width))
         .groupBy(col("lane"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
-      val estMerged = operators.Sketch.joinSizeEstimate(saMerged, sb)
+      val estMerged = operators.Sketch.joinSizeEstimate(saMerged, sb, depth)
         .select(col("est_join_size").as("est_m"))
       val exact = ord.join(cust, Seq("k")).agg(count(lit(1)).as("exact_size"))
       exact.crossJoin(broadcast(est)).crossJoin(broadcast(estMerged))
@@ -2421,11 +2406,6 @@ object SparkEntry {
       |        FROM dk GROUP BY user_id)
       |SELECT med.user_id, median, mad FROM med JOIN mad USING (user_id)""".stripMargin
 
-  /** q96/q97's planted corpus: for every doc_id < 50 with >= 25 tokens, add
-    * a copy of its first 25 tokens under id+2e6, prefixed with a unique
-    * token — a PARTIAL overlap, so the repeated-span machinery has to find
-    * the copied region (not the whole doc) and the unique head must stay
-    * uncut. The oracle rebuilds the same corpus with the same expressions. */
   /** q139's planted corpus: for every doc_id < 40 with >= 10 tokens, add a
     * TEMPLATE sibling under id+4e6 whose tokens are 'x'-fills of the same
     * LENGTHS — same structure skeleton, entirely different fill words (the
@@ -2440,6 +2420,11 @@ object SparkEntry {
     docs.select(col("doc_id"), col("text")).unionByName(plant)
   }
 
+  /** q96/q97's planted corpus: for every doc_id < 50 with >= 25 tokens, add
+    * a copy of its first 25 tokens under id+2e6, prefixed with a unique
+    * token — a PARTIAL overlap, so the repeated-span machinery has to find
+    * the copied region (not the whole doc) and the unique head must stay
+    * uncut. The oracle rebuilds the same corpus with the same expressions. */
   private def plantPartialCopies(docs: DataFrame): DataFrame = {
     // edge-strip the full [\x00-\x20] class (the q45 kernel convention, =
     // Java trim), NOT SQL trim (spaces only): the q96/q97 oracle's bw CTE
@@ -3673,10 +3658,14 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn <= 3""".stripMargin,
     "q132_rdd_merge_join" ->
+      // o_totalprice IS NOT NULL mirrors the kernel's defensive filter: a
+      // filter on only ONE side of the oracle gate is the silent-drift class
+      // the q02 NULLS note warns about (latent today — fixture is null-free)
       """SELECT o.o_custkey AS c_custkey,
         |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |       c.c_mktsegment
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice IS NOT NULL
         |GROUP BY 1, 3""".stripMargin,
     // q133/q134: every float op is the SAME IEEE expression tree Spark
     // builds (ratio idf — no ln; +,*,/ are correctly rounded, literals

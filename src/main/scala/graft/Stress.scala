@@ -316,24 +316,17 @@ object Stress {
     // threshold is a RATE, not an absolute — kept absolute it would admit
     // rare (high-PMI) pairs at 10x that the 1x gate filtered
     def pmiTop20(src: DataFrame, minCount: Long): Seq[(String, String)] = {
-      val words = functions.Text.edgeStrippedTokens(col("text"))
-      val base = src.where(col("text").isNotNull)
-      val uni = base.select(explode(words).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-      val pair = base.select(words.as("tk")).where(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
-          .as("p"))
-        .select(col("p.w1"), col("p.w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-      val totT = uni.agg(sum(col("c_w")).as("t_tok"))
-      val totP = pair.agg(sum(col("c_ab")).as("t_pair"))
-      pair.where(col("c_ab") >= minCount)
-        .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
-        .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
-        .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
-        .withColumn("r", col("c_ab").cast("double") * col("t_tok") * col("t_tok") /
-          (col("t_pair").cast("double") * col("c_a") * col("c_b")))
+      operators.Retrieval.pmiPairs(src, "text", minCount)
+        // three SEPARATE divisions, each of two exactly-representable longs
+        // (< 2^53 at 10x): (10a)/(10b) rounds to the SAME double as a/b
+        // (identical real quotient), so each factor — and hence the product
+        // and the ranking — is EXACTLY scale-invariant; the single fused
+        // product c_ab*T^2 would exceed 2^53 at 10x and round differently
+        // at the two scales
+        .withColumn("r",
+          (col("c_ab").cast("double") / col("c_a")) *
+          (col("t_tok").cast("double") / col("t_pair")) *
+          (col("t_tok").cast("double") / col("c_b")))
         .orderBy(col("r").desc, col("w1").asc, col("w2").asc).limit(20)
         .select(col("w1"), col("w2"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq

@@ -88,4 +88,40 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(sum(col("contrib")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
   }
+
+  /**
+   * Adjacent-pair collocation COUNTS — the shared scaffold under PMI-style
+   * association scoring: unigram counts, adjacent-pair counts, and the
+   * 1-row corpus totals joined into one frame
+   * `(w1, w2, c_ab, c_a, c_b, t_tok, t_pair)`, support-filtered by
+   * `c_ab >= minCount` (a support threshold is a RATE — scale it with the
+   * corpus). The SCORING expression stays at the call site (q135 ranks by
+   * the exact x100 BIGINT cross-multiplication; the Stress study by the
+   * division-factored double ratio) so callers can't drift on tokenization
+   * or thresholds — the same single-source rule as
+   * [[graft.functions.Text.edgeStrippedTokens]].
+   *
+   * SCALE SHAPE: count frames are vocab-/pair-bounded (never
+   * corpus-row-bounded); the two unigram joins key on single tokens and
+   * AQE broadcasts them when small; corpus totals ride 1-row broadcasts.
+   */
+  def pmiPairs(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val words = graft.functions.Text.edgeStrippedTokens(col(textCol))
+    val base = docs.where(col(textCol).isNotNull)
+    val uni = base.select(explode(words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val pair = base.select(words.as("tk")).where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val totT = uni.agg(sum(col("c_w")).as("t_tok"))
+    val totP = pair.agg(sum(col("c_ab")).as("t_pair"))
+    pair.where(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+  }
 }

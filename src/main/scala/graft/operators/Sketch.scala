@@ -157,14 +157,22 @@ object Sketch {
    * Both sketches must come from [[countMin]] with the SAME depth/width
    * (same seeded lane hashes — the property that makes cells comparable).
    * Absent cells are implicit zeros and contribute nothing to a dot
-   * product, so the inner join over present cells is exact. Returns one row
-   * `(est_join_size)`; estimates are LONG-exact (cell counts are integers,
-   * products/sums exact).
+   * product, so the join over PRESENT cell pairs is exact — but a lane with
+   * NO overlapping cells has dot product 0 (which alone proves the join is
+   * empty), so the min runs over ALL `depth` lanes, zero-dot lanes
+   * included, never just the lanes the inner join happened to populate.
+   * Returns one row `(est_join_size)`; estimates are LONG-exact (cell
+   * counts are integers, products/sums exact).
    */
-  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
-    sketchA.select(col("lane"), col("bucket"), col("cnt").as("ca"))
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame, depth: Int): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    val spark = sketchA.sparkSession
+    val lanes = spark.range(depth).select(col("id").cast("int").as("lane"))
+    val dots = sketchA.select(col("lane"), col("bucket"), col("cnt").as("ca"))
       .join(sketchB.select(col("lane"), col("bucket"), col("cnt").as("cb")),
         Seq("lane", "bucket"))
       .groupBy(col("lane")).agg(sum(col("ca") * col("cb")).as("dot"))
-      .agg(min(col("dot")).as("est_join_size"))
+    lanes.join(dots, Seq("lane"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_size"))
+  }
 }

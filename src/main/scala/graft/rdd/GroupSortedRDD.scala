@@ -127,10 +127,16 @@ class GroupSortedRDD[K, V] private[rdd] (
 
   // ---- merge joins / union (reference GroupSorted.scala:59-105) ----
 
-  /** Re-layout `other` onto this RDD's partitioner unless it already matches —
-    * matching layouts zip partition-for-partition with no shuffle. */
+  /** Re-layout `other` onto this RDD's partitioner unless BOTH the
+    * partitioner and the key ordering already match — a matching partitioner
+    * with a different sort order (e.g. one side built under a reversed
+    * implicit) would zip partitions whose runs disagree and trip the merge
+    * kernel's sortedness assert on hash ties. Ordering equality is
+    * structural ([[HashFirstOrdering]] is a case class; primitive orderings
+    * are singletons); when it can't be proven the side is re-sorted — a
+    * redundant shuffle at worst, never a wrong merge. */
   private def aligned[W: ClassTag](other: GroupSortedRDD[K, W]): GroupSortedRDD[K, W] =
-    if (other.partitioner == this.partitioner) other
+    if (other.partitioner == this.partitioner && other.keyOrdering == this.keyOrdering) other
     else GroupSortedRDD.sortedBy(other, this.partitioner.get, keyOrdering, None)
 
   /**
@@ -155,13 +161,13 @@ class GroupSortedRDD[K, V] private[rdd] (
     if (bufferLeft) mergeJoin(other)(iterators.flipped(iterators.innerProduct[W, V]))
     else mergeJoin(other)(iterators.innerProduct[V, W])
 
+  /** Left-outer: right-only keys emit nothing outright (dedicated kernel —
+    * no discarded-tuple allocation from filtering a full outer). */
   def mergeJoinLeftOuter[W: ClassTag](other: GroupSortedRDD[K, W], bufferLeft: Boolean = false): GroupSortedRDD[K, (V, Option[W])] =
-    wrap(mergeJoin(other, bufferLeft)
-      .mapPartitions(_.collect { case (k, (Some(v), w)) => (k, (v, w)) }, preservesPartitioning = true), None)
+    mergeJoin(other)(iterators.leftOuterProduct[V, W](bufferLeft))
 
   def mergeJoinRightOuter[W: ClassTag](other: GroupSortedRDD[K, W], bufferLeft: Boolean = false): GroupSortedRDD[K, (Option[V], W)] =
-    wrap(mergeJoin(other, bufferLeft)
-      .mapPartitions(_.collect { case (k, (v, Some(w))) => (k, (v, w)) }, preservesPartitioning = true), None)
+    mergeJoin(other)(iterators.rightOuterProduct[V, W](bufferLeft))
 
   /** Order-preserving 2-way merge by key (ties keep left-then-right order);
     * narrow when layouts match, value order within keys is interleaved so the

@@ -201,25 +201,15 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
     mergeJoin(other)(f)(e, nj)
   }
 
-  /** Left-outer merge join. */
-  def mergeJoinLeftOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, Option[W])], nj: NarrowJoinSupport[K]): Dataset[(K, (V, Option[W]))] = {
-    val f =
-      if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
-      else iterators.outerProduct[V, W]
-    mergeJoin(other) { (vs, ws) =>
-      f(vs, ws).iterator.collect { case (Some(v), mw) => (v, mw) }
-    }(e, nj)
-  }
+  /** Left-outer merge join. Right-only keys emit nothing outright (the
+    * dedicated kernel never allocates the discarded tuples a filtered full
+    * outer would). */
+  def mergeJoinLeftOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(V, Option[W])], nj: NarrowJoinSupport[K]): Dataset[(K, (V, Option[W]))] =
+    mergeJoin(other)(iterators.leftOuterProduct[V, W](bufferLeft))(e, nj)
 
-  /** Right-outer merge join. */
-  def mergeJoinRightOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], W)], nj: NarrowJoinSupport[K]): Dataset[(K, (Option[V], W))] = {
-    val f =
-      if (bufferLeft) iterators.flipped(iterators.outerProduct[W, V])
-      else iterators.outerProduct[V, W]
-    mergeJoin(other) { (vs, ws) =>
-      f(vs, ws).iterator.collect { case (mv, Some(w)) => (mv, w) }
-    }(e, nj)
-  }
+  /** Right-outer merge join (mirror of [[mergeJoinLeftOuter]]). */
+  def mergeJoinRightOuter[W](other: GroupSortedDataset[K, W], bufferLeft: Boolean = false)(implicit e: Encoder[(Option[V], W)], nj: NarrowJoinSupport[K]): Dataset[(K, (Option[V], W))] =
+    mergeJoin(other)(iterators.rightOuterProduct[V, W](bufferLeft))(e, nj)
 
   /**
    * Order-preserving multiset union with another GroupSortedDataset laid out

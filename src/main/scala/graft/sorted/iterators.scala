@@ -132,6 +132,30 @@ object iterators {
       }
   }
 
+  /** Left-outer per-key combiner: a key with an empty LEFT run emits nothing
+    * outright — unlike filtering [[outerProduct]]'s output, no discarded
+    * `(None, Some(w))` tuples are ever allocated for right-only keys. An
+    * empty right run emits `(v, None)` per left value. `bufferLeft` flips
+    * which side is buffered per key (buffer the side you know is small —
+    * the reference's many-to-many discipline, `README.md:39`). */
+  def leftOuterProduct[A, B](bufferLeft: Boolean = false): (Iterator[A], Iterator[B]) => IterableOnce[(A, Option[B])] = {
+    (as, bs) =>
+      if (!as.hasNext) Iterator.empty
+      else if (!bs.hasNext) as.map(a => (a, None))
+      else if (bufferLeft) {
+        val buf = as.toBuffer
+        bs.flatMap(b => buf.iterator.map(a => (a, Some(b))))
+      } else {
+        val buf = bs.toBuffer
+        as.flatMap(a => buf.iterator.map(b => (a, Some(b))))
+      }
+  }
+
+  /** Right-outer mirror of [[leftOuterProduct]] (left-only keys emit
+    * nothing, allocation-free). */
+  def rightOuterProduct[A, B](bufferLeft: Boolean = false): (Iterator[A], Iterator[B]) => IterableOnce[(Option[A], B)] =
+    (as, bs) => leftOuterProduct[B, A](!bufferLeft)(bs, as).iterator.map(_.swap)
+
   /** Inner per-key combiner: only keys present on both sides emit. */
   def innerProduct[A, B]: (Iterator[A], Iterator[B]) => IterableOnce[(A, B)] = {
     (as, bs) =>

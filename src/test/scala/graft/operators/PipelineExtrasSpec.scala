@@ -259,15 +259,25 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
       val wide = Sketch.joinSizeEstimate(
         Sketch.countMin(rows, col("k"), 4, 1024),
-        Sketch.countMin(other, col("k"), 4, 1024)).head().getLong(0)
+        Sketch.countMin(other, col("k"), 4, 1024), 4).head().getLong(0)
       // exact inner-product: 40*3 (hot) + 1*2 (cold) = 122
       assert(wide === 122L)
       val narrow = Sketch.joinSizeEstimate(
         Sketch.countMin(rows, col("k"), 4, 1),
-        Sketch.countMin(other, col("k"), 4, 1)).head().getLong(0)
+        Sketch.countMin(other, col("k"), 4, 1), 4).head().getLong(0)
       // one bucket holds all mass on both sides: the estimate degrades to
       // Na*Nb = 48*10 but NEVER undercounts
       assert(narrow === 480L && narrow >= 122L)
+    }
+
+    it("joinSizeEstimate returns 0 (not NULL) when the key sets are disjoint at full width") {
+      val disjoint = Seq((0L, "zzz-only")).toDF("id", "k")
+      // wide sketches: the disjoint side shares no (lane, bucket) cell with
+      // high probability; any lane with zero overlap proves the join empty
+      val est = Sketch.joinSizeEstimate(
+        Sketch.countMin(rows, col("k"), 4, 65536),
+        Sketch.countMin(disjoint, col("k"), 4, 65536), 4).head()
+      assert(!est.isNullAt(0) && est.getLong(0) === 0L)
     }
   }
 

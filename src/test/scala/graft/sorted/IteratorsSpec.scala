@@ -89,6 +89,20 @@ class IteratorsSpec extends AnyFunSpec {
         ("c", (Some(3), Some(31)))))
     }
 
+    it("left/right-outer kernels skip missing-side keys and match the filtered full outer") {
+      val l = List(("a", 1), ("c", 3))
+      val r = List(("b", 20), ("c", 30), ("c", 31))
+      val lo = iterators.mergeJoin(l.iterator, r.iterator)(iterators.leftOuterProduct[Int, Int]()).toList
+      assert(lo === List(("a", (1, None)), ("c", (3, Some(30))), ("c", (3, Some(31)))))
+      val ro = iterators.mergeJoin(l.iterator, r.iterator)(iterators.rightOuterProduct[Int, Int]()).toList
+      assert(ro === List(("b", (None, 20)), ("c", (Some(3), 30)), ("c", (Some(3), 31))))
+      // bufferLeft flips the buffered side; the emitted MULTISET is identical
+      val loB = iterators.mergeJoin(l.iterator, r.iterator)(iterators.leftOuterProduct[Int, Int](bufferLeft = true)).toList
+      assert(loB.toSet === lo.toSet)
+      val roB = iterators.mergeJoin(l.iterator, r.iterator)(iterators.rightOuterProduct[Int, Int](bufferLeft = true)).toList
+      assert(roB.toSet === ro.toSet)
+    }
+
     it("flipped buffers the other side but emits the same pairs") {
       val l = List(("a", 1), ("a", 2))
       val r = List(("a", 10), ("a", 11))
