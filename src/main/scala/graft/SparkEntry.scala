@@ -2237,6 +2237,42 @@ object SparkEntry {
         .select(col("doc_id"), col("skel"), col("n_group"))
     }),
 
+    // q140: normalization-aware exact dedup — casefold, strip
+    // non-alphanumerics, collapse whitespace, THEN take the min-id survivor
+    // per canonical form: the "same doc modulo case/punctuation" duplicate
+    // class byte-exact dedup (q19) misses. Planted uppercase twins (doc_id
+    // < 30, id+5e6) must collapse onto their originals. Same min_by
+    // hash-agg shape as exact dedup: one shuffle of (canon-hash, id).
+    "q140_normalized_dedup" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base
+        .where(col("doc_id") < 30 && col("text").isNotNull)
+        .select((col("doc_id") + 5000000L).as("doc_id"), upper(col("text")).as("text"))
+      val corpus = base.unionByName(planted).where(col("text").isNotNull)
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      corpus.select(col("doc_id"), md5(canon).as("ch"))
+        .groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_variants"))
+        .select(col("doc_id"), col("n_variants"))
+    }),
+
+    // q141: column-profile audit — the "profile before training" pass: one
+    // row per column with its null count and EXACT distinct cardinality
+    // (the profile that decides dictionary encodings, join-key sanity, and
+    // stratification viability). Each distinct count is its own hash-agg;
+    // a profile is a deliberate full-scan job, run once per snapshot.
+    "q141_column_profile" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        docs.agg(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"))
+      }.reduce(_ unionByName _)
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3822,6 +3858,38 @@ object SparkEntry {
         |g AS (SELECT skel, CAST(count(*) AS BIGINT) AS n_group FROM s GROUP BY 1)
         |SELECT s.doc_id, s.skel, g.n_group FROM s JOIN g USING (skel)
         |WHERE g.n_group >= 2""".stripMargin,
+    // q140: the oracle rebuilds the same planted corpus and canonical form;
+    // regexp semantics are shared (POSIX classes avoided on purpose)
+    "q140_normalized_dedup" ->
+      """WITH planted AS (SELECT doc_id + 5000000 AS doc_id, upper(text) AS text
+        |                 FROM documents WHERE doc_id < 30 AND text IS NOT NULL),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id, text FROM planted),
+        |canon AS (SELECT doc_id, md5(trim(regexp_replace(
+        |            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |            ' +', ' ', 'g'))) AS ch
+        |          FROM corpus WHERE text IS NOT NULL)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_variants
+        |FROM canon GROUP BY ch""".stripMargin,
+    // q141: five exact per-column profiles unioned; DuckDB count(distinct)
+    // matches Spark countDistinct (nulls excluded in both)
+    "q141_column_profile" ->
+      """SELECT 'doc_id' AS col_name,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+        |UNION ALL
+        |SELECT 'text', CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT text) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->
