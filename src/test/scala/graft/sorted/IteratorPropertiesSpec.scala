@@ -75,6 +75,38 @@ class IteratorPropertiesSpec extends AnyFunSpec {
       })
     }
 
+    it("left/right-outer kernels == Scala left/right joins, both buffer directions") {
+      check(Prop.forAll(pairsGen, pairsGen, Gen.oneOf(false, true)) { (ls, rs, bufferLeft) =>
+        val l = runs(ls)
+        val r = runs(rs)
+        val lm = l.groupBy(_._1); val rm = r.groupBy(_._1)
+        val gotL = iterators.mergeJoin(l.iterator, r.iterator)(
+          iterators.leftOuterProduct[Int, Int](bufferLeft)).toList
+        val expectL = lm.keySet.toList.sorted.flatMap { k =>
+          val as = lm(k).map(_._2).sorted
+          rm.get(k).map(_.map(_._2).sorted) match {
+            case None => as.map(a => (k, (a, None)))
+            case Some(bs) => for (a <- as; b <- bs) yield (k, (a, Some(b)))
+          }
+        }
+        val gotR = iterators.mergeJoin(l.iterator, r.iterator)(
+          iterators.rightOuterProduct[Int, Int](bufferLeft)).toList
+        val expectR = rm.keySet.toList.sorted.flatMap { k =>
+          val bs = rm(k).map(_._2).sorted
+          lm.get(k).map(_.map(_._2).sorted) match {
+            case None => bs.map(b => (k, (None, b)))
+            case Some(as) => for (a <- as; b <- bs) yield (k, (Some(a), b))
+          }
+        }
+        // multiset equality: the bufferLeft direction changes emission ORDER
+        // within a key, never membership
+        gotL.groupBy(identity).view.mapValues(_.size).toMap ==
+          expectL.groupBy(identity).view.mapValues(_.size).toMap &&
+        gotR.groupBy(identity).view.mapValues(_.size).toMap ==
+          expectR.groupBy(identity).view.mapValues(_.size).toMap
+      })
+    }
+
     it("mergeUnion of two sorted lists == sorted concatenation") {
       check(Prop.forAll(Gen.listOf(Gen.choose(-100, 100)), Gen.listOf(Gen.choose(-100, 100))) { (ls, rs) =>
         val got = iterators.mergeUnion(ls.sorted.iterator, rs.sorted.iterator).toList
