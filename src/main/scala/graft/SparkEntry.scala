@@ -2273,6 +2273,57 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // q142: RFM feature engineering — per customer recency (days since
+    // last order, integer nano arithmetic), frequency, monetary (cents),
+    // and a monetary quartile bucket from GLOBAL exact quantiles (q111's
+    // histogram machinery: the shuffle carries distinct values, not rows;
+    // cut points ride a 1-row broadcast). The feature-store shape a
+    // ranking/propensity model trains on.
+    "q142_rfm_features" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").where(col("o_custkey").isNotNull &&
+        col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      val per = o.groupBy(col("o_custkey").as("c_custkey")).agg(
+        max(col("o_orderdate")).as("last_ns"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      val gmax = per.agg(max(col("last_ns")).as("g_ns"))
+      val cuts = operators.Quantiles.globalExact(
+          per.select(col("monetary_cents").as("v")), "v",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .select(col("p25"), col("p50"), col("p75"))
+      per.crossJoin(broadcast(gmax)).crossJoin(broadcast(cuts))
+        .select(col("c_custkey"),
+          expr("(g_ns - last_ns) div 86400000000000").as("recency_days"),
+          col("frequency"), col("monetary_cents"),
+          when(col("monetary_cents") <= col("p25"), 1L)
+            .when(col("monetary_cents") <= col("p50"), 2L)
+            .when(col("monetary_cents") <= col("p75"), 3L)
+            .otherwise(4L).as("m_bucket"))
+    }),
+
+    // q143: deterministic negative sampling for contrastive/recommendation
+    // training — for each probe customer, the 5 hash-smallest parts they
+    // never bought: candidates anti-join positives, ranked by the
+    // engine-stable md5 hash (same salt discipline as the sampling suite)
+    // so the SAME negatives come out on any cluster, any engine, any run.
+    // Probe set bounded by contract (c_custkey < 50) — at corpus scale the
+    // candidate frame is hash-bucketed per probe shard, never all-pairs.
+    "q143_negative_sampling" -> ((s, dir) => {
+      val pos = tbl(s, dir, "orders").where(col("o_custkey") < 50)
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      val cand = tbl(s, dir, "customer").where(col("c_custkey") < 50)
+        .select(col("c_custkey").as("c"))
+        .crossJoin(tbl(s, dir, "part").select(col("p_partkey").as("p")))
+      val neg = cand.join(pos, Seq("c", "p"), "left_anti")
+        .withColumn("hv", operators.Sampling.hash32(
+          concat(col("c").cast("string"), lit(":"), col("p").cast("string")), "negsample"))
+      val w = Window.partitionBy(col("c")).orderBy(col("hv"), col("p"))
+      neg.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("c").as("c_custkey"), col("p").as("p_partkey"), col("rank"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3890,6 +3941,51 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'n_chars', CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |       CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents""".stripMargin,
+    // q142: q111's integer rank formula for the quartile cuts (value at
+    // rank ceil(p*n) over the per-customer monetary values); nanos via
+    // epoch_us*1000 (house timestamp convention), day division exact
+    "q142_rfm_features" ->
+      """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) * 1000 AS ns,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_custkey IS NOT NULL
+        |             AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |per AS (SELECT o_custkey AS c_custkey, max(ns) AS last_ns,
+        |               CAST(count(*) AS BIGINT) AS frequency,
+        |               CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |        FROM o GROUP BY 1),
+        |g AS (SELECT max(last_ns) AS g_ns FROM per),
+        |rk AS (SELECT monetary_cents AS v,
+        |              row_number() OVER (ORDER BY monetary_cents) AS rn,
+        |              count(*) OVER () AS n FROM per),
+        |cuts AS (SELECT
+        |  max(CASE WHEN rn = (n*250000 + 999999) // 1000000 THEN v END) AS p25,
+        |  max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (n*750000 + 999999) // 1000000 THEN v END) AS p75 FROM rk)
+        |SELECT per.c_custkey,
+        |       CAST((g.g_ns - per.last_ns) // 86400000000000 AS BIGINT) AS recency_days,
+        |       per.frequency, per.monetary_cents,
+        |       CAST(CASE WHEN per.monetary_cents <= cuts.p25 THEN 1
+        |                 WHEN per.monetary_cents <= cuts.p50 THEN 2
+        |                 WHEN per.monetary_cents <= cuts.p75 THEN 3
+        |                 ELSE 4 END AS BIGINT) AS m_bucket
+        |FROM per CROSS JOIN g CROSS JOIN cuts""".stripMargin,
+    // q143: same md5-hash32 ranking as the sampling oracles; negatives via
+    // ANTI JOIN of the bounded candidate frame
+    "q143_negative_sampling" ->
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |             WHERE o.o_custkey < 50),
+        |cand AS (SELECT c.c_custkey AS c, p.p_partkey AS p
+        |         FROM customer c CROSS JOIN part p WHERE c.c_custkey < 50),
+        |neg AS (SELECT cand.c, cand.p FROM cand
+        |        ANTI JOIN pos ON cand.c = pos.c AND cand.p = pos.p),
+        |h AS (SELECT c, p,
+        |        CAST(('0x' || substring(md5(CAST(c AS VARCHAR) || ':' ||
+        |          CAST(p AS VARCHAR) || 'negsample'), 1, 8)) AS UBIGINT) AS hv
+        |      FROM neg)
+        |SELECT c AS c_custkey, p AS p_partkey, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT c, p, row_number() OVER (PARTITION BY c ORDER BY hv, p) AS rank
+        |  FROM h) WHERE rank <= 5""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->
