@@ -46,8 +46,10 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    // bare split is enough: nulls are already filtered and the length guard
+    // drops the empty edge tokens a leading/trailing-whitespace split yields
     val toks = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("term"))
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))

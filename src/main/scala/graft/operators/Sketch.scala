@@ -48,10 +48,10 @@ object Sketch {
    * rows, never a full groupBy of the vocabulary. Null keys are skipped (they
    * don't count toward n).
    *
-   * Returns one row per surviving key: `(keyCol, mg_lower)` — the key comes
-   * back as a STRING (counters key on the cast form); numeric-key callers
-   * re-joining the summary against the source should cast their side to
-   * string (or the summary key back) to avoid implicit-cast surprises.
+   * Returns one row per surviving key: `(keyCol, mg_lower)` — counters key
+   * on the STRING form internally, but the summary key is cast back to the
+   * input column's type on output, so a numeric-key caller equi-joins the
+   * summary against the source directly (no implicit casts).
    * The summary may
    * hold more than k keys after the merge; it is a SUPERSET of the true
    * heavy-hitter set, so callers filter candidates by an exact count of the
@@ -163,6 +163,14 @@ object Sketch {
    * included, never just the lanes the inner join happened to populate.
    * Returns one row `(est_join_size)`; estimates are LONG-exact (cell
    * counts are integers, products/sums exact).
+   *
+   * INTEGER ENVELOPE: a cell-product `ca * cb` stays in a long while both
+   * cell counts are under ~3e9 (2^31.5); a hotter cell means one key holds
+   * billions of rows PER SIDE. Under ANSI mode (Spark 4 default) an
+   * overflow fails LOUDLY rather than silently under-estimating; for
+   * corpora past the envelope, pre-scale both sketches (divide cell counts
+   * by a common factor, multiply the estimate back) — the estimate is
+   * linear in each side's counts.
    */
   def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame, depth: Int): DataFrame = {
     require(depth > 0, s"depth must be positive, got $depth")

@@ -39,11 +39,18 @@ object JavaGroupSortedRDD {
   private[java] def toOrdering[T](cmp: Comparator[T]): Ordering[T] =
     Ordering.comparatorToOrdering(cmp)
 
+  // ONE shared key-ordering instance for every facade construction:
+  // `Ordering.comparatorToOrdering` wraps with reference equality, so a
+  // fresh wrapper per groupSort would make co-partitioned Java layouts
+  // compare unequal in `aligned()` and silently re-shuffle on every
+  // mergeJoin/mergeUnion — the narrow path must be reachable from Java.
+  private val sharedNaturalOrdering: Ordering[Any] = toOrdering(naturalOrder[Any]())
+
   private def build[K, V](rdd: JavaPairRDD[K, V], partitioner: Partitioner,
       valueComparator: Comparator[V]): GroupSortedRDD[K, V] = {
     implicit val kt: ClassTag[K] = rdd.kClassTag
     implicit val vt: ClassTag[V] = rdd.vClassTag
-    implicit val ord: Ordering[K] = toOrdering(naturalOrder[K]())
+    implicit val ord: Ordering[K] = sharedNaturalOrdering.asInstanceOf[Ordering[K]]
     GroupSortedRDD(rdd.rdd, partitioner, Option(valueComparator).map(toOrdering))
   }
 

@@ -65,8 +65,16 @@ class JavaRddApiSpec extends AnyFunSpec with SparkSuite {
       val g = JavaGroupSortedRDD.groupSort(pairs(), 2)
       val other = JavaGroupSortedRDD.groupSort(
         JavaPairRDD.fromRDD(jsc.sc.parallelize(Seq(("a", "x"), ("c", "y")), 2)), 2)
-      assert(g.mergeJoinInner(other).underlying.collect().toSeq.sortBy(_.toString) ==
+      val joined = g.mergeJoinInner(other)
+      assert(joined.underlying.collect().toSeq.sortBy(_.toString) ==
         Seq(("a", (1, "x")), ("a", (3, "x")), ("c", (5, "y"))).sortBy(_.toString))
+      // the shared natural-ordering singleton makes co-partitioned Java
+      // layouts compare equal in aligned(): the join is NARROW — exactly
+      // the two layout shuffles, no realignment of the right side
+      val shuffleIds = "ShuffledRDD\\[(\\d+)\\]".r
+        .findAllMatchIn(joined.underlying.toDebugString).map(_.group(1)).toSet
+      assert(shuffleIds.size == 2,
+        s"Java-facade join must be narrow:\n${joined.underlying.toDebugString}")
       val u = g.mergeUnion(JavaGroupSortedRDD.groupSort(pairs(), 2))
       assert(u.underlying.count() == rows.size * 2)
     }
