@@ -2324,6 +2324,25 @@ object SparkEntry {
         .select(col("c").as("c_custkey"), col("p").as("p_partkey"), col("rank"))
     }),
 
+    // q144: co-purchase graph construction — weighted customer-customer
+    // edges from shared parts: the bipartite projection behind
+    // collaborative filtering and co-occurrence features. Pairs expand
+    // WITHIN each part's buyer set only (an equi-join on the part key — the
+    // same blocked-pair discipline as the LSH bucket expander; a hot part
+    // with B buyers costs B², which is why production caps hot blocks), and
+    // the probe population is contract-bounded (custkey < 100). Edge weight
+    // = number of distinct shared parts; weight-1 edges are noise and cut.
+    "q144_copurchase_pairs" -> ((s, dir) => {
+      val buyers = tbl(s, dir, "orders").where(col("o_custkey") < 100)
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      buyers.as("a").join(buyers.as("b"),
+          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .select(col("a.c").as("c1"), col("b.c").as("c2"))
+        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("n_shared_parts"))
+        .where(col("n_shared_parts") >= 2)
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -3986,6 +4005,13 @@ object SparkEntry {
         |SELECT c AS c_custkey, p AS p_partkey, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT c, p, row_number() OVER (PARTITION BY c ORDER BY hv, p) AS rank
         |  FROM h) WHERE rank <= 5""".stripMargin,
+    "q144_copurchase_pairs" ->
+      """WITH buyers AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100)
+        |SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS n_shared_parts
+        |FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->
