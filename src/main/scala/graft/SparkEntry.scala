@@ -2343,6 +2343,27 @@ object SparkEntry {
         .where(col("n_shared_parts") >= 2)
     }),
 
+    // q145: snapshot drift monitor — per-source row deltas between two
+    // corpus snapshots (q79's deterministic derived snapshot, source
+    // retained): the dashboard row an ingest pipeline alerts on when a
+    // source silently halves. Counts only — nothing but (source, count)
+    // ever shuffles; the delta in integer basis points.
+    "q145_snapshot_drift" -> ((s, dir) => {
+      val old = tbl(s, dir, "documents").where(col("source").isNotNull)
+        .select(col("doc_id"), col("source"), coalesce(col("text"), lit("")).as("text"))
+      val edited = old.where(pmod(col("doc_id"), lit(10)) =!= 3)
+      val added = old.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text"))
+      val a = old.groupBy(col("source")).agg(count(lit(1)).as("n_old"))
+      val b = edited.unionByName(added)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+      a.join(b, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("delta_bp", expr("(n_new * 10000) div n_old - 10000"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -4012,6 +4033,22 @@ object SparkEntry {
         |SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS n_shared_parts
         |FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // q145: same derived snapshot as q79 (source retained); basis-point
+    // delta via integer floor division
+    "q145_snapshot_drift" ->
+      """WITH olds AS (SELECT doc_id, source, coalesce(text, '') AS text
+        |              FROM documents WHERE source IS NOT NULL),
+        |edited AS (SELECT doc_id, source, text FROM olds WHERE doc_id % 10 <> 3),
+        |added AS (SELECT doc_id + 1000000 AS doc_id, source, text
+        |          FROM olds WHERE doc_id < 20),
+        |news AS (SELECT * FROM edited UNION ALL SELECT * FROM added),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_old FROM olds GROUP BY 1),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_new FROM news GROUP BY 1)
+        |SELECT coalesce(a.source, b.source) AS source,
+        |       coalesce(a.n_old, 0) AS n_old, coalesce(b.n_new, 0) AS n_new,
+        |       CAST((coalesce(b.n_new, 0) * 10000) // coalesce(a.n_old, 0) - 10000
+        |            AS BIGINT) AS delta_bp
+        |FROM a FULL OUTER JOIN b ON a.source = b.source""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->
