@@ -2364,6 +2364,37 @@ object SparkEntry {
         .withColumn("delta_bp", expr("(n_new * 10000) div n_old - 10000"))
     }),
 
+    // q146: REAL pixel decode — each doc gets a spec-valid 24bpp BMP whose
+    // pixel channels are pure functions of (x, y, doc_id); pixelMeans
+    // byte-decodes EVERY pixel (row stride, bottom-up order, BGR triples)
+    // and the oracle recomputes the channel means from the closed form.
+    // Actual byte->pixel work, not a stub — BMP needs no codec library.
+    "q146_bmp_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticBmp((8 + id % 16).toInt, (8 + id % 8).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.pixelMeans(blobs, "doc_id", "blob")
+    }),
+
+    // q147: REAL resize — decode, nearest-neighbor sample to 16x12,
+    // re-encode a spec-valid BMP, then decode the RESIZED image's means;
+    // the oracle replays the same integer sampling grid
+    "q147_bmp_resize" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticBmp((8 + id % 16).toInt, (8 + id % 8).toInt, id))
+        }.toDF("doc_id", "blob")
+      val resized = multimodal.Media.resize(blobs, "doc_id", "blob", 16, 12)
+      multimodal.Media.pixelMeans(resized, "doc_id", "resized")
+        .join(resized.select(col("doc_id"), col("kind")), "doc_id")
+        .select(col("doc_id"), col("kind"), col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -4049,6 +4080,41 @@ object SparkEntry {
         |       CAST((coalesce(b.n_new, 0) * 10000) // coalesce(a.n_old, 0) - 10000
         |            AS BIGINT) AS delta_bp
         |FROM a FULL OUTER JOIN b ON a.source = b.source""".stripMargin,
+    // q146/q147: channel means recomputed from the pixel closed form
+    // (r=(x+y)%256, g=(y+id)%256, b=(x+id)%256) — the decode under test is
+    // the byte-level BMP walk on the Spark side
+    "q146_bmp_pixels" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+        |agg AS (SELECT doc_id, w, h,
+        |          sum((x + y) % 256) AS sr,
+        |          sum((y + doc_id) % 256) AS sg,
+        |          sum((x + doc_id) % 256) AS sb
+        |        FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sr // (w * h) AS BIGINT) AS mean_r,
+        |       CAST(sg // (w * h) AS BIGINT) AS mean_g,
+        |       CAST(sb // (w * h) AS BIGINT) AS mean_b
+        |FROM agg""".stripMargin,
+    "q147_bmp_resize" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (SELECT doc_id, (dx * w) // 16 AS sx, (dy * h) // 12 AS sy
+        |       FROM dims, unnest(generate_series(0, 15)) AS ux(dx),
+        |                  unnest(generate_series(0, 11)) AS uy(dy)),
+        |agg AS (SELECT doc_id,
+        |          sum((sx + sy) % 256) AS sr,
+        |          sum((sy + doc_id) % 256) AS sg,
+        |          sum((sx + doc_id) % 256) AS sb
+        |        FROM px GROUP BY 1)
+        |SELECT doc_id, 'bmp' AS kind,
+        |       CAST(sr // 192 AS BIGINT) AS mean_r,
+        |       CAST(sg // 192 AS BIGINT) AS mean_g,
+        |       CAST(sb // 192 AS BIGINT) AS mean_b
+        |FROM agg""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality
     "q118_norm_outliers" ->

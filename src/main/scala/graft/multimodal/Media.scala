@@ -20,14 +20,17 @@ case class MediaFeatures(
  * partition — same execution shape as Python's `mapInPandas`, kept JVM-native
  * here.
  *
- * DIMENSION extraction is REAL for PNG and JPEG ([[decodeDims]]): the IHDR
- * chunk and SOF segment carry width/height as plain big-endian integers, so
- * no decoder library is needed — the same parse works on any real PNG/JPEG
- * file. Full PIXEL decode (needed for resize/feature-extract beyond
- * dimensions) remains a clearly-marked STUB (`fakeDecode`, the fallback for
- * containers without a parsed header): this container has no image/audio
- * libraries. Everything else — binary column handling, schema, per-partition
- * batching, byte-level feature math — is real and tested.
+ * DIMENSION extraction is REAL for PNG, JPEG and BMP ([[decodeDims]]): the
+ * IHDR chunk / SOF segment / BITMAPINFOHEADER carry width/height as plain
+ * integers, so no decoder library is needed — the same parse works on any
+ * real file of those formats. Full PIXEL decode is REAL for uncompressed
+ * 24bpp BMP ([[parseBmp]]/[[bmpChannelMeans]]/[[resizeBmp]]: per-pixel
+ * channel access, means, nearest-neighbor resize — the format is raw BGR
+ * triples, decodable with pure byte math). For COMPRESSED containers
+ * (PNG/JPEG pixel data) decode remains a clearly-marked STUB (`fakeDecode`):
+ * this container has no image codec libraries. Everything else — binary
+ * column handling, schema, per-partition batching, byte-level feature math —
+ * is real and tested.
  */
 object Media {
 
@@ -37,7 +40,68 @@ object Media {
       (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "riff"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else "unknown"
+
+  /** A fully-parsed uncompressed 24bpp BMP: pixel access in IMAGE
+    * coordinates (origin top-left) regardless of the file's row order. */
+  private[graft] final class BmpImage(bytes: Array[Byte], val width: Int, val height: Int,
+      dataOffset: Int, stride: Int, bottomUp: Boolean) {
+    /** (r, g, b) of the pixel at image coords (x, y). */
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val row = if (bottomUp) height - 1 - y else y
+      val i = dataOffset + row * stride + x * 3
+      ((bytes(i + 2) & 0xff), (bytes(i + 1) & 0xff), (bytes(i) & 0xff))
+    }
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /**
+   * REAL pixel-level BMP parse — no decoder library, because the format
+   * needs none: BITMAPINFOHEADER fields are little-endian integers at fixed
+   * offsets, and uncompressed 24bpp pixel rows are plain BGR byte triples
+   * padded to 4-byte row boundaries, stored bottom-up (or top-down when the
+   * height field is negative). Returns None for anything that is not an
+   * in-bounds uncompressed 24bpp BMP — those fall back to the stubbed path,
+   * keeping the no-library container honest about other formats.
+   */
+  private[graft] def parseBmp(bytes: Array[Byte]): Option[BmpImage] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val off = le32(bytes, 10)
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val comp = le32(bytes, 30)
+    if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0 || off < 54) return None
+    val h = math.abs(hRaw)
+    val rowBytes = w * 3
+    val stride = rowBytes + ((4 - rowBytes % 4) % 4)
+    if (off.toLong + stride.toLong * h > bytes.length) return None
+    Some(new BmpImage(bytes, w, h, off, stride, bottomUp = hRaw > 0))
+  }
+
+  /** REAL per-channel pixel means over a decoded BMP:
+    * `(width, height, mean_r, mean_g, mean_b)`, integer floor division. */
+  private[graft] def bmpChannelMeans(img: BmpImage): (Long, Long, Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val (r, g, b) = img.pixel(x, y)
+        sr += r; sg += g; sb += b
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.width.toLong * img.height
+    (img.width.toLong, img.height.toLong, sr / n, sg / n, sb / n)
+  }
 
   /** STUB pixel decode ??? — a real implementation would hand `bytes` to an
     * image decoder. Deterministic fake: dimensions derived from blob length.
@@ -98,7 +162,78 @@ object Media {
           }
         }
         None
+      case "bmp" => parseBmp(bytes).map(img => (img.width.toLong, img.height.toLong))
       case _ => None
+    }
+
+  /**
+   * Deterministic synthetic 24bpp bottom-up BMP with pixel channels that
+   * are pure functions of position and `seed`:
+   * `r = (x + y) % 256`, `g = (y + seed) % 256`, `b = (x + seed) % 256`
+   * (image coordinates, origin top-left). Spec-valid file + info headers,
+   * 4-byte row padding — any real BMP reader decodes it; doubles as the
+   * decode-test fixture and the q146/q147 oracle's closed form.
+   */
+  def syntheticBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0, s"dimensions must be positive, got ${w}x$h")
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imgSize = (rowBytes + pad) * h
+    val bytes = new Array[Byte](54 + imgSize)
+    def putLe16(i: Int, v: Int): Unit = {
+      bytes(i) = (v & 0xff).toByte; bytes(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(i: Int, v: Int): Unit = {
+      putLe16(i, v & 0xffff); putLe16(i + 2, (v >> 16) & 0xffff)
+    }
+    bytes(0) = 'B'; bytes(1) = 'M'
+    putLe32(2, bytes.length); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+    putLe16(26, 1); putLe16(28, 24); putLe32(30, 0); putLe32(34, imgSize)
+    var i = 54
+    var y = h - 1 // bottom-up storage: last image row first
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        bytes(i) = (((x + seed) % 256).toInt & 0xff).toByte     // blue
+        bytes(i + 1) = (((y + seed) % 256).toInt & 0xff).toByte // green
+        bytes(i + 2) = (((x + y) % 256) & 0xff).toByte          // red
+        i += 3; x += 1
+      }
+      i += pad
+      y -= 1
+    }
+    bytes
+  }
+
+  /** Encode pixels (image coords, top-left origin) as a bottom-up 24bpp BMP. */
+  private def encodeBmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val out = syntheticBmp(w, h, 0L) // header template, pixels overwritten below
+    var i = 54
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        out(i) = (b & 0xff).toByte; out(i + 1) = (g & 0xff).toByte; out(i + 2) = (r & 0xff).toByte
+        i += 3; x += 1
+      }
+      i += pad
+      y -= 1
+    }
+    out
+  }
+
+  /** REAL nearest-neighbor BMP resize: decode 24bpp pixels, sample source
+    * pixel `(dx*srcW div dstW, dy*srcH div dstH)` per destination pixel,
+    * re-encode as a spec-valid BMP. None when the blob isn't a parseable
+    * uncompressed 24bpp BMP. */
+  private[graft] def resizeBmp(bytes: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
+    parseBmp(bytes).map { img =>
+      encodeBmp(dw, dh, (dx, dy) =>
+        img.pixel((dx.toLong * img.width / dw).toInt, (dy.toLong * img.height / dh).toInt))
     }
 
   /**
@@ -181,12 +316,40 @@ object Media {
   }
 
   /**
+   * REAL per-blob pixel statistics for containers the no-library parse can
+   * fully decode (uncompressed 24bpp BMP): `(id, width, height, mean_r,
+   * mean_g, mean_b)` with integer-floor channel means over EVERY pixel —
+   * actual byte→pixel work, the feature-extraction step of an image
+   * curation pipeline. Blobs that are not decodable BMPs are DROPPED (the
+   * caller's signal to route them through the stubbed path instead); null
+   * blobs likewise.
+   */
+  def pixelMeans(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 != null).flatMap { case (id, bytes) =>
+          parseBmp(bytes).map { img =>
+            val (w, h, mr, mg, mb) = bmpChannelMeans(img)
+            (id, w, h, mr, mg, mb)
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /**
    * Resize plumbing: (id, blob) -> (id, kind, resized blob) at a target
-   * `w`x`h`. The pixel transform is a STUB ??? (real impl: decode, scale,
-   * re-encode via a native library) — deterministically faked by cycling the
-   * source bytes into a w*h-byte output so downstream schema, sizes, and
-   * partition-batch shape are exactly what a real resize would produce.
-   * Null blobs pass through as null (a real decoder would skip them too).
+   * `w`x`h`. For uncompressed 24bpp BMPs the transform is REAL: decode
+   * pixels, nearest-neighbor sample, re-encode a spec-valid BMP
+   * ([[resizeBmp]]). For compressed containers (PNG/JPEG — no codec in
+   * this environment) the pixel transform remains a STUB ??? —
+   * deterministically faked by cycling the source bytes into a w*h-byte
+   * output so downstream schema, sizes, and partition-batch shape are
+   * exactly what a real resize would produce. Null blobs pass through as
+   * null (a real decoder would skip them too).
    */
   def resize(df: DataFrame, idCol: String, binCol: String, w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
@@ -198,13 +361,15 @@ object Media {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           if (bytes == null) (id, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]])
-          else {
-            val out = new Array[Byte](w * h)
-            if (bytes.length > 0) {
-              var i = 0
-              while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
-            }
-            (id, sniffKind(bytes), out)
+          else resizeBmp(bytes, w, h) match {
+            case Some(real) => (id, "bmp", real)
+            case None =>
+              val out = new Array[Byte](w * h)
+              if (bytes.length > 0) {
+                var i = 0
+                while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+              }
+              (id, sniffKind(bytes), out)
           }
         }
       }

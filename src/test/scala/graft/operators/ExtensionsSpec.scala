@@ -899,6 +899,37 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got(1L).checksum === (0x89L)) // every 16th byte of an 11-byte blob = byte 0
     }
 
+    it("REALLY decodes 24bpp BMP pixels: values, orientation, means, resize, rejects") {
+      val bmp = Media.syntheticBmp(3, 2, 7L)
+      val img = Media.parseBmp(bmp).get
+      assert((img.width, img.height) === ((3, 2)))
+      // pixel closed form: r=(x+y)%256, g=(y+7)%256, b=(x+7)%256
+      assert(img.pixel(0, 0) === ((0, 7, 7)))
+      assert(img.pixel(2, 1) === ((3, 8, 9)))
+      val (w, h, mr, mg, mb) = Media.bmpChannelMeans(img)
+      assert((w, h, mr, mg, mb) === ((3L, 2L, 1L, 7L, 8L)))
+      // top-down variant (negative height): same bytes reinterpreted — the
+      // stored FIRST row (image row 1 in the bottom-up original) becomes
+      // image row 0, so its green channel reads (1+7)=8 at y=0
+      val topDown = bmp.clone()
+      topDown(22) = (-2 & 0xff).toByte; topDown(23) = 0xff.toByte
+      topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+      assert(Media.parseBmp(topDown).get.pixel(0, 0)._2 === 8)
+      // real nearest-neighbor resize: corners map to source corners
+      val rz = Media.resizeBmp(bmp, 6, 2).get
+      val rimg = Media.parseBmp(rz).get
+      assert((rimg.width, rimg.height) === ((6, 2)))
+      assert(rimg.pixel(0, 0) === img.pixel(0, 0))
+      assert(rimg.pixel(5, 1) === img.pixel(2, 1))
+      // truncated pixel data and non-BMP bytes are rejected, not misread
+      assert(Media.parseBmp(bmp.dropRight(1)).isEmpty)
+      assert(Media.parseBmp("not a bitmap".getBytes("UTF-8")).isEmpty)
+      // extractFeatures reports the REAL header dims for bmp kind
+      val feats = Media.extractFeatures(Seq((9L, bmp)).toDF("id", "blob"), "id", "blob")
+        .collect().head
+      assert((feats.kind, feats.width, feats.height) === (("bmp", 3L, 2L)))
+    }
+
     it("REALLY parses dimensions out of PNG IHDR and JPEG SOF headers") {
       val payload = "the pixel data would live here".getBytes("UTF-8")
       val png = Media.syntheticPng(640, 481, payload)
