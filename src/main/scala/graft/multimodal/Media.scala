@@ -8,8 +8,8 @@ case class MediaFeatures(
     id: Long,
     n_bytes: Long,
     kind: String,   // sniffed container type
-    width: Long,    // REAL header parse (PNG IHDR / JPEG SOF); fake fallback otherwise
-    height: Long,   // REAL header parse (PNG IHDR / JPEG SOF); fake fallback otherwise
+    width: Long,    // REAL header parse (PNG IHDR / JPEG SOF / BMP info header); fake fallback otherwise
+    height: Long,   // REAL header parse (PNG IHDR / JPEG SOF / BMP info header); fake fallback otherwise
     checksum: Long) // sum of sampled bytes — real byte-level work
 
 /**
