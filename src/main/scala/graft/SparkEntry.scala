@@ -2395,6 +2395,22 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
+    // q148: REAL audio decode — each doc gets a spec-valid 16-bit mono PCM
+    // WAV whose samples follow a closed form; audioStats walks the RIFF
+    // chunks (word-aligned sizes, fmt-before-data), decodes EVERY
+    // little-endian sample, and emits peak/mean-abs amplitude. The audio
+    // analog of q146: codec-free format, actual byte->sample work.
+    "q148_wav_audio" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticWav(
+            (8000 + (id % 8) * 1000).toInt, (64 + id % 192).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.audioStats(blobs, "doc_id", "blob")
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -4114,6 +4130,19 @@ object SparkEntry {
         |       CAST(sr // 192 AS BIGINT) AS mean_r,
         |       CAST(sg // 192 AS BIGINT) AS mean_g,
         |       CAST(sb // 192 AS BIGINT) AS mean_b
+        |FROM agg""".stripMargin,
+    // q148: sample closed form s(i) = (i*37 + id) % 2048 - 1024; peak and
+    // floor mean of |s| recomputed per doc
+    "q148_wav_audio" ->
+      """WITH dims AS (SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS sr,
+        |                     64 + doc_id % 192 AS n
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |smp AS (SELECT doc_id, sr, n, abs((i * 37 + doc_id) % 2048 - 1024) AS a
+        |        FROM dims, unnest(generate_series(0, n - 1)) AS u(i)),
+        |agg AS (SELECT doc_id, sr, n, max(a) AS peak, sum(a) AS sa
+        |        FROM smp GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(peak AS BIGINT) AS peak, CAST(sa // n AS BIGINT) AS mean_abs
         |FROM agg""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality

@@ -930,6 +930,27 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert((feats.kind, feats.width, feats.height) === (("bmp", 3L, 2L)))
     }
 
+    it("REALLY decodes 16-bit PCM WAV samples: values, chunk walk, stats, rejects") {
+      val wav = Media.syntheticWav(8000, 4, 100L)
+      val w = Media.parseWav(wav).get
+      assert((w.sampleRate, w.channels, w.nSamples) === ((8000, 1, 4)))
+      // closed form s(i) = (i*37 + 100) % 2048 - 1024
+      assert((0 until 4).map(w.sample) === Seq(-924, -887, -850, -813))
+      assert(Media.wavStats(w) === ((8000L, 4L, 924L, (924L + 887 + 850 + 813) / 4)))
+      // an ODD-size junk chunk before data: the walk must word-align past it
+      val withJunk = wav.take(36) ++ "LIST".getBytes("US-ASCII") ++
+        Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9, 0) ++ wav.drop(36)
+      assert(Media.parseWav(withJunk).get.sample(0) === -924)
+      // float (non-PCM) format and truncated data are rejected, not misread
+      val floatWav = wav.clone(); floatWav(20) = 3
+      assert(Media.parseWav(floatWav).isEmpty)
+      assert(Media.parseWav(wav.dropRight(1)).isEmpty)
+      // container sniff surfaces through the feature extractor
+      val feats = Media.extractFeatures(Seq((1L, wav)).toDF("id", "blob"), "id", "blob")
+        .collect().head
+      assert(feats.kind === "wav")
+    }
+
     it("REALLY parses dimensions out of PNG IHDR and JPEG SOF headers") {
       val payload = "the pixel data would live here".getBytes("UTF-8")
       val png = Media.syntheticPng(640, 481, payload)
