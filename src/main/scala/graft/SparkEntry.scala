@@ -2411,6 +2411,22 @@ object SparkEntry {
       multimodal.Media.audioStats(blobs, "doc_id", "blob")
     }),
 
+    // q149: REAL video frame decode — each doc gets an uncompressed-DIB AVI
+    // (RIFF hdrl/avih/movi walk, one raw bottom-up BGR frame per '00db'
+    // chunk); videoFrameMeans emits one row per DECODED frame with
+    // every-pixel channel means. Completes the image/audio/video triple
+    // with real byte math on the codec-free subset of each modality.
+    "q149_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticAvi(
+            (4 + id % 12).toInt, (4 + id % 4).toInt, (2 + id % 3).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.videoFrameMeans(blobs, "doc_id", "blob")
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -4143,6 +4159,27 @@ object SparkEntry {
         |        FROM smp GROUP BY 1, 2, 3)
         |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
         |       CAST(peak AS BIGINT) AS peak, CAST(sa // n AS BIGINT) AS mean_abs
+        |FROM agg""".stripMargin,
+    // q149: per-frame pixel closed form (r=(x+y+f)%256, g=(y+id+f)%256,
+    // b=(x+id+f)%256) over each doc's w x h x frames grid
+    "q149_avi_frames" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 4 AS h,
+        |                     2 + doc_id % 3 AS nf
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (SELECT doc_id, w, h, f, x, y
+        |       FROM dims, unnest(generate_series(0, nf - 1)) AS uf(f),
+        |                  unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+        |agg AS (SELECT doc_id, f, w, h,
+        |          sum((x + y + f) % 256) AS sr,
+        |          sum((y + doc_id + f) % 256) AS sg,
+        |          sum((x + doc_id + f) % 256) AS sb
+        |        FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sr // (w * h) AS BIGINT) AS mean_r,
+        |       CAST(sg // (w * h) AS BIGINT) AS mean_g,
+        |       CAST(sb // (w * h) AS BIGINT) AS mean_b
         |FROM agg""".stripMargin,
     // q118: exact integer norm^2 per vector (sum of round(v*1e6)^2), the
     // q98 chain keyed on label, and the 2-robust-sigma outlier inequality

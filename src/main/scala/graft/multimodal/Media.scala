@@ -210,6 +210,158 @@ object Media {
       .toDF(idCol, "sample_rate", "n_samples", "peak", "mean_abs")
   }
 
+  /** A parsed uncompressed-DIB AVI: per-frame pixel access over the raw
+    * bottom-up padded BGR frames in the `movi` list. */
+  private[graft] final class AviVideo(bytes: Array[Byte], val width: Int, val height: Int,
+      frameOffsets: Array[Int]) {
+    val nFrames: Int = frameOffsets.length
+    private val stride = width * 3 + ((4 - (width * 3) % 4) % 4)
+    /** (r, g, b) at image coords (x, y) of frame f (top-left origin). */
+    def pixel(f: Int, x: Int, y: Int): (Int, Int, Int) = {
+      val i = frameOffsets(f) + (height - 1 - y) * stride + x * 3
+      ((bytes(i + 2) & 0xff), (bytes(i + 1) & 0xff), (bytes(i) & 0xff))
+    }
+  }
+
+  /**
+   * REAL frame extraction from an uncompressed-DIB AVI — the video analog
+   * of [[parseBmp]]: RIFF('AVI ') → LIST('hdrl') → 'avih' (width/height at
+   * payload offsets 32/36) → LIST('movi') → one '00db' chunk per raw frame
+   * (BMP-style bottom-up padded BGR rows). Pure chunk-walk byte math; the
+   * subset a codec-less container can honestly decode — compressed streams
+   * ('00dc' with a codec fourcc) return None like compressed images do.
+   */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[AviVideo] = {
+    def fourcc(i: Int, s: String): Boolean =
+      i + 4 <= bytes.length && (0 until 4).forall(j => bytes(i + j) == s.charAt(j).toByte)
+    if (bytes.length < 24 || !fourcc(0, "RIFF") || !fourcc(8, "AVI ")) return None
+    var w = 0; var h = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val size = le32(bytes, pos + 4)
+      if (size < 0 || pos + 8 + size.toLong > bytes.length) return None
+      if (fourcc(pos, "LIST") && size >= 4) {
+        if (fourcc(pos + 8, "hdrl")) {
+          // scan the list body for the avih header chunk
+          var p = pos + 12
+          val end = pos + 8 + size
+          while (p + 8 <= end && !(w > 0)) {
+            val csz = le32(bytes, p + 4)
+            if (csz < 0 || p + 8 + csz > end) return None
+            if (fourcc(p, "avih") && csz >= 40) {
+              w = le32(bytes, p + 8 + 32)
+              h = le32(bytes, p + 8 + 36)
+            }
+            p += 8 + csz + (csz & 1)
+          }
+        } else if (fourcc(pos + 8, "movi")) {
+          if (w <= 0 || h <= 0) return None // header must precede movi
+          val stride = w * 3 + ((4 - (w * 3) % 4) % 4)
+          var p = pos + 12
+          val end = pos + 8 + size
+          while (p + 8 <= end) {
+            val csz = le32(bytes, p + 4)
+            if (csz < 0 || p + 8 + csz > end) return None
+            if (fourcc(p, "00db")) {
+              if (csz != stride * h) return None // frame size must match dims
+              frames += (p + 8)
+            } else if (fourcc(p, "00dc")) {
+              return None // compressed stream: no codec in this container
+            }
+            p += 8 + csz + (csz & 1)
+          }
+        }
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (w > 0 && h > 0 && frames.nonEmpty) Some(new AviVideo(bytes, w, h, frames.toArray))
+    else None
+  }
+
+  /**
+   * Deterministic synthetic uncompressed-DIB AVI (the [[parseAvi]] subset):
+   * frame f's pixels follow `r=(x+y+f)%256, g=(y+seed+f)%256,
+   * b=(x+seed+f)%256` — the q149 oracle's closed form.
+   */
+  def syntheticAvi(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0, s"bad AVI shape: ${w}x$h x$nFrames")
+    val stride = w * 3 + ((4 - (w * 3) % 4) % 4)
+    val frameBytes = stride * h
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val hdrlSize = 4 + 8 + 56
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val bytes = new Array[Byte](total)
+    def putAscii(i: Int, s: String): Unit = { var j = 0; while (j < s.length) { bytes(i + j) = s.charAt(j).toByte; j += 1 } }
+    def putLe16(i: Int, v: Int): Unit = { bytes(i) = (v & 0xff).toByte; bytes(i + 1) = ((v >> 8) & 0xff).toByte }
+    def putLe32(i: Int, v: Int): Unit = { putLe16(i, v & 0xffff); putLe16(i + 2, (v >> 16) & 0xffff) }
+    putAscii(0, "RIFF"); putLe32(4, total - 8); putAscii(8, "AVI ")
+    var pos = 12
+    putAscii(pos, "LIST"); putLe32(pos + 4, hdrlSize); putAscii(pos + 8, "hdrl")
+    putAscii(pos + 12, "avih"); putLe32(pos + 16, 56)
+    val avih = pos + 20
+    putLe32(avih + 16, nFrames); putLe32(avih + 32, w); putLe32(avih + 36, h)
+    pos += 8 + hdrlSize
+    putAscii(pos, "LIST"); putLe32(pos + 4, moviSize); putAscii(pos + 8, "movi")
+    var fp = pos + 12
+    var f = 0
+    while (f < nFrames) {
+      putAscii(fp, "00db"); putLe32(fp + 4, frameBytes)
+      var i = fp + 8
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          bytes(i) = (((x + seed + f) % 256).toInt & 0xff).toByte     // blue
+          bytes(i + 1) = (((y + seed + f) % 256).toInt & 0xff).toByte // green
+          bytes(i + 2) = (((x + y + f) % 256) & 0xff).toByte          // red
+          i += 3; x += 1
+        }
+        i += stride - w * 3
+        y -= 1
+      }
+      fp += 8 + frameBytes
+      f += 1
+    }
+    bytes
+  }
+
+  /**
+   * REAL per-frame video features over uncompressed-DIB AVI blobs:
+   * `(id, frame_idx, width, height, mean_r, mean_g, mean_b)` — one row per
+   * decoded frame, every pixel visited. The 1-to-N explode shape of real
+   * video frame extraction, with the decode REAL for the codec-free
+   * subset; non-AVI / compressed / null blobs are dropped.
+   */
+  def videoFrameMeans(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 != null).flatMap { case (id, bytes) =>
+          parseAvi(bytes).iterator.flatMap { v =>
+            (0 until v.nFrames).iterator.map { f =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < v.height) {
+                var x = 0
+                while (x < v.width) {
+                  val (r, g, b) = v.pixel(f, x, y)
+                  sr += r; sg += g; sb += b
+                  x += 1
+                }
+                y += 1
+              }
+              val n = v.width.toLong * v.height
+              (id, f.toLong, v.width.toLong, v.height.toLong, sr / n, sg / n, sb / n)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
   /** STUB pixel decode ??? — a real implementation would hand `bytes` to an
     * image decoder. Deterministic fake: dimensions derived from blob length.
     * Only reached for containers [[decodeDims]] cannot header-parse. */

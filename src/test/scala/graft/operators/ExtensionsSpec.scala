@@ -951,6 +951,25 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(feats.kind === "wav")
     }
 
+    it("REALLY decodes uncompressed-DIB AVI frames: chunk walk, pixels, rejects") {
+      val avi = Media.syntheticAvi(3, 2, 2, 5L)
+      val v = Media.parseAvi(avi).get
+      assert((v.width, v.height, v.nFrames) === ((3, 2, 2)))
+      // frame f closed form: r=(x+y+f)%256, g=(y+5+f)%256, b=(x+5+f)%256
+      assert(v.pixel(0, 0, 0) === ((0, 5, 5)))
+      assert(v.pixel(1, 2, 1) === ((4, 7, 8)))
+      val rows = Media.videoFrameMeans(Seq((3L, avi)).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+      assert(rows.length === 2)
+      // frame 0: sr = sum(x+y) = 9 over 6 px -> 1; sg = (5*3 + 6*3)/6 = 5; sb = (5+6+7)*2/6 = 6
+      assert(rows(0) === ((3L, 0L, 3L, 2L, 1L, 5L, 6L)))
+      // a compressed stream chunk ('00dc') is rejected, not misdecoded
+      val compressed = avi.clone()
+      compressed(100 + 3) = 'c' // 00db -> 00dc of the first frame chunk id
+      assert(Media.parseAvi(compressed).isEmpty)
+      assert(Media.parseAvi(avi.dropRight(1)).isEmpty)
+    }
+
     it("REALLY parses dimensions out of PNG IHDR and JPEG SOF headers") {
       val payload = "the pixel data would live here".getBytes("UTF-8")
       val png = Media.syntheticPng(640, 481, payload)
