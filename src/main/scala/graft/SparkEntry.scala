@@ -1863,6 +1863,32 @@ object SparkEntry {
         .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
     }),
 
+    // q150: Cohen's kappa over q124's confusion matrix — chance-corrected
+    // agreement between the declared lang and the heuristic's guess, the
+    // label-QA metric an annotation pipeline reports. kappa =
+    // (po - pe)/(1 - pe) is RATIONAL in the confusion counts, so the x10000
+    // value is exact integer cross-multiplication:
+    // (N·agree − Σ row_c·col_c) · 10000 div (N² − Σ row_c·col_c).
+    // Everything aggregates from the tiny (langs × guesses) frame.
+    "q150_kappa_agreement" -> ((s, dir) => {
+      val conf = tbl(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), functions.Text.langGuess(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
+      val tot = conf.agg(sum(col("n")).as("nn"),
+        sum(when(col("lang") === col("lang_guess"), col("n")).otherwise(0L)).as("agree"))
+      val rows = conf.groupBy(col("lang")).agg(sum(col("n")).as("r"))
+        .select(col("lang").as("cls"), col("r"))
+      val cols = conf.groupBy(col("lang_guess")).agg(sum(col("n")).as("c"))
+        .select(col("lang_guess").as("cls"), col("c"))
+      // classes never predicted (or never actual) contribute 0 to pe: inner join
+      val pe = rows.join(cols, Seq("cls"))
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("rc"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("nn").as("n_docs"), col("agree"),
+          expr("((nn * agree - rc) * 10000) div (nn * nn - rc)").as("kappa_x10000"))
+    }),
+
     // SemDeDup-style semantic dedup: near-identical embeddings found by
     // CENTROID BLOCKING — every vector is assigned to its nearest coarse
     // centroid (the IVF quantizer; one narrow pass) and exact cosine runs
@@ -4288,6 +4314,35 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess,
         |  count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // q150: q124's confusion CTE + the exact rational kappa formula
+    "q150_kappa_agreement" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    (len(pt) - len(replace(pt, ' the ', ''))) // 5 AS c_en,
+        |    (len(pt) - len(replace(pt, ' der ', ''))) // 5 AS c_de,
+        |    (len(pt) - len(replace(pt, ' le ', ''))) // 4 AS c_fr,
+        |    (len(pt) - len(replace(pt, ' el ', ''))) // 4 AS c_es
+        |  FROM (SELECT lang, concat(' ', text, ' ') AS pt FROM documents
+        |        WHERE text IS NOT NULL AND lang IS NOT NULL) p),
+        |g AS (SELECT lang,
+        |  CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |       WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+        |       WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+        |       WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+        |       ELSE 'und' END AS lang_guess
+        |  FROM c),
+        |conf AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |               CAST(sum(CASE WHEN lang = lang_guess THEN n ELSE 0 END) AS BIGINT) AS agree
+        |        FROM conf),
+        |r AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS rr FROM conf GROUP BY 1),
+        |cl AS (SELECT lang_guess AS cls, CAST(sum(n) AS BIGINT) AS cc FROM conf GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(r.rr * cl.cc), 0) AS BIGINT) AS rc
+        |       FROM r JOIN cl USING (cls))
+        |SELECT tot.nn AS n_docs, tot.agree,
+        |       CAST(((tot.nn * tot.agree - pe.rc) * 10000) //
+        |            (tot.nn * tot.nn - pe.rc) AS BIGINT) AS kappa_x10000
+        |FROM tot CROSS JOIN pe""".stripMargin,
     // q125: the planted construction replayed arithmetically — every copy
     // pairs with its source (recall gate TRUE is an invariant of identical
     // vectors sharing an argmax), and survivors are exactly the originals
