@@ -1856,12 +1856,7 @@ object SparkEntry {
     // any cheap classifier before it gates a corpus: the off-diagonal mass
     // IS the mislabeling rate per true language. Narrow guess on the scan,
     // then a langs² aggregation — nothing corpus-sized shuffles.
-    "q124_langid_confusion" -> ((s, dir) => {
-      tbl(s, dir, "documents")
-        .where(col("text").isNotNull && col("lang").isNotNull)
-        .select(col("lang"), functions.Text.langGuess(col("text")).as("lang_guess"))
-        .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
-    }),
+    "q124_langid_confusion" -> ((s, dir) => langConfusion(s, dir)),
 
     // q150: Cohen's kappa over q124's confusion matrix — chance-corrected
     // agreement between the declared lang and the heuristic's guess, the
@@ -1871,10 +1866,12 @@ object SparkEntry {
     // (N·agree − Σ row_c·col_c) · 10000 div (N² − Σ row_c·col_c).
     // Everything aggregates from the tiny (langs × guesses) frame.
     "q150_kappa_agreement" -> ((s, dir) => {
-      val conf = tbl(s, dir, "documents")
-        .where(col("text").isNotNull && col("lang").isNotNull)
-        .select(col("lang"), functions.Text.langGuess(col("text")).as("lang_guess"))
-        .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
+      // the confusion frame feeds THREE aggregation branches — persist the
+      // tiny (langs x guesses) result so the documents scan + langGuess
+      // regexes run once, not three times; released after materialization
+      val conf = langConfusion(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { conf.unpersist(); () })
       val tot = conf.agg(sum(col("n")).as("nn"),
         sum(when(col("lang") === col("lang_guess"), col("n")).otherwise(0L)).as("agree"))
       val rows = conf.groupBy(col("lang")).agg(sum(col("n")).as("r"))
@@ -2370,16 +2367,17 @@ object SparkEntry {
     }),
 
     // q145: snapshot drift monitor — per-source row deltas between two
-    // corpus snapshots (q79's deterministic derived snapshot, source
-    // retained): the dashboard row an ingest pipeline alerts on when a
+    // corpus snapshots (the same mod-10 remove/add MEMBERSHIP rules as
+    // q79's derived snapshot; q79's content edit is irrelevant to counts
+    // and omitted): the dashboard row an ingest pipeline alerts on when a
     // source silently halves. Counts only — nothing but (source, count)
     // ever shuffles; the delta in integer basis points.
     "q145_snapshot_drift" -> ((s, dir) => {
       val old = tbl(s, dir, "documents").where(col("source").isNotNull)
-        .select(col("doc_id"), col("source"), coalesce(col("text"), lit("")).as("text"))
+        .select(col("doc_id"), col("source"))
       val edited = old.where(pmod(col("doc_id"), lit(10)) =!= 3)
       val added = old.where(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"))
       val a = old.groupBy(col("source")).agg(count(lit(1)).as("n_old"))
       val b = edited.unionByName(added)
         .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
@@ -2621,6 +2619,15 @@ object SparkEntry {
       |          max(CASE WHEN rn = (n*500000 + 999999) // 1000000 THEN av END) AS mad
       |        FROM dk GROUP BY user_id)
       |SELECT med.user_id, median, mad FROM med JOIN mad USING (user_id)""".stripMargin
+
+  /** The (lang, lang_guess, n) confusion frame shared by q124 (the matrix
+    * itself) and q150 (kappa over it) — one source so the guess logic can
+    * never desynchronize between the two. */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .where(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), functions.Text.langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
 
   /** q139's planted corpus: for every doc_id < 40 with >= 10 tokens, add a
     * TEMPLATE sibling under id+4e6 whose tokens are 'x'-fills of the same
@@ -3019,7 +3026,10 @@ object SparkEntry {
         |  CASE WHEN hx IS NULL THEN NULL
         |       WHEN n >= 8 AND substring(hx, 1, 8) = '89504e47' THEN 'png'
         |       WHEN n >= 3 AND substring(hx, 1, 4) = 'ffd8' THEN 'jpeg'
+        |       WHEN n >= 12 AND substring(hx, 1, 8) = '52494646'
+        |            AND substring(hx, 17, 8) = '57415645' THEN 'wav'
         |       WHEN n >= 4 AND substring(hx, 1, 8) = '52494646' THEN 'riff'
+        |       WHEN n >= 2 AND substring(hx, 1, 4) = '424d' THEN 'bmp'
         |       ELSE 'unknown' END AS kind,
         |  CASE WHEN hx IS NULL THEN NULL ELSE CAST(192 AS BIGINT) END AS n_out,
         |  CASE WHEN hx IS NULL THEN NULL
@@ -4122,13 +4132,13 @@ object SparkEntry {
         |SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS n_shared_parts
         |FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-    // q145: same derived snapshot as q79 (source retained); basis-point
-    // delta via integer floor division
+    // q145: same remove/add membership rules as q79's snapshot (content
+    // edits don't move counts); basis-point delta via integer division
     "q145_snapshot_drift" ->
-      """WITH olds AS (SELECT doc_id, source, coalesce(text, '') AS text
+      """WITH olds AS (SELECT doc_id, source
         |              FROM documents WHERE source IS NOT NULL),
-        |edited AS (SELECT doc_id, source, text FROM olds WHERE doc_id % 10 <> 3),
-        |added AS (SELECT doc_id + 1000000 AS doc_id, source, text
+        |edited AS (SELECT doc_id, source FROM olds WHERE doc_id % 10 <> 3),
+        |added AS (SELECT doc_id + 1000000 AS doc_id, source
         |          FROM olds WHERE doc_id < 20),
         |news AS (SELECT * FROM edited UNION ALL SELECT * FROM added),
         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_old FROM olds GROUP BY 1),

@@ -63,6 +63,24 @@ object Media {
   private def le32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
+  // shared little-endian/ascii writers for the synthetic containers
+  private def putAsciiAt(b: Array[Byte], i: Int, s: String): Unit = {
+    var j = 0; while (j < s.length) { b(i + j) = s.charAt(j).toByte; j += 1 }
+  }
+  private def putLe16At(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putLe32At(b: Array[Byte], i: Int, v: Int): Unit = {
+    putLe16At(b, i, v & 0xffff); putLe16At(b, i + 2, (v >> 16) & 0xffff)
+  }
+
+  /** BMP/AVI row stride in LONG arithmetic — header fields are untrusted,
+    * so geometry math must not wrap before the bounds check rejects it. */
+  private def strideOf(w: Int): Long = {
+    val rowBytes = w.toLong * 3
+    rowBytes + ((4 - rowBytes % 4) % 4)
+  }
+
   /**
    * REAL pixel-level BMP parse — no decoder library, because the format
    * needs none: BITMAPINFOHEADER fields are little-endian integers at fixed
@@ -79,12 +97,14 @@ object Media {
     val hRaw = le32(bytes, 22)
     val bpp = le16(bytes, 28)
     val comp = le32(bytes, 30)
-    if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0 || off < 54) return None
+    // header fields are UNTRUSTED: Int.MinValue survives abs(), and wide
+    // widths wrap int products — all geometry runs in long (strideOf) and
+    // anything out of bounds returns None instead of crashing the task
+    if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0 || hRaw == Int.MinValue || off < 54) return None
     val h = math.abs(hRaw)
-    val rowBytes = w * 3
-    val stride = rowBytes + ((4 - rowBytes % 4) % 4)
-    if (off.toLong + stride.toLong * h > bytes.length) return None
-    Some(new BmpImage(bytes, w, h, off, stride, bottomUp = hRaw > 0))
+    val stride = strideOf(w)
+    if (off.toLong + stride * h > bytes.length) return None
+    Some(new BmpImage(bytes, w, h, off, stride.toInt, bottomUp = hRaw > 0))
   }
 
   /** REAL per-channel pixel means over a decoded BMP:
@@ -117,7 +137,7 @@ object Media {
   }
 
   /**
-   * REAL PCM WAV parse — like BMP, the format needs no codec: RIFF chunks
+   * REAL MONO 16-bit PCM WAV parse — like BMP, the format needs no codec: RIFF chunks
    * are (4-byte id, little-endian u32 size, payload) walked in order with
    * word alignment; `fmt ` carries format/channels/rate/bits at fixed
    * offsets and `data` holds raw interleaved 16-bit samples. Returns None
@@ -139,7 +159,11 @@ object Media {
         ch = le16(bytes, pos + 10)
         sr = le32(bytes, pos + 12)
         val bits = le16(bytes, pos + 22)
-        fmtOk = audioFormat == 1 && bits == 16 && ch >= 1 && sr > 0
+        // MONO only: with interleaved multi-channel data, a raw sample
+        // count would double-count frames (duration = n/rate would be 2x
+        // off for stereo) and the stats would silently mix channels —
+        // reject rather than misreport; a stereo path would de-interleave
+        fmtOk = audioFormat == 1 && bits == 16 && ch == 1 && sr > 0
       } else if (bytes(pos) == 'd' && bytes(pos + 1) == 'a' && bytes(pos + 2) == 't' && bytes(pos + 3) == 'a') {
         return if (fmtOk) Some(new WavAudio(bytes, sr, ch, size / 2, pos + 8)) else None
       }
@@ -173,9 +197,9 @@ object Media {
     require(sampleRate > 0 && nSamples >= 0, s"bad WAV shape: rate=$sampleRate n=$nSamples")
     val dataSize = nSamples * 2
     val bytes = new Array[Byte](44 + dataSize)
-    def putAscii(i: Int, s: String): Unit = { var j = 0; while (j < s.length) { bytes(i + j) = s.charAt(j).toByte; j += 1 } }
-    def putLe16(i: Int, v: Int): Unit = { bytes(i) = (v & 0xff).toByte; bytes(i + 1) = ((v >> 8) & 0xff).toByte }
-    def putLe32(i: Int, v: Int): Unit = { putLe16(i, v & 0xffff); putLe16(i + 2, (v >> 16) & 0xffff) }
+    def putAscii(i: Int, s: String): Unit = putAsciiAt(bytes, i, s)
+    def putLe16(i: Int, v: Int): Unit = putLe16At(bytes, i, v)
+    def putLe32(i: Int, v: Int): Unit = putLe32At(bytes, i, v)
     putAscii(0, "RIFF"); putLe32(4, 36 + dataSize); putAscii(8, "WAVE")
     putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, 1); putLe16(22, 1)
     putLe32(24, sampleRate); putLe32(28, sampleRate * 2); putLe16(32, 2); putLe16(34, 16)
@@ -243,12 +267,13 @@ object Media {
       if (size < 0 || pos + 8 + size.toLong > bytes.length) return None
       if (fourcc(pos, "LIST") && size >= 4) {
         if (fourcc(pos + 8, "hdrl")) {
-          // scan the list body for the avih header chunk
+          // scan the list body for the avih header chunk; sizes are
+          // UNTRUSTED — bounds math in long so a huge csz can't wrap p
           var p = pos + 12
           val end = pos + 8 + size
           while (p + 8 <= end && !(w > 0)) {
             val csz = le32(bytes, p + 4)
-            if (csz < 0 || p + 8 + csz > end) return None
+            if (csz < 0 || p.toLong + 8 + csz > end) return None
             if (fourcc(p, "avih") && csz >= 40) {
               w = le32(bytes, p + 8 + 32)
               h = le32(bytes, p + 8 + 36)
@@ -257,14 +282,14 @@ object Media {
           }
         } else if (fourcc(pos + 8, "movi")) {
           if (w <= 0 || h <= 0) return None // header must precede movi
-          val stride = w * 3 + ((4 - (w * 3) % 4) % 4)
+          val stride = strideOf(w) // long: wide widths must not wrap
           var p = pos + 12
           val end = pos + 8 + size
           while (p + 8 <= end) {
             val csz = le32(bytes, p + 4)
-            if (csz < 0 || p + 8 + csz > end) return None
+            if (csz < 0 || p.toLong + 8 + csz > end) return None
             if (fourcc(p, "00db")) {
-              if (csz != stride * h) return None // frame size must match dims
+              if (csz.toLong != stride * h) return None // frame size must match dims
               frames += (p + 8)
             } else if (fourcc(p, "00dc")) {
               return None // compressed stream: no codec in this container
@@ -292,9 +317,9 @@ object Media {
     val hdrlSize = 4 + 8 + 56
     val total = 12 + (8 + hdrlSize) + (8 + moviSize)
     val bytes = new Array[Byte](total)
-    def putAscii(i: Int, s: String): Unit = { var j = 0; while (j < s.length) { bytes(i + j) = s.charAt(j).toByte; j += 1 } }
-    def putLe16(i: Int, v: Int): Unit = { bytes(i) = (v & 0xff).toByte; bytes(i + 1) = ((v >> 8) & 0xff).toByte }
-    def putLe32(i: Int, v: Int): Unit = { putLe16(i, v & 0xffff); putLe16(i + 2, (v >> 16) & 0xffff) }
+    def putAscii(i: Int, s: String): Unit = putAsciiAt(bytes, i, s)
+    def putLe16(i: Int, v: Int): Unit = putLe16At(bytes, i, v)
+    def putLe32(i: Int, v: Int): Unit = putLe32At(bytes, i, v)
     putAscii(0, "RIFF"); putLe32(4, total - 8); putAscii(8, "AVI ")
     var pos = 12
     putAscii(pos, "LIST"); putLe32(pos + 4, hdrlSize); putAscii(pos + 8, "hdrl")
@@ -439,12 +464,8 @@ object Media {
     val pad = (4 - rowBytes % 4) % 4
     val imgSize = (rowBytes + pad) * h
     val bytes = new Array[Byte](54 + imgSize)
-    def putLe16(i: Int, v: Int): Unit = {
-      bytes(i) = (v & 0xff).toByte; bytes(i + 1) = ((v >> 8) & 0xff).toByte
-    }
-    def putLe32(i: Int, v: Int): Unit = {
-      putLe16(i, v & 0xffff); putLe16(i + 2, (v >> 16) & 0xffff)
-    }
+    def putLe16(i: Int, v: Int): Unit = putLe16At(bytes, i, v)
+    def putLe32(i: Int, v: Int): Unit = putLe32At(bytes, i, v)
     bytes(0) = 'B'; bytes(1) = 'M'
     putLe32(2, bytes.length); putLe32(10, 54)
     putLe32(14, 40); putLe32(18, w); putLe32(22, h)

@@ -924,6 +924,18 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       // truncated pixel data and non-BMP bytes are rejected, not misread
       assert(Media.parseBmp(bmp.dropRight(1)).isEmpty)
       assert(Media.parseBmp("not a bitmap".getBytes("UTF-8")).isEmpty)
+      // HOSTILE headers whose int geometry would wrap must reject, not crash:
+      // w*3 overflowing to a tiny positive stride, and h = Int.MinValue
+      // (abs() keeps it negative)
+      def withLe32(src: Array[Byte], off: Int, v: Int): Array[Byte] = {
+        val c = src.clone()
+        c(off) = (v & 0xff).toByte; c(off + 1) = ((v >> 8) & 0xff).toByte
+        c(off + 2) = ((v >> 16) & 0xff).toByte; c(off + 3) = ((v >> 24) & 0xff).toByte
+        c
+      }
+      assert(Media.parseBmp(withLe32(bmp, 18, 1431655766)).isEmpty)
+      assert(Media.parseBmp(withLe32(bmp, 18, 0x40000000)).isEmpty)
+      assert(Media.parseBmp(withLe32(bmp, 22, Int.MinValue)).isEmpty)
       // extractFeatures reports the REAL header dims for bmp kind
       val feats = Media.extractFeatures(Seq((9L, bmp)).toDF("id", "blob"), "id", "blob")
         .collect().head
