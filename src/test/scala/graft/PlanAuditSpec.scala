@@ -496,6 +496,24 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k:\n$p")
   }
 
+  it("q143 negative sampling: bounded candidate expansion, anti-join, no cartesian") {
+    val p = plan("q143_negative_sampling")
+    assert(!p.contains("CartesianProduct"),
+      s"the probe x parts frame must broadcast-expand, not cartesian:\n$p")
+    assert(p.contains("LeftAnti"), s"positives must be removed by an anti-join:\n$p")
+  }
+
+  it("q150 kappa reads the PERSISTED confusion frame in all three aggregation branches") {
+    val p = plan("q150_kappa_agreement")
+    try {
+      // every branch reads the cache (the plan STRING also reprints the
+      // cached subtree under each InMemoryTableScan, so FileScan text
+      // appearing per branch is display, not re-execution)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+        s"expected all three margin branches to read the cached confusion frame:\n$p")
+    } finally SparkEntry.drainCleanups()
+  }
+
   // q50's FINAL plan reads from the checkpointed component iteration, so the
   // pair source must be pinned at the operator (q50 consumes it pre-checkpoint)
   it("exactSimilarPairs (q26/q50's pair source) is an equi-join on the block-cell key") {
