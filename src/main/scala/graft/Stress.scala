@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd")
     val explicitMode = args.headOption.filter(modes)
     val mode = explicitMode.getOrElse("embed")
     // an explicit mode token consumes args(0) — previously `Stress embed <dir>`
@@ -50,6 +50,7 @@ object Stress {
     if (mode == "events") { eventsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "semantic") { semanticStudy(spark, sfDir); spark.stop(); return }
     if (mode == "retrieval") { retrievalStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "rdd") { rddStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -336,6 +337,48 @@ object Stress {
     val p10 = timed("pmi top-20 over 10x corpus")(pmiTop20(corpus, 50L))
     println(s"[stress] pmi top-20 scale-invariant: ${p1 == p10} (expect true)")
     bm1.unpersist(); bm10.unpersist(); corpus.unpersist()
+  }
+
+  /** 10x RDD-surface stress: the shuffle-time-sorted groupSort + an
+    * ORDER-SENSITIVE per-key fold (a 31x+eid rolling hash — any mis-sorted
+    * run changes it) over 10x the users (ids shifted into disjoint ranges,
+    * event streams identical). Invariant: every copy of a user folds to
+    * EXACTLY the base user's value — the sort the shuffle performs is a
+    * pure function of the key's data, at any scale, under any partitioning.
+    * Timings show the one-shuffle layout growing ~linearly with user mass. */
+  private def rddStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    import spark.implicits._
+    import graft.rdd.syntax._
+    val ev = SparkEntry.tbl(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Long, Long)].rdd
+      .map { case (u, ts, eid) => (u, (ts, eid)) }
+    val base = ev.persist(MEMORY_AND_DISK_SER)
+    val big = (0 until 10)
+      .map(i => base.map { case (u, v) => (u + i * 10000000L, v) })
+      .reduce(_ union _).persist(MEMORY_AND_DISK_SER)
+    println(s"[stress] base rows: ${base.count()}, 10x rows: ${big.count()}")
+
+    val vOrd = implicitly[Ordering[(Long, Long)]]
+    def pathHash(rdd: org.apache.spark.rdd.RDD[(Long, (Long, Long))]) =
+      rdd.groupSort(vOrd)
+        .foldLeftByKey(17L)((acc, v) => acc * 31L + v._2) // order-sensitive
+    val h1 = timed("groupSort + ordered fold over 1x users") {
+      val r = pathHash(base).persist(MEMORY_AND_DISK_SER); r.count(); r
+    }.collectAsMap()
+    val f10 = timed("groupSort + ordered fold over 10x users") {
+      val r = pathHash(big).persist(MEMORY_AND_DISK_SER); r.count(); r
+    }
+    // all 10 copies of a user must fold identically AND equal the base:
+    // distinct (base_id, hash) pairs == base user count, none disagreeing
+    val pairs = f10.map { case (u, h) => (u % 10000000L, h) }.distinct()
+      .persist(MEMORY_AND_DISK_SER)
+    val nPairs = pairs.count()
+    val wrong = pairs.filter { case (u, h) => !h1.get(u).contains(h) }.count()
+    println(s"[stress] distinct (base, fold) pairs: $nPairs (expect ${h1.size}); " +
+      s"disagreeing with base: $wrong (expect 0)")
+    pairs.unpersist(); f10.unpersist(); big.unpersist(); base.unpersist()
   }
 
   private def curationStudy(spark: SparkSession, sfDir: String): Unit = {
