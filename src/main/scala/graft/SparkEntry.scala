@@ -1858,6 +1858,31 @@ object SparkEntry {
     // then a langs² aggregation — nothing corpus-sized shuffles.
     "q124_langid_confusion" -> ((s, dir) => langConfusion(s, dir)),
 
+    // q151: the DATASET CARD — the one-row corpus summary a dataset release
+    // ships (docs, token mass, language/source spread, exact-dup rate in
+    // basis points, floor-mean tokens per doc), every number integer-exact
+    // and derived in ONE pass over the documents scan plus the tiny
+    // distinct-text aggregate.
+    "q151_dataset_card" -> ((s, dir) => {
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(col("text").isNotNull, size(words).cast("long")).as("n_tok"),
+          col("text"))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok").isNotNull, 1L).otherwise(0L)).as("n_with_text"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (sum(when(col("text").isNotNull, 1L).otherwise(0L)) - countDistinct(col("text")))
+          .as("n_exact_dups"))
+        .withColumn("dup_bp",
+          expr("CASE WHEN n_with_text = 0 THEN 0L ELSE (n_exact_dups * 10000) div n_with_text END"))
+        .withColumn("mean_tok_x100",
+          expr("CASE WHEN n_with_text = 0 THEN 0L ELSE (n_tokens * 100) div n_with_text END"))
+    }),
+
     // q150: Cohen's kappa over q124's confusion matrix — chance-corrected
     // agreement between the declared lang and the heuristic's guess, the
     // label-QA metric an annotation pipeline reports. kappa =
@@ -4324,6 +4349,29 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess,
         |  count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // q151: same tokenize convention; dup count = docs-with-text minus
+    // distinct texts; rates in integer basis points / x100
+    "q151_dataset_card" ->
+      """WITH d AS (SELECT doc_id, lang, source, text,
+        |             CASE WHEN text IS NOT NULL THEN
+        |               len(regexp_extract_all(regexp_replace(text,
+        |                 '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+'))
+        |             END AS n_tok
+        |           FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(CASE WHEN n_tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_text,
+        |             CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+        |             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |             CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)
+        |                  - count(DISTINCT text) AS BIGINT) AS n_exact_dups
+        |      FROM d)
+        |SELECT n_docs, n_with_text, n_tokens, n_langs, n_sources, n_exact_dups,
+        |       CAST(CASE WHEN n_with_text = 0 THEN 0
+        |                 ELSE (n_exact_dups * 10000) // n_with_text END AS BIGINT) AS dup_bp,
+        |       CAST(CASE WHEN n_with_text = 0 THEN 0
+        |                 ELSE (n_tokens * 100) // n_with_text END AS BIGINT) AS mean_tok_x100
+        |FROM a""".stripMargin,
     // q150: q124's confusion CTE + the exact rational kappa formula
     "q150_kappa_agreement" ->
       """WITH c AS (
