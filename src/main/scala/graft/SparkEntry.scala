@@ -1866,16 +1866,19 @@ object SparkEntry {
     "q151_dataset_card" -> ((s, dir) => {
       val words = functions.Text.edgeStrippedTokens(col("text"))
       val d = tbl(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
+        .select(col("lang"), col("source"),
           when(col("text").isNotNull, size(words).cast("long")).as("n_tok"),
           col("text"))
+      // ONE with-text predicate (n_tok IS NOT NULL <=> text IS NOT NULL by
+      // n_tok's definition) feeds both the count and the dup derivation, so
+      // the two can never silently diverge
       d.agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_tok").isNotNull, 1L).otherwise(0L)).as("n_with_text"),
         coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         countDistinct(col("source")).as("n_sources"),
-        (sum(when(col("text").isNotNull, 1L).otherwise(0L)) - countDistinct(col("text")))
+        (sum(when(col("n_tok").isNotNull, 1L).otherwise(0L)) - countDistinct(col("text")))
           .as("n_exact_dups"))
         .withColumn("dup_bp",
           expr("CASE WHEN n_with_text = 0 THEN 0L ELSE (n_exact_dups * 10000) div n_with_text END"))
@@ -4352,7 +4355,7 @@ object SparkEntry {
     // q151: same tokenize convention; dup count = docs-with-text minus
     // distinct texts; rates in integer basis points / x100
     "q151_dataset_card" ->
-      """WITH d AS (SELECT doc_id, lang, source, text,
+      """WITH d AS (SELECT lang, source, text,
         |             CASE WHEN text IS NOT NULL THEN
         |               len(regexp_extract_all(regexp_replace(text,
         |                 '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+'))
@@ -4363,7 +4366,7 @@ object SparkEntry {
         |             CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
         |             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |             CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)
+        |             CAST(sum(CASE WHEN n_tok IS NOT NULL THEN 1 ELSE 0 END)
         |                  - count(DISTINCT text) AS BIGINT) AS n_exact_dups
         |      FROM d)
         |SELECT n_docs, n_with_text, n_tokens, n_langs, n_sources, n_exact_dups,

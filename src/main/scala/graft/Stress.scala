@@ -364,9 +364,11 @@ object Stress {
     def pathHash(rdd: org.apache.spark.rdd.RDD[(Long, (Long, Long))]) =
       rdd.groupSort(vOrd)
         .foldLeftByKey(17L)((acc, v) => acc * 31L + v._2) // order-sensitive
-    val h1 = timed("groupSort + ordered fold over 1x users") {
+    val f1 = timed("groupSort + ordered fold over 1x users") {
       val r = pathHash(base).persist(MEMORY_AND_DISK_SER); r.count(); r
-    }.collectAsMap()
+    }
+    val h1 = f1.collectAsMap()
+    f1.unpersist()
     val f10 = timed("groupSort + ordered fold over 10x users") {
       val r = pathHash(big).persist(MEMORY_AND_DISK_SER); r.count(); r
     }
