@@ -62,6 +62,21 @@ object SparkEntry {
     while (cb != null) { cb(); cb = cleanups.poll() }
   }
 
+  /** Co-purchase pair graph (q144's construction, SINGLE-SOURCED so q152's
+    * PageRank ranks exactly the edge set q144 reports): customers < 100
+    * sharing >= 2 distinct parts, pairs expanded within each part's buyer
+    * set only (blocked equi-join, never all-pairs). */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val buyers = tbl(s, dir, "orders").where(col("o_custkey") < 100)
+      .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+    buyers.as("a").join(buyers.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("c1"), col("b.c").as("c2"))
+      .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("n_shared_parts"))
+      .where(col("n_shared_parts") >= 2)
+  }
+
   /** MEMOIZED near-dup candidate frame: pairs sharing >= 3 RARE shingles
     * (document frequency <= 10 — the df cap IS the bucket cap: one
     * groupBy-per-shingle pass with capped in-bucket expansion, no shingle
@@ -2383,16 +2398,7 @@ object SparkEntry {
     // with B buyers costs B², which is why production caps hot blocks), and
     // the probe population is contract-bounded (custkey < 100). Edge weight
     // = number of distinct shared parts; weight-1 edges are noise and cut.
-    "q144_copurchase_pairs" -> ((s, dir) => {
-      val buyers = tbl(s, dir, "orders").where(col("o_custkey") < 100)
-        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
-      buyers.as("a").join(buyers.as("b"),
-          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-        .select(col("a.c").as("c1"), col("b.c").as("c2"))
-        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("n_shared_parts"))
-        .where(col("n_shared_parts") >= 2)
-    }),
+    "q144_copurchase_pairs" -> ((s, dir) => copurchasePairs(s, dir)),
 
     // q145: snapshot drift monitor — per-source row deltas between two
     // corpus snapshots (the same mod-10 remove/add MEMBERSHIP rules as
@@ -2555,7 +2561,45 @@ object SparkEntry {
           sum(col("new_terms")).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("bucket"))
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    })
+    }),
+
+    // q152: fixed-point PageRank over the symmetrized q144 co-purchase
+    // graph — link-authority ranking as Pregel-on-DataFrames (the weighted
+    // companion to connected components: CC says WHICH cluster, PageRank
+    // says WHO anchors it). Integer fixed-point ranks (scale 1e6, damping
+    // 8500 bp) make 3 iterations a pure function of the edge set — the
+    // oracle replays them as 3 chained CTEs, exact to the last digit. Per
+    // round: one (id, rank) join against the checkpointed degree-annotated
+    // edges + one map-side-combined inflow sum — keys-proportional frames
+    // only, lineage truncated per round like the CC loop.
+    "q152_pagerank" -> ((s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+      val edges = pairs.select(col("c1").as("src"), col("c2").as("dst"))
+        .unionByName(pairs.select(col("c2").as("src"), col("c1").as("dst")))
+      operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+    }),
+
+    // q153: exact phrase search via POSITIONAL postings — the query
+    // BM25's bag-of-words cannot answer. The exploded token stream is
+    // filtered to the phrase's 2 terms BEFORE any shuffle (postings are
+    // term-frequency-bounded, never corpus-row-bounded); the phrase
+    // resolves as one hash join on (doc, aligned start). Overlapping
+    // occurrences count; docs without the phrase don't appear.
+    "q153_phrase_search" -> ((s, dir) =>
+      operators.Retrieval.phraseMatches(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("table", "scan"))),
+
+    // q154: DSIR-style importance selection (Xie et al. 2023) — score every
+    // document by how "target-like" its hashed-bigram distribution is,
+    // target = the en slice. The bucket histogram is 1024 rows however
+    // large the corpus (the hashing trick), built in ONE conditional-sum
+    // pass and broadcast back by CONTRACT (bounded build side); the
+    // enrichment decision is exact integer cross-multiplication (no logs),
+    // so score_bp hash-matches across engines. The per-doc aggregation
+    // shuffles (doc_id, two counts) only.
+    "q154_importance_selection" -> ((s, dir) =>
+      operators.Selection.importanceScore(tbl(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", nBuckets = 1024))
   )
 
   /** Shared CTE chain for the q96/q97 oracles: planted corpus, positional
@@ -4566,6 +4610,69 @@ object SparkEntry {
         |       CAST(sum(mv) AS BIGINT) AS sum_micros,
         |       CAST(sum(mv * mv) AS BIGINT) AS sumsq_micros,
         |       count(*) AS n
-        |FROM m GROUP BY label, pos""".stripMargin
+        |FROM m GROUP BY label, pos""".stripMargin,
+    // q152: the 3 PageRank iterations replayed as chained CTEs — same
+    // integer fixed-point recurrence, UNION dedup = Spark's distinct
+    "q152_pagerank" ->
+      """WITH buyers AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100),
+        |pairs AS (SELECT a.c AS c1, b.c AS c2
+        |          FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT c1 AS src, c2 AS dst FROM pairs
+        |      UNION SELECT c2, c1 FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rk FROM v),
+        |s1 AS (SELECT e.dst AS id, sum(r0.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s1.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s1 USING (id)),
+        |s2 AS (SELECT e.dst AS id, sum(r1.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s2.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s2 USING (id)),
+        |s3 AS (SELECT e.dst AS id, sum(r2.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s3.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s3 USING (id))
+        |SELECT id, rk AS rank_scaled FROM r3""".stripMargin,
+    // q153: positional postings via zipped parallel unnests (the q96
+    // convention), phrase = aligned-position join
+    "q153_phrase_search" ->
+      """WITH tk AS (SELECT doc_id,
+        |              regexp_extract_all(regexp_replace(text,
+        |                '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS w
+        |            FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS pos FROM tk),
+        |a AS (SELECT doc_id, pos FROM p WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos FROM p WHERE term = 'scan')
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |GROUP BY a.doc_id""".stripMargin,
+    // q154: hashed-bigram histogram + exact cross-multiplied enrichment,
+    // md5-prefix bucket hash (the q52 sampling convention, salt 'dsir')
+    "q154_importance_selection" ->
+      """WITH d AS (SELECT doc_id, lang = 'en' AS t,
+        |             regexp_extract_all(regexp_replace(text,
+        |               '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, t, unnest(list_transform(range(len(w) - 1),
+        |        i -> w[i + 1] || ' ' || w[i + 2])) AS gram
+        |      FROM d WHERE len(w) >= 2),
+        |gb AS (SELECT doc_id, t,
+        |         CAST(CAST(('0x' || substring(md5(gram || 'dsir'), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+        |       FROM g),
+        |hist AS (SELECT bucket, sum(CASE WHEN t THEN 1 ELSE 0 END) AS c_t, count(*) AS c_c
+        |         FROM gb GROUP BY bucket),
+        |tot AS (SELECT sum(c_t) AS t_t, sum(c_c) AS t_c FROM hist),
+        |enr AS (SELECT bucket FROM hist, tot WHERE c_t * t_c > c_c * t_t)
+        |SELECT doc_id, n_ngrams, n_enriched,
+        |       CAST((n_enriched * 10000) // n_ngrams AS BIGINT) AS score_bp
+        |FROM (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |             CAST(count(enr.bucket) AS BIGINT) AS n_enriched
+        |      FROM gb LEFT JOIN enr ON enr.bucket = gb.bucket
+        |      GROUP BY gb.doc_id) x""".stripMargin
   )
 }

@@ -92,6 +92,51 @@ object Retrieval {
   }
 
   /**
+   * Exact PHRASE search over a positional postings list — the capability
+   * BM25's bag-of-words scoring cannot express ("spark sql", not documents
+   * containing both words somewhere). Tokenization is the corpus-wide
+   * [[graft.functions.Text.edgeStrippedTokens]] rule; position is the
+   * 0-based token index.
+   *
+   * The postings frame `(term, id, pos)` is filtered to the phrase's terms
+   * BEFORE any shuffle — the exploded token stream dies map-side except for
+   * the |phrase| terms' hits. The k-term phrase then resolves as k−1
+   * self-equi-joins on `(id, pos + offset)`: every join keys on the doc id
+   * plus an integer position, so each is a hash join of term-hit frames
+   * (corpus-frequency-bounded, never corpus-row-bounded), and a phrase with
+   * one rare term shrinks every later join to that term's postings. This is
+   * exactly how a positional inverted index answers phrase queries — here
+   * the "index" is the transient filtered postings frame; persist it to
+   * make the standing-index form.
+   *
+   * Returns `(idCol, n_matches)` for documents containing the phrase at
+   * least once (overlapping occurrences each count).
+   */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms, got ${phrase.size}")
+    require(phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
+    val words = graft.functions.Text.edgeStrippedTokens(col(textCol))
+    val postings = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(words).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase: _*))
+    // every frame gets UNIQUE column names (__idN/__sN) so the k−1
+    // self-joins over the shared postings lineage never depend on Spark's
+    // ambiguous-self-join disambiguation
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      postings.where(col("term") === t)
+        .select(col(idCol).as(s"__id$i"), (col("pos") - i).as(s"__s$i"))
+    }
+    val matched = starts.zipWithIndex.reduceLeft[(DataFrame, Int)] {
+      case ((acc, ai), (nxt, ni)) =>
+        (acc.join(nxt, col(s"__id$ai") === col(s"__id$ni") && col(s"__s$ai") === col(s"__s$ni"))
+          .select(col(s"__id$ni"), col(s"__s$ni")), ni)
+    }._1
+    matched.groupBy(col(s"__id${phrase.size - 1}").as(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /**
    * Adjacent-pair collocation COUNTS — the shared scaffold under PMI-style
    * association scoring: unigram counts, adjacent-pair counts, and the
    * 1-row corpus totals joined into one frame

@@ -524,4 +524,29 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs must block, not nested-loop:\n$p")
     assert(p.contains("Join"), s"expected a (hash/sort-merge) equi-join node:\n$p")
   }
+
+  it("q152 PageRank's final plan reads the CHECKPOINTED rank (lineage truncated per round)") {
+    val p = plan("q152_pagerank")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the last iteration's localCheckpoint to truncate lineage:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  it("q153 phrase search reads only (doc_id, text); joins are equi, never cartesian") {
+    val p = plan("q153_phrase_search")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the aligned-position phrase join must be an equi-join:\n$p")
+  }
+
+  it("q154 importance selection broadcasts the bounded bucket tables, never the corpus") {
+    val p = plan("q154_importance_selection")
+    // both the 1-row totals and the enriched-bucket list ride broadcasts;
+    // the per-doc gram stream must NOT appear under a BroadcastExchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!read.contains("source") && !read.contains("n_chars"),
+      s"scan reads unused columns: $read\n$p")
+  }
 }

@@ -67,4 +67,31 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
       20L -> ((c(2) + c(1)), 2L),
       30L -> (c(2), 1L)))
   }
+
+  private val phraseDocs = Seq(
+    (1L, "a b c a b c"),     // "a b c" twice
+    (2L, "a a a a"),         // "a a" three times (overlaps count)
+    (3L, "c b a"),           // reversed: no "a b"
+    (4L, "a"),               // too short for any 2-term phrase
+    (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+  test("phraseMatches counts overlapping occurrences; order matters; misses are absent") {
+    val got = Retrieval.phraseMatches(phraseDocs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
+    val overlaps = Retrieval.phraseMatches(phraseDocs, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(overlaps == Map(2L -> 3L))
+  }
+
+  test("phraseMatches resolves 3-term phrases and never pairs across documents") {
+    val got = Retrieval.phraseMatches(phraseDocs, "doc_id", "text", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
+    // "b c" then "a" continues only inside doc 1; doc 3 has b then a at the
+    // positions a cross-doc bug would pair up
+    val none = Retrieval.phraseMatches(phraseDocs, "doc_id", "text", Seq("b", "c", "b"))
+      .collect()
+    assert(none.isEmpty)
+  }
 }
