@@ -2599,7 +2599,25 @@ object SparkEntry {
     // shuffles (doc_id, two counts) only.
     "q154_importance_selection" -> ((s, dir) =>
       operators.Selection.importanceScore(tbl(s, dir, "documents"), "doc_id", "text",
-        col("lang") === "en", nBuckets = 1024))
+        col("lang") === "en", nBuckets = 1024)),
+
+    // q155: triangle/wedge census of the co-purchase graph — the
+    // clustering-coefficient audit. Edges are ORIENTED low→high (degree,
+    // id) before the wedge join, capping per-vertex fan-out at O(√E) (a
+    // hub would otherwise wedge-expand deg²: the graph analog of the
+    // unblocked all-pairs join). One row, all-integer.
+    "q155_triangle_census" -> ((s, dir) =>
+      operators.Graph.triangleStats(copurchasePairs(s, dir), "c1", "c2")),
+
+    // q156: deterministic synchronous label propagation (3 rounds,
+    // most-frequent neighbor label, min-label ties) — community cores on
+    // the co-purchase graph, the ROUND-SYNCHRONIZED variant whose result
+    // is a pure function of the edge set (async LPA is run-dependent, a
+    // non-starter for an auditable pipeline). Distinct from q50's CC:
+    // labels converge to cores, not component minima.
+    "q156_label_propagation" -> ((s, dir) =>
+      operators.Graph.labelPropagation(copurchasePairs(s, dir), "c1", "c2",
+        iterations = 3))
   )
 
   /** Shared CTE chain for the q96/q97 oracles: planted corpus, positional
@@ -4673,6 +4691,64 @@ object SparkEntry {
         |FROM (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
         |             CAST(count(enr.bucket) AS BIGINT) AS n_enriched
         |      FROM gb LEFT JOIN enr ON enr.bucket = gb.bucket
-        |      GROUP BY gb.doc_id) x""".stripMargin
+        |      GROUP BY gb.doc_id) x""".stripMargin,
+    // q155: degree-oriented triangle closure replayed with DuckDB ROW
+    // comparisons ((d, id) lexicographic = Spark's struct ordering)
+    "q155_triangle_census" ->
+      """WITH buyers AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100),
+        |und AS (SELECT a.c AS u, b.c AS v
+        |        FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY x),
+        |k AS (SELECT und.u, und.v, du.d AS du, dv.d AS dv
+        |      FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v),
+        |o AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+        |             CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+        |             CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS ddst
+        |      FROM k),
+        |w AS (SELECT p.dst AS y, q.dst AS z FROM o p JOIN o q ON p.src = q.src
+        |      WHERE (p.ddst, p.dst) < (q.ddst, q.dst)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
+        |      WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.y AND o.dst = w.z)),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+        |             CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+        |             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |      FROM deg)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+        |       CAST(CASE WHEN n_wedges = 0 THEN 0
+        |                 ELSE (3 * n_triangles * 10000) // n_wedges END AS BIGINT)
+        |         AS global_clustering_bp
+        |FROM b, t""".stripMargin,
+    // q156: 3 synchronous LPA rounds as chained CTEs; arg-max via
+    // row_number (c DESC, label ASC) = Spark's max(struct(c, ~label))
+    "q156_label_propagation" ->
+      """WITH buyers AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100),
+        |und AS (SELECT a.c AS u, b.c AS v
+        |        FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym),
+        |c1 AS (SELECT s.u, l.label, count(*) AS c FROM sym s JOIN l0 l ON l.id = s.v
+        |       GROUP BY s.u, l.label),
+        |l1 AS (SELECT u AS id, label FROM (
+        |         SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.u, l.label, count(*) AS c FROM sym s JOIN l1 l ON l.id = s.v
+        |       GROUP BY s.u, l.label),
+        |l2 AS (SELECT u AS id, label FROM (
+        |         SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.u, l.label, count(*) AS c FROM sym s JOIN l2 l ON l.id = s.v
+        |       GROUP BY s.u, l.label),
+        |l3 AS (SELECT u AS id, label FROM (
+        |         SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+        |         FROM c3) WHERE rn = 1)
+        |SELECT id, label FROM l3""".stripMargin
   )
 }

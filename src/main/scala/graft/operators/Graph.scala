@@ -78,4 +78,101 @@ object Graph {
     }
     rank.select(col("id"), col("rank").as("rank_scaled"))
   }
+
+  /**
+   * Global triangle / wedge census over an UNDIRECTED graph (input edges
+   * are symmetrized and deduped; self-loops dropped) — the structural
+   * audit behind clustering-coefficient quality checks on co-occurrence
+   * and co-purchase graphs.
+   *
+   * SCALE SHAPE: edges are ORIENTED from the (degree, id)-smaller endpoint
+   * to the larger before the wedge join — the classic bound that caps every
+   * vertex's out-degree at O(√E), so a hub with a million neighbors
+   * generates √-bounded candidate pairs instead of deg² (an unoriented
+   * wedge join on a hub vertex is the graph analog of the unblocked
+   * all-pairs cosine). Each triangle then closes exactly once (its
+   * orientation DAG has a unique out-degree-2 vertex). The orientation
+   * key is the (degree, id) STRUCT compared lexicographically — no global
+   * rank assignment, no single-partition window. Two equi-joins total:
+   * wedges on the shared source, closure on the (y, z) pair.
+   *
+   * Returns ONE row: (n_vertices, n_edges, n_wedges, n_triangles,
+   * global_clustering_bp = 3·triangles·10000 div wedges, 0 if no wedges).
+   */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("x")).unionByName(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val keyed = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val oriented = keyed.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v")).otherwise(col("u")).as("dst"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+    val wedgePairs = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+      .join(oriented.select(col("src"), col("dst").as("z"), col("ddst").as("dz")), "src")
+      .where(struct(col("dy"), col("y")) < struct(col("dz"), col("z")))
+      .select(col("y"), col("z"))
+    val tri = wedgePairs
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    base.crossJoin(broadcast(tri))
+      .withColumn("global_clustering_bp",
+        expr("CASE WHEN n_wedges = 0 THEN 0L ELSE (3 * n_triangles * 10000) div n_wedges END"))
+  }
+
+  /**
+   * Synchronous label propagation (community detection), `iterations`
+   * fixed rounds over the symmetrized edge set: every vertex starts
+   * labeled with its own id and each round adopts the most frequent label
+   * among its NEIGHBORS, ties broken by the smallest label — a total,
+   * deterministic rule, so the result is a pure function of the edge set
+   * (async/random-order LPA is run-dependent; this is the engine-exact
+   * variant an auditable pipeline wants). Distinct from connected
+   * components: on dense graphs labels converge to community cores, not
+   * component minima.
+   *
+   * SCALE SHAPE: per round, one (id, label) join onto the checkpointed
+   * symmetric edges, one map-side-combined (vertex, label) count, and one
+   * arg-max keyed by vertex (max of a (count, ~label) struct —
+   * `bitwise_not`, not negation, so Long.MinValue labels are safe) — all
+   * keys-proportional, lineage truncated per round.
+   *
+   * Returns (id, label) after the final round.
+   */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // (u, v): v is u's neighbor
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      labels = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(sym("u"), labels("label")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("u").as("id"))
+        .agg(max(struct(col("__c"), bitwise_not(col("label")).as("nl"))).as("m"))
+        .select(col("id"), bitwise_not(col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -539,6 +539,21 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       s"the aligned-position phrase join must be an equi-join:\n$p")
   }
 
+  it("q155 triangle census: wedge and closure joins are equi-joins, never cartesian") {
+    val p = plan("q155_triangle_census")
+    assert(!p.contains("CartesianProduct"),
+      s"degree-oriented wedge expansion must stay an equi-join:\n$p")
+    // the only nested-loop node is the final 1-row census crossJoin
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("LeftSemi"), s"triangle closure must be a semi-join:\n$p")
+  }
+
+  it("q156 label propagation reads the CHECKPOINTED final round") {
+    val p = plan("q156_label_propagation")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the last round's localCheckpoint to truncate lineage:\n$p")
+  }
+
   it("q154 importance selection broadcasts the bounded bucket tables, never the corpus") {
     val p = plan("q154_importance_selection")
     // both the 1-row totals and the enriched-bucket list ride broadcasts;

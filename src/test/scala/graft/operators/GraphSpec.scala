@@ -63,4 +63,61 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(1)).sum
     assert(got == 3L * 1000000L) // outdeg 1 everywhere: division is exact
   }
+
+  private def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("triangleStats: K4 is all triangles (clustering 10000 bp)") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(census(k4) == ((4L, 6L, 12L, 4L, 10000L)))
+  }
+
+  test("triangleStats: a star has wedges but no triangles; duplicates/self-loops drop") {
+    val star = (1L to 5L).map(i => (0L, i)) ++ Seq((3L, 0L), (2L, 2L)) // dup reversed + self-loop
+    assert(census(star) == ((6L, 5L, 10L, 0L, 0L)))
+  }
+
+  test("triangleStats: one triangle with a pendant edge") {
+    // triangle 1-2-3 plus 3-4: wedges = 1+1+3+0, triangles = 1
+    assert(census(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) ==
+      ((4L, 4L, 5L, 1L, (3L * 10000L) / 5L)))
+  }
+
+  /** The operator's exact synchronous-LPA rule on Scala maps. */
+  private def refLpa(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var labels = sym.map(_._1).map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      labels = sym.groupBy(_._1).view.mapValues { nbrs =>
+        val counts = nbrs.toSeq.map(e => labels(e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        counts.toSeq.map { case (l, c) => (c, l) }
+          .sortBy { case (c, l) => (-c, l) }.head._2
+      }.toMap.toMap
+    }
+    labels
+  }
+
+  test("labelPropagation matches the synchronous min-tie reference on a barbell") {
+    // two triangles bridged by one edge: labels converge within each clique
+    val barbell = Set((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    for (it <- 1 to 3) {
+      val got = Graph.labelPropagation(barbell.toSeq.toDF("a", "b"), "a", "b", it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refLpa(barbell, it), s"iteration $it")
+    }
+  }
+
+  test("labelPropagation is partitioning-invariant (deterministic ties)") {
+    val g = Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val df = (g.toSeq ++ g.toSeq).toDF("a", "b")
+    val a = Graph.labelPropagation(df, "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(df.repartition(7), "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == refLpa(g, 2))
+    assert(a == b)
+  }
 }
