@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [incremental|curation|snapshot|events|semantic] [sfDir]
+ * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph] [sfDir]
  * (default sfDir /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph")
     val explicitMode = args.headOption.filter(modes)
     val mode = explicitMode.getOrElse("embed")
     // an explicit mode token consumes args(0) — previously `Stress embed <dir>`
@@ -51,6 +51,7 @@ object Stress {
     if (mode == "semantic") { semanticStudy(spark, sfDir); spark.stop(); return }
     if (mode == "retrieval") { retrievalStudy(spark, sfDir); spark.stop(); return }
     if (mode == "rdd") { rddStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "graph") { graphStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -415,5 +416,66 @@ object Stress {
       .where(col("count") =!= 2).count()
     println(s"[stress] rows 10x: $n10, 1x: $n1, symmetric-diff rows: $diff (expect 0)")
     out10.unpersist(); out1.unpersist(); corpus.unpersist()
+  }
+
+  /** 10x graph stress: part co-occurrence edges (parts sharing an order) at
+    * full sf scale, then a 10x disjoint replica (both endpoints shifted into
+    * per-copy id ranges). PageRank and the triangle census are both pure
+    * functions of the edge set, so disjoint replication must change NOTHING
+    * per copy: every copy's per-vertex rank equals the base's exactly, the
+    * triangle count scales exactly 10x, and the clustering coefficient is
+    * bit-identical — integer fixed-point arithmetic means "approximately
+    * scale-invariant" never needs to be argued. Timings show the per-round
+    * cost growing with |E|, not |E|² (degree orientation caps wedge work). */
+  private def graphStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    import graft.operators.Graph
+    val li = SparkEntry.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val base = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .persist(MEMORY_AND_DISK_SER)
+    val big = (0 until 10)
+      .map(i => base.select((col("u") + lit(i * 1000000000L)).as("u"),
+        (col("v") + lit(i * 1000000000L)).as("v")))
+      .reduce(_.unionByName(_)).persist(MEMORY_AND_DISK_SER)
+    println(s"[stress] base edges: ${base.count()}, 10x edges: ${big.count()}")
+
+    def sym(e: DataFrame) =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val pr1 = timed("pageRank 3 iters over 1x edges") {
+      val r = Graph.pageRank(sym(base), "u", "v", iterations = 3)
+        .persist(MEMORY_AND_DISK_SER)
+      r.count(); r
+    }
+    val pr10 = timed("pageRank 3 iters over 10x edges") {
+      val r = Graph.pageRank(sym(big), "u", "v", iterations = 3)
+        .persist(MEMORY_AND_DISK_SER)
+      r.count(); r
+    }
+    // every copy's rank must equal the base rank of its source vertex:
+    // distinct (base_id, rank) pairs == base vertex count, disagreements 0
+    val folded = pr10.select(pmod(col("id"), lit(1000000000L)).as("id"), col("rank_scaled"))
+      .distinct().persist(MEMORY_AND_DISK_SER)
+    val nBase = pr1.count()
+    val nPairs = folded.count()
+    val wrong = folded.unionByName(pr1).groupBy("id", "rank_scaled").count()
+      .where(col("count") =!= 2).count()
+    println(s"[stress] distinct (base, rank) pairs: $nPairs (expect $nBase); " +
+      s"symmetric-diff rows: $wrong (expect 0)")
+    folded.unpersist(); pr1.unpersist(); pr10.unpersist()
+
+    val t1 = timed("triangle census over 1x edges") {
+      Graph.triangleStats(base, "u", "v").collect().head
+    }
+    val t10 = timed("triangle census over 10x edges") {
+      Graph.triangleStats(big, "u", "v").collect().head
+    }
+    println(s"[stress] 1x census (V, E, wedges, tri, bp): $t1")
+    println(s"[stress] 10x triangles: ${t10.getLong(3)} (expect ${10 * t1.getLong(3)}); " +
+      s"10x clustering bp: ${t10.getLong(4)} (expect ${t1.getLong(4)})")
+    big.unpersist(); base.unpersist()
   }
 }
