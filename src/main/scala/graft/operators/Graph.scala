@@ -125,8 +125,9 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     val base = deg.agg(
       count(lit(1)).as("n_vertices"),
-      (sum(col("d")) / 2).cast("long").as("n_edges"),
-      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      // coalesce: an empty edge set must census as zeros, not NULLs
+      coalesce((sum(col("d")) / 2).cast("long"), lit(0L)).as("n_edges"),
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
     base.crossJoin(broadcast(tri))
       .withColumn("global_clustering_bp",
         expr("CASE WHEN n_wedges = 0 THEN 0L ELSE (3 * n_triangles * 10000) div n_wedges END"))

@@ -79,6 +79,10 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(census(star) == ((6L, 5L, 10L, 0L, 0L)))
   }
 
+  test("triangleStats: an empty edge set censuses as zeros, not NULLs") {
+    assert(census(Seq.empty[(Long, Long)]) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("triangleStats: one triangle with a pendant edge") {
     // triangle 1-2-3 plus 3-4: wedges = 1+1+3+0, triangles = 1
     assert(census(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) ==
