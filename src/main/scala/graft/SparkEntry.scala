@@ -2617,7 +2617,34 @@ object SparkEntry {
     // labels converge to cores, not component minima.
     "q156_label_propagation" -> ((s, dir) =>
       operators.Graph.labelPropagation(copurchasePairs(s, dir), "c1", "c2",
-        iterations = 3))
+        iterations = 3)),
+
+    // q157: PERSONALIZED PageRank — teleport only to customers < 10, so
+    // ranks measure proximity to that seed cohort ("customers related to
+    // the trusted ones through co-purchases"), not global authority.
+    // rank 0 rows are kept: unreachable-from-seeds is a finding.
+    "q157_personalized_pagerank" -> ((s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+      val edges = pairs.select(col("c1").as("src"), col("c2").as("dst"))
+        .unionByName(pairs.select(col("c2").as("src"), col("c1").as("dst")))
+      val seeds = tbl(s, dir, "customer").where(col("c_custkey") < 10)
+        .select(col("c_custkey"))
+      operators.Graph.personalizedPageRank(edges, "src", "dst", seeds, iterations = 3)
+    }),
+
+    // q158: 3-hop BFS distances from the customers-<5 seed set over the
+    // symmetrized co-purchase graph — "everything within 3 links of a
+    // known set", the contamination-spread / crawl-depth primitive.
+    // Unreached vertices are absent by contract (the reached set, not V,
+    // sizes the output).
+    "q158_hop_distances" -> ((s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+      val edges = pairs.select(col("c1").as("src"), col("c2").as("dst"))
+        .unionByName(pairs.select(col("c2").as("src"), col("c1").as("dst")))
+      val seeds = tbl(s, dir, "customer").where(col("c_custkey") < 5)
+        .select(col("c_custkey"))
+      operators.Graph.hopDistances(edges, "src", "dst", seeds, maxHops = 3)
+    })
   )
 
   /** Shared CTE chain for the q96/q97 oracles: planted corpus, positional
@@ -4749,6 +4776,63 @@ object SparkEntry {
         |l3 AS (SELECT u AS id, label FROM (
         |         SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
         |         FROM c3) WHERE rn = 1)
-        |SELECT id, label FROM l3""".stripMargin
+        |SELECT id, label FROM l3""".stripMargin,
+    // q157: the q152 CTE chain with the teleport term gated on seed
+    // membership and rank_0 = scale only for seeds
+    "q157_personalized_pagerank" ->
+      """WITH buyers AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100),
+        |pairs AS (SELECT a.c AS c1, b.c AS c2
+        |          FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT c1 AS src, c2 AS dst FROM pairs
+        |      UNION SELECT c2, c1 FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |v AS (SELECT id, id IN (SELECT c_custkey FROM customer WHERE c_custkey < 10) AS seed
+        |      FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+        |r0 AS (SELECT id, CAST(CASE WHEN seed THEN 1000000 ELSE 0 END AS BIGINT) AS rk FROM v),
+        |s1 AS (SELECT e.dst AS id, sum(r0.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT v.id, CAST((CASE WHEN v.seed THEN 1500 * 1000000 ELSE 0 END
+        |                          + 8500 * coalesce(s1.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s1 USING (id)),
+        |s2 AS (SELECT e.dst AS id, sum(r1.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT v.id, CAST((CASE WHEN v.seed THEN 1500 * 1000000 ELSE 0 END
+        |                          + 8500 * coalesce(s2.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s2 USING (id)),
+        |s3 AS (SELECT e.dst AS id, sum(r2.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT v.id, CAST((CASE WHEN v.seed THEN 1500 * 1000000 ELSE 0 END
+        |                          + 8500 * coalesce(s3.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s3 USING (id))
+        |SELECT id, rk AS rank_scaled FROM r3""".stripMargin,
+    // q158: 3 BFS hops as chained min-propagation CTEs; seeds stay at 0
+    // even if absent from the edge set
+    "q158_hop_distances" ->
+      """WITH buyers AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100),
+        |pairs AS (SELECT a.c AS c1, b.c AS c2
+        |          FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT c1 AS src, c2 AS dst FROM pairs
+        |      UNION SELECT c2, c1 FROM pairs),
+        |d0 AS (SELECT DISTINCT c_custkey AS id, CAST(0 AS BIGINT) AS dist
+        |       FROM customer WHERE c_custkey < 5),
+        |d1 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |         SELECT id, dist FROM d0
+        |         UNION ALL SELECT e.dst, d0.dist + 1 FROM e JOIN d0 ON d0.id = e.src)
+        |       GROUP BY id),
+        |d2 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |         SELECT id, dist FROM d1
+        |         UNION ALL SELECT e.dst, d1.dist + 1 FROM e JOIN d1 ON d1.id = e.src)
+        |       GROUP BY id),
+        |d3 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |         SELECT id, dist FROM d2
+        |         UNION ALL SELECT e.dst, d2.dist + 1 FROM e JOIN d2 ON d2.id = e.src)
+        |       GROUP BY id)
+        |SELECT id, dist FROM d3""".stripMargin
   )
 }

@@ -80,6 +80,111 @@ object Graph {
   }
 
   /**
+   * PERSONALIZED fixed-point PageRank: teleport mass lands only on the
+   * `seeds` vertices (uniformly, `scale` each), so ranks measure proximity
+   * TO THE SEED SET rather than global authority — "parts related to the
+   * ones THIS customer bought", the relatedness primitive under
+   * retrieval-augmentation and crawl-frontier expansion from a trusted
+   * site list. Same integer recurrence as [[pageRank]] with
+   *
+   *   rank'(v) = (seed(v)·(10000 − dampingBp)·scale
+   *               + dampingBp · Σ_{u→v} (rank(u) div outdeg(u))) div 10000
+   *
+   * and rank_0(v) = seed(v)·scale. Seeds not present in the edge set are
+   * ignored (they have no edges to propagate over); non-seed vertices
+   * never receiving flow stay at rank 0 and ARE returned (rank 0 is
+   * information: unreachable from the seed set).
+   *
+   * SCALE SHAPE: identical to [[pageRank]] — the seed flag is ONE extra
+   * left-semi-derived boolean on the O(V) vertex frame; seeds shuffle as
+   * (id) only.
+   */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, iterations: Int,
+                           dampingBp: Int = 8500, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    require(dampingBp >= 0 && dampingBp <= 10000,
+      s"dampingBp must be in [0,10000], got $dampingBp")
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    require(seeds.columns.length == 1, "seeds must be a single-column frame of vertex ids")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+    val vertices = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .join(seedIds.withColumn("__seed", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("__seed"), lit(false)).as("seed"))
+      .localCheckpoint()
+    val withDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    var rank = vertices
+      .select(col("id"), when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val inflow = withDeg.join(rank, col("src") === col("id"))
+        .select(col("dst").as("id"), expr("rank div outdeg").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__inflow"))
+      rank = vertices.join(inflow, Seq("id"), "left_outer")
+        .select(col("id"), expr(
+          s"((CASE WHEN seed THEN ${10000 - dampingBp}L * ${scale}L ELSE 0L END)" +
+            s" + ${dampingBp}L * coalesce(__inflow, 0L)) div 10000L"
+        ).as("rank"))
+        .localCheckpoint()
+    }
+    rank.select(col("id"), col("rank").as("rank_scaled"))
+  }
+
+  /**
+   * Multi-source k-hop shortest distances (unweighted BFS as iterated
+   * min-propagation): every vertex reachable from the `seeds` set within
+   * `maxHops` directed hops gets its exact hop distance — the
+   * contamination-spread / crawl-depth primitive ("everything within 3
+   * links of a known-bad site"). Deterministic and engine-exact by
+   * construction (min over integers).
+   *
+   * Directionality is the caller's: pass symmetrized edges for undirected
+   * reach. Seeds not present in the edge set still appear at distance 0
+   * (they are trivially reachable from themselves). Unreached vertices are
+   * ABSENT — at 100 TB the reached set is usually far smaller than V, and
+   * absence distinguishes "not reached in k" from any sentinel.
+   *
+   * SCALE SHAPE: per hop, one (id, dist) join onto the checkpointed edges
+   * + one map-side-combined min — the frontier frame is
+   * reached-set-proportional, payloads never move, lineage truncated per
+   * hop. (No early-exit probe: maxHops is a small constant by contract;
+   * the CC-style fingerprint probe would add a job per hop to save at most
+   * the tail hops.)
+   */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops must be in [1,50], got $maxHops")
+    require(seeds.columns.length == 1, "seeds must be a single-column frame of vertex ids")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val next = e.join(dist, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /**
    * Global triangle / wedge census over an UNDIRECTED graph (input edges
    * are symmetrized and deduped; self-loops dropped) — the structural
    * audit behind clustering-coefficient quality checks on co-occurrence

@@ -64,6 +64,63 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(got == 3L * 1000000L) // outdeg 1 everywhere: division is exact
   }
 
+  /** The personalized variant's exact recurrence on Scala maps. */
+  private def refPpr(edges: Set[(Long, Long)], seeds: Set[Long], iters: Int,
+                     dampBp: Long = 8500L, scale: Long = 1000000L): Map[Long, Long] = {
+    val vertices = edges.flatMap(e => Seq(e._1, e._2))
+    val inGraphSeeds = seeds.intersect(vertices)
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = vertices.map(v => v -> (if (inGraphSeeds(v)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.toSeq
+        .map { case (u, v) => v -> rank(u) / outdeg(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = vertices.map { v =>
+        val tp = if (inGraphSeeds(v)) (10000L - dampBp) * scale else 0L
+        v -> (tp + dampBp * inflow.getOrElse(v, 0L)) / 10000L
+      }.toMap
+    }
+    rank.toMap
+  }
+
+  test("personalizedPageRank matches the seeded reference; off-graph seeds are ignored") {
+    val seeds = Seq(1L, 99L).toDF("id") // 99 has no edges
+    val got = Graph.personalizedPageRank(edges.toSeq.toDF("src", "dst"), "src", "dst",
+        seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPpr(edges, Set(1L, 99L), 3))
+    assert(!got.contains(99L))
+  }
+
+  test("personalizedPageRank: vertices unreachable from seeds rank 0 and are kept") {
+    // 1 -> 2, 3 -> 4 disjoint; seed 1: component {3,4} must be 0, not absent
+    val g = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(g, "src", "dst", Seq(1L).toDF("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(3L) == 0L && got(4L) == 0L)
+    assert(got(1L) > 0L && got(2L) > 0L)
+  }
+
+  test("hopDistances: exact hop counts, min over multiple paths, unreached absent") {
+    // 1->2->3->4->5 chain plus shortcut 1->3; seeds {1}: the chain alone
+    // needs 4 hops to 5, the shortcut brings it into the 3-hop horizon
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L)).toDF("src", "dst")
+    val got = Graph.hopDistances(g, "src", "dst", Seq(1L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("hopDistances: off-graph seeds stay at distance 0; multi-seed takes the nearer") {
+    val g = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.hopDistances(g, "src", "dst", Seq(3L, 77L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 0L, 77L -> 0L))
+    val multi = Graph.hopDistances(g, "src", "dst", Seq(1L, 2L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   private def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
     val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b").collect().head
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
