@@ -2644,6 +2644,19 @@ object SparkEntry {
       val seeds = tbl(s, dir, "customer").where(col("c_custkey") < 5)
         .select(col("c_custkey"))
       operators.Graph.hopDistances(edges, "src", "dst", seeds, maxHops = 3)
+    }),
+
+    // q159: WEIGHTED PageRank — co-purchase edges carry their shared-part
+    // count, so an edge backed by 10 parts moves 10x the authority of a
+    // single-part edge (the uniform split of q152 cannot say that). Same
+    // integer fixed-point recurrence with per-edge flow rank·w div totw.
+    "q159_weighted_pagerank" -> ((s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+      val edges = pairs
+        .select(col("c1").as("src"), col("c2").as("dst"), col("n_shared_parts").as("w"))
+        .unionByName(pairs
+          .select(col("c2").as("src"), col("c1").as("dst"), col("n_shared_parts").as("w")))
+      operators.Graph.weightedPageRank(edges, "src", "dst", "w", iterations = 3)
     })
   )
 
@@ -4833,6 +4846,32 @@ object SparkEntry {
         |         SELECT id, dist FROM d2
         |         UNION ALL SELECT e.dst, d2.dist + 1 FROM e JOIN d2 ON d2.id = e.src)
         |       GROUP BY id)
-        |SELECT id, dist FROM d3""".stripMargin
+        |SELECT id, dist FROM d3""".stripMargin,
+    // q159: the q152 chain with weighted flow rk*w // totw
+    "q159_weighted_pagerank" ->
+      """WITH buyers AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100),
+        |pairs AS (SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS w
+        |          FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT c1 AS src, c2 AS dst, w FROM pairs
+        |      UNION ALL SELECT c2, c1, w FROM pairs),
+        |tw AS (SELECT src, CAST(sum(w) AS BIGINT) AS totw FROM e GROUP BY src),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rk FROM v),
+        |s1 AS (SELECT e.dst AS id, sum((r0.rk * e.w) // t.totw) AS inflow
+        |       FROM e JOIN tw t ON t.src = e.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s1.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s1 USING (id)),
+        |s2 AS (SELECT e.dst AS id, sum((r1.rk * e.w) // t.totw) AS inflow
+        |       FROM e JOIN tw t ON t.src = e.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s2.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s2 USING (id)),
+        |s3 AS (SELECT e.dst AS id, sum((r2.rk * e.w) // t.totw) AS inflow
+        |       FROM e JOIN tw t ON t.src = e.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s3.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s3 USING (id))
+        |SELECT id, rk AS rank_scaled FROM r3""".stripMargin
   )
 }

@@ -80,6 +80,58 @@ object Graph {
   }
 
   /**
+   * WEIGHTED fixed-point PageRank: flow along an edge is proportional to
+   * its integer weight — rank'(v) = ((10000 − dampingBp)·scale +
+   * dampingBp · Σ_{u→v} (rank(u)·w(u,v) div totw(u))) div 10000, where
+   * totw(u) is u's total out-weight — so a co-purchase edge backed by 10
+   * shared parts carries 10× the authority of a single-part edge, the
+   * weighting [[pageRank]]'s uniform split cannot express. Same integer
+   * discipline (a weight is a COUNT, not a float). CONTRACT: one row per
+   * (src, dst) — weights are per-edge facts, so duplicates must be
+   * aggregated upstream (a duplicate would double both the edge's flow
+   * and totw, silently reweighting the graph); weights must be positive
+   * (non-positive rows are dropped).
+   *
+   * SCALE SHAPE: identical to [[pageRank]] — the weight rides the
+   * checkpointed edge frame; rank(u)·w is Long arithmetic (safe while
+   * rank·maxWeight < 2^63: rank ≤ V·scale bounds the product for any
+   * realistic corpus — require() documents the envelope).
+   */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int,
+                       dampingBp: Int = 8500, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    require(dampingBp >= 0 && dampingBp <= 10000,
+      s"dampingBp must be in [0,10000], got $dampingBp")
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0L)
+    val vertices = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val withTot = e
+      .join(e.groupBy(col("src")).agg(sum(col("w")).as("totw")), "src")
+      .select(col("src"), col("dst"), col("w"), col("totw"))
+      .localCheckpoint()
+    var rank = vertices.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val inflow = withTot.join(rank, col("src") === col("id"))
+        .select(col("dst").as("id"), expr("(rank * w) div totw").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__inflow"))
+      rank = vertices.join(inflow, Seq("id"), "left_outer")
+        .select(col("id"), expr(
+          s"((${10000 - dampingBp}L * ${scale}L) + ${dampingBp}L * coalesce(__inflow, 0L)) div 10000L"
+        ).as("rank"))
+        .localCheckpoint()
+    }
+    rank.select(col("id"), col("rank").as("rank_scaled"))
+  }
+
+  /**
    * PERSONALIZED fixed-point PageRank: teleport mass lands only on the
    * `seeds` vertices (uniformly, `scale` each), so ranks measure proximity
    * TO THE SEED SET rather than global authority — "parts related to the

@@ -64,6 +64,35 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(got == 3L * 1000000L) // outdeg 1 everywhere: division is exact
   }
 
+  /** The weighted variant's exact recurrence on Scala maps. */
+  private def refWpr(edges: Map[(Long, Long), Long], iters: Int,
+                     dampBp: Long = 8500L, scale: Long = 1000000L): Map[Long, Long] = {
+    val vertices = edges.keySet.flatMap(e => Seq(e._1, e._2))
+    val totw = edges.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    var rank = vertices.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.toSeq
+        .map { case ((u, v), w) => v -> (rank(u) * w) / totw(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = vertices.map(v =>
+        v -> ((10000L - dampBp) * scale + dampBp * inflow.getOrElse(v, 0L)) / 10000L).toMap
+    }
+    rank.toMap
+  }
+
+  test("weightedPageRank matches the weighted reference; weight 1 everywhere equals pageRank") {
+    val w = Map((1L, 2L) -> 5L, (2L, 1L) -> 1L, (1L, 3L) -> 2L, (3L, 2L) -> 3L, (4L, 1L) -> 7L)
+    val df = w.toSeq.map { case ((s, d), x) => (s, d, x) }.toDF("src", "dst", "w")
+    val got = Graph.weightedPageRank(df, "src", "dst", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refWpr(w, 3))
+    // unit weights: the split is uniform, so the plain recurrence must agree
+    val unit = edges.toSeq.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val a = Graph.weightedPageRank(unit, "src", "dst", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == refPageRank(edges, 3))
+  }
+
   /** The personalized variant's exact recurrence on Scala maps. */
   private def refPpr(edges: Set[(Long, Long)], seeds: Set[Long], iters: Int,
                      dampBp: Long = 8500L, scale: Long = 1000000L): Map[Long, Long] = {
