@@ -93,9 +93,10 @@ object Graph {
    * (non-positive rows are dropped).
    *
    * SCALE SHAPE: identical to [[pageRank]] — the weight rides the
-   * checkpointed edge frame; rank(u)·w is Long arithmetic (safe while
-   * rank·maxWeight < 2^63: rank ≤ V·scale bounds the product for any
-   * realistic corpus — require() documents the envelope).
+   * checkpointed edge frame. Overflow envelope (caller's contract, same
+   * class as the q138 sketch-width envelope): rank(u)·w is Long
+   * arithmetic and rank ≤ V·scale, so V·scale·maxWeight must stay below
+   * 2^63 — at the default scale 1e6 that allows V·maxWeight up to ~9e12.
    */
   def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iterations: Int,
@@ -147,9 +148,9 @@ object Graph {
    * never receiving flow stay at rank 0 and ARE returned (rank 0 is
    * information: unreachable from the seed set).
    *
-   * SCALE SHAPE: identical to [[pageRank]] — the seed flag is ONE extra
-   * left-semi-derived boolean on the O(V) vertex frame; seeds shuffle as
-   * (id) only.
+   * SCALE SHAPE: identical to [[pageRank]] — the seed flag is one extra
+   * boolean on the O(V) vertex frame (left-outer against the distinct
+   * seed ids, coalesced to false); seeds shuffle as (id) only.
    */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, iterations: Int,
@@ -206,12 +207,15 @@ object Graph {
    * ABSENT — at 100 TB the reached set is usually far smaller than V, and
    * absence distinguishes "not reached in k" from any sentinel.
    *
-   * SCALE SHAPE: per hop, one (id, dist) join onto the checkpointed edges
-   * + one map-side-combined min — the frontier frame is
-   * reached-set-proportional, payloads never move, lineage truncated per
-   * hop. (No early-exit probe: maxHops is a small constant by contract;
-   * the CC-style fingerprint probe would add a job per hop to save at most
-   * the tail hops.)
+   * SCALE SHAPE: per hop, ONLY the newest frontier expands — a vertex
+   * first reached at hop h−1 is the only kind that can mint a new
+   * minimum at hop h (older vertices already expanded, and re-expanding
+   * them can only reproduce larger distances) — so each round joins the
+   * frontier slice, not the whole reached set, against the checkpointed
+   * edges, then one map-side-combined min; payloads never move, lineage
+   * truncated per hop. (No early-exit probe: maxHops is a small constant
+   * by contract; the CC-style fingerprint probe would add a job per hop
+   * to save at most the tail hops.)
    */
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, maxHops: Int): DataFrame = {
@@ -226,9 +230,10 @@ object Graph {
       .where(col("id").isNotNull).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()
-    for (_ <- 1 to maxHops) {
-      val next = e.join(dist, col("src") === col("id"))
-        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+    for (h <- 1 to maxHops) {
+      val frontier = dist.where(col("dist") === (h - 1).toLong)
+      val next = e.join(frontier, col("src") === col("id"))
+        .select(col("dst").as("id"), lit(h.toLong).as("dist"))
       dist = dist.unionByName(next)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
