@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph] [sfDir]
+ * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection] [sfDir]
  * (default sfDir /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection")
     val explicitMode = args.headOption.filter(modes)
     val mode = explicitMode.getOrElse("embed")
     // an explicit mode token consumes args(0) — previously `Stress embed <dir>`
@@ -52,6 +52,7 @@ object Stress {
     if (mode == "retrieval") { retrievalStudy(spark, sfDir); spark.stop(); return }
     if (mode == "rdd") { rddStudy(spark, sfDir); spark.stop(); return }
     if (mode == "graph") { graphStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "selection") { selectionStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -416,6 +417,46 @@ object Stress {
       .where(col("count") =!= 2).count()
     println(s"[stress] rows 10x: $n10, 1x: $n1, symmetric-diff rows: $diff (expect 0)")
     out10.unpersist(); out1.unpersist(); corpus.unpersist()
+  }
+
+  /** 10x selection stress: DSIR-style importance scoring is a pure function
+    * of the hashed-bigram DISTRIBUTIONS (target vs corpus), and uniform
+    * replication multiplies every histogram cell and both totals by the
+    * same factor — the cross-multiplied enrichment inequality
+    * c_t·t_c > c_c·t_t is invariant under it, so every replica doc must
+    * score bit-identically to its source. Integer arithmetic turns that
+    * argument into an exact check (distinct folded rows == base rows),
+    * and the timings show cost tracking corpus mass while the broadcast
+    * histogram stays O(buckets) at any scale. */
+  private def selectionStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val corpus = (0 until 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("lang"), col("text")))
+      .reduce(_.unionByName(_)).persist(MEMORY_AND_DISK_SER)
+    println(s"[stress] corpus rows: ${corpus.count()}")
+    def score(src: DataFrame): DataFrame =
+      operators.Selection.importanceScore(src, "doc_id", "text",
+        col("lang") === "en", nBuckets = 1024)
+    val s1 = timed("importance scores over 1x corpus") {
+      val r = score(docs).persist(MEMORY_AND_DISK_SER); r.count(); r
+    }
+    val s10 = timed("importance scores over 10x corpus") {
+      val r = score(corpus).persist(MEMORY_AND_DISK_SER); r.count(); r
+    }
+    val folded = s10.select(pmod(col("doc_id"), lit(10000000L)).as("doc_id"),
+        col("n_ngrams"), col("n_enriched"), col("score_bp"))
+      .distinct().persist(MEMORY_AND_DISK_SER)
+    val nBase = s1.count()
+    val nFolded = folded.count()
+    val diff = folded.unionByName(s1)
+      .groupBy("doc_id", "n_ngrams", "n_enriched", "score_bp").count()
+      .where(col("count") =!= 2).count()
+    println(s"[stress] distinct folded score rows: $nFolded (expect $nBase); " +
+      s"symmetric-diff rows: $diff (expect 0)")
+    folded.unpersist(); s10.unpersist(); s1.unpersist(); corpus.unpersist()
   }
 
   /** 10x graph stress: part co-occurrence edges (parts sharing an order) at
