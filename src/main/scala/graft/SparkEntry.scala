@@ -2666,6 +2666,23 @@ object SparkEntry {
         .unionByName(pairs
           .select(col("c2").as("src"), col("c1").as("dst"), col("n_shared_parts").as("w")))
       operators.Graph.weightedPageRank(edges, "src", "dst", "w", iterations = 3)
+    }),
+
+    // q160: triangle census at DATA scale — part co-occurrence edges
+    // (parts sharing an order, a 10%-of-orders slice) grow with the
+    // corpus, unlike the contract-bounded co-purchase probe graph, so
+    // this row is the in-gate evidence that the degree-oriented census
+    // tracks edge mass (the 10x study in BASELINE.md measures the same
+    // operator at 12M edges). Edges expand within an order's item set
+    // only — the same blocked discipline as q144.
+    "q160_part_triangles" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+      operators.Graph.triangleStats(edges, "u", "v")
     })
   )
 
@@ -4881,6 +4898,34 @@ object SparkEntry {
         |       FROM e JOIN tw t ON t.src = e.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
         |r3 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s3.inflow, 0)) // 10000 AS BIGINT) AS rk
         |       FROM v LEFT JOIN s3 USING (id))
-        |SELECT id, rk AS rank_scaled FROM r3""".stripMargin
+        |SELECT id, rk AS rank_scaled FROM r3""".stripMargin,
+    // q160: q155's oriented-closure replay over the part co-occurrence slice
+    "q160_part_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |            WHERE l_orderkey % 10 = 0),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY x),
+        |k AS (SELECT und.u, und.v, du.d AS du, dv.d AS dv
+        |      FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v),
+        |o AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+        |             CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+        |             CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS ddst
+        |      FROM k),
+        |w AS (SELECT p.dst AS y, q.dst AS z FROM o p JOIN o q ON p.src = q.src
+        |      WHERE (p.ddst, p.dst) < (q.ddst, q.dst)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
+        |      WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.y AND o.dst = w.z)),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+        |             CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+        |             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |      FROM deg)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+        |       CAST(CASE WHEN n_wedges = 0 THEN 0
+        |                 ELSE (3 * n_triangles * 10000) // n_wedges END AS BIGINT)
+        |         AS global_clustering_bp
+        |FROM b, t""".stripMargin
   )
 }
