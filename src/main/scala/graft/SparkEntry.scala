@@ -85,6 +85,15 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     })
 
+  /** Symmetrized (unweighted) co-purchase edge frame — the one edge set
+    * q152/q157/q158 analyze, derived from [[copurchasePairs]] so a change
+    * to the pair construction reaches every graph query at once. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(s, dir)
+    pairs.select(col("c1").as("src"), col("c2").as("dst"))
+      .unionByName(pairs.select(col("c2").as("src"), col("c1").as("dst")))
+  }
+
   /** MEMOIZED near-dup candidate frame: pairs sharing >= 3 RARE shingles
     * (document frequency <= 10 — the df cap IS the bucket cap: one
     * groupBy-per-shingle pass with capped in-bucket expansion, no shingle
@@ -2582,9 +2591,7 @@ object SparkEntry {
     // edges + one map-side-combined inflow sum — keys-proportional frames
     // only, lineage truncated per round like the CC loop.
     "q152_pagerank" -> ((s, dir) => {
-      val pairs = copurchasePairs(s, dir)
-      val edges = pairs.select(col("c1").as("src"), col("c2").as("dst"))
-        .unionByName(pairs.select(col("c2").as("src"), col("c1").as("dst")))
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
     }),
 
@@ -2633,9 +2640,7 @@ object SparkEntry {
     // the trusted ones through co-purchases"), not global authority.
     // rank 0 rows are kept: unreachable-from-seeds is a finding.
     "q157_personalized_pagerank" -> ((s, dir) => {
-      val pairs = copurchasePairs(s, dir)
-      val edges = pairs.select(col("c1").as("src"), col("c2").as("dst"))
-        .unionByName(pairs.select(col("c2").as("src"), col("c1").as("dst")))
+      val edges = copurchaseEdges(s, dir)
       val seeds = tbl(s, dir, "customer").where(col("c_custkey") < 10)
         .select(col("c_custkey"))
       operators.Graph.personalizedPageRank(edges, "src", "dst", seeds, iterations = 3)
@@ -2647,9 +2652,7 @@ object SparkEntry {
     // Unreached vertices are absent by contract (the reached set, not V,
     // sizes the output).
     "q158_hop_distances" -> ((s, dir) => {
-      val pairs = copurchasePairs(s, dir)
-      val edges = pairs.select(col("c1").as("src"), col("c2").as("dst"))
-        .unionByName(pairs.select(col("c2").as("src"), col("c1").as("dst")))
+      val edges = copurchaseEdges(s, dir)
       val seeds = tbl(s, dir, "customer").where(col("c_custkey") < 5)
         .select(col("c_custkey"))
       operators.Graph.hopDistances(edges, "src", "dst", seeds, maxHops = 3)
@@ -4751,7 +4754,8 @@ object SparkEntry {
         |hist AS (SELECT bucket, sum(CASE WHEN t THEN 1 ELSE 0 END) AS c_t, count(*) AS c_c
         |         FROM gb GROUP BY bucket),
         |tot AS (SELECT sum(c_t) AS t_t, sum(c_c) AS t_c FROM hist),
-        |enr AS (SELECT bucket FROM hist, tot WHERE c_t * t_c > c_c * t_t)
+        |enr AS (SELECT bucket FROM hist, tot
+        |        WHERE CAST(c_t AS HUGEINT) * t_c > CAST(c_c AS HUGEINT) * t_t)
         |SELECT doc_id, n_ngrams, n_enriched,
         |       CAST((n_enriched * 10000) // n_ngrams AS BIGINT) AS score_bp
         |FROM (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,

@@ -53,10 +53,13 @@ object Graph {
     require(dampingBp >= 0 && dampingBp <= 10000,
       s"dampingBp must be in [0,10000], got $dampingBp")
     require(scale >= 1L, s"scale must be positive, got $scale")
+    // checkpoint the edge projection ONCE; vertices and the degree frame
+    // derive from the materialized RDD instead of re-running scan+distinct
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint()
     val vertices = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -110,6 +113,7 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0L)
+      .localCheckpoint()
     val vertices = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -165,6 +169,7 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint()
     val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .where(col("id").isNotNull).distinct()
     val vertices = e.select(col("src").as("id"))

@@ -105,9 +105,10 @@ object Retrieval {
    * plus an integer position, so each is a hash join of term-hit frames
    * (corpus-frequency-bounded, never corpus-row-bounded), and a phrase with
    * one rare term shrinks every later join to that term's postings. This is
-   * exactly how a positional inverted index answers phrase queries — here
-   * the "index" is the transient filtered postings frame; persist it to
-   * make the standing-index form.
+   * exactly how a positional inverted index answers phrase queries — the
+   * filtered postings checkpoint once (ONE corpus tokenization pass
+   * regardless of k); persist them externally to make the standing-index
+   * form.
    *
    * Returns `(idCol, n_matches)` for documents containing the phrase at
    * least once (overlapping occurrences each count).
@@ -116,10 +117,18 @@ object Retrieval {
                     phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, s"phrase needs >= 2 terms, got ${phrase.size}")
     require(phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
+    // a term containing whitespace can never equal a \s+-split token —
+    // fail loudly instead of returning a silently empty result
+    require(phrase.forall(!_.exists(_.isWhitespace)),
+      "phrase terms must be single tokens (no whitespace) — split the phrase first")
     val words = graft.functions.Text.edgeStrippedTokens(col(textCol))
+    // checkpoint the term-filtered postings (term-frequency-bounded, tiny
+    // relative to the corpus): each of the k start frames then reads the
+    // materialized rows instead of re-tokenizing the whole corpus k times
     val postings = docs.where(col(textCol).isNotNull)
       .select(col(idCol), posexplode(words).as(Seq("pos", "term")))
       .where(col("term").isin(phrase: _*))
+      .localCheckpoint()
     // every frame gets UNIQUE column names (__idN/__sN) so the k−1
     // self-joins over the shared postings lineage never depend on Spark's
     // ambiguous-self-join disambiguation

@@ -60,8 +60,14 @@ object Selection {
       sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"),
       count(lit(1)).as("c_c"))
     val tot = hist.agg(sum(col("c_t")).as("t_t"), sum(col("c_c")).as("t_c"))
+    // the cross-multiplication is lifted to decimal(38,0): c_t*t_c is
+    // bounded only by t_t*t_c, which exceeds 2^63 once the corpus carries
+    // ~1e10 bigrams against a ~1e9-bigram target — exactly the 100 TB
+    // posture this operator claims. decimal keeps the comparison EXACT
+    // (the DuckDB oracle lifts to HUGEINT, same 38-digit headroom).
     val enriched = hist.crossJoin(broadcast(tot))
-      .where(col("c_t") * col("t_c") > col("c_c") * col("t_t"))
+      .where(col("c_t").cast("decimal(38,0)") * col("t_c") >
+        col("c_c").cast("decimal(38,0)") * col("t_t"))
       .select(col("bucket"))
     grams.join(broadcast(enriched).withColumn("__e", lit(1L)), Seq("bucket"), "left_outer")
       .groupBy(col(idCol)).agg(

@@ -60,73 +60,162 @@ object Sink {
   }
 
   /**
-   * IDEMPOTENT keyed upsert into a bucket-partitioned parquet store —
-   * the merge step that turns at-least-once delivery into
-   * effectively-once ingestion: re-applying any batch (a replayed
-   * micro-batch, a retried job) leaves the store bit-identical, because
-   * the winning row per key is the MAX of `struct(versionCol, <other
-   * columns>)` — a total, deterministic order (last-writer-wins by
+   * IDEMPOTENT keyed upsert into a MANIFEST-COMMITTED bucket store — the
+   * merge step that turns at-least-once delivery into effectively-once
+   * ingestion. The winning row per key is the MAX of `struct(versionCol,
+   * <other columns>)` — a total, deterministic order (last-writer-wins by
    * version; remaining columns break exact-version ties), so merge order
-   * cannot matter.
+   * and replays cannot change the surviving row set.
    *
-   * SCALE SHAPE: the store is hive-partitioned on
-   * `__bucket = pmod(xxhash64(key), nBuckets)`; a batch only ever READS
-   * and REWRITES the buckets its keys hash into (dynamic partition
-   * overwrite) — ingest cost is proportional to touched-bucket mass, not
-   * store mass, which is what makes per-hour batches against a 100 TB
-   * store feasible. The only driver materialization is the touched-bucket
-   * id list — `nBuckets`-bounded by construction. Size `nBuckets` so one
-   * bucket ≈ a few files: too few buckets and every batch rewrites the
-   * world; too many and the store is all small files.
+   * CRASH SAFETY (why a manifest, not overwrite-in-place): an in-place
+   * dynamic partition overwrite deletes the old files before the new ones
+   * are durable, so a crash inside the commit window loses store rows a
+   * replay cannot restore. Here every upsert writes its merged buckets to
+   * a FRESH epoch directory and then publishes a new numbered manifest
+   * (`manifest-<n>.mf`, written to a temp name and renamed — rename to a
+   * new name is atomic on POSIX and HDFS alike); readers resolve the
+   * highest-numbered manifest. A crash at ANY point leaves the previous
+   * manifest and every directory it references untouched — the replayed
+   * batch then re-merges against the intact store. Superseded epoch
+   * directories are garbage, not corruption; reclaim them with
+   * [[vacuumStore]] when no reader needs old manifests.
    *
-   * Contract: key and version are non-null; every batch carries the same
-   * schema; columns must be orderable (the struct max). `__bucket` is
-   * reserved.
+   * SCALE SHAPE: buckets are `__bucket = pmod(xxhash64(key), nBuckets)`;
+   * a batch only READS and REWRITES the buckets its keys hash into —
+   * ingest cost is proportional to touched-bucket mass, not store mass,
+   * which is what makes per-hour batches against a 100 TB store feasible.
+   * Driver-side state is the manifest (nBuckets-bounded lines) and the
+   * touched-bucket list. Size `nBuckets` so one bucket ≈ a few files.
+   *
+   * Contract: key and version are non-null (null rows are dropped); every
+   * batch carries the same schema; columns must be orderable (the struct
+   * max). `__bucket`/`__pb` are reserved. Single writer at a time (the
+   * streaming face serializes micro-batches; concurrent independent
+   * writers would race on the manifest number and one would retry/fail).
+   * Read the store back with [[readStore]] — the root directory holds
+   * every epoch, so a raw `spark.read.parquet(root)` would see stale rows.
    */
   def upsertBuckets(storePath: String, batch: DataFrame, keyCol: String,
       versionCol: String, nBuckets: Int,
       maxRecordsPerFile: Long = 1000000L): Unit = {
     import org.apache.spark.sql.functions._
     require(nBuckets >= 1 && nBuckets <= 1000000, s"nBuckets must be in [1,1e6], got $nBuckets")
-    require(!batch.columns.contains("__bucket"), "__bucket is reserved by upsertBuckets")
+    Seq("__bucket", "__pb").foreach(c =>
+      require(!batch.columns.contains(c), s"$c is reserved by upsertBuckets"))
     val spark = batch.sparkSession
     val dataCols = batch.columns.toSeq // fixed order: (version, others) struct is stable
     val withB = batch
       .where(col(keyCol).isNotNull && col(versionCol).isNotNull)
       .withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
-    val storeExists = {
-      val p = new org.apache.hadoop.fs.Path(storePath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    val merged = if (storeExists) {
-      // nBuckets-bounded driver list — the partition-pruning predicate
-      val touched = withB.select(col("__bucket")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      val current = spark.read.parquet(storePath)
-        .where(col("__bucket").isin(touched: _*))
-        .select(withB.columns.map(col): _*) // align column order
-      current.unionByName(withB)
-    } else withB
+    val (manifestN, entries) = latestManifest(storePath)
+    // nBuckets-bounded driver list — selects which store dirs to read/merge
+    val touched = withB.select(col("__bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val currentDirs = entries.filter { case (b, _) => touched(b) }.values.toSeq
+    val merged =
+      if (currentDirs.isEmpty) withB
+      else {
+        val current = spark.read
+          .parquet(currentDirs.map(d => s"$storePath/$d"): _*)
+          .select(withB.columns.map(col): _*) // align column order
+        current.unionByName(withB)
+      }
     val ordered = col(versionCol) +: dataCols.filterNot(_ == versionCol).map(col) :+ col("__bucket")
     val winner = merged
       .groupBy(col(keyCol))
       .agg(max(struct(ordered: _*)).as("__m"))
       .select(col(keyCol) +: (dataCols.filterNot(_ == keyCol).map(c => col(s"__m.$c").as(c))
         :+ col("__m.__bucket").as("__bucket")): _*)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      winner
-        .repartition(col("__bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("__bucket")
-        .parquet(storePath)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    // fresh epoch dir: one job writes every touched bucket's merged rows
+    // under epoch/__pb=<bucket>; __bucket stays a DATA column (the
+    // partition copy __pb is what the directory layout strips)
+    val epoch = f"e-${java.util.UUID.randomUUID().toString.take(8)}-${manifestN + 1}%09d"
+    winner
+      .withColumn("__pb", col("__bucket"))
+      .repartition(col("__pb"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("__pb")
+      .parquet(s"$storePath/$epoch")
+    val newEntries = entries ++ touched.map(b => b -> s"$epoch/__pb=$b").toMap
+    publishManifest(storePath, manifestN + 1, newEntries)
+  }
+
+  /** Resolve the CURRENT committed view of an upsert store: the bucket
+    * directories the highest-numbered manifest references (superseded
+    * epochs are invisible). Returns an empty-schema-less error if the
+    * store has never committed — check with [[storeExists]] first when
+    * that is a legal state. */
+  def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    val (_, entries) = latestManifest(storePath)
+    require(entries.nonEmpty, s"no committed manifest under $storePath")
+    spark.read.parquet(entries.values.toSeq.map(d => s"$storePath/$d"): _*)
+  }
+
+  /** True once a first manifest has committed. */
+  def storeExists(storePath: String): Boolean = latestManifest(storePath)._1 > 0
+
+  /** Delete epoch directories the LATEST manifest no longer references and
+    * all superseded manifest files. Run only when no reader still resolves
+    * an older manifest (quiescent maintenance, like any snapshot GC). */
+  def vacuumStore(storePath: String): Unit = {
+    val (n, entries) = latestManifest(storePath)
+    if (n == 0) return
+    val live = entries.values.map(_.split("/")(0)).toSet
+    val root = new java.io.File(storePath)
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("e-") && !live(f.getName)) deleteRec(f)
+      if (f.isFile && f.getName.startsWith("manifest-") &&
+        manifestNumber(f.getName).exists(_ < n)) { f.delete(); () }
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  private def manifestNumber(name: String): Option[Long] =
+    "manifest-([0-9]{9})\\.mf".r.findFirstMatchIn(name).map(_.group(1).toLong)
+
+  /** (highest manifest number, bucket -> relative dir); (0, empty) for a
+    * store that never committed. Format: one `<bucket>\t<relpath>` line per
+    * bucket — trivially parseable, no JSON dependency. */
+  private def latestManifest(storePath: String): (Long, Map[Long, String]) = {
+    val root = new java.io.File(storePath)
+    val manifests = Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => manifestNumber(f.getName).map(_ -> f))
+    if (manifests.isEmpty) (0L, Map.empty)
+    else {
+      val (n, f) = manifests.maxBy(_._1)
+      val entries = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val Array(b, d) = line.split("\t", 2)
+          b.toLong -> d
+        }.toMap
+      (n, entries)
+    }
+  }
+
+  /** Write manifest n to a temp name, then RENAME to its final numbered
+    * name — rename-to-a-new-name is atomic, so readers see either the
+    * previous manifest or the complete new one, never a partial file. */
+  private def publishManifest(storePath: String, n: Long,
+      entries: Map[Long, String]): Unit = {
+    val root = java.nio.file.Paths.get(storePath)
+    java.nio.file.Files.createDirectories(root)
+    val tmp = root.resolve(s".manifest-tmp-${java.util.UUID.randomUUID()}")
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    val target = root.resolve(f"manifest-$n%09d.mf")
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.delete(tmp)
+        throw new IllegalStateException(
+          s"concurrent writer already published manifest $n under $storePath", e)
     }
   }
 
@@ -134,8 +223,8 @@ object Sink {
    * The streaming face of [[upsertBuckets]]: every micro-batch merges into
    * the store under the same idempotent rule, so the pipeline is
    * effectively-once END TO END even though foreachBatch is at-least-once
-   * (a replayed batch after a crash re-merges to the identical store).
-   * Pair with a checkpoint location for restartable progress.
+   * (a replayed batch after a crash re-merges against the intact previous
+   * manifest). Pair with a checkpoint location for restartable progress.
    */
   def upsertStream(stream: DataFrame, storePath: String, keyCol: String,
       versionCol: String, nBuckets: Int, checkpointDir: String)

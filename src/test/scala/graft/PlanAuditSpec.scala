@@ -532,9 +532,12 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  it("q153 phrase search reads only (doc_id, text); joins are equi, never cartesian") {
+  it("q153 phrase search reads the CHECKPOINTED postings; joins are equi, never cartesian") {
     val p = plan("q153_phrase_search")
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // the corpus tokenizes ONCE into the postings checkpoint; both start
+    // frames then read the materialized RDD (no second parquet scan)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan"), s"start frames must not re-scan the corpus:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the aligned-position phrase join must be an equi-join:\n$p")
   }

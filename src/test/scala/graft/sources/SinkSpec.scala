@@ -64,7 +64,7 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
   }
 
   private def storeRows(path: String): Map[Long, (Long, String)] =
-    spark.read.parquet(path).select($"id", $"version", $"payload")
+    Sink.readStore(spark, path).select($"id", $"version", $"payload")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
 
   test("upsertBuckets: last-writer-wins by version, out-of-order and replayed batches converge") {
@@ -82,23 +82,58 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     assert(storeRows(path) == expected)
   }
 
+  private def manifestEntries(path: String): Map[Long, String] = {
+    val mf = Files.list(Paths.get(path)).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-[0-9]{9}\\.mf")).toSeq
+      .maxBy(_.getFileName.toString)
+    Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>
+      val Array(b, d) = l.split("\t", 2); b.toLong -> d
+    }.toMap
+  }
+
   test("upsertBuckets rewrites ONLY the buckets the batch touches") {
     val path = tmp("upsertpartial")
     val seed = (1L to 64L).map(i => (i, 1L, s"v$i")).toDF("id", "version", "payload")
     Sink.upsertBuckets(path, seed, "id", "version", nBuckets = 8)
-    val bucketDirs = Files.list(Paths.get(path)).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
-    assert(bucketDirs.nonEmpty)
-    val filesBefore = bucketDirs.map(d => d -> parquetFiles(s"$path/$d").map(_.toString).toSet).toMap
-    // one single-key batch touches exactly one bucket
+    val before = manifestEntries(path)
+    assert(before.nonEmpty)
+    // one single-key batch touches exactly one bucket: the new manifest must
+    // keep every other bucket's dir IDENTICAL (untouched data never rewritten)
     val one = Seq((7L, 9L, "v7new")).toDF("id", "version", "payload")
     Sink.upsertBuckets(path, one, "id", "version", nBuckets = 8)
-    val touched = bucketDirs.count { d =>
-      parquetFiles(s"$path/$d").map(_.toString).toSet != filesBefore(d)
-    }
-    assert(touched == 1, s"expected exactly one rewritten bucket, got $touched")
+    val after = manifestEntries(path)
+    val changed = before.keySet.count(b => before(b) != after.getOrElse(b, ""))
+    assert(changed == 1, s"expected exactly one remapped bucket, got $changed")
     assert(storeRows(path)(7L) == ((9L, "v7new")))
     assert(storeRows(path)(8L) == ((1L, "v8")))
+  }
+
+  test("upsertBuckets survives a crash window: previous manifest and data stay intact") {
+    val path = tmp("upsertcrash")
+    val b1 = Seq((1L, 1L, "a1"), (2L, 1L, "b1")).toDF("id", "version", "payload")
+    Sink.upsertBuckets(path, b1, "id", "version", nBuckets = 4)
+    val committed = storeRows(path)
+    // simulate a writer that died after writing an epoch dir but BEFORE
+    // publishing its manifest: an orphan epoch must be invisible to readers
+    val orphan = Paths.get(path, "e-deadbeef-000000099")
+    Files.createDirectories(orphan)
+    assert(storeRows(path) == committed)
+    // the replayed batch then merges against the intact store
+    Sink.upsertBuckets(path, Seq((1L, 2L, "a2")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 4)
+    assert(storeRows(path) == Map(1L -> ((2L, "a2")), 2L -> ((1L, "b1"))))
+    // vacuum reclaims the orphan and superseded manifests without changing rows
+    Sink.vacuumStore(path)
+    assert(!Files.exists(orphan))
+    assert(storeRows(path) == Map(1L -> ((2L, "a2")), 2L -> ((1L, "b1"))))
+  }
+
+  test("upsertBuckets leaves session conf untouched (no global overwrite-mode mutation)") {
+    val path = tmp("upsertconf")
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    Sink.upsertBuckets(path, Seq((1L, 1L, "x")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 2)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") == before)
   }
 
   test("upsertStream: micro-batched upserts equal the one-shot batch merge") {
