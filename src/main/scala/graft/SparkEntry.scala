@@ -2678,6 +2678,22 @@ object SparkEntry {
     // tracks edge mass (the 10x study in BASELINE.md measures the same
     // operator at 12M edges). Edges expand within an order's item set
     // only — the same blocked discipline as q144.
+    // q161: REAL PNG pixel decode at query level — blobs are spec-valid
+    // 8-bit RGB PNGs (zlib IDAT, per-row filter cycling all five spec
+    // filters), decoded via chunk walk + CRC verify + JDK Inflater + full
+    // unfiltering; channel means must equal the same closed-form
+    // arithmetic the q146 BMP oracle uses (same pixel rule, different
+    // container + a real decompression in between).
+    "q161_png_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticPngImage((8 + id % 16).toInt, (8 + id % 8).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.pixelMeans(blobs, "doc_id", "blob")
+    }),
+
     "q160_part_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .where(pmod(col("l_orderkey"), lit(10)) === 0)
@@ -4903,6 +4919,24 @@ object SparkEntry {
         |r3 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s3.inflow, 0)) // 10000 AS BIGINT) AS rk
         |       FROM v LEFT JOIN s3 USING (id))
         |SELECT id, rk AS rank_scaled FROM r3""".stripMargin,
+    // q161: identical closed form to q146 — the container differs, the
+    // pixel rule does not
+    "q161_png_pixels" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+        |agg AS (SELECT doc_id, w, h,
+        |          sum((x + y) % 256) AS sr,
+        |          sum((y + doc_id) % 256) AS sg,
+        |          sum((x + doc_id) % 256) AS sb
+        |        FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sr // (w * h) AS BIGINT) AS mean_r,
+        |       CAST(sg // (w * h) AS BIGINT) AS mean_g,
+        |       CAST(sb // (w * h) AS BIGINT) AS mean_b
+        |FROM agg""".stripMargin,
     // q160: q155's oriented-closure replay over the part co-occurrence slice
     "q160_part_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

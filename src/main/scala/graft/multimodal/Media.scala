@@ -26,9 +26,13 @@ case class MediaFeatures(
  * real file of those formats. Full PIXEL decode is REAL for uncompressed
  * 24bpp BMP ([[parseBmp]]/[[bmpChannelMeans]]/[[resizeBmp]]: per-pixel
  * channel access, means, nearest-neighbor resize — the format is raw BGR
- * triples, decodable with pure byte math). For COMPRESSED containers
- * (PNG/JPEG pixel data) decode remains a clearly-marked STUB (`fakeDecode`):
- * this container has no image codec libraries. Everything else — binary
+ * triples, decodable with pure byte math) AND for 8-bit RGB/RGBA
+ * non-interlaced PNG ([[parsePng]]: PNG's compression IS zlib, which the
+ * JDK ships — chunk walk, CRC32 verify, Inflater, full five-filter
+ * unfiltering; [[syntheticPngImage]] fixtures cycle every filter type).
+ * Only JPEG PIXEL data remains a clearly-marked STUB (`fakeDecode`
+ * fallback): entropy decode needs a full Huffman+DCT implementation and
+ * this container has no codec library for it. Everything else — binary
  * column handling, schema, per-partition batching, byte-level feature math —
  * is real and tested.
  */
@@ -546,6 +550,220 @@ object Media {
   }
 
   /**
+   * Deterministic synthetic PNG IMAGE — a fully-decodable file, not just a
+   * header fixture: 8-bit RGB (color type 2), non-interlaced, scanlines
+   * zlib-compressed into IDAT with the per-row filter type cycling y % 5 —
+   * every spec filter (None/Sub/Up/Average/Paeth) appears, so a decoder
+   * that mishandles any of them fails loudly on this fixture. Pixels share
+   * the BMP fixture's closed form (`r = (x+y)%256, g = (y+seed)%256,
+   * b = (x+seed)%256`), so the same oracle arithmetic covers both formats.
+   */
+  def syntheticPngImage(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0, s"dimensions must be positive, got ${w}x$h")
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      (((x + y) % 256), ((y + seed) % 256).toInt, ((x + seed) % 256).toInt)
+    encodePng(w, h, px)
+  }
+
+  /** Encode pixels (image coords, top-left origin) as a spec-valid 8-bit
+    * RGB PNG, cycling the row filter type y % 5 (encode applies the
+    * filter; [[parsePng]] must invert it). */
+  private def encodePng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride) // zeros above row 0, per spec
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff; cur(x * 3 + 2) = b & 0xff
+        x += 1
+      }
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= bpp) cur(i - bpp) else 0 // left
+        val bUp = prev(i)                          // up
+        val c = if (i >= bpp) prev(i - bpp) else 0 // upper-left
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => bUp
+          case 3 => (a + bUp) / 2
+          case 4 => paeth(a, bUp, c)
+        }
+        raw(y * (stride + 1) + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(64 + zbuf.size())
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def writeChunk(ctype: String, data: Array[Byte]): Unit = {
+      val be = new Array[Byte](4)
+      def putBe32(v: Long): Unit = {
+        be(0) = ((v >> 24) & 0xff).toByte; be(1) = ((v >> 16) & 0xff).toByte
+        be(2) = ((v >> 8) & 0xff).toByte; be(3) = (v & 0xff).toByte
+      }
+      putBe32(data.length.toLong); out.write(be, 0, 4)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb, 0, 4); crc.update(data, 0, data.length)
+      putBe32(crc.getValue); out.write(be, 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+    ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+    ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk("IHDR", ihdr)
+    writeChunk("IDAT", zbuf.toByteArray)
+    writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A fully-decoded 8-bit RGB/RGBA PNG: pixel access in image coords. */
+  private[graft] final class PngImage(px: Array[Byte], val width: Int, val height: Int,
+      bpp: Int) {
+    /** (r, g, b) of the pixel at (x, y); alpha (if present) is ignored. */
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val i = (y * width + x) * bpp
+      ((px(i) & 0xff), (px(i + 1) & 0xff), (px(i + 2) & 0xff))
+    }
+  }
+
+  /**
+   * REAL PNG pixel decode with ONLY the JDK: chunk walk (CRC32-verified),
+   * IDAT concatenation, `java.util.zip.Inflater` (PNG's compression IS
+   * zlib — the JDK ships the codec), and full scanline UNFILTERING for
+   * all five spec filter types (None/Sub/Up/Average/Paeth). Supports the
+   * dominant interchange shape: bit depth 8, color type 2 (RGB) or 6
+   * (RGBA), non-interlaced. Anything else — or any malformed/corrupt
+   * chunk — returns None (the caller's signal to route the blob through
+   * the stubbed path, same honesty rule as [[parseBmp]]).
+   */
+  private[graft] def parsePng(bytes: Array[Byte]): Option[PngImage] = {
+    if (sniffKind(bytes) != "png" || bytes.length < 45) return None
+    var pos = 8
+    var w = 0; var h = 0; var colorType = -1; var ok = true
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (ok && !sawEnd && pos + 12 <= bytes.length) {
+      val len = be32(bytes, pos).toInt
+      if (len < 0 || pos + 12 + len > bytes.length) { ok = false }
+      else {
+        val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, pos + 4, 4 + len)
+        if (crc.getValue != be32(bytes, pos + 8 + len)) { ok = false }
+        else {
+          ctype match {
+            case "IHDR" =>
+              if (len != 13) ok = false
+              else {
+                w = be32(bytes, pos + 8).toInt; h = be32(bytes, pos + 12).toInt
+                val bitDepth = bytes(pos + 16) & 0xff
+                colorType = bytes(pos + 17) & 0xff
+                val interlace = bytes(pos + 20) & 0xff
+                if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+                  interlace != 0 || w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) ok = false
+              }
+            case "IDAT" => idat.write(bytes, pos + 8, len)
+            case "IEND" => sawEnd = true
+            case _ => // ancillary chunk: skip
+          }
+          pos += 12 + len
+        }
+      }
+    }
+    if (!ok || !sawEnd || colorType < 0 || idat.size() == 0) return None
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+        off += n
+      }
+      inf.end()
+      if (off != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    // unfilter in place into the pixel buffer
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      var i = 0
+      while (i < stride) {
+        val v = raw(y * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= bpp) px(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        px(y * stride + i) = ((v + pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(new PngImage(px, w, h, bpp))
+  }
+
+  /** Integer-floor channel means over every pixel of a decoded PNG. */
+  private[graft] def pngChannelMeans(img: PngImage): (Long, Long, Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val (r, g, b) = img.pixel(x, y)
+        sr += r; sg += g; sb += b
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.width.toLong * img.height
+    (img.width.toLong, img.height.toLong, sr / n, sg / n, sb / n)
+  }
+
+  /** REAL nearest-neighbor PNG resize: decode, sample, re-encode a
+    * spec-valid 8-bit RGB PNG. None when the blob isn't a decodable PNG. */
+  private[graft] def resizePng(bytes: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
+    parsePng(bytes).map { img =>
+      encodePng(dw, dh, (dx, dy) =>
+        img.pixel((dx.toLong * img.width / dw).toInt, (dy.toLong * img.height / dh).toInt))
+    }
+
+  /**
    * Deterministic synthetic JPEG: SOI + a spec-valid 3-component SOF0
    * segment carrying the dimensions, payload appended. 21 header bytes;
    * see [[syntheticPng]] for the role.
@@ -596,13 +814,14 @@ object Media {
   }
 
   /**
-   * REAL per-blob pixel statistics for containers the no-library parse can
-   * fully decode (uncompressed 24bpp BMP): `(id, width, height, mean_r,
-   * mean_g, mean_b)` with integer-floor channel means over EVERY pixel —
-   * actual byte→pixel work, the feature-extraction step of an image
-   * curation pipeline. Blobs that are not decodable BMPs are DROPPED (the
-   * caller's signal to route them through the stubbed path instead); null
-   * blobs likewise.
+   * REAL per-blob pixel statistics for containers the JDK-only parse can
+   * fully decode — uncompressed 24bpp BMP ([[parseBmp]]) and 8-bit
+   * RGB/RGBA non-interlaced PNG ([[parsePng]]: zlib inflate + full
+   * unfilter): `(id, width, height, mean_r, mean_g, mean_b)` with
+   * integer-floor channel means over EVERY pixel — actual byte→pixel
+   * work, the feature-extraction step of an image curation pipeline.
+   * Undecodable blobs are DROPPED (the caller's signal to route them
+   * through the stubbed path instead); null blobs likewise.
    */
   def pixelMeans(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -611,10 +830,9 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.filter(_._2 != null).flatMap { case (id, bytes) =>
-          parseBmp(bytes).map { img =>
-            val (w, h, mr, mg, mb) = bmpChannelMeans(img)
-            (id, w, h, mr, mg, mb)
-          }
+          parseBmp(bytes).map(bmpChannelMeans)
+            .orElse(parsePng(bytes).map(pngChannelMeans))
+            .map { case (w, h, mr, mg, mb) => (id, w, h, mr, mg, mb) }
         }
       }
       .toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
@@ -622,14 +840,14 @@ object Media {
 
   /**
    * Resize plumbing: (id, blob) -> (id, kind, resized blob) at a target
-   * `w`x`h`. For uncompressed 24bpp BMPs the transform is REAL: decode
-   * pixels, nearest-neighbor sample, re-encode a spec-valid BMP
-   * ([[resizeBmp]]). For compressed containers (PNG/JPEG — no codec in
-   * this environment) the pixel transform remains a STUB ??? —
-   * deterministically faked by cycling the source bytes into a w*h-byte
-   * output so downstream schema, sizes, and partition-batch shape are
-   * exactly what a real resize would produce. Null blobs pass through as
-   * null (a real decoder would skip them too).
+   * `w`x`h`. For uncompressed 24bpp BMPs ([[resizeBmp]]) AND decodable
+   * PNGs ([[resizePng]]) the transform is REAL: decode pixels,
+   * nearest-neighbor sample, re-encode a spec-valid file of the SAME
+   * format. For JPEG (no entropy codec in this environment) the pixel
+   * transform remains a STUB ??? — deterministically faked by cycling the
+   * source bytes into a w*h-byte output so downstream schema, sizes, and
+   * partition-batch shape are exactly what a real resize would produce.
+   * Null blobs pass through as null (a real decoder would skip them too).
    */
   def resize(df: DataFrame, idCol: String, binCol: String, w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
@@ -641,8 +859,9 @@ object Media {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           if (bytes == null) (id, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]])
-          else resizeBmp(bytes, w, h) match {
-            case Some(real) => (id, "bmp", real)
+          else resizeBmp(bytes, w, h).map(("bmp", _))
+            .orElse(resizePng(bytes, w, h).map(("png", _))) match {
+            case Some((kind, real)) => (id, kind, real)
             case None =>
               val out = new Array[Byte](w * h)
               if (bytes.length > 0) {

@@ -942,6 +942,43 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert((feats.kind, feats.width, feats.height) === (("bmp", 3L, 2L)))
     }
 
+    it("REALLY decodes PNG pixels: inflate, all five filters, means, resize, rejects") {
+      // 7 rows => filter types 0,1,2,3,4,0,1 all exercised (y % 5)
+      val png = Media.syntheticPngImage(5, 7, 11L)
+      val img = Media.parsePng(png).get
+      assert((img.width, img.height) === ((5, 7)))
+      // pixel closed form shared with the BMP fixture
+      for (y <- 0 until 7; x <- 0 until 5)
+        assert(img.pixel(x, y) === (((x + y) % 256, (y + 11) % 256, (x + 11) % 256)),
+          s"pixel ($x,$y)")
+      // decoded means equal the closed-form arithmetic
+      val (w, h, mr, mg, mb) = Media.pngChannelMeans(img)
+      val px = for (y <- 0 until 7; x <- 0 until 5) yield ((x + y) % 256, (y + 11) % 256, (x + 11) % 256)
+      assert((w, h) === ((5L, 7L)))
+      assert(mr === px.map(_._1.toLong).sum / 35)
+      assert(mg === px.map(_._2.toLong).sum / 35)
+      assert(mb === px.map(_._3.toLong).sum / 35)
+      // real PNG->PNG nearest-neighbor resize: corners map to source corners
+      val rimg = Media.parsePng(Media.resizePng(png, 10, 7).get).get
+      assert((rimg.width, rimg.height) === ((10, 7)))
+      assert(rimg.pixel(0, 0) === img.pixel(0, 0))
+      assert(rimg.pixel(9, 6) === img.pixel(4, 6))
+      // corrupt CRC, truncated IDAT, and header-only PNGs reject, not misread
+      val badCrc = png.clone(); badCrc(png.length - 6) = (badCrc(png.length - 6) ^ 0x01).toByte
+      val flipped = png.clone()
+      flipped(40) = (flipped(40) ^ 0x7f).toByte // inside IDAT payload -> CRC fails
+      assert(Media.parsePng(flipped).isEmpty)
+      assert(Media.parsePng(png.dropRight(20)).isEmpty)
+      assert(Media.parsePng(Media.syntheticPng(4, 4, Array.emptyByteArray)).isEmpty)
+      // the DataFrame face decodes PNGs alongside BMPs now
+      val df = Seq((1L, png), (2L, Media.syntheticBmp(3, 2, 7L))).toDF("id", "blob")
+      val means = Media.pixelMeans(df, "id", "blob").collect().map(r => r.getLong(0)).toSet
+      assert(means === Set(1L, 2L))
+      val rz = Media.resize(df, "id", "blob", 4, 4)
+        .as[(Long, String, Array[Byte])].collect().map(r => r._1 -> r._2).toMap
+      assert(rz === Map(1L -> "png", 2L -> "bmp"))
+    }
+
     it("REALLY decodes 16-bit PCM WAV samples: values, chunk walk, stats, rejects") {
       val wav = Media.syntheticWav(8000, 4, 100L)
       val w = Media.parseWav(wav).get
