@@ -1575,7 +1575,8 @@ object SparkEntry {
     // the corpus-level contamination diagnostic
     "q101_source_overlap" -> ((s, dir) =>
       operators.Dedup.groupOverlap(
-        tbl(s, dir, "documents"), "source", "doc_id", "text", shingleN = 3)),
+        tbl(s, dir, "documents"), "source", "doc_id", "text", shingleN = 3,
+        unpersistHook = onCleanup)),
 
     // weekly cohort retention: users grouped by first-active week, distinct
     // actives per (cohort, weeks-since) cell — integer week buckets from the

@@ -556,7 +556,14 @@ object Dedup {
     * incremental probe uses it as a side marker; 0 when unused). */
   private def bandBuckets(signatures: DataFrame, idCol: String, bands: Int,
                           rowsPerBand: Int, payload: Long): DataFrame =
-    signatures.select(
+    signatures
+      // a signature SHORTER than bands*rowsPerBand would read NULL lanes that
+      // concat_ws silently SKIPS — bands would hash fewer lanes than asked
+      // and distinct bands could collapse into one degenerate bucket; fail
+      // the task instead (assert_true survives column pruning inside where)
+      .where(assert_true(size(col("signature")) >= bands * rowsPerBand,
+        lit(s"signature shorter than bands*rowsPerBand = ${bands * rowsPerBand}")).isNull)
+      .select(
         col(idCol),
         posexplode(array((0 until bands).map { b =>
           xxhash64(concat_ws(",",
@@ -947,10 +954,16 @@ object Dedup {
    * with at least one shared shingle, group_a < group_b.
    */
   def groupOverlap(df: DataFrame, groupCol: String, idCol: String, textCol: String,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    // THREE consumers read the distinct (group, shingle) frame (sizes + both
+    // self-join sides) — persist it once, the duplicateShingleStats /
+    // minhashNearDups convention (Spark never reuses work across consumers)
     val sh = shingleHashes(df, idCol, textCol, shingleN)
       .join(df.select(col(idCol), col(groupCol).as("g")), idCol)
       .select(col("g"), col("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { sh.unpersist(); () })
     val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.g") < col("b.g"))
@@ -1016,6 +1029,10 @@ object Dedup {
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1,31], got $maxHamming — 0 would band the whole " +
+        "64-bit signature into one chunk whose (1L << 64) mask wraps to 0 in JVM " +
+        "shift semantics (use exact dedup for distance 0)")
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val sigs = simhash(df, idCol, textCol)

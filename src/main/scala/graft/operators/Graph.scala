@@ -43,6 +43,11 @@ object Graph {
    * the edge shuffle; V-proportional frames spill, nothing collects to the
    * driver.
    *
+   * Overflow envelope (caller's contract): a hub's inflow approaches
+   * V·scale, and the update multiplies it by dampingBp BEFORE the div —
+   * so dampingBp·V·scale must stay below 2^63 (at the defaults, V up to
+   * ~1e9 vertices; shrink `scale` to rank larger graphs).
+   *
    * Returns one row per vertex: (id, rank_scaled).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -97,9 +102,11 @@ object Graph {
    *
    * SCALE SHAPE: identical to [[pageRank]] — the weight rides the
    * checkpointed edge frame. Overflow envelope (caller's contract, same
-   * class as the q138 sketch-width envelope): rank(u)·w is Long
-   * arithmetic and rank ≤ V·scale, so V·scale·maxWeight must stay below
-   * 2^63 — at the default scale 1e6 that allows V·maxWeight up to ~9e12.
+   * class as the q138 sketch-width envelope): BOTH products must stay
+   * below 2^63 — the flow term rank(u)·w (rank ≤ V·scale, so
+   * V·scale·maxWeight < 2^63) AND the update's dampingBp·inflow
+   * (inflow ≤ V·scale, so dampingBp·V·scale < 2^63 — the binding bound
+   * at the defaults: V up to ~1e9; shrink `scale` for larger graphs).
    */
   def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iterations: Int,
@@ -154,7 +161,9 @@ object Graph {
    *
    * SCALE SHAPE: identical to [[pageRank]] — the seed flag is one extra
    * boolean on the O(V) vertex frame (left-outer against the distinct
-   * seed ids, coalesced to false); seeds shuffle as (id) only.
+   * seed ids, coalesced to false); seeds shuffle as (id) only. Same
+   * dampingBp·V·scale < 2^63 overflow envelope as [[pageRank]] (total
+   * personalized mass is bounded by the global-teleport case).
    */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, iterations: Int,

@@ -27,7 +27,9 @@ object Quantiles {
    * Per-key order-statistic quantiles. `ps` maps output column name to
    * probability in (0, 1]; `tieCol` makes the rank order total (the selected
    * value is tie-invariant, but a deterministic order keeps row_number
-   * reproducible). `carry` names columns CONSTANT within each key to pass
+   * reproducible). Rows with a NULL key or value are DROPPED (a null has
+   * no rank; see the in-body comment for why leaving them in would shift
+   * every quantile). `carry` names columns CONSTANT within each key to pass
    * through to the output unchanged (aggregated as their per-key max — lets
    * a second quantile pass keep the first pass's result without re-running
    * its plan, the [[robustStats]] shape). Returns one row per key:
@@ -46,7 +48,12 @@ object Quantiles {
     }
     val byValue = Window.partitionBy(keyCol).orderBy(col(valueCol), col(tieCol))
     val byKey = Window.partitionBy(keyCol)
+    // NULL keys have no distribution and NULL values no rank — and Spark's
+    // ascending sort puts NULLs FIRST, so an unfiltered null row would both
+    // inflate __n and occupy the lowest ranks, silently shifting every
+    // quantile (and reading NULL when the rank lands on a null row)
     val ranked = df.select((Seq(keyCol, valueCol, tieCol) ++ carry).map(col): _*)
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(byValue).cast("long"))
       .withColumn("__n", count(lit(1)).over(byKey))
     val aggs = ps.map { case (name, p) =>

@@ -33,9 +33,10 @@ object Retrieval {
    *    `idf_ratio * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`,
    *    scaled to BIGINT, summed per doc.
    *
-   * SCALE SHAPE: one shuffle keyed by doc id (tf ⋈ dl co-partitioned), the
-   * term table and the 1-row corpus stats broadcast; nothing is
-   * keys-proportional on the driver. Returns `(idCol, bm25_scaled)`; only
+   * SCALE SHAPE: ONE corpus scan and one shuffle keyed by doc id (dl and
+   * all per-term counts come out of the same aggregation; the unpivot is
+   * narrow), the term table and the 1-row corpus stats broadcast; nothing
+   * is keys-proportional on the driver. Returns `(idCol, bm25_scaled)`; only
    * docs containing at least one query term appear (a doc with score 0
    * carries no information for ranking).
    *
@@ -46,22 +47,34 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    // ONE corpus scan, one shuffle: the per-doc aggregate computes dl and a
+    // conditional count per query term together (|terms| is a user-bounded
+    // constant, so the extra columns through the shuffle are a constant
+    // width), then unpivots to (id, dl, term, tf) rows — no second
+    // tokenization pass and no dl re-join.
     // bare split is enough: nulls are already filtered and the length guard
     // drops the empty edge tokens a leading/trailing-whitespace split yields
     val toks = docs.where(col(textCol).isNotNull)
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val tf = toks.where(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val corpus = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = perDoc.select(col(idCol), col("dl"),
+        explode(array(terms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("term"), col(s"__tf$i").as("tf"))
+        }: _*)).as("__p"))
+      .select(col(idCol), col("dl"), col("__p.term").as("term"), col("__p.tf").as("tf"))
+      .where(col("tf") > 0)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("total_dl").cast("double") / col("n_docs")
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val tfn = (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl") / avgdl)))
     tf.join(broadcast(dfreq), "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(corpus))
       .withColumn("contrib", round(idf * tfn * lit(1.0e9)).cast("long"))
       .groupBy(col(idCol))

@@ -69,6 +69,7 @@ object Similarity {
    * Returns (query_id, neighbor_id, rank) with rank 1..k by (cos desc, id).
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
@@ -273,6 +274,12 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     // 1) signature pass: one narrow typed scan, no wide expression tree
+    require(planesPerTable >= 1 && tables >= 1 && planesPerTable * tables <= 64,
+      s"planesPerTable * tables must fit the packed 64-bit signature " +
+        s"(got $planesPerTable * $tables = ${planesPerTable * tables}) — JVM shifts " +
+        "wrap mod 64, so an oversized geometry would silently alias bucket bits")
+    require(planesPerTable <= 63,
+      s"planesPerTable must be <= 63, got $planesPerTable (the (1L << n) - 1 lane mask wraps at 64)")
     val sigs = hyperplaneSignatures(df, idCol, vecCol, dim, planesPerTable * tables)
     // 2) candidate pairs: explode per-table buckets, group by (table, bucket),
     //    expand in-bucket pairs carrying ONLY ids, dedup across tables BEFORE
@@ -402,10 +409,17 @@ object Similarity {
       if (trainIters > 0)
         trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
           .zipWithIndex.map { case (v, i) => (i.toLong, v) }
-      else corpus
-        .orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-        .as[(Long, Array[Double])].collect()
+      else {
+        val seeds = corpus
+          .orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .as[(Long, Array[Double])].collect()
+        // same contract as trainCentroids: a silently smaller quantizer
+        // would widen every cell and break the nProbe/nCentroids cost math
+        require(seeds.length == nCentroids,
+          s"corpus yielded only ${seeds.length} seed centroids, need $nCentroids")
+        seeds
+      }
 
     // The standing index stores vectors at the SOURCE width: a float32
     // corpus (this repo's embeddings) stays array<float> — half the bytes of

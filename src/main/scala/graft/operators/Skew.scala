@@ -14,12 +14,13 @@ object Skew {
 
   /**
    * Inner equi-join that spreads each hot key of `left` across `numSalts`
-   * shuffle partitions: every left row gets a salt derived from its full row
-   * content MIXED WITH a per-partition row index (`xxhash64(row,
-   * monotonically_increasing_id) pmod numSalts` — no RNG state; the index
-   * keeps DUPLICATE rows of a hot key spreading across cells, where a pure
-   * content hash would collapse 10M identical rows into one cell and
-   * reintroduce the straggler), and `right` is replicated once per salt
+   * shuffle partitions: every left row gets a salt derived from its
+   * per-partition row index (`xxhash64(monotonically_increasing_id) pmod
+   * numSalts` — no RNG state; the index spreads even 10M IDENTICAL rows of
+   * a hot key across cells, which is also why hashing row content would be
+   * pure waste — any salt value is correct by construction, and a full-row
+   * hash would reject MapType columns and pay row-width hashing cost for
+   * nothing), and `right` is replicated once per salt
    * value, so the join key becomes (key, salt) and a key with 10M rows
    * shuffles as `numSalts` cells of ~10M/numSalts rows each. Any salt value
    * yields the same join result (each pair meets in the left row's cell), so
@@ -55,8 +56,7 @@ object Skew {
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "__salt is reserved by salted joins")
     val salted = left.withColumn("__salt",
-      pmod(xxhash64((left.columns.map(col) :+ monotonically_increasing_id()): _*),
-        lit(numSalts.toLong)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts.toLong)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(array((0 until numSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
