@@ -13,9 +13,20 @@ import org.apache.spark.sql.functions._
  */
 object Text {
 
-  /** Whitespace token count (0 for blank/empty text). */
+  /** Blankness under the FULL `[\x00-\x20]` class (= Java trim): SQL trim
+    * strips spaces only, so a tab/newline-only text would read as
+    * "non-blank" and the `\s+` split would then mint phantom empty tokens
+    * (2 tokens for "\t"); every blank guard below shares this predicate so
+    * the Column forms agree with the typed repetition kernel's Java-trim
+    * semantics on fully-blank text. */
+  private def isBlank(text: Column): Column =
+    length(regexp_replace(text, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")) === 0
+
+
+  /** Whitespace token count (0 for blank/empty text — blank under the
+    * full control-char class, see [[isBlank]]). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
+    when(isBlank(text), lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** THE canonical token array every bigram/shingle kernel and its DuckDB
@@ -78,7 +89,7 @@ object Text {
 
   /** Distinct whitespace-token count (0 for blank/empty text). */
   def distinctTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
+    when(isBlank(text), lit(0L))
       .otherwise(size(array_distinct(split(trim(text), "\\s+"))).cast("long"))
 
   /** Occurrence count of the MOST FREQUENT word bigram (0 when the text has
@@ -102,7 +113,7 @@ object Text {
           greatest(run, acc.getField("best")).as("best"))
       },
       acc => acc.getField("best"))
-    when(length(trim(text)) === 0 || size(words) < 2, lit(0L)).otherwise(best)
+    when(isBlank(text) || size(words) < 2, lit(0L)).otherwise(best)
   }
 
   /**

@@ -464,6 +464,9 @@ object Media {
    */
   def syntheticBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
     require(w > 0 && h > 0, s"dimensions must be positive, got ${w}x$h")
+    // rowBytes = w*3 must not wrap Int before the array allocation
+    require(strideOf(w) * h + 54 <= Int.MaxValue,
+      s"${w}x$h exceeds the 2 GiB single-array BMP envelope")
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4
     val imgSize = (rowBytes + pad) * h
@@ -569,6 +572,8 @@ object Media {
     * RGB PNG, cycling the row filter type y % 5 (encode applies the
     * filter; [[parsePng]] must invert it). */
   private def encodePng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require((w.toLong * 3 + 1) * h <= Int.MaxValue,
+      s"${w}x$h exceeds the 2 GiB single-array PNG envelope")
     val bpp = 3
     val stride = w * bpp
     val raw = new Array[Byte]((stride + 1) * h)

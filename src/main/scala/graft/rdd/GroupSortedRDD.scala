@@ -1,10 +1,8 @@
 package graft.rdd
 
-import java.nio.ByteBuffer
-
 import scala.reflect.ClassTag
 
-import org.apache.spark.{Aggregator, Partition, Partitioner, SparkEnv, TaskContext}
+import org.apache.spark.{Aggregator, Partition, Partitioner, TaskContext}
 import org.apache.spark.rdd.{RDD, ShuffledRDD}
 
 import graft.sorted.iterators
@@ -137,7 +135,10 @@ class GroupSortedRDD[K, V] private[rdd] (
     * redundant shuffle at worst, never a wrong merge. */
   private def aligned[W: ClassTag](other: GroupSortedRDD[K, W]): GroupSortedRDD[K, W] =
     if (other.partitioner == this.partitioner && other.keyOrdering == this.keyOrdering) other
-    else GroupSortedRDD.sortedBy(other, this.partitioner.get, keyOrdering, None)
+    // carry other's valueOrdering through the re-layout: dropping it would
+    // silently hand the merge kernel that side's runs in arbitrary value
+    // order (an order-sensitive f would compute wrong results, no error)
+    else GroupSortedRDD.sortedBy(other, this.partitioner.get, keyOrdering, other.valueOrdering)
 
   /**
    * Generalized sort-merge cogroup: for every key on either side, `f` sees
@@ -241,22 +242,9 @@ object GroupSortedRDD {
     new GroupSortedRDD(shuffled, ord, None)
   }
 
-  /** Serializer-clone factory for fold/scan zeros — same contract as the
-    * Dataset surface ([[graft.sorted.GroupSortedDataset]]). */
-  private[rdd] def zeroFactory[W: ClassTag](zero: W): () => W = {
-    val env = SparkEnv.get
-    if (env != null) {
-      val buf = env.serializer.newInstance().serialize(zero)
-      val bytes = new Array[Byte](buf.limit)
-      buf.get(bytes)
-      () => SparkEnv.get.serializer.newInstance().deserialize[W](ByteBuffer.wrap(bytes))
-    } else {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(zero)
-      oos.close()
-      val bytes = bos.toByteArray
-      () => new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes)).readObject().asInstanceOf[W]
-    }
-  }
+  /** Serializer-clone factory for fold/scan zeros — delegates to the ONE
+    * implementation on the Dataset surface so the two surfaces can never
+    * drift ([[graft.sorted.GroupSortedDataset.zeroFactory]]). */
+  private[rdd] def zeroFactory[W: ClassTag](zero: W): () => W =
+    graft.sorted.GroupSortedDataset.zeroFactory(zero)
 }

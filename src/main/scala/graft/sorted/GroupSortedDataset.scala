@@ -174,7 +174,7 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
         // value = LAST column by the key-first/value-last convention; `.as[(K, V)]`
         // keeps original column names, so don't assume "_2". Reuse the sort order
         // groupSort established when it is known.
-        val leftSort = valueSort.getOrElse(col(left.columns.last))
+        val leftSort = valueSortOrDefault
         val rightSort = other.valueSortOrDefault
         left
           .groupByKey(_._1)
@@ -237,7 +237,12 @@ class GroupSortedDataset[K: Encoder, V] private[sorted] (
         left.rdd.getNumPartitions == right.rdd.getNumPartitions) {
       val spark = left.sparkSession
       val merged = left.rdd.zipPartitions(right.rdd, preservesPartitioning = true)(iterators.mergeUnion(_, _))
-      new GroupSortedDataset(spark.createDataset(merged)(dataset.encoder), valueSort, None, explicitPartitions, reverseLayout)
+      // restore the ORIGINAL column names: createDataset re-materializes the
+      // encoder's tuple schema (_1/_2), and a named valueSort (col("score"))
+      // carried onto a _1/_2 frame would break the next cogroup/union resolve
+      val ds = spark.createDataset(merged)(dataset.encoder)
+        .toDF(dataset.columns: _*).as[(K, V)](dataset.encoder)
+      new GroupSortedDataset(ds, valueSort, None, explicitPartitions, reverseLayout)
     } else {
       // shuffle fallback: re-establish the layout PRESERVING this side's
       // established value sort (both sides must share a compatible sort for
@@ -303,7 +308,7 @@ object GroupSortedDataset {
    * same guarantee the reference provides (`package.scala:175-182`). Falls back
    * to java serialization when no SparkEnv exists (pure unit tests).
    */
-  private[sorted] def zeroFactory[W: ClassTag](zero: W): () => W = {
+  private[graft] def zeroFactory[W: ClassTag](zero: W): () => W = {
     val env = SparkEnv.get
     if (env != null) {
       val buf = env.serializer.newInstance().serialize(zero)

@@ -73,8 +73,10 @@ object Sink {
    * replay cannot restore. Here every upsert writes its merged buckets to
    * a FRESH epoch directory and then publishes a new numbered manifest
    * (`manifest-<n>.mf`, written to a temp name and renamed — rename to a
-   * new name is atomic on POSIX and HDFS alike); readers resolve the
-   * highest-numbered manifest. A crash at ANY point leaves the previous
+   * new name is atomic); readers resolve the highest-numbered manifest.
+   * THIS implementation commits via driver-local file I/O and requires a
+   * local (or file:) store root — see [[requireLocalPath]] for the
+   * distributed-FS porting note. A crash at ANY point leaves the previous
    * manifest and every directory it references untouched — the replayed
    * batch then re-merges against the intact store. Superseded epoch
    * directories are garbage, not corruption; reclaim them with
@@ -100,13 +102,20 @@ object Sink {
       maxRecordsPerFile: Long = 1000000L): Unit = {
     import org.apache.spark.sql.functions._
     require(nBuckets >= 1 && nBuckets <= 1000000, s"nBuckets must be in [1,1e6], got $nBuckets")
+    requireLocalPath(storePath)
     Seq("__bucket", "__pb").foreach(c =>
       require(!batch.columns.contains(c), s"$c is reserved by upsertBuckets"))
     val spark = batch.sparkSession
     val dataCols = batch.columns.toSeq // fixed order: (version, others) struct is stable
+    // persist: the batch pipeline feeds TWO actions (the touched-bucket
+    // collect and the epoch write) — without the cache an expensive or
+    // non-deterministic upstream would run twice, and a non-deterministic
+    // one could write buckets the manifest never lists
     val withB = batch
       .where(col(keyCol).isNotNull && col(versionCol).isNotNull)
       .withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
     val (manifestN, entries) = latestManifest(storePath)
     // nBuckets-bounded driver list — selects which store dirs to read/merge
     val touched = withB.select(col("__bucket")).distinct()
@@ -139,7 +148,18 @@ object Sink {
       .parquet(s"$storePath/$epoch")
     val newEntries = entries ++ touched.map(b => b -> s"$epoch/__pb=$b").toMap
     publishManifest(storePath, manifestN + 1, newEntries)
+    } finally { withB.unpersist(); () }
   }
+
+  /** The manifest machinery does driver-local file I/O (java.nio) — a
+    * distributed-FS store root would silently read an EMPTY manifest and
+    * orphan all committed data. Reject loudly; porting to HDFS/S3 means
+    * reimplementing latestManifest/publishManifest/vacuumStore over the
+    * Hadoop FileSystem API (rename-to-new-name is atomic there too). */
+  private def requireLocalPath(storePath: String): Unit =
+    require(!storePath.contains("://") || storePath.startsWith("file:"),
+      s"upsert store requires a driver-local (or file:) path, got $storePath — " +
+        "the manifest commit protocol does local file I/O")
 
   /** Resolve the CURRENT committed view of an upsert store: the bucket
     * directories the highest-numbered manifest references (superseded
@@ -147,6 +167,7 @@ object Sink {
     * store has never committed — check with [[storeExists]] first when
     * that is a legal state. */
   def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    requireLocalPath(storePath)
     val (_, entries) = latestManifest(storePath)
     require(entries.nonEmpty, s"no committed manifest under $storePath")
     spark.read.parquet(entries.values.toSeq.map(d => s"$storePath/$d"): _*)
@@ -188,12 +209,15 @@ object Sink {
     if (manifests.isEmpty) (0L, Map.empty)
     else {
       val (n, f) = manifests.maxBy(_._1)
-      val entries = scala.io.Source.fromFile(f, "UTF-8").getLines()
-        .filter(_.nonEmpty).map { line =>
-          val Array(b, d) = line.split("\t", 2)
-          b.toLong -> d
-        }.toMap
-      (n, entries)
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try {
+        val entries = src.getLines()
+          .filter(_.nonEmpty).map { line =>
+            val Array(b, d) = line.split("\t", 2)
+            b.toLong -> d
+          }.toMap
+        (n, entries)
+      } finally src.close()
     }
   }
 

@@ -258,7 +258,7 @@ object StreamOps {
         prev.foreach { case (_, pt) => out += TransitionSeen(userId, pt, tpe, t) }
         prev = Some((t, tpe))
       }
-      val (pm, pt) = prev.map { case (m, t) => (m, t) }.getOrElse((Long.MinValue, null: String))
+      val (pm, pt) = prev.getOrElse((Long.MinValue, null: String))
       if (hold.isEmpty && prev.isEmpty) state.remove()
       else {
         state.update(TransitionState(pm, pt, hold))

@@ -174,6 +174,19 @@ class GroupSortedRDDSpec extends AnyFunSuite with SparkSuite {
       s"narrow chain must not re-shuffle:\n${chained.toDebugString}")
   }
 
+  test("mergeJoin re-layout preserves the other side's VALUE ordering") {
+    // different partition counts force aligned() to re-shuffle the right
+    // side; its secondary sort must survive the re-layout or an
+    // order-sensitive f sees arbitrary value order
+    val left = sc.parallelize(Seq((1, 0), (2, 0)), 3).groupSort(4)
+    val right = sc.parallelize(Seq((1, 30), (1, 10), (1, 20), (2, 2), (2, 1)), 5)
+      .groupSort(8, Ordering[Int])
+    val got = left.mergeJoin(right) { (_, ws) =>
+      Iterator.single(ws.mkString(","))
+    }.collect().toMap
+    assert(got == Map(1 -> "10,20,30", 2 -> "1,2"))
+  }
+
   test("hash-first ordering keeps runs clean on hash collisions") {
     // "Aa" and "BB" collide on String.hashCode; tie-break keeps them separate runs
     val gs = sc.parallelize(Seq(("Aa", 1), ("BB", 2), ("Aa", 3), ("BB", 4)), 2).groupSort(1)

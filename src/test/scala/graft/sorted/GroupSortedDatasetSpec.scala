@@ -419,6 +419,22 @@ class GroupSortedDatasetSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("mergeUnion narrow path with NAMED tuple columns") {
+    it("keeps the original column names so a later value-sort resolve succeeds") {
+      import org.apache.spark.sql.functions.col
+      val a = Seq((1L, 10L), (2L, 20L)).toDF("id", "score").as[(Long, Long)].groupSort(4)
+      val b = Seq((1L, 11L), (3L, 30L)).toDF("id", "score").as[(Long, Long)].groupSort(4)
+      val u = a.mergeUnion(b) // co-partitioned: narrow zip, re-created Dataset
+      assert(u.toDS.columns.toSeq == Seq("id", "score"),
+        s"narrow mergeUnion must restore named columns, got ${u.toDS.columns.toSeq}")
+      // downstream op that resolves the carried value sort by NAME — this
+      // threw AnalysisException when the narrow path left _1/_2 columns
+      val c = Seq((1L, 5L)).toDF("id", "score").as[(Long, Long)].groupSort(7)
+      val joined = u.mergeJoinInner(c).collect().toSet
+      assert(joined == Set((1L, (10L, 5L)), (1L, (11L, 5L))))
+    }
+  }
+
   describe("random property: groupSort+fold vs Scala oracle") {
     it("matches groupBy/sortBy/foldLeft on random data (20 cases)") {
       val rng = new scala.util.Random(7)
