@@ -115,6 +115,18 @@ def normalize(rows, cols):
     return out
 
 
+def escaped_class_problems(name, sql):
+    """Lint regex character classes for a DOUBLE-backslashed escape: inside
+    the repo's triple-quoted Scala oracle strings, '\\\\x00' reaches the
+    engine as backslash + 'x00' — a class matching backslash/x/digits
+    instead of control chars, silently inverting blank guards (shipped
+    once; see the q21-family fix). The canonical form is single-backslash."""
+    if "\\\\x" in sql:
+        return [f"double-backslashed \\\\x escape in a regex class "
+                f"(use the single-backslash '[\\x00-\\x20]' convention)"]
+    return []
+
+
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -141,7 +153,8 @@ def main(sf_dir, out_dir, only=None):
             want = normalize(want_rel.fetchall(), want_cols)
             lint = (type_problems(name, want_cols, want_rel.types,
                                   (got_cols, got_rel.types))
-                    + null_order_problems(name, sql))
+                    + null_order_problems(name, sql)
+                    + escaped_class_problems(name, sql))
             if sorted(got_cols) != sorted(want_cols):
                 print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
                 n_fail += 1
@@ -173,6 +186,8 @@ def selftest():
         len(null_order_problems("nested", "SELECT list(x ORDER BY f(a, b), c) FROM t")) == 2
     assert null_order_problems("noob", "SELECT list(x) FROM t") == []
     assert type_problems("t", ["n"], ["HUGEINT"], None)
+    assert escaped_class_problems("esc", "regexp_replace(text, '^[\\\\x00-\\\\x20]+', '')")
+    assert escaped_class_problems("ok", "regexp_replace(text, '^[\\x00-\\x20]+', '')") == []
     print("selftest OK")
     return 0
 

@@ -2923,7 +2923,7 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
     "q21_token_count" ->
       """SELECT doc_id,
-        |       CASE WHEN len(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+        |       CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |            ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS n_tokens
         |FROM documents""".stripMargin,
     "q22_lang_guess" ->
@@ -2944,20 +2944,20 @@ object SparkEntry {
     "q23_quality" ->
       // coalesce(text,'') mirrors the Spark side's NULL guard
       """SELECT doc_id,
-        |  CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+        |  CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END AS n_tokens,
-        |  CASE WHEN (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+        |  CASE WHEN (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) > 0
         |       THEN CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
-        |            CAST((CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+        |            CAST((CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |                       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) AS DOUBLE)
         |       ELSE 0.0 END AS mean_token_len,
         |  CAST((len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' the ', ''))) // 5
         |     + (len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' a ', ''))) // 3 AS BIGINT) AS stopword_hits,
-        |  (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+        |  (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |        ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) BETWEEN 5 AND 100000
         |   AND (CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
-        |        CAST(greatest(CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+        |        CAST(greatest(CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |                           ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END, 1) AS DOUBLE))
         |       BETWEEN 2.0 AND 20.0 AS quality_ok
         |FROM documents""".stripMargin,
@@ -3524,7 +3524,7 @@ object SparkEntry {
     "q75_curation_pipeline" ->
       """WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
         |tok AS (SELECT doc_id, lang, t,
-        |          CASE WHEN len(regexp_replace(t, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+        |          CASE WHEN len(regexp_replace(t, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
         |               ELSE regexp_split_to_array(trim(t), '[ \x09-\x0D]+') END AS words
         |        FROM base),
         |qual AS (SELECT * FROM tok
@@ -3774,7 +3774,7 @@ object SparkEntry {
     // q94: q21's token-count expression, the identical power-of-two CASE
     // chain, integer waste arithmetic
     "q94_length_buckets" ->
-      """WITH t AS (SELECT CASE WHEN len(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+      """WITH t AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |                  ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS toks
         |           FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT toks,
@@ -3992,10 +3992,10 @@ object SparkEntry {
         |  FROM olds WHERE doc_id % 10 <> 3
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM olds WHERE doc_id < 20),
-        |toko AS (SELECT CASE WHEN len(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+        |toko AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |                ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS t
         |         FROM olds),
-        |tokn AS (SELECT CASE WHEN len(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')) = 0 THEN 0
+        |tokn AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |                ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS t
         |         FROM news)
         |SELECT CAST((SELECT sum(t) FROM toko) AS BIGINT) AS old_total,

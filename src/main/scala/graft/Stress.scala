@@ -31,6 +31,13 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection")
     val explicitMode = args.headOption.filter(modes)
+    // a MISSPELLED mode must fail loudly, not silently run `embed` with the
+    // typo as sfDir (the Verify query-filter convention): a bare first arg
+    // is only accepted as sfDir when it actually is a directory
+    args.headOption.foreach { a =>
+      require(modes(a) || new java.io.File(a).isDirectory,
+        s"unknown mode '$a' (expected one of ${modes.toSeq.sorted.mkString("|")} or an sfDir)")
+    }
     val mode = explicitMode.getOrElse("embed")
     // an explicit mode token consumes args(0) — previously `Stress embed <dir>`
     // read "embed" as the sfDir
@@ -224,7 +231,7 @@ object Stress {
     // and per band: each of the 10 bands reproduces the 1x counts exactly
     val perBand = bandCounts.groupBy(_._2).view
       .mapValues(rows => (rows.map(_._3).distinct.size.toLong, rows.map(_._3).min)).toMap
-    val bandsUniform = perBand.forall { case (st, (d, c)) => d == 1L && c == one(st) }
+    val bandsUniform = perBand.forall { case (st, (d, c)) => d == 1L && one.get(st).contains(c) }
     println(s"[stress] per-band uniformity: $perBand (every status: distinct_counts=1, cnt=1x) -> " +
       (if (ten == scaled && bandsUniform) "EXACT" else "MISMATCH"))
   }
