@@ -2695,6 +2695,26 @@ object SparkEntry {
       multimodal.Media.pixelMeans(blobs, "doc_id", "blob")
     }),
 
+    // q162: INCREMENTAL connected components — the dedup-store maintenance
+    // loop: a standing decade-chain clustering (component = 10·decade)
+    // absorbs a batch of bridge edges (even decade -> its successor, plus a
+    // two-id chain of NEVER-SEEN ids off id 399) via component-graph
+    // contraction only — history edges are never re-read. The closed-form
+    // construction makes the from-scratch equivalence exactly checkable:
+    // component(id) = 20·floor(id/20), new ids land in 380.
+    "q162_incremental_components" -> ((s, dir) => {
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id") < 400)
+        .select(col("doc_id").cast("long").as("id"))
+      val standingEdges = ids.where(pmod(col("id"), lit(10)) < 9)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      val standing = operators.Dedup.connectedComponents(standingEdges)
+      val batch = ids.where(pmod(col("id"), lit(20)) === 9)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+        .unionByName(Seq((399L, 1000000L), (1000000L, 1000001L)).toDF("a", "b"))
+      operators.Dedup.incrementalComponents(standing, batch)
+    }),
+
     "q160_part_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .where(pmod(col("l_orderkey"), lit(10)) === 0)
@@ -4920,6 +4940,15 @@ object SparkEntry {
         |r3 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s3.inflow, 0)) // 10000 AS BIGINT) AS rk
         |       FROM v LEFT JOIN s3 USING (id))
         |SELECT id, rk AS rank_scaled FROM r3""".stripMargin,
+    // q162: the construction's closed form — merged decade pairs, new ids
+    // in 380; equals the operator's from-scratch-equivalent result exactly
+    "q162_incremental_components" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 400
+        |             UNION ALL SELECT 1000000 UNION ALL SELECT 1000001)
+        |SELECT id,
+        |       CAST(CASE WHEN id >= 1000000 THEN 380
+        |                 ELSE (id // 20) * 20 END AS BIGINT) AS component
+        |FROM ids""".stripMargin,
     // q161: identical closed form to q146 — the container differs, the
     // pixel rule does not
     "q161_png_pixels" ->

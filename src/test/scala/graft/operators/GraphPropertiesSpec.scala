@@ -78,4 +78,38 @@ class GraphPropertiesSpec extends AnyFunSuite with SparkSuite {
         s"triangle census mismatch on $g")
     }
   }
+
+  test("incrementalComponents == from-scratch components on random edge splits") {
+    // standing = CC(first half), then fold the second half in incrementally;
+    // MIN canonicalization on both paths makes the equality exact
+    val rnd = new scala.util.Random(777L)
+    for (_ <- 1 to 6) {
+      val v = 8 + rnd.nextInt(10)
+      val all = (1 to (10 + rnd.nextInt(20)))
+        .map(_ => (rnd.nextInt(v).toLong, rnd.nextInt(v).toLong))
+        .filter { case (a, b) => a != b }
+      val (first, second) = all.splitAt(all.size / 2)
+      if (first.nonEmpty && second.nonEmpty) {
+        val standing = Dedup.connectedComponents(first.toDF("a", "b"))
+        val inc = Dedup.incrementalComponents(standing, second.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val scratch = Dedup.connectedComponents((first ++ second).toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // incremental covers standing ids + batch ids; scratch covers ids in
+        // any edge — identical sets here since standing ids come from edges
+        assert(inc == scratch, s"split=$first | $second")
+      }
+    }
+  }
+
+  test("incrementalComponents: disjoint batch and empty batch leave standing rows unchanged") {
+    val standing = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+    val before = standing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val disjoint = Dedup.incrementalComponents(standing, Seq((50L, 60L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(disjoint == before ++ Map(50L -> 50L, 60L -> 50L))
+    val selfOnly = Dedup.incrementalComponents(standing, Seq((7L, 7L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfOnly == before) // self-loops drop; nothing to add or merge
+  }
 }
