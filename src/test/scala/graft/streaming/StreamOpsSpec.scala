@@ -521,4 +521,34 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         Seq((1L, "gold"), (2L, "basic")))
     }
   }
+
+  describe("streamingComponents ≡ from-scratch components (store-maintained clustering)") {
+    it("each micro-batch folds into the manifest store; final store equals batch CC") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("cc_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+      val src = MemoryStream[(Long, Long)]
+      val q = StreamOps.streamingComponents(src.toDF().toDF("a", "b"),
+        store, nBuckets = 4, checkpointDir = ckpt)
+      val batches = Seq(
+        Seq((1L, 2L), (3L, 4L)),          // two components {1,2} {3,4}
+        Seq((2L, 3L), (10L, 11L)),        // bridge them + a new component
+        Seq((4L, 10L)))                   // merge everything but nothing else
+      try {
+        var streamed = Seq.empty[(Long, Long)]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          streamed ++= b
+          val got = graft.sources.Sink.readStore(spark, store)
+            .select($"id", $"component")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val scratch = graft.operators.Dedup
+            .connectedComponents(streamed.toDF("a", "b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == scratch, s"after streaming $streamed")
+        }
+      } finally q.stop()
+    }
+  }
 }
