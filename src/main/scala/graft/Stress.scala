@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection] [sfDir]
+ * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components] [sfDir]
  * (default sfDir /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -60,6 +60,7 @@ object Stress {
     if (mode == "rdd") { rddStudy(spark, sfDir); spark.stop(); return }
     if (mode == "graph") { graphStudy(spark, sfDir); spark.stop(); return }
     if (mode == "selection") { selectionStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "components") { componentsStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -424,6 +425,54 @@ object Stress {
       .where(col("count") =!= 2).count()
     println(s"[stress] rows 10x: $n10, 1x: $n1, symmetric-diff rows: $diff (expect 0)")
     out10.unpersist(); out1.unpersist(); corpus.unpersist()
+  }
+
+  /** Incremental-components stress: a DATA-SCALE standing clustering (part
+    * co-occurrence edges at full sf) absorbs a SMALL batch of bridge edges
+    * two ways — incrementally (component-graph contraction) and from
+    * scratch over the union — checking exact equality AND that the
+    * incremental wall time is decoupled from the history size (the whole
+    * point: the nightly batch must not pay for every historical edge). */
+  private def componentsStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    import spark.implicits._
+    val li = SparkEntry.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .persist(MEMORY_AND_DISK_SER)
+    println(s"[stress] standing edges: ${edges.count()}")
+    val standing = timed("standing clustering (from-scratch CC, paid once)") {
+      val c = operators.Dedup.connectedComponents(edges).persist(MEMORY_AND_DISK_SER)
+      c.count(); c
+    }
+    // batch: 200 bridges between vertices of DIFFERENT standing components
+    // (deterministic pairing of the component list) + 100 never-seen ids
+    val comps = standing.select(col("component")).distinct()
+      .orderBy(col("component")).limit(400).as[Long].collect()
+    val bridges = comps.grouped(2).collect { case Array(a, b) => (a, b) }.toSeq
+    val fresh = (0 until 100).map(i => (comps.head, 2000000000L + i))
+    val batch = (bridges ++ fresh).toDF("a", "b").persist(MEMORY_AND_DISK_SER)
+    batch.count()
+    val inc = timed("incremental merge of the batch") {
+      val r = operators.Dedup.incrementalComponents(standing, batch)
+        .persist(MEMORY_AND_DISK_SER)
+      r.count(); r
+    }
+    val scratch = timed("from-scratch CC over standing + batch edges") {
+      val r = operators.Dedup.connectedComponents(
+          edges.unionByName(batch.select(col("a").as("u"), col("b").as("v"))))
+        .persist(MEMORY_AND_DISK_SER)
+      r.count(); r
+    }
+    val diff = inc.unionByName(scratch).groupBy("id", "component").count()
+      .where(col("count") =!= 2).count()
+    println(s"[stress] incremental rows: ${inc.count()}, scratch rows: ${scratch.count()}, " +
+      s"symmetric-diff rows: $diff (expect 0)")
+    inc.unpersist(); scratch.unpersist(); batch.unpersist()
+    standing.unpersist(); edges.unpersist()
   }
 
   /** 10x selection stress: DSIR-style importance scoring is a pure function
