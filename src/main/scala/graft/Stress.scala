@@ -452,8 +452,12 @@ object Stress {
     // (deterministic pairing of the component list) + 100 never-seen ids
     val comps = standing.select(col("component")).distinct()
       .orderBy(col("component")).limit(400).as[Long].collect()
+    require(comps.nonEmpty, "standing clustering yielded no components — nothing to stress")
     val bridges = comps.grouped(2).collect { case Array(a, b) => (a, b) }.toSeq
     val fresh = (0 until 100).map(i => (comps.head, 2000000000L + i))
+    // no silent caps: the documented merge mass must be visible in the log
+    println(s"[stress] batch: ${bridges.size} component bridges + ${fresh.size} never-seen ids " +
+      s"(standing distinct components sampled: ${comps.length})")
     val batch = (bridges ++ fresh).toDF("a", "b").persist(MEMORY_AND_DISK_SER)
     batch.count()
     val inc = timed("incremental merge of the batch") {

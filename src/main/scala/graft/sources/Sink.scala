@@ -120,6 +120,11 @@ object Sink {
     // nBuckets-bounded driver list — selects which store dirs to read/merge
     val touched = withB.select(col("__bucket")).distinct()
       .collect().map(_.getLong(0)).toSet
+    // an effectively-empty batch is a NO-OP: publishing would at best clone
+    // the manifest — and on a virgin store it would commit an ENTRY-LESS
+    // manifest-1, after which storeExists() is true while readStore()
+    // rejects forever (the first-batch-empty poisoning)
+    if (touched.isEmpty) { withB.unpersist(); return }
     val currentDirs = entries.filter { case (b, _) => touched(b) }.values.toSeq
     val merged =
       if (currentDirs.isEmpty) withB

@@ -328,7 +328,6 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions.lit
         val spark = batch.sparkSession
         val standing =
           if (graft.sources.Sink.storeExists(storePath))

@@ -128,6 +128,23 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     assert(storeRows(path) == Map(1L -> ((2L, "a2")), 2L -> ((1L, "b1"))))
   }
 
+  test("upsertBuckets: an effectively-empty batch is a no-op (no entry-less manifest)") {
+    val path = tmp("upsertempty")
+    // null-key/self-filtered batch on a VIRGIN store: nothing may commit —
+    // a zero-entry manifest would make storeExists true while readStore
+    // rejects forever
+    val empty = Seq((null.asInstanceOf[java.lang.Long], 1L, "x"))
+      .toDF("id", "version", "payload")
+    Sink.upsertBuckets(path, empty, "id", "version", nBuckets = 4)
+    assert(!Sink.storeExists(path))
+    // and on a store WITH data, an empty batch changes nothing
+    Sink.upsertBuckets(path, Seq((1L, 1L, "a")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 4)
+    val before = storeRows(path)
+    Sink.upsertBuckets(path, empty, "id", "version", nBuckets = 4)
+    assert(storeRows(path) == before)
+  }
+
   test("upsertBuckets leaves session conf untouched (no global overwrite-mode mutation)") {
     val path = tmp("upsertconf")
     val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
