@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components] [sfDir]
+ * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components|store] [sfDir]
  * (default sfDir /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -61,6 +61,7 @@ object Stress {
     if (mode == "graph") { graphStudy(spark, sfDir); spark.stop(); return }
     if (mode == "selection") { selectionStudy(spark, sfDir); spark.stop(); return }
     if (mode == "components") { componentsStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "store") { storeStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -425,6 +426,73 @@ object Stress {
       .where(col("count") =!= 2).count()
     println(s"[stress] rows 10x: $n10, 1x: $n1, symmetric-diff rows: $diff (expect 0)")
     out10.unpersist(); out1.unpersist(); corpus.unpersist()
+  }
+
+  /** Upsert-store stress: build a DATA-SCALE keyed store (every lineitem
+    * row keyed by (orderkey, linenumber-surrogate) — ~600k rows at sf0.1 —
+    * hive-bucketed across 64 buckets), then measure what a SMALL batch
+    * costs: the claim under test is that ingest reads and rewrites only
+    * the touched buckets' mass, not the store's. A 500-row batch touching
+    * few buckets must run far below the initial full build, the store must
+    * read back with last-writer-wins winners exactly, and a REPLAY of the
+    * same batch must leave the row set identical (effectively-once). */
+  private def storeStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sources.Sink
+    val store = java.nio.file.Files.createTempDirectory("stress_store").resolve("s").toString
+    val rows = SparkEntry.tbl(spark, sfDir, "lineitem")
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        lit(1L).as("version"),
+        col("l_quantity").cast("long").as("qty"))
+    // the synthetic lineitem carries duplicate (orderkey, linenumber)
+    // pairs — the store's per-key winner rule collapses them, so the
+    // expectation is the DISTINCT key count, not the row count
+    val nKeys = rows.select(col("id")).distinct().count()
+    println(s"[stress] store rows: ${rows.count()}, distinct keys: $nKeys")
+    timed("initial full build (all buckets)") {
+      Sink.upsertBuckets(store, rows, "id", "version", nBuckets = 64)
+    }
+    val batch = rows
+      .where(pmod(xxhash64(col("id")), lit(1000L)) < 1L) // ~0.1% of keys, hash-uniform
+      .groupBy(col("id")).agg(max(col("qty")).as("qty"))
+      .select(col("id"), lit(2L).as("version"), (col("qty") + 1000L).as("qty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nBatch = batch.count()
+    timed(s"incremental upsert ($nBatch rows)") {
+      Sink.upsertBuckets(store, batch, "id", "version", nBuckets = 64)
+    }
+    val back = Sink.readStore(spark, store)
+    val nRows = back.count()
+    val nV2 = back.where(col("version") === 2L).count()
+    println(s"[stress] read-back rows: $nRows (expect $nKeys); " +
+      s"version-2 winners: $nV2 (expect $nBatch)")
+    val fp1 = back.select(expr("bit_xor(xxhash64(id, version, qty))")).head().getLong(0)
+    timed(s"REPLAYED upsert (same $nBatch rows)") {
+      Sink.upsertBuckets(store, batch, "id", "version", nBuckets = 64)
+    }
+    val fp2 = Sink.readStore(spark, store)
+      .select(expr("bit_xor(xxhash64(id, version, qty))")).head().getLong(0)
+    println(s"[stress] replay row-set fingerprint equal: ${fp1 == fp2} (expect true)")
+    batch.unpersist()
+    // bucket-PROPORTIONALITY: a same-sized batch confined to ONE of the 64
+    // buckets reads/rewrites 1/64 of the store mass — the hash-uniform
+    // batch above touches essentially every bucket, so the gap between
+    // these two rows is the touched-bucket discipline made visible
+    val local = rows
+      .where(pmod(xxhash64(col("id")), lit(64L)) === 0L)
+      .where(pmod(xxhash64(col("id")), lit(7919L)) < 16L) // thin inside the bucket
+      .groupBy(col("id")).agg(max(col("qty")).as("qty"))
+      .select(col("id"), lit(3L).as("version"), col("qty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nLocal = local.count()
+    timed(s"bucket-local upsert ($nLocal rows, 1 of 64 buckets)") {
+      Sink.upsertBuckets(store, local, "id", "version", nBuckets = 64)
+    }
+    val nV3 = Sink.readStore(spark, store).where(col("version") === 3L).count()
+    println(s"[stress] version-3 winners: $nV3 (expect $nLocal)")
+    local.unpersist()
+    Sink.vacuumStore(store)
+    ()
   }
 
   /** Incremental-components stress: a DATA-SCALE standing clustering (part
