@@ -2718,6 +2718,14 @@ object SparkEntry {
       operators.Dedup.incrementalComponents(standing, batch)
     }),
 
+    // q163: bounded k-core peeling of the co-purchase graph — 3 rounds at
+    // k=3: rim customers (weak single-link attachments) peel out with
+    // their removal cascading, survivors are the (superset of the) 3-core
+    // that community analytics should run on; peel_round is the rim depth.
+    "q163_kcore_peel" -> ((s, dir) =>
+      operators.Graph.kCorePeel(copurchasePairs(s, dir), "c1", "c2",
+        k = 3, rounds = 3)),
+
     "q160_part_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .where(pmod(col("l_orderkey"), lit(10)) === 0)
@@ -4952,6 +4960,35 @@ object SparkEntry {
         |       CAST(CASE WHEN id >= 1000000 THEN 380
         |                 ELSE (id // 20) * 20 END AS BIGINT) AS component
         |FROM ids""".stripMargin,
+    // q163: three peel rounds as chained CTEs, same coalesce(d,0) rule
+    "q163_kcore_peel" ->
+      """WITH buyers AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100),
+        |und AS (SELECT a.c AS u, b.c AS v
+        |        FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v0 AS (SELECT u AS id FROM und UNION SELECT v FROM und),
+        |d1 AS (SELECT id, count(*) AS d
+        |       FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id),
+        |p1 AS (SELECT v0.id FROM v0 LEFT JOIN d1 USING (id) WHERE coalesce(d1.d, 0) < 3),
+        |v1 AS (SELECT id FROM v0 WHERE id NOT IN (SELECT id FROM p1)),
+        |e1 AS (SELECT u, v FROM und WHERE u NOT IN (SELECT id FROM p1)
+        |                              AND v NOT IN (SELECT id FROM p1)),
+        |d2 AS (SELECT id, count(*) AS d
+        |       FROM (SELECT u AS id FROM e1 UNION ALL SELECT v FROM e1) GROUP BY id),
+        |p2 AS (SELECT v1.id FROM v1 LEFT JOIN d2 USING (id) WHERE coalesce(d2.d, 0) < 3),
+        |v2 AS (SELECT id FROM v1 WHERE id NOT IN (SELECT id FROM p2)),
+        |e2 AS (SELECT u, v FROM e1 WHERE u NOT IN (SELECT id FROM p2)
+        |                             AND v NOT IN (SELECT id FROM p2)),
+        |d3 AS (SELECT id, count(*) AS d
+        |       FROM (SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2) GROUP BY id),
+        |p3 AS (SELECT v2.id FROM v2 LEFT JOIN d3 USING (id) WHERE coalesce(d3.d, 0) < 3),
+        |v3 AS (SELECT id FROM v2 WHERE id NOT IN (SELECT id FROM p3))
+        |SELECT id, CAST(1 AS BIGINT) AS peel_round FROM p1
+        |UNION ALL SELECT id, 2 FROM p2
+        |UNION ALL SELECT id, 3 FROM p3
+        |UNION ALL SELECT id, 0 FROM v3""".stripMargin,
     // q161: identical closed form to q146 — the container differs, the
     // pixel rule does not
     "q161_png_pixels" ->

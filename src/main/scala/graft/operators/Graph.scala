@@ -310,6 +310,60 @@ object Graph {
   }
 
   /**
+   * Bounded k-core PEELING over an undirected graph: `rounds` synchronous
+   * passes each remove every vertex whose CURRENT degree is below `k`
+   * (removals cascade round by round — deleting a low-degree vertex can
+   * drop its neighbors below k next round). The survivors after enough
+   * rounds are exactly the k-core; with a FIXED round budget the result is
+   * a deterministic superset of it (documented contract — each round only
+   * shrinks, so any vertex peeled is provably outside the k-core, while an
+   * unpeeled vertex may still fall in later rounds). Production use: prune
+   * weakly-connected rim vertices (single-link spam accounts, boilerplate
+   * pages hanging off a template hub) before community/centrality
+   * analytics; a handful of rounds removes the overwhelming rim mass.
+   *
+   * SCALE SHAPE: per round, one map-side-combined degree count over the
+   * live edge frame + two semi-joins to drop peeled endpoints — edge-mass
+   * proportional, lineage truncated per round. Returns (id, peel_round):
+   * 0 for survivors of all `rounds`, otherwise the 1-based round the
+   * vertex was peeled in (the rim "depth" — itself a useful feature).
+   */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50], got $rounds")
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // track the LIVE VERTEX set explicitly: a vertex whose every edge died
+    // with its peeled neighbors has live-degree 0 and must peel too (edge
+    // endpoints alone would silently lose it)
+    var verts = und.select(col("u").as("id")).unionByName(und.select(col("v").as("id")))
+      .distinct().localCheckpoint()
+    var live = und
+    var peeled = und.sparkSession.range(0)
+      .select(col("id"), lit(0L).as("peel_round")).where(lit(false))
+    for (r <- 1 to rounds) {
+      val deg = live.select(col("u").as("id")).unionByName(live.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      val drop = verts.join(deg, Seq("id"), "left_outer")
+        .where(coalesce(col("d"), lit(0L)) < k).select(col("id"))
+      peeled = peeled.unionByName(drop.withColumn("peel_round", lit(r.toLong)))
+        .localCheckpoint()
+      verts = verts.join(drop, Seq("id"), "left_anti").localCheckpoint()
+      live = live
+        .join(drop.select(col("id").as("u")), Seq("u"), "left_anti")
+        .join(drop.select(col("id").as("v")), Seq("v"), "left_anti")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    peeled.unionByName(verts.withColumn("peel_round", lit(0L)))
+  }
+
+  /**
    * Synchronous label propagation (community detection), `iterations`
    * fixed rounds over the symmetrized edge set: every vertex starts
    * labeled with its own id and each round adopts the most frequent label

@@ -64,6 +64,30 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(got == 3L * 1000000L) // outdeg 1 everywhere: division is exact
   }
 
+  private def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+    Graph.kCorePeel(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCorePeel: pendant peels first; isolated-after-peel vertices peel next round") {
+    // triangle 1-2-3 with pendant 3-4: k=2 drops only the pendant
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(peel(g, k = 2, rounds = 2) == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    // k=3: round 1 peels 1,2,4 (degree < 3); vertex 3 then has NO live
+    // edges and must peel in round 2, not vanish
+    assert(peel(g, k = 3, rounds = 2) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("kCorePeel: cascade depth on a path; bounded rounds leave a documented superset") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // k=2 peels endpoints inward: depth = distance from the rim
+    assert(peel(path, k = 2, rounds = 3) ==
+      Map(1L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L))
+    // with only one round, the inner vertices survive as the SUPERSET the
+    // bounded contract documents
+    assert(peel(path, k = 2, rounds = 1) ==
+      Map(1L -> 1L, 5L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   /** The weighted variant's exact recurrence on Scala maps. */
   private def refWpr(edges: Map[(Long, Long), Long], iters: Int,
                      dampBp: Long = 8500L, scale: Long = 1000000L): Map[Long, Long] = {
