@@ -432,10 +432,12 @@ object Stress {
     * row keyed by (orderkey, linenumber-surrogate) — ~600k rows at sf0.1 —
     * hive-bucketed across 64 buckets), then measure what a SMALL batch
     * costs: the claim under test is that ingest reads and rewrites only
-    * the touched buckets' mass, not the store's. A 500-row batch touching
-    * few buckets must run far below the initial full build, the store must
-    * read back with last-writer-wins winners exactly, and a REPLAY of the
-    * same batch must leave the row set identical (effectively-once). */
+    * the touched buckets' mass, not the store's. Three measured rows tell
+    * the story: a hash-UNIFORM ~500-key batch (touches essentially every
+    * bucket — its gap vs the full build is merged-mass reduction), a
+    * bit-identical REPLAY (effectively-once), and a bucket-LOCAL batch
+    * confined to 1 of 64 buckets — the row that actually demonstrates
+    * touched-bucket pruning. Winners are checked exactly throughout. */
   private def storeStudy(spark: SparkSession, sfDir: String): Unit = {
     import graft.sources.Sink
     val store = java.nio.file.Files.createTempDirectory("stress_store").resolve("s").toString
@@ -444,11 +446,14 @@ object Stress {
         (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
         lit(1L).as("version"),
         col("l_quantity").cast("long").as("qty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // the synthetic lineitem carries duplicate (orderkey, linenumber)
     // pairs — the store's per-key winner rule collapses them, so the
-    // expectation is the DISTINCT key count, not the row count
-    val nKeys = rows.select(col("id")).distinct().count()
-    println(s"[stress] store rows: ${rows.count()}, distinct keys: $nKeys")
+    // expectation is the DISTINCT key count, not the row count; both
+    // counts come out of ONE pass over the persisted frame
+    val cnts = rows.agg(count(lit(1)).as("n"), countDistinct(col("id")).as("k")).head()
+    val (nRowsIn, nKeys) = (cnts.getLong(0), cnts.getLong(1))
+    println(s"[stress] store rows: $nRowsIn, distinct keys: $nKeys")
     timed("initial full build (all buckets)") {
       Sink.upsertBuckets(store, rows, "id", "version", nBuckets = 64)
     }
@@ -490,7 +495,7 @@ object Stress {
     }
     val nV3 = Sink.readStore(spark, store).where(col("version") === 3L).count()
     println(s"[stress] version-3 winners: $nV3 (expect $nLocal)")
-    local.unpersist()
+    local.unpersist(); rows.unpersist()
     Sink.vacuumStore(store)
     ()
   }

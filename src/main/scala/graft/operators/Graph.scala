@@ -322,9 +322,11 @@ object Graph {
    * pages hanging off a template hub) before community/centrality
    * analytics; a handful of rounds removes the overwhelming rim mass.
    *
-   * SCALE SHAPE: per round, one map-side-combined degree count over the
-   * live edge frame + two semi-joins to drop peeled endpoints — edge-mass
-   * proportional, lineage truncated per round. Returns (id, peel_round):
+   * SCALE SHAPE: per round, ONE map-side-combined degree count over the
+   * live edge frame (the drop set checkpoints before its three consumers)
+   * + anti-joins to drop peeled vertices/endpoints — edge-mass
+   * proportional, lineage truncated per round, and an empty round ends the
+   * loop early (a provable fixpoint). Returns (id, peel_round):
    * 0 for survivors of all `rounds`, otherwise the 1-based round the
    * vertex was peeled in (the rim "depth" — itself a useful feature).
    */
@@ -346,19 +348,32 @@ object Graph {
     var live = und
     var peeled = und.sparkSession.range(0)
       .select(col("id"), lit(0L).as("peel_round")).where(lit(false))
-    for (r <- 1 to rounds) {
+    var r = 1
+    var fixpoint = false
+    while (r <= rounds && !fixpoint) {
       val deg = live.select(col("u").as("id")).unionByName(live.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      // checkpoint the drop set: THREE consumers (peeled union, verts
+      // anti-join, both sides of the live anti-join) would otherwise each
+      // re-run the degree aggregation
       val drop = verts.join(deg, Seq("id"), "left_outer")
         .where(coalesce(col("d"), lit(0L)) < k).select(col("id"))
-      peeled = peeled.unionByName(drop.withColumn("peel_round", lit(r.toLong)))
         .localCheckpoint()
-      verts = verts.join(drop, Seq("id"), "left_anti").localCheckpoint()
-      live = live
-        .join(drop.select(col("id").as("u")), Seq("u"), "left_anti")
-        .join(drop.select(col("id").as("v")), Seq("v"), "left_anti")
-        .select(col("u"), col("v"))
-        .localCheckpoint()
+      if (drop.isEmpty) {
+        // an empty round is a provable FIXPOINT: degrees cannot change once
+        // nothing peels, so the remaining rounds would be pure wasted work
+        fixpoint = true
+      } else {
+        peeled = peeled.unionByName(drop.withColumn("peel_round", lit(r.toLong)))
+          .localCheckpoint()
+        verts = verts.join(drop, Seq("id"), "left_anti").localCheckpoint()
+        live = live
+          .join(drop.select(col("id").as("u")), Seq("u"), "left_anti")
+          .join(drop.select(col("id").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+      }
+      r += 1
     }
     peeled.unionByName(verts.withColumn("peel_round", lit(0L)))
   }

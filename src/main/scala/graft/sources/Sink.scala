@@ -124,7 +124,7 @@ object Sink {
     // the manifest — and on a virgin store it would commit an ENTRY-LESS
     // manifest-1, after which storeExists() is true while readStore()
     // rejects forever (the first-batch-empty poisoning)
-    if (touched.isEmpty) { withB.unpersist(); return }
+    if (touched.isEmpty) return // the finally below unpersists withB
     val currentDirs = entries.filter { case (b, _) => touched(b) }.values.toSeq
     val merged =
       if (currentDirs.isEmpty) withB
