@@ -2616,7 +2616,7 @@ object SparkEntry {
     // shuffles (doc_id, two counts) only.
     "q154_importance_selection" -> ((s, dir) =>
       operators.Selection.importanceScore(tbl(s, dir, "documents"), "doc_id", "text",
-        col("lang") === "en", nBuckets = 1024)),
+        col("lang") === "en", nBuckets = 1024, unpersistHook = onCleanup)),
 
     // q155: triangle/wedge census of the co-purchase graph — the
     // clustering-coefficient audit. Edges are ORIENTED low→high (degree,

@@ -44,9 +44,14 @@ object Retrieval {
    * pre-folded in Scala) so an oracle writing the same literals folds to the
    * same doubles.
    */
-  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+  def bm25(docs: DataFrame, idCol: String, textCol: String, rawTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
+    require(rawTerms.nonEmpty, "terms must be non-empty")
+    // dedup: a duplicated query term would get its own conditional-sum
+    // column AND its own unpivot row, double-counting df and the per-doc
+    // contribution — the groupBy(id, term) formulation this single-scan
+    // rewrite replaced was duplicate-invariant, so restore that invariance
+    val terms = rawTerms.distinct
     // ONE corpus scan, one shuffle: the per-doc aggregate computes dl and a
     // conditional count per query term together (|terms| is a user-bounded
     // constant, so the extra columns through the shuffle are a constant

@@ -44,10 +44,15 @@ object Selection {
    * enriched-occurrence fraction in basis points, integer-exact.
    */
   def importanceScore(docs: DataFrame, idCol: String, textCol: String,
-                      isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+                      isTarget: Column, nBuckets: Int = 4096,
+                      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets must be in [2, 2^20], got $nBuckets")
     val words = graft.functions.Text.edgeStrippedTokens(col(textCol))
+    // TWO consumers read the hashed-bigram stream (the bucket histogram and
+    // the per-doc scoring aggregate) — persist it once so the docblock's
+    // one-pass framing is literally true, the groupOverlap convention
+    // (Spark never reuses work across consumers without it)
     val grams = docs.where(col(textCol).isNotNull)
       .select(col(idCol), isTarget.as("__t"), words.as("tk"))
       .where(size(col("tk")) >= 2)
@@ -56,6 +61,8 @@ object Selection {
         .as("__g"))
       .select(col(idCol), col("__t"),
         pmod(Sampling.hash32(col("__g"), "dsir"), lit(nBuckets.toLong)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { grams.unpersist(); () })
     val hist = grams.groupBy(col("bucket")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"),
       count(lit(1)).as("c_c"))

@@ -130,7 +130,7 @@ object Sink {
       if (currentDirs.isEmpty) withB
       else {
         val current = spark.read
-          .parquet(currentDirs.map(d => s"$storePath/$d"): _*)
+          .parquet(currentDirs.map(d => s"${sparkDataRoot(storePath)}/$d"): _*)
           .select(withB.columns.map(col): _*) // align column order
         current.unionByName(withB)
       }
@@ -150,7 +150,7 @@ object Sink {
       .write.mode(SaveMode.ErrorIfExists)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("__pb")
-      .parquet(s"$storePath/$epoch")
+      .parquet(s"${sparkDataRoot(storePath)}/$epoch")
     val newEntries = entries ++ touched.map(b => b -> s"$epoch/__pb=$b").toMap
     publishManifest(storePath, manifestN + 1, newEntries)
     } finally { withB.unpersist(); () }
@@ -166,6 +166,26 @@ object Sink {
       s"upsert store requires a driver-local (or file:) path, got $storePath — " +
         "the manifest commit protocol does local file I/O")
 
+  /** The root EVERY Spark data read/write must use: explicit `file:` on an
+    * absolute path. A scheme-less path would resolve against
+    * `fs.defaultFS` — on a cluster where that is HDFS/S3 the parquet
+    * epochs would land on the distributed FS while the manifest I/O stays
+    * driver-local java.nio, a silent split-brain store (vacuum reclaims
+    * nothing, other drivers see no data). Pinning the scheme keeps data and
+    * manifest on the SAME filesystem whatever defaultFS says. */
+  private def sparkDataRoot(storePath: String): String =
+    "file:" + localRoot(storePath)
+
+  /** The same root as a plain local path for the java.nio manifest I/O —
+    * the inverse normalization of [[sparkDataRoot]], so a `file:`-prefixed
+    * store root works on both sides. */
+  private def localRoot(storePath: String): String = {
+    val p = if (storePath.startsWith("file://")) storePath.stripPrefix("file://")
+            else if (storePath.startsWith("file:")) storePath.stripPrefix("file:")
+            else storePath
+    new java.io.File(p).getAbsolutePath
+  }
+
   /** Resolve the CURRENT committed view of an upsert store: the bucket
     * directories the highest-numbered manifest references (superseded
     * epochs are invisible). Returns an empty-schema-less error if the
@@ -175,7 +195,7 @@ object Sink {
     requireLocalPath(storePath)
     val (_, entries) = latestManifest(storePath)
     require(entries.nonEmpty, s"no committed manifest under $storePath")
-    spark.read.parquet(entries.values.toSeq.map(d => s"$storePath/$d"): _*)
+    spark.read.parquet(entries.values.toSeq.map(d => s"${sparkDataRoot(storePath)}/$d"): _*)
   }
 
   /** True once a first manifest has committed. */
@@ -188,7 +208,7 @@ object Sink {
     val (n, entries) = latestManifest(storePath)
     if (n == 0) return
     val live = entries.values.map(_.split("/")(0)).toSet
-    val root = new java.io.File(storePath)
+    val root = new java.io.File(localRoot(storePath))
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory && f.getName.startsWith("e-") && !live(f.getName)) deleteRec(f)
       if (f.isFile && f.getName.startsWith("manifest-") &&
@@ -202,13 +222,16 @@ object Sink {
   }
 
   private def manifestNumber(name: String): Option[Long] =
-    "manifest-([0-9]{9})\\.mf".r.findFirstMatchIn(name).map(_.group(1).toLong)
+    // {9,}: publishManifest's %09d zero-PADS but widens past 999,999,999 —
+    // an exactly-9 pattern would silently resolve the stale previous
+    // manifest once the store's billionth batch commits
+    "manifest-([0-9]{9,})\\.mf".r.findFirstMatchIn(name).map(_.group(1).toLong)
 
   /** (highest manifest number, bucket -> relative dir); (0, empty) for a
     * store that never committed. Format: one `<bucket>\t<relpath>` line per
     * bucket — trivially parseable, no JSON dependency. */
   private def latestManifest(storePath: String): (Long, Map[Long, String]) = {
-    val root = new java.io.File(storePath)
+    val root = new java.io.File(localRoot(storePath))
     val manifests = Option(root.listFiles()).getOrElse(Array.empty)
       .flatMap(f => manifestNumber(f.getName).map(_ -> f))
     if (manifests.isEmpty) (0L, Map.empty)
@@ -231,7 +254,7 @@ object Sink {
     * previous manifest or the complete new one, never a partial file. */
   private def publishManifest(storePath: String, n: Long,
       entries: Map[Long, String]): Unit = {
-    val root = java.nio.file.Paths.get(storePath)
+    val root = java.nio.file.Paths.get(localRoot(storePath))
     java.nio.file.Files.createDirectories(root)
     val tmp = root.resolve(s".manifest-tmp-${java.util.UUID.randomUUID()}")
     val body = entries.toSeq.sortBy(_._1)
