@@ -2726,6 +2726,45 @@ object SparkEntry {
       operators.Graph.kCorePeel(copurchasePairs(s, dir), "c1", "c2",
         k = 3, rounds = 3)),
 
+    // q164: REAL baseline JPEG pixel decode at query level — round 7's
+    // last stub, closed. Blobs are spec-valid baseline JPEGs (Annex K
+    // Huffman tables, all-ones quant; even seeds 4:4:4, odd 4:2:0) whose
+    // YCbCr closed form is 8x8-block-constant — the codec's exactness
+    // envelope, so the Huffman entropy decode + dequant + IDCT + upsample
+    // chain reproduces every sample bit-for-bit and the oracle replays
+    // decode output as one integer yccToRgb per block (biased floor
+    // division — see Jpeg.scala). The per-pixel mean collapses to a
+    // per-block mean because every block holds 64 identical pixels.
+    "q164_jpeg_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticJpegImage(
+            (16 + (id % 3) * 16).toInt, (16 + (id % 2) * 16).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.pixelMeans(blobs, "doc_id", "blob")
+    }),
+
+    // q165: JPEG RESIZE through the real codec — decode, nearest-neighbor
+    // sample IN YCBCR SPACE, re-encode baseline 4:4:4, then DECODE THE
+    // OUTPUT BYTES AGAIN and report channel means: the full
+    // decode→transform→encode→decode loop under the hash gate. The x2
+    // upscale keeps every destination 8x8 block inside ONE source block
+    // (dest block (bx,by) = src block (bx/2,by/2)), so the re-encode
+    // stays in the exactness envelope and the oracle is the SOURCE
+    // closed form: each of the four 16x16-source blocks contributes
+    // equally to the 32x32 output.
+    "q165_jpeg_resize" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, multimodal.Media.syntheticJpegImage(16, 16, id)))
+        .toDF("doc_id", "blob")
+      val resized = multimodal.Media.resize(blobs, "doc_id", "blob", 32, 32)
+      multimodal.Media.pixelMeans(resized, "doc_id", "resized")
+    }),
+
     "q160_part_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .where(pmod(col("l_orderkey"), lit(10)) === 0)
@@ -4989,6 +5028,53 @@ object SparkEntry {
         |UNION ALL SELECT id, 2 FROM p2
         |UNION ALL SELECT id, 3 FROM p3
         |UNION ALL SELECT id, 0 FROM v3""".stripMargin,
+    // q164: the JPEG fixture's YCbCr closed form pushed through ONE
+    // integer yccToRgb per 8x8 block (the decode is bit-exact inside the
+    // block-constant envelope, so the only conversion the oracle replays
+    // is the fixed-point color transform). The +1073741824 bias keeps the
+    // floor-division operand positive so truncating `//` floors; 64
+    // identical pixels per block collapse the pixel mean to a block mean.
+    "q164_jpeg_pixels" ->
+      """WITH dims AS (SELECT doc_id, doc_id % 256 AS s,
+        |                     16 + (doc_id % 3) * 16 AS w, 16 + (doc_id % 2) * 16 AS h
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |blk AS (SELECT doc_id, s, w, h, bx, by,
+        |               (bx*7 + by*3 + s) % 256 AS yv,
+        |               ((bx//2)*11 + (by//2)*5 + s) % 256 AS cb,
+        |               ((bx//2)*3 + (by//2)*7 + 2*s) % 256 AS cr
+        |        FROM dims, unnest(generate_series(0, w//8 - 1)) AS ux(bx),
+        |                   unnest(generate_series(0, h//8 - 1)) AS uy(by)),
+        |rgb AS (SELECT doc_id, w, h,
+        |          least(255, greatest(0, yv + ((91881*(cr-128) + 32768 + 1073741824) // 65536) - 16384)) AS r,
+        |          least(255, greatest(0, yv - ((22554*(cb-128) + 46802*(cr-128) + 32768 + 1073741824) // 65536) + 16384)) AS g,
+        |          least(255, greatest(0, yv + ((116130*(cb-128) + 32768 + 1073741824) // 65536) - 16384)) AS b
+        |        FROM blk)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sum(r) // ((w//8) * (h//8)) AS BIGINT) AS mean_r,
+        |       CAST(sum(g) // ((w//8) * (h//8)) AS BIGINT) AS mean_g,
+        |       CAST(sum(b) // ((w//8) * (h//8)) AS BIGINT) AS mean_b
+        |FROM rgb GROUP BY doc_id, w, h""".stripMargin,
+    // q165: the x2-upscaled output's pixels ARE the 16x16 source's four
+    // blocks replicated — mean over 32x32 = mean over the 4 source blocks
+    // (floor(4S/16) = floor(S/4)); chroma is MCU-constant (cb=s, cr=2s).
+    "q165_jpeg_resize" ->
+      """WITH blk AS (SELECT doc_id, doc_id % 256 AS s, bx, by,
+        |               (bx*7 + by*3 + doc_id % 256) % 256 AS yv,
+        |               (doc_id % 256) AS cb,
+        |               (2 * (doc_id % 256)) % 256 AS cr
+        |        FROM documents, unnest(generate_series(0, 1)) AS ux(bx),
+        |                        unnest(generate_series(0, 1)) AS uy(by)
+        |        WHERE doc_id IS NOT NULL),
+        |rgb AS (SELECT doc_id,
+        |          least(255, greatest(0, yv + ((91881*(cr-128) + 32768 + 1073741824) // 65536) - 16384)) AS r,
+        |          least(255, greatest(0, yv - ((22554*(cb-128) + 46802*(cr-128) + 32768 + 1073741824) // 65536) + 16384)) AS g,
+        |          least(255, greatest(0, yv + ((116130*(cb-128) + 32768 + 1073741824) // 65536) - 16384)) AS b
+        |        FROM blk)
+        |SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+        |       CAST(sum(r) // 4 AS BIGINT) AS mean_r,
+        |       CAST(sum(g) // 4 AS BIGINT) AS mean_g,
+        |       CAST(sum(b) // 4 AS BIGINT) AS mean_b
+        |FROM rgb GROUP BY doc_id""".stripMargin,
     // q161: identical closed form to q146 — the container differs, the
     // pixel rule does not
     "q161_png_pixels" ->

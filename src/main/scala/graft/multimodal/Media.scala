@@ -26,15 +26,17 @@ case class MediaFeatures(
  * real file of those formats. Full PIXEL decode is REAL for uncompressed
  * 24bpp BMP ([[parseBmp]]/[[bmpChannelMeans]]/[[resizeBmp]]: per-pixel
  * channel access, means, nearest-neighbor resize — the format is raw BGR
- * triples, decodable with pure byte math) AND for 8-bit RGB/RGBA
+ * triples, decodable with pure byte math), for 8-bit RGB/RGBA
  * non-interlaced PNG ([[parsePng]]: PNG's compression IS zlib, which the
  * JDK ships — chunk walk, CRC32 verify, Inflater, full five-filter
- * unfiltering; [[syntheticPngImage]] fixtures cycle every filter type).
- * Only JPEG PIXEL data remains a clearly-marked STUB (`fakeDecode`
- * fallback): entropy decode needs a full Huffman+DCT implementation and
- * this container has no codec library for it. Everything else — binary
- * column handling, schema, per-partition batching, byte-level feature math —
- * is real and tested.
+ * unfiltering; [[syntheticPngImage]] fixtures cycle every filter type),
+ * AND for baseline sequential JPEG ([[Jpeg.decode]]: DHT/DQT parse,
+ * Huffman entropy decode, dequantize, IDCT, 4:2:0/4:2:2 upsample — pure
+ * JDK byte math, closing round 7's last stub). The byte-cycling
+ * `fakeDecode`/resize fallbacks now serve ONLY containers no codec here
+ * covers (progressive JPEG, compressed AVI streams, unknown formats) —
+ * deterministic stand-ins that keep schema and batch shape while staying
+ * clearly marked.
  */
 object Media {
 
@@ -391,9 +393,10 @@ object Media {
       .toDF(idCol, "frame_idx", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
-  /** STUB pixel decode ??? — a real implementation would hand `bytes` to an
-    * image decoder. Deterministic fake: dimensions derived from blob length.
-    * Only reached for containers [[decodeDims]] cannot header-parse. */
+  /** STUB dimension fallback ??? — deterministic fake dims derived from
+    * blob length, reached ONLY for containers [[decodeDims]] cannot
+    * header-parse (wav/riff/unknown — i.e. non-image blobs; PNG, JPEG and
+    * BMP all real-parse). A real plugin would hand `bytes` to its codec. */
   private[multimodal] def fakeDecode(bytes: Array[Byte]): (Long, Long) =
     (bytes.length.toLong % 64, bytes.length.toLong % 48)
 
@@ -769,6 +772,66 @@ object Media {
     }
 
   /**
+   * Deterministic synthetic baseline JPEG IMAGE — a fully-decodable file
+   * through the real [[Jpeg]] codec, the JPEG analog of
+   * [[syntheticPngImage]]. The closed form lives in YCbCr space and is
+   * CONSTANT within each 8x8 block (chroma: within each 16x16 MCU), the
+   * [[Jpeg]] exactness envelope — so decode reproduces every YCbCr
+   * sample bit-for-bit and the decoded RGB is the pure integer function
+   * `yccToRgb(yv, cb, cr)` of the block coordinates, replayable in SQL:
+   *
+   *   yv(bx, by) = (bx*7 + by*3 + seed) mod 256       (8x8 luma block)
+   *   cb(mx, my) = (mx*11 + my*5 + seed) mod 256      (16x16 MCU)
+   *   cr(mx, my) = (mx*3 + my*7 + 2*seed) mod 256
+   *
+   * Even seeds encode 4:4:4, odd seeds 4:2:0 — both sampling layouts of
+   * the decoder get fixture coverage. Dimensions should be multiples of
+   * 16 so no edge-replicated partial blocks blur the closed form.
+   */
+  def syntheticJpegImage(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
+      s"fixture dims must be positive multiples of 16, got ${w}x$h")
+    val s = math.floorMod(seed, 256).toInt
+    Jpeg.encodeYcc(w, h,
+      (x, y) => ((x / 8) * 7 + (y / 8) * 3 + s) % 256,
+      (x, y) => ((x / 16) * 11 + (y / 16) * 5 + s) % 256,
+      (x, y) => ((x / 16) * 3 + (y / 16) * 7 + 2 * s) % 256,
+      subsample = if (s % 2 == 0) 1 else 2)
+  }
+
+  /** Integer-floor RGB channel means over every pixel of a decoded JPEG. */
+  private[graft] def jpegChannelMeans(img: Jpeg.JpegImage): (Long, Long, Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val (r, g, b) = img.pixel(x, y)
+        sr += r; sg += g; sb += b
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.width.toLong * img.height
+    (img.width.toLong, img.height.toLong, sr / n, sg / n, sb / n)
+  }
+
+  /**
+   * REAL nearest-neighbor JPEG resize: decode via [[Jpeg.decode]], sample
+   * IN YCBCR SPACE (skipping the lossy ycc->rgb->ycc roundtrip a
+   * pixel-space resize would pay — and keeping block-constant inputs
+   * inside the [[Jpeg]] exactness envelope), re-encode a spec-valid
+   * baseline 4:4:4 JPEG. None when the blob isn't a decodable baseline
+   * JPEG.
+   */
+  private[graft] def resizeJpeg(bytes: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
+    Jpeg.decode(bytes).map { img =>
+      def src(dx: Int, dy: Int): (Int, Int, Int) =
+        img.ycc((dx.toLong * img.width / dw).toInt, (dy.toLong * img.height / dh).toInt)
+      Jpeg.encodeYcc(dw, dh, src(_, _)._1, src(_, _)._2, src(_, _)._3, subsample = 1)
+    }
+
+  /**
    * Deterministic synthetic JPEG: SOI + a spec-valid 3-component SOF0
    * segment carrying the dimensions, payload appended. 21 header bytes;
    * see [[syntheticPng]] for the role.
@@ -820,13 +883,15 @@ object Media {
 
   /**
    * REAL per-blob pixel statistics for containers the JDK-only parse can
-   * fully decode — uncompressed 24bpp BMP ([[parseBmp]]) and 8-bit
-   * RGB/RGBA non-interlaced PNG ([[parsePng]]: zlib inflate + full
-   * unfilter): `(id, width, height, mean_r, mean_g, mean_b)` with
-   * integer-floor channel means over EVERY pixel — actual byte→pixel
-   * work, the feature-extraction step of an image curation pipeline.
-   * Undecodable blobs are DROPPED (the caller's signal to route them
-   * through the stubbed path instead); null blobs likewise.
+   * fully decode — uncompressed 24bpp BMP ([[parseBmp]]), 8-bit RGB/RGBA
+   * non-interlaced PNG ([[parsePng]]: zlib inflate + full unfilter), and
+   * baseline sequential JPEG ([[Jpeg.decode]]: Huffman entropy decode +
+   * dequantize + IDCT + upsample): `(id, width, height, mean_r, mean_g,
+   * mean_b)` with integer-floor channel means over EVERY pixel — actual
+   * byte→pixel work, the feature-extraction step of an image curation
+   * pipeline. Undecodable blobs are DROPPED (the caller's signal to
+   * route them through the generic byte-feature path instead); null
+   * blobs likewise.
    */
   def pixelMeans(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -837,6 +902,7 @@ object Media {
         rows.filter(_._2 != null).flatMap { case (id, bytes) =>
           parseBmp(bytes).map(bmpChannelMeans)
             .orElse(parsePng(bytes).map(pngChannelMeans))
+            .orElse(Jpeg.decode(bytes).map(jpegChannelMeans))
             .map { case (w, h, mr, mg, mb) => (id, w, h, mr, mg, mb) }
         }
       }
@@ -845,14 +911,15 @@ object Media {
 
   /**
    * Resize plumbing: (id, blob) -> (id, kind, resized blob) at a target
-   * `w`x`h`. For uncompressed 24bpp BMPs ([[resizeBmp]]) AND decodable
-   * PNGs ([[resizePng]]) the transform is REAL: decode pixels,
-   * nearest-neighbor sample, re-encode a spec-valid file of the SAME
-   * format. For JPEG (no entropy codec in this environment) the pixel
-   * transform remains a STUB ??? — deterministically faked by cycling the
-   * source bytes into a w*h-byte output so downstream schema, sizes, and
-   * partition-batch shape are exactly what a real resize would produce.
-   * Null blobs pass through as null (a real decoder would skip them too).
+   * `w`x`h`. For uncompressed 24bpp BMPs ([[resizeBmp]]), decodable PNGs
+   * ([[resizePng]]) AND baseline JPEGs ([[resizeJpeg]]) the transform is
+   * REAL: decode pixels, nearest-neighbor sample, re-encode a spec-valid
+   * file of the SAME format. Only blobs NO codec here can decode
+   * (unknown containers, compressed AVI, progressive JPEG, ...) take the
+   * deterministic byte-cycling fallback — a clearly-marked stand-in that
+   * preserves the schema, sizes, and partition-batch shape a real
+   * decoder plugin would produce. Null blobs pass through as null (a
+   * real decoder would skip them too).
    */
   def resize(df: DataFrame, idCol: String, binCol: String, w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
@@ -865,7 +932,8 @@ object Media {
         rows.map { case (id, bytes) =>
           if (bytes == null) (id, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]])
           else resizeBmp(bytes, w, h).map(("bmp", _))
-            .orElse(resizePng(bytes, w, h).map(("png", _))) match {
+            .orElse(resizePng(bytes, w, h).map(("png", _)))
+            .orElse(resizeJpeg(bytes, w, h).map(("jpeg", _))) match {
             case Some((kind, real)) => (id, kind, real)
             case None =>
               val out = new Array[Byte](w * h)

@@ -1,0 +1,169 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/**
+ * Pins the baseline JPEG codec: golden closed-form decodes for the
+ * block-constant fixtures (both 4:4:4 and 4:2:0), the exactness envelope
+ * the q164/q165 oracles lean on, bounded loss on general images,
+ * malformed-input rejection, and the Spark-side pixelMeans/resize
+ * plumbing end to end.
+ */
+class JpegSpec extends AnyFunSuite with SparkSuite {
+
+  // the fixture closed form, duplicated here as the independent referee
+  private def fixYcc(s: Int)(x: Int, y: Int): (Int, Int, Int) = (
+    ((x / 8) * 7 + (y / 8) * 3 + s) % 256,
+    ((x / 16) * 11 + (y / 16) * 5 + s) % 256,
+    ((x / 16) * 3 + (y / 16) * 7 + 2 * s) % 256)
+
+  test("hand-built constant 16x16: decode reproduces every sample exactly") {
+    val bytes = Jpeg.encodeYcc(16, 16, (_, _) => 77, (_, _) => 130, (_, _) => 99)
+    // marker skeleton golden: SOI, DQT, SOF0, 4x DHT, SOS, EOI present
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    assert((bytes(bytes.length - 2) & 0xff) == 0xff && (bytes.last & 0xff) == 0xd9)
+    val img = Jpeg.decode(bytes).get
+    assert(img.width == 16 && img.height == 16 && img.nComponents == 3)
+    for (x <- 0 until 16; y <- 0 until 16) {
+      assert(img.ycc(x, y) == ((77, 130, 99)), s"at ($x,$y)")
+      assert(img.pixel(x, y) == Jpeg.yccToRgb(77, 130, 99))
+    }
+  }
+
+  test("4:4:4 fixture (even seed) decodes to the closed form bit-for-bit") {
+    val (w, h) = (48, 32)
+    val img = Jpeg.decode(Media.syntheticJpegImage(w, h, 4L)).get
+    assert(img.width == w && img.height == h)
+    for (x <- 0 until w; y <- 0 until h)
+      assert(img.ycc(x, y) == fixYcc(4)(x, y), s"at ($x,$y)")
+  }
+
+  test("4:2:0 fixture (odd seed) decodes to the closed form bit-for-bit") {
+    val (w, h) = (48, 32)
+    val img = Jpeg.decode(Media.syntheticJpegImage(w, h, 9L)).get
+    assert(img.width == w && img.height == h)
+    for (x <- 0 until w; y <- 0 until h)
+      assert(img.ycc(x, y) == fixYcc(9)(x, y), s"at ($x,$y)")
+  }
+
+  test("general (non-block-constant) image roundtrips within the DCT-round bound") {
+    // pseudo-random but deterministic samples; quant=1 so the only loss is
+    // round(DCT) — per-sample error bounded well under 8 codes
+    def f(k: Int)(x: Int, y: Int): Int = ((x * 31 + y * 17 + k * 7) * 2654435761L >>> 24).toInt & 0xff
+    val bytes = Jpeg.encodeYcc(40, 24, f(0), f(1), f(2))
+    val img = Jpeg.decode(bytes).get
+    var maxErr = 0
+    for (x <- 0 until 40; y <- 0 until 24) {
+      val (gy, gcb, gcr) = img.ycc(x, y)
+      maxErr = math.max(maxErr, math.abs(gy - f(0)(x, y)))
+      maxErr = math.max(maxErr, math.abs(gcb - f(1)(x, y)))
+      maxErr = math.max(maxErr, math.abs(gcr - f(2)(x, y)))
+    }
+    assert(maxErr <= 8, s"roundtrip error $maxErr exceeds the all-ones-quant bound")
+  }
+
+  test("entropy data exercises 0xFF00 byte stuffing") {
+    def f(k: Int)(x: Int, y: Int): Int = ((x * 31 + y * 17 + k * 7) * 2654435761L >>> 24).toInt & 0xff
+    val bytes = Jpeg.encodeYcc(128, 128, f(3), f(4), f(5))
+    val stuffed = (0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0x00)
+    assert(stuffed, "no stuffed byte in ~16KB of entropy data — stuffing path untested")
+    assert(Jpeg.decode(bytes).isDefined) // and destuffing inverts it
+  }
+
+  test("odd (non-multiple-of-8) dims: edge-replicated encode, cropped decode") {
+    val bytes = Jpeg.encodeYcc(13, 11, (x, y) => (x * 8 + y) % 256, (_, _) => 128, (_, _) => 128)
+    val img = Jpeg.decode(bytes).get
+    assert(img.width == 13 && img.height == 11)
+    // interior of the single block: still within loss bound
+    val (gy, _, _) = img.ycc(3, 3)
+    assert(math.abs(gy - ((3 * 8 + 3) % 256)) <= 8)
+  }
+
+  test("malformed inputs return None, never throw") {
+    val good = Media.syntheticJpegImage(32, 16, 2L)
+    assert(Jpeg.decode(good.take(good.length / 2)).isEmpty, "truncated mid-scan")
+    assert(Jpeg.decode(good.take(4)).isEmpty, "headers only")
+    assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty, "not a JPEG")
+    assert(Jpeg.decode(Array.empty[Byte]).isEmpty, "empty")
+    val progressive = good.clone()
+    // flip the SOF0 marker (first FF C0 after SOI) to SOF2: progressive
+    val sofAt = (2 until progressive.length - 1).find(i =>
+      (progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decode(progressive).isEmpty, "progressive must be rejected")
+    val corrupt = good.clone()
+    corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x55).toByte
+    Jpeg.decode(corrupt) // any of Some(garbage-pixels)/None is fine; must not throw
+  }
+
+  test("decodeDims agrees with the full decode on fixture files") {
+    val bytes = Media.syntheticJpegImage(48, 16, 3L)
+    assert(Media.decodeDims(bytes).contains((48L, 16L)))
+    assert(Media.sniffKind(bytes) == "jpeg")
+  }
+
+  test("resizeJpeg x2 upscale stays inside the exactness envelope") {
+    val src = Media.syntheticJpegImage(16, 16, 6L)
+    val out = Media.resizeJpeg(src, 32, 32).get
+    val img = Jpeg.decode(out).get
+    assert(img.width == 32 && img.height == 32)
+    // dest block (bx,by) point-samples src block (bx/2, by/2), and the
+    // x2 grid keeps every dest 8x8 block inside ONE src block — so the
+    // resized file decodes to the SOURCE closed form at halved coords
+    for (x <- 0 until 32; y <- 0 until 32)
+      assert(img.ycc(x, y) == fixYcc(6)(x / 2, y / 2), s"at ($x,$y)")
+  }
+
+  test("pixelMeans routes JPEG blobs through the real decode (Spark end to end)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Media.syntheticJpegImage(32, 16, 4L)),
+      (2L, Media.syntheticJpegImage(16, 32, 9L)),
+      (3L, "not an image".getBytes("UTF-8")))
+    val got = Media.pixelMeans(rows.toDF("id", "blob"), "id", "blob")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(!got.contains(3L), "undecodable blob must be dropped")
+    def expected(w: Int, h: Int, seed: Int): (Long, Long, Long, Long, Long) = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val (yv, cb, cr) = fixYcc(seed)(x, y)
+        val (r, g, b) = Jpeg.yccToRgb(yv, cb, cr)
+        sr += r; sg += g; sb += b
+      }
+      val n = w.toLong * h
+      (w.toLong, h.toLong, sr / n, sg / n, sb / n)
+    }
+    assert(got(1L) == expected(32, 16, 4))
+    assert(got(2L) == expected(16, 32, 9))
+  }
+
+  test("Media.resize emits kind=jpeg with real re-encoded bytes for JPEG blobs") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, Media.syntheticJpegImage(16, 16, 8L)))
+    val got = Media.resize(rows.toDF("id", "blob"), "id", "blob", 32, 32).collect().head
+    assert(got.getString(1) == "jpeg")
+    val img = Jpeg.decode(got.getAs[Array[Byte]](2)).get
+    assert(img.width == 32 && img.height == 32)
+  }
+
+  test("fixed-point color transforms: grey is a fixed point, SQL-replay form agrees") {
+    for (v <- 0 to 255) {
+      assert(Jpeg.rgbToYcc(v, v, v) == ((v, 128, 128)), s"grey $v")
+      assert(Jpeg.yccToRgb(v, 128, 128) == ((v, v, v)), s"grey $v back")
+    }
+    // the oracle's biased floor-division replay of yccToRgb
+    def sqlReplay(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+      def fd(x: Long): Long = (x + 1073741824L) / 65536L - 16384L // trunc==floor after bias
+      def cl(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+      (cl(y + fd(91881L * (cr - 128) + 32768)),
+       cl(y - fd(22554L * (cb - 128) + 46802L * (cr - 128) + 32768)),
+       cl(y + fd(116130L * (cb - 128) + 32768)))
+    }
+    for (y <- 0 to 255 by 17; cb <- 0 to 255 by 13; cr <- 0 to 255 by 11)
+      assert(Jpeg.yccToRgb(y, cb, cr) == sqlReplay(y, cb, cr), s"($y,$cb,$cr)")
+  }
+}
