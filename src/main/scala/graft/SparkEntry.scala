@@ -2765,6 +2765,24 @@ object SparkEntry {
       multimodal.Media.pixelMeans(resized, "doc_id", "resized")
     }),
 
+    // q166: BM25 against a QUERY TABLE — three queries scored in ONE
+    // plan (one corpus tokenization, postings persisted once, the query
+    // table broadcast), the batch-probe shape q133's fixed-term-bag form
+    // cannot express. A duplicate (query, term) row is planted to pin
+    // duplicate-invariance under the hash gate.
+    "q166_bm25_query_table" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark"), (1L, "vector"),
+        (2L, "merge"), (2L, "spark"),
+        (3L, "vector"), (3L, "merge"), (3L, "spark"),
+        (3L, "spark") // duplicate row: must not double-count
+      ).toDF("query_id", "term")
+      operators.Retrieval.bm25ForQueries(
+        tbl(s, dir, "documents"), "doc_id", "text", queries, "query_id", "term",
+        unpersistHook = onCleanup)
+    }),
+
     "q160_part_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .where(pmod(col("l_orderkey"), lit(10)) === 0)
@@ -5075,6 +5093,35 @@ object SparkEntry {
         |       CAST(sum(g) // 4 AS BIGINT) AS mean_g,
         |       CAST(sum(b) // 4 AS BIGINT) AS mean_b
         |FROM rgb GROUP BY doc_id""".stripMargin,
+    // q166: q133's exact scoring expression joined through an inline
+    // VALUES query table (DISTINCT absorbs the planted duplicate row);
+    // df comes from the per-term postings BEFORE the query join, so the
+    // term 'spark' appearing in all three queries counts each doc once.
+    "q166_bm25_query_table" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |              FROM documents WHERE text IS NOT NULL),
+        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |q AS (SELECT DISTINCT * FROM (VALUES
+        |        (1, 'spark'), (1, 'vector'),
+        |        (2, 'merge'), (2, 'spark'),
+        |        (3, 'vector'), (3, 'merge'), (3, 'spark'),
+        |        (3, 'spark')) AS v(query_id, term)),
+        |dfreq AS (SELECT term, count(*) AS df FROM tfall
+        |          WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1)
+        |SELECT CAST(q.query_id AS BIGINT) AS query_id, tfall.doc_id,
+        |       CAST(sum(CAST(round(
+        |         ((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |         ((tfall.tf * (1.2 + 1.0)) /
+        |          (tfall.tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |            (dl.dl / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs))))) * 1e9
+        |       ) AS BIGINT)) AS BIGINT) AS bm25_scaled
+        |FROM tfall JOIN q USING (term) JOIN dfreq USING (term)
+        |     JOIN dl USING (doc_id) CROSS JOIN corpus
+        |GROUP BY 1, 2""".stripMargin,
     // q161: identical closed form to q146 — the container differs, the
     // pixel rule does not
     "q161_png_pixels" ->

@@ -87,6 +87,67 @@ object Retrieval {
   }
 
   /**
+   * BM25 against a QUERY TABLE — the set-of-queries form [[bm25]]'s
+   * fixed-bag signature cannot express: scoring thousands of queries in
+   * ONE pass (training-data mining runs probe-query batches, not single
+   * searches). `queries` carries (queryIdCol, termCol) rows; the result
+   * is per-(query, doc) `bm25_scaled` under the exact same
+   * no-transcendental integer-sum discipline as [[bm25]].
+   *
+   * SCALE SHAPE — one corpus tokenization pass, never per-term columns:
+   *  - ONE corpus-wide `(doc, term) -> tf` aggregation (the postings
+   *    frame, bounded by distinct doc-term mass, persisted once for its
+   *    three consumers — dl, df, and scoring — the groupOverlap
+   *    convention; persist it externally for the standing-index form);
+   *  - `dl` and the 1-row corpus stats aggregate off the postings frame
+   *    (postings-mass-bounded, no second corpus scan);
+   *  - the query table (user-bounded by contract) broadcasts onto the
+   *    postings, so scoring cost is ∝ query-term postings mass x queries
+   *    sharing each term — never corpus x queries.
+   *
+   * Duplicate (query, term) rows are deduped (duplicate-invariance,
+   * same rule as [[bm25]]); `df` counts DOCUMENTS per term, computed
+   * before the query join so a term shared by many queries is not
+   * multi-counted. Only (query, doc) pairs matching >= 1 term appear.
+   */
+  def bm25ForQueries(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      k1: Double = 1.2, b: Double = 0.75,
+      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
+      s"docs must carry $idCol and $textCol")
+    require(queries.columns.contains(queryIdCol) && queries.columns.contains(termCol),
+      s"queries must carry $queryIdCol and $termCol")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__term"))
+      .where(length(col("__term")) > 0)
+    val tfAll = toks.groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { tfAll.unpersist(); () })
+    val dl = tfAll.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val q = queries.select(col(queryIdCol).as("__qid"), col(termCol).as("__term")).distinct()
+    // df BEFORE the query join: one row per (doc, term) in tfAll makes
+    // count(*) the document frequency; restricting to query terms first
+    // keeps the aggregate term-bounded
+    val dfreq = tfAll.join(broadcast(q.select(col("__term")).distinct()), "__term")
+      .groupBy(col("__term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfn = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl") / avgdl)))
+    tfAll.join(broadcast(q), "__term")
+      .join(broadcast(dfreq), "__term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib", round(idf * tfn * lit(1.0e9)).cast("long"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("contrib")).as("bm25_scaled"))
+      .select(col("__qid").as(queryIdCol), col(idCol), col("bm25_scaled"))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): each ranked list
    * contributes `1 / (k0 + rank)` per id; ids high in ANY list surface, ids
    * high in SEVERAL dominate. Contributions are scaled to

@@ -557,6 +557,20 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       s"expected the last round's localCheckpoint to truncate lineage:\n$p")
   }
 
+  it("q166 query-table BM25: ONE corpus scan (persisted postings), broadcast query table, no per-term columns") {
+    val p = plan("q166_bm25_query_table")
+    // the (doc, term) postings frame is persisted and every consumer (the
+    // scoring spine plus the broadcast dl/df/corpus builds) reads the
+    // cache — each InMemoryTableScan node echoes the one-scan cached plan
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"expected dl/df/scoring to all read the persisted postings:\n$p")
+    // the query table and per-term stats ride broadcasts; scoring joins are
+    // hash equi-joins, never a cartesian and never a per-term projection
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("__tf0"), s"per-term column explosion leaked in:\n$p")
+  }
+
   it("q154 importance selection broadcasts the bounded bucket tables, never the corpus") {
     val p = plan("q154_importance_selection")
     // both the 1-row totals and the enriched-bucket list ride broadcasts;

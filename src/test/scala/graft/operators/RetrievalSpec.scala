@@ -56,6 +56,30 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("bm25ForQueries: single-query parity with bm25, duplicate rows ignored") {
+    // query 7 carries exactly the fixed bag `terms` (one term duplicated):
+    // its scores must equal bm25(docs, terms) row for row
+    val queries = Seq((7L, "spark"), (7L, "merge"), (7L, "spark")).toDF("query_id", "term")
+    val got = Retrieval.bm25ForQueries(docs, "doc_id", "text", queries, "query_id", "term")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expectedBm25.map { case (id, s) => (7L, id) -> s })
+  }
+
+  test("bm25ForQueries scores multiple queries independently in one frame") {
+    val queries = Seq((1L, "spark"), (2L, "merge"), (3L, "spark"), (3L, "merge"))
+      .toDF("query_id", "term")
+    val got = Retrieval.bm25ForQueries(docs, "doc_id", "text", queries, "query_id", "term")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def single(ts: Seq[String]): Map[Long, Long] =
+      Retrieval.bm25(docs, "doc_id", "text", ts).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q1 = single(Seq("spark")); val q2 = single(Seq("merge")); val q3 = single(Seq("spark", "merge"))
+    val want = q1.map { case (id, s) => (1L, id) -> s } ++
+      q2.map { case (id, s) => (2L, id) -> s } ++
+      q3.map { case (id, s) => (3L, id) -> s }
+    assert(got == want)
+  }
+
   test("rrfFuse sums round(1e9/(k0+rank)) per id and counts contributing lists") {
     val l1 = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
     val l2 = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
