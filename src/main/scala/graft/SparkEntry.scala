@@ -2783,6 +2783,16 @@ object SparkEntry {
         unpersistHook = onCleanup)
     }),
 
+    // q167: REAL merges-table BPE token counts — the token-budget number
+    // a training pipeline bills by, replacing q39's regex approximation
+    // (which stays, as the pre-tokenizer run profile). The imperative
+    // merge loop runs once per DISTINCT word (vocab memoization); the
+    // oracle replays the identical greedy algorithm as a recursive CTE
+    // over separator-delimited symbol strings.
+    "q167_bpe_real" -> ((s, dir) =>
+      operators.Bpe.tokenCounts(tbl(s, dir, "documents"), "doc_id", "text",
+        operators.Bpe.fixtureMerges, unpersistHook = onCleanup)),
+
     "q160_part_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .where(pmod(col("l_orderkey"), lit(10)) === 0)
@@ -5122,6 +5132,43 @@ object SparkEntry {
         |FROM tfall JOIN q USING (term) JOIN dfreq USING (term)
         |     JOIN dl USING (doc_id) CROSS JOIN corpus
         |GROUP BY 1, 2""".stripMargin,
+    // q167: the BPE apply rule as a recursive CTE. State = symbols joined
+    // by \x1f WITH leading/trailing delimiters, so a pattern
+    // `\x1f a \x1f b \x1f` can only match whole symbols (never a suffix
+    // like the 't' of 'st'). Each step applies the MIN-RANK applicable
+    // merge; the double replace() completes leftmost-non-overlapping
+    // merge-all (adjacent matches share a delimiter, so one pass merges
+    // alternate occurrences and the second pass the rest — and the
+    // leftovers it merges are always isolated by merged symbols, so two
+    // passes are exact). Terminal states are those no merge touches;
+    // token count = delimiter count - 1. Merge table duplicated verbatim
+    // from Bpe.fixtureMerges.
+    "q167_bpe_real" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
+        |                        (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'s','t'),(9,'e','n'),
+        |                        (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D]+')) AS w
+        |         FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat)))
+        |SELECT inst.doc_id, CAST(sum(enc.nt) AS BIGINT) AS n_bpe_tokens
+        |FROM inst JOIN enc USING (w)
+        |GROUP BY 1""".stripMargin,
     // q161: identical closed form to q146 — the container differs, the
     // pixel rule does not
     "q161_png_pixels" ->

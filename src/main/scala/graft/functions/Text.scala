@@ -72,7 +72,9 @@ object Text {
     * punctuation runs each count as one token (the GPT-2 pre-tokenizer shape,
     * ASCII simplification — real BPE merges happen inside these pieces, so
     * this upper-bounds subword count). `regexp_count` is a native codegen'd
-    * function and the same regex runs verbatim in DuckDB. */
+    * function and the same regex runs verbatim in DuckDB. For token counts
+    * against an ACTUAL merge table, use [[graft.operators.Bpe.tokenCounts]]
+    * (q167) — this column stays as the cheap zero-shuffle profile (q39). */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")).cast("long")
 
