@@ -2793,6 +2793,15 @@ object SparkEntry {
       operators.Bpe.tokenCounts(tbl(s, dir, "documents"), "doc_id", "text",
         operators.Bpe.fixtureMerges, unpersistHook = onCleanup)),
 
+    // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
+    // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
+    // a real multi-round fixpoint, not a one-shot filter. The in-query
+    // `converged` flag gates that the loop reached its fixpoint (a
+    // valve-capped superset would flip it false and fail the hash);
+    // GraphSpec proves the operator against brute force on random graphs.
+    "q168_kcore_exact" -> ((s, dir) =>
+      operators.Graph.kCoreExact(copurchasePairs(s, dir), "c1", "c2", k = 12)),
+
     "q160_part_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .where(pmod(col("l_orderkey"), lit(10)) === 0)
@@ -2953,7 +2962,43 @@ object SparkEntry {
     docs.select(col("doc_id"), col("text")).unionByName(plant)
   }
 
+  /**
+   * The q168 oracle: `n` chained peel rounds over the co-purchase graph
+   * at threshold `k`, generated programmatically (the q163 oracle's CTE
+   * pattern, unrolled). Rounds past the measured fixpoint (5 at sf0.01)
+   * are no-ops — empty drop sets — so the margin in `n` buys data-drift
+   * safety without changing the result; if a regenerated dataset ever
+   * needed MORE than `n` rounds the oracle would disagree with the
+   * exact operator and fail LOUDLY (never silently).
+   */
+  private def kcoreExactOracleSql(k: Int, n: Int): String = {
+    // AS MATERIALIZED: every CTE is referenced several times downstream;
+    // without the hint DuckDB inlines them, and a 10-round unroll re-opens
+    // the base parquet exponentially many times (observed: fd exhaustion)
+    val head =
+      """WITH buyers AS MATERIALIZED (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        |                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |                WHERE o.o_custkey < 100),
+        |e0 AS MATERIALIZED (SELECT a.c AS u, b.c AS v
+        |       FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v0 AS MATERIALIZED (SELECT u AS id FROM e0 UNION SELECT v FROM e0)""".stripMargin
+    val rounds = (1 to n).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, count(*) AS d
+         |       FROM (SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY id),
+         |p$i AS MATERIALIZED (SELECT v${i - 1}.id FROM v${i - 1} LEFT JOIN d$i USING (id) WHERE coalesce(d$i.d, 0) < $k),
+         |v$i AS MATERIALIZED (SELECT id FROM v${i - 1} WHERE id NOT IN (SELECT id FROM p$i)),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1} WHERE u NOT IN (SELECT id FROM p$i)
+         |                                    AND v NOT IN (SELECT id FROM p$i))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val peeledRows = (1 to n)
+      .map(i => s"SELECT id, CAST($i AS BIGINT) AS peel_round, TRUE AS converged FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"$head$rounds\n$peeledRows\nUNION ALL SELECT id, 0, TRUE FROM v$n"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q168_kcore_exact" -> kcoreExactOracleSql(k = 12, n = 10),
     "q01_topn_per_key" ->
       """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id,

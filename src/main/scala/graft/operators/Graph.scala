@@ -317,7 +317,9 @@ object Graph {
    * rounds are exactly the k-core; with a FIXED round budget the result is
    * a deterministic superset of it (documented contract — each round only
    * shrinks, so any vertex peeled is provably outside the k-core, while an
-   * unpeeled vertex may still fall in later rounds). Production use: prune
+   * unpeeled vertex may still fall in later rounds; [[kCoreExact]] is the
+   * run-to-fixpoint sibling when the exact core is required). Production
+   * use: prune
    * weakly-connected rim vertices (single-link spam accounts, boilerplate
    * pages hanging off a template hub) before community/centrality
    * analytics; a handful of rounds removes the overwhelming rim mass.
@@ -332,8 +334,42 @@ object Graph {
    */
   def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
                 k: Int, rounds: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50], got $rounds")
+    val (peeled, verts, _) = peelLoop(edges, aCol, bCol, k, rounds)
+    peeled.unionByName(verts.withColumn("peel_round", lit(0L)))
+  }
+
+  /**
+   * EXACT k-core: [[kCorePeel]]'s loop run to its FIXPOINT (the round
+   * where nothing peels — after which degrees can never change, so the
+   * survivors are exactly the k-core, proven against brute force in
+   * GraphSpec). `maxRounds` is a SAFETY VALVE, not a semantic knob: the
+   * loop always stops on its own within |V| rounds, and every output row
+   * carries `converged` so a valve-capped run (converged = false, result
+   * a documented superset) is visible IN the result — q168 gates the
+   * flag under the hash oracle. Per-round cost is identical to
+   * [[kCorePeel]] (one degree count + anti-joins, checkpoint-truncated);
+   * the worst case (a path graph peeling one vertex per round) is
+   * O(|V|) rounds, which is why the bounded variant exists for
+   * rim-pruning where a superset is fine.
+   *
+   * Returns (id, peel_round, converged): peel_round 0 for core members,
+   * else the 1-based peel round (rim depth).
+   */
+  def kCoreExact(edges: DataFrame, aCol: String, bCol: String,
+                 k: Int, maxRounds: Int = 200): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 10000,
+      s"maxRounds must be in [1,10000], got $maxRounds")
+    val (peeled, verts, fixpoint) = peelLoop(edges, aCol, bCol, k, maxRounds)
+    peeled.unionByName(verts.withColumn("peel_round", lit(0L)))
+      .withColumn("converged", lit(fixpoint))
+  }
+
+  /** The shared synchronous peel loop. Returns (peeled rows with their
+    * 1-based round, surviving vertices, fixpoint-reached flag). */
+  private def peelLoop(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): (DataFrame, DataFrame, Boolean) = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val und = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
@@ -362,6 +398,7 @@ object Graph {
       if (drop.isEmpty) {
         // an empty round is a provable FIXPOINT: degrees cannot change once
         // nothing peels, so the remaining rounds would be pure wasted work
+        // — and the survivors are exactly the k-core
         fixpoint = true
       } else {
         peeled = peeled.unionByName(drop.withColumn("peel_round", lit(r.toLong)))
@@ -375,7 +412,7 @@ object Graph {
       }
       r += 1
     }
-    peeled.unionByName(verts.withColumn("peel_round", lit(0L)))
+    (peeled, verts, fixpoint)
   }
 
   /**

@@ -88,6 +88,54 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       Map(1L -> 1L, 5L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  /** Brute-force exact k-core on a local adjacency map: peel any vertex
+    * below k until none is, one at a time — order-independent result. */
+  private def bruteCore(edges: Seq[(Long, Long)], k: Int): Set[Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var adj = und.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      adj.find { case (_, ns) => ns.size < k } match {
+        case Some((vtx, _)) =>
+          adj = (adj - vtx).view.mapValues(_ - vtx).toMap
+        case None => changed = false
+      }
+    }
+    adj.keySet
+  }
+
+  test("kCoreExact equals brute force on random graphs and reports convergence") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      for (k <- Seq(2, 3, 4)) {
+        val rows = Graph.kCoreExact(edges.toDF("a", "b"), "a", "b", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        assert(rows.forall(_._3), s"trial $trial k=$k must converge")
+        val core = rows.filter(_._2 == 0L).map(_._1).toSet
+        assert(core == bruteCore(edges, k), s"trial $trial k=$k core mismatch")
+        // every vertex appears exactly once
+        assert(rows.map(_._1).distinct.length == rows.length)
+      }
+    }
+  }
+
+  test("kCoreExact valve: a path longer than maxRounds reports converged=false superset") {
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val capped = Graph.kCoreExact(path.toDF("a", "b"), "a", "b", k = 2, maxRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(capped.forall(!_._3), "2 rounds cannot finish a 12-path peel")
+    // the capped survivors are a SUPERSET of the true (empty) 2-core
+    assert(capped.count(_._2 == 0L) > 0)
+    val full = Graph.kCoreExact(path.toDF("a", "b"), "a", "b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(full.forall(_._3) && full.count(_._2 == 0L) == 0, "true 2-core of a path is empty")
+  }
+
   /** The weighted variant's exact recurrence on Scala maps. */
   private def refWpr(edges: Map[(Long, Long), Long], iters: Int,
                      dampBp: Long = 8500L, scale: Long = 1000000L): Map[Long, Long] = {
