@@ -2802,6 +2802,28 @@ object SparkEntry {
     "q168_kcore_exact" -> ((s, dir) =>
       operators.Graph.kCoreExact(copurchasePairs(s, dir), "c1", "c2", k = 12)),
 
+    // q169: UNICODE edit-distance verify — planted near-dups whose edits
+    // are MULTI-BYTE code points (" ñé日α" + digit suffix, 6 code points =
+    // 6 edits). Spark's levenshtein counts code points; a byte-based
+    // engine would report up to 13 for the same pair, so this row pins
+    // the cross-engine unit contract: the oracle translates the known
+    // planted alphabet to single ASCII bytes (distance-preserving) before
+    // its byte-levenshtein. The natural corpus is ASCII (checked), so
+    // only the planted alphabet needs the mapping.
+    "q169_edit_distance_unicode" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .where(col("doc_id") < 25 && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val planted = base.select(
+        (col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" ñé日α"), (col("doc_id") % 10).cast("string")).as("text"))
+      val corpus = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val candidates = base.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 4000000L).as("id_b"))
+      operators.Dedup.editDistanceVerify(candidates, corpus, "doc_id", "text", maxDist = 50)
+    }),
+
     "q160_part_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .where(pmod(col("l_orderkey"), lit(10)) === 0)
@@ -5214,6 +5236,24 @@ object SparkEntry {
         |SELECT inst.doc_id, CAST(sum(enc.nt) AS BIGINT) AS n_bpe_tokens
         |FROM inst JOIN enc USING (w)
         |GROUP BY 1""".stripMargin,
+    // q169: the planted unicode alphabet {ñ,é,日,α} maps to {N,E,J,A} —
+    // one ASCII byte per code point, so DuckDB's byte levenshtein on the
+    // translated text equals Spark's code-point distance on the original
+    "q169_edit_distance_unicode" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id < 25 AND text IS NOT NULL),
+        |pl AS (SELECT doc_id + 4000000 AS doc_id,
+        |              text || ' ñé日α' || CAST(doc_id % 10 AS VARCHAR) AS text
+        |       FROM base),
+        |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pl),
+        |cand AS (SELECT doc_id AS id_a, doc_id + 4000000 AS id_b FROM base)
+        |SELECT c.id_a, c.id_b,
+        |       CAST(levenshtein(translate(a.text, 'ñé日α', 'NEJA'),
+        |                        translate(b.text, 'ñé日α', 'NEJA')) AS INTEGER) AS edit_dist
+        |FROM cand c JOIN corpus a ON a.doc_id = c.id_a
+        |            JOIN corpus b ON b.doc_id = c.id_b
+        |WHERE levenshtein(translate(a.text, 'ñé日α', 'NEJA'),
+        |                  translate(b.text, 'ñé日α', 'NEJA')) <= 50""".stripMargin,
     // q161: identical closed form to q146 — the container differs, the
     // pixel rule does not
     "q161_png_pixels" ->

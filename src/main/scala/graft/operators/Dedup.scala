@@ -936,9 +936,15 @@ object Dedup {
    *
    * CONTRACT: pair cost is still O(len·maxDist), so candidates must come
    * from a bounded source (the df-capped shingle chain, a blocking key) and
-   * the operator suits short-to-medium text fields. Spark counts CODE
-   * POINTS; byte-based engines (e.g. DuckDB) agree only on ASCII text —
-   * the q105 oracle rests on the corpus being ASCII (checked).
+   * the operator suits short-to-medium text fields. The distance UNIT is
+   * UNICODE CODE POINTS (Spark's native levenshtein semantics) on ANY
+   * corpus encoding — the semantically right unit (a CJK substitution is
+   * ONE edit, not three). Cross-engine replay against byte-based
+   * levenshteins (e.g. DuckDB): equal outright on ASCII text (q105);
+   * for non-ASCII, normalize the oracle side by translating each distinct
+   * non-ASCII code point to a unique single ASCII byte first — a
+   * distance-preserving reduction whenever the alphabet is known, which
+   * q169's planted unicode near-dups gate under the hash oracle.
    *
    * Returns (id_a, id_b, edit_dist) for pairs with distance <= maxDist.
    */
