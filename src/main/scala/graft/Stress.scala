@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components|store] [sfDir]
+ * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components|store|ivfcap] [sfDir]
  * (default sfDir /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -56,6 +56,7 @@ object Stress {
     if (mode == "snapshot") { snapshotStudy(spark, sfDir); spark.stop(); return }
     if (mode == "events") { eventsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "semantic") { semanticStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "ivfcap") { ivfCapStudy(spark, sfDir); spark.stop(); return }
     if (mode == "retrieval") { retrievalStudy(spark, sfDir); spark.stop(); return }
     if (mode == "rdd") { rddStudy(spark, sfDir); spark.stop(); return }
     if (mode == "graph") { graphStudy(spark, sfDir); spark.stop(); return }
@@ -149,6 +150,50 @@ object Stress {
     corpus10.count()
     val s10 = run("semantic 10x", corpus10)
     println(s"[stress] survivor scale-invariance: 1x=$s1 10x=$s10 equal=${s1 == s10}")
+    // the sized quantizer must never trip the occupancy cap (cells stay at
+    // the target width by construction) — the ivfcap mode covers the
+    // degenerate corpus where it MUST trip
+    println(s"[stress] dropped hot cells: ${Similarity.droppedHotCells(spark).value} (expect 0)")
+  }
+
+  /** Degenerate single-cluster IVF stress: a 10x corpus where EVERY vector
+    * is the same point, so the whole corpus collapses into one quantizer
+    * cell — the adversarial shape that turns the within-cell exact verify
+    * quadratic. With the occupancy cap the run must complete BOUNDED (the
+    * hot cell drops whole: 0 pairs, droppedHotCells >= 1, wall time ~ one
+    * narrow aggregate); the uncapped control on the same corpus pays the
+    * full n(n-1)/2 expansion — printed side by side so the cap's value is
+    * measured, not asserted. */
+  private def ivfCapStudy(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    import operators.Similarity
+    val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    // one fixed vector for every id: the worst-case single-cluster corpus
+    val fixed = emb.limit(1).select(col("embedding").as("__fv"))
+    val degen = (0 until 10)
+      .map(i => emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id")))
+      .reduce(_.unionByName(_))
+      .crossJoin(broadcast(fixed))
+      .select(col("vec_id"), col("__fv").as("embedding"))
+      .persist(MEMORY_AND_DISK_SER)
+    val n = degen.count()
+    println(s"[stress] degenerate corpus rows: $n (all identical -> one cell)")
+    val idx = timed("quantize+assign (k=16)") {
+      val i = Similarity.buildIvfIndex(degen, "vec_id", "embedding", nCentroids = 16)
+      i.assigned.persist(MEMORY_AND_DISK_SER); i.assigned.count(); i
+    }
+    val d0 = Similarity.droppedHotCells(spark).value
+    val capped = timed("CAPPED centroid-blocked pairs (maxCell=1024)")(
+      Similarity.centroidBlockedPairs(idx, 0.999, maxCell = 1024).count())
+    val drops = Similarity.droppedHotCells(spark).value - d0
+    println(s"[stress] capped: pairs=$capped droppedHotCells=$drops " +
+      s"(expect pairs=0, dropped=1 — the hot cell drops whole, run stays bounded)")
+    val uncapped = timed("UNCAPPED control (maxCell=n)")(
+      Similarity.centroidBlockedPairs(idx, 0.999, maxCell = n.toInt).count())
+    println(s"[stress] uncapped control: pairs=$uncapped " +
+      s"(expect n*(n-1)/2 = ${n * (n - 1) / 2} — the quadratic mass the cap avoids)")
+    idx.assigned.unpersist(); degen.unpersist()
   }
 
   /** 10x incremental-probe stress: standing docs indexed once, a 10x-copied

@@ -488,6 +488,29 @@ object Similarity {
         keep.select(col(idCol).cast("long").as("neighbor_id")).distinct(),
         Seq("neighbor_id"), "left_semi"))
 
+  /** Per-context count of quantizer cells dropped by the occupancy cap —
+    * the IVF analog of [[Dedup.droppedHotBuckets]]. Zero in a healthy run;
+    * nonzero means the corpus collapsed into cells the quantizer cannot
+    * discriminate (retrain with more centroids / more iters). */
+  def droppedHotCells(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    droppedCellAcc.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("graft.similarity.droppedHotCells"))
+  private val droppedCellAcc =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
+
+  /** Name prefix of the per-query `Dataset.observe` metric
+    * (`dropped_hot_cells`) [[centroidBlockedPairs]] emits — same production
+    * hook and same AQE empty-relation caveat as
+    * [[Dedup.HotBucketMetricPrefix]]. */
+  val HotCellMetricPrefix = "graft.similarity.hotCells."
+  private val cellObsId = new java.util.concurrent.atomic.AtomicLong
+
+  /** Default per-cell occupancy cap: above this the within-cell exact
+    * verify's <= cap^2/2 pair expansion stops being "linear at fixed cell
+    * width" and the cell carries no blocking signal anyway — matches the
+    * LSH expanders' [[Dedup.DefaultMaxBucket]] rationale. */
+  val DefaultMaxCell: Int = 1024
+
   /**
    * SemDeDup-style centroid-blocked near-duplicate pair source over a built
    * [[IvfIndex]]: exact cosine runs only WITHIN a quantizer cell (a
@@ -497,13 +520,41 @@ object Similarity {
    * at a fixed cell width; identical vectors share an argmax at ANY k, so
    * exact duplicates always meet in a cell. Returns (id_a, id_b) with
    * id_a < id_b and cosine >= minCosine.
+   *
+   * OCCUPANCY GUARD: a skewed corpus collapsing into one cell would turn
+   * the in-cell verify quadratic in n — exactly the blowup the LSH path
+   * caps with [[Dedup.DefaultMaxBucket]]. Cells holding more than
+   * `maxCell` members are dropped WHOLE before the self-join (the
+   * occupancy count is one narrow aggregate over the id/cent columns; the
+   * hot-cell list is nCentroids-bounded and broadcast into an anti-join),
+   * counted in [[droppedHotCells]] and surfaced per-query as the observed
+   * `dropped_hot_cells` metric — never silent.
    */
-  def centroidBlockedPairs(index: IvfIndex, minCosine: Double): DataFrame = {
-    val a = index.assigned.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
-    val b = index.assigned.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
-    a.join(b, Seq("cent_id"))
+  def centroidBlockedPairs(index: IvfIndex, minCosine: Double,
+      maxCell: Int = DefaultMaxCell): DataFrame = {
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val acc = droppedHotCells(spark)
+    val occ = index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("__n"))
+    val hotCells = occ.where(col("__n") > maxCell).select(col("cent_id"))
+    val live = index.assigned
+      .join(broadcast(hotCells), Seq("cent_id"), "left_anti")
+    val a = live.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
+    val b = live.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
+    val pairs = a.join(b, Seq("cent_id"))
       .where(col("id_a") < col("id_b") && cosine(col("va"), col("vb")) >= minCosine)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("__dropped"))
+    // one sentinel row per dropped cell: counted by the observe metric and
+    // the accumulator, then stripped — the Dedup.observeDrops pattern
+    val sentinels = hotCells.select(col("cent_id").cast("long")).as[Long]
+      .mapPartitions(_.map { _ => acc.add(1L); (0L, 0L, 1) })
+      .toDF("id_a", "id_b", "__dropped")
+    pairs.unionByName(sentinels)
+      .observe(s"$HotCellMetricPrefix${cellObsId.incrementAndGet()}",
+        sum(col("__dropped")).cast("long").as("dropped_hot_cells"))
+      .where(col("__dropped") === 0)
+      .drop("__dropped")
   }
 
   /**
