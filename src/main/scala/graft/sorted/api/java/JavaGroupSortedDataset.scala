@@ -128,10 +128,9 @@ class JavaGroupSortedDataset[K, V] private (
    * Generalized sort-merge cogroup: `f` sees both sides' value iterators per
    * key (either may be empty) and streams the joined output. With a
    * co-partition proof on both sides and a `keyComparator` consistent with
-   * the layout's key sort this is the NARROW 0-exchange merge; the typed
-   * outer/inner variants of the Scala surface are one-line `f` lambdas here
-   * (kept off this facade: `scala.Option`-typed tuples encode awkwardly from
-   * Java).
+   * the layout's key sort this is the NARROW 0-exchange merge. The typed
+   * inner/outer variants below are the same kernels with the tuple shape
+   * fixed — use them when the join kind is known.
    */
   def mergeJoin[W, U](
       other: JavaGroupSortedDataset[K, W],
@@ -139,6 +138,71 @@ class JavaGroupSortedDataset[K, V] private (
       keyComparator: Comparator[K],
       resultEncoder: Encoder[U]): Dataset[(K, U)] =
     underlying.mergeJoin(other.underlying)((vs, ws) => f.call(vs.asJava, ws.asJava).asScala)(resultEncoder, NarrowJoinSupport.narrow(toOrdering(keyComparator)))
+
+  /**
+   * Inner merge join: only keys present on both sides, per-key cross
+   * product in the established value orders — the Scala surface's
+   * `mergeJoinInner`, Java-shaped (`Encoders.tuple(vEnc, wEnc)` builds the
+   * result encoder). Matches the Scala surface at
+   * `GroupSortedDataset.mergeJoinInner`.
+   */
+  def mergeJoinInner[W](
+      other: JavaGroupSortedDataset[K, W],
+      keyComparator: Comparator[K],
+      resultEncoder: Encoder[(V, W)]): Dataset[(K, (V, W))] =
+    underlying.mergeJoinInner(other.underlying)(resultEncoder, NarrowJoinSupport.narrow(toOrdering(keyComparator)))
+
+  /**
+   * Left-outer merge join. Java has no `scala.Option`, so the missing side
+   * follows the pre-`Optional` Java convention: the W slot is NULL for
+   * unmatched left values (pass a boxed/reference `wEncoder` — Spark tuple
+   * encoders carry null reference fields; a Scala caller wanting `Option`
+   * uses the Scala surface). Same dedicated kernel as the Scala
+   * `mergeJoinLeftOuter` — right-only keys emit nothing and never allocate
+   * discarded tuples.
+   */
+  def mergeJoinLeftOuter[W](
+      other: JavaGroupSortedDataset[K, W],
+      keyComparator: Comparator[K],
+      vEncoder: Encoder[V],
+      wEncoder: Encoder[W]): Dataset[(K, (V, W))] =
+    underlying.mergeJoin(other.underlying) { (vs, ws) =>
+      graft.sorted.iterators.leftOuterProduct[V, W]()(vs, ws).iterator
+        .map { case (v, wo) => (v, wo.getOrElse(null.asInstanceOf[W])) }
+    }(org.apache.spark.sql.Encoders.tuple(vEncoder, wEncoder), NarrowJoinSupport.narrow(toOrdering(keyComparator)))
+
+  /** Right-outer merge join (mirror of [[mergeJoinLeftOuter]]: NULL V slot
+    * for unmatched right values). */
+  def mergeJoinRightOuter[W](
+      other: JavaGroupSortedDataset[K, W],
+      keyComparator: Comparator[K],
+      vEncoder: Encoder[V],
+      wEncoder: Encoder[W]): Dataset[(K, (V, W))] =
+    underlying.mergeJoin(other.underlying) { (vs, ws) =>
+      graft.sorted.iterators.rightOuterProduct[V, W]()(vs, ws).iterator
+        .map { case (vo, w) => (vo.getOrElse(null.asInstanceOf[V]), w) }
+    }(org.apache.spark.sql.Encoders.tuple(vEncoder, wEncoder), NarrowJoinSupport.narrow(toOrdering(keyComparator)))
+
+  /**
+   * Full-outer merge join: every key from either side, NULL in the missing
+   * slot (never both). `bufferLeft` flips which side is buffered per key —
+   * the reference's `bufferLeft` swap knob, preserved.
+   */
+  def mergeJoinOuter[W](
+      other: JavaGroupSortedDataset[K, W],
+      bufferLeft: Boolean,
+      keyComparator: Comparator[K],
+      vEncoder: Encoder[V],
+      wEncoder: Encoder[W]): Dataset[(K, (V, W))] = {
+    val kernel =
+      if (bufferLeft) graft.sorted.iterators.flipped(graft.sorted.iterators.outerProduct[W, V])
+      else graft.sorted.iterators.outerProduct[V, W]
+    underlying.mergeJoin(other.underlying) { (vs, ws) =>
+      kernel(vs, ws).iterator.map { case (vo, wo) =>
+        (vo.getOrElse(null.asInstanceOf[V]), wo.getOrElse(null.asInstanceOf[W]))
+      }
+    }(org.apache.spark.sql.Encoders.tuple(vEncoder, wEncoder), NarrowJoinSupport.narrow(toOrdering(keyComparator)))
+  }
 
   /** Order-preserving multiset union; narrow 2-way merge when co-partitioned
     * with the same layout direction, shuffle re-layout otherwise. */

@@ -147,6 +147,45 @@ class JavaApiSpec extends AnyFunSpec with SparkSuite {
       assertMultiset(u.toDS(), rows ++ Seq(("a", 2), ("c", 1)))
     }
 
+    it("mergeJoinInner joins only both-sides keys via Encoders.tuple") {
+      val left = gs(4)
+      val right = JavaGroupSortedDataset.groupSort(
+        Seq(("a", "x"), ("c", "y"), ("d", "z")).toDS(), 4, kString)
+      val got = left.mergeJoinInner(right, natural, Encoders.tuple(jInt, jString))
+      assertMultiset(got, Seq(("a", (1, "x")), ("a", (3, "x")), ("c", (5, "y"))))
+    }
+
+    it("mergeJoinLeftOuter keeps unmatched left values with a NULL right slot") {
+      val left = gs(4)
+      val right = JavaGroupSortedDataset.groupSort(
+        Seq(("a", "x"), ("d", "z")).toDS(), 4, kString)
+      val got = left.mergeJoinLeftOuter(right, natural, jInt, jString)
+      assertMultiset(got, Seq(
+        ("a", (1, "x")), ("a", (3, "x")),
+        ("b", (1, null)), ("b", (10, null)), ("c", (5, null))))
+    }
+
+    it("mergeJoinRightOuter mirrors: unmatched right values carry a NULL left slot") {
+      // V must be a reference type for the NULL slot — strings on both sides
+      val left = JavaGroupSortedDataset.groupSort(
+        Seq(("a", "l1"), ("a", "l2")).toDS(), 4, kString)
+      val right = JavaGroupSortedDataset.groupSort(
+        Seq(("a", "x"), ("d", "z")).toDS(), 4, kString)
+      val got = left.mergeJoinRightOuter(right, natural, jString, jString)
+      assertMultiset(got, Seq(
+        ("a", ("l1", "x")), ("a", ("l2", "x")), ("d", (null, "z"))))
+    }
+
+    it("mergeJoinOuter emits every key from either side; bufferLeft flips buffering, not results") {
+      val left = JavaGroupSortedDataset.groupSort(
+        Seq(("a", "l1"), ("b", "l2")).toDS(), 4, kString)
+      val right = JavaGroupSortedDataset.groupSort(
+        Seq(("a", "x"), ("d", "z")).toDS(), 4, kString)
+      val want = Seq(("a", ("l1", "x")), ("b", ("l2", null)), ("d", (null, "z")))
+      assertMultiset(left.mergeJoinOuter(right, false, natural, jString, jString), want)
+      assertMultiset(left.mergeJoinOuter(right, true, natural, jString, jString), want)
+    }
+
     it("naturalOrder throws NullPointerException on null operands (reference NaturalComparator parity)") {
       intercept[NullPointerException](natural.compare(null, "a"))
       intercept[NullPointerException](natural.compare("a", null))
