@@ -541,7 +541,32 @@ object Stress {
     val nV3 = Sink.readStore(spark, store).where(col("version") === 3L).count()
     println(s"[stress] version-3 winners: $nV3 (expect $nLocal)")
     local.unpersist(); rows.unpersist()
+    // COMPACTION cycle: after the batches above the live buckets span
+    // several epochs; compaction must collapse the committed view to one
+    // epoch / one file per bucket with a BIT-IDENTICAL row set, after
+    // which vacuum reclaims every older epoch
+    def liveLayout(): (Int, Int) = {
+      val root = new java.io.File(store)
+      val epochs = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("e-"))
+      val files = epochs.flatMap(e => Option(e.listFiles()).getOrElse(Array.empty))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .count(_.getName.endsWith(".parquet"))
+      (epochs.length, files)
+    }
+    val (epBefore, filesBefore) = liveLayout()
+    val fpPre = Sink.readStore(spark, store)
+      .select(expr("bit_xor(xxhash64(id, version, qty))")).head().getLong(0)
+    timed("compactStore (all live buckets -> one epoch)") {
+      Sink.compactStore(spark, store)
+    }
     Sink.vacuumStore(store)
+    val (epAfter, filesAfter) = liveLayout()
+    val fpPost = Sink.readStore(spark, store)
+      .select(expr("bit_xor(xxhash64(id, version, qty))")).head().getLong(0)
+    println(s"[stress] compaction: epochs $epBefore -> $epAfter (expect 1 after), " +
+      s"data files $filesBefore -> $filesAfter (expect 64 = 1/bucket after), " +
+      s"fingerprint identical: ${fpPre == fpPost} (expect true)")
     ()
   }
 

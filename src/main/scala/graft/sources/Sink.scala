@@ -201,6 +201,44 @@ object Sink {
   /** True once a first manifest has committed. */
   def storeExists(storePath: String): Boolean = latestManifest(storePath)._1 > 0
 
+  /**
+   * COMPACT the store: rewrite every live bucket into ONE fresh epoch
+   * under the exact commit discipline of [[upsertBuckets]] (fresh epoch
+   * directory, then an atomically-renamed next-numbered manifest). After
+   * many incremental batches the live buckets are scattered across many
+   * epoch directories — each batch leaves its touched buckets in a new
+   * epoch while untouched buckets keep pointing into older ones, so
+   * directory count (and, where `maxRecordsPerFile` split a hot bucket,
+   * file count) grows with batch history and [[vacuumStore]] can reclaim
+   * an old epoch only once NO bucket references it. Compaction collapses
+   * the committed view to one directory per bucket in one epoch (one file
+   * per bucket up to `maxRecordsPerFile`), making every older epoch
+   * vacuum-able garbage. Pure data movement: the committed row set is
+   * BIT-IDENTICAL before and after (no winner recompute — the store is
+   * already deduped), and a crash at any point leaves the previous
+   * manifest view intact, same as an upsert crash. Run it like any
+   * maintenance job: quiesced writer, then [[vacuumStore]].
+   */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    requireLocalPath(storePath)
+    val (n, entries) = latestManifest(storePath)
+    require(entries.nonEmpty, s"no committed manifest under $storePath")
+    val current = spark.read
+      .parquet(entries.values.toSeq.map(d => s"${sparkDataRoot(storePath)}/$d"): _*)
+    val epoch = f"e-${java.util.UUID.randomUUID().toString.take(8)}-${n + 1}%09d"
+    current
+      .withColumn("__pb", col("__bucket"))
+      .repartition(col("__pb"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("__pb")
+      .parquet(s"${sparkDataRoot(storePath)}/$epoch")
+    // every live bucket has >= 1 row (upserts replace, never delete), so
+    // the write creates exactly one __pb dir per manifest entry
+    publishManifest(storePath, n + 1, entries.keys.map(b => b -> s"$epoch/__pb=$b").toMap)
+  }
+
   /** Delete epoch directories the LATEST manifest no longer references and
     * all superseded manifest files. Run only when no reader still resolves
     * an older manifest (quiescent maintenance, like any snapshot GC). */

@@ -128,6 +128,41 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     assert(storeRows(path) == Map(1L -> ((2L, "a2")), 2L -> ((1L, "b1"))))
   }
 
+  test("compactStore: one epoch, one file per bucket, committed rows bit-identical") {
+    val path = tmp("compact")
+    // five batches over disjoint key slices scatter the live buckets
+    // across five epochs (each batch remaps only the buckets it touches)
+    for (i <- 1 to 5) {
+      val b = (1L to 40L).filter(_ % 5 == i % 5)
+        .map(id => (id, i.toLong, s"v$id-$i")).toDF("id", "version", "payload")
+      Sink.upsertBuckets(path, b, "id", "version", nBuckets = 8)
+    }
+    val before = storeRows(path)
+    def epochsOf(m: Map[Long, String]): Set[String] = m.values.map(_.split("/")(0)).toSet
+    assert(epochsOf(manifestEntries(path)).size > 1, "history should span several epochs")
+    Sink.compactStore(spark, path)
+    // pure data movement: the committed view is unchanged
+    assert(storeRows(path) == before)
+    val after = manifestEntries(path)
+    assert(epochsOf(after).size == 1, s"expected one epoch, got ${epochsOf(after)}")
+    // one parquet data file per bucket directory
+    after.values.foreach { d =>
+      val files = Files.list(Paths.get(path, d)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1, s"bucket dir $d holds ${files.size} files")
+    }
+    // vacuum now reclaims EVERY older epoch; rows still identical
+    Sink.vacuumStore(path)
+    val liveDirs = Files.list(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("e-")).toSeq
+    assert(liveDirs.size == 1, s"expected only the compacted epoch, got $liveDirs")
+    assert(storeRows(path) == before)
+    // and the store keeps accepting upserts on the compacted layout
+    Sink.upsertBuckets(path, Seq((1L, 99L, "z")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 8)
+    assert(storeRows(path)(1L) == ((99L, "z")))
+  }
+
   test("upsertBuckets: an effectively-empty batch is a no-op (no entry-less manifest)") {
     val path = tmp("upsertempty")
     // null-key/self-filtered batch on a VIRGIN store: nothing may commit —
