@@ -67,7 +67,25 @@ object Bench {
     // StdoutOutput strategy this reaches the driver's capture verbatim
     // (no [info] prefix), and flushing before spark.stop() guards against
     // the JVM tearing down with the line still buffered
-    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$raw,"failed":$failed,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$raw,"failed":$failed,"sf":"$sfDir"}"""
+    System.out.println(fullLine)
+    // like-for-like subtotal vs the round-1 gate: the q01–q44 block
+    val qNum = "^q(\\d+)".r
+    val q01q44 = results.collect {
+      case (k, v, _, true) if qNum.findFirstMatchIn(k).exists(_.group(1).toInt <= 44) => v
+    }.sum
+    // the full line above can exceed the driver's capture tail (BENCH_r08
+    // lost its total that way), so: (a) persist the full JSON to a repo
+    // file committed with the round, and (b) print a SHORT summary line
+    // LAST so a 2 KB tail always carries the recoverable numbers
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
+    System.out.println(String.format(java.util.Locale.ROOT,
+      """{"metric":"total","value":%.3f,"q01_q44":%.3f,"failed":%d,"n_queries":%d,"sf":"%s"}""",
+      Double.box(total), Double.box(q01q44), Int.box(failed), Int.box(results.size), sfDir))
     System.out.flush()
     spark.stop()
   }

@@ -2789,8 +2789,19 @@ object SparkEntry {
     // merge loop runs once per DISTINCT word (vocab memoization); the
     // oracle replays the identical greedy algorithm as a recursive CTE
     // over separator-delimited symbol strings.
+    // ORACLE RESTRICTION, asserted in-query: the recursive-CTE oracle
+    // encodes symbol boundaries with chr(31), so a corpus token carrying a
+    // literal 0x1F byte (interior control bytes stay inside tokens per
+    // edgeStrippedTokens) would corrupt the delimiter encoding and SILENTLY
+    // diverge from the Spark side, which handles such tokens fine. The
+    // assert_true turns that silent divergence into a loud failure — the
+    // q105 ASCII-corpus posture, made structural.
     "q167_bpe_real" -> ((s, dir) =>
-      operators.Bpe.tokenCounts(tbl(s, dir, "documents"), "doc_id", "text",
+      operators.Bpe.tokenCounts(
+        tbl(s, dir, "documents").where(expr(
+          "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+            "'q167 oracle requires a 0x1F-free corpus') IS NULL")),
+        "doc_id", "text",
         operators.Bpe.fixtureMerges, unpersistHook = onCleanup)),
 
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where

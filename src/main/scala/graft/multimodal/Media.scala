@@ -825,7 +825,12 @@ object Media {
    * JPEG.
    */
   private[graft] def resizeJpeg(bytes: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
-    Jpeg.decode(bytes).map { img =>
+    // JPEG dimensions are u16 (SOF height/width fields): a resize target
+    // past 0xffff cannot be represented, so route to the generic fallback
+    // instead of letting encodeYcc's require fail the whole query on an
+    // executor
+    if (dw > 0xffff || dh > 0xffff) None
+    else Jpeg.decode(bytes).map { img =>
       def src(dx: Int, dy: Int): (Int, Int, Int) =
         img.ycc((dx.toLong * img.width / dw).toInt, (dy.toLong * img.height / dh).toInt)
       Jpeg.encodeYcc(dw, dh, src(_, _)._1, src(_, _)._2, src(_, _)._3, subsample = 1)

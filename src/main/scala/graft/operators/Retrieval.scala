@@ -44,14 +44,14 @@ object Retrieval {
    * pre-folded in Scala) so an oracle writing the same literals folds to the
    * same doubles.
    */
-  def bm25(docs: DataFrame, idCol: String, textCol: String, rawTerms: Seq[String],
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(rawTerms.nonEmpty, "terms must be non-empty")
+    require(terms.nonEmpty, "terms must be non-empty")
     // dedup: a duplicated query term would get its own conditional-sum
     // column AND its own unpivot row, double-counting df and the per-doc
     // contribution — the groupBy(id, term) formulation this single-scan
     // rewrite replaced was duplicate-invariant, so restore that invariance
-    val terms = rawTerms.distinct
+    val distinctTerms = terms.distinct
     // ONE corpus scan, one shuffle: the per-doc aggregate computes dl and a
     // conditional count per query term together (|terms| is a user-bounded
     // constant, so the extra columns through the shuffle are a constant
@@ -62,14 +62,14 @@ object Retrieval {
     val toks = docs.where(col(textCol).isNotNull)
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+    val tfCols = distinctTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf$i")
     }
     val perDoc = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"), tfCols: _*)
     val corpus = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = perDoc.select(col(idCol), col("dl"),
-        explode(array(terms.zipWithIndex.map { case (t, i) =>
+        explode(array(distinctTerms.zipWithIndex.map { case (t, i) =>
           struct(lit(t).as("term"), col(s"__tf$i").as("tf"))
         }: _*)).as("__p"))
       .select(col(idCol), col("dl"), col("__p.term").as("term"), col("__p.tf").as("tf"))

@@ -491,7 +491,14 @@ object Similarity {
   /** Per-context count of quantizer cells dropped by the occupancy cap —
     * the IVF analog of [[Dedup.droppedHotBuckets]]. Zero in a healthy run;
     * nonzero means the corpus collapsed into cells the quantizer cannot
-    * discriminate (retrain with more centroids / more iters). */
+    * discriminate (retrain with more centroids / more iters).
+    *
+    * AT-LEAST-ONCE, not exact: the increment runs inside a transformation
+    * (the sentinel mapPartitions), so re-execution — a second action on the
+    * returned frame, a task retry, an AQE re-plan — adds again. Treat it
+    * as a production health SIGNAL (zero vs nonzero); the per-query
+    * `dropped_hot_cells` observe metric on the SAME frame is the exact
+    * per-action count. Same caveat as the [[Dedup]] accumulator family. */
   def droppedHotCells(spark: SparkSession): org.apache.spark.util.LongAccumulator =
     droppedCellAcc.computeIfAbsent(spark.sparkContext.applicationId,
       _ => spark.sparkContext.longAccumulator("graft.similarity.droppedHotCells"))

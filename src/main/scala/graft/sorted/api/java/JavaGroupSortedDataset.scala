@@ -150,7 +150,18 @@ class JavaGroupSortedDataset[K, V] private (
       other: JavaGroupSortedDataset[K, W],
       keyComparator: Comparator[K],
       resultEncoder: Encoder[(V, W)]): Dataset[(K, (V, W))] =
-    underlying.mergeJoinInner(other.underlying)(resultEncoder, NarrowJoinSupport.narrow(toOrdering(keyComparator)))
+    mergeJoinInner(other, false, keyComparator, resultEncoder)
+
+  /** `bufferLeft` overload — the reference exposes the buffered-side swap
+    * knob on EVERY join kind (`GroupSorted.scala:81`), so the Java facade
+    * does too (a Java caller joining a skewed left side against a small
+    * right per key flips which side is materialized). */
+  def mergeJoinInner[W](
+      other: JavaGroupSortedDataset[K, W],
+      bufferLeft: Boolean,
+      keyComparator: Comparator[K],
+      resultEncoder: Encoder[(V, W)]): Dataset[(K, (V, W))] =
+    underlying.mergeJoinInner(other.underlying, bufferLeft)(resultEncoder, NarrowJoinSupport.narrow(toOrdering(keyComparator)))
 
   /**
    * Left-outer merge join. Java has no `scala.Option`, so the missing side
@@ -166,8 +177,18 @@ class JavaGroupSortedDataset[K, V] private (
       keyComparator: Comparator[K],
       vEncoder: Encoder[V],
       wEncoder: Encoder[W]): Dataset[(K, (V, W))] =
+    mergeJoinLeftOuter(other, false, keyComparator, vEncoder, wEncoder)
+
+  /** `bufferLeft` overload (reference parity — see [[mergeJoinInner]]'s
+    * 4-arg form): the dedicated kernel takes the swap flag directly. */
+  def mergeJoinLeftOuter[W](
+      other: JavaGroupSortedDataset[K, W],
+      bufferLeft: Boolean,
+      keyComparator: Comparator[K],
+      vEncoder: Encoder[V],
+      wEncoder: Encoder[W]): Dataset[(K, (V, W))] =
     underlying.mergeJoin(other.underlying) { (vs, ws) =>
-      graft.sorted.iterators.leftOuterProduct[V, W]()(vs, ws).iterator
+      graft.sorted.iterators.leftOuterProduct[V, W](bufferLeft)(vs, ws).iterator
         .map { case (v, wo) => (v, wo.getOrElse(null.asInstanceOf[W])) }
     }(org.apache.spark.sql.Encoders.tuple(vEncoder, wEncoder), NarrowJoinSupport.narrow(toOrdering(keyComparator)))
 
@@ -178,8 +199,18 @@ class JavaGroupSortedDataset[K, V] private (
       keyComparator: Comparator[K],
       vEncoder: Encoder[V],
       wEncoder: Encoder[W]): Dataset[(K, (V, W))] =
+    mergeJoinRightOuter(other, false, keyComparator, vEncoder, wEncoder)
+
+  /** `bufferLeft` overload (reference parity — see [[mergeJoinInner]]'s
+    * 4-arg form). */
+  def mergeJoinRightOuter[W](
+      other: JavaGroupSortedDataset[K, W],
+      bufferLeft: Boolean,
+      keyComparator: Comparator[K],
+      vEncoder: Encoder[V],
+      wEncoder: Encoder[W]): Dataset[(K, (V, W))] =
     underlying.mergeJoin(other.underlying) { (vs, ws) =>
-      graft.sorted.iterators.rightOuterProduct[V, W]()(vs, ws).iterator
+      graft.sorted.iterators.rightOuterProduct[V, W](bufferLeft)(vs, ws).iterator
         .map { case (vo, w) => (vo.getOrElse(null.asInstanceOf[V]), w) }
     }(org.apache.spark.sql.Encoders.tuple(vEncoder, wEncoder), NarrowJoinSupport.narrow(toOrdering(keyComparator)))
 

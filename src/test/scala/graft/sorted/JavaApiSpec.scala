@@ -186,6 +186,22 @@ class JavaApiSpec extends AnyFunSpec with SparkSuite {
       assertMultiset(left.mergeJoinOuter(right, true, natural, jString, jString), want)
     }
 
+    it("bufferLeft overloads on inner/left/right joins flip buffering, not results (reference GroupSorted.scala:81-94 parity)") {
+      val left = JavaGroupSortedDataset.groupSort(
+        Seq(("a", "l1"), ("a", "l2"), ("b", "l3")).toDS(), 4, kString)
+      val right = JavaGroupSortedDataset.groupSort(
+        Seq(("a", "x"), ("d", "z")).toDS(), 4, kString)
+      val wantInner = Seq(("a", ("l1", "x")), ("a", ("l2", "x")))
+      assertMultiset(left.mergeJoinInner(right, true, natural, Encoders.tuple(jString, jString)), wantInner)
+      assertMultiset(left.mergeJoinInner(right, false, natural, Encoders.tuple(jString, jString)), wantInner)
+      val wantLeft = wantInner :+ ("b", ("l3", null))
+      assertMultiset(left.mergeJoinLeftOuter(right, true, natural, jString, jString), wantLeft)
+      assertMultiset(left.mergeJoinLeftOuter(right, false, natural, jString, jString), wantLeft)
+      val wantRight = wantInner :+ ("d", (null, "z"))
+      assertMultiset(left.mergeJoinRightOuter(right, true, natural, jString, jString), wantRight)
+      assertMultiset(left.mergeJoinRightOuter(right, false, natural, jString, jString), wantRight)
+    }
+
     it("naturalOrder throws NullPointerException on null operands (reference NaturalComparator parity)") {
       intercept[NullPointerException](natural.compare(null, "a"))
       intercept[NullPointerException](natural.compare("a", null))
