@@ -160,33 +160,90 @@ object SparkEntry {
     (custTable, ordTable)
   }
 
-  /** Memoized standing IVF index for q38, keyed by source dir (same
-    * single-session contract as [[ensureBucketedTables]]): quantizer training
-    * + inverted-list assignment run once per (session, dir) and the
-    * assignment frame stays persisted — the standing-index posture a 100 TB
-    * ANN deployment runs, where recurring queries pay probe + rank only.
-    * NOT registered with [[onCleanup]]: `drainCleanups` releases per-query
+  /** STORE ROOT for a (source dir, source table)'s standing indexes —
+    * keyed by a SOURCE-DATA SIGNATURE (file names + lengths + mtimes of
+    * the table's parquet), so a regenerated corpus can never silently
+    * serve a stale index: new data hashes to a new store root and the
+    * index rebuilds there. This is what makes disk-backed load-or-build
+    * safe across sessions. */
+  private def indexStoreRoot(dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val files = if (src.isDirectory)
+      Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src)) else Seq(src)
+    val sig = files.sortBy(_.getName)
+      .map(f => (f.getName, f.length, f.lastModified).hashCode()).toList.hashCode()
+    new java.io.File(sys.props("java.io.tmpdir"),
+      f"graft-index-${Integer.toHexString(dir.hashCode)}-$table-${Integer.toHexString(sig)}")
+      .getAbsolutePath
+  }
+
+  /** Memoized standing IVF index for q38 — STORE-BACKED load-or-build:
+    * the quantizer and assignment frames live in a manifest-committed
+    * index store ([[sources.Sink.writeIndex]], assignment partitioned by
+    * `cent_id`), so a FRESH SESSION against an already-indexed corpus
+    * reloads them instead of re-scanning the corpus (at 100 TB the
+    * rebuild is the dominant cost; the reload is an index-mass read).
+    * Build and load sessions read the SAME physical source: the building
+    * session also serves from the just-written store, so the two paths
+    * cannot diverge (gated by `Stress standing`). In-session the assigned
+    * frame stays persisted — the memoization posture unchanged. NOT
+    * registered with [[onCleanup]]: `drainCleanups` releases per-query
     * caches, and this is a cross-query layout like the q49 buckets. */
   private val ivfIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Similarity.IvfIndex]()
   private[graft] def ensureIvfIndex(s: SparkSession, dir: String): operators.Similarity.IvfIndex =
     ivfIndexes.computeIfAbsent(dir, _ => {
-      val idx = operators.Similarity.buildIvfIndex(
-        tbl(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16, trainIters = 1)
+      val root = indexStoreRoot(dir, "embeddings")
+      val (centPath, asgPath) = (s"$root/ivf_centroids", s"$root/ivf_assigned")
+      if (!(sources.Sink.indexExists(centPath) && sources.Sink.indexExists(asgPath))) {
+        val built = operators.Similarity.buildIvfIndex(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16, trainIters = 1)
+        sources.Sink.writeIndex(operators.Similarity.centroidsFrame(s, built), centPath)
+        sources.Sink.writeIndex(built.assigned, asgPath, partitionCols = Seq("cent_id"))
+      }
+      val idx = operators.Similarity.loadIvfIndex(
+        sources.Sink.readIndex(s, centPath), sources.Sink.readIndex(s, asgPath))
       idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       idx
     })
 
-  /** Memoized STANDING MinHash-LSH index over `documents` for q65 (same
-    * single-session contract as [[ensureIvfIndex]]): at 100 TB the deduped
-    * corpus is a standing asset — its banded signature index is built once,
-    * and each arriving batch probes it at the cost of the batch's signatures
-    * only. Cross-query layout, so not released by [[drainCleanups]]. */
+  /** Memoized STANDING MinHash-LSH index over `documents` for q65 — same
+    * store-backed load-or-build as [[ensureIvfIndex]] (snapshot written
+    * once partitioned by `band`, fresh sessions reload): at 100 TB the
+    * deduped corpus is a standing asset — its banded signature index is
+    * built once, and each arriving batch probes it at the cost of the
+    * batch's signatures only. Cross-query layout, so not released by
+    * [[drainCleanups]]. */
   private val minhashIndexes = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[graft] def ensureMinhashIndex(s: SparkSession, dir: String): DataFrame =
-    minhashIndexes.computeIfAbsent(dir, _ =>
-      operators.Dedup.minhashIndex(tbl(s, dir, "documents"), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    minhashIndexes.computeIfAbsent(dir, _ => {
+      val path = s"${indexStoreRoot(dir, "documents")}/minhash_bands"
+      if (!sources.Sink.indexExists(path))
+        sources.Sink.writeIndex(
+          operators.Dedup.minhashIndex(tbl(s, dir, "documents"), "doc_id", "text"),
+          path, partitionCols = Seq("band"))
+      sources.Sink.readIndex(s, path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    })
+
+  /** Memoized STANDING BM25 postings over `documents` for q166/q170 —
+    * store-backed like [[ensureIvfIndex]] (snapshot partitioned by a
+    * 32-bucket term hash: term cardinality is unbounded, so the layout
+    * key is a bounded hash, not the term itself). Incremental
+    * maintenance is [[operators.Retrieval.mergePostings]] (gated
+    * merged ≡ from-scratch by q171). */
+  private val postingsCaches = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def ensurePostings(s: SparkSession, dir: String): DataFrame =
+    postingsCaches.computeIfAbsent(dir, _ => {
+      val path = s"${indexStoreRoot(dir, "documents")}/bm25_postings"
+      if (!sources.Sink.indexExists(path))
+        sources.Sink.writeIndex(
+          operators.Retrieval.buildPostings(tbl(s, dir, "documents"), "doc_id", "text")
+            .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(32L))),
+          path, partitionCols = Seq("term_bucket"))
+      sources.Sink.readIndex(s, path).drop("term_bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    })
 
   /** One-time setup for a (session, data dir): pre-creates layouts that are a
     * deployment's standing investment, not per-query work (today: the q49
@@ -197,6 +254,7 @@ object SparkEntry {
     ensureBucketedTables(s, dir)
     ensureIvfIndex(s, dir).assigned.count() // force assignment materialization
     ensureMinhashIndex(s, dir).count()
+    ensurePostings(s, dir).count() // standing BM25 postings (q166/q170)
     rareShingleCandidates(s, dir).count() // shared near-dup candidate frame
     copurchasePairs(s, dir).count() // shared graph edge frame (7 consumers)
     ()
@@ -2766,10 +2824,10 @@ object SparkEntry {
     }),
 
     // q166: BM25 against a QUERY TABLE — three queries scored in ONE
-    // plan (one corpus tokenization, postings persisted once, the query
-    // table broadcast), the batch-probe shape q133's fixed-term-bag form
-    // cannot express. A duplicate (query, term) row is planted to pin
-    // duplicate-invariance under the hash gate.
+    // plan over the STANDING postings index (store-backed, loaded not
+    // rebuilt; query table broadcast), the batch-probe shape q133's
+    // fixed-term-bag form cannot express. A duplicate (query, term) row
+    // is planted to pin duplicate-invariance under the hash gate.
     "q166_bm25_query_table" -> ((s, dir) => {
       import s.implicits._
       val queries = Seq(
@@ -2778,9 +2836,67 @@ object SparkEntry {
         (3L, "vector"), (3L, "merge"), (3L, "spark"),
         (3L, "spark") // duplicate row: must not double-count
       ).toDF("query_id", "term")
-      operators.Retrieval.bm25ForQueries(
-        tbl(s, dir, "documents"), "doc_id", "text", queries, "query_id", "term",
-        unpersistHook = onCleanup)
+      operators.Retrieval.bm25FromPostings(
+        ensurePostings(s, dir), "doc_id", queries, "query_id", "term")
+    }),
+
+    // q170: RANKED top-k query-table BM25 — the production shape (a
+    // probe batch wants each query's best k docs, not every scored
+    // pair). Scoring is q166's standing-postings plan; the rank is the
+    // BOUNDED-HEAP per-key combiner (k rows of state per query through
+    // a map-side-combining aggregate), never a Window over the scored
+    // frame. Ties (same scaled score) break by lowest doc_id — the same
+    // total order the oracle's ORDER BY expresses.
+    "q170_bm25_topk_queries" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark"), (1L, "vector"),
+        (2L, "merge"), (2L, "spark"),
+        (3L, "vector"), (3L, "merge"), (3L, "spark")
+      ).toDF("query_id", "term")
+      val scored = operators.Retrieval.bm25FromPostings(
+        ensurePostings(s, dir), "doc_id", queries, "query_id", "term")
+      operators.Sampling.topKPerKey(scored, "query_id", "doc_id", "bm25_scaled", k = 5)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("doc_id"), col("bm25_scaled"))
+    }),
+
+    // q171: INCREMENTAL POSTINGS MAINTENANCE — fold an ingest batch into
+    // the standing postings and gate merged ≡ from-scratch IN-QUERY (the
+    // mergeable-state law, completing the bloom/minhash/HLL/count-min
+    // family for postings). The batch re-ingests docs 0-49 with NEW text
+    // (upsert, not append: their standing rows must be replaced) and adds
+    // 50 fresh docs; the from-scratch side tokenizes the spliced corpus
+    // directly. Output = per-term-bucket row counts and tf mass off the
+    // MERGED frame, each row carrying the equality gate (a single
+    // mismatched (doc, term, tf) anywhere flips `merge_exact` and fails
+    // the hash).
+    "q171_postings_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val batch = docs.where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          concat_ws(" ", lit("refreshed"), col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat_ws(" ", lit("fresh ingest"), col("text")).as("text")))
+      val standing = operators.Retrieval.buildPostings(docs, "doc_id", "text")
+      val merged = operators.Retrieval.mergePostings(standing, batch, "doc_id", "text")
+      // null-id docs (if any) belong to NEITHER the batch nor the kept set
+      // by id-predicate, but their standing postings survive the anti-join
+      // (null never matches) — keep them in the from-scratch side too
+      val spliced = docs.where(col("doc_id") >= 50 || col("doc_id").isNull)
+        .select(col("doc_id"), col("text"))
+        .unionByName(batch)
+      val scratch = operators.Retrieval.buildPostings(spliced, "doc_id", "text")
+      // symmetric difference — empty iff merged ≡ scratch (tf compared too)
+      val diff = merged.exceptAll(scratch).unionByName(scratch.exceptAll(merged))
+      val gate = diff.agg(count(lit(1)).as("n_diff"))
+      merged
+        .groupBy(pmod(col("doc_id"), lit(8L)).as("doc_bucket"))
+        .agg(count(lit(1)).as("n_postings"), sum(col("tf")).as("tf_mass"))
+        .crossJoin(broadcast(gate))
+        .select(col("doc_bucket"), col("n_postings"), col("tf_mass"),
+          (col("n_diff") === 0L).as("merge_exact"))
     }),
 
     // q167: REAL merges-table BPE token counts — the token-budget number
@@ -5210,6 +5326,59 @@ object SparkEntry {
         |FROM tfall JOIN q USING (term) JOIN dfreq USING (term)
         |     JOIN dl USING (doc_id) CROSS JOIN corpus
         |GROUP BY 1, 2""".stripMargin,
+    // q170: q166's scoring spine (no planted duplicate) ranked top-5 per
+    // query by (score DESC, doc_id ASC) — the same total order the
+    // bounded-heap combiner applies, so the row sets agree exactly.
+    "q170_bm25_topk_queries" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |              FROM documents WHERE text IS NOT NULL),
+        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |q AS (SELECT DISTINCT * FROM (VALUES
+        |        (1, 'spark'), (1, 'vector'),
+        |        (2, 'merge'), (2, 'spark'),
+        |        (3, 'vector'), (3, 'merge'), (3, 'spark')) AS v(query_id, term)),
+        |dfreq AS (SELECT term, count(*) AS df FROM tfall
+        |          WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+        |scored AS (
+        |  SELECT CAST(q.query_id AS BIGINT) AS query_id, tfall.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |           ((tfall.tf * (1.2 + 1.0)) /
+        |            (tfall.tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |              (dl.dl / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs))))) * 1e9
+        |         ) AS BIGINT)) AS BIGINT) AS bm25_scaled
+        |  FROM tfall JOIN q USING (term) JOIN dfreq USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN corpus
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, bm25_scaled FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY bm25_scaled DESC, doc_id) <= 5""".stripMargin,
+    // q171: the from-scratch side IS the oracle (the Spark side gates
+    // merged ≡ scratch in-query, so its output equals the scratch
+    // aggregate with merge_exact = true). concat_ws skips NULL text on
+    // both engines (a re-ingested null-text doc contributes its prefix
+    // tokens only).
+    "q171_postings_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id, concat_ws(' ', 'refreshed', text) AS text
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, concat_ws(' ', 'fresh ingest', text)
+        |  FROM documents WHERE doc_id < 50),
+        |spliced AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 50 OR doc_id IS NULL
+        |  UNION ALL SELECT * FROM batch),
+        |toks AS (SELECT doc_id,
+        |           unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |         FROM spliced WHERE text IS NOT NULL),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT doc_id % 8 AS doc_bucket, CAST(count(*) AS BIGINT) AS n_postings,
+        |       CAST(sum(tf) AS BIGINT) AS tf_mass, TRUE AS merge_exact
+        |FROM post GROUP BY 1""".stripMargin,
     // q167: the BPE apply rule as a recursive CTE. State = symbols joined
     // by \x1f WITH leading/trailing delimiters, so a pattern
     // `\x1f a \x1f b \x1f` can only match whole symbols (never a suffix

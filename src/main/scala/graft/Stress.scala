@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components|store|ivfcap] [sfDir]
+ * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components|store|ivfcap|standing|kcore] [sfDir]
  * (default sfDir /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -63,6 +63,8 @@ object Stress {
     if (mode == "selection") { selectionStudy(spark, sfDir); spark.stop(); return }
     if (mode == "components") { componentsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "store") { storeStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "standing") { standingStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "kcore") { kcoreStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -567,6 +569,105 @@ object Stress {
     println(s"[stress] compaction: epochs $epBefore -> $epAfter (expect 1 after), " +
       s"data files $filesBefore -> $filesAfter (expect 64 = 1/bucket after), " +
       s"fingerprint identical: ${fpPre == fpPost} (expect true)")
+    ()
+  }
+
+  /** STANDING-INDEX store round trip: for each of the three disk-backed
+    * standing assets (IVF assignment + quantizer, banded minhash index,
+    * BM25 postings), time the BUILD+WRITE session against the RELOAD
+    * session and gate that the reloaded row set is fingerprint-identical
+    * to an independent from-scratch rebuild — the invariant that makes
+    * `ensureIvfIndex`/`ensureMinhashIndex`/`ensurePostings` safe to serve
+    * from disk across sessions. At 100 TB the build side is a full corpus
+    * scan + shuffle; the reload side is an index-mass parquet read, which
+    * is why the load-or-build posture matters. */
+  private def standingStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sources.Sink
+    import graft.operators.{Dedup, Retrieval, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("stress_standing").toString
+    def fp(df: DataFrame): Long = {
+      val cols = df.columns.map(col)
+      df.select(xxhash64(struct(cols.toIndexedSeq: _*)).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+    }
+    val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+
+    // IVF: quantizer + assignment
+    timed("IVF build+write (corpus scan, quantizer train, epoch write)") {
+      val b = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCentroids = 16, trainIters = 1)
+      Sink.writeIndex(Similarity.centroidsFrame(spark, b), s"$root/ivf_cent")
+      Sink.writeIndex(b.assigned, s"$root/ivf_asg", partitionCols = Seq("cent_id"))
+    }
+    val ivfLoaded = Sink.readIndex(spark, s"$root/ivf_asg")
+    val nIvf = timed("IVF reload (fresh-session load path)") { ivfLoaded.count() }
+    // deterministic build: an independent rebuild IS the build-path row set
+    val ivfRebuilt = Similarity
+      .buildIvfIndex(emb, "vec_id", "embedding", nCentroids = 16, trainIters = 1).assigned
+    println(s"[stress] IVF reload rows: $nIvf; " +
+      s"reload==rebuild fingerprint: ${fp(ivfLoaded) == fp(ivfRebuilt)} (expect true)")
+
+    // minhash banded index
+    timed("minhash build+write") {
+      Sink.writeIndex(Dedup.minhashIndex(docs, "doc_id", "text"),
+        s"$root/minhash", partitionCols = Seq("band"))
+    }
+    val mhLoaded = Sink.readIndex(spark, s"$root/minhash")
+    val nMh = timed("minhash reload") { mhLoaded.count() }
+    println(s"[stress] minhash reload rows: $nMh; reload==rebuild fingerprint: " +
+      s"${fp(mhLoaded) == fp(Dedup.minhashIndex(docs, "doc_id", "text"))} (expect true)")
+
+    // BM25 postings
+    timed("postings build+write") {
+      Sink.writeIndex(
+        Retrieval.buildPostings(docs, "doc_id", "text")
+          .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(32L))),
+        s"$root/postings", partitionCols = Seq("term_bucket"))
+    }
+    val poLoaded = Sink.readIndex(spark, s"$root/postings").drop("term_bucket")
+    val nPo = timed("postings reload") { poLoaded.count() }
+    println(s"[stress] postings reload rows: $nPo; reload==rebuild fingerprint: " +
+      s"${fp(poLoaded) == fp(Retrieval.buildPostings(docs, "doc_id", "text"))} (expect true)")
+    ()
+  }
+
+  /** EXACT k-core at data scale: a wider co-purchase graph (customer cut
+    * 10x the q168 probe) peeled to fixpoint at several k, reporting
+    * rounds-to-fixpoint, the peel-round distribution, and wall per round —
+    * the evidence that the fixpoint loop's cost tracks rounds x
+    * degree-aggregate (each round one degree aggregate over the LIVE edge
+    * set, lineage checkpoint-truncated), not accumulated history. */
+  private def kcoreStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Graph
+    val buyers = SparkEntry.tbl(spark, sfDir, "orders").where(col("o_custkey") < 5000)
+      .join(SparkEntry.tbl(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+    // single-shared-part edges (vs q168's >= 2 cut) on a 50x customer cut:
+    // a much larger, denser graph whose peel fronts cascade deeper
+    val edges = buyers.as("a").join(buyers.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("c1"), col("b.c").as("c2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nEdges = edges.count()
+    println(s"[stress] co-purchase graph: $nEdges edges")
+    Seq(256, 320, 384).foreach { k =>
+      val t0 = System.nanoTime()
+      val res = Graph.kCoreExact(edges, "c1", "c2", k = k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val dist = res.groupBy(col("peel_round")).agg(count(lit(1)).as("n"))
+        .orderBy(col("peel_round")).collect()
+        .map(r => s"r${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
+      val converged = res.select(min(col("converged"))).head().getBoolean(0)
+      val rounds = res.agg(max(col("peel_round"))).head().getLong(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] k=$k%-3d rounds-to-fixpoint: $rounds, converged: $converged " +
+        f"(expect true), wall: $wall%.2f s (${wall / math.max(rounds, 1)}%.2f s/round), " +
+        s"peel distribution (r0 = survivors): $dist")
+      res.unpersist()
+    }
+    edges.unpersist()
     ()
   }
 

@@ -116,15 +116,66 @@ object Retrieval {
       unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
     require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
       s"docs must carry $idCol and $textCol")
+    val postings = buildPostings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { postings.unpersist(); () })
+    bm25FromPostings(postings, idCol, queries, queryIdCol, termCol, k1, b)
+  }
+
+  /**
+   * The postings build half of [[bm25ForQueries]]: one corpus scan, one
+   * shuffle keyed by (doc, term), returning the `(idCol, term, tf)`
+   * term-frequency postings frame — the STANDING ASSET a retrieval
+   * deployment persists (e.g. through
+   * [[graft.sources.Sink.writeIndex]]) and every query batch scores
+   * against. `dl`, `df`, and the corpus stats are all derivable from it
+   * (postings-mass-bounded aggregates), so nothing else needs storing.
+   * Maintain it incrementally with [[mergePostings]].
+   */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /**
+   * Fold an ingest batch into a standing postings frame: every document
+   * present in `batchDocs` has its postings REPLACED by the batch's
+   * tokenization (re-ingested docs upsert, new docs append) — the same
+   * last-writer-wins-by-key discipline as the bucket store, so a replayed
+   * batch is idempotent. Deleting a doc's rows is the anti-join; the
+   * delete list is the batch's (small) id set, broadcast. The merged
+   * frame is ALGEBRAICALLY identical to `buildPostings(standingDocs
+   * without batch ids ∪ batchDocs)` — the mergeable-state law the
+   * bloom/minhash/HLL/count-min family pins in-query, completed for
+   * postings.
+   */
+  def mergePostings(standing: DataFrame, batchDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val delta = buildPostings(batchDocs, idCol, textCol)
+    // anti-join on the batch's FULL id set (not just non-empty-text docs):
+    // a re-ingested doc whose new text is null/empty means "this doc now
+    // has no tokens" — its standing rows must still be dropped
+    val batchIds = batchDocs.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+    standing.join(broadcast(batchIds), Seq(idCol), "left_anti")
+      .unionByName(delta)
+  }
+
+  /**
+   * The scoring half of [[bm25ForQueries]], over an ALREADY-BUILT postings
+   * frame `(idCol, term, tf)` — the standing-index form: postings load
+   * from the index store (or arrive persisted), and each query batch pays
+   * postings-mass-bounded aggregates plus broadcast joins, never a corpus
+   * scan. Callers pass a persisted/stored frame; the three consumers
+   * below (dl, df, scoring spine) each read it once.
+   */
+  def bm25FromPostings(postings: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.columns.contains(queryIdCol) && queries.columns.contains(termCol),
       s"queries must carry $queryIdCol and $termCol")
-    val toks = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__term"))
-      .where(length(col("__term")) > 0)
-    val tfAll = toks.groupBy(col(idCol), col("__term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    unpersistHook(() => { tfAll.unpersist(); () })
+    val tfAll = postings.select(col(idCol), col("term").as("__term"), col("tf"))
     val dl = tfAll.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val q = queries.select(col(queryIdCol).as("__qid"), col(termCol).as("__term")).distinct()

@@ -391,6 +391,36 @@ object Similarity {
       private[operators] val centroids: Array[(Long, Array[Double])],
       val assigned: DataFrame) extends Serializable
 
+  /** The trained quantizer as a `(cent_id, cent_v)` frame — the
+    * PERSISTABLE half of an [[IvfIndex]] (the assignment frame is the
+    * other): write both through a manifest-committed index store (e.g.
+    * [[graft.sources.Sink.writeIndex]], assignment partitioned by
+    * `cent_id`) and a later session reconstructs the identical index with
+    * [[loadIvfIndex]] instead of re-scanning the corpus. nCentroids rows,
+    * array<double> exact through parquet. */
+  def centroidsFrame(spark: SparkSession, index: IvfIndex): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(index.centroids.toSeq).toDF("cent_id", "cent_v")
+  }
+
+  /** Reconstruct a standing [[IvfIndex]] from its two persisted frames —
+    * the load half of the store round trip. The centroid collect is
+    * O(nCentroids * dim), bounded by the same guard as the build path
+    * (a mis-pointed centroids frame must fail loudly, not OOM the
+    * driver); `assigned` is consumed lazily as written. */
+  def loadIvfIndex(centroids: DataFrame, assigned: DataFrame,
+      maxCentroids: Int = 65536): IvfIndex = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val n = centroids.count()
+    require(n > 0 && n <= maxCentroids,
+      s"centroids frame carries $n rows; expected (0, $maxCentroids] — wrong frame?")
+    val centArr = centroids
+      .select(col("cent_id").cast("long"), col("cent_v").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    new IvfIndex(centArr, assigned)
+  }
+
   /**
    * Build the IVF coarse quantizer + inverted-list assignment (the index-build
    * half of [[ivfTopK]]). The quantizer is `nCentroids` deterministic seed

@@ -156,6 +156,65 @@ object Sink {
     } finally { withB.unpersist(); () }
   }
 
+  /**
+   * SNAPSHOT-INDEX write: persist a standing derived asset (an IVF
+   * assignment, a banded minhash index, a postings frame) under the SAME
+   * manifest commit discipline as [[upsertBuckets]] — fresh epoch
+   * directory, then an atomically-renamed next-numbered manifest — so a
+   * session can LOAD the index instead of rebuilding it, and a crash
+   * mid-write leaves the previous index version fully readable. Unlike
+   * the keyed store this is whole-asset REPLACE semantics (an index
+   * rebuild supersedes the old version outright; the old epoch becomes
+   * [[vacuumStore]]-able garbage).
+   *
+   * `partitionCols` lay the epoch out one directory per value — pass the
+   * probe key (`cent_id`, `band`) so a reader that filters on the
+   * partition copy prunes whole directories. Partition values are
+   * written via `__p_<col>` COPY columns (the [[upsertBuckets]] `__pb`
+   * trick): the original column survives as parquet DATA with its exact
+   * type — directory-name type re-inference can never mangle the schema —
+   * and [[readIndex]] drops the copies, so a write→read round trip is
+   * column-identical to the input frame. Scale-out readers wanting
+   * directory pruning filter on `__p_<col>` via a raw read of the epoch
+   * path; the in-session consumers here read the whole index once and
+   * persist it.
+   */
+  def writeIndex(df: DataFrame, indexPath: String, partitionCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    requireLocalPath(indexPath)
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
+    require(!df.columns.exists(_.startsWith("__p_")),
+      s"the __p_ column prefix is reserved by writeIndex, got ${df.columns.mkString(",")}")
+    val (n, _) = latestManifest(indexPath)
+    val epoch = f"e-${java.util.UUID.randomUUID().toString.take(8)}-${n + 1}%09d"
+    val copies = partitionCols.map(c => s"__p_$c")
+    val withCopies = partitionCols.zip(copies).foldLeft(df) {
+      case (acc, (c, p)) => acc.withColumn(p, col(c))
+    }
+    val laid =
+      if (copies.isEmpty) withCopies
+      // repartition on the copies first: one task per partition value keeps
+      // the write at ~one file per directory (the upsertBuckets discipline)
+      else withCopies.repartition(copies.map(col): _*)
+    val writer = laid.write.mode(SaveMode.ErrorIfExists)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (copies.isEmpty) writer else writer.partitionBy(copies: _*))
+      .parquet(s"${sparkDataRoot(indexPath)}/$epoch")
+    publishManifest(indexPath, n + 1, Map(0L -> epoch))
+  }
+
+  /** Resolve the CURRENT committed snapshot of a [[writeIndex]] store and
+    * strip the `__p_` partition copies — the returned frame is
+    * column-identical (names, types, order) to the frame that was written. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
+    val raw = readStore(spark, indexPath)
+    raw.drop(raw.columns.filter(_.startsWith("__p_")).toIndexedSeq: _*)
+  }
+
+  /** True once a first index snapshot has committed. */
+  def indexExists(indexPath: String): Boolean = storeExists(indexPath)
+
   /** The manifest machinery does driver-local file I/O (java.nio) — a
     * distributed-FS store root would silently read an EMPTY manifest and
     * orphan all committed data. Reject loudly; porting to HDFS/S3 means

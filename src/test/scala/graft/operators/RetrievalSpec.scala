@@ -80,6 +80,38 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("bm25FromPostings over buildPostings equals bm25ForQueries (the standing-index split)") {
+    val queries = Seq((1L, "spark"), (2L, "merge"), (3L, "spark"), (3L, "merge"))
+      .toDF("query_id", "term")
+    val postings = Retrieval.buildPostings(docs, "doc_id", "text")
+    val split = Retrieval.bm25FromPostings(postings, "doc_id", queries, "query_id", "term")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = Retrieval.bm25ForQueries(docs, "doc_id", "text", queries, "query_id", "term")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(split == oneShot)
+  }
+
+  test("mergePostings: re-ingested docs upsert, new docs append, merged == from-scratch") {
+    val standing = Retrieval.buildPostings(docs, "doc_id", "text")
+    // doc 2 re-ingested with NEW text (old rows must vanish), doc 9 fresh
+    val batch = Seq((2L, "merge merge new"), (9L, "fresh doc"))
+      .toDF("doc_id", "text")
+    val merged = Retrieval.mergePostings(standing, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val splicedDocs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "merge merge new"),
+      (3L, "other words here"),
+      (9L, "fresh doc")).toDF("doc_id", "text")
+    val scratch = Retrieval.buildPostings(splicedDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged == scratch)
+    // the stale doc-2 posting ("spark" tf... none here, but the OLD tf=1
+    // "merge" row) must not survive alongside the new tf=2 row
+    assert(merged.count(t => t._1 == 2L && t._2 == "merge") == 1)
+    assert(merged.contains((2L, "merge", 2L)))
+  }
+
   test("rrfFuse sums round(1e9/(k0+rank)) per id and counts contributing lists") {
     val l1 = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
     val l2 = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")

@@ -188,6 +188,46 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") == before)
   }
 
+  test("writeIndex/readIndex: snapshot round trip is column-identical; rewrite supersedes; vacuum reclaims") {
+    val path = tmp("idx")
+    val v1 = Seq((1L, 0L, "x"), (2L, 1L, "y"), (3L, 0L, "z"))
+      .toDF("id", "cent_id", "payload")
+    assert(!Sink.indexExists(path))
+    Sink.writeIndex(v1, path, partitionCols = Seq("cent_id"))
+    assert(Sink.indexExists(path))
+    val back = Sink.readIndex(spark, path)
+    // names, types, AND order survive (partition copies stripped); only
+    // nullability widens — the standard parquet round-trip relaxation
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      v1.schema.map(f => (f.name, f.dataType)),
+      s"schema changed: ${back.schema} vs ${v1.schema}")
+    assert(back.collect().map(_.toSeq).toSet == v1.collect().map(_.toSeq).toSet)
+    // partition layout: one directory per cent_id value under the epoch
+    val pdirs = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filter(_.startsWith("__p_cent_id=")).toSet
+    assert(pdirs == Set("__p_cent_id=0", "__p_cent_id=1"))
+    // whole-asset replace: a rebuild supersedes, old epoch becomes garbage
+    val v2 = Seq((9L, 2L, "r")).toDF("id", "cent_id", "payload")
+    Sink.writeIndex(v2, path, partitionCols = Seq("cent_id"))
+    assert(Sink.readIndex(spark, path).collect().map(_.toSeq).toSet ==
+      v2.collect().map(_.toSeq).toSet)
+    Sink.vacuumStore(path)
+    val epochs = Files.list(Paths.get(path)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filter(_.startsWith("e-")).toSeq
+    assert(epochs.size == 1, s"vacuum should leave only the live epoch, got $epochs")
+    assert(Sink.readIndex(spark, path).count() == 1)
+  }
+
+  test("writeIndex rejects reserved __p_ columns and unknown partition cols") {
+    val path = tmp("idxbad")
+    val df = Seq((1L, "a")).toDF("id", "payload")
+    intercept[IllegalArgumentException](Sink.writeIndex(df, path, Seq("nope")))
+    val reserved = df.withColumn("__p_id", $"id")
+    intercept[IllegalArgumentException](Sink.writeIndex(reserved, path))
+  }
+
   test("upsertStream: micro-batched upserts equal the one-shot batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
