@@ -2562,6 +2562,21 @@ object SparkEntry {
       multimodal.Media.videoFrameMeans(blobs, "doc_id", "blob")
     }),
 
+    // q172: MJPEG-in-AVI — q149's compressed sibling, composing the AVI
+    // chunk walk with the REAL baseline JPEG codec: each '00dc' chunk is
+    // a complete JPEG (frame f's fixture seed = doc_id + f, so odd/even
+    // frames cover both 4:4:4 and 4:2:0), decoded per frame through
+    // Jpeg.decode; per-frame channel means under the q164 closed form.
+    // Unknown-codec '00dc' streams still reject (honesty rule unchanged).
+    "q172_mjpeg_frames" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, multimodal.Media.syntheticMjpegAvi(16, 16, 2, id)))
+        .toDF("doc_id", "blob")
+      multimodal.Media.videoFrameMeans(blobs, "doc_id", "blob")
+    }),
+
     // GLOBAL exact quantiles with no global sort: the corpus collapses to a
     // (value, count) histogram map-side — the shuffle carries distinct
     // values, not rows — and the rank reads off the cumulative count
@@ -5276,6 +5291,29 @@ object SparkEntry {
         |       CAST(sum(g) // ((w//8) * (h//8)) AS BIGINT) AS mean_g,
         |       CAST(sum(b) // ((w//8) * (h//8)) AS BIGINT) AS mean_b
         |FROM rgb GROUP BY doc_id, w, h""".stripMargin,
+    // q172: q164's closed form per FRAME — frame f of doc d is a 16x16
+    // synthetic JPEG with s = (d + f) % 256: four luma blocks
+    // (bx,by in {0,1}), MCU-constant chroma cb = s, cr = 2s % 256 (16x16
+    // means bx//2 = by//2 = 0 in the q164 formula, either subsampling).
+    "q172_mjpeg_frames" ->
+      """WITH fr AS (SELECT doc_id, f, (doc_id + f) % 256 AS s
+        |            FROM documents, unnest(generate_series(0, 1)) AS uf(f)
+        |            WHERE doc_id IS NOT NULL),
+        |blk AS (SELECT doc_id, f, s, (bx*7 + by*3 + s) % 256 AS yv,
+        |               s AS cb, (2*s) % 256 AS cr
+        |        FROM fr, unnest(generate_series(0, 1)) AS ux(bx),
+        |                 unnest(generate_series(0, 1)) AS uy(by)),
+        |rgb AS (SELECT doc_id, f,
+        |          least(255, greatest(0, yv + ((91881*(cr-128) + 32768 + 1073741824) // 65536) - 16384)) AS r,
+        |          least(255, greatest(0, yv - ((22554*(cb-128) + 46802*(cr-128) + 32768 + 1073741824) // 65536) + 16384)) AS g,
+        |          least(255, greatest(0, yv + ((116130*(cb-128) + 32768 + 1073741824) // 65536) - 16384)) AS b
+        |        FROM blk)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |       CAST(sum(r) // 4 AS BIGINT) AS mean_r,
+        |       CAST(sum(g) // 4 AS BIGINT) AS mean_g,
+        |       CAST(sum(b) // 4 AS BIGINT) AS mean_b
+        |FROM rgb GROUP BY doc_id, f""".stripMargin,
     // q165: the x2-upscaled output's pixels ARE the 16x16 source's four
     // blocks replicated — mean over 32x32 = mean over the 4 source blocks
     // (floor(4S/16) = floor(S/4)); chroma is MCU-constant (cb=s, cr=2s).

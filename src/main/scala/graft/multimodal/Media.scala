@@ -240,33 +240,47 @@ object Media {
       .toDF(idCol, "sample_rate", "n_samples", "peak", "mean_abs")
   }
 
-  /** A parsed uncompressed-DIB AVI: per-frame pixel access over the raw
-    * bottom-up padded BGR frames in the `movi` list. */
+  /** A parsed AVI: per-frame access over the `movi` list. Frames are
+    * either raw bottom-up padded BGR DIBs ('00db') or baseline JPEGs
+    * ('00dc' MJPEG — each chunk IS a standalone JPEG file, decoded
+    * through the real [[Jpeg]] codec on demand). */
   private[graft] final class AviVideo(bytes: Array[Byte], val width: Int, val height: Int,
-      frameOffsets: Array[Int]) {
+      frameOffsets: Array[Int], frameSizes: Array[Int], jpegFlags: Array[Boolean]) {
     val nFrames: Int = frameOffsets.length
     private val stride = width * 3 + ((4 - (width * 3) % 4) % 4)
-    /** (r, g, b) at image coords (x, y) of frame f (top-left origin). */
+    def isJpeg(f: Int): Boolean = jpegFlags(f)
+    /** (r, g, b) at image coords (x, y) of DIB frame f (top-left origin). */
     def pixel(f: Int, x: Int, y: Int): (Int, Int, Int) = {
+      require(!jpegFlags(f), s"frame $f is MJPEG — decode via jpegImage")
       val i = frameOffsets(f) + (height - 1 - y) * stride + x * 3
       ((bytes(i + 2) & 0xff), (bytes(i + 1) & 0xff), (bytes(i) & 0xff))
+    }
+    /** The decoded JPEG of an MJPEG frame; None if the frame's entropy
+      * stream is corrupt (callers drop it like any undecodable image). */
+    def jpegImage(f: Int): Option[Jpeg.JpegImage] = {
+      require(jpegFlags(f), s"frame $f is a raw DIB — read via pixel")
+      Jpeg.decode(java.util.Arrays.copyOfRange(
+        bytes, frameOffsets(f), frameOffsets(f) + frameSizes(f)))
     }
   }
 
   /**
-   * REAL frame extraction from an uncompressed-DIB AVI — the video analog
-   * of [[parseBmp]]: RIFF('AVI ') → LIST('hdrl') → 'avih' (width/height at
-   * payload offsets 32/36) → LIST('movi') → one '00db' chunk per raw frame
-   * (BMP-style bottom-up padded BGR rows). Pure chunk-walk byte math; the
-   * subset a codec-less container can honestly decode — compressed streams
-   * ('00dc' with a codec fourcc) return None like compressed images do.
+   * REAL frame extraction from an AVI — the video analog of [[parseBmp]]:
+   * RIFF('AVI ') → LIST('hdrl') → 'avih' (width/height at payload offsets
+   * 32/36) → LIST('movi') → one chunk per frame. Two honestly-decodable
+   * stream kinds: '00db' raw uncompressed DIBs (BMP-style bottom-up
+   * padded BGR rows), and '00dc' MJPEG — each compressed chunk is a
+   * complete baseline JPEG (SOI signature checked), decoded through the
+   * real [[Jpeg]] codec. Any '00dc' chunk that is NOT a JPEG (another
+   * codec's bitstream) still returns None: no codec here can decode it,
+   * same honesty rule as compressed images.
    */
   private[graft] def parseAvi(bytes: Array[Byte]): Option[AviVideo] = {
     def fourcc(i: Int, s: String): Boolean =
       i + 4 <= bytes.length && (0 until 4).forall(j => bytes(i + j) == s.charAt(j).toByte)
     if (bytes.length < 24 || !fourcc(0, "RIFF") || !fourcc(8, "AVI ")) return None
     var w = 0; var h = 0
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val size = le32(bytes, pos + 4)
@@ -296,9 +310,13 @@ object Media {
             if (csz < 0 || p.toLong + 8 + csz > end) return None
             if (fourcc(p, "00db")) {
               if (csz.toLong != stride * h) return None // frame size must match dims
-              frames += (p + 8)
+              frames += ((p + 8, csz, false))
             } else if (fourcc(p, "00dc")) {
-              return None // compressed stream: no codec in this container
+              // MJPEG: the chunk must BE a JPEG (SOI signature); any other
+              // codec's bitstream is undecodable here — reject the container
+              if (csz < 2 || bytes(p + 8) != 0xff.toByte || bytes(p + 9) != 0xd8.toByte)
+                return None
+              frames += ((p + 8, csz, true))
             }
             p += 8 + csz + (csz & 1)
           }
@@ -306,7 +324,9 @@ object Media {
       }
       pos += 8 + size + (size & 1)
     }
-    if (w > 0 && h > 0 && frames.nonEmpty) Some(new AviVideo(bytes, w, h, frames.toArray))
+    if (w > 0 && h > 0 && frames.nonEmpty)
+      Some(new AviVideo(bytes, w, h,
+        frames.map(_._1).toArray, frames.map(_._2).toArray, frames.map(_._3).toArray))
     else None
   }
 
@@ -358,11 +378,48 @@ object Media {
   }
 
   /**
-   * REAL per-frame video features over uncompressed-DIB AVI blobs:
+   * Deterministic synthetic MJPEG AVI: same RIFF skeleton as
+   * [[syntheticAvi]] but each frame is a '00dc' chunk whose payload is a
+   * complete [[syntheticJpegImage]] (frame f's seed = `seed + f`, so the
+   * q164 closed form holds per frame with s = (seed + f) mod 256). Odd
+   * JPEG sizes get the RIFF pad byte.
+   */
+  def syntheticMjpegAvi(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(nFrames > 0, s"nFrames must be positive, got $nFrames")
+    val jpegs = (0 until nFrames).map(f => syntheticJpegImage(w, h, seed + f))
+    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val hdrlSize = 4 + 8 + 56
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val bytes = new Array[Byte](total)
+    putAsciiAt(bytes, 0, "RIFF"); putLe32At(bytes, 4, total - 8); putAsciiAt(bytes, 8, "AVI ")
+    var pos = 12
+    putAsciiAt(bytes, pos, "LIST"); putLe32At(bytes, pos + 4, hdrlSize)
+    putAsciiAt(bytes, pos + 8, "hdrl")
+    putAsciiAt(bytes, pos + 12, "avih"); putLe32At(bytes, pos + 16, 56)
+    val avih = pos + 20
+    putLe32At(bytes, avih + 16, nFrames)
+    putLe32At(bytes, avih + 32, w); putLe32At(bytes, avih + 36, h)
+    pos += 8 + hdrlSize
+    putAsciiAt(bytes, pos, "LIST"); putLe32At(bytes, pos + 4, moviSize)
+    putAsciiAt(bytes, pos + 8, "movi")
+    var fp = pos + 12
+    jpegs.foreach { j =>
+      putAsciiAt(bytes, fp, "00dc"); putLe32At(bytes, fp + 4, j.length)
+      System.arraycopy(j, 0, bytes, fp + 8, j.length)
+      fp += 8 + j.length + (j.length & 1)
+    }
+    bytes
+  }
+
+  /**
+   * REAL per-frame video features over AVI blobs:
    * `(id, frame_idx, width, height, mean_r, mean_g, mean_b)` — one row per
    * decoded frame, every pixel visited. The 1-to-N explode shape of real
-   * video frame extraction, with the decode REAL for the codec-free
-   * subset; non-AVI / compressed / null blobs are dropped.
+   * video frame extraction, with the decode REAL for both honest codecs:
+   * raw-DIB frames read directly, MJPEG frames through the [[Jpeg]]
+   * decoder (dims from the DECODED frame — an MJPEG stream's frames own
+   * their dimensions). Non-AVI / unknown-codec / null blobs are dropped;
+   * a corrupt MJPEG frame drops that frame only.
    */
   def videoFrameMeans(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -372,20 +429,28 @@ object Media {
       .mapPartitions { rows =>
         rows.filter(_._2 != null).flatMap { case (id, bytes) =>
           parseAvi(bytes).iterator.flatMap { v =>
-            (0 until v.nFrames).iterator.map { f =>
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < v.height) {
-                var x = 0
-                while (x < v.width) {
-                  val (r, g, b) = v.pixel(f, x, y)
-                  sr += r; sg += g; sb += b
-                  x += 1
+            (0 until v.nFrames).iterator.flatMap { f =>
+              if (v.isJpeg(f))
+                v.jpegImage(f).iterator.map { img =>
+                  val (w, h, mr, mg, mb) = jpegChannelMeans(img)
+                  (id, f.toLong, w, h, mr, mg, mb)
                 }
-                y += 1
+              else {
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < v.height) {
+                  var x = 0
+                  while (x < v.width) {
+                    val (r, g, b) = v.pixel(f, x, y)
+                    sr += r; sg += g; sb += b
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = v.width.toLong * v.height
+                Iterator.single(
+                  (id, f.toLong, v.width.toLong, v.height.toLong, sr / n, sg / n, sb / n))
               }
-              val n = v.width.toLong * v.height
-              (id, f.toLong, v.width.toLong, v.height.toLong, sr / n, sg / n, sb / n)
             }
           }
         }

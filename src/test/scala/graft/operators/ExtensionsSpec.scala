@@ -1012,11 +1012,40 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(rows.length === 2)
       // frame 0: sr = sum(x+y) = 9 over 6 px -> 1; sg = (5*3 + 6*3)/6 = 5; sb = (5+6+7)*2/6 = 6
       assert(rows(0) === ((3L, 0L, 3L, 2L, 1L, 5L, 6L)))
-      // a compressed stream chunk ('00dc') is rejected, not misdecoded
+      // a non-JPEG compressed stream chunk ('00dc' whose payload is the raw
+      // DIB, no SOI signature) is rejected, not misdecoded
       val compressed = avi.clone()
       compressed(100 + 3) = 'c' // 00db -> 00dc of the first frame chunk id
       assert(Media.parseAvi(compressed).isEmpty)
       assert(Media.parseAvi(avi.dropRight(1)).isEmpty)
+    }
+
+    it("REALLY decodes MJPEG-in-AVI frames through the JPEG codec") {
+      val avi = Media.syntheticMjpegAvi(16, 16, 3, 7L)
+      val v = Media.parseAvi(avi).get
+      assert((v.width, v.height, v.nFrames) === ((16, 16, 3)))
+      assert((0 until 3).forall(v.isJpeg))
+      // frame f is syntheticJpegImage(16,16, 7+f): block-constant luma
+      // yv(bx,by) = (bx*7 + by*3 + 7+f) % 256, MCU-constant chroma — the
+      // decoded samples must be bit-exact to the closed form
+      val img1 = v.jpegImage(1).get
+      assert((img1.width, img1.height) === ((16, 16)))
+      assert(img1.ycc(0, 0) === ((8, 8, 16)))   // s = 8: bx=by=0
+      assert(img1.ycc(9, 0) === ((15, 8, 16)))  // bx=1: 7+8
+      assert(img1.ycc(0, 9) === ((11, 8, 16)))  // by=1: 3+8
+      // videoFrameMeans explodes one row per frame with decoded dims
+      val rows = Media.videoFrameMeans(Seq((5L, avi)).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+      assert(rows.length === 3)
+      assert(rows.forall(r => r._3 == 16 && r._4 == 16))
+      // a corrupted SOI signature on one frame rejects honestly: the chunk
+      // no longer proves itself a JPEG, so the container is undecodable
+      val corrupt = avi.clone()
+      val idx = (0 until corrupt.length - 4).find(i =>
+        corrupt(i) == '0'.toByte && corrupt(i + 1) == '0'.toByte &&
+          corrupt(i + 2) == 'd'.toByte && corrupt(i + 3) == 'c'.toByte).get
+      corrupt(idx + 8) = 0 // SOI first byte
+      assert(Media.parseAvi(corrupt).isEmpty)
     }
 
     it("REALLY parses dimensions out of PNG IHDR and JPEG SOF headers") {
