@@ -497,6 +497,39 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), functions.Text.langGuess(col("text")).as("lang_guess"))),
 
+    // q173: the trigram classifier's ACCEPTANCE GATE — a planted
+    // multilingual fixture corpus (one real sentence per language, label =
+    // doc_id mod 4) must classify 100% DIAGONAL: the oracle is the planted
+    // expectation itself (lang_guess = lang per class), so ANY
+    // misclassification is an off-diagonal row and a hash mismatch; the
+    // in-query `diagonal_exact` boolean gates the same invariant visibly.
+    // This is the per-language-signal test the natural corpus (whose text
+    // is synthetic tech vocabulary regardless of label) cannot express —
+    // q124 grades the classifier against those labels for the record.
+    "q173_langid_planted" -> ((s, dir) => {
+      val sentence = Map(
+        "en" -> "the quick brown fox jumps over the lazy dog and the band is singing a theme of thunder",
+        "de" -> "der schnelle braune fuchs springt und das licht ist ein schoenes ding nicht schlecht",
+        "fr" -> "le renard brun rapide saute les chiens dorment une entente des couleurs du coeur",
+        "es" -> "el zorro marron rapido salta los perros duermen en la casa por adelantado")
+      val m = pmod(col("doc_id"), lit(4L))
+      val lab = when(m === 0, "en").when(m === 1, "de").when(m === 2, "fr").otherwise("es")
+      val planted = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), lab.as("lang"))
+        .withColumn("text",
+          when(col("lang") === "en", sentence("en"))
+            .when(col("lang") === "de", sentence("de"))
+            .when(col("lang") === "fr", sentence("fr"))
+            .otherwise(sentence("es")))
+      val conf = planted
+        .select(col("lang"), functions.Text.langGuess(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
+      val gate = conf.agg(min(col("lang") === col("lang_guess")).as("all_diag"))
+      conf.crossJoin(broadcast(gate))
+        .select(col("lang"), col("lang_guess"), col("n"),
+          col("all_diag").as("diagonal_exact"))
+    }),
+
     // quality scoring (length / token / stopword heuristics); coalesce keeps
     // NULL-text behavior identical to DuckDB (whose concat skips NULL args
     // while Spark's propagates it)
@@ -3233,20 +3266,15 @@ object SparkEntry {
         |       CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
         |            ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS n_tokens
         |FROM documents""".stripMargin,
+    // q22: the trigram score columns and argmax CASE are GENERATED from
+    // Text.langTrigrams (same table the Column kernel reads)
     "q22_lang_guess" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT doc_id,
-        |    (len(pt) - len(replace(pt, ' the ', ''))) // 5 AS c_en,
-        |    (len(pt) - len(replace(pt, ' der ', ''))) // 5 AS c_de,
-        |    (len(pt) - len(replace(pt, ' le ', ''))) // 4 AS c_fr,
-        |    (len(pt) - len(replace(pt, ' el ', ''))) // 4 AS c_es
-        |  FROM (SELECT doc_id, concat(' ', text, ' ') AS pt FROM documents) p)
+        |    ${functions.Text.langScoreSqlColumns}
+        |  FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS pt FROM documents) p)
         |SELECT doc_id,
-        |  CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
-        |       WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
-        |       WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
-        |       WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
-        |       ELSE 'und' END AS lang_guess
+        |  ${functions.Text.langGuessSqlCase} AS lang_guess
         |FROM c""".stripMargin,
     "q23_quality" ->
       // coalesce(text,'') mirrors the Spark side's NULL guard
@@ -4207,29 +4235,22 @@ object SparkEntry {
     // q112: q54's chunk windows + q22's marker-count language CASE per
     // chunk; majority via the struct-min(-count, lang) trick
     "q112_mixed_language" ->
-      """WITH d AS (SELECT doc_id,
-        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+      s"""WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'),
+        |                                '[^ \\x09-\\x0D]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, words, start FROM (
         |        SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
         |        FROM d WHERE len(words) > 0)
         |      WHERE start = 0 OR start + 2 < len(words)),
         |ch AS (SELECT doc_id,
-        |         concat(' ', array_to_string(words[start+1 : least(start+8, len(words))], ' '), ' ') AS pt
+        |         concat(' ', lower(array_to_string(words[start+1 : least(start+8, len(words))], ' ')), ' ') AS pt
         |       FROM s),
         |c AS (SELECT doc_id,
-        |        (len(pt) - len(replace(pt, ' the ', ''))) // 5 AS c_en,
-        |        (len(pt) - len(replace(pt, ' der ', ''))) // 5 AS c_de,
-        |        (len(pt) - len(replace(pt, ' le ', ''))) // 4 AS c_fr,
-        |        (len(pt) - len(replace(pt, ' el ', ''))) // 4 AS c_es
+        |    ${functions.Text.langScoreSqlColumns}
         |      FROM ch),
         |lg AS (SELECT doc_id,
-        |         CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
-        |              WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
-        |              WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
-        |              WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
-        |              ELSE 'und' END AS lg
+        |         ${functions.Text.langGuessSqlCase} AS lg
         |       FROM c),
         |cnt AS (SELECT doc_id, lg, count(*) AS c FROM lg GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
@@ -4789,22 +4810,29 @@ object SparkEntry {
         |      FROM c)
         |SELECT lang, source, n_docs, rank
         |FROM w WHERE cum_before * 10 < total * 9""".stripMargin,
-    // q124: q22's guess CASE, keyed by the stored label -> langs² counts
+    // q173: the planted expectation IS the oracle — per class (doc_id mod
+    // 4) the guess must equal the label, diagonal_exact TRUE; any
+    // classifier regression produces off-diagonal Spark rows that no
+    // oracle row matches
+    "q173_langid_planted" ->
+      """SELECT CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |            WHEN 2 THEN 'fr' ELSE 'es' END AS lang,
+        |       CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |            WHEN 2 THEN 'fr' ELSE 'es' END AS lang_guess,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS diagonal_exact
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // q124: q22's generated trigram scoring, keyed by the stored label ->
+    // langs² counts
     "q124_langid_confusion" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT lang,
-        |    (len(pt) - len(replace(pt, ' the ', ''))) // 5 AS c_en,
-        |    (len(pt) - len(replace(pt, ' der ', ''))) // 5 AS c_de,
-        |    (len(pt) - len(replace(pt, ' le ', ''))) // 4 AS c_fr,
-        |    (len(pt) - len(replace(pt, ' el ', ''))) // 4 AS c_es
-        |  FROM (SELECT lang, concat(' ', text, ' ') AS pt FROM documents
+        |    ${functions.Text.langScoreSqlColumns}
+        |  FROM (SELECT lang, concat(' ', lower(text), ' ') AS pt FROM documents
         |        WHERE text IS NOT NULL AND lang IS NOT NULL) p)
         |SELECT lang,
-        |  CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
-        |       WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
-        |       WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
-        |       WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
-        |       ELSE 'und' END AS lang_guess,
+        |  ${functions.Text.langGuessSqlCase} AS lang_guess,
         |  count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
     // q151: same tokenize convention; dup count = docs-with-text minus
@@ -4832,20 +4860,13 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // q150: q124's confusion CTE + the exact rational kappa formula
     "q150_kappa_agreement" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT lang,
-        |    (len(pt) - len(replace(pt, ' the ', ''))) // 5 AS c_en,
-        |    (len(pt) - len(replace(pt, ' der ', ''))) // 5 AS c_de,
-        |    (len(pt) - len(replace(pt, ' le ', ''))) // 4 AS c_fr,
-        |    (len(pt) - len(replace(pt, ' el ', ''))) // 4 AS c_es
-        |  FROM (SELECT lang, concat(' ', text, ' ') AS pt FROM documents
+        |    ${functions.Text.langScoreSqlColumns}
+        |  FROM (SELECT lang, concat(' ', lower(text), ' ') AS pt FROM documents
         |        WHERE text IS NOT NULL AND lang IS NOT NULL) p),
         |g AS (SELECT lang,
-        |  CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
-        |       WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
-        |       WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
-        |       WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
-        |       ELSE 'und' END AS lang_guess
+        |  ${functions.Text.langGuessSqlCase} AS lang_guess
         |  FROM c),
         |conf AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,

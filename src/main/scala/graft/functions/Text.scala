@@ -47,25 +47,59 @@ object Text {
   def substrCount(text: Column, token: String): Column =
     ((length(text) - length(replace(text, lit(token), lit("")))) / token.length).cast("long")
 
-  /** Marker words used by the language heuristic, with their language codes.
-    * Space-padded so they only match whole words. */
-  val langMarkers: Seq[(String, String)] = Seq(
-    "en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ")
+  /** Discriminative character trigrams per language (classic char-n-gram
+    * language ID à la Cavnar/Trenkle, reduced to a fixed integer-scored
+    * table): each language's score is the SUM of its trigram occurrence
+    * counts in the space-padded lowercased text. Deliberately ASCII-only
+    * (no accented trigrams) so `length`/`replace` arithmetic is
+    * code-point-exact across engines. This table is the SINGLE SOURCE for
+    * both the Column kernel ([[langGuess]]) and the DuckDB oracle
+    * replication ([[langScoreSqlColumns]]/[[langGuessSqlCase]]). */
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "ing", "and", " of"),
+    "de" -> Seq("der", "sch", "ich", "ein", "und", "cht"),
+    "fr" -> Seq(" le", "les", "ent", "des", "une", "eur"),
+    "es" -> Seq(" el", "los", " la", "ado", "por", "nte"))
 
   /**
-   * Deterministic n-gram-heuristic language guess: count marker-word hits per
-   * language, pick the first maximum in fixed (en, de, fr, es) order, or
-   * "und" (undetermined) when no marker fires. A real pipeline would plug a
-   * proper model here; the *shape* (pure column expression, single scan,
-   * no shuffle) is the part that matters at scale.
+   * Deterministic char-trigram language ID: integer trigram-count scores
+   * per language over the padded lowercased text ([[langTrigrams]]), pick
+   * the first maximum in fixed (en, de, fr, es) order, or "und" when no
+   * trigram fires. Pure column expression — single scan, no shuffle, no
+   * UDF — so it runs at corpus scale inside whole-stage codegen; scoring
+   * is replace-arithmetic, so any SQL engine replays it exactly.
+   * Acceptance artifact: q173's planted multilingual fixture classifies
+   * 100% diagonal (gated in-query); q124 grades it against the corpus
+   * labels.
    */
   def langGuess(text: Column): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    val counts = langMarkers.map { case (lang, marker) => lang -> substrCount(padded, marker) }
-    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
-    counts.foldRight(lit("und"): Column) { case ((lang, cnt), els) =>
-      when(cnt > 0 && cnt === best, lit(lang)).otherwise(els)
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langTrigrams.map { case (lang, tris) =>
+      lang -> tris.map(t => substrCount(padded, t)).reduce(_ + _)
     }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** The per-language score columns (`c_en, c_de, ...`) of the DuckDB
+    * replication, generated from [[langTrigrams]] — the enclosing query
+    * provides `pt = concat(' ', lower(text), ' ')`. Generated, not
+    * hand-copied, so kernel and oracle can never drift. */
+  def langScoreSqlColumns: String =
+    langTrigrams.map { case (lang, tris) =>
+      tris.map(t => s"(len(pt) - len(replace(pt, '$t', ''))) // ${t.length}")
+        .mkString("", " + ", s" AS c_$lang")
+    }.mkString(",\n    ")
+
+  /** The argmax CASE over the [[langScoreSqlColumns]] columns — fixed
+    * (en, de, fr, es) precedence, 'und' fallback, exactly [[langGuess]]. */
+  def langGuessSqlCase: String = {
+    val all = langTrigrams.map(l => s"c_${l._1}").mkString(", ")
+    langTrigrams.map(_._1).map(l =>
+      s"WHEN c_$l > 0 AND c_$l >= greatest($all) THEN '$l'")
+      .mkString("CASE ", "\n       ", "\n       ELSE 'und' END")
   }
 
   /** BPE-style pre-tokenization count: alphabetic runs, digit runs, and

@@ -24,13 +24,29 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(got === 2L) // same as SQL replace-count arithmetic
     }
 
-    it("langGuess picks marker-word argmax with fixed precedence") {
+    it("langGuess scores char trigrams and picks the argmax with fixed precedence") {
       val df = Seq(
-        (1L, "the cat sat on the mat"),
-        (2L, "der hund und der mann"),
-        (3L, "xyzzy plugh")).toDF("id", "t")
+        (1L, "The cat sat on the mat and the dog"), // case-insensitive
+        (2L, "der hund und der mann nicht schlecht"),
+        (3L, "les chiens dorment une entente des couleurs"),
+        (4L, "los perros duermen en la casa por adelantado"),
+        (5L, "xyzzy plugh"), // no trigram fires -> und
+        (6L, null.asInstanceOf[String])).toDF("id", "t")
       val got = df.select($"id", Text.langGuess($"t").as("g")).as[(Long, String)].collect().toMap
-      assert(got === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+      assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+        5L -> "und", 6L -> "und"))
+    }
+
+    it("langGuess SQL generators replay the kernel table verbatim") {
+      // one trigram from each language's table must appear with its length
+      assert(Text.langScoreSqlColumns.contains("replace(pt, 'the', '')"))
+      assert(Text.langScoreSqlColumns.contains("replace(pt, ' le', '')"))
+      assert(Text.langScoreSqlColumns.contains("// 3 AS c_es"))
+      assert(Text.langGuessSqlCase.contains("ELSE 'und' END"))
+      Text.langTrigrams.foreach { case (lang, tris) =>
+        assert(Text.langGuessSqlCase.contains(s"THEN '$lang'"))
+        tris.foreach(t => assert(Text.langScoreSqlColumns.contains(s"'$t'")))
+      }
     }
 
     it("bpeTokenCount splits alpha/digit/punct runs") {
