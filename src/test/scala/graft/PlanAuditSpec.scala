@@ -571,6 +571,74 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("__tf0"), s"per-term column explosion leaked in:\n$p")
   }
 
+  it("SWEEP: every Window in EVERY query plan sits above a bounded frame, never a raw corpus scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // The scary window shape at 100 TB is the UNPARTITIONED Window over an
+    // unbounded input: it funnels the whole frame into ONE task (the
+    // "No Partition Defined" warning). Two shapes are fine and used here:
+    // a PARTITIONED window over raw data scales exactly like groupBy (one
+    // shuffle on the partition keys — q68's per-user rolling stats), and
+    // an unpartitioned window over a BOUNDED frame ranks an aggregate's
+    // result (q133's global BM25 rank over a top-k). This sweep pins the
+    // discipline structurally: every unpartitioned Window's input must be
+    // bounded — every leaf path below it passes an aggregate / limit /
+    // top-k / per-key group limit before reaching a scan (literal
+    // LocalTableScan and Range leaves are driver-bounded by construction;
+    // joins of bounded sides stay bounded — products of aggregate
+    // cardinalities, never corpus mass).
+    val bounding = Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+      "TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "LocalLimit",
+      "WindowGroupLimit")
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other
+    }
+    def boundedBelow(p0: SparkPlan): Boolean = {
+      val p = unwrap(p0)
+      val name = p.nodeName
+      if (bounding.exists(name.contains)) true
+      else p match {
+        case i: InMemoryTableScanExec => boundedBelow(i.relation.cachedPlan)
+        case leaf if leaf.children.isEmpty =>
+          name.contains("LocalTableScan") || name.contains("EmptyRelation") ||
+            name.contains("Range")
+        case other => other.children.nonEmpty && other.children.forall(boundedBelow)
+      }
+    }
+    def windows(p0: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val p = unwrap(p0)
+      val self = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => Seq(w) // unpartitioned: must be bounded
+        case _ => Nil
+      }
+      val viaCache = p match {
+        case i: InMemoryTableScanExec => windows(i.relation.cachedPlan)
+        case _ => Nil
+      }
+      self ++ viaCache ++ p.children.flatMap(windows)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan =
+        try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        finally SparkEntry.drainCleanups()
+      windows(plan).filterNot(w => w.children.forall(boundedBelow))
+        .map(w => s"$name plans a Window over an unbounded input:\n$w")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+    // the checker itself must CATCH a deliberately unbounded window — a
+    // sweep that can't fail is not a gate
+    import org.apache.spark.sql.functions.{col, row_number}
+    val broken = SparkEntry.tbl(spark, dir, "documents")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      .queryExecution.executedPlan
+    assert(windows(broken).exists(w => !w.children.forall(boundedBelow)),
+      s"the sweep failed to flag a Window over a raw corpus scan:\n$broken")
+  }
+
   it("q154 importance selection broadcasts the bounded bucket tables, never the corpus") {
     val p = plan("q154_importance_selection")
     // both the 1-row totals and the enriched-bucket list ride broadcasts;
