@@ -639,6 +639,19 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       s"the sweep failed to flag a Window over a raw corpus scan:\n$broken")
   }
 
+  it("q170 ranked top-k BM25: bounded-heap combiner over the standing postings, NO Window over the scored frame") {
+    val p = plan("q170_bm25_topk_queries")
+    // scoring reads the persisted standing postings (the q166 shape) ...
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the scorer to read the persisted standing postings:\n$p")
+    // ... and the per-query rank is the map-side-combining bounded heap,
+    // never a Window sort of all scored (query, doc) pairs
+    assert(!p.contains("Window"),
+      s"top-k per query must use the bounded-heap combiner, not a Window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   it("q154 importance selection broadcasts the bounded bucket tables, never the corpus") {
     val p = plan("q154_importance_selection")
     // both the 1-row totals and the enriched-bucket list ride broadcasts;
