@@ -628,6 +628,21 @@ object Stress {
     val nPo = timed("postings reload") { poLoaded.count() }
     println(s"[stress] postings reload rows: $nPo; reload==rebuild fingerprint: " +
       s"${fp(poLoaded) == fp(Retrieval.buildPostings(docs, "doc_id", "text"))} (expect true)")
+
+    // PQ: codebooks + m-byte code frame (q174's standing asset)
+    timed("PQ build+write (3 train passes + encode + epoch write)") {
+      val b = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+        dim = 64, m = 16, ks = 256, trainIters = 3)
+      Sink.writeIndex(Similarity.pqBooksFrame(spark, b), s"$root/pq_books")
+      Sink.writeIndex(b.codes, s"$root/pq_codes")
+    }
+    val pqLoaded = Similarity.loadPqIndex(
+      Sink.readIndex(spark, s"$root/pq_books"), Sink.readIndex(spark, s"$root/pq_codes"))
+    val nPq = timed("PQ reload") { pqLoaded.codes.count() }
+    val pqRebuilt = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ks = 256, trainIters = 3)
+    println(s"[stress] PQ reload rows: $nPq; reload==rebuild fingerprint: " +
+      s"${fp(pqLoaded.codes) == fp(pqRebuilt.codes)} (expect true)")
     ()
   }
 

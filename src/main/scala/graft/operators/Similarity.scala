@@ -728,4 +728,305 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  // ---------------------------------------------------------------------------
+  // Product quantization (PQ) — the MEMORY-scale ANN path (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI 2011, public knowledge).
+  // The int8 path ([[quantizedTopK]]) compresses 4x; PQ compresses dim*4 bytes
+  // down to m bytes (64-dim float -> 8 bytes at m=8: 32x), which at 100 TB is
+  // the difference between a code table that fits executor memory on every node
+  // and one that cannot. Scoring is ADC (asymmetric distance computation): per
+  // query, ONE m x ks table of subspace dot products is precomputed, and every
+  // corpus row scores with m table lookups — no vector arithmetic in the scan.
+  // ---------------------------------------------------------------------------
+
+  /**
+   * Deterministic per-subspace Lloyd training of PQ codebooks: the vector space
+   * is split into `m` contiguous subspaces of dim/m components; each subspace
+   * gets a `ks`-entry codebook seeded from the `ks` lowest-id vectors (the
+   * [[trainCentroids]] convention) and refined by `iters` rounds of
+   * L2-assignment + mean update. ALL m subspaces train in the SAME corpus pass
+   * per round — per-partition accumulators reduce to O(m * ks * subDim) driver
+   * state, no shuffle of corpus vectors, one distributed pass per iteration.
+   * Empty cells keep their previous codeword (always exactly ks entries,
+   * fully deterministic). Returns codebooks[m][ks][subDim].
+   */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"dim must split evenly into m subspaces, got dim=$dim m=$m")
+    require(ks >= 1 && ks <= 256,
+      s"ks must be in [1, 256] (codes are stored as one byte per subspace), got $ks")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val seeds = corpus.orderBy(col(idCol)).limit(ks)
+      .select(col(vecCol).cast("array<double>")).as[Array[Double]].collect()
+    require(seeds.length == ks,
+      s"corpus has only ${seeds.length} vectors but ks=$ks codewords were requested " +
+        "per subspace — a silently smaller codebook would change every code")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, ks) { (j, c) =>
+      Array.tabulate(subDim)(i => {
+        val v = seeds(c); val p = j * subDim + i
+        if (p < v.length) v(p) else 0.0
+      })
+    }
+    val vecs = corpus.select(col(vecCol).cast("array<double>")).as[Array[Double]]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val (sums, counts) = vecs
+        .mapPartitions { rows =>
+          val bs = bc.value
+          val acc = Array.fill(m, ks)(new Array[Double](subDim))
+          val cnt = Array.fill(m)(new Array[Long](ks))
+          rows.foreach { v =>
+            if (v != null && v.nonEmpty) {
+              var j = 0
+              while (j < m) {
+                val c = nearestCode(v, j * subDim, bs(j))
+                val a = acc(j)(c)
+                var i = 0
+                while (i < subDim) {
+                  val p = j * subDim + i
+                  a(i) += (if (p < v.length) v(p) else 0.0)
+                  i += 1
+                }
+                cnt(j)(c) += 1
+                j += 1
+              }
+            }
+          }
+          Iterator.single((acc, cnt))
+        }
+        .reduce { (x, y) =>
+          val (ax, cx) = x; val (ay, cy) = y
+          var j = 0
+          while (j < m) {
+            var c = 0
+            while (c < ks) {
+              var i = 0
+              while (i < subDim) { ax(j)(c)(i) += ay(j)(c)(i); i += 1 }
+              cx(j)(c) += cy(j)(c)
+              c += 1
+            }
+            j += 1
+          }
+          (ax, cx)
+        }
+      books = Array.tabulate(m, ks) { (j, c) =>
+        if (counts(j)(c) == 0L) books(j)(c) // empty cell: keep previous codeword
+        else sums(j)(c).map(_ / counts(j)(c))
+      }
+    }
+    books
+  }
+
+  /** L2-nearest codeword index for the subvector starting at `off` (missing
+    * trailing components read as 0 — same convention as every kernel here).
+    * Ties break to the LOWEST code, so encoding is fully deterministic. */
+  private def nearestCode(v: Array[Double], off: Int, book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < book.length) {
+      val cw = book(c)
+      var d = 0.0; var i = 0
+      while (i < cw.length) {
+        val x = (if (off + i < v.length) v(off + i) else 0.0) - cw(i)
+        d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * A standing PQ index: trained codebooks (the driver-side O(m*ks*subDim)
+   * constant — kilobytes) plus the code frame `(neighbor_id, code, recon_n2)`
+   * where `code` is the m-byte PQ code and `recon_n2` the squared norm of the
+   * reconstruction (precomputed once at encode time so ADC scoring never
+   * touches the codebooks' norms per row). At 100 TB the code frame IS the
+   * index footprint: m bytes + one double per vector, ~50x smaller than the
+   * float corpus — built once, persisted like any standing asset.
+   */
+  final class PqIndex private[operators] (
+      private[operators] val dim: Int,
+      private[operators] val codebooks: Array[Array[Array[Double]]],
+      val codes: DataFrame) extends Serializable {
+    def m: Int = codebooks.length
+    def ks: Int = if (codebooks.isEmpty) 0 else codebooks(0).length
+  }
+
+  /**
+   * Build the PQ index: train codebooks ([[trainPqCodebooks]]) then encode the
+   * corpus in ONE narrow typed pass — per vector, m L2-argmin lookups against
+   * the closure-captured codebooks, emitting the m-byte code and the
+   * reconstruction's squared norm. Zero shuffle; rows with NULL vectors are
+   * dropped (nothing to encode).
+   */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ks: Int = 256, trainIters: Int = 3): PqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, trainIters)
+    val subDim = dim / m
+    // codeword squared norms, precomputed once: recon_n2 = sum_j ||cw_{j,code_j}||^2
+    // (subspaces are orthogonal coordinate blocks, so reconstruction norms add)
+    val cwNorm2 = Array.tabulate(m, ks) { (j, c) =>
+      var s = 0.0; var i = 0
+      val cw = books(j)(c)
+      while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+      s
+    }
+    val bc = spark.sparkContext.broadcast((books, cwNorm2))
+    val codes = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val (bs, n2s) = bc.value
+        rows.collect { case (id, v) if v != null =>
+          val code = new Array[Byte](m)
+          var recon2 = 0.0
+          var j = 0
+          while (j < m) {
+            val c = nearestCode(v, j * subDim, bs(j))
+            code(j) = c.toByte
+            recon2 += n2s(j)(c)
+            j += 1
+          }
+          (id, code, recon2)
+        }
+      }
+      .toDF("neighbor_id", "code", "recon_n2")
+    new PqIndex(dim, books, codes)
+  }
+
+  /** The trained PQ codebooks as a `(sub, code, cw)` frame — the PERSISTABLE
+    * half of a [[PqIndex]] next to its code frame: write both through a
+    * manifest-committed index store and [[loadPqIndex]] reconstructs the
+    * identical index in a later session without touching the corpus.
+    * m * ks rows, array<double> exact through parquet. */
+  def pqBooksFrame(spark: SparkSession, index: PqIndex): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(for {
+      j <- 0 until index.m
+      c <- 0 until index.ks
+    } yield (j, c, index.codebooks(j)(c))).toDF("sub", "code", "cw")
+  }
+
+  /** Reconstruct a standing [[PqIndex]] from its two persisted frames. The
+    * codebook collect is O(m * ks * subDim) — kilobytes, guarded against a
+    * mis-pointed frame; `codes` is consumed lazily as written. */
+  def loadPqIndex(books: DataFrame, codes: DataFrame, maxEntries: Int = 65536): PqIndex = {
+    val spark = books.sparkSession
+    import spark.implicits._
+    val rows = books.select(col("sub").cast("int"), col("code").cast("int"),
+      col("cw").cast("array<double>")).as[(Int, Int, Array[Double])].collect()
+    require(rows.nonEmpty && rows.length <= maxEntries,
+      s"codebooks frame carries ${rows.length} rows; expected (0, $maxEntries] — wrong frame?")
+    val m = rows.iterator.map(_._1).max + 1
+    val ks = rows.iterator.map(_._2).max + 1
+    require(rows.length == m * ks,
+      s"codebooks frame has ${rows.length} rows but spans m=$m x ks=$ks — incomplete grid")
+    val booksArr = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach { case (j, c, cw) => booksArr(j)(c) = cw }
+    new PqIndex(m * booksArr(0)(0).length, booksArr, codes)
+  }
+
+  /**
+   * ADC top-k search over a [[PqIndex]]: for each query, an m x ks table of
+   * subspace dot products `T[j][c] = <q_j, cw_{j,c}>` is computed ONCE (per
+   * partition, per query — O(m * ks * subDim) setup), then every corpus code
+   * scores with m table lookups: approximate cosine =
+   * sum_j T[j][code_j] / (||q|| * sqrt(recon_n2)). The corpus scan touches
+   * only the m-byte codes — the full vectors never load — and ranking uses the
+   * same bounded-heap combiner as [[bruteForceTopK]] (shuffle <= k rows per
+   * query per partition). The query collect is bounded by the small-query-side
+   * contract and guarded by `maxQueries`. Zero-norm queries and zero-recon
+   * codes are excluded (cosine undefined); self-matches are dropped.
+   *
+   * PQ ranks are approximate BY DESIGN — production recall comes from
+   * over-fetching (k' > k) and exact re-ranking of the k' survivors
+   * ([[rerankExact]]): the scan stays code-only and the exact math runs on
+   * queries x k' rows, never the corpus.
+   *
+   * Returns (query_id, neighbor_id, rank), rank 1..k by (approx cos desc, id).
+   */
+  def pqTopK(index: PqIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxQueries: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val m = index.m
+    val subDim = index.dim / m
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().filter(_._2 != null).sortBy(_._1)
+    require(qArr.length <= maxQueries,
+      s"${qArr.length} query vectors exceed maxQueries=$maxQueries — the query " +
+        "side is broadcast by contract; probe in batches or raise the cap deliberately")
+    val books = index.codebooks
+    // per-query ADC tables + norms, built once on the driver (O(nq * m * ks * subDim),
+    // bounded by maxQueries) and broadcast — cheaper than rebuilding per partition
+    val tables: Array[(Long, Array[Array[Double]], Double)] = qArr.map { case (qid, qv) =>
+      val t = Array.tabulate(m, books(0).length) { (j, c) =>
+        val cw = books(j)(c)
+        var s = 0.0; var i = 0
+        while (i < cw.length) {
+          val p = j * subDim + i
+          s += (if (p < qv.length) qv(p) else 0.0) * cw(i)
+          i += 1
+        }
+        s
+      }
+      var n2 = 0.0; var i = 0
+      while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
+      (qid, t, math.sqrt(n2))
+    }.filter(_._3 > 0.0)
+    val bc = spark.sparkContext.broadcast(tables)
+    val scored = index.codes
+      .select(col("neighbor_id"), col("code"), col("recon_n2"))
+      .as[(Long, Array[Byte], Double)]
+      .mapPartitions { rows =>
+        val qs = bc.value
+        rows.flatMap { case (nid, code, recon2) =>
+          if (recon2 <= 0.0) Iterator.empty
+          else {
+            val rnorm = math.sqrt(recon2)
+            qs.iterator.collect { case (qid, t, qnorm) if qid != nid =>
+              var s = 0.0; var j = 0
+              while (j < m) { s += t(j)(code(j) & 0xff); j += 1 }
+              (qid, (s / (qnorm * rnorm), nid))
+            }
+          }
+        }
+      }
+    rankTopK(scored, k)
+  }
+
+  /**
+   * Exact re-rank of ANN candidates — the second half of every production PQ /
+   * IVF deployment: candidates `(query_id, neighbor_id)` (k' per query,
+   * bounded) join their FULL vectors back, score exact cosine, and reduce to
+   * top-k with the bounded combiner. The exact math runs over queries x k'
+   * rows only; the corpus joins by id (broadcast candidate side), so no scan
+   * reloads every vector. Returns (query_id, neighbor_id, rank) like
+   * [[bruteForceTopK]] — with enough over-fetch the two converge.
+   */
+  def rerankExact(candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val cand = candidates
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long")).distinct()
+    val scored = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), struct(cosine(col("qv"), col("cv")).as("cos"),
+        col("neighbor_id").as("nid")).as("scored"))
+      .as[(Long, (Double, Long))]
+    rankTopK(scored, k)
+  }
 }

@@ -345,4 +345,53 @@ object StreamOps {
         graft.sources.Sink.upsertBuckets(storePath, changed, "id", "version", nBuckets)
       }
       .start()
+
+  /**
+   * STREAMING maintenance of a standing BM25 postings store — the streaming
+   * face of [[graft.operators.Retrieval.mergePostings]] (whose batch law,
+   * merged ≡ from-scratch, q171 gates). Each micro-batch of `(id, text)`
+   * documents tokenizes ONCE and upserts one row per doc into the bucket
+   * store: `(id, postings, version)` where `postings` is the doc's term-
+   * frequency list SORTED BY TERM (a pure function of the text, so the
+   * store row is deterministic and replay-idempotent under the store's
+   * max-struct winner rule). Doc-level rows make last-writer-wins BE the
+   * re-ingestion semantic — a doc whose new text has fewer (or zero)
+   * tokens supersedes wholesale, with no stale-term anti-join at all; a
+   * null/empty re-ingest keeps the doc as an empty-postings row.
+   *
+   * Ingest cost per batch = tokenize(batch) + touched-bucket rewrite —
+   * batch-proportional, never postings-mass-proportional. Readers get the
+   * flat `(id, term, tf)` frame back with [[postingsFromStore]]; feeding
+   * it to `bm25FromPostings` closes the loop: a query batch scores
+   * against a store that ingest keeps current.
+   */
+  def streamingPostings(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val perDoc = graft.operators.Retrieval.buildPostings(batch, idCol, textCol)
+          .groupBy(col(idCol))
+          .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("postings"))
+        // every batch id supersedes — including docs whose new text
+        // tokenizes to nothing (they become empty-postings rows)
+        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+          .join(perDoc, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("postings"), typedlit(Seq.empty[(String, Long)])
+              .cast("array<struct<term:string,tf:bigint>>")).as("postings"),
+            lit(batchId).as("version"))
+        graft.sources.Sink.upsertBuckets(storePath, rows, idCol, "version", nBuckets)
+      }
+      .start()
+
+  /** Read the [[streamingPostings]] store back as the flat `(idCol, term,
+    * tf)` postings frame (empty-postings docs contribute no rows) — the
+    * exact shape `buildPostings` emits and `bm25FromPostings` consumes. */
+  def postingsFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, idCol: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col(idCol), explode(col("postings")).as("__p"))
+      .select(col(idCol), col("__p.term").as("term"), col("__p.tf").as("tf"))
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * Pins the approximation quality and the determinism of the product-quantized
+ * ANN path (`buildPqIndex` / `pqTopK` / `rerankExact`). Ground truth is
+ * `bruteForceTopK`, itself bit-exact against the DuckDB oracle (q25).
+ * Measured on the natural sf0.01 corpus (5000 vectors, dim 64, 16 queries,
+ * k=10, m=16 x ks=256, 3 train rounds): ADC-only recall@10 = 0.79, and
+ * over-fetch k'=50 + exact re-rank = 1.00 (asserted below with margin)
+ * — so a regression in codebook training, encoding, table scoring, or
+ * re-ranking fails this spec, not just a comment's claim.
+ */
+class PqRecallSpec extends AnyFunSpec with SparkSuite {
+
+  private val K = 10
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 16)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exactTopK: Set[(Long, Long)] =
+    pairSet(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", K))
+
+  private lazy val index = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+    dim = 64, m = 16, ks = 256, trainIters = 3)
+
+  describe("pqTopK ADC recall@10 vs exact brute force (sf0.01)") {
+    lazy val adc = pairSet(Similarity.pqTopK(index, queries, "vec_id", "embedding", K))
+    lazy val rAdc = adc.intersect(exactTopK).size.toDouble / exactTopK.size
+
+    it("ADC-only recall is usable (>= 0.6) at 10x+ compression") {
+      info(s"ADC recall@$K = $rAdc")
+      assert(rAdc >= 0.6, s"ADC recall@$K was $rAdc")
+    }
+
+    it("over-fetch k'=50 + exact re-rank recovers recall >= 0.9") {
+      val cands = Similarity.pqTopK(index, queries, "vec_id", "embedding", 50)
+      val rr = pairSet(Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", K))
+      val rRr = rr.intersect(exactTopK).size.toDouble / exactTopK.size
+      info(s"re-ranked recall@$K = $rRr")
+      assert(rRr >= 0.9, s"re-ranked recall@$K was $rRr")
+    }
+
+    it("re-rank over ALL pairs reproduces brute force exactly") {
+      import spark.implicits._
+      val ids = emb.select(col("vec_id").cast("long")).as[Long].collect()
+      val qids = queries.select(col("vec_id").cast("long")).as[Long].collect()
+      val all = spark.createDataset(
+        for { q <- qids.toSeq; n <- ids.toSeq if q != n } yield (q, n)
+      ).toDF("query_id", "neighbor_id")
+      assert(pairSet(Similarity.rerankExact(all, queries, emb, "vec_id", "embedding", K))
+        === exactTopK)
+    }
+  }
+
+  describe("PQ index mechanics") {
+    it("codes are m bytes, recon_n2 positive, and one row per corpus vector") {
+      import spark.implicits._
+      val n = emb.count()
+      assert(index.codes.count() === n)
+      val (codeLen, minRecon) = index.codes
+        .select(length(col("code")).cast("long"), col("recon_n2"))
+        .as[(Long, Double)].collect()
+        .foldLeft((Set.empty[Long], Double.PositiveInfinity)) {
+          case ((ls, mn), (l, r)) => (ls + l, math.min(mn, r))
+        }
+      assert(codeLen === Set(16L), s"code lengths seen: $codeLen")
+      assert(minRecon > 0.0, s"min recon_n2 = $minRecon")
+    }
+
+    it("encoding is deterministic: a rebuild yields byte-identical codes") {
+      import spark.implicits._
+      def fp(ix: Similarity.PqIndex): Array[(Long, Seq[Byte], Double)] = ix.codes
+        .select(col("neighbor_id"), col("code"), col("recon_n2"))
+        .as[(Long, Array[Byte], Double)].collect()
+        .map { case (id, c, r) => (id, c.toSeq, r) }.sortBy(_._1)
+      val again = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+        dim = 64, m = 16, ks = 256, trainIters = 3)
+      assert(fp(index).sameElements(fp(again)))
+    }
+
+    it("rejects geometries that cannot hold the contract") {
+      assertThrows[IllegalArgumentException] {
+        Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 64, 7, 16, 1)
+      }
+      assertThrows[IllegalArgumentException] {
+        Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 64, 8, 257, 1)
+      }
+    }
+  }
+}

@@ -551,4 +551,40 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
   }
+
+  describe("streamingPostings ≡ from-scratch postings (store-maintained retrieval index)") {
+    it("re-ingests upsert doc-wholesale; final store equals buildPostings of the live corpus") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("po_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("po_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingPostings(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      // batch 2 RE-INGESTS doc 1 with fewer terms and doc 2 with EMPTY text:
+      // stale terms ("merge", "spark") must vanish without any delete list
+      val batches = Seq(
+        Seq((1L, "spark merge spark"), (2L, "vector index")),
+        Seq((1L, "spark only"), (2L, ""), (3L, "fresh doc spark")),
+        Seq((4L, "tail batch")))
+      try {
+        val live = scala.collection.mutable.Map.empty[Long, String]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.foreach { case (id, t) => live(id) = t }
+          val got = StreamOps.postingsFromStore(spark, store, "doc_id")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+          val scratch = graft.operators.Retrieval
+            .buildPostings(live.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+          assert(got == scratch, s"after streaming ${live.toMap}")
+        }
+        // the store row set itself is deterministic: every doc ever ingested
+        // has exactly one row (doc 2's is empty-postings, not absent)
+        val ids = graft.sources.Sink.readStore(spark, store)
+          .select($"doc_id").collect().map(_.getLong(0)).sorted
+        assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+      } finally q.stop()
+    }
+  }
 }
