@@ -3001,6 +3001,33 @@ object SparkEntry {
         .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 8L).as("recall_ok"))
     }),
 
+    // q175: IVF-PQ ANN (FAISS's IVFADC shape) — the two standing indexes
+    // COMPOSED: the coarse quantizer prunes to nProbe=8 of 16 inverted
+    // lists per query, surviving rows score by m-byte-code ADC lookups
+    // (full vectors touched only in the exact re-rank of the k'=50
+    // survivors). The recurring batch cost is ~nProbe/nCentroids of the
+    // corpus in CODE bytes — the shape that scales to 100 TB. Gated
+    // in-query on recall@10 >= 0.7 per query vs the exact ranking
+    // (pruning recall x PQ recall; suite-level 0.95 measured, the gate
+    // leaves per-query margin) — deterministic, so the boolean oracle is
+    // exact.
+    "q175_ivfpq_ann" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val exact = operators.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val cands = operators.Similarity.ivfPqTopK(
+        ensureIvfIndex(s, dir), ensurePqIndex(s, dir), queries, "vec_id", "embedding",
+        k = 50, nProbe = 8)
+      val rr = operators.Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(rr, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 7L).as("recall_ok"))
+    }),
+
     // q167: REAL merges-table BPE token counts — the token-budget number
     // a training pipeline bills by, replacing q39's regex approximation
     // (which stays, as the pre-tokenizer run profile). The imperative
@@ -5496,6 +5523,11 @@ object SparkEntry {
     // exact float ranking is deterministic (fixed codebook seeds, id
     // tie-breaks); the gate asserts >= 0.8 for every query
     "q174_pq_ann" ->
+      "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
+    // q175: recall@10 of the IVF-PQ probe + exact re-rank vs the exact
+    // ranking is deterministic (fixed quantizer seeds, fixed codebooks,
+    // id tie-breaks); the gate asserts >= 0.7 for every query
+    "q175_ivfpq_ann" ->
       "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
     // q167: the BPE apply rule as a recursive CTE. State = symbols joined
     // by \x1f WITH leading/trailing delimiters, so a pattern

@@ -1003,6 +1003,106 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** The COMPOSED IVF-PQ standing frame `(neighbor_id, cent_id, code,
+    * recon_n2)` — the classic inverted-file-with-PQ-codes layout (each
+    * inverted list stores its members' m-byte codes): one equi-join of the
+    * two standing assets, which a deployment materializes ONCE partitioned
+    * by `cent_id` so a probe reads only its cells' directories. Full
+    * vectors appear nowhere. */
+  def ivfPqCodes(ivf: IvfIndex, pq: PqIndex): DataFrame =
+    ivf.assigned.select(col("neighbor_id"), col("cent_id"))
+      .join(pq.codes, "neighbor_id")
+
+  /**
+   * IVF-PQ top-k — the two-level production ANN shape (FAISS's IVFADC,
+   * Jégou et al. 2011 §V): the coarse quantizer prunes the corpus to
+   * `nProbe` inverted lists per query, and the surviving rows score by PQ
+   * code ADC lookups — so the recurring per-batch cost is
+   * ~(nProbe/nCentroids) of the corpus in CODE bytes, with full vectors
+   * touched nowhere (callers re-rank the top k' exactly via
+   * [[rerankExact]], which joins vectors for queries x k' rows only).
+   * Probe selection is driver-local (the quantizer is already a driver
+   * array; same cosine + cent_id tie-break as [[ivfProbe]]); each corpus
+   * row in a probed cell scores ONLY for the queries probing that cell,
+   * via a broadcast cell -> query-index map. Pass `codesWithCells` when
+   * the composed [[ivfPqCodes]] frame is persisted (the standing layout);
+   * otherwise it is derived on the fly.
+   *
+   * Returns (query_id, neighbor_id, rank), rank 1..k by (approx cos desc,
+   * id). `nProbe >= nCentroids` makes the candidate set identical to
+   * [[pqTopK]]'s full scan.
+   */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      codesWithCells: Option[DataFrame] = None, maxQueries: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val spark = pq.codes.sparkSession
+    import spark.implicits._
+    val m = pq.m
+    val subDim = pq.dim / m
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().filter(_._2 != null).sortBy(_._1)
+    require(qArr.length <= maxQueries,
+      s"${qArr.length} query vectors exceed maxQueries=$maxQueries — the query " +
+        "side is broadcast by contract; probe in batches or raise the cap deliberately")
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(daa) * math.sqrt(dbb)
+      if (denom == 0.0) 0.0 else dab / denom
+    }
+    // per-query ADC tables + norms (the pqTopK structure), plus the probe
+    // set: nProbe nearest centroids by (cos desc, cent_id asc)
+    val books = pq.codebooks
+    val metas = qArr.map { case (qid, qv) =>
+      val t = Array.tabulate(m, books(0).length) { (j, c) =>
+        val cw = books(j)(c)
+        var s = 0.0; var i = 0
+        while (i < cw.length) {
+          val p = j * subDim + i
+          s += (if (p < qv.length) qv(p) else 0.0) * cw(i)
+          i += 1
+        }
+        s
+      }
+      var n2 = 0.0; var i = 0
+      while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
+      val probed = ivf.centroids
+        .map { case (cid, cv) => (cid, cosLocal(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(nProbe).map(_._1)
+      (qid, t, math.sqrt(n2), probed)
+    }.filter(_._3 > 0.0)
+    val cellToQ: Map[Long, Array[Int]] = metas.zipWithIndex
+      .flatMap { case ((_, _, _, probed), qi) => probed.map(_ -> qi) }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast((metas.map { case (qid, t, qn, _) => (qid, t, qn) }, cellToQ))
+    val frame = codesWithCells.getOrElse(ivfPqCodes(ivf, pq))
+    val scored = frame
+      .select(col("neighbor_id"), col("cent_id"), col("code"), col("recon_n2"))
+      .as[(Long, Long, Array[Byte], Double)]
+      .mapPartitions { rows =>
+        val (qs, cells) = bc.value
+        rows.flatMap { case (nid, centId, code, recon2) =>
+          val qIdxs = cells.getOrElse(centId, null)
+          if (qIdxs == null || recon2 <= 0.0) Iterator.empty
+          else {
+            val rnorm = math.sqrt(recon2)
+            qIdxs.iterator.map(qs).collect { case (qid, t, qnorm) if qid != nid =>
+              var s = 0.0; var j = 0
+              while (j < m) { s += t(j)(code(j) & 0xff); j += 1 }
+              (qid, (s / (qnorm * rnorm), nid))
+            }
+          }
+        }
+      }
+    rankTopK(scored, k)
+  }
+
   /**
    * Exact re-rank of ANN candidates — the second half of every production PQ /
    * IVF deployment: candidates `(query_id, neighbor_id)` (k' per query,

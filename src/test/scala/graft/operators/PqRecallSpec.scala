@@ -61,6 +61,39 @@ class PqRecallSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("ivfPqTopK (cell-pruned ADC) recall and parity (sf0.01)") {
+    lazy val ivf = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nCentroids = 16, trainIters = 1)
+
+    it("full probing reproduces pqTopK's full-scan ranking exactly") {
+      val full = Similarity.ivfPqTopK(ivf, index, queries, "vec_id", "embedding",
+        10, nProbe = 16)
+      val flat = Similarity.pqTopK(index, queries, "vec_id", "embedding", 10)
+      assert(pairSet(full) === pairSet(flat))
+    }
+
+    it("partial probing (nProbe=8) + over-fetch + exact re-rank keeps recall >= 0.85") {
+      val cands = Similarity.ivfPqTopK(ivf, index, queries, "vec_id", "embedding",
+        50, nProbe = 8)
+      val rr = pairSet(Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", K))
+      val r = rr.intersect(exactTopK).size.toDouble / exactTopK.size
+      info(s"ivf-pq re-ranked recall@$K at nProbe=8 = $r")
+      assert(r >= 0.85, s"recall@$K was $r")
+    }
+
+    it("recall does not decrease as nProbe grows") {
+      def recallAt(p: Int): Double = {
+        val cands = Similarity.ivfPqTopK(ivf, index, queries, "vec_id", "embedding",
+          50, nProbe = p)
+        val rr = pairSet(Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", K))
+        rr.intersect(exactTopK).size.toDouble / exactTopK.size
+      }
+      val (r2, r8, r16) = (recallAt(2), recallAt(8), recallAt(16))
+      info(s"recall@$K at nProbe 2/8/16 = $r2 / $r8 / $r16")
+      assert(r2 <= r8 && r8 <= r16, s"recall not monotone: $r2, $r8, $r16")
+    }
+  }
+
   describe("PQ index mechanics") {
     it("codes are m bytes, recon_n2 positive, and one row per corpus vector") {
       import spark.implicits._
