@@ -3028,6 +3028,27 @@ object SparkEntry {
         .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 7L).as("recall_ok"))
     }),
 
+    // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
+    // shares n-grams with eval item Y"; this says "X contains a VERBATIM
+    // 30-token run of Y" (run of r aligned w-windows = common substring of
+    // r + w - 1 tokens), the memorization exhibit a decontamination pass
+    // ranks by. The eval set is derived in-query: tokens 6-35 of each
+    // doc_id < 20 (a planted verbatim excerpt whose source attribution is
+    // certain); natural cross-doc repeats surface too and the oracle
+    // replays both. Diagonal gaps-and-islands contiguity; the window
+    // function partitions by (pair, diagonal) — match-mass-bounded input,
+    // never a corpus sort.
+    "q176_span_attribution" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val evalSet = docs
+        .where(col("doc_id") < 20 && col("text").isNotNull && size(words) >= 40)
+        .select(col("doc_id"), concat_ws(" ", slice(words, 6, 30)).as("text"))
+      operators.Contamination.spanAttribution(
+        docs.select(col("doc_id"), col("text")), evalSet,
+        "doc_id", "text", w = 8, minRun = 2)
+    }),
+
     // q167: REAL merges-table BPE token counts — the token-budget number
     // a training pipeline bills by, replacing q39's regex approximation
     // (which stays, as the pre-tokenizer run profile). The imperative
@@ -5529,6 +5550,40 @@ object SparkEntry {
     // id tie-breaks); the gate asserts >= 0.7 for every query
     "q175_ivfpq_ann" ->
       "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
+    // q176: windows re-derived on STRINGS (the hash==string adjudication
+    // of q78/q96); same edge-strip tokenization as the kernel; identical
+    // gaps-and-islands diagonal run detection
+    "q176_span_attribution" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                                '[^ \x09-\x0D]+') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |ev AS (SELECT doc_id AS eval_id, words[6:35] AS words FROM d
+        |       WHERE doc_id < 20 AND len(words) >= 40),
+        |tw AS (SELECT doc_id AS train_id,
+        |              unnest(range(len(words) - 7)) AS tpos,
+        |              unnest(list_transform(range(len(words) - 7),
+        |                i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4],
+        |                               words[i+5], words[i+6], words[i+7], words[i+8]))) AS s
+        |       FROM d WHERE len(words) >= 8),
+        |ew AS (SELECT eval_id,
+        |              unnest(range(len(words) - 7)) AS epos,
+        |              unnest(list_transform(range(len(words) - 7),
+        |                i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4],
+        |                               words[i+5], words[i+6], words[i+7], words[i+8]))) AS s
+        |       FROM ev WHERE len(words) >= 8),
+        |m AS (SELECT train_id, eval_id, tpos, epos, tpos - epos AS diag
+        |      FROM tw JOIN ew USING (s)),
+        |r AS (SELECT train_id, eval_id, diag, epos,
+        |             epos - row_number() OVER (PARTITION BY train_id, eval_id, diag
+        |                                       ORDER BY epos) AS isl
+        |      FROM m),
+        |runs AS (SELECT train_id, eval_id, diag, isl, count(*) AS run
+        |         FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT train_id, eval_id, CAST(sum(run) AS BIGINT) AS n_shared_windows,
+        |       CAST(max(run) AS BIGINT) AS max_run,
+        |       CAST(max(run) + 7 AS BIGINT) AS max_span_tokens
+        |FROM runs GROUP BY 1, 2 HAVING max(run) >= 2""".stripMargin,
     // q167: the BPE apply rule as a recursive CTE. State = symbols joined
     // by \x1f WITH leading/trailing delimiters, so a pattern
     // `\x1f a \x1f b \x1f` can only match whole symbols (never a suffix

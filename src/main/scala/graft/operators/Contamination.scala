@@ -68,4 +68,55 @@ object Contamination {
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_eval_grams"))
   }
+
+  /**
+   * SPAN-level contamination attribution — the upgrade from "shares n-grams"
+   * ([[overlapPairs]]) to "contains a VERBATIM RUN of the eval text": for
+   * each (train, eval) pair sharing at least one w-token window, the count
+   * of matched window starts and the LONGEST CONTIGUOUS matched run, where
+   * a run of r consecutive aligned windows certifies a common substring of
+   * r + w - 1 tokens. This is the memorization audit's primary exhibit —
+   * "train doc X contains 27 verbatim tokens of benchmark item Y" — and the
+   * severity ranking a decontamination pass cuts by.
+   *
+   * Output: (train_id, eval_id, n_shared_windows, max_run, max_span_tokens).
+   *
+   * SCALE SHAPE: both sides collapse to positional (id, pos, h) window-hash
+   * frames ([[Dedup.windowHashes]] — three longs per token, strings never
+   * shuffle); the eval side is small by contract and broadcast. Contiguity
+   * is gaps-and-islands on the ALIGNMENT DIAGONAL (tpos - epos): within a
+   * (pair, diagonal) group, consecutive eval positions share one island via
+   * the epos - row_number trick; the window function partitions by (pair,
+   * diagonal), so its input is match-mass-bounded — never a corpus sort. A
+   * window hash repeated in d train docs costs d match rows per eval start
+   * (the same df-locality as every shingle join); pairs below `minRun` are
+   * dropped at the end (run 1 = an isolated w-gram, usually noise).
+   */
+  def spanAttribution(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      w: Int, minRun: Int = 1): DataFrame = {
+    require(w > 0, s"window width must be positive, got $w")
+    require(minRun > 0, s"minRun must be positive, got $minRun")
+    import org.apache.spark.sql.expressions.Window
+    val trainWh = Dedup.windowHashes(train, idCol, textCol, w)
+      .select(col(idCol).as("train_id"), col("pos").as("__tpos"), col("h"))
+    val evalWh = Dedup.windowHashes(eval, idCol, textCol, w)
+      .select(col(idCol).as("eval_id"), col("pos").as("__epos"), col("h"))
+    val matches = trainWh.join(broadcast(evalWh), "h")
+      .select(col("train_id"), col("eval_id"), col("__tpos"), col("__epos"),
+        (col("__tpos") - col("__epos")).as("__diag"))
+    // islands of consecutive epos within one (pair, diagonal): epos minus its
+    // rank is constant exactly along a contiguous run
+    val rn = Window.partitionBy(col("train_id"), col("eval_id"), col("__diag"))
+      .orderBy(col("__epos"))
+    val runs = matches
+      .withColumn("__isl", col("__epos") - row_number().over(rn))
+      .groupBy(col("train_id"), col("eval_id"), col("__diag"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+    runs.groupBy(col("train_id"), col("eval_id"))
+      .agg(sum(col("__run")).as("n_shared_windows"), max(col("__run")).as("max_run"))
+      .where(col("max_run") >= minRun)
+      .select(col("train_id"), col("eval_id"), col("n_shared_windows"),
+        col("max_run"), (col("max_run") + lit(w - 1)).as("max_span_tokens"))
+  }
 }

@@ -37,6 +37,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.cosineSim(a, b)
 
+  /** Driver/executor-local sequential cosine over double arrays (length
+    * mismatch reads the shorter prefix; zero norms score 0.0) — the scalar
+    * twin of [[cosine]], shared by the quantizer builders and probes. */
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+    val denom = math.sqrt(daa) * math.sqrt(dbb)
+    if (denom == 0.0) 0.0 else dab / denom
+  }
+
   /**
    * Per-query bounded top-k ranking of `(query_id, (cos, neighbor_id))` rows
    * via `groupSortCombine` — a bounded insertion-sort combiner ordered by
@@ -458,14 +470,6 @@ object Similarity {
     // (narrowing it would silently drop mantissa bits and change scores).
     // All similarity math widens to double, which is exact from float, so
     // float-source scores are bit-identical to a double-stored index.
-    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
-      val n = math.min(a.length, b.length)
-      var dab = 0.0; var daa = 0.0; var dbb = 0.0
-      var i = 0
-      while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
-      val denom = math.sqrt(daa) * math.sqrt(dbb)
-      if (denom == 0.0) 0.0 else dab / denom
-    }
     def argmax(v: Array[Double]): Long = {
       var best = Long.MaxValue
       var bestCos = Double.NegativeInfinity
@@ -1047,14 +1051,6 @@ object Similarity {
     require(qArr.length <= maxQueries,
       s"${qArr.length} query vectors exceed maxQueries=$maxQueries — the query " +
         "side is broadcast by contract; probe in batches or raise the cap deliberately")
-    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
-      val n = math.min(a.length, b.length)
-      var dab = 0.0; var daa = 0.0; var dbb = 0.0
-      var i = 0
-      while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
-      val denom = math.sqrt(daa) * math.sqrt(dbb)
-      if (denom == 0.0) 0.0 else dab / denom
-    }
     // per-query ADC tables + norms (the pqTopK structure), plus the probe
     // set: nProbe nearest centroids by (cos desc, cent_id asc)
     val books = pq.codebooks

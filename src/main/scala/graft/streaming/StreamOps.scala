@@ -394,4 +394,89 @@ object StreamOps {
     graft.sources.Sink.readStore(spark, storePath)
       .select(col(idCol), explode(col("postings")).as("__p"))
       .select(col(idCol), col("__p.term").as("term"), col("__p.tf").as("tf"))
+
+  /**
+   * STREAMING incremental near-dup detection — the streaming face of the
+   * [[graft.operators.Dedup.minhashIndex]] / `incrementalNearDups` pair and
+   * the end-to-end shape of a 100 TB dedup deployment: the corpus's banded
+   * minhash index and raw texts are STANDING STORES, and each arriving
+   * micro-batch (1) probes the standing index for cross-side candidates and
+   * exact-verifies them, (2) appends the verified `(batch_id, standing_id,
+   * jaccard)` pairs to the pair store, and (3) folds its own signatures and
+   * texts in — so batch cost tracks batch mass (signatures + touched
+   * buckets + verified-pair mass), never corpus history.
+   *
+   * RE-INGESTION: a doc id already standing is treated as an UPDATE — its
+   * stale standing rows are excluded from the probe (a doc must not match
+   * its own previous version) and its signature/text rows are superseded
+   * wholesale (doc-level last-writer-wins, the [[streamingPostings]]
+   * discipline; signatures store as ONE sorted band-array row per doc).
+   * Pair rows key on the (batch, standing) id pair, so a replayed batch
+   * re-emits byte-identical pairs — idempotent under at-least-once
+   * delivery like every store writer here.
+   *
+   * Three stores under one root: `<root>/bands`, `<root>/docs`,
+   * `<root>/pairs`. Read pairs back with `Sink.readStore(root + "/pairs")`;
+   * rebuild the flat index frame with [[bandsFromStore]].
+   */
+  def streamingNearDups(docs: DataFrame, idCol: String, textCol: String,
+      storeRoot: String, nBuckets: Int, checkpointDir: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import graft.sources.Sink
+        import graft.operators.Dedup
+        val (bandsPath, docsPath, pairsPath) =
+          (s"$storeRoot/bands", s"$storeRoot/docs", s"$storeRoot/pairs")
+        val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol).cast("string").as(textCol))
+          .where(col(idCol).isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val batchIds = b.select(col(idCol)).distinct()
+          // 1) probe: standing index/texts MINUS this batch's ids (an update
+          //    must not match its own stale version)
+          if (Sink.storeExists(bandsPath) && Sink.storeExists(docsPath)) {
+            val standingIndex = bandsFromStore(spark, bandsPath, idCol)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            val standingDocs = Sink.readStore(spark, docsPath)
+              .select(col(idCol), col(textCol))
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            val pairs = Dedup.incrementalNearDups(standingIndex, standingDocs, b,
+                idCol, textCol, shingleN, numHashes, bands, threshold)
+              .select(col("batch_id"), col("standing_id"), col("jaccard"))
+              .withColumn("pair_key",
+                concat_ws("|", col("batch_id"), col("standing_id")))
+              .withColumn("version", lit(batchId))
+            Sink.upsertBuckets(pairsPath, pairs, "pair_key", "version", nBuckets)
+          }
+          // 2) fold the batch in: one sorted band-array row per doc + the text
+          val sigRows = Dedup.minhashIndex(b, idCol, textCol, shingleN, numHashes, bands)
+            .groupBy(col(idCol))
+            .agg(sort_array(collect_list(struct(col("band"), col("bucket")))).as("bands"))
+          val bandRows = batchIds
+            .join(sigRows, Seq(idCol), "left")
+            .select(col(idCol),
+              coalesce(col("bands"), typedlit(Seq.empty[(Int, Long)])
+                .cast("array<struct<band:int,bucket:bigint>>")).as("bands"),
+              lit(batchId).as("version"))
+          Sink.upsertBuckets(bandsPath, bandRows, idCol, "version", nBuckets)
+          Sink.upsertBuckets(docsPath,
+            b.withColumn("version", lit(batchId)), idCol, "version", nBuckets)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** Read the [[streamingNearDups]] band store back as the flat
+    * `(band, bucket, idCol)` index frame `minhashIndex` emits (docs whose
+    * text yields no signature contribute no rows). */
+  def bandsFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, idCol: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col(idCol), explode(col("bands")).as("__b"))
+      .select(col("__b.band").as("band"), col("__b.bucket").as("bucket"), col(idCol))
 }

@@ -880,4 +880,47 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(rows.forall(_.getAs[Boolean]("within_rank_bound")), rows.mkString("\n"))
     }
   }
+
+  describe("Contamination.spanAttribution (verbatim-run memorization audit)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    it("a verbatim excerpt certifies a run of (span - w + 1) aligned windows") {
+      val train = Seq((10L, "a b c d e f g h i j")).toDF("doc_id", "text")
+      val eval = Seq((1L, "c d e f g")).toDF("doc_id", "text")
+      // 5-token excerpt, w=3 -> 3 aligned windows on one diagonal, span 5
+      assert(rows(Contamination.spanAttribution(train, eval, "doc_id", "text", w = 3))
+        === Set((10L, 1L, 3L, 3L, 5L)))
+    }
+
+    it("a gap splits the run: max_run counts the LONGEST island, n_shared all of them") {
+      val train = Seq((10L, "a b c d e f g h i j")).toDF("doc_id", "text")
+      // "a b c d" then junk then "f g h": unique junk tokens guarantee only
+      // the intended windows match
+      val eval = Seq((1L, "a b c d q1 q2 f g h")).toDF("doc_id", "text")
+      // w=3: eval windows (a b c)@0 (b c d)@1 match diag 0; (f g h)@6 matches
+      // train pos 5 -> diag -1. Two islands: run 2 and run 1.
+      assert(rows(Contamination.spanAttribution(train, eval, "doc_id", "text", w = 3))
+        === Set((10L, 1L, 3L, 2L, 4L)))
+    }
+
+    it("minRun drops isolated-window pairs; disjoint docs emit nothing") {
+      val train = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+      val eval = Seq((1L, "x y a b c z"), (2L, "p q r s t")).toDF("doc_id", "text")
+      val all = Contamination.spanAttribution(train, eval, "doc_id", "text", w = 3)
+      assert(rows(all) === Set((10L, 1L, 1L, 1L, 3L)))
+      assert(Contamination.spanAttribution(train, eval, "doc_id", "text", w = 3, minRun = 2)
+        .count() === 0L)
+    }
+
+    it("a substring repeated inside the train doc attributes on EVERY diagonal") {
+      val train = Seq((10L, "a b c k1 k2 a b c")).toDF("doc_id", "text")
+      val eval = Seq((1L, "a b c")).toDF("doc_id", "text")
+      // the one eval window matches train pos 0 and pos 5: two diagonals,
+      // each an island of 1 -> n_shared 2, max_run 1
+      assert(rows(Contamination.spanAttribution(train, eval, "doc_id", "text", w = 3))
+        === Set((10L, 1L, 2L, 1L, 3L)))
+    }
+  }
 }

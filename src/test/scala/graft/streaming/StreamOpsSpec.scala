@@ -587,4 +587,46 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
   }
+
+  describe("streamingNearDups (standing minhash store probed + maintained per batch)") {
+    it("emits cross-side verified pairs, excludes a re-ingested doc's stale self") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("nd_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingNearDups(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", root, nBuckets = 4, checkpointDir = ckpt)
+      def pairs(): Set[(Long, Long)] =
+        if (!graft.sources.Sink.storeExists(s"$root/pairs")) Set.empty
+        else graft.sources.Sink.readStore(spark, s"$root/pairs")
+          .select($"batch_id", $"standing_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      try {
+        // batch 1: two unrelated standing docs -> no pairs (no standing store yet)
+        src.addData((1L, "alpha beta gamma delta epsilon"),
+          (2L, "completely different tokens here now"))
+        q.processAllAvailable()
+        assert(pairs() === Set.empty)
+        // batch 2: doc 3 is an EXACT copy of doc 1 — identical signatures
+        // collide in every band, so candidacy is certain (a 0.5-jaccard pair
+        // collides only with ~23% probability at this 4x4 geometry; the
+        // planted-pair queries use exact copies for the same reason)
+        src.addData((3L, "alpha beta gamma delta epsilon"))
+        q.processAllAvailable()
+        assert(pairs() === Set((3L, 1L)))
+        // batch 3: RE-INGEST doc 1 with its own (unchanged) text. Its stale
+        // standing rows are a jaccard-1.0 match — the stale-self exclusion is
+        // the only thing keeping (1,1) out — while doc 3's copy must pair
+        src.addData((1L, "alpha beta gamma delta epsilon"))
+        q.processAllAvailable()
+        assert(pairs() === Set((3L, 1L), (1L, 3L)))
+        val docRow = graft.sources.Sink.readStore(spark, s"$root/docs")
+          .where($"doc_id" === 1L).select($"text").head().getString(0)
+        assert(docRow === "alpha beta gamma delta epsilon")
+        val nDocs = StreamOps.bandsFromStore(spark, s"$root/bands", "doc_id")
+          .select($"doc_id").distinct().count()
+        assert(nDocs === 3L)
+      } finally q.stop()
+    }
+  }
 }
