@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -65,6 +65,7 @@ object Stress {
     if (mode == "store") { storeStudy(spark, sfDir); spark.stop(); return }
     if (mode == "standing") { standingStudy(spark, sfDir); spark.stop(); return }
     if (mode == "kcore") { kcoreStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "ann") { annStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -837,5 +838,59 @@ object Stress {
     println(s"[stress] 10x triangles: ${t10.getLong(3)} (expect ${10 * t1.getLong(3)}); " +
       s"10x clustering bp: ${t10.getLong(4)} (expect ${t1.getLong(4)})")
     big.unpersist(); base.unpersist()
+  }
+
+  /** ANN family bake-off on the natural corpus: every search path's build
+    * wall, query wall, and recall@10 against the exact brute-force ranking
+    * for the same 64-query batch — the measured evidence behind the
+    * bytes-vs-recall claims in the PQ/IVF scaladocs (recall on these
+    * near-random synthetic embeddings is the WORST case; structured real
+    * embeddings cluster and every approximate path improves). */
+  private def annStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Similarity
+    val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 64)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = timed("brute force (exact baseline) query")(
+      pairSet(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)))
+    def recall(got: Set[(Long, Long)]): Double =
+      math.round(got.intersect(exact).size.toDouble / exact.size * 1000) / 1000.0
+
+    val int8 = timed("int8 quantized query")(
+      pairSet(Similarity.quantizedTopK(queries, emb, "vec_id", "embedding", 10)))
+    println(s"[stress] int8 recall@10: ${recall(int8)} (4x compression)")
+
+    val ivf = timed("IVF build (16 cells, 1 train round)")(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCentroids = 16, trainIters = 1))
+    ivf.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).count()
+    for (p <- Seq(4, 8)) {
+      val got = timed(s"IVF probe nProbe=$p query")(
+        pairSet(Similarity.ivfProbe(ivf, queries, "vec_id", "embedding", 10, nProbe = p)))
+      println(s"[stress] IVF nProbe=$p recall@10: ${recall(got)} (full vectors, ~$p/16 corpus scanned)")
+    }
+
+    val pq = timed("PQ build (m=16, ks=256, 3 train rounds)")(
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", dim = 64, m = 16, ks = 256, trainIters = 3))
+    pq.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).count()
+    val adc = timed("PQ ADC-only query")(
+      pairSet(Similarity.pqTopK(pq, queries, "vec_id", "embedding", 10)))
+    println(s"[stress] PQ ADC recall@10: ${recall(adc)} (16-byte codes, ~16x compression)")
+    val pqRr = timed("PQ over-fetch 50 + exact re-rank query") {
+      val c = Similarity.pqTopK(pq, queries, "vec_id", "embedding", 50)
+      pairSet(Similarity.rerankExact(c, queries, emb, "vec_id", "embedding", 10))
+    }
+    println(s"[stress] PQ+rerank50 recall@10: ${recall(pqRr)}")
+
+    val ivfpq = timed("IVF-PQ nProbe=8 + rerank50 query") {
+      val c = Similarity.ivfPqTopK(ivf, pq, queries, "vec_id", "embedding", 50, nProbe = 8)
+      pairSet(Similarity.rerankExact(c, queries, emb, "vec_id", "embedding", 10))
+    }
+    println(s"[stress] IVF-PQ nProbe=8 + rerank50 recall@10: ${recall(ivfpq)} " +
+      s"(~8/16 corpus in CODE bytes + ${64 * 50} exact pairs; n=$n)")
+    emb.unpersist(); ()
   }
 }

@@ -449,6 +449,37 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(got === expect)
     }
+
+    it("Contamination.spanAttribution == brute-force diagonal runs on random docs") {
+      val vocab = Vector("a", "b", "c", "d")
+      def doc(len: Int) = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val w = 3
+      val train = (1L to 20L).map(i => (i, doc(8 + rnd.nextInt(8))))
+      val eval = (100L to 103L).map(i => (i, doc(9)))
+      def windows(t: String): Seq[(Int, String)] =
+        t.split(" ").sliding(w).zipWithIndex.map { case (ws, i) => (i, ws.mkString(" ")) }
+          .toSeq.filter(_._2.split(" ").length == w)
+      val expect = (for {
+        (ti, tt) <- train; (ei, et) <- eval
+        ms = for { (tp, s1) <- windows(tt); (ep, s2) <- windows(et) if s1 == s2 } yield (tp, ep)
+        if ms.nonEmpty
+      } yield {
+        val runs = ms.groupBy { case (tp, ep) => tp - ep }.values.flatMap { diag =>
+          // contiguity over eval positions within one diagonal
+          val ps = diag.map(_._2).sorted
+          ps.foldLeft(List.empty[List[Int]]) {
+            case (acc @ (run :: rest), p) if run.headOption.contains(p - 1) => (p :: run) :: rest
+            case (acc, p) => List(p) :: acc
+          }.map(_.size.toLong)
+        }.toSeq
+        (ti, ei, runs.sum, runs.max, runs.max + (w - 1))
+      }).toSet
+      val got = Contamination
+        .spanAttribution(train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+          "doc_id", "text", w)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expect)
+    }
   }
 
   describe("Text repetition metrics") {
