@@ -2608,6 +2608,22 @@ object SparkEntry {
       multimodal.Media.audioStats(blobs, "doc_id", "blob")
     }),
 
+    // q177: REAL windowed audio features — per 32-sample window, integer
+    // floor-mean squared energy + zero-crossing count over an actual PCM
+    // decode (q148's blobs, per-window rows): the VAD / silence-trim
+    // primitive. The closed-form sample stream lets the oracle replay
+    // every window in SQL, lag() included.
+    "q177_wav_windows" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticWav(
+            (8000 + (id % 8) * 1000).toInt, (64 + id % 192).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.audioWindowProfile(blobs, "doc_id", "blob", win = 32)
+    }),
+
     // q149: REAL video frame decode — each doc gets an uncompressed-DIB AVI
     // (RIFF hdrl/avih/movi walk, one raw bottom-up BGR frame per '00db'
     // chunk); videoFrameMeans emits one row per DECODED frame with
@@ -4802,6 +4818,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
         |       CAST(peak AS BIGINT) AS peak, CAST(sa // n AS BIGINT) AS mean_abs
         |FROM agg""".stripMargin,
+    // q177: the q148 closed form per 32-sample window; zero crossings via
+    // lag() over (doc, window) with the same ">= 0 counts positive" rule
+    "q177_wav_windows" ->
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 192 AS n
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |smp AS (SELECT doc_id, i, i // 32 AS win_idx,
+        |               (i * 37 + doc_id) % 2048 - 1024 AS s
+        |        FROM dims, unnest(generate_series(0, n - 1)) AS u(i)),
+        |z AS (SELECT doc_id, win_idx, i, s,
+        |             CASE WHEN i % 32 <> 0 AND (s >= 0) <>
+        |               (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+        |             THEN 1 ELSE 0 END AS flip
+        |      FROM smp)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+        |       CAST(count(*) AS BIGINT) AS n_in_win,
+        |       CAST(sum(s * s) // count(*) AS BIGINT) AS energy,
+        |       CAST(sum(flip) AS BIGINT) AS zero_crossings
+        |FROM z GROUP BY 1, 2""".stripMargin,
     // q149: per-frame pixel closed form (r=(x+y+f)%256, g=(y+id+f)%256,
     // b=(x+id+f)%256) over each doc's w x h x frames grid
     "q149_avi_frames" ->

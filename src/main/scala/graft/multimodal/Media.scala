@@ -240,6 +240,52 @@ object Media {
       .toDF(idCol, "sample_rate", "n_samples", "peak", "mean_abs")
   }
 
+  /**
+   * REAL windowed audio feature extraction — the VAD / silence-trim
+   * primitive an audio curation pipeline cuts by: each decoded WAV splits
+   * into fixed `win`-sample non-overlapping windows (last window partial)
+   * and emits per window the floor-mean SQUARED energy and the
+   * zero-crossing count (sign flip vs the previous sample WITHIN the
+   * window; sample >= 0 counts positive, so the definition is total and
+   * engine-replayable in pure integer math). One narrow typed pass per
+   * blob — the q148 shape with per-window rows instead of one summary row;
+   * non-WAV / non-PCM / null blobs are dropped.
+   *
+   * Returns (idCol, win_idx, n_in_win, energy, zero_crossings) with
+   * energy = floor(sum(s_i^2) / n_in_win) — exact integer division, so
+   * oracle comparison is bit-stable.
+   */
+  def audioWindowProfile(df: DataFrame, idCol: String, binCol: String,
+      win: Int = 32): DataFrame = {
+    require(win > 0, s"window must be positive, got $win")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 != null).flatMap { case (id, bytes) =>
+          parseWav(bytes).iterator.flatMap { w =>
+            (0 until w.nSamples by win).iterator.map { start =>
+              val end = math.min(start + win, w.nSamples)
+              var sumSq = 0L; var zc = 0L
+              var i = start
+              var prev = 0
+              while (i < end) {
+                val s = w.sample(i)
+                sumSq += s.toLong * s
+                if (i > start && ((s >= 0) != (prev >= 0))) zc += 1
+                prev = s
+                i += 1
+              }
+              val n = (end - start).toLong
+              (id, (start / win).toLong, n, sumSq / n, zc)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "win_idx", "n_in_win", "energy", "zero_crossings")
+  }
+
   /** A parsed AVI: per-frame access over the `movi` list. Frames are
     * either raw bottom-up padded BGR DIBs ('00db') or baseline JPEGs
     * ('00dc' MJPEG — each chunk IS a standalone JPEG file, decoded

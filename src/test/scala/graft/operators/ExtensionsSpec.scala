@@ -1016,6 +1016,36 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(feats.kind === "wav")
     }
 
+    it("audioWindowProfile: windowed energy + zero crossings over a real decode") {
+      // 70 samples alternating +500 / -500: with win=32, windows of 32/32/6;
+      // every in-window step flips sign -> zc = n_in_win - 1; energy = 500^2
+      val n = 70
+      val bytes = Media.syntheticWav(8000, n, 0L)
+      var i = 0
+      while (i < n) {
+        val v = (if (i % 2 == 0) 500 else -500) & 0xffff
+        bytes(44 + i * 2) = (v & 0xff).toByte
+        bytes(44 + i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val got = Media.audioWindowProfile(Seq((7L, bytes)).toDF("id", "blob"), "id", "blob", win = 32)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+      assert(got.toSeq === Seq(
+        (7L, 0L, 32L, 250000L, 31L),
+        (7L, 1L, 32L, 250000L, 31L),
+        (7L, 2L, 6L, 250000L, 5L)))
+      // a constant-sign window has zero crossings even at the boundary step
+      val flat = Media.syntheticWav(8000, 3, 0L)
+      var j = 0
+      while (j < 3) { flat(44 + j * 2) = 7; flat(44 + j * 2 + 1) = 0; j += 1 }
+      val g2 = Media.audioWindowProfile(Seq((1L, flat)).toDF("id", "blob"), "id", "blob", win = 32)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(g2.toSeq === Seq((1L, 0L, 3L, 49L, 0L)))
+      // non-WAV blobs drop
+      assert(Media.audioWindowProfile(
+        Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "blob"), "id", "blob").count() === 0L)
+    }
+
     it("REALLY decodes uncompressed-DIB AVI frames: chunk walk, pixels, rejects") {
       val avi = Media.syntheticAvi(3, 2, 2, 5L)
       val v = Media.parseAvi(avi).get
