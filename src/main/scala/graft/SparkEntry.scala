@@ -2608,6 +2608,22 @@ object SparkEntry {
       multimodal.Media.audioStats(blobs, "doc_id", "blob")
     }),
 
+    // q179: REAL video scene-change profile — floor-mean absolute pixel
+    // diff between consecutive decoded frames (q149's AVIs): the shot-cut
+    // / frame-sampling signal. The closed-form frame pixels wrap mod 256,
+    // so the oracle must replay the wrap exactly (a |1| step almost
+    // everywhere, |255| at the wrap seam — a real cross-engine edge).
+    "q179_video_scene_diff" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticAvi(
+            (4 + id % 12).toInt, (4 + id % 4).toInt, (2 + id % 3).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.frameDiffProfile(blobs, "doc_id", "blob")
+    }),
+
     // q177: REAL windowed audio features — per 32-sample window, integer
     // floor-mean squared energy + zero-crossing count over an actual PCM
     // decode (q148's blobs, per-window rows): the VAD / silence-trim
@@ -2622,6 +2638,21 @@ object SparkEntry {
             (8000 + (id % 8) * 1000).toInt, (64 + id % 192).toInt, id))
         }.toDF("doc_id", "blob")
       multimodal.Media.audioWindowProfile(blobs, "doc_id", "blob", win = 32)
+    }),
+
+    // q178: REAL image sharpness — integer Laplacian-of-luma blur scoring
+    // over actual BMP pixel decodes (q146's blobs): the filter that drops
+    // out-of-focus / flat images from a training corpus. The closed-form
+    // pixel grid lets the oracle recompute every interior laplacian via
+    // 4 neighbor self-joins on the luma CTE.
+    "q178_image_sharpness" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Media.syntheticBmp((8 + id % 16).toInt, (8 + id % 8).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.sharpnessProfile(blobs, "doc_id", "blob")
     }),
 
     // q149: REAL video frame decode — each doc gets an uncompressed-DIB AVI
@@ -4818,6 +4849,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
         |       CAST(peak AS BIGINT) AS peak, CAST(sa // n AS BIGINT) AS mean_abs
         |FROM agg""".stripMargin,
+    // q179: per-pixel diff of the q149 closed form between frames f and
+    // f+1 — each channel steps by 1 except at the mod-256 wrap seam
+    // (|255|); the oracle replays the wrap arithmetic exactly
+    "q179_video_scene_diff" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 4 AS h,
+        |                     2 + doc_id % 3 AS nf
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (SELECT doc_id, w, h, f, x, y,
+        |         abs((x + y + f + 1) % 256 - (x + y + f) % 256) +
+        |         abs((y + doc_id + f + 1) % 256 - (y + doc_id + f) % 256) +
+        |         abs((x + doc_id + f + 1) % 256 - (x + doc_id + f) % 256) AS d
+        |       FROM dims, unnest(generate_series(0, nf - 2)) AS uf(f),
+        |                  unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y))
+        |SELECT doc_id, CAST(f AS BIGINT) AS pair_idx,
+        |       CAST(sum(d) // (w * h * 3) AS BIGINT) AS mean_abs_diff,
+        |       CAST(max(d) AS BIGINT) AS max_abs_diff
+        |FROM px GROUP BY doc_id, f, w, h""".stripMargin,
     // q177: the q148 closed form per 32-sample window; zero crossings via
     // lag() over (doc, window) with the same ">= 0 counts positive" rule
     "q177_wav_windows" ->
@@ -4836,6 +4885,30 @@ object SparkEntry {
         |       CAST(sum(s * s) // count(*) AS BIGINT) AS energy,
         |       CAST(sum(flip) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY 1, 2""".stripMargin,
+    // q178: luma grid from the q146 closed form (r=(x+y)%256, g=(y+id)%256,
+    // b=(x+id)%256), Rec.601 integer floor weights, laplacian via four
+    // neighbor self-joins over the interior
+    "q178_image_sharpness" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |lum AS (SELECT doc_id, w, h, x, y,
+        |          (((x + y) % 256) * 299 + ((y + doc_id) % 256) * 587 +
+        |           ((x + doc_id) % 256) * 114) // 1000 AS l
+        |        FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                   unnest(generate_series(0, h - 1)) AS uy(y)),
+        |lap AS (SELECT c.doc_id, c.w, c.h,
+        |          abs(4 * c.l - xl.l - xr.l - yu.l - yd.l) AS a
+        |        FROM lum c
+        |        JOIN lum xl ON xl.doc_id = c.doc_id AND xl.x = c.x - 1 AND xl.y = c.y
+        |        JOIN lum xr ON xr.doc_id = c.doc_id AND xr.x = c.x + 1 AND xr.y = c.y
+        |        JOIN lum yu ON yu.doc_id = c.doc_id AND yu.x = c.x AND yu.y = c.y - 1
+        |        JOIN lum yd ON yd.doc_id = c.doc_id AND yd.x = c.x AND yd.y = c.y + 1
+        |        WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(count(*) AS BIGINT) AS n_interior,
+        |       CAST(sum(a) // count(*) AS BIGINT) AS mean_abs_lap,
+        |       CAST(max(a) AS BIGINT) AS max_abs_lap
+        |FROM lap GROUP BY 1, 2, 3""".stripMargin,
     // q149: per-frame pixel closed form (r=(x+y+f)%256, g=(y+id+f)%256,
     // b=(x+id+f)%256) over each doc's w x h x frames grid
     "q149_avi_frames" ->

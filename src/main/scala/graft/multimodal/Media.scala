@@ -1026,6 +1026,111 @@ object Media {
   }
 
   /**
+   * REAL scene-change profiling over decoded video frames — the shot-cut /
+   * frame-sampling primitive a video curation pipeline keys on (sample one
+   * frame per scene instead of one per second; a pair diff near zero marks
+   * a static segment): for each consecutive decodable frame pair (f, f+1)
+   * of every AVI, the floor-mean absolute per-channel pixel difference
+   * `sum(|r'−r| + |g'−g| + |b'−b|) / (w·h·3)` and its max. Raw-DIB frames
+   * read directly; MJPEG frames decode through the real [[Jpeg]] codec;
+   * a pair with an undecodable member emits nothing (honesty rule). Pure
+   * integer math — engine-replayable.
+   *
+   * Returns (idCol, pair_idx, mean_abs_diff, max_abs_diff) with pair_idx
+   * = f of the earlier frame.
+   */
+  def frameDiffProfile(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 != null).flatMap { case (id, bytes) =>
+          parseAvi(bytes).iterator.flatMap { v =>
+            // one decoded accessor per frame, reused by both pairs touching it
+            def accessor(f: Int): Option[(Int, Int) => (Int, Int, Int)] =
+              if (v.isJpeg(f)) v.jpegImage(f).map(img => (x: Int, y: Int) => img.pixel(x, y))
+              else Some((x: Int, y: Int) => v.pixel(f, x, y))
+            val accs = Array.tabulate(v.nFrames)(accessor)
+            (0 until v.nFrames - 1).iterator.flatMap { f =>
+              (accs(f), accs(f + 1)) match {
+                case (Some(a), Some(b)) =>
+                  var sum = 0L; var maxD = 0L
+                  var y = 0
+                  while (y < v.height) {
+                    var x = 0
+                    while (x < v.width) {
+                      val (r1, g1, b1) = a(x, y)
+                      val (r2, g2, b2) = b(x, y)
+                      val d = math.abs(r2 - r1).toLong + math.abs(g2 - g1) + math.abs(b2 - b1)
+                      sum += d
+                      if (d > maxD) maxD = d
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val n = v.width.toLong * v.height * 3L
+                  Iterator.single((id, f.toLong, sum / n, maxD))
+                case _ => Iterator.empty
+              }
+            }
+          }
+        }
+      }
+      .toDF(idCol, "pair_idx", "mean_abs_diff", "max_abs_diff")
+  }
+
+  /**
+   * REAL image sharpness scoring — the blur-detection filter an image
+   * curation pipeline cuts by (out-of-focus and flat images carry little
+   * training signal): integer Laplacian-of-luma over every decodable
+   * image's interior pixels. luma = (299r + 587g + 114b) / 1000 (integer
+   * floor of the Rec.601 weights), laplacian = 4·L(x,y) − L(x±1,y) −
+   * L(x,y±1); emitted per image: interior pixel count, floor-mean |lap|
+   * (the sharpness score — higher = more edge energy), and max |lap|.
+   * Decodes BMP, PNG, and baseline JPEG through the real codecs; other
+   * blobs and images without an interior (w or h < 3) are dropped. Pure
+   * integer math end-to-end, so the score is engine-replayable.
+   */
+  def sharpnessProfile(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 != null).flatMap { case (id, bytes) =>
+          val dec: Option[(Int, Int, (Int, Int) => (Int, Int, Int))] =
+            parseBmp(bytes).map(b => (b.width, b.height, b.pixel _))
+              .orElse(parsePng(bytes).map(p => (p.width, p.height, p.pixel _)))
+              .orElse(Jpeg.decode(bytes).map(j => (j.width, j.height, j.pixel _)))
+          dec.filter { case (w, h, _) => w >= 3 && h >= 3 }.map { case (w, h, px) =>
+            def luma(x: Int, y: Int): Int = {
+              val (r, g, b) = px(x, y)
+              (r * 299 + g * 587 + b * 114) / 1000
+            }
+            var sumAbs = 0L; var maxAbs = 0L
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                val lap = 4L * luma(x, y) - luma(x - 1, y) - luma(x + 1, y) -
+                  luma(x, y - 1) - luma(x, y + 1)
+                val a = math.abs(lap)
+                sumAbs += a
+                if (a > maxAbs) maxAbs = a
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w - 2).toLong * (h - 2)
+            (id, w.toLong, h.toLong, n, sumAbs / n, maxAbs)
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "n_interior", "mean_abs_lap", "max_abs_lap")
+  }
+
+  /**
    * Resize plumbing: (id, blob) -> (id, kind, resized blob) at a target
    * `w`x`h`. For uncompressed 24bpp BMPs ([[resizeBmp]]), decodable PNGs
    * ([[resizePng]]) AND baseline JPEGs ([[resizeJpeg]]) the transform is

@@ -1016,6 +1016,56 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(feats.kind === "wav")
     }
 
+    it("frameDiffProfile: per-pair decoded pixel diff, wrap seam included") {
+      // closed-form frames step every channel by exactly 1 per frame away
+      // from the mod-256 seam: seed 0, 4x4, 3 frames -> every pixel d = 3,
+      // so mean = 1 and max = 3 for both pairs
+      val avi = Media.syntheticAvi(4, 4, 3, 0L)
+      val got = Media.frameDiffProfile(Seq((1L, avi)).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+      assert(got.toSeq === Seq((1L, 0L, 1L, 3L), (1L, 1L, 1L, 3L)))
+      // seed 254 pushes g/b channels across the wrap: pixels where
+      // (y+254+f) % 256 == 255 jump |255| instead of |1| — max must see it
+      val seam = Media.frameDiffProfile(
+        Seq((2L, Media.syntheticAvi(4, 4, 2, 254L))).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(seam._4 > 3L, s"wrap seam not observed: $seam")
+      // a single-frame video has no pair; junk bytes decode to nothing
+      assert(Media.frameDiffProfile(
+        Seq((1L, Media.syntheticAvi(4, 4, 1, 0L)), (2L, Array[Byte](1)))
+          .toDF("id", "blob"), "id", "blob").count() === 0L)
+    }
+
+    it("sharpnessProfile: integer Laplacian-of-luma over real decodes, all formats") {
+      // 3x3 all-black BMP with a white center: one interior pixel, luma 255
+      // vs 0 neighbors -> |lap| = 4*255 = 1020; flat image -> 0
+      val bmp = Media.syntheticBmp(3, 3, 0L)
+      java.util.Arrays.fill(bmp, 54, bmp.length, 0.toByte)
+      // bottom-up storage: image (1,1) lives at row h-1-1 = 1; stride 12
+      bmp(54 + 12 + 3) = -1; bmp(54 + 12 + 4) = -1; bmp(54 + 12 + 5) = -1
+      val flat = Media.syntheticBmp(3, 3, 0L)
+      java.util.Arrays.fill(flat, 54, flat.length, 0.toByte)
+      val got = Media.sharpnessProfile(
+        Seq((1L, bmp), (2L, flat)).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === Seq(
+        (1L, 3L, 3L, 1L, 1020L, 1020L),
+        (2L, 3L, 3L, 1L, 0L, 0L)))
+      // the PNG decode path feeds the same kernel (same closed-form grid as
+      // the BMP fixture family => scores must agree with a same-seed BMP)
+      val pngScore = Media.sharpnessProfile(
+        Seq((3L, Media.syntheticPngImage(8, 8, 5L))).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().head
+      val bmpScore = Media.sharpnessProfile(
+        Seq((3L, Media.syntheticBmp(8, 8, 5L))).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().head
+      assert(pngScore === bmpScore)
+      // no interior (2x5) and undecodable blobs drop
+      assert(Media.sharpnessProfile(
+        Seq((1L, Media.syntheticBmp(2, 5, 0L)), (2L, Array[Byte](9, 9)))
+          .toDF("id", "blob"), "id", "blob").count() === 0L)
+    }
+
     it("audioWindowProfile: windowed energy + zero crossings over a real decode") {
       // 70 samples alternating +500 / -500: with win=32, windows of 32/32/6;
       // every in-window step flips sign -> zc = n_in_win - 1; energy = 500^2
