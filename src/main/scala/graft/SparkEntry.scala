@@ -5667,12 +5667,15 @@ object SparkEntry {
         |           FROM documents WHERE text IS NOT NULL),
         |ev AS (SELECT doc_id AS eval_id, words[6:35] AS words FROM d
         |       WHERE doc_id < 20 AND len(words) >= 40),
-        |tw AS (SELECT doc_id AS train_id,
+        |twall AS (SELECT doc_id AS train_id,
         |              unnest(range(len(words) - 7)) AS tpos,
         |              unnest(list_transform(range(len(words) - 7),
         |                i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4],
         |                               words[i+5], words[i+6], words[i+7], words[i+8]))) AS s
         |       FROM d WHERE len(words) >= 8),
+        |keep AS (SELECT s FROM (SELECT DISTINCT train_id, s FROM twall)
+        |         GROUP BY s HAVING count(*) <= 1024),
+        |tw AS (SELECT train_id, tpos, s FROM twall JOIN keep USING (s)),
         |ew AS (SELECT eval_id,
         |              unnest(range(len(words) - 7)) AS epos,
         |              unnest(list_transform(range(len(words) - 7),

@@ -89,17 +89,32 @@ object Contamination {
    * the epos - row_number trick; the window function partitions by (pair,
    * diagonal), so its input is match-mass-bounded — never a corpus sort. A
    * window hash repeated in d train docs costs d match rows per eval start
-   * (the same df-locality as every shingle join); pairs below `minRun` are
-   * dropped at the end (run 1 = an isolated w-gram, usually noise).
+   * (the same df-locality as every shingle join), and `maxDf` caps it: a
+   * window held by MORE than `maxDf` distinct train documents is
+   * boilerplate, not memorization — it carries no attribution signal and
+   * would concentrate quadratic match mass on one hash — so those hashes
+   * are dropped before the join (the LSH hot-bucket rule, applied to
+   * windows; a genuine verbatim excerpt's windows have df ~ its true copy
+   * count, far below any sane cap). Pairs below `minRun` are dropped at
+   * the end (run 1 = an isolated w-gram, usually noise).
    */
   def spanAttribution(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
-      w: Int, minRun: Int = 1): DataFrame = {
+      w: Int, minRun: Int = 1, maxDf: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(w > 0, s"window width must be positive, got $w")
     require(minRun > 0, s"minRun must be positive, got $minRun")
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
     import org.apache.spark.sql.expressions.Window
-    val trainWh = Dedup.windowHashes(train, idCol, textCol, w)
+    val trainWhAll = Dedup.windowHashes(train, idCol, textCol, w)
       .select(col(idCol).as("train_id"), col("pos").as("__tpos"), col("h"))
+    // df cap on the TRAIN side: one aggregate over (h, train_id)-distinct
+    // rows; the surviving-hash set anti-joins nothing — the match join
+    // itself just sees fewer build rows
+    val hotHashes = trainWhAll.select(col("train_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(col("h"))
+    val trainWh = trainWhAll.join(hotHashes, Seq("h"), "left_anti")
     val evalWh = Dedup.windowHashes(eval, idCol, textCol, w)
       .select(col(idCol).as("eval_id"), col("pos").as("__epos"), col("h"))
     val matches = trainWh.join(broadcast(evalWh), "h")

@@ -945,6 +945,20 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         .count() === 0L)
     }
 
+    it("maxDf drops boilerplate windows shared by too many train docs") {
+      // "a b c" lives in BOTH train docs (df 2) -> capped out at maxDf = 1;
+      // the doc-20-only window "x y z" (df 1) survives
+      val train = Seq((10L, "a b c d"), (11L, "a b c e"), (20L, "x y z")).toDF("doc_id", "text")
+      val eval = Seq((1L, "a b c x y z")).toDF("doc_id", "text")
+      val capped = Contamination.spanAttribution(train, eval, "doc_id", "text",
+        w = 3, maxDf = 1)
+      assert(rows(capped) === Set((20L, 1L, 1L, 1L, 3L)))
+      // uncapped, the boilerplate window attributes to both its holders
+      val open = Contamination.spanAttribution(train, eval, "doc_id", "text", w = 3)
+      assert(rows(open) === Set((10L, 1L, 1L, 1L, 3L), (11L, 1L, 1L, 1L, 3L),
+        (20L, 1L, 1L, 1L, 3L)))
+    }
+
     it("a substring repeated inside the train doc attributes on EVERY diagonal") {
       val train = Seq((10L, "a b c k1 k2 a b c")).toDF("doc_id", "text")
       val eval = Seq((1L, "a b c")).toDF("doc_id", "text")
