@@ -933,6 +933,10 @@ object Similarity {
       s"codebooks frame has ${rows.length} rows but spans m=$m x ks=$ks — incomplete grid")
     val booksArr = Array.ofDim[Array[Double]](m, ks)
     rows.foreach { case (j, c, cw) => booksArr(j)(c) = cw }
+    // row-count == m*ks does not preclude duplicate (sub, code) rows leaving
+    // holes; a null cell would NPE mid-scan on an executor, so fail loudly here
+    require(booksArr.forall(_.forall(_ != null)),
+      "codebooks frame carries duplicate (sub, code) rows — grid has holes")
     new PqIndex(m * booksArr(0)(0).length, booksArr, codes)
   }
 

@@ -652,6 +652,28 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  it("q176 span attribution: broadcast eval windows, anti-joined df cap, no cartesian") {
+    val p = plan("q176_span_attribution")
+    // the eval-side window frame is small by contract and must broadcast
+    // into the match join; the df cap is a build-side anti-join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), s"expected the hot-window df-cap anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  it("q174/q175 PQ search: standing code frame from the store cache, no cartesian, no Window") {
+    Seq("q174_pq_ann", "q175_ivfpq_ann").foreach { q =>
+      val p = plan(q)
+      // the ADC scan reads the persisted standing code frame, not a rebuild
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: expected the persisted standing PQ codes:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("Window"),
+        s"$q: ranking must be the bounded-heap combiner, not a Window:\n$p")
+    }
+  }
+
   it("q154 importance selection broadcasts the bounded bucket tables, never the corpus") {
     val p = plan("q154_importance_selection")
     // both the 1-row totals and the enriched-bucket list ride broadcasts;
