@@ -3117,6 +3117,34 @@ object SparkEntry {
         "doc_id", "text",
         operators.Bpe.fixtureMerges, unpersistHook = onCleanup)),
 
+    // q180: TOKENIZER FERTILITY by language — chars per BPE token (in
+    // centi-units), the tokenizer-quality metric multilingual pipelines
+    // budget by (a language with high fertility pays more compute per
+    // character of text; the number drives vocab-extension decisions).
+    // Composes the REAL merges-table BPE (q167's kernel + oracle chain)
+    // with the trigram language classifier (q173's kernel), all integer
+    // math. Same 0x1F-free oracle restriction as q167, asserted in-query.
+    "q180_bpe_fertility" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q180 oracle requires a 0x1F-free corpus') IS NULL"))
+      val toks = operators.Bpe.tokenCounts(docs, "doc_id", "text",
+        operators.Bpe.fixtureMerges, unpersistHook = onCleanup)
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val meta = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), functions.Text.langGuess(col("text")).as("lang"),
+          aggregate(transform(words, w => length(w).cast("long")),
+            lit(0L), (a, b) => a + b).as("__nchars"))
+      toks.join(meta, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nchars")).as("sum_chars"),
+          sum(col("n_bpe_tokens")).as("sum_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_bpe_tokens"),
+          (col("sum_chars") * lit(100L) / col("sum_bpe_tokens")).cast("long")
+            .as("fertility_centi"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -5730,6 +5758,47 @@ object SparkEntry {
         |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat)))
         |SELECT inst.doc_id, CAST(sum(enc.nt) AS BIGINT) AS n_bpe_tokens
         |FROM inst JOIN enc USING (w)
+        |GROUP BY 1""".stripMargin,
+    // q180: q167's recursive-CTE BPE chain grouped through q22's generated
+    // language CASE; docs with zero tokens are absent from both engines'
+    // fertility (the tokenization join), all divisions integer
+    "q180_bpe_fertility" ->
+      s"""WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
+        |                        (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'s','t'),(9,'e','n'),
+        |                        (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'),
+        |                 '[^ \\x09-\\x0D]+')) AS w
+        |         FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) AS nt, sum(length(inst.w)) AS nchars
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    ${functions.Text.langScoreSqlColumns}
+        |  FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS pt
+        |        FROM documents WHERE text IS NOT NULL) p),
+        |lang AS (SELECT doc_id,
+        |  ${functions.Text.langGuessSqlCase} AS lang
+        |  FROM sc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nchars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(nt) AS BIGINT) AS sum_bpe_tokens,
+        |       CAST(sum(nchars) * 100 // sum(nt) AS BIGINT) AS fertility_centi
+        |FROM doctok JOIN lang USING (doc_id)
         |GROUP BY 1""".stripMargin,
     // q169: the planted unicode alphabet {ñ,é,日,α} maps to {N,E,J,A} —
     // one ASCII byte per code point, so DuckDB's byte levenshtein on the
