@@ -1047,13 +1047,21 @@ object Media {
       .mapPartitions { rows =>
         rows.filter(_._2 != null).flatMap { case (id, bytes) =>
           parseAvi(bytes).iterator.flatMap { v =>
-            // one decoded accessor per frame, reused by both pairs touching it
+            // decode lazily, carrying only the CURRENT pair's accessors —
+            // an eager all-frames decode would hold every MJPEG frame's
+            // pixel buffer at once (nFrames * w * h * 3 bytes per video);
+            // each frame still decodes exactly once (the pair's right side
+            // becomes the next pair's left)
             def accessor(f: Int): Option[(Int, Int) => (Int, Int, Int)] =
               if (v.isJpeg(f)) v.jpegImage(f).map(img => (x: Int, y: Int) => img.pixel(x, y))
               else Some((x: Int, y: Int) => v.pixel(f, x, y))
-            val accs = Array.tabulate(v.nFrames)(accessor)
+            var carried: Option[(Int, Int) => (Int, Int, Int)] =
+              if (v.nFrames > 0) accessor(0) else None
             (0 until v.nFrames - 1).iterator.flatMap { f =>
-              (accs(f), accs(f + 1)) match {
+              val left = carried
+              val right = accessor(f + 1)
+              carried = right
+              (left, right) match {
                 case (Some(a), Some(b)) =>
                   var sum = 0L; var maxD = 0L
                   var y = 0

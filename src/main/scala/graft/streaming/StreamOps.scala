@@ -403,8 +403,11 @@ object StreamOps {
    * micro-batch (1) probes the standing index for cross-side candidates and
    * exact-verifies them, (2) appends the verified `(batch_id, standing_id,
    * jaccard)` pairs to the pair store, and (3) folds its own signatures and
-   * texts in — so batch cost tracks batch mass (signatures + touched
-   * buckets + verified-pair mass), never corpus history.
+   * texts in. Per-batch cost = one standing-SIGNATURE-index read (3 longs
+   * per band row — index mass, never corpus text mass; a long-lived
+   * deployment caches it between batches) + batch signatures + the
+   * candidate-bounded verify (the text store is semi-joined to candidate
+   * ids before any shingling) + touched-bucket rewrites.
    *
    * RE-INGESTION: a doc id already standing is treated as an UPDATE — its
    * stale standing rows are excluded from the probe (a doc must not match
