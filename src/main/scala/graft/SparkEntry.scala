@@ -161,19 +161,28 @@ object SparkEntry {
   }
 
   /** STORE ROOT for a (source dir, source table)'s standing indexes —
-    * keyed by a SOURCE-DATA SIGNATURE (file names + lengths + mtimes of
-    * the table's parquet), so a regenerated corpus can never silently
-    * serve a stale index: new data hashes to a new store root and the
-    * index rebuilds there. This is what makes disk-backed load-or-build
-    * safe across sessions. */
+    * keyed by a SOURCE-METADATA SIGNATURE: an MD5 over the sorted
+    * (name, length, mtime-millis) list of the table's parquet files, so a
+    * regenerated corpus hashes to a new store root and the index rebuilds
+    * there instead of silently serving stale. MD5 over the full metadata
+    * string (not a folded 32-bit hashCode, whose birthday collisions and
+    * information loss could alias two corpora). Residual caveat, by
+    * design: this is a METADATA signature — a regeneration that preserves
+    * every file name, byte length, AND mtime (e.g. `cp -p` of an
+    * equal-sized snapshot) is indistinguishable without hashing content,
+    * which would cost a full corpus read per session. */
   private def indexStoreRoot(dir: String, table: String): String = {
     val src = new java.io.File(s"$dir/$table.parquet")
     val files = if (src.isDirectory)
       Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src)) else Seq(src)
-    val sig = files.sortBy(_.getName)
-      .map(f => (f.getName, f.length, f.lastModified).hashCode()).toList.hashCode()
+    val meta = files.sortBy(_.getName)
+      .map(f => s"${f.getName} ${f.length} ${f.lastModified}")
+      .mkString("")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(meta.getBytes("UTF-8"))
+    val sig = md.take(8).map(b => f"$b%02x").mkString
     new java.io.File(sys.props("java.io.tmpdir"),
-      f"graft-index-${Integer.toHexString(dir.hashCode)}-$table-${Integer.toHexString(sig)}")
+      f"graft-index-${Integer.toHexString(dir.hashCode)}-$table-$sig")
       .getAbsolutePath
   }
 

@@ -1051,23 +1051,31 @@ object Media {
             // an eager all-frames decode would hold every MJPEG frame's
             // pixel buffer at once (nFrames * w * h * 3 bytes per video);
             // each frame still decodes exactly once (the pair's right side
-            // becomes the next pair's left)
-            def accessor(f: Int): Option[(Int, Int) => (Int, Int, Int)] =
-              if (v.isJpeg(f)) v.jpegImage(f).map(img => (x: Int, y: Int) => img.pixel(x, y))
-              else Some((x: Int, y: Int) => v.pixel(f, x, y))
-            var carried: Option[(Int, Int) => (Int, Int, Int)] =
+            // becomes the next pair's left). Each accessor carries ITS OWN
+            // decoded dims: an MJPEG stream's frames own their dimensions
+            // (videoFrameMeans' rule) and may disagree with the container's
+            // avih header — iterating the header grid over a smaller JPEG
+            // would crash the task; over a larger one, silently diff a
+            // sub-window. A pair whose members disagree on dims diffs
+            // nothing (the undecodable-member honesty rule).
+            def accessor(f: Int): Option[(Int, Int, (Int, Int) => (Int, Int, Int))] =
+              if (v.isJpeg(f))
+                v.jpegImage(f).map(img =>
+                  (img.width, img.height, (x: Int, y: Int) => img.pixel(x, y)))
+              else Some((v.width, v.height, (x: Int, y: Int) => v.pixel(f, x, y)))
+            var carried: Option[(Int, Int, (Int, Int) => (Int, Int, Int))] =
               if (v.nFrames > 0) accessor(0) else None
             (0 until v.nFrames - 1).iterator.flatMap { f =>
               val left = carried
               val right = accessor(f + 1)
               carried = right
               (left, right) match {
-                case (Some(a), Some(b)) =>
+                case (Some((w1, h1, a)), Some((w2, h2, b))) if w1 == w2 && h1 == h2 =>
                   var sum = 0L; var maxD = 0L
                   var y = 0
-                  while (y < v.height) {
+                  while (y < h1) {
                     var x = 0
-                    while (x < v.width) {
+                    while (x < w1) {
                       val (r1, g1, b1) = a(x, y)
                       val (r2, g2, b2) = b(x, y)
                       val d = math.abs(r2 - r1).toLong + math.abs(g2 - g1) + math.abs(b2 - b1)
@@ -1077,7 +1085,7 @@ object Media {
                     }
                     y += 1
                   }
-                  val n = v.width.toLong * v.height * 3L
+                  val n = w1.toLong * h1 * 3L
                   Iterator.single((id, f.toLong, sum / n, maxD))
                 case _ => Iterator.empty
               }

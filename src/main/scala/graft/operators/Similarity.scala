@@ -37,6 +37,26 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.cosineSim(a, b)
 
+  /** Driver collect of a query-vector frame, GUARDED BEFORE the collect:
+    * `limit(maxQueries + 1)` bounds what can ever reach the driver, so a
+    * mis-pointed corpus-as-queries call fails the `require` with a clear
+    * message instead of OOM-killing the driver first (the loadIvfIndex /
+    * loadPqIndex discipline, applied to the ADC search entry points).
+    * Null vectors are dropped; result sorted by id for determinism. */
+  private def collectQueries(queries: DataFrame, idCol: String, vecCol: String,
+      maxQueries: Int): Array[(Long, Array[Double])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxQueries + 1)
+      .as[(Long, Array[Double])].collect()
+    require(qArr.length <= maxQueries,
+      s"query frame exceeds maxQueries=$maxQueries — the query side is " +
+        "broadcast by contract; probe in batches or raise the cap deliberately")
+    qArr.filter(_._2 != null).sortBy(_._1)
+  }
+
   /** Driver/executor-local sequential cosine over double arrays (length
     * mismatch reads the shorter prefix; zero norms score 0.0) — the scalar
     * twin of [[cosine]], shared by the quantizer builders and probes. */
@@ -332,7 +352,8 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+    var cents: Array[Array[Double]] = corpus.where(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>")).as[Array[Double]].collect()
     require(cents.length == k,
       s"corpus has only ${cents.length} vectors but k=$k centroids were requested: " +
@@ -452,7 +473,7 @@ object Similarity {
         trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
           .zipWithIndex.map { case (v, i) => (i.toLong, v) }
       else {
-        val seeds = corpus
+        val seeds = corpus.where(col(vecCol).isNotNull)
           .orderBy(col(idCol)).limit(nCentroids)
           .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
           .as[(Long, Array[Double])].collect()
@@ -764,11 +785,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m
-    val seeds = corpus.orderBy(col(idCol)).limit(ks)
+    // null vectors are tolerated input everywhere in the PQ/IVF paths (the
+    // encode and training scans filter them) — the SEED query must too, or
+    // a null among the ks lowest ids NPEs codebook init with no diagnosis
+    val seeds = corpus.where(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(ks)
       .select(col(vecCol).cast("array<double>")).as[Array[Double]].collect()
     require(seeds.length == ks,
-      s"corpus has only ${seeds.length} vectors but ks=$ks codewords were requested " +
-        "per subspace — a silently smaller codebook would change every code")
+      s"corpus has only ${seeds.length} non-null vectors but ks=$ks codewords were " +
+        "requested per subspace — a silently smaller codebook would change every code")
     var books: Array[Array[Array[Double]]] = Array.tabulate(m, ks) { (j, c) =>
       Array.tabulate(subDim)(i => {
         val v = seeds(c); val p = j * subDim + i
@@ -966,12 +991,7 @@ object Similarity {
     import spark.implicits._
     val m = index.m
     val subDim = index.dim / m
-    val qArr = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect().filter(_._2 != null).sortBy(_._1)
-    require(qArr.length <= maxQueries,
-      s"${qArr.length} query vectors exceed maxQueries=$maxQueries — the query " +
-        "side is broadcast by contract; probe in batches or raise the cap deliberately")
+    val qArr = collectQueries(queries, idCol, vecCol, maxQueries)
     val books = index.codebooks
     // per-query ADC tables + norms, built once on the driver (O(nq * m * ks * subDim),
     // bounded by maxQueries) and broadcast — cheaper than rebuilding per partition
@@ -1049,12 +1069,7 @@ object Similarity {
     import spark.implicits._
     val m = pq.m
     val subDim = pq.dim / m
-    val qArr = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect().filter(_._2 != null).sortBy(_._1)
-    require(qArr.length <= maxQueries,
-      s"${qArr.length} query vectors exceed maxQueries=$maxQueries — the query " +
-        "side is broadcast by contract; probe in batches or raise the cap deliberately")
+    val qArr = collectQueries(queries, idCol, vecCol, maxQueries)
     // per-query ADC tables + norms (the pqTopK structure), plus the probe
     // set: nProbe nearest centroids by (cos desc, cent_id asc)
     val books = pq.codebooks

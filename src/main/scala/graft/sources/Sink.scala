@@ -201,7 +201,20 @@ object Sink {
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (copies.isEmpty) writer else writer.partitionBy(copies: _*))
       .parquet(s"${sparkDataRoot(indexPath)}/$epoch")
-    publishManifest(indexPath, n + 1, Map(0L -> epoch))
+    // a ZERO-ROW partitioned write leaves a file-less epoch (partitionBy
+    // writes no parquet for no rows); committing its manifest would poison
+    // the store forever — indexExists() true while readIndex() can never
+    // infer a schema, and load-or-build callers skip the rebuild branch
+    // (the upsertBuckets first-batch-empty rule, applied to snapshots).
+    // Leaving the store uncommitted is correct: an empty index rebuilds
+    // from scratch next session for free. Checked on the written FILES,
+    // not df.isEmpty, so the frame is never evaluated twice.
+    val epochDir = new java.io.File(
+      new java.net.URI(s"${sparkDataRoot(indexPath)}/$epoch"))
+    def hasParquet(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".parquet") ||
+        f.isDirectory && Option(f.listFiles()).exists(_.exists(hasParquet))
+    if (hasParquet(epochDir)) publishManifest(indexPath, n + 1, Map(0L -> epoch))
   }
 
   /** Resolve the CURRENT committed snapshot of a [[writeIndex]] store and

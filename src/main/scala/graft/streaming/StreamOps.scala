@@ -411,16 +411,24 @@ object StreamOps {
    *
    * RE-INGESTION: a doc id already standing is treated as an UPDATE — its
    * stale standing rows are excluded from the probe (a doc must not match
-   * its own previous version) and its signature/text rows are superseded
+   * its own previous version), its signature/text rows are superseded
    * wholesale (doc-level last-writer-wins, the [[streamingPostings]]
-   * discipline; signatures store as ONE sorted band-array row per doc).
+   * discipline; signatures store as ONE sorted band-array row per doc),
+   * and every PRIOR pair row touching the doc is TOMBSTONED (`live =
+   * false`) in the same batch — a pair verdict references a specific doc
+   * version, so a superseded version's verdicts must not be served as
+   * current (the re-ingested doc's still-true matches re-certify through
+   * its own fresh probe, batch-side). Within one batch a tombstone and a
+   * fresh verdict for the same pair key resolve live = true (column order
+   * puts `live` first after the version in the store's max-struct winner
+   * rule) — the fresh verification wins, which is the correct semantics.
    * Pair rows key on the (batch, standing) id pair, so a replayed batch
-   * re-emits byte-identical pairs — idempotent under at-least-once
+   * re-emits byte-identical rows — idempotent under at-least-once
    * delivery like every store writer here.
    *
    * Three stores under one root: `<root>/bands`, `<root>/docs`,
-   * `<root>/pairs`. Read pairs back with `Sink.readStore(root + "/pairs")`;
-   * rebuild the flat index frame with [[bandsFromStore]].
+   * `<root>/pairs`. Read CURRENT pairs with [[pairsFromStore]] (it filters
+   * tombstones); rebuild the flat index frame with [[bandsFromStore]].
    */
   def streamingNearDups(docs: DataFrame, idCol: String, textCol: String,
       storeRoot: String, nBuckets: Int, checkpointDir: String,
@@ -449,13 +457,32 @@ object StreamOps {
             val standingDocs = Sink.readStore(spark, docsPath)
               .select(col(idCol), col(textCol))
               .join(broadcast(batchIds), Seq(idCol), "left_anti")
-            val pairs = Dedup.incrementalNearDups(standingIndex, standingDocs, b,
-                idCol, textCol, shingleN, numHashes, bands, threshold)
-              .select(col("batch_id"), col("standing_id"), col("jaccard"))
-              .withColumn("pair_key",
-                concat_ws("|", col("batch_id"), col("standing_id")))
-              .withColumn("version", lit(batchId))
-            Sink.upsertBuckets(pairsPath, pairs, "pair_key", "version", nBuckets)
+            // COLUMN ORDER CONTRACT: `live` must sort directly after the
+            // version in the store's max-struct winner (pair_key is the
+            // key and always ties), so a same-batch tombstone + fresh
+            // verdict resolves live = true regardless of jaccard values
+            def pairRow(df: DataFrame, live: Boolean): DataFrame = df
+              .select(concat_ws("|", col("batch_id"), col("standing_id")).as("pair_key"),
+                lit(live).as("live"), col("batch_id"), col("standing_id"),
+                col("jaccard"), lit(batchId).as("version"))
+            val fresh = pairRow(
+              Dedup.incrementalNearDups(standingIndex, standingDocs, b,
+                  idCol, textCol, shingleN, numHashes, bands, threshold)
+                .select(col("batch_id"), col("standing_id"), col("jaccard")),
+              live = true)
+            // tombstone every prior pair touching a re-ingested doc: its
+            // verdicts referenced the superseded version
+            val stale =
+              if (!Sink.storeExists(pairsPath)) fresh.limit(0)
+              else pairRow(
+                Sink.readStore(spark, pairsPath)
+                  .select(col("batch_id"), col("standing_id"), col("jaccard"))
+                  .join(broadcast(batchIds.select(col(idCol).as("__bid"))),
+                    col("batch_id") === col("__bid") || col("standing_id") === col("__bid"),
+                    "left_semi"),
+                live = false)
+            Sink.upsertBuckets(pairsPath, fresh.unionByName(stale),
+              "pair_key", "version", nBuckets)
           }
           // 2) fold the batch in: one sorted band-array row per doc + the text
           val sigRows = Dedup.minhashIndex(b, idCol, textCol, shingleN, numHashes, bands)
@@ -473,6 +500,15 @@ object StreamOps {
         } finally { b.unpersist(); () }
       }
       .start()
+
+  /** The CURRENT verified near-dup pairs of a [[streamingNearDups]] store:
+    * `(batch_id, standing_id, jaccard)` with tombstoned (superseded-
+    * version) pairs filtered out. */
+  def pairsFromStore(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String): DataFrame =
+    graft.sources.Sink.readStore(spark, s"$storeRoot/pairs")
+      .where(col("live"))
+      .select(col("batch_id"), col("standing_id"), col("jaccard"))
 
   /** Read the [[streamingNearDups]] band store back as the flat
     * `(band, bucket, idCol)` index frame `minhashIndex` emits (docs whose

@@ -598,8 +598,7 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         "doc_id", "text", root, nBuckets = 4, checkpointDir = ckpt)
       def pairs(): Set[(Long, Long)] =
         if (!graft.sources.Sink.storeExists(s"$root/pairs")) Set.empty
-        else graft.sources.Sink.readStore(spark, s"$root/pairs")
-          .select($"batch_id", $"standing_id")
+        else StreamOps.pairsFromStore(spark, root)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       try {
         // batch 1: two unrelated standing docs -> no pairs (no standing store yet)
@@ -616,16 +615,25 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         assert(pairs() === Set((3L, 1L)))
         // batch 3: RE-INGEST doc 1 with its own (unchanged) text. Its stale
         // standing rows are a jaccard-1.0 match — the stale-self exclusion is
-        // the only thing keeping (1,1) out — while doc 3's copy must pair
+        // the only thing keeping (1,1) out. Doc 1's prior pair (3,1) is
+        // TOMBSTONED (it referenced the superseded version) and the still-
+        // true relationship re-certifies through doc 1's own probe as (1,3)
         src.addData((1L, "alpha beta gamma delta epsilon"))
         q.processAllAvailable()
-        assert(pairs() === Set((3L, 1L), (1L, 3L)))
+        assert(pairs() === Set((1L, 3L)))
         val docRow = graft.sources.Sink.readStore(spark, s"$root/docs")
           .where($"doc_id" === 1L).select($"text").head().getString(0)
         assert(docRow === "alpha beta gamma delta epsilon")
         val nDocs = StreamOps.bandsFromStore(spark, s"$root/bands", "doc_id")
           .select($"doc_id").distinct().count()
         assert(nDocs === 3L)
+        // batch 4: doc 1 re-ingests with UNRELATED text — every pair touching
+        // it must die, and its fresh probe certifies nothing. Without the
+        // tombstone, the store would keep serving the jaccard-1.0 verdict for
+        // a doc version that no longer exists (the stale-verdict hole)
+        src.addData((1L, "totally novel words qq ww ee"))
+        q.processAllAvailable()
+        assert(pairs() === Set.empty)
       } finally q.stop()
     }
   }
