@@ -220,6 +220,27 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     assert(Sink.readIndex(spark, path).count() == 1)
   }
 
+  test("writeIndex never commits a file-less epoch: an empty index leaves the store uncommitted") {
+    val path = tmp("idxempty")
+    val empty = Seq.empty[(Long, Long, String)].toDF("id", "cent_id", "payload")
+    // zero-row PARTITIONED write produces no parquet files; committing its
+    // manifest would poison the store (indexExists true, readIndex throws,
+    // load-or-build never rebuilds). The guard must leave the store absent.
+    Sink.writeIndex(empty, path, partitionCols = Seq("cent_id"))
+    assert(!Sink.indexExists(path),
+      "an empty partitioned index write must not commit a manifest")
+    // and the store is still buildable afterwards — the rebuild branch runs
+    val v1 = Seq((1L, 0L, "x")).toDF("id", "cent_id", "payload")
+    Sink.writeIndex(v1, path, partitionCols = Seq("cent_id"))
+    assert(Sink.indexExists(path))
+    assert(Sink.readIndex(spark, path).count() == 1)
+    // an UNPARTITIONED zero-row write may legitimately carry a schema-only
+    // parquet file; either outcome must keep the store readable-or-absent
+    val path2 = tmp("idxempty2")
+    Sink.writeIndex(empty, path2)
+    if (Sink.indexExists(path2)) assert(Sink.readIndex(spark, path2).count() == 0)
+  }
+
   test("writeIndex rejects reserved __p_ columns and unknown partition cols") {
     val path = tmp("idxbad")
     val df = Seq((1L, "a")).toDF("id", "payload")
