@@ -57,6 +57,29 @@ object Similarity {
     qArr.filter(_._2 != null).sortBy(_._1)
   }
 
+  /** Per-query ADC lookup tables + query norms over a PQ codebook grid:
+    * `T[j][c] = <q_j, cw_{j,c}>` for each query, plus ||q|| — the
+    * driver-side O(nq * m * ks * subDim) setup shared by [[pqTopK]] and
+    * [[ivfPqTopK]]. Zero-norm queries are dropped (cosine undefined). */
+  private def adcTables(qArr: Array[(Long, Array[Double])],
+      books: Array[Array[Array[Double]]],
+      subDim: Int): Array[(Long, Array[Array[Double]], Double)] =
+    qArr.map { case (qid, qv) =>
+      val t = Array.tabulate(books.length, books(0).length) { (j, c) =>
+        val cw = books(j)(c)
+        var s = 0.0; var i = 0
+        while (i < cw.length) {
+          val p = j * subDim + i
+          s += (if (p < qv.length) qv(p) else 0.0) * cw(i)
+          i += 1
+        }
+        s
+      }
+      var n2 = 0.0; var i = 0
+      while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
+      (qid, t, math.sqrt(n2))
+    }.filter(_._3 > 0.0)
+
   /** Driver/executor-local sequential cosine over double arrays (length
     * mismatch reads the shorter prefix; zero norms score 0.0) — the scalar
     * twin of [[cosine]], shared by the quantizer builders and probes. */
@@ -990,26 +1013,10 @@ object Similarity {
     val spark = index.codes.sparkSession
     import spark.implicits._
     val m = index.m
-    val subDim = index.dim / m
     val qArr = collectQueries(queries, idCol, vecCol, maxQueries)
-    val books = index.codebooks
     // per-query ADC tables + norms, built once on the driver (O(nq * m * ks * subDim),
     // bounded by maxQueries) and broadcast — cheaper than rebuilding per partition
-    val tables: Array[(Long, Array[Array[Double]], Double)] = qArr.map { case (qid, qv) =>
-      val t = Array.tabulate(m, books(0).length) { (j, c) =>
-        val cw = books(j)(c)
-        var s = 0.0; var i = 0
-        while (i < cw.length) {
-          val p = j * subDim + i
-          s += (if (p < qv.length) qv(p) else 0.0) * cw(i)
-          i += 1
-        }
-        s
-      }
-      var n2 = 0.0; var i = 0
-      while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
-      (qid, t, math.sqrt(n2))
-    }.filter(_._3 > 0.0)
+    val tables = adcTables(qArr, index.codebooks, index.dim / m)
     val bc = spark.sparkContext.broadcast(tables)
     val scored = index.codes
       .select(col("neighbor_id"), col("code"), col("recon_n2"))
@@ -1068,34 +1075,22 @@ object Similarity {
     val spark = pq.codes.sparkSession
     import spark.implicits._
     val m = pq.m
-    val subDim = pq.dim / m
     val qArr = collectQueries(queries, idCol, vecCol, maxQueries)
-    // per-query ADC tables + norms (the pqTopK structure), plus the probe
-    // set: nProbe nearest centroids by (cos desc, cent_id asc)
-    val books = pq.codebooks
-    val metas = qArr.map { case (qid, qv) =>
-      val t = Array.tabulate(m, books(0).length) { (j, c) =>
-        val cw = books(j)(c)
-        var s = 0.0; var i = 0
-        while (i < cw.length) {
-          val p = j * subDim + i
-          s += (if (p < qv.length) qv(p) else 0.0) * cw(i)
-          i += 1
-        }
-        s
+    // per-query ADC tables + norms (the pqTopK structure) ...
+    val tables = adcTables(qArr, pq.codebooks, pq.dim / m)
+    // ... plus the probe set: nProbe nearest centroids by (cos desc, cent_id
+    // asc) per SURVIVING query (adcTables drops zero-norm queries, so the
+    // table and probe arrays stay index-aligned)
+    val byId = qArr.toMap
+    val cellToQ: Map[Long, Array[Int]] = tables.zipWithIndex
+      .flatMap { case ((qid, _, _), qi) =>
+        val qv = byId(qid)
+        ivf.centroids.map { case (cid, cv) => (cid, cosLocal(qv, cv)) }
+          .sortBy { case (cid, c) => (-c, cid) }
+          .take(nProbe).map(_._1 -> qi)
       }
-      var n2 = 0.0; var i = 0
-      while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
-      val probed = ivf.centroids
-        .map { case (cid, cv) => (cid, cosLocal(qv, cv)) }
-        .sortBy { case (cid, c) => (-c, cid) }
-        .take(nProbe).map(_._1)
-      (qid, t, math.sqrt(n2), probed)
-    }.filter(_._3 > 0.0)
-    val cellToQ: Map[Long, Array[Int]] = metas.zipWithIndex
-      .flatMap { case ((_, _, _, probed), qi) => probed.map(_ -> qi) }
       .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
-    val bc = spark.sparkContext.broadcast((metas.map { case (qid, t, qn, _) => (qid, t, qn) }, cellToQ))
+    val bc = spark.sparkContext.broadcast((tables, cellToQ))
     val frame = codesWithCells.getOrElse(ivfPqCodes(ivf, pq))
     val scored = frame
       .select(col("neighbor_id"), col("cent_id"), col("code"), col("recon_n2"))
