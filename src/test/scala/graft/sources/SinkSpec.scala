@@ -241,6 +241,27 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     if (Sink.indexExists(path2)) assert(Sink.readIndex(spark, path2).count() == 0)
   }
 
+  test("same-version key ties resolve by the column AFTER the version (the streamingNearDups live contract)") {
+    val path = tmp("livetie")
+    // streamingNearDups writes a tombstone (live=false) and a fresh verdict
+    // (live=true) for the SAME pair key in the SAME batch when a re-ingested
+    // doc re-certifies a pair. The store's winner is max(struct(version,
+    // <other cols in frame order>)), so `live` sits directly after the
+    // version and true beats false REGARDLESS of later columns (here the
+    // tombstone carries the HIGHER jaccard — if jaccard decided first, the
+    // dead row would win)
+    val rows = Seq(
+      ("1|3", false, 1L, 3L, 1.0, 7L),  // tombstone, old jaccard 1.0
+      ("1|3", true,  1L, 3L, 0.6, 7L))  // fresh verdict, lower jaccard
+      .toDF("pair_key", "live", "batch_id", "standing_id", "jaccard", "version")
+    Sink.upsertBuckets(path, rows, "pair_key", "version", nBuckets = 2)
+    val winner = Sink.readStore(spark, path).collect()
+    assert(winner.length == 1)
+    assert(winner.head.getAs[Boolean]("live"),
+      s"the fresh live=true verdict must win the same-version tie: ${winner.head}")
+    assert(winner.head.getAs[Double]("jaccard") == 0.6)
+  }
+
   test("writeIndex rejects reserved __p_ columns and unknown partition cols") {
     val path = tmp("idxbad")
     val df = Seq((1L, "a")).toDF("id", "payload")
