@@ -891,6 +891,22 @@ object Stress {
     }
     println(s"[stress] IVF-PQ nProbe=8 + rerank50 recall@10: ${recall(ivfpq)} " +
       s"(~8/16 corpus in CODE bytes + ${64 * 50} exact pairs; n=$n)")
+
+    // residual IVFADC: same bytes per row as the raw-code IVF-PQ (m code
+    // bytes + one recon_n2 double) — the frontier point measures what the
+    // residual target buys at EQUAL index footprint
+    val ivfadc = timed("residual IVFADC build (m=16, ks=256, 3 train rounds)")(
+      Similarity.buildIvfPqIndex(ivf, dim = 64, m = 16, ks = 256, trainIters = 3))
+    ivfadc.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).count()
+    val resAdc = timed("residual IVFADC ADC-only full-probe query")(
+      pairSet(Similarity.ivfadcTopK(ivfadc, queries, "vec_id", "embedding", 10, nProbe = 16)))
+    println(s"[stress] residual IVFADC ADC recall@10: ${recall(resAdc)} " +
+      "(equal bytes vs PQ ADC above — the residual-encoding gain)")
+    val resRr = timed("residual IVFADC nProbe=8 + rerank50 query") {
+      val c = Similarity.ivfadcTopK(ivfadc, queries, "vec_id", "embedding", 50, nProbe = 8)
+      pairSet(Similarity.rerankExact(c, queries, emb, "vec_id", "embedding", 10))
+    }
+    println(s"[stress] residual IVFADC nProbe=8 + rerank50 recall@10: ${recall(resRr)}")
     emb.unpersist(); ()
   }
 }

@@ -250,27 +250,59 @@ object Dedup {
    * SCALE SHAPE: one window-kernel pass collapses per document to a single
    * (id, head_hash, tail_hash) row — min/max over the positional struct in
    * ONE aggregation whose shuffle carries three longs per document — then a
-   * hash-equi-join pairs tails with heads (linear in matches, never doc x
-   * doc; a boilerplate k-gram shared by d heads and d tails costs d^2 pair
-   * rows for THAT hash only, the same df-locality as every shingle join
-   * here). Documents with fewer than k tokens have no boundary and emit
-   * nothing.
+   * SINGLE per-hash group pass pairs tails with heads (each doc contributes
+   * one head row and one tail row to its hash's group; one extra shuffle of
+   * two longs per doc, no persist, no self-join). Like every other pair
+   * source in this family, the expansion is CAPPED: a boundary hash whose
+   * head OR tail side exceeds `maxDf` members is dropped whole (counted via
+   * [[droppedHotBuckets]] and the per-query observed drop metric) — a
+   * boilerplate 12-token footer/header shared by millions of crawl pages
+   * carries no continuation signal and would otherwise cost df(tail) x
+   * df(head) rows in one task. Within the cap a hash costs <= maxDf^2
+   * pairs and O(maxDf) memory. Documents with fewer than k tokens have no
+   * boundary and emit nothing.
    */
   def boundaryOverlapPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-                           unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+                           unpersistHook: (() => Unit) => Unit = _ => (),
+                           maxDf: Int = DefaultMaxBucket): DataFrame = {
     require(k > 0, s"boundary window must be positive, got $k")
-    val hb = windowHashes(df, idCol, textCol, k)
+    require(maxDf > 0, s"boundary df cap must be positive, got $maxDf")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val _ = unpersistHook // retained for source compatibility: the capped kernel is single-pass and persists nothing
+    val acc = droppedHotBuckets(spark)
+    val paired = windowHashes(df, idCol, textCol, k)
       .groupBy(col(idCol))
       .agg(min(struct(col("pos"), col("h"))).as("__head"),
         max(struct(col("pos"), col("h"))).as("__tail"))
-      .select(col(idCol), col("__head.h").as("__head_h"), col("__tail.h").as("__tail_h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    unpersistHook(() => { hb.unpersist(); () })
-    hb.select(col(idCol).as("id_a"), col("__tail_h").as("__h"))
-      .join(hb.select(col(idCol).as("id_b"), col("__head_h").as("__h")), "__h")
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+      .select(col(idCol).cast("long"), col("__head.h"), col("__tail.h"))
+      .as[(Long, Long, Long)]
+      .flatMap { case (id, headH, tailH) =>
+        // side 0 = this doc's TAIL (candidate id_a), side 1 = HEAD (candidate id_b)
+        Iterator((tailH, 0, id), (headH, 1, id))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (h, rows) =>
+        val tails = new scala.collection.mutable.ArrayBuffer[Long](4)
+        val heads = new scala.collection.mutable.ArrayBuffer[Long](4)
+        var overflow = false
+        while (!overflow && rows.hasNext) {
+          val r = rows.next()
+          val buf = if (r._2 == 0) tails else heads
+          if (buf.length < maxDf) buf += r._3 else overflow = true
+        }
+        if (overflow) {
+          acc.add(1L)
+          val n = DroppedBuckets.incrementAndGet()
+          val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+          val msg = s"dropping hot boundary hash $h: more than $maxDf heads or tails (boilerplate k-gram, no continuation signal; $n dropped so far in this JVM)"
+          if (n == 1 || n % 1000 == 0) log.warn(msg) else log.debug(msg)
+          Iterator.single((0L, 0L, 1)) // sentinel: counted by observeDrops, then stripped
+        } else if (tails.isEmpty || heads.isEmpty) Iterator.empty
+        else for { a <- tails.iterator; b <- heads.iterator; if a != b } yield (a, b, 0)
+      }
+      .toDF("id_a", "id_b", "__dropped")
+    observeDrops(paired).distinct()
   }
 
   /**

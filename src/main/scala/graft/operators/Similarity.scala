@@ -54,7 +54,20 @@ object Similarity {
     require(qArr.length <= maxQueries,
       s"query frame exceeds maxQueries=$maxQueries — the query side is " +
         "broadcast by contract; probe in batches or raise the cap deliberately")
-    qArr.filter(_._2 != null).sortBy(_._1)
+    val out = qArr.filter(_._2 != null).sortBy(_._1)
+    // duplicate query ids would silently collapse in the per-id probe maps
+    // (ivfPqTopK keys its cell->query routing by id): each duplicate would
+    // build its own ADC table but probe with the LAST duplicate's vector,
+    // and rankTopK would merge both rows' scores under one query_id — so a
+    // duplicated id is a caller bug, rejected loudly here
+    var i = 1
+    while (i < out.length) {
+      require(out(i)._1 != out(i - 1)._1,
+        s"query frame carries duplicate id ${out(i)._1} — query ids must be " +
+          "distinct (scores for duplicates would merge under one query_id)")
+      i += 1
+    }
+    out
   }
 
   /** Per-query ADC lookup tables + query norms over a PQ codebook grid:
@@ -514,18 +527,7 @@ object Similarity {
     // (narrowing it would silently drop mantissa bits and change scores).
     // All similarity math widens to double, which is exact from float, so
     // float-source scores are bit-identical to a double-stored index.
-    def argmax(v: Array[Double]): Long = {
-      var best = Long.MaxValue
-      var bestCos = Double.NegativeInfinity
-      var ci = 0
-      while (ci < centArr.length) {
-        val (cid, cv) = centArr(ci)
-        val cs = cosLocal(v, cv)
-        if (cs > bestCos || (cs == bestCos && cid < best)) { bestCos = cs; best = cid }
-        ci += 1
-      }
-      best
-    }
+    def argmax(v: Array[Double]): Long = nearestCentroid(centArr, v)
 
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val sourceIsFloat = corpus.select(col(vecCol)).schema.head.dataType match {
@@ -965,10 +967,11 @@ object Similarity {
     } yield (j, c, index.codebooks(j)(c))).toDF("sub", "code", "cw")
   }
 
-  /** Reconstruct a standing [[PqIndex]] from its two persisted frames. The
-    * codebook collect is O(m * ks * subDim) — kilobytes, guarded against a
-    * mis-pointed frame; `codes` is consumed lazily as written. */
-  def loadPqIndex(books: DataFrame, codes: DataFrame, maxEntries: Int = 65536): PqIndex = {
+  /** Parse a persisted `(sub, code, cw)` codebook frame back into the
+    * `books[m][ks][subDim]` grid — the shared load kernel of
+    * [[loadPqIndex]] and [[loadIvfPqIndex]]. The collect is
+    * O(m * ks * subDim) — kilobytes, guarded against a mis-pointed frame. */
+  private def booksFromFrame(books: DataFrame, maxEntries: Int): Array[Array[Array[Double]]] = {
     val spark = books.sparkSession
     import spark.implicits._
     val rows = books.select(col("sub").cast("int"), col("code").cast("int"),
@@ -985,7 +988,14 @@ object Similarity {
     // holes; a null cell would NPE mid-scan on an executor, so fail loudly here
     require(booksArr.forall(_.forall(_ != null)),
       "codebooks frame carries duplicate (sub, code) rows — grid has holes")
-    new PqIndex(m * booksArr(0)(0).length, booksArr, codes)
+    booksArr
+  }
+
+  /** Reconstruct a standing [[PqIndex]] from its two persisted frames;
+    * `codes` is consumed lazily as written. */
+  def loadPqIndex(books: DataFrame, codes: DataFrame, maxEntries: Int = 65536): PqIndex = {
+    val booksArr = booksFromFrame(books, maxEntries)
+    new PqIndex(booksArr.length * booksArr(0)(0).length, booksArr, codes)
   }
 
   /**
@@ -1106,6 +1116,302 @@ object Similarity {
               var s = 0.0; var j = 0
               while (j < m) { s += t(j)(code(j) & 0xff); j += 1 }
               (qid, (s / (qnorm * rnorm), nid))
+            }
+          }
+        }
+      }
+    rankTopK(scored, k)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Residual-encoded IVF-PQ — TRUE IVFADC (Jégou et al. 2011 §V / FAISS
+  // IVFADC): the PQ codebooks are trained on the residuals r = x - centroid(x)
+  // rather than on raw vectors. Residuals concentrate around the origin with
+  // far smaller per-subspace variance than the raw corpus, so the same m bytes
+  // of code carry more precision — the property that holds recall at higher
+  // dimension and more centroids, where raw-vector codes decay first. Scoring
+  // folds the centroid term in exactly: x̂ = centroid + r̂, so
+  //   <q, x̂> = <q, centroid> + Σ_j T[j][code_j]
+  // with <q, centroid> precomputed per (query, probed cell) on the driver
+  // (nq x nProbe dot products — trivial) and the ADC table built over the
+  // RESIDUAL codebooks. ||x̂||² is precomputed at encode time (centroid, cross
+  // and residual terms together), so the scan still touches only m code bytes
+  // and one double per row.
+  // ---------------------------------------------------------------------------
+
+  /**
+   * A standing residual-encoded IVF-PQ index: the coarse quantizer, the
+   * residual codebooks (driver-side kilobytes), and the composed code frame
+   * `(neighbor_id, cent_id, code, recon_n2)` where `code` is the m-byte PQ
+   * code of the RESIDUAL and `recon_n2 = ||centroid + r̂||²` — the full
+   * reconstruction's squared norm. This is the one-frame inverted-file
+   * layout a deployment materializes partitioned by `cent_id`; full vectors
+   * appear nowhere.
+   */
+  final class IvfPqIndex private[operators] (
+      private[operators] val dim: Int,
+      private[operators] val centroids: Array[(Long, Array[Double])],
+      private[operators] val codebooks: Array[Array[Array[Double]]],
+      val codes: DataFrame) extends Serializable {
+    def m: Int = codebooks.length
+    def ks: Int = if (codebooks.isEmpty) 0 else codebooks(0).length
+  }
+
+  /** Full (non-normalized) dot product over double arrays, shorter-prefix
+    * convention — the centroid term of the IVFADC score. */
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The coarse-quantizer argmax shared by [[buildIvfIndex]] and
+    * [[ivfPqEncode]]: nearest centroid by (cosine desc, cent_id asc) —
+    * fully deterministic, so a slice encoded later lands in exactly the
+    * cell the original build would have chosen. */
+  private def nearestCentroid(centArr: Array[(Long, Array[Double])], v: Array[Double]): Long = {
+    var best = Long.MaxValue
+    var bestCos = Double.NegativeInfinity
+    var ci = 0
+    while (ci < centArr.length) {
+      val (cid, cv) = centArr(ci)
+      val cs = cosLocal(v, cv)
+      if (cs > bestCos || (cs == bestCos && cid < best)) { bestCos = cs; best = cid }
+      ci += 1
+    }
+    best
+  }
+
+  /** Residual-encode one vector against its cell: PQ code of `v - cent` plus
+    * the FULL reconstruction's squared norm `||cent + r̂||²` (centroid,
+    * cross and residual terms computed together component-wise — exact, not
+    * a sum of per-block norms). Missing trailing components read as 0. */
+  private def residualEncodeRow(cent: Array[Double], v: Array[Double],
+      books: Array[Array[Array[Double]]], subDim: Int): (Array[Byte], Double) = {
+    val m = books.length
+    val dim = m * subDim
+    val r = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      r(i) = (if (i < v.length) v(i) else 0.0) - (if (i < cent.length) cent(i) else 0.0)
+      i += 1
+    }
+    val code = new Array[Byte](m)
+    var recon2 = 0.0
+    var j = 0
+    while (j < m) {
+      val c = nearestCode(r, j * subDim, books(j))
+      code(j) = c.toByte
+      val cw = books(j)(c)
+      var t = 0
+      while (t < subDim) {
+        val p = j * subDim + t
+        val x = (if (p < cent.length) cent(p) else 0.0) + cw(t)
+        recon2 += x * x
+        t += 1
+      }
+      j += 1
+    }
+    (code, recon2)
+  }
+
+  /**
+   * Build the residual IVF-PQ index over a standing [[IvfIndex]]: one narrow
+   * pass over `ivf.assigned` derives the residual frame (the assignment
+   * already carries each vector's cell — no re-argmax), [[trainPqCodebooks]]
+   * trains the codebooks ON THE RESIDUALS (same deterministic per-subspace
+   * Lloyd kernel, one distributed pass per iteration), and a second narrow
+   * pass encodes every row. Zero shuffle throughout; NULL vectors were
+   * already dropped by the IVF assignment.
+   */
+  def buildIvfPqIndex(ivf: IvfIndex, dim: Int, m: Int = 8, ks: Int = 256,
+      trainIters: Int = 3): IvfPqIndex = {
+    require(m >= 1 && dim % m == 0,
+      s"dim must split evenly into m subspaces, got dim=$dim m=$m")
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val centArr = ivf.centroids
+    val bcCent = spark.sparkContext.broadcast(centArr.toMap)
+    val assigned = ivf.assigned
+      .select(col("neighbor_id").cast("long"), col("cent_id").cast("long"),
+        col("cv").cast("array<double>"))
+      .as[(Long, Long, Array[Double])]
+    val residuals = assigned
+      .mapPartitions { rows =>
+        val cm = bcCent.value
+        rows.collect { case (id, cid, v) if v != null =>
+          val cent = cm(cid)
+          val r = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            r(i) = (if (i < v.length) v(i) else 0.0) - (if (i < cent.length) cent(i) else 0.0)
+            i += 1
+          }
+          (id, r)
+        }
+      }
+      .toDF("neighbor_id", "residual")
+    val books = trainPqCodebooks(residuals, "neighbor_id", "residual", dim, m, ks, trainIters)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val codes = assigned
+      .mapPartitions { rows =>
+        val cm = bcCent.value
+        val bs = bcBooks.value
+        rows.collect { case (id, cid, v) if v != null =>
+          val (code, recon2) = residualEncodeRow(cm(cid), v, bs, subDim)
+          (id, cid, code, recon2)
+        }
+      }
+      .toDF("neighbor_id", "cent_id", "code", "recon_n2")
+    new IvfPqIndex(dim, centArr, books, codes)
+  }
+
+  /**
+   * Encode a NEW corpus slice against a FROZEN [[IvfPqIndex]] — the
+   * incremental-maintenance kernel: assign each vector to its cell with the
+   * index's own deterministic quantizer argmax, residual-encode against the
+   * index's own codebooks, and return rows in the standing code-frame schema
+   * `(neighbor_id, cent_id, code, recon_n2)`. Because both steps are frozen
+   * and deterministic, upserting this slice into the standing code frame is
+   * EXACTLY the frame a from-scratch re-encode of the updated corpus would
+   * produce — the merged ≡ rebuilt invariant the incremental path is gated
+   * on. One narrow pass, zero shuffle; NULL vectors are dropped.
+   */
+  def ivfPqEncode(index: IvfPqIndex, slice: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = slice.sparkSession
+    import spark.implicits._
+    val subDim = index.dim / index.m
+    val bc = spark.sparkContext.broadcast((index.centroids, index.codebooks))
+    slice.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val (centArr, books) = bc.value
+        val cm = centArr.toMap
+        rows.collect { case (id, v) if v != null =>
+          val cid = nearestCentroid(centArr, v)
+          val (code, recon2) = residualEncodeRow(cm(cid), v, books, subDim)
+          (id, cid, code, recon2)
+        }
+      }
+      .toDF("neighbor_id", "cent_id", "code", "recon_n2")
+  }
+
+  /**
+   * Fold a corpus slice into a standing IVFADC code frame — the incremental
+   * maintenance step that was the missing member of the mergeable-state
+   * family (postings/bloom/HLL/minhash/count-min/CC all merge; the ANN
+   * stores used to full-rebuild on any corpus change): every id present in
+   * `slice` has its row REPLACED by the frozen-index encode (re-embedded
+   * docs upsert, new docs append) — the [[graft.operators.Retrieval.mergePostings]]
+   * last-writer-wins-by-key discipline, so a replayed batch is idempotent.
+   * Removed docs are the anti-join: pass them inside `slice` with NULL
+   * vectors (encode drops them, the anti-join still strips their standing
+   * rows). Because [[ivfPqEncode]] is frozen and deterministic, the merged
+   * frame is BYTE-identical to a from-scratch re-encode of the updated
+   * corpus — the merged ≡ rebuilt invariant q181 gates in-query. The
+   * standing side shuffles nothing (slice ids broadcast); the delta is one
+   * narrow encode pass over the batch.
+   */
+  def mergeIvfPqCodes(index: IvfPqIndex, standingCodes: DataFrame, slice: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val delta = ivfPqEncode(index, slice, idCol, vecCol)
+    val sliceIds = slice.select(col(idCol).cast("long").as("neighbor_id"))
+      .where(col("neighbor_id").isNotNull).distinct()
+    // normalize the standing side to the encode schema: a store-loaded frame
+    // partitioned by cent_id can come back with a narrower inferred type
+    standingCodes
+      .select(col("neighbor_id").cast("long"), col("cent_id").cast("long"),
+        col("code"), col("recon_n2"))
+      .join(broadcast(sliceIds), Seq("neighbor_id"), "left_anti")
+      .unionByName(delta)
+  }
+
+  /** The residual codebooks as a persistable `(sub, code, cw)` frame — the
+    * [[pqBooksFrame]] shape for the IVFADC index. */
+  def ivfPqBooksFrame(spark: SparkSession, index: IvfPqIndex): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(for {
+      j <- 0 until index.m
+      c <- 0 until index.ks
+    } yield (j, c, index.codebooks(j)(c))).toDF("sub", "code", "cw")
+  }
+
+  /** The coarse quantizer as a persistable `(cent_id, cent_v)` frame — the
+    * [[centroidsFrame]] shape for the IVFADC index. */
+  def ivfPqCentroidsFrame(spark: SparkSession, index: IvfPqIndex): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(index.centroids.toSeq).toDF("cent_id", "cent_v")
+  }
+
+  /** Reconstruct a standing [[IvfPqIndex]] from its three persisted frames
+    * (quantizer, residual codebooks, composed code frame); both driver-side
+    * collects are bounded and guarded, `codes` is consumed lazily. */
+  def loadIvfPqIndex(centroids: DataFrame, books: DataFrame, codes: DataFrame,
+      maxCentroids: Int = 65536, maxEntries: Int = 65536): IvfPqIndex = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val n = centroids.count()
+    require(n > 0 && n <= maxCentroids,
+      s"centroids frame carries $n rows; expected (0, $maxCentroids] — wrong frame?")
+    val centArr = centroids
+      .select(col("cent_id").cast("long"), col("cent_v").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val booksArr = booksFromFrame(books, maxEntries)
+    new IvfPqIndex(booksArr.length * booksArr(0)(0).length, centArr, booksArr, codes)
+  }
+
+  /**
+   * IVFADC top-k search over a residual [[IvfPqIndex]]: probe selection and
+   * the centroid dot products run on the driver (the quantizer is already a
+   * driver array), the ADC tables are built over the RESIDUAL codebooks, and
+   * each corpus row in a probed cell scores as
+   * `(<q, cent> + Σ_j T[j][code_j]) / (||q|| · sqrt(recon_n2))` — m table
+   * lookups plus one add, exactly the [[ivfPqTopK]] scan cost, with the
+   * recall of residual codes. Returns (query_id, neighbor_id, rank), rank
+   * 1..k by (approx cos desc, id); `nProbe >= nCentroids` degrades to a full
+   * residual-PQ scan. Callers over-fetch and re-rank via [[rerankExact]].
+   */
+  def ivfadcTopK(index: IvfPqIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, maxQueries: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val m = index.m
+    val qArr = collectQueries(queries, idCol, vecCol, maxQueries)
+    val tables = adcTables(qArr, index.codebooks, index.dim / m)
+    val byId = qArr.toMap
+    // probe set per SURVIVING query (adcTables drops zero-norm queries), each
+    // probed cell carrying this query's <q, centroid> term
+    val cellToQ: Map[Long, Array[(Int, Double)]] = tables.zipWithIndex
+      .flatMap { case ((qid, _, _), qi) =>
+        val qv = byId(qid)
+        index.centroids.map { case (cid, cv) => (cid, cosLocal(qv, cv), dotLocal(qv, cv)) }
+          .sortBy { case (cid, c, _) => (-c, cid) }
+          .take(nProbe).map { case (cid, _, d) => cid -> ((qi, d)) }
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).toArray }
+    val bc = spark.sparkContext.broadcast((tables, cellToQ))
+    val scored = index.codes
+      .select(col("neighbor_id"), col("cent_id"), col("code"), col("recon_n2"))
+      .as[(Long, Long, Array[Byte], Double)]
+      .mapPartitions { rows =>
+        val (qs, cells) = bc.value
+        rows.flatMap { case (nid, centId, code, recon2) =>
+          val probes = cells.getOrElse(centId, null)
+          if (probes == null || recon2 <= 0.0) Iterator.empty
+          else {
+            val rnorm = math.sqrt(recon2)
+            probes.iterator.flatMap { case (qi, qdc) =>
+              val (qid, t, qnorm) = qs(qi)
+              if (qid == nid) Iterator.empty
+              else {
+                var s = qdc; var j = 0
+                while (j < m) { s += t(j)(code(j) & 0xff); j += 1 }
+                Iterator.single((qid, (s / (qnorm * rnorm), nid)))
+              }
             }
           }
         }

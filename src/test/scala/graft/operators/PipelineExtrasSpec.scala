@@ -753,6 +753,43 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         .as[(Long, Long)].collect().toSet
       assert(got === Set((1L, 2L), (2L, 1L)))
     }
+
+    it("a boilerplate footer shared by thousands of docs is capped, not expanded quadratically") {
+      // 10k crawl pages all END with the same 3-token footer ("copyright
+      // acme corp") and 10k pages all START with it: the uncapped join
+      // would expand 10k x 10k = 10^8 pair rows for that ONE hash in one
+      // task. The df cap drops the hash whole; the genuine continuation
+      // pair with its own distinct boundary survives, and the drop is
+      // observable on the monitoring accumulator.
+      val footers = (0L until 10000L).map(i => (i, s"page body $i copyright acme corp"))
+      val headers = (10000L until 20000L).map(i => (i, s"copyright acme corp navigation $i"))
+      val genuine = Seq(
+        (30001L, "alpha beta gamma delta epsilon"),  // tail-3 = "gamma delta epsilon"
+        (30002L, "gamma delta epsilon zeta eta"))    // head-3 matches -> (30001, 30002)
+      val corpus = (footers ++ headers ++ genuine).toDF("doc_id", "text")
+      val dropped0 = Dedup.droppedHotBuckets(spark).value
+      val got = Dedup.boundaryOverlapPairs(corpus, "doc_id", "text", k = 3, maxDf = 64)
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((30001L, 30002L)))
+      assert(Dedup.droppedHotBuckets(spark).value > dropped0)
+    }
+
+    it("the df cap is a parameter: raising it re-admits the boilerplate hash") {
+      val docs = Seq(
+        (1L, "x y shared tail here"),   // tail-3 = "shared tail here"
+        (2L, "p q shared tail here"),   // same tail
+        (3L, "shared tail here m n"),   // head-3 matches both tails
+        (4L, "shared tail here r s"))   // head-3 matches both tails
+        .toDF("doc_id", "text")
+      // cap 1: both sides have df 2 -> hash dropped, nothing emitted
+      val capped = Dedup.boundaryOverlapPairs(docs, "doc_id", "text", k = 3, maxDf = 1)
+        .as[(Long, Long)].collect().toSet
+      assert(capped === Set.empty[(Long, Long)])
+      // cap 2 admits the hash: all 2x2 tail-head pairs emitted
+      val open = Dedup.boundaryOverlapPairs(docs, "doc_id", "text", k = 3, maxDf = 2)
+        .as[(Long, Long)].collect().toSet
+      assert(open === Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+    }
   }
 
   describe("Dedup repeated spans (cross-document exact-substring dedup)") {

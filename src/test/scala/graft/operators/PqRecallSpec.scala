@@ -129,4 +129,84 @@ class PqRecallSpec extends AnyFunSpec with SparkSuite {
       }
     }
   }
+
+  describe("residual IVFADC (ivfadcTopK) vs raw-code IVF-PQ at equal bytes (sf0.01)") {
+    lazy val ivf = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nCentroids = 16, trainIters = 1)
+    // equal bytes by construction: same m x ks geometry, same per-row layout
+    // (m code bytes + one recon_n2 double) — only the codebook target differs
+    lazy val residual = Similarity.buildIvfPqIndex(ivf, dim = 64, m = 16, ks = 256,
+      trainIters = 3)
+
+    it("residual codes recall >= raw codes recall at equal bytes (ADC-only, full probing)") {
+      val raw = pairSet(Similarity.ivfPqTopK(ivf, index, queries, "vec_id", "embedding",
+        K, nProbe = 16))
+      val res = pairSet(Similarity.ivfadcTopK(residual, queries, "vec_id", "embedding",
+        K, nProbe = 16))
+      val rRaw = raw.intersect(exactTopK).size.toDouble / exactTopK.size
+      val rRes = res.intersect(exactTopK).size.toDouble / exactTopK.size
+      info(s"ADC-only recall@$K: raw = $rRaw, residual = $rRes")
+      assert(rRes >= rRaw, s"residual recall $rRes < raw recall $rRaw at equal bytes")
+    }
+
+    it("partial probing (nProbe=8) + over-fetch + exact re-rank keeps recall >= 0.85") {
+      val cands = Similarity.ivfadcTopK(residual, queries, "vec_id", "embedding",
+        50, nProbe = 8)
+      val rr = pairSet(Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", K))
+      val r = rr.intersect(exactTopK).size.toDouble / exactTopK.size
+      info(s"ivfadc re-ranked recall@$K at nProbe=8 = $r")
+      assert(r >= 0.85, s"recall@$K was $r")
+    }
+
+    it("ivfPqEncode over the full corpus reproduces the standing code frame exactly") {
+      import spark.implicits._
+      def fp(codes: DataFrame): Array[(Long, Long, Seq[Byte], Double)] = codes
+        .select(col("neighbor_id"), col("cent_id"), col("code"), col("recon_n2"))
+        .as[(Long, Long, Array[Byte], Double)].collect()
+        .map { case (id, cid, c, r) => (id, cid, c.toSeq, r) }.sortBy(_._1)
+      val re = Similarity.ivfPqEncode(residual, emb, "vec_id", "embedding")
+      assert(fp(re).sameElements(fp(residual.codes)),
+        "frozen-index slice encode diverged from the build-time code frame")
+    }
+
+    it("mergeIvfPqCodes: merged batch == from-scratch re-encode, idempotent, null-vector deletes") {
+      import spark.implicits._
+      def fp(codes: DataFrame): Set[(Long, Long, Seq[Byte], Double)] = codes
+        .select(col("neighbor_id").cast("long"), col("cent_id").cast("long"),
+          col("code"), col("recon_n2"))
+        .as[(Long, Long, Array[Byte], Double)].collect()
+        .map { case (id, cid, c, r) => (id, cid, c.toSeq, r) }.toSet
+      // batch: re-embed vectors 0-9 (reversed), add 10 fresh, delete vec 10
+      val batch = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+        .unionByName(emb.filter(col("vec_id") === 10)
+          .select(col("vec_id"), lit(null).cast("array<float>").as("embedding")))
+      val merged = Similarity.mergeIvfPqCodes(residual, residual.codes, batch,
+        "vec_id", "embedding")
+      val news = emb.filter(col("vec_id") > 10)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      val scratch = Similarity.ivfPqEncode(residual, news, "vec_id", "embedding")
+      assert(fp(merged) === fp(scratch), "merged batch diverged from from-scratch re-encode")
+      // replaying the same batch is a no-op (last-writer-wins idempotence)
+      val again = Similarity.mergeIvfPqCodes(residual, merged, batch, "vec_id", "embedding")
+      assert(fp(again) === fp(merged), "batch replay was not idempotent")
+    }
+
+    it("store round trip: the reloaded index searches identically") {
+      val cents = Similarity.ivfPqCentroidsFrame(spark, residual)
+      val books = Similarity.ivfPqBooksFrame(spark, residual)
+      val loaded = Similarity.loadIvfPqIndex(cents, books, residual.codes)
+      val a = pairSet(Similarity.ivfadcTopK(residual, queries, "vec_id", "embedding", K, nProbe = 8))
+      val b = pairSet(Similarity.ivfadcTopK(loaded, queries, "vec_id", "embedding", K, nProbe = 8))
+      assert(a === b)
+    }
+  }
 }
