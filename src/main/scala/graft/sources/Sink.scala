@@ -362,7 +362,7 @@ object Sink {
   /** Write manifest n to a temp name, then RENAME to its final numbered
     * name — rename-to-a-new-name is atomic, so readers see either the
     * previous manifest or the complete new one, never a partial file. */
-  private def publishManifest(storePath: String, n: Long,
+  private[sources] def publishManifest(storePath: String, n: Long,
       entries: Map[Long, String]): Unit = {
     val root = java.nio.file.Paths.get(localRoot(storePath))
     java.nio.file.Files.createDirectories(root)
@@ -371,13 +371,28 @@ object Sink {
       .map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n")
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
     val target = root.resolve(f"manifest-$n%09d.mf")
-    try java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    try {
+      // the manifest-number claim must be genuinely EXCLUSIVE: POSIX rename
+      // silently REPLACES an existing target, so ATOMIC_MOVE alone never
+      // throws FileAlreadyExistsException on Linux and two concurrent
+      // writers would silently last-writer-win the same number (a keyed
+      // upsert race could drop one writer's entries). A hard link is both
+      // atomic and first-writer-wins — it fails loudly when the target
+      // exists — and the fully-written temp file is its source, so readers
+      // never see a partial manifest.
+      java.nio.file.Files.createLink(target, tmp)
+      java.nio.file.Files.delete(tmp)
+    } catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         java.nio.file.Files.delete(tmp)
         throw new IllegalStateException(
           s"concurrent writer already published manifest $n under $storePath", e)
+      case _: UnsupportedOperationException =>
+        // no-hard-link filesystem: the atomic move keeps readers safe
+        // (never a partial manifest) at the cost of the weaker, documented
+        // last-writer-wins claim
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 

@@ -417,8 +417,11 @@ object StreamOps {
    * and every PRIOR pair row touching the doc is TOMBSTONED (`live =
    * false`) in the same batch — a pair verdict references a specific doc
    * version, so a superseded version's verdicts must not be served as
-   * current (the re-ingested doc's still-true matches re-certify through
-   * its own fresh probe, batch-side). Within one batch a tombstone and a
+   * current. Still-true matches re-certify in the SAME batch: pairs with a
+   * standing partner through the cross-side probe, and pairs whose BOTH
+   * members arrived in this batch through the intra-batch pass (without
+   * which a batch re-ingesting both members of a certified pair would
+   * tombstone it and never re-emit it). Within one batch a tombstone and a
    * fresh verdict for the same pair key resolve live = true (column order
    * puts `live` first after the version in the store's max-struct winner
    * rule) — the fresh verification wins, which is the correct semantics.
@@ -449,41 +452,55 @@ object StreamOps {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         try {
           val batchIds = b.select(col(idCol)).distinct()
-          // 1) probe: standing index/texts MINUS this batch's ids (an update
-          //    must not match its own stale version)
-          if (Sink.storeExists(bandsPath) && Sink.storeExists(docsPath)) {
-            val standingIndex = bandsFromStore(spark, bandsPath, idCol)
-              .join(broadcast(batchIds), Seq(idCol), "left_anti")
-            val standingDocs = Sink.readStore(spark, docsPath)
-              .select(col(idCol), col(textCol))
-              .join(broadcast(batchIds), Seq(idCol), "left_anti")
-            // COLUMN ORDER CONTRACT: `live` must sort directly after the
-            // version in the store's max-struct winner (pair_key is the
-            // key and always ties), so a same-batch tombstone + fresh
-            // verdict resolves live = true regardless of jaccard values
-            def pairRow(df: DataFrame, live: Boolean): DataFrame = df
-              .select(concat_ws("|", col("batch_id"), col("standing_id")).as("pair_key"),
-                lit(live).as("live"), col("batch_id"), col("standing_id"),
-                col("jaccard"), lit(batchId).as("version"))
-            val fresh = pairRow(
-              Dedup.incrementalNearDups(standingIndex, standingDocs, b,
-                  idCol, textCol, shingleN, numHashes, bands, threshold)
-                .select(col("batch_id"), col("standing_id"), col("jaccard")),
-              live = true)
-            // tombstone every prior pair touching a re-ingested doc: its
-            // verdicts referenced the superseded version
-            val stale =
-              if (!Sink.storeExists(pairsPath)) fresh.limit(0)
-              else pairRow(
-                Sink.readStore(spark, pairsPath)
-                  .select(col("batch_id"), col("standing_id"), col("jaccard"))
-                  .join(broadcast(batchIds.select(col(idCol).as("__bid"))),
-                    col("batch_id") === col("__bid") || col("standing_id") === col("__bid"),
-                    "left_semi"),
-                live = false)
-            Sink.upsertBuckets(pairsPath, fresh.unionByName(stale),
-              "pair_key", "version", nBuckets)
-          }
+          // COLUMN ORDER CONTRACT: `live` must sort directly after the
+          // version in the store's max-struct winner (pair_key is the
+          // key and always ties), so a same-batch tombstone + fresh
+          // verdict resolves live = true regardless of jaccard values
+          def pairRow(df: DataFrame, live: Boolean): DataFrame = df
+            .select(concat_ws("|", col("batch_id"), col("standing_id")).as("pair_key"),
+              lit(live).as("live"), col("batch_id"), col("standing_id"),
+              col("jaccard"), lit(batchId).as("version"))
+          // 1a) intra-batch pass: batch-vs-batch pairs. Without it, a pair
+          //     whose BOTH members re-ingest in one micro-batch would be
+          //     tombstoned below but never re-certified — the cross-side
+          //     probe (1b) by design emits no batch-batch candidates — and
+          //     pairsFromStore would silently drop a still-true match. Ids
+          //     are oriented id_a < id_b (minhashNearDups's expansion
+          //     order), so a replayed batch keys identically (idempotent).
+          val intra = pairRow(
+            Dedup.minhashNearDups(b, idCol, textCol, shingleN, numHashes, bands, threshold)
+              .select(col("id_a").as("batch_id"), col("id_b").as("standing_id"),
+                col("jaccard")),
+            live = true)
+          // 1b) cross-side probe: standing index/texts MINUS this batch's
+          //     ids (an update must not match its own stale version)
+          val fresh =
+            if (!(Sink.storeExists(bandsPath) && Sink.storeExists(docsPath))) intra.limit(0)
+            else {
+              val standingIndex = bandsFromStore(spark, bandsPath, idCol)
+                .join(broadcast(batchIds), Seq(idCol), "left_anti")
+              val standingDocs = Sink.readStore(spark, docsPath)
+                .select(col(idCol), col(textCol))
+                .join(broadcast(batchIds), Seq(idCol), "left_anti")
+              pairRow(
+                Dedup.incrementalNearDups(standingIndex, standingDocs, b,
+                    idCol, textCol, shingleN, numHashes, bands, threshold)
+                  .select(col("batch_id"), col("standing_id"), col("jaccard")),
+                live = true)
+            }
+          // tombstone every prior pair touching a re-ingested doc: its
+          // verdicts referenced the superseded version
+          val stale =
+            if (!Sink.storeExists(pairsPath)) intra.limit(0)
+            else pairRow(
+              Sink.readStore(spark, pairsPath)
+                .select(col("batch_id"), col("standing_id"), col("jaccard"))
+                .join(broadcast(batchIds.select(col(idCol).as("__bid"))),
+                  col("batch_id") === col("__bid") || col("standing_id") === col("__bid"),
+                  "left_semi"),
+              live = false)
+          Sink.upsertBuckets(pairsPath, intra.unionByName(fresh).unionByName(stale),
+            "pair_key", "version", nBuckets)
           // 2) fold the batch in: one sorted band-array row per doc + the text
           val sigRows = Dedup.minhashIndex(b, idCol, textCol, shingleN, numHashes, bands)
             .groupBy(col(idCol))

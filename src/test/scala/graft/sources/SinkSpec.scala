@@ -270,6 +270,24 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](Sink.writeIndex(reserved, path))
   }
 
+  test("a manifest number can be claimed exactly once (concurrent-writer guard)") {
+    val path = tmp("manifestclaim")
+    Sink.publishManifest(path, 1L, Map(0L -> "epoch-a/__pb=0"))
+    // POSIX rename silently replaces, so the guard must NOT rely on
+    // ATOMIC_MOVE throwing — the hard-link claim makes the second writer
+    // fail loudly and leaves the first writer's manifest untouched
+    val e = intercept[IllegalStateException](
+      Sink.publishManifest(path, 1L, Map(0L -> "epoch-b/__pb=0")))
+    assert(e.getMessage.contains("concurrent writer"))
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "manifest-000000001.mf")), "UTF-8")
+    assert(body.contains("epoch-a") && !body.contains("epoch-b"))
+    // no temp litter left behind by either writer
+    val stray = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith(".manifest-tmp-"))
+    assert(stray.isEmpty, s"temp files left behind: ${stray.mkString(", ")}")
+  }
+
   test("upsertStream: micro-batched upserts equal the one-shot batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -636,5 +636,41 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         assert(pairs() === Set.empty)
       } finally q.stop()
     }
+
+    it("a pair whose BOTH members re-ingest in one batch re-certifies via the intra-batch pass") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("nd_store2").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt2").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingNearDups(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", root, nBuckets = 4, checkpointDir = ckpt)
+      def pairs(): Set[(Long, Long)] =
+        if (!graft.sources.Sink.storeExists(s"$root/pairs")) Set.empty
+        else StreamOps.pairsFromStore(spark, root)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      try {
+        // batch 1: docs 1 and 2 are exact copies — the intra-batch pass
+        // certifies (1,2) even though no standing store exists yet
+        src.addData((1L, "alpha beta gamma delta epsilon"),
+          (2L, "alpha beta gamma delta epsilon"))
+        q.processAllAvailable()
+        assert(pairs() === Set((1L, 2L)))
+        // batch 2: BOTH members re-ingest (unchanged text) in the SAME
+        // micro-batch. Every prior pair touching either id tombstones; the
+        // cross-side probe by design emits no batch-batch candidates, so
+        // only the intra-batch pass can re-certify the still-true pair —
+        // this was the silent-drop hole
+        src.addData((1L, "alpha beta gamma delta epsilon"),
+          (2L, "alpha beta gamma delta epsilon"))
+        q.processAllAvailable()
+        assert(pairs() === Set((1L, 2L)))
+        // batch 3: both re-ingest with texts that no longer match — the
+        // pair dies and nothing re-certifies
+        src.addData((1L, "totally novel words qq ww ee"),
+          (2L, "other unrelated tokens rr tt yy"))
+        q.processAllAvailable()
+        assert(pairs() === Set.empty)
+      } finally q.stop()
+    }
   }
 }
