@@ -258,16 +258,69 @@ object Sink {
     new java.io.File(p).getAbsolutePath
   }
 
+  /** The tombstone side-store of a keyed upsert store — a directory name
+    * that can never collide with an `e-*` epoch, so the parent's
+    * [[vacuumStore]] walks past it. */
+  private def deletesPath(storePath: String): String = s"${localRoot(storePath)}/__deletes"
+
+  /**
+   * DELETE-BY-KEY that survives compaction — the takedown-compliance
+   * primitive the last-writer-wins upsert alone cannot express: appends
+   * `(key, version)` TOMBSTONES to the store's side-store
+   * `<root>/__deletes`, itself a manifest-committed bucket store, so
+   * deletes inherit the whole discipline (idempotent under replay,
+   * crash-safe, compactable, vacuumable). [[readStore]] applies tombstones
+   * at read time: a row is DEAD iff a tombstone for its key carries
+   * version >= the row's version — a LATER re-ingest (strictly higher
+   * version) resurrects the key (takedown-then-relicense), while replayed
+   * older batches cannot; an exact version tie dies (takedown wins —
+   * the conservative direction for compliance). [[compactStore]] purges
+   * dead rows PHYSICALLY (the bytes leave the parent store) while the
+   * tombstones persist in the side-store, so a post-compaction replay of
+   * an old batch still cannot resurrect the key.
+   *
+   * Contract: `keys` carries exactly the (keyCol, versionCol) columns, in
+   * that order, with the SAME names as the parent store's key and version
+   * columns — [[readStore]] recovers which is which from the side-store's
+   * column order.
+   */
+  def deleteKeys(storePath: String, keys: DataFrame, keyCol: String,
+      versionCol: String, nBuckets: Int): Unit =
+    upsertBuckets(deletesPath(storePath), keys.select(col(keyCol), col(versionCol)),
+      keyCol, versionCol, nBuckets)
+
+  /** Anti-join `rows` against the store's tombstones (if any): a row dies
+    * when a tombstone for its key has version >= the row's version. The
+    * tombstone frame's own column order names the key and version. */
+  private def applyDeletes(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rows: DataFrame): DataFrame = {
+    val dp = deletesPath(storePath)
+    if (!storeExists(dp)) rows
+    else {
+      val tombs = readStore(spark, dp) // terminates: a side-store has no side-store
+      val dataCols = tombs.columns.filterNot(_ == "__bucket")
+      require(dataCols.length == 2,
+        s"tombstone store under $dp carries ${dataCols.mkString(",")} — expected (key, version)")
+      val (keyCol, versionCol) = (dataCols(0), dataCols(1))
+      val t = tombs.select(col(keyCol).as("__del_key"), col(versionCol).as("__del_v"))
+      rows.join(t,
+        rows(keyCol) === t("__del_key") && rows(versionCol) <= t("__del_v"),
+        "left_anti")
+    }
+  }
+
   /** Resolve the CURRENT committed view of an upsert store: the bucket
     * directories the highest-numbered manifest references (superseded
-    * epochs are invisible). Returns an empty-schema-less error if the
-    * store has never committed — check with [[storeExists]] first when
-    * that is a legal state. */
+    * epochs are invisible), minus tombstoned keys ([[deleteKeys]]).
+    * Returns an empty-schema-less error if the store has never
+    * committed — check with [[storeExists]] first when that is a legal
+    * state. */
   def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     requireLocalPath(storePath)
     val (_, entries) = latestManifest(storePath)
     require(entries.nonEmpty, s"no committed manifest under $storePath")
-    spark.read.parquet(entries.values.toSeq.map(d => s"${sparkDataRoot(storePath)}/$d"): _*)
+    applyDeletes(spark, storePath,
+      spark.read.parquet(entries.values.toSeq.map(d => s"${sparkDataRoot(storePath)}/$d"): _*))
   }
 
   /** True once a first manifest has committed. */
@@ -285,30 +338,47 @@ object Sink {
    * an old epoch only once NO bucket references it. Compaction collapses
    * the committed view to one directory per bucket in one epoch (one file
    * per bucket up to `maxRecordsPerFile`), making every older epoch
-   * vacuum-able garbage. Pure data movement: the committed row set is
-   * BIT-IDENTICAL before and after (no winner recompute — the store is
-   * already deduped), and a crash at any point leaves the previous
-   * manifest view intact, same as an upsert crash. Run it like any
-   * maintenance job: quiesced writer, then [[vacuumStore]].
+   * vacuum-able garbage. The committed row set is VALUE-IDENTICAL before
+   * and after (no winner recompute — the store is already deduped), with
+   * one deliberate exception: rows dead under a [[deleteKeys]] tombstone
+   * are PHYSICALLY PURGED — compaction is where a takedown's bytes
+   * actually leave the store (the tombstones persist in the side-store,
+   * so a post-compaction replay of an old batch still cannot resurrect
+   * the key). A crash at any point leaves the previous manifest view
+   * intact, same as an upsert crash. Run it like any maintenance job:
+   * quiesced writer, then [[vacuumStore]].
    */
   def compactStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
       maxRecordsPerFile: Long = 1000000L): Unit = {
     requireLocalPath(storePath)
     val (n, entries) = latestManifest(storePath)
     require(entries.nonEmpty, s"no committed manifest under $storePath")
-    val current = spark.read
+    val raw = spark.read
       .parquet(entries.values.toSeq.map(d => s"${sparkDataRoot(storePath)}/$d"): _*)
-    val epoch = f"e-${java.util.UUID.randomUUID().toString.take(8)}-${n + 1}%09d"
-    current
-      .withColumn("__pb", col("__bucket"))
-      .repartition(col("__pb"))
-      .write.mode(SaveMode.ErrorIfExists)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("__pb")
-      .parquet(s"${sparkDataRoot(storePath)}/$epoch")
-    // every live bucket has >= 1 row (upserts replace, never delete), so
-    // the write creates exactly one __pb dir per manifest entry
-    publishManifest(storePath, n + 1, entries.keys.map(b => b -> s"$epoch/__pb=$b").toMap)
+    val live = applyDeletes(spark, storePath, raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // tombstones can empty whole buckets; their manifest entries must go
+      // (a zero-row partitionBy writes no dir, and a dangling entry would
+      // fail every readStore). nBuckets-bounded driver list.
+      val liveBuckets = live.select(col("__bucket")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      // a 100%-deleted store cannot express "no buckets" in this manifest
+      // format (an entry-less manifest is the documented poisoning state) —
+      // fall back to a bit-identical rewrite; tombstones still hide every
+      // row at read time, only the physical purge waits for a live row
+      val (out, outBuckets) =
+        if (liveBuckets.isEmpty) (raw, entries.keys.toSet) else (live, liveBuckets)
+      val epoch = f"e-${java.util.UUID.randomUUID().toString.take(8)}-${n + 1}%09d"
+      out
+        .withColumn("__pb", col("__bucket"))
+        .repartition(col("__pb"))
+        .write.mode(SaveMode.ErrorIfExists)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("__pb")
+        .parquet(s"${sparkDataRoot(storePath)}/$epoch")
+      publishManifest(storePath, n + 1, outBuckets.map(b => b -> s"$epoch/__pb=$b").toMap)
+    } finally { live.unpersist(); () }
   }
 
   /** Delete epoch directories the LATEST manifest no longer references and

@@ -518,6 +518,41 @@ object StreamOps {
       }
       .start()
 
+  /**
+   * TAKEDOWN from a [[streamingNearDups]] store: delete the given doc ids
+   * from all three stores — doc texts, band signatures, and every CURRENT
+   * pair touching the ids — via [[graft.sources.Sink.deleteKeys]]
+   * tombstones, which survive compaction (compaction is where the doc's
+   * bytes physically leave the store) and replayed batches. `version`
+   * must exceed every batch version that has touched the ids (pass the
+   * stream's current batch watermark, or Long.MaxValue for an irrevocable
+   * takedown); a later re-ingest with a HIGHER version resurrects the doc.
+   * After deletion the standing probe can no longer match the doc (its
+   * band rows are dead), [[pairsFromStore]] no longer serves its pairs,
+   * and [[bandsFromStore]]/doc reads exclude it — streamingNearDups
+   * ignores deleted docs end to end.
+   */
+  def deleteDocsFromNearDupStore(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String, ids: DataFrame, idCol: String, version: Long,
+      nBuckets: Int): Unit = {
+    import graft.sources.Sink
+    val keys = ids.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+      .withColumn("version", lit(version))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      Sink.deleteKeys(s"$storeRoot/docs", keys, idCol, "version", nBuckets)
+      Sink.deleteKeys(s"$storeRoot/bands", keys, idCol, "version", nBuckets)
+      if (Sink.storeExists(s"$storeRoot/pairs")) {
+        val touching = Sink.readStore(spark, s"$storeRoot/pairs")
+          .join(broadcast(keys.select(col(idCol).as("__did"))),
+            col("batch_id") === col("__did") || col("standing_id") === col("__did"),
+            "left_semi")
+          .select(col("pair_key"), lit(version).as("version"))
+        Sink.deleteKeys(s"$storeRoot/pairs", touching, "pair_key", "version", nBuckets)
+      }
+    } finally { keys.unpersist(); () }
+  }
+
   /** The CURRENT verified near-dup pairs of a [[streamingNearDups]] store:
     * `(batch_id, standing_id, jaccard)` with tombstoned (superseded-
     * version) pairs filtered out. */

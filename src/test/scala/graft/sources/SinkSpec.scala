@@ -270,6 +270,62 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](Sink.writeIndex(reserved, path))
   }
 
+  test("deleteKeys: tombstoned row excluded; old replays stay dead; higher-version re-ingest resurrects") {
+    val path = tmp("deletekeys")
+    Sink.upsertBuckets(path,
+      Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 4)
+    Sink.deleteKeys(path, Seq((2L, 5L)).toDF("id", "version"), "id", "version", nBuckets = 4)
+    assert(storeRows(path) == Map(1L -> ((1L, "a1")), 3L -> ((1L, "c1"))))
+    // a REPLAYED old batch (version <= tombstone) cannot resurrect the key
+    Sink.upsertBuckets(path, Seq((2L, 3L, "b3")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 4)
+    assert(storeRows(path) == Map(1L -> ((1L, "a1")), 3L -> ((1L, "c1"))))
+    // deletion replays are idempotent (the side-store is an upsert store)
+    Sink.deleteKeys(path, Seq((2L, 5L)).toDF("id", "version"), "id", "version", nBuckets = 4)
+    assert(storeRows(path) == Map(1L -> ((1L, "a1")), 3L -> ((1L, "c1"))))
+    // a LATER re-ingest (strictly higher version) resurrects — takedown-then-relicense
+    Sink.upsertBuckets(path, Seq((2L, 6L, "b6")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 4)
+    assert(storeRows(path) == Map(1L -> ((1L, "a1")), 2L -> ((6L, "b6")), 3L -> ((1L, "c1"))))
+  }
+
+  test("deleteKeys + compactStore: the deleted row's bytes physically leave the store") {
+    val path = tmp("deletecompact")
+    // nBuckets = 1: both keys share a bucket, so the purge must filter rows
+    // WITHIN a surviving bucket (not just drop a whole bucket entry)
+    Sink.upsertBuckets(path,
+      Seq((1L, 1L, "keepme"), (2L, 1L, "purgeme")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 1)
+    Sink.deleteKeys(path, Seq((2L, 5L)).toDF("id", "version"), "id", "version", nBuckets = 1)
+    Sink.compactStore(spark, path)
+    Sink.vacuumStore(path)
+    assert(storeRows(path) == Map(1L -> ((1L, "keepme"))))
+    // RAW bytes check: no parquet file under any live epoch still carries
+    // the dead row (readStore filtering alone would not satisfy takedown)
+    val rawRows = parquetFiles(path)
+      .filterNot(_.toString.contains("__deletes"))
+      .flatMap(f => spark.read.parquet(f.toString).select($"id").collect().map(_.getLong(0)))
+    assert(rawRows.toSet == Set(1L), s"dead row still physically present: $rawRows")
+    // post-compaction replay of an old batch STILL cannot resurrect
+    Sink.upsertBuckets(path, Seq((2L, 3L, "b3")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 1)
+    assert(storeRows(path) == Map(1L -> ((1L, "keepme"))))
+  }
+
+  test("deleteKeys emptying a whole bucket removes its manifest entry") {
+    val path = tmp("deletebucket")
+    // nBuckets = 64 so each key almost surely owns its bucket
+    Sink.upsertBuckets(path,
+      Seq((1L, 1L, "a1"), (2L, 1L, "b1")).toDF("id", "version", "payload"),
+      "id", "version", nBuckets = 64)
+    Sink.deleteKeys(path, Seq((2L, 5L)).toDF("id", "version"), "id", "version", nBuckets = 64)
+    Sink.compactStore(spark, path)
+    Sink.vacuumStore(path)
+    // readStore must not fail on a dangling manifest entry for the emptied bucket
+    assert(storeRows(path) == Map(1L -> ((1L, "a1"))))
+  }
+
   test("a manifest number can be claimed exactly once (concurrent-writer guard)") {
     val path = tmp("manifestclaim")
     Sink.publishManifest(path, 1L, Map(0L -> "epoch-a/__pb=0"))

@@ -672,5 +672,36 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         assert(pairs() === Set.empty)
       } finally q.stop()
     }
+
+    it("a taken-down doc disappears from pairs, stores, and future probes") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("nd_store3").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt3").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingNearDups(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", root, nBuckets = 4, checkpointDir = ckpt)
+      def pairs(): Set[(Long, Long)] =
+        StreamOps.pairsFromStore(spark, root)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      try {
+        src.addData((1L, "alpha beta gamma delta epsilon"),
+          (2L, "alpha beta gamma delta epsilon"))
+        q.processAllAvailable()
+        assert(pairs() === Set((1L, 2L)))
+        // takedown doc 2 at a version above every batch so far
+        StreamOps.deleteDocsFromNearDupStore(spark, root,
+          Seq(2L).toDF("doc_id"), "doc_id", version = 1000L, nBuckets = 4)
+        assert(pairs() === Set.empty)
+        assert(graft.sources.Sink.readStore(spark, s"$root/docs")
+          .where($"doc_id" === 2L).count() === 0L)
+        assert(StreamOps.bandsFromStore(spark, s"$root/bands", "doc_id")
+          .where($"doc_id" === 2L).count() === 0L)
+        // a NEW doc with doc 2's exact text must not match the deleted doc —
+        // its band rows are dead — but still matches the live doc 1
+        src.addData((3L, "alpha beta gamma delta epsilon"))
+        q.processAllAvailable()
+        assert(pairs() === Set((3L, 1L)))
+      } finally q.stop()
+    }
   }
 }
