@@ -267,11 +267,50 @@ object Jpeg {
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
   /**
+   * Classify the blob's first start-of-frame marker (T.81 Table B.1) —
+   * the HONEST routing signal for [[decode]]'s coverage: only "baseline"
+   * (SOF0/SOF1 Huffman sequential) is pixel-decodable here; every other
+   * class NAMES why the pixel path falls back (a real crawl carries
+   * progressive JPEGs, and a silent generic-fallback row would be
+   * indistinguishable from a decoder bug). None when no SOF marker
+   * appears before SOS/EOF — truncated or non-JPEG headers, which the
+   * dimension parse already reports via its own fallback.
+   */
+  private[graft] def sofClass(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff) {
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xff) { pos += 1 } // legal fill byte before a marker
+      else if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        return Some(marker match {
+          case 0xc0 | 0xc1 => "baseline" // sequential Huffman ([[decode]]'s envelope)
+          case 0xc2 => "progressive"
+          case 0xc3 => "lossless"
+          case 0xc9 | 0xca | 0xcb => "arithmetic"
+          case _ => "hierarchical" // 0xc5-0xc7, 0xcd-0xcf differential frames
+        })
+      } else if (marker == 0xd8 || marker == 0xd9 || marker == 0x01 ||
+        (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2 // standalone marker, no length field
+      } else if (marker == 0xda || pos + 3 >= bytes.length) {
+        return None // entropy data from here on; no SOF seen
+      } else {
+        val len = be16(bytes, pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        pos += 2 + len
+      }
+    }
+    None
+  }
+
+  /**
    * Decode a baseline sequential JPEG. Supported: SOF0/SOF1, 8-bit
    * precision, 1 or 3 components with sampling factors in {1,2}, one
    * interleaved scan, optional restart intervals. Returns None for
    * progressive (SOF2), arithmetic coding, 12-bit, multi-scan, or any
-   * malformed/truncated stream.
+   * malformed/truncated stream — [[sofClass]] names which non-baseline
+   * frame class caused the fallback.
    */
   private[graft] def decode(bytes: Array[Byte]): Option[JpegImage] =
     try decodeImpl(bytes)

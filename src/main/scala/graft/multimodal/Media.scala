@@ -981,6 +981,14 @@ object Media {
   /**
    * Extract features from (id, blob) rows, batch-at-a-time per partition.
    * Input: DataFrame with `idCol` (long) and `binCol` (binary).
+   *
+   * A JPEG whose frame class the pixel codec cannot decode (progressive,
+   * arithmetic, lossless, hierarchical — [[Jpeg.sofClass]]) surfaces that
+   * class IN THE KIND ("jpeg:progressive", ...): the fallback reason
+   * rides the metadata, so downstream routing can act on it and a
+   * non-baseline file can never masquerade as a decodable one. Baseline
+   * JPEGs (and JPEGs with no SOF before SOS — header-truncated, already
+   * signalled by the dimension fallback) keep the plain "jpeg" kind.
    */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
@@ -992,7 +1000,14 @@ object Media {
         // for the header parse; a pixel decoder would be)
         rows.filter(_._2 != null).map { case (id, bytes) =>
           val (w, h) = decodeDims(bytes).getOrElse(fakeDecode(bytes))
-          MediaFeatures(id, bytes.length.toLong, sniffKind(bytes), w, h, sampleChecksum(bytes))
+          val kind = sniffKind(bytes) match {
+            case "jpeg" => Jpeg.sofClass(bytes) match {
+              case Some(cls) if cls != "baseline" => s"jpeg:$cls"
+              case _ => "jpeg"
+            }
+            case k => k
+          }
+          MediaFeatures(id, bytes.length.toLong, kind, w, h, sampleChecksum(bytes))
         }
       }
   }

@@ -104,6 +104,40 @@ class JpegSpec extends AnyFunSuite with SparkSuite {
     assert(Media.sniffKind(bytes) == "jpeg")
   }
 
+  test("planted progressive fixture: named fallback, no silent misdecode") {
+    import spark.implicits._
+    val baseline = Media.syntheticJpegImage(48, 16, 3L)
+    assert(Jpeg.sofClass(baseline).contains("baseline"))
+    val progressive = baseline.clone()
+    val sofAt = (2 until progressive.length - 1).find(i =>
+      (progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.sofClass(progressive).contains("progressive"))
+    assert(Jpeg.decode(progressive).isEmpty, "pixel codec must refuse SOF2")
+    // pixelMeans DROPS the progressive blob (the documented honesty rule) —
+    // the baseline sibling still decodes, so the drop is the codec's choice,
+    // not a plumbing failure
+    val means = Media.pixelMeans(
+      Seq((1L, baseline), (2L, progressive)).toDF("id", "blob"), "id", "blob")
+    assert(means.select($"id").as[Long].collect().toSet == Set(1L))
+    // extractFeatures NAMES the fallback class in the kind, keeps the REAL
+    // SOF dims (a progressive frame header still carries them), and routes
+    // the blob down the documented checksum path
+    val feats = Media.extractFeatures(
+      Seq((2L, progressive)).toDF("id", "blob"), "id", "blob").collect()
+    assert(feats.length == 1)
+    assert(feats(0).kind == "jpeg:progressive")
+    assert(feats(0).width == 48L && feats(0).height == 16L)
+    assert(feats(0).checksum == Media.sampleChecksum(progressive))
+    // sofClass honesty on the other unsupported classes + non-JPEG bytes
+    for ((marker, cls) <- Seq(0xc3 -> "lossless", 0xc9 -> "arithmetic", 0xc5 -> "hierarchical")) {
+      val other = baseline.clone(); other(sofAt + 1) = marker.toByte
+      assert(Jpeg.sofClass(other).contains(cls), f"marker 0x$marker%02x")
+    }
+    assert(Jpeg.sofClass(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Jpeg.sofClass(baseline.take(sofAt)).isEmpty, "no SOF before EOF")
+  }
+
   test("resizeJpeg x2 upscale stays inside the exactness envelope") {
     val src = Media.syntheticJpegImage(16, 16, 6L)
     val out = Media.resizeJpeg(src, 32, 32).get
