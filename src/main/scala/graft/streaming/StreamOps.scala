@@ -34,6 +34,18 @@ case class TransitionState(prevMs: Long, prevType: String, pending: List[(Long, 
 /** One consecutive-pair observation on the finalized event-time order. */
 case class TransitionSeen(user_id: Long, from_type: String, to_type: String, at_ms: Long)
 
+/** One chunk of a multi-part training document on the stream. All chunks of
+  * one document VERSION carry the same event time (`ts` = the version's
+  * crawl/publish instant — it names the version); `seq` orders chunks
+  * within the version. */
+case class DocChunk(doc_id: Long, ts: Timestamp, seq: Int, text: String)
+
+/** Buffered not-yet-final chunks of one document: (version ms, seq, text). */
+case class ChunkBufferState(pending: List[(Long, Int, String)])
+
+/** A document version whose chunks the watermark has finalized. */
+case class DocFinalized(doc_id: Long, version_ms: Long, text: String)
+
 /**
  * Structured Streaming counterparts of the batch operators: the group-sorted
  * per-key streaming semantics carry over to unbounded data via watermarks and
@@ -552,6 +564,130 @@ object StreamOps {
       }
     } finally { keys.unpersist(); () }
   }
+
+  /**
+   * Assemble multi-part documents from a chunk stream, late-data-correct —
+   * the [[streamingFunnel]] buffer-until-watermark discipline applied to
+   * document assembly: chunks of a doc VERSION (all sharing one event time
+   * — the time names the version) buffer in keyed state until the
+   * watermark passes that time, at which point no admissible chunk of the
+   * version can still arrive and the version finalizes as ONE document
+   * (chunks concatenated in `seq` order, single-space joined — the
+   * token-level contract of the window-hash kernels). A re-delivered
+   * chunk (at-least-once transport) collapses by its (version, seq) slot;
+   * a re-crawled doc arrives as a LATER version and finalizes separately.
+   * State per doc = the watermark horizon's chunk buffer — bounded, the
+   * same guarantee as every keyed-state op here.
+   */
+  def assembleChunkedDocs(chunks: Dataset[DocChunk],
+      watermarkDelay: String = "10 minutes"): Dataset[DocFinalized] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+
+    def update(docId: Long, batch: Iterator[DocChunk],
+               state: GroupState[ChunkBufferState]): Iterator[DocFinalized] = {
+      var pending = state.getOption.map(_.pending).getOrElse(Nil)
+      if (!state.hasTimedOut)
+        pending = batch.map(c => (c.ts.getTime, c.seq, c.text)).toList ::: pending
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, hold) = pending.partition(_._1 <= wm)
+      if (hold.isEmpty) state.remove()
+      else {
+        state.update(ChunkBufferState(hold))
+        state.setTimeoutTimestamp(hold.map(_._1).min)
+      }
+      ready.groupBy(_._1).toSeq.sortBy(_._1).iterator.map { case (ver, cs) =>
+        // one text per (version, seq) slot: a re-delivered chunk collapses
+        val text = cs.map(c => (c._2, c._3)).toMap.toSeq.sortBy(_._1)
+          .map(_._2).mkString(" ")
+        DocFinalized(docId, ver, text)
+      }
+    }
+
+    chunks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /**
+   * STREAMING span-level contamination attribution — the q176 audit
+   * ([[graft.operators.Contamination.spanAttribution]]'s gaps-and-islands
+   * kernel) run PER MICRO-BATCH against a STANDING eval frame, over
+   * documents assembled by [[assembleChunkedDocs]]: the production loop in
+   * which benchmark items are a fixed standing asset and every finalized
+   * train-doc version is audited for verbatim-run containment as it
+   * lands. Per-batch cost = the batch docs' window hashes joined against
+   * the broadcast eval side — never a corpus re-scan.
+   *
+   * Results live in a manifest-committed pair store keyed by
+   * `train_id|eval_id` (version = the finalizing batch id): a re-crawled
+   * doc's NEW version re-audits and every PRIOR pair row touching the doc
+   * is tombstoned in the same batch (`live = false`; a span verdict
+   * references a specific doc version — [[streamingNearDups]]'s rule), so
+   * a still-true span re-certifies through its fresh audit and a
+   * no-longer-true one disappears. Same-batch tombstone + fresh verdict
+   * resolve live = true via the store's max-struct winner (live sorts
+   * directly after the version). Replayed batches re-emit byte-identical
+   * rows — idempotent under at-least-once delivery. Read CURRENT spans
+   * with [[spansFromStore]].
+   */
+  def streamingSpanAttribution(chunks: Dataset[DocChunk], evalDocs: DataFrame,
+      idCol: String, textCol: String, w: Int, storePath: String, nBuckets: Int,
+      checkpointDir: String, minRun: Int = 1,
+      maxDf: Int = graft.operators.Dedup.DefaultMaxBucket,
+      watermarkDelay: String = "10 minutes"): StreamingQuery =
+    assembleChunkedDocs(chunks, watermarkDelay)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocFinalized], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import graft.sources.Sink
+        // several versions of one doc can finalize in one batch (a wide
+        // watermark jump) — audit only each doc's LATEST version, the one
+        // whose verdicts the store should serve
+        val docs = batch.toDF()
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("version_ms"), col("text"))).as("__v"))
+          .select(col("doc_id").as(idCol), col("__v.text").as(textCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          def pairRow(df: DataFrame, live: Boolean): DataFrame = df
+            .select(concat_ws("|", col("train_id"), col("eval_id")).as("pair_key"),
+              lit(live).as("live"), col("train_id"), col("eval_id"),
+              col("n_shared_windows"), col("max_run"), col("max_span_tokens"),
+              lit(batchId).as("version"))
+          val fresh = pairRow(
+            graft.operators.Contamination.spanAttribution(
+              docs, evalDocs, idCol, textCol, w, minRun, maxDf),
+            live = true)
+          val stale =
+            if (!Sink.storeExists(storePath)) fresh.limit(0)
+            else pairRow(
+              Sink.readStore(spark, storePath)
+                .select(col("train_id"), col("eval_id"), col("n_shared_windows"),
+                  col("max_run"), col("max_span_tokens"))
+                .join(broadcast(docs.select(col(idCol).as("__did"))),
+                  col("train_id") === col("__did"), "left_semi"),
+              live = false)
+          Sink.upsertBuckets(storePath, fresh.unionByName(stale),
+            "pair_key", "version", nBuckets)
+        } finally { docs.unpersist(); () }
+      }
+      .start()
+
+  /** The CURRENT span-attribution verdicts of a [[streamingSpanAttribution]]
+    * store: `(train_id, eval_id, n_shared_windows, max_run,
+    * max_span_tokens)` with tombstoned (superseded-version) rows filtered
+    * out — the exact batch-kernel output shape. */
+  def spansFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .where(col("live"))
+      .select(col("train_id"), col("eval_id"), col("n_shared_windows"),
+        col("max_run"), col("max_span_tokens"))
 
   /** The CURRENT verified near-dup pairs of a [[streamingNearDups]] store:
     * `(batch_id, standing_id, jaccard)` with tombstoned (superseded-

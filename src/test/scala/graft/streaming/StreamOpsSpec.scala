@@ -704,4 +704,87 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
   }
+
+  describe("streamingSpanAttribution ≡ batch spanAttribution (chunked replay equivalence)") {
+    // three train docs, chunked; doc 1 carries a verbatim 6-token run of
+    // eval 1001, doc 2 is unrelated, doc 3 shares an isolated trigram only
+    val evalFrame = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta"),
+      (1002L, "one two three four five six")).toDF("doc_id", "text")
+    val docTexts = Map(
+      1L -> "intro words alpha beta gamma delta epsilon zeta outro words",
+      2L -> "completely unrelated content with no overlap at all here",
+      3L -> "one two three but then it diverges entirely afterwards")
+    val allChunks: Seq[DocChunk] = docTexts.toSeq.flatMap { case (id, text) =>
+      // three chunks per doc, token-boundary splits, one version at minute 5
+      val toks = text.split(" ")
+      val (a, rest) = toks.splitAt(toks.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(DocChunk(id, ts(5), 0, a.mkString(" ")),
+        DocChunk(id, ts(5), 1, b.mkString(" ")),
+        DocChunk(id, ts(5), 2, c.mkString(" ")))
+    }
+    val batchExpected: Set[(Long, Long, Long, Long, Long)] =
+      graft.operators.Contamination.spanAttribution(
+          docTexts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"),
+          evalFrame, "doc_id", "text", w = 3, minRun = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+
+    def runStreaming(arrival: Seq[DocChunk], groupSize: Int): Set[(Long, Long, Long, Long, Long)] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("span_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("span_ckpt").toString
+      val src = MemoryStream[DocChunk]
+      // 2h watermark: every permutation of the minute-5 chunks is admissible
+      val q = StreamOps.streamingSpanAttribution(src.toDS(), evalFrame,
+        "doc_id", "text", w = 3, store, nBuckets = 4, checkpointDir = ckpt,
+        minRun = 2, watermarkDelay = "2 hours")
+      try {
+        arrival.grouped(groupSize).foreach { g => src.addData(g); q.processAllAvailable() }
+        // two flush batches (the watermark a batch uses comes from the prior one)
+        src.addData(DocChunk(999L, ts(600), 0, "flush")); q.processAllAvailable()
+        src.addData(DocChunk(999L, ts(601), 0, "flush")); q.processAllAvailable()
+        StreamOps.spansFromStore(spark, store)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSet
+      } finally q.stop()
+    }
+
+    it("matches the batch kernel under in-order, reversed, and re-delivered chunk arrival") {
+      assert(batchExpected.exists(_._4 >= 2L), "fixture must plant a real run")
+      val inOrder = allChunks.sortBy(c => (c.doc_id, c.seq))
+      assert(runStreaming(inOrder, groupSize = 4) === batchExpected)
+      assert(runStreaming(inOrder.reverse, groupSize = 3) === batchExpected)
+      // at-least-once transport: every chunk delivered twice across batches
+      assert(runStreaming(
+        new scala.util.Random(7).shuffle(allChunks ++ allChunks), groupSize = 5)
+        === batchExpected)
+    }
+
+    it("a re-crawled version re-audits and supersedes the prior verdicts") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("span_store2").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("span_ckpt2").toString
+      val src = MemoryStream[DocChunk]
+      val q = StreamOps.streamingSpanAttribution(src.toDS(), evalFrame,
+        "doc_id", "text", w = 3, store, nBuckets = 4, checkpointDir = ckpt,
+        minRun = 2, watermarkDelay = "0 seconds")
+      def spans(): Set[(Long, Long)] =
+        StreamOps.spansFromStore(spark, store)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      try {
+        src.addData(DocChunk(1L, ts(5), 0, docTexts(1L))); q.processAllAvailable()
+        src.addData(DocChunk(998L, ts(50), 0, "advance")); q.processAllAvailable()
+        src.addData(DocChunk(998L, ts(51), 0, "advance")); q.processAllAvailable()
+        assert(spans() === Set((1L, 1001L)))
+        // version 2 of doc 1 (decontaminated text): old verdict must die
+        src.addData(DocChunk(1L, ts(60), 0, "scrubbed text with nothing shared"))
+        q.processAllAvailable()
+        src.addData(DocChunk(998L, ts(100), 0, "advance")); q.processAllAvailable()
+        src.addData(DocChunk(998L, ts(101), 0, "advance")); q.processAllAvailable()
+        assert(spans() === Set.empty)
+      } finally q.stop()
+    }
+  }
 }
