@@ -30,13 +30,14 @@ case class MediaFeatures(
  * non-interlaced PNG ([[parsePng]]: PNG's compression IS zlib, which the
  * JDK ships — chunk walk, CRC32 verify, Inflater, full five-filter
  * unfiltering; [[syntheticPngImage]] fixtures cycle every filter type),
- * AND for baseline sequential JPEG ([[Jpeg.decode]]: DHT/DQT parse,
- * Huffman entropy decode, dequantize, IDCT, 4:2:0/4:2:2 upsample — pure
- * JDK byte math, closing round 7's last stub). The byte-cycling
- * `fakeDecode`/resize fallbacks now serve ONLY containers no codec here
- * covers (progressive JPEG, compressed AVI streams, unknown formats) —
- * deterministic stand-ins that keep schema and batch shape while staying
- * clearly marked.
+ * AND for baseline-sequential PLUS progressive JPEG ([[Jpeg.decode]]:
+ * DHT/DQT parse, Huffman entropy decode — including T.81 Annex G
+ * spectral-selection / successive-approximation multi-scan streams —
+ * dequantize, IDCT, 4:2:0/4:2:2 upsample; pure JDK byte math). The
+ * byte-cycling `fakeDecode`/resize fallbacks now serve ONLY containers
+ * no codec here covers (arithmetic-coded/lossless/hierarchical JPEG,
+ * compressed AVI streams, unknown formats) — deterministic stand-ins
+ * that keep schema and batch shape while staying clearly marked.
  */
 object Media {
 
@@ -910,6 +911,21 @@ object Media {
       subsample = if (s % 2 == 0) 1 else 2)
   }
 
+  /** The [[syntheticJpegImage]] closed form encoded as a PROGRESSIVE
+    * (SOF2) stream — same pixels, same exactness envelope, organized as
+    * [[Jpeg.encodeYccProgressive]]'s successive-approximation DC + EOB-run
+    * AC scan script. Decodes bit-identically to its baseline sibling. */
+  def syntheticProgressiveJpegImage(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
+      s"fixture dims must be positive multiples of 16, got ${w}x$h")
+    val s = math.floorMod(seed, 256).toInt
+    Jpeg.encodeYccProgressive(w, h,
+      (x, y) => ((x / 8) * 7 + (y / 8) * 3 + s) % 256,
+      (x, y) => ((x / 16) * 11 + (y / 16) * 5 + s) % 256,
+      (x, y) => ((x / 16) * 3 + (y / 16) * 7 + 2 * s) % 256,
+      subsample = if (s % 2 == 0) 1 else 2)
+  }
+
   /** Integer-floor RGB channel means over every pixel of a decoded JPEG. */
   private[graft] def jpegChannelMeans(img: Jpeg.JpegImage): (Long, Long, Long, Long, Long) = {
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -982,13 +998,14 @@ object Media {
    * Extract features from (id, blob) rows, batch-at-a-time per partition.
    * Input: DataFrame with `idCol` (long) and `binCol` (binary).
    *
-   * A JPEG whose frame class the pixel codec cannot decode (progressive,
-   * arithmetic, lossless, hierarchical — [[Jpeg.sofClass]]) surfaces that
-   * class IN THE KIND ("jpeg:progressive", ...): the fallback reason
-   * rides the metadata, so downstream routing can act on it and a
-   * non-baseline file can never masquerade as a decodable one. Baseline
-   * JPEGs (and JPEGs with no SOF before SOS — header-truncated, already
-   * signalled by the dimension fallback) keep the plain "jpeg" kind.
+   * A JPEG whose frame class the pixel codec cannot decode (arithmetic,
+   * lossless, hierarchical — [[Jpeg.sofClass]]; baseline AND progressive
+   * both decode for real) surfaces that class IN THE KIND
+   * ("jpeg:arithmetic", ...): the fallback reason rides the metadata, so
+   * downstream routing can act on it and an undecodable file can never
+   * masquerade as a decodable one. Decodable classes (and JPEGs with no
+   * SOF before SOS — header-truncated, already signalled by the
+   * dimension fallback) keep the plain "jpeg" kind.
    */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
@@ -1002,7 +1019,7 @@ object Media {
           val (w, h) = decodeDims(bytes).getOrElse(fakeDecode(bytes))
           val kind = sniffKind(bytes) match {
             case "jpeg" => Jpeg.sofClass(bytes) match {
-              case Some(cls) if cls != "baseline" => s"jpeg:$cls"
+              case Some(cls) if cls != "baseline" && cls != "progressive" => s"jpeg:$cls"
               case _ => "jpeg"
             }
             case k => k
@@ -1016,7 +1033,7 @@ object Media {
    * REAL per-blob pixel statistics for containers the JDK-only parse can
    * fully decode — uncompressed 24bpp BMP ([[parseBmp]]), 8-bit RGB/RGBA
    * non-interlaced PNG ([[parsePng]]: zlib inflate + full unfilter), and
-   * baseline sequential JPEG ([[Jpeg.decode]]: Huffman entropy decode +
+   * baseline-or-progressive JPEG ([[Jpeg.decode]]: Huffman entropy decode +
    * dequantize + IDCT + upsample): `(id, width, height, mean_r, mean_g,
    * mean_b)` with integer-floor channel means over EVERY pixel — actual
    * byte→pixel work, the feature-extraction step of an image curation
@@ -1119,7 +1136,7 @@ object Media {
    * floor of the Rec.601 weights), laplacian = 4·L(x,y) − L(x±1,y) −
    * L(x,y±1); emitted per image: interior pixel count, floor-mean |lap|
    * (the sharpness score — higher = more edge energy), and max |lap|.
-   * Decodes BMP, PNG, and baseline JPEG through the real codecs; other
+   * Decodes BMP, PNG, and (baseline or progressive) JPEG through the real codecs; other
    * blobs and images without an interior (w or h < 3) are dropped. Pure
    * integer math end-to-end, so the score is engine-replayable.
    */

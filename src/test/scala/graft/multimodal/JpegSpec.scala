@@ -104,38 +104,132 @@ class JpegSpec extends AnyFunSuite with SparkSuite {
     assert(Media.sniffKind(bytes) == "jpeg")
   }
 
-  test("planted progressive fixture: named fallback, no silent misdecode") {
+  test("undecodable frame classes are NAMED; malformed progressive stays rejected") {
     import spark.implicits._
     val baseline = Media.syntheticJpegImage(48, 16, 3L)
     assert(Jpeg.sofClass(baseline).contains("baseline"))
-    val progressive = baseline.clone()
-    val sofAt = (2 until progressive.length - 1).find(i =>
-      (progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0).get
-    progressive(sofAt + 1) = 0xc2.toByte
-    assert(Jpeg.sofClass(progressive).contains("progressive"))
-    assert(Jpeg.decode(progressive).isEmpty, "pixel codec must refuse SOF2")
-    // pixelMeans DROPS the progressive blob (the documented honesty rule) —
-    // the baseline sibling still decodes, so the drop is the codec's choice,
-    // not a plumbing failure
+    val sofAt = (2 until baseline.length - 1).find(i =>
+      (baseline(i) & 0xff) == 0xff && (baseline(i + 1) & 0xff) == 0xc0).get
+    // a baseline stream RELABELED SOF2 is a malformed progressive file
+    // (its single scan has ss=0, se=63 — illegal progressive scan params):
+    // the progressive decoder must reject it, never misdecode it
+    val lying = baseline.clone()
+    lying(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.sofClass(lying).contains("progressive"))
+    assert(Jpeg.decode(lying).isEmpty, "malformed progressive must be rejected")
     val means = Media.pixelMeans(
-      Seq((1L, baseline), (2L, progressive)).toDF("id", "blob"), "id", "blob")
+      Seq((1L, baseline), (2L, lying)).toDF("id", "blob"), "id", "blob")
     assert(means.select($"id").as[Long].collect().toSet == Set(1L))
-    // extractFeatures NAMES the fallback class in the kind, keeps the REAL
-    // SOF dims (a progressive frame header still carries them), and routes
-    // the blob down the documented checksum path
-    val feats = Media.extractFeatures(
-      Seq((2L, progressive)).toDF("id", "blob"), "id", "blob").collect()
-    assert(feats.length == 1)
-    assert(feats(0).kind == "jpeg:progressive")
-    assert(feats(0).width == 48L && feats(0).height == 16L)
-    assert(feats(0).checksum == Media.sampleChecksum(progressive))
-    // sofClass honesty on the other unsupported classes + non-JPEG bytes
+    // the classes NO codec here covers surface their name in the kind and
+    // route down the documented checksum path with the real SOF dims
     for ((marker, cls) <- Seq(0xc3 -> "lossless", 0xc9 -> "arithmetic", 0xc5 -> "hierarchical")) {
       val other = baseline.clone(); other(sofAt + 1) = marker.toByte
       assert(Jpeg.sofClass(other).contains(cls), f"marker 0x$marker%02x")
+      assert(Jpeg.decode(other).isEmpty, s"$cls must be rejected")
+      val feats = Media.extractFeatures(
+        Seq((2L, other)).toDF("id", "blob"), "id", "blob").collect()
+      assert(feats(0).kind == s"jpeg:$cls")
+      assert(feats(0).width == 48L && feats(0).height == 16L)
+      assert(feats(0).checksum == Media.sampleChecksum(other))
     }
     assert(Jpeg.sofClass(Array[Byte](1, 2, 3)).isEmpty)
     assert(Jpeg.sofClass(baseline.take(sofAt)).isEmpty, "no SOF before EOF")
+  }
+
+  test("progressive fixture decodes to the closed form bit-for-bit (4:4:4 and 4:2:0)") {
+    for (seed <- Seq(4L, 7L)) {
+      val bytes = Media.syntheticProgressiveJpegImage(48, 32, seed)
+      assert(Jpeg.sofClass(bytes).contains("progressive"))
+      val img = Jpeg.decode(bytes).get
+      assert(img.width == 48 && img.height == 32)
+      for (x <- 0 until 48; y <- 0 until 32)
+        assert(img.ycc(x, y) == fixYcc(seed.toInt)(x, y), s"seed=$seed at ($x,$y)")
+    }
+  }
+
+  test("progressive encode of a GENERAL image decodes identically to its baseline sibling") {
+    // same sample functions, same quantization: identical coefficients, so
+    // the multi-scan reassembly must reproduce the baseline decode exactly —
+    // any entropy desync anywhere would scramble from that point on
+    def yf(x: Int, y: Int): Int = (x * 13 + y * 17 + (x * y) % 31) % 256
+    def cb(x: Int, y: Int): Int = (x * 5 + y * 3) % 256
+    def cr(x: Int, y: Int): Int = (x * 3 + y * 11) % 256
+    for (sub <- Seq(1, 2)) {
+      val p = Jpeg.decode(Jpeg.encodeYccProgressive(40, 24, yf, cb, cr, sub)).get
+      val b = Jpeg.decode(Jpeg.encodeYcc(40, 24, yf, cb, cr, sub)).get
+      for (x <- 0 until 40; y <- 0 until 24)
+        assert(p.ycc(x, y) == b.ycc(x, y), s"sub=$sub at ($x,$y)")
+    }
+  }
+
+  test("THIRD-PARTY progressive stream (ImageIO writer) decodes sample-identically") {
+    // the JDK's JPEG writer emits the classic libjpeg progressive scan
+    // script — interleaved DC first at Al=1, spectral AC bands with
+    // successive approximation (Al=2 then refinements Ah=2->1->0), DC
+    // refinement — so this single file exercises EVERY Annex G.2 decode
+    // path against an independent implementation. Same writer, same
+    // quality, baseline mode: identical quantized coefficients, so OUR
+    // decode of both files must agree sample-for-sample.
+    import javax.imageio._
+    def write(img: java.awt.image.BufferedImage, progressive: Boolean): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      if (progressive) params.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val r = (x * 7 + y * 3) % 256
+      val g = (x * 2 + y * 11) % 256
+      val b = (x * 13 + y * 5) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val pBytes = write(img, progressive = true)
+    assert(Jpeg.sofClass(pBytes).contains("progressive"))
+    val p = Jpeg.decode(pBytes).get
+    val b = Jpeg.decode(write(img, progressive = false)).get
+    assert(p.width == w && p.height == h)
+    for (x <- 0 until w; y <- 0 until h)
+      assert(p.ycc(x, y) == b.ycc(x, y), s"at ($x,$y)")
+    // grayscale EXTERNAL anchor: single-component, so no chroma-upsampling
+    // convention in play — our pixels must track ImageIO's own decode to
+    // within IDCT rounding
+    val grey = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = (x * 9 + y * 13 + (x * y) % 17) % 256
+      grey.getRaster.setSample(x, y, 0, v)
+    }
+    val gBytes = write(grey, progressive = true)
+    assert(Jpeg.sofClass(gBytes).contains("progressive"))
+    val g = Jpeg.decode(gBytes).get
+    assert(g.nComponents == 1)
+    val gRef = ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    var maxDiff = 0
+    for (x <- 0 until w; y <- 0 until h) {
+      val refV = gRef.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(refV - g.ycc(x, y)._1))
+    }
+    assert(maxDiff <= 2, s"grayscale max sample diff vs ImageIO = $maxDiff")
+  }
+
+  test("pixelMeans and extractFeatures route progressive blobs through the real decode") {
+    import spark.implicits._
+    val prog = Media.syntheticProgressiveJpegImage(16, 16, 6L)
+    val base = Media.syntheticJpegImage(16, 16, 6L)
+    val df = Seq((1L, base), (2L, prog)).toDF("id", "blob")
+    val rows = Media.pixelMeans(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == rows(2L), "same closed form, same means")
+    val feats = Media.extractFeatures(Seq((2L, prog)).toDF("id", "blob"), "id", "blob").collect()
+    assert(feats(0).kind == "jpeg", "decodable progressive is NOT a fallback class")
+    assert(feats(0).width == 16L && feats(0).height == 16L)
   }
 
   test("resizeJpeg x2 upscale stays inside the exactness envelope") {
