@@ -678,6 +678,66 @@ object StreamOps {
       }
       .start()
 
+  /**
+   * STREAMING maintenance of the standing IVFADC code frame — the
+   * streaming face of [[graft.operators.Similarity.mergeIvfPqCodes]] and
+   * the last member of the mergeable-state family to get one: each
+   * micro-batch of `(id, vector)` upserts encodes against the FROZEN
+   * index (quantizer + codebooks are the standing asset; re-training is
+   * an offline rebuild — FAISS's add-vs-train split) and folds into a
+   * manifest-committed bucket store keyed by vector id. Per-batch cost =
+   * one narrow encode pass over the batch + touched-bucket rewrites —
+   * never a corpus re-scan.
+   *
+   * A NULL vector is a DELETION: the id tombstones through
+   * [[graft.sources.Sink.deleteKeys]], so the takedown survives
+   * compaction (which physically purges the code bytes) and replayed
+   * old batches cannot resurrect it; a LATER re-embed (higher batch id)
+   * does. An id carrying both a null and a real vector in ONE batch
+   * resolves deleted (the tombstone's version tie wins — the
+   * conservative direction). Replayed batches re-encode byte-identically
+   * (the frozen index is deterministic) — idempotent under
+   * at-least-once delivery.
+   *
+   * Because the encode is frozen and deterministic, the maintained store
+   * equals the from-scratch [[graft.operators.Similarity.ivfPqEncode]] of
+   * the live corpus after every batch — the merged ≡ rebuilt invariant,
+   * checked per batch by the spec. Read back with [[annCodesFromStore]].
+   */
+  def streamingAnnCodes(vectors: DataFrame,
+      index: graft.operators.Similarity.IvfPqIndex, idCol: String, vecCol: String,
+      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.sources.Sink
+        val b = batch
+          .select(col(idCol).cast("long").as(idCol), col(vecCol))
+          .where(col(idCol).isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val rows = graft.operators.Similarity
+            .ivfPqEncode(index, b.where(col(vecCol).isNotNull), idCol, vecCol)
+            .withColumn("version", lit(batchId))
+          Sink.upsertBuckets(storePath, rows, "neighbor_id", "version", nBuckets)
+          val dead = b.where(col(vecCol).isNull)
+            .select(col(idCol).as("neighbor_id")).distinct()
+            .withColumn("version", lit(batchId))
+          if (!dead.isEmpty)
+            Sink.deleteKeys(storePath, dead, "neighbor_id", "version", nBuckets)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** The CURRENT code frame of a [[streamingAnnCodes]] store, in the
+    * standing `(neighbor_id, cent_id, code, recon_n2)` schema the ADC
+    * search kernels consume (deleted ids excluded by their tombstones). */
+  def annCodesFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col("neighbor_id"), col("cent_id"), col("code"), col("recon_n2"))
+
   /** The CURRENT span-attribution verdicts of a [[streamingSpanAttribution]]
     * store: `(train_id, eval_id, n_shared_windows, max_run,
     * max_span_tokens)` with tombstoned (superseded-version) rows filtered

@@ -588,6 +588,62 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingAnnCodes ≡ frozen-index re-encode (store-maintained ANN codes)") {
+    it("upserts fold in, null-vector deletions tombstone; store equals scratch encode per batch") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.operators.Similarity
+      val dim = 16
+      def vec(id: Long, salt: Int): Array[Double] =
+        Array.tabulate(dim)(j => math.sin(id * 31 + j * 7 + salt * 131).abs + 0.01)
+      val corpus0 = (0L until 48L).map(id => (id, vec(id, 0)))
+      val ivf = Similarity.buildIvfIndex(
+        corpus0.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nCentroids = 4, trainIters = 2)
+      val index = Similarity.buildIvfPqIndex(ivf, dim = dim, m = 4, ks = 16, trainIters = 2)
+
+      val store = java.nio.file.Files.createTempDirectory("ann_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ann_ckpt").toString
+      val src = MemoryStream[(Long, Array[Double])]
+      val q = StreamOps.streamingAnnCodes(src.toDF().toDF("vec_id", "embedding"),
+        index, "vec_id", "embedding", store, nBuckets = 4, checkpointDir = ckpt)
+
+      def storedCodes(): Set[(Long, Long, Seq[Byte], Double)] =
+        StreamOps.annCodesFromStore(spark, store)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).toSet
+      def scratchCodes(live: Map[Long, Array[Double]]): Set[(Long, Long, Seq[Byte], Double)] =
+        Similarity.ivfPqEncode(index,
+            live.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).toSet
+
+      // batch 1: initial corpus; batch 2: re-embed 0..9 + new 48..53;
+      // batch 3: DELETE 5 and 48 (null vectors) + one more re-embed
+      val batches: Seq[Seq[(Long, Array[Double])]] = Seq(
+        corpus0,
+        (0L until 10L).map(id => (id, vec(id, 1))) ++ (48L until 54L).map(id => (id, vec(id, 0))),
+        Seq((5L, null: Array[Double]), (48L, null: Array[Double]), (7L, vec(7L, 2))))
+      try {
+        val live = scala.collection.mutable.Map.empty[Long, Array[Double]]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.foreach { case (id, v) => if (v == null) live.remove(id) else live(id) = v }
+          assert(storedCodes() == scratchCodes(live.toMap))
+        }
+        // deletion survives COMPACTION (the bytes physically leave), and a
+        // LATER re-embed resurrects the id with fresh codes
+        graft.sources.Sink.compactStore(spark, store)
+        graft.sources.Sink.vacuumStore(store)
+        assert(storedCodes() == scratchCodes(live.toMap))
+        src.addData(Seq((5L, vec(5L, 3))): _*)
+        q.processAllAvailable()
+        live(5L) = vec(5L, 3)
+        assert(storedCodes() == scratchCodes(live.toMap))
+      } finally q.stop()
+    }
+  }
+
   describe("streamingNearDups (standing minhash store probed + maintained per batch)") {
     it("emits cross-side verified pairs, excludes a re-ingested doc's stale self") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
