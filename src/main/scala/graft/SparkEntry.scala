@@ -3282,6 +3282,60 @@ object SparkEntry {
     "q182_progressive_pixels" -> ((s, dir) =>
       multimodal.Media.pixelMeans(jpegBlobs(s, dir, "progressive"), "doc_id", "blob")),
 
+    // q183: TRAINED hashed-feature Naive Bayes (the fastText-style
+    // quality/domain filter reduced to its relational core) — train on
+    // even doc_ids, score odd doc_ids, emit the held-out confusion
+    // matrix. Training AND scoring are integer fixed-point arithmetic
+    // (md5-bucket features, floor(1024*log2) likelihoods), so the DuckDB
+    // oracle replays the ENTIRE learning pipeline — counts, smoothing,
+    // priors, argmax tie-break — and any drift anywhere breaks the hash.
+    // The corpus word-soup text carries little lang signal (that is the
+    // data, not the operator); q184's planted fixture proves LEARNING.
+    "q183_nb_confusion" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("lang").isNotNull)
+      val train = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      val test = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      operators.Classifier.confusionMatrix(
+        train, test, "lang", "doc_id", "text", buckets = 1024)
+    }),
+
+    // q184: the LEARNING proof for q183's kernel — four disjoint-vocab
+    // planted topics (labels derived from doc_id, text from the label,
+    // one rotating extra word so per-doc texts differ), train on even
+    // ids, predict odd ids. Disjoint vocabularies make NB classification
+    // mathematically certain, and the in-query gate pins it: one
+    // off-diagonal cell anywhere flips diagonal_exact and fails the
+    // hash. The oracle encodes the EXPECTED outcome independently
+    // (q173's planted-gate convention).
+    "q184_nb_planted" -> ((s, dir) => {
+      val topic = Seq(
+        "arts" -> "violin sonata painter canvas gallery fresco ballet poem sculpture opera",
+        "biology" -> "enzyme membrane neuron ribosome chromosome protein mitosis organism genome cell",
+        "finance" -> "dividend equity ledger portfolio arbitrage bond yield audit invoice margin",
+        "travel" -> "passport itinerary luggage hostel compass voyage airport visa harbor trail")
+      val m = pmod(col("doc_id"), lit(4L))
+      val lab = when(m === 0, topic(0)._1).when(m === 1, topic(1)._1)
+        .when(m === 2, topic(2)._1).otherwise(topic(3)._1)
+      val sentence = when(m === 0, topic(0)._2).when(m === 1, topic(1)._2)
+        .when(m === 2, topic(2)._2).otherwise(topic(3)._2)
+      val extra = element_at(split(sentence, " "),
+        (pmod(col("doc_id"), lit(10L)) + 1).cast("int"))
+      val planted = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), lab.as("topic"),
+          concat(sentence, lit(" "), extra).as("text"))
+      // split on (doc_id / 4) parity: the label IS doc_id % 4, so an even/odd
+      // split would put disjoint label sets in train and test
+      val train = planted.where(pmod(floor(col("doc_id") / 4), lit(2L)) === 0)
+      val test = planted.where(pmod(floor(col("doc_id") / 4), lit(2L)) === 1)
+      val conf = operators.Classifier.confusionMatrix(
+        train, test, "topic", "doc_id", "text", buckets = 1024)
+      val gate = conf.agg(min(col("actual") === col("predicted")).as("all_diag"))
+      conf.crossJoin(broadcast(gate))
+        .select(col("actual"), col("predicted"), col("n"),
+          col("all_diag").as("diagonal_exact"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -5710,6 +5764,68 @@ object SparkEntry {
         |       CAST(sum(g) // ((w//8) * (h//8)) AS BIGINT) AS mean_g,
         |       CAST(sum(b) // ((w//8) * (h//8)) AS BIGINT) AS mean_b
         |FROM rgb GROUP BY doc_id, w, h""".stripMargin,
+    // q183: the ENTIRE Naive Bayes pipeline replayed in SQL — md5-bucket
+    // feature hashing, Laplace-smoothed integer log-likelihoods
+    // (floor(1024*log2)), dense (label x bucket) weights, priors, and the
+    // (score DESC, label) argmax tie-break — over the same even/odd split.
+    "q183_nb_confusion" ->
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents
+        |              WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+        |test  AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+        |train_tok AS (
+        |  SELECT lang AS label,
+        |         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b
+        |  FROM (SELECT lang, unnest(list_filter(
+        |          string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
+        |          t -> t <> '')) AS tok FROM train)),
+        |counts AS (SELECT label, b, count(*) AS c FROM train_tok GROUP BY 1, 2),
+        |totals AS (SELECT label, count(*) AS n_tok FROM train_tok GROUP BY 1),
+        |priors AS (SELECT lang AS label,
+        |                  CAST(floor(1024 * log2(count(*))) AS BIGINT) AS prior
+        |           FROM train GROUP BY 1),
+        |weights AS (
+        |  SELECT g.label, g.b,
+        |         CAST(floor(1024 * log2(coalesce(c.c, 0) + 1)) AS BIGINT)
+        |       - CAST(floor(1024 * log2(g.n_tok + 1024)) AS BIGINT) AS w
+        |  FROM (SELECT t.label, t.n_tok, r.range AS b
+        |        FROM totals t, range(0, 1024) r) g
+        |  LEFT JOIN counts c ON c.label = g.label AND c.b = g.b),
+        |doc_tok AS (
+        |  SELECT id, b, count(*) AS cnt FROM (
+        |    SELECT doc_id AS id,
+        |           CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b
+        |    FROM (SELECT doc_id, unnest(list_filter(
+        |            string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
+        |            t -> t <> '')) AS tok FROM test)) GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT d.id, w.label, sum(d.cnt * w.w) AS ll
+        |  FROM doc_tok d JOIN weights w ON w.b = d.b GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT t.doc_id AS id, t.lang AS actual, p.label,
+        |         p.prior + coalesce(c.ll, 0) AS score
+        |  FROM test t CROSS JOIN priors p
+        |  LEFT JOIN contrib c ON c.id = t.doc_id AND c.label = p.label),
+        |pred AS (
+        |  SELECT id, actual, label AS predicted,
+        |         row_number() OVER (PARTITION BY id
+        |                            ORDER BY score DESC, label) AS rk
+        |  FROM scored)
+        |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+    // q184: expected-outcome form (q173's planted-gate convention) — the
+    // disjoint-vocab fixture makes the held-out prediction mathematically
+    // certain, so the oracle derives the diagonal independently from the
+    // doc_id arithmetic; the in-query gate turns any off-diagonal cell
+    // into a hash failure.
+    "q184_nb_planted" ->
+      """WITH lab AS (SELECT CASE doc_id % 4 WHEN 0 THEN 'arts' WHEN 1 THEN 'biology'
+        |                    WHEN 2 THEN 'finance' ELSE 'travel' END AS topic
+        |             FROM documents
+        |             WHERE doc_id IS NOT NULL AND (doc_id // 4) % 2 = 1)
+        |SELECT topic AS actual, topic AS predicted,
+        |       CAST(count(*) AS BIGINT) AS n, TRUE AS diagonal_exact
+        |FROM lab GROUP BY 1, 2""".stripMargin,
     // q172: q164's closed form per FRAME — frame f of doc d is a 16x16
     // synthetic JPEG with s = (d + f) % 256: four luma blocks
     // (bx,by in {0,1}), MCU-constant chroma cb = s, cr = 2s % 256 (16x16
