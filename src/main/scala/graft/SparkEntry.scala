@@ -3336,6 +3336,46 @@ object SparkEntry {
           col("all_diag").as("diagonal_exact"))
     }),
 
+    // q185: URL canonicalization — the crawl-curation key-normalization
+    // kernel (scheme/host case, www., default ports, fragments, tracking
+    // params, param order, trailing slash — graft.functions.Url's six
+    // rules) run over a messy synthesized URL per document: every doc_id
+    // residue exercises a different combination of mess. Zero-shuffle
+    // column arithmetic; one output row per doc so the hash covers the
+    // full canonical string AND the registrable-domain rule (incl. the
+    // co.uk second-level suffix). The oracle derives the EXPECTED
+    // canonical form independently from the doc_id arithmetic — it never
+    // re-runs the string surgery, so a canonicalizer bug cannot cancel
+    // out of both sides.
+    "q185_url_canonical" -> ((s, dir) => {
+      val id = col("doc_id")
+      def str(c: Column) = c.cast("string")
+      val m3 = pmod(id, lit(3L)); val m2 = pmod(id, lit(2L))
+      val m4 = pmod(id, lit(4L)); val m7 = pmod(id, lit(7L))
+      val scheme = when(m3 === 0, "http").when(m3 === 1, "HTTPS").otherwise("https")
+      val www = when(m2 === 0, "WWW.").otherwise("")
+      val tail = when(m4 === 0, ".example.com").when(m4 === 1, ".Example.COM")
+        .when(m4 === 2, ".news.example.co.uk").otherwise(".shop.example.org")
+      val port = when(m7 === 0 && m3 === 0, ":80")
+        .when(m7 === 0, ":443").otherwise("")
+      val path = concat(lit("/articles/item"), str(id),
+        when(m2 === 1, "/").otherwise(""))
+      val qs = when(m3 === 0,
+          concat(lit("?z=1&utm_campaign=spring&a="), str(pmod(id, lit(5L)))))
+        .when(m3 === 1,
+          concat(lit("?utm_source=feed&ref="), str(pmod(id, lit(9L))), lit("&utm_medium=rss")))
+        .otherwise("")
+      val frag = when(m2 === 0, concat(lit("#sec"), str(pmod(id, lit(7L))))).otherwise("")
+      val raw = concat(scheme, lit("://"), www, lit("src"), str(pmod(id, lit(20L))),
+        tail, port, path, qs, frag)
+      tbl(s, dir, "documents").where(id.isNotNull)
+        .select(id, raw.as("raw"))
+        .select(id.as("doc_id"),
+          functions.Url.canonicalizeUrl(col("raw")).as("canon"),
+          functions.Url.registrableDomain(
+            functions.Url.canonicalHost(col("raw"))).as("domain"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -5826,6 +5866,25 @@ object SparkEntry {
         |SELECT topic AS actual, topic AS predicted,
         |       CAST(count(*) AS BIGINT) AS n, TRUE AS diagonal_exact
         |FROM lab GROUP BY 1, 2""".stripMargin,
+    // q185: the EXPECTED canonical form, derived from the doc_id residues
+    // directly (scheme already lowered, www/port/fragment never emitted,
+    // tracking params never included, kept params pre-sorted, trailing
+    // slash never added) — an independent derivation, not a replay of
+    // the canonicalizer's string surgery.
+    "q185_url_canonical" ->
+      """SELECT doc_id,
+        |       (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+        |       || '://src' || CAST(doc_id % 20 AS VARCHAR)
+        |       || (CASE doc_id % 4 WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.com'
+        |           WHEN 2 THEN '.news.example.co.uk' ELSE '.shop.example.org' END)
+        |       || '/articles/item' || CAST(doc_id AS VARCHAR)
+        |       || (CASE doc_id % 3
+        |           WHEN 0 THEN '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&z=1'
+        |           WHEN 1 THEN '?ref=' || CAST(doc_id % 9 AS VARCHAR)
+        |           ELSE '' END) AS canon,
+        |       (CASE doc_id % 4 WHEN 2 THEN 'example.co.uk'
+        |        WHEN 3 THEN 'example.org' ELSE 'example.com' END) AS domain
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
     // q172: q164's closed form per FRAME — frame f of doc d is a 16x16
     // synthetic JPEG with s = (d + f) % 256: four luma blocks
     // (bx,by in {0,1}), MCU-constant chroma cb = s, cr = 2s % 256 (16x16
