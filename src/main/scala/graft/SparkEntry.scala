@@ -3376,6 +3376,30 @@ object SparkEntry {
             functions.Url.canonicalHost(col("raw"))).as("domain"))
     }),
 
+    // q186: BLOCKED FUZZY JOIN (record linkage) — part names against a
+    // deterministically perturbed copy (one char deleted at partkey%len),
+    // linked at edit distance <= 1 through prefix-3/suffix-3 blocking
+    // with the hot-block cap. The oracle runs the QUADRATIC ground-truth
+    // join (every pair, exact levenshtein), so the hash compare proves
+    // the blocking lost ZERO recall on this corpus (min name length 7
+    // >= 2*blockLen, the operator's completeness bound) — and the
+    // in-query no_dropped_blocks gate proves the cap never fired.
+    "q186_fuzzy_join" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+        .where(col("p_partkey").isNotNull && col("p_name").isNotNull)
+        .select(col("p_partkey"), col("p_name"))
+      val pos = pmod(col("p_partkey"), length(col("p_name")).cast("long")) + 1
+      val pert = p.select(col("p_partkey").as("r_id"),
+        concat(col("p_name").substr(lit(1), pos - 1),
+          col("p_name").substr(pos + 1, length(col("p_name")).cast("long"))).as("r_name"))
+      val res = operators.FuzzyJoin.blockedFuzzyJoin(
+        p, "p_partkey", "p_name", pert, "r_id", "r_name",
+        maxDist = 1, blockLen = 3, maxBlock = 1024)
+      res.pairs.crossJoin(broadcast(res.droppedBlocks))
+        .select(col("left_id"), col("right_id"), col("dist"),
+          (col("n_dropped_blocks") === 0L).as("no_dropped_blocks"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -5885,6 +5909,23 @@ object SparkEntry {
         |       (CASE doc_id % 4 WHEN 2 THEN 'example.co.uk'
         |        WHEN 3 THEN 'example.org' ELSE 'example.com' END) AS domain
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+    // q186: the quadratic ground truth — EVERY (original, perturbed) pair
+    // through exact levenshtein (the |len| <= 1 prefilter is a necessary
+    // condition of dist <= 1, not a blocking heuristic), so the blocked
+    // Spark plan must reproduce it pair-for-pair.
+    "q186_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part
+        |           WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+        |pert AS (SELECT id, name, CAST(id % len(name) AS INT) + 1 AS pos FROM p),
+        |r AS (SELECT id AS r_id,
+        |             substring(name, 1, pos - 1) || substring(name, pos + 1) AS r_name
+        |      FROM pert)
+        |SELECT l.id AS left_id, r.r_id AS right_id,
+        |       CAST(levenshtein(l.name, r.r_name) AS BIGINT) AS dist,
+        |       TRUE AS no_dropped_blocks
+        |FROM p l, r
+        |WHERE abs(len(l.name) - len(r.r_name)) <= 1
+        |  AND levenshtein(l.name, r.r_name) <= 1""".stripMargin,
     // q172: q164's closed form per FRAME — frame f of doc d is a 16x16
     // synthetic JPEG with s = (d + f) % 256: four luma blocks
     // (bx,by in {0,1}), MCU-constant chroma cb = s, cr = 2s % 256 (16x16
