@@ -3400,6 +3400,31 @@ object SparkEntry {
           (col("n_dropped_blocks") === 0L).as("no_dropped_blocks"))
     }),
 
+    // q187: BPE VOCABULARY INDUCTION — learn a merge table from the
+    // corpus (Sennrich §3.2), not just apply a fixture one (q167). The
+    // planted corpus gives every doc the SAME sentence, so pair weights
+    // scale exactly with the doc count and the learned sequence is
+    // sf-invariant — which lets the oracle pin the expected merges as
+    // literals. Two independent implementations must agree in-query:
+    // matches_reference compares the DISTRIBUTED learner (vocab-frame
+    // aggregation rounds) against the driver-local collections learner
+    // on the same vocabulary; one divergence anywhere flips the gate and
+    // fails the hash. BpeSpec hand-replays the first rounds of this
+    // exact sequence.
+    "q187_bpe_learned" -> ((s, dir) => {
+      import s.implicits._
+      val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+      val planted = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(lit(sentence).as("text"))
+      val learned = operators.Bpe.learnMerges(planted, "text", 10)
+      val refVocab = sentence.split(" ").groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      val gate = learned == operators.Bpe.learnMergesLocal(refVocab, 10)
+      learned.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b, gate) }
+        .toDF("merge_rank", "left_sym", "right_sym", "matches_reference")
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -5926,6 +5951,17 @@ object SparkEntry {
         |FROM p l, r
         |WHERE abs(len(l.name) - len(r.r_name)) <= 1
         |  AND levenshtein(l.name, r.r_name) <= 1""".stripMargin,
+    // q187: the expected merge sequence as literals — legitimate because
+    // the planted corpus is uniform (weights scale exactly with N, so the
+    // sequence is sf-invariant) and the in-query gate carries the
+    // two-implementation equivalence; the spec hand-verifies the rounds.
+    "q187_bpe_learned" ->
+      """SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym,
+        |       TRUE AS matches_reference
+        |FROM (VALUES (0, 'l', 'o'), (1, 'lo', 'w'), (2, 'e', 's'), (3, 'es', 't'),
+        |             (4, 'e', 'r'), (5, 'e', 'w'), (6, 'i', 'd'), (7, 'n', 'ew'),
+        |             (8, 'w', 'id'), (9, 'low', 'est'))
+        |     AS m(merge_rank, left_sym, right_sym)""".stripMargin,
     // q172: q164's closed form per FRAME — frame f of doc d is a 16x16
     // synthetic JPEG with s = (d + f) % 256: four luma blocks
     // (bx,by in {0,1}), MCU-constant chroma cb = s, cr = 2s % 256 (16x16

@@ -110,4 +110,100 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(sum(col("__n") * col("__nt")).as("n_bpe_tokens"))
   }
+
+  /** Merge one adjacent pair everywhere, leftmost-first non-overlapping —
+    * the single-rank slice of [[applyMerges]]'s loop, used per learning
+    * round. */
+  private def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /**
+   * LEARN a merge table from a corpus — BPE vocabulary induction
+   * (Sennrich et al. 2016 §3.2): start from character symbols, take the
+   * highest-weighted adjacent symbol pair, merge it everywhere, repeat
+   * `nMerges` times. Ties break to the lexicographically smallest
+   * (left, right) — pinned, so learning is fully deterministic.
+   *
+   * SCALE SHAPE: the learning state is the DISTINCT-WORD frame
+   * (segmentation, corpus weight) — vocab-bounded and Zipf-tiny relative
+   * to the corpus, which is scanned exactly ONCE to build it. Each round
+   * is one weighted pair-count aggregation over that frame, a 1-row
+   * argmax collect, and a narrow re-segmentation map; lineage is
+   * truncated with `localCheckpoint` every 8 rounds (the
+   * connected-components loop's discipline). Nothing corpus-sized ever
+   * reaches the driver.
+   */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var state = docs.where(col(textCol).isNotNull)
+      .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .map { case (w, n) => (w.map(_.toString).toArray, n) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    state.count(): Unit
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = state.flatMap { case (syms, n) =>
+        (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), n))
+      }.toDF("a", "b", "n")
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val prev = state
+        state = state.map { case (syms, n) => (mergePair(syms, a, b), n) }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        if ((round + 1) % 8 == 0) state = state.localCheckpoint()
+        state.count(): Unit
+        prev.unpersist(): Unit
+      }
+      round += 1
+    }
+    state.unpersist(): Unit
+    merges.result()
+  }
+
+  /**
+   * Driver-local reference learner over an explicit word->weight vocab —
+   * an INDEPENDENT implementation (collections fold, no Spark) of the
+   * same induction rule, for spec equivalence checks and q187's in-query
+   * distributed ≡ reference gate.
+   */
+  def learnMergesLocal(vocab: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    var state: Seq[(Vector[String], Long)] =
+      vocab.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val out = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = state.flatMap { case (syms, n) =>
+        syms.iterator.zip(syms.iterator.drop(1)).map(p => (p, n)).toSeq
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), _) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((a, b))
+        state = state.map { case (syms, n) =>
+          (mergePair(syms.toArray, a, b).toVector, n)
+        }
+      }
+      round += 1
+    }
+    out.result()
+  }
 }

@@ -70,4 +70,54 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  // --- merge LEARNING (vocabulary induction) ---
+
+  test("learnMerges replays the hand-computed q187 sequence") {
+    // hand derivation (each word weight 1): l-o, o-w, w-e all count 5 ->
+    // lexicographic tie-break picks (l,o); then (lo,w) at 5; e-s/s-t at 4
+    // -> (e,s) then (es,t); the 3-count band resolves (e,r) < (e,w) <
+    // (i,d) < (n,ew) < (w,id); finally (low,est) at 2
+    val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+    val docs = (0L until 7L).map(i => (i, sentence)).toDF("id", "text")
+    val got = Bpe.learnMerges(docs, "text", 10)
+    assert(got == Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"),
+      ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"), ("w", "id"), ("low", "est")))
+    // the local reference derives the same sequence from the bare vocab
+    val vocab = sentence.split(" ").map(w => w -> 1L).toMap
+    assert(Bpe.learnMergesLocal(vocab, 10) == got)
+  }
+
+  test("distributed and local learners agree on a weighted random corpus") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("than", "that", "then", "this", "thing", "other", "another",
+      "rather", "bathing", "north", "forth", "worth")
+    val docs = (0L until 200L).map { i =>
+      (i, (0 until 1 + rnd.nextInt(6)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("id", "text")
+    val learned = Bpe.learnMerges(docs, "text", 12)
+    val vocab = docs.collect().flatMap(_.getString(1).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(learned == Bpe.learnMergesLocal(vocab, 12))
+    assert(learned.size == 12)
+    // learned merges APPLY: total corpus tokens must shrink vs characters
+    val ranks = learned.zipWithIndex.toMap
+    val shrunk = vocab.keys.forall(w => Bpe.applyMerges(w, ranks).length <= w.length)
+    assert(shrunk)
+  }
+
+  test("learning stops when every word is a single symbol") {
+    val docs = Seq((1L, "ab ab cd")).toDF("id", "text")
+    // only 2 possible merges exist ((a,b) then (c,d)); asking for 10 stops at 2
+    val got = Bpe.learnMerges(docs, "text", 10)
+    assert(got == Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("weights steer learning: frequent pair wins over lexicographic order") {
+    // 'zz' appears 3x per doc, 'aa' once - (z,z) must be learned first
+    // despite (a,a) sorting earlier
+    val docs = (0L until 5L).map(i => (i, "zz zz zz aa")).toDF("id", "text")
+    val got = Bpe.learnMerges(docs, "text", 1)
+    assert(got == Seq(("z", "z")))
+  }
 }
