@@ -3425,6 +3425,46 @@ object SparkEntry {
         .toDF("merge_rank", "left_sym", "right_sym", "matches_reference")
     }),
 
+    // q188: INCREMENTAL classifier training — the NB count state is
+    // mergeable (counts are additive), so a standing classifier absorbs
+    // a new labeled batch without re-reading history: q183's training
+    // slice arrives as TWO batches (doc_id%4==0 and %4==2), their count
+    // states merge by summation, and the in-query gate pins
+    // merged ≡ from-scratch on the RAW integer count frames (pre-log,
+    // the strictest comparison — one differing count anywhere flips
+    // merge_exact and fails the hash). Output is q183's held-out
+    // confusion matrix off the MERGED model, so the oracle is q183's
+    // full SQL training replay plus the gate literal.
+    "q188_nb_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("lang").isNotNull)
+      val batchA = docs.where(pmod(col("doc_id"), lit(4L)) === 0)
+      val batchB = docs.where(pmod(col("doc_id"), lit(4L)) === 2)
+      val train = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      val test = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      val merged = operators.Classifier.mergeNbCounts(
+        operators.Classifier.nbCounts(batchA, "lang", "text", 1024),
+        operators.Classifier.nbCounts(batchB, "lang", "text", 1024))
+      val scratch = operators.Classifier.nbCounts(train, "lang", "text", 1024)
+      def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).unionByName(b.exceptAll(a))
+      val gate = diff(merged.tokenCounts, scratch.tokenCounts)
+        .unionByName(diff(merged.labelTotals, scratch.labelTotals)
+          .select(col("label"), col("n_tok").as("b"), col("n_tok").as("c")))
+        .unionByName(diff(merged.docCounts, scratch.docCounts)
+          .select(col("label"), col("n_docs").as("b"), col("n_docs").as("c")))
+        .agg(count(lit(1)).as("n_diff"))
+      val pred = operators.Classifier.nbPredict(
+        test, "doc_id", "text", operators.Classifier.modelFromCounts(merged))
+      test.select(col("doc_id").as("id"), col("lang").as("actual"))
+        .join(pred, Seq("id"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(gate))
+        .select(col("actual"), col("predicted"), col("n"),
+          (col("n_diff") === 0L).as("merge_exact"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -3650,6 +3690,59 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     s"$head$rounds\n$peeledRows\nUNION ALL SELECT id, 0, TRUE FROM v$n"
   }
+
+  /** The full Naive Bayes pipeline in SQL (training on even doc_ids,
+    * scoring odd ones — q183's kernel): md5-bucket feature hashing,
+    * Laplace-smoothed integer log-likelihoods (floor(1024*log2)), dense
+    * (label x bucket) weights, priors, and the (score DESC, label)
+    * argmax tie-break. `extraCols` appends gate literals for the
+    * variants that train the same slice through a different path (q188's
+    * batch merge) — ONE body, so the oracles cannot drift. */
+  private def nbConfusionSql(extraCols: String): String =
+    s"""WITH docs AS (SELECT doc_id, lang, text FROM documents
+       |              WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+       |train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+       |test  AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+       |train_tok AS (
+       |  SELECT lang AS label,
+       |         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b
+       |  FROM (SELECT lang, unnest(list_filter(
+       |          string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
+       |          t -> t <> '')) AS tok FROM train)),
+       |counts AS (SELECT label, b, count(*) AS c FROM train_tok GROUP BY 1, 2),
+       |totals AS (SELECT label, count(*) AS n_tok FROM train_tok GROUP BY 1),
+       |priors AS (SELECT lang AS label,
+       |                  CAST(floor(1024 * log2(count(*))) AS BIGINT) AS prior
+       |           FROM train GROUP BY 1),
+       |weights AS (
+       |  SELECT g.label, g.b,
+       |         CAST(floor(1024 * log2(coalesce(c.c, 0) + 1)) AS BIGINT)
+       |       - CAST(floor(1024 * log2(g.n_tok + 1024)) AS BIGINT) AS w
+       |  FROM (SELECT t.label, t.n_tok, r.range AS b
+       |        FROM totals t, range(0, 1024) r) g
+       |  LEFT JOIN counts c ON c.label = g.label AND c.b = g.b),
+       |doc_tok AS (
+       |  SELECT id, b, count(*) AS cnt FROM (
+       |    SELECT doc_id AS id,
+       |           CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b
+       |    FROM (SELECT doc_id, unnest(list_filter(
+       |            string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
+       |            t -> t <> '')) AS tok FROM test)) GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT d.id, w.label, sum(d.cnt * w.w) AS ll
+       |  FROM doc_tok d JOIN weights w ON w.b = d.b GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT t.doc_id AS id, t.lang AS actual, p.label,
+       |         p.prior + coalesce(c.ll, 0) AS score
+       |  FROM test t CROSS JOIN priors p
+       |  LEFT JOIN contrib c ON c.id = t.doc_id AND c.label = p.label),
+       |pred AS (
+       |  SELECT id, actual, label AS predicted,
+       |         row_number() OVER (PARTITION BY id
+       |                            ORDER BY score DESC, label) AS rk
+       |  FROM scored)
+       |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n$extraCols
+       |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q168_kcore_exact" -> kcoreExactOracleSql(k = 12, n = 10),
@@ -5857,51 +5950,11 @@ object SparkEntry {
     // feature hashing, Laplace-smoothed integer log-likelihoods
     // (floor(1024*log2)), dense (label x bucket) weights, priors, and the
     // (score DESC, label) argmax tie-break — over the same even/odd split.
-    "q183_nb_confusion" ->
-      """WITH docs AS (SELECT doc_id, lang, text FROM documents
-        |              WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
-        |train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
-        |test  AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
-        |train_tok AS (
-        |  SELECT lang AS label,
-        |         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b
-        |  FROM (SELECT lang, unnest(list_filter(
-        |          string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
-        |          t -> t <> '')) AS tok FROM train)),
-        |counts AS (SELECT label, b, count(*) AS c FROM train_tok GROUP BY 1, 2),
-        |totals AS (SELECT label, count(*) AS n_tok FROM train_tok GROUP BY 1),
-        |priors AS (SELECT lang AS label,
-        |                  CAST(floor(1024 * log2(count(*))) AS BIGINT) AS prior
-        |           FROM train GROUP BY 1),
-        |weights AS (
-        |  SELECT g.label, g.b,
-        |         CAST(floor(1024 * log2(coalesce(c.c, 0) + 1)) AS BIGINT)
-        |       - CAST(floor(1024 * log2(g.n_tok + 1024)) AS BIGINT) AS w
-        |  FROM (SELECT t.label, t.n_tok, r.range AS b
-        |        FROM totals t, range(0, 1024) r) g
-        |  LEFT JOIN counts c ON c.label = g.label AND c.b = g.b),
-        |doc_tok AS (
-        |  SELECT id, b, count(*) AS cnt FROM (
-        |    SELECT doc_id AS id,
-        |           CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b
-        |    FROM (SELECT doc_id, unnest(list_filter(
-        |            string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
-        |            t -> t <> '')) AS tok FROM test)) GROUP BY 1, 2),
-        |contrib AS (
-        |  SELECT d.id, w.label, sum(d.cnt * w.w) AS ll
-        |  FROM doc_tok d JOIN weights w ON w.b = d.b GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT t.doc_id AS id, t.lang AS actual, p.label,
-        |         p.prior + coalesce(c.ll, 0) AS score
-        |  FROM test t CROSS JOIN priors p
-        |  LEFT JOIN contrib c ON c.id = t.doc_id AND c.label = p.label),
-        |pred AS (
-        |  SELECT id, actual, label AS predicted,
-        |         row_number() OVER (PARTITION BY id
-        |                            ORDER BY score DESC, label) AS rk
-        |  FROM scored)
-        |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
-        |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+    "q183_nb_confusion" -> nbConfusionSql(""),
+    // q188: the SAME training replay (merging two batches of the training
+    // slice IS training on the slice, by count additivity) plus the gate
+    // literal — shared SQL body, so the two oracles cannot drift.
+    "q188_nb_incremental" -> nbConfusionSql(", TRUE AS merge_exact"),
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the

@@ -59,31 +59,63 @@ object Classifier {
   final case class NbModel(weights: DataFrame, priors: DataFrame, buckets: Int)
 
   /**
-   * Train on a labeled frame: token counts per (label, bucket), densified
-   * over ALL buckets so unseen features carry the smoothing-only weight
-   * and the scoring join never needs an outer edge. One shuffle
-   * (explode + groupBy with partial aggregation); everything downstream
-   * of the aggregate is label-cardinality-sized.
+   * MERGEABLE training state — the raw integer count frames, before any
+   * log is taken: token counts per (label, bucket), token totals and doc
+   * counts per label. Counts are additive, so two batches' states merge
+   * by summation into exactly the state of their union (the repo's
+   * sketch-merge family contract: merged ≡ from-scratch, gated in-query
+   * by q188) — the shape that lets a standing classifier absorb a new
+   * labeled batch without re-reading history.
    */
-  def nbTrain(labeled: DataFrame, labelCol: String, textCol: String, buckets: Int): NbModel = {
-    val spark = labeled.sparkSession
+  final case class NbCounts(tokenCounts: DataFrame, labelTotals: DataFrame,
+                            docCounts: DataFrame, buckets: Int)
+
+  /** Count-statistics pass over one labeled batch: ONE explode +
+    * map-side-combined aggregation; everything emitted is
+    * label-cardinality-bounded. */
+  def nbCounts(labeled: DataFrame, labelCol: String, textCol: String, buckets: Int): NbCounts = {
     val toks = labeled
       .select(col(labelCol).as("label"), tokens(col(textCol)).as("tok"))
       .select(col("label"), tokenBucket(col("tok"), buckets).as("b"))
-    val counts = toks.groupBy(col("label"), col("b")).agg(count(lit(1)).as("c"))
-    val totals = toks.groupBy(col("label")).agg(count(lit(1)).as("n_tok"))
-    val priors = labeled.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("n_docs"))
-      .select(col("label"), ilog(col("n_docs")).as("prior"))
-    // dense grid: every (label, bucket) row exists; absent counts are 0
-    val grid = totals.crossJoin(
-      spark.range(buckets.toLong).select(col("id").as("b")))
-    val weights = grid.join(counts, Seq("label", "b"), "left")
+    NbCounts(
+      toks.groupBy(col("label"), col("b")).agg(count(lit(1)).as("c")),
+      toks.groupBy(col("label")).agg(count(lit(1)).as("n_tok")),
+      labeled.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs")),
+      buckets)
+  }
+
+  /** Sum two batches' count states — exact, by additivity. */
+  def mergeNbCounts(a: NbCounts, b: NbCounts): NbCounts = {
+    require(a.buckets == b.buckets,
+      s"bucket-count mismatch: ${a.buckets} vs ${b.buckets} — states are not mergeable")
+    NbCounts(
+      a.tokenCounts.unionByName(b.tokenCounts)
+        .groupBy(col("label"), col("b")).agg(sum(col("c")).as("c")),
+      a.labelTotals.unionByName(b.labelTotals)
+        .groupBy(col("label")).agg(sum(col("n_tok")).as("n_tok")),
+      a.docCounts.unionByName(b.docCounts)
+        .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs")),
+      a.buckets)
+  }
+
+  /** Fixed-point log weights + priors from a count state: densified over
+    * ALL buckets so unseen features carry the smoothing-only weight and
+    * the scoring join never needs an outer edge. */
+  def modelFromCounts(c: NbCounts): NbModel = {
+    val spark = c.tokenCounts.sparkSession
+    val priors = c.docCounts.select(col("label"), ilog(col("n_docs")).as("prior"))
+    val grid = c.labelTotals.crossJoin(
+      spark.range(c.buckets.toLong).select(col("id").as("b")))
+    val weights = grid.join(c.tokenCounts, Seq("label", "b"), "left")
       .select(col("label"), col("b"),
         (ilog(coalesce(col("c"), lit(0L)) + lit(1L)) -
-          ilog(col("n_tok") + lit(buckets.toLong))).as("w"))
-    NbModel(weights, priors, buckets)
+          ilog(col("n_tok") + lit(c.buckets.toLong))).as("w"))
+    NbModel(weights, priors, c.buckets)
   }
+
+  /** Train on a labeled frame (counts pass + weight derivation). */
+  def nbTrain(labeled: DataFrame, labelCol: String, textCol: String, buckets: Int): NbModel =
+    modelFromCounts(nbCounts(labeled, labelCol, textCol, buckets))
 
   /**
    * Score and argmax: predicted label per document. Ties (possible on

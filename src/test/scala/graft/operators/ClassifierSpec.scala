@@ -75,6 +75,38 @@ class ClassifierSpec extends AnyFunSuite with SparkSuite {
     assert(model.weights.where(col("w").isNull).count() == 0)
   }
 
+  test("merged batch counts equal from-scratch counts on the union") {
+    val rnd = new scala.util.Random(11)
+    val labels = Seq("x", "y", "z")
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0L until 90L).map { i =>
+      (i, labels(rnd.nextInt(3)),
+        (0 until 1 + rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val a = docs.filter(_._1 % 3 != 2).toDF("id", "label", "text")
+    val b = docs.filter(_._1 % 3 == 2).toDF("id", "label", "text")
+    val all = docs.toDF("id", "label", "text")
+    val merged = Classifier.mergeNbCounts(
+      Classifier.nbCounts(a, "label", "text", 64),
+      Classifier.nbCounts(b, "label", "text", 64))
+    val scratch = Classifier.nbCounts(all, "label", "text", 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(merged.tokenCounts) == rows(scratch.tokenCounts))
+    assert(rows(merged.labelTotals) == rows(scratch.labelTotals))
+    assert(rows(merged.docCounts) == rows(scratch.docCounts))
+  }
+
+  test("states with different bucket counts refuse to merge") {
+    val df = Seq((0L, "a", "word")).toDF("id", "label", "text")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.mergeNbCounts(
+        Classifier.nbCounts(df, "label", "text", 64),
+        Classifier.nbCounts(df, "label", "text", 128))
+    }
+    assert(e.getMessage.contains("not mergeable"))
+  }
+
   test("a label-exclusive token outweighs an unbalanced prior") {
     val train = Seq(
       (0L, "maj", "common text common text"), (1L, "maj", "common text filler"),
