@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -66,6 +66,7 @@ object Stress {
     if (mode == "standing") { standingStudy(spark, sfDir); spark.stop(); return }
     if (mode == "kcore") { kcoreStudy(spark, sfDir); spark.stop(); return }
     if (mode == "ann") { annStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "linkage") { linkageStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -908,5 +909,60 @@ object Stress {
     }
     println(s"[stress] residual IVFADC nProbe=8 + rerank50 recall@10: ${recall(resRr)}")
     emb.unpersist(); ()
+  }
+
+  /**
+   * `linkage` — the blocked fuzzy join under boilerplate pressure: the
+   * sf0.1 part names (natural, block-diverse) plus 5k planted rows
+   * sharing ONE near-identical boilerplate string (the crawl
+   * footer/template shape that re-quadratizes any uncapped pair source).
+   * Right side = every key with one char deleted at id%len (q186's
+   * perturbation). Checks, in order: (1) the join COMPLETES with the cap
+   * on — the boilerplate block alone would contribute ~25M candidate
+   * pairs uncapped; (2) every NATURAL part still links to its perturbed
+   * twin (recall is untouched by the cap, because natural blocks stay
+   * cold); (3) the dropped-block count is nonzero and observable — the
+   * production monitoring signal.
+   */
+  private def linkageStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.FuzzyJoin
+    val natural = SparkEntry.tbl(spark, sfDir, "part")
+      .where(col("p_partkey").isNotNull && col("p_name").isNotNull)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nNatural = natural.count()
+    // 5000 DISTINCT template keys, varied only in the middle: all land in
+    // the same prefix-3 and suffix-3 blocks of the distinct-key space —
+    // the shape the cap exists for (identical keys would collapse to one
+    // distinct entry and cost nothing)
+    val boiler = spark.range(5000).select(
+      (col("id") + 10000000L).as("id"),
+      concat(lit("zzz template "), col("id").cast("string"),
+        lit(" footer zzz")).as("name"))
+    val left = natural.unionByName(boiler)
+    val pos = pmod(col("id"), length(col("name")).cast("long")) + 1
+    val right = left.select((col("id") + 40000000L).as("id"),
+      concat(col("name").substr(lit(1), pos - 1),
+        col("name").substr(pos + 1, length(col("name")).cast("long"))).as("name"))
+    println(s"[stress] left rows: ${nNatural + 5000} ($nNatural natural + 5000 boilerplate); " +
+      "uncapped boilerplate block alone ~25M pairs")
+    val res = FuzzyJoin.blockedFuzzyJoin(
+      left, "id", "name", right, "id", "name",
+      maxDist = 1, blockLen = 3, maxBlock = 1024)
+    val pairs = timed("blocked fuzzy join (cap 1024)")(
+      res.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val nPairs = pairs.count()
+    val dropped = res.droppedBlocks.head().getLong(0)
+    // (2): every natural part's perturbed twin found (dist <= 1 by construction)
+    val selfFound = pairs
+      .where(col("right_id") === col("left_id") + 40000000L && col("left_id") < 10000000L)
+      .count()
+    println(s"[stress] verified pairs: $nPairs; dropped hot blocks: $dropped " +
+      "(expect > 0: the boilerplate blocks)")
+    println(s"[stress] natural self-links found: $selfFound / $nNatural " +
+      "(expect equal: cap never touches cold natural blocks)")
+    require(selfFound == nNatural, "recall loss on cold blocks — cap misfired")
+    require(dropped > 0, "boilerplate block was not dropped — cap inert")
+    pairs.unpersist(); natural.unpersist(); ()
   }
 }

@@ -19,31 +19,39 @@ import org.apache.spark.sql.functions._
  * hash compare proves zero recall loss). For higher `maxDist` or shorter
  * keys blocking is a recall/cost trade documented here, not hidden.
  *
- * SCALE SHAPE: candidate volume is sum-of-block-size-products, not n² —
- * and a boilerplate block (every key sharing one prefix) would silently
- * re-quadratize it, so blocks with more than `maxBlock` members on
- * either side are DROPPED and counted ([[FuzzyResult.droppedBlocks]]),
- * the same cap-and-observe discipline as every other candidate source in
- * the family (LSH buckets, df-capped shingles, span windows). One
- * shuffle per side for block sizes, one for the candidate join; the
- * verify predicate runs inside the join's codegen stage.
+ * SCALE SHAPE — blocking, candidate generation, and the edit-distance
+ * verify all run over the DISTINCT-KEY space, never over rows: real key
+ * vocabularies SATURATE (the sf0.1 part table holds 20,000 rows but 64
+ * distinct names — the same 64 as sf0.01), so verify cost is bounded by
+ * the vocabulary while the corpus grows without bound. Verified KEY
+ * pairs then expand to id pairs through two hash joins — pure output
+ * mass, no wasted distance computations on duplicate keys. Within the
+ * distinct space, candidate volume is sum-of-block-size-products, and a
+ * boilerplate-DIVERSE block (thousands of distinct keys sharing one
+ * prefix — the crawl-template shape) would still re-quadratize it, so
+ * blocks with more than `maxBlock` distinct members on either side are
+ * DROPPED and counted ([[FuzzyResult.droppedBlocks]]), the same
+ * cap-and-observe discipline as every other candidate source in the
+ * family (LSH buckets, df-capped shingles, span windows). `Stress
+ * linkage` proves completion + zero cold-block recall loss under 5k
+ * planted template keys at sf0.1.
  */
 object FuzzyJoin {
 
-  /** `pairs`: verified (left_id, left_key, right_id, right_key, dist)
-    * rows. `droppedBlocks`: 1-row frame with the count of over-cap
-    * blocks excluded from candidate generation — crossJoin-broadcast it
-    * into the output to make completeness observable in-query. */
+  /** `pairs`: verified (left_id, right_id, dist) rows. `droppedBlocks`:
+    * 1-row frame with the count of over-cap blocks excluded from
+    * candidate generation — crossJoin-broadcast it into the output to
+    * make completeness observable in-query. */
   final case class FuzzyResult(pairs: DataFrame, droppedBlocks: DataFrame)
 
-  private def withBlocks(df: DataFrame, id: String, key: String, k: Int): DataFrame = {
-    val kc = col(key)
-    val suffixStart = greatest(length(kc) - (k - 1), lit(1))
-    df.where(col(id).isNotNull && kc.isNotNull)
-      .select(col(id).as("bid"), kc.as("bkey"),
-        explode(array(
-          concat(lit("p:"), kc.substr(lit(1), lit(k))),
-          concat(lit("s:"), kc.substr(suffixStart, lit(k))))).as("blk"))
+  /** Prefix-k and suffix-k blocks of a distinct-key frame (column `k`). */
+  private def blocksOf(keys: DataFrame, blockLen: Int): DataFrame = {
+    val kc = col("k")
+    val suffixStart = greatest(length(kc) - (blockLen - 1), lit(1))
+    keys.select(kc,
+      explode(array(
+        concat(lit("p:"), kc.substr(lit(1), lit(blockLen))),
+        concat(lit("s:"), kc.substr(suffixStart, lit(blockLen))))).as("blk"))
       .distinct() // a short key's prefix and suffix block can coincide
   }
 
@@ -51,22 +59,30 @@ object FuzzyJoin {
                        right: DataFrame, rightId: String, rightKey: String,
                        maxDist: Int, blockLen: Int = 3,
                        maxBlock: Int = 1024): FuzzyResult = {
-    val lb = withBlocks(left, leftId, leftKey, blockLen)
-    val rb = withBlocks(right, rightId, rightKey, blockLen)
+    val lRows = left.where(col(leftId).isNotNull && col(leftKey).isNotNull)
+      .select(col(leftId).as("left_id"), col(leftKey).as("k"))
+    val rRows = right.where(col(rightId).isNotNull && col(rightKey).isNotNull)
+      .select(col(rightId).as("right_id"), col(rightKey).as("k"))
+    val lb = blocksOf(lRows.select(col("k")).distinct(), blockLen)
+    val rb = blocksOf(rRows.select(col("k")).distinct(), blockLen)
     val sizes = lb.groupBy(col("blk")).agg(count(lit(1)).as("ln"))
       .join(rb.groupBy(col("blk")).agg(count(lit(1)).as("rn")), Seq("blk"), "full")
     val hot = sizes.where(coalesce(col("ln"), lit(0L)) > maxBlock ||
       coalesce(col("rn"), lit(0L)) > maxBlock)
     val cold = sizes.where(coalesce(col("ln"), lit(0L)) <= maxBlock &&
       coalesce(col("rn"), lit(0L)) <= maxBlock).select(col("blk"))
-    val pairs = lb.join(cold, Seq("blk"))
-      .select(col("blk"), col("bid").as("left_id"), col("bkey").as("left_key"))
-      .join(rb.select(col("blk"), col("bid").as("right_id"), col("bkey").as("right_key")),
-        Seq("blk"))
-      .select(col("left_id"), col("left_key"), col("right_id"), col("right_key"))
-      .distinct() // prefix- and suffix-block can both generate a pair
-      .withColumn("dist", levenshtein(col("left_key"), col("right_key")))
+    val keyPairs = lb.join(cold, Seq("blk"))
+      .select(col("blk"), col("k").as("lk"))
+      .join(rb.select(col("blk"), col("k").as("rk")), Seq("blk"))
+      .select(col("lk"), col("rk"))
+      .distinct() // prefix- and suffix-block can both generate a key pair
+      .withColumn("dist", levenshtein(col("lk"), col("rk")))
       .where(col("dist") <= maxDist)
+    // id expansion: verified key pairs fan back out to row pairs — output
+    // mass only, every distance above was computed once per KEY pair
+    val pairs = keyPairs
+      .join(lRows.withColumnRenamed("k", "lk"), Seq("lk"))
+      .join(rRows.withColumnRenamed("k", "rk"), Seq("rk"))
       .select(col("left_id"), col("right_id"), col("dist").cast("long").as("dist"))
     FuzzyResult(pairs, hot.agg(count(lit(1)).as("n_dropped_blocks")))
   }
