@@ -3489,6 +3489,46 @@ object SparkEntry {
           (col("n_diff") === 0L).as("merge_exact"))
     }),
 
+    // all-pairs sparse cosine over the TF postings space (Bayardo-style
+    // inverted-index self-join): lexical doc-doc similarity at cosine >=
+    // 1/2 over the df-capped vocabulary, exact-integer (dot, na2, nb2)
+    // output with the threshold as 64-bit cross-multiplication. Planted
+    // exact copies of the first 50 docs (ids + 2e6) pin the recall floor
+    // (an identical doc pairs at cosine exactly 1: dot == na2 == nb2);
+    // natural pairs ride the same gate. n_dropped_terms broadcasts into
+    // every row — cap completeness is observable in-query, never silent.
+    "q189_allpairs_cosine" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val postings = operators.Retrieval.buildPostings(
+        docs.unionByName(planted), "doc_id", "text")
+      val res = operators.Retrieval.allPairsCosine(postings, "doc_id",
+        maxDf = 100L, thrNum = 1L, thrDen = 2L, unpersistHook = onCleanup)
+      res.pairs.crossJoin(broadcast(res.droppedTerms))
+    }),
+
+    // content-defined chunking + duplicate-chunk profile: boundaries are a
+    // pure function of token content (hash % 8 == 0), so the planted
+    // preamble-wrapped copies of the first 50 docs (ids + 3e6) RE-ALIGN
+    // after the first boundary and share every later chunk with their
+    // original — the shift-robustness fixed windows structurally lack,
+    // exercised end to end and hash-gated per doc. Natural cross-doc
+    // repetition rides the same profile.
+    "q190_content_chunks" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("inserted preamble drift "), col("text")).as("text"))
+      val chunks = operators.Chunking.contentChunks(
+        docs.unionByName(planted), "doc_id", "text", modulus = 8)
+      operators.Chunking.chunkDupProfile(chunks, "doc_id")
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -5979,6 +6019,67 @@ object SparkEntry {
     // slice IS training on the slice, by count additivity) plus the gate
     // literal — shared SQL body, so the two oracles cannot drift.
     "q188_nb_incremental" -> nbConfusionSql(", TRUE AS merge_exact"),
+    // q189: full replay — postings tokenization (the q166 convention),
+    // df cap, inverted-index self-join, integer cross-multiplied cosine
+    // gate. DuckDB sums promote to HUGEINT so the cross-multiplication
+    // cannot overflow there; the Spark side documents its 64-bit contract.
+    "q189_allpairs_cosine" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |corpus AS (SELECT doc_id, text FROM base
+        |           UNION ALL
+        |           SELECT doc_id + 2000000, text FROM base WHERE doc_id < 50),
+        |toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |         FROM corpus),
+        |p AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+        |cp AS (SELECT p.doc_id, p.term, p.tf, dfreq.df
+        |       FROM p JOIN dfreq USING (term) WHERE dfreq.df <= 100),
+        |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM cp GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+        |         FROM cp a JOIN cp b ON a.term = b.term AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+        |       CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM dfreq WHERE df > 100) AS n_dropped_terms
+        |FROM dots JOIN norms na ON na.doc_id = dots.id_a
+        |          JOIN norms nb ON nb.doc_id = dots.id_b
+        |WHERE dot * dot * 4 >= na.n2 * nb.n2""".stripMargin,
+    // q190: full replay — edge-strip tokenization, the md5-prefix boundary
+    // hash (the q52 convention), gaps-and-islands chunk ids, chunk identity
+    // as md5 of the position-ordered token run, then the cross-doc
+    // duplicate profile.
+    "q190_content_chunks" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |corpus AS (SELECT doc_id, text FROM base
+        |           UNION ALL
+        |           SELECT doc_id + 3000000, 'inserted preamble drift ' || text
+        |           FROM base WHERE doc_id < 50),
+        |d AS (SELECT doc_id,
+        |        regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                           '[^ \x09-\x0D]+') AS tk
+        |      FROM corpus),
+        |toks AS (SELECT doc_id, unnest(tk) AS term,
+        |                unnest(range(1, len(tk) + 1)) AS pos
+        |         FROM d WHERE len(tk) > 0),
+        |flg AS (SELECT doc_id, pos, term,
+        |          CASE WHEN CAST(('0x' || substring(md5(term || 'cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM toks),
+        |idx AS (SELECT doc_id, pos, term,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS chunk_idx
+        |        FROM flg),
+        |ch AS (SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+        |              md5(string_agg(term, ' ' ORDER BY pos NULLS FIRST)) AS h
+        |       FROM idx GROUP BY 1, 2),
+        |dfq AS (SELECT h, count(DISTINCT doc_id) AS docs FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |       CAST(sum(CASE WHEN docs >= 2 THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
+        |FROM ch JOIN dfq ON dfq.h = ch.h
+        |GROUP BY 1""".stripMargin,
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the

@@ -310,4 +310,80 @@ object Retrieval {
       .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
       .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
   }
+
+  /** `pairs`: (id_a, id_b, dot, na2, nb2) exact-integer rows for every
+    * doc pair at cosine >= thrNum/thrDen over the df-capped term space.
+    * `droppedTerms`: 1-row (n_dropped_terms) — the stop-terms excluded by
+    * the cap, crossJoin-broadcast it into the output for in-query
+    * completeness observability (the [[graft.operators.FuzzyJoin]] /
+    * LSH-bucket convention). */
+  final case class AllPairsResult(pairs: DataFrame, droppedTerms: DataFrame)
+
+  /**
+   * All-pairs sparse cosine similarity over a term-frequency postings
+   * frame `(idCol, term, tf)` — Bayardo et al.'s all-pairs similarity
+   * search (WWW'07) re-expressed as an inverted-index self-join: the
+   * lexical doc-doc near-dup/similarity primitive that works directly on
+   * the SAME standing postings asset BM25 serves from, no embedding
+   * model in the loop.
+   *
+   * SEMANTICS: documents are tf vectors over the DF-CAPPED vocabulary —
+   * terms with document frequency > `maxDf` are stop-terms (they carry no
+   * discrimination and their posting lists quadratize the self-join, the
+   * exact analog of hot LSH buckets) and are excluded from BOTH the dot
+   * product and the norms, so the reported cosine is exact w.r.t. the
+   * capped vector space, not an approximation of the uncapped one.
+   * Dropped terms are counted, never silent.
+   *
+   * The threshold is the rational thrNum/thrDen and the gate is pure
+   * 64-bit integer cross-multiplication (tf >= 0 makes dot >= 0, so
+   * cos >= t  <=>  dot^2 * thrDen^2 >= thrNum^2 * na2 * nb2 — no sqrt,
+   * no division, bit-identical on any engine). Overflow contract:
+   * dot^2 * thrDen^2 and thrNum^2 * na2 * nb2 must fit in a signed 64-bit
+   * long, i.e. per-doc capped norm^2 below ~3e9/thrDen — guarded here by
+   * thrDen <= 100 plus the practical bound that capped tf mass per doc is
+   * context-length-bounded in a training corpus.
+   *
+   * SCALE SHAPE: cost is sum over kept terms of df^2 (the posting-list
+   * self-join), bounded by maxDf * postings mass — linear in the corpus at
+   * fixed maxDf, never docs^2. df=1 terms contribute to norms but skip the
+   * pair join (no partner). Norm frames are doc-bounded and join on id;
+   * the term-df frame is vocab-bounded.
+   */
+  def allPairsCosine(postings: DataFrame, idCol: String,
+      maxDf: Long, thrNum: Long, thrDen: Long,
+      unpersistHook: (() => Unit) => Unit = _ => ()): AllPairsResult = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (df-1 terms cannot pair), got $maxDf")
+    require(thrNum >= 1 && thrDen >= thrNum,
+      s"threshold must be a rational in (0, 1]: got $thrNum/$thrDen")
+    require(thrDen <= 100,
+      s"thrDen must be <= 100 (64-bit cross-multiplication overflow contract), got $thrDen")
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dropped = dfreq.where(col("df") > maxDf)
+      .agg(count(lit(1)).as("n_dropped_terms"))
+    // the capped postings feed three consumers (norms + both join sides);
+    // persist so the corpus-mass tokenize/count isn't re-run per consumer
+    val capped = postings
+      .join(dfreq.where(col("df") <= maxDf).select(col("term"), col("df")), Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { capped.unpersist(); () })
+    val norms = capped.groupBy(col(idCol).as("__nid"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    // df=1 terms can't generate a pair — drop them before the self-join
+    val joinable = capped.where(col("df") >= 2)
+      .select(col("term"), col(idCol).as("__id"), col("tf"))
+    val dots = joinable
+      .join(joinable.select(col("term"), col("__id").as("__id_b"), col("tf").as("__tf_b")),
+        Seq("term"))
+      .where(col("__id") < col("__id_b"))
+      .groupBy(col("__id").as("id_a"), col("__id_b").as("id_b"))
+      .agg(sum(col("tf") * col("__tf_b")).as("dot"))
+    val pairs = dots
+      .join(norms.select(col("__nid").as("id_a"), col("n2").as("na2")), Seq("id_a"))
+      .join(norms.select(col("__nid").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+      .where(col("dot") * col("dot") * lit(thrDen * thrDen) >=
+        lit(thrNum * thrNum) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
+    AllPairsResult(pairs, dropped)
+  }
 }

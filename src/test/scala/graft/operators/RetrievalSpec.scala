@@ -150,4 +150,61 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
       .collect()
     assert(none.isEmpty)
   }
+
+  private def allPairs(corpus: Seq[(Long, String)], maxDf: Long,
+      thrNum: Long, thrDen: Long): (Map[(Long, Long), (Long, Long, Long)], Long) = {
+    val postings = Retrieval.buildPostings(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val res = Retrieval.allPairsCosine(postings, "doc_id", maxDf, thrNum, thrDen)
+    val pairs = res.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    (pairs, res.droppedTerms.head().getLong(0))
+  }
+
+  test("allPairsCosine golden: hand-computed dot/norms, threshold boundary inclusive") {
+    // doc1 = (a:2, b:1), doc2 = (a:1, b:1), doc3 = (c:1)
+    // dot(1,2) = 3, n1 = 5, n2 = 2 -> cos^2 = 9/10 >= 1/4: kept
+    val (got, dropped) = allPairs(
+      Seq((1L, "a a b"), (2L, "a b"), (3L, "c")), maxDf = 100, thrNum = 1, thrDen = 2)
+    assert(got == Map((1L, 2L) -> ((3L, 5L, 2L))))
+    assert(dropped == 0L)
+    // exact-boundary inclusion: cos == thr passes the >= gate.
+    // doc4=(x:1), doc5=(x:1, y:1, z:1, w:1): dot=1, n4=1, n5=4 -> cos=1/2
+    val (boundary, _) = allPairs(
+      Seq((4L, "x"), (5L, "x y z w")), maxDf = 100, thrNum = 1, thrDen = 2)
+    assert(boundary == Map((4L, 5L) -> ((1L, 1L, 4L))))
+    // and the same pair at thr just above 1/2 is excluded
+    val (above, _) = allPairs(
+      Seq((4L, "x"), (5L, "x y z w")), maxDf = 100, thrNum = 51, thrDen = 100)
+    assert(above.isEmpty)
+  }
+
+  test("allPairsCosine: identical docs score exactly cosine 1 (dot == na2 == nb2)") {
+    val (got, _) = allPairs(
+      Seq((1L, "p q r r"), (2L, "p q r r"), (3L, "unrelated tokens")),
+      maxDf = 100, thrNum = 1, thrDen = 1)
+    assert(got == Map((1L, 2L) -> ((6L, 6L, 6L))))
+  }
+
+  test("allPairsCosine df cap: stop-terms leave vectors AND are counted, never silent") {
+    // 'the' occurs in all 3 docs; with maxDf=2 it is a stop-term: docs 1/2
+    // still pair on 'alpha' (cos over capped space = 1), doc 3 has no
+    // capped terms left and cannot pair
+    val (got, dropped) = allPairs(
+      Seq((1L, "the alpha"), (2L, "the alpha"), (3L, "the")),
+      maxDf = 2, thrNum = 1, thrDen = 2)
+    assert(got == Map((1L, 2L) -> ((1L, 1L, 1L))))
+    assert(dropped == 1L)
+  }
+
+  test("allPairsCosine guards: threshold rational and maxDf validated") {
+    val postings = Retrieval.buildPostings(
+      Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text")
+    intercept[IllegalArgumentException](
+      Retrieval.allPairsCosine(postings, "doc_id", maxDf = 1, thrNum = 1, thrDen = 2))
+    intercept[IllegalArgumentException](
+      Retrieval.allPairsCosine(postings, "doc_id", maxDf = 10, thrNum = 3, thrDen = 2))
+    intercept[IllegalArgumentException](
+      Retrieval.allPairsCosine(postings, "doc_id", maxDf = 10, thrNum = 1, thrDen = 101))
+  }
 }
