@@ -3529,6 +3529,30 @@ object SparkEntry {
       operators.Chunking.chunkDupProfile(chunks, "doc_id")
     }),
 
+    // corpus-to-corpus approximate kNN graph over the IVF cells — every
+    // vector's top-k neighbors with NO driver collect/broadcast of the
+    // query side (ivfProbe's contract inverted: the corpus IS the query
+    // batch). Planted certainty gate (q46 form): an exact copy shares its
+    // original's argmax cell at any quantizer and scores cosine ~1, so
+    // every original must list its planted copy among its top-4 —
+    // n_found == n_planted deterministically; the dropped-cell count
+    // (expected 0 under the wide cap) rides the same row.
+    "q191_knn_graph" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .where(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val first = emb.where(col("vec_id") < 64)
+      val planted = first.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+      val index = operators.Similarity.buildIvfIndex(
+        corpus, "vec_id", "embedding", nCentroids = 16, trainIters = 1)
+      val res = operators.Similarity.knnGraph(index, k = 4, nProbe = 4, maxCell = 1000000)
+      val found = res.edges
+        .where(col("query_id") < 64 && col("neighbor_id") === col("query_id") + 1000000L)
+        .agg(count(lit(1)).as("n_found"))
+      first.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(found).crossJoin(broadcast(res.droppedCells))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -6080,6 +6104,13 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN docs >= 2 THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
         |FROM ch JOIN dfq ON dfq.h = ch.h
         |GROUP BY 1""".stripMargin,
+    // q191: planted-certainty form — identical vectors share an argmax
+    // cell and score cosine ~1, so the kNN graph lists every planted copy.
+    "q191_knn_graph" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |       CAST(count(*) AS BIGINT) AS n_found,
+        |       CAST(0 AS BIGINT) AS n_dropped_cells
+        |FROM embeddings WHERE vec_id < 64 AND embedding IS NOT NULL""".stripMargin,
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the

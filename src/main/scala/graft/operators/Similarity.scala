@@ -697,6 +697,70 @@ object Similarity {
     ivfProbe(buildIvfIndex(corpus, idCol, vecCol, nCentroids, trainIters),
       queries, idCol, vecCol, k, nProbe)
 
+  /** `edges`: (query_id, neighbor_id, rank) approximate-kNN rows.
+    * `droppedCells`: 1-row (n_dropped_cells) — inverted lists excluded by
+    * the occupancy cap, crossJoin-broadcast it into an output for in-query
+    * completeness observability (the family convention). */
+  final case class KnnGraphResult(edges: DataFrame, droppedCells: DataFrame)
+
+  /**
+   * CORPUS-TO-CORPUS approximate kNN graph over a standing [[IvfIndex]] —
+   * every corpus vector's top-k neighbors in ONE distributed plan: the
+   * primitive under graph-based clustering, SemDeDup-style pruning, and
+   * kNN-classification of a whole corpus. [[ivfProbe]] broadcasts a
+   * (small-by-contract) query batch; here the query side IS the corpus,
+   * so nothing is collected or broadcast. Each vector routes to its
+   * `nProbe` nearest cells in a NARROW typed pass against the
+   * closure-captured quantizer (the [[buildIvfIndex]] assignment shape),
+   * candidates come from ONE `cent_id` equi-join against the inverted
+   * lists, and per-vector top-k uses the bounded-heap combiner — never a
+   * window over the scored frame.
+   *
+   * SCALE SHAPE: candidate mass ≈ nProbe/nCentroids × n × cellWidth —
+   * linear in n at fixed cell width (size the quantizer n/cellWidth, as
+   * [[centroidBlockedPairs]] documents). The only vector movement is the
+   * route-side shuffle into the join (nProbe copies of each vector);
+   * the combiner keeps the rank shuffle at k rows per vector per
+   * partition. Cells over `maxCell` members are dropped WHOLE from the
+   * CANDIDATE side and counted (a skew-collapsed cell would quadratize
+   * the join — the LSH hot-bucket rationale); vectors living in a dropped
+   * cell still route as queries to their other probed cells.
+   */
+  def knnGraph(index: IvfIndex, k: Int, nProbe: Int = 4,
+      maxCell: Int = DefaultMaxCell): KnnGraphResult = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val centArr = index.centroids
+    val occ = index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("__n"))
+    val hotCells = occ.where(col("__n") > maxCell).select(col("cent_id"))
+    val dropped = hotCells.agg(count(lit(1)).as("n_dropped_cells"))
+    val live = index.assigned.join(broadcast(hotCells), Seq("cent_id"), "left_anti")
+    // per-vector probe routing: narrow, quantizer closure-captured — the
+    // query side never collects (contrast ivfProbe's broadcast contract)
+    val routes = index.assigned
+      .select(col("neighbor_id").as("query_id"), col("cv").cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        if (v == null) Iterator.empty
+        else nearestCentroids(centArr, v, nProbe).iterator.map(c => (id, c, v))
+      })
+      .toDF("query_id", "cent_id", "qv")
+    // each corpus vector lives in exactly one inverted list and each
+    // (query, cent) route row is unique, so a (query, neighbor) candidate
+    // scores at most once — no dedup before ranking
+    val scored = routes
+      .join(live.select(col("cent_id"), col("neighbor_id"), col("cv")), Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        struct(cosine(col("qv"), col("cv").cast("array<double>")).as("cos"),
+          col("neighbor_id").as("nid")).as("scored"))
+      .as[(Long, (Double, Long))]
+    KnnGraphResult(rankTopK(scored, k), dropped)
+  }
+
   /**
    * Per-key elementwise vector sums — the building block of class centroids
    * (classifier init, nearest-centroid labeling, embedding-drift
@@ -1170,6 +1234,16 @@ object Similarity {
     * [[ivfPqEncode]]: nearest centroid by (cosine desc, cent_id asc) —
     * fully deterministic, so a slice encoded later lands in exactly the
     * cell the original build would have chosen. */
+  /** The nProbe-nearest generalization of [[nearestCentroid]] (same
+    * (cosine desc, cent_id asc) determinism), used by [[knnGraph]]'s
+    * routing pass. O(nCentroids log nCentroids) per vector — the quantizer
+    * is centroid-count-bounded by contract. */
+  private def nearestCentroids(centArr: Array[(Long, Array[Double])],
+      v: Array[Double], n: Int): Array[Long] =
+    centArr.map { case (cid, cv) => (cosLocal(v, cv), cid) }
+      .sortBy { case (cs, cid) => (-cs, cid) }
+      .take(n).map(_._2)
+
   private def nearestCentroid(centArr: Array[(Long, Array[Double])], v: Array[Double]): Long = {
     var best = Long.MaxValue
     var bestCos = Double.NegativeInfinity

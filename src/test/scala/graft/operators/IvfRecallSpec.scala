@@ -70,6 +70,65 @@ class IvfRecallSpec extends AnyFunSpec with SparkSuite {
       assert(fa === da)
     }
 
+    it("knnGraph: corpus-wide edges match per-vector ivfProbe at the same geometry") {
+      // the corpus-as-queries plan must produce exactly the edges the
+      // broadcast-query probe produces when fed the same vectors
+      val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, trainIters = 1)
+      val graph = Similarity.knnGraph(index, k = 5, nProbe = 4, maxCell = 1000000)
+      assert(graph.droppedCells.head().getLong(0) == 0L)
+      val sample = emb.filter(col("vec_id") < 32)
+      val probed = pairSet(
+        Similarity.ivfProbe(index, sample, "vec_id", "embedding", k = 5, nProbe = 4))
+      val graphSample = pairSet(graph.edges.filter(col("query_id") < 32))
+      assert(graphSample === probed)
+    }
+
+    it("knnGraph recall@5 vs brute force: monotone in nProbe, exact under exhaustive probing") {
+      // corpus-WIDE recall is a harder target than a 16-query sample (every
+      // vector, not the easy ones, must find its neighbors); measured
+      // 0.556 / 0.75 / 1.0 at nProbe 4 / 8 / 16 on sf0.01 — assert under
+      // those with margin, plus the exactness law at full probe
+      val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, trainIters = 1)
+      val exact = pairSet(Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5))
+      def recallAt(nProbe: Int): Double = {
+        val got = pairSet(Similarity.knnGraph(index, k = 5, nProbe = nProbe,
+          maxCell = 1000000).edges)
+        got.intersect(exact).size.toDouble / exact.size
+      }
+      val r4 = recallAt(4); val r8 = recallAt(8)
+      assert(r4 >= 0.5, s"knnGraph recall@5 at nProbe=4 was $r4")
+      assert(r8 >= 0.65 && r8 >= r4, s"knnGraph recall@5 at nProbe=8 was $r8 (nProbe=4: $r4)")
+      assert(recallAt(16) == 1.0, "nProbe = nCentroids must reproduce brute force")
+    }
+
+    it("knnGraph occupancy cap: hot cells drop WHOLE and are counted, cold edges survive") {
+      val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, trainIters = 1)
+      val occ = index.assigned.groupBy(col("cent_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val maxOcc = occ.values.max
+      // cap just below the hottest cell: at least one cell must drop
+      val res = Similarity.knnGraph(index, k = 5, nProbe = 16, maxCell = (maxOcc - 1).toInt)
+      val nHot = occ.values.count(_ > maxOcc - 1)
+      assert(res.droppedCells.head().getLong(0) == nHot.toLong)
+      // no surviving edge points INTO a dropped cell's member
+      val hotIds = index.assigned.collect()
+        .filter(r => occ(r.getAs[Long]("cent_id")) > maxOcc - 1)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      val intoHot = res.edges.collect().map(_.getLong(1)).toSet.intersect(hotIds)
+      assert(intoHot.isEmpty, s"edges into dropped cells: ${intoHot.take(5)}")
+      // cold-cell candidates are untouched: under exhaustive probing the
+      // surviving edges equal brute force restricted to cold neighbors
+      val exactCold = pairSet(Similarity.bruteForceTopK(emb,
+        emb.join(index.assigned.filter(r => true).select(col("neighbor_id").as("vec_id"))
+          .except(spark.createDataFrame(
+            hotIds.toSeq.map(Tuple1(_))).toDF("vec_id")), Seq("vec_id")),
+        "vec_id", "embedding", 5))
+      assert(pairSet(res.edges) === exactCold)
+    }
+
     it("metric sensitivity: a broken ranking scores far below the pinned bound") {
       // Worst-possible impostor: top-k of the NEGATED queries is the true
       // bottom-k by cosine. If the recall metric could not tell this apart
