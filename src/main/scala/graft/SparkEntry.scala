@@ -3489,13 +3489,17 @@ object SparkEntry {
           (col("n_diff") === 0L).as("merge_exact"))
     }),
 
-    // all-pairs sparse cosine over the TF postings space (Bayardo-style
+    // all-pairs sparse cosine over a TF postings space (Bayardo-style
     // inverted-index self-join): lexical doc-doc similarity at cosine >=
-    // 1/2 over the df-capped vocabulary, exact-integer (dot, na2, nb2)
-    // output with the threshold as 64-bit cross-multiplication. Planted
-    // exact copies of the first 50 docs (ids + 2e6) pin the recall floor
-    // (an identical doc pairs at cosine exactly 1: dot == na2 == nb2);
-    // natural pairs ride the same gate. n_dropped_terms broadcasts into
+    // 1/2 with exact-integer (dot, na2, nb2) output and the threshold as
+    // 64-bit cross-multiplication. The term space is WORD-TRIGRAM shingles
+    // with tf weights (the q45 convention — this corpus's unigram
+    // vocabulary is 31 terms and saturates df at any cap, while the
+    // shingle space stays rich at every sf; a df cap is a rate against
+    // the term space, so pick the space to match). Planted exact copies
+    // of the first 50 docs (ids + 2e6) pin the recall floor (an identical
+    // doc pairs at cosine exactly 1: dot == na2 == nb2); natural
+    // near-dup pairs ride the same gate. n_dropped_terms broadcasts into
     // every row — cap completeness is observable in-query, never silent.
     "q189_allpairs_cosine" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
@@ -3503,10 +3507,15 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val planted = docs.where(col("doc_id") < 50)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      val postings = operators.Retrieval.buildPostings(
-        docs.unionByName(planted), "doc_id", "text")
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val postings = docs.unionByName(planted)
+        .select(col("doc_id"), words.as("tk")).where(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(tk, 1, size(tk)-2), (w, i) -> " +
+            "concat_ws(' ', w, element_at(tk, i+2), element_at(tk, i+3)))")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val res = operators.Retrieval.allPairsCosine(postings, "doc_id",
-        maxDf = 100L, thrNum = 1L, thrDen = 2L, unpersistHook = onCleanup)
+        maxDf = 10L, thrNum = 1L, thrDen = 2L, unpersistHook = onCleanup)
       res.pairs.crossJoin(broadcast(res.droppedTerms))
     }),
 
@@ -6043,29 +6052,35 @@ object SparkEntry {
     // slice IS training on the slice, by count additivity) plus the gate
     // literal — shared SQL body, so the two oracles cannot drift.
     "q188_nb_incremental" -> nbConfusionSql(", TRUE AS merge_exact"),
-    // q189: full replay — postings tokenization (the q166 convention),
-    // df cap, inverted-index self-join, integer cross-multiplied cosine
-    // gate. DuckDB sums promote to HUGEINT so the cross-multiplication
-    // cannot overflow there; the Spark side documents its 64-bit contract.
+    // q189: full replay — q45's edge-strip word derivation and trigram
+    // shingling (multiset tf, not the set form), df cap, inverted-index
+    // self-join, integer cross-multiplied cosine gate. DuckDB sums promote
+    // to HUGEINT so the cross-multiplication cannot overflow there; the
+    // Spark side documents its 64-bit contract.
     "q189_allpairs_cosine" ->
       """WITH base AS (SELECT doc_id, text FROM documents
         |              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |corpus AS (SELECT doc_id, text FROM base
         |           UNION ALL
         |           SELECT doc_id + 2000000, text FROM base WHERE doc_id < 50),
-        |toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
-        |         FROM corpus),
+        |d AS (SELECT doc_id,
+        |        regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                           '[^ \x09-\x0D]+') AS words
+        |      FROM corpus),
+        |toks AS (SELECT doc_id, unnest(list_transform(range(len(words)-2),
+        |                i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS term
+        |         FROM d WHERE len(words) >= 3),
         |p AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dfreq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
         |cp AS (SELECT p.doc_id, p.term, p.tf, dfreq.df
-        |       FROM p JOIN dfreq USING (term) WHERE dfreq.df <= 100),
+        |       FROM p JOIN dfreq USING (term) WHERE dfreq.df <= 10),
         |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM cp GROUP BY 1),
         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
         |         FROM cp a JOIN cp b ON a.term = b.term AND a.doc_id < b.doc_id
         |         GROUP BY 1, 2)
         |SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
         |       CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2,
-        |       (SELECT CAST(count(*) AS BIGINT) FROM dfreq WHERE df > 100) AS n_dropped_terms
+        |       (SELECT CAST(count(*) AS BIGINT) FROM dfreq WHERE df > 10) AS n_dropped_terms
         |FROM dots JOIN norms na ON na.doc_id = dots.id_a
         |          JOIN norms nb ON nb.doc_id = dots.id_b
         |WHERE dot * dot * 4 >= na.n2 * nb.n2""".stripMargin,

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -67,6 +67,7 @@ object Stress {
     if (mode == "kcore") { kcoreStudy(spark, sfDir); spark.stop(); return }
     if (mode == "ann") { annStudy(spark, sfDir); spark.stop(); return }
     if (mode == "linkage") { linkageStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "allpairs") { allPairsStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -964,5 +965,63 @@ object Stress {
     require(selfFound == nNatural, "recall loss on cold blocks — cap misfired")
     require(dropped > 0, "boilerplate block was not dropped — cap inert")
     pairs.unpersist(); natural.unpersist(); ()
+  }
+
+  /**
+   * `allpairs` — the q189 inverted-index self-join under boilerplate
+   * pressure: the sf0.1 documents each carrying a planted 12-TOKEN FOOTER
+   * (every footer shingle's df = corpus size — the shared crawl-footer
+   * shape whose posting lists alone would contribute ~n²/2 candidate
+   * pairs EACH), plus exact copies of the first 200 docs. Checks, in
+   * order: (1) the join COMPLETES with the df cap on; (2) the footer
+   * shingles are dropped AND counted; (3) every planted copy whose
+   * capped vector is nonempty still pairs with its original at exact
+   * cosine 1 (dot == na2 == nb2) — the expected count is derived from
+   * the df frame itself, so the check is exact, not a bound.
+   */
+  private def allPairsStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Retrieval
+    val footer = " zz quick brown foxes stamp every crawled page with this very footer line"
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"), lit(footer)).as("text"))
+    val planted = docs.where(col("doc_id") < 200)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(planted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = corpus.count()
+    println(s"[stress] corpus: $n docs, every one carrying the 12-token footer " +
+      s"(uncapped contribution ~${n * n / 2} pairs per footer shingle)")
+    val words = graft.functions.Text.edgeStrippedTokens(col("text"))
+    val postings = timed("build shingle postings")(
+      corpus.select(col("doc_id"), words.as("tk")).where(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(tk, 1, size(tk)-2), (w, i) -> " +
+            "concat_ws(' ', w, element_at(tk, i+2), element_at(tk, i+3)))")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    postings.count()
+    // expected planted matches: originals whose CAPPED vector is nonempty
+    // (>= 1 shingle with df <= 10 in the augmented corpus)
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val expected = postings.join(dfreq.where(col("df") <= 10), Seq("term"))
+      .where(col("doc_id") < 200).select(col("doc_id")).distinct().count()
+    val res = Retrieval.allPairsCosine(postings, "doc_id",
+      maxDf = 10L, thrNum = 1L, thrDen = 2L)
+    val pairs = timed("all-pairs cosine (maxDf 10)")(
+      res.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val nPairs = pairs.count()
+    val dropped = res.droppedTerms.head().getLong(0)
+    val plantedFound = pairs
+      .where(col("id_b") === col("id_a") + 5000000L && col("id_a") < 200 &&
+        col("dot") === col("na2") && col("na2") === col("nb2"))
+      .count()
+    println(s"[stress] verified pairs: $nPairs; dropped stop-shingles: $dropped " +
+      "(expect >= 12: the footer shingles at minimum)")
+    println(s"[stress] planted copies at exact cosine 1: $plantedFound / $expected " +
+      "expected (expect equal: cap drops never touch discriminative-content recall)")
+    require(dropped >= 12, "footer shingles were not dropped — df cap inert")
+    require(plantedFound == expected, "recall loss on planted copies — cap misfired")
+    pairs.unpersist(); postings.unpersist(); corpus.unpersist(); ()
   }
 }
