@@ -408,6 +408,54 @@ object StreamOps {
       .select(col(idCol), col("__p.term").as("term"), col("__p.tf").as("tf"))
 
   /**
+   * STREAMING maintenance of a standing CONTENT-DEFINED CHUNK store — the
+   * streaming face of [[graft.operators.Chunking.contentChunks]], in the
+   * [[streamingPostings]] discipline: each micro-batch of `(id, text)`
+   * documents chunks ONCE and upserts one row per doc — `(id, chunks,
+   * version)`, `chunks` the chunk list sorted by chunk_idx, a pure
+   * function of the text — so re-ingestion supersedes doc-wholesale
+   * (fewer/zero chunks included) and a replayed batch is idempotent
+   * under the store's max-struct winner rule. Because boundaries are
+   * content-defined, a re-ingested doc with a local edit keeps most of
+   * its chunk hashes — the store-level diff IS the edit locality, which
+   * is what makes chunk-grain incremental dedup cheap.
+   *
+   * Readers get the flat chunk frame back with [[chunksFromStore]];
+   * feeding it to `chunkDupProfile` closes the loop — a duplication
+   * audit over a corpus the stream keeps current.
+   */
+  def streamingChunks(docs: DataFrame, idCol: String, textCol: String, modulus: Int,
+      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val perDoc = graft.operators.Chunking.contentChunks(batch, idCol, textCol, modulus)
+          .groupBy(col(idCol))
+          .agg(sort_array(collect_list(
+            struct(col("chunk_idx"), col("n_tokens"), col("chunk_hash")))).as("chunks"))
+        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+          .join(perDoc, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("chunks"), typedlit(Seq.empty[(Long, Long, String)])
+              .cast("array<struct<chunk_idx:bigint,n_tokens:bigint,chunk_hash:string>>"))
+              .as("chunks"),
+            lit(batchId).as("version"))
+        graft.sources.Sink.upsertBuckets(storePath, rows, idCol, "version", nBuckets)
+      }
+      .start()
+
+  /** Read the [[streamingChunks]] store back as the flat `(idCol,
+    * chunk_idx, n_tokens, chunk_hash)` frame — the exact shape
+    * `contentChunks` emits and `chunkDupProfile` consumes. */
+  def chunksFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, idCol: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col(idCol), explode(col("chunks")).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.n_tokens").as("n_tokens"), col("__c.chunk_hash").as("chunk_hash"))
+
+  /**
    * STREAMING incremental near-dup detection — the streaming face of the
    * [[graft.operators.Dedup.minhashIndex]] / `incrementalNearDups` pair and
    * the end-to-end shape of a 100 TB dedup deployment: the corpus's banded

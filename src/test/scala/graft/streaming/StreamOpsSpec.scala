@@ -588,6 +588,55 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingChunks ≡ from-scratch contentChunks (store-maintained chunk index)") {
+    it("re-ingests supersede doc-wholesale; an edit's store diff is chunk-local") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("ch_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ch_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingChunks(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", modulus = 4, storePath = store, nBuckets = 4,
+        checkpointDir = ckpt)
+      val longText = (1 to 40).map(i => s"tok$i").mkString(" ")
+      // batch 2 re-ingests doc 1 with one mid-document token edited and
+      // doc 2 with empty text (zero chunks, but the row must remain)
+      val edited = ((1 to 20).map(i => s"tok$i") ++ Seq("EDIT") ++
+        (21 to 40).map(i => s"tok$i")).mkString(" ")
+      val batches = Seq(
+        Seq((1L, longText), (2L, "alpha beta gamma")),
+        Seq((1L, edited), (2L, ""), (3L, "fresh doc words")))
+      try {
+        val live = scala.collection.mutable.Map.empty[Long, String]
+        var before = Set.empty[(Long, Long, Long, String)]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.foreach { case (id, t) => live(id) = t }
+          val got = StreamOps.chunksFromStore(spark, store, "doc_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+            .toSet
+          val scratch = graft.operators.Chunking.contentChunks(
+              live.toSeq.toDF("doc_id", "text"), "doc_id", "text", modulus = 4)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+            .toSet
+          assert(got == scratch, s"after streaming ${live.toMap}")
+          if (before.isEmpty) before = got
+          else {
+            // content-defined boundaries keep the edit local: most of doc
+            // 1's chunk hashes survive the re-ingest
+            val h0 = before.filter(_._1 == 1L).map(_._4)
+            val h1 = got.filter(_._1 == 1L).map(_._4)
+            assert((h0 & h1).size >= h0.size - 2,
+              s"edit was not chunk-local: ${h0.size} -> ${(h0 & h1).size} shared")
+          }
+        }
+        val ids = graft.sources.Sink.readStore(spark, store)
+          .select($"doc_id").collect().map(_.getLong(0)).sorted
+        assert(ids.toSeq == Seq(1L, 2L, 3L))
+      } finally q.stop()
+    }
+  }
+
   describe("streamingAnnCodes ≡ frozen-index re-encode (store-maintained ANN codes)") {
     it("upserts fold in, null-vector deletions tombstone; store equals scratch encode per batch") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
