@@ -3562,6 +3562,50 @@ object SparkEntry {
         .crossJoin(found).crossJoin(broadcast(res.droppedCells))
     }),
 
+    // perceptual-hash image dedup across FORMATS and ENCODINGS, through
+    // the real codecs: dHash over the decoded pixels, then exact-signature
+    // pairing. Planted certainty twice over — (1) a PNG twin of each of
+    // the first 50 BMPs carries the IDENTICAL pixel closed form, so the
+    // cross-format pair shares its phash exactly; (2) a progressive
+    // re-encode of each baseline JPEG decodes bit-identically (the q182
+    // parity), so the cross-ENCODING pair does too. n_png_found and
+    // n_prog_found must both equal n_planted — a drift in any of the four
+    // decoders, the luma math, or the grid sampling breaks the hash gate.
+    "q192_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+      val first = ids.filter(_ < 50)
+      val bmps = ids.map(id =>
+        (id, multimodal.Media.syntheticBmp((8 + id % 16).toInt, (8 + id % 8).toInt, id)))
+        .toDF("img_id", "blob")
+      val pngTwins = first.map(id =>
+        (id + 4000000L,
+          multimodal.Media.syntheticPngImage((8 + id % 16).toInt, (8 + id % 8).toInt, id)))
+        .toDF("img_id", "blob")
+      def jdims(id: Long) = ((16 + (id % 3) * 16).toInt, (16 + (id % 2) * 16).toInt)
+      val jBase = first.map { id =>
+        val (w, h) = jdims(id)
+        (id + 5000000L, multimodal.Media.syntheticJpegImage(w, h, id))
+      }.toDF("img_id", "blob")
+      val jProg = first.map { id =>
+        val (w, h) = jdims(id)
+        (id + 6000000L, multimodal.Media.syntheticProgressiveJpegImage(w, h, id))
+      }.toDF("img_id", "blob")
+      val hashes = multimodal.Media.perceptualHash(
+        bmps.unionByName(pngTwins).unionByName(jBase).unionByName(jProg), "img_id", "blob")
+        .select(col("img_id"), col("phash"))
+      def twinsFound(loBase: Long, delta: Long, alias: String) =
+        hashes.where(col("img_id") >= loBase && col("img_id") < loBase + 50)
+          .join(hashes.select((col("img_id") - delta).as("img_id"),
+            col("phash").as("__tp")), Seq("img_id"))
+          .where(col("phash") === col("__tp"))
+          .agg(count(lit(1)).as(alias))
+      first.toDF("doc_id").agg(count(lit(1)).as("n_planted"))
+        .crossJoin(twinsFound(0L, 4000000L, "n_png_found"))
+        .crossJoin(twinsFound(5000000L, 1000000L, "n_prog_found"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -6126,6 +6170,14 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_found,
         |       CAST(0 AS BIGINT) AS n_dropped_cells
         |FROM embeddings WHERE vec_id < 64 AND embedding IS NOT NULL""".stripMargin,
+    // q192: planted-certainty form — identical decoded pixels hash to an
+    // identical dHash, across formats (BMP/PNG share one closed form) and
+    // encodings (baseline/progressive JPEG decode bit-identically).
+    "q192_image_phash_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |       CAST(count(*) AS BIGINT) AS n_png_found,
+        |       CAST(count(*) AS BIGINT) AS n_prog_found
+        |FROM documents WHERE doc_id IS NOT NULL AND doc_id < 50""".stripMargin,
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the

@@ -1179,6 +1179,60 @@ object Media {
   }
 
   /**
+   * PERCEPTUAL image hash (difference hash / dHash) over the REAL decode
+   * path — the first-line image-dedup signature: re-encodes, format
+   * conversions, and resolution changes of the same picture hash close
+   * (identical pixels hash IDENTICAL, so cross-format exact dups group on
+   * equality alone), while different pictures differ in many bits. Per
+   * image: sample luma on a 9x8 nearest-neighbor grid, set bit y*8+x iff
+   * grid luma strictly increases from column x to x+1 — 64 bits of
+   * brightness-GRADIENT structure, invariant to uniform brightness shift
+   * by construction. All integer math (the sharpnessProfile luma
+   * weights), one narrow typed pass, blobs never shuffle. Rows whose blob
+   * no codec decodes (or null) emit nothing — a hash from fake bytes
+   * would poison the dedup downstream.
+   *
+   * Returns (idCol, kind, width, height, phash). Compose with
+   * [[graft.operators.Dedup.hammingPairs]] for near-dup pairs within a
+   * Hamming radius, or group by `phash` for the exact-signature tier.
+   */
+  def perceptualHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 != null).flatMap { case (id, bytes) =>
+          val dec: Option[(String, Int, Int, (Int, Int) => (Int, Int, Int))] =
+            parseBmp(bytes).map(b => ("bmp", b.width, b.height, b.pixel _))
+              .orElse(parsePng(bytes).map(p => ("png", p.width, p.height, p.pixel _)))
+              .orElse(Jpeg.decode(bytes).map(j => ("jpeg", j.width, j.height, j.pixel _)))
+          dec.map { case (kind, w, h, px) =>
+            def luma(x: Int, y: Int): Int = {
+              val (r, g, b) = px(x, y)
+              (r * 299 + g * 587 + b * 114) / 1000
+            }
+            // 9x8 nearest-neighbor grid; floor sampling keeps any w/h >= 1 valid
+            val grid = Array.tabulate(9, 8)((gx, gy) =>
+              luma(math.min(w - 1, gx * w / 9), math.min(h - 1, gy * h / 8)))
+            var hash = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (grid(gx + 1)(gy) > grid(gx)(gy)) hash |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            (id, kind, w.toLong, h.toLong, hash)
+          }
+        }
+      }
+      .toDF(idCol, "kind", "width", "height", "phash")
+  }
+
+  /**
    * Resize plumbing: (id, blob) -> (id, kind, resized blob) at a target
    * `w`x`h`. For uncompressed 24bpp BMPs ([[resizeBmp]]), decodable PNGs
    * ([[resizePng]]) AND baseline JPEGs ([[resizeJpeg]]) the transform is

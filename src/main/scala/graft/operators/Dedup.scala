@@ -1117,8 +1117,22 @@ object Dedup {
    * banding); hotter buckets are dropped (see [[bucketPairs]]).
    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val spark = df.sparkSession
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol), idCol, "simhash", maxHamming, maxBucket)
+
+  /**
+   * The pigeonhole-banded Hamming pair source behind [[simhashNearDups]],
+   * over ANY 64-bit signature frame `(idCol, sigCol)` — the same kernel
+   * serves text simhash and image perceptual hashes
+   * ([[graft.multimodal.Media.perceptualHash]]): band, group per chunk
+   * value, expand in-bucket pairs with signatures as payload, verify
+   * `bit_count` right after expansion. EXACT w.r.t. the signature within
+   * the `maxBucket` cap (pigeonhole cannot miss a pair at distance <=
+   * maxHamming); hotter buckets drop counted (see [[bucketPairs]]).
+   */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String, maxHamming: Int,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = sigs.sparkSession
     import spark.implicits._
     require(maxHamming >= 1 && maxHamming <= 31,
       s"maxHamming must be in [1,31], got $maxHamming — 0 would band the whole " +
@@ -1126,13 +1140,12 @@ object Dedup {
         "shift semantics (use exact dedup for distance 0)")
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val sigs = simhash(df, idCol, textCol)
     val banded = sigs.select(
-        col(idCol), col("simhash"),
+        col(idCol), col(sigCol),
         posexplode(array((0 until chunks).map { c =>
-          shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))
+          shiftrightunsigned(col(sigCol), c * width).bitwiseAND(lit((1L << width) - 1))
         }: _*)).as(Seq("chunk", "chunk_val")))
-      .select(col("chunk"), col("chunk_val"), col(idCol).cast("long"), col("simhash"))
+      .select(col("chunk"), col("chunk_val"), col(idCol).cast("long"), col(sigCol))
       .as[(Int, Long, Long, Long)]
     bucketPairs(banded, maxBucket)
       .select(col("id_a"), col("id_b"),

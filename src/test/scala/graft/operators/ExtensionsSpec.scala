@@ -1066,6 +1066,60 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
           .toDF("id", "blob"), "id", "blob").count() === 0L)
     }
 
+    it("perceptualHash: cross-format identity, separation, tiny images, undecodable drop") {
+      // identical pixel closed form across formats -> identical dHash
+      val rows = Media.perceptualHash(Seq(
+          (1L, Media.syntheticBmp(12, 9, 7L)),
+          (2L, Media.syntheticPngImage(12, 9, 7L)),
+          (3L, Media.syntheticJpegImage(32, 16, 3L)),
+          (4L, Media.syntheticProgressiveJpegImage(32, 16, 3L)),
+          (5L, Array[Byte](1, 2, 3)),
+          (6L, null.asInstanceOf[Array[Byte]])).toDF("id", "blob"), "id", "blob")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(rows.keySet == Set(1L, 2L, 3L, 4L), "junk/null blobs must emit nothing")
+      assert(rows(1L)._1 == "bmp" && rows(2L)._1 == "png")
+      assert(rows(1L)._4 == rows(2L)._4, "same pixels, different formats -> same hash")
+      assert(rows(3L)._4 == rows(4L)._4, "baseline vs progressive -> same hash")
+      // a genuinely different picture differs in many bits: the BMP closed
+      // form's luma rises along x (gradient bits set); its x-mirror falls
+      val mirror = {
+        val w = 12; val h = 9
+        val src = Media.syntheticBmp(w, h, 7L)
+        val out = src.clone()
+        val stride = (w * 3 + 3) / 4 * 4
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          out(54 + y * stride + x * 3 + c) = src(54 + y * stride + (w - 1 - x) * 3 + c)
+        out
+      }
+      val mh = Media.perceptualHash(Seq((9L, mirror)).toDF("id", "blob"), "id", "blob")
+        .collect().head.getLong(4)
+      assert(java.lang.Long.bitCount(mh ^ rows(1L)._4) > 16,
+        s"mirror should flip many gradient bits: ${java.lang.Long.bitCount(mh ^ rows(1L)._4)}")
+      // a 2x2 image still hashes (grid clamps, never out of bounds)
+      assert(Media.perceptualHash(
+        Seq((1L, Media.syntheticBmp(2, 2, 0L))).toDF("id", "blob"), "id", "blob")
+        .count() === 1L)
+    }
+
+    it("hammingPairs: generalized banding equals brute force on arbitrary signatures") {
+      // signatures engineered around the distance-3 boundary plus randoms
+      val base = 0x0123456789abcdefL
+      def flip(v: Long, bits: Int*): Long = bits.foldLeft(v)((a, b) => a ^ (1L << b))
+      val sigs = Seq(
+        (1L, base), (2L, flip(base, 0)), (3L, flip(base, 1, 17, 33)),
+        (4L, flip(base, 2, 18, 34, 50)), (5L, ~base),
+        (6L, 0L), (7L, flip(0L, 63)), (8L, flip(0L, 5, 21))).toDF("id", "sig")
+      val got = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val local = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = (for {
+        (ia, sa) <- local; (ib, sb) <- local if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+      } yield (ia, ib, d.toLong)).toSet
+      assert(want.nonEmpty && got == want)
+    }
+
     it("audioWindowProfile: windowed energy + zero crossings over a real decode") {
       // 70 samples alternating +500 / -500: with win=32, windows of 32/32/6;
       // every in-window step flips sign -> zc = n_in_win - 1; energy = 500^2
