@@ -3606,6 +3606,30 @@ object SparkEntry {
         .crossJoin(twinsFound(5000000L, 1000000L, "n_prog_found"))
     }),
 
+    // fixed-point character-entropy quality profile: the gibberish /
+    // encoded-blob / repeated-char-spam detector, 1/1024-bit units over
+    // the [a-z0-9] class, floor(1024*log2) the only transcendental (the
+    // q183 ilog convention — cross-engine exact on integer counts).
+    // Entirely native HOFs riding the scan. Two planted extremes pin the
+    // signal's range in the same hashed output: a repeated-'a' doc at
+    // entropy exactly 0 and an md5-hex blob near the 4-bit hex ceiling.
+    "q193_char_entropy" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").where(col("doc_id").isNotNull).limit(0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(s.range(1).select(
+          lit(9000001L).as("doc_id"), repeat(lit("a"), 200).as("text")))
+        .unionByName(s.range(1).select(
+          lit(9000002L).as("doc_id"),
+          concat(md5(lit("seed1").cast("binary")), md5(lit("seed2").cast("binary")),
+            md5(lit("seed3").cast("binary"))).as("text")))
+      val corpus = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      corpus.select(
+        (col("doc_id") +: functions.Text.charEntropyColumns(col("text"))): _*)
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -6178,6 +6202,30 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_png_found,
         |       CAST(count(*) AS BIGINT) AS n_prog_found
         |FROM documents WHERE doc_id IS NOT NULL AND doc_id < 50""".stripMargin,
+    // q193: full replay — position-indexed char array, [a-z0-9] class
+    // filter, distinct counts, the ilog fixed-point entropy, exact
+    // integer floor division (DuckDB //), planted extremes included.
+    "q193_char_entropy" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  UNION ALL SELECT 9000001, repeat('a', 200)
+        |  UNION ALL SELECT 9000002, md5('seed1') || md5('seed2') || md5('seed3')),
+        |c AS (SELECT doc_id,
+        |        list_filter(list_transform(range(len(text)),
+        |                      i -> substring(lower(text), CAST(i + 1 AS INT), 1)),
+        |                    ch -> regexp_matches(ch, '^[a-z0-9]$')) AS chars
+        |      FROM corpus),
+        |m AS (SELECT doc_id, chars, CAST(len(chars) AS BIGINT) AS n,
+        |             list_distinct(chars) AS dc
+        |      FROM c)
+        |SELECT doc_id, n AS n_classed, CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+        |  CAST(CASE WHEN n > 0 THEN
+        |    list_sum(list_transform(dc, ch ->
+        |      CAST(len(list_filter(chars, x -> x = ch)) AS BIGINT) *
+        |      (CAST(floor(1024 * log2(n)) AS BIGINT) -
+        |       CAST(floor(1024 * log2(len(list_filter(chars, x -> x = ch)))) AS BIGINT)))) // n
+        |  ELSE 0 END AS BIGINT) AS ent_milli
+        |FROM m""".stripMargin,
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -68,6 +68,7 @@ object Stress {
     if (mode == "ann") { annStudy(spark, sfDir); spark.stop(); return }
     if (mode == "linkage") { linkageStudy(spark, sfDir); spark.stop(); return }
     if (mode == "allpairs") { allPairsStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "knn") { knnStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -1023,5 +1024,65 @@ object Stress {
     require(dropped >= 12, "footer shingles were not dropped — df cap inert")
     require(plantedFound == expected, "recall loss on planted copies — cap misfired")
     pairs.unpersist(); postings.unpersist(); corpus.unpersist(); ()
+  }
+
+  /**
+   * `knn` — the q191 corpus-to-corpus kNN graph at 11x replica scale:
+   * every sf0.1 vector replicated 10x (ids + r*1e6 — a 10-clique at
+   * cosine 1 whose members share one argmax cell by construction), built
+   * over a 64-cell quantizer. Checks, in order: (1) the graph COMPLETES
+   * over ~22k vectors with k=8/nProbe=4 and zero dropped cells under the
+   * wide cap; (2) clique recall: a query's top-8 must be (essentially
+   * all) its own replicas — the planted-certainty law at scale; (3) a
+   * second run with 1,300 planted copies of ONE vector under the default
+   * 1024 cap drops that hot cell, counts it, completes, and no surviving
+   * edge points into a dropped member.
+   */
+  private def knnStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Similarity
+    val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
+      .where(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val replicas = (0 until 10).map(r =>
+      emb.select((col("vec_id") + lit(r.toLong * 1000000L)).as("vec_id"), col("embedding")))
+    val corpus = replicas.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = corpus.count()
+    println(s"[stress] corpus: $n vectors (10 replicas — every vector a 10-clique at cosine 1)")
+    val index = timed("build 64-cell IVF index")(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nCentroids = 64, trainIters = 1))
+    index.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = Similarity.knnGraph(index, k = 8, nProbe = 4, maxCell = 1000000)
+    val edges = timed("kNN graph k=8 nProbe=4")(
+      res.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val nEdges = edges.count()
+    val dropped = res.droppedCells.head().getLong(0)
+    val twinEdges = edges
+      .where(pmod(col("neighbor_id"), lit(1000000L)) === pmod(col("query_id"), lit(1000000L)))
+      .count()
+    println(s"[stress] edges: $nEdges (expect ${n * 8}); dropped cells: $dropped (expect 0)")
+    println(f"[stress] clique edges: $twinEdges (${100.0 * twinEdges / nEdges}%.2f%% — " +
+      "expect ~100%%: each top-8 is the vector's own 10-clique)")
+    require(dropped == 0, "wide cap must drop nothing")
+    require(nEdges == n * 8, "every vector must fill its top-8")
+    require(twinEdges >= nEdges * 999 / 1000, "clique recall broke at replica scale")
+    // hot-cell run: 1,300 copies of vector 0 overflow the default 1024 cap
+    val hot = emb.where(col("vec_id") === 0)
+    val hotCopies = (0 until 1300).map(i =>
+      hot.select((col("vec_id") + lit(80000000L + i.toLong)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val corpus2 = emb.unionByName(hotCopies)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val index2 = Similarity.buildIvfIndex(corpus2, "vec_id", "embedding",
+      nCentroids = 64, trainIters = 1)
+    val res2 = Similarity.knnGraph(index2, k = 8, nProbe = 4)
+    val edges2 = timed("kNN graph with one hot cell (default cap)")(res2.edges)
+    val dropped2 = res2.droppedCells.head().getLong(0)
+    val intoHot = edges2.where(col("neighbor_id") >= 80000000L).count()
+    println(s"[stress] hot run: dropped cells: $dropped2 (expect >= 1); " +
+      s"edges into hot-cell members: $intoHot (expect 0)")
+    require(dropped2 >= 1, "hot cell was not dropped — occupancy cap inert")
+    require(intoHot == 0, "an edge points into a dropped cell's member")
+    edges.unpersist(); index.assigned.unpersist(); corpus.unpersist(); corpus2.unpersist(); ()
   }
 }

@@ -128,6 +128,46 @@ object Text {
     when(isBlank(text), lit(0L))
       .otherwise(size(array_distinct(split(trim(text), "\\s+"))).cast("long"))
 
+  /**
+   * Fixed-point Shannon entropy of the lowercase alphanumeric CHARACTER
+   * distribution, in 1/1024-bit units — the gibberish/encoded-blob/
+   * keyboard-mash detector (natural language sits ~3–4.2 bits/char over
+   * [a-z0-9]; base64 blobs higher, repeated-char spam near 0). The only
+   * transcendental is [[graft.operators.Classifier.ilog]]'s
+   * `floor(1024 * log2)` over integer counts (cross-engine exact — the
+   * q183 convention), so
+   * `ent = sum_c cnt_c * (ilog(n) - ilog(cnt_c)) div n` replays verbatim
+   * in SQL. Character array built by position (`substring(text, i, 1)`)
+   * so both engines index identically; non-alphanumeric chars are
+   * class-filtered out, and a doc with no classed chars scores 0.
+   *
+   * Entirely native higher-order functions — per-row work
+   * (O(len · distinct), distinct ≤ 36), zero exchanges, rides the scan
+   * like the other quality signals.
+   */
+  def charEntropyColumns(text: Column): Seq[Column] = {
+    def ilog(x: Column): Column = floor(lit(1024.0) * log2(x)).cast("long")
+    val lowered = lower(coalesce(text, lit("")))
+    // Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty — clamp the
+    // stop to 1 and let the out-of-range substr ("") fall to the class filter
+    val chars = filter(
+      transform(sequence(lit(1), greatest(length(lowered), lit(1))),
+        i => lowered.substr(i, lit(1))),
+      ch => ch.rlike("^[a-z0-9]$"))
+    val n = size(chars).cast("long")
+    val dc = array_distinct(chars)
+    def cnt(ch: Column): Column = size(filter(chars, x => x === ch)).cast("long")
+    val entSum = aggregate(
+      transform(dc, ch => cnt(ch) * (ilog(n) - ilog(cnt(ch)))),
+      lit(0L), (a, x) => a + x)
+    // exact integer floor-div: make the numerator divisible first, so the
+    // double division is exact (both engines), never a rounding hazard
+    val entMilli = ((entSum - pmod(entSum, n)) / n).cast("long")
+    Seq(n.as("n_classed"),
+      size(dc).cast("long").as("n_distinct_chars"),
+      when(n > 0, entMilli).otherwise(lit(0L)).as("ent_milli"))
+  }
+
   /** Occurrence count of the MOST FREQUENT word bigram (0 when the text has
     * fewer than two tokens) — the Gopher-style "top n-gram fraction"
     * repetition signal's numerator, kept integer-exact. Computed entirely in

@@ -1005,4 +1005,40 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         === Set((10L, 1L, 2L, 1L, 3L)))
     }
   }
+
+  describe("Text.charEntropyColumns (fixed-point character entropy)") {
+    def profile(texts: (Long, String)*): Map[Long, (Long, Long, Long)] = {
+      import spark.implicits._
+      texts.toSeq.toDF("id", "text")
+        .select((col("id") +: graft.functions.Text.charEntropyColumns(col("text"))): _*)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    }
+
+    it("golden values: zero for repeated chars, exact 1 bit for a 2-symbol balance") {
+      val got = profile((1L, "aaaa"), (2L, "aabb"), (3L, "A b!"), (4L, ""), (5L, null))
+      // repeated char: ilog(n) - ilog(n) = 0
+      assert(got(1L) == ((4L, 1L, 0L)))
+      // 2+2 over 4: (2*(2048-1024) + 2*(2048-1024)) / 4 = 1024 = exactly 1 bit
+      assert(got(2L) == ((4L, 2L, 1024L)))
+      // class filter lowercases and drops space/punct: 'a','b' -> 1 bit
+      assert(got(3L) == ((2L, 2L, 1024L)))
+      // empty and null score (0, 0, 0), never divide by zero
+      assert(got(4L) == ((0L, 0L, 0L)) && got(5L) == ((0L, 0L, 0L)))
+    }
+
+    it("separates the curation extremes: spam at 0, text and hex in their bands") {
+      val natural = "the cat sat on the mat and then that cat sat there again and again"
+      val hexBlob = (1 to 4).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"seed$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString).mkString
+      val got = profile((1L, "aaaaaaaaaaaaaaaaaaaa"), (2L, natural), (3L, hexBlob))
+      assert(got(1L)._3 == 0L, s"spam must score exactly 0: $got")
+      // repeated-word English sits well below the uniform-hex band
+      assert(got(2L)._3 > 1024L && got(2L)._3 < got(3L)._3,
+        s"entropy bands violated: $got")
+      // a near-uniform 16-symbol blob approaches but never exceeds 4 bits
+      assert(got(3L)._3 > 3500L && got(3L)._3 <= 4096L, s"hex band violated: $got")
+    }
+  }
 }
