@@ -3630,6 +3630,26 @@ object SparkEntry {
         (col("doc_id") +: functions.Text.charEntropyColumns(col("text"))): _*)
     }),
 
+    // HTML-to-text extraction at scan speed: every doc wrapped in a
+    // deterministic page shell (script/style/comment blocks whose content
+    // must DIE, tag soup, and all five core entities incl. the
+    // &amp;-last double-decode trap), then the chained-regexp strip —
+    // the crawl-input curation step. The oracle SQL is GENERATED from
+    // the same step table (the q173/q185 shared-constants discipline),
+    // so kernel and replay cannot drift.
+    "q194_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>p { color: red; }</style>"),
+        lit("<script type=\"text/js\">if (x < 2 && y > 1) { f(); }</script></head>"),
+        lit("<body><h1>Heading</h1><!-- hidden comment --><p>"),
+        col("text"),
+        lit("</p><p>5 &lt; 7 &amp;&amp; 9 &gt; 3, &quot;q&#39;s&quot;&nbsp;end</p></body></html>"))
+      tbl(s, dir, "documents").where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), functions.Text.stripHtml(html).as("extracted"))
+        .select(col("doc_id"), col("extracted"),
+          functions.Text.tokenCount(col("extracted")).as("n_tokens"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -6202,6 +6222,28 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_png_found,
         |       CAST(count(*) AS BIGINT) AS n_prog_found
         |FROM documents WHERE doc_id IS NOT NULL AND doc_id < 50""".stripMargin,
+    // q194: the strip chain below is GENERATED from Text.htmlStripSteps —
+    // the same (pattern, replacement) pairs the kernel folds, so the two
+    // sides cannot drift; patterns are RE2 ∩ Java by construction.
+    "q194_html_extract" -> {
+      val htmlExpr =
+        "'<html><head><title>t</title><style>p { color: red; }</style>' || " +
+          "'<script type=\"text/js\">if (x < 2 && y > 1) { f(); }</script></head>' || " +
+          "'<body><h1>Heading</h1><!-- hidden comment --><p>' || text || " +
+          "'</p><p>5 &lt; 7 &amp;&amp; 9 &gt; 3, &quot;q&#39;s&quot;&nbsp;end</p></body></html>'"
+      val chain = functions.Text.htmlStripSteps.foldLeft(s"($htmlExpr)") {
+        case (acc, (p, r)) =>
+          s"regexp_replace($acc, '${p.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
+      }
+      s"""WITH e AS (SELECT doc_id, $chain AS extracted
+         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+         |SELECT doc_id, extracted,
+         |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
+         |            THEN 0
+         |            ELSE CAST(len(regexp_split_to_array(trim(extracted), '[ \\x09-\\x0D]+')) AS BIGINT)
+         |       END AS n_tokens
+         |FROM e""".stripMargin
+    },
     // q193: full replay — position-indexed char array, [a-z0-9] class
     // filter, distinct counts, the ilog fixed-point entropy, exact
     // integer floor division (DuckDB //), planted extremes included.

@@ -295,6 +295,44 @@ object Text {
   def scrubPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, lit(p), lit(r)) }
 
+  /**
+   * HTML-to-text extraction steps, applied in THIS fixed order (each is a
+   * (pattern, replacement); all patterns sit in the RE2 ∩ Java-regex
+   * subset with inline `(?is)` flags, so the SAME strings run verbatim in
+   * Spark and DuckDB — the [[piiPatterns]] discipline):
+   *  1–3. script/style/comment blocks die WITH their content (visible
+   *       text never includes code);
+   *  4.   every remaining tag becomes one space (block/inline distinction
+   *       deliberately collapsed — token boundaries, not layout, is what
+   *       a training corpus needs);
+   *  5–9. the five core entities decode, `&amp;` LAST so `&amp;lt;`
+   *       yields the literal text `&lt;`, never a second-round `<`;
+   *  10.  whitespace squeezes to single spaces (the tag replacements and
+   *       source formatting would otherwise leave runs).
+   * The result still needs a Java-trim for edge spaces — callers compose
+   * with the tokenizers, which edge-strip anyway.
+   */
+  val htmlStripSteps: Seq[(String, String)] = Seq(
+    ("(?is)<script\\b[^>]*>.*?</script>", " "),
+    ("(?is)<style\\b[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    ("(?s)<[^>]+>", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("[ \\x09-\\x0D]+", " "))
+
+  /** Visible text of an HTML document — markup curation for crawl input:
+    * chained native `regexp_replace` over [[htmlStripSteps]], whole-stage
+    * codegen, zero shuffles; extraction rides the scan exactly like
+    * [[scrubPii]]. NOT a browser: malformed nesting degrades to leftover
+    * text, never to an error. */
+  def stripHtml(text: Column): Column =
+    htmlStripSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, lit(p), lit(r)) }
+
   /** Per-category match counts over the RAW text (counts are independent per
     * pattern; an email inside a URL counts once for each — the audit number a
     * compliance report wants, and what the oracle recomputes). */

@@ -1041,4 +1041,33 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(got(3L)._3 > 3500L && got(3L)._3 <= 4096L, s"hex band violated: $got")
     }
   }
+
+  describe("Text.stripHtml (crawl markup extraction)") {
+    def strip(html: String): String = {
+      import spark.implicits._
+      Seq(html).toDF("h")
+        .select(graft.functions.Text.stripHtml(col("h"))).collect().head.getString(0)
+    }
+
+    it("kills script/style/comment CONTENT, collapses tags, decodes entities in order") {
+      val got = strip("<html><script>if (a < b) alert('x');</script>" +
+        "<style>h1 { font: 10px; }</style><!-- note --><p>Hello <b>big</b> world</p></html>")
+      assert(got.trim == "Hello big world", s"got [$got]")
+      // case-insensitive, attribute-carrying, multiline blocks die too
+      val multi = strip("<SCRIPT type=\"a\">\nline1\nline2\n</SCRIPT>ok")
+      assert(multi.trim == "ok", s"got [$multi]")
+    }
+
+    it("decodes &amp; LAST: &amp;lt; yields literal '&lt;', never a second-round '<'") {
+      assert(strip("a &amp;lt; b").trim == "a &lt; b")
+      assert(strip("5 &lt; 7 &amp;&amp; 9 &gt; 3").trim == "5 < 7 && 9 > 3")
+      assert(strip("&quot;q&#39;s&quot;&nbsp;end").trim == "\"q's\" end")
+    }
+
+    it("squeezes whitespace and degrades on malformed markup without error") {
+      assert(strip("a\t\n  b<br><br>c").trim == "a b c")
+      // unclosed tag swallows to the next '>', leftover text survives
+      assert(strip("x <unclosed y").trim == "x <unclosed y")
+    }
+  }
 }
