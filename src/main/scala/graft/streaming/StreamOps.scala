@@ -456,6 +456,47 @@ object StreamOps {
         col("__c.n_tokens").as("n_tokens"), col("__c.chunk_hash").as("chunk_hash"))
 
   /**
+   * STREAMING maintenance of a standing PERCEPTUAL-HASH store over an
+   * image-blob stream — the multimodal member of the store family: each
+   * micro-batch decodes ONCE through
+   * [[graft.multimodal.Media.perceptualHash]]'s real codecs and upserts
+   * one `(id, kind, width, height, phash, version)` row per ingested id
+   * (doc-wholesale last-writer-wins). An id whose new blob decodes to
+   * nothing keeps its row with a NULL phash — superseded, not forgotten,
+   * so a corrupted re-upload retires the old signature instead of
+   * leaving it live. Blobs themselves never enter the store: signature
+   * mass only, the posture that keeps the standing asset readable at
+   * image-corpus scale.
+   *
+   * Readers get the signature frame back with [[phashFromStore]]; feed
+   * it to [[graft.operators.Dedup.hammingPairs]] (or group by `phash`
+   * for the exact tier) and the stream keeps image dedup current.
+   */
+  def streamingImagePhash(docs: DataFrame, idCol: String, binCol: String,
+      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hashed = graft.multimodal.Media.perceptualHash(batch, idCol, binCol)
+        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+          .join(hashed, Seq(idCol), "left")
+          .select(col(idCol), col("kind"), col("width"), col("height"), col("phash"),
+            lit(batchId).as("version"))
+        graft.sources.Sink.upsertBuckets(storePath, rows, idCol, "version", nBuckets)
+      }
+      .start()
+
+  /** Read the [[streamingImagePhash]] store back as the decodable-image
+    * signature frame `(idCol, kind, width, height, phash)` — undecodable
+    * (NULL-phash) rows are retired ids, excluded here by contract. */
+  def phashFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, idCol: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .where(col("phash").isNotNull)
+      .select(col(idCol), col("kind"), col("width"), col("height"), col("phash"))
+
+  /**
    * STREAMING incremental near-dup detection — the streaming face of the
    * [[graft.operators.Dedup.minhashIndex]] / `incrementalNearDups` pair and
    * the end-to-end shape of a 100 TB dedup deployment: the corpus's banded

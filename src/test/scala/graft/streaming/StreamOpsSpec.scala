@@ -637,6 +637,51 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingImagePhash ≡ from-scratch perceptualHash (store-maintained image dedup)") {
+    it("re-ingests supersede; corrupted re-uploads retire; cross-format twins pair from the store") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.multimodal.Media
+      val store = java.nio.file.Files.createTempDirectory("ph_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ph_ckpt").toString
+      val src = MemoryStream[(Long, Array[Byte])]
+      val q = StreamOps.streamingImagePhash(src.toDF().toDF("img_id", "blob"),
+        "img_id", "blob", store, nBuckets = 4, checkpointDir = ckpt)
+      // batch 1: a BMP and its cross-format PNG twin (identical pixels) plus
+      // a distinct image; batch 2 re-ingests id 3 with DIFFERENT pixels and
+      // id 1 with a corrupted (undecodable) blob
+      val batches: Seq[Seq[(Long, Array[Byte])]] = Seq(
+        Seq((1L, Media.syntheticBmp(12, 9, 7L)), (2L, Media.syntheticPngImage(12, 9, 7L)),
+          (3L, Media.syntheticBmp(10, 10, 3L))),
+        Seq((3L, Media.syntheticBmp(10, 10, 200L)), (1L, Array[Byte](1, 2, 3))))
+      try {
+        val live = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.foreach { case (id, blob) => live(id) = blob }
+          val got = StreamOps.phashFromStore(spark, store, "img_id")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+          val scratch = Media.perceptualHash(
+              live.toSeq.toDF("img_id", "blob"), "img_id", "blob")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+          assert(got == scratch, s"store drifted after ${live.keySet}")
+        }
+        // the undecodable re-upload RETIRED id 1 (row kept, phash null)
+        val raw = graft.sources.Sink.readStore(spark, store)
+        assert(raw.select($"img_id").collect().map(_.getLong(0)).sorted.toSeq
+          == Seq(1L, 2L, 3L))
+        assert(raw.where($"img_id" === 1L).collect().head.isNullAt(
+          raw.columns.indexOf("phash")))
+        // the surviving store still pairs nothing (the twin's partner is
+        // retired); before the corruption, 1-2 paired exactly
+        val sigs = StreamOps.phashFromStore(spark, store, "img_id")
+        val pairs = graft.operators.Dedup.hammingPairs(sigs, "img_id", "phash", 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(!pairs.contains((1L, 2L)), "retired signature must not pair")
+      } finally q.stop()
+    }
+  }
+
   describe("streamingAnnCodes ≡ frozen-index re-encode (store-maintained ANN codes)") {
     it("upserts fold in, null-vector deletions tombstone; store equals scratch encode per batch") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
