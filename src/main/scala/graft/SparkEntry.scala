@@ -3650,6 +3650,25 @@ object SparkEntry {
           functions.Text.tokenCount(col("extracted")).as("n_tokens"))
     }),
 
+    // q195: line-level boilerplate removal (the CCNet / RefinedWeb step) —
+    // a line in >= 30 DISTINCT docs is boilerplate and dies corpus-wide;
+    // survivors re-join in original line order. Every doc is wrapped in a
+    // deterministic page frame: a shared nav header and copyright footer
+    // (df = corpus size -> certainly cut) around the doc text plus a
+    // per-doc unique line (df = 1 -> certainly kept); naturally-duplicated
+    // text lines exercise the threshold on organic data. The kernel
+    // aggregates df over 16-byte line hashes and anti-joins only the
+    // boilerplate vocabulary back (broadcast-sized by nature).
+    "q195_line_dedup" -> ((s, dir) => {
+      val corpus = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("NAV HEADER BOILERPLATE\n"), col("text"),
+            lit("\nunique-"), col("doc_id").cast("string"),
+            lit("\nCopyright 2026 Example Corp")).as("text"))
+      operators.Dedup.lineDedup(corpus, "doc_id", "text", minDf = 30)
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -6268,6 +6287,31 @@ object SparkEntry {
         |       CAST(floor(1024 * log2(len(list_filter(chars, x -> x = ch)))) AS BIGINT)))) // n
         |  ELSE 0 END AS BIGINT) AS ent_milli
         |FROM m""".stripMargin,
+    // q195: full replay — the same page-frame wrap, line explode with
+    // positions (DuckDB's parallel unnest zips the line list with its
+    // range), df over DISTINCT docs, NOT IN the boilerplate vocabulary,
+    // order-preserving string_agg, and the all-lines-removed doc kept at
+    // kept_text = '' through the left join.
+    "q195_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, 'NAV HEADER BOILERPLATE' || chr(10) || text || chr(10) ||
+        |         'unique-' || doc_id || chr(10) || 'Copyright 2026 Example Corp' AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |l AS (SELECT doc_id,
+        |             unnest(string_split(text, chr(10))) AS line,
+        |             unnest(range(len(string_split(text, chr(10))))) AS pos
+        |      FROM corpus),
+        |b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 30),
+        |k AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM b)),
+        |a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos NULLS FIRST) AS kept_text,
+        |             count(*) AS n_kept
+        |      FROM k GROUP BY doc_id),
+        |t AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text,
+        |       CAST(t.n_lines AS BIGINT) AS n_lines,
+        |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin,
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the

@@ -1070,4 +1070,50 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(strip("x <unclosed y").trim == "x <unclosed y")
     }
   }
+
+  describe("Dedup.lineDedup") {
+    def run(rows: Seq[(Long, String)], minDf: Int): Map[Long, (String, Long, Long, Long)] =
+      Dedup.lineDedup(rows.toDF("doc_id", "text"), "doc_id", "text", minDf)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map { case (id, t, nl, nk, nr) => id -> ((t, nl, nk, nr)) }.toMap
+
+    it("cuts lines at df >= minDf corpus-wide, preserving the survivors' order") {
+      val docs = Seq(
+        (1L, "FOOTER\nkeep one\nFOOTER\nkeep two"),
+        (2L, "FOOTER\nother"),
+        (3L, "FOOTER"))
+      val got = run(docs, 2)
+      assert(got(1L) == (("keep one\nkeep two", 4L, 2L, 2L)))
+      assert(got(2L) == (("other", 2L, 1L, 1L)))
+    }
+
+    it("keeps a doc whose every line is boilerplate, at kept_text = ''") {
+      val got = run(Seq((1L, "FOOTER\nx"), (2L, "FOOTER"), (3L, "FOOTER")), 2)
+      assert(got(3L) == (("", 1L, 0L, 1L)))
+    }
+
+    it("df counts DISTINCT docs: a line repeated inside ONE doc is not boilerplate") {
+      val got = run(Seq((1L, "same\nsame\nsame"), (2L, "unrelated")), 2)
+      assert(got(1L) == (("same\nsame\nsame", 3L, 3L, 0L)))
+    }
+
+    it("threshold boundary: df == minDf dies, df == minDf - 1 survives") {
+      val docs = Seq((1L, "at3\nat2"), (2L, "at3\nat2"), (3L, "at3\nsolo"))
+      val got = run(docs, 3)
+      assert(got(1L) == (("at2", 2L, 1L, 1L)))
+      assert(got(3L) == (("solo", 2L, 1L, 1L)))
+    }
+
+    it("empty text is one empty line, subject to the same df rule") {
+      val got = run(Seq((1L, ""), (2L, ""), (3L, "a\n\nb")), 2)
+      // '' appears in docs 1, 2, 3 (doc 3's middle line) -> df 3 -> cut
+      assert(got(1L) == (("", 1L, 0L, 1L)))
+      assert(got(3L) == (("a\nb", 3L, 2L, 1L)))
+    }
+
+    it("rejects minDf < 2 loudly") {
+      assertThrows[IllegalArgumentException](
+        Dedup.lineDedup(Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", 1))
+    }
+  }
 }
