@@ -3669,6 +3669,78 @@ object SparkEntry {
       operators.Dedup.lineDedup(corpus, "doc_id", "text", minDf = 30)
     }),
 
+    // q196: LM PERPLEXITY scoring (the CCNet quality filter) — train the
+    // fixed-point stupid-backoff bigram LM on the even-doc_id half, score
+    // the HELD-OUT odd half (a held-out split is what makes the backoff
+    // path real: self-scoring would see every one of its own bigrams in
+    // the model and the unseen branch would be dead code). All-integer
+    // ilog costs, so the oracle replays training AND scoring exactly.
+    "q196_lm_perplexity" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      operators.Lm.perplexityScore(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+        "doc_id", "text")
+    }),
+
+    // q197: the LM's acceptance gate — garbage MUST score worse. The
+    // probe is deterministic by construction: every held-out token gets a
+    // 'zz' prefix (certainly OOV — n(w2) = 0), so every garbage bigram
+    // takes the MAXIMAL backoff cost ilog(5*(N+V)) - ilog(2), which
+    // strictly exceeds every natural bigram's cost (seen bigrams cost
+    // <= ilog(N); unseen-but-known continuations divide by
+    // 2*(n(w2)+1) >= 4). The gate is therefore certain at any sf, not a
+    // statistical hope — the q173/q184 expected-outcome convention.
+    "q197_lm_garbage_gate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val test = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      val counts = operators.Lm.lmCounts(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0), "text")
+      val garbage = test.select(col("doc_id"),
+        concat_ws(" ", transform(
+          functions.Text.edgeStrippedTokens(col("text")),
+          w => concat(lit("zz"), w))).as("text"))
+      val nat = operators.Lm.scoreDocs(test, "doc_id", "text", counts)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
+          sum(col("nll_fp")).as("nat_nll_fp"))
+      val gar = operators.Lm.scoreDocs(garbage, "doc_id", "text", counts)
+        .agg(sum(col("nll_fp")).as("garbage_nll_fp"))
+      nat.crossJoin(broadcast(gar))
+        .select(col("n_docs"), col("n_bigrams"), col("nat_nll_fp"),
+          col("garbage_nll_fp"),
+          (col("garbage_nll_fp") > col("nat_nll_fp")).as("garbage_scores_worse"))
+    }),
+
+    // q198: INCREMENTAL LM training — the count state is mergeable
+    // (q188's contract, LM edition): the training half arrives as TWO
+    // batches (doc_id%4==0 and %4==2), their states merge by summation,
+    // and the in-query gate pins merged ≡ from-scratch on the RAW count
+    // frames (one differing count anywhere flips merge_exact and fails
+    // the hash). Output is q196's held-out scoring off the MERGED model,
+    // so the oracle is q196's full replay plus the gate literal.
+    "q198_lm_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val merged = operators.Lm.mergeLmCounts(
+        operators.Lm.lmCounts(docs.where(pmod(col("doc_id"), lit(4L)) === 0), "text"),
+        operators.Lm.lmCounts(docs.where(pmod(col("doc_id"), lit(4L)) === 2), "text"))
+      val scratch = operators.Lm.lmCounts(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0), "text")
+      def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).unionByName(b.exceptAll(a))
+      val gate = diff(merged.bigrams, scratch.bigrams)
+        .unionByName(diff(merged.unigrams, scratch.unigrams)
+          .select(col("w").as("w1"), col("w").as("w2"), col("n")))
+        .agg(count(lit(1)).as("n_diff"))
+      operators.Lm.scoreDocs(
+          docs.where(pmod(col("doc_id"), lit(2L)) === 1), "doc_id", "text", merged)
+        .crossJoin(broadcast(gate))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_fp"), col("avg_nll_fp"),
+          (col("n_diff") === 0L).as("merge_exact"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -3947,6 +4019,56 @@ object SparkEntry {
        |  FROM scored)
        |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n$extraCols
        |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+
+  /** Shared model CTEs of the fixed-point stupid-backoff bigram LM
+    * (q196/q197/q198): tokenize (the q122 extraction), train on the
+    * even-doc_id half, bigram + context-total + unigram + (N, V) frames.
+    * ONE body feeds all three oracles, so the replay cannot drift. */
+  private val lmModelCtes: String =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
+      |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+      |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |tr AS (SELECT tk FROM d WHERE doc_id % 2 = 0),
+      |bgt AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+      |        FROM tr, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+      |c AS (SELECT w1, w2, count(*) AS n FROM bgt GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS nctx FROM c GROUP BY 1),
+      |uni AS (SELECT w, count(*) AS n
+      |        FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
+      |               CAST(count(*) AS BIGINT) AS vocab_v FROM uni),
+      |te AS (SELECT doc_id, tk FROM d WHERE doc_id % 2 = 1)""".stripMargin
+
+  /** Per-bigram fixed-point cost (BIGINT): seen = ilog(nctx) - ilog(n12);
+    * unseen = ilog(5*(N+V)) - ilog(2*(n(w2)+1)). Expects `c`/`ctx`/`uni`/
+    * `tot` columns in scope from [[lmModelCtes]]'s join. */
+  private val lmCostSql: String =
+    """CASE WHEN c.n IS NOT NULL
+      |  THEN CAST(floor(1024 * log2(ctx.nctx)) AS BIGINT)
+      |     - CAST(floor(1024 * log2(c.n)) AS BIGINT)
+      |  ELSE CAST(floor(1024 * log2(5 * (tot.big_n + tot.vocab_v))) AS BIGINT)
+      |     - CAST(floor(1024 * log2(2 * (coalesce(uni.n, 0) + 1))) AS BIGINT)
+      |END""".stripMargin
+
+  /** q196's per-doc held-out scoring replay; `extraCols` appends gate
+    * literals for the merged-training variant (q198). */
+  private def lmPerDocSql(extraCols: String): String =
+    s"""$lmModelCtes,
+       |db AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, count(*) AS cnt
+       |       FROM te, unnest(generate_series(1, len(tk)-1)) AS u(i)
+       |       GROUP BY 1, 2, 3),
+       |sc AS (SELECT db.doc_id,
+       |              CAST(sum(db.cnt) AS BIGINT) AS n_bigrams,
+       |              CAST(sum(db.cnt * ($lmCostSql)) AS BIGINT) AS nll_fp
+       |       FROM db LEFT JOIN c ON db.w1 = c.w1 AND db.w2 = c.w2
+       |               LEFT JOIN ctx ON db.w1 = ctx.w1
+       |               LEFT JOIN uni ON db.w2 = uni.w
+       |               CROSS JOIN tot
+       |       GROUP BY 1)
+       |SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |       coalesce(sc.nll_fp, 0) AS nll_fp,
+       |       coalesce(sc.nll_fp // sc.n_bigrams, 0) AS avg_nll_fp$extraCols
+       |FROM (SELECT doc_id FROM te) t LEFT JOIN sc USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q168_kcore_exact" -> kcoreExactOracleSql(k = 12, n = 10),
@@ -6312,6 +6434,34 @@ object SparkEntry {
         |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
         |       CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin,
+    // q196: full training + held-out scoring replay (see lmModelCtes)
+    "q196_lm_perplexity" -> lmPerDocSql(""),
+    // q197: the same model CTEs; the garbage side zz-prefixes every token
+    // (list_transform) and both sides score through one UNION ALL pass
+    "q197_lm_garbage_gate" ->
+      s"""$lmModelCtes,
+         |sides AS (SELECT 0 AS side, tk FROM te
+         |          UNION ALL
+         |          SELECT 1, list_transform(tk, w -> 'zz' || w) FROM te),
+         |db AS (SELECT side, tk[i] AS w1, tk[i+1] AS w2, count(*) AS cnt
+         |       FROM sides, unnest(generate_series(1, len(tk)-1)) AS u(i)
+         |       GROUP BY 1, 2, 3),
+         |sc AS (SELECT db.side,
+         |              CAST(sum(db.cnt) AS BIGINT) AS nb,
+         |              CAST(sum(db.cnt * ($lmCostSql)) AS BIGINT) AS nll
+         |       FROM db LEFT JOIN c ON db.w1 = c.w1 AND db.w2 = c.w2
+         |               LEFT JOIN ctx ON db.w1 = ctx.w1
+         |               LEFT JOIN uni ON db.w2 = uni.w
+         |               CROSS JOIN tot
+         |       GROUP BY 1)
+         |SELECT CAST((SELECT count(*) FROM te) AS BIGINT) AS n_docs,
+         |       n.nb AS n_bigrams, n.nll AS nat_nll_fp, g.nll AS garbage_nll_fp,
+         |       g.nll > n.nll AS garbage_scores_worse
+         |FROM (SELECT * FROM sc WHERE side = 0) n,
+         |     (SELECT * FROM sc WHERE side = 1) g""".stripMargin,
+    // q198: q196's replay — merged-batch training ≡ scratch by count
+    // additivity, so only the gate literal differs
+    "q198_lm_incremental" -> lmPerDocSql(", TRUE AS merge_exact"),
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the
