@@ -1175,18 +1175,43 @@ object Dedup {
    * lines once, keyed by doc id. No self-join, no window over the corpus,
    * no driver collection.
    */
-  def lineDedup(docs: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
-    require(minDf >= 2, s"minDf must be >= 2, got $minDf — at 1 every line is boilerplate")
-    val lines = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame =
+    lineDedupWith(docs, idCol, textCol, lineBoilerplate(docs, idCol, textCol, minDf))
+
+  /** The 16-byte line hash every line-dedup surface keys on (raw-binary
+    * safe, the [[exact]] hashing argument) — centralized so the batch
+    * kernel, the standing store, and any oracle replay cannot drift. */
+  def lineHash(line: Column): Column = md5(line.cast("binary"))
+
+  /** `(doc_id, pos, line, lh)` — one row per line of each doc. */
+  private def lineFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-      .withColumn("lh", md5(col("line").cast("binary")))
-    val boiler = lines
+      .withColumn("lh", lineHash(col("line")))
+
+  /** The boilerplate VOCABULARY alone — line hashes at df >= `minDf`
+    * distinct docs, the [[lineDedup]] cut set as a reusable frame (what a
+    * standing store maintains incrementally; see
+    * `StreamOps.boilerplateFromStore`). */
+  def lineBoilerplate(docs: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf — at 1 every line is boilerplate")
+    lineFrame(docs, idCol, textCol)
       .groupBy(col("lh"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .where(col("df") >= minDf)
       .select(col("lh"))
-    val kept = lines.join(boiler, Seq("lh"), "left_anti")
+  }
+
+  /**
+   * Apply a PRE-COMPUTED boilerplate vocabulary (`boiler`: one `lh`
+   * column) to a document frame — the incremental face of [[lineDedup]]:
+   * a new batch cleans against a standing corpus-wide vocabulary without
+   * re-deriving df from history. Same output contract as [[lineDedup]].
+   */
+  def lineDedupWith(docs: DataFrame, idCol: String, textCol: String,
+      boiler: DataFrame): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol)
+    val kept = lines.join(boiler.select(col("lh")).distinct(), Seq("lh"), "left_anti")
     val keptAgg = kept.groupBy(col("doc_id")).agg(
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),

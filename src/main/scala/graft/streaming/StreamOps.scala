@@ -456,6 +456,68 @@ object StreamOps {
         col("__c.n_tokens").as("n_tokens"), col("__c.chunk_hash").as("chunk_hash"))
 
   /**
+   * STREAMING maintenance of a standing LINE-HASH store — the boilerplate
+   * vocabulary of [[graft.operators.Dedup.lineDedup]] kept current from a
+   * document stream, in the [[streamingPostings]] discipline: each
+   * micro-batch hashes its lines ONCE and upserts one row per doc —
+   * `(id, lines, version)`, `lines` the doc's DISTINCT 16-byte line
+   * hashes sorted (a pure function of the text, so the row is
+   * deterministic and replay-idempotent under the store's max-struct
+   * winner rule). Doc-wholesale last-writer-wins IS the df semantic: a
+   * re-ingested doc that dropped its old footer stops contributing to
+   * that footer's df the moment its row supersedes — no decrement
+   * bookkeeping, because df is DERIVED from the store, never stored.
+   * A null-text re-ingest keeps the doc as an empty-lines row.
+   *
+   * Line hashes per doc are DISTINCT by construction (df counts docs,
+   * not occurrences), so [[boilerplateFromStore]] is a plain count per
+   * hash over the store — and feeding it to
+   * [[graft.operators.Dedup.lineDedupWith]] closes the loop: a new batch
+   * cleans against a corpus-wide vocabulary the stream keeps current,
+   * without ever re-reading history.
+   */
+  def streamingLines(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val perDoc = batch.where(col(textCol).isNotNull)
+          .select(col(idCol), explode(split(col(textCol), "\n", -1)).as("line"))
+          .select(col(idCol), graft.operators.Dedup.lineHash(col("line")).as("lh"))
+          .groupBy(col(idCol))
+          .agg(sort_array(collect_set(col("lh"))).as("lines"))
+        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+          .join(perDoc, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("lines"), typedlit(Seq.empty[String])
+              .cast("array<string>")).as("lines"),
+            lit(batchId).as("version"))
+        graft.sources.Sink.upsertBuckets(storePath, rows, idCol, "version", nBuckets)
+      }
+      .start()
+
+  /** Read the [[streamingLines]] store back as the flat `(idCol, lh)`
+    * frame — one row per (live doc, distinct line hash). */
+  def linesFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, idCol: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col(idCol), explode(col("lines")).as("lh"))
+
+  /** The standing boilerplate vocabulary: line hashes appearing in >=
+    * `minDf` live docs of the [[streamingLines]] store — exactly
+    * [[graft.operators.Dedup.lineBoilerplate]] of the live corpus
+    * (per-doc hashes are distinct, so df is a plain count). */
+  def boilerplateFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, idCol: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf — at 1 every line is boilerplate")
+    linesFromStore(spark, storePath, idCol)
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("lh"))
+  }
+
+  /**
    * STREAMING maintenance of a standing PERCEPTUAL-HASH store over an
    * image-blob stream — the multimodal member of the store family: each
    * micro-batch decodes ONCE through

@@ -637,6 +637,63 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingLines ≡ from-scratch lineBoilerplate (store-maintained boilerplate vocabulary)") {
+    it("re-ingests move df doc-wholesale; the store-derived vocabulary equals scratch") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("ln_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ln_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingLines(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      // FOOTER reaches df=3 in batch 2; batch 3 re-ingests docs 1 and 2
+      // WITHOUT it, dropping df back to 1 — the vocabulary must shrink
+      // with no decrement bookkeeping (df is derived, never stored)
+      val batches = Seq(
+        Seq((1L, "FOOTER\nalpha"), (2L, "FOOTER\nbeta")),
+        Seq((3L, "FOOTER\ngamma\nFOOTER")), // within-doc repeat: still one df
+        Seq((1L, "alpha only"), (2L, "beta only")))
+      try {
+        val live = scala.collection.mutable.Map.empty[Long, String]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.foreach { case (id, t) => live(id) = t }
+          val got = StreamOps.boilerplateFromStore(spark, store, "doc_id", minDf = 2)
+            .collect().map(_.getString(0)).toSet
+          val scratch = graft.operators.Dedup
+            .lineBoilerplate(live.toSeq.toDF("doc_id", "text"), "doc_id", "text", minDf = 2)
+            .collect().map(_.getString(0)).toSet
+          assert(got == scratch, s"after streaming ${live.toMap}")
+        }
+        // df(FOOTER) fell to 1 after the re-ingest: vocabulary is empty
+        assert(StreamOps.boilerplateFromStore(spark, store, "doc_id", 2).count() == 0)
+      } finally q.stop()
+    }
+
+    it("closes the loop: lineDedupWith(batch, store vocabulary) ≡ batch lineDedup semantics") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("ln2_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ln2_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingLines(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      try {
+        src.addData(Seq((1L, "NAV\none"), (2L, "NAV\ntwo"), (3L, "NAV\nthree")): _*)
+        q.processAllAvailable()
+        val vocab = StreamOps.boilerplateFromStore(spark, store, "doc_id", minDf = 3)
+        val incoming = Seq((10L, "NAV\nfresh text"), (11L, "NAV")).toDF("doc_id", "text")
+        val got = graft.operators.Dedup
+          .lineDedupWith(incoming, "doc_id", "text", vocab)
+          .as[(Long, String, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+        // NAV dies against the STANDING vocabulary even though it has
+        // df=2 inside the incoming batch alone
+        assert(got(10L) == (("fresh text", 2L, 1L, 1L)))
+        assert(got(11L) == (("", 1L, 0L, 1L)))
+      } finally q.stop()
+    }
+  }
+
   describe("streamingImagePhash ≡ from-scratch perceptualHash (store-maintained image dedup)") {
     it("re-ingests supersede; corrupted re-uploads retire; cross-format twins pair from the store") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
