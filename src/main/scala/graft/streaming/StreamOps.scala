@@ -518,6 +518,70 @@ object StreamOps {
   }
 
   /**
+   * STREAMING maintenance of a standing LANGUAGE-MODEL count store — the
+   * streaming face of [[graft.operators.Lm.mergeLmCounts]] (whose batch
+   * law, merged ≡ from-scratch, q198 gates): each micro-batch tokenizes
+   * ONCE and upserts one row per doc — `(id, unigrams, bigrams, version)`
+   * where both lists are the doc's per-n-gram counts SORTED (pure
+   * functions of the text: deterministic, replay-idempotent under the
+   * store's max-struct winner rule). Corpus-level counts are DERIVED from
+   * the live rows by summation ([[lmCountsFromStore]]), so doc-wholesale
+   * last-writer-wins IS the re-ingestion semantic — an edited doc's old
+   * n-grams stop counting the moment its row supersedes, with no
+   * decrement bookkeeping (the [[streamingLines]] argument, n-gram
+   * edition). A null-text re-ingest keeps the doc as an empty row.
+   *
+   * Feeding the derived state to `Lm.scoreDocs` closes the loop: a
+   * perplexity filter whose reference model the stream keeps current.
+   */
+  def streamingLmCounts(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = batch.where(col(textCol).isNotNull)
+          .select(col(idCol),
+            graft.functions.Text.edgeStrippedTokens(col(textCol)).as("tk"))
+        val uni = toks.select(col(idCol), explode(col("tk")).as("w"))
+          .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+          .groupBy(col(idCol))
+          .agg(sort_array(collect_list(struct(col("w"), col("n")))).as("unigrams"))
+        val bg = toks.where(size(col("tk")) >= 2)
+          .select(col(idCol), explode(expr(
+            "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
+            .as("p"))
+          .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col(idCol))
+          .agg(sort_array(collect_list(struct(col("w1"), col("w2"), col("n")))).as("bigrams"))
+        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+          .join(uni, Seq(idCol), "left")
+          .join(bg, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("unigrams"), typedlit(Seq.empty[(String, Long)])
+              .cast("array<struct<w:string,n:bigint>>")).as("unigrams"),
+            coalesce(col("bigrams"), typedlit(Seq.empty[(String, String, Long)])
+              .cast("array<struct<w1:string,w2:string,n:bigint>>")).as("bigrams"),
+            lit(batchId).as("version"))
+        graft.sources.Sink.upsertBuckets(storePath, rows, idCol, "version", nBuckets)
+      }
+      .start()
+
+  /** Derive the corpus-level [[graft.operators.Lm.LmCounts]] from the
+    * live rows of a [[streamingLmCounts]] store — exactly `Lm.lmCounts`
+    * of the live corpus, by per-doc-count additivity. */
+  def lmCountsFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): graft.operators.Lm.LmCounts = {
+    val store = graft.sources.Sink.readStore(spark, storePath)
+    graft.operators.Lm.LmCounts(
+      store.select(explode(col("unigrams")).as("u"))
+        .groupBy(col("u.w").as("w")).agg(sum(col("u.n")).as("n")),
+      store.select(explode(col("bigrams")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2")).agg(sum(col("b.n")).as("n")))
+  }
+
+  /**
    * STREAMING maintenance of a standing PERCEPTUAL-HASH store over an
    * image-blob stream — the multimodal member of the store family: each
    * micro-batch decodes ONCE through

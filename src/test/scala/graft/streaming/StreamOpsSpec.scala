@@ -694,6 +694,49 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingLmCounts ≡ from-scratch lmCounts (store-maintained LM state)") {
+    it("re-ingests supersede doc-wholesale; derived counts equal scratch and scoring agrees") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("lm_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("lm_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingLmCounts(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      // batch 2 re-ingests doc 1 with DIFFERENT bigrams (the old (a,b)
+      // mass must shrink) and doc 2 with empty text (all its n-grams die)
+      val batches = Seq(
+        Seq((1L, "a b a b"), (2L, "a c")),
+        Seq((1L, "b a"), (2L, ""), (3L, "a b c")),
+        Seq((4L, "c c c")))
+      try {
+        val live = scala.collection.mutable.Map.empty[Long, String]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.foreach { case (id, t) => live(id) = t }
+          val got = StreamOps.lmCountsFromStore(spark, store)
+          val scratch = graft.operators.Lm.lmCounts(
+            live.toSeq.toDF("doc_id", "text"), "text")
+          assert(got.unigrams.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+            scratch.unigrams.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+            s"unigrams after ${live.toMap}")
+          assert(got.bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+            scratch.bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet,
+            s"bigrams after ${live.toMap}")
+        }
+        // loop closed: scoring off the store state == scoring off scratch
+        val probe = Seq((100L, "a b zz"), (101L, "c a")).toDF("doc_id", "text")
+        val viaStore = graft.operators.Lm.scoreDocs(probe, "doc_id", "text",
+          StreamOps.lmCountsFromStore(spark, store))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val viaScratch = graft.operators.Lm.scoreDocs(probe, "doc_id", "text",
+          graft.operators.Lm.lmCounts(live.toSeq.toDF("doc_id", "text"), "text"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(viaStore == viaScratch)
+      } finally q.stop()
+    }
+  }
+
   describe("streamingImagePhash ≡ from-scratch perceptualHash (store-maintained image dedup)") {
     it("re-ingests supersede; corrupted re-uploads retire; cross-format twins pair from the store") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
