@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -69,6 +69,7 @@ object Stress {
     if (mode == "linkage") { linkageStudy(spark, sfDir); spark.stop(); return }
     if (mode == "allpairs") { allPairsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "knn") { knnStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "lm") { lmStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -1038,6 +1039,69 @@ object Stress {
    * 1024 cap drops that hot cell, counts it, completes, and no surviving
    * edge points into a dropped member.
    */
+  /** LM perplexity filter at replica scale (the q196/q197 chain): the
+    * claim under stress is the Heaps-law scale posture — MODEL FRAMES ARE
+    * VOCABULARY-BOUNDED, so a 10x corpus changes no model row count, only
+    * the counts inside (exactly x10, by additivity — an integer claim,
+    * checked row-for-row). Scoring stays corpus-linear and the zz-OOV
+    * garbage gate stays certain at scale. */
+  private def lmStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Lm
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val replica = (0 until 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (10x replicated)")(replica.count())
+
+    def materialized(c: Lm.LmCounts): Lm.LmCounts = {
+      val m = Lm.LmCounts(
+        c.unigrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
+        c.bigrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      m.unigrams.count(); m.bigrams.count(); m
+    }
+    val base = timed("train on base corpus")(materialized(Lm.lmCounts(docs, "text")))
+    val big = timed("train on 10x replica")(materialized(Lm.lmCounts(replica, "text")))
+    val (v1, b1) = (base.unigrams.count(), base.bigrams.count())
+    val (v10, b10) = (big.unigrams.count(), big.bigrams.count())
+    println(s"[stress] model frames: $v1 unigram rows, $b1 bigram rows at 1x; " +
+      s"$v10 / $b10 at 10x (expect IDENTICAL: vocabulary saturates, corpus mass doesn't add rows)")
+    require(v1 == v10 && b1 == b10,
+      "model frame row counts changed under replication — vocabulary-boundedness violated")
+    val uniMismatch = base.unigrams
+      .join(big.unigrams.withColumnRenamed("n", "n10"), Seq("w"))
+      .where(col("n10") =!= col("n") * 10L).count()
+    val bgMismatch = base.bigrams
+      .join(big.bigrams.withColumnRenamed("n", "n10"), Seq("w1", "w2"))
+      .where(col("n10") =!= col("n") * 10L).count()
+    println(s"[stress] count additivity: $uniMismatch unigram + $bgMismatch bigram rows " +
+      "deviate from exactly x10 (expect 0 + 0)")
+    require(uniMismatch == 0 && bgMismatch == 0,
+      "replica counts are not exactly 10x the base — additivity violated")
+
+    val natural = timed("score 10x corpus")(
+      Lm.scoreDocs(replica, "doc_id", "text", big)
+        .agg(sum(col("nll_fp")).as("nll"), sum(col("n_bigrams")).as("nb")).head())
+    val garbage = replica.select(col("doc_id"),
+      concat_ws(" ", transform(
+        graft.functions.Text.edgeStrippedTokens(col("text")),
+        w => concat(lit("zz"), w))).as("text"))
+    val garbageNll = timed("score 10x zz-garbage")(
+      Lm.scoreDocs(garbage, "doc_id", "text", big)
+        .agg(sum(col("nll_fp"))).head().getLong(0))
+    val perBigram = natural.getLong(0) / math.max(natural.getLong(1), 1L)
+    val perBigramG = garbageNll / math.max(natural.getLong(1), 1L)
+    println(s"[stress] $n docs scored: natural ${perBigram} fp/bigram, " +
+      s"garbage ${perBigramG} fp/bigram (expect garbage strictly worse — the certain gate)")
+    require(garbageNll > natural.getLong(0), "garbage did not out-cost natural text at scale")
+
+    base.unigrams.unpersist(); base.bigrams.unpersist()
+    big.unigrams.unpersist(); big.bigrams.unpersist()
+    replica.unpersist(); ()
+  }
+
   private def knnStudy(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.Similarity
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
