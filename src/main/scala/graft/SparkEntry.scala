@@ -3741,6 +3741,31 @@ object SparkEntry {
           (col("n_diff") === 0L).as("merge_exact"))
     }),
 
+    // q199: the LM as an actual FILTER — keep/drop verdicts, not raw
+    // scores: held-out docs plus planted zz-garbage twins of the first
+    // 50 score under the q196 model, and a doc survives at
+    // avg_nll_fp <= 8 bits/bigram (natural text sits near 5 bits here,
+    // zz-garbage is pinned at the ~17.6-bit maximal backoff cost — both
+    // verdict branches are exercised with planted certainty, the
+    // q173/q184 convention). Zero-bigram docs are dropped explicitly
+    // (keep = false): a filter must not pass what it cannot assess.
+    "q199_lm_filter" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val test = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+        .select(col("doc_id"), col("text"))
+      val garbage = test.where(col("doc_id") < 100)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", transform(
+            functions.Text.edgeStrippedTokens(col("text")),
+            w => concat(lit("zz"), w))).as("text"))
+      val counts = operators.Lm.lmCounts(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0), "text")
+      operators.Lm.scoreDocs(test.unionByName(garbage), "doc_id", "text", counts)
+        .select(col("doc_id"), col("n_bigrams"), col("nll_fp"), col("avg_nll_fp"),
+          (col("n_bigrams") >= 1L && col("avg_nll_fp") <= lit(8L * 1024L)).as("keep"))
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -4037,7 +4062,11 @@ object SparkEntry {
       |        FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1),
       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
       |               CAST(count(*) AS BIGINT) AS vocab_v FROM uni),
-      |te AS (SELECT doc_id, tk FROM d WHERE doc_id % 2 = 1)""".stripMargin
+      |ho AS (SELECT doc_id, tk FROM d WHERE doc_id % 2 = 1)""".stripMargin
+
+  /** The held-out natural scoring side, as the `te` CTE each LM oracle
+    * plugs after [[lmModelCtes]] (q199 swaps in an augmented one). */
+  private val lmHeldOutTe: String = "te AS (SELECT doc_id, tk FROM ho)"
 
   /** Per-bigram fixed-point cost (BIGINT): seen = ilog(nctx) - ilog(n12);
     * unseen = ilog(5*(N+V)) - ilog(2*(n(w2)+1)). Expects `c`/`ctx`/`uni`/
@@ -4051,9 +4080,11 @@ object SparkEntry {
       |END""".stripMargin
 
   /** q196's per-doc held-out scoring replay; `extraCols` appends gate
-    * literals for the merged-training variant (q198). */
-  private def lmPerDocSql(extraCols: String): String =
+    * literals for the merged-training variant (q198), `teCte` swaps the
+    * scoring side (q199 augments it with planted garbage). */
+  private def lmPerDocSql(extraCols: String, teCte: String = lmHeldOutTe): String =
     s"""$lmModelCtes,
+       |$teCte,
        |db AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, count(*) AS cnt
        |       FROM te, unnest(generate_series(1, len(tk)-1)) AS u(i)
        |       GROUP BY 1, 2, 3),
@@ -6440,9 +6471,9 @@ object SparkEntry {
     // (list_transform) and both sides score through one UNION ALL pass
     "q197_lm_garbage_gate" ->
       s"""$lmModelCtes,
-         |sides AS (SELECT 0 AS side, tk FROM te
+         |sides AS (SELECT 0 AS side, tk FROM ho
          |          UNION ALL
-         |          SELECT 1, list_transform(tk, w -> 'zz' || w) FROM te),
+         |          SELECT 1, list_transform(tk, w -> 'zz' || w) FROM ho),
          |db AS (SELECT side, tk[i] AS w1, tk[i+1] AS w2, count(*) AS cnt
          |       FROM sides, unnest(generate_series(1, len(tk)-1)) AS u(i)
          |       GROUP BY 1, 2, 3),
@@ -6454,7 +6485,7 @@ object SparkEntry {
          |               LEFT JOIN uni ON db.w2 = uni.w
          |               CROSS JOIN tot
          |       GROUP BY 1)
-         |SELECT CAST((SELECT count(*) FROM te) AS BIGINT) AS n_docs,
+         |SELECT CAST((SELECT count(*) FROM ho) AS BIGINT) AS n_docs,
          |       n.nb AS n_bigrams, n.nll AS nat_nll_fp, g.nll AS garbage_nll_fp,
          |       g.nll > n.nll AS garbage_scores_worse
          |FROM (SELECT * FROM sc WHERE side = 0) n,
@@ -6462,6 +6493,15 @@ object SparkEntry {
     // q198: q196's replay — merged-batch training ≡ scratch by count
     // additivity, so only the gate literal differs
     "q198_lm_incremental" -> lmPerDocSql(", TRUE AS merge_exact"),
+    // q199: q196's replay over an augmented scoring side (held-out docs
+    // plus zz-garbage twins) with the 8-bit keep verdict appended
+    "q199_lm_filter" -> lmPerDocSql(
+      extraCols = """, coalesce(sc.n_bigrams, 0) >= 1
+                    |  AND coalesce(sc.nll_fp // sc.n_bigrams, 0) <= 8192 AS keep""".stripMargin,
+      teCte = """te AS (SELECT doc_id, tk FROM ho
+                |       UNION ALL
+                |       SELECT doc_id + 3000000, list_transform(tk, w -> 'zz' || w)
+                |       FROM ho WHERE doc_id < 100)""".stripMargin),
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the
