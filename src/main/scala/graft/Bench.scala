@@ -25,7 +25,12 @@ object Bench {
     // inflated ~1.8x by one); steal only ever ADDS time, so the minimum is
     // the steal-free estimator of the query's true cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration (the
+    // Verify convention); the driver leaves it unset and runs the full map
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter(q => filter.forall(_.contains(q._1)))
+      .sortBy(_._1).map { case (name, fn) =>
       // Force EVERY output column: a bare count() would let Catalyst prune
       // the projections under test (expression-only queries would measure a
       // parquet row count, nothing else). Hashing all columns into one sum
@@ -79,7 +84,9 @@ object Bench {
     // lost its total that way), so: (a) persist the full JSON to a repo
     // file committed with the round, and (b) print a SHORT summary line
     // LAST so a 2 KB tail always carries the recoverable numbers
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // a FILTERED run must not clobber the committed full-run artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (filter.isDefined) "BENCH_FILTERED.json" else "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
