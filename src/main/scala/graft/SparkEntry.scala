@@ -3766,6 +3766,27 @@ object SparkEntry {
           (col("n_bigrams") >= 1L && col("avg_nll_fp") <= lit(8L * 1024L)).as("keep"))
     }),
 
+    // q200: K-ANONYMITY release audit (Samarati/Sweeney generalization
+    // ladder) — a doc releases only when its quasi-identifier class
+    // (lang, source, 400-char length band) holds >= 8 docs; smaller
+    // classes retry at (lang, source), then (lang), and three planted
+    // 'xx'-language docs are CERTAIN to exhaust the ladder and surface as
+    // suppressed (level -1, all-null) — the compliance path where a row
+    // must stay visible, never silently vanish. Class sizes at each level
+    // are computed over the not-yet-released remainder (the cascade
+    // definition), which the oracle replays as chained windowed CTEs.
+    "q200_k_anonymity" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (expr("n_chars div 400") * 400L).as("len_b"))
+      val planted = s.range(3).select((col("id") + 9100001L).as("doc_id"),
+        lit("xx").as("lang"), lit("srcx").as("source"), lit(0L).as("len_b"))
+      operators.Privacy.kAnonymize(base.unionByName(planted), "doc_id",
+        Seq(Seq("lang", "source", "len_b"), Seq("lang", "source"), Seq("lang")), k = 8)
+    }),
+
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where
     // the sf0.01 co-purchase graph cascades through FIVE peel rounds —
     // a real multi-round fixpoint, not a one-shot filter. The in-query
@@ -6502,6 +6523,35 @@ object SparkEntry {
                 |       UNION ALL
                 |       SELECT doc_id + 3000000, list_transform(tk, w -> 'zz' || w)
                 |       FROM ho WHERE doc_id < 100)""".stripMargin),
+    // q200: the cascade replayed as chained windowed CTEs — each level's
+    // class count runs over the remainder of the previous one, released
+    // rows null the columns outside their level, and the planted 'xx'
+    // docs fall through to the suppressed branch
+    "q200_k_anonymity" ->
+      """WITH l0 AS (
+        |  SELECT doc_id, lang, source, (n_chars // 400) * 400 AS len_b
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND source IS NOT NULL AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT 9100001 + i, 'xx', 'srcx', 0 FROM range(3) t(i)),
+        |c0 AS (SELECT *, count(*) OVER (PARTITION BY lang, source, len_b) AS n FROM l0),
+        |r0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS level, lang, source, len_b
+        |       FROM c0 WHERE n >= 8),
+        |x0 AS (SELECT doc_id, lang, source, len_b FROM c0 WHERE n < 8),
+        |c1 AS (SELECT *, count(*) OVER (PARTITION BY lang, source) AS n FROM x0),
+        |r1 AS (SELECT doc_id, CAST(1 AS BIGINT), lang, source, CAST(NULL AS BIGINT)
+        |       FROM c1 WHERE n >= 8),
+        |x1 AS (SELECT doc_id, lang, source, len_b FROM c1 WHERE n < 8),
+        |c2 AS (SELECT *, count(*) OVER (PARTITION BY lang) AS n FROM x1),
+        |r2 AS (SELECT doc_id, CAST(2 AS BIGINT), lang, CAST(NULL AS VARCHAR),
+        |              CAST(NULL AS BIGINT)
+        |       FROM c2 WHERE n >= 8),
+        |sup AS (SELECT doc_id, CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR),
+        |               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |        FROM c2 WHERE n < 8)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        |UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM sup""".stripMargin,
     // q184: expected-outcome form (q173's planted-gate convention) — the
     // disjoint-vocab fixture makes the held-out prediction mathematically
     // certain, so the oracle derives the diagonal independently from the

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * K-ANONYMITY via a generalization ladder (Samarati/Sweeney, reduced to
+ * its relational core) — the release-compliance side of privacy curation,
+ * complementing [[graft.functions.Text.scrubPii]]'s in-text redaction: a
+ * row may only be released if its QUASI-IDENTIFIER tuple (the columns
+ * that jointly re-identify: language, source, length band, ...) is shared
+ * by at least k rows. Rows in too-small equivalence classes are not
+ * dropped outright — they retry at successively COARSER quasi-identifier
+ * levels (drop the length band, then the source, ...) and only rows
+ * whose class is still < k at the coarsest level are suppressed.
+ *
+ * Semantics (deterministic, engine-replayable): levels are evaluated in
+ * order on the NOT-YET-RELEASED remainder — a row released at level i was
+ * in a < k class at every finer level, and class sizes at level i are
+ * computed over exactly the rows that reached level i (the cascade
+ * definition; the oracle replays it as chained windowed CTEs). Output is
+ * one row per input row: `(id, level, <quasi columns>)` with every column
+ * OUTSIDE the releasing level nulled (that is the generalization), and
+ * `level = -1` + all-null for suppressed rows — visible, never vanished.
+ *
+ * SCALE SHAPE: each level is ONE hash exchange over the shrinking
+ * remainder, carrying only (id + quasi) columns — never text or payload;
+ * the ladder depth is a small constant set by the caller. The per-level
+ * count is a PARTITIONED window (class-bounded, the q67 posture), so no
+ * corpus-wide sort and no driver collection anywhere.
+ */
+object Privacy {
+
+  /**
+   * Anonymize `df` against the ladder: `levels(i)` names the quasi
+   * columns of level i (finest first; columns must exist in `df`, and a
+   * coarser level is typically a subset of the finer one). Returns
+   * `(idCol, level, union-of-quasi-columns)` as described above. NULL
+   * quasi values are legal and group together (SQL window-partition
+   * semantics in both engines).
+   */
+  def kAnonymize(df: DataFrame, idCol: String, levels: Seq[Seq[String]], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k — k = 1 releases everything")
+    require(levels.nonEmpty, "at least one quasi-identifier level is required")
+    require(levels.forall(_.nonEmpty), "a level must name at least one quasi column")
+    val allQ = levels.flatten.distinct
+    val types = allQ.map(c => c -> df.schema(c).dataType).toMap
+    val base = df.select((col(idCol).cast("long").as(idCol) +: allQ.map(col)): _*)
+
+    def shape(levelNo: Long, qs: Set[String])(frame: DataFrame): DataFrame =
+      frame.select(
+        (col(idCol) +: lit(levelNo).as("level") +:
+          allQ.map(c =>
+            (if (qs(c)) col(c) else lit(null).cast(types(c))).as(c))): _*)
+
+    val (releasedAll, rest) = levels.zipWithIndex
+      .foldLeft((Seq.empty[DataFrame], base)) { case ((acc, remaining), (qs, i)) =>
+        val counted = remaining.withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(qs.map(col): _*)))
+        (acc :+ shape(i.toLong, qs.toSet)(counted.where(col("__n") >= k)),
+          counted.where(col("__n") < k).drop("__n"))
+      }
+    (releasedAll :+ shape(-1L, Set.empty)(rest)).reduce(_.unionByName(_))
+  }
+
+  /** The audit face: per-class sizes at one quasi level, with the < k
+    * risk flag — what a release review reads before anonymizing. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** K-anonymity generalization ladder: release levels, cascade-on-remainder
+  * semantics, suppression visibility, null grouping, guards. */
+class PrivacySpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String, String)], levels: Seq[Seq[String]], k: Int)
+      : Map[Long, (Long, Option[String], Option[String])] =
+    Privacy.kAnonymize(rows.toDF("id", "a", "b"), "id", levels, k)
+      .as[(Long, Long, Option[String], Option[String])].collect()
+      .map { case (id, lvl, a, b) => id -> ((lvl, a, b)) }.toMap
+
+  describe("Privacy.kAnonymize") {
+    it("releases a >= k class at the finest level with all its quasi columns") {
+      val got = run(Seq((1L, "de", "x"), (2L, "de", "x"), (3L, "fr", "y")),
+        Seq(Seq("a", "b"), Seq("a")), k = 2)
+      assert(got(1L) == ((0L, Some("de"), Some("x"))))
+      assert(got(2L) == ((0L, Some("de"), Some("x"))))
+    }
+
+    it("generalizes a < k class to the coarser level, nulling the dropped column") {
+      // (fr,y) and (fr,z) are singletons at level 0; together they are a
+      // 2-class at level 1 (a = fr)
+      val got = run(Seq((1L, "de", "x"), (2L, "de", "x"), (3L, "fr", "y"), (4L, "fr", "z")),
+        Seq(Seq("a", "b"), Seq("a")), k = 2)
+      assert(got(3L) == ((1L, Some("fr"), None)))
+      assert(got(4L) == ((1L, Some("fr"), None)))
+    }
+
+    it("computes coarser-level class sizes over the REMAINDER, not the full input") {
+      // a = de has 3 rows in total, but 2 release at level 0 — the one
+      // remaining de row is a singleton at level 1 and must be SUPPRESSED,
+      // not released on the strength of its already-released siblings
+      val got = run(Seq((1L, "de", "x"), (2L, "de", "x"), (3L, "de", "y")),
+        Seq(Seq("a", "b"), Seq("a")), k = 2)
+      assert(got(3L) == ((-1L, None, None)))
+    }
+
+    it("keeps suppressed rows visible at level -1 with every quasi column null") {
+      val got = run(Seq((1L, "de", "x"), (2L, "de", "x"), (3L, "zz", "q")),
+        Seq(Seq("a", "b"), Seq("a")), k = 2)
+      assert(got(3L) == ((-1L, None, None)))
+      assert(got.size == 3)
+    }
+
+    it("groups NULL quasi values together (SQL window-partition semantics)") {
+      val rows = Seq((1L, null.asInstanceOf[String], "x"), (2L, null.asInstanceOf[String], "x"))
+      val got = run(rows, Seq(Seq("a", "b")), k = 2)
+      assert(got(1L) == ((0L, None, Some("x"))))
+      assert(got(2L) == ((0L, None, Some("x"))))
+    }
+
+    it("rejects k < 2 and empty ladders loudly") {
+      val df = Seq((1L, "a", "b")).toDF("id", "a", "b")
+      assertThrows[IllegalArgumentException](Privacy.kAnonymize(df, "id", Seq(Seq("a")), 1))
+      assertThrows[IllegalArgumentException](Privacy.kAnonymize(df, "id", Seq.empty, 2))
+      assertThrows[IllegalArgumentException](Privacy.kAnonymize(df, "id", Seq(Seq.empty), 2))
+    }
+  }
+
+  describe("Privacy.kAnonymityAudit") {
+    it("flags classes under k") {
+      val audit = Privacy.kAnonymityAudit(
+        Seq((1L, "de"), (2L, "de"), (3L, "fr")).toDF("id", "a"), Seq("a"), k = 2)
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(audit == Set(("de", 2L, false), ("fr", 1L, true)))
+    }
+  }
+}
