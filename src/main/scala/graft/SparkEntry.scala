@@ -3766,6 +3766,21 @@ object SparkEntry {
           (col("n_bigrams") >= 1L && col("avg_nll_fp") <= lit(8L * 1024L)).as("keep"))
     }),
 
+    // q201: TRIGRAM-order LM scoring — q196 one order up, with the FULL
+    // stupid-backoff chain live on held-out data: seen trigram, else
+    // bigram at one 2/5 discount, else add-one unigram at two discounts.
+    // This corpus realizes a small fraction of its trigram cube, so all
+    // three chain branches carry real mass (the held-out split is what
+    // makes the backoff levels reachable at all — see q196).
+    "q201_lm_trigram" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      operators.Lm.scoreDocs3(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1), "doc_id", "text",
+        operators.Lm.lmCounts3(
+          docs.where(pmod(col("doc_id"), lit(2L)) === 0), "text"))
+    }),
+
     // q200: K-ANONYMITY release audit (Samarati/Sweeney generalization
     // ladder) — a doc releases only when its quasi-identifier class
     // (lang, source, 400-char length band) holds >= 8 docs; smaller
@@ -6523,6 +6538,43 @@ object SparkEntry {
                 |       UNION ALL
                 |       SELECT doc_id + 3000000, list_transform(tk, w -> 'zz' || w)
                 |       FROM ho WHERE doc_id < 100)""".stripMargin),
+    // q201: q196's model CTEs plus the trigram frame and its context
+    // totals; the CASE replays the full backoff chain with each 2/5
+    // discount multiplied through the integers
+    "q201_lm_trigram" ->
+      s"""$lmModelCtes,
+         |bgt3 AS (SELECT tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+         |         FROM tr, unnest(generate_series(1, len(tk)-2)) AS u(i)),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS n FROM bgt3 GROUP BY 1, 2, 3),
+         |cx2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS nctx2 FROM c3 GROUP BY 1, 2),
+         |db AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3,
+         |              count(*) AS cnt
+         |       FROM ho, unnest(generate_series(1, len(tk)-2)) AS u(i)
+         |       GROUP BY 1, 2, 3, 4),
+         |sc AS (SELECT db.doc_id,
+         |              CAST(sum(db.cnt) AS BIGINT) AS n_trigrams,
+         |              CAST(sum(db.cnt * (CASE
+         |                WHEN c3.n IS NOT NULL
+         |                  THEN CAST(floor(1024 * log2(cx2.nctx2)) AS BIGINT)
+         |                     - CAST(floor(1024 * log2(c3.n)) AS BIGINT)
+         |                WHEN b2.n IS NOT NULL
+         |                  THEN CAST(floor(1024 * log2(5 * cx1.nctx)) AS BIGINT)
+         |                     - CAST(floor(1024 * log2(2 * b2.n)) AS BIGINT)
+         |                ELSE CAST(floor(1024 * log2(25 * (tot.big_n + tot.vocab_v))) AS BIGINT)
+         |                   - CAST(floor(1024 * log2(4 * (coalesce(uni.n, 0) + 1))) AS BIGINT)
+         |                END)) AS BIGINT) AS nll_fp
+         |       FROM db
+         |       LEFT JOIN c3 ON db.w1 = c3.w1 AND db.w2 = c3.w2 AND db.w3 = c3.w3
+         |       LEFT JOIN cx2 ON db.w1 = cx2.w1 AND db.w2 = cx2.w2
+         |       LEFT JOIN c b2 ON b2.w1 = db.w2 AND b2.w2 = db.w3
+         |       LEFT JOIN ctx cx1 ON cx1.w1 = db.w2
+         |       LEFT JOIN uni ON uni.w = db.w3
+         |       CROSS JOIN tot
+         |       GROUP BY 1)
+         |SELECT t.doc_id, coalesce(sc.n_trigrams, 0) AS n_trigrams,
+         |       coalesce(sc.nll_fp, 0) AS nll_fp,
+         |       coalesce(sc.nll_fp // sc.n_trigrams, 0) AS avg_nll_fp
+         |FROM (SELECT doc_id FROM ho) t LEFT JOIN sc USING (doc_id)""".stripMargin,
     // q200: the cascade replayed as chained windowed CTEs — each level's
     // class count runs over the remainder of the previous one, released
     // rows null the columns outside their level, and the planted 'xx'

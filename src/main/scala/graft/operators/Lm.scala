@@ -129,4 +129,90 @@ object Lm {
   def perplexityScore(train: DataFrame, score: DataFrame,
                       idCol: String, textCol: String): DataFrame =
     scoreDocs(score, idCol, textCol, lmCounts(train, textCol))
+
+  /** TRIGRAM-order training state: the bigram/unigram frames of
+    * [[LmCounts]] plus `trigrams(w1, w2, w3, n)` — the full backoff chain
+    * a trigram scorer needs. Same additivity contract. */
+  final case class LmCounts3(unigrams: DataFrame, bigrams: DataFrame, trigrams: DataFrame)
+
+  /** The trigram window pairing as a NARROW array transform (the q122
+    * bigram kernel, one order up). */
+  private def triWindows(tk: org.apache.spark.sql.Column) = explode(expr(
+    "transform(slice(tk, 1, size(tk)-2), (w, i) -> " +
+      "struct(w AS w1, element_at(tk, i+2) AS w2, element_at(tk, i+3) AS w3))"))
+
+  /** One tokenize pass: unigram, bigram AND trigram counts. The trigram
+    * frame is vocabulary³-bounded in principle and Heaps-bounded in
+    * practice (real text realizes a vanishing fraction of the cube). */
+  def lmCounts3(docs: DataFrame, textCol: String): LmCounts3 = {
+    val two = lmCounts(docs, textCol)
+    val tri = docs.where(col(textCol).isNotNull)
+      .select(graft.functions.Text.edgeStrippedTokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(triWindows(col("tk")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("n"))
+    LmCounts3(two.unigrams, two.bigrams, tri)
+  }
+
+  /** Sum two batches' trigram-order states — exact, by additivity. */
+  def mergeLmCounts3(a: LmCounts3, b: LmCounts3): LmCounts3 = {
+    val two = mergeLmCounts(LmCounts(a.unigrams, a.bigrams), LmCounts(b.unigrams, b.bigrams))
+    LmCounts3(two.unigrams, two.bigrams,
+      a.trigrams.unionByName(b.trigrams)
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("n")))
+  }
+
+  /**
+   * Trigram scoring with the FULL stupid-backoff chain, per consecutive
+   * window (w1, w2, w3):
+   *
+   *   seen trigram:          cost = ilog(nctx2(w1,w2))   - ilog(n(w1,w2,w3))
+   *   backoff to bigram:     cost = ilog(5 * nctx(w2))   - ilog(2 * n(w2,w3))
+   *   backoff to unigram:    cost = ilog(25 * (N + V))   - ilog(4 * (n(w3) + 1))
+   *
+   * — each backoff level folds one 2/5 discount into the integers
+   * (`-log2(0.4 · P) = ilog-difference with 5/2 multiplied through`), so
+   * a doubly-unseen continuation pays both discounts. `nctx2` comes from
+   * the trigram frame and `nctx` from the bigram frame (same last-window
+   * argument as the bigram model). Output contract mirrors [[scoreDocs]]:
+   * `(doc_id, n_trigrams, nll_fp, avg_nll_fp)`, sub-3-token docs at
+   * `(0, 0, 0)`.
+   */
+  def scoreDocs3(docs: DataFrame, idCol: String, textCol: String, counts: LmCounts3): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+    val db = base.where(col("__text").isNotNull)
+      .select(col("doc_id"), graft.functions.Text.edgeStrippedTokens(col("__text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), triWindows(col("tk")).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("cnt"))
+    val ctx2 = counts.trigrams.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("nctx2"))
+    val ctx1 = counts.bigrams.groupBy(col("w1")).agg(sum(col("n")).as("nctx"))
+    val tot = counts.unigrams.agg(
+      sum(col("n")).as("big_n"), count(lit(1)).as("vocab_v"))
+    val cost =
+      when(col("n3").isNotNull, ilog(col("nctx2")) - ilog(col("n3")))
+        .otherwise(when(col("n2").isNotNull,
+          ilog(lit(5L) * col("nctx")) - ilog(lit(2L) * col("n2")))
+          .otherwise(ilog(lit(25L) * (col("big_n") + col("vocab_v"))) -
+            ilog(lit(4L) * (coalesce(col("un"), lit(0L)) + lit(1L)))))
+    val scored = db
+      .join(counts.trigrams.withColumnRenamed("n", "n3"), Seq("w1", "w2", "w3"), "left")
+      .join(ctx2, Seq("w1", "w2"), "left")
+      .join(counts.bigrams
+        .select(col("w1").as("w2"), col("w2").as("w3"), col("n").as("n2")),
+        Seq("w2", "w3"), "left")
+      .join(ctx1.select(col("w1").as("w2"), col("nctx")), Seq("w2"), "left")
+      .join(counts.unigrams.select(col("w").as("w3"), col("n").as("un")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_trigrams"),
+        sum(col("cnt") * cost).as("nll_fp"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("nll_fp"), lit(0L)).as("nll_fp"),
+        coalesce(expr("nll_fp div n_trigrams"), lit(0L)).as("avg_nll_fp"))
+  }
 }

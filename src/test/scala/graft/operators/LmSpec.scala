@@ -97,6 +97,63 @@ class LmSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  // trigram train corpus:
+  //   unigrams: a->3, b->3, c->2, d->1           (N=9, V=4)
+  //   bigrams:  (a,b)->3, (b,c)->2, (b,d)->1     nctx(a)=3, nctx(b)=3
+  //   trigrams: (a,b,c)->2, (a,b,d)->1           nctx2(a,b)=3
+  private val train3 = Seq(
+    (1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+
+  private def score3(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] =
+    Lm.scoreDocs3(docs.toDF("doc_id", "text"), "doc_id", "text",
+      Lm.lmCounts3(train3, "text"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, nt, nll, avg) => id -> ((nt, nll, avg)) }.toMap
+
+  describe("Lm.scoreDocs3 (trigram backoff chain)") {
+    it("charges a seen trigram ilog(nctx2) - ilog(n123)") {
+      val want = ilog(3) - ilog(2)
+      assert(score3(Seq((10L, "a b c")))(10L) == ((1L, want, want)))
+    }
+
+    it("backs off an unseen trigram to the seen bigram at one 2/5 discount") {
+      // (x,b,c) unseen; (b,c) seen n=2, nctx(b)=3 -> ilog(15) - ilog(4)
+      val want = ilog(15) - ilog(4)
+      assert(score3(Seq((11L, "x b c")))(11L) == ((1L, want, want)))
+    }
+
+    it("pays BOTH discounts when bigram is unseen too (OOV continuation)") {
+      // (a,b,e): (b,e) unseen, e OOV -> ilog(25*(9+4)) - ilog(4*1)
+      val want = ilog(325) - ilog(4)
+      assert(score3(Seq((12L, "a b e")))(12L) == ((1L, want, want)))
+    }
+
+    it("orders the chain: seen < bigram backoff < unigram backoff") {
+      val seen = score3(Seq((13L, "a b c")))(13L)._2
+      val bi = score3(Seq((14L, "x b c")))(14L)._2
+      val uni = score3(Seq((15L, "a b e")))(15L)._2
+      assert(seen < bi && bi < uni)
+    }
+
+    it("keeps sub-3-token docs at (0, 0, 0)") {
+      assert(score3(Seq((16L, "a b")))(16L) == ((0L, 0L, 0L)))
+    }
+  }
+
+  describe("Lm.mergeLmCounts3") {
+    it("merged trigram state equals from-scratch on the union") {
+      val m = Lm.mergeLmCounts3(
+        Lm.lmCounts3(train3.where(col("doc_id") <= 1), "text"),
+        Lm.lmCounts3(train3.where(col("doc_id") > 1), "text"))
+      val s3 = Lm.lmCounts3(train3, "text")
+      def diff(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+        x.exceptAll(y).unionByName(y.exceptAll(x)).count()
+      assert(diff(m.trigrams, s3.trigrams) == 0)
+      assert(diff(m.bigrams, s3.bigrams) == 0)
+      assert(diff(m.unigrams, s3.unigrams) == 0)
+    }
+  }
+
   describe("garbage ranking (the q197 gate property)") {
     it("token-reversed natural text scores a higher total NLL than the original") {
       val nat = Seq(
