@@ -3766,6 +3766,23 @@ object SparkEntry {
           (col("n_bigrams") >= 1L && col("avg_nll_fp") <= lit(8L * 1024L)).as("keep"))
     }),
 
+    // q202: L-DIVERSITY audit — k-anonymity's blind spot: a class can
+    // hold plenty of rows yet leak its SENSITIVE attribute outright when
+    // every member shares one value (homogeneity attack). Eight planted
+    // 'xx' docs form exactly that class — k-safe at 8 members, but one
+    // source — and are CERTAIN to flag at l = 3; natural (lang, length-
+    // band) classes audit their source diversity alongside.
+    "q202_l_diversity" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("lang"), (expr("n_chars div 400") * 400L).as("len_b"), col("source"))
+      val planted = s.range(8).select(lit("xx").as("lang"),
+        lit(0L).as("len_b"), lit("srcx").as("source"))
+      operators.Privacy.lDiversityAudit(base.unionByName(planted),
+        Seq("lang", "len_b"), "source", l = 3)
+    }),
+
     // q201: TRIGRAM-order LM scoring — q196 one order up, with the FULL
     // stupid-backoff chain live on held-out data: seen trigram, else
     // bigram at one 2/5 discount, else add-one unigram at two discounts.
@@ -6538,6 +6555,20 @@ object SparkEntry {
                 |       UNION ALL
                 |       SELECT doc_id + 3000000, list_transform(tk, w -> 'zz' || w)
                 |       FROM ho WHERE doc_id < 100)""".stripMargin),
+    // q202: one aggregation — class size, distinct sensitive values, and
+    // the < l flag; the planted homogeneous class flags with certainty
+    "q202_l_diversity" ->
+      """WITH l0 AS (
+        |  SELECT lang, (n_chars // 400) * 400 AS len_b, source
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND source IS NOT NULL AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'xx', 0, 'srcx' FROM range(8))
+        |SELECT lang, len_b, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+        |       count(DISTINCT source) < 3 AS at_risk
+        |FROM l0 GROUP BY 1, 2""".stripMargin,
     // q201: q196's model CTEs plus the trigram frame and its context
     // totals; the CASE replays the full backoff chain with each 2/5
     // discount multiplied through the integers

@@ -72,4 +72,23 @@ object Privacy {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("at_risk", col("n_rows") < k)
   }
+
+  /**
+   * L-DIVERSITY audit (Machanavajjhala et al.) — k-anonymity's blind
+   * spot: a class can hold >= k rows yet leak the SENSITIVE attribute
+   * outright when every member shares one value (the homogeneity
+   * attack). A class is safe only when its members carry >= l DISTINCT
+   * sensitive values. One map-side-combined aggregation per class; NULL
+   * sensitive values count as one value (SQL count-distinct semantics in
+   * both engines drop them — callers holding NULL-heavy sensitive
+   * columns should coalesce first).
+   */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l — at 1 any non-empty class passes")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
 }

@@ -72,4 +72,21 @@ class PrivacySpec extends AnyFunSpec with SparkSuite {
       assert(audit == Set(("de", 2L, false), ("fr", 1L, true)))
     }
   }
+
+  describe("Privacy.lDiversityAudit") {
+    it("flags a large-but-homogeneous class (the attack k-anonymity misses)") {
+      val rows = Seq(
+        (1L, "de", "s1"), (2L, "de", "s1"), (3L, "de", "s1"), // k=3 but 1 value
+        (4L, "fr", "s1"), (5L, "fr", "s2"))
+        .toDF("id", "a", "s")
+      val audit = Privacy.lDiversityAudit(rows, Seq("a"), "s", l = 2)
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      assert(audit == Set(("de", 3L, 1L, true), ("fr", 2L, 2L, false)))
+    }
+
+    it("rejects l < 2 loudly") {
+      assertThrows[IllegalArgumentException](Privacy.lDiversityAudit(
+        Seq((1L, "a", "s")).toDF("id", "a", "s"), Seq("a"), "s", 1))
+    }
+  }
 }
