@@ -3766,6 +3766,23 @@ object SparkEntry {
           (col("n_bigrams") >= 1L && col("avg_nll_fp") <= lit(8L * 1024L)).as("keep"))
     }),
 
+    // q203: T-CLOSENESS audit — the residual attack l-diversity misses:
+    // a class can carry several sensitive values whose DISTRIBUTION still
+    // diverges sharply from the corpus (skewness attack). The planted
+    // 'xx' class holds TWO sources (l-diverse at 2) but 10/12 of its mass
+    // sits on a source that is planted-only corpus-wide — total-variation
+    // distance ~0.8, certain to flag at t = 1/4. Pure 64-bit
+    // cross-multiplication, no division anywhere.
+    "q203_t_closeness" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("lang").isNotNull && col("source").isNotNull)
+        .select(col("lang"), col("source"))
+      val planted = s.range(12).select(lit("xx").as("lang"),
+        when(col("id") < 10, lit("srcx")).otherwise(lit("src1")).as("source"))
+      operators.Privacy.tClosenessAudit(base.unionByName(planted),
+        Seq("lang"), "source", tNum = 1, tDen = 4)
+    }),
+
     // q202: L-DIVERSITY audit — k-anonymity's blind spot: a class can
     // hold plenty of rows yet leak its SENSITIVE attribute outright when
     // every member shares one value (homogeneity attack). Eight planted
@@ -6555,6 +6572,27 @@ object SparkEntry {
                 |       UNION ALL
                 |       SELECT doc_id + 3000000, list_transform(tk, w -> 'zz' || w)
                 |       FROM ho WHERE doc_id < 100)""".stripMargin),
+    // q203: the TV cross-multiplication replayed over the dense
+    // (class x corpus-sensitive-value) grid; absent-in-class values join
+    // at n_cs = 0 and contribute their full corpus mass
+    "q203_t_closeness" ->
+      """WITH l0 AS (
+        |  SELECT lang, source FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'xx', CASE WHEN i < 10 THEN 'srcx' ELSE 'src1' END FROM range(12) t(i)),
+        |cs AS (SELECT lang, source, count(*) AS n_cs FROM l0 GROUP BY 1, 2),
+        |cl AS (SELECT lang, CAST(sum(n_cs) AS BIGINT) AS n_c FROM cs GROUP BY 1),
+        |co AS (SELECT source, count(*) AS n_s FROM l0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS big_n FROM co)
+        |SELECT cl.lang, max(cl.n_c) AS n_rows,
+        |       4 * CAST(sum(abs(coalesce(cs.n_cs, 0) * tot.big_n - co.n_s * cl.n_c))
+        |                AS BIGINT)
+        |         > 1 * 2 * max(cl.n_c) * max(tot.big_n) AS at_risk
+        |FROM cl CROSS JOIN co
+        |LEFT JOIN cs ON cs.lang = cl.lang AND cs.source = co.source
+        |CROSS JOIN tot
+        |GROUP BY cl.lang""".stripMargin,
     // q202: one aggregation — class size, distinct sensitive values, and
     // the < l flag; the planted homogeneous class flags with certainty
     "q202_l_diversity" ->

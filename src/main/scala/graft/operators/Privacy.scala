@@ -91,4 +91,48 @@ object Privacy {
         count_distinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("at_risk", col("n_sensitive") < l)
   }
+
+  /**
+   * T-CLOSENESS audit (Li et al.), total-variation distance — the
+   * residual attack l-diversity misses: a class can carry l distinct
+   * sensitive values whose DISTRIBUTION still differs sharply from the
+   * corpus-wide one (skewness attack). A class is safe when
+   * `TV(class, corpus) = ½ Σ_s |p_class(s) − p_corpus(s)| <= t`, checked
+   * here as pure 64-bit cross-multiplication with `t = tNum/tDen`:
+   *
+   *   tDen · Σ_s |n_cs · N − n_s · N_c|  >  tNum · 2 · N_c · N  ⇒ at risk
+   *
+   * (both sides are the inequality multiplied by `2 · N_c · N · tDen` —
+   * no division, no floats, engine-exact). The sum runs over the
+   * sensitive values PRESENT in the corpus; absent-in-class values
+   * contribute their full corpus mass through the left join's zero.
+   *
+   * OVERFLOW BOUND: terms reach `N_c · N <= N²` — exact in 64 bits while
+   * the audited scope holds under ~3·10⁹ rows. Audit per partition/shard
+   * above that (the per-class frame is what shuffles, so scoping is
+   * free); the class×sensitive aggregation itself is map-side-combined
+   * and class-bounded.
+   */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0 && tNum <= tDen,
+      s"t must be a fraction in [0, 1]: got $tNum/$tDen")
+    val qs = quasiCols.map(col)
+    val cs = df.groupBy((qs :+ col(sensitiveCol).as("__s")): _*)
+      .agg(count(lit(1)).as("n_cs"))
+    val classes = cs.groupBy(qs: _*).agg(sum(col("n_cs")).as("n_c"))
+    val corpus = df.groupBy(col(sensitiveCol).as("__s")).agg(count(lit(1)).as("n_s"))
+    val totals = corpus.agg(sum(col("n_s")).as("big_n"))
+    // every (class, corpus-sensitive-value) cell: absent-in-class -> 0
+    val grid = classes.crossJoin(broadcast(corpus))
+      .join(cs, quasiCols :+ "__s", "left")
+      .na.fill(0L, Seq("n_cs"))
+      .crossJoin(broadcast(totals))
+    grid.groupBy(qs: _*)
+      .agg(first(col("n_c")).as("n_rows"),
+        sum(abs(col("n_cs") * col("big_n") - col("n_s") * col("n_c"))).as("__dev"),
+        first(col("n_c") * col("big_n")).as("__cn"))
+      .select((qs :+ col("n_rows") :+
+        (lit(tDen) * col("__dev") > lit(tNum) * lit(2L) * col("__cn")).as("at_risk")): _*)
+  }
 }

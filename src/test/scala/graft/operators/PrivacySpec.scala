@@ -89,4 +89,42 @@ class PrivacySpec extends AnyFunSpec with SparkSuite {
         Seq((1L, "a", "s")).toDF("id", "a", "s"), Seq("a"), "s", 1))
     }
   }
+
+  describe("Privacy.tClosenessAudit") {
+    // corpus: s1 x4, s2 x2 (p = 2/3, 1/3)
+    // class A: s1 x3, s2 x1 -> TV = 1/12 ; class B: s1 x1, s2 x1 -> TV = 1/6
+    val rows = Seq(
+      (1L, "A", "s1"), (2L, "A", "s1"), (3L, "A", "s1"), (4L, "A", "s2"),
+      (5L, "B", "s1"), (6L, "B", "s2")).toDF("id", "a", "s")
+
+    it("cross-multiplies the TV threshold exactly: 1/12 <= 1/8 < 1/6") {
+      val got = Privacy.tClosenessAudit(rows, Seq("a"), "s", tNum = 1, tDen = 8)
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(got == Set(("A", 4L, false), ("B", 2L, true)))
+    }
+
+    it("boundary: a class exactly at t is safe (strict > flags)") {
+      // t = 1/6 puts B exactly on the line -> safe
+      val got = Privacy.tClosenessAudit(rows, Seq("a"), "s", tNum = 1, tDen = 6)
+        .as[(String, Long, Boolean)].collect()
+        .map { case (a, n, risk) => a -> ((n, risk)) }.toMap
+      assert(got("B") == ((2L, false)))
+    }
+
+    it("charges absent-in-class sensitive values their full corpus mass") {
+      // class C holds only s1; s2's corpus mass contributes |0 - n_s2 * N_c|
+      val r2 = Seq((1L, "C", "s1"), (2L, "D", "s2")).toDF("id", "a", "s")
+      // corpus p = (1/2, 1/2); each singleton class has TV = 1/2 > 1/3
+      val got = Privacy.tClosenessAudit(r2, Seq("a"), "s", tNum = 1, tDen = 3)
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(got == Set(("C", 1L, true), ("D", 1L, true)))
+    }
+
+    it("rejects a non-fraction t loudly") {
+      assertThrows[IllegalArgumentException](
+        Privacy.tClosenessAudit(rows, Seq("a"), "s", 2, 1))
+      assertThrows[IllegalArgumentException](
+        Privacy.tClosenessAudit(rows, Seq("a"), "s", 1, 0))
+    }
+  }
 }
