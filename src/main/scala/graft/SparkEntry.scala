@@ -3766,6 +3766,58 @@ object SparkEntry {
           (col("n_bigrams") >= 1L && col("avg_nll_fp") <= lit(8L * 1024L)).as("keep"))
     }),
 
+    // q204: the round's capstone — the corpus RELEASE pipeline, end to
+    // end in one plan: page-framed crawl docs (+ zz-garbage twins of the
+    // first 100) -> line-level boilerplate removal (q195: the shared
+    // nav/footer frame certainly dies, each doc's unique line certainly
+    // survives) -> LM perplexity filter on the CLEANED text (q196/q199:
+    // trained on the even natural half; the garbage twins certainly
+    // drop at 8 bits/bigram) -> k-anonymized release (q200's ladder over
+    // lang/source/length-band of the released text). Every stage's
+    // kernel is individually oracle-proven; this query proves they
+    // COMPOSE — the oracle replays all three stages as one chained SQL.
+    "q204_release_pipeline" -> ((s, dir) => {
+      val corpus = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("lang").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(lit("NAV HEADER BOILERPLATE\n"), col("text"),
+            lit("\nunique-"), col("doc_id").cast("string"),
+            lit("\nCopyright 2026 Example Corp")).as("text"))
+      val garbage = corpus.where(col("doc_id") < 100)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"), col("source"),
+          concat_ws(" ", transform(
+            functions.Text.edgeStrippedTokens(col("text")),
+            w => concat(lit("zz"), w))).as("text"))
+      val crawl = corpus.unionByName(garbage)
+      // stage 1: boilerplate lines die corpus-wide. The cleaned frame is
+      // this plan's fan-out point (LM training, scoring, and the release
+      // join all read it) — deliberately NOT persisted: the dedup chain
+      // ends in exchanges that ReuseExchange computes once for all
+      // consumers, fully pipelined; an explicit persist was MEASURED 2x
+      // slower at sf0.1 (5.4 s -> 9.6-10.2 s at either storage level) by
+      // trading that reuse for materialize/serialize barriers
+      val cleaned = operators.Dedup.lineDedup(
+        crawl.select(col("doc_id"), col("text")), "doc_id", "text", minDf = 30)
+        .select(col("doc_id"), col("kept_text"))
+      // stage 2: perplexity filter on the CLEANED text (train: even
+      // natural docs only — twins carry their source doc's parity)
+      val counts = operators.Lm.lmCounts(
+        cleaned.where(pmod(col("doc_id"), lit(2L)) === 0 && col("doc_id") < 3000000L),
+        "kept_text")
+      val survivors = operators.Lm.scoreDocs(cleaned, "doc_id", "kept_text", counts)
+        .where(col("n_bigrams") >= 1L && col("avg_nll_fp") <= lit(8L * 1024L))
+        .select(col("doc_id"))
+      // stage 3: k-anonymity over what actually releases
+      val releasable = survivors
+        .join(cleaned, Seq("doc_id"))
+        .join(crawl.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (expr("length(kept_text) div 400") * 400L).as("len_b"))
+      operators.Privacy.kAnonymize(releasable, "doc_id",
+        Seq(Seq("lang", "source", "len_b"), Seq("lang", "source"), Seq("lang")), k = 8)
+    }),
+
     // q203: T-CLOSENESS audit — the residual attack l-diversity misses:
     // a class can carry several sensitive values whose DISTRIBUTION still
     // diverges sharply from the corpus (skewness attack). The planted
@@ -6572,6 +6624,88 @@ object SparkEntry {
                 |       UNION ALL
                 |       SELECT doc_id + 3000000, list_transform(tk, w -> 'zz' || w)
                 |       FROM ho WHERE doc_id < 100)""".stripMargin),
+    // q204: all three stages chained — the q195 line-dedup replay, the
+    // q196 LM replay retargeted at kept_text (train = even natural), and
+    // the q200 remainder-windowed ladder over the released set
+    "q204_release_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, source,
+        |         'NAV HEADER BOILERPLATE' || chr(10) || text || chr(10) ||
+        |         'unique-' || doc_id || chr(10) || 'Copyright 2026 Example Corp' AS text
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND lang IS NOT NULL AND source IS NOT NULL),
+        |garb AS (
+        |  SELECT doc_id + 3000000 AS doc_id, lang, source,
+        |         array_to_string(list_transform(
+        |           regexp_extract_all(regexp_replace(text,
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+'),
+        |           w -> 'zz' || w), ' ') AS text
+        |  FROM corpus WHERE doc_id < 100),
+        |crawl AS (SELECT doc_id, lang, source, text FROM corpus
+        |          UNION ALL SELECT doc_id, lang, source, text FROM garb),
+        |l AS (SELECT doc_id,
+        |             unnest(string_split(text, chr(10))) AS line,
+        |             unnest(range(len(string_split(text, chr(10))))) AS pos
+        |      FROM crawl),
+        |bo AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 30),
+        |kl AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM bo)),
+        |ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos NULLS FIRST) AS kept_text
+        |       FROM kl GROUP BY doc_id),
+        |kd AS (SELECT t.doc_id, coalesce(ka.kept_text, '') AS kept_text
+        |       FROM (SELECT DISTINCT doc_id FROM l) t LEFT JOIN ka ON t.doc_id = ka.doc_id),
+        |d AS (SELECT doc_id, regexp_extract_all(regexp_replace(kept_text,
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |      FROM kd),
+        |tr AS (SELECT tk FROM d WHERE doc_id % 2 = 0 AND doc_id < 3000000),
+        |bgt AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |        FROM tr, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+        |c AS (SELECT w1, w2, count(*) AS n FROM bgt GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS nctx FROM c GROUP BY 1),
+        |uni AS (SELECT w, count(*) AS n
+        |        FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
+        |               CAST(count(*) AS BIGINT) AS vocab_v FROM uni),
+        |db AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, count(*) AS cnt
+        |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT db.doc_id,
+        |              CAST(sum(db.cnt) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(db.cnt * (CASE WHEN c.n IS NOT NULL
+        |                THEN CAST(floor(1024 * log2(ctx.nctx)) AS BIGINT)
+        |                   - CAST(floor(1024 * log2(c.n)) AS BIGINT)
+        |                ELSE CAST(floor(1024 * log2(5 * (tot.big_n + tot.vocab_v))) AS BIGINT)
+        |                   - CAST(floor(1024 * log2(2 * (coalesce(uni.n, 0) + 1))) AS BIGINT)
+        |                END)) AS BIGINT) AS nll_fp
+        |       FROM db LEFT JOIN c ON db.w1 = c.w1 AND db.w2 = c.w2
+        |               LEFT JOIN ctx ON db.w1 = ctx.w1
+        |               LEFT JOIN uni ON db.w2 = uni.w
+        |               CROSS JOIN tot
+        |       GROUP BY 1),
+        |surv AS (SELECT sc.doc_id FROM sc
+        |         WHERE sc.n_bigrams >= 1 AND sc.nll_fp // sc.n_bigrams <= 8192),
+        |p0 AS (SELECT s2.doc_id, m.lang, m.source,
+        |              (len(kd.kept_text) // 400) * 400 AS len_b
+        |       FROM surv s2
+        |       JOIN kd ON kd.doc_id = s2.doc_id
+        |       JOIN (SELECT doc_id, lang, source FROM crawl) m ON m.doc_id = s2.doc_id),
+        |c0 AS (SELECT *, count(*) OVER (PARTITION BY lang, source, len_b) AS n FROM p0),
+        |r0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS level, lang, source, len_b
+        |       FROM c0 WHERE n >= 8),
+        |x0 AS (SELECT doc_id, lang, source, len_b FROM c0 WHERE n < 8),
+        |c1 AS (SELECT *, count(*) OVER (PARTITION BY lang, source) AS n FROM x0),
+        |r1 AS (SELECT doc_id, CAST(1 AS BIGINT), lang, source, CAST(NULL AS BIGINT)
+        |       FROM c1 WHERE n >= 8),
+        |x1 AS (SELECT doc_id, lang, source, len_b FROM c1 WHERE n < 8),
+        |c2 AS (SELECT *, count(*) OVER (PARTITION BY lang) AS n FROM x1),
+        |r2 AS (SELECT doc_id, CAST(2 AS BIGINT), lang, CAST(NULL AS VARCHAR),
+        |              CAST(NULL AS BIGINT)
+        |       FROM c2 WHERE n >= 8),
+        |sup AS (SELECT doc_id, CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR),
+        |               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |        FROM c2 WHERE n < 8)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        |UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM sup""".stripMargin,
     // q203: the TV cross-multiplication replayed over the dense
     // (class x corpus-sensitive-value) grid; absent-in-class values join
     // at n_cs = 0 and contribute their full corpus mass
