@@ -2089,9 +2089,7 @@ object SparkEntry {
       val bg = tbl(s, dir, "documents").where(col("text").isNotNull)
         .select(words.as("tk"))
         .where(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
-          .as("p"))
+        .select(explode(functions.Text.bigramWindows(col("tk"))).as("p"))
         .select(col("p.w1"), col("p.w2"))
       val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
       val ctx = c.groupBy(col("w1")).agg(sum(col("n")).as("n_ctx"))
@@ -2328,9 +2326,8 @@ object SparkEntry {
       val bg = tbl(s, dir, "documents").where(col("text").isNotNull)
         .select(col("doc_id"), words.as("tk"))
         .where(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
-          .as("p"))
+        .select(col("doc_id"),
+          explode(functions.Text.bigramWindows(col("tk"))).as("p"))
         .select(col("doc_id"), col("p.w1"), col("p.w2"))
         .persist()
       onCleanup(() => { bg.unpersist(); () })

@@ -47,6 +47,23 @@ object Text {
   def substrCount(text: Column, token: String): Column =
     ((length(text) - length(replace(text, lit(token), lit("")))) / token.length).cast("long")
 
+  /** Adjacent-bigram windows of a token-array column, as an array of
+    * `struct(w1, w2)` — the q122 pairing kernel, NARROW (no self-join, no
+    * posexplode+join). Centralized for the same reason as
+    * [[edgeStrippedTokens]]: the bigram LM (`operators.Lm`), its
+    * streaming store, and the corpus bigram queries must pair tokens
+    * IDENTICALLY or the oracle replay silently diverges. */
+  def bigramWindows(tk: Column): Column =
+    transform(slice(tk, lit(1), size(tk) - 1),
+      (w, i) => struct(w.as("w1"), get(tk, i + lit(1)).as("w2")))
+
+  /** Consecutive-trigram windows — [[bigramWindows]] one order up, an
+    * array of `struct(w1, w2, w3)`. */
+  def trigramWindows(tk: Column): Column =
+    transform(slice(tk, lit(1), size(tk) - 2),
+      (w, i) => struct(w.as("w1"), get(tk, i + lit(1)).as("w2"),
+        get(tk, i + lit(2)).as("w3")))
+
   /** Discriminative character trigrams per language (classic char-n-gram
     * language ID à la Cavnar/Trenkle, reduced to a fixed integer-scored
     * table): each language's score is the SUM of its trigram occurrence

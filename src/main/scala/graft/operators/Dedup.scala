@@ -1183,10 +1183,13 @@ object Dedup {
     * kernel, the standing store, and any oracle replay cannot drift. */
   def lineHash(line: Column): Column = md5(line.cast("binary"))
 
-  /** `(doc_id, pos, line, lh)` — one row per line of each doc. */
+  /** `(doc_id, pos, line, lh)` — one row per line of each doc. NULL text
+    * folds to the empty string (one empty line), so a NULL-text doc
+    * stays visible through every consumer instead of silently vanishing
+    * from the exploded frame. */
   private def lineFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "line")))
       .withColumn("lh", lineHash(col("line")))
 
   /** The boilerplate VOCABULARY alone — line hashes at df >= `minDf`
@@ -1211,7 +1214,10 @@ object Dedup {
   def lineDedupWith(docs: DataFrame, idCol: String, textCol: String,
       boiler: DataFrame): DataFrame = {
     val lines = lineFrame(docs, idCol, textCol)
-    val kept = lines.join(boiler.select(col("lh")).distinct(), Seq("lh"), "left_anti")
+    // no .distinct() on the vocabulary: a left_anti join is insensitive
+    // to duplicate right-side keys, and both producers (lineBoilerplate,
+    // boilerplateFromStore) already emit distinct hashes
+    val kept = lines.join(boiler.select(col("lh")), Seq("lh"), "left_anti")
     val keptAgg = kept.groupBy(col("doc_id")).agg(
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -68,9 +68,7 @@ object Lm {
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val bg = toks.where(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
-        .as("p"))
+      .select(explode(graft.functions.Text.bigramWindows(col("tk"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
     LmCounts(uni, bg)
@@ -98,9 +96,7 @@ object Lm {
     val db = base.where(col("__text").isNotNull)
       .select(col("doc_id"), graft.functions.Text.edgeStrippedTokens(col("__text")).as("tk"))
       .where(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
-        .as("p"))
+      .select(col("doc_id"), explode(graft.functions.Text.bigramWindows(col("tk"))).as("p"))
       .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
     val ctx = counts.bigrams.groupBy(col("w1")).agg(sum(col("n")).as("nctx"))
@@ -135,11 +131,10 @@ object Lm {
     * a trigram scorer needs. Same additivity contract. */
   final case class LmCounts3(unigrams: DataFrame, bigrams: DataFrame, trigrams: DataFrame)
 
-  /** The trigram window pairing as a NARROW array transform (the q122
-    * bigram kernel, one order up). */
-  private def triWindows(tk: org.apache.spark.sql.Column) = explode(expr(
-    "transform(slice(tk, 1, size(tk)-2), (w, i) -> " +
-      "struct(w AS w1, element_at(tk, i+2) AS w2, element_at(tk, i+3) AS w3))"))
+  /** The trigram window pairing, exploded (see
+    * [[graft.functions.Text.trigramWindows]]). */
+  private def triWindows(tk: org.apache.spark.sql.Column) =
+    explode(graft.functions.Text.trigramWindows(tk))
 
   /** One tokenize pass: unigram, bigram AND trigram counts. The trigram
     * frame is vocabulary³-bounded in principle and Heaps-bounded in

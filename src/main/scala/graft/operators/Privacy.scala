@@ -107,11 +107,14 @@ object Privacy {
    * sensitive values PRESENT in the corpus; absent-in-class values
    * contribute their full corpus mass through the left join's zero.
    *
-   * OVERFLOW BOUND: terms reach `N_c · N <= N²` — exact in 64 bits while
-   * the audited scope holds under ~3·10⁹ rows. Audit per partition/shard
-   * above that (the per-class frame is what shuffles, so scoping is
-   * free); the class×sensitive aggregation itself is map-side-combined
-   * and class-bounded.
+   * OVERFLOW BOUND: the summed deviation reaches `2 · N_c · N <= 2 · N²`
+   * and is then scaled by `tDen`, so the math is 64-bit exact while
+   * `2 · tDen · N² < 2⁶³` — roughly `N ≲ 2·10⁹ / √tDen` audited rows.
+   * Audit per partition/shard above that (the per-class frame is what
+   * shuffles, so scoping is free); the class×sensitive aggregation
+   * itself is map-side-combined and class-bounded. NULL quasi and
+   * sensitive values group as ordinary values (null-safe joins
+   * throughout, matching [[kAnonymize]]'s window semantics).
    */
   def tClosenessAudit(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
       tNum: Long, tDen: Long): DataFrame = {
@@ -123,9 +126,17 @@ object Privacy {
     val classes = cs.groupBy(qs: _*).agg(sum(col("n_cs")).as("n_c"))
     val corpus = df.groupBy(col(sensitiveCol).as("__s")).agg(count(lit(1)).as("n_s"))
     val totals = corpus.agg(sum(col("n_s")).as("big_n"))
-    // every (class, corpus-sensitive-value) cell: absent-in-class -> 0
+    // every (class, corpus-sensitive-value) cell: absent-in-class -> 0.
+    // The cell join must be NULL-SAFE — a NULL sensitive (or quasi) value
+    // is a legitimate group, and a null-unsafe join would zero its n_cs
+    // while its mass still counts in n_c, overstating the deviation
+    val csr = cs.select(
+      (quasiCols.map(c => col(c).as(s"__cs_$c")) :+
+        col("__s").as("__cs_s") :+ col("n_cs")): _*)
+    val cellCond = (quasiCols.map(c => col(c) <=> col(s"__cs_$c")) :+
+      (col("__s") <=> col("__cs_s"))).reduce(_ && _)
     val grid = classes.crossJoin(broadcast(corpus))
-      .join(cs, quasiCols :+ "__s", "left")
+      .join(csr, cellCond, "left")
       .na.fill(0L, Seq("n_cs"))
       .crossJoin(broadcast(totals))
     grid.groupBy(qs: _*)

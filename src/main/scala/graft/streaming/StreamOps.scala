@@ -377,18 +377,30 @@ object StreamOps {
    * it to `bm25FromPostings` closes the loop: a query batch scores
    * against a store that ingest keeps current.
    */
+  /** One deterministic text per doc WITHIN a micro-batch: a micro-batch
+    * carries no intra-batch order, so "last writer" is undefined inside
+    * it — and without this reduction two same-batch versions of a doc
+    * would MERGE (n-grams/lines/chunks summed across both texts),
+    * breaking the store ≡ from-scratch law. Ties resolve to the greatest
+    * text (NULL losing to any non-null), the same any-deterministic-
+    * winner posture as the store's same-version max-struct rule. */
+  private def onePerDoc(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    batch.where(col(idCol).isNotNull)
+      .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+
   def streamingPostings(docs: DataFrame, idCol: String, textCol: String,
       storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val perDoc = graft.operators.Retrieval.buildPostings(batch, idCol, textCol)
+        val one = onePerDoc(batch, idCol, textCol)
+        val perDoc = graft.operators.Retrieval.buildPostings(one, idCol, textCol)
           .groupBy(col(idCol))
           .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("postings"))
         // every batch id supersedes — including docs whose new text
         // tokenizes to nothing (they become empty-postings rows)
-        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+        val rows = one.select(col(idCol))
           .join(perDoc, Seq(idCol), "left")
           .select(col(idCol),
             coalesce(col("postings"), typedlit(Seq.empty[(String, Long)])
@@ -430,11 +442,12 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val perDoc = graft.operators.Chunking.contentChunks(batch, idCol, textCol, modulus)
+        val one = onePerDoc(batch, idCol, textCol)
+        val perDoc = graft.operators.Chunking.contentChunks(one, idCol, textCol, modulus)
           .groupBy(col(idCol))
           .agg(sort_array(collect_list(
             struct(col("chunk_idx"), col("n_tokens"), col("chunk_hash")))).as("chunks"))
-        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+        val rows = one.select(col(idCol))
           .join(perDoc, Seq(idCol), "left")
           .select(col(idCol),
             coalesce(col("chunks"), typedlit(Seq.empty[(Long, Long, String)])
@@ -482,12 +495,13 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val perDoc = batch.where(col(textCol).isNotNull)
+        val one = onePerDoc(batch, idCol, textCol)
+        val perDoc = one.where(col(textCol).isNotNull)
           .select(col(idCol), explode(split(col(textCol), "\n", -1)).as("line"))
           .select(col(idCol), graft.operators.Dedup.lineHash(col("line")).as("lh"))
           .groupBy(col(idCol))
           .agg(sort_array(collect_set(col("lh"))).as("lines"))
-        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+        val rows = one.select(col(idCol))
           .join(perDoc, Seq(idCol), "left")
           .select(col(idCol),
             coalesce(col("lines"), typedlit(Seq.empty[String])
@@ -540,7 +554,8 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val toks = batch.where(col(textCol).isNotNull)
+        val one = onePerDoc(batch, idCol, textCol)
+        val toks = one.where(col(textCol).isNotNull)
           .select(col(idCol),
             graft.functions.Text.edgeStrippedTokens(col(textCol)).as("tk"))
         val uni = toks.select(col(idCol), explode(col("tk")).as("w"))
@@ -548,14 +563,13 @@ object StreamOps {
           .groupBy(col(idCol))
           .agg(sort_array(collect_list(struct(col("w"), col("n")))).as("unigrams"))
         val bg = toks.where(size(col("tk")) >= 2)
-          .select(col(idCol), explode(expr(
-            "transform(slice(tk, 1, size(tk)-1), (w, i) -> struct(w AS w1, element_at(tk, i+2) AS w2))"))
-            .as("p"))
+          .select(col(idCol),
+            explode(graft.functions.Text.bigramWindows(col("tk"))).as("p"))
           .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
           .agg(count(lit(1)).as("n"))
           .groupBy(col(idCol))
           .agg(sort_array(collect_list(struct(col("w1"), col("w2"), col("n")))).as("bigrams"))
-        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+        val rows = one.select(col(idCol))
           .join(uni, Seq(idCol), "left")
           .join(bg, Seq(idCol), "left")
           .select(col(idCol),

@@ -1115,5 +1115,14 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assertThrows[IllegalArgumentException](
         Dedup.lineDedup(Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", 1))
     }
+
+    it("keeps a NULL-text doc visible (folded to one empty line), never a silent vanish") {
+      val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b")).toDF("doc_id", "text")
+      val got = Dedup.lineDedup(docs, "doc_id", "text", 2)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got.keySet == Set(1L, 2L, 3L))
+      assert(got(2L) == (("", 1L, 1L, 0L))) // its one empty line has df 1 -> kept
+    }
   }
 }

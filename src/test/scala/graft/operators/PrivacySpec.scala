@@ -126,5 +126,17 @@ class PrivacySpec extends AnyFunSpec with SparkSuite {
       assertThrows[IllegalArgumentException](
         Privacy.tClosenessAudit(rows, Seq("a"), "s", 1, 0))
     }
+
+    it("treats a NULL sensitive value as an ordinary group (null-safe cell join)") {
+      // both classes mirror the corpus distribution exactly (TV = 0) —
+      // a null-unsafe join would zero the NULL cells and flag them
+      val r3 = Seq(
+        (1L, "A", null.asInstanceOf[String]), (2L, "A", "s1"),
+        (3L, "B", null.asInstanceOf[String]), (4L, "B", "s1"))
+        .toDF("id", "a", "s")
+      val got = Privacy.tClosenessAudit(r3, Seq("a"), "s", tNum = 1, tDen = 100)
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(got == Set(("A", 2L, false), ("B", 2L, false)))
+    }
   }
 }

@@ -670,6 +670,30 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
 
+    it("resolves same-batch duplicate versions of a doc to ONE deterministic winner") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("ln3_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ln3_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingLines(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      try {
+        // doc 1 arrives TWICE in one batch: without the per-batch winner
+        // reduction both versions' lines would UNION into one store row
+        src.addData(Seq((1L, "alpha\nshared"), (1L, "beta\nshared"), (2L, "other")): _*)
+        q.processAllAvailable()
+        val got = StreamOps.linesFromStore(spark, store, "doc_id")
+          .where($"doc_id" === 1L).collect().map(_.getString(1)).toSet
+        // the winner is max(text) = "beta\nshared" — exactly its 2 lines,
+        // never the 3-line union of both versions
+        val want = graft.operators.Dedup
+          .lineBoilerplate(Seq((1L, "beta\nshared"), (2L, "beta\nshared")).toDF("doc_id", "text"),
+            "doc_id", "text", 2) // df-2 trick: both rows same text -> all its line hashes
+          .collect().map(_.getString(0)).toSet
+        assert(got == want)
+      } finally q.stop()
+    }
+
     it("closes the loop: lineDedupWith(batch, store vocabulary) ≡ batch lineDedup semantics") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val store = java.nio.file.Files.createTempDirectory("ln2_store").resolve("s").toString
@@ -733,6 +757,28 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
           graft.operators.Lm.lmCounts(live.toSeq.toDF("doc_id", "text"), "text"))
           .as[(Long, Long, Long, Long)].collect().toSet
         assert(viaStore == viaScratch)
+      } finally q.stop()
+    }
+
+    it("same-batch duplicate versions reduce to one winner instead of summing") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("lm2_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("lm2_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingLmCounts(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      try {
+        // an at-least-once EXACT duplicate must not double any count, and
+        // two different versions must not sum their n-grams
+        src.addData(Seq((1L, "a b"), (1L, "a b"), (2L, "a b"), (2L, "c d")): _*)
+        q.processAllAvailable()
+        val got = StreamOps.lmCountsFromStore(spark, store)
+        val scratch = graft.operators.Lm.lmCounts(
+          Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text"), "text") // max(text) winners
+        assert(got.bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+          scratch.bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+        assert(got.unigrams.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+          scratch.unigrams.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
       } finally q.stop()
     }
   }
