@@ -154,34 +154,43 @@ object Text {
    * `floor(1024 * log2)` over integer counts (cross-engine exact — the
    * q183 convention), so
    * `ent = sum_c cnt_c * (ilog(n) - ilog(cnt_c)) div n` replays verbatim
-   * in SQL. Character array built by position (`substring(text, i, 1)`)
-   * so both engines index identically; non-alphanumeric chars are
-   * class-filtered out, and a doc with no classed chars scores 0.
+   * in SQL. Non-alphanumeric chars are class-filtered out, and a doc
+   * with no classed chars scores 0.
    *
-   * Entirely native higher-order functions — per-row work
-   * (O(len · distinct), distinct ≤ 36), zero exchanges, rides the scan
-   * like the other quality signals.
+   * The class is a FIXED 36-char alphabet, so each count is flat
+   * `length`/`replace` arithmetic over the lowered text (the
+   * [[substrCount]] kernel) — entirely codegen'd scalar expressions that
+   * whole-stage CSE shares, zero exchanges, rides the scan. This
+   * replaced a per-position `substr` + per-char regex higher-order-
+   * function form whose lambdas were interpreted AND re-derived the char
+   * array at every reference — measured 608 s for q193 at sf0.1 vs
+   * sub-second in this form; value-identical (the oracle's positional
+   * replay still matches hash-for-hash).
    */
   def charEntropyColumns(text: Column): Seq[Column] = {
     def ilog(x: Column): Column = floor(lit(1024.0) * log2(x)).cast("long")
     val lowered = lower(coalesce(text, lit("")))
-    // Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty — clamp the
-    // stop to 1 and let the out-of-range substr ("") fall to the class filter
-    val chars = filter(
-      transform(sequence(lit(1), greatest(length(lowered), lit(1))),
-        i => lowered.substr(i, lit(1))),
-      ch => ch.rlike("^[a-z0-9]$"))
-    val n = size(chars).cast("long")
-    val dc = array_distinct(chars)
-    def cnt(ch: Column): Column = size(filter(chars, x => x === ch)).cast("long")
-    val entSum = aggregate(
-      transform(dc, ch => cnt(ch) * (ilog(n) - ilog(cnt(ch)))),
-      lit(0L), (a, x) => a + x)
+    val counts = (('a' to 'z') ++ ('0' to '9')).map { c =>
+      ((length(lowered) - length(replace(lowered, lit(c.toString), lit("")))))
+        .cast("long")
+    }
+    // one regex pass, not the 36-term sum: the sum would re-evaluate all
+    // 36 replaces at every reference, and CSE cannot hoist expressions
+    // that live inside conditional branches
+    val n = (length(lowered) -
+      length(regexp_replace(lowered, "[a-z0-9]", ""))).cast("long")
+    val nDistinct = counts.map(c => when(c > 0L, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    // sum_{c>0} c*(ilog n - ilog c) = n*ilog(n) - sum_{c>0} c*ilog(c),
+    // hoisting ilog(n) out of the per-class branches (log2(0) is NULL in
+    // Spark, so the n = 0 row nulls through to the guarded 0 below)
+    val entSum = n * ilog(n) - counts
+      .map(c => when(c > 0L, c * ilog(c)).otherwise(lit(0L)))
+      .reduce(_ + _)
     // exact integer floor-div: make the numerator divisible first, so the
     // double division is exact (both engines), never a rounding hazard
     val entMilli = ((entSum - pmod(entSum, n)) / n).cast("long")
     Seq(n.as("n_classed"),
-      size(dc).cast("long").as("n_distinct_chars"),
+      nDistinct.as("n_distinct_chars"),
       when(n > 0, entMilli).otherwise(lit(0L)).as("ent_milli"))
   }
 
