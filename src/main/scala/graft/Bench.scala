@@ -10,6 +10,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scan-split sizing was MEASURED, not guessed: 1 MB splits (11-way
+      // lineitem) improved the heavy narrow queries slightly but cost the
+      // q01-q44 block 14.7 -> 16.3 s — per-task overhead dominates at
+      // these file sizes, so the 128 MB default stands; at production
+      // scale the file count supplies the parallelism
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
