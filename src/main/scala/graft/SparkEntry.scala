@@ -2231,9 +2231,8 @@ object SparkEntry {
         .where(col("text").isNotNull && col("source").isNotNull)
         .select(col("source"), col("doc_id"), words.as("tk"))
         .where(size(col("tk")) >= 3)
-        .select(col("source"), col("doc_id"), explode(expr(
-          "transform(slice(tk, 1, size(tk)-2), (w, i) -> concat_ws(' ', w, element_at(tk, i+2), element_at(tk, i+3)))"))
-          .as("shingle"))
+        .select(col("source"), col("doc_id"),
+          explode(functions.Text.trigramShingles(col("tk"))).as("shingle"))
       val d = sh.groupBy(col("source"), col("shingle")).agg(
         max(when(pmod(col("doc_id"), lit(2)) === 0, 1).otherwise(0)).as("in_a"),
         max(when(pmod(col("doc_id"), lit(2)) === 1, 1).otherwise(0)).as("in_b"))
@@ -3507,9 +3506,8 @@ object SparkEntry {
       val words = functions.Text.edgeStrippedTokens(col("text"))
       val postings = docs.unionByName(planted)
         .select(col("doc_id"), words.as("tk")).where(size(col("tk")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(tk, 1, size(tk)-2), (w, i) -> " +
-            "concat_ws(' ', w, element_at(tk, i+2), element_at(tk, i+3)))")).as("term"))
+        .select(col("doc_id"),
+          explode(functions.Text.trigramShingles(col("tk"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val res = operators.Retrieval.allPairsCosine(postings, "doc_id",
         maxDf = 10L, thrNum = 1L, thrDen = 2L, unpersistHook = onCleanup)
@@ -4135,11 +4133,15 @@ object SparkEntry {
        |                  CAST(floor(1024 * log2(count(*))) AS BIGINT) AS prior
        |           FROM train GROUP BY 1),
        |weights AS (
+       |  -- label axis from priors (doc counts), NOT totals: a label whose
+       |  -- docs carry zero tokens still gets its -ilog(B) smoothing row
+       |  -- (the modelFromCounts grid, kept in lockstep)
        |  SELECT g.label, g.b,
        |         CAST(floor(1024 * log2(coalesce(c.c, 0) + 1)) AS BIGINT)
-       |       - CAST(floor(1024 * log2(g.n_tok + 1024)) AS BIGINT) AS w
-       |  FROM (SELECT t.label, t.n_tok, r.range AS b
-       |        FROM totals t, range(0, 1024) r) g
+       |       - CAST(floor(1024 * log2(coalesce(t.n_tok, 0) + 1024)) AS BIGINT) AS w
+       |  FROM (SELECT p.label, r.range AS b
+       |        FROM priors p, range(0, 1024) r) g
+       |  LEFT JOIN totals t ON t.label = g.label
        |  LEFT JOIN counts c ON c.label = g.label AND c.b = g.b),
        |doc_tok AS (
        |  SELECT id, b, count(*) AS cnt FROM (

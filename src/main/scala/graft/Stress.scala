@@ -997,9 +997,8 @@ object Stress {
     val words = graft.functions.Text.edgeStrippedTokens(col("text"))
     val postings = timed("build shingle postings")(
       corpus.select(col("doc_id"), words.as("tk")).where(size(col("tk")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(tk, 1, size(tk)-2), (w, i) -> " +
-            "concat_ws(' ', w, element_at(tk, i+2), element_at(tk, i+3)))")).as("term"))
+        .select(col("doc_id"),
+          explode(graft.functions.Text.trigramShingles(col("tk"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     postings.count()

@@ -64,6 +64,15 @@ object Text {
       (w, i) => struct(w.as("w1"), get(tk, i + lit(1)).as("w2"),
         get(tk, i + lit(2)).as("w3")))
 
+  /** Consecutive word-trigram SHINGLES as single space-joined strings —
+    * the term space of the sparse-cosine/minhash family (q126, q189, the
+    * all-pairs stress). Centralized like [[bigramWindows]]: the shingle
+    * STRING is the join key between a Spark kernel and its DuckDB oracle
+    * replay, so a drifted copy silently desynchronizes the hash gate. */
+  def trigramShingles(tk: Column): Column =
+    transform(slice(tk, lit(1), size(tk) - 2),
+      (w, i) => concat_ws(" ", w, get(tk, i + lit(1)), get(tk, i + lit(2))))
+
   /** Discriminative character trigrams per language (classic char-n-gram
     * language ID à la Cavnar/Trenkle, reduced to a fixed integer-scored
     * table): each language's score is the SUM of its trigram occurrence

@@ -62,7 +62,10 @@ object Url {
   }
 
   private def canonicalQuery(u: Column): Column = {
-    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    // Query lives strictly BEFORE the first '#': a '?' inside the fragment
+    // (SPA routes like `#/search?q=x`) is fragment content and must die
+    // with rule 4, not resurrect as a query string.
+    val q = regexp_extract(regexp_extract(u, "^([^#]*)", 1), "\\?(.*)$", 1)
     val kept = array_sort(filter(split(q, "&"),
       p => p =!= "" && !p.rlike(trackingParamPattern)))
     when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))

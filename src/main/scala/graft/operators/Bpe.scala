@@ -166,10 +166,15 @@ object Bpe {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         val prev = state
-        state = state.map { case (syms, n) => (mergePair(syms, a, b), n) }
+        val mapped = state.map { case (syms, n) => (mergePair(syms, a, b), n) }
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        if ((round + 1) % 8 == 0) state = state.localCheckpoint()
+        // checkpoint rounds: the pre-checkpoint persisted handle must be
+        // released too, or one orphaned cached frame leaks per 8 rounds
+        // for the life of the session (the block manager holds it — only
+        // an explicit unpersist frees it)
+        state = if ((round + 1) % 8 == 0) mapped.localCheckpoint() else mapped
         state.count(): Unit
+        if (state ne mapped) mapped.unpersist(): Unit
         prev.unpersist(): Unit
       }
       round += 1

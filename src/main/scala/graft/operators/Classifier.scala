@@ -104,12 +104,20 @@ object Classifier {
   def modelFromCounts(c: NbCounts): NbModel = {
     val spark = c.tokenCounts.sparkSession
     val priors = c.docCounts.select(col("label"), ilog(col("n_docs")).as("prior"))
-    val grid = c.labelTotals.crossJoin(
+    // The label axis comes from docCounts, NOT labelTotals: a label whose
+    // training docs carry zero [a-z] tokens exists in docCounts only. Built
+    // from labelTotals it would get NO weight rows and score a bare prior
+    // at predict time, beating every real label's negative likelihood sum;
+    // correct Laplace-smoothed NB gives it w = -ilog(B) per token
+    // (n_tok = 0 below), so token-bearing docs rank it last, not first.
+    val grid = c.docCounts.select(col("label")).crossJoin(
       spark.range(c.buckets.toLong).select(col("id").as("b")))
-    val weights = grid.join(c.tokenCounts, Seq("label", "b"), "left")
+    val weights = grid
+      .join(c.labelTotals, Seq("label"), "left")
+      .join(c.tokenCounts, Seq("label", "b"), "left")
       .select(col("label"), col("b"),
         (ilog(coalesce(col("c"), lit(0L)) + lit(1L)) -
-          ilog(col("n_tok") + lit(c.buckets.toLong))).as("w"))
+          ilog(coalesce(col("n_tok"), lit(0L)) + lit(c.buckets.toLong))).as("w"))
     NbModel(weights, priors, c.buckets)
   }
 

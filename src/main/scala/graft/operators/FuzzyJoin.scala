@@ -74,10 +74,16 @@ object FuzzyJoin {
     val keyPairs = lb.join(cold, Seq("blk"))
       .select(col("blk"), col("k").as("lk"))
       .join(rb.select(col("blk"), col("k").as("rk")), Seq("blk"))
+      // |len difference| <= maxDist is a NECESSARY condition of the edit
+      // bound — integer arithmetic that kills most in-block candidates
+      // before the distinct shuffle and the DP verify ever see them
+      .where(abs(length(col("lk")) - length(col("rk"))) <= maxDist)
       .select(col("lk"), col("rk"))
       .distinct() // prefix- and suffix-block can both generate a key pair
-      .withColumn("dist", levenshtein(col("lk"), col("rk")))
-      .where(col("dist") <= maxDist)
+      // thresholded levenshtein: the banded O(maxDist * len) DP, returning
+      // -1 above the bound instead of paying the full O(len^2) matrix
+      .withColumn("dist", levenshtein(col("lk"), col("rk"), maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
     // id expansion: verified key pairs fan back out to row pairs — output
     // mass only, every distance above was computed once per KEY pair
     val pairs = keyPairs

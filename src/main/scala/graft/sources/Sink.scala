@@ -457,10 +457,15 @@ object Sink {
         java.nio.file.Files.delete(tmp)
         throw new IllegalStateException(
           s"concurrent writer already published manifest $n under $storePath", e)
-      case _: UnsupportedOperationException =>
-        // no-hard-link filesystem: the atomic move keeps readers safe
-        // (never a partial manifest) at the cost of the weaker, documented
-        // last-writer-wins claim
+      case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
+        // No-hard-link filesystem. The JDK surfaces this either as
+        // UnsupportedOperationException (provider without link support) or
+        // as a generic FileSystemException from link(2) EPERM/EOPNOTSUPP
+        // (FUSE/NFS/overlay mounts) — FileAlreadyExistsException is matched
+        // ABOVE, so this arm only sees genuine link failures. The atomic
+        // move keeps readers safe (never a partial manifest) at the cost of
+        // the weaker, documented last-writer-wins claim.
+        val _ = e
         java.nio.file.Files.move(tmp, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }

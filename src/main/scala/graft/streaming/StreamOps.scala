@@ -819,6 +819,12 @@ object StreamOps {
       if (!state.hasTimedOut)
         pending = batch.map(c => (c.ts.getTime, c.seq, c.text)).toList ::: pending
       val wm = state.getCurrentWatermarkMs()
+      // <= is aligned with Spark's INCLUSIVE late-row drop (a row at
+      // ts == watermark is dropped before reaching this function —
+      // pinned empirically by the boundary spec), so a version finalized
+      // here can never see a straggler chunk arrive later and partially
+      // re-finalize: any chunk at or below the finalizing watermark is
+      // already dead at the operator's input.
       val (ready, hold) = pending.partition(_._1 <= wm)
       if (hold.isEmpty) state.remove()
       else {

@@ -45,6 +45,14 @@ class UrlSpec extends AnyFunSuite with SparkSuite {
     assert(canon("http://e.com/a//") == "http://e.com/a/")
   }
 
+  test("a '?' inside the fragment is fragment content, not a query") {
+    // SPA-route fragments: everything after '#' dies, including its '?...'
+    assert(canon("http://example.com/a#/search?q=x") == "http://example.com/a")
+    assert(canon("http://example.com/a?b=1#/search?q=x") == "http://example.com/a?b=1")
+    // fragment-only '?' must not split identity from the fragmentless form
+    assert(canon("http://example.com/a#?y=2") == canon("http://example.com/a"))
+  }
+
   test("www is stripped only as a leading label") {
     assert(canon("http://www.example.com/x") == "http://example.com/x")
     assert(canon("http://wwwexample.com/x") == "http://wwwexample.com/x")

@@ -107,6 +107,33 @@ class ClassifierSpec extends AnyFunSuite with SparkSuite {
     assert(e.getMessage.contains("not mergeable"))
   }
 
+  test("a token-free label gets smoothing weights, not a free bare prior") {
+    // 'numeric' trains on digit-only docs: tokens() yields nothing, so it
+    // exists in docCounts but NOT labelTotals. The dense grid must still
+    // give it w = -ilog(B) per bucket — otherwise every token-bearing doc
+    // would score it prior + 0 and predict 'numeric' over every real label.
+    val train = Seq(
+      (0L, "en", "the quick brown fox jumps over the lazy dog"),
+      (1L, "en", "a plain english sentence with common words"),
+      (2L, "numeric", "1234 5678 90 42"),
+      (3L, "numeric", "777 888 999")).toDF("id", "label", "text")
+    val model = Classifier.nbTrain(train, "label", "text", 64)
+    // both labels are densified over all 64 buckets
+    val perLabel = model.weights.groupBy("label").count()
+      .as[(String, Long)].collect().toMap
+    assert(perLabel == Map("en" -> 64L, "numeric" -> 64L))
+    // a token-bearing English doc must NOT fall to the token-free label
+    val pred = Classifier.nbPredict(
+      Seq((9L, "plain english words")).toDF("id", "text"), "id", "text", model)
+      .select("predicted").as[String].collect().toSeq
+    assert(pred == Seq("en"))
+    // a digit-only doc has no tokens: priors tie-break applies as before
+    val noTok = Classifier.nbPredict(
+      Seq((10L, "31337")).toDF("id", "text"), "id", "text", model)
+      .select("predicted").as[String].collect().toSeq
+    assert(noTok == Seq("en")) // equal priors, lexicographic tie-break
+  }
+
   test("a label-exclusive token outweighs an unbalanced prior") {
     val train = Seq(
       (0L, "maj", "common text common text"), (1L, "maj", "common text filler"),

@@ -1058,6 +1058,35 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         === batchExpected)
     }
 
+    it("the <= finalization is aligned with Spark's inclusive late-row drop") {
+      // assembleChunkedDocs finalizes a version at ts <= watermark. That is
+      // safe ONLY because Spark's late-row predicate is likewise inclusive:
+      // a chunk at ts == wm is dropped before reaching the state function,
+      // so a finalized version can never be partially RE-finalized by a
+      // boundary straggler. This spec pins the alignment empirically — if
+      // Spark ever switched to a strict drop (admitting ts == wm), the
+      // straggler below would buffer and later emit a SECOND, partial row
+      // for the version, failing the exactly-one-row assert and flagging
+      // the convention for review.
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val src = MemoryStream[DocChunk]
+      val q = StreamOps.assembleChunkedDocs(src.toDS(), "0 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("asm_boundary").start()
+      try {
+        src.addData(DocChunk(1L, ts(5), 0, "alpha")); q.processAllAvailable()
+        // this batch runs at wm == ts(5) exactly (0s delay): the seq-1
+        // chunk arrives AT the watermark and dies at the operator input
+        src.addData(DocChunk(1L, ts(5), 1, "beta")); q.processAllAvailable()
+        src.addData(DocChunk(998L, ts(50), 0, "advance")); q.processAllAvailable()
+        src.addData(DocChunk(998L, ts(51), 0, "advance")); q.processAllAvailable()
+        val rows = spark.table("asm_boundary").where($"doc_id" === 1L)
+          .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+        // exactly ONE finalize for the version — never a partial second row
+        assert(rows === Seq((1L, "alpha")))
+      } finally q.stop()
+    }
+
     it("a re-crawled version re-audits and supersedes the prior verdicts") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val store = java.nio.file.Files.createTempDirectory("span_store2").resolve("s").toString
