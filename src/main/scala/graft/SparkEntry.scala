@@ -195,6 +195,37 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     })
 
+  /** MEMOIZED `.warc.gz` fixture corpus for q205 — the crawl-ingestion
+    * standing asset: at 100 TB the WARC files already exist on storage
+    * (the crawler wrote them) and only parse/extract is the recurring
+    * query, so serializing the fixtures is one-time asset creation under
+    * the [[jpegBlobs]] discipline. Every document becomes one HTTP
+    * `response` record (uri/status derived from doc_id, body = the shared
+    * [[sources.Warc.shellPrefix]] page shell around the doc text), written
+    * distributed as 8 member-per-record gzip files keyed by the source
+    * signature, completion-marked, reused across sessions. */
+  private val warcFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureWarcFixture(s: SparkSession, dir: String): String =
+    warcFixtures.computeIfAbsent(dir, _ => {
+      val root = s"${indexStoreRoot(dir, "documents")}/warc_fixture"
+      val marker = new java.io.File(root, "_SUCCESS")
+      if (!marker.exists()) {
+        val shaped = tbl(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id").as("id"),
+            concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string")).as("uri"),
+            lit("2026-01-01T00:00:00Z").as("date"),
+            // a 404 stripe (doc_id % 97) keeps the status parse honest:
+            // the payload still carries the page, the status must surface
+            when(pmod(col("doc_id"), lit(97L)) === 0, 404).otherwise(200).as("status"),
+            concat(lit(sources.Warc.shellPrefix), col("text"),
+              lit(sources.Warc.shellSuffix)).as("html"))
+        sources.Warc.writeFixture(shaped, root, nFiles = 8)
+        marker.createNewFile(): Unit
+      }
+      root
+    })
+
   /** One-time bucketed-layout creation for q49, memoized per source dir: the
     * write is the layout INVESTMENT a 100 TB deployment makes once (bucket the
     * hot join keys, then every subsequent query joins shuffle-free), so it
@@ -409,6 +440,7 @@ object SparkEntry {
     jpegBlobs(s, dir, "varied").count() // standing media corpus (q164)
     jpegBlobs(s, dir, "16x16").count() // standing resize source (q165)
     jpegBlobs(s, dir, "progressive").count() // standing SOF2 corpus (q182)
+    ensureWarcFixture(s, dir) // standing crawl fixture files (q205)
     ()
   }
 
@@ -3771,6 +3803,27 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q205: WARC CRAWL INGESTION — the pipeline's front door. The standing
+    // `.warc.gz` fixture corpus ([[ensureWarcFixture]]: one gzip-member-
+    // per-record HTTP response per document, a warcinfo header record per
+    // file, a 404 stripe) is read back through the real path: binaryFile
+    // scan -> per-file multi-member inflate -> Content-Length record walk
+    // -> HTTP split -> stripHtml extraction, all in ONE narrow pass (zero
+    // exchanges before the output). Any framing slip — a miscounted
+    // Content-Length, a swallowed CRLF, a UTF-8 byte/char confusion —
+    // corrupts the extracted text or drops rows, and the full-replay hash
+    // gate catches it.
+    "q205_warc_ingest" -> ((s, dir) => {
+      val root = ensureWarcFixture(s, dir)
+      sources.Warc.readResponses(s, root)
+        .select(
+          regexp_extract(col("uri"), "doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("status").cast("long").as("status"),
+          functions.Text.stripHtml(col("body")).as("extracted"))
+        .select(col("doc_id"), col("status"), col("extracted"),
+          functions.Text.tokenCount(col("extracted")).as("n_tokens"))
+    }),
+
     "q204_release_pipeline" -> ((s, dir) => {
       val corpus = tbl(s, dir, "documents")
         .where(col("doc_id").isNotNull && col("text").isNotNull &&
@@ -6531,6 +6584,31 @@ object SparkEntry {
       s"""WITH e AS (SELECT doc_id, $chain AS extracted
          |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
          |SELECT doc_id, extracted,
+         |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
+         |            THEN 0
+         |            ELSE CAST(len(regexp_split_to_array(trim(extracted), '[ \\x09-\\x0D]+')) AS BIGINT)
+         |       END AS n_tokens
+         |FROM e""".stripMargin
+    },
+    // q205: the WARC fixture is GENERATED from documents (uri/status from
+    // doc_id residues, body = the shared Warc.shellPrefix/... shell around
+    // text), so the oracle replays generation + extraction directly from
+    // the table — the whole gzip/WARC/HTTP transport layer must be the
+    // identity for the hash to match. Strip chain generated from
+    // Text.htmlStripSteps, the q194 discipline.
+    "q205_warc_ingest" -> {
+      val htmlExpr =
+        s"'${sources.Warc.shellPrefix.replace("'", "''")}' || text || " +
+          s"'${sources.Warc.shellSuffix.replace("'", "''")}'"
+      val chain = functions.Text.htmlStripSteps.foldLeft(s"($htmlExpr)") {
+        case (acc, (p, r)) =>
+          s"regexp_replace($acc, '${p.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
+      }
+      s"""WITH e AS (SELECT doc_id,
+         |             CASE WHEN doc_id % 97 = 0 THEN 404 ELSE 200 END AS status,
+         |             $chain AS extracted
+         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+         |SELECT doc_id, CAST(status AS BIGINT) AS status, extracted,
          |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
          |            THEN 0
          |            ELSE CAST(len(regexp_split_to_array(trim(extracted), '[ \\x09-\\x0D]+')) AS BIGINT)

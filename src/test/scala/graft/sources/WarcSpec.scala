@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite with SparkSuite {
+  import Warc._
+
+  private def gz(records: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach(r => out.write(gzipMember(r)))
+    out.toByteArray
+  }
+
+  test("a response record round-trips through member-per-record gzip") {
+    val body = "<p>héllo wörld — 多字节</p>" // multi-byte UTF-8: Content-Length counts BYTES
+    val payload = gz(
+      warcinfoRecord("f.warc.gz"),
+      responseRecord("https://a.example/x", "2026-01-01T00:00:00Z", 200, body))
+    val got = parseWarcGz(payload).toList
+    assert(got.map(r => (r.uri, r.date, r.status, r.contentType, r.body)) ==
+      List(("https://a.example/x", "2026-01-01T00:00:00Z", 200,
+        "text/html; charset=utf-8", body)))
+  }
+
+  test("Content-Length framing survives WARC-looking and CRLF-bearing bodies") {
+    // a body that CONTAINS a fake record header and blank lines: only the
+    // byte count may delimit it — any text-based resync would split here
+    val trap = "WARC/1.0\r\nContent-Length: 0\r\n\r\nstill the same body\r\n\r\ntail"
+    val payload = gz(
+      responseRecord("https://a.example/1", "d", 200, trap),
+      responseRecord("https://a.example/2", "d", 404, "after"))
+    val got = parseWarcGz(payload).toList
+    assert(got.map(_.body) == List(trap, "after"))
+    assert(got.map(_.status) == List(200, 404))
+  }
+
+  test("non-response records and non-HTTP blocks are skipped, not fatal") {
+    val reqBlock = ("GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n").getBytes("UTF-8")
+    val payload = gz(
+      warcinfoRecord("f"),
+      record("request", Seq("WARC-Target-URI" -> "https://a.example/x"), reqBlock),
+      record("response", Seq("WARC-Target-URI" -> "u"), "not http at all".getBytes("UTF-8")),
+      responseRecord("https://a.example/keep", "d", 200, "kept"))
+    assert(parseWarcGz(payload).map(_.uri).toList == List("https://a.example/keep"))
+  }
+
+  test("a truncated or malformed tail keeps the records already parsed") {
+    val good = responseRecord("https://a.example/ok", "d", 200, "fine")
+    val second = responseRecord("https://a.example/cut", "d", 200, "about to be cut")
+    val truncated = parseWarc(good ++ second.dropRight(20)).toList
+    assert(truncated.map(_.uri) == List("https://a.example/ok"))
+    val damaged = parseWarc(good ++ "GARBAGE not a version line\r\n\r\n".getBytes("UTF-8")).toList
+    assert(damaged.map(_.uri) == List("https://a.example/ok"))
+  }
+
+  test("empty body and a multi-member file with no responses both parse") {
+    assert(parseWarcGz(gz(warcinfoRecord("empty"), warcinfoRecord("again"))).isEmpty)
+    val got = parseWarcGz(gz(responseRecord("u", "d", 200, ""))).toList
+    assert(got.map(_.body) == List(""))
+  }
+
+  test("writeFixture + readResponses round-trip the corpus through real files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_rt").toString
+    val docs = (0L until 100L).map(i =>
+      (i, s"https://c.example/doc/$i", "2026-01-01T00:00:00Z",
+        if (i % 7 == 0) 404 else 200, s"<p>doc $i body — ünïcode</p>"))
+      .toDF("id", "uri", "date", "status", "html")
+    writeFixture(docs, dir, nFiles = 8)
+    // nFiles files exist even if murmur collides buckets into one partition
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 8)
+    val got = readResponses(spark, dir)
+      .select("uri", "status", "body").as[(String, Int, String)].collect().toSet
+    val want = (0L until 100L).map(i =>
+      (s"https://c.example/doc/$i", if (i % 7 == 0) 404 else 200,
+        s"<p>doc $i body — ünïcode</p>")).toSet
+    assert(got == want)
+  }
+}
