@@ -3803,6 +3803,24 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q206: REAL GIF decode — the remaining common crawl-image container,
+    // and the only one compressed with LZW: header/LSD walk, 256-entry
+    // color table, variable-width LSB-first LZW with clear resets and the
+    // KwKwK case, through the shared pixelMeans face. Same closed-form
+    // oracle discipline as q146/q161/q164: index(x,y) = (x + 2y + id) % 256
+    // over a grayscale table, so any LZW slip shifts a mean and breaks
+    // the hash.
+    "q206_gif_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Gif.syntheticGifImage(
+            (8 + id % 16).toInt, (8 + id % 8).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.pixelMeans(blobs, "doc_id", "blob")
+    }),
+
     // q205: WARC CRAWL INGESTION — the pipeline's front door. The standing
     // `.warc.gz` fixture corpus ([[ensureWarcFixture]]: one gzip-member-
     // per-record HTTP response per document, a warcinfo header record per
@@ -6590,6 +6608,20 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q206: grayscale closed form — index (x + 2y + id) % 256 is all three
+    // channels, replayed per pixel
+    "q206_gif_pixels" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (SELECT doc_id, w, h, (x + 2 * y + doc_id) % 256 AS v
+        |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+        |agg AS (SELECT doc_id, w, h, sum(v) AS sv FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_r,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_g,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_b
+        |FROM agg""".stripMargin,
     // q205: the WARC fixture is GENERATED from documents (uri/status from
     // doc_id residues, body = the shared Warc.shellPrefix/... shell around
     // text), so the oracle replays generation + extraction directly from

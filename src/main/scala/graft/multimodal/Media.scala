@@ -50,6 +50,7 @@ object Media {
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "riff"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (Gif.isGif(bytes)) "gif"
     else "unknown"
 
   /** A fully-parsed uncompressed 24bpp BMP: pixel access in IMAGE
@@ -117,6 +118,22 @@ object Media {
   /** REAL per-channel pixel means over a decoded BMP:
     * `(width, height, mean_r, mean_g, mean_b)`, integer floor division. */
   private[graft] def bmpChannelMeans(img: BmpImage): (Long, Long, Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val (r, g, b) = img.pixel(x, y)
+        sr += r; sg += g; sb += b
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.width.toLong * img.height
+    (img.width.toLong, img.height.toLong, sr / n, sg / n, sb / n)
+  }
+
+  private[graft] def gifChannelMeans(img: Gif.GifImage): (Long, Long, Long, Long, Long) = {
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < img.height) {
@@ -566,6 +583,7 @@ object Media {
         }
         None
       case "bmp" => parseBmp(bytes).map(img => (img.width.toLong, img.height.toLong))
+      case "gif" => Gif.dims(bytes)
       case _ => None
     }
 
@@ -1051,6 +1069,7 @@ object Media {
           parseBmp(bytes).map(bmpChannelMeans)
             .orElse(parsePng(bytes).map(pngChannelMeans))
             .orElse(Jpeg.decode(bytes).map(jpegChannelMeans))
+            .orElse(Gif.decode(bytes).map(gifChannelMeans))
             .map { case (w, h, mr, mg, mb) => (id, w, h, mr, mg, mb) }
         }
       }
@@ -1207,6 +1226,7 @@ object Media {
             parseBmp(bytes).map(b => ("bmp", b.width, b.height, b.pixel _))
               .orElse(parsePng(bytes).map(p => ("png", p.width, p.height, p.pixel _)))
               .orElse(Jpeg.decode(bytes).map(j => ("jpeg", j.width, j.height, j.pixel _)))
+              .orElse(Gif.decode(bytes).map(g => ("gif", g.width, g.height, g.pixel _)))
           dec.map { case (kind, w, h, px) =>
             def luma(x: Int, y: Int): Int = {
               val (r, g, b) = px(x, y)
@@ -1256,7 +1276,8 @@ object Media {
           if (bytes == null) (id, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]])
           else resizeBmp(bytes, w, h).map(("bmp", _))
             .orElse(resizePng(bytes, w, h).map(("png", _)))
-            .orElse(resizeJpeg(bytes, w, h).map(("jpeg", _))) match {
+            .orElse(resizeJpeg(bytes, w, h).map(("jpeg", _)))
+            .orElse(Gif.resizeGif(bytes, w, h).map(("gif", _))) match {
             case Some((kind, real)) => (id, kind, real)
             case None =>
               val out = new Array[Byte](w * h)
