@@ -469,6 +469,58 @@ object StreamOps {
         col("__c.n_tokens").as("n_tokens"), col("__c.chunk_hash").as("chunk_hash"))
 
   /**
+   * STREAMING crawl ingestion — the streaming face of [[graft.sources.Warc]]
+   * closing the pipeline's front door: each micro-batch of raw `.warc.gz`
+   * payloads (one row per FILE with a binary `content` column — the shape
+   * of Spark's `binaryFile` file-stream source watching a crawler's drop
+   * directory) parses its HTTP response records, extracts visible text
+   * through the shared [[graft.functions.Text.stripHtml]] chain, and
+   * upserts one `(url, date, status, text, version)` row per captured
+   * page into the standing document store. A RE-CRAWLED url supersedes
+   * doc-wholesale (last-writer-wins under the store's max-struct rule);
+   * duplicate captures of one url INSIDE a batch reduce first to one
+   * deterministic winner — max (date, status, text), the latest capture
+   * by WARC-Date with a total tie-break — so a replayed batch is
+   * idempotent (the [[streamingPostings]] discipline). The per-batch work
+   * is one narrow parse pass plus one url-keyed exchange for the
+   * reduction; file blobs never shuffle, only extracted rows do.
+   */
+  def streamingCrawl(files: DataFrame, storePath: String, nBuckets: Int,
+      checkpointDir: String): StreamingQuery =
+    files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.upsertBuckets(storePath,
+          crawlRows(batch).withColumn("version", lit(batchId)),
+          "url", "version", nBuckets)
+      }
+      .start()
+
+  /** The batch kernel of [[streamingCrawl]]: raw `content` payloads ->
+    * one reduced `(url, date, status, text)` row per captured page.
+    * Shared by the stream and its batch-equivalence oracle, so the two
+    * cannot drift. */
+  private[graft] def crawlRows(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("content")).as[Array[Byte]]
+      .flatMap(graft.sources.Warc.parseWarcGz(_)).toDF()
+      .select(col("uri").as("url"), col("date"), col("status").cast("long").as("status"),
+        graft.functions.Text.stripHtml(col("body")).as("text"))
+      .groupBy(col("url"))
+      .agg(max(struct(col("date"), col("status"), col("text"))).as("__w"))
+      .select(col("url"), col("__w.date").as("date"),
+        col("__w.status").as("status"), col("__w.text").as("text"))
+  }
+
+  /** The CURRENT captured corpus of a [[streamingCrawl]] store. */
+  def crawlFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col("url"), col("date"), col("status"), col("text"))
+
+  /**
    * STREAMING maintenance of a standing LINE-HASH store — the boilerplate
    * vocabulary of [[graft.operators.Dedup.lineDedup]] kept current from a
    * document stream, in the [[streamingPostings]] discipline: each

@@ -637,6 +637,52 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingCrawl (store-maintained captured corpus from .warc.gz files)") {
+    it("re-crawls supersede by url; same-batch duplicate captures pick the latest date") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("crawl_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("crawl_ckpt").toString
+      val src = MemoryStream[(String, Array[Byte])]
+      val q = StreamOps.streamingCrawl(src.toDF().toDF("path", "content"),
+        storePath = store, nBuckets = 4, checkpointDir = ckpt)
+      import graft.sources.Warc.{gzipMember, responseRecord, warcinfoRecord}
+      def file(recs: Array[Byte]*): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(gzipMember(warcinfoRecord("f")))
+        recs.foreach(r => out.write(gzipMember(r)))
+        out.toByteArray
+      }
+      def corpus(): Set[(String, String, Long, String)] =
+        StreamOps.crawlFromStore(spark, store).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3).trim))
+          .toSet
+      try {
+        src.addData(
+          ("f1", file(
+            responseRecord("https://a.example/1", "2026-01-01T00:00:00Z", 200, "<p>alpha one</p>"),
+            responseRecord("https://a.example/2", "2026-01-01T00:00:00Z", 404, "<p>beta</p>"))),
+          // one url captured TWICE in one batch: the later WARC-Date wins
+          ("f2", file(
+            responseRecord("https://a.example/3", "2026-01-01T00:00:00Z", 200, "<p>old capture</p>"),
+            responseRecord("https://a.example/3", "2026-01-02T00:00:00Z", 200, "<p>new capture</p>"))))
+        q.processAllAvailable()
+        assert(corpus() == Set(
+          ("https://a.example/1", "2026-01-01T00:00:00Z", 200L, "alpha one"),
+          ("https://a.example/2", "2026-01-01T00:00:00Z", 404L, "beta"),
+          ("https://a.example/3", "2026-01-02T00:00:00Z", 200L, "new capture")))
+        // a later batch's re-crawl supersedes doc-wholesale (even with an
+        // EARLIER WARC-Date: batch version outranks in-store history)
+        src.addData(("f3", file(
+          responseRecord("https://a.example/1", "2026-01-01T12:00:00Z", 200, "<p>alpha two</p>"))))
+        q.processAllAvailable()
+        assert(corpus() == Set(
+          ("https://a.example/1", "2026-01-01T12:00:00Z", 200L, "alpha two"),
+          ("https://a.example/2", "2026-01-01T00:00:00Z", 404L, "beta"),
+          ("https://a.example/3", "2026-01-02T00:00:00Z", 200L, "new capture")))
+      } finally q.stop()
+    }
+  }
+
   describe("streamingLines ≡ from-scratch lineBoilerplate (store-maintained boilerplate vocabulary)") {
     it("re-ingests move df doc-wholesale; the store-derived vocabulary equals scratch") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
