@@ -3803,6 +3803,44 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q207: ROBOTS.TXT COMPLIANCE (RFC 9309) — the crawl-policy filter
+    // between WARC ingestion and everything downstream. Each source gets a
+    // synthetic host + policy derived from replayable residues: a star
+    // group with a longest-match trap (/private/ disallowed, /private/ok/
+    // re-allowed — the longer rule must win), a $-anchored rule, and for
+    // even-length sources a graftbot-specific group (the query crawls as
+    // graftbot, so on those hosts ONLY that group applies and the star
+    // rules must NOT leak in); len%3==0 sources publish no robots at all
+    // (allowed by default). One host equi-join, zero-exchange HOF rule
+    // selection — the oracle replays the expected SEMANTICS from the same
+    // residues, so any parse/precedence/group-selection slip flips a
+    // verdict and breaks the hash.
+    "q207_robots_filter" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      val idStr = col("doc_id").cast("string")
+      val m5 = pmod(col("doc_id"), lit(5L))
+      val path = when(m5 === 0, concat(lit("/public/p"), idStr))
+        .when(m5 === 1, concat(lit("/private/x"), idStr))
+        .when(m5 === 2, concat(lit("/private/ok/y"), idStr))
+        .when(m5 === 3, lit("/tmp"))
+        .otherwise(concat(lit("/beta/b"), idStr))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example"), path).as("url"))
+      val robots = docs.select(col("source")).distinct()
+        .where(pmod(length(col("source")), lit(3)) =!= 0)
+        .select(concat(col("source"), lit(".example")).as("host"),
+          concat(
+            lit("# synthetic policy\nUser-agent: *\nDisallow: /private/\n" +
+              "Allow: /private/ok/\nDisallow: /tmp$\n"),
+            when(pmod(length(col("source")), lit(2)) === 0,
+              lit("\nUser-agent: graftbot\nDisallow: /beta/\n"))
+              .otherwise(lit(""))).as("robots_txt"))
+      val rules = operators.Robots.robotsRules(robots, "host", "robots_txt", "graftbot")
+      operators.Robots.filterByRobots(urls, "url", rules, "host")
+        .select(col("doc_id"), col("url"), col("allowed"))
+    }),
+
     // q206: REAL GIF decode — the remaining common crawl-image container,
     // and the only one compressed with LZW: header/LSD walk, 256-entry
     // color table, variable-width LSB-first LZW with clear resets and the
@@ -6608,6 +6646,28 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q207: the oracle replays the expected RFC-9309 SEMANTICS from the
+    // same residues the fixture derives its policies from — no-robots
+    // hosts allow everything, graftbot-group hosts apply ONLY that group,
+    // star hosts apply longest-match with allow-wins and the $ anchor
+    "q207_robots_filter" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+        |           WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |u AS (SELECT doc_id, source,
+        |        CASE doc_id % 5
+        |          WHEN 0 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+        |          WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |          WHEN 2 THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
+        |          WHEN 3 THEN '/tmp'
+        |          ELSE '/beta/b' || CAST(doc_id AS VARCHAR) END AS path
+        |      FROM d)
+        |SELECT doc_id,
+        |       'https://' || source || '.example' || path AS url,
+        |       CASE WHEN len(source) % 3 = 0 THEN TRUE
+        |            WHEN len(source) % 2 = 0 THEN doc_id % 5 <> 4
+        |            ELSE doc_id % 5 NOT IN (1, 3)
+        |       END AS allowed
+        |FROM u""".stripMargin,
     // q206: grayscale closed form — index (x + 2y + id) % 256 is all three
     // channels, replayed per pixel
     "q206_gif_pixels" ->
