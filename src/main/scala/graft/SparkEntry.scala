@@ -3803,6 +3803,33 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q208: CRAWL-INGESTION CAPSTONE — the round's front-door stages
+    // COMPOSED in one plan: the standing .warc.gz fixture parses through
+    // the real transport (q205's path), only HTTP-200 captures survive,
+    // the robots policy applies as graftbot (digit-prefix rules — path
+    // prefixes over the decimal doc id, so the verdict replays in SQL via
+    // starts_with on the id string, with /doc/33 re-allowed inside the
+    // /doc/3 disallow to keep the longest-match trap live), and survivors
+    // extract through the shared stripHtml chain. One narrow parse pass +
+    // one broadcast policy join; the oracle chains the q205 replay, the
+    // status stripe, and the digit-prefix semantics.
+    "q208_crawl_pipeline" -> ((s, dir) => {
+      val root = ensureWarcFixture(s, dir)
+      val resp = sources.Warc.readResponses(s, root)
+        .where(col("status") === 200)
+      val robots = s.range(1).select(
+        lit("crawl.example").as("host"),
+        lit("User-agent: *\nDisallow: /doc/3\nAllow: /doc/33\n").as("robots_txt"))
+      val rules = operators.Robots.robotsRules(robots, "host", "robots_txt", "graftbot")
+      operators.Robots.filterByRobots(resp, "uri", rules, "host")
+        .where(col("allowed"))
+        .select(
+          regexp_extract(col("uri"), "doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          functions.Text.stripHtml(col("body")).as("extracted"))
+        .select(col("doc_id"), col("extracted"),
+          functions.Text.tokenCount(col("extracted")).as("n_tokens"))
+    }),
+
     // q207: ROBOTS.TXT COMPLIANCE (RFC 9309) — the crawl-policy filter
     // between WARC ingestion and everything downstream. Each source gets a
     // synthetic host + policy derived from replayable residues: a star
@@ -6639,6 +6666,30 @@ object SparkEntry {
       }
       s"""WITH e AS (SELECT doc_id, $chain AS extracted
          |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+         |SELECT doc_id, extracted,
+         |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
+         |            THEN 0
+         |            ELSE CAST(len(regexp_split_to_array(trim(extracted), '[ \\x09-\\x0D]+')) AS BIGINT)
+         |       END AS n_tokens
+         |FROM e""".stripMargin
+    },
+    // q208: the q205 transport replay, restricted to the 200 stripe and
+    // the digit-prefix robots semantics (blocked iff the decimal id
+    // starts with '3' and not '33')
+    "q208_crawl_pipeline" -> {
+      val htmlExpr =
+        s"'${sources.Warc.shellPrefix.replace("'", "''")}' || text || " +
+          s"'${sources.Warc.shellSuffix.replace("'", "''")}'"
+      val chain = functions.Text.htmlStripSteps.foldLeft(s"($htmlExpr)") {
+        case (acc, (p, r)) =>
+          s"regexp_replace($acc, '${p.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
+      }
+      s"""WITH kept AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |                AND doc_id % 97 <> 0
+         |                AND NOT (starts_with(CAST(doc_id AS VARCHAR), '3')
+         |                         AND NOT starts_with(CAST(doc_id AS VARCHAR), '33'))),
+         |e AS (SELECT doc_id, $chain AS extracted FROM kept)
          |SELECT doc_id, extracted,
          |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
          |            THEN 0
