@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -70,6 +70,7 @@ object Stress {
     if (mode == "allpairs") { allPairsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "knn") { knnStudy(spark, sfDir); spark.stop(); return }
     if (mode == "lm") { lmStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "crawl") { crawlStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -1147,5 +1148,74 @@ object Stress {
     require(dropped2 >= 1, "hot cell was not dropped — occupancy cap inert")
     require(intoHot == 0, "an edge points into a dropped cell's member")
     edges.unpersist(); index.assigned.unpersist(); corpus.unpersist(); corpus2.unpersist(); ()
+  }
+
+  /** WARC ingestion at replica scale: serialize the corpus as real
+    * `.warc.gz` files, parse them back through the full transport, damage
+    * one file and prove the tear costs only its own tail, then apply the
+    * robots policy — write/parse throughput and the damage contract are
+    * the invariants a 100 TB crawl drop relies on. */
+  private def crawlStudy(spark: SparkSession, sfDir: String): Unit = {
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nDocs = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("stress_warc").toString
+    val shaped = docs.select(col("doc_id").as("id"),
+      concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string")).as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      when(pmod(col("doc_id"), lit(97L)) === 0, 404).otherwise(200).as("status"),
+      concat(lit(sources.Warc.shellPrefix), col("text"),
+        lit(sources.Warc.shellSuffix)).as("html"))
+    timed("write .warc.gz corpus (8 files, member-per-record gzip)")(
+      sources.Warc.writeFixture(shaped, dir, nFiles = 8))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    val mb = files.map(_.length).sum / 1e6
+    println(f"[stress] corpus: $nDocs docs -> ${files.length} files, $mb%.1f MB compressed")
+
+    val parsed = sources.Warc.readResponses(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nResp = timed("parse: binaryFile scan -> inflate -> record walk -> HTTP split")(
+      parsed.count())
+    println(s"[stress] responses: $nResp (expect $nDocs: every doc captured exactly once)")
+    require(nResp == nDocs, s"parse lost or invented records: $nResp != $nDocs")
+
+    // tear one file mid-member: the damage must cost ONLY that file's tail
+    val dir2 = java.nio.file.Files.createTempDirectory("stress_warc_torn").toString
+    val torn = files.maxBy(_.length)
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val outBytes = if (f == torn) java.util.Arrays.copyOf(bytes, (bytes.length * 2) / 3)
+                     else bytes
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir2, f.getName), outBytes): Unit
+    }
+    val nTorn = timed("parse with one file torn at 2/3 length")(
+      sources.Warc.readResponses(spark, dir2).count())
+    // the torn file's own INTACT record count bounds the loss: pmod buckets
+    // hash unevenly across the 8 partitions, so measure, don't divide
+    val tornFileRows = sources.Warc.parseWarcGz(
+      java.nio.file.Files.readAllBytes(torn.toPath)).size
+    println(s"[stress] torn-corpus responses: $nTorn (expect lost in (0, $tornFileRows]: " +
+      "the torn file's own tail only; the other 7 files fully intact)")
+    require(nTorn < nResp, "the tear cost nothing — damage contract inert")
+    require(nResp - nTorn <= tornFileRows,
+      s"the tear leaked beyond its file: lost ${nResp - nTorn} > its $tornFileRows rows")
+
+    // robots policy over the parsed captures (the q208 composition)
+    import spark.implicits._
+    val robots = Seq(("crawl.example",
+      "User-agent: *\nDisallow: /doc/3\nAllow: /doc/33\n")).toDF("host", "robots_txt")
+    val rules = operators.Robots.robotsRules(robots, "host", "robots_txt", "graftbot")
+    val allowed = timed("robots verdict (broadcast policy join + HOF selection)")(
+      operators.Robots.filterByRobots(parsed, "uri", rules, "host")
+        .where(col("allowed")).count())
+    val expectedAllowed = docs.where(
+      !(col("doc_id").cast("string").startsWith("3") &&
+        !col("doc_id").cast("string").startsWith("33"))).count()
+    println(s"[stress] allowed: $allowed (expect $expectedAllowed: " +
+      "digit-prefix policy recomputed independently from the table)")
+    require(allowed == expectedAllowed, s"robots verdict drifted: $allowed != $expectedAllowed")
+    parsed.unpersist(); docs.unpersist(); ()
   }
 }

@@ -110,7 +110,11 @@ object Warc {
   case class WarcResponse(uri: String, date: String, status: Int,
                           contentType: String, body: String)
 
-  /** Inflate a whole (multi-member) gzip payload. */
+  /** Inflate a whole (multi-member) gzip payload. A TRUNCATED or corrupt
+    * member (a half-written crawl file — routine at fleet scale) keeps the
+    * bytes already inflated instead of failing the task: the record walk
+    * then applies its own truncate-at-damage contract, so one bad file
+    * costs its own tail, never the job. */
   private def inflateAll(gz: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(gz), 1 << 16)
@@ -119,6 +123,8 @@ object Warc {
     try {
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch {
+      case _: java.io.EOFException | _: java.util.zip.ZipException => ()
     } finally in.close()
     out.toByteArray
   }

@@ -54,6 +54,13 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
     assert(damaged.map(_.uri) == List("https://a.example/ok"))
   }
 
+  test("a gzip member truncated mid-stream keeps the sound prefix, not an exception") {
+    val r1 = responseRecord("https://a.example/sound", "d", 200, "intact")
+    val r2 = responseRecord("https://a.example/lost", "d", 200, "half written")
+    val payload = gz(r1) ++ gz(r2).dropRight(15) // torn tail member
+    assert(parseWarcGz(payload).map(_.uri).toList == List("https://a.example/sound"))
+  }
+
   test("empty body and a multi-member file with no responses both parse") {
     assert(parseWarcGz(gz(warcinfoRecord("empty"), warcinfoRecord("again"))).isEmpty)
     val got = parseWarcGz(gz(responseRecord("u", "d", 200, ""))).toList
