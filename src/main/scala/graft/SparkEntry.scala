@@ -226,6 +226,30 @@ object SparkEntry {
       root
     })
 
+  /** The q209/q210 link frame: synthetic pages whose anchors derive from
+    * doc_id residues, pushed through the REAL extraction kernel
+    * ([[functions.Text.extractLinks]] + [[functions.Url.canonicalHost]]) —
+    * decoys (a `<link>` tag, an hrefless anchor, a relative href) keep the
+    * anchor-only and authority-required contracts live in the gate. */
+  private def hostLinkEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+    val idStr = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body><p>content</p><a href=\"https://h"),
+      pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".example/p"), idStr,
+      lit("\">x</a><link href=\"https://nope.example/css\"><a name=\"no-href\">y</a>"),
+      lit("<a rel=\"next\" href=\"https://h"),
+      pmod(col("doc_id") * 3, lit(7L)).cast("string"),
+      lit(".example/q\">z</a><a href=\"/relative/only\">r</a></body></html>"))
+    docs.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(4L)).cast("string"),
+          lit(".example")).as("src_host"),
+        explode(functions.Text.extractLinks(html)).as("href"))
+      .select(col("src_host"), functions.Url.canonicalHost(col("href")).as("dst_host"))
+      .where(col("dst_host") =!= "") // a relative href carries no authority
+  }
+
   /** One-time bucketed-layout creation for q49, memoized per source dir: the
     * write is the layout INVESTMENT a 100 TB deployment makes once (bucket the
     * hot join keys, then every subsequent query joins shuffle-free), so it
@@ -3803,6 +3827,30 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q209: WEB LINK GRAPH — anchor-href extraction over synthetic pages
+    // whose links derive from replayable residues (plus decoys the
+    // extractor must ignore: a <link> tag, an hrefless anchor, and a
+    // RELATIVE href that survives extraction but dies at the host step —
+    // no authority). One narrow extract+explode, one aggregation
+    // exchange: the host-level edge list a web-graph pipeline feeds to
+    // ranking.
+    "q209_link_graph" -> ((s, dir) => hostLinkEdges(s, dir)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))),
+
+    // q210: HOST AUTHORITY — the q209 edges (still flowing through the
+    // real extraction kernel) map to numeric ids and feed the fixed-point
+    // integer pageRank; the oracle unrolls the same 3 iterations over the
+    // residue-derived edge set (the q152 replay shape). Dangling hosts
+    // (pure link targets) keep the teleport floor.
+    "q210_host_rank" -> ((s, dir) => {
+      val e = hostLinkEdges(s, dir)
+        .select(
+          regexp_extract(col("src_host"), "([0-9]+)", 1).cast("long").as("src"),
+          (regexp_extract(col("dst_host"), "([0-9]+)", 1).cast("long") + 100L).as("dst"))
+      operators.Graph.pageRank(e, "src", "dst", iterations = 3)
+    }),
+
     // q208: CRAWL-INGESTION CAPSTONE — the round's front-door stages
     // COMPOSED in one plan: the standing .warc.gz fixture parses through
     // the real transport (q205's path), only HTTP-200 captures survive,
@@ -6673,6 +6721,38 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q209: the link set replayed from the residues that generated it
+    "q209_link_graph" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        |l AS (SELECT 's' || CAST(doc_id % 4 AS VARCHAR) || '.example' AS src_host,
+        |             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS dst_host FROM d
+        |      UNION ALL
+        |      SELECT 's' || CAST(doc_id % 4 AS VARCHAR) || '.example',
+        |             'h' || CAST((doc_id * 3) % 7 AS VARCHAR) || '.example' FROM d)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |FROM l GROUP BY 1, 2""".stripMargin,
+    // q210: the q152 replay shape — 3 unrolled fixed-point iterations over
+    // the residue-derived DISTINCT host edges (s-ids 0..3, h-ids 100..106)
+    "q210_host_rank" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        |e AS (SELECT DISTINCT doc_id % 4 AS src, 100 + doc_id % 7 AS dst FROM d
+        |      UNION SELECT doc_id % 4, 100 + (doc_id * 3) % 7 FROM d),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rk FROM v),
+        |s1 AS (SELECT e.dst AS id, sum(r0.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s1.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s1 USING (id)),
+        |s2 AS (SELECT e.dst AS id, sum(r1.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s2.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s2 USING (id)),
+        |s3 AS (SELECT e.dst AS id, sum(r2.rk // d.outdeg) AS inflow
+        |       FROM e JOIN deg d ON d.src = e.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT v.id, CAST((1500 * 1000000 + 8500 * coalesce(s3.inflow, 0)) // 10000 AS BIGINT) AS rk
+        |       FROM v LEFT JOIN s3 USING (id))
+        |SELECT CAST(id AS BIGINT) AS id, rk AS rank_scaled FROM r3""".stripMargin,
     // q208: the q205 transport replay, restricted to the 200 stripe and
     // the digit-prefix robots semantics (blocked iff the decimal id
     // starts with '3' and not '33')

@@ -368,6 +368,18 @@ object Text {
   def stripHtml(text: Column): Column =
     htmlStripSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, lit(p), lit(r)) }
 
+  /** href targets of ANCHOR tags (`<a ... href="...">`), in document
+    * order — the web-graph edge extractor that pairs with [[stripHtml]]:
+    * one keeps the text, the other keeps the links. Deliberately anchors
+    * only (`<link>`/`<script src>` are page plumbing, not hyperlinks) and
+    * double-quoted values only (what real generators emit); the RE2 ∩
+    * Java pattern subset, zero exchanges, rides the scan. Shared constant
+    * so oracle SQL replays the same pattern. */
+  val anchorHrefPattern: String = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
+
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit(anchorHrefPattern), lit(1))
+
   /** Per-category match counts over the RAW text (counts are independent per
     * pattern; an email inside a URL counts once for each — the audit number a
     * compliance report wants, and what the oracle recomputes). */

@@ -1069,6 +1069,19 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       // unclosed tag swallows to the next '>', leftover text survives
       assert(strip("x <unclosed y").trim == "x <unclosed y")
     }
+
+    it("extractLinks keeps anchor hrefs in order and nothing else") {
+      import spark.implicits._
+      val html = "<a href=\"https://a.example/1\">x</a>" +
+        "<link href=\"https://css.example\">" + // not an anchor
+        "<A REL=\"next\" HREF=\"https://b.example/2\">y</A>" + // case-insensitive
+        "<a name=\"no-href\">z</a>" + // hrefless anchor
+        "<a href=\"/relative\">r</a>" // relative: extracted, host-less
+      val got = Seq(html).toDF("h")
+        .select(graft.functions.Text.extractLinks(col("h"))).collect()
+        .head.getSeq[String](0)
+      assert(got == Seq("https://a.example/1", "https://b.example/2", "/relative"))
+    }
   }
 
   describe("Dedup.lineDedup") {
