@@ -83,14 +83,21 @@ object Warc {
     out.toByteArray
   }
 
-  /** A full `response` record for one captured page. */
+  /** A full `response` record for one captured page (UTF-8 body). */
   def responseRecord(uri: String, date: String, status: Int, html: String): Array[Byte] =
+    responseRecordBytes(uri, date, status, "text/html; charset=utf-8",
+      html.getBytes("UTF-8"))
+
+  /** A `response` record with an explicit content type and raw body —
+    * the non-UTF-8 face ([[responseRecord]] is the common case). */
+  def responseRecordBytes(uri: String, date: String, status: Int,
+                          contentType: String, body: Array[Byte]): Array[Byte] =
     record("response", Seq(
       "WARC-Record-ID" -> s"<urn:uuid:${java.util.UUID.nameUUIDFromBytes(uri.getBytes("UTF-8"))}>",
       "WARC-Target-URI" -> uri,
       "WARC-Date" -> date,
       "Content-Type" -> "application/http;msgtype=response"),
-      httpResponseBlock(status, "text/html; charset=utf-8", html.getBytes("UTF-8")))
+      httpResponseBlock(status, contentType, body))
 
   /** The file-leading `warcinfo` record (readers must skip it). */
   def warcinfoRecord(filename: String): Array[Byte] =
@@ -127,6 +134,23 @@ object Warc {
       case _: java.io.EOFException | _: java.util.zip.ZipException => ()
     } finally in.close()
     out.toByteArray
+  }
+
+  /** Decode an HTTP body under its declared charset (see
+    * parseHttpResponse's contract). */
+  private def decodeBody(bytes: Array[Byte], off: Int, len: Int,
+                         contentType: String): String = {
+    val m = java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:-]+)")
+      .matcher(contentType)
+    val cs: java.nio.charset.Charset =
+      if (m.find()) {
+        try java.nio.charset.Charset.forName(m.group(1))
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+      } else java.nio.charset.StandardCharsets.UTF_8
+    try new String(bytes, off, len, cs)
+    catch { case _: Exception =>
+      new String(bytes, off, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
   }
 
   /** Parse a `.warc.gz` payload into its `response` records. */
@@ -206,7 +230,12 @@ object Warc {
         advance() // skipped type or non-HTTP block: walk on
       }
 
-      /** HTTP/1.1 block -> response, or null when the block isn't HTTP. */
+      /** HTTP/1.1 block -> response, or null when the block isn't HTTP.
+        * The body decodes under the header's declared charset (crawls are
+        * NOT all UTF-8): any JDK-supported `charset=` honors; a missing or
+        * unknown declaration falls back to UTF-8 — with ISO-8859-1 as the
+        * last resort since it cannot fail, so a mislabeled body degrades
+        * to readable bytes instead of an exception. */
       private def parseHttpResponse(from: Int, until: Int,
                                     uri: String, date: String): WarcResponse = {
         val se = lineEnd(from)
@@ -223,7 +252,7 @@ object Warc {
           if (le < 0 || le > until) return null
           if (le == p + 2) { // empty line: the rest is the body
             return WarcResponse(uri, date, status, contentType,
-              new String(bytes, le, until - le, "UTF-8"))
+              decodeBody(bytes, le, until - le, contentType))
           }
           val line = ascii(p, le - 2)
           val c = line.indexOf(':')

@@ -507,11 +507,17 @@ object StreamOps {
     files.select(col("content")).as[Array[Byte]]
       .flatMap(graft.sources.Warc.parseWarcGz(_)).toDF()
       .select(col("uri").as("url"), col("date"), col("status").cast("long").as("status"),
-        graft.functions.Text.stripHtml(col("body")).as("text"))
+        graft.functions.Text.stripHtml(col("body")).as("text"),
+        // outlinks ride the same row: the standing WEB GRAPH derives from
+        // the store, so a re-crawl that drops a link retires its edge
+        // doc-wholesale with zero decrement bookkeeping (the df-derivation
+        // discipline of streamingLines)
+        graft.functions.Text.extractLinks(col("body")).as("links"))
       .groupBy(col("url"))
-      .agg(max(struct(col("date"), col("status"), col("text"))).as("__w"))
+      .agg(max(struct(col("date"), col("status"), col("text"), col("links"))).as("__w"))
       .select(col("url"), col("__w.date").as("date"),
-        col("__w.status").as("status"), col("__w.text").as("text"))
+        col("__w.status").as("status"), col("__w.text").as("text"),
+        col("__w.links").as("links"))
   }
 
   /** The CURRENT captured corpus of a [[streamingCrawl]] store. */
@@ -519,6 +525,14 @@ object StreamOps {
       storePath: String): DataFrame =
     graft.sources.Sink.readStore(spark, storePath)
       .select(col("url"), col("date"), col("status"), col("text"))
+
+  /** The CURRENT outlink edge list of a [[streamingCrawl]] store —
+    * feed hosts through `Url.canonicalHost` + `Graph.pageRank` for the
+    * stream-maintained q210 authority ranking. */
+  def linkEdgesFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col("url"), explode(col("links")).as("href"))
 
   /**
    * STREAMING maintenance of a standing LINE-HASH store — the boilerplate

@@ -54,6 +54,22 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
     assert(damaged.map(_.uri) == List("https://a.example/ok"))
   }
 
+  test("the body decodes under its declared charset; unknown labels degrade, never throw") {
+    val latin = "café niño" // é/ñ are single bytes in ISO-8859-1
+    val payload = gz(
+      responseRecordBytes("https://a.example/l1", "d", 200,
+        "text/html; charset=ISO-8859-1", latin.getBytes("ISO-8859-1")),
+      responseRecordBytes("https://a.example/utf", "d", 200,
+        "text/html; charset=\"utf-8\"", "café".getBytes("UTF-8")), // quoted label
+      responseRecordBytes("https://a.example/junk", "d", 200,
+        "text/html; charset=no-such-charset", "plain ascii".getBytes("US-ASCII")))
+    val got = parseWarcGz(payload).map(r => (r.uri, r.body)).toList
+    assert(got == List(
+      ("https://a.example/l1", latin),
+      ("https://a.example/utf", "café"),
+      ("https://a.example/junk", "plain ascii")))
+  }
+
   test("a gzip member truncated mid-stream keeps the sound prefix, not an exception") {
     val r1 = responseRecord("https://a.example/sound", "d", 200, "intact")
     val r2 = responseRecord("https://a.example/lost", "d", 200, "half written")

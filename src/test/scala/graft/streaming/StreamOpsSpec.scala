@@ -671,14 +671,21 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
           ("https://a.example/2", "2026-01-01T00:00:00Z", 404L, "beta"),
           ("https://a.example/3", "2026-01-02T00:00:00Z", 200L, "new capture")))
         // a later batch's re-crawl supersedes doc-wholesale (even with an
-        // EARLIER WARC-Date: batch version outranks in-store history)
+        // EARLIER WARC-Date: batch version outranks in-store history) —
+        // and its outlinks replace the page's edge set the same way
         src.addData(("f3", file(
-          responseRecord("https://a.example/1", "2026-01-01T12:00:00Z", 200, "<p>alpha two</p>"))))
+          responseRecord("https://a.example/1", "2026-01-01T12:00:00Z", 200,
+            "<p>alpha two</p><a href=\"https://t.example/x\">t</a>"))))
         q.processAllAvailable()
         assert(corpus() == Set(
-          ("https://a.example/1", "2026-01-01T12:00:00Z", 200L, "alpha two"),
+          ("https://a.example/1", "2026-01-01T12:00:00Z", 200L, "alpha two t"),
           ("https://a.example/2", "2026-01-01T00:00:00Z", 404L, "beta"),
           ("https://a.example/3", "2026-01-02T00:00:00Z", 200L, "new capture")))
+        // the standing web graph derives from the store: exactly the
+        // re-crawled page's one edge, the link-free pages contribute none
+        val edges = StreamOps.linkEdgesFromStore(spark, store).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        assert(edges == Set(("https://a.example/1", "https://t.example/x")))
       } finally q.stop()
     }
   }
