@@ -136,6 +136,34 @@ object Warc {
     out.toByteArray
   }
 
+  /** Reassemble an RFC 7230 §4.1 chunked body: hex-size line (chunk
+    * extensions after ';' ignored) CRLF data CRLF ... 0-chunk (trailers
+    * ignored). Crawlers that archive the raw wire bytes store bodies in
+    * this form. Returns null on malformed framing — a body whose chunk
+    * sizes cannot be trusted cannot be attributed to the page. */
+  private def dechunk(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len)
+    var p = off
+    val end = off + len
+    while (true) {
+      var q = p
+      while (q + 1 < end && !(bytes(q) == '\r' && bytes(q + 1) == '\n')) q += 1
+      if (q + 1 >= end) return null
+      val sizeStr = new String(bytes, p, q - p, "US-ASCII").takeWhile(_ != ';').trim
+      val size = try Integer.parseInt(sizeStr, 16)
+                 catch { case _: NumberFormatException => return null }
+      if (size < 0) return null
+      if (size == 0) return out.toByteArray // done; trailers ignored
+      val dataStart = q + 2
+      if (dataStart + size + 2 > end) return null
+      out.write(bytes, dataStart, size)
+      if (!(bytes(dataStart + size) == '\r' && bytes(dataStart + size + 1) == '\n'))
+        return null
+      p = dataStart + size + 2
+    }
+    null // unreachable
+  }
+
   /** Decode an HTTP body under its declared charset (see
     * parseHttpResponse's contract). */
   private def decodeBody(bytes: Array[Byte], off: Int, len: Int,
@@ -247,18 +275,32 @@ object Warc {
         val status = try parts(1).toInt catch { case _: NumberFormatException => return null }
         var p = se
         var contentType = ""
+        var chunked = false
         while (p < until) {
           val le = lineEnd(p)
           if (le < 0 || le > until) return null
           if (le == p + 2) { // empty line: the rest is the body
+            if (chunked) {
+              // archived raw wire bytes: reassemble before decoding;
+              // untrustworthy chunk framing skips the record (see dechunk)
+              val de = dechunk(bytes, le, until - le)
+              if (de == null) return null
+              return WarcResponse(uri, date, status, contentType,
+                decodeBody(de, 0, de.length, contentType))
+            }
             return WarcResponse(uri, date, status, contentType,
               decodeBody(bytes, le, until - le, contentType))
           }
           val line = ascii(p, le - 2)
           val c = line.indexOf(':')
-          if (c >= 0 &&
-              line.substring(0, c).trim.equalsIgnoreCase("Content-Type"))
-            contentType = line.substring(c + 1).trim
+          if (c >= 0) {
+            val key = line.substring(0, c).trim
+            if (key.equalsIgnoreCase("Content-Type"))
+              contentType = line.substring(c + 1).trim
+            else if (key.equalsIgnoreCase("Transfer-Encoding"))
+              chunked = line.substring(c + 1).trim
+                .toLowerCase(java.util.Locale.ROOT).contains("chunked")
+          }
           p = le
         }
         null // header never terminated inside the block

@@ -70,6 +70,25 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
       ("https://a.example/junk", "plain ascii")))
   }
 
+  test("chunked transfer encoding reassembles; untrustworthy framing skips the record") {
+    def chunkedRecord(uri: String, chunkedBody: String): Array[Byte] = {
+      val block = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" + chunkedBody).getBytes("UTF-8")
+      record("response", Seq("WARC-Target-URI" -> uri, "WARC-Date" -> "d",
+        "Content-Type" -> "application/http;msgtype=response"), block)
+    }
+    // two chunks (the first with an extension to ignore), trailers present
+    val good = chunkedRecord("https://a.example/ok",
+      "6;ext=1\r\nhello \r\n5\r\nworld\r\n0\r\nX-Trailer: t\r\n\r\n")
+    // a size line that lies about its data length: the record must skip
+    val bad = chunkedRecord("https://a.example/bad", "FFFF\r\nshort\r\n0\r\n\r\n")
+    val after = responseRecord("https://a.example/after", "d", 200, "still here")
+    val got = parseWarcGz(gz(good, bad, after)).map(r => (r.uri, r.body)).toList
+    assert(got == List(
+      ("https://a.example/ok", "hello world"),
+      ("https://a.example/after", "still here")))
+  }
+
   test("a gzip member truncated mid-stream keeps the sound prefix, not an exception") {
     val r1 = responseRecord("https://a.example/sound", "d", 200, "intact")
     val r2 = responseRecord("https://a.example/lost", "d", 200, "half written")
