@@ -250,6 +250,31 @@ object SparkEntry {
       .where(col("dst_host") =!= "") // a relative href carries no authority
   }
 
+  /** MEMOIZED multimodal `.warc.gz` fixture for q211 — image captures with
+    * their exact bytes (content-type `image/gif`, payload = the q206
+    * synthetic GIF family), under the [[ensureWarcFixture]] discipline at
+    * its own store suffix. */
+  private val warcMediaFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureWarcMediaFixture(s: SparkSession, dir: String): String =
+    warcMediaFixtures.computeIfAbsent(dir, _ => {
+      val root = s"${indexStoreRoot(dir, "documents")}/warc_media_fixture"
+      val marker = new java.io.File(root, "_SUCCESS")
+      if (!marker.exists()) {
+        import s.implicits._
+        val shaped = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            (id, s"https://img.example/doc/$id.gif", "2026-01-01T00:00:00Z",
+              200, "image/gif",
+              multimodal.Gif.syntheticGifImage(
+                (8 + id % 16).toInt, (8 + id % 8).toInt, id))
+          }.toDF("id", "uri", "date", "status", "ctype", "payload")
+        sources.Warc.writeMediaFixture(shaped, root, nFiles = 8)
+        marker.createNewFile(): Unit
+      }
+      root
+    })
+
   /** One-time bucketed-layout creation for q49, memoized per source dir: the
     * write is the layout INVESTMENT a 100 TB deployment makes once (bucket the
     * hot join keys, then every subsequent query joins shuffle-free), so it
@@ -3827,6 +3852,22 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q211: MULTIMODAL CRAWL — image captures ride the same WARC transport
+    // as pages: content-type `image/gif` responses keep their EXACT bytes
+    // (a charset decode would corrupt them — the text/binary split is the
+    // load-bearing contract here), and the q206 GIF codec decodes them
+    // straight off the crawl. Transport ∘ codec must be the identity for
+    // the per-pixel closed form to hash-match.
+    "q211_crawl_images" -> ((s, dir) => {
+      val root = ensureWarcMediaFixture(s, dir)
+      val resp = sources.Warc.readResponses(s, root)
+        .where(col("bodyBinary").isNotNull)
+        .select(
+          regexp_extract(col("uri"), "doc/([0-9]+)\\.gif$", 1).cast("long").as("doc_id"),
+          col("bodyBinary").as("blob"))
+      multimodal.Media.pixelMeans(resp, "doc_id", "blob")
+    }),
+
     // q209: WEB LINK GRAPH — anchor-href extraction over synthetic pages
     // whose links derive from replayable residues (plus decoys the
     // extractor must ignore: a <link> tag, an hrefless anchor, and a
@@ -6721,6 +6762,20 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q211: the q206 closed form — the WARC transport around the codec
+    // must be the byte identity
+    "q211_crawl_images" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (SELECT doc_id, w, h, (x + 2 * y + doc_id) % 256 AS v
+        |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+        |agg AS (SELECT doc_id, w, h, sum(v) AS sv FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_r,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_g,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_b
+        |FROM agg""".stripMargin,
     // q209: the link set replayed from the residues that generated it
     "q209_link_graph" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),

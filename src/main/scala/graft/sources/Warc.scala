@@ -112,10 +112,15 @@ object Warc {
     bos.toByteArray
   }
 
-  /** One parsed `response` record. `body` is the HTTP payload decoded as
-    * UTF-8 (this module writes and reads HTML text payloads). */
+  /** One parsed `response` record. Crawls are MULTIMODAL: a text
+    * content type decodes into `body` under its declared charset
+    * (`bodyBinary` null); any other type — image, audio, video,
+    * application — keeps its exact payload bytes in `bodyBinary`
+    * (`body` null), because a charset decode of binary data is lossy
+    * and silently corrupting. */
   case class WarcResponse(uri: String, date: String, status: Int,
-                          contentType: String, body: String)
+                          contentType: String, body: String,
+                          bodyBinary: Array[Byte])
 
   /** Inflate a whole (multi-member) gzip payload. A TRUNCATED or corrupt
     * member (a half-written crawl file — routine at fleet scale) keeps the
@@ -162,6 +167,24 @@ object Warc {
       p = dataStart + size + 2
     }
     null // unreachable
+  }
+
+  /** Route a payload by content type: text decodes (charset-aware),
+    * everything else keeps its exact bytes (see [[WarcResponse]]). A
+    * MISSING content type defaults to text — the common case for archived
+    * HTTP/1.0 responses, and the reader downstream can re-sniff. */
+  private def assemble(uri: String, date: String, status: Int, contentType: String,
+                       bytes: Array[Byte], off: Int, len: Int): WarcResponse = {
+    val ct = contentType.toLowerCase(java.util.Locale.ROOT)
+    val isText = ct.isEmpty || ct.startsWith("text/") ||
+      ct.contains("charset=") || ct.contains("json") || ct.contains("xml") ||
+      ct.contains("javascript") || ct.contains("x-www-form-urlencoded")
+    if (isText)
+      WarcResponse(uri, date, status, contentType,
+        decodeBody(bytes, off, len, contentType), null)
+    else
+      WarcResponse(uri, date, status, contentType, null,
+        java.util.Arrays.copyOfRange(bytes, off, off + len))
   }
 
   /** Decode an HTTP body under its declared charset (see
@@ -285,11 +308,9 @@ object Warc {
               // untrustworthy chunk framing skips the record (see dechunk)
               val de = dechunk(bytes, le, until - le)
               if (de == null) return null
-              return WarcResponse(uri, date, status, contentType,
-                decodeBody(de, 0, de.length, contentType))
+              return assemble(uri, date, status, contentType, de, 0, de.length)
             }
-            return WarcResponse(uri, date, status, contentType,
-              decodeBody(bytes, le, until - le, contentType))
+            return assemble(uri, date, status, contentType, bytes, le, until - le)
           }
           val line = ascii(p, le - 2)
           val c = line.indexOf(':')
@@ -316,12 +337,31 @@ object Warc {
     * a warcinfo-only file (a real reader must cope with those). Files land
     * as `part-<p>.warc.gz` under `dir`; the caller owns completion marking
     * (write-then-`_SUCCESS`, the standing-asset convention). */
-  def writeFixture(shaped: DataFrame, dir: String, nFiles: Int): Unit = {
+  def writeFixture(shaped: DataFrame, dir: String, nFiles: Int): Unit =
+    writeFiles(
+      shaped.select(col("id").cast("long"), col("uri").cast("string"),
+        col("date").cast("string"), col("status").cast("int"), col("html").cast("string")),
+      dir, nFiles)(r => responseRecord(
+        r.getString(1), r.getString(2), r.getInt(3), r.getString(4)))
+
+  /** [[writeFixture]]'s multimodal sibling: `(id, uri, date, status,
+    * ctype, payload: binary)` rows — image/audio/whatever captures with
+    * their exact bytes. */
+  def writeMediaFixture(shaped: DataFrame, dir: String, nFiles: Int): Unit =
+    writeFiles(
+      shaped.select(col("id").cast("long"), col("uri").cast("string"),
+        col("date").cast("string"), col("status").cast("int"),
+        col("ctype").cast("string"), col("payload")),
+      dir, nFiles)(r => responseRecordBytes(
+        r.getString(1), r.getString(2), r.getInt(3), r.getString(4),
+        r.getAs[Array[Byte]](5)))
+
+  private def writeFiles(rows: DataFrame, dir: String, nFiles: Int)
+                        (toRecord: Row => Array[Byte]): Unit = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     new java.io.File(dir).mkdirs()
-    shaped.select(col("id").cast("long"), col("uri").cast("string"),
-        col("date").cast("string"), col("status").cast("int"), col("html").cast("string"))
-      .repartition(nFiles, pmod(col("id"), lit(nFiles.toLong)))
+    rows
+      .repartition(nFiles, pmod(col(rows.columns.head), lit(nFiles.toLong)))
       .foreachPartition { (it: Iterator[Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val target = new java.io.File(dir, f"part-$pid%05d.warc.gz")
@@ -329,10 +369,7 @@ object Warc {
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 16)
         try {
           out.write(gzipMember(warcinfoRecord(target.getName)))
-          it.foreach { r =>
-            out.write(gzipMember(responseRecord(
-              r.getString(1), r.getString(2), r.getInt(3), r.getString(4))))
-          }
+          it.foreach(r => out.write(gzipMember(toRecord(r))))
         } finally out.close()
         java.nio.file.Files.move(tmp.toPath, target.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit

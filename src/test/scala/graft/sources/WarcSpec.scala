@@ -89,6 +89,19 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
       ("https://a.example/after", "still here")))
   }
 
+  test("binary content types keep exact payload bytes; text stays decoded") {
+    // bytes that are INVALID UTF-8 (a lone 0xFF, a truncated multi-byte
+    // sequence): a charset decode would corrupt them irreversibly
+    val img = Array[Byte](0x47, 0x49, 0x46, 0xFF.toByte, 0xC3.toByte, 0x00, 0x89.toByte)
+    val payload = gz(
+      responseRecordBytes("https://a.example/img", "d", 200, "image/gif", img),
+      responseRecord("https://a.example/page", "d", 200, "<p>text</p>"))
+    val got = parseWarcGz(payload).toList
+    assert(got.map(_.uri) == List("https://a.example/img", "https://a.example/page"))
+    assert(got(0).body == null && got(0).bodyBinary.toSeq == img.toSeq)
+    assert(got(1).bodyBinary == null && got(1).body == "<p>text</p>")
+  }
+
   test("a gzip member truncated mid-stream keeps the sound prefix, not an exception") {
     val r1 = responseRecord("https://a.example/sound", "d", 200, "intact")
     val r2 = responseRecord("https://a.example/lost", "d", 200, "half written")
