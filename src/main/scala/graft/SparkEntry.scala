@@ -3852,6 +3852,30 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q212: PDF TEXT EXTRACTION — the other dominant crawl document
+    // format: each doc serializes as a real single-page PDF (FlateDecode-
+    // compressed on the even stripe, raw on the odd — both filter paths
+    // live), then the extractor walks object/stream framing, inflates,
+    // tokenizes the content stream, and binds literal strings to show
+    // operators. Extraction must be the identity on the embedded text
+    // (modulo edge trim) for the hash to match — any escape-table,
+    // framing, or inflate slip corrupts a row. One narrow typed pass,
+    // blobs never shuffle.
+    "q212_pdf_text" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, multimodal.Pdf.synthetic(text, compress = id % 2 == 0))
+        }.toDF("doc_id", "blob")
+      val extracted = blobs.as[(Long, Array[Byte])]
+        .map { case (id, b) => (id, multimodal.Pdf.extractText(b).getOrElse(null)) }
+        .toDF("doc_id", "extracted")
+      extracted.select(col("doc_id"), col("extracted"),
+        functions.Text.tokenCount(col("extracted")).as("n_tokens"))
+    }),
+
     // q211: MULTIMODAL CRAWL — image captures ride the same WARC transport
     // as pages: content-type `image/gif` responses keep their EXACT bytes
     // (a charset decode would corrupt them — the text/binary split is the
@@ -6762,6 +6786,17 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q212: the PDF transport must be the identity on the text, modulo
+    // the extractor's edge trim (the Scala trim = the control-char class)
+    "q212_pdf_text" ->
+      """WITH e AS (SELECT doc_id,
+        |             regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS extracted
+        |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT doc_id, extracted,
+        |       CASE WHEN len(extracted) = 0 THEN 0
+        |            ELSE CAST(len(regexp_split_to_array(extracted, '[ \x09-\x0D]+')) AS BIGINT)
+        |       END AS n_tokens
+        |FROM e""".stripMargin,
     // q211: the q206 closed form — the WARC transport around the codec
     // must be the byte identity
     "q211_crawl_images" ->

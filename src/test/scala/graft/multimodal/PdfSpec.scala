@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfSpec extends AnyFunSuite {
+
+  private def fromContent(content: String): Array[Byte] = {
+    // wrap a raw content stream in the synthetic skeleton by splicing:
+    // build a tiny PDF by hand around the given stream body
+    val head = s"%PDF-1.4\n1 0 obj\n<< /Length ${content.length} >>\nstream\n"
+    (head + content + "\nendstream\nendobj\n%%EOF\n").getBytes("UTF-8")
+  }
+
+  test("synthetic round-trip, raw and FlateDecode, incl. escapes and unicode") {
+    for (compress <- Seq(false, true);
+         text <- Seq(
+           "plain words here",
+           "parens (nested (deep)) and \\ backslash",
+           "unicode: café 多字节",
+           "line one\nline two")) {
+      val got = Pdf.extractText(Pdf.synthetic(text, compress))
+      assert(got.contains(text), s"compress=$compress text=[$text] got=$got")
+    }
+  }
+
+  test("the escape table decodes: named, octal, line continuation") {
+    val got = Pdf.extractText(fromContent(
+      "BT (a\\(b\\)c\\\\d\\012e\\tf\\\ng) Tj ET")).get
+    assert(got == "a(b)c\\d\ne\tfg")
+  }
+
+  test("hex strings and TJ arrays show text; kerning numbers are ignored") {
+    assert(Pdf.extractText(fromContent("BT <48656C6C6F> Tj ET")).get == "Hello")
+    assert(Pdf.extractText(fromContent("BT [(He) -120 (llo)] TJ ET")).get == "Hello")
+  }
+
+  test("strings bound to non-show operators are discarded; Td separates") {
+    val got = Pdf.extractText(fromContent(
+      "BT (junk) Do (first) Tj 0 -14 Td (second) Tj ET")).get
+    assert(got == "first second")
+  }
+
+  test("non-PDF payloads are None; a textless PDF is empty, not wrong") {
+    assert(Pdf.extractText("not a pdf".getBytes("UTF-8")).isEmpty)
+    assert(Pdf.extractText(fromContent("0 0 612 792 re f")).contains(""))
+  }
+
+  test("a truncated Flate stream degrades to its sound prefix, never throws") {
+    val whole = Pdf.synthetic("a reasonably long sentence to compress well", compress = true)
+    // chop inside the stream: extraction must not throw
+    val cut = java.util.Arrays.copyOf(whole, whole.length * 2 / 3)
+    val got = Pdf.extractText(cut)
+    assert(got.isDefined) // prefix text or empty — but parsed, not crashed
+  }
+}
