@@ -275,6 +275,29 @@ object SparkEntry {
       root
     })
 
+  /** MEMOIZED zip-of-PDFs fixture for q213 — the document-collection drop
+    * shape (a zip archive of PDF files per task), under the
+    * [[ensureWarcFixture]] discipline at its own store suffix. */
+  private val zipFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureZipFixture(s: SparkSession, dir: String): String =
+    zipFixtures.computeIfAbsent(dir, _ => {
+      val root = s"${indexStoreRoot(dir, "documents")}/zip_pdf_fixture"
+      val marker = new java.io.File(root, "_SUCCESS")
+      if (!marker.exists()) {
+        import s.implicits._
+        val shaped = tbl(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            (id, s"docs/doc$id.pdf",
+              multimodal.Pdf.synthetic(text, compress = id % 2 == 0))
+          }.toDF("id", "member", "bytes")
+        sources.Formats.writeZipFixture(shaped, root, nFiles = 8)
+        marker.createNewFile(): Unit
+      }
+      root
+    })
+
   /** One-time bucketed-layout creation for q49, memoized per source dir: the
     * write is the layout INVESTMENT a 100 TB deployment makes once (bucket the
     * hot join keys, then every subsequent query joins shuffle-free), so it
@@ -3852,6 +3875,24 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q213: ZIP ARCHIVE INGESTION — the document-collection drop shape: a
+    // standing fixture of zip archives whose members are the q212 PDFs,
+    // read through the binaryFile → ZipInputStream walk → per-member PDF
+    // extraction, all one narrow pass. Archive framing ∘ PDF transport
+    // must both be identities for the full replay to hash-match.
+    "q213_zip_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureZipFixture(s, dir)
+      sources.Formats.readZipMembers(s, root)
+        .select(col("member"), col("bytes")).as[(String, Array[Byte])]
+        .map { case (member, bytes) =>
+          val id = member.replaceAll("^docs/doc|\\.pdf$", "").toLong
+          (id, multimodal.Pdf.extractText(bytes).getOrElse(null))
+        }.toDF("doc_id", "extracted")
+        .select(col("doc_id"), col("extracted"),
+          functions.Text.tokenCount(col("extracted")).as("n_tokens"))
+    }),
+
     // q212: PDF TEXT EXTRACTION — the other dominant crawl document
     // format: each doc serializes as a real single-page PDF (FlateDecode-
     // compressed on the even stripe, raw on the odd — both filter paths
@@ -6786,6 +6827,17 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q213: zip framing + PDF transport are both identities — the q212
+    // replay verbatim
+    "q213_zip_ingest" ->
+      """WITH e AS (SELECT doc_id,
+        |             regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS extracted
+        |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT doc_id, extracted,
+        |       CASE WHEN len(extracted) = 0 THEN 0
+        |            ELSE CAST(len(regexp_split_to_array(extracted, '[ \x09-\x0D]+')) AS BIGINT)
+        |       END AS n_tokens
+        |FROM e""".stripMargin,
     // q212: the PDF transport must be the identity on the text, modulo
     // the extractor's edge trim (the Scala trim = the control-char class)
     "q212_pdf_text" ->

@@ -69,4 +69,77 @@ object Formats {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+
+  /** ZIP archive ingestion — dataset dumps and document collections ship
+    * as `.zip`; Spark has no zip source, so this is the [[Warc]] pattern:
+    * `binaryFile` scan (one row per archive, the FILE is the parallel
+    * unit; the JVM 2 GB array bound is the per-archive ceiling) → narrow
+    * per-archive member walk via the JDK `ZipInputStream` → one
+    * `(archive, member, bytes)` row per regular member, directories
+    * skipped. A corrupt archive tail keeps the members already read
+    * (the torn-gzip-member contract). Decode/parse of member bytes
+    * composes downstream (text, [[graft.multimodal.Pdf]], the codecs). */
+  def readZipMembers(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (archive, bytes) =>
+        val in = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Array[Byte])]
+        try {
+          var e = in.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory) {
+              val buf = new java.io.ByteArrayOutputStream(
+                math.max(e.getSize.toInt, 0) max 64)
+              val chunk = new Array[Byte](1 << 14)
+              var n = in.read(chunk)
+              while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+              out += ((archive, e.getName, buf.toByteArray))
+            }
+            e = in.getNextEntry
+          }
+        } catch {
+          case _: java.io.IOException => () // damaged tail: keep sound members
+        } finally in.close()
+        out
+      }
+      .toDF("archive", "member", "bytes")
+  }
+
+  /** The matching fixture writer: one zip per task, members streamed at
+    * constant memory ([[Warc.writeFixture]]'s discipline). Input rows:
+    * `(id: Long, member: String, bytes: binary)`. */
+  def writeZipFixture(shaped: DataFrame, dir: String, nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    new java.io.File(dir).mkdirs()
+    import org.apache.spark.sql.functions._
+    shaped.select(col("id").cast("long"), col("member").cast("string"), col("bytes"))
+      .repartition(nFiles, pmod(col("id"), lit(nFiles.toLong)))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // ZipOutputStream refuses empty archives, and bucket-hash packing
+        // leaves some partitions empty: those write no file at all
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val target = new java.io.File(dir, f"part-$pid%05d.zip")
+          val tmp = java.io.File.createTempFile(s"zip-$pid-", ".tmp", new java.io.File(dir))
+          val zos = new java.util.zip.ZipOutputStream(
+            new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 16))
+          try {
+            it.foreach { r =>
+              val entry = new java.util.zip.ZipEntry(r.getString(1))
+              // pin times: archive bytes stay a pure function of the content
+              entry.setTime(0L)
+              zos.putNextEntry(entry)
+              zos.write(r.getAs[Array[Byte]](2))
+              zos.closeEntry()
+            }
+          } finally zos.close()
+          java.nio.file.Files.move(tmp.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+  }
 }

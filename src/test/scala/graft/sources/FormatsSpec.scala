@@ -87,4 +87,31 @@ class FormatsSpec extends AnyFunSpec with SparkSuite {
     assert(good === Set((1L, "ok"), (2L, "also ok")))
     assert(bad === 2L)
   }
+
+  it("zip archives round-trip members through real files; empty buckets write none") {
+    val dir = tmp("zips")
+    val rows = (0L until 40L).map(i =>
+      (i, s"m/member$i.txt", s"content of member $i — unïcode".getBytes("UTF-8")))
+      .toDF("id", "member", "bytes")
+    Formats.writeZipFixture(rows, dir, nFiles = 8)
+    val got = Formats.readZipMembers(spark, dir)
+      .select("member", "bytes").as[(String, Array[Byte])].collect()
+      .map { case (m, b) => (m, new String(b, "UTF-8")) }.toSet
+    val want = (0L until 40L).map(i =>
+      (s"m/member$i.txt", s"content of member $i — unïcode")).toSet
+    assert(got === want)
+  }
+
+  it("a damaged zip tail keeps the members already read, never an exception") {
+    val dir = tmp("zipdmg")
+    val rows = (0L until 10L).map(i =>
+      (0L, s"m$i.txt", s"member $i".getBytes("UTF-8"))) // one bucket, one file
+      .toDF("id", "member", "bytes")
+    Formats.writeZipFixture(rows, dir, nFiles = 1)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zip")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    val survivors = Formats.readZipMembers(spark, dir).count()
+    assert(survivors > 0 && survivors < 10, s"got $survivors")
+  }
 }
