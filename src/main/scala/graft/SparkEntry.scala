@@ -210,16 +210,12 @@ object SparkEntry {
       val root = s"${indexStoreRoot(dir, "documents")}/warc_fixture"
       val marker = new java.io.File(root, "_SUCCESS")
       if (!marker.exists()) {
-        val shaped = tbl(s, dir, "documents")
-          .where(col("doc_id").isNotNull && col("text").isNotNull)
-          .select(col("doc_id").as("id"),
-            concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string")).as("uri"),
-            lit("2026-01-01T00:00:00Z").as("date"),
-            // a 404 stripe (doc_id % 97) keeps the status parse honest:
-            // the payload still carries the page, the status must surface
-            when(pmod(col("doc_id"), lit(97L)) === 0, 404).otherwise(200).as("status"),
-            concat(lit(sources.Warc.shellPrefix), col("text"),
-              lit(sources.Warc.shellSuffix)).as("html"))
+        // the 404 stripe (doc_id % 97) keeps the status parse honest: the
+        // payload still carries the page, the status must surface
+        val shaped = sources.Warc.shapePages(
+          tbl(s, dir, "documents")
+            .where(col("doc_id").isNotNull && col("text").isNotNull),
+          "doc_id", "text")
         sources.Warc.writeFixture(shaped, root, nFiles = 8)
         marker.createNewFile(): Unit
       }

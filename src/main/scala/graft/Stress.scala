@@ -1161,12 +1161,7 @@ object Stress {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nDocs = docs.count()
     val dir = java.nio.file.Files.createTempDirectory("stress_warc").toString
-    val shaped = docs.select(col("doc_id").as("id"),
-      concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string")).as("uri"),
-      lit("2026-01-01T00:00:00Z").as("date"),
-      when(pmod(col("doc_id"), lit(97L)) === 0, 404).otherwise(200).as("status"),
-      concat(lit(sources.Warc.shellPrefix), col("text"),
-        lit(sources.Warc.shellSuffix)).as("html"))
+    val shaped = sources.Warc.shapePages(docs, "doc_id", "text")
     timed("write .warc.gz corpus (8 files, member-per-record gzip)")(
       sources.Warc.writeFixture(shaped, dir, nFiles = 8))
     val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))

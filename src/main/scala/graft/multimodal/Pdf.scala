@@ -82,23 +82,42 @@ object Pdf {
         var dataStart = s + 6
         if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
         if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-        val e = indexOf(bytes, "endstream", dataStart)
-        if (e < 0) pos = bytes.length
-        else {
-          // the nearest preceding dict tells us the filter
-          val dictStart = lastIndexOf(bytes, "<<", s)
-          val dict = if (dictStart >= 0) new String(bytes, dictStart, s - dictStart, Latin1) else ""
-          var dataEnd = e
-          // writers may put CRLF/LF before endstream; it is not stream data
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+        // the nearest preceding dict tells us the filter AND (when direct)
+        // the byte length — honoring /Length is what keeps a document whose
+        // TEXT contains the word 'endstream' from truncating its own stream
+        val dictStart = lastIndexOf(bytes, "<<", s)
+        val dict = if (dictStart >= 0) new String(bytes, dictStart, s - dictStart, Latin1) else ""
+        // (?!\d) pins the FULL digit run; the second lookahead rejects
+        // indirect references ('/Length 8 0 R') without letting
+        // backtracking accept their numeric prefix
+        val lenM = java.util.regex.Pattern.compile("/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)")
+          .matcher(dict)
+        val direct = if (lenM.find()) lenM.group(1).toLong else -1L
+        val (dataEnd, next) =
+          if (direct >= 0 && dataStart + direct <= bytes.length) {
+            // trust the declared length; resync on the endstream AFTER it
+            val after = indexOf(bytes, "endstream", dataStart + direct.toInt)
+            ((dataStart + direct.toInt), if (after < 0) bytes.length else after + 9)
+          } else {
+            // indirect-ref or bogus length: fall back to the marker scan
+            val e = indexOf(bytes, "endstream", dataStart)
+            if (e < 0) (-1, bytes.length)
+            else {
+              var de = e
+              // writers may put CRLF/LF before endstream; not stream data
+              if (de > dataStart && bytes(de - 1) == '\n') de -= 1
+              if (de > dataStart && bytes(de - 1) == '\r') de -= 1
+              (de, e + 9)
+            }
+          }
+        if (dataEnd >= dataStart) {
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           val content =
             if (dict.contains("/FlateDecode")) inflate(raw) // null on damage
             else raw
           if (content != null) appendTextOps(content, sb)
-          pos = e + 9
         }
+        pos = next
       }
     }
     Some(sb.result().trim)
@@ -136,7 +155,11 @@ object Pdf {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return out.toByteArray // truncated: keep prefix
+        // 0 bytes means STUCK, not just truncated: needsInput (torn
+        // stream) but also needsDictionary (FDICT-flagged zlib, which we
+        // cannot serve) — both keep the prefix instead of spinning forever
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return out.toByteArray
         out.write(buf, 0, n)
       }
       out.toByteArray

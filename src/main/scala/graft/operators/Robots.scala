@@ -86,12 +86,16 @@ object Robots {
       RobotsRule(if (allow) 1 else 0, path.length, "r", rx)
     } else RobotsRule(if (allow) 1 else 0, path.length, "p", path)
 
-  /** URL path-plus-query (the robots match target): everything from the
-    * first `/` after the authority, fragment dropped, empty → "/". */
+  /** URL path-plus-query (the robots match target): everything after the
+    * authority, fragment dropped, empty → "/". The authority stops at
+    * `/`, `?` or `#`, so a query on a path-less URL
+    * (`https://h.example?q=x`) still reaches the target as `/?q=x`. */
   private[graft] def urlPath(u: Column): Column = {
     val p = regexp_extract(regexp_extract(u, "^([^#]*)", 1),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)?$", 1)
-    when(p === "", lit("/")).otherwise(p)
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?].*)?$", 1)
+    when(p === "", lit("/"))
+      .when(startswith(p, lit("?")), concat(lit("/"), p))
+      .otherwise(p)
   }
 
   /** One rules-array row per host for `userAgent` — the standing policy

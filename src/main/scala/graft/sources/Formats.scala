@@ -102,7 +102,10 @@ object Formats {
             e = in.getNextEntry
           }
         } catch {
-          case _: java.io.IOException => () // damaged tail: keep sound members
+          // damaged tail OR malformed entry metadata: getNextEntry throws
+          // IllegalArgumentException (not ZipException) for entry names
+          // with invalid UTF-8 — both keep the sound members already read
+          case _: java.io.IOException | _: IllegalArgumentException => ()
         } finally in.close()
         out
       }

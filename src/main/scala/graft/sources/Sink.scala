@@ -462,10 +462,19 @@ object Sink {
         // UnsupportedOperationException (provider without link support) or
         // as a generic FileSystemException from link(2) EPERM/EOPNOTSUPP
         // (FUSE/NFS/overlay mounts) — FileAlreadyExistsException is matched
-        // ABOVE, so this arm only sees genuine link failures. The atomic
-        // move keeps readers safe (never a partial manifest) at the cost of
-        // the weaker, documented last-writer-wins claim.
-        val _ = e
+        // ABOVE, so this arm usually sees genuine no-link-support failures.
+        // But a TRANSIENT link error (EIO/ENOSPC) lands here too, and an
+        // unconditional move could silently REPLACE a manifest a concurrent
+        // writer published between our link attempt and now — so re-check:
+        // a target that exists means someone won the number; surface the
+        // conflict instead of destroying their commit. (A race window
+        // narrower than exists→move remains only on no-link filesystems,
+        // where the claim is documented last-writer-wins anyway.)
+        if (java.nio.file.Files.exists(target)) {
+          java.nio.file.Files.delete(tmp)
+          throw new IllegalStateException(
+            s"concurrent writer already published manifest $n under $storePath", e)
+        }
         java.nio.file.Files.move(tmp, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }

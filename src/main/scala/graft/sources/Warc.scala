@@ -175,10 +175,14 @@ object Warc {
     * HTTP/1.0 responses, and the reader downstream can re-sniff. */
   private def assemble(uri: String, date: String, status: Int, contentType: String,
                        bytes: Array[Byte], off: Int, len: Int): WarcResponse = {
-    val ct = contentType.toLowerCase(java.util.Locale.ROOT)
-    val isText = ct.isEmpty || ct.startsWith("text/") ||
-      ct.contains("charset=") || ct.contains("json") || ct.contains("xml") ||
-      ct.contains("javascript") || ct.contains("x-www-form-urlencoded")
+    // route by the PRIMARY type only: 'application/pdf; charset=UTF-8' is
+    // a mislabel servers routinely emit, and treating the charset
+    // parameter as a text signal would lossily string-decode the PDF bytes
+    val primary = contentType.toLowerCase(java.util.Locale.ROOT)
+      .takeWhile(_ != ';').trim
+    val isText = primary.isEmpty || primary.startsWith("text/") ||
+      primary.contains("json") || primary.contains("xml") ||
+      primary.contains("javascript") || primary.contains("x-www-form-urlencoded")
     if (isText)
       WarcResponse(uri, date, status, contentType,
         decodeBody(bytes, off, len, contentType), null)
@@ -337,6 +341,17 @@ object Warc {
     * a warcinfo-only file (a real reader must cope with those). Files land
     * as `part-<p>.warc.gz` under `dir`; the caller owns completion marking
     * (write-then-`_SUCCESS`, the standing-asset convention). */
+  /** The standard page-capture shaping of a documents frame — SHARED by
+    * the q205/q208 standing fixture and the sf0.1 `Stress crawl` study so
+    * the two can never desynchronize: uri and the 404 stripe from doc-id
+    * residues, a fixed date, the shared shell around the text. */
+  def shapePages(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      concat(lit("https://crawl.example/doc/"), col(idCol).cast("string")).as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      when(pmod(col(idCol), lit(97L)) === 0, 404).otherwise(200).as("status"),
+      concat(lit(shellPrefix), col(textCol), lit(shellSuffix)).as("html"))
+
   def writeFixture(shaped: DataFrame, dir: String, nFiles: Int): Unit =
     writeFiles(
       shaped.select(col("id").cast("long"), col("uri").cast("string"),

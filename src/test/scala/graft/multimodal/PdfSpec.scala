@@ -45,6 +45,36 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(fromContent("0 0 612 792 re f")).contains(""))
   }
 
+  test("document text containing the word 'endstream' cannot truncate its stream") {
+    // /Length is honored, so the in-text marker is just bytes
+    for (compress <- Seq(false, true)) {
+      val text = "this doc discusses endstream and endobj markers in PDFs"
+      assert(Pdf.extractText(Pdf.synthetic(text, compress)).contains(text))
+    }
+  }
+
+  test("an indirect /Length reference falls back to the marker scan") {
+    val content = "BT (indirect) Tj ET"
+    val pdf = (s"%PDF-1.4\n1 0 obj\n<< /Length 8 0 R >>\nstream\n" +
+      content + "\nendstream\nendobj\n%%EOF\n").getBytes("UTF-8")
+    assert(Pdf.extractText(pdf).contains("indirect"))
+  }
+
+  test("an FDICT-flagged Flate stream yields nothing instead of spinning forever") {
+    val raw = "BT (never seen) Tj ET".getBytes("UTF-8")
+    val d = new java.util.zip.Deflater()
+    d.setDictionary("some preset dictionary".getBytes("UTF-8")) // sets FDICT
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](1024)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val body = out.toByteArray
+    val pdf = (s"%PDF-1.4\n1 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>\nstream\n")
+      .getBytes("UTF-8") ++ body ++ "\nendstream\nendobj\n%%EOF\n".getBytes("UTF-8")
+    assert(Pdf.extractText(pdf).contains("")) // terminates, extracts nothing
+  }
+
   test("a truncated Flate stream degrades to its sound prefix, never throws") {
     val whole = Pdf.synthetic("a reasonably long sentence to compress well", compress = true)
     // chop inside the stream: extraction must not throw

@@ -88,4 +88,13 @@ class RobotsSpec extends AnyFunSuite with SparkSuite {
       "https://h.example/s#q=frag")) // fragment is NOT part of the target
       .map(_._2) == Seq(false, true, true))
   }
+
+  test("a query on a path-less URL still reaches the match target as /?...") {
+    val txt = "User-agent: *\nDisallow: /?q=\n"
+    assert(verdicts(txt, "anybot", Seq(
+      "https://h.example?q=secret", // no path segment at all
+      "https://h.example/?q=secret", // explicit root path
+      "https://h.example")) // neither path nor query: just '/'
+      .map(_._2) == Seq(false, false, true))
+  }
 }

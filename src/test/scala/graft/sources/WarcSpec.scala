@@ -102,6 +102,15 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
     assert(got(1).bodyBinary == null && got(1).body == "<p>text</p>")
   }
 
+  test("a binary type mislabeled with a charset still keeps exact bytes") {
+    // servers routinely emit 'application/pdf; charset=UTF-8' — the
+    // charset PARAMETER must not route the payload through a lossy decode
+    val img = Array[Byte](0x25, 0x50, 0x44, 0x46, 0xFF.toByte, 0xFE.toByte)
+    val got = parseWarcGz(gz(responseRecordBytes(
+      "https://a.example/pdf", "d", 200, "application/pdf; charset=UTF-8", img))).toList
+    assert(got.head.body == null && got.head.bodyBinary.toSeq == img.toSeq)
+  }
+
   test("a gzip member truncated mid-stream keeps the sound prefix, not an exception") {
     val r1 = responseRecord("https://a.example/sound", "d", 200, "intact")
     val r2 = responseRecord("https://a.example/lost", "d", 200, "half written")
