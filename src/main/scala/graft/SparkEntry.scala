@@ -294,6 +294,25 @@ object SparkEntry {
       root
     })
 
+  /** MEMOIZED tar.gz fixture for q214 — raw text members, the plainest
+    * dataset-dump shape, under the [[ensureWarcFixture]] discipline. */
+  private val tarFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureTarFixture(s: SparkSession, dir: String): String =
+    tarFixtures.computeIfAbsent(dir, _ => {
+      val root = s"${indexStoreRoot(dir, "documents")}/tar_fixture"
+      val marker = new java.io.File(root, "_SUCCESS")
+      if (!marker.exists()) {
+        val shaped = tbl(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id").as("id"),
+            concat(lit("d/doc"), col("doc_id").cast("string"), lit(".txt")).as("member"),
+            encode(col("text"), "UTF-8").as("bytes"))
+        sources.Formats.writeTarFixture(shaped, root, nFiles = 8)
+        marker.createNewFile(): Unit
+      }
+      root
+    })
+
   /** One-time bucketed-layout creation for q49, memoized per source dir: the
     * write is the layout INVESTMENT a 100 TB deployment makes once (bucket the
     * hot join keys, then every subsequent query joins shuffle-free), so it
@@ -3871,6 +3890,20 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q214: TAR.GZ ARCHIVE INGESTION — the plainest dataset-dump shape:
+    // ustar header walk (checksum-verified) under a multi-member gunzip,
+    // raw text members decoded back. Header arithmetic (octal sizes,
+    // 512-block padding, checksum) must be exact for the byte counts and
+    // text to replay.
+    "q214_tar_ingest" -> ((s, dir) => {
+      val root = ensureTarFixture(s, dir)
+      sources.Formats.readTarMembers(s, root)
+        .select(
+          regexp_extract(col("member"), "doc([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+          col("bytes").cast("string").as("text_out"),
+          length(col("bytes")).cast("long").as("n_bytes"))
+    }),
+
     // q213: ZIP ARCHIVE INGESTION — the document-collection drop shape: a
     // standing fixture of zip archives whose members are the q212 PDFs,
     // read through the binaryFile → ZipInputStream walk → per-member PDF
@@ -6823,6 +6856,11 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q214: tar framing is the identity on member bytes; strlen counts
+    // BYTES in DuckDB (length counts characters)
+    "q214_tar_ingest" ->
+      """SELECT doc_id, text AS text_out, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
     // q213: zip framing + PDF transport are both identities — the q212
     // replay verbatim
     "q213_zip_ingest" ->

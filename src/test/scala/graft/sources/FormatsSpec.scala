@@ -102,6 +102,56 @@ class FormatsSpec extends AnyFunSpec with SparkSuite {
     assert(got === want)
   }
 
+  it("tar.gz archives round-trip members; sizes and unicode survive") {
+    val dir = tmp("tars")
+    val rows = (0L until 30L).map(i =>
+      (i, s"d/doc$i.txt",
+        (s"tar member $i ünïcode " + ("x" * (i % 600).toInt)).getBytes("UTF-8")))
+      .toDF("id", "member", "bytes")
+    Formats.writeTarFixture(rows, dir, nFiles = 4)
+    val got = Formats.readTarMembers(spark, dir)
+      .select("member", "bytes").as[(String, Array[Byte])].collect()
+      .map { case (m, b) => (m, new String(b, "UTF-8")) }.toSet
+    val want = (0L until 30L).map(i =>
+      (s"d/doc$i.txt", s"tar member $i ünïcode " + ("x" * (i % 600).toInt))).toSet
+    assert(got === want)
+  }
+
+  it("tar damage stops at the broken header; non-file entries skip") {
+    // build one archive, gunzip it, then surgically patch entries
+    val dir = tmp("tarpatch")
+    val rows = (0L until 3L).map(i =>
+      (0L, s"m$i.txt", s"member $i".getBytes("UTF-8"))).toDF("id", "member", "bytes")
+    Formats.writeTarFixture(rows, dir, nFiles = 1)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar.gz")).head
+    val gz = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+    val tar = {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = gz.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
+      gz.close(); out.toByteArray
+    }
+    // entry k starts at k * 1024 here (9-byte members pad to one block)
+    def recheck(off: Int): Unit = { // recompute the checksum after a patch
+      java.util.Arrays.fill(tar, off + 148, off + 156, ' '.toByte)
+      var sum = 0L
+      (off until off + 512).foreach(i => sum += (tar(i) & 0xff))
+      val cs = java.lang.Long.toOctalString(sum)
+      val padded = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(padded.getBytes("US-ASCII"), 0, tar, off + 148, 6)
+      tar(off + 154) = 0; tar(off + 155) = ' '
+    }
+    // patch entry 1 into a DIRECTORY (typeflag '5', checksum fixed): skipped
+    tar(1024 + 156) = '5'; recheck(1024)
+    val skipped = Formats.tarMembers(tar).map(_._1).toList
+    assert(skipped == List("m0.txt", "m2.txt"))
+    // now BREAK entry 1's checksum: iteration must stop after entry 0
+    tar(1024 + 148) = '9'
+    val stopped = Formats.tarMembers(tar).map(_._1).toList
+    assert(stopped == List("m0.txt"))
+  }
+
   it("a damaged zip tail keeps the members already read, never an exception") {
     val dir = tmp("zipdmg")
     val rows = (0L until 10L).map(i =>
