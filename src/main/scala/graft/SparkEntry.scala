@@ -3890,6 +3890,31 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q215: UNICODE-NFC DEDUP — the canonicalization ASCII folding (q140)
+    // cannot provide: every doc < 30 gets TWO planted variants, one with
+    // 'e' replaced by PRECOMPOSED é (U+00E9) and one by the COMBINING
+    // sequence e+U+0301 — byte-distinct, NFC-identical — and the grouped
+    // hash must collapse them (n_variants = 2 whenever the doc contains an
+    // 'e'). The oracle replays the same construction through DuckDB's
+    // nfc_normalize, so BOTH engines' normalizers must agree row-for-row.
+    "q215_nfc_dedup" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val precomposed = base.where(col("doc_id") < 30)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("e"), lit("é")).as("text"))
+      val combining = base.where(col("doc_id") < 30)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("e"), lit("é")).as("text"))
+      val corpus = base.unionByName(precomposed).unionByName(combining)
+      val canon = functions.Text.nfcNormalized(corpus, "doc_id", "text")
+      canon.select(col("doc_id"), md5(col("text")).as("ch"))
+        .groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_variants"))
+        .select(col("doc_id"), col("n_variants"))
+    }),
+
     // q214: TAR.GZ ARCHIVE INGESTION — the plainest dataset-dump shape:
     // ustar header walk (checksum-verified) under a multi-member gunzip,
     // raw text members decoded back. Header arithmetic (octal sizes,
@@ -6856,6 +6881,20 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q215: DuckDB's nfc_normalize replays the kernel — the two planted
+    // variants are byte-distinct but NFC-identical
+    "q215_nfc_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, replace(text, 'e', chr(233)) FROM base WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, replace(text, 'e', 'e' || chr(769)) FROM base WHERE doc_id < 30),
+        |canon AS (SELECT doc_id, md5(nfc_normalize(text)) AS ch FROM corpus)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_variants
+        |FROM canon GROUP BY ch""".stripMargin,
     // q214: tar framing is the identity on member bytes; strlen counts
     // BYTES in DuckDB (length counts characters)
     "q214_tar_ingest" ->

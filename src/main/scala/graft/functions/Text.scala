@@ -380,6 +380,35 @@ object Text {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit(anchorHrefPattern), lit(1))
 
+  /** Unicode-normalized text (JDK `java.text.Normalizer`) — the dedup
+    * canonicalization ASCII folding cannot provide: NFC collapses
+    * combining-mark sequences onto their precomposed forms (e + U+0301 ≡
+    * é), NFKC additionally folds compatibility variants (full-width
+    * ＡＢＣ → ABC, ligatures, squared forms — the CJK-web-text dedup
+    * killer). Spark has no native normalizer expression, so this is a
+    * narrow typed pass over `(id, text)` — zero exchanges, rides the
+    * scan; null text passes through as null. */
+  def nfcNormalized(df: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    normalized(df, idCol, textCol, java.text.Normalizer.Form.NFC)
+
+  def nfkcNormalized(df: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    normalized(df, idCol, textCol, java.text.Normalizer.Form.NFKC)
+
+  private def normalized(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String,
+                         form: java.text.Normalizer.Form): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, if (t == null) null else java.text.Normalizer.normalize(t, form))
+      }
+      .toDF(idCol, textCol)
+  }
+
   /** Per-category match counts over the RAW text (counts are independent per
     * pattern; an email inside a URL counts once for each — the audit number a
     * compliance report wants, and what the oracle recomputes). */

@@ -1070,6 +1070,30 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(strip("x <unclosed y").trim == "x <unclosed y")
     }
 
+    it("NFC unifies combining marks; NFKC additionally folds compatibility forms") {
+      import spark.implicits._
+      def nfc(s: String) = graft.functions.Text
+        .nfcNormalized(Seq((1L, s)).toDF("id", "t"), "id", "t")
+        .select("t").as[String].head()
+      def nfkc(s: String) = graft.functions.Text
+        .nfkcNormalized(Seq((1L, s)).toDF("id", "t"), "id", "t")
+        .select("t").as[String].head()
+      val precomposed = "café"
+      val combining = "café"
+      assert(precomposed != combining) // byte-distinct inputs
+      assert(nfc(precomposed) == nfc(combining)) // NFC collapses them
+      val fullWidth = "ＡＢＣ １２" // ＡＢＣ １２
+      assert(nfc(fullWidth) == fullWidth) // NFC does NOT fold compatibility
+      assert(nfkc(fullWidth) == "ABC 12") // NFKC does
+      assert(nfkc("ﬁle") == "file") // the fi ligature
+      // idempotence and null passthrough
+      assert(nfc(nfc(combining)) == nfc(combining))
+      val n = graft.functions.Text
+        .nfcNormalized(Seq((1L, null.asInstanceOf[String])).toDF("id", "t"), "id", "t")
+        .select("t").as[String].head()
+      assert(n == null)
+    }
+
     it("extractLinks keeps anchor hrefs in order and nothing else") {
       import spark.implicits._
       val html = "<a href=\"https://a.example/1\">x</a>" +
