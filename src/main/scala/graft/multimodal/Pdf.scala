@@ -82,10 +82,15 @@ object Pdf {
         var dataStart = s + 6
         if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
         if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-        // the nearest preceding dict tells us the filter AND (when direct)
+        // the OWNING OBJECT's dict tells us the filter AND (when direct)
         // the byte length — honoring /Length is what keeps a document whose
-        // TEXT contains the word 'endstream' from truncating its own stream
-        val dictStart = lastIndexOf(bytes, "<<", s)
+        // TEXT contains the word 'endstream' from truncating its own
+        // stream. Window from the preceding 'obj' keyword, NOT the nearest
+        // '<<': a stream dict with a nested dict (/DecodeParms << ... >>)
+        // would otherwise hide /Length and — worse — /FlateDecode, and an
+        // undetected filter means garbage text ops over compressed bytes.
+        val objStart = lastIndexOf(bytes, "obj", s)
+        val dictStart = if (objStart >= 0) objStart else lastIndexOf(bytes, "<<", s)
         val dict = if (dictStart >= 0) new String(bytes, dictStart, s - dictStart, Latin1) else ""
         // (?!\d) pins the FULL digit run; the second lookahead rejects
         // indirect references ('/Length 8 0 R') without letting

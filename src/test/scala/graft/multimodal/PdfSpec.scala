@@ -53,6 +53,23 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("a nested dict inside the stream dict cannot hide the filter or length") {
+    // /DecodeParms carries a NESTED << >>: a nearest-'<<' window would see
+    // only the inner dict, miss /FlateDecode, and emit garbage text ops
+    val raw = "BT (nested dict) Tj ET".getBytes("UTF-8")
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](1024)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val body = out.toByteArray
+    val pdf = (s"%PDF-1.4\n1 0 obj\n<< /Length ${body.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Columns 1 >> >>\nstream\n").getBytes("UTF-8") ++
+      body ++ "\nendstream\nendobj\n%%EOF\n".getBytes("UTF-8")
+    assert(Pdf.extractText(pdf).contains("nested dict"))
+  }
+
   test("an indirect /Length reference falls back to the marker scan") {
     val content = "BT (indirect) Tj ET"
     val pdf = (s"%PDF-1.4\n1 0 obj\n<< /Length 8 0 R >>\nstream\n" +
