@@ -401,8 +401,9 @@ object Text {
                          form: java.text.Normalizer.Form): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // boxed id: a null id is a row to pass through, not an encoder crash
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
+      .as[(java.lang.Long, String)]
       .map { case (id, t) =>
         (id, if (t == null) null else java.text.Normalizer.normalize(t, form))
       }

@@ -187,19 +187,9 @@ object Formats {
       }
     }
 
-  /** Multi-member, torn-tail-tolerant gunzip (the Warc contract). */
-  private def gunzip(gz: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(gz), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream(math.max(gz.length << 2, 1024))
-    val buf = new Array[Byte](1 << 16)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch {
-      case _: java.io.EOFException | _: java.util.zip.ZipException => ()
-    } finally in.close()
-    out.toByteArray
-  }
+  /** Multi-member, torn-tail-tolerant gunzip — ONE implementation of the
+    * damage contract, shared with the WARC reader. */
+  private def gunzip(gz: Array[Byte]): Array[Byte] = Warc.inflateAll(gz)
 
   /** The matching tar.gz fixture writer ([[writeZipFixture]]'s shape):
     * `(id: Long, member: String, bytes: binary)` rows, one `.tar.gz` per

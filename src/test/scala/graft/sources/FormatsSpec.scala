@@ -132,7 +132,11 @@ class FormatsSpec extends AnyFunSpec with SparkSuite {
       while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
       gz.close(); out.toByteArray
     }
-    // entry k starts at k * 1024 here (9-byte members pad to one block)
+    // entry k starts at k * 1024 here (9-byte members pad to one block),
+    // but which MEMBER landed at entry k is shuffle-order-dependent —
+    // discover the actual order from the archive instead of assuming it
+    val order = Formats.tarMembers(tar).map(_._1).toList
+    assert(order.toSet == Set("m0.txt", "m1.txt", "m2.txt"))
     def recheck(off: Int): Unit = { // recompute the checksum after a patch
       java.util.Arrays.fill(tar, off + 148, off + 156, ' '.toByte)
       var sum = 0L
@@ -145,11 +149,11 @@ class FormatsSpec extends AnyFunSpec with SparkSuite {
     // patch entry 1 into a DIRECTORY (typeflag '5', checksum fixed): skipped
     tar(1024 + 156) = '5'; recheck(1024)
     val skipped = Formats.tarMembers(tar).map(_._1).toList
-    assert(skipped == List("m0.txt", "m2.txt"))
+    assert(skipped == List(order(0), order(2)))
     // now BREAK entry 1's checksum: iteration must stop after entry 0
     tar(1024 + 148) = '9'
     val stopped = Formats.tarMembers(tar).map(_._1).toList
-    assert(stopped == List("m0.txt"))
+    assert(stopped == List(order(0)))
   }
 
   it("a damaged zip tail keeps the members already read, never an exception") {
