@@ -3890,6 +3890,28 @@ object SparkEntry {
     // lang/source/length-band of the released text). Every stage's
     // kernel is individually oracle-proven; this query proves they
     // COMPOSE — the oracle replays all three stages as one chained SQL.
+    // q216: SENTENCE SEGMENTATION — the unit between token and document:
+    // per-doc sentence explode with ordinal, per-sentence token count.
+    // The rule (maximal non-terminator run + trailing .!? run, edges
+    // trimmed, empties dropped) is a shared constant, so the oracle
+    // replays the exact pattern — deterministic in both engines because
+    // it is RE2 ∩ Java with no lookarounds.
+    "q216_sentences" -> ((s, dir) => {
+      // the synthetic corpus carries no terminators, so structure is
+      // PLANTED deterministically: a period-capped prefix, an exclaimed
+      // and a questioned middle, and the unterminated original as the
+      // tail — 4 sentences per doc, each branch of the rule live
+      val prose = concat(substring(col("text"), 1, 80), lit(". Planted two!"),
+        lit(" Is this three? "), col("text"))
+      tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(functions.Text.sentences(prose)).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"),
+          functions.Text.tokenCount(col("sentence")).as("n_tokens"))
+    }),
+
     // q215: UNICODE-NFC DEDUP — the canonicalization ASCII folding (q140)
     // cannot provide: every doc < 30 gets TWO planted variants, one with
     // 'e' replaced by PRECOMPOSED é (U+00E9) and one by the COMBINING
@@ -6881,6 +6903,25 @@ object SparkEntry {
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
+    // q216: the shared sentence pattern replayed verbatim; parallel unnest
+    // carries the ordinal (the q153 convention)
+    "q216_sentences" ->
+      s"""WITH p AS (SELECT doc_id,
+         |             substring(text, 1, 80) || '. Planted two!' ||
+         |             ' Is this three? ' || text AS prose
+         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |e AS (SELECT doc_id,
+         |             list_filter(list_transform(
+         |               regexp_extract_all(prose, '${functions.Text.sentencePattern.replace("'", "''")}'),
+         |               s -> regexp_replace(s, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')),
+         |               s -> s <> '') AS sents
+         |           FROM p),
+         |u AS (SELECT doc_id, unnest(sents) AS sentence,
+         |             CAST(unnest(range(len(sents))) AS BIGINT) AS sent_idx
+         |      FROM e)
+         |SELECT doc_id, sent_idx, sentence,
+         |       CAST(len(regexp_split_to_array(sentence, '[ \\x09-\\x0D]+')) AS BIGINT) AS n_tokens
+         |FROM u""".stripMargin,
     // q215: DuckDB's nfc_normalize replays the kernel — the two planted
     // variants are byte-distinct but NFC-identical
     "q215_nfc_dedup" ->

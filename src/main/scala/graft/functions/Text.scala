@@ -380,6 +380,22 @@ object Text {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit(anchorHrefPattern), lit(1))
 
+  /** Sentence segmentation — the unit between the token and the document
+    * that sentence-level dedup/chunking/packing keys on. Deliberately a
+    * RULE, not a model: a sentence is a maximal run of non-terminator
+    * characters plus its trailing `.!?` run (a final unterminated tail
+    * counts too), shared as a constant so the oracle replays the same
+    * pattern. RE2 ∩ Java by construction (no lookarounds — RE2 has none,
+    * and the engine-replayability contract matters more than abbreviation
+    * handling, which no regex rule gets right anyway). Zero exchanges. */
+  val sentencePattern: String = "[^.!?]+[.!?]*"
+
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit(sentencePattern), lit(0)),
+        s => regexp_replace(s, lit("^[\\x00-\\x20]+|[\\x00-\\x20]+$"), lit(""))),
+      s => s =!= "")
+
   /** Unicode-normalized text (JDK `java.text.Normalizer`) — the dedup
     * canonicalization ASCII folding cannot provide: NFC collapses
     * combining-mark sequences onto their precomposed forms (e + U+0301 ≡

@@ -1070,6 +1070,18 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(strip("x <unclosed y").trim == "x <unclosed y")
     }
 
+    it("sentences: terminator runs close, unterminated tails count, empties drop") {
+      import spark.implicits._
+      def seg(s: String): Seq[String] = Seq(Tuple1(s)).toDF("t")
+        .select(graft.functions.Text.sentences($"t")).as[Seq[String]].head()
+      assert(seg("One here. Two there! Three? tail no dot") ==
+        Seq("One here.", "Two there!", "Three?", "tail no dot"))
+      assert(seg("Ellipsis... still one run. Next") ==
+        Seq("Ellipsis...", "still one run.", "Next"))
+      assert(seg("a.   ") == Seq("a.")) // trailing whitespace-only match drops
+      assert(seg("") == Seq.empty)
+    }
+
     it("NFC unifies combining marks; NFKC additionally folds compatibility forms") {
       import spark.implicits._
       def nfc(s: String) = graft.functions.Text
