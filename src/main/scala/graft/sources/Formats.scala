@@ -85,31 +85,36 @@ object Formats {
       .option("pathGlobFilter", "*.zip").load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (archive, bytes) =>
-        val in = new java.util.zip.ZipInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Array[Byte])]
-        try {
-          var e = in.getNextEntry
-          while (e != null) {
-            if (!e.isDirectory) {
-              val buf = new java.io.ByteArrayOutputStream(
-                math.max(e.getSize.toInt, 0) max 64)
-              val chunk = new Array[Byte](1 << 14)
-              var n = in.read(chunk)
-              while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-              out += ((archive, e.getName, buf.toByteArray))
-            }
-            e = in.getNextEntry
-          }
-        } catch {
-          // damaged tail OR malformed entry metadata: getNextEntry throws
-          // IllegalArgumentException (not ZipException) for entry names
-          // with invalid UTF-8 — both keep the sound members already read
-          case _: java.io.IOException | _: IllegalArgumentException => ()
-        } finally in.close()
-        out
+        zipMembers(bytes).map { case (name, data) => (archive, name, data) }
       }
       .toDF("archive", "member", "bytes")
+  }
+
+  /** Walk one zip payload's regular members; see [[readZipMembers]]'s
+    * damage contract. */
+  private[graft] def zipMembers(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val in = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val buf = new java.io.ByteArrayOutputStream(
+            math.max(e.getSize.toInt, 0) max 64)
+          val chunk = new Array[Byte](1 << 14)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          out += ((e.getName, buf.toByteArray))
+        }
+        e = in.getNextEntry
+      }
+    } catch {
+      // damaged tail OR malformed entry metadata: getNextEntry throws
+      // IllegalArgumentException (not ZipException) for entry names
+      // with invalid UTF-8 — both keep the sound members already read
+      case _: java.io.IOException | _: IllegalArgumentException => ()
+    } finally in.close()
+    out.toSeq
   }
 
   /** TAR (+`.tar.gz`) archive ingestion — the other dump format datasets
@@ -136,7 +141,7 @@ object Formats {
   }
 
   /** Walk one uncompressed tar payload; see [[readTarMembers]]'s subset. */
-  private[sources] def tarMembers(bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
+  private[graft] def tarMembers(bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
     new scala.collection.AbstractIterator[(String, Array[Byte])] {
       private var pos = 0
       private var nextM: (String, Array[Byte]) = null

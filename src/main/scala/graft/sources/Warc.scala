@@ -127,7 +127,7 @@ object Warc {
     * bytes already inflated instead of failing the task: the record walk
     * then applies its own truncate-at-damage contract, so one bad file
     * costs its own tail, never the job. */
-  private[sources] def inflateAll(gz: Array[Byte]): Array[Byte] = {
+  private[graft] def inflateAll(gz: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(gz), 1 << 16)
     val out = new java.io.ByteArrayOutputStream(math.max(gz.length << 2, 1024))

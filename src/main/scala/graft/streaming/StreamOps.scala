@@ -526,6 +526,58 @@ object StreamOps {
     graft.sources.Sink.readStore(spark, storePath)
       .select(col("url"), col("date"), col("status"), col("text"))
 
+  /**
+   * STREAMING archive ingestion — dataset drops arriving as files: each
+   * micro-batch of archive payloads (zip, tar, tar.gz — sniffed by magic,
+   * one binary `content` row per file, the file-stream shape) walks its
+   * members through the shared [[graft.sources.Formats]] readers and
+   * upserts one `(member, bytes)` row per member into the standing store.
+   * A RE-SHIPPED member name supersedes doc-wholesale; duplicate names
+   * INSIDE a batch reduce to one deterministic winner first (max bytes),
+   * so replays are idempotent — the [[streamingCrawl]] discipline. The
+   * archive damage contracts (torn gzip, failed tar checksum, malformed
+   * zip entries) apply per file, never per job.
+   */
+  def streamingArchives(files: DataFrame, storePath: String, nBuckets: Int,
+      checkpointDir: String): StreamingQuery =
+    files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.upsertBuckets(storePath,
+          archiveMemberRows(batch).withColumn("version", lit(batchId)),
+          "member", "version", nBuckets)
+      }
+      .start()
+
+  /** The batch kernel of [[streamingArchives]]: sniff each payload's
+    * format by magic, walk members, reduce same-batch duplicates. */
+  private[graft] def archiveMemberRows(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        if (bytes == null || bytes.length < 4) Iterator.empty
+        else if (bytes(0) == 'P' && bytes(1) == 'K')
+          graft.sources.Formats.zipMembers(bytes).iterator
+        else if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+          graft.sources.Formats.tarMembers(graft.sources.Warc.inflateAll(bytes))
+        else if (bytes.length > 262 && bytes(257) == 'u' && bytes(258) == 's' &&
+          bytes(259) == 't' && bytes(260) == 'a' && bytes(261) == 'r')
+          graft.sources.Formats.tarMembers(bytes)
+        else Iterator.empty // unknown container: nothing attributable
+      }
+      .toDF("member", "bytes")
+      .groupBy(col("member"))
+      .agg(max(col("bytes")).as("bytes")) // binary max: a total, deterministic winner
+  }
+
+  /** The CURRENT member set of a [[streamingArchives]] store. */
+  def membersFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col("member"), col("bytes"))
+
   /** The CURRENT outlink edge list of a [[streamingCrawl]] store —
     * feed hosts through `Url.canonicalHost` + `Graph.pageRank` for the
     * stream-maintained q210 authority ranking. */

@@ -690,6 +690,44 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingArchives (store-maintained member set from zip/tar drops)") {
+    it("mixed formats ingest by magic; a re-shipped member supersedes") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("arch_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("arch_ckpt").toString
+      val src = MemoryStream[(String, Array[Byte])]
+      val q = StreamOps.streamingArchives(src.toDF().toDF("path", "content"),
+        storePath = store, nBuckets = 4, checkpointDir = ckpt)
+      // build a zip and a tar.gz THROUGH the real writers: write to a tmp
+      // dir with one bucket, then read the produced file's bytes back
+      def archiveOf(write: (org.apache.spark.sql.DataFrame, String, Int) => Unit,
+                    suffix: String, rows: Seq[(Long, String, Array[Byte])]): Array[Byte] = {
+        val d = java.nio.file.Files.createTempDirectory("arch_fix").toString
+        write(rows.toDF("id", "member", "bytes"), d, 1)
+        val f = new java.io.File(d).listFiles().filter(_.getName.endsWith(suffix)).head
+        java.nio.file.Files.readAllBytes(f.toPath)
+      }
+      def members(): Map[String, String] =
+        StreamOps.membersFromStore(spark, store).collect()
+          .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8"))).toMap
+      try {
+        val zip1 = archiveOf(graft.sources.Formats.writeZipFixture, ".zip", Seq(
+          (0L, "a.txt", "alpha v1".getBytes("UTF-8")),
+          (0L, "b.txt", "beta".getBytes("UTF-8"))))
+        src.addData(("drop1.zip", zip1)); q.processAllAvailable()
+        assert(members() == Map("a.txt" -> "alpha v1", "b.txt" -> "beta"))
+        // batch 2: a tar.gz re-ships a.txt and adds c.txt — format sniffed
+        // by magic, the re-shipped name supersedes doc-wholesale
+        val tar2 = archiveOf(graft.sources.Formats.writeTarFixture, ".tar.gz", Seq(
+          (0L, "a.txt", "alpha v2".getBytes("UTF-8")),
+          (0L, "c.txt", "gamma".getBytes("UTF-8"))))
+        src.addData(("drop2.tar.gz", tar2)); q.processAllAvailable()
+        assert(members() == Map(
+          "a.txt" -> "alpha v2", "b.txt" -> "beta", "c.txt" -> "gamma"))
+      } finally q.stop()
+    }
+  }
+
   describe("streamingLines ≡ from-scratch lineBoilerplate (store-maintained boilerplate vocabulary)") {
     it("re-ingests move df doc-wholesale; the store-derived vocabulary equals scratch") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
