@@ -203,11 +203,19 @@ object SparkEntry {
     * `response` record (uri/status derived from doc_id, body = the shared
     * [[sources.Warc.shellPrefix]] page shell around the doc text), written
     * distributed as 8 member-per-record gzip files keyed by the source
-    * signature, completion-marked, reused across sessions. */
+    * signature, completion-marked, reused across sessions.
+    *
+    * GENERATION VERSIONING (all four on-disk fixtures): the store key is
+    * the SOURCE-data signature plus a `_vN` generation token — the
+    * `_SUCCESS` marker tracks only the source signature, so any change to
+    * the generator code (Warc.shapePages/shellPrefix, Gif/Pdf synthetic
+    * encoders, the member-naming scheme) MUST bump that fixture's token
+    * or a stale fixture silently replays against updated oracle
+    * constants. */
   private val warcFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureWarcFixture(s: SparkSession, dir: String): String =
     warcFixtures.computeIfAbsent(dir, _ => {
-      val root = s"${indexStoreRoot(dir, "documents")}/warc_fixture"
+      val root = s"${indexStoreRoot(dir, "documents")}/warc_fixture_v1"
       val marker = new java.io.File(root, "_SUCCESS")
       if (!marker.exists()) {
         // the 404 stripe (doc_id % 97) keeps the status parse honest: the
@@ -253,7 +261,7 @@ object SparkEntry {
   private val warcMediaFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureWarcMediaFixture(s: SparkSession, dir: String): String =
     warcMediaFixtures.computeIfAbsent(dir, _ => {
-      val root = s"${indexStoreRoot(dir, "documents")}/warc_media_fixture"
+      val root = s"${indexStoreRoot(dir, "documents")}/warc_media_fixture_v1"
       val marker = new java.io.File(root, "_SUCCESS")
       if (!marker.exists()) {
         import s.implicits._
@@ -277,7 +285,7 @@ object SparkEntry {
   private val zipFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureZipFixture(s: SparkSession, dir: String): String =
     zipFixtures.computeIfAbsent(dir, _ => {
-      val root = s"${indexStoreRoot(dir, "documents")}/zip_pdf_fixture"
+      val root = s"${indexStoreRoot(dir, "documents")}/zip_pdf_fixture_v1"
       val marker = new java.io.File(root, "_SUCCESS")
       if (!marker.exists()) {
         import s.implicits._
@@ -299,7 +307,7 @@ object SparkEntry {
   private val tarFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureTarFixture(s: SparkSession, dir: String): String =
     tarFixtures.computeIfAbsent(dir, _ => {
-      val root = s"${indexStoreRoot(dir, "documents")}/tar_fixture"
+      val root = s"${indexStoreRoot(dir, "documents")}/tar_fixture_v1"
       val marker = new java.io.File(root, "_SUCCESS")
       if (!marker.exists()) {
         val shaped = tbl(s, dir, "documents")
@@ -3564,6 +3572,31 @@ object SparkEntry {
         .toDF("merge_rank", "left_sym", "right_sym", "matches_reference")
     }),
 
+    // q217: BATCHED BPE INDUCTION — q187's learning at merges/batch + O(1)
+    // distributed rounds instead of one round per merge (what lets
+    // tokenizer training reach a real 32k vocabulary; the batch is EXACT
+    // by the strict-dominance prefix rule, see learnMergesBatched). The
+    // in-query gate compares the distributed BATCHED learner against the
+    // driver-local SEQUENTIAL reference (one merge per round by
+    // construction) — batched ≡ sequential on this corpus — while q187
+    // separately carries distributed-sequential ≡ local. BpeSpec
+    // property-tests the equivalence at batch sizes {1,2,4,8} on random
+    // overlap-heavy corpora; `Stress bpe` proves the round count at
+    // 256 merges over sf0.1.
+    "q217_bpe_batched" -> ((s, dir) => {
+      import s.implicits._
+      val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+      val planted = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(lit(sentence).as("text"))
+      val batched = operators.Bpe.learnMergesBatched(planted, "text", 16, batchSize = 8)
+      val refVocab = sentence.split(" ").groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      val gate = batched == operators.Bpe.learnMergesLocal(refVocab, 16)
+      batched.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b, gate) }
+        .toDF("merge_rank", "left_sym", "right_sym", "matches_sequential")
+    }),
+
     // q188: INCREMENTAL classifier training — the NB count state is
     // mergeable (counts are additive), so a standing classifier absorbs
     // a new labeled batch without re-reading history: q183's training
@@ -3762,6 +3795,41 @@ object SparkEntry {
         .select(col("doc_id"), functions.Text.stripHtml(html).as("extracted"))
         .select(col("doc_id"), col("extracted"),
           functions.Text.tokenCount(col("extracted")).as("n_tokens"))
+    }),
+
+    // q218: MAIN-CONTENT extraction (Boilerpipe/jusText's core density
+    // rules) — the step between markup strip and quality filters that
+    // stripHtml alone cannot provide: nav bars and ad units survive a tag
+    // strip as TEXT and pollute the corpus. Every doc is wrapped in a page
+    // shell with an all-link nav block, an all-link ad unit, and a short
+    // footer (nonce markers zznav/zzad/zzfooter) around the real article
+    // with one tolerable minority link; the in-query gates pin that
+    // stripHtml KEEPS each marker while the extractor DROPS it — any rule
+    // regression flips a flag and fails the hash. The oracle SQL is
+    // GENERATED from the same block pattern, strip chain, and thresholds
+    // (the q194 shared-constants discipline), replayed with DuckDB list
+    // lambdas. Entirely native HOFs riding the scan, zero exchanges.
+    "q218_main_content" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>crawl &amp; co</title></head><body>" +
+          "<nav><a href=\"/\">zznav home link</a> <a href=\"/about\">zznav about link</a></nav>" +
+          "<div><a href=\"https://ads.example/buy\">zzad buy now cheap widgets today</a></div>" +
+          "<p>"),
+        col("text"),
+        lit(" Related: <a href=\"/more\">see also</a></p>" +
+          "<div>zzfooter</div></body></html>"))
+      tbl(s, dir, "documents").where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          functions.Text.extractMainContent(page).as("main_text"),
+          functions.Text.stripHtml(page).as("__stripped"))
+        .select(col("doc_id"), col("main_text"),
+          functions.Text.tokenCount(col("main_text")).as("n_tokens"),
+          (col("__stripped").contains("zznav") &&
+            !col("main_text").contains("zznav")).as("nav_dropped"),
+          (col("__stripped").contains("zzad") &&
+            !col("main_text").contains("zzad")).as("ad_dropped"),
+          (col("__stripped").contains("zzfooter") &&
+            !col("main_text").contains("zzfooter")).as("footer_dropped"))
     }),
 
     // q195: line-level boilerplate removal (the CCNet / RefinedWeb step) —
@@ -4040,9 +4108,12 @@ object SparkEntry {
     // prefixes over the decimal doc id, so the verdict replays in SQL via
     // starts_with on the id string, with /doc/33 re-allowed inside the
     // /doc/3 disallow to keep the longest-match trap live), and survivors
-    // extract through the shared stripHtml chain. One narrow parse pass +
-    // one broadcast policy join; the oracle chains the q205 replay, the
-    // status stripe, and the digit-prefix semantics.
+    // extract through MAIN-CONTENT extraction (q218's density rules — the
+    // page shell's <title> block text, which a bare stripHtml would keep,
+    // drops by the length rule; the article <p> survives). One narrow
+    // parse pass + one broadcast policy join; the oracle chains the q205
+    // replay, the status stripe, the digit-prefix semantics, and the
+    // generated extractor replay.
     "q208_crawl_pipeline" -> ((s, dir) => {
       val root = ensureWarcFixture(s, dir)
       val resp = sources.Warc.readResponses(s, root)
@@ -4055,7 +4126,7 @@ object SparkEntry {
         .where(col("allowed"))
         .select(
           regexp_extract(col("uri"), "doc/([0-9]+)$", 1).cast("long").as("doc_id"),
-          functions.Text.stripHtml(col("body")).as("extracted"))
+          functions.Text.extractMainContent(col("body")).as("extracted"))
         .select(col("doc_id"), col("extracted"),
           functions.Text.tokenCount(col("extracted")).as("n_tokens"))
     }),
@@ -4587,6 +4658,36 @@ object SparkEntry {
        |       coalesce(sc.nll_fp, 0) AS nll_fp,
        |       coalesce(sc.nll_fp // sc.n_bigrams, 0) AS avg_nll_fp$extraCols
        |FROM (SELECT doc_id FROM te) t LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  /** DuckDB replay of [[functions.Text.extractMainContent]] over the SQL
+    * page expression `pageExpr` — GENERATED from the same block pattern,
+    * strip chain, and density thresholds (the q194 shared-constants
+    * discipline), so kernel and replay cannot drift. List lambdas mirror
+    * the Spark HOFs block for block. */
+  private def duckMainContent(pageExpr: String): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val clean3 = functions.Text.htmlStripSteps.take(3).foldLeft(s"($pageExpr)") {
+      case (acc, (p, r)) => s"regexp_replace($acc, '${esc(p)}', '${esc(r)}', 'g')"
+    }
+    def vis(e: String) = {
+      val chain = functions.Text.htmlStripSteps.drop(3).foldLeft(e) {
+        case (acc, (p, r)) => s"regexp_replace($acc, '${esc(p)}', '${esc(r)}', 'g')"
+      }
+      s"regexp_replace($chain, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')"
+    }
+    val visB = vis("b")
+    // BOTH array_to_string calls need coalesce: DuckDB returns NULL for an
+    // empty list where Spark's array_join returns '' — an anchor-free block
+    // (or a page with no kept block) would otherwise go NULL and diverge
+    val linkB = vis("coalesce(array_to_string(regexp_extract_all(b, '" +
+      esc(functions.Text.anchorSpanPattern) + "', 0), ' '), '')")
+    s"coalesce(array_to_string(list_transform(list_filter(" +
+      s"regexp_split_to_array($clean3, '${esc(functions.Text.blockTagPattern)}'), " +
+      s"b -> len($visB) >= ${functions.Text.mainMinChars} " +
+      s"AND len($linkB) * ${functions.Text.mainMaxLinkDen} <= " +
+      s"len($visB) * ${functions.Text.mainMaxLinkNum}), " +
+      s"b -> $visB), chr(10)), '')"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q168_kcore_exact" -> kcoreExactOracleSql(k = 12, n = 10),
@@ -6881,6 +6982,26 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_png_found,
         |       CAST(count(*) AS BIGINT) AS n_prog_found
         |FROM documents WHERE doc_id IS NOT NULL AND doc_id < 50""".stripMargin,
+    // q218: the extractor replay is GENERATED from the shared constants
+    // (block pattern, strip chain, thresholds); the gate columns are the
+    // construction's certainties as literals — a rule regression on the
+    // Spark side flips a flag and fails the hash.
+    "q218_main_content" -> {
+      val pageExpr =
+        "'<html><head><title>crawl &amp; co</title></head><body>" +
+          "<nav><a href=\"/\">zznav home link</a> <a href=\"/about\">zznav about link</a></nav>" +
+          "<div><a href=\"https://ads.example/buy\">zzad buy now cheap widgets today</a></div>" +
+          "<p>' || text || ' Related: <a href=\"/more\">see also</a></p>" +
+          "<div>zzfooter</div></body></html>'"
+      s"""WITH m AS (SELECT doc_id, ${duckMainContent(pageExpr)} AS main_text
+         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+         |SELECT doc_id, main_text,
+         |       CASE WHEN len(main_text) = 0 THEN 0
+         |            ELSE CAST(len(regexp_split_to_array(main_text, '[ \\x09-\\x0D]+')) AS BIGINT)
+         |       END AS n_tokens,
+         |       TRUE AS nav_dropped, TRUE AS ad_dropped, TRUE AS footer_dropped
+         |FROM m""".stripMargin
+    },
     // q194: the strip chain below is GENERATED from Text.htmlStripSteps —
     // the same (pattern, replacement) pairs the kernel folds, so the two
     // sides cannot drift; patterns are RE2 ∩ Java by construction.
@@ -7011,25 +7132,22 @@ object SparkEntry {
         |SELECT CAST(id AS BIGINT) AS id, rk AS rank_scaled FROM r3""".stripMargin,
     // q208: the q205 transport replay, restricted to the 200 stripe and
     // the digit-prefix robots semantics (blocked iff the decimal id
-    // starts with '3' and not '33')
+    // starts with '3' and not '33'); extraction replays the GENERATED
+    // main-content chain over the same page shell (the shell <title>
+    // drops by the length rule — the replay proves it on both sides)
     "q208_crawl_pipeline" -> {
       val htmlExpr =
         s"'${sources.Warc.shellPrefix.replace("'", "''")}' || text || " +
           s"'${sources.Warc.shellSuffix.replace("'", "''")}'"
-      val chain = functions.Text.htmlStripSteps.foldLeft(s"($htmlExpr)") {
-        case (acc, (p, r)) =>
-          s"regexp_replace($acc, '${p.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
-      }
       s"""WITH kept AS (SELECT doc_id, text FROM documents
          |              WHERE doc_id IS NOT NULL AND text IS NOT NULL
          |                AND doc_id % 97 <> 0
          |                AND NOT (starts_with(CAST(doc_id AS VARCHAR), '3')
          |                         AND NOT starts_with(CAST(doc_id AS VARCHAR), '33'))),
-         |e AS (SELECT doc_id, $chain AS extracted FROM kept)
+         |e AS (SELECT doc_id, ${duckMainContent(htmlExpr)} AS extracted FROM kept)
          |SELECT doc_id, extracted,
-         |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
-         |            THEN 0
-         |            ELSE CAST(len(regexp_split_to_array(trim(extracted), '[ \\x09-\\x0D]+')) AS BIGINT)
+         |       CASE WHEN len(extracted) = 0 THEN 0
+         |            ELSE CAST(len(regexp_split_to_array(extracted, '[ \\x09-\\x0D]+')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -7422,6 +7540,18 @@ object SparkEntry {
         |FROM (VALUES (0, 'l', 'o'), (1, 'lo', 'w'), (2, 'e', 's'), (3, 'es', 't'),
         |             (4, 'e', 'r'), (5, 'e', 'w'), (6, 'i', 'd'), (7, 'n', 'ew'),
         |             (8, 'w', 'id'), (9, 'low', 'est'))
+        |     AS m(merge_rank, left_sym, right_sym)""".stripMargin,
+    // q217: q187's literal-pinning argument extended to 16 merges (the
+    // planted corpus is uniform, so the sequence is sf-invariant); the
+    // in-query gate carries batched ≡ sequential-reference equivalence.
+    "q217_bpe_batched" ->
+      """SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym,
+        |       TRUE AS matches_sequential
+        |FROM (VALUES (0, 'l', 'o'), (1, 'lo', 'w'), (2, 'e', 's'), (3, 'es', 't'),
+        |             (4, 'e', 'r'), (5, 'e', 'w'), (6, 'i', 'd'), (7, 'n', 'ew'),
+        |             (8, 'w', 'id'), (9, 'low', 'est'), (10, 'low', 'er'),
+        |             (11, 'new', 'er'), (12, 'new', 'est'), (13, 's', 'low'),
+        |             (14, 's', 'lowest'), (15, 'wid', 'e'))
         |     AS m(merge_rank, left_sym, right_sym)""".stripMargin,
     // q172: q164's closed form per FRAME — frame f of doc d is a 16x16
     // synthetic JPEG with s = (d + f) % 256: four luma blocks

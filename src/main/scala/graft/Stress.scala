@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components|store|ivfcap|standing|kcore] [sfDir]
+ * Usage: runMain graft.Stress [bpe|embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components|store|ivfcap|standing|kcore] [sfDir]
  * (default sfDir /root/testdata/sf0.1)
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -71,6 +71,7 @@ object Stress {
     if (mode == "knn") { knnStudy(spark, sfDir); spark.stop(); return }
     if (mode == "lm") { lmStudy(spark, sfDir); spark.stop(); return }
     if (mode == "crawl") { crawlStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "bpe") { bpeStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -1045,6 +1046,52 @@ object Stress {
     * the counts inside (exactly x10, by additivity — an integer claim,
     * checked row-for-row). Scoring stays corpus-linear and the zz-OOV
     * garbage gate stays certain at scale. */
+  /** BPE batched-induction study: learn 256 merges over the sf corpus with
+    * the strict-dominance batch (exact, see learnMergesBatched) and measure
+    * the distributed round count — the whole point of batching is
+    * rounds << merges. Gates batched == sequential-reference on a sampled
+    * vocabulary prefix as a sanity cross-check at scale. */
+  private def bpeStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Bpe
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus load")(docs.count())
+    println(s"[stress] corpus rows: $n")
+    val nMerges = 256
+    // sequential reference computed ONCE driver-locally (study tool only —
+    // the vocabulary fits a driver; the OPERATOR never collects it)
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(graft.functions.Text.edgeStrippedTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val (ref, _) = timedValue(s"driver-local sequential reference (${vocab.size} distinct words)") {
+      Bpe.learnMergesLocal(vocab, nMerges)
+    }
+    for (m <- Seq(32, 64)) {
+      val ((merges, rounds), secs) = timedValue(s"learn $nMerges merges at batchSize=$m") {
+        Bpe.learnMergesBatchedWithRounds(docs, "text", nMerges, m)
+      }
+      println(f"[stress] batchSize=$m%3d: ${merges.size} merges in $rounds rounds " +
+        f"(${merges.size.toDouble / rounds}%.1f merges/round), $secs%.1f s " +
+        s"(expect rounds << $nMerges; collapse happens only on tie/overlap-heavy rankings)")
+      require(merges == ref,
+        s"batched(m=$m) diverged from the sequential reference at scale")
+      println(s"[stress] batchSize=$m: sequence == sequential reference (expect true)")
+    }
+    docs.unpersist(): Unit
+  }
+
+  private def timedValue[T](label: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] $label: $secs%.1f s")
+    (r, secs)
+  }
+
   private def lmStudy(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.Lm
     val docs = SparkEntry.tbl(spark, sfDir, "documents")

@@ -368,6 +368,74 @@ object Text {
   def stripHtml(text: Column): Column =
     htmlStripSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, lit(p), lit(r)) }
 
+  /** Block-boundary tags for [[extractMainContent]]: a page splits into
+    * text blocks at block-LEVEL tag boundaries (open or close); inline
+    * tags (`<a> <b> <span> <em> <meta>`...) stay inside their block and
+    * are stripped during per-block text extraction. Shared constant —
+    * the oracle replays the same split. RE2 ∩ Java by construction. */
+  val blockTagPattern: String =
+    "(?i)</?(?:p|div|section|article|main|header|footer|nav|aside|h[1-6]|" +
+      "ul|ol|li|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|blockquote|pre|" +
+      "form|fieldset|figure|figcaption|body|html|head|title|br|hr)\\b[^>]*>"
+
+  /** One full anchor span `<a ...>...</a>` — the LINK TEXT of a block,
+    * the numerator of its link density. */
+  val anchorSpanPattern: String = "(?is)<a\\b[^>]*>.*?</a>"
+
+  /** [[extractMainContent]] thresholds: a block is MAIN CONTENT when its
+    * visible text has at least `mainMinChars` characters AND its link
+    * density (anchor-text chars / visible chars) is at most
+    * `mainMaxLinkNum`/`mainMaxLinkDen` — checked as pure integer
+    * cross-multiplication, engine-exact. */
+  val mainMinChars: Int = 25
+  val mainMaxLinkNum: Int = 1
+  val mainMaxLinkDen: Int = 3
+
+  /** Visible text of ONE block: inline tags stripped, entities decoded
+    * (the [[htmlStripSteps]] tail), whitespace squeezed, edges trimmed. */
+  private def blockVisible(b: Column): Column =
+    regexp_replace(
+      htmlStripSteps.drop(3).foldLeft(b) { case (c, (p, r)) =>
+        regexp_replace(c, lit(p), lit(r))
+      },
+      lit("^[\\x00-\\x20]+|[\\x00-\\x20]+$"), lit(""))
+
+  /**
+   * MAIN-CONTENT extraction — the step real curation pipelines run
+   * between markup strip and quality filters (Boilerpipe / jusText,
+   * reduced to their deterministic core): [[stripHtml]] keeps nav, ad,
+   * and footer TEXT in the corpus; this drops whole boilerplate BLOCKS by
+   * the two density rules those systems agree on. The page splits into
+   * blocks at [[blockTagPattern]] boundaries (script/style/comment
+   * blocks die with their content first); a block survives iff its
+   * visible text reaches [[mainMinChars]] AND its anchor-text share is at
+   * most [[mainMaxLinkNum]]/[[mainMaxLinkDen]] (nav bars and ad units
+   * are nearly all link text; footers are short). Survivors join with
+   * `\n` in document order. Deliberately a RULE, not a model — the
+   * jusText context pass (short blocks inheriting neighbor verdicts) is
+   * out of scope, so isolated short headings drop; the
+   * engine-replayability contract matters more.
+   *
+   * Entirely native HOFs (split / transform / filter / regexp chains)
+   * riding the scan — zero exchanges, whole-stage codegen, the
+   * [[stripHtml]] posture.
+   */
+  def extractMainContent(html: Column): Column = {
+    val cleaned = htmlStripSteps.take(3).foldLeft(html) { case (c, (p, r)) =>
+      regexp_replace(c, lit(p), lit(r))
+    }
+    val scored = transform(split(cleaned, blockTagPattern), b =>
+      struct(
+        blockVisible(b).as("v"),
+        length(blockVisible(array_join(
+          regexp_extract_all(b, lit(anchorSpanPattern), lit(0)), " "))).as("l")))
+    val kept = filter(scored, s =>
+      length(s.getField("v")) >= lit(mainMinChars) &&
+        s.getField("l") * lit(mainMaxLinkDen) <=
+          length(s.getField("v")) * lit(mainMaxLinkNum))
+    array_join(transform(kept, s => s.getField("v")), "\n")
+  }
+
   /** href targets of ANCHOR tags (`<a ... href="...">`), in document
     * order — the web-graph edge extractor that pairs with [[stripHtml]]:
     * one keeps the text, the other keeps the links. Deliberately anchors

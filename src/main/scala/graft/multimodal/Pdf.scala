@@ -89,15 +89,24 @@ object Pdf {
         // '<<': a stream dict with a nested dict (/DecodeParms << ... >>)
         // would otherwise hide /Length and — worse — /FlateDecode, and an
         // undetected filter means garbage text ops over compressed bytes.
-        val objStart = lastIndexOf(bytes, "obj", s)
-        val dictStart = if (objStart >= 0) objStart else lastIndexOf(bytes, "<<", s)
+        // TWO framing guards against a PRECEDING stream's binary data
+        // happening to contain 'obj' or '/Length N': (1) the window floor
+        // is the previous 'endstream' (no earlier object's data can leak
+        // in), and the 'obj' must carry the 'N G obj' header shape
+        // (digits, ws, digits, ws); (2) the LAST /Length match in the
+        // window wins — the owning dict is the closest to 'stream'.
+        val floor = lastIndexOf(bytes, "endstream", s)
+        val objStart = anchoredObjBefore(bytes, s, floor)
+        val rawDict = if (objStart >= 0) objStart else lastIndexOf(bytes, "<<", s)
+        val dictStart = if (rawDict > floor) rawDict else -1
         val dict = if (dictStart >= 0) new String(bytes, dictStart, s - dictStart, Latin1) else ""
         // (?!\d) pins the FULL digit run; the second lookahead rejects
         // indirect references ('/Length 8 0 R') without letting
         // backtracking accept their numeric prefix
         val lenM = java.util.regex.Pattern.compile("/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)")
           .matcher(dict)
-        val direct = if (lenM.find()) lenM.group(1).toLong else -1L
+        var direct = -1L
+        while (lenM.find()) direct = lenM.group(1).toLong
         val (dataEnd, next) =
           if (direct >= 0 && dataStart + direct <= bytes.length) {
             // trust the declared length; resync on the endstream AFTER it
@@ -136,6 +145,32 @@ object Pdf {
       while (j < n.length && hay(i + j) == n(j)) j += 1
       if (j == n.length) return i
       i += 1
+    }
+    -1
+  }
+
+  /** Last 'obj' keyword before `before` (and after `floor`) that carries
+    * the 'N G obj' object-header shape — digits, whitespace, digits,
+    * whitespace, 'obj' — so an 'obj' byte run INSIDE an earlier stream's
+    * binary data never frames the dict window. -1 when none qualifies. */
+  private def anchoredObjBefore(bytes: Array[Byte], before: Int, floor: Int): Int = {
+    def ws(b: Byte): Boolean = b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 0x0c || b == 0
+    def dig(b: Byte): Boolean = b >= '0' && b <= '9'
+    var cand = lastIndexOf(bytes, "obj", before)
+    while (cand > floor) {
+      var i = cand - 1
+      if (i >= 0 && ws(bytes(i))) {
+        while (i >= 0 && ws(bytes(i))) i -= 1
+        val gEnd = i
+        while (i >= 0 && dig(bytes(i))) i -= 1
+        if (i < gEnd && i >= 0 && ws(bytes(i))) {
+          while (i >= 0 && ws(bytes(i))) i -= 1
+          val nEnd = i
+          while (i >= 0 && dig(bytes(i))) i -= 1
+          if (i < nEnd) return cand
+        }
+      }
+      cand = lastIndexOf(bytes, "obj", cand)
     }
     -1
   }

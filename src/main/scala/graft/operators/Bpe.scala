@@ -131,17 +131,62 @@ object Bpe {
    * highest-weighted adjacent symbol pair, merge it everywhere, repeat
    * `nMerges` times. Ties break to the lexicographically smallest
    * (left, right) — pinned, so learning is fully deterministic.
+   * Delegates to [[learnMergesBatched]] at batch size 1, which reproduces
+   * this round-per-merge semantic exactly.
+   */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] =
+    learnMergesBatched(docs, textCol, nMerges, batchSize = 1)
+
+  /**
+   * BATCHED BPE vocabulary induction — SAME output as the sequential
+   * Sennrich loop, proven per batch, at merges/batchSize + O(1)
+   * distributed rounds instead of one round PER MERGE (a real 32k-merge
+   * tokenizer is 32k sequential Spark jobs = driver-bound hours no
+   * cluster size reduces; batching is what makes the operator reach its
+   * real workload).
+   *
+   * WHY THE BATCH IS EXACT (not a heuristic): per round, rank all pairs
+   * by (weight desc, left asc, right asc) and take candidates from the
+   * TOP of that list in order, accepting while each candidate's symbols
+   * {a, b, a+b} are disjoint from every previously accepted candidate's
+   * symbols, STOPPING at the first overlap (so the accepted set is a
+   * consecutive PREFIX of the ranking). Let cNext be the weight of the
+   * first non-accepted pair; truncate the accepted prefix to pairs with
+   * weight STRICTLY greater than cNext (if that empties it, keep just
+   * the top pair — a batch of one is trivially sequential). Then the
+   * batch replays the sequential rounds exactly:
+   *  - an accepted pair's weight is UNCHANGED by the earlier accepted
+   *    merges (its adjacencies share no symbol with them);
+   *  - every pair CREATED by an accepted merge (x, a+b) maps each of its
+   *    instances to a pre-existing (x, a) adjacency instance, so its
+   *    weight is bounded by an OVERLAPPING pair's old weight — and every
+   *    overlapping pair ranks below the accepted prefix, i.e. <= cNext;
+   *  - every other pair's weight can only stay or decrease, and all of
+   *    them rank <= cNext < every accepted weight.
+   *  So at sequential round i the unique argmax is exactly the i-th
+   *  accepted pair. Gated: BpeSpec property-tests batched == the
+   *  driver-local reference at batch sizes {1, 2, 4, 8} on random
+   *  corpora, and q217 gates batched(8) == sequential in-query.
    *
    * SCALE SHAPE: the learning state is the DISTINCT-WORD frame
    * (segmentation, corpus weight) — vocab-bounded and Zipf-tiny relative
    * to the corpus, which is scanned exactly ONCE to build it. Each round
-   * is one weighted pair-count aggregation over that frame, a 1-row
-   * argmax collect, and a narrow re-segmentation map; lineage is
-   * truncated with `localCheckpoint` every 8 rounds (the
+   * is one weighted pair-count aggregation over that frame, a
+   * (batchSize+1)-row top-k collect, and a narrow re-segmentation map;
+   * lineage is truncated with `localCheckpoint` every 8 rounds (the
    * connected-components loop's discipline). Nothing corpus-sized ever
    * reaches the driver.
    */
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+  def learnMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int): Seq[(String, String)] =
+    learnMergesBatchedWithRounds(docs, textCol, nMerges, batchSize)._1
+
+  /** [[learnMergesBatched]] plus the number of distributed rounds it took —
+    * the `Stress bpe` study's measurement (merges/rounds = effective batch
+    * rate; the whole point of batching is rounds << merges). */
+  private[graft] def learnMergesBatchedWithRounds(docs: DataFrame, textCol: String,
+      nMerges: Int, batchSize: Int): (Seq[(String, String)], Int) = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = docs.sparkSession
     import spark.implicits._
     var state = docs.where(col(textCol).isNotNull)
@@ -152,22 +197,47 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     state.count(): Unit
     val merges = Seq.newBuilder[(String, String)]
+    var total = 0
     var round = 0
     var exhausted = false
-    while (round < nMerges && !exhausted) {
+    while (total < nMerges && !exhausted) {
       val top = state.flatMap { case (syms, n) =>
         (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), n))
       }.toDF("a", "b", "n")
         .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+        .limit(batchSize + 1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
+        // maximal disjoint PREFIX of the ranking (stop at first overlap)
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        var stopped = false
+        while (i < top.length && accepted.size < batchSize && !stopped) {
+          val (a, b, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (used(a) || used(b) || used(a + b)) stopped = true
+          else {
+            accepted += ((a, b, c))
+            used += a; used += b; used += (a + b)
+            i += 1
+          }
+        }
+        // strict-dominance truncation against the first non-accepted pair
+        val safe =
+          if (i >= top.length) accepted.toSeq // no other pair exists at all
+          else {
+            val cNext = top(i).getLong(2)
+            val t = accepted.toSeq.takeWhile(_._3 > cNext)
+            if (t.isEmpty) accepted.toSeq.take(1) else t
+          }
+        val batch = safe.take(nMerges - total).map(p => (p._1, p._2))
+        merges ++= batch
+        total += batch.size
         val prev = state
-        val mapped = state.map { case (syms, n) => (mergePair(syms, a, b), n) }
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val mapped = state.map { case (syms, n) =>
+          (batch.foldLeft(syms)((s, p) => mergePair(s, p._1, p._2)), n)
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         // checkpoint rounds: the pre-checkpoint persisted handle must be
         // released too, or one orphaned cached frame leaks per 8 rounds
         // for the life of the session (the block manager holds it — only
@@ -180,7 +250,7 @@ object Bpe {
       round += 1
     }
     state.unpersist(): Unit
-    merges.result()
+    (merges.result(), round)
   }
 
   /**

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -24,11 +23,18 @@ import org.apache.spark.sql.functions._
  * OUTSIDE the releasing level nulled (that is the generalization), and
  * `level = -1` + all-null for suppressed rows — visible, never vanished.
  *
- * SCALE SHAPE: each level is ONE hash exchange over the shrinking
- * remainder, carrying only (id + quasi) columns — never text or payload;
- * the ladder depth is a small constant set by the caller. The per-level
- * count is a PARTITIONED window (class-bounded, the q67 posture), so no
- * corpus-wide sort and no driver collection anywhere.
+ * SCALE SHAPE: each level carries only (id + quasi) columns — never text
+ * or payload — over the shrinking remainder; the ladder depth is a small
+ * constant set by the caller. Per-level class sizes are a
+ * `groupBy(quasi).count()` (map-side combined) joined back null-safely —
+ * deliberately NOT a partitioned window: at the coarsest ladder level
+ * the dominant class (half the corpus under `lang` alone) would land in
+ * ONE window partition = one task buffering billions of rows, and AQE
+ * can split a skewed JOIN partition but never a skewed WINDOW partition.
+ * The count frame is class-count-bounded (tiny exactly when classes are
+ * huge), so the join back broadcasts in the skewed regime and degrades
+ * to an AQE-skew-splittable shuffle join only when classes are many and
+ * small. No corpus-wide sort and no driver collection anywhere.
  */
 object Privacy {
 
@@ -56,8 +62,14 @@ object Privacy {
 
     val (releasedAll, rest) = levels.zipWithIndex
       .foldLeft((Seq.empty[DataFrame], base)) { case ((acc, remaining), (qs, i)) =>
-        val counted = remaining.withColumn("__n",
-          count(lit(1)).over(Window.partitionBy(qs.map(col): _*)))
+        // class sizes as groupBy + null-safe join back (NULL quasi values
+        // are one class, matching window-partition semantics) — count-only
+        // window ⇒ identical semantics, but the skewed side never shuffles
+        // into a single partition (see SCALE SHAPE above)
+        val sizes = remaining.groupBy(qs.map(col): _*).agg(count(lit(1)).as("__n"))
+          .select((qs.map(c => col(c).as(s"__g_$c")) :+ col("__n")): _*)
+        val cond = qs.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+        val counted = remaining.join(sizes, cond).drop(qs.map(c => s"__g_$c"): _*)
         (acc :+ shape(i.toLong, qs.toSet)(counted.where(col("__n") >= k)),
           counted.where(col("__n") < k).drop("__n"))
       }

@@ -12,10 +12,20 @@ import org.apache.spark.sql.functions._
  * `quantile_cont`) — the form a pipeline uses to pick truncation/filter
  * thresholds from length and quality distributions.
  *
- * SCALE SHAPE: one hash exchange on the key + one in-partition sort (the two
- * window specs share their partitioning, and the final per-key aggregation
- * reuses the window's hash partitioning, so Catalyst plans NO second
- * exchange — plan-pinned). Rank arithmetic is pure integer math:
+ * SCALE SHAPE: collapse to a per-key (value, count) HISTOGRAM first (one
+ * map-side-combined aggregation whose (key, value) hash spreads even a
+ * dominant key across tasks), then read quantiles off the running
+ * cumulative count in value order — the [[globalExact]] trick per key.
+ * The per-key window runs over the HISTOGRAM frame (bounded by the value
+ * domain, not the data), never over corpus rows: the row-rank window
+ * formulation would funnel a skewed low-cardinality key's dominant class
+ * (half the corpus under `lang`) into ONE window partition = one task,
+ * and AQE cannot split a skewed window partition (the
+ * Privacy.kAnonymize lesson — PlanAuditSpec's sweep now flags that
+ * shape). Two exchanges total, both of histogram mass. CONTRACT (same
+ * as [[globalExact]]): the per-key value domain should be far below the
+ * per-key row count — lengths, token counts, quantized scores.
+ * Rank arithmetic is pure integer math:
  * ceil(p·n) = (n·num + den−1) div den with p rationalized at 1e-6
  * precision (exact for n < ~4.6e12 rows per key).
  */
@@ -25,14 +35,15 @@ object Quantiles {
 
   /**
    * Per-key order-statistic quantiles. `ps` maps output column name to
-   * probability in (0, 1]; `tieCol` makes the rank order total (the selected
-   * value is tie-invariant, but a deterministic order keeps row_number
-   * reproducible). Rows with a NULL key or value are DROPPED (a null has
-   * no rank; see the in-body comment for why leaving them in would shift
-   * every quantile). `carry` names columns CONSTANT within each key to pass
-   * through to the output unchanged (aggregated as their per-key max — lets
-   * a second quantile pass keep the first pass's result without re-running
-   * its plan, the [[robustStats]] shape). Returns one row per key:
+   * probability in (0, 1]; `tieCol` is retained for source compatibility —
+   * the histogram formulation is order-free, so no tie-break is needed for
+   * determinism. Rows with a NULL key or value are DROPPED (a null has
+   * no rank; leaving them in would both inflate n and occupy the lowest
+   * ranks, silently shifting every quantile). `carry` names columns
+   * CONSTANT within each key to pass through to the output unchanged
+   * (aggregated as their per-key max — lets a second quantile pass keep
+   * the first pass's result without re-running its plan, the
+   * [[robustStats]] shape). Returns one row per key:
    * (keyCol, ps..., carry...).
    */
   def perKeyExact(df: DataFrame, keyCol: String, valueCol: String, tieCol: String,
@@ -46,23 +57,26 @@ object Quantiles {
       require(math.round(p * Den) >= 1,
         s"probability $name=$p below the 1e-6 rank precision")
     }
-    val byValue = Window.partitionBy(keyCol).orderBy(col(valueCol), col(tieCol))
-    val byKey = Window.partitionBy(keyCol)
-    // NULL keys have no distribution and NULL values no rank — and Spark's
-    // ascending sort puts NULLs FIRST, so an unfiltered null row would both
-    // inflate __n and occupy the lowest ranks, silently shifting every
-    // quantile (and reading NULL when the rank lands on a null row)
-    val ranked = df.select((Seq(keyCol, valueCol, tieCol) ++ carry).map(col): _*)
+    // per-key histogram: the only pass over the data, map-side combined,
+    // hash-spread on (key, value) so a dominant key cannot skew a task
+    val hist = df.select((Seq(keyCol, valueCol) ++ carry).map(col): _*)
       .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
-      .withColumn("__rn", row_number().over(byValue).cast("long"))
-      .withColumn("__n", count(lit(1)).over(byKey))
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"), carry.map(c => max(col(c)).as(c)): _*)
+    // cumulative counts in value order over the HISTOGRAM (domain-bounded)
+    val byKey = Window.partitionBy(keyCol)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        byKey.orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(byKey))
     val aggs = ps.map { case (name, p) =>
       val num = math.round(p * Den)
-      // ceil(p*n) in pure integer math: (n*num + Den - 1) div Den
+      // the value at rank ceil(p*n) = the SMALLEST value whose cumulative
+      // count reaches the rank; ceil in pure integer math
       val rank = expr(s"(__n * ${num}L + ${Den - 1}L) div ${Den}L")
-      max(when(col("__rn") === rank, col(valueCol))).as(name)
+      min(when(col("__cum") >= rank, col(valueCol))).as(name)
     } ++ carry.map(c => max(col(c)).as(c))
-    ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /**
@@ -73,8 +87,8 @@ object Quantiles {
    * below the value; ties share a bucket, so the assignment is a pure
    * function of (key, value)).
    *
-   * SCALE SHAPE: the cut computation shuffles only the (key, value, tie)
-   * PROJECTION once; the cut table (keys × nBuckets−1) joins back as a
+   * SCALE SHAPE: the cut computation shuffles only the per-key (value,
+   * count) HISTOGRAM ([[perKeyExact]]'s shape); the cut table (keys × nBuckets−1) joins back as a
    * plain equi-join — NOT a forced broadcast: AQE broadcasts it at runtime
    * when it is actually small (per-language strata), and falls back to a
    * shuffle join when the key is high-cardinality (per-user, per-document),
@@ -110,8 +124,8 @@ object Quantiles {
    * integer inputs — engine-reproducible, unlike mean±k·stddev clipping
    * whose float moments drift with reduction order.
    *
-   * SCALE SHAPE: the cut computation shuffles only the (key, value, tie)
-   * projection; the per-key cut pair joins back as a plain equi-join — AQE
+   * SCALE SHAPE: the cut computation shuffles only the per-key (value,
+   * count) histogram ([[perKeyExact]]'s shape); the per-key cut pair joins back as a plain equi-join — AQE
    * broadcasts it when small, shuffle-joins it when the key cardinality is
    * data-proportional (a forced broadcast of an O(keys) frame is the
    * classic per-user-stats OOM). The clamp itself is a narrow
@@ -177,8 +191,8 @@ object Quantiles {
    * hash-compares across engines; robust z = (v - median) / (1.4826 * mad)
    * is one float division the CALLER applies.
    *
-   * SCALE SHAPE: two [[perKeyExact]] passes — (key, value, tie) projection
-   * shuffles, medians join back (plain equi-join: AQE broadcasts a small
+   * SCALE SHAPE: two [[perKeyExact]] histogram passes — only per-key
+   * (value, count) frames shuffle, medians join back (plain equi-join: AQE broadcasts a small
    * per-stratum frame, shuffle-joins a per-user-sized one — the median
    * frame is O(keys), so a forced broadcast would OOM exactly when the
    * operator is most useful), |v - median| re-ranks with the median CARRIED

@@ -42,7 +42,10 @@ object Robots {
     * outside any group header, unknown directives, and comments are
     * ignored per RFC; an empty-path Disallow contributes no rule. */
   private[graft] def parseRobotsFor(text: String, userAgent: String): Seq[RobotsRule] = {
+    // normalize the crawler's own token the same way the group headers
+    // are normalized (a caller passing 'GraftBot/1.0' means 'graftbot')
     val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+      .takeWhile(ch => ch != '/' && !ch.isWhitespace)
     // (agents of the current group header run, rules of the current group)
     val groups = scala.collection.mutable.ArrayBuffer.empty[(Set[String], Vector[RobotsRule])]
     var curAgents = Set.empty[String]
@@ -61,7 +64,13 @@ object Robots {
         key match {
           case "user-agent" =>
             if (!inHeader) flush()
+            // RFC 9309 §2.2.1: crawlers match on the PRODUCT TOKEN — the
+            // value's leading token before any '/version' or whitespace
+            // comment ('User-agent: graftbot/1.0' selects for 'graftbot'),
+            // case-insensitive. Matching the whole line value would
+            // silently fall back to the '*' group — compliance drift.
             curAgents += value.toLowerCase(java.util.Locale.ROOT)
+              .takeWhile(ch => ch != '/' && !ch.isWhitespace)
             inHeader = true
           case "allow" | "disallow" =>
             inHeader = false

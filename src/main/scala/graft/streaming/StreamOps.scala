@@ -562,10 +562,14 @@ object StreamOps {
           graft.sources.Formats.zipMembers(bytes).iterator
         else if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
           graft.sources.Formats.tarMembers(graft.sources.Warc.inflateAll(bytes))
-        else if (bytes.length > 262 && bytes(257) == 'u' && bytes(258) == 's' &&
-          bytes(259) == 't' && bytes(260) == 'a' && bytes(261) == 'r')
+        else
+          // anything else: ATTEMPT tar — tarMembers' header checksum
+          // verification rejects non-tar bytes, so this is exactly the
+          // batch face's (readTarMembers) contract, and a pre-POSIX/v7
+          // tar (valid checksummed headers, no ustar magic at 257)
+          // ingests identically on both faces instead of silently
+          // dropping to empty here
           graft.sources.Formats.tarMembers(bytes)
-        else Iterator.empty // unknown container: nothing attributable
       }
       .toDF("member", "bytes")
       .groupBy(col("member"))

@@ -85,10 +85,17 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       s"expected the probe to read the persisted banded-signature index:\n$p")
   }
 
-  it("q67 quantiles plan exactly one exchange (window + final agg share the key partitioning)") {
+  it("q67 quantiles shuffle HISTOGRAM mass only: two exchanges, cum-window over the agg frame") {
     val p = plan("q67_per_key_quantiles")
-    assert("Exchange".r.findAllIn(p).size == 1,
-      s"expected the per-key agg to reuse the window exchange:\n$p")
+    // histogram agg exchange on (key, value) + key window exchange over the
+    // histogram; the final per-key agg reuses the window's partitioning.
+    // Both exchanges carry (value, count) rows — domain-bounded, never the
+    // corpus — and no window ever partitions raw rows by the skewed key
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected histogram agg + key-window exchanges only:\n$p")
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > 0,
+      s"the cumulative window must sit ABOVE the histogram aggregate:\n$p")
   }
 
   it("q69 PII scrub rides the corpus scan: zero exchanges, pruned read") {
@@ -195,13 +202,14 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("MapPartitions"), s"expected the O(k)-state kernel:\n$p")
   }
 
-  it("q90 quantile buckets: cuts shuffle only the projection; assignment joins a BROADCAST") {
+  it("q90 quantile buckets: cuts shuffle only histogram mass; assignment joins a BROADCAST") {
     val p = plan("q90_quantile_buckets")
     assert(p.contains("BroadcastHashJoin"), p)
-    // the window that ranks the (key, value, tie) projection is the only
-    // hash exchange — the assignment branch of the corpus never shuffles
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"only the cut-projection window may shuffle:\n$p")
+    // the cut side shuffles the per-key (value, count) histogram twice
+    // (agg + cum-window) — the assignment branch of the corpus never
+    // shuffles, and no window partitions raw rows by the skewed key
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"only the histogram agg + cum-window may shuffle:\n$p")
   }
 
   it("q91 source caps rank through the bounded combiner: one exchange, no Window") {
@@ -243,11 +251,13 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
   }
 
-  it("q98 robust stats: two projection rank passes, medians broadcast back, NO third join") {
+  it("q98 robust stats: two histogram passes, medians broadcast back, NO third join") {
     val p = plan("q98_robust_stats")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      s"expected exactly the two rank-window exchanges (median carried, not re-joined):\n$p")
+    // each perKeyExact pass is histogram agg + cum-window (both histogram
+    // mass); the median carries through the second pass, never re-joined
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"expected the two histogram passes' exchanges (median carried, not re-joined):\n$p")
   }
 
   it("q99 skew profile plans TakeOrderedAndProject over the count agg — never a global sort") {
@@ -607,11 +617,24 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
         case other => other.children.nonEmpty && other.children.forall(boundedBelow)
       }
     }
+    // A PARTITIONED window is equally lethal when every partition key is a
+    // KNOWN-SKEWED low-cardinality column (lang, source, status bands...):
+    // the dominant class lands in ONE window partition = one task buffering
+    // a corpus-scale slice, and AQE can split a skewed JOIN partition but
+    // never a skewed WINDOW partition (the Privacy.kAnonymize lesson).
+    // Such windows must also sit above a bounded frame. Keys are matched by
+    // attribute name with derived-alias prefixes stripped.
+    val skewedCols = Set("lang", "source", "status", "event_type", "len_b",
+      "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+      "c_mktsegment", "r_name", "n_name", "level")
+    def skewedOnlyKeys(w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
+      w.partitionSpec.nonEmpty && w.partitionSpec.forall(
+        _.references.forall(a => skewedCols.contains(a.name.stripPrefix("__g_"))))
     def windows(p0: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
       val p = unwrap(p0)
       val self = p match {
         case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => Seq(w) // unpartitioned: must be bounded
+          if w.partitionSpec.isEmpty || skewedOnlyKeys(w) => Seq(w)
         case _ => Nil
       }
       val viaCache = p match {
@@ -637,6 +660,22 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       .queryExecution.executedPlan
     assert(windows(broken).exists(w => !w.children.forall(boundedBelow)),
       s"the sweep failed to flag a Window over a raw corpus scan:\n$broken")
+    // ... and a PARTITIONED window whose keys are all known-skewed columns
+    val brokenSkew = SparkEntry.tbl(spark, dir, "documents")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))))
+      .queryExecution.executedPlan
+    assert(windows(brokenSkew).exists(w => !w.children.forall(boundedBelow)),
+      s"the sweep failed to flag a skew-partitioned Window over a raw scan:\n$brokenSkew")
+  }
+
+  it("q200/q204 kAnonymize subtree plans NO Window at all (groupBy class sizes + skew-splittable join back)") {
+    Seq("q200_k_anonymity", "q204_release_pipeline").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: class sizes must be groupBy+join, never a window partitioned by skewed quasi columns:\n$p")
+    }
   }
 
   it("q170 ranked top-k BM25: bounded-heap combiner over the standing postings, NO Window over the scored frame") {

@@ -70,6 +70,30 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(pdf).contains("nested dict"))
   }
 
+  test("stream data containing 'obj' and '/Length' cannot mis-frame the NEXT stream") {
+    // stream 1's length-declared DATA embeds a fake object header and a
+    // fake /Length; stream 2 is Flate-compressed, so a window that starts
+    // inside stream 1's data (or trusts the fake length) would miss the
+    // filter or mis-frame the bytes. The dict window is floored at the
+    // previous 'endstream', anchored to the 'N G obj' header shape, and
+    // takes the LAST /Length in the window.
+    val fake = "BT (first) Tj ET 9 0 obj\n<< /Length 2 >> junk << trailing"
+    val raw2 = "BT (second framed right) Tj ET".getBytes("UTF-8")
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw2); d.finish()
+    val buf = new Array[Byte](1024)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val body = out.toByteArray
+    val pdf = (s"%PDF-1.4\n1 0 obj\n<< /Length ${fake.length} >>\nstream\n" +
+      fake + s"\nendstream\nendobj\n" +
+      s"2 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>\nstream\n")
+      .getBytes("UTF-8") ++ body ++ "\nendstream\nendobj\n%%EOF\n".getBytes("UTF-8")
+    val got = Pdf.extractText(pdf).get
+    assert(got.contains("first") && got.contains("second framed right"), got)
+  }
+
   test("an indirect /Length reference falls back to the marker scan") {
     val content = "BT (indirect) Tj ET"
     val pdf = (s"%PDF-1.4\n1 0 obj\n<< /Length 8 0 R >>\nstream\n" +

@@ -106,6 +106,31 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(shrunk)
   }
 
+  test("batched learning equals the sequential reference at every batch size (random corpora)") {
+    // the batch construction is EXACT, not heuristic (see learnMergesBatched's
+    // proof sketch): for any corpus and any batch size the learned sequence
+    // must equal the one-merge-per-round reference — including tie-heavy and
+    // overlap-heavy corpora where the safe prefix collapses to one merge
+    val wordsets = Seq(
+      Seq("than", "that", "then", "this", "thing", "other", "another",
+        "rather", "bathing", "north", "forth", "worth"),
+      Seq("aaaa", "aaab", "abab", "baba", "bbbb", "abba"), // overlap-heavy
+      Seq("low", "lower", "lowest", "new", "newer", "newest", "wide", "wider"))
+    for ((words, seed) <- wordsets.zipWithIndex) {
+      val rnd = new scala.util.Random(11 + seed)
+      val docs = (0L until 120L).map { i =>
+        (i, (0 until 1 + rnd.nextInt(5)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+      }.toDF("id", "text")
+      val vocab = docs.collect().flatMap(_.getString(1).split(" "))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val ref = Bpe.learnMergesLocal(vocab, 16)
+      for (m <- Seq(1, 2, 4, 8)) {
+        val got = Bpe.learnMergesBatched(docs, "text", 16, batchSize = m)
+        assert(got == ref, s"corpus $seed batchSize $m: $got != $ref")
+      }
+    }
+  }
+
   test("learning stops when every word is a single symbol") {
     val docs = Seq((1L, "ab ab cd")).toDF("id", "text")
     // only 2 possible merges exist ((a,b) then (c,d)); asking for 10 stops at 2

@@ -1042,6 +1042,53 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Text.extractMainContent (block-level boilerplate removal)") {
+    def main(html: String): String = {
+      import spark.implicits._
+      Seq(html).toDF("h")
+        .select(graft.functions.Text.extractMainContent(col("h"))).collect().head.getString(0)
+    }
+    val body = "This paragraph carries the actual article content of the page."
+
+    it("drops all-link nav/ad blocks by link density, short footers by length, keeps the article") {
+      val page = "<html><head><title>t</title></head><body>" +
+        "<nav><a href=\"/a\">navlink one here</a> <a href=\"/b\">navlink two here</a></nav>" +
+        "<div><a href=\"https://ads.example\">ad copy buy now cheap widgets</a></div>" +
+        s"<p>$body</p><div>short footer</div></body></html>"
+      val got = main(page)
+      assert(got == body, s"got [$got]")
+      // ... while stripHtml keeps every one of those block texts
+      import spark.implicits._
+      val strip = Seq(page).toDF("h")
+        .select(graft.functions.Text.stripHtml(col("h"))).collect().head.getString(0)
+      assert(strip.contains("navlink one") && strip.contains("ad copy") &&
+        strip.contains("short footer"))
+    }
+
+    it("tolerates a minority link INSIDE an article block (density <= 1/3)") {
+      val got = main(s"<body><p>$body Related: <a href=\"/x\">see also</a></p></body>")
+      assert(got == s"$body Related: see also", s"got [$got]")
+      // an all-link block of the same length still dies
+      val linky = "<body><p><a href=\"/x\">" + body + "</a></p></body>"
+      assert(main(linky) == "", s"got [${main(linky)}]")
+    }
+
+    it("kills script/style content, decodes entities, joins kept blocks in order with newlines") {
+      val got = main("<body><script>var x = 'not content at all';</script>" +
+        s"<p>first block long enough: $body</p>" +
+        s"<p>second &amp; final block, 5 &lt; 7, also long enough.</p></body>")
+      assert(got == s"first block long enough: $body\n" +
+        "second & final block, 5 < 7, also long enough.", s"got [$got]")
+    }
+
+    it("degrades to empty on pages with no qualifying block, never errors") {
+      assert(main("<body><p>too short</p></body>") == "")
+      assert(main("") == "")
+      assert(main("plain text with no markup at all but quite long indeed") ==
+        "plain text with no markup at all but quite long indeed")
+    }
+  }
+
   describe("Text.stripHtml (crawl markup extraction)") {
     def strip(html: String): String = {
       import spark.implicits._

@@ -38,6 +38,21 @@ class RobotsSpec extends AnyFunSuite with SparkSuite {
       "https://h.example/anything")).map(_._2) == Seq(false))
   }
 
+  test("a versioned User-agent line still selects its group (RFC 9309 product token)") {
+    // group selection matches the value's LEADING product token — before
+    // any '/version' or whitespace comment — case-insensitively; whole-line
+    // equality would silently fall back to the '*' group (compliance drift)
+    val txt = "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: GraftBot/1.2 (+https://h.example/bot)\nDisallow: /beta/\n"
+    assert(verdicts(txt, "graftbot", Seq(
+      "https://h.example/anything", "https://h.example/beta/x")).map(_._2) ==
+      Seq(true, false))
+    // the crawler's own token normalizes the same way against a bare group
+    val bare = "User-agent: graftbot\nDisallow: /b/\n"
+    assert(verdicts(bare, "GraftBot/2.0", Seq(
+      "https://h.example/b/x", "https://h.example/c")).map(_._2) == Seq(false, true))
+  }
+
   test("wildcards and the $ anchor follow RFC matching") {
     val txt = "User-agent: *\nDisallow: /*.pdf$\nDisallow: /dl/*/raw\nDisallow: /tmp$\n"
     val got = verdicts(txt, "anybot", Seq(

@@ -726,6 +726,55 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
           "a.txt" -> "alpha v2", "b.txt" -> "beta", "c.txt" -> "gamma"))
       } finally q.stop()
     }
+
+    it("a pre-POSIX/v7 tar (no ustar magic) ingests like the batch face; garbage stays empty") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("arch_store_v7").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("arch_ckpt_v7").toString
+      val src = MemoryStream[(String, Array[Byte])]
+      val q = StreamOps.streamingArchives(src.toDF().toDF("path", "content"),
+        storePath = store, nBuckets = 2, checkpointDir = ckpt)
+      // hand-built v7 tar: valid checksummed headers, NUL typeflag, and NO
+      // ustar magic at offset 257 — the shape the batch face already accepts
+      def v7Tar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        members.foreach { case (name, data) =>
+          val h = new Array[Byte](512)
+          val nb = name.getBytes("UTF-8")
+          System.arraycopy(nb, 0, h, 0, nb.length)
+          def oct(off: Int, len: Int, v: Long): Unit = {
+            val s = java.lang.Long.toOctalString(v)
+            val p = ("0" * (len - 1 - s.length)) + s
+            System.arraycopy(p.getBytes("US-ASCII"), 0, h, off, len - 1)
+          }
+          oct(100, 8, 420); oct(108, 8, 0); oct(116, 8, 0)
+          oct(124, 12, data.length.toLong); oct(136, 12, 0)
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          var sum = 0L
+          h.foreach(b => sum += b & 0xff)
+          val cs = ("0" * 6 + java.lang.Long.toOctalString(sum)).takeRight(6) + "  "
+          System.arraycopy(cs.getBytes("US-ASCII"), 0, h, 148, 8)
+          out.write(h); out.write(data)
+          out.write(new Array[Byte]((512 - data.length % 512) % 512))
+        }
+        out.write(new Array[Byte](1024))
+        out.toByteArray
+      }
+      try {
+        val tar = v7Tar(Seq(
+          ("old/a.txt", "ancient alpha".getBytes("UTF-8")),
+          ("old/b.txt", "ancient beta".getBytes("UTF-8"))))
+        assert(tar.length > 262 && tar(257) == 0, "fixture must lack the ustar magic")
+        src.addData(("drop.tar", tar)); q.processAllAvailable()
+        def members(): Map[String, String] =
+          StreamOps.membersFromStore(spark, store).collect()
+            .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8"))).toMap
+        assert(members() == Map("old/a.txt" -> "ancient alpha", "old/b.txt" -> "ancient beta"))
+        // an unidentifiable payload attributes nothing (tar checksum rejects)
+        src.addData(("noise.bin", Array.fill[Byte](600)(0x55))); q.processAllAvailable()
+        assert(members().size == 2)
+      } finally q.stop()
+    }
   }
 
   describe("streamingLines ≡ from-scratch lineBoilerplate (store-maintained boilerplate vocabulary)") {
