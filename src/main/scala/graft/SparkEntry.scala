@@ -420,6 +420,34 @@ object SparkEntry {
       idx
     })
 
+  /** Memoized standing TWO-LEVEL IVF index for q219 — the hierarchical
+    * quantizer ([[operators.Similarity.TwoLevelQuantizer]]: k1 super x k2
+    * residual sub-centroids, routing O((k1 + expand*k2)*dim) instead of
+    * O(cells*dim)) under the [[ensureIvfIndex]] store discipline: the
+    * (lvl, cid, cent_v) quantizer frame and the cent_id-partitioned
+    * assignment live in the manifest store, fresh sessions reload.
+    * expand = k1 here (full expansion) so q219's exhaustive probe is
+    * EXACT and DuckDB-gateable; the sublinear-expansion recall tradeoff
+    * is IvfRecallSpec's job. */
+  private val ivf2Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Similarity.IvfIndex2]()
+  private[graft] def ensureIvf2Index(s: SparkSession, dir: String): operators.Similarity.IvfIndex2 =
+    ivf2Indexes.computeIfAbsent(dir, _ => {
+      val root = indexStoreRoot(dir, "embeddings")
+      val (qPath, aPath) = (s"$root/ivf2_quantizer_v2", s"$root/ivf2_assigned_v2")
+      if (!(sources.Sink.indexExists(qPath) && sources.Sink.indexExists(aPath))) {
+        val built = operators.Similarity.buildIvfIndex2(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          k1 = 8, k2 = 8, trainIters = 1, expand = 8)
+        sources.Sink.writeIndex(operators.Similarity.quantizer2Frame(s, built), qPath)
+        sources.Sink.writeIndex(built.assigned, aPath, partitionCols = Seq("cent_id"))
+      }
+      val idx = operators.Similarity.loadIvfIndex2(
+        sources.Sink.readIndex(s, qPath), sources.Sink.readIndex(s, aPath), expand = 8)
+      idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx
+    })
+
   /** Memoized STANDING MinHash-LSH index over `documents` for q65 — same
     * store-backed load-or-build as [[ensureIvfIndex]] (snapshot written
     * once partitioned by `band`, fresh sessions reload): at 100 TB the
@@ -525,6 +553,7 @@ object SparkEntry {
   def prepare(s: SparkSession, dir: String): Unit = {
     ensureBucketedTables(s, dir)
     ensureIvfIndex(s, dir).assigned.count() // force assignment materialization
+    ensureIvf2Index(s, dir).assigned.count() // standing two-level IVF (q219)
     ensureMinhashIndex(s, dir).count()
     ensurePostings(s, dir).count() // standing BM25 postings (q166/q170)
     ensurePqIndex(s, dir).codes.count() // standing PQ code frame (q174)
@@ -1007,6 +1036,21 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       operators.Similarity.ivfProbe(ensureIvfIndex(s, dir),
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, nProbe = 16)
+    }),
+
+    // q219: TWO-LEVEL (hierarchical) IVF probed exhaustively against the
+    // STANDING 8x8-cell index from `prepare` — the production-scale
+    // routing path (the flat quantizer's driver array and per-vector scan
+    // both stop scaling near 10^5 cells; the hierarchy reaches k1*k2 cells
+    // at (k1 + expand*k2) routing cost). Full expansion + full probing
+    // must reproduce exact brute force, so q38's DuckDB top-k oracle
+    // hash-gates the whole hierarchical pipeline — residual training,
+    // composed-centroid routing, store round trip included. Sublinear-
+    // expansion recall is pinned by IvfRecallSpec at 4096 cells.
+    "q219_ann_two_level" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      operators.Similarity.ivfProbe2(ensureIvf2Index(s, dir),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, nProbe = 64)
     }),
 
     // BPE-style pre-tokenization counting (alpha/digit/punct runs)
@@ -3739,8 +3783,23 @@ object SparkEntry {
         val (w, h) = jdims(id)
         (id + 6000000L, multimodal.Media.syntheticProgressiveJpegImage(w, h, id))
       }.toDF("img_id", "blob")
+      // WebP twins of the first 50 BMPs: the SAME pixel closed form
+      // re-encoded through the real VP8L entropy coder (odd ids behind
+      // the subtract-green transform), so the cross-format pair must
+      // share its phash exactly — a third decoder joins the gate
+      val webpTwins = first.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        val argb = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          0xff000000 | (((x + y) % 256) << 16) |
+            ((((y + id) % 256).toInt) << 8) | ((x + id) % 256).toInt
+        }
+        (id + 7000000L, multimodal.Webp.encodeLossless(w, h, argb, subtractGreen = id % 2 == 1))
+      }.toDF("img_id", "blob")
       val hashes = multimodal.Media.perceptualHash(
-        bmps.unionByName(pngTwins).unionByName(jBase).unionByName(jProg), "img_id", "blob")
+        bmps.unionByName(pngTwins).unionByName(jBase).unionByName(jProg)
+          .unionByName(webpTwins), "img_id", "blob")
         .select(col("img_id"), col("phash"))
       def twinsFound(loBase: Long, delta: Long, alias: String) =
         hashes.where(col("img_id") >= loBase && col("img_id") < loBase + 50)
@@ -3751,6 +3810,7 @@ object SparkEntry {
       first.toDF("doc_id").agg(count(lit(1)).as("n_planted"))
         .crossJoin(twinsFound(0L, 4000000L, "n_png_found"))
         .crossJoin(twinsFound(5000000L, 1000000L, "n_prog_found"))
+        .crossJoin(twinsFound(0L, 7000000L, "n_webp_found"))
     }),
 
     // fixed-point character-entropy quality profile: the gibberish /
@@ -4182,6 +4242,27 @@ object SparkEntry {
         .select(col("doc_id")).as[Long]
         .map { id =>
           (id, multimodal.Gif.syntheticGifImage(
+            (8 + id % 16).toInt, (8 + id % 8).toInt, id))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.pixelMeans(blobs, "doc_id", "blob")
+    }),
+
+    // q220: WEBP (VP8L) DECODE — the last top-tier crawl image format:
+    // q206's grayscale closed form ((x + 2y + id) % 256, same geometry)
+    // behind the REAL VP8L entropy coder (RIFF walk, LSB-first bit
+    // reading, canonical prefix codes; odd ids additionally route through
+    // the subtract-green transform), decoded back through the shared
+    // pixelMeans dispatch. The oracle replays the closed form per pixel —
+    // any prefix-code, bit-order, or transform slip lands on wrong means
+    // and fails the hash. LZ77/cache/predictor/color-transform/palette
+    // decode paths are pinned bit-exactly by WebpSpec's hand-rolled
+    // streams; lossy VP8 takes the honest fallback (WebpSpec).
+    "q220_webp_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, multimodal.Webp.syntheticWebpImage(
             (8 + id % 16).toInt, (8 + id % 8).toInt, id))
         }.toDF("doc_id", "blob")
       multimodal.Media.pixelMeans(blobs, "doc_id", "blob")
@@ -4893,6 +4974,18 @@ object SparkEntry {
     // q38: exhaustive probing (nProbe = nCentroids) must reproduce exact
     // brute-force top-k, so the oracle is the same exact top-5 as q25.
     "q38_ann_ivf" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+        |           c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+    // q219: exhaustive probing of the fully-expanded two-level index must
+    // reproduce exact brute-force top-k — q38's oracle, hierarchical edition.
+    "q219_ann_two_level" ->
       """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -6975,12 +7068,14 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_dropped_cells
         |FROM embeddings WHERE vec_id < 64 AND embedding IS NOT NULL""".stripMargin,
     // q192: planted-certainty form — identical decoded pixels hash to an
-    // identical dHash, across formats (BMP/PNG share one closed form) and
-    // encodings (baseline/progressive JPEG decode bit-identically).
+    // identical dHash, across formats (BMP/PNG/WebP share one closed
+    // form) and encodings (baseline/progressive JPEG decode
+    // bit-identically).
     "q192_image_phash_dedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted,
         |       CAST(count(*) AS BIGINT) AS n_png_found,
-        |       CAST(count(*) AS BIGINT) AS n_prog_found
+        |       CAST(count(*) AS BIGINT) AS n_prog_found,
+        |       CAST(count(*) AS BIGINT) AS n_webp_found
         |FROM documents WHERE doc_id IS NOT NULL AND doc_id < 50""".stripMargin,
     // q218: the extractor replay is GENERATED from the shared constants
     // (block pattern, strip chain, thresholds); the gate columns are the
@@ -7176,6 +7271,21 @@ object SparkEntry {
     // q206: grayscale closed form — index (x + 2y + id) % 256 is all three
     // channels, replayed per pixel
     "q206_gif_pixels" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |              FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (SELECT doc_id, w, h, (x + 2 * y + doc_id) % 256 AS v
+        |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+        |agg AS (SELECT doc_id, w, h, sum(v) AS sv FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_r,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_g,
+        |       CAST(sv // (w * h) AS BIGINT) AS mean_b
+        |FROM agg""".stripMargin,
+    // q220: q206's closed form and geometry, VP8L edition — the oracle is
+    // the identical per-pixel replay (the codec must be the identity on
+    // the pixels).
+    "q220_webp_pixels" ->
       """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
         |              FROM documents WHERE doc_id IS NOT NULL),
         |px AS (SELECT doc_id, w, h, (x + 2 * y + doc_id) % 256 AS v

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "scale")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -72,6 +72,7 @@ object Stress {
     if (mode == "lm") { lmStudy(spark, sfDir); spark.stop(); return }
     if (mode == "crawl") { crawlStudy(spark, sfDir); spark.stop(); return }
     if (mode == "bpe") { bpeStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "scale") { scaleStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -913,6 +914,41 @@ object Stress {
       pairSet(Similarity.rerankExact(c, queries, emb, "vec_id", "embedding", 10))
     }
     println(s"[stress] residual IVFADC nProbe=8 + rerank50 recall@10: ${recall(resRr)}")
+
+    // ROUTING-COST contrast at production cell counts: a flat 4096-cell
+    // quantizer routes every vector through 4096 centroid cosines and
+    // ships a 4096 x dim closure; the two-level 64 x 64 grid reaches the
+    // same cell count through (64 + expand*64) composed scores. Both
+    // assignments are forced end to end (count) — the wall-clock ratio is
+    // the sublinearity the hierarchy buys (expect two-level SEVERAL times
+    // faster; exact ratio is geometry-dependent).
+    // enough vector mass that per-vector routing flops dominate fixed task
+    // costs — the regime the contrast is ABOUT (at 22k vectors both sides
+    // measured ~1 s of setup noise)
+    val reps = math.max(1, (4096 * 25 / n + 1).toInt)
+    val big = (0 until reps)
+      .map(i => emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val bigN = big.count()
+    // train OUTSIDE the timer (seed collection and the residual pass are
+    // one-time build costs); the timed section is the ROUTING pass alone —
+    // one corpus scan + per-vector cell argmax, the recurring cost every
+    // (re-)assignment and every query batch pays
+    val flatIdx = Similarity.buildIvfIndex(big, "vec_id", "embedding",
+      nCentroids = 4096, trainIters = 0)
+    val twoIdx = Similarity.buildIvfIndex2(big, "vec_id", "embedding",
+      k1 = 64, k2 = 64, trainIters = 0, expand = 4)
+    val tFlat0 = System.nanoTime()
+    flatIdx.assigned.count()
+    val tFlat = (System.nanoTime() - tFlat0) / 1e9
+    val tTwo0 = System.nanoTime()
+    twoIdx.assigned.count()
+    val tTwo = (System.nanoTime() - tTwo0) / 1e9
+    println(f"[stress] 4096-cell ROUTING pass over $bigN vectors: " +
+      f"flat $tFlat%.1f s vs two-level $tTwo%.1f s (${tFlat / tTwo}%.1fx; " +
+      f"per-vector ops 4096*dim vs (64+64)*dim + ${4 * 64} O(1) combines — expect multiple-x)")
+    big.unpersist()
     emb.unpersist(); ()
   }
 
@@ -1046,6 +1082,57 @@ object Stress {
     * the counts inside (exactly x10, by additivity — an integer claim,
     * checked row-for-row). Scoring stays corpus-linear and the zz-OOV
     * garbage gate stays certain at scale. */
+  /** SCALING-EXPONENT study for the heavy composed pipelines (q204
+    * release, q186 fuzzy join, q189 all-pairs cosine, q191 kNN graph):
+    * run each against a 1x and a 10x corpus written to disk, record wall
+    * seconds, output rows, and the measured exponent
+    * log10(t10/t1) — ~1.0 = linear. Replication semantics, stated
+    * honestly: a 10x REPLICA multiplies duplicate mass, so pair-emitting
+    * operators legitimately grow their OUTPUT superlinearly (10 copies of
+    * a doc are 45 extra true pairs) — the study prints output rows so a
+    * super-linear time with matching output growth reads as output cost,
+    * not plan failure. q186's replicas get replica-tagged names (block
+    * sizes stay realistic; untagged replicas would x100 every block). */
+  private def scaleStudy(spark: SparkSession, sfDir: String): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    def writeScale(nReps: Int): String = {
+      val dir = s"$root/x$nReps"
+      def rep(table: String, idCol: String, tag: Option[String]): Unit = {
+        val t = SparkEntry.tbl(spark, sfDir, table)
+        (0 until nReps).map { i =>
+          val shifted = t.withColumn(idCol, col(idCol) + lit(i * 100000000L))
+          tag match {
+            case Some(c) => shifted.withColumn(c, concat(lit(s"r$i"), col(c)))
+            case None => shifted
+          }
+        }.reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      }
+      rep("documents", "doc_id", None)
+      rep("part", "p_partkey", Some("p_name"))
+      rep("embeddings", "vec_id", None)
+      dir
+    }
+    val dir1 = writeScale(1)
+    val dir10 = writeScale(10)
+    val queries = Seq("q204_release_pipeline", "q186_fuzzy_join",
+      "q189_allpairs_cosine", "q191_knn_graph")
+    for (q <- queries) {
+      def run(dir: String): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(q)(spark, dir).count()
+        finally SparkEntry.drainCleanups()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (t1, n1) = run(dir1)
+      val (t10, n10) = run(dir10)
+      val exp = math.log10(t10 / t1)
+      println(f"[stress] $q: 1x $t1%.1f s / $n1 rows; 10x $t10%.1f s / $n10 rows; " +
+        f"exponent ${exp}%.2f (output grew ${n10.toDouble / math.max(n1, 1)}%.1fx — " +
+        "super-linear time with matching output growth is pair mass, not plan failure)")
+    }
+  }
+
   /** BPE batched-induction study: learn 256 merges over the sf corpus with
     * the strict-dominance batch (exact, see learnMergesBatched) and measure
     * the distributed round count — the whole point of batching is
@@ -1053,35 +1140,66 @@ object Stress {
     * vocabulary prefix as a sanity cross-check at scale. */
   private def bpeStudy(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.Bpe
-    val docs = SparkEntry.tbl(spark, sfDir, "documents")
-      .where(col("doc_id").isNotNull && col("text").isNotNull)
-      .select(col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val n = timed("corpus load")(docs.count())
-    println(s"[stress] corpus rows: $n")
-    val nMerges = 256
-    // sequential reference computed ONCE driver-locally (study tool only —
-    // the vocabulary fits a driver; the OPERATOR never collects it)
     import spark.implicits._
-    val vocab = docs
-      .select(explode(graft.functions.Text.edgeStrippedTokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap
-    val (ref, _) = timedValue(s"driver-local sequential reference (${vocab.size} distinct words)") {
-      Bpe.learnMergesLocal(vocab, nMerges)
-    }
-    for (m <- Seq(32, 64)) {
-      val ((merges, rounds), secs) = timedValue(s"learn $nMerges merges at batchSize=$m") {
-        Bpe.learnMergesBatchedWithRounds(docs, "text", nMerges, m)
+    val nMerges = 256
+    val base = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val natural = base.select(col("text"))
+    // Three corpus shapes, because the EXACT batch's rate is a function of
+    // pair-count diversity, not of the operator: (a) the sf documents draw
+    // from a ~31-word template vocabulary — counts tie constantly and
+    // batches collapse to ~1; (b) a wide vocabulary of ~50k distinct
+    // hash-derived base-36 words at weight ~1 each — diverse counts early
+    // (rate >2), tie-dense unit counts late; (c) the same wide vocabulary
+    // with 1..13-fold document replication — the Zipf-weighted shape of a
+    // real corpus, where weighted sums keep the tail diverse. At real
+    // corpus mass (counts in the millions at merge 32k) exact ties are
+    // rare and the rate approaches the batch size.
+    val wide = base.select(col("doc_id"), concat_ws(" ",
+      transform(sequence(lit(1), lit(10)),
+        i => conv(pmod(xxhash64(col("text"), i),
+          lit(2821109907456L)).cast("string"), 10, 36))).as("text"))
+    val zipf = wide.select(col("text"),
+        explode(sequence(lit(1), (pmod(col("doc_id"), lit(13L)) + 1).cast("int"))).as("__r"))
+      .select(col("text"))
+    for ((label, corpus) <- Seq(
+        ("natural", natural), ("wide-vocab", wide.select(col("text"))),
+        ("wide-zipf", zipf))) {
+      val docs = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val n = timed(s"[$label] corpus build")(docs.count())
+      // sequential reference computed ONCE driver-locally (study tool only —
+      // the vocabulary fits a driver; the OPERATOR never collects it)
+      val vocab = docs
+        .select(explode(graft.functions.Text.edgeStrippedTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val (ref, _) = timedValue(
+        s"[$label] driver-local sequential reference (${vocab.size} distinct words, $n rows)") {
+        Bpe.learnMergesLocal(vocab, nMerges)
       }
-      println(f"[stress] batchSize=$m%3d: ${merges.size} merges in $rounds rounds " +
-        f"(${merges.size.toDouble / rounds}%.1f merges/round), $secs%.1f s " +
-        s"(expect rounds << $nMerges; collapse happens only on tie/overlap-heavy rankings)")
-      require(merges == ref,
-        s"batched(m=$m) diverged from the sequential reference at scale")
-      println(s"[stress] batchSize=$m: sequence == sequential reference (expect true)")
+      for (m <- Seq(32, 64)) {
+        val ((merges, sizes), secs) = timedValue(s"[$label] learn $nMerges merges at batchSize=$m") {
+          Bpe.learnMergesBatchedWithRounds(docs, "text", nMerges, m)
+        }
+        val rounds = sizes.length
+        // the batch rate GROWS as merges diversify the symbol inventory
+        // (early rounds over a raw character alphabet are overlap-heavy):
+        // report the per-quartile rate so the trend is the recorded fact
+        val quartiles = if (rounds >= 4) {
+          val qs = sizes.grouped(math.max(1, rounds / 4)).take(4).toSeq
+          qs.map(q => f"${q.sum.toDouble / q.length}%.1f").mkString("/")
+        } else sizes.mkString(",")
+        println(f"[stress] [$label] batchSize=$m%3d: ${merges.size} merges in $rounds rounds " +
+          f"(${merges.size.toDouble / rounds}%.1f merges/round; per-quartile $quartiles), " +
+          f"$secs%.1f s (rate tracks pair-count DIVERSITY: ties and symbol overlaps " +
+          "in the top ranking collapse the exact batch toward 1)")
+        require(merges == ref,
+          s"batched(m=$m) diverged from the sequential reference at scale")
+        println(s"[stress] [$label] batchSize=$m: sequence == sequential reference (expect true)")
+      }
+      docs.unpersist(): Unit
     }
-    docs.unpersist(): Unit
   }
 
   private def timedValue[T](label: String)(f: => T): (T, Double) = {

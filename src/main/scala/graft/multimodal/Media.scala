@@ -48,10 +48,27 @@ object Media {
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
+    else if (Webp.isWebp(bytes)) "webp"
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "riff"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else if (Gif.isGif(bytes)) "gif"
     else "unknown"
+
+  private[graft] def webpChannelMeans(img: Webp.WebpImage): (Long, Long, Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val (r, g, b) = img.pixel(x, y)
+        sr += r; sg += g; sb += b
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.width.toLong * img.height
+    (img.width.toLong, img.height.toLong, sr / n, sg / n, sb / n)
+  }
 
   /** A fully-parsed uncompressed 24bpp BMP: pixel access in IMAGE
     * coordinates (origin top-left) regardless of the file's row order. */
@@ -522,10 +539,10 @@ object Media {
       .toDF(idCol, "frame_idx", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
-  /** STUB dimension fallback ??? — deterministic fake dims derived from
-    * blob length, reached ONLY for containers [[decodeDims]] cannot
-    * header-parse (wav/riff/unknown — i.e. non-image blobs; PNG, JPEG and
-    * BMP all real-parse). A real plugin would hand `bytes` to its codec. */
+  /** Deterministic placeholder dims derived from blob length, reached
+    * ONLY for containers [[decodeDims]] cannot header-parse (wav/generic
+    * riff/unknown — i.e. non-image blobs; PNG, JPEG, BMP, GIF and WebP
+    * all real-parse). A real plugin would hand `bytes` to its codec. */
   private[multimodal] def fakeDecode(bytes: Array[Byte]): (Long, Long) =
     (bytes.length.toLong % 64, bytes.length.toLong % 48)
 
@@ -584,6 +601,7 @@ object Media {
         None
       case "bmp" => parseBmp(bytes).map(img => (img.width.toLong, img.height.toLong))
       case "gif" => Gif.dims(bytes)
+      case "webp" => Webp.dims(bytes)
       case _ => None
     }
 
@@ -1070,6 +1088,7 @@ object Media {
             .orElse(parsePng(bytes).map(pngChannelMeans))
             .orElse(Jpeg.decode(bytes).map(jpegChannelMeans))
             .orElse(Gif.decode(bytes).map(gifChannelMeans))
+            .orElse(Webp.decode(bytes).map(webpChannelMeans))
             .map { case (w, h, mr, mg, mb) => (id, w, h, mr, mg, mb) }
         }
       }
@@ -1170,6 +1189,7 @@ object Media {
             parseBmp(bytes).map(b => (b.width, b.height, b.pixel _))
               .orElse(parsePng(bytes).map(p => (p.width, p.height, p.pixel _)))
               .orElse(Jpeg.decode(bytes).map(j => (j.width, j.height, j.pixel _)))
+              .orElse(Webp.decode(bytes).map(i => (i.width, i.height, i.pixel _)))
           dec.filter { case (w, h, _) => w >= 3 && h >= 3 }.map { case (w, h, px) =>
             def luma(x: Int, y: Int): Int = {
               val (r, g, b) = px(x, y)
@@ -1227,6 +1247,7 @@ object Media {
               .orElse(parsePng(bytes).map(p => ("png", p.width, p.height, p.pixel _)))
               .orElse(Jpeg.decode(bytes).map(j => ("jpeg", j.width, j.height, j.pixel _)))
               .orElse(Gif.decode(bytes).map(g => ("gif", g.width, g.height, g.pixel _)))
+              .orElse(Webp.decode(bytes).map(i => ("webp", i.width, i.height, i.pixel _)))
           dec.map { case (kind, w, h, px) =>
             def luma(x: Int, y: Int): Int = {
               val (r, g, b) = px(x, y)

@@ -181,11 +181,15 @@ object Bpe {
       batchSize: Int): Seq[(String, String)] =
     learnMergesBatchedWithRounds(docs, textCol, nMerges, batchSize)._1
 
-  /** [[learnMergesBatched]] plus the number of distributed rounds it took —
-    * the `Stress bpe` study's measurement (merges/rounds = effective batch
-    * rate; the whole point of batching is rounds << merges). */
+  /** [[learnMergesBatched]] plus per-round accepted-batch sizes (rounds =
+    * `_2.length`) — the `Stress bpe` study's measurement: merges/rounds is
+    * the effective batch rate, and its GROWTH across rounds is the real
+    * signal (early rounds over a small symbol alphabet are overlap-heavy
+    * and collapse toward 1; the rate climbs as merges diversify the
+    * inventory — a 32k-merge run spends almost all its rounds in the
+    * diversified regime). */
   private[graft] def learnMergesBatchedWithRounds(docs: DataFrame, textCol: String,
-      nMerges: Int, batchSize: Int): (Seq[(String, String)], Int) = {
+      nMerges: Int, batchSize: Int): (Seq[(String, String)], Seq[Int]) = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -197,6 +201,7 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     state.count(): Unit
     val merges = Seq.newBuilder[(String, String)]
+    val roundSizes = Seq.newBuilder[Int]
     var total = 0
     var round = 0
     var exhausted = false
@@ -233,6 +238,7 @@ object Bpe {
           }
         val batch = safe.take(nMerges - total).map(p => (p._1, p._2))
         merges ++= batch
+        roundSizes += batch.size
         total += batch.size
         val prev = state
         val mapped = state.map { case (syms, n) =>
@@ -250,7 +256,7 @@ object Bpe {
       round += 1
     }
     state.unpersist(): Unit
-    (merges.result(), round)
+    (merges.result(), roundSizes.result())
   }
 
   /**

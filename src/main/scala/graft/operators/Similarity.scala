@@ -491,6 +491,254 @@ object Similarity {
   }
 
   /**
+   * TWO-LEVEL coarse quantizer — the production-scale IVF routing path.
+   * A FLAT quantizer stops scaling around 10⁴–10⁵ cells: every routed
+   * vector pays O(nCells·dim) and every task closure carries the whole
+   * nCells·dim centroid array. This factors the cell grid as
+   * k1 super-centroids × k2 RESIDUAL sub-centroids (the inverted
+   * multi-index decomposition, Babenko & Lempitsky 2012): cell (c1, c2)'s
+   * effective centroid is `super(c1) + sub(c2)`, routing scores the k1
+   * supers, expands the `expand` nearest, and ranks the expand·k2
+   * candidate cells by cosine against the COMPOSED centroid —
+   * O((k1 + expand·k2)·dim) per vector and (k1 + k2)·dim closure state,
+   * both ~2·√nCells at k1 = k2. 10⁶ cells route through ~2,000 centroid
+   * comparisons and < 1 MB of closure instead of 10⁶ and ~0.5 GB.
+   *
+   * Determinism: supers rank by (cos desc, index asc), cells by
+   * (composed-cos desc, cell asc) — identical vectors always land in the
+   * same cell, near-identical vectors in near-identical probe sets (what
+   * IVF recall actually rests on). `expand = k1` considers every cell, so
+   * probing all k1·k2 cells degenerates to exact brute force — the recall
+   * gate IvfRecallSpec pins (≥4096 cells), with the routing-cost contrast
+   * measured in `Stress ann`.
+   */
+  final class TwoLevelQuantizer private[operators] (
+      private[operators] val supers: Array[Array[Double]],
+      private[operators] val subs: Array[Array[Double]],
+      val expand: Int) extends Serializable {
+    require(supers.nonEmpty && subs.nonEmpty, "both quantizer levels need centroids")
+    require(expand >= 1 && expand <= supers.length,
+      s"expand must be in [1, ${supers.length}], got $expand")
+    def k1: Int = supers.length
+    def k2: Int = subs.length
+    def nCells: Long = k1.toLong * k2
+    /** The composed centroid of one cell — `super + sub`, the vector the
+      * routing cosine scores against (and residual encoders subtract). */
+    def cellCentroid(cell: Long): Array[Double] = {
+      val s = supers((cell / k2).toInt)
+      val r = subs((cell % k2).toInt)
+      Array.tabulate(math.max(s.length, r.length)) { i =>
+        (if (i < s.length) s(i) else 0.0) + (if (i < r.length) r(i) else 0.0)
+      }
+    }
+    // DECOMPOSED scoring state — the computational heart of the
+    // multi-index: cos(v, s+r) needs only v·s, v·r (one dot-product sweep
+    // per LEVEL, not per cell) and the precomputed ||s||², ||r||², s·r
+    // grid, so a candidate cell scores in O(1) after (k1 + k2)·dim setup.
+    // The s·r grid is k1·k2 DOUBLES (8 MB at 10⁶ cells — vs 0.5 GB of
+    // materialized cell centroids); @transient lazy so each executor JVM
+    // derives it once from the shipped (k1 + k2)·dim level arrays.
+    @transient private lazy val ss2: Array[Double] = supers.map(s => dot(s, s))
+    @transient private lazy val rr2: Array[Double] = subs.map(r => dot(r, r))
+    @transient private lazy val sr: Array[Array[Double]] =
+      supers.map(s => subs.map(r => dot(s, r)))
+    private def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    /** The `n` nearest cells of `v` by (composed cosine desc, cell asc),
+      * searched inside the `expand` nearest super-cells. Scoring is the
+      * cosLocal(v, super + sub) quantity computed through the
+      * decomposition — same math, floating-point REGROUPED, so near-tie
+      * cell choices may differ from a materialized-centroid evaluation;
+      * what matters is that THIS rule is a pure deterministic function
+      * (assignment and probe always agree). Dot products against `v`
+      * truncate at v's width, mirroring cosLocal's min-length rule. */
+    def routeN(v: Array[Double], n: Int): Array[Long] = {
+      val vnorm = math.sqrt(dot(v, v))
+      val vs = supers.map(s => dot(v, s))
+      val vr = subs.map(r => dot(v, r))
+      val supTop = supers.indices
+        .map { i =>
+          val d = vnorm * math.sqrt(ss2(i))
+          (if (d == 0.0) 0.0 else vs(i) / d, i)
+        }
+        .sortBy { case (cs, i) => (-cs, i) }
+        .take(expand)
+      def cellCos(si: Int, j: Int): Double = {
+        val b2 = ss2(si) + 2.0 * sr(si)(j) + rr2(j)
+        val d = vnorm * math.sqrt(math.max(b2, 0.0))
+        if (d == 0.0) 0.0 else (vs(si) + vr(j)) / d
+      }
+      if (n == 1) {
+        // assignment hot path: direct argmax, no candidate materialization
+        var bestCell = Long.MaxValue
+        var bestCos = Double.NegativeInfinity
+        supTop.foreach { case (_, si) =>
+          var j = 0
+          while (j < k2) {
+            val cell = si.toLong * k2 + j
+            val cs = cellCos(si, j)
+            if (cs > bestCos || (cs == bestCos && cell < bestCell)) {
+              bestCos = cs; bestCell = cell
+            }
+            j += 1
+          }
+        }
+        Array(bestCell)
+      } else {
+        val cand = new Array[(Double, Long)](supTop.length * k2)
+        var idx = 0
+        supTop.foreach { case (_, si) =>
+          var j = 0
+          while (j < k2) {
+            cand(idx) = (cellCos(si, j), si.toLong * k2 + j)
+            idx += 1; j += 1
+          }
+        }
+        cand.sortBy { case (cs, cell) => (-cs, cell) }.take(n).map(_._2)
+      }
+    }
+    def route(v: Array[Double]): Long = routeN(v, 1).head
+  }
+
+  /** A standing two-level IVF index: the [[TwoLevelQuantizer]] plus the
+    * corpus assignment frame `(neighbor_id, cent_id, cv)` — the
+    * [[IvfIndex]] layout with the hierarchical quantizer in place of the
+    * flat centroid array (cent_id = c1·k2 + c2). */
+  final class IvfIndex2 private[operators] (
+      val quantizer: TwoLevelQuantizer,
+      val assigned: DataFrame) extends Serializable
+
+  /** Build a [[TwoLevelQuantizer]] + assignment: train k1 super-centroids
+    * on the corpus, k2 sub-centroids on the RESIDUALS `v − super(v)` (one
+    * extra narrow pass), then assign each vector to its routed cell — the
+    * [[buildIvfIndex]] shape with hierarchical routing. Source width is
+    * preserved exactly as in [[buildIvfIndex]] (float corpus → float `cv`). */
+  def buildIvfIndex2(corpus: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int, trainIters: Int = 1, expand: Int = 4): IvfIndex2 = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val supers = trainCentroids(corpus, idCol, vecCol, k1, trainIters)
+    // residuals against the assignment rule's nearest super (ties → lowest
+    // index, trainCentroids' own rule) — one narrow closure-captured pass
+    val residuals = corpus
+      .select(col(idCol).cast("long").as("__rid"), col(vecCol).cast("array<double>").as("__v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.collect { case (id, v) if v != null =>
+        val s = supers(nearestIdx(supers, v))
+        (id, Array.tabulate(v.length)(i => v(i) - (if (i < s.length) s(i) else 0.0)))
+      })
+      .toDF("__rid", "__rv")
+    val subs = trainCentroids(residuals, "__rid", "__rv", k2, trainIters)
+    val q = new TwoLevelQuantizer(supers, subs, expand)
+
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val sourceIsFloat = corpus.select(col(vecCol)).schema.head.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val assigned =
+      if (sourceIsFloat)
+        corpus.select(col(idCol).cast("long"), col(vecCol))
+          .as[(Long, Array[Float])]
+          .mapPartitions(_.collect { case (id, v) if v != null =>
+            (id, q.route(v.map(_.toDouble)), v)
+          })
+          .toDF("neighbor_id", "cent_id", "cv")
+      else
+        corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .as[(Long, Array[Double])]
+          .mapPartitions(_.collect { case (id, v) if v != null =>
+            (id, q.route(v), v)
+          })
+          .toDF("neighbor_id", "cent_id", "cv")
+    new IvfIndex2(q, assigned)
+  }
+
+  /** The two-level quantizer as ONE persistable frame `(lvl, cid, cent_v)`
+    * (lvl 1 = supers, 2 = residual subs) — [[centroidsFrame]]'s sibling for
+    * the store round trip. (k1 + k2) rows, array<double> exact through
+    * parquet. */
+  def quantizer2Frame(spark: SparkSession, index: IvfIndex2): DataFrame = {
+    import spark.implicits._
+    val q = index.quantizer
+    spark.createDataset(
+      q.supers.toSeq.zipWithIndex.map { case (v, i) => (1, i.toLong, v) } ++
+        q.subs.toSeq.zipWithIndex.map { case (v, i) => (2, i.toLong, v) })
+      .toDF("lvl", "cid", "cent_v")
+  }
+
+  /** Reconstruct a standing [[IvfIndex2]] from its persisted frames — the
+    * hierarchical replacement for [[loadIvfIndex]]'s flat 65,536-centroid
+    * guard: each LEVEL is bounded at 65,536 rows (driver state stays
+    * (k1 + k2)·dim) while the CELL count reaches k1·k2 — beyond 10⁹. */
+  def loadIvfIndex2(quantizer: DataFrame, assigned: DataFrame,
+      expand: Int = 4, maxPerLevel: Int = 65536): IvfIndex2 = {
+    val spark = quantizer.sparkSession
+    import spark.implicits._
+    val rows = quantizer
+      .select(col("lvl").cast("int"), col("cid").cast("long"), col("cent_v").cast("array<double>"))
+      .as[(Int, Long, Array[Double])].collect()
+    def level(l: Int): Array[Array[Double]] = {
+      val vs = rows.filter(_._1 == l).sortBy(_._2).map(_._3)
+      require(vs.nonEmpty && vs.length <= maxPerLevel,
+        s"quantizer level $l carries ${vs.length} centroids; expected (0, $maxPerLevel] — wrong frame?")
+      vs
+    }
+    new IvfIndex2(new TwoLevelQuantizer(level(1), level(2), expand), assigned)
+  }
+
+  /**
+   * Probe a standing [[IvfIndex2]] — [[ivfProbe]] for the hierarchical
+   * quantizer. Routing is a NARROW closure-captured pass over the query
+   * frame (the [[knnGraph]] shape — queries are never collected or
+   * broadcast), candidates come from one `cent_id` equi-join, exact cosine
+   * ranks through the bounded-heap combiner. `nProbe = nCells` with
+   * `expand = k1` reproduces exact brute force.
+   */
+  def ivfProbe2(index: IvfIndex2, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val q = index.quantizer
+    val routes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        if (v == null) Iterator.empty
+        else q.routeN(v, nProbe).iterator.map(c => (id, c, v))
+      })
+      .toDF("query_id", "cent_id", "qv")
+    val scored = routes
+      .join(index.assigned.select(col("cent_id"), col("neighbor_id"), col("cv")), Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        struct(cosine(col("qv"), col("cv").cast("array<double>")).as("cos"),
+          col("neighbor_id").as("nid")).as("scored"))
+      .as[(Long, (Double, Long))]
+    rankTopK(scored, k)
+  }
+
+  /** Nearest centroid by (cosine desc, index asc) over a bare centroid
+    * array — [[trainCentroids]]' assignment rule, shared by the residual
+    * pass so the sub-quantizer trains against exactly the assignments the
+    * supers would make. */
+  private def nearestIdx(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val cs = cosLocal(v, cents(ci))
+      if (cs > bestCos) { bestCos = cs; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /**
    * Build the IVF coarse quantizer + inverted-list assignment (the index-build
    * half of [[ivfTopK]]). The quantizer is `nCentroids` deterministic seed
    * vectors (lowest ids), optionally refined by `trainIters` k-means rounds

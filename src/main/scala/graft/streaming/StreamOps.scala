@@ -895,6 +895,29 @@ object StreamOps {
    * and [[bandsFromStore]]/doc reads exclude it — streamingNearDups
    * ignores deleted docs end to end.
    */
+  /**
+   * GENERIC TAKEDOWN for the id-keyed standing-store family — postings,
+   * chunks, line hashes, LM counts, perceptual hashes, archive members,
+   * crawl captures, ANN codes: every store in the family keys rows by ONE
+   * id column and DERIVES its corpus artifact (df counts, boilerplate
+   * vocabulary, LM models, signature frames, code frames, link graphs)
+   * from the live rows, so a single tombstone removes the id from every
+   * derived view with zero decrement bookkeeping. Tombstones survive
+   * compaction and replayed batches ([[graft.sources.Sink.deleteKeys]]);
+   * `version` must exceed every batch version that has touched the ids
+   * (`Long.MaxValue` = irrevocable takedown); a later re-ingest with a
+   * HIGHER version resurrects the id. The near-dup family keeps its own
+   * [[deleteDocsFromNearDupStore]] — three coupled stores, one of them
+   * keyed by pair. Gated per family by StreamOpsSpec: delete → derived
+   * read ≡ from-scratch over the corpus without the doc.
+   */
+  def deleteIdsFromStore(storePath: String, ids: DataFrame, idCol: String,
+      version: Long, nBuckets: Int): Unit =
+    graft.sources.Sink.deleteKeys(storePath,
+      ids.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+        .withColumn("version", lit(version)),
+      idCol, "version", nBuckets)
+
   def deleteDocsFromNearDupStore(spark: org.apache.spark.sql.SparkSession,
       storeRoot: String, ids: DataFrame, idCol: String, version: Long,
       nBuckets: Int): Unit = {

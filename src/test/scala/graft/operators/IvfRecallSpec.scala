@@ -129,6 +129,72 @@ class IvfRecallSpec extends AnyFunSpec with SparkSuite {
       assert(pairSet(res.edges) === exactCold)
     }
 
+    it("two-level quantizer at 4096 cells: exhaustive probing reproduces exact brute force") {
+      // 64 super x 64 residual sub-centroids = 4096 cells on a 500-vector
+      // corpus — the geometry the flat quantizer's 65,536 driver-array
+      // guard exists to prevent. Full expansion + full probing must
+      // degenerate to brute force (the q38 law, hierarchical edition).
+      val idx = Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
+        k1 = 64, k2 = 64, trainIters = 1, expand = 64)
+      val got = pairSet(Similarity.ivfProbe2(idx, queries, "vec_id", "embedding",
+        K, nProbe = 64 * 64))
+      assert(got === exactTopK)
+    }
+
+    it("two-level at realistic occupancy (64 cells, expand=4): recall pinned and monotone") {
+      // 8 super x 8 sub = 64 cells over 500 vectors (~8/cell — the
+      // n/cellWidth sizing centroidBlockedPairs documents). Routing costs
+      // (8 + 4*8) = 40 composed scores per vector. Measured recall@10 =
+      // 0.31 / 0.51 / 0.70 at nProbe 4 / 8 / 16; asserted under with margin.
+      val idx = Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
+        k1 = 8, k2 = 8, trainIters = 1, expand = 4)
+      def recall2(nProbe: Int): Double = {
+        val got = pairSet(Similarity.ivfProbe2(idx, queries, "vec_id", "embedding", K, nProbe))
+        got.intersect(exactTopK).size.toDouble / exactTopK.size
+      }
+      val r4 = recall2(4); val r8 = recall2(8); val r16 = recall2(16)
+      info(s"two-level 64-cell recall@$K at nProbe 4/8/16 = $r4 / $r8 / $r16")
+      assert(r8 >= 0.4, s"recall@$K at nProbe=8 was $r8")
+      assert(r16 >= 0.6, s"recall@$K at nProbe=16 was $r16")
+      assert(r4 <= r8 && r8 <= r16, s"recall not monotone: $r4, $r8, $r16")
+    }
+
+    it("two-level at sparse occupancy (4096 cells, expand=8): recall climbs with probe width") {
+      // the 4096-cell grid over 500 vectors is mostly EMPTY cells — probes
+      // land on empties, so absolute recall per probed cell is low by
+      // geometry, not by routing. Measured recall@10 = 0.61 / 0.71 / 0.75
+      // at nProbe 128 / 256 / 512 (routing cost 64 + 8*64 = 576 composed
+      // scores, 7x under the flat 4096); asserted under with margin.
+      val idx = Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
+        k1 = 64, k2 = 64, trainIters = 1, expand = 8)
+      def recall2(nProbe: Int): Double = {
+        val got = pairSet(Similarity.ivfProbe2(idx, queries, "vec_id", "embedding", K, nProbe))
+        got.intersect(exactTopK).size.toDouble / exactTopK.size
+      }
+      val r128 = recall2(128); val r256 = recall2(256); val r512 = recall2(512)
+      info(s"two-level 4096-cell recall@$K at nProbe 128/256/512 = $r128 / $r256 / $r512")
+      assert(r128 >= 0.5, s"recall@$K at nProbe=128 was $r128")
+      assert(r512 >= 0.65, s"recall@$K at nProbe=512 was $r512")
+      assert(r128 <= r256 && r256 <= r512, s"recall not monotone: $r128, $r256, $r512")
+    }
+
+    it("two-level store round trip: loadIvfIndex2(quantizer2Frame) probes identically") {
+      val idx = Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
+        k1 = 16, k2 = 16, trainIters = 1, expand = 4)
+      val dir = java.nio.file.Files.createTempDirectory("q2frame").toString
+      Similarity.quantizer2Frame(spark, idx).write.mode("overwrite").parquet(dir)
+      val reloaded = Similarity.loadIvfIndex2(
+        spark.read.parquet(dir), idx.assigned, expand = 4)
+      val a = pairSet(Similarity.ivfProbe2(idx, queries, "vec_id", "embedding", K, nProbe = 8))
+      val b = pairSet(Similarity.ivfProbe2(reloaded, queries, "vec_id", "embedding", K, nProbe = 8))
+      assert(a === b)
+      // the flat 65,536 guard is REPLACED by per-level bounds: a mis-sized
+      // level fails loudly
+      assertThrows[IllegalArgumentException](
+        Similarity.loadIvfIndex2(spark.read.parquet(dir), idx.assigned,
+          expand = 4, maxPerLevel = 8))
+    }
+
     it("metric sensitivity: a broken ranking scores far below the pinned bound") {
       // Worst-possible impostor: top-k of the NEGATED queries is the true
       // bottom-k by cosine. If the recall metric could not tell this apart

@@ -1252,4 +1252,223 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
   }
+
+  describe("takedown: deleteIdsFromStore removes a doc from EVERY derived standing artifact") {
+    // Per store family: ingest -> delete one id -> the derived read equals
+    // the from-scratch computation over the corpus WITHOUT the doc. The
+    // derived artifacts (df counts, vocabularies, LM models, signatures,
+    // code frames, link graphs) must all forget the doc through the one
+    // tombstone — no decrement bookkeeping anywhere.
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta gamma beta delta"),
+      (3L, "gamma delta epsilon alpha"))
+    def liveDf = Seq(docs(0), docs(2)).toDF("doc_id", "text") // corpus minus doc 2
+
+    it("postings store: df and tf forget the doc; a higher-version re-ingest resurrects") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("td_post").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_post_ck").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingPostings(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      def got(): Set[(Long, String, Long)] =
+        StreamOps.postingsFromStore(spark, store, "doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      def scratch(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+        graft.operators.Retrieval.buildPostings(df, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      try {
+        src.addData(docs.take(2): _*); q.processAllAvailable()
+        src.addData(docs(2)); q.processAllAvailable()
+        StreamOps.deleteIdsFromStore(store, Seq(2L).toDF("doc_id"), "doc_id",
+          version = 100L, nBuckets = 4)
+        assert(got() === scratch(liveDf))
+        // a HIGHER-version re-ingest resurrects the doc (the takedown was
+        // versioned, not irrevocable)
+        import org.apache.spark.sql.functions.{collect_list, lit, sort_array, struct}
+        graft.sources.Sink.upsertBuckets(store,
+          graft.operators.Retrieval.buildPostings(Seq(docs(1)).toDF("doc_id", "text"), "doc_id", "text")
+            .groupBy($"doc_id")
+            .agg(sort_array(collect_list(struct($"term", $"tf"))).as("postings"))
+            .withColumn("version", lit(101L)),
+          "doc_id", "version", nBuckets = 4)
+        assert(got() === scratch(docs.toDF("doc_id", "text")))
+      } finally q.stop()
+    }
+
+    it("chunk store: the doc's chunks leave the dup profile") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("td_chunk").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_chunk_ck").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingChunks(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", modulus = 4, store, nBuckets = 4, checkpointDir = ckpt)
+      def flat(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+        df.select($"doc_id", $"chunk_idx", $"chunk_hash")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      try {
+        src.addData(docs: _*); q.processAllAvailable()
+        StreamOps.deleteIdsFromStore(store, Seq(2L).toDF("doc_id"), "doc_id",
+          version = 100L, nBuckets = 4)
+        assert(flat(StreamOps.chunksFromStore(spark, store, "doc_id")) ===
+          flat(graft.operators.Chunking.contentChunks(liveDf, "doc_id", "text", 4)))
+      } finally q.stop()
+    }
+
+    it("line store: the boilerplate vocabulary's df forgets the doc") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("td_line").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_line_ck").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingLines(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      try {
+        // FOOTER df = 2 via docs 1 and 2; deleting doc 2 drops df to 1 and
+        // the vocabulary entry must vanish
+        src.addData((1L, "FOOTER\nalpha"), (2L, "FOOTER\nbeta"), (3L, "gamma"))
+        q.processAllAvailable()
+        assert(StreamOps.boilerplateFromStore(spark, store, "doc_id", minDf = 2).count() == 1)
+        StreamOps.deleteIdsFromStore(store, Seq(2L).toDF("doc_id"), "doc_id",
+          version = 100L, nBuckets = 4)
+        assert(StreamOps.boilerplateFromStore(spark, store, "doc_id", minDf = 2).count() == 0)
+      } finally q.stop()
+    }
+
+    it("LM count store: the derived model equals training without the doc") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("td_lm").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_lm_ck").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingLmCounts(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, nBuckets = 4, checkpointDir = ckpt)
+      def uni(c: graft.operators.Lm.LmCounts): Set[(String, Long)] =
+        c.unigrams.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      def bg(c: graft.operators.Lm.LmCounts): Set[(String, String, Long)] =
+        c.bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      try {
+        src.addData(docs: _*); q.processAllAvailable()
+        StreamOps.deleteIdsFromStore(store, Seq(2L).toDF("doc_id"), "doc_id",
+          version = 100L, nBuckets = 4)
+        val got = StreamOps.lmCountsFromStore(spark, store)
+        val scratch = graft.operators.Lm.lmCounts(liveDf, "text")
+        assert(uni(got) === uni(scratch))
+        assert(bg(got) === bg(scratch))
+      } finally q.stop()
+    }
+
+    it("phash store: the deleted image's signature stops pairing") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.multimodal.Media
+      val store = java.nio.file.Files.createTempDirectory("td_ph").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_ph_ck").toString
+      val src = MemoryStream[(Long, Array[Byte])]
+      val q = StreamOps.streamingImagePhash(src.toDF().toDF("img_id", "blob"),
+        "img_id", "blob", store, nBuckets = 4, checkpointDir = ckpt)
+      try {
+        // ids 1 and 2 are pixel-identical twins; 3 distinct
+        src.addData((1L, Media.syntheticBmp(12, 9, 7L)),
+          (2L, Media.syntheticPngImage(12, 9, 7L)), (3L, Media.syntheticBmp(10, 10, 3L)))
+        q.processAllAvailable()
+        def pairs(): Set[(Long, Long)] =
+          graft.operators.Dedup.hammingPairs(
+              StreamOps.phashFromStore(spark, store, "img_id"), "img_id", "phash", 2)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pairs().contains((1L, 2L)))
+        StreamOps.deleteIdsFromStore(store, Seq(2L).toDF("img_id"), "img_id",
+          version = 100L, nBuckets = 4)
+        assert(pairs() === Set.empty)
+        assert(StreamOps.phashFromStore(spark, store, "img_id")
+          .select($"img_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      } finally q.stop()
+    }
+
+    it("ANN code store: the code frame equals the frozen-index encode without the vector") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.operators.Similarity
+      val dim = 16
+      def vec(id: Long): Array[Double] =
+        Array.tabulate(dim)(j => math.sin(id * 31 + j * 7).abs + 0.01)
+      val corpus0 = (0L until 48L).map(id => (id, vec(id)))
+      val ivf = Similarity.buildIvfIndex(
+        corpus0.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nCentroids = 4, trainIters = 2)
+      val index = Similarity.buildIvfPqIndex(ivf, dim = dim, m = 4, ks = 16, trainIters = 2)
+      val store = java.nio.file.Files.createTempDirectory("td_ann").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_ann_ck").toString
+      val src = MemoryStream[(Long, Array[Double])]
+      val q = StreamOps.streamingAnnCodes(src.toDF().toDF("vec_id", "embedding"),
+        index, "vec_id", "embedding", store, nBuckets = 4, checkpointDir = ckpt)
+      def codes(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Byte])] =
+        df.select($"neighbor_id", $"cent_id", $"code")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+      try {
+        src.addData(corpus0: _*); q.processAllAvailable()
+        StreamOps.deleteIdsFromStore(store, Seq(7L).toDF("neighbor_id"), "neighbor_id",
+          version = 100L, nBuckets = 4)
+        val scratch = Similarity.ivfPqEncode(index,
+          corpus0.filterNot(_._1 == 7L).toDF("vec_id", "embedding"), "vec_id", "embedding")
+        assert(codes(StreamOps.annCodesFromStore(spark, store)) === codes(scratch))
+      } finally q.stop()
+    }
+
+    it("crawl store: the url's capture AND its link-graph edges vanish") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("td_crawl").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_crawl_ck").toString
+      val src = MemoryStream[(String, Array[Byte])]
+      val q = StreamOps.streamingCrawl(src.toDF().toDF("path", "content"),
+        storePath = store, nBuckets = 4, checkpointDir = ckpt)
+      import graft.sources.Warc.{gzipMember, responseRecord, warcinfoRecord}
+      def file(recs: Array[Byte]*): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(gzipMember(warcinfoRecord("f")))
+        recs.foreach(r => out.write(gzipMember(r)))
+        out.toByteArray
+      }
+      try {
+        src.addData(("f1", file(
+          responseRecord("https://a.example/1", "2026-01-01T00:00:00Z", 200,
+            "<p>keep</p><a href=\"https://t.example/x\">t</a>"),
+          responseRecord("https://a.example/2", "2026-01-01T00:00:00Z", 200,
+            "<p>takedown</p><a href=\"https://gone.example/y\">g</a>"))))
+        q.processAllAvailable()
+        StreamOps.deleteIdsFromStore(store, Seq("https://a.example/2").toDF("url"), "url",
+          version = 100L, nBuckets = 4)
+        val urls = StreamOps.crawlFromStore(spark, store)
+          .select($"url").collect().map(_.getString(0)).toSet
+        assert(urls === Set("https://a.example/1"))
+        val hrefs = StreamOps.linkEdgesFromStore(spark, store)
+          .select($"href").collect().map(_.getString(0)).toSet
+        assert(hrefs === Set("https://t.example/x"),
+          "the taken-down page's outlinks must leave the web graph")
+      } finally q.stop()
+    }
+
+    it("archive member store: the member's bytes leave the standing set") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("td_arch").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_arch_ck").toString
+      val src = MemoryStream[(String, Array[Byte])]
+      val q = StreamOps.streamingArchives(src.toDF().toDF("path", "content"),
+        storePath = store, nBuckets = 2, checkpointDir = ckpt)
+      def zipOf(rows: Seq[(Long, String, Array[Byte])]): Array[Byte] = {
+        val d = java.nio.file.Files.createTempDirectory("td_arch_fix").toString
+        graft.sources.Formats.writeZipFixture(rows.toDF("id", "member", "bytes"), d, 1)
+        val f = new java.io.File(d).listFiles().filter(_.getName.endsWith(".zip")).head
+        java.nio.file.Files.readAllBytes(f.toPath)
+      }
+      try {
+        src.addData(("d.zip", zipOf(Seq(
+          (0L, "a.txt", "alpha".getBytes("UTF-8")),
+          (0L, "b.txt", "beta".getBytes("UTF-8"))))))
+        q.processAllAvailable()
+        StreamOps.deleteIdsFromStore(store, Seq("b.txt").toDF("member"), "member",
+          version = 100L, nBuckets = 2)
+        val got = StreamOps.membersFromStore(spark, store)
+          .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8"))).toMap
+        assert(got === Map("a.txt" -> "alpha"))
+      } finally q.stop()
+    }
+  }
 }
