@@ -4328,7 +4328,8 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"),
           (expr("length(kept_text) div 400") * 400L).as("len_b"))
       operators.Privacy.kAnonymize(releasable, "doc_id",
-        Seq(Seq("lang", "source", "len_b"), Seq("lang", "source"), Seq("lang")), k = 8)
+        Seq(Seq("lang", "source", "len_b"), Seq("lang", "source"), Seq("lang")), k = 8,
+        unpersistHook = onCleanup)
     }),
 
     // q203: T-CLOSENESS audit — the residual attack l-diversity misses:
@@ -4398,7 +4399,8 @@ object SparkEntry {
       val planted = s.range(3).select((col("id") + 9100001L).as("doc_id"),
         lit("xx").as("lang"), lit("srcx").as("source"), lit(0L).as("len_b"))
       operators.Privacy.kAnonymize(base.unionByName(planted), "doc_id",
-        Seq(Seq("lang", "source", "len_b"), Seq("lang", "source"), Seq("lang")), k = 8)
+        Seq(Seq("lang", "source", "len_b"), Seq("lang", "source"), Seq("lang")), k = 8,
+        unpersistHook = onCleanup)
     }),
 
     // q168: EXACT k-core (q163's run-to-fixpoint sibling) at k=12, where

@@ -1102,7 +1102,13 @@ object Stress {
         (0 until nReps).map { i =>
           val shifted = t.withColumn(idCol, col(idCol) + lit(i * 100000000L))
           tag match {
-            case Some(c) => shifted.withColumn(c, concat(lit(s"r$i"), col(c)))
+            // replica tag INSIDE the name (after char 3, >= 2 chars apart
+            // across replicas): prefix-3 and suffix-3 blocks keep their
+            // natural diversity (a leading tag would collapse every prefix
+            // block onto the tag) and cross-replica names stay > 1 edit
+            // apart, so replicas never link to each other
+            case Some(c) => shifted.withColumn(c,
+              concat(substring(col(c), 1, 3), lit(s"q$i$i"), expr(s"substring($c, 4)")))
             case None => shifted
           }
         }.reduce(_.unionByName(_))
@@ -1124,6 +1130,7 @@ object Stress {
         finally SparkEntry.drainCleanups()
         ((System.nanoTime() - t0) / 1e9, n)
       }
+      run(dir1) // warm-up: JIT + codegen caches, untimed
       val (t1, n1) = run(dir1)
       val (t10, n10) = run(dir10)
       val exp = math.log10(t10 / t1)

@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
  * huge), so the join back broadcasts in the skewed regime and degrades
  * to an AQE-skew-splittable shuffle join only when classes are many and
  * small. No corpus-wide sort and no driver collection anywhere.
+ *
+ * The base projection and each level's remainder are MATERIALIZED
+ * (persisted; release via `unpersistHook` — the Bpe.tokenCounts
+ * convention): every level's count aggregate and the 4-way output union
+ * are separate consumers of the same subtree, and with broadcast
+ * join-backs there is no exchange for ReuseExchange to share, so an
+ * unpersisted cascade re-executes the caller's ENTIRE upstream plan
+ * once per level per branch (measured 5x on the q204 capstone, whose
+ * upstream is a dedup + LM chain). The cached frames are (id + quasi)
+ * only — bounded columns, never payload.
  */
 object Privacy {
 
@@ -46,13 +56,20 @@ object Privacy {
    * quasi values are legal and group together (SQL window-partition
    * semantics in both engines).
    */
-  def kAnonymize(df: DataFrame, idCol: String, levels: Seq[Seq[String]], k: Int): DataFrame = {
+  def kAnonymize(df: DataFrame, idCol: String, levels: Seq[Seq[String]], k: Int,
+      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k — k = 1 releases everything")
     require(levels.nonEmpty, "at least one quasi-identifier level is required")
     require(levels.forall(_.nonEmpty), "a level must name at least one quasi column")
     val allQ = levels.flatten.distinct
     val types = allQ.map(c => c -> df.schema(c).dataType).toMap
-    val base = df.select((col(idCol).cast("long").as(idCol) +: allQ.map(col)): _*)
+    def materialize(frame: DataFrame): DataFrame = {
+      val m = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      unpersistHook(() => { m.unpersist(); () })
+      m
+    }
+    val base = materialize(
+      df.select((col(idCol).cast("long").as(idCol) +: allQ.map(col)): _*))
 
     def shape(levelNo: Long, qs: Set[String])(frame: DataFrame): DataFrame =
       frame.select(
@@ -71,7 +88,7 @@ object Privacy {
         val cond = qs.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
         val counted = remaining.join(sizes, cond).drop(qs.map(c => s"__g_$c"): _*)
         (acc :+ shape(i.toLong, qs.toSet)(counted.where(col("__n") >= k)),
-          counted.where(col("__n") < k).drop("__n"))
+          materialize(counted.where(col("__n") < k).drop("__n")))
       }
     (releasedAll :+ shape(-1L, Set.empty)(rest)).reduce(_.unionByName(_))
   }
