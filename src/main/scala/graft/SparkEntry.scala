@@ -434,7 +434,7 @@ object SparkEntry {
   private[graft] def ensureIvf2Index(s: SparkSession, dir: String): operators.Similarity.IvfIndex2 =
     ivf2Indexes.computeIfAbsent(dir, _ => {
       val root = indexStoreRoot(dir, "embeddings")
-      val (qPath, aPath) = (s"$root/ivf2_quantizer_v2", s"$root/ivf2_assigned_v2")
+      val (qPath, aPath) = (s"$root/ivf2_quantizer_v3", s"$root/ivf2_assigned_v3")
       if (!(sources.Sink.indexExists(qPath) && sources.Sink.indexExists(aPath))) {
         val built = operators.Similarity.buildIvfIndex2(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
@@ -443,7 +443,7 @@ object SparkEntry {
         sources.Sink.writeIndex(built.assigned, aPath, partitionCols = Seq("cent_id"))
       }
       val idx = operators.Similarity.loadIvfIndex2(
-        sources.Sink.readIndex(s, qPath), sources.Sink.readIndex(s, aPath), expand = 8)
+        sources.Sink.readIndex(s, qPath), sources.Sink.readIndex(s, aPath))
       idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       idx
     })

@@ -1278,7 +1278,8 @@ object Media {
    * `w`x`h`. For uncompressed 24bpp BMPs ([[resizeBmp]]), decodable PNGs
    * ([[resizePng]]) AND baseline JPEGs ([[resizeJpeg]]) the transform is
    * REAL: decode pixels, nearest-neighbor sample, re-encode a spec-valid
-   * file of the SAME format. Only blobs NO codec here can decode
+   * file of the SAME format — GIFs ([[Gif.resizeGif]]) and lossless WebPs
+   * ([[Webp.resizeWebp]]) included. Only blobs NO codec here can decode
    * (unknown containers, compressed AVI, progressive JPEG, ...) take the
    * deterministic byte-cycling fallback — a clearly-marked stand-in that
    * preserves the schema, sizes, and partition-batch shape a real
@@ -1298,7 +1299,8 @@ object Media {
           else resizeBmp(bytes, w, h).map(("bmp", _))
             .orElse(resizePng(bytes, w, h).map(("png", _)))
             .orElse(resizeJpeg(bytes, w, h).map(("jpeg", _)))
-            .orElse(Gif.resizeGif(bytes, w, h).map(("gif", _))) match {
+            .orElse(Gif.resizeGif(bytes, w, h).map(("gif", _)))
+            .orElse(Webp.resizeWebp(bytes, w, h).map(("webp", _))) match {
             case Some((kind, real)) => (id, kind, real)
             case None =>
               val out = new Array[Byte](w * h)

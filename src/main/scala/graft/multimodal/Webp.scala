@@ -825,14 +825,34 @@ object Webp {
       ((((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff) << 8 |
       (((a & 0xff) - (b & 0xff)) & 0xff)
 
+  /** REAL WebP->WebP resize: full VP8L decode, nearest-neighbor sample,
+    * re-ENCODE through the lossless entropy coder — the [[Gif.resizeGif]]
+    * contract for this container. None when the source is not decodable
+    * lossless WebP (lossy VP8 falls to the caller's fallback). */
+  private[graft] def resizeWebp(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decode(bytes).map { img =>
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = math.min(img.height - 1, y * img.height / h)
+        var x = 0
+        while (x < w) {
+          val sx = math.min(img.width - 1, x * img.width / w)
+          out(y * w + x) = img.argb(sy * img.width + sx)
+          x += 1
+        }
+        y += 1
+      }
+      encodeLossless(w, h, out)
+    }
+
   /**
    * Deterministic synthetic lossless WebP whose pixels are a pure
    * function of position and `seed` — the [[Gif.syntheticGifImage]]
    * closed form (`r = g = b = (x + 2y + seed) % 256`) behind a REAL
    * VP8L entropy coder, so decode tests and the q-series oracle replay
-   * the same arithmetic. seed % 3 picks the container variant: plain
-   * literals, subtract-green, or grayscale via the identity-preserving
-   * plain path again with alpha exercised — all decode to the SAME
+   * the same arithmetic. Odd seeds route through the subtract-green
+   * transform, even seeds stay plain literals — both decode to the SAME
    * pixels.
    */
   def syntheticWebpImage(w: Int, h: Int, seed: Long): Array[Byte] = {

@@ -522,15 +522,6 @@ object Similarity {
     def k1: Int = supers.length
     def k2: Int = subs.length
     def nCells: Long = k1.toLong * k2
-    /** The composed centroid of one cell — `super + sub`, the vector the
-      * routing cosine scores against (and residual encoders subtract). */
-    def cellCentroid(cell: Long): Array[Double] = {
-      val s = supers((cell / k2).toInt)
-      val r = subs((cell % k2).toInt)
-      Array.tabulate(math.max(s.length, r.length)) { i =>
-        (if (i < s.length) s(i) else 0.0) + (if (i < r.length) r(i) else 0.0)
-      }
-    }
     // DECOMPOSED scoring state — the computational heart of the
     // multi-index: cos(v, s+r) needs only v·s, v·r (one dot-product sweep
     // per LEVEL, not per cell) and the precomputed ||s||², ||r||², s·r
@@ -659,14 +650,18 @@ object Similarity {
   }
 
   /** The two-level quantizer as ONE persistable frame `(lvl, cid, cent_v)`
-    * (lvl 1 = supers, 2 = residual subs) — [[centroidsFrame]]'s sibling for
-    * the store round trip. (k1 + k2) rows, array<double> exact through
-    * parquet. */
+    * (lvl 1 = supers, 2 = residual subs; one lvl-0 metadata row carries the
+    * build-time `expand` in `cid`) — [[centroidsFrame]]'s sibling for the
+    * store round trip. (k1 + k2 + 1) rows, array<double> exact through
+    * parquet. Persisting `expand` matters: the ROUTING RULE is part of the
+    * index identity — a reload with a different expansion would probe cells
+    * the stored assignment never used, silently degrading recall. */
   def quantizer2Frame(spark: SparkSession, index: IvfIndex2): DataFrame = {
     import spark.implicits._
     val q = index.quantizer
     spark.createDataset(
-      q.supers.toSeq.zipWithIndex.map { case (v, i) => (1, i.toLong, v) } ++
+      Seq((0, q.expand.toLong, Array.empty[Double])) ++
+        q.supers.toSeq.zipWithIndex.map { case (v, i) => (1, i.toLong, v) } ++
         q.subs.toSeq.zipWithIndex.map { case (v, i) => (2, i.toLong, v) })
       .toDF("lvl", "cid", "cent_v")
   }
@@ -674,9 +669,13 @@ object Similarity {
   /** Reconstruct a standing [[IvfIndex2]] from its persisted frames — the
     * hierarchical replacement for [[loadIvfIndex]]'s flat 65,536-centroid
     * guard: each LEVEL is bounded at 65,536 rows (driver state stays
-    * (k1 + k2)·dim) while the CELL count reaches k1·k2 — beyond 10⁹. */
+    * (k1 + k2)·dim) while the CELL count reaches k1·k2 — beyond 10⁹. The
+    * routing expansion comes FROM the frame's metadata row (the build-time
+    * value the assignment was routed with); `expandOverride > 0` replaces
+    * it deliberately (recall/latency retuning — callers own the
+    * consistency argument then). */
   def loadIvfIndex2(quantizer: DataFrame, assigned: DataFrame,
-      expand: Int = 4, maxPerLevel: Int = 65536): IvfIndex2 = {
+      expandOverride: Int = 0, maxPerLevel: Int = 65536): IvfIndex2 = {
     val spark = quantizer.sparkSession
     import spark.implicits._
     val rows = quantizer
@@ -688,6 +687,10 @@ object Similarity {
         s"quantizer level $l carries ${vs.length} centroids; expected (0, $maxPerLevel] — wrong frame?")
       vs
     }
+    val stored = rows.filter(_._1 == 0).map(_._2.toInt).headOption
+    val expand = if (expandOverride > 0) expandOverride
+      else stored.getOrElse(throw new IllegalArgumentException(
+        "quantizer frame carries no expand metadata row (lvl 0) and no expandOverride was given"))
     new IvfIndex2(new TwoLevelQuantizer(level(1), level(2), expand), assigned)
   }
 
@@ -866,14 +869,26 @@ object Similarity {
    * `dropped_hot_cells` metric — never silent.
    */
   def centroidBlockedPairs(index: IvfIndex, minCosine: Double,
-      maxCell: Int = DefaultMaxCell): DataFrame = {
+      maxCell: Int = DefaultMaxCell): DataFrame =
+    centroidBlockedPairsFrom(index.assigned, minCosine, maxCell)
+
+  /** [[centroidBlockedPairs]] over a TWO-LEVEL index — the blocking only
+    * ever touches the assignment frame (a `cent_id` equi-join), so the
+    * hierarchical quantizer plugs in unchanged; what it buys is cell
+    * counts that can actually reach n / targetCellWidth at corpus scale. */
+  def centroidBlockedPairs2(index: IvfIndex2, minCosine: Double,
+      maxCell: Int = DefaultMaxCell): DataFrame =
+    centroidBlockedPairsFrom(index.assigned, minCosine, maxCell)
+
+  private def centroidBlockedPairsFrom(assigned: DataFrame, minCosine: Double,
+      maxCell: Int): DataFrame = {
     require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
-    val spark = index.assigned.sparkSession
+    val spark = assigned.sparkSession
     import spark.implicits._
     val acc = droppedHotCells(spark)
-    val occ = index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("__n"))
+    val occ = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("__n"))
     val hotCells = occ.where(col("__n") > maxCell).select(col("cent_id"))
-    val live = index.assigned
+    val live = assigned
       .join(broadcast(hotCells), Seq("cent_id"), "left_anti")
     val a = live.select(col("cent_id"), col("neighbor_id").as("id_a"), col("cv").as("va"))
     val b = live.select(col("cent_id"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
@@ -999,6 +1014,46 @@ object Similarity {
     // each corpus vector lives in exactly one inverted list and each
     // (query, cent) route row is unique, so a (query, neighbor) candidate
     // scores at most once — no dedup before ranking
+    val scored = routes
+      .join(live.select(col("cent_id"), col("neighbor_id"), col("cv")), Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        struct(cosine(col("qv"), col("cv").cast("array<double>")).as("cos"),
+          col("neighbor_id").as("nid")).as("scored"))
+      .as[(Long, (Double, Long))]
+    KnnGraphResult(rankTopK(scored, k), dropped)
+  }
+
+  /**
+   * [[knnGraph]] over a standing [[IvfIndex2]] — the corpus-to-corpus kNN
+   * graph at PRODUCTION cell counts: routing per vector costs
+   * (k1 + expand·k2)·dim through the hierarchical quantizer instead of
+   * nCells·dim, and the task closure carries (k1 + k2)·dim doubles
+   * instead of the flat centroid grid — the combination that lets the
+   * knnGraph sizing rule (cells ≈ n / cellWidth) reach 10⁵⁺ cells. Same
+   * plan shape and occupancy-cap semantics as the flat version; gated by
+   * IvfRecallSpec (graph ≡ per-vector ivfProbe2 at the same geometry).
+   */
+  def knnGraph2(index: IvfIndex2, k: Int, nProbe: Int = 4,
+      maxCell: Int = DefaultMaxCell): KnnGraphResult = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val q = index.quantizer
+    val occ = index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("__n"))
+    val hotCells = occ.where(col("__n") > maxCell).select(col("cent_id"))
+    val dropped = hotCells.agg(count(lit(1)).as("n_dropped_cells"))
+    val live = index.assigned.join(broadcast(hotCells), Seq("cent_id"), "left_anti")
+    val routes = index.assigned
+      .select(col("neighbor_id").as("query_id"), col("cv").cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        if (v == null) Iterator.empty
+        else q.routeN(v, nProbe).iterator.map(c => (id, c, v))
+      })
+      .toDF("query_id", "cent_id", "qv")
     val scored = routes
       .join(live.select(col("cent_id"), col("neighbor_id"), col("cv")), Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))

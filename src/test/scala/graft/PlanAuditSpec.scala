@@ -670,6 +670,19 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       s"the sweep failed to flag a skew-partitioned Window over a raw scan:\n$brokenSkew")
   }
 
+  it("q218 main-content extraction rides the scan: zero exchanges, two-column read") {
+    val p = plan("q218_main_content")
+    assert(!p.contains("Exchange"), s"block extraction must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  it("q219 probes the STANDING two-level index (cached assignment, no rebuild in the plan)") {
+    val p = plan("q219_ann_two_level")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the probe to read the persisted hierarchical assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   it("q200/q204 kAnonymize subtree plans NO Window at all (groupBy class sizes + skew-splittable join back)") {
     Seq("q200_k_anonymity", "q204_release_pipeline").foreach { q =>
       val p = plan(q)

@@ -273,6 +273,21 @@ class WebpSpec extends AnyFunSuite with graft.SparkSuite {
     assert(Webp.PlaneCodes.length == 120)
   }
 
+  test("resizeWebp: decode -> nearest-neighbor -> re-encode round-trips the sample rule") {
+    val src = Webp.syntheticWebpImage(16, 12, 5L)
+    val out = Webp.resizeWebp(src, 8, 6).getOrElse(fail("resize failed"))
+    val img = Webp.decode(out).getOrElse(fail("re-decode failed"))
+    assert(img.width == 8 && img.height == 6)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      // nearest-neighbor: source pixel (x*16/8, y*12/6)
+      val v = closedForm(x * 16 / 8, y * 12 / 6, 5L)
+      assert(img.pixel(x, y) == ((v, v, v)), s"($x,$y)")
+    }
+    // lossy input takes the fallback (None), like decode
+    val lossy = src.clone(); lossy(15) = ' '
+    assert(Webp.resizeWebp(lossy, 8, 6).isEmpty)
+  }
+
   test("perceptualHash pairs a WebP with its pixel-identical GIF twin") {
     import spark.implicits._
     // same closed form as syntheticBmp? No — build the SAME pixels directly

@@ -178,13 +178,47 @@ class IvfRecallSpec extends AnyFunSpec with SparkSuite {
       assert(r128 <= r256 && r256 <= r512, s"recall not monotone: $r128, $r256, $r512")
     }
 
+    it("knnGraph2: corpus-wide edges match per-vector ivfProbe2 at the same geometry") {
+      val idx = Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
+        k1 = 8, k2 = 8, trainIters = 1, expand = 4)
+      val graph = Similarity.knnGraph2(idx, k = 5, nProbe = 4, maxCell = 1000000)
+      assert(graph.droppedCells.head().getLong(0) == 0L)
+      val sample = emb.filter(col("vec_id") < 32)
+      val probed = pairSet(
+        Similarity.ivfProbe2(idx, sample, "vec_id", "embedding", k = 5, nProbe = 4))
+      assert(pairSet(graph.edges.filter(col("query_id") < 32)) === probed)
+      // exhaustive probing at full expansion reproduces brute force
+      val full = Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
+        k1 = 8, k2 = 8, trainIters = 1, expand = 8)
+      val exact = pairSet(Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5))
+      assert(pairSet(Similarity.knnGraph2(full, k = 5, nProbe = 64,
+        maxCell = 1000000).edges) === exact)
+    }
+
+    it("centroidBlockedPairs2: planted exact copies meet in their cell at any hierarchy") {
+      // an exact copy shares its original's routed cell at ANY quantizer
+      // (route is a pure function of the vector), so every planted pair
+      // must surface from the cell-blocked compare
+      val first = emb.filter(col("vec_id") < 32)
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
+        first.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val idx = Similarity.buildIvfIndex2(corpus, "vec_id", "embedding",
+        k1 = 8, k2 = 8, trainIters = 1, expand = 4)
+      val pairs = Similarity.centroidBlockedPairs2(idx, minCosine = 0.9999, maxCell = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (id <- 0L until 32L)
+        assert(pairs.contains((id, id + 1000000L)), s"planted pair $id missing")
+    }
+
     it("two-level store round trip: loadIvfIndex2(quantizer2Frame) probes identically") {
       val idx = Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
         k1 = 16, k2 = 16, trainIters = 1, expand = 4)
       val dir = java.nio.file.Files.createTempDirectory("q2frame").toString
       Similarity.quantizer2Frame(spark, idx).write.mode("overwrite").parquet(dir)
-      val reloaded = Similarity.loadIvfIndex2(
-        spark.read.parquet(dir), idx.assigned, expand = 4)
+      // the build-time expand rides the frame's metadata row — a reload
+      // routes exactly as the stored assignment was routed
+      val reloaded = Similarity.loadIvfIndex2(spark.read.parquet(dir), idx.assigned)
+      assert(reloaded.quantizer.expand == 4, "stored expand must be honored")
       val a = pairSet(Similarity.ivfProbe2(idx, queries, "vec_id", "embedding", K, nProbe = 8))
       val b = pairSet(Similarity.ivfProbe2(reloaded, queries, "vec_id", "embedding", K, nProbe = 8))
       assert(a === b)
@@ -192,7 +226,7 @@ class IvfRecallSpec extends AnyFunSpec with SparkSuite {
       // level fails loudly
       assertThrows[IllegalArgumentException](
         Similarity.loadIvfIndex2(spark.read.parquet(dir), idx.assigned,
-          expand = 4, maxPerLevel = 8))
+          maxPerLevel = 8))
     }
 
     it("metric sensitivity: a broken ranking scores far below the pinned bound") {
