@@ -448,6 +448,35 @@ object SparkEntry {
       idx
     })
 
+  /** Memoized standing HIERARCHICAL residual IVF-PQ index for q221 — the
+    * [[ensureIvfPqIndex]] layout composed over the two-level quantizer
+    * ([[ensureIvf2Index]]'s store supplies the quantizer frame): residual
+    * codebooks + cent_id-partitioned code frame in the manifest store,
+    * fresh sessions reload. The driver/task state is the (k1 + k2)·dim
+    * level arrays + kilobyte codebooks — the ANN layout that survives
+    * production cell counts. */
+  private val ivfPq2Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Similarity.IvfPq2Index]()
+  private[graft] def ensureIvfPq2Index(s: SparkSession, dir: String): operators.Similarity.IvfPq2Index =
+    ivfPq2Indexes.computeIfAbsent(dir, _ => {
+      val root = indexStoreRoot(dir, "embeddings")
+      val (qPath, bookPath, codePath) =
+        (s"$root/ivf2_quantizer_v3", s"$root/ivfpq2_books_v1", s"$root/ivfpq2_codes_v1")
+      if (!(sources.Sink.indexExists(bookPath) && sources.Sink.indexExists(codePath))) {
+        val built = operators.Similarity.buildIvfPqIndex2(
+          ensureIvf2Index(s, dir), dim = 64, m = 16, ks = 256, trainIters = 3)
+        sources.Sink.writeIndex(operators.Similarity.ivfPq2BooksFrame(s, built), bookPath)
+        sources.Sink.writeIndex(built.codes, codePath, partitionCols = Seq("cent_id"))
+      }
+      // the quantizer frame is ensureIvf2Index's store entry
+      ensureIvf2Index(s, dir)
+      val idx = operators.Similarity.loadIvfPq2Index(
+        sources.Sink.readIndex(s, qPath),
+        sources.Sink.readIndex(s, bookPath), sources.Sink.readIndex(s, codePath))
+      idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      idx
+    })
+
   /** Memoized STANDING MinHash-LSH index over `documents` for q65 — same
     * store-backed load-or-build as [[ensureIvfIndex]] (snapshot written
     * once partitioned by `band`, fresh sessions reload): at 100 TB the
@@ -554,6 +583,7 @@ object SparkEntry {
     ensureBucketedTables(s, dir)
     ensureIvfIndex(s, dir).assigned.count() // force assignment materialization
     ensureIvf2Index(s, dir).assigned.count() // standing two-level IVF (q219)
+    ensureIvfPq2Index(s, dir).codes.count() // standing hierarchical IVFADC (q221)
     ensureMinhashIndex(s, dir).count()
     ensurePostings(s, dir).count() // standing BM25 postings (q166/q170)
     ensurePqIndex(s, dir).codes.count() // standing PQ code frame (q174)
@@ -3342,6 +3372,33 @@ object SparkEntry {
       val cands = operators.Similarity.ivfadcTopK(
         ensureIvfPqIndex(s, dir), queries, "vec_id", "embedding",
         k = 50, nProbe = 8)
+      val rr = operators.Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(rr, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 7L).as("recall_ok"))
+    }),
+
+    // q221: HIERARCHICAL residual IVFADC — q175's search over the
+    // two-level quantizer's standing store (ensureIvfPq2Index: residual
+    // codebooks + cent_id-partitioned codes composed on ensureIvf2Index's
+    // quantizer). Routing and the per-cell <q, centroid> term both
+    // decompose through the level arrays — (k1 + k2)·dim state, never a
+    // per-cell grid — the ANN layout that survives 10⁵⁺ cells. Full
+    // probing (nProbe = 64 cells) + exact re-rank of the k'=50 survivors;
+    // the per-query recall gate mirrors q175 (deterministic, so the
+    // boolean oracle is exact). PqRecallSpec pins the partial-probe
+    // tradeoff and the merged ≡ rebuilt maintenance law.
+    "q221_ivfadc_two_level" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val exact = operators.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val cands = operators.Similarity.ivfadc2TopK(
+        ensureIvfPq2Index(s, dir), queries, "vec_id", "embedding",
+        k = 50, nProbe = 64)
       val rr = operators.Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(rr, Seq("query_id", "neighbor_id"))
@@ -7800,6 +7857,10 @@ object SparkEntry {
     // ranking is deterministic (fixed quantizer seeds, fixed codebooks,
     // id tie-breaks); the gate asserts >= 0.7 for every query
     "q175_ivfpq_ann" ->
+      "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
+    // q221: same determinism argument as q175, hierarchical edition —
+    // full probing + wide re-rank makes the per-query gate certain
+    "q221_ivfadc_two_level" ->
       "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical

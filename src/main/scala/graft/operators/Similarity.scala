@@ -522,6 +522,17 @@ object Similarity {
     def k1: Int = supers.length
     def k2: Int = subs.length
     def nCells: Long = k1.toLong * k2
+    /** The composed centroid of one cell — `super + sub`, the vector
+      * residual encoders subtract ([[buildIvfPqIndex2]]) and the ADC
+      * centroid term dots against. Callers encoding row streams should
+      * memoize per partition (cells-touched-per-task bounded). */
+    def cellCentroid(cell: Long): Array[Double] = {
+      val s = supers((cell / k2).toInt)
+      val r = subs((cell % k2).toInt)
+      Array.tabulate(math.max(s.length, r.length)) { i =>
+        (if (i < s.length) s(i) else 0.0) + (if (i < r.length) r(i) else 0.0)
+      }
+    }
     // DECOMPOSED scoring state — the computational heart of the
     // multi-index: cos(v, s+r) needs only v·s, v·r (one dot-product sweep
     // per LEVEL, not per cell) and the precomputed ||s||², ||r||², s·r
@@ -1768,6 +1779,197 @@ object Similarity {
         index.centroids.map { case (cid, cv) => (cid, cosLocal(qv, cv), dotLocal(qv, cv)) }
           .sortBy { case (cid, c, _) => (-c, cid) }
           .take(nProbe).map { case (cid, _, d) => cid -> ((qi, d)) }
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).toArray }
+    val bc = spark.sparkContext.broadcast((tables, cellToQ))
+    val scored = index.codes
+      .select(col("neighbor_id"), col("cent_id"), col("code"), col("recon_n2"))
+      .as[(Long, Long, Array[Byte], Double)]
+      .mapPartitions { rows =>
+        val (qs, cells) = bc.value
+        rows.flatMap { case (nid, centId, code, recon2) =>
+          val probes = cells.getOrElse(centId, null)
+          if (probes == null || recon2 <= 0.0) Iterator.empty
+          else {
+            val rnorm = math.sqrt(recon2)
+            probes.iterator.flatMap { case (qi, qdc) =>
+              val (qid, t, qnorm) = qs(qi)
+              if (qid == nid) Iterator.empty
+              else {
+                var s = qdc; var j = 0
+                while (j < m) { s += t(j)(code(j) & 0xff); j += 1 }
+                Iterator.single((qid, (s / (qnorm * rnorm), nid)))
+              }
+            }
+          }
+        }
+      }
+    rankTopK(scored, k)
+  }
+
+  /**
+   * A standing residual IVF-PQ index over the TWO-LEVEL quantizer — the
+   * [[IvfPqIndex]] layout at PRODUCTION cell counts: the driver/task
+   * state is the (k1 + k2)·dim level arrays plus the kilobyte residual
+   * codebooks, never a per-cell centroid grid, so the IVFADC contract
+   * (m code bytes + one double per scanned row, centroid term folded in
+   * exactly) survives 10⁵⁺ cells. Cell centroids compose on demand
+   * (`super + sub`, memoized per task).
+   */
+  final class IvfPq2Index private[operators] (
+      private[operators] val dim: Int,
+      val quantizer: TwoLevelQuantizer,
+      private[operators] val codebooks: Array[Array[Array[Double]]],
+      val codes: DataFrame) extends Serializable {
+    def m: Int = codebooks.length
+    def ks: Int = if (codebooks.isEmpty) 0 else codebooks(0).length
+  }
+
+  /** Per-task memoized cell-centroid lookup — cells touched per task are
+    * bounded (a partition holds a slice of the corpus), so the map stays
+    * small while saving one array composition per ROW. */
+  private def cellCentCache(q: TwoLevelQuantizer): Long => Array[Double] = {
+    val cache = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+    cid => cache.getOrElseUpdate(cid, q.cellCentroid(cid))
+  }
+
+  /**
+   * Residual IVF-PQ over a standing [[IvfIndex2]] — [[buildIvfPqIndex]]
+   * with hierarchical cells: one narrow pass derives residuals against
+   * the COMPOSED cell centroids (the assignment already carries each
+   * vector's cell), codebooks train on the residuals, a second narrow
+   * pass encodes. Zero shuffle throughout.
+   */
+  def buildIvfPqIndex2(ivf: IvfIndex2, dim: Int, m: Int = 8, ks: Int = 256,
+      trainIters: Int = 3): IvfPq2Index = {
+    require(m >= 1 && dim % m == 0,
+      s"dim must split evenly into m subspaces, got dim=$dim m=$m")
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val q = ivf.quantizer
+    val assigned = ivf.assigned
+      .select(col("neighbor_id").cast("long"), col("cent_id").cast("long"),
+        col("cv").cast("array<double>"))
+      .as[(Long, Long, Array[Double])]
+    val residuals = assigned
+      .mapPartitions { rows =>
+        val cents = cellCentCache(q)
+        rows.collect { case (id, cid, v) if v != null =>
+          val cent = cents(cid)
+          val r = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            r(i) = (if (i < v.length) v(i) else 0.0) - (if (i < cent.length) cent(i) else 0.0)
+            i += 1
+          }
+          (id, r)
+        }
+      }
+      .toDF("neighbor_id", "residual")
+    val books = trainPqCodebooks(residuals, "neighbor_id", "residual", dim, m, ks, trainIters)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val codes = assigned
+      .mapPartitions { rows =>
+        val cents = cellCentCache(q)
+        val bs = bcBooks.value
+        rows.collect { case (id, cid, v) if v != null =>
+          val (code, recon2) = residualEncodeRow(cents(cid), v, bs, subDim)
+          (id, cid, code, recon2)
+        }
+      }
+      .toDF("neighbor_id", "cent_id", "code", "recon_n2")
+    new IvfPq2Index(dim, q, books, codes)
+  }
+
+  /** [[ivfPqEncode]] for the hierarchical index: route with the frozen
+    * [[TwoLevelQuantizer]] (sublinear), residual-encode against the
+    * composed cell centroid. Frozen + deterministic, so the merged ≡
+    * rebuilt invariant holds unchanged. */
+  def ivfPq2Encode(index: IvfPq2Index, slice: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = slice.sparkSession
+    import spark.implicits._
+    val subDim = index.dim / index.m
+    val q = index.quantizer
+    val bcBooks = spark.sparkContext.broadcast(index.codebooks)
+    slice.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cents = cellCentCache(q)
+        val bs = bcBooks.value
+        rows.collect { case (id, v) if v != null =>
+          val cid = q.route(v)
+          val (code, recon2) = residualEncodeRow(cents(cid), v, bs, subDim)
+          (id, cid, code, recon2)
+        }
+      }
+      .toDF("neighbor_id", "cent_id", "code", "recon_n2")
+  }
+
+  /** [[mergeIvfPqCodes]] for the hierarchical index — same last-writer-
+    * wins-by-key fold, delta encoded by [[ivfPq2Encode]]. */
+  def mergeIvfPq2Codes(index: IvfPq2Index, standingCodes: DataFrame, slice: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val delta = ivfPq2Encode(index, slice, idCol, vecCol)
+    val sliceIds = slice.select(col(idCol).cast("long").as("neighbor_id"))
+      .where(col("neighbor_id").isNotNull).distinct()
+    standingCodes
+      .select(col("neighbor_id").cast("long"), col("cent_id").cast("long"),
+        col("code"), col("recon_n2"))
+      .join(broadcast(sliceIds), Seq("neighbor_id"), "left_anti")
+      .unionByName(delta)
+  }
+
+  /** Reconstruct a standing [[IvfPq2Index]] from its persisted frames:
+    * the [[quantizer2Frame]] metadata-bearing quantizer, the
+    * [[ivfPqBooksFrame]]-shaped residual codebooks, and the code frame. */
+  def loadIvfPq2Index(quantizer: DataFrame, books: DataFrame, codes: DataFrame,
+      maxPerLevel: Int = 65536, maxEntries: Int = 65536): IvfPq2Index = {
+    val q = loadIvfIndex2(quantizer, codes, maxPerLevel = maxPerLevel).quantizer
+    val booksArr = booksFromFrame(books, maxEntries)
+    new IvfPq2Index(booksArr.length * booksArr(0)(0).length, q, booksArr, codes)
+  }
+
+  /** The residual codebooks of an [[IvfPq2Index]] as the persistable
+    * `(sub, code, cw)` frame. */
+  def ivfPq2BooksFrame(spark: SparkSession, index: IvfPq2Index): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(for {
+      j <- 0 until index.m
+      c <- 0 until index.ks
+    } yield (j, c, index.codebooks(j)(c))).toDF("sub", "code", "cw")
+  }
+
+  /**
+   * IVFADC top-k over a hierarchical residual index — [[ivfadcTopK]] with
+   * routing through the [[TwoLevelQuantizer]]: each query's probe set is
+   * its `nProbe` nearest cells BY THE INDEX'S OWN ROUTING RULE (so probes
+   * align with how the corpus was assigned), and the per-cell centroid
+   * dot `<q, super + sub>` decomposes as `<q, super> + <q, sub>` — two
+   * dot-product sweeps per query, never a per-cell scan. Scan cost per
+   * probed row is unchanged: m table lookups + one add.
+   */
+  def ivfadc2TopK(index: IvfPq2Index, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, maxQueries: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val m = index.m
+    val qArr = collectQueries(queries, idCol, vecCol, maxQueries)
+    val tables = adcTables(qArr, index.codebooks, index.dim / m)
+    val byId = qArr.toMap
+    val quant = index.quantizer
+    val k2 = quant.k2
+    val cellToQ: Map[Long, Array[(Int, Double)]] = tables.zipWithIndex
+      .flatMap { case ((qid, _, _), qi) =>
+        val qv = byId(qid)
+        // <q, super + sub> decomposed: one dot sweep per LEVEL
+        val qs = quant.supers.map(s => dotLocal(qv, s))
+        val qr = quant.subs.map(r => dotLocal(qv, r))
+        quant.routeN(qv, nProbe).map { cid =>
+          cid -> ((qi, qs((cid / k2).toInt) + qr((cid % k2).toInt)))
+        }
       }
       .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).toArray }
     val bc = spark.sparkContext.broadcast((tables, cellToQ))

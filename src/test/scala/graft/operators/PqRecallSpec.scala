@@ -209,4 +209,78 @@ class PqRecallSpec extends AnyFunSpec with SparkSuite {
       assert(a === b)
     }
   }
+
+  describe("hierarchical residual IVFADC (IvfPq2Index over the two-level quantizer, sf0.01)") {
+    // 4 super x 4 sub = 16 cells — the flat baseline's geometry, reached
+    // through the hierarchy (full expansion, so routing considers every cell)
+    lazy val ivf2 = Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
+      k1 = 4, k2 = 4, trainIters = 1, expand = 4)
+    lazy val res2 = Similarity.buildIvfPqIndex2(ivf2, dim = 64, m = 16, ks = 256,
+      trainIters = 3)
+
+    it("partial probing + over-fetch + exact re-rank: pinned, recovering under wider probes") {
+      // measured: 0.79 at nProbe=8, vs the flat 16-centroid index's 0.95 —
+      // the known product-structure tradeoff: the 4 residual sub-centroids
+      // are SHARED across supers, a coarser partition than 16 freely
+      // trained cells, so equal-probe recall sits lower; the hierarchy's
+      // payoff is routing cost at cell counts a flat quantizer cannot
+      // reach. Wider probing recovers (measured 0.93 at nProbe=12).
+      def recall(nProbe: Int): Double = {
+        val cands = Similarity.ivfadc2TopK(res2, queries, "vec_id", "embedding",
+          50, nProbe = nProbe)
+        val rr = pairSet(Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", K))
+        rr.intersect(exactTopK).size.toDouble / exactTopK.size
+      }
+      val r8 = recall(8); val r12 = recall(12)
+      info(s"hierarchical ivfadc re-ranked recall@$K at nProbe 8/12 = $r8 / $r12")
+      assert(r8 >= 0.7, s"recall@$K at nProbe=8 was $r8")
+      assert(r12 >= 0.85 && r12 >= r8, s"recall@$K at nProbe=12 was $r12 (8: $r8)")
+    }
+
+    it("ivfPq2Encode over the full corpus reproduces the standing code frame exactly") {
+      import spark.implicits._
+      def fp(codes: DataFrame): Array[(Long, Long, Seq[Byte], Double)] = codes
+        .select(col("neighbor_id"), col("cent_id"), col("code"), col("recon_n2"))
+        .as[(Long, Long, Array[Byte], Double)].collect()
+        .map { case (id, cid, c, r) => (id, cid, c.toSeq, r) }.sortBy(_._1)
+      val re = Similarity.ivfPq2Encode(res2, emb, "vec_id", "embedding")
+      assert(fp(re).sameElements(fp(res2.codes)),
+        "frozen-index slice encode diverged from the build-time code frame")
+    }
+
+    it("mergeIvfPq2Codes: merged batch == from-scratch re-encode, idempotent") {
+      import spark.implicits._
+      def fp(codes: DataFrame): Set[(Long, Long, Seq[Byte], Double)] = codes
+        .select(col("neighbor_id").cast("long"), col("cent_id").cast("long"),
+          col("code"), col("recon_n2"))
+        .as[(Long, Long, Array[Byte], Double)].collect()
+        .map { case (id, cid, c, r) => (id, cid, c.toSeq, r) }.toSet
+      val batch = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+        .unionByName(emb.filter(col("vec_id") === 10)
+          .select(col("vec_id"), lit(null).cast("array<float>").as("embedding")))
+      val merged = Similarity.mergeIvfPq2Codes(res2, res2.codes, batch, "vec_id", "embedding")
+      val news = emb.filter(col("vec_id") > 10)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      val scratch = Similarity.ivfPq2Encode(res2, news, "vec_id", "embedding")
+      assert(fp(merged) === fp(scratch), "merged batch diverged from from-scratch re-encode")
+      val again = Similarity.mergeIvfPq2Codes(res2, merged, batch, "vec_id", "embedding")
+      assert(fp(again) === fp(merged), "batch replay was not idempotent")
+    }
+
+    it("store round trip: the reloaded hierarchical index searches identically") {
+      // repackage the quantizer through an IvfIndex2 shell to reuse the
+      // metadata-bearing frame writer
+      val qFrame = Similarity.quantizer2Frame(spark,
+        Similarity.buildIvfIndex2(emb, "vec_id", "embedding",
+          k1 = 4, k2 = 4, trainIters = 1, expand = 4))
+      val books = Similarity.ivfPq2BooksFrame(spark, res2)
+      val loaded = Similarity.loadIvfPq2Index(qFrame, books, res2.codes)
+      val a = pairSet(Similarity.ivfadc2TopK(res2, queries, "vec_id", "embedding", K, nProbe = 8))
+      val b = pairSet(Similarity.ivfadc2TopK(loaded, queries, "vec_id", "embedding", K, nProbe = 8))
+      assert(a === b)
+    }
+  }
 }
