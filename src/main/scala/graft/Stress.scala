@@ -915,6 +915,25 @@ object Stress {
     }
     println(s"[stress] residual IVFADC nProbe=8 + rerank50 recall@10: ${recall(resRr)}")
 
+    // hierarchical edition: same m x ks bytes, cells reached through the
+    // two-level quantizer (4x4 = the flat 16-cell geometry) — the frontier
+    // point that measures what the product-structure partition costs at
+    // equal probe fraction (expect slightly under the flat residual point;
+    // the hierarchy's payoff is routing cost at cell counts the flat
+    // quantizer cannot reach)
+    val ivf2 = timed("two-level IVF build (4x4 cells, 1 train round)")(
+      Similarity.buildIvfIndex2(emb, "vec_id", "embedding", k1 = 4, k2 = 4,
+        trainIters = 1, expand = 4))
+    val res2 = timed("hierarchical residual IVFADC build (m=16, ks=256, 3 train rounds)")(
+      Similarity.buildIvfPqIndex2(ivf2, dim = 64, m = 16, ks = 256, trainIters = 3))
+    res2.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).count()
+    val res2Rr = timed("hierarchical IVFADC nProbe=8 + rerank50 query") {
+      val c = Similarity.ivfadc2TopK(res2, queries, "vec_id", "embedding", 50, nProbe = 8)
+      pairSet(Similarity.rerankExact(c, queries, emb, "vec_id", "embedding", 10))
+    }
+    println(s"[stress] hierarchical IVFADC nProbe=8 + rerank50 recall@10: ${recall(res2Rr)} " +
+      "(equal bytes and probe fraction vs the flat residual point above)")
+
     // ROUTING-COST contrast at production cell counts: a flat 4096-cell
     // quantizer routes every vector through 4096 centroid cosines and
     // ships a 4096 x dim closure; the two-level 64 x 64 grid reaches the
