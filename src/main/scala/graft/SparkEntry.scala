@@ -3408,6 +3408,33 @@ object SparkEntry {
         .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 7L).as("recall_ok"))
     }),
 
+    // q222: COLLECT-ONCE BPE INDUCTION — the production trainer path
+    // (fastBPE/SentencePiece/HF design): ONE distributed word-count
+    // aggregation over the corpus, then the incremental driver-local
+    // learner (lazy-heap argmax + touched-words-only pair updates) runs
+    // the whole merge loop at memory speed — a real 32k-merge vocabulary
+    // needs zero further cluster rounds (vs 32k jobs sequential, ~10k
+    // even under q217's exact batching; `Stress bpefast` measures the
+    // 32,768-merge run). The in-query gate compares the collected path
+    // against the NAIVE full-recount reference on the same vocabulary —
+    // two independent implementations of the induction rule — and the
+    // budget (24) deliberately exceeds exhaustion (18 merges close the
+    // 11-word vocabulary) so the stop-when-done rule is part of the
+    // pinned output. The first 16 rows replay q217's literals exactly.
+    "q222_bpe_collected" -> ((s, dir) => {
+      import s.implicits._
+      val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+      val planted = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(lit(sentence).as("text"))
+      val learned = operators.Bpe.learnMergesCollected(planted, "text", 24)
+      val refVocab = sentence.split(" ").groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      val gate = learned == operators.Bpe.learnMergesLocal(refVocab, 24)
+      learned.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b, gate) }
+        .toDF("merge_rank", "left_sym", "right_sym", "matches_reference")
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -7862,6 +7889,20 @@ object SparkEntry {
     // full probing + wide re-rank makes the per-query gate certain
     "q221_ivfadc_two_level" ->
       "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
+    // q222: q217's literal-pinning argument (uniform planted corpus ⇒
+    // sf-invariant sequence) run past exhaustion — the 11-word vocabulary
+    // closes after 18 merges, so rows 16/17 and the stop itself are part
+    // of the pin; the in-query gate carries collected ≡ naive-reference
+    "q222_bpe_collected" ->
+      """SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym,
+        |       TRUE AS matches_reference
+        |FROM (VALUES (0, 'l', 'o'), (1, 'lo', 'w'), (2, 'e', 's'), (3, 'es', 't'),
+        |             (4, 'e', 'r'), (5, 'e', 'w'), (6, 'i', 'd'), (7, 'n', 'ew'),
+        |             (8, 'w', 'id'), (9, 'low', 'est'), (10, 'low', 'er'),
+        |             (11, 'new', 'er'), (12, 'new', 'est'), (13, 's', 'low'),
+        |             (14, 's', 'lowest'), (15, 'wid', 'e'), (16, 'wid', 'er'),
+        |             (17, 'wid', 'est'))
+        |     AS m(merge_rank, left_sym, right_sym)""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection

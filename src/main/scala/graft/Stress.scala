@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "scale")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "scale")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -72,6 +72,7 @@ object Stress {
     if (mode == "lm") { lmStudy(spark, sfDir); spark.stop(); return }
     if (mode == "crawl") { crawlStudy(spark, sfDir); spark.stop(); return }
     if (mode == "bpe") { bpeStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "bpefast") { bpeFastStudy(spark, sfDir); spark.stop(); return }
     if (mode == "scale") { scaleStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
@@ -1226,6 +1227,57 @@ object Stress {
       }
       docs.unpersist(): Unit
     }
+  }
+
+  /**
+   * The collect-once production trainer path at its REAL workload: a
+   * 32,768-merge vocabulary — the scale the round-10 verdict named as
+   * unreachable under round-per-merge distributed learning (32k
+   * sequential Spark jobs; ~10k rounds even under the exact batch).
+   * Exactness is gated by prefix: the incremental learner's first 256
+   * merges must equal the naive full-recount reference (the same
+   * reference `Stress bpe` gates the distributed rounds against, so all
+   * three implementations are pinned to one sequence); BpeSpec
+   * property-gates fast ≡ naive to exhaustion on adversarial vocabs.
+   * The corpus is the wide-zipf shape (Zipf-weighted 50k-word
+   * vocabulary — the real-corpus ranking structure).
+   */
+  private def bpeFastStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Bpe
+    import spark.implicits._
+    val base = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val wide = base.select(col("doc_id"), concat_ws(" ",
+      transform(sequence(lit(1), lit(10)),
+        i => conv(pmod(xxhash64(col("text"), i),
+          lit(2821109907456L)).cast("string"), 10, 36))).as("text"))
+    val zipf = wide.select(col("text"),
+        explode(sequence(lit(1), (pmod(col("doc_id"), lit(13L)) + 1).cast("int"))).as("__r"))
+      .select(col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (wide-zipf)")(zipf.count())
+    val vocab = zipf
+      .select(explode(graft.functions.Text.edgeStrippedTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    println(s"[stress] wide-zipf: ${vocab.size} distinct words over $n docs")
+    val (ref256, _) = timedValue("naive full-recount reference, 256 merges")(
+      Bpe.learnMergesLocal(vocab, 256))
+    val (fast256, _) = timedValue("incremental learner, 256 merges (same collected vocab)")(
+      Bpe.learnMergesFast(vocab, 256))
+    require(fast256 == ref256, "incremental learner diverged from the naive reference at 256")
+    println("[stress] incremental(256) == naive reference(256) (expect true)")
+    val nMerges = 32768
+    val (full, secs) = timedValue(s"collect-once path, $nMerges merges (aggregate + collect + learn)")(
+      Bpe.learnMergesCollected(zipf, "text", nMerges))
+    require(full.take(256) == ref256,
+      "collect-once path's 256-merge prefix diverged from the reference")
+    println(f"[stress] learned ${full.size} merges in $secs%.1f s " +
+      f"(${full.size / secs}%.0f merges/s; prefix(256) == reference — the " +
+      "round-per-merge ceiling is CLOSED: a real tokenizer vocabulary is one " +
+      "distributed aggregation + seconds of driver work)")
+    zipf.unpersist(): Unit
   }
 
   private def timedValue[T](label: String)(f: => T): (T, Double) = {

@@ -260,6 +260,131 @@ object Bpe {
   }
 
   /**
+   * PRODUCTION-PATH BPE induction: one distributed word-count
+   * aggregation, then the INCREMENTAL driver-local learner — the design
+   * every real tokenizer trainer uses (fastBPE, SentencePiece,
+   * HuggingFace tokenizers): BPE learning state is a pure function of
+   * the DISTINCT-WORD frequency table, which is Heaps-bounded (sublinear
+   * in corpus mass — ~10^7 rows at web scale after the standard
+   * `minCount` floor), so after ONE map-side-combined aggregation the
+   * whole merge loop runs at driver memory speed with zero further
+   * cluster rounds. A 32k-merge vocabulary — 32k sequential Spark jobs
+   * under [[learnMerges]], ~10k rounds even under the exact batching of
+   * [[learnMergesBatched]] — finishes in seconds (measured in
+   * `Stress bpefast`).
+   *
+   * Semantics: at `minCount = 1` the learned sequence is IDENTICAL to
+   * [[learnMerges]] (gated in BpeSpec and in-query by q222). `minCount >
+   * 1` drops words rarer than the floor BEFORE learning — the standard
+   * vocabulary floor real trainers apply, documented as a semantic
+   * knob, not an approximation of the unfloored sequence. `maxVocab`
+   * bounds the driver collect (`limit(maxVocab + 1)` BEFORE collect —
+   * the guarded-collect convention of `Similarity.topK`) and fails fast
+   * with the floor to raise rather than OOMing the driver.
+   */
+  def learnMergesCollected(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 1L, maxVocab: Int = 4000000): Seq[(String, String)] = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.where(col(textCol).isNotNull)
+      .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .limit(maxVocab + 1)
+      .as[(String, Long)].collect()
+    require(vocab.length <= maxVocab,
+      s"distinct-word vocabulary exceeds maxVocab=$maxVocab after the minCount=$minCount " +
+        "floor — raise minCount (the standard trainer response) or maxVocab")
+    learnMergesFast(vocab.toMap, nMerges)
+  }
+
+  /**
+   * Incremental driver-local learner — same induction rule and
+   * tie-break as [[learnMergesLocal]] (property-gated equivalent in
+   * BpeSpec), but O(affected symbol mass) per merge instead of a full
+   * vocabulary re-count per round: pair weights live in a hash map
+   * updated only for words the merge touches, the argmax comes from a
+   * lazy-deletion priority queue (an entry is valid iff its recorded
+   * weight equals the pair's CURRENT weight; every weight change pushes
+   * a fresh entry), and each affected word re-segments once. This is
+   * the fastBPE update structure, re-derived from the public algorithm
+   * description.
+   */
+  def learnMergesFast(vocab: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words = mutable.ArrayBuffer.empty[Array[String]]
+    val weights = mutable.ArrayBuffer.empty[Long]
+    vocab.foreach { case (w, n) => words += w.map(_.toString).toArray; weights += n }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair -> word indices that contained it when last registered; may go
+    // stale after re-segmentation (lazy — verified against the live word
+    // at merge time, like the heap's weight validation)
+    val homes = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def shift(wi: Int, sign: Long, touched: mutable.Set[(String, String)]): Unit = {
+      val s = words(wi); val n = weights(wi) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = counts.getOrElse(p, 0L) + n
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) homes.getOrElseUpdate(p, mutable.Set.empty) += wi
+        touched += p
+        i += 1
+      }
+    }
+    val seed = mutable.Set.empty[(String, String)]
+    var wi = 0
+    while (wi < words.length) { shift(wi, 1L, seed); wi += 1 }
+    // max-heap by (weight, then lexicographically SMALLEST pair wins ties)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2)
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      })
+    seed.foreach(p => counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2))))
+    val out = Seq.newBuilder[(String, String)]
+    var made = 0
+    var exhausted = false
+    while (made < nMerges && !exhausted) {
+      var chosen: (String, String) = null
+      while (chosen == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (counts.getOrElse((a, b), 0L) == c) chosen = (a, b)
+      }
+      if (chosen == null) exhausted = true
+      else {
+        out += chosen
+        made += 1
+        val (a, b) = chosen
+        val touched = mutable.Set.empty[(String, String)]
+        homes.remove(chosen).foreach(_.foreach { w =>
+          val s = words(w)
+          var has = false
+          var i = 0
+          while (i < s.length - 1 && !has) { if (s(i) == a && s(i + 1) == b) has = true; i += 1 }
+          if (has) {
+            shift(w, -1L, touched)
+            words(w) = mergePair(s, a, b)
+            shift(w, 1L, touched)
+          }
+        })
+        touched -= chosen
+        counts.remove(chosen): Unit
+        touched.foreach(p => counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2))))
+      }
+    }
+    out.result()
+  }
+
+  /**
    * Driver-local reference learner over an explicit word->weight vocab —
    * an INDEPENDENT implementation (collections fold, no Spark) of the
    * same induction rule, for spec equivalence checks and q187's in-query

@@ -138,6 +138,58 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(got == Seq(("a", "b"), ("c", "d")))
   }
 
+  // --- incremental (fastBPE-structure) learner + collect-once path ---
+
+  test("incremental learner equals the naive reference to exhaustion (random weighted vocabs)") {
+    // learnMergesFast's lazy-heap + touched-words update must reproduce the
+    // full-recount reference EXACTLY, all the way to vocabulary exhaustion,
+    // on tie-heavy, overlap-heavy, and weighted vocabularies
+    val alphabets = Seq("ab", "abc", "lowenst")
+    for ((alpha, seed) <- alphabets.zipWithIndex; trial <- 0 until 3) {
+      val rnd = new scala.util.Random(31 * seed + trial)
+      val vocab = (0 until 40).map { _ =>
+        val w = (0 until 2 + rnd.nextInt(7)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        w -> (1L + rnd.nextInt(9).toLong)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ref = Bpe.learnMergesLocal(vocab, 10000)
+      val fast = Bpe.learnMergesFast(vocab, 10000)
+      assert(fast == ref, s"alpha=$alpha trial=$trial: diverged at index " +
+        s"${fast.zip(ref).indexWhere(p => p._1 != p._2)}")
+      // exhaustion means both stopped short of the absurd budget
+      assert(ref.size < 10000)
+    }
+  }
+
+  test("incremental learner replays the q187 pinned sequence") {
+    val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+    val vocab = sentence.split(" ").map(w => w -> 1L).toMap
+    assert(Bpe.learnMergesFast(vocab, 10) == Seq(("l", "o"), ("lo", "w"),
+      ("e", "s"), ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"),
+      ("n", "ew"), ("w", "id"), ("low", "est")))
+  }
+
+  test("collect-once path equals the distributed learner at minCount=1") {
+    val rnd = new scala.util.Random(43)
+    val words = Seq("than", "that", "then", "this", "thing", "other",
+      "rather", "bathing", "north", "worth")
+    val docs = (0L until 150L).map { i =>
+      (i, (0 until 1 + rnd.nextInt(5)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("id", "text")
+    assert(Bpe.learnMergesCollected(docs, "text", 14) ==
+      Bpe.learnMerges(docs, "text", 14))
+  }
+
+  test("minCount floors the vocabulary before learning; maxVocab guards the collect") {
+    val docs = Seq((1L, "zz zz zz zz rare"), (2L, "zz zz aa aa")).toDF("id", "text")
+    // floor of 2 drops 'rare' (count 1); the remaining vocab is zz=6, aa=2
+    val floored = Bpe.learnMergesCollected(docs, "text", 4, minCount = 2L)
+    assert(floored == Bpe.learnMergesLocal(Map("zz" -> 6L, "aa" -> 2L), 4))
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.learnMergesCollected(docs, "text", 4, maxVocab = 2)
+    }
+    assert(ex.getMessage.contains("maxVocab"))
+  }
+
   test("weights steer learning: frequent pair wins over lexicographic order") {
     // 'zz' appears 3x per doc, 'aa' once - (z,z) must be learned first
     // despite (a,a) sorting earlier
