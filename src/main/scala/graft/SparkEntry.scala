@@ -3435,6 +3435,58 @@ object SparkEntry {
         .toDF("merge_rank", "left_sym", "right_sym", "matches_reference")
     }),
 
+    // q223: AUDIO SPECTRAL LANDMARKS — the per-window dominant-frequency
+    // peak a Shazam-style audio fingerprint keys on (Wang 2003), over a
+    // REAL FFT (radix-2, StrictMath twiddles — bit-identical argmax
+    // across platforms) of really-decoded PCM windows. Each doc's WAV
+    // plants one pure tone per 256-sample window at a closed-form bin,
+    // so the oracle replays every landmark exactly; quantization leakage
+    // is orders below the planted peak, making the argmax certain.
+    "q223_audio_peaks" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nw = (3 + id % 5).toInt
+          val bins = Array.tabulate(nw)(w => (1 + ((id + 3L * w) % 127)).toInt)
+          (id, multimodal.Media.syntheticToneWav(8000, 256, bins, 8000.0, 0))
+        }.toDF("doc_id", "blob")
+      multimodal.Media.audioSpectralPeaks(blobs, "doc_id", "blob", win = 256)
+    }),
+
+    // q224: CONTENT-BASED AUDIO DEDUP — the audio analog of q192's
+    // cross-encoding image phash gate: the FNV fold of the landmark
+    // sequence must IDENTIFY the same audio re-encoded at a different
+    // loudness and DC offset (argmax is scale-invariant; DC lands only
+    // in the excluded bin 0) and must SEPARATE audio whose dominant
+    // frequency differs in any window (+1-bin shift everywhere). Both
+    // invariances are computed from real FFTs in-query over every doc —
+    // the booleans are honest work, the oracle is their planted
+    // certainty.
+    "q224_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val nw = (3 + id % 5).toInt
+          val bins = Array.tabulate(nw)(w => (1 + ((id + 3L * w) % 127)).toInt)
+          val shifted = Array.tabulate(nw)(w => (1 + ((id + 3L * w + 1) % 127)).toInt)
+          Seq(
+            (id * 4, multimodal.Media.syntheticToneWav(8000, 256, bins, 8000.0, 0)),
+            (id * 4 + 1, multimodal.Media.syntheticToneWav(8000, 256, bins, 3000.0, 50)),
+            (id * 4 + 2, multimodal.Media.syntheticToneWav(8000, 256, shifted, 8000.0, 0)))
+        }.toDF("key", "blob")
+      multimodal.Media.audioFingerprint(keyed, "key", "blob", win = 256)
+        .select(expr("key div 4").as("doc_id"), pmod(col("key"), lit(4L)).as("v"),
+          col("fingerprint"))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("v") === 0L, col("fingerprint"))).as("f0"),
+          max(when(col("v") === 1L, col("fingerprint"))).as("f1"),
+          max(when(col("v") === 2L, col("fingerprint"))).as("f2"))
+        .select(col("doc_id"), (col("f0") === col("f1")).as("dup_detected"),
+          (col("f0") =!= col("f2")).as("distinct_detected"))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -7903,6 +7955,19 @@ object SparkEntry {
         |             (14, 's', 'lowest'), (15, 'wid', 'e'), (16, 'wid', 'er'),
         |             (17, 'wid', 'est'))
         |     AS m(merge_rank, left_sym, right_sym)""".stripMargin,
+    // q223: the planted tone bin per window is the closed form; window
+    // count is 3 + doc_id % 5 (generate_series upper bound inclusive)
+    "q223_audio_peaks" ->
+      """SELECT doc_id, CAST(uw.w AS BIGINT) AS win_idx,
+        |       CAST(1 + (doc_id + 3*uw.w) % 127 AS BIGINT) AS peak_bin
+        |FROM documents, unnest(generate_series(0, CAST(2 + doc_id % 5 AS BIGINT))) AS uw(w)
+        |WHERE doc_id IS NOT NULL""".stripMargin,
+    // q224: the invariance (same landmarks at amp 3000/offset 50) and the
+    // discrimination (+1-bin shift) are planted certainties; the booleans
+    // come from real in-query FFT fingerprints
+    "q224_audio_dedup" ->
+      """SELECT doc_id, TRUE AS dup_detected, TRUE AS distinct_detected
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection

@@ -321,6 +321,172 @@ object Media {
       .toDF(idCol, "win_idx", "n_in_win", "energy", "zero_crossings")
   }
 
+  /**
+   * In-place iterative radix-2 Cooley-Tukey FFT (decimation in time,
+   * bit-reversal reorder, per-stage twiddle recurrence). StrictMath
+   * twiddles so the spectrum — and thus every peak argmax below — is
+   * bit-identical across JVMs/platforms (Math.sin/cos are allowed
+   * platform variance; StrictMath is not).
+   */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"FFT length must be a power of 2, got $n")
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * StrictMath.PI / len
+      val wr = StrictMath.cos(ang); val wi = StrictMath.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cr = 1.0; var ci = 0.0
+        val half = len >> 1
+        var k = 0
+        while (k < half) {
+          val er = re(s + k); val ei = im(s + k)
+          val xr = re(s + k + half); val xi = im(s + k + half)
+          val or_ = xr * cr - xi * ci
+          val oi = xr * ci + xi * cr
+          re(s + k) = er + or_; im(s + k) = ei + oi
+          re(s + k + half) = er - or_; im(s + k + half) = ei - oi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Dominant spectral bin of samples[start, start+win): argmax of
+    * |FFT|² over bins 1..win/2-1 — DC (bin 0, where any constant offset
+    * lands) and Nyquist excluded; exact-tie breaks to the LOWEST bin, so
+    * the landmark is total and deterministic. */
+  private def peakBin(w: WavAudio, start: Int, win: Int): Int = {
+    val re = new Array[Double](win); val im = new Array[Double](win)
+    var i = 0
+    while (i < win) { re(i) = w.sample(start + i).toDouble; i += 1 }
+    fft(re, im)
+    var best = 1; var bestMag = re(1) * re(1) + im(1) * im(1)
+    var b = 2
+    while (b < win / 2) {
+      val m = re(b) * re(b) + im(b) * im(b)
+      if (m > bestMag) { bestMag = m; best = b }
+      b += 1
+    }
+    best
+  }
+
+  /**
+   * REAL audio spectral landmarks — the per-window dominant-frequency
+   * peaks a Shazam-style fingerprint keys on (Wang 2003's constellation,
+   * reduced to the strongest landmark per window): each decoded WAV
+   * splits into non-overlapping `win`-sample windows (power of 2;
+   * partial tails are DROPPED — a truncated window's spectrum is not
+   * comparable) and emits the dominant FFT bin per window. Rectangular
+   * window, bins 1..win/2-1 (excluding DC makes constant offsets
+   * invisible; argmax over a scaled spectrum is unchanged, so the
+   * landmark is loudness-invariant — the two invariances audio dedup
+   * needs). One narrow typed pass per blob, O(win log win) per window;
+   * non-WAV / non-PCM / null blobs are dropped.
+   */
+  def audioSpectralPeaks(df: DataFrame, idCol: String, binCol: String,
+      win: Int = 256): DataFrame = {
+    require(win >= 8 && (win & (win - 1)) == 0, s"win must be a power of 2 >= 8, got $win")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 != null).flatMap { case (id, bytes) =>
+          parseWav(bytes).iterator.flatMap { w =>
+            (0 to w.nSamples - win by win).iterator.map { start =>
+              (id, (start / win).toLong, peakBin(w, start, win).toLong)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "win_idx", "peak_bin")
+  }
+
+  /**
+   * Content-based audio fingerprint: the FNV-1a-64 fold of the
+   * [[audioSpectralPeaks]] landmark sequence, computed in the SAME
+   * narrow pass (no exchange — the per-doc fold never leaves the task).
+   * Same audio at a different volume or DC offset fingerprints
+   * IDENTICALLY (argmax/DC invariance above); different dominant
+   * frequencies anywhere diverge. Join fingerprints to dedup — the audio
+   * analog of the q192 image phash — or feed them to
+   * `Dedup.hammingPairs`-style banding via the landmark rows themselves.
+   * Returns (idCol, n_windows, fingerprint); docs without one full
+   * window are dropped.
+   */
+  def audioFingerprint(df: DataFrame, idCol: String, binCol: String,
+      win: Int = 256): DataFrame = {
+    require(win >= 8 && (win & (win - 1)) == 0, s"win must be a power of 2 >= 8, got $win")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2 != null).flatMap { case (id, bytes) =>
+          parseWav(bytes).iterator.flatMap { w =>
+            val nWins = w.nSamples / win
+            if (nWins == 0) Iterator.empty
+            else {
+              var h = -3750763034362895579L // FNV-1a 64 offset basis
+              var wi = 0
+              while (wi < nWins) {
+                h = (h ^ peakBin(w, wi * win, win)) * 1099511628211L
+                wi += 1
+              }
+              Iterator.single((id, nWins.toLong, h))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "n_windows", "fingerprint")
+  }
+
+  /**
+   * Deterministic tone-sequence WAV: window w of `bins.length` holds a
+   * pure sinusoid at FFT bin `bins(w)` (window-aligned phase, so the
+   * spectrum of each `win`-sample window concentrates at its planted
+   * bin), quantized to 16-bit at `amp` around `offset`. The
+   * [[audioSpectralPeaks]] fixture and the q223/q224 oracle closed form.
+   */
+  def syntheticToneWav(sampleRate: Int, win: Int, bins: Array[Int],
+      amp: Double, offset: Int): Array[Byte] = {
+    require(win >= 8 && (win & (win - 1)) == 0, s"win must be a power of 2 >= 8, got $win")
+    require(bins.forall(b => b >= 1 && b < win / 2), "tone bins must lie in 1..win/2-1")
+    require(amp > 0 && amp + math.abs(offset) < 32767, s"bad tone shape: amp=$amp offset=$offset")
+    val n = win * bins.length
+    val dataSize = n * 2
+    val bytes = new Array[Byte](44 + dataSize)
+    putAsciiAt(bytes, 0, "RIFF"); putLe32At(bytes, 4, 36 + dataSize); putAsciiAt(bytes, 8, "WAVE")
+    putAsciiAt(bytes, 12, "fmt "); putLe32At(bytes, 16, 16); putLe16At(bytes, 20, 1); putLe16At(bytes, 22, 1)
+    putLe32At(bytes, 24, sampleRate); putLe32At(bytes, 28, sampleRate * 2); putLe16At(bytes, 32, 2); putLe16At(bytes, 34, 16)
+    putAsciiAt(bytes, 36, "data"); putLe32At(bytes, 40, dataSize)
+    var i = 0
+    while (i < n) {
+      val w = i / win; val t = i - w * win
+      val s = offset + StrictMath.round(
+        amp * StrictMath.sin(2.0 * StrictMath.PI * bins(w) * t / win)).toInt
+      putLe16At(bytes, 44 + i * 2, s & 0xffff)
+      i += 1
+    }
+    bytes
+  }
+
   /** A parsed AVI: per-frame access over the `movi` list. Frames are
     * either raw bottom-up padded BGR DIBs ('00db') or baseline JPEGs
     * ('00dc' MJPEG — each chunk IS a standalone JPEG file, decoded

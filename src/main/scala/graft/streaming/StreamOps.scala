@@ -759,6 +759,43 @@ object StreamOps {
       .select(col(idCol), col("kind"), col("width"), col("height"), col("phash"))
 
   /**
+   * STREAMING content-based audio dedup signatures — the audio face of
+   * [[streamingImagePhash]]: each arriving micro-batch fingerprints its
+   * WAV blobs through the real FFT landmark fold
+   * ([[graft.multimodal.Media.audioFingerprint]]) and upserts
+   * `(idCol, n_windows, fingerprint, version)` into the bucket store.
+   * Re-ingesting an id supersedes (last-writer-wins on version); a blob
+   * that no longer decodes (or is shorter than one window) RETIRES the
+   * id — the row stays with a NULL fingerprint, so a corrupted re-upload
+   * stops pairing instead of serving its stale signature. Same takedown
+   * path as every store ([[deleteIdsFromStore]]).
+   */
+  def streamingAudioFingerprints(docs: DataFrame, idCol: String, binCol: String,
+      storePath: String, nBuckets: Int, checkpointDir: String,
+      win: Int = 256): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fps = graft.multimodal.Media.audioFingerprint(batch, idCol, binCol, win)
+        val rows = batch.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+          .join(fps, Seq(idCol), "left")
+          .select(col(idCol), col("n_windows"), col("fingerprint"),
+            lit(batchId).as("version"))
+        graft.sources.Sink.upsertBuckets(storePath, rows, idCol, "version", nBuckets)
+      }
+      .start()
+
+  /** Read the [[streamingAudioFingerprints]] store back as the decodable
+    * signature frame `(idCol, n_windows, fingerprint)` — retired
+    * (NULL-fingerprint) rows are excluded by contract. */
+  def audioFingerprintsFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, idCol: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .where(col("fingerprint").isNotNull)
+      .select(col(idCol), col("n_windows"), col("fingerprint"))
+
+  /**
    * STREAMING incremental near-dup detection — the streaming face of the
    * [[graft.operators.Dedup.minhashIndex]] / `incrementalNearDups` pair and
    * the end-to-end shape of a 100 TB dedup deployment: the corpus's banded

@@ -62,6 +62,12 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       s"expected exactly one hash exchange (the (train,eval) count):\n$p")
   }
 
+  it("q223 audio landmarks ride the scan: zero exchanges, doc_id-only read") {
+    val p = plan("q223_audio_peaks")
+    assert(!p.contains("Exchange"), s"FFT landmark pass must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
   it("q63 repetition metrics run in a single scan with zero exchanges") {
     val p = plan("q63_repetition")
     assert(!p.contains("Exchange"), s"repetition scan must not shuffle:\n$p")

@@ -1150,6 +1150,77 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
         Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "blob"), "id", "blob").count() === 0L)
     }
 
+    it("audioSpectralPeaks: FFT landmarks find planted tones, drop tails and non-WAV") {
+      // two full windows at bins 5 and 19, plus a 40-sample tail (dropped)
+      val tone = Media.syntheticToneWav(8000, 256, Array(5, 19), amp = 8000.0, offset = 0)
+      val padded = java.util.Arrays.copyOf(tone, tone.length + 80)
+      // fix RIFF/data sizes for the 40 extra (zero) samples
+      def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
+        b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+        b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+      }
+      putLe32(padded, 4, 36 + 512 * 2 + 80); putLe32(padded, 40, 512 * 2 + 80)
+      val got = Media.audioSpectralPeaks(Seq((3L, padded)).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long)].collect().sortBy(_._2)
+      assert(got.toSeq === Seq((3L, 0L, 5L), (3L, 1L, 19L)))
+      // stronger of two mixed tones wins the argmax
+      val a = Media.syntheticToneWav(8000, 256, Array(7), amp = 9000.0, offset = 0)
+      val b = Media.syntheticToneWav(8000, 256, Array(40), amp = 2000.0, offset = 0)
+      val mixed = a.clone()
+      var i = 0
+      while (i < 256) {
+        val sa = ((a(44 + i * 2) & 0xff) | (a(45 + i * 2) << 8)).toShort.toInt
+        val sb = ((b(44 + i * 2) & 0xff) | (b(45 + i * 2) << 8)).toShort.toInt
+        val s = sa + sb
+        mixed(44 + i * 2) = (s & 0xff).toByte; mixed(45 + i * 2) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val g2 = Media.audioSpectralPeaks(Seq((1L, mixed)).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long)].collect()
+      assert(g2.toSeq === Seq((1L, 0L, 7L)))
+      assert(Media.audioSpectralPeaks(
+        Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "blob"), "id", "blob").count() === 0L)
+    }
+
+    it("audioFingerprint: loudness/offset-invariant, content-sensitive, no-window drop") {
+      val bins = Array(5, 19, 44, 101)
+      def fp(amp: Double, off: Int, bs: Array[Int]): Long =
+        Media.audioFingerprint(
+          Seq((1L, Media.syntheticToneWav(8000, 256, bs, amp, off))).toDF("id", "blob"),
+          "id", "blob").as[(Long, Long, Long)].collect().head._3
+      val base = fp(8000.0, 0, bins)
+      // same content, quieter and DC-shifted -> identical fingerprint
+      assert(fp(3000.0, 50, bins) === base)
+      assert(fp(12000.0, -200, bins) === base)
+      // one landmark differs anywhere -> different fingerprint
+      assert(fp(8000.0, 0, Array(5, 19, 45, 101)) !== base)
+      assert(fp(8000.0, 0, Array(6, 19, 44, 101)) !== base)
+      // order matters (FNV fold is positional)
+      assert(fp(8000.0, 0, Array(19, 5, 44, 101)) !== base)
+      // n_windows rides along; sub-window audio drops
+      val rows = Media.audioFingerprint(
+        Seq((1L, Media.syntheticToneWav(8000, 256, bins, 8000.0, 0)),
+          (2L, Media.syntheticWav(8000, 100, 0L))).toDF("id", "blob"), "id", "blob")
+        .as[(Long, Long, Long)].collect()
+      assert(rows.map(r => (r._1, r._2)).toSet === Set((1L, 4L)))
+    }
+
+    it("fft: parseval + impulse sanity pins the kernel") {
+      // impulse at 0: flat unit spectrum
+      val re = new Array[Double](16); val im = new Array[Double](16)
+      re(0) = 1.0
+      Media.fft(re, im)
+      assert((0 until 16).forall(k => math.abs(re(k) - 1.0) < 1e-12 && math.abs(im(k)) < 1e-12))
+      // pure integer cosine at bin 3: energy concentrates at bins 3 and 13
+      val re2 = Array.tabulate(16)(i => StrictMath.round(
+        1000.0 * StrictMath.cos(2.0 * StrictMath.PI * 3 * i / 16)).toDouble)
+      val im2 = new Array[Double](16)
+      Media.fft(re2, im2)
+      val mags = (0 until 16).map(k => re2(k) * re2(k) + im2(k) * im2(k))
+      assert(mags(3) > 1e7 && mags(13) > 1e7)
+      assert((0 until 16).filterNot(k => k == 3 || k == 13).forall(k => mags(k) < mags(3) / 100))
+    }
+
     it("REALLY decodes uncompressed-DIB AVI frames: chunk walk, pixels, rejects") {
       val avi = Media.syntheticAvi(3, 2, 2, 5L)
       val v = Media.parseAvi(avi).get

@@ -968,6 +968,52 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingAudioFingerprints ≡ from-scratch audioFingerprint (store-maintained audio dedup)") {
+    it("re-ingests supersede; truncated re-uploads retire; loudness twins pair from the store") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.multimodal.Media
+      val store = java.nio.file.Files.createTempDirectory("au_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("au_ckpt").toString
+      val src = MemoryStream[(Long, Array[Byte])]
+      val q = StreamOps.streamingAudioFingerprints(src.toDF().toDF("clip_id", "blob"),
+        "clip_id", "blob", store, nBuckets = 4, checkpointDir = ckpt)
+      // batch 1: a clip and its quieter DC-shifted twin plus a distinct clip;
+      // batch 2 re-ingests id 3 with different tones and id 1 with a
+      // sub-window (undecodable-for-fingerprinting) blob
+      val bins = Array(5, 19, 44, 101)
+      val batches: Seq[Seq[(Long, Array[Byte])]] = Seq(
+        Seq((1L, Media.syntheticToneWav(8000, 256, bins, 8000.0, 0)),
+          (2L, Media.syntheticToneWav(8000, 256, bins, 3000.0, 50)),
+          (3L, Media.syntheticToneWav(8000, 256, Array(7, 21), 8000.0, 0))),
+        Seq((3L, Media.syntheticToneWav(8000, 256, Array(8, 22), 8000.0, 0)),
+          (1L, Media.syntheticWav(8000, 100, 0L))))
+      try {
+        val live = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.foreach { case (id, blob) => live(id) = blob }
+          val got = StreamOps.audioFingerprintsFromStore(spark, store, "clip_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          val scratch = Media.audioFingerprint(
+              live.toSeq.toDF("clip_id", "blob"), "clip_id", "blob")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          assert(got == scratch, s"store drifted after ${live.keySet}")
+        }
+        // batch 1's loudness twins fingerprinted identically
+        val fp1 = StreamOps.audioFingerprintsFromStore(spark, store, "clip_id")
+        assert(fp1.groupBy($"fingerprint").count().where($"count" === 2).count() === 0L,
+          "after retiring id 1, no pair should remain")
+        // the sub-window re-upload RETIRED id 1 (row kept, fingerprint null)
+        val raw = graft.sources.Sink.readStore(spark, store)
+        assert(raw.select($"clip_id").collect().map(_.getLong(0)).sorted.toSeq
+          == Seq(1L, 2L, 3L))
+        assert(raw.where($"clip_id" === 1L).collect().head.isNullAt(
+          raw.columns.indexOf("fingerprint")))
+      } finally q.stop()
+    }
+  }
+
   describe("streamingAnnCodes ≡ frozen-index re-encode (store-maintained ANN codes)") {
     it("upserts fold in, null-vector deletions tombstone; store equals scratch encode per batch") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1380,6 +1426,34 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         assert(pairs() === Set.empty)
         assert(StreamOps.phashFromStore(spark, store, "img_id")
           .select($"img_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      } finally q.stop()
+    }
+
+    it("audio fingerprint store: the deleted clip's signature stops matching") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.multimodal.Media
+      val store = java.nio.file.Files.createTempDirectory("td_au").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("td_au_ck").toString
+      val src = MemoryStream[(Long, Array[Byte])]
+      val q = StreamOps.streamingAudioFingerprints(src.toDF().toDF("clip_id", "blob"),
+        "clip_id", "blob", store, nBuckets = 4, checkpointDir = ckpt)
+      try {
+        // 1 and 2 are the same tones at different loudness/offset; 3 differs
+        val bins = Array(5, 19, 44)
+        src.addData(
+          (1L, Media.syntheticToneWav(8000, 256, bins, 8000.0, 0)),
+          (2L, Media.syntheticToneWav(8000, 256, bins, 3000.0, 50)),
+          (3L, Media.syntheticToneWav(8000, 256, Array(6, 20, 45), 8000.0, 0)))
+        q.processAllAvailable()
+        def dupGroups(): Set[Set[Long]] =
+          StreamOps.audioFingerprintsFromStore(spark, store, "clip_id")
+            .groupBy($"fingerprint")
+            .agg(org.apache.spark.sql.functions.collect_set($"clip_id").as("ids"))
+            .collect().map(_.getSeq[Long](1).toSet).toSet
+        assert(dupGroups() === Set(Set(1L, 2L), Set(3L)))
+        StreamOps.deleteIdsFromStore(store, Seq(2L).toDF("clip_id"), "clip_id",
+          version = 100L, nBuckets = 4)
+        assert(dupGroups() === Set(Set(1L), Set(3L)))
       } finally q.stop()
     }
 
