@@ -3487,6 +3487,95 @@ object SparkEntry {
           (col("f0") =!= col("f2")).as("distinct_detected"))
     }),
 
+    // q225: SITEMAP FRONTIER — the crawl DISCOVERY side (WARC ingests
+    // what was fetched; sitemaps declare what to fetch next): tolerant
+    // regex block extraction of <urlset> leaf entries and <sitemapindex>
+    // pointers, one narrow pass, shared patterns. Every doc plants
+    // either a leaf file (1 + id%3 urls, lastmod on even id+k) or an
+    // index (id%5==0, 2 pointers), so the oracle replays the closed form
+    // — including the dropped loc-less and the NULL-lastmod contracts.
+    "q225_sitemap_frontier" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+      val idStr = col("doc_id").cast("string")
+      val leaf = concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(sequence(lit(0L), pmod(col("doc_id"), lit(3L))), k =>
+          concat(lit("<url><loc> https://site"),
+            pmod(col("doc_id"), lit(7L)).cast("string"),
+            lit(".example/p"), idStr, lit("/"), k.cast("string"), lit(" </loc>"),
+            when(pmod(col("doc_id") + k, lit(2L)) === 0,
+              concat(lit("<lastmod>2026-01-0"),
+                (pmod(col("doc_id") + k, lit(9L)) + 1).cast("string"),
+                lit("</lastmod>"))).otherwise(lit("")),
+            lit("</url>"))), ""),
+        lit("<url><lastmod>2026-09-09</lastmod></url></urlset>"))
+      val index = concat(lit("<sitemapindex><sitemap><loc>https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example/sitemap-0.xml</loc><lastmod>2026-02-01</lastmod></sitemap>"),
+        lit("<sitemap><loc>https://site"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example/sitemap-1.xml</loc></sitemap></sitemapindex>"))
+      val xml = when(pmod(col("doc_id"), lit(5L)) === 0, index).otherwise(leaf)
+      sources.Feeds.sitemapEntries(
+        docs.select(col("doc_id"), xml.as("xml")), "doc_id", "xml")
+    }),
+
+    // q226: FEED ENTRIES — the freshness side of the frontier: RSS 2.0
+    // for even ids, Atom for odd (the real structural split: RSS links
+    // are element text, Atom links are href attributes), linkless items
+    // dropped, missing dates NULL, dates kept verbatim strings. Same
+    // narrow-extraction posture and closed-form oracle as q225.
+    "q226_feed_entries" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+      val idStr = col("doc_id").cast("string")
+      def items(body: Column => Column): Column =
+        array_join(transform(sequence(lit(0L), pmod(col("doc_id"), lit(2L))), body), "")
+      val rss = concat(lit("<rss version=\"2.0\"><channel><title>chan</title>"),
+        lit("<link>https://chan.example/</link>"),
+        items(k => concat(lit("<item><title>Post "), idStr, lit(" "), k.cast("string"),
+          lit("</title><link>https://blog"), pmod(col("doc_id"), lit(5L)).cast("string"),
+          lit(".example/"), idStr, lit("/"), k.cast("string"), lit("</link>"),
+          when(k === 0, concat(lit("<pubDate>Mon, 0"),
+            (pmod(col("doc_id"), lit(9L)) + 1).cast("string"),
+            lit(" Feb 2026 10:00:00 GMT</pubDate>"))).otherwise(lit("")),
+          lit("</item>"))),
+        lit("<item><title>linkless</title></item></channel></rss>"))
+      val atom = concat(lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>blog</title>"),
+        items(k => concat(lit("<entry><title>Post "), idStr, lit(" "), k.cast("string"),
+          lit("</title><link rel=\"alternate\" href=\"https://blog"),
+          pmod(col("doc_id"), lit(5L)).cast("string"),
+          lit(".example/"), idStr, lit("/"), k.cast("string"), lit("\"/>"),
+          when(k === 0, concat(lit("<updated>2026-08-0"),
+            (pmod(col("doc_id"), lit(9L)) + 1).cast("string"),
+            lit("T00:00:00Z</updated>"))).otherwise(lit("")),
+          lit("</entry>"))),
+        lit("</feed>"))
+      val xml = when(pmod(col("doc_id"), lit(2L)) === 0, rss).otherwise(atom)
+      sources.Feeds.feedEntries(
+        docs.select(col("doc_id"), xml.as("xml")), "doc_id", "xml")
+    }),
+
+    // q227: ANCHOR-TEXT AGGREGATION — what OTHER pages call a URL, the
+    // classic ranking/labeling signal extractLinks drops: (href, visible
+    // anchor text) pairs ride the scan (aligned dual-group extraction,
+    // inline tags stripped, entities decoded — gates the blockVisible
+    // path through anchors), then ONE map-side-combined aggregation per
+    // (target, anchor). The hrefless <a name> must not produce a row.
+    "q227_anchor_text" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+      val html = concat(lit("<p>c</p><a href=\"https://h"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example/t"), pmod(col("doc_id"), lit(11L)).cast("string"),
+        lit("\">Label "), pmod(col("doc_id"), lit(3L)).cast("string"),
+        lit(" <b>hot</b></a><a name=\"n\">skip</a><a rel=\"x\" href=\"https://h"),
+        pmod(col("doc_id") * 3, lit(7L)).cast("string"), lit(".example/t"),
+        pmod(col("doc_id") * 5, lit(11L)).cast("string"),
+        lit("\">Ref &amp; link</a>"))
+      docs.select(explode(functions.Text.anchorTexts(html)).as("a"))
+        .select(col("a.href").as("target"), col("a.anchor").as("anchor"))
+        .groupBy(col("target"), col("anchor"))
+        .agg(count(lit(1)).as("n_refs"))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -7968,6 +8057,50 @@ object SparkEntry {
     "q224_audio_dedup" ->
       """SELECT doc_id, TRUE AS dup_detected, TRUE AS distinct_detected
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+    // q225: the planted sitemap closed form — leaf urls for id%5<>0
+    // (entry_idx counts ALL <url> blocks, so the trailing loc-less block
+    // never shifts earlier indexes), index pointers for id%5=0
+    "q225_sitemap_frontier" ->
+      """SELECT doc_id, 'url' AS kind, CAST(u.k AS BIGINT) AS entry_idx,
+        |       'https://site' || (doc_id % 7) || '.example/p' || doc_id || '/' || u.k AS loc,
+        |       CASE WHEN (doc_id + u.k) % 2 = 0
+        |            THEN '2026-01-0' || (1 + (doc_id + u.k) % 9) END AS lastmod
+        |FROM documents, unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS u(k)
+        |WHERE doc_id IS NOT NULL AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT doc_id, 'sitemap' AS kind, CAST(u.k AS BIGINT) AS entry_idx,
+        |       'https://site' || (doc_id % 7) || '.example/sitemap-' || u.k || '.xml' AS loc,
+        |       CASE WHEN u.k = 0 THEN '2026-02-01' END AS lastmod
+        |FROM documents, unnest(generate_series(0, 1)) AS u(k)
+        |WHERE doc_id IS NOT NULL AND doc_id % 5 = 0""".stripMargin,
+    // q226: the planted feed closed form — RSS for even ids, Atom for
+    // odd; the trailing linkless RSS item produces no row; only item 0
+    // carries a date
+    "q226_feed_entries" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+        |       CAST(u.k AS BIGINT) AS item_idx,
+        |       'Post ' || doc_id || ' ' || u.k AS title,
+        |       'https://blog' || (doc_id % 5) || '.example/' || doc_id || '/' || u.k AS link,
+        |       CASE WHEN u.k = 0 THEN
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN 'Mon, 0' || (1 + doc_id % 9) || ' Feb 2026 10:00:00 GMT'
+        |              ELSE '2026-08-0' || (1 + doc_id % 9) || 'T00:00:00Z' END
+        |       END AS published
+        |FROM documents, unnest(generate_series(0, CAST(doc_id % 2 AS BIGINT))) AS u(k)
+        |WHERE doc_id IS NOT NULL""".stripMargin,
+    // q227: the planted anchors' closed form — the <b> strips to its
+    // text, &amp; decodes, the hrefless anchor vanishes
+    "q227_anchor_text" ->
+      """WITH a AS (
+        |  SELECT 'https://h' || (doc_id % 7) || '.example/t' || (doc_id % 11) AS target,
+        |         'Label ' || (doc_id % 3) || ' hot' AS anchor
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'https://h' || (doc_id * 3 % 7) || '.example/t' || (doc_id * 5 % 11),
+        |         'Ref & link'
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT target, anchor, count(*) AS n_refs FROM a GROUP BY 1, 2""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection

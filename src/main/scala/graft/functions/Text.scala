@@ -393,7 +393,7 @@ object Text {
 
   /** Visible text of ONE block: inline tags stripped, entities decoded
     * (the [[htmlStripSteps]] tail), whitespace squeezed, edges trimmed. */
-  private def blockVisible(b: Column): Column =
+  private[graft] def blockVisible(b: Column): Column =
     regexp_replace(
       htmlStripSteps.drop(3).foldLeft(b) { case (c, (p, r)) =>
         regexp_replace(c, lit(p), lit(r))
@@ -447,6 +447,29 @@ object Text {
 
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit(anchorHrefPattern), lit(1))
+
+  /** One full anchor with BOTH its href (group 1) and its inner markup
+    * (group 2) — [[anchorHrefPattern]]'s capture extended over the whole
+    * `<a ...>...</a>` span. Shared constant; RE2 ∩ Java subset. */
+  val anchorPairPattern: String =
+    "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /**
+   * (href, anchor) pairs of a page in document order — the web-search /
+   * quality signal [[extractLinks]] drops: what OTHER pages call a URL
+   * (anchor text) describes the target better than the target's own
+   * boilerplate, and aggregating it per target is a classic ranking and
+   * labeling input. The two `regexp_extract_all` calls share ONE pattern,
+   * so the arrays align match-for-match; anchor text is the VISIBLE text
+   * of the span (inline tags stripped, entities decoded, edges trimmed —
+   * the [[extractMainContent]] block rule). Anchors only, double-quoted
+   * hrefs only — the [[anchorHrefPattern]] contract. Zero exchanges.
+   */
+  def anchorTexts(html: Column): Column =
+    zip_with(
+      regexp_extract_all(html, lit(anchorPairPattern), lit(1)),
+      transform(regexp_extract_all(html, lit(anchorPairPattern), lit(2)), b => blockVisible(b)),
+      (h, t) => struct(h.as("href"), t.as("anchor")))
 
   /** Sentence segmentation — the unit between the token and the document
     * that sentence-level dedup/chunking/packing keys on. Deliberately a

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.SparkSuite
+
+/** Frontier feed extraction: sitemap leaf/index rows, RSS vs Atom item
+  * structure, the missing-field and damaged-blob contracts. */
+class FeedsSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  private def sitemapRows(xml: String): Seq[(String, Long, String, Option[String])] =
+    Feeds.sitemapEntries(Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3), Option(r.getString(4))))
+      .toSeq.sortBy(x => (x._1, x._2))
+
+  it("sitemap leaf: loc + optional lastmod per <url>, in file order") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        | <url><loc> https://a.example/1 </loc><lastmod>2026-01-02</lastmod></url>
+        | <url><loc>https://a.example/2</loc></url>
+        | <url><lastmod>2026-01-03</lastmod></url>
+        | <url><loc>https://a.example/3</loc><lastmod>2026-01-04</lastmod></url>
+        |</urlset>""".stripMargin
+    // the loc-less third <url> drops; indexes are per-match positions
+    assert(sitemapRows(xml) == Seq(
+      ("url", 0L, "https://a.example/1", Some("2026-01-02")),
+      ("url", 1L, "https://a.example/2", None),
+      ("url", 3L, "https://a.example/3", Some("2026-01-04"))))
+  }
+
+  it("sitemap index: pointer rows come out kind='sitemap'") {
+    val xml =
+      """<sitemapindex>
+        | <sitemap><loc>https://a.example/sitemap-1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>
+        | <sitemap><loc>https://a.example/sitemap-2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    assert(sitemapRows(xml) == Seq(
+      ("sitemap", 0L, "https://a.example/sitemap-1.xml", Some("2026-02-01")),
+      ("sitemap", 1L, "https://a.example/sitemap-2.xml", None)))
+  }
+
+  it("damaged sitemap XML yields only the well-formed blocks, never an error") {
+    val xml = "<urlset><url><loc>https://ok.example/x</loc></url><url><loc>https://torn"
+    assert(sitemapRows(xml) == Seq(("url", 0L, "https://ok.example/x", None)))
+    assert(sitemapRows("not xml at all") == Seq.empty)
+  }
+
+  private def feedRows(xml: String): Seq[(String, Long, Option[String], String, Option[String])] =
+    Feeds.feedEntries(Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), Option(r.getString(3)),
+        r.getString(4), Option(r.getString(5))))
+      .toSeq.sortBy(_._2)
+
+  it("RSS 2.0: title/link/pubDate per <item>; linkless items drop") {
+    val xml =
+      """<rss version="2.0"><channel>
+        | <title>Site feed</title><link>https://b.example/</link>
+        | <item><title>First</title><link>https://b.example/p1</link>
+        |   <pubDate>Mon, 02 Feb 2026 10:00:00 GMT</pubDate></item>
+        | <item><title>No link here</title></item>
+        | <item><link>https://b.example/p3</link></item>
+        |</channel></rss>""".stripMargin
+    // the channel-level <title>/<link> are OUTSIDE any <item>: not rows
+    assert(feedRows(xml) == Seq(
+      ("rss", 0L, Some("First"), "https://b.example/p1",
+        Some("Mon, 02 Feb 2026 10:00:00 GMT")),
+      ("rss", 2L, None, "https://b.example/p3", None)))
+  }
+
+  it("Atom: href attribute links, <updated> dates; root sniff separates formats") {
+    val xml =
+      """<feed xmlns="http://www.w3.org/2005/Atom">
+        | <title>Blog</title>
+        | <entry><title>A</title><link rel="alternate" href="https://c.example/a"/>
+        |   <updated>2026-03-04T05:06:07Z</updated></entry>
+        | <entry><title>B</title><link href="https://c.example/b"/></entry>
+        |</feed>""".stripMargin
+    assert(feedRows(xml) == Seq(
+      ("atom", 0L, Some("A"), "https://c.example/a", Some("2026-03-04T05:06:07Z")),
+      ("atom", 1L, Some("B"), "https://c.example/b", None)))
+    // a blob with neither root yields nothing
+    assert(feedRows("<html><body>not a feed</body></html>") == Seq.empty)
+  }
+
+  it("anchorTexts pairs hrefs with VISIBLE anchor text, aligned match-for-match") {
+    import org.apache.spark.sql.functions._
+    val html = "<p>intro</p><a href=\"https://t.example/1\">first <b>bold</b> text</a>" +
+      "<a name=\"skip\">no href</a>" +
+      "<a rel=\"x\" href=\"https://t.example/2\">B &amp; W</a>" +
+      "<a href=\"https://t.example/3\"><img src=\"i.png\"/></a>"
+    val got = Seq(Tuple1(html)).toDF("html")
+      .select(explode(graft.functions.Text.anchorTexts(col("html"))).as("a"))
+      .select(col("a.href"), col("a.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("https://t.example/1", "first bold text"),
+      ("https://t.example/2", "B & W"),
+      ("https://t.example/3", "")))
+  }
+}
