@@ -3576,6 +3576,78 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_refs"))
     }),
 
+    // q228: UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018 / SentencePiece) —
+    // the OTHER subword algorithm next to BPE: seed with frequent
+    // substrings, EM over each word's segmentation lattice, prune the
+    // weakest pieces to the target size. Expected counts are integer
+    // fixed-point (order-free distributed sums); the corpus is a FIXED
+    // 400 replicas of the q187 sentence — quantized EM is deliberately
+    // scale-DEPENDENT (counts enter before rounding), so the pin fixes
+    // corpus mass rather than pretending scale-invariance. The learner
+    // recovers exactly the true morphemes (est/low/new/er/slow/wid +
+    // the char floor); the in-query gate compares the collect-once face
+    // against the DISTRIBUTED EM face — exact by the fixed-point law.
+    "q228_unigram_learned" -> ((s, dir) => {
+      import s.implicits._
+      val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+      val planted = s.range(400).select(lit(sentence).as("text"))
+      val m = operators.Unigram.trainCollected(planted, "text", vocabSize = 16, seedSize = 48)
+      val d = operators.Unigram.trainDistributed(planted, "text", vocabSize = 16, seedSize = 48)
+      val gate = m.pieces == d.pieces
+      m.pieces.sortBy { case (p, e) => (-e, p) }.zipWithIndex
+        .map { case ((p, _), i) => (i.toLong, p, gate) }
+        .toDF("rank", "piece", "matches_distributed")
+    }),
+
+    // q229: UNIGRAM VITERBI SEGMENTATION — q228's model encodes its own
+    // corpus: most-probable piece sequence per distinct word (ties to
+    // the longer last piece), pinned as literals; round_trip gates that
+    // concatenating the pieces reproduces every word (the losslessness
+    // a tokenizer must have). Segmentation runs once per DISTINCT word
+    // (vocab memoization, the Bpe.tokenCounts shape).
+    "q229_unigram_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+      val planted = s.range(400).select(lit(sentence).as("text"))
+      val m = operators.Unigram.trainCollected(planted, "text", vocabSize = 16, seedSize = 48)
+      sentence.split(" ").distinct.toSeq
+        .map { w =>
+          val seg = operators.Unigram.segment(w, m)
+          (w, seg.length.toLong, seg.mkString("|"), seg.mkString("") == w)
+        }
+        .toDF("word", "n_pieces", "segmentation", "round_trip")
+    }),
+
+    // q230: RECRAWL SCHEDULING — the frontier composed against the crawl:
+    // what sites DECLARE (q225's sitemap extraction — every doc declares
+    // its captured url plus a never-captured /new sibling, with a
+    // lastmod stripe newer/older/absent vs the fixture's capture date)
+    // joins what the crawl HOLDS (the standing .warc.gz fixture through
+    // the real q205 transport), emitting fetch decisions: 'new' for
+    // undeclared-capture urls (incl. docs whose NULL text never entered
+    // the fixture), 'stale' where the declared signal postdates the
+    // capture, nothing where the capture is fresh or the signal unknown.
+    // ISO-8601 strings order lexicographically — the sitemap/WARC common
+    // format, asserted by the planted stripes.
+    "q230_recrawl_set" -> ((s, dir) => {
+      val root = ensureWarcFixture(s, dir)
+      val crawl = sources.Warc.readResponses(s, root).select(col("uri"), col("date"))
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+      val idStr = col("doc_id").cast("string")
+      val xml = concat(lit("<urlset><url><loc>https://crawl.example/doc/"), idStr,
+        lit("</loc>"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit("<lastmod>2026-02-01T00:00:00Z</lastmod>"))
+          .when(pmod(col("doc_id"), lit(3L)) === 1,
+            lit("<lastmod>2025-12-01T00:00:00Z</lastmod>"))
+          .otherwise(lit("")),
+        lit("</url><url><loc>https://crawl.example/doc/"), idStr,
+        lit("/new</loc></url></urlset>"))
+      val frontier = sources.Feeds.sitemapEntries(
+        docs.select(col("doc_id"), xml.as("xml")), "doc_id", "xml")
+      sources.Feeds.recrawlSet(frontier, "loc", "lastmod", crawl, "uri", "date")
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -8101,6 +8173,39 @@ object SparkEntry {
         |         'Ref & link'
         |  FROM documents WHERE doc_id IS NOT NULL)
         |SELECT target, anchor, count(*) AS n_refs FROM a GROUP BY 1, 2""".stripMargin,
+    // q228: the learned pieces pinned as literals (fixed 400-replica
+    // corpus ⇒ deterministic quantized EM); the gate carries
+    // collected ≡ distributed
+    "q228_unigram_learned" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, piece, TRUE AS matches_distributed
+        |FROM (VALUES (0, 'est'), (1, 'low'), (2, 'new'), (3, 'er'),
+        |             (4, 'slow'), (5, 'wid'), (6, 'r'), (7, 's'), (8, 'd'),
+        |             (9, 'e'), (10, 'i'), (11, 'l'), (12, 'n'), (13, 'o'),
+        |             (14, 't'), (15, 'w')) AS m(rank, piece)""".stripMargin,
+    // q229: the Viterbi segmentations pinned (the morphologically right
+    // ones — est/er suffixes split, stems stay whole); round_trip is the
+    // losslessness gate
+    "q229_unigram_tokens" ->
+      """SELECT word, CAST(n AS BIGINT) AS n_pieces, segmentation,
+        |       TRUE AS round_trip
+        |FROM (VALUES ('low', 1, 'low'), ('lower', 2, 'low|er'),
+        |             ('lowest', 2, 'low|est'), ('new', 1, 'new'),
+        |             ('newer', 2, 'new|er'), ('newest', 2, 'new|est'),
+        |             ('wide', 2, 'wid|e'), ('wider', 2, 'wid|er'),
+        |             ('widest', 2, 'wid|est'), ('slow', 1, 'slow'),
+        |             ('slowest', 2, 'slow|est'))
+        |     AS m(word, n, segmentation)""".stripMargin,
+    // q230: the fixture holds a capture (date 2026-01-01) for every doc
+    // with non-NULL text; /new siblings are never captured; the lastmod
+    // stripe makes id%3=0 stale, id%3=1 fresh, id%3=2 signal-less
+    "q230_recrawl_set" ->
+      """SELECT 'https://crawl.example/doc/' || doc_id AS url,
+        |       CASE WHEN text IS NULL THEN 'new' ELSE 'stale' END AS reason
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND (text IS NULL OR doc_id % 3 = 0)
+        |UNION ALL
+        |SELECT 'https://crawl.example/doc/' || doc_id || '/new', 'new'
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection

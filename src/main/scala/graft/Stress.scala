@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "scale")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "scale")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -73,6 +73,7 @@ object Stress {
     if (mode == "crawl") { crawlStudy(spark, sfDir); spark.stop(); return }
     if (mode == "bpe") { bpeStudy(spark, sfDir); spark.stop(); return }
     if (mode == "bpefast") { bpeFastStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "unigram") { unigramStudy(spark, sfDir); spark.stop(); return }
     if (mode == "scale") { scaleStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
@@ -1277,6 +1278,48 @@ object Stress {
       f"(${full.size / secs}%.0f merges/s; prefix(256) == reference — the " +
       "round-per-merge ceiling is CLOSED: a real tokenizer vocabulary is one " +
       "distributed aggregation + seconds of driver work)")
+    zipf.unpersist(): Unit
+  }
+
+  /**
+   * Unigram-LM training at its real workload (the `Stress bpefast`
+   * companion): an 8192-piece vocabulary over the wide-zipf 50k-word
+   * corpus through the collect-once face, the collected ≡ distributed
+   * fixed-point law re-verified at a mid-size config, and the Viterbi
+   * encode pass timed over the full corpus.
+   */
+  private def unigramStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Unigram
+    val base = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val wide = base.select(col("doc_id"), concat_ws(" ",
+      transform(sequence(lit(1), lit(10)),
+        i => conv(pmod(xxhash64(col("text"), i),
+          lit(2821109907456L)).cast("string"), 10, 36))).as("text"))
+    val zipf = wide.select(col("text"),
+        explode(sequence(lit(1), (pmod(col("doc_id"), lit(13L)) + 1).cast("int"))).as("__r"))
+      .select(monotonically_increasing_id().as("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (wide-zipf)")(zipf.count())
+    println(s"[stress] corpus: $n docs")
+    val (mid, _) = timedValue("collect-once train, vocabSize=1024 seedSize=4096")(
+      Unigram.trainCollected(zipf, "text", vocabSize = 1024, seedSize = 4096))
+    val (midD, _) = timedValue("DISTRIBUTED train, same config")(
+      Unigram.trainDistributed(zipf, "text", vocabSize = 1024, seedSize = 4096))
+    require(mid.pieces == midD.pieces,
+      "collected and distributed unigram faces diverged at scale")
+    println("[stress] collected == distributed at vocabSize=1024 (expect true)")
+    val (big, secs) = timedValue("collect-once train, vocabSize=8192 seedSize=32768")(
+      Unigram.trainCollected(zipf, "text", vocabSize = 8192, seedSize = 32768))
+    println(f"[stress] learned ${big.pieces.size} pieces in $secs%.1f s " +
+      "(the real-tokenizer target size; rounds are bounded by the prune " +
+      "schedule, never by vocabulary size)")
+    val (nTok, encSecs) = timedValue("Viterbi encode pass over the full corpus")(
+      Unigram.tokenCounts(zipf, "doc_id", "text", big)
+        .agg(sum(col("n_unigram_tokens"))).collect()(0).getLong(0))
+    println(f"[stress] encoded $n docs -> $nTok tokens in $encSecs%.1f s " +
+      "(vocab-memoized: the lattice runs once per DISTINCT word)")
     zipf.unpersist(): Unit
   }
 

@@ -1,0 +1,362 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * UNIGRAM-LM tokenizer training (Kudo 2018, "Subword Regularization" §3;
+ * the SentencePiece `--model_type=unigram` trainer) — the OTHER major
+ * subword algorithm next to BPE ([[Bpe.learnMerges]]): where BPE GROWS a
+ * vocabulary bottom-up by merging, the unigram LM SHRINKS one top-down —
+ * seed with frequent substrings, fit piece probabilities by EM over each
+ * word's segmentation lattice, prune the lowest-evidence pieces, repeat
+ * until the target size. Encoding is Viterbi (most probable
+ * segmentation).
+ *
+ * This is the algorithm's DETERMINISTIC CORE, reduced the way this repo
+ * reduces Boilerpipe or jusText: every stochastic or
+ * implementation-defined choice in the reference trainer is replaced by
+ * a pinned rule so two independent runs — and the two faces below —
+ * agree bit-for-bit:
+ *  - expected counts are INTEGER FIXED-POINT (quantized at
+ *    [[quantScale]] per word BEFORE any cross-word summation) — integer
+ *    sums commute exactly, so the distributed aggregation is independent
+ *    of partitioning and reduction order (the Classifier.nbCounts
+ *    discipline);
+ *  - all orderings (seed top-N, prune victims) tie-break
+ *    lexicographically;
+ *  - single-character pieces are never pruned and carry an expected-count
+ *    floor of 1, so every word stays segmentable (the coverage rule the
+ *    reference trainer enforces via required_chars).
+ *
+ * SCALE SHAPE — the same insight as [[Bpe.learnMergesCollected]]: the
+ * training state is the DISTINCT-WORD frequency frame (Heaps-bounded,
+ * sublinear in corpus mass), scanned out of the corpus exactly once.
+ * Two faces share the per-word lattice kernel:
+ * [[trainCollected]] collects the word frame once (`maxVocab`-guarded)
+ * and runs every EM/prune round at driver memory speed — the production
+ * path; [[trainDistributed]] keeps the word frame distributed and runs
+ * each EM iteration as one broadcast + one integer aggregation — the
+ * unbounded-vocabulary face (rounds are BOUNDED here, ~2 EM × ~log
+ * prune rounds, unlike BPE's one-per-merge). Collected ≡ distributed is
+ * exact by the fixed-point construction and gated in UnigramSpec and
+ * in-query by q228.
+ */
+object Unigram {
+
+  /** Longest candidate piece (the reference trainer's
+    * max_sentencepiece_length, shortened to the subword regime). */
+  val maxPieceLen: Int = 8
+
+  /** EM iterations between prunes (the reference default is 2). */
+  val emIters: Int = 2
+
+  /** Prune fraction per round: drop 1/5 of multi-char pieces. */
+  val shrinkNum: Int = 1
+  val shrinkDen: Int = 5
+
+  /** Fixed-point scale for per-word expected counts. */
+  val quantScale: Long = 1L << 16
+
+  /** A trained model: `(piece, evidence)` with integer fixed-point
+    * expected counts; probabilities derive as evidence / total. */
+  final case class UnigramModel(pieces: Seq[(String, Long)]) {
+    @transient lazy val total: Long = pieces.iterator.map(_._2).sum
+    @transient lazy val probs: Map[String, Double] =
+      pieces.iterator.map { case (s, e) => (s, e.toDouble / total.toDouble) }.toMap
+    /** Deterministic probability of a single UNKNOWN character at encode
+      * time (a char absent from training data must not make encoding
+      * partial): strictly below any trained piece. */
+    def unkProb: Double = 0.25 / total.toDouble
+  }
+
+  /**
+   * Per-word E-step: forward-backward over the segmentation lattice,
+   * emitting each in-vocabulary piece's expected count quantized to
+   * [[quantScale]] units. Pure function of (word, count, probs) — the
+   * kernel BOTH faces run, so their equivalence reduces to summation
+   * order, which integer quantization makes immaterial.
+   */
+  private[graft] def wordExpectedCounts(w: String, count: Long,
+      probs: scala.collection.Map[String, Double]): Iterator[(String, Long)] = {
+    val n = w.length
+    if (n == 0) return Iterator.empty
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var a = 0.0
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (alpha(j) > 0.0) {
+          val p = probs.getOrElse(w.substring(j, i), 0.0)
+          if (p > 0.0) a += alpha(j) * p
+        }
+        j += 1
+      }
+      alpha(i) = a
+      i += 1
+    }
+    if (alpha(n) <= 0.0) return Iterator.empty
+    val beta = new Array[Double](n + 1)
+    beta(n) = 1.0
+    var k = n - 1
+    while (k >= 0) {
+      var b = 0.0
+      val e = math.min(n, k + maxPieceLen)
+      var i2 = k + 1
+      while (i2 <= e) {
+        if (beta(i2) > 0.0) {
+          val p = probs.getOrElse(w.substring(k, i2), 0.0)
+          if (p > 0.0) b += p * beta(i2)
+        }
+        i2 += 1
+      }
+      beta(k) = b
+      k -= 1
+    }
+    val z = alpha(n)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var j2 = 0
+    while (j2 < n) {
+      if (alpha(j2) > 0.0) {
+        val e = math.min(n, j2 + maxPieceLen)
+        var i3 = j2 + 1
+        while (i3 <= e) {
+          val piece = w.substring(j2, i3)
+          val p = probs.getOrElse(piece, 0.0)
+          if (p > 0.0 && beta(i3) > 0.0) {
+            val ec = count.toDouble * (alpha(j2) * p * beta(i3) / z)
+            acc.update(piece, acc.getOrElse(piece, 0.0) + ec)
+          }
+          i3 += 1
+        }
+      }
+      j2 += 1
+    }
+    acc.iterator.map { case (s, v) => (s, math.round(v * quantScale)) }
+      .filter(_._2 > 0L)
+  }
+
+  /** Seed candidates of one word: every substring up to [[maxPieceLen]],
+    * weighted count × occurrences. */
+  private[graft] def wordSeeds(w: String, count: Long): Iterator[(String, Long)] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var j = 0
+    while (j < w.length) {
+      val e = math.min(w.length, j + maxPieceLen)
+      var i = j + 1
+      while (i <= e) {
+        val s = w.substring(j, i)
+        acc.update(s, acc.getOrElse(s, 0L) + count)
+        i += 1
+      }
+      j += 1
+    }
+    acc.iterator
+  }
+
+  /** One M-step + prune bookkeeping over integer piece sums, shared by
+    * both faces: single chars floor at 1 and never prune; prune rounds
+    * drop the weakest [[shrinkNum]]/[[shrinkDen]] of multi-char pieces
+    * (at least one, at most down to `vocabSize`) by
+    * (evidence asc, piece desc). Returns the new piece list. */
+  private def refit(sums: Map[String, Long], current: Seq[String], vocabSize: Int,
+      prune: Boolean): Seq[(String, Long)] = {
+    val fitted = current.map { s =>
+      val e = sums.getOrElse(s, 0L)
+      (s, if (s.length == 1) math.max(e, 1L) else e)
+    }
+    if (!prune) fitted.filter { case (s, e) => s.length == 1 || e > 0L }
+    else {
+      val (chars, multi) = fitted.partition(_._1.length == 1)
+      val live = multi.filter(_._2 > 0L)
+      val target = math.max(0, vocabSize - chars.size)
+      val excess = live.size - target
+      if (excess <= 0) chars ++ live
+      else {
+        val byWeakness = live.sortBy { case (s, e) => (e, s) }(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+        val nDrop = math.min(excess,
+          math.max(1, live.size * shrinkNum / shrinkDen))
+        val dropped = byWeakness.take(nDrop).map(_._1).toSet
+        chars ++ live.filterNot(p => dropped(p._1))
+      }
+    }
+  }
+
+  private def seedFromCounts(seedSums: Map[String, Long], seedSize: Int): Seq[(String, Long)] = {
+    val chars = seedSums.filter(_._1.length == 1)
+    val multi = seedSums.filter(_._1.length > 1).toSeq
+      .sortBy { case (s, e) => (-e, s) }
+      .take(math.max(0, seedSize - chars.size))
+    (chars.toSeq ++ multi).sortBy(_._1)
+  }
+
+  /** Loop exit shared by both faces: at target size, or nothing prunable
+    * is left (single chars never prune, so a vocabSize below the char
+    * inventory bottoms out at the inventory instead of looping). */
+  private def atTarget(model: UnigramModel, vocabSize: Int): Boolean =
+    model.pieces.size <= vocabSize || model.pieces.forall(_._1.length == 1)
+
+  private def emRounds(words: () => Iterator[(String, Long)],
+      seed: Seq[(String, Long)], vocabSize: Int): UnigramModel = {
+    var model = UnigramModel(seed)
+    while (!atTarget(model, vocabSize)) {
+      var iter = 0
+      while (iter < emIters) {
+        val sums = scala.collection.mutable.HashMap.empty[String, Long]
+        val probs = model.probs
+        words().foreach { case (w, c) =>
+          wordExpectedCounts(w, c, probs).foreach { case (s, e) =>
+            sums.update(s, sums.getOrElse(s, 0L) + e)
+          }
+        }
+        val prune = iter == emIters - 1
+        model = UnigramModel(refit(sums.toMap, model.pieces.map(_._1), vocabSize, prune))
+        iter += 1
+      }
+    }
+    model
+  }
+
+  /**
+   * COLLECT-ONCE production training (the [[Bpe.learnMergesCollected]]
+   * shape): one distributed word-count aggregation (`minCount` floor,
+   * `maxVocab`-guarded collect), then the full seed → (EM × prune) →
+   * target-size loop at driver memory speed.
+   */
+  def trainCollected(docs: DataFrame, textCol: String, vocabSize: Int,
+      seedSize: Int, minCount: Long = 1L, maxVocab: Int = 4000000): UnigramModel = {
+    require(vocabSize >= 1 && seedSize >= vocabSize,
+      s"need seedSize >= vocabSize >= 1, got seed=$seedSize vocab=$vocabSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.where(col(textCol).isNotNull)
+      .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .limit(maxVocab + 1)
+      .as[(String, Long)].collect()
+    require(vocab.length <= maxVocab,
+      s"distinct-word vocabulary exceeds maxVocab=$maxVocab after the minCount=$minCount " +
+        "floor — raise minCount or maxVocab")
+    val seedSums = scala.collection.mutable.HashMap.empty[String, Long]
+    vocab.foreach { case (w, c) =>
+      wordSeeds(w, c).foreach { case (s, e) => seedSums.update(s, seedSums.getOrElse(s, 0L) + e) }
+    }
+    emRounds(() => vocab.iterator, seedFromCounts(seedSums.toMap, seedSize), vocabSize)
+  }
+
+  /**
+   * DISTRIBUTED training face for the unbounded-vocabulary regime: the
+   * word frame stays a Dataset; each EM iteration is one broadcast of
+   * the (vocab-bounded) piece probabilities + one integer expected-count
+   * aggregation; the piece frame that reaches the driver is
+   * MODEL-bounded, never corpus-bounded. Exactly equal to
+   * [[trainCollected]] at `minCount = 1` by the fixed-point construction
+   * (gated in UnigramSpec and q228).
+   */
+  def trainDistributed(docs: DataFrame, textCol: String, vocabSize: Int,
+      seedSize: Int): UnigramModel = {
+    require(vocabSize >= 1 && seedSize >= vocabSize,
+      s"need seedSize >= vocabSize >= 1, got seed=$seedSize vocab=$vocabSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.where(col(textCol).isNotNull)
+      .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val seedSums = words.flatMap { case (w, c) => wordSeeds(w, c) }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().toMap
+      var model = UnigramModel(seedFromCounts(seedSums, seedSize))
+      while (!atTarget(model, vocabSize)) {
+        var iter = 0
+        while (iter < emIters) {
+          val bc = spark.sparkContext.broadcast(model.probs)
+          val sums = words.flatMap { case (w, c) => wordExpectedCounts(w, c, bc.value) }
+            .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+            .collect().toMap
+          bc.destroy()
+          val prune = iter == emIters - 1
+          model = UnigramModel(refit(sums, model.pieces.map(_._1), vocabSize, prune))
+          iter += 1
+        }
+      }
+      model
+    } finally { words.unpersist(): Unit }
+  }
+
+  /**
+   * Viterbi segmentation of one word — most probable piece sequence;
+   * exact-score ties prefer the LONGER last piece (smaller split point),
+   * making the rule total and deterministic. Single characters absent
+   * from the model segment as themselves at [[UnigramModel.unkProb]]
+   * (strictly below any trained piece), so encoding never fails.
+   */
+  def segment(w: String, model: UnigramModel): Vector[String] = {
+    val n = w.length
+    if (n == 0) return Vector.empty
+    val probs = model.probs
+    val unk = model.unkProb
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    best(0) = 1.0
+    java.util.Arrays.fill(back, -1)
+    var i = 1
+    while (i <= n) {
+      var b = 0.0
+      var bj = -1
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) > 0.0) {
+          val piece = w.substring(j, i)
+          val p = probs.getOrElse(piece,
+            if (i - j == 1) unk else 0.0)
+          if (p > 0.0) {
+            val s = best(j) * p
+            if (s > b || (s == b && j < bj)) { b = s; bj = j }
+          }
+        }
+        j += 1
+      }
+      best(i) = b; back(i) = bj
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val j = back(pos)
+      out += w.substring(j, pos)
+      pos = j
+    }
+    out.reverseIterator.toVector
+  }
+
+  /**
+   * Per-document unigram token counts `(idCol, n_unigram_tokens)` — the
+   * [[Bpe.tokenCounts]] shape with Viterbi instead of merge replay:
+   * segmentation is a pure function of the word, so the lattice runs
+   * once per DISTINCT word (vocab memoization) and joins back.
+   */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      model: UnigramModel,
+      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("__w"))
+    val wc = words.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { wc.unpersist(); () })
+    val enc = wc.select(col("__w")).distinct().as[String]
+      .mapPartitions { it => it.map(w => (w, segment(w, model).length.toLong)) }
+      .toDF("__w", "__nt")
+    wc.join(enc, "__w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__n") * col("__nt")).as("n_unigram_tokens"))
+  }
+}

@@ -113,4 +113,36 @@ object Feeds {
       .unionByName(
         entries("(?is)<feed[\\s>]", atomEntryBlockPattern, "atom", atomLinkPattern, atomDatePattern))
   }
+
+  /**
+   * The RECRAWL SET — the scheduling decision the frontier exists for:
+   * join what sites DECLARE (frontier urls + freshness signals) against
+   * what the crawl HOLDS (captured urls + capture dates) and emit what
+   * to fetch, with the reason:
+   *  - `'new'`   — declared but never captured;
+   *  - `'stale'` — captured, but the declared signal postdates the
+   *    capture (strict `signal > date` on ISO-8601 strings, which order
+   *    lexicographically — the sitemap-lastmod / Atom-updated /
+   *    WARC-Date common format; non-ISO signals like RSS pubDate
+   *    compare meaninglessly and belong normalized upstream).
+   * A frontier row with NO signal against an existing capture stays
+   * fresh (an unknown lastmod cannot justify a refetch); unknown urls
+   * fetch regardless. One url-keyed join — frontier frames are
+   * protocol-small, so the planner broadcasts them against a corpus-
+   * sized crawl store and degrades to an AQE-splittable shuffle only
+   * when the frontier itself is corpus-sized.
+   */
+  def recrawlSet(frontier: DataFrame, urlCol: String, signalCol: String,
+      crawl: DataFrame, crawlUrlCol: String, dateCol: String): DataFrame = {
+    val f = frontier.select(col(urlCol).as("url"), col(signalCol).as("__sig"))
+    val c = crawl.groupBy(col(crawlUrlCol).as("url"))
+      .agg(max(col(dateCol)).as("__seen"))
+    f.join(c, Seq("url"), "left")
+      .select(col("url"),
+        when(col("__seen").isNull, "new")
+          .when(col("__sig").isNotNull && col("__sig") > col("__seen"), "stale")
+          .as("reason"))
+      .where(col("reason").isNotNull)
+      .distinct()
+  }
 }

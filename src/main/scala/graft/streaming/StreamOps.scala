@@ -759,6 +759,55 @@ object StreamOps {
       .select(col(idCol), col("kind"), col("width"), col("height"), col("phash"))
 
   /**
+   * STREAMING crawl frontier — sitemap and feed documents arriving as a
+   * `(src, xml)` stream maintain the standing TO-FETCH side of the crawl
+   * ([[streamingCrawl]] maintains the FETCHED side): each micro-batch
+   * extracts through the shared [[graft.sources.Feeds]] kernels and
+   * upserts one `(url, kind, last_signal, version)` row per declared
+   * url — sitemap leaf urls and feed entries carry their freshness
+   * signal (lastmod / published), index pointers enqueue as
+   * `kind = 'sitemap'` for further fetching. Re-declared urls supersede
+   * (last-writer-wins); duplicate urls INSIDE a batch reduce to the
+   * maximal (kind, signal) first so replays are idempotent — the
+   * [[streamingCrawl]] discipline. Feed the store to
+   * [[graft.sources.Feeds.recrawlSet]] against the crawl store for the
+   * scheduling decision.
+   */
+  def streamingFrontier(files: DataFrame, storePath: String, nBuckets: Int,
+      checkpointDir: String): StreamingQuery =
+    files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sink.upsertBuckets(storePath,
+          frontierRows(batch).withColumn("version", lit(batchId)),
+          "url", "version", nBuckets)
+      }
+      .start()
+
+  /** The batch kernel of [[streamingFrontier]]: `(src, xml)` documents →
+    * one `(url, kind, last_signal)` row per declared url. Shared with
+    * the batch-equivalence gate so the faces cannot drift. */
+  private[graft] def frontierRows(files: DataFrame): DataFrame = {
+    val maps = graft.sources.Feeds.sitemapEntries(files, "src", "xml")
+      .select(col("loc").as("url"), col("kind"), col("lastmod").as("last_signal"))
+    val feeds = graft.sources.Feeds.feedEntries(files, "src", "xml")
+      .select(col("link").as("url"), lit("feed").as("kind"),
+        col("published").as("last_signal"))
+    maps.unionByName(feeds)
+      .groupBy(col("url"))
+      .agg(max(struct(col("kind"), col("last_signal"))).as("__w"))
+      .select(col("url"), col("__w.kind").as("kind"),
+        col("__w.last_signal").as("last_signal"))
+  }
+
+  /** The CURRENT frontier of a [[streamingFrontier]] store. */
+  def frontierFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col("url"), col("kind"), col("last_signal"))
+
+  /**
    * STREAMING content-based audio dedup signatures — the audio face of
    * [[streamingImagePhash]]: each arriving micro-batch fingerprints its
    * WAV blobs through the real FFT landmark fold

@@ -86,6 +86,28 @@ class FeedsSpec extends AnyFunSpec with SparkSuite {
     assert(feedRows("<html><body>not a feed</body></html>") == Seq.empty)
   }
 
+  it("recrawlSet: new urls fetch, postdating signals go stale, unknown signals stay fresh") {
+    val frontier = Seq(
+      ("https://a.example/1", Some("2026-02-01T00:00:00Z")), // newer -> stale
+      ("https://a.example/2", Some("2025-12-01T00:00:00Z")), // older -> fresh
+      ("https://a.example/3", None),                         // no signal -> fresh
+      ("https://a.example/4", None),                         // never crawled -> new
+      ("https://a.example/5", Some("2026-02-01T00:00:00Z"))  // never crawled -> new
+    ).toDF("url", "sig")
+    val crawl = Seq(
+      ("https://a.example/1", "2026-01-01T00:00:00Z"),
+      ("https://a.example/2", "2026-01-01T00:00:00Z"),
+      ("https://a.example/3", "2026-01-01T00:00:00Z"),
+      // a re-crawled url keeps its LATEST capture date
+      ("https://a.example/1", "2025-06-01T00:00:00Z")).toDF("uri", "date")
+    val got = Feeds.recrawlSet(frontier, "url", "sig", crawl, "uri", "date")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("https://a.example/1", "stale"),
+      ("https://a.example/4", "new"),
+      ("https://a.example/5", "new")))
+  }
+
   it("anchorTexts pairs hrefs with VISIBLE anchor text, aligned match-for-match") {
     import org.apache.spark.sql.functions._
     val html = "<p>intro</p><a href=\"https://t.example/1\">first <b>bold</b> text</a>" +

@@ -968,6 +968,51 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingFrontier ≡ from-scratch frontierRows (store-maintained crawl frontier)") {
+    it("sitemaps and feeds fold in, re-declarations supersede, takedown removes") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("fr_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("fr_ckpt").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingFrontier(src.toDF().toDF("src", "xml"),
+        store, nBuckets = 4, checkpointDir = ckpt)
+      val batches: Seq[Seq[(Long, String)]] = Seq(
+        Seq(
+          (1L, "<urlset><url><loc>https://a.example/1</loc>" +
+            "<lastmod>2026-01-05</lastmod></url>" +
+            "<url><loc>https://a.example/2</loc></url></urlset>"),
+          (2L, "<feed><entry><title>t</title><link href=\"https://a.example/3\"/>" +
+            "<updated>2026-01-06</updated></entry></feed>")),
+        // re-declare url 1 with a newer lastmod; add an index pointer
+        Seq((3L, "<urlset><url><loc>https://a.example/1</loc>" +
+          "<lastmod>2026-02-07</lastmod></url></urlset>"),
+          (4L, "<sitemapindex><sitemap><loc>https://a.example/more.xml</loc>" +
+            "</sitemap></sitemapindex>")))
+      try {
+        val live = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          live ++= b
+          val got = StreamOps.frontierFromStore(spark, store)
+            .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+          // scratch: later batches overwrite earlier urls (doc-wholesale),
+          // which for this data equals re-running the kernel on the union
+          val scratch = StreamOps.frontierRows(live.toSeq.toDF("src", "xml"))
+            .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+          assert(got == scratch, s"store drifted after batch ${live.size}")
+        }
+        assert(StreamOps.frontierFromStore(spark, store)
+          .where($"url" === "https://a.example/1")
+          .collect().map(_.getString(2)).toSeq == Seq("2026-02-07"))
+        StreamOps.deleteIdsFromStore(store, Seq("https://a.example/2").toDF("url"), "url",
+          version = 100L, nBuckets = 4)
+        assert(!StreamOps.frontierFromStore(spark, store)
+          .collect().map(_.getString(0)).contains("https://a.example/2"))
+      } finally q.stop()
+    }
+  }
+
   describe("streamingAudioFingerprints ≡ from-scratch audioFingerprint (store-maintained audio dedup)") {
     it("re-ingests supersede; truncated re-uploads retire; loudness twins pair from the store") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
