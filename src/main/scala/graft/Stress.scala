@@ -1166,6 +1166,25 @@ object Stress {
     * the distributed round count — the whole point of batching is
     * rounds << merges. Gates batched == sequential-reference on a sampled
     * vocabulary prefix as a sanity cross-check at scale. */
+  /** The tokenizer studies' shared corpus shapes — ONE definition because
+    * `bpe`, `bpefast`, and `unigram` quote each other's numbers, so their
+    * corpora must stay byte-identical: `wideCorpus` draws ~50k distinct
+    * hash-derived base-36 words at weight ~1 (10 per doc);
+    * `zipfReplicated` replays it under 1..13-fold doc replication — the
+    * Zipf-weighted real-corpus shape. */
+  private def wideCorpus(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), concat_ws(" ",
+        transform(sequence(lit(1), lit(10)),
+          i => conv(pmod(xxhash64(col("text"), i),
+            lit(2821109907456L)).cast("string"), 10, 36))).as("text"))
+
+  private def zipfReplicated(wide: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    wide.select(col("text"),
+        explode(sequence(lit(1), (pmod(col("doc_id"), lit(13L)) + 1).cast("int"))).as("__r"))
+      .select(col("text"))
+
   private def bpeStudy(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.Bpe
     import spark.implicits._
@@ -1184,13 +1203,8 @@ object Stress {
     // real corpus, where weighted sums keep the tail diverse. At real
     // corpus mass (counts in the millions at merge 32k) exact ties are
     // rare and the rate approaches the batch size.
-    val wide = base.select(col("doc_id"), concat_ws(" ",
-      transform(sequence(lit(1), lit(10)),
-        i => conv(pmod(xxhash64(col("text"), i),
-          lit(2821109907456L)).cast("string"), 10, 36))).as("text"))
-    val zipf = wide.select(col("text"),
-        explode(sequence(lit(1), (pmod(col("doc_id"), lit(13L)) + 1).cast("int"))).as("__r"))
-      .select(col("text"))
+    val wide = wideCorpus(spark, sfDir)
+    val zipf = zipfReplicated(wide)
     for ((label, corpus) <- Seq(
         ("natural", natural), ("wide-vocab", wide.select(col("text"))),
         ("wide-zipf", zipf))) {
@@ -1246,16 +1260,7 @@ object Stress {
   private def bpeFastStudy(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.Bpe
     import spark.implicits._
-    val base = SparkEntry.tbl(spark, sfDir, "documents")
-      .where(col("doc_id").isNotNull && col("text").isNotNull)
-      .select(col("doc_id"), col("text"))
-    val wide = base.select(col("doc_id"), concat_ws(" ",
-      transform(sequence(lit(1), lit(10)),
-        i => conv(pmod(xxhash64(col("text"), i),
-          lit(2821109907456L)).cast("string"), 10, 36))).as("text"))
-    val zipf = wide.select(col("text"),
-        explode(sequence(lit(1), (pmod(col("doc_id"), lit(13L)) + 1).cast("int"))).as("__r"))
-      .select(col("text"))
+    val zipf = zipfReplicated(wideCorpus(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val n = timed("corpus build (wide-zipf)")(zipf.count())
     val vocab = zipf
@@ -1290,15 +1295,7 @@ object Stress {
    */
   private def unigramStudy(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.Unigram
-    val base = SparkEntry.tbl(spark, sfDir, "documents")
-      .where(col("doc_id").isNotNull && col("text").isNotNull)
-      .select(col("doc_id"), col("text"))
-    val wide = base.select(col("doc_id"), concat_ws(" ",
-      transform(sequence(lit(1), lit(10)),
-        i => conv(pmod(xxhash64(col("text"), i),
-          lit(2821109907456L)).cast("string"), 10, 36))).as("text"))
-    val zipf = wide.select(col("text"),
-        explode(sequence(lit(1), (pmod(col("doc_id"), lit(13L)) + 1).cast("int"))).as("__r"))
+    val zipf = zipfReplicated(wideCorpus(spark, sfDir))
       .select(monotonically_increasing_id().as("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val n = timed("corpus build (wide-zipf)")(zipf.count())

@@ -93,22 +93,9 @@ object Bpe {
       unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
     require(merges.distinct.size == merges.size, "duplicate merge pairs are ambiguous")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val ranks = merges.zipWithIndex.toMap
-    val words = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("__w"))
-    // TWO consumers (the vocab kernel and the join-back side) — persist
-    val wc = words.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    unpersistHook(() => { wc.unpersist(); () })
-    val enc = wc.select(col("__w")).distinct().as[String]
-      .mapPartitions { it =>
-        it.map(w => (w, applyMerges(w, ranks).length.toLong))
-      }.toDF("__w", "__nt")
-    wc.join(enc, "__w")
-      .groupBy(col(idCol))
-      .agg(sum(col("__n") * col("__nt")).as("n_bpe_tokens"))
+    WordFrames.memoizedTokenCounts(docs, idCol, textCol, "n_bpe_tokens",
+      unpersistHook)(w => applyMerges(w, ranks).length.toLong)
   }
 
   /** Merge one adjacent pair everywhere, leftmost-first non-overlapping —
@@ -283,22 +270,9 @@ object Bpe {
    * with the floor to raise rather than OOMing the driver.
    */
   def learnMergesCollected(docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 1L, maxVocab: Int = 4000000): Seq[(String, String)] = {
-    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val vocab = docs.where(col(textCol).isNotNull)
-      .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= minCount)
-      .limit(maxVocab + 1)
-      .as[(String, Long)].collect()
-    require(vocab.length <= maxVocab,
-      s"distinct-word vocabulary exceeds maxVocab=$maxVocab after the minCount=$minCount " +
-        "floor — raise minCount (the standard trainer response) or maxVocab")
-    learnMergesFast(vocab.toMap, nMerges)
-  }
+      minCount: Long = 1L, maxVocab: Int = 4000000): Seq[(String, String)] =
+    learnMergesFast(
+      WordFrames.collectWordCounts(docs, textCol, minCount, maxVocab).toMap, nMerges)
 
   /**
    * Incremental driver-local learner — same induction rule and

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -77,56 +77,75 @@ object Unigram {
    * kernel BOTH faces run, so their equivalence reduces to summation
    * order, which integer quantization makes immaterial.
    */
+  private val logZero = Double.NegativeInfinity
+
+  /** log(Σ exp(xs)) accumulated incrementally: logAdd(a, b) with fixed
+    * argument roles, so the evaluation order — and thus the bits — is
+    * pinned by the caller's loop order. StrictMath transcendentals keep
+    * the result platform-identical. */
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == logZero) b
+    else if (b == logZero) a
+    else if (a >= b) a + StrictMath.log1p(StrictMath.exp(b - a))
+    else b + StrictMath.log1p(StrictMath.exp(a - b))
+
   private[graft] def wordExpectedCounts(w: String, count: Long,
       probs: scala.collection.Map[String, Double]): Iterator[(String, Long)] = {
+    // LOG-SPACE forward-backward: linear-space path masses underflow to
+    // 0.0 around 50-300 chars (a URL or base64 token — routine in web
+    // corpora), which would silently drop the word from training; log
+    // space is exact down to exp(-1e308)-scale masses
     val n = w.length
     if (n == 0) return Iterator.empty
     val alpha = new Array[Double](n + 1)
-    alpha(0) = 1.0
+    java.util.Arrays.fill(alpha, logZero)
+    alpha(0) = 0.0
     var i = 1
     while (i <= n) {
-      var a = 0.0
+      var a = logZero
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
-        if (alpha(j) > 0.0) {
+        if (alpha(j) != logZero) {
           val p = probs.getOrElse(w.substring(j, i), 0.0)
-          if (p > 0.0) a += alpha(j) * p
+          if (p > 0.0) a = logAdd(a, alpha(j) + StrictMath.log(p))
         }
         j += 1
       }
       alpha(i) = a
       i += 1
     }
-    if (alpha(n) <= 0.0) return Iterator.empty
+    if (alpha(n) == logZero) return Iterator.empty
     val beta = new Array[Double](n + 1)
-    beta(n) = 1.0
+    java.util.Arrays.fill(beta, logZero)
+    beta(n) = 0.0
     var k = n - 1
     while (k >= 0) {
-      var b = 0.0
+      var b = logZero
       val e = math.min(n, k + maxPieceLen)
       var i2 = k + 1
       while (i2 <= e) {
-        if (beta(i2) > 0.0) {
+        if (beta(i2) != logZero) {
           val p = probs.getOrElse(w.substring(k, i2), 0.0)
-          if (p > 0.0) b += p * beta(i2)
+          if (p > 0.0) b = logAdd(b, StrictMath.log(p) + beta(i2))
         }
         i2 += 1
       }
       beta(k) = b
       k -= 1
     }
-    val z = alpha(n)
+    val lz = alpha(n)
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var j2 = 0
     while (j2 < n) {
-      if (alpha(j2) > 0.0) {
+      if (alpha(j2) != logZero) {
         val e = math.min(n, j2 + maxPieceLen)
         var i3 = j2 + 1
         while (i3 <= e) {
           val piece = w.substring(j2, i3)
           val p = probs.getOrElse(piece, 0.0)
-          if (p > 0.0 && beta(i3) > 0.0) {
-            val ec = count.toDouble * (alpha(j2) * p * beta(i3) / z)
+          if (p > 0.0 && beta(i3) != logZero) {
+            val ec = count.toDouble * StrictMath.exp(
+              alpha(j2) + StrictMath.log(p) + beta(i3) - lz)
             acc.update(piece, acc.getOrElse(piece, 0.0) + ec)
           }
           i3 += 1
@@ -185,12 +204,26 @@ object Unigram {
     }
   }
 
-  private def seedFromCounts(seedSums: Map[String, Long], seedSize: Int): Seq[(String, Long)] = {
-    val chars = seedSums.filter(_._1.length == 1)
-    val multi = seedSums.filter(_._1.length > 1).toSeq
-      .sortBy { case (s, e) => (-e, s) }
-      .take(math.max(0, seedSize - chars.size))
-    (chars.toSeq ++ multi).sortBy(_._1)
+  /**
+   * Seed selection, DISTRIBUTED for both faces: the substring-candidate
+   * frame is ~maxPieceLen × word mass — far larger than the word frame
+   * itself — so it must never materialize on the driver (only the
+   * charset-bounded single-char slice and the `seedSize`-bounded top of
+   * the multi-char ranking collect). Deterministic: top-N by
+   * (weight desc, piece asc), the repo's orderBy+limit tie-break rule.
+   */
+  private def seedFrame(words: Dataset[(String, Long)], seedSize: Int): Seq[(String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val sums = words.flatMap { case (w, c) => wordSeeds(w, c) }
+      .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .map { case (s, e) => (s, e) }
+    val chars = sums.filter(_._1.length == 1).collect().toSeq
+    val nMulti = math.max(0, seedSize - chars.size)
+    val multi = sums.filter(_._1.length > 1).toDF("piece", "w")
+      .orderBy(col("w").desc, col("piece").asc).limit(nMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (chars ++ multi).sortBy(_._1)
   }
 
   /** Loop exit shared by both faces: at target size, or nothing prunable
@@ -230,22 +263,22 @@ object Unigram {
       seedSize: Int, minCount: Long = 1L, maxVocab: Int = 4000000): UnigramModel = {
     require(vocabSize >= 1 && seedSize >= vocabSize,
       s"need seedSize >= vocabSize >= 1, got seed=$seedSize vocab=$vocabSize")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val vocab = docs.where(col(textCol).isNotNull)
-      .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= minCount)
-      .limit(maxVocab + 1)
-      .as[(String, Long)].collect()
-    require(vocab.length <= maxVocab,
-      s"distinct-word vocabulary exceeds maxVocab=$maxVocab after the minCount=$minCount " +
-        "floor — raise minCount or maxVocab")
-    val seedSums = scala.collection.mutable.HashMap.empty[String, Long]
-    vocab.foreach { case (w, c) =>
-      wordSeeds(w, c).foreach { case (s, e) => seedSums.update(s, seedSums.getOrElse(s, 0L) + e) }
-    }
-    emRounds(() => vocab.iterator, seedFromCounts(seedSums.toMap, seedSize), vocabSize)
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val words = WordFrames.wordCounts(docs, textCol)
+      .filter(_._2 >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // seed selection stays DISTRIBUTED even on the collect-once path:
+      // the substring-candidate mass is ~maxPieceLen × the word frame —
+      // the one intermediate the maxVocab guard does not cover
+      val seed = seedFrame(words, seedSize)
+      val vocab = words.limit(maxVocab + 1).collect()
+      require(vocab.length <= maxVocab,
+        s"distinct-word vocabulary exceeds maxVocab=$maxVocab after the minCount=$minCount " +
+          "floor — raise minCount (the standard trainer response) or maxVocab")
+      emRounds(() => vocab.iterator, seed, vocabSize)
+    } finally { words.unpersist(): Unit }
   }
 
   /**
@@ -263,16 +296,10 @@ object Unigram {
       s"need seedSize >= vocabSize >= 1, got seed=$seedSize vocab=$vocabSize")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs.where(col(textCol).isNotNull)
-      .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .as[(String, Long)]
+    val words = WordFrames.wordCounts(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      val seedSums = words.flatMap { case (w, c) => wordSeeds(w, c) }
-        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .collect().toMap
-      var model = UnigramModel(seedFromCounts(seedSums, seedSize))
+      var model = UnigramModel(seedFrame(words, seedSize))
       while (!atTarget(model, vocabSize)) {
         var iter = 0
         while (iter < emIters) {
@@ -298,26 +325,32 @@ object Unigram {
    * (strictly below any trained piece), so encoding never fails.
    */
   def segment(w: String, model: UnigramModel): Vector[String] = {
+    // LOG-SPACE Viterbi: a linear-space product underflows to 0.0 around
+    // 50-300 chars, which would leave back() unset and crash on the very
+    // long tokens (URLs, base64, hashes) a web corpus always contains
     val n = w.length
     if (n == 0) return Vector.empty
     val probs = model.probs
-    val unk = model.unkProb
+    val logUnk = StrictMath.log(model.unkProb)
     val best = new Array[Double](n + 1)
     val back = new Array[Int](n + 1)
-    best(0) = 1.0
+    java.util.Arrays.fill(best, logZero)
+    best(0) = 0.0
     java.util.Arrays.fill(back, -1)
     var i = 1
     while (i <= n) {
-      var b = 0.0
+      var b = logZero
       var bj = -1
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
-        if (best(j) > 0.0) {
+        if (best(j) != logZero) {
           val piece = w.substring(j, i)
-          val p = probs.getOrElse(piece,
-            if (i - j == 1) unk else 0.0)
-          if (p > 0.0) {
-            val s = best(j) * p
+          val lp = probs.get(piece) match {
+            case Some(p) => StrictMath.log(p)
+            case None => if (i - j == 1) logUnk else logZero
+          }
+          if (lp != logZero) {
+            val s = best(j) + lp
             if (s > b || (s == b && j < bj)) { b = s; bj = j }
           }
         }
@@ -344,19 +377,7 @@ object Unigram {
    */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
       model: UnigramModel,
-      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val words = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("__w"))
-    val wc = words.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    unpersistHook(() => { wc.unpersist(); () })
-    val enc = wc.select(col("__w")).distinct().as[String]
-      .mapPartitions { it => it.map(w => (w, segment(w, model).length.toLong)) }
-      .toDF("__w", "__nt")
-    wc.join(enc, "__w")
-      .groupBy(col(idCol))
-      .agg(sum(col("__n") * col("__nt")).as("n_unigram_tokens"))
-  }
+      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame =
+    WordFrames.memoizedTokenCounts(docs, idCol, textCol, "n_unigram_tokens",
+      unpersistHook)(w => segment(w, model).length.toLong)
 }

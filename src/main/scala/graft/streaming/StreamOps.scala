@@ -796,7 +796,10 @@ object StreamOps {
         col("published").as("last_signal"))
     maps.unionByName(feeds)
       .groupBy(col("url"))
-      .agg(max(struct(col("kind"), col("last_signal"))).as("__w"))
+      // SIGNAL first in the winner struct: a url declared by both a
+      // signal-less sitemap and a dated feed in one batch must keep the
+      // date (nulls sort lowest) — kind is only the tie-break
+      .agg(max(struct(col("last_signal"), col("kind"))).as("__w"))
       .select(col("url"), col("__w.kind").as("kind"),
         col("__w.last_signal").as("last_signal"))
   }

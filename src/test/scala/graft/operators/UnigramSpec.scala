@@ -86,6 +86,22 @@ class UnigramSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(1L -> (2 * perWord("ab") + perWord("cd"))))
   }
 
+  test("log-space lattices survive the long tokens a web corpus always contains") {
+    // linear-space path masses underflow around 50-300 chars; a URL or
+    // base64 blob must neither crash Viterbi nor silently drop from EM
+    val m = Unigram.trainCollected(Seq((1L, "ab ab")).toDF("id", "text"),
+      "text", vocabSize = 3, seedSize = 3)
+    val longUnknown = "x" * 5000
+    assert(Unigram.segment(longUnknown, m) == Vector.fill(5000)("x"))
+    val longKnown = "ab" * 2500
+    assert(Unigram.segment(longKnown, m) == Vector.fill(2500)("ab"))
+    // the training side: a corpus whose ONLY word is 400 chars still
+    // produces expected counts (the word would vanish under linear math)
+    val probs = Map("a" -> 0.5, "b" -> 0.5)
+    val counts = Unigram.wordExpectedCounts("ab" * 200, 1L, probs).toMap
+    assert(counts("a") == (200L << 16) && counts("b") == (200L << 16))
+  }
+
   test("vocabSize below the char inventory bottoms out at the inventory") {
     val docs = Seq((1L, "abcdef")).toDF("id", "text")
     val m = Unigram.trainCollected(docs, "text", vocabSize = 3, seedSize = 30)

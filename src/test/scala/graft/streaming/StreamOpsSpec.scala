@@ -1005,6 +1005,15 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         assert(StreamOps.frontierFromStore(spark, store)
           .where($"url" === "https://a.example/1")
           .collect().map(_.getString(2)).toSeq == Seq("2026-02-07"))
+        // same-batch signal priority: a signal-less sitemap declaration
+        // must NOT beat a dated feed declaration of the same url (the
+        // winner struct orders last_signal before kind)
+        val mixed = StreamOps.frontierRows(Seq(
+          (1L, "<urlset><url><loc>https://a.example/both</loc></url></urlset>"),
+          (2L, "<feed><entry><title>t</title><link href=\"https://a.example/both\"/>" +
+            "<updated>2026-08-10</updated></entry></feed>")).toDF("src", "xml"))
+          .collect().map(r => (r.getString(0), Option(r.getString(2))))
+        assert(mixed.toSeq == Seq(("https://a.example/both", Some("2026-08-10"))))
         StreamOps.deleteIdsFromStore(store, Seq("https://a.example/2").toDF("url"), "url",
           version = 100L, nBuckets = 4)
         assert(!StreamOps.frontierFromStore(spark, store)
