@@ -3648,6 +3648,35 @@ object SparkEntry {
       sources.Feeds.recrawlSet(frontier, "loc", "lastmod", crawl, "uri", "date")
     }),
 
+    // q231: TRAINING-DATA EXPORT — the pipeline's OUTPUT artifact: the
+    // curated corpus exports as hash-placed, id-sorted, size-bounded
+    // .jsonl.gz shards + manifest, and the THREE registry properties are
+    // gated from real work in-query: losslessness (read-back ≡ input,
+    // exceptAll both ways), the uncompressed shard bound, and byte
+    // DETERMINISM (a second export from a reshuffled input produces
+    // SHA-256-identical shards — placement, order, JSON encoding, and
+    // gzip are all pinned, so a shard digest identifies its data).
+    "q231_export_roundtrip" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_export")
+      val (p1, p2) = (base.resolve("a").toString, base.resolve("b").toString)
+      val manifest = sources.Export.writeJsonlShards(
+        docs, p1, "doc_id", nShards = 8, maxShardBytes = 1L << 20)
+      sources.Export.writeJsonlShards(
+        docs.repartition(13), p2, "doc_id", nShards = 8, maxShardBytes = 1L << 20)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      val bounded = manifest.forall(_._3 <= (1L << 20))
+      val back = sources.Export.readJsonlShards(s, p1, docs.schema)
+      val exact = back.exceptAll(docs).unionByName(docs.exceptAll(back)).isEmpty
+      back.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .withColumn("round_trip_exact", lit(exact))
+        .withColumn("shards_bounded", lit(bounded))
+        .withColumn("deterministic", lit(deterministic))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -8205,6 +8234,14 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND (text IS NULL OR doc_id % 3 = 0)
         |UNION ALL
         |SELECT 'https://crawl.example/doc/' || doc_id || '/new', 'new'
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+    // q231: the read-back projection replays the table; the three export
+    // properties (losslessness, shard bound, byte determinism) are real
+    // in-query work pinned as planted certainties
+    "q231_export_roundtrip" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |       TRUE AS round_trip_exact, TRUE AS shards_bounded,
+        |       TRUE AS deterministic
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical

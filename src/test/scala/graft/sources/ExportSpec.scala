@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.SparkSuite
+
+/** The export sink: lossless round trips under adversarial content,
+  * shard size bounds, and the byte-determinism registry property. */
+class ExportSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("export").toString
+
+  private val tricky = Seq(
+    (1L, Some("plain text"), Some("en")),
+    (2L, Some("line\nbreak and \"quotes\" and \\backslash"), Some("de")),
+    (3L, Some("ünïcødé ✓  control"), None),
+    (4L, None, Some("fr")),
+    (5L, Some(""), Some("en")))
+
+  it("round-trips adversarial content losslessly through jsonl.gz shards") {
+    val df = tricky.toDF("id", "text", "lang")
+    val path = tmp("ex_rt")
+    val manifest = Export.writeJsonlShards(df, path, "id", nShards = 3, maxShardBytes = 1 << 20)
+    val back = Export.readJsonlShards(spark, path, df.schema)
+    assert(back.exceptAll(df).count() === 0L)
+    assert(df.exceptAll(back).count() === 0L)
+    assert(manifest.map(_._2).sum === tricky.size.toLong)
+    // the written manifest file replays the returned stats
+    val mf = Export.readManifest(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(mf === manifest)
+  }
+
+  it("bounds uncompressed shard size, rolling over inside a partition") {
+    val df = (0L until 40L).map(i => (i, "x" * 100)).toDF("id", "text")
+    val path = tmp("ex_sz")
+    val manifest = Export.writeJsonlShards(df, path, "id", nShards = 2, maxShardBytes = 300)
+    // each row is ~130 raw bytes -> at most 2 per shard; every bound holds
+    assert(manifest.forall(_._3 <= 300L), manifest.toString)
+    assert(manifest.map(_._2).sum === 40L)
+    assert(manifest.size > 10)
+    // an oversized single row still writes (a row is never lost to a bound)
+    val big = Seq((1L, "y" * 1000)).toDF("id", "text")
+    val p2 = tmp("ex_big")
+    val m2 = Export.writeJsonlShards(big, p2, "id", nShards = 1, maxShardBytes = 300)
+    assert(m2.map(_._2).sum === 1L)
+    assert(Export.readJsonlShards(spark, p2, big.schema).count() === 1L)
+  }
+
+  it("exports are byte-deterministic: placement, order, and gzip are all pinned") {
+    val df = (0L until 200L).map(i => (i, s"doc $i content", (i % 5).toString)).toDF("id", "text", "lang")
+    val (p1, p2) = (tmp("ex_d1"), tmp("ex_d2"))
+    Export.writeJsonlShards(df, p1, "id", nShards = 4, maxShardBytes = 1 << 16)
+    // same data, different input partitioning and row order
+    Export.writeJsonlShards(df.repartition(13).sortWithinPartitions(org.apache.spark.sql.functions.rand(7)),
+      p2, "id", nShards = 4, maxShardBytes = 1 << 16)
+    val (d1, d2) = (Export.shardDigests(p1), Export.shardDigests(p2))
+    assert(d1.nonEmpty && d1 === d2)
+  }
+
+  it("re-export cleans stale shards from a previous layout") {
+    val path = tmp("ex_cl")
+    val wide = (0L until 40L).map(i => (i, "z" * 100)).toDF("id", "text")
+    Export.writeJsonlShards(wide, path, "id", nShards = 2, maxShardBytes = 300) // many rolls
+    val narrow = Seq((1L, "one")).toDF("id", "text")
+    Export.writeJsonlShards(narrow, path, "id", nShards = 2, maxShardBytes = 300)
+    assert(Export.readJsonlShards(spark, path, narrow.schema).count() === 1L)
+    assert(Export.readManifest(spark, path).count() === 1L)
+  }
+}
