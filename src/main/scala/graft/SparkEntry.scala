@@ -526,6 +526,34 @@ object SparkEntry {
     * [[drainCleanups]]. */
   private val pqIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Similarity.PqIndex]()
+  /** Memoized STANDING TOKENIZER artifacts for q232 — a trained tokenizer
+    * is shared corpus-wide infrastructure (every job bills tokens by the
+    * SAME vocabulary), so both trainers persist through the index store
+    * (the ensurePqIndex discipline): load-or-build the BPE merge table
+    * (10 merges — q187's pinned prefix) and the unigram piece model
+    * (q228's config) from the FIXED planted corpus. */
+  private val tokenizerStores = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, String)], operators.Unigram.UnigramModel)]()
+  private[graft] def ensureTokenizers(s: SparkSession, dir: String)
+      : (Seq[(String, String)], operators.Unigram.UnigramModel) =
+    tokenizerStores.computeIfAbsent(dir, _ => {
+      val root = indexStoreRoot(dir, "documents")
+      val (mergePath, piecePath) = (s"$root/bpe_merges_v1", s"$root/unigram_model_v1")
+      if (!(sources.Sink.indexExists(mergePath) && sources.Sink.indexExists(piecePath))) {
+        val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+        val planted = s.range(400).select(lit(sentence).as("text"))
+        sources.Sink.writeIndex(
+          operators.Bpe.mergesFrame(s,
+            operators.Bpe.learnMergesCollected(planted, "text", 10)), mergePath)
+        sources.Sink.writeIndex(
+          operators.Unigram.modelFrame(s,
+            operators.Unigram.trainCollected(planted, "text", vocabSize = 16, seedSize = 48)),
+          piecePath)
+      }
+      (operators.Bpe.mergesFromFrame(sources.Sink.readIndex(s, mergePath)),
+        operators.Unigram.modelFromFrame(sources.Sink.readIndex(s, piecePath)))
+    })
+
   private[graft] def ensurePqIndex(s: SparkSession, dir: String): operators.Similarity.PqIndex =
     pqIndexes.computeIfAbsent(dir, _ => {
       val root = indexStoreRoot(dir, "embeddings")
@@ -3675,6 +3703,33 @@ object SparkEntry {
         .withColumn("round_trip_exact", lit(exact))
         .withColumn("shards_bounded", lit(bounded))
         .withColumn("deterministic", lit(deterministic))
+    }),
+
+    // q232: STANDING TOKENIZER ARTIFACTS — both trained tokenizers
+    // persist through the manifest-committed index store and a fresh
+    // consumer LOADS them instead of retraining (the ANN-codebook
+    // discipline applied to the tokenizer, which every job must share —
+    // two jobs billing tokens by different vocabularies corrupt every
+    // budget downstream). The in-query gate retrains both from scratch
+    // and compares against the loaded artifacts; the output applies the
+    // LOADED models — BPE token counts at the q187 10-merge table plus
+    // q229's Viterbi pieces, both hand-derivable and pinned.
+    "q232_tokenizer_store" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, model) = ensureTokenizers(s, dir)
+      val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+      val planted = s.range(400).select(lit(sentence).as("text"))
+      val reloadExact =
+        merges == operators.Bpe.learnMergesCollected(planted, "text", 10) &&
+          model.pieces == operators.Unigram.trainCollected(
+            planted, "text", vocabSize = 16, seedSize = 48).pieces.sortBy(_._1)
+      val ranks = merges.zipWithIndex.toMap
+      sentence.split(" ").distinct.toSeq
+        .map { w =>
+          (w, operators.Bpe.applyMerges(w, ranks).length.toLong,
+            operators.Unigram.segment(w, model).length.toLong, reloadExact)
+        }
+        .toDF("word", "n_bpe_tokens", "n_unigram_pieces", "reload_exact")
     }),
 
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
@@ -8243,6 +8298,18 @@ object SparkEntry {
         |       TRUE AS round_trip_exact, TRUE AS shards_bounded,
         |       TRUE AS deterministic
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+    // q232: BPE counts hand-derived at the q187 10-merge table (lowest
+    // and new reach one symbol; low IS a symbol; everything else lands
+    // at two), unigram pieces are q229's pins; reload_exact carries the
+    // store round trip
+    "q232_tokenizer_store" ->
+      """SELECT word, CAST(b AS BIGINT) AS n_bpe_tokens,
+        |       CAST(u AS BIGINT) AS n_unigram_pieces, TRUE AS reload_exact
+        |FROM (VALUES ('low', 1, 1), ('lower', 2, 2), ('lowest', 1, 2),
+        |             ('new', 1, 1), ('newer', 2, 2), ('newest', 2, 2),
+        |             ('wide', 2, 2), ('wider', 2, 2), ('widest', 2, 2),
+        |             ('slow', 2, 1), ('slowest', 2, 2))
+        |     AS m(word, b, u)""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection

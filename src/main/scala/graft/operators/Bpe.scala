@@ -274,6 +274,26 @@ object Bpe {
     learnMergesFast(
       WordFrames.collectWordCounts(docs, textCol, minCount, maxVocab).toMap, nMerges)
 
+  /** The merge table as a store-able frame `(rank, left_sym, right_sym)`
+    * — a trained tokenizer is a STANDING ARTIFACT shared across jobs
+    * (the `Sink.writeIndex` discipline of the ANN codebooks), not
+    * something retrained per run. */
+  def mergesFrame(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "left_sym", "right_sym")
+  }
+
+  /** Load a [[mergesFrame]] back, rank order restored; `maxEntries`
+    * guards the collect (vocabulary-sized by contract). */
+  def mergesFromFrame(df: DataFrame, maxEntries: Int = 1 << 20): Seq[(String, String)] = {
+    val rows = df.orderBy(col("rank").asc).limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"merge table exceeds maxEntries=$maxEntries — not a vocabulary-sized frame")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /**
    * Incremental driver-local learner — same induction rule and
    * tie-break as [[learnMergesLocal]] (property-gated equivalent in

@@ -317,6 +317,25 @@ object Unigram {
     } finally { words.unpersist(): Unit }
   }
 
+  /** The model as a store-able frame `(piece, evidence)` — the standing
+    * tokenizer artifact, like [[Bpe.mergesFrame]]. */
+  def modelFrame(spark: org.apache.spark.sql.SparkSession,
+      model: UnigramModel): DataFrame = {
+    import spark.implicits._
+    model.pieces.toDF("piece", "evidence")
+  }
+
+  /** Load a [[modelFrame]] back. Pieces are canonicalized to piece order
+    * — every model consumer (probs, total, unkProb, segment) is
+    * order-insensitive, so a loaded model behaves identically to the
+    * trained one; `maxEntries` guards the collect. */
+  def modelFromFrame(df: DataFrame, maxEntries: Int = 1 << 22): UnigramModel = {
+    val rows = df.limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"piece table exceeds maxEntries=$maxEntries — not a model-sized frame")
+    UnigramModel(rows.map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1))
+  }
+
   /**
    * Viterbi segmentation of one word — most probable piece sequence;
    * exact-score ties prefer the LONGER last piece (smaller split point),

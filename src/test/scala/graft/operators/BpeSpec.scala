@@ -190,6 +190,16 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(ex.getMessage.contains("maxVocab"))
   }
 
+  test("merge tables round-trip through the store frame, rank order kept") {
+    val merges = Bpe.fixtureMerges
+    val frame = Bpe.mergesFrame(spark, merges).repartition(3) // order must not matter
+    assert(Bpe.mergesFromFrame(frame) == merges)
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.mergesFromFrame(Bpe.mergesFrame(spark, merges), maxEntries = 3)
+    }
+    assert(ex.getMessage.contains("maxEntries"))
+  }
+
   test("weights steer learning: frequent pair wins over lexicographic order") {
     // 'zz' appears 3x per doc, 'aa' once - (z,z) must be learned first
     // despite (a,a) sorting earlier

@@ -108,6 +108,20 @@ class UnigramSpec extends AnyFunSuite with SparkSuite {
     assert(m.pieces.map(_._1).sorted == Seq("a", "b", "c", "d", "e", "f"))
   }
 
+  test("models round-trip through the store frame and segment identically") {
+    val m = Unigram.trainCollected(
+      Seq((1L, "low lower lowest new newer")).toDF("id", "text"),
+      "text", vocabSize = 12, seedSize = 30)
+    val back = Unigram.modelFromFrame(Unigram.modelFrame(spark, m).repartition(3))
+    assert(back.pieces == m.pieces.sortBy(_._1))
+    for (w <- Seq("lower", "newest", "lowly", "qq"))
+      assert(Unigram.segment(w, back) == Unigram.segment(w, m))
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.modelFromFrame(Unigram.modelFrame(spark, m), maxEntries = 2)
+    }
+    assert(ex.getMessage.contains("maxEntries"))
+  }
+
   test("minCount floors words before seeding; maxVocab guards the collect") {
     val docs = Seq((1L, "zz zz zz rare"), (2L, "zz aa aa")).toDF("id", "text")
     val floored = Unigram.trainCollected(docs, "text", vocabSize = 4, seedSize = 8,
