@@ -623,6 +623,7 @@ object SparkEntry {
     jpegBlobs(s, dir, "16x16").count() // standing resize source (q165)
     jpegBlobs(s, dir, "progressive").count() // standing SOF2 corpus (q182)
     ensureWarcFixture(s, dir) // standing crawl fixture files (q205)
+    ensureTokenizers(s, dir): Unit // standing tokenizer artifacts (q232)
     ()
   }
 

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "scale")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "scale")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -74,6 +74,7 @@ object Stress {
     if (mode == "bpe") { bpeStudy(spark, sfDir); spark.stop(); return }
     if (mode == "bpefast") { bpeFastStudy(spark, sfDir); spark.stop(); return }
     if (mode == "unigram") { unigramStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "export") { exportStudy(spark, sfDir); spark.stop(); return }
     if (mode == "scale") { scaleStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
@@ -1318,6 +1319,45 @@ object Stress {
     println(f"[stress] encoded $n docs -> $nTok tokens in $encSecs%.1f s " +
       "(vocab-memoized: the lattice runs once per DISTINCT word)")
     zipf.unpersist(): Unit
+  }
+
+  /**
+   * Export throughput and determinism at replica scale: the 10x document
+   * corpus (the lmStudy replica shape) exports twice from different
+   * partitionings; measured MB/s, shard census, and the SHA-256 digest
+   * equality that makes a shard digest identify its data.
+   */
+  private def exportStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sources.Export
+    // widen each doc to ~page size (sf0.1 template texts are short) so
+    // the measured rate is stream throughput, not per-task fixed cost
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", array_repeat(col("text"), 20)).as("text"))
+    val replica = (0 until 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("lang"), col("text")))
+      .reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (10x replicated, 20x-widened docs)")(replica.count())
+    val base = java.nio.file.Files.createTempDirectory("graft_export_stress")
+    val (p1, p2) = (base.resolve("a").toString, base.resolve("b").toString)
+    val (m1, secs) = timedValue(s"export $n docs (32 shards, 64 MB bound)")(
+      Export.writeJsonlShards(replica, p1, "doc_id", nShards = 32, maxShardBytes = 64L << 20))
+    val raw = m1.map(_._3).sum
+    println(f"[stress] ${m1.size} shards, ${raw / 1e6}%.0f MB raw, " +
+      f"${raw / 1e6 / secs}%.0f MB/s uncompressed throughput; " +
+      f"max shard ${m1.map(_._3).max / 1e6}%.1f MB (bound 67.1 MB)")
+    require(m1.map(_._2).sum == n, "manifest row census must equal the corpus")
+    val (_, secs2) = timedValue("second export from a reshuffled input")(
+      Export.writeJsonlShards(replica.repartition(101), p2, "doc_id",
+        nShards = 32, maxShardBytes = 64L << 20))
+    val identical = Export.shardDigests(p1) == Export.shardDigests(p2)
+    require(identical, "exports must be byte-deterministic under reshuffling")
+    println(f"[stress] digests identical across partitionings (expect true) " +
+      f"[second pass $secs2%.1f s]")
+    replica.unpersist(): Unit
   }
 
   private def timedValue[T](label: String)(f: => T): (T, Double) = {
