@@ -3688,8 +3688,11 @@ object SparkEntry {
     "q231_export_roundtrip" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
         .select(col("doc_id"), col("lang"), col("text"))
-      val base = java.nio.file.Files.createTempDirectory("graft_export")
-      val (p1, p2) = (base.resolve("a").toString, base.resolve("b").toString)
+      // keyed roots, not fresh temp dirs: repeated runs REPLACE the
+      // artifact in place (the write protocol's job) instead of
+      // accumulating gzipped corpus copies in /tmp
+      val root = s"${indexStoreRoot(dir, "documents")}/export_q231_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
       val manifest = sources.Export.writeJsonlShards(
         docs, p1, "doc_id", nShards = 8, maxShardBytes = 1L << 20)
       sources.Export.writeJsonlShards(

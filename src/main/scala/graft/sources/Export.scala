@@ -16,52 +16,62 @@ import org.apache.spark.sql.functions._
  * How determinism is engineered (each step pins one source of variance):
  *  - rows hash-partition by the id column (`repartition(nShards, id)`) —
  *    content-addressed placement, independent of input partitioning;
- *  - each partition sorts by id (`sortWithinPartitions`) — placement
- *    fixed, order fixed;
+ *  - each partition sorts by (id, serialized row) — placement fixed,
+ *    order fixed EVEN when ids repeat (a bare id sort is not stable
+ *    across input orders);
  *  - rows serialize through Spark's `to_json` over the full struct —
  *    one codegen'd encoder, no per-executor formatting variance;
  *  - gzip is the JDK deflater at a fixed level with a zeroed header
  *    (JDK `GZIPOutputStream` writes MTIME=0), so compressed bytes are a
  *    pure function of the uncompressed stream.
  *
+ * WRITE PROTOCOL — replacement with detection, not versioning (a
+ * versioned keyed store is [[Sink]]'s job; a trainer wants ONE flat
+ * artifact): tasks write into a hidden staging directory and a partial
+ * shard from a failed task dies with its staging dir, never reaching
+ * the artifact; publish then retracts `_SUCCESS` FIRST, swaps the shard
+ * set, writes `_MANIFEST.jsonl`, and re-creates `_SUCCESS` LAST. The
+ * read face refuses a directory without `_SUCCESS` and reads EXACTLY
+ * the manifest's file list — so a crash anywhere leaves either the old
+ * artifact, or a detectably-unpublished one; never a silent mixture or
+ * a silently partial corpus.
+ *
  * SCALE SHAPE: one shuffle (the content-addressed placement), then a
- * narrow per-partition streaming write — each task holds one open
- * gzip stream and a line buffer, never a shard in memory. Shards roll
- * over when the UNCOMPRESSED payload would exceed `maxShardBytes`
- * (a single oversized row still writes — a row must never be lost to a
- * bound), so decompressed shard size is bounded for the trainer's
- * loader. The manifest (`_MANIFEST.jsonl`: file, rows, raw_bytes) is
- * driver-written from per-file stats — file-count-sized, never
- * corpus-sized.
+ * narrow per-partition streaming write — each task holds one open gzip
+ * stream and a line buffer, never a shard in memory. Shards roll over
+ * when the UNCOMPRESSED payload would exceed `maxShardBytes` (a single
+ * oversized row still writes — a row must never be lost to a bound).
+ * Local-filesystem contract, like every [[Sink]] store.
  */
 object Export {
 
   /**
    * Write `df` as `nShards` hash-placed, id-sorted, size-bounded
-   * `.jsonl.gz` shard families under `path` (local filesystem, the
-   * store convention). Returns the manifest as (file, rows, raw_bytes),
-   * also persisted as `_MANIFEST.jsonl` + `_SUCCESS`.
+   * `.jsonl.gz` shard families under `path`. Returns the manifest as
+   * (file, rows, raw_bytes), also persisted as `_MANIFEST.jsonl` +
+   * `_SUCCESS` (in that order — see the write protocol above).
    */
   def writeJsonlShards(df: DataFrame, path: String, idCol: String,
       nShards: Int, maxShardBytes: Long): Seq[(String, Long, Long)] = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(maxShardBytes > 0, s"maxShardBytes must be positive, got $maxShardBytes")
+    Sink.requireLocalPath(path)
     val spark = df.sparkSession
     import spark.implicits._
     val dir = new java.io.File(path)
     dir.mkdirs()
-    // a re-export must never leave stale shards from a previous layout
-    // (fewer rolls this time -> orphaned high-numbered files would read
-    // back as phantom rows)
+    // abandoned staging dirs from crashed exports are never published —
+    // reap them before staging anew
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => (f.getName.startsWith("part-") && f.getName.endsWith(".jsonl.gz")) ||
-        f.getName == "_MANIFEST.jsonl" || f.getName == "_SUCCESS")
-      .foreach(f => { f.delete(): Unit })
+      .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
+      .foreach(deleteRec)
+    val staging = new java.io.File(dir, s".staging-${System.nanoTime()}")
+    require(staging.mkdirs(), s"cannot create staging dir $staging")
     val lines = df
-      .repartition(nShards, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .select(to_json(struct(df.columns.map(col): _*)).as("j"))
-      .as[String]
+      .select(to_json(struct(df.columns.map(col): _*)).as("j"), col(idCol).as("__id"))
+      .repartition(nShards, col("__id"))
+      .sortWithinPartitions(col("__id"), col("j"))
+      .select(col("j")).as[String]
     val stats = lines.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
@@ -80,59 +90,104 @@ object Export {
         roll += 1
         stream = new java.util.zip.GZIPOutputStream(
           new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(new java.io.File(dir, file))))
+            new java.io.FileOutputStream(new java.io.File(staging, file))))
       }
-      it.foreach { j =>
-        val bytes = (j + "\n").getBytes(StandardCharsets.UTF_8)
-        if (stream != null && raw + bytes.length > maxShardBytes) close()
-        if (stream == null) open()
-        stream.write(bytes)
-        rows += 1L
-        raw += bytes.length
+      try {
+        it.foreach { j =>
+          val bytes = (j + "\n").getBytes(StandardCharsets.UTF_8)
+          if (stream != null && raw + bytes.length > maxShardBytes) close()
+          if (stream == null) open()
+          stream.write(bytes)
+          rows += 1L
+          raw += bytes.length
+        }
+        close()
+      } finally {
+        // a failing task must not leak its open stream; its partial shard
+        // stays in staging and dies unpublished
+        if (stream != null) { stream.close(); stream = null }
       }
-      close()
       out.iterator
     }.collect().sortBy(_._1).toSeq
+    // PUBLISH: retract _SUCCESS first (readers refuse from here on), swap
+    // the shard set, manifest, then _SUCCESS last
+    val successFile = new java.io.File(dir, "_SUCCESS")
+    if (successFile.exists()) require(successFile.delete(), s"cannot retract $successFile")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile &&
+        ((f.getName.startsWith("part-") && f.getName.endsWith(".jsonl.gz")) ||
+          f.getName == "_MANIFEST.jsonl"))
+      .foreach(f => require(f.delete(), s"cannot remove stale $f — aborting before " +
+        "a mixed-layout artifact can form"))
+    stats.foreach { case (f, _, _) =>
+      val (from, to) = (new java.io.File(staging, f), new java.io.File(dir, f))
+      require(from.renameTo(to), s"cannot publish shard $f")
+    }
+    require(staging.delete() || { deleteRec(staging); !staging.exists() },
+      s"cannot remove staging dir $staging")
     val manifest = stats.map { case (f, r, b) =>
       s"""{"file":"$f","rows":$r,"raw_bytes":$b}"""
-    }.mkString("", "\n", "\n")
+    }.mkString("\n")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_MANIFEST.jsonl"), manifest)
+      java.nio.file.Paths.get(path, "_MANIFEST.jsonl"),
+      if (manifest.isEmpty) "" else manifest + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "_SUCCESS"), "")
     stats
   }
 
-  /** Read an export back with an explicit schema (never inference — the
-    * manifest's consumer knows its contract), for round-trip gates and
-    * downstream re-use. */
-  def readJsonlShards(spark: org.apache.spark.sql.SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).json(s"$path/part-*.jsonl.gz")
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
 
-  /** The manifest of an export: (file, rows, raw_bytes). Read through the
-    * driver (file-count-sized), NOT a Hadoop scan — input formats treat
-    * `_`-prefixed files as hidden, and `_MANIFEST` keeps the ecosystem's
-    * non-data prefix convention deliberately. */
-  def readManifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    import spark.implicits._
+  /** The published manifest's file list, with the integrity checks the
+    * artifact exists for: `_SUCCESS` must be present (an interrupted
+    * export is refused, never silently partial) and every listed shard
+    * must exist on disk. */
+  private def manifestEntries(path: String): Seq[(String, Long, Long)] = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"export at $path is not published (_SUCCESS missing) — refusing to read " +
+        "a possibly-partial artifact")
     import scala.jdk.CollectionConverters._
     val lines = java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(path, "_MANIFEST.jsonl")).asScala.toSeq
-    spark.read.schema("file string, rows long, raw_bytes long")
-      .json(spark.createDataset(lines))
+      .readAllLines(java.nio.file.Paths.get(path, "_MANIFEST.jsonl")).asScala
+      .filter(_.nonEmpty)
+    val rx = """\{"file":"([^"]+)","rows":(\d+),"raw_bytes":(\d+)\}""".r
+    lines.map {
+      case rx(f, r, b) =>
+        require(new java.io.File(path, f).isFile, s"manifest lists $f but it is missing")
+        (f, r.toLong, b.toLong)
+      case other => throw new IllegalArgumentException(s"malformed manifest line: $other")
+    }.toSeq
   }
 
-  /** SHA-256 of every shard, for the registry-digest determinism gate:
-    * (file, sha256hex). */
-  def shardDigests(path: String): Seq[(String, String)] = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".jsonl.gz"))
-      .sortBy(_.getName)
-      .map { f =>
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-        (f.getName, md.digest(bytes).map(b => f"$b%02x").mkString)
-      }.toSeq
+  /** Read a published export back with an explicit schema (never
+    * inference — the manifest's consumer knows its contract). Reads
+    * EXACTLY the manifest's file list after the integrity checks; an
+    * empty published export reads as an empty frame, not an error. */
+  def readJsonlShards(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val files = manifestEntries(path).map(_._1)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).json(files.map(f => s"$path/$f"): _*)
   }
+
+  /** The manifest of a published export: (file, rows, raw_bytes). */
+  def readManifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    manifestEntries(path).toDF("file", "rows", "raw_bytes")
+  }
+
+  /** SHA-256 of every published shard, for the registry-digest
+    * determinism gate: (file, sha256hex). Refuses unpublished exports —
+    * two half-written directories must not compare vacuously equal. */
+  def shardDigests(path: String): Seq[(String, String)] =
+    manifestEntries(path).map { case (name, _, _) =>
+      val f = new java.io.File(path, name)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      (name, md.digest(bytes).map(b => f"$b%02x").mkString)
+    }
 }

@@ -233,7 +233,7 @@ object Sink {
     * orphan all committed data. Reject loudly; porting to HDFS/S3 means
     * reimplementing latestManifest/publishManifest/vacuumStore over the
     * Hadoop FileSystem API (rename-to-new-name is atomic there too). */
-  private def requireLocalPath(storePath: String): Unit =
+  private[sources] def requireLocalPath(storePath: String): Unit =
     require(!storePath.contains("://") || storePath.startsWith("file:"),
       s"upsert store requires a driver-local (or file:) path, got $storePath — " +
         "the manifest commit protocol does local file I/O")

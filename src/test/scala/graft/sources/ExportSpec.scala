@@ -62,6 +62,39 @@ class ExportSpec extends AnyFunSpec with SparkSuite {
     assert(d1.nonEmpty && d1 === d2)
   }
 
+  it("byte-determinism holds even when ids repeat (serialized-row tiebreak)") {
+    val dup = Seq((1L, "alpha"), (1L, "beta"), (1L, "gamma"), (2L, "delta"),
+      (2L, "epsilon")).toDF("id", "text")
+    val (p1, p2) = (tmp("ex_dup1"), tmp("ex_dup2"))
+    Export.writeJsonlShards(dup, p1, "id", nShards = 2, maxShardBytes = 1 << 16)
+    Export.writeJsonlShards(
+      dup.repartition(7).sortWithinPartitions(org.apache.spark.sql.functions.rand(3)),
+      p2, "id", nShards = 2, maxShardBytes = 1 << 16)
+    assert(Export.shardDigests(p1).nonEmpty)
+    assert(Export.shardDigests(p1) === Export.shardDigests(p2))
+  }
+
+  it("readers refuse an unpublished artifact; an empty export publishes and reads back") {
+    val df = tricky.toDF("id", "text", "lang")
+    val path = tmp("ex_pub")
+    Export.writeJsonlShards(df, path, "id", nShards = 2, maxShardBytes = 1 << 20)
+    assert(new java.io.File(path, "_SUCCESS").delete())
+    val ex = intercept[IllegalArgumentException] {
+      Export.readJsonlShards(spark, path, df.schema)
+    }
+    assert(ex.getMessage.contains("_SUCCESS"))
+    intercept[IllegalArgumentException] { Export.shardDigests(path) }
+    // a republish restores readability
+    Export.writeJsonlShards(df, path, "id", nShards = 2, maxShardBytes = 1 << 20)
+    assert(Export.readJsonlShards(spark, path, df.schema).count() === tricky.size.toLong)
+    // empty corpus: published, readable, zero rows — not an error
+    val empty = df.where($"id" < 0)
+    val pe = tmp("ex_empty")
+    assert(Export.writeJsonlShards(empty, pe, "id", 2, 1 << 20).isEmpty)
+    assert(Export.readJsonlShards(spark, pe, df.schema).count() === 0L)
+    assert(Export.readManifest(spark, pe).count() === 0L)
+  }
+
   it("re-export cleans stale shards from a previous layout") {
     val path = tmp("ex_cl")
     val wide = (0L until 40L).map(i => (i, "z" * 100)).toDF("id", "text")
