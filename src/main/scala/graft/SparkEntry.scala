@@ -526,6 +526,40 @@ object SparkEntry {
     * [[drainCleanups]]. */
   private val pqIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Similarity.PqIndex]()
+  /** Memoized STANDING OPQ index for q235 — the FAISS triad's third leg
+    * (IVF q38, PQ q174, OPQ here): the eigenvalue-allocated rotation
+    * basis (Ge et al. 2013 parametric OPQ) persists beside PQ codebooks
+    * trained on the ROTATED corpus; a query rotates through the basis,
+    * scores codes by ADC, and re-ranks exactly against the ORIGINAL
+    * vectors (the rotation is an isometry, so exact cosines are
+    * unchanged). */
+  private val opqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (operators.Pca.PcaModel, operators.Similarity.PqIndex)]()
+  private[graft] def ensureOpqIndex(s: SparkSession, dir: String)
+      : (operators.Pca.PcaModel, operators.Similarity.PqIndex) =
+    opqIndexes.computeIfAbsent(dir, _ => {
+      val root = indexStoreRoot(dir, "embeddings")
+      val (basisPath, bookPath, codePath) =
+        (s"$root/opq_basis_v1", s"$root/opq_books_v1", s"$root/opq_codes_v1")
+      if (!(sources.Sink.indexExists(basisPath) && sources.Sink.indexExists(bookPath) &&
+          sources.Sink.indexExists(codePath))) {
+        val emb = tbl(s, dir, "embeddings")
+        val basis = operators.Pca.opqBasis(emb, "embedding", m = 16)
+        val rotated = operators.Pca.rotate(emb, "vec_id", "embedding", basis)
+          .toDF("vec_id", "embedding")
+        val built = operators.Similarity.buildPqIndex(
+          rotated, "vec_id", "embedding", dim = 64, m = 16, ks = 256, trainIters = 3)
+        sources.Sink.writeIndex(operators.Pca.modelToFrame(s, basis), basisPath)
+        sources.Sink.writeIndex(operators.Similarity.pqBooksFrame(s, built), bookPath)
+        sources.Sink.writeIndex(built.codes, codePath)
+      }
+      val basis = operators.Pca.modelFromStoreFrame(sources.Sink.readIndex(s, basisPath))
+      val idx = operators.Similarity.loadPqIndex(
+        sources.Sink.readIndex(s, bookPath), sources.Sink.readIndex(s, codePath))
+      idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      (basis, idx)
+    })
+
   /** Memoized STANDING TOKENIZER artifacts for q232 — a trained tokenizer
     * is shared corpus-wide infrastructure (every job bills tokens by the
     * SAME vocabulary), so both trainers persist through the index store
@@ -624,6 +658,7 @@ object SparkEntry {
     jpegBlobs(s, dir, "progressive").count() // standing SOF2 corpus (q182)
     ensureWarcFixture(s, dir) // standing crawl fixture files (q205)
     ensureTokenizers(s, dir): Unit // standing tokenizer artifacts (q232)
+    ensureOpqIndex(s, dir)._2.codes.count(): Unit // standing OPQ basis+codes (q235)
     ()
   }
 
@@ -3707,6 +3742,105 @@ object SparkEntry {
         .withColumn("round_trip_exact", lit(exact))
         .withColumn("shards_bounded", lit(bounded))
         .withColumn("deterministic", lit(deterministic))
+    }),
+
+    // q233: DELTA EXPORT — dataset v2 does not re-ship the corpus: the
+    // changed slice (Snapshot.changedSlice: added + edited ids via
+    // 8-byte-hash diffing, payloads never co-shuffled) exports through
+    // the deterministic shard writer, and the in-query gate PROVES the
+    // delta applies: v1 minus (delta ids + removals) plus the read-back
+    // delta must equal v2 exactly (exceptAll both ways). Planted stripes:
+    // %10==0 added in v2, %7==0 edited in place, %9==0 (and not %10==0)
+    // removed; NULL-text docs ride every stripe (hash-of-null semantics:
+    // a doc that stays NULL is not re-shipped).
+    "q233_delta_export" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+      val v1 = docs.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(9L)) =!= 0 ||
+          pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"), col("lang"),
+          when(pmod(col("doc_id"), lit(7L)) === 0,
+            concat(col("text"), lit(" [edited]"))).otherwise(col("text")).as("text"))
+      val deltaIds = operators.Snapshot.changedSlice(v1, v2, "doc_id", "text")
+      val deltaRows = v2.join(deltaIds.select(col("doc_id")), Seq("doc_id"))
+      val root = s"${indexStoreRoot(dir, "documents")}/export_q233_v1"
+      sources.Export.writeJsonlShards(deltaRows, root, "doc_id",
+        nShards = 4, maxShardBytes = 1L << 20)
+      val back = sources.Export.readJsonlShards(s, root, deltaRows.schema)
+      val removed = operators.Snapshot.diff(v1, v2, "doc_id", "text")
+        .where(col("status") === "removed").select(col("doc_id"))
+      val rebuilt = v1
+        .join(deltaIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(removed, Seq("doc_id"), "left_anti")
+        .unionByName(back)
+      val applies = rebuilt.exceptAll(v2).unionByName(v2.exceptAll(rebuilt)).isEmpty
+      back.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .withColumn("delta_applies_exactly", lit(applies))
+    }),
+
+    // q235: OPQ ANN — q174's probe through the eigenvalue-allocated
+    // rotation (the FAISS triad's third leg): queries rotate through the
+    // standing basis (isometry — exact cosines unchanged), candidates
+    // score by ADC over codebooks trained on the ROTATED corpus, and the
+    // k'=50 survivors re-rank exactly against the ORIGINAL vectors. Same
+    // deterministic recall gate as q174; PcaSpec pins the isometry and
+    // the allocation balance, and the OPQ-vs-PQ ADC comparison.
+    "q235_opq_ann" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val (basis, idx) = ensureOpqIndex(s, dir)
+      val exact = operators.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val qRot = operators.Pca.rotate(queries, "vec_id", "embedding", basis)
+        .toDF("vec_id", "embedding")
+      val cands = operators.Similarity.pqTopK(idx, qRot, "vec_id", "embedding", 50)
+      val rr = operators.Similarity.rerankExact(cands, queries, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(rr, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 8L).as("recall_ok"))
+    }),
+
+    // q234: PCA RECOVERY — embedding preprocessing (centering + variance
+    // concentration; whitening/OPQ rotations build on this eigenbasis)
+    // with a fully closed-form gate: each doc plants FOUR balanced
+    // variants 5s·(0.8,0.6,0,…) + 2t·(−0.6,0.8,0,…), s,t ∈ {±1}, so the
+    // sample mean is exactly zero, the covariance block is exactly
+    // [[17.44,10.08],[10.08,11.56]] (eigenpairs 25/(0.8,0.6) and
+    // 4/(−0.6,0.8) — hand-derived in PcaSpec), and every projection
+    // rounds to its generating coefficient ±5/±2. One O(dim²) moment
+    // aggregation (integer fixed-point — partitioning-independent) + a
+    // driver Jacobi + a narrow projection pass.
+    "q234_pca_planted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+      val planted = docs.flatMap { id =>
+        (0 until 4).map { variant =>
+          val sg = if (variant < 2) 1.0 else -1.0
+          val t = if (variant % 2 == 0) 1.0 else -1.0
+          val v = new Array[Double](16)
+          v(0) = 4.0 * sg - 1.2 * t
+          v(1) = 3.0 * sg + 1.6 * t
+          (id * 4 + variant, v.toSeq)
+        }
+      }.toDF("key", "vec")
+      val m = operators.Pca.fit(planted, "vec", 2)
+      val gate = math.abs(m.eigenvalues(0) - 25.0) < 1e-4 &&
+        math.abs(m.eigenvalues(1) - 4.0) < 1e-4 &&
+        math.abs(m.components(0)(0) - 0.8) < 1e-4 &&
+        math.abs(m.components(0)(1) - 0.6) < 1e-4 &&
+        math.abs(m.components(1)(0) + 0.6) < 1e-4 &&
+        math.abs(m.components(1)(1) - 0.8) < 1e-4 &&
+        m.mean.forall(_ == 0.0)
+      operators.Pca.project(planted, "key", "vec", m)
+        .as[(Long, Seq[Double])]
+        .map { case (k, p) => (k, math.round(p(0)), math.round(p(1)), gate) }
+        .toDF("key", "p1", "p2", "recovered_ok")
     }),
 
     // q232: STANDING TOKENIZER ARTIFACTS — both trained tokenizers
@@ -8302,6 +8436,32 @@ object SparkEntry {
         |       TRUE AS round_trip_exact, TRUE AS shards_bounded,
         |       TRUE AS deterministic
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+    // q233: the delta's closed form — %10==0 adds (edited if also %7==0),
+    // %7==0 non-removed survivors change; NULL-text rows only ship when
+    // ADDED (a NULL that stays NULL hashes equal and is not re-shipped)
+    "q233_delta_export" ->
+      """SELECT doc_id, lang,
+        |       CAST(length(text) + CASE WHEN doc_id % 7 = 0 THEN 9 ELSE 0 END
+        |            AS BIGINT) AS n_chars,
+        |       TRUE AS delta_applies_exactly
+        |FROM documents
+        |WHERE doc_id IS NOT NULL
+        |  AND (doc_id % 10 = 0
+        |       OR (doc_id % 7 = 0 AND text IS NOT NULL
+        |           AND doc_id % 10 <> 0 AND doc_id % 9 <> 0))""".stripMargin,
+    // q235: q174's determinism argument through the deterministic
+    // rotation — the per-query recall gate is certain
+    "q235_opq_ann" ->
+      "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
+    // q234: the planted construction's closed form — projections ARE the
+    // generating coefficients, signs by variant stripe
+    "q234_pca_planted" ->
+      """SELECT doc_id * 4 + u.v AS key,
+        |       CAST(CASE WHEN u.v < 2 THEN 5 ELSE -5 END AS BIGINT) AS p1,
+        |       CAST(CASE WHEN u.v % 2 = 0 THEN 2 ELSE -2 END AS BIGINT) AS p2,
+        |       TRUE AS recovered_ok
+        |FROM documents, unnest(generate_series(0, 3)) AS u(v)
+        |WHERE doc_id IS NOT NULL""".stripMargin,
     // q232: BPE counts hand-derived at the q187 10-merge table (lowest
     // and new reach one symbol; low IS a symbol; everything else lands
     // at two), unigram pieces are q229's pins; reload_exact carries the
