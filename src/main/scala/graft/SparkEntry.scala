@@ -3805,6 +3805,38 @@ object SparkEntry {
         .select(col("query_id"), (coalesce(col("n_hit"), lit(0L)) >= 8L).as("recall_ok"))
     }),
 
+    // q236: PCA WHITENING — q234's planted construction through the
+    // unit-variance transform: whitened coordinates are EXACTLY the
+    // generating signs (±5/√25 = ±1, ±2/√4 = ±1), and the in-query gate
+    // verifies the whitening law itself — the sample variance of every
+    // whitened coordinate is 1 (computed distributedly over the corpus,
+    // integer-exact after rounding at 1e-6).
+    "q236_pca_whiten" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+      val planted = docs.flatMap { id =>
+        (0 until 4).map { variant =>
+          val sg = if (variant < 2) 1.0 else -1.0
+          val t = if (variant % 2 == 0) 1.0 else -1.0
+          val v = new Array[Double](16)
+          v(0) = 4.0 * sg - 1.2 * t
+          v(1) = 3.0 * sg + 1.6 * t
+          (id * 4 + variant, v.toSeq)
+        }
+      }.toDF("key", "vec")
+      val m = operators.Pca.fit(planted, "vec", 2)
+      val white = operators.Pca.whiten(planted, "key", "vec", m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { white.unpersist(); () })
+      val varOk = white.select(explode(col("white")).as("w"))
+        .agg(abs(avg(col("w") * col("w")) - lit(1.0)).as("d"))
+        .collect()(0).getDouble(0) < 1e-6
+      white.as[(Long, Seq[Double])]
+        .map { case (k, w) => (k, math.round(w(0)), math.round(w(1)), varOk) }
+        .toDF("key", "w1", "w2", "unit_variance")
+    }),
+
     // q234: PCA RECOVERY — embedding preprocessing (centering + variance
     // concentration; whitening/OPQ rotations build on this eigenbasis)
     // with a fully closed-form gate: each doc plants FOUR balanced
@@ -8449,6 +8481,15 @@ object SparkEntry {
         |  AND (doc_id % 10 = 0
         |       OR (doc_id % 7 = 0 AND text IS NOT NULL
         |           AND doc_id % 10 <> 0 AND doc_id % 9 <> 0))""".stripMargin,
+    // q236: whitened coordinates ARE the generating signs; the variance
+    // gate is a law of the transform, certain on the planted corpus
+    "q236_pca_whiten" ->
+      """SELECT doc_id * 4 + u.v AS key,
+        |       CAST(CASE WHEN u.v < 2 THEN 1 ELSE -1 END AS BIGINT) AS w1,
+        |       CAST(CASE WHEN u.v % 2 = 0 THEN 1 ELSE -1 END AS BIGINT) AS w2,
+        |       TRUE AS unit_variance
+        |FROM documents, unnest(generate_series(0, 3)) AS u(v)
+        |WHERE doc_id IS NOT NULL""".stripMargin,
     // q235: q174's determinism argument through the deterministic
     // rotation — the per-query recall gate is certain
     "q235_opq_ann" ->

@@ -284,6 +284,41 @@ object Pca {
   def rotate(df: DataFrame, idCol: String, vecCol: String, model: PcaModel): DataFrame =
     transformBy(df, idCol, vecCol, model, center = false)
 
+  /**
+   * PCA WHITENING: center, project, and scale each component by
+   * 1/√eigenvalue, so every output coordinate has unit variance and the
+   * transformed covariance is the identity — the normalization semantic
+   * dedup and clustering run so that one dominant direction cannot drown
+   * the rest of the space. `eps` floors near-zero eigenvalues (a
+   * degenerate direction must not explode). Same narrow one-pass shape
+   * as [[project]].
+   */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, model: PcaModel,
+      eps: Double = 1e-9): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = model.dim
+    val scale = model.eigenvalues.map(e => 1.0 / StrictMath.sqrt(math.max(e, eps)))
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vec) =>
+        if (vec == null || vec.length != dim) Iterator.empty
+        else {
+          val a = vec.toArray
+          val out = Array.tabulate(model.k) { c =>
+            val comp = model.components(c)
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += (a(i) - model.mean(i)) * comp(i); i += 1 }
+            s * scale(c)
+          }
+          Iterator.single((id, out.toSeq))
+        }
+      }
+      .toDF(idCol, "white")
+  }
+
   private def transformBy(df: DataFrame, idCol: String, vecCol: String,
       model: PcaModel, center: Boolean): DataFrame = {
     val spark = df.sparkSession

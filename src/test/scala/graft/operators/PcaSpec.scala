@@ -176,6 +176,22 @@ class PcaSpec extends AnyFunSuite with SparkSuite {
     assert(opq > 0.5, f"OPQ ADC recall $opq%.3f unexpectedly low")
   }
 
+  test("whiten produces unit variance; degenerate directions floor at eps instead of exploding") {
+    val df = planted(16).toDF("id", "vec")
+    val m = Pca.fit(df, "vec", k = 2)
+    val w = Pca.whiten(df, "id", "vec", m).as[(Long, Seq[Double])].collect()
+    // planted whitened coordinates are exactly the generating signs
+    assert(w.forall { case (_, ws) => ws.forall(x => math.abs(math.abs(x) - 1.0) < 1e-6) })
+    val vars = (0 until 2).map(c => w.map { case (_, ws) => ws(c) * ws(c) }.sum / w.length)
+    // the fixed-point Gram quantization shifts eigenvalues ~1e-6 relative
+    vars.foreach(v => assert(math.abs(v - 1.0) < 1e-6))
+    // a zero-variance direction (k beyond the planted plane) floors at eps:
+    // outputs stay finite and zero
+    val m3 = Pca.fit(df, "vec", k = 3)
+    val w3 = Pca.whiten(df, "id", "vec", m3).as[(Long, Seq[Double])].collect()
+    assert(w3.forall { case (_, ws) => math.abs(ws(2)) < 1e-3 && !ws(2).isNaN && !ws(2).isInfinite })
+  }
+
   test("null and wrong-width vectors drop; empty corpus refuses") {
     val df = Seq((1L, Seq(1.0, 2.0)), (2L, null.asInstanceOf[Seq[Double]]),
       (3L, Seq(9.0)), (4L, Seq(3.0, 4.0))).toDF("id", "vec")
