@@ -526,6 +526,28 @@ object SparkEntry {
     * [[drainCleanups]]. */
   private val pqIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Similarity.PqIndex]()
+  /** The q234/q236 planted PCA corpus — ONE definition because both
+    * oracles pin its hand-derived eigenpairs: four balanced ±1 variants
+    * per doc of 5s·(0.8, 0.6, 0, …) + 2t·(−0.6, 0.8, 0, …), so the
+    * sample mean is exactly zero and the covariance block is exactly
+    * [[17.44, 10.08], [10.08, 11.56]] (PcaSpec keeps an independent
+    * replication deliberately). */
+  private def plantedPcaCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        (0 until 4).map { variant =>
+          val sg = if (variant < 2) 1.0 else -1.0
+          val t = if (variant % 2 == 0) 1.0 else -1.0
+          val v = new Array[Double](16)
+          v(0) = 4.0 * sg - 1.2 * t
+          v(1) = 3.0 * sg + 1.6 * t
+          (id * 4 + variant, v.toSeq)
+        }
+      }.toDF("key", "vec")
+  }
+
   /** Memoized STANDING OPQ index for q235 — the FAISS triad's third leg
     * (IVF q38, PQ q174, OPQ here): the eigenvalue-allocated rotation
     * basis (Ge et al. 2013 parametric OPQ) persists beside PQ codebooks
@@ -539,8 +561,10 @@ object SparkEntry {
       : (operators.Pca.PcaModel, operators.Similarity.PqIndex) =
     opqIndexes.computeIfAbsent(dir, _ => {
       val root = indexStoreRoot(dir, "embeddings")
+      // _v2: the eigenvalue allocation changed (shift-normalized greedy) —
+      // the generation token forces a rebuild over stale _v1 bases
       val (basisPath, bookPath, codePath) =
-        (s"$root/opq_basis_v1", s"$root/opq_books_v1", s"$root/opq_codes_v1")
+        (s"$root/opq_basis_v2", s"$root/opq_books_v2", s"$root/opq_codes_v2")
       if (!(sources.Sink.indexExists(basisPath) && sources.Sink.indexExists(bookPath) &&
           sources.Sink.indexExists(codePath))) {
         val emb = tbl(s, dir, "embeddings")
@@ -3762,16 +3786,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           when(pmod(col("doc_id"), lit(7L)) === 0,
             concat(col("text"), lit(" [edited]"))).otherwise(col("text")).as("text"))
-      val deltaIds = operators.Snapshot.changedSlice(v1, v2, "doc_id", "text")
-      val deltaRows = v2.join(deltaIds.select(col("doc_id")), Seq("doc_id"))
+      // ONE diff pass yields the ship-slice AND the removals (persisted —
+      // two consumers of one hash join)
+      val delta = operators.Snapshot.delta(v1, v2, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { delta.unpersist(); () })
+      val deltaIds = delta.where(col("status") =!= "removed").select(col("doc_id"))
+      val deltaRows = v2.join(deltaIds, Seq("doc_id"))
       val root = s"${indexStoreRoot(dir, "documents")}/export_q233_v1"
       sources.Export.writeJsonlShards(deltaRows, root, "doc_id",
         nShards = 4, maxShardBytes = 1L << 20)
       val back = sources.Export.readJsonlShards(s, root, deltaRows.schema)
-      val removed = operators.Snapshot.diff(v1, v2, "doc_id", "text")
-        .where(col("status") === "removed").select(col("doc_id"))
+      val removed = delta.where(col("status") === "removed").select(col("doc_id"))
       val rebuilt = v1
-        .join(deltaIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(deltaIds, Seq("doc_id"), "left_anti")
         .join(removed, Seq("doc_id"), "left_anti")
         .unionByName(back)
       val applies = rebuilt.exceptAll(v2).unionByName(v2.exceptAll(rebuilt)).isEmpty
@@ -3813,24 +3841,16 @@ object SparkEntry {
     // integer-exact after rounding at 1e-6).
     "q236_pca_whiten" -> ((s, dir) => {
       import s.implicits._
-      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id")).as[Long]
-      val planted = docs.flatMap { id =>
-        (0 until 4).map { variant =>
-          val sg = if (variant < 2) 1.0 else -1.0
-          val t = if (variant % 2 == 0) 1.0 else -1.0
-          val v = new Array[Double](16)
-          v(0) = 4.0 * sg - 1.2 * t
-          v(1) = 3.0 * sg + 1.6 * t
-          (id * 4 + variant, v.toSeq)
-        }
-      }.toDF("key", "vec")
+      val planted = plantedPcaCorpus(s, dir)
       val m = operators.Pca.fit(planted, "vec", 2)
       val white = operators.Pca.whiten(planted, "key", "vec", m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       onCleanup(() => { white.unpersist(); () })
-      val varOk = white.select(explode(col("white")).as("w"))
-        .agg(abs(avg(col("w") * col("w")) - lit(1.0)).as("d"))
+      // the law holds PER COORDINATE (a pooled mean-square would accept
+      // compensating 1±d variances): the worst coordinate must sit at 1
+      val varOk = white.select(posexplode(col("white")).as(Seq("c", "w")))
+        .groupBy(col("c")).agg(avg(col("w") * col("w")).as("v"))
+        .agg(max(abs(col("v") - lit(1.0))).as("d"))
         .collect()(0).getDouble(0) < 1e-6
       white.as[(Long, Seq[Double])]
         .map { case (k, w) => (k, math.round(w(0)), math.round(w(1)), varOk) }
@@ -3849,18 +3869,7 @@ object SparkEntry {
     // driver Jacobi + a narrow projection pass.
     "q234_pca_planted" -> ((s, dir) => {
       import s.implicits._
-      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id")).as[Long]
-      val planted = docs.flatMap { id =>
-        (0 until 4).map { variant =>
-          val sg = if (variant < 2) 1.0 else -1.0
-          val t = if (variant % 2 == 0) 1.0 else -1.0
-          val v = new Array[Double](16)
-          v(0) = 4.0 * sg - 1.2 * t
-          v(1) = 3.0 * sg + 1.6 * t
-          (id * 4 + variant, v.toSeq)
-        }
-      }.toDF("key", "vec")
+      val planted = plantedPcaCorpus(s, dir)
       val m = operators.Pca.fit(planted, "vec", 2)
       val gate = math.abs(m.eigenvalues(0) - 25.0) < 1e-4 &&
         math.abs(m.eigenvalues(1) - 4.0) < 1e-4 &&

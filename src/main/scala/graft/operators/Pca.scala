@@ -66,10 +66,15 @@ object Pca {
     import spark.implicits._
     val vecs = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
       .filter(v => v != null && v.nonEmpty)
+    // the corpus width is the MODAL vector length (count desc, then the
+    // wider wins) — deterministic under any partitioning, and one
+    // truncated stray row cannot silently redefine the model width the
+    // way an arbitrary first-row probe would
     val dim = {
-      val h = vecs.limit(1).collect()
-      require(h.nonEmpty, "cannot fit PCA on an empty corpus")
-      h.head.length
+      val widths = vecs.map(_.length).groupByKey(identity).count()
+        .collect()
+      require(widths.nonEmpty, "cannot fit PCA on an empty corpus")
+      widths.minBy { case (w, n) => (-n, -w) }._1
     }
     val k = kOpt.getOrElse(dim)
     require(k <= dim, s"k=$k exceeds the embedding width dim=$dim")
@@ -158,6 +163,15 @@ object Pca {
     val full = fitFull(df, vecCol)
     require(full.dim % m == 0, s"m=$m must divide dim=${full.dim}")
     val slots = full.dim / m
+    // Greedy min-load balance needs NON-NEGATIVE addends: raw log λ is
+    // negative for any spectrum below 1 (unit-normalized embeddings —
+    // the common case), where an empty bucket's 0 load would beat every
+    // started bucket and the "allocation" would collapse to the
+    // contiguous descending split. Shifting by the minimum log is
+    // balance-preserving because every bucket receives exactly `slots`
+    // components (equal counts ⇒ equal shift mass).
+    val logs = full.eigenvalues.map(e => StrictMath.log(math.max(e, 1e-12)))
+    val shift = logs.min
     val sizes = new Array[Int](m)
     val load = new Array[Double](m)
     val buckets = Array.fill(m)(List.empty[Int])
@@ -173,7 +187,7 @@ object Pca {
       }
       buckets(best) ::= i
       sizes(best) += 1
-      load(best) += StrictMath.log(math.max(full.eigenvalues(i), 1e-12))
+      load(best) += logs(i) - shift
       i += 1
     }
     val order = buckets.toSeq.flatMap(_.reverse)

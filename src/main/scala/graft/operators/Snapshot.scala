@@ -58,6 +58,29 @@ object Snapshot {
    *
    * Returns `(idCol, status)` with status in {added, changed} only.
    */
+  /**
+   * ONE-PASS release delta: every id whose release state moved between
+   * snapshots — `added` / `changed` (ship the new payload) and `removed`
+   * (ship a tombstone) — from a single hash full-outer join.
+   * [[changedSlice]]'s hash-of-null semantics (a doc whose content stays
+   * NULL is NOT re-shipped), [[diff]]'s removal visibility; unchanged
+   * ids emit nothing. The delta-export composition (q233) reads the
+   * slice AND the removals from this one frame instead of diffing twice.
+   */
+  def delta(oldSnap: DataFrame, newSnap: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), xxhash64(col(contentCol)).as("__h_old"),
+      lit(true).as("__in_old"))
+    val n = newSnap.select(col(idCol), xxhash64(col(contentCol)).as("__h_new"),
+      lit(true).as("__in_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .where(col("__in_old").isNull || col("__in_new").isNull ||
+        !(col("__h_old") <=> col("__h_new")))
+      .select(col(idCol),
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def changedSlice(oldSnap: DataFrame, newSnap: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val o = oldSnap.select(col(idCol), xxhash64(col(contentCol)).as("__h_old"),
       lit(true).as("__in_old"))

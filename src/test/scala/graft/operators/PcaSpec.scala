@@ -132,7 +132,23 @@ class PcaSpec extends AnyFunSuite with SparkSuite {
     val sorted = b.eigenvalues.sorted(Ordering.Double.TotalOrdering.reverse).toSeq
     val contiguous = sorted.grouped(8 / m).toSeq
     val allocated = b.eigenvalues.toSeq.grouped(8 / m).toSeq
-    assert(spread(allocated) <= spread(contiguous) + 1e-9)
+    // this spectrum sits entirely below 1 — the regime where a naive
+    // log-load greedy (empty bucket load 0 beats every negative sum)
+    // would collapse to the contiguous split; the allocation must
+    // GENUINELY interleave and strictly improve the balance
+    assert(allocated != contiguous, "allocation degenerated to the contiguous split")
+    assert(spread(allocated) < spread(contiguous))
+  }
+
+  test("the model width is the modal vector length, not an arbitrary first row") {
+    // one stray narrow row among three 2-wide rows must not redefine dim,
+    // under any partitioning
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(9.0)), (3L, Seq(3.0, 4.0)),
+      (4L, Seq(5.0, 6.0))).toDF("id", "vec")
+    for (parts <- Seq(1, 3, 7)) {
+      val m = Pca.fit(df.repartition(parts), "vec", 1)
+      assert(m.dim == 2)
+    }
   }
 
   test("the basis round-trips through the store frame and rotates identically") {
