@@ -904,6 +904,16 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       val got = Snapshot.changedSlice(old, neu, "id", "t").as[(Long, String)].collect().toMap
       assert(got === Map(2L -> "changed"))
     }
+
+    it("delta emits added/changed/removed from one pass, with hash-of-null semantics") {
+      val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"),
+        (5L, null.asInstanceOf[String])).toDF("id", "t")
+      val neu = Seq((1L, "same"), (2L, "after"), (4L, "fresh"),
+        (5L, null.asInstanceOf[String])).toDF("id", "t")
+      val got = Snapshot.delta(old, neu, "id", "t").as[(Long, String)].collect().toMap
+      // 1 unchanged and the NULL-stable 5 emit nothing (not re-shipped)
+      assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    }
   }
 
   describe("Similarity.vectorSumsByKey") {
