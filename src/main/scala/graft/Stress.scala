@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "scale")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "opq", "scale")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -75,6 +75,7 @@ object Stress {
     if (mode == "bpefast") { bpeFastStudy(spark, sfDir); spark.stop(); return }
     if (mode == "unigram") { unigramStudy(spark, sfDir); spark.stop(); return }
     if (mode == "export") { exportStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "opq") { opqStudy(spark, sfDir); spark.stop(); return }
     if (mode == "scale") { scaleStudy(spark, sfDir); spark.stop(); return }
 
     val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
@@ -1358,6 +1359,43 @@ object Stress {
     println(f"[stress] digests identical across partitionings (expect true) " +
       f"[second pass $secs2%.1f s]")
     replica.unpersist(): Unit
+  }
+
+  /**
+   * OPQ vs plain PQ at the production geometry: ADC-only recall@10
+   * (no re-rank — the codes' own quality) over the real embeddings
+   * table, m=16, ks=256, 64 queries. The rotation is free at search
+   * time (k·dim per query), so any recall gain is pure profit.
+   */
+  private def opqStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.{Pca, Similarity}
+    val emb = SparkEntry.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus build")(emb.count())
+    val queries = emb.where(col("vec_id") < 64)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def adcRecall(c: org.apache.spark.sql.DataFrame,
+        qs: org.apache.spark.sql.DataFrame, label: String): Double = {
+      val (idx, t) = timedValue(s"[$label] train+encode m=16 ks=256")(
+        Similarity.buildPqIndex(c, "vec_id", "embedding", dim = 64, m = 16,
+          ks = 256, trainIters = 3))
+      val got = Similarity.pqTopK(idx, qs, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rec = got.intersect(exact).size.toDouble / exact.size
+      println(f"[stress] [$label] ADC-only recall@10 = $rec%.3f ($t%.1f s, $n vectors)")
+      rec
+    }
+    val plain = adcRecall(emb, queries, "plain PQ")
+    val basis = timedValue("OPQ basis (moment agg + Jacobi + allocation)")(
+      Pca.opqBasis(emb, "embedding", m = 16))._1
+    val rotC = Pca.rotate(emb, "vec_id", "embedding", basis).toDF("vec_id", "embedding")
+    val rotQ = Pca.rotate(queries, "vec_id", "embedding", basis).toDF("vec_id", "embedding")
+    val opq = adcRecall(rotC, rotQ, "OPQ")
+    println(f"[stress] OPQ - plain = ${opq - plain}%+.3f recall@10 " +
+      "(rotation is free at search time: k·dim per query)")
+    emb.unpersist(): Unit
   }
 
   private def timedValue[T](label: String)(f: => T): (T, Double) = {

@@ -1298,20 +1298,37 @@ object Similarity {
    */
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 8, ks: Int = 256, trainIters: Int = 3): PqIndex = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val books = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, trainIters)
+    new PqIndex(dim, books, encodeWithBooks(books, dim, corpus, idCol, vecCol))
+  }
+
+  /**
+   * Encode a slice of NEW vectors against a FROZEN index's codebooks —
+   * the incremental-maintenance face ([[ivfPqEncode]]'s flat-PQ sibling):
+   * an arriving vector's code depends only on the books, so a standing
+   * code frame absorbs batches without retraining or re-reading the
+   * corpus. Same `(neighbor_id, code, recon_n2)` schema as the built
+   * index; NULL vectors drop.
+   */
+  def pqEncode(index: PqIndex, slice: DataFrame, idCol: String, vecCol: String): DataFrame =
+    encodeWithBooks(index.codebooks, index.dim, slice, idCol, vecCol)
+
+  private def encodeWithBooks(books: Array[Array[Array[Double]]], dim: Int,
+      slice: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = slice.sparkSession
+    import spark.implicits._
+    val m = books.length
     val subDim = dim / m
     // codeword squared norms, precomputed once: recon_n2 = sum_j ||cw_{j,code_j}||^2
     // (subspaces are orthogonal coordinate blocks, so reconstruction norms add)
-    val cwNorm2 = Array.tabulate(m, ks) { (j, c) =>
+    val cwNorm2 = Array.tabulate(m, books(0).length) { (j, c) =>
       var s = 0.0; var i = 0
       val cw = books(j)(c)
       while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
       s
     }
     val bc = spark.sparkContext.broadcast((books, cwNorm2))
-    val codes = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    slice.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>
         val (bs, n2s) = bc.value
@@ -1329,7 +1346,6 @@ object Similarity {
         }
       }
       .toDF("neighbor_id", "code", "recon_n2")
-    new PqIndex(dim, books, codes)
   }
 
   /** The trained PQ codebooks as a `(sub, code, cw)` frame — the PERSISTABLE

@@ -1199,6 +1199,54 @@ object StreamOps {
       }
       .start()
 
+  /**
+   * STREAMING OPQ code maintenance — the rotated-PQ sibling of
+   * [[streamingAnnCodes]], so the q235 standing store has the same
+   * incremental face as every other index: each arriving vector ROTATES
+   * through the frozen OPQ basis (an isometry — the basis never
+   * retrains per batch) and encodes against the frozen codebooks
+   * ([[graft.operators.Similarity.pqEncode]]); a NULL vector tombstones
+   * its id. Re-ingests supersede by version, replays are idempotent —
+   * the store discipline throughout.
+   */
+  def streamingOpqCodes(vectors: DataFrame,
+      basis: graft.operators.Pca.PcaModel,
+      index: graft.operators.Similarity.PqIndex, idCol: String, vecCol: String,
+      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.sources.Sink
+        val b = batch
+          .select(col(idCol).cast("long").as(idCol), col(vecCol))
+          .where(col(idCol).isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val rotated = graft.operators.Pca
+            .rotate(b.where(col(vecCol).isNotNull), idCol, vecCol, basis)
+            .toDF(idCol, vecCol)
+          val rows = graft.operators.Similarity
+            .pqEncode(index, rotated, idCol, vecCol)
+            .withColumn("version", lit(batchId))
+          Sink.upsertBuckets(storePath, rows, "neighbor_id", "version", nBuckets)
+          val dead = b.where(col(vecCol).isNull)
+            .select(col(idCol).as("neighbor_id")).distinct()
+            .withColumn("version", lit(batchId))
+          if (!dead.isEmpty)
+            Sink.deleteKeys(storePath, dead, "neighbor_id", "version", nBuckets)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** The CURRENT code frame of a [[streamingOpqCodes]] store — the flat
+    * `(neighbor_id, code, recon_n2)` PQ schema (no cent_id: OPQ codes
+    * are unpartitioned ADC input), tombstoned ids excluded. */
+  def opqCodesFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .select(col("neighbor_id"), col("code"), col("recon_n2"))
+
   /** The CURRENT code frame of a [[streamingAnnCodes]] store, in the
     * standing `(neighbor_id, cent_id, code, recon_n2)` schema the ADC
     * search kernels consume (deleted ids excluded by their tombstones). */

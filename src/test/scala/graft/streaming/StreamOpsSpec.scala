@@ -1068,6 +1068,49 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingOpqCodes ≡ frozen rotate+encode (store-maintained OPQ codes)") {
+    it("batches rotate through the frozen basis; re-ingests supersede, nulls tombstone") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.operators.{Pca, Similarity}
+      val dim = 16
+      def vec(id: Long): Array[Double] =
+        Array.tabulate(dim)(j => math.sin(id * 17 + j * 5) / (1.0 + j * 0.5))
+      val corpus0 = (0L until 48L).map(id => (id, vec(id)))
+      val train = corpus0.toDF("vec_id", "embedding")
+      val basis = Pca.opqBasis(train, "embedding", m = 4)
+      val index = Similarity.buildPqIndex(
+        Pca.rotate(train, "vec_id", "embedding", basis).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = dim, m = 4, ks = 16, trainIters = 2)
+      val store = java.nio.file.Files.createTempDirectory("opq_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("opq_ckpt").toString
+      val src = MemoryStream[(Long, Array[Double])]
+      val q = StreamOps.streamingOpqCodes(src.toDF().toDF("vec_id", "embedding"),
+        basis, index, "vec_id", "embedding", store, nBuckets = 4, checkpointDir = ckpt)
+      def codes(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Byte], Double)] =
+        df.select($"neighbor_id", $"code", $"recon_n2")
+          .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSet
+      try {
+        // batch 1: first half; batch 2: second half + RE-ingest id 3 with
+        // a new vector + tombstone id 5
+        src.addData(corpus0.take(24): _*); q.processAllAvailable()
+        src.addData(corpus0.drop(24) ++ Seq((3L, vec(300L)),
+          (5L, null.asInstanceOf[Array[Double]])): _*)
+        q.processAllAvailable()
+        val live = (corpus0.toMap ++ Map(3L -> vec(300L))) - 5L
+        val scratch = Similarity.pqEncode(index,
+          Pca.rotate(live.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding", basis)
+            .toDF("vec_id", "embedding"),
+          "vec_id", "embedding")
+        assert(codes(StreamOps.opqCodesFromStore(spark, store)) === codes(scratch))
+        // takedown path shared with every store
+        StreamOps.deleteIdsFromStore(store, Seq(7L).toDF("neighbor_id"), "neighbor_id",
+          version = 100L, nBuckets = 4)
+        assert(codes(StreamOps.opqCodesFromStore(spark, store)) ===
+          codes(scratch).filterNot(_._1 == 7L))
+      } finally q.stop()
+    }
+  }
+
   describe("streamingAnnCodes ≡ frozen-index re-encode (store-maintained ANN codes)") {
     it("upserts fold in, null-vector deletions tombstone; store equals scratch encode per batch") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
