@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
  * invariance: every replica dedups onto its original (smallest id), so the
  * 10x output must equal the 1x output row for row.
  *
- * Usage: runMain graft.Stress [bpe|embed|incremental|curation|snapshot|events|semantic|retrieval|rdd|graph|selection|components|store|ivfcap|standing|kcore] [sfDir]
- * (default sfDir /root/testdata/sf0.1)
+ * Usage: runMain graft.Stress [mode] [sfDir] — the authoritative mode
+ * list is the `modes` set in `main` below (a wrong mode fails loudly
+ * and prints it); default sfDir /root/testdata/sf0.1.
  */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -1390,9 +1391,15 @@ object Stress {
     val plain = adcRecall(emb, queries, "plain PQ")
     val basis = timedValue("OPQ basis (moment agg + Jacobi + allocation)")(
       Pca.opqBasis(emb, "embedding", m = 16))._1
+    // persisted like emb, so the OPQ leg's train/encode passes read the
+    // cached rotation instead of re-rotating per action — like-for-like
+    // timing against the plain leg
     val rotC = Pca.rotate(emb, "vec_id", "embedding", basis).toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    rotC.count(): Unit
     val rotQ = Pca.rotate(queries, "vec_id", "embedding", basis).toDF("vec_id", "embedding")
     val opq = adcRecall(rotC, rotQ, "OPQ")
+    rotC.unpersist(): Unit
     println(f"[stress] OPQ - plain = ${opq - plain}%+.3f recall@10 " +
       "(rotation is free at search time: k·dim per query)")
     emb.unpersist(): Unit

@@ -1176,28 +1176,9 @@ object StreamOps {
   def streamingAnnCodes(vectors: DataFrame,
       index: graft.operators.Similarity.IvfPqIndex, idCol: String, vecCol: String,
       storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
-    vectors.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.sources.Sink
-        val b = batch
-          .select(col(idCol).cast("long").as(idCol), col(vecCol))
-          .where(col(idCol).isNotNull)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        try {
-          val rows = graft.operators.Similarity
-            .ivfPqEncode(index, b.where(col(vecCol).isNotNull), idCol, vecCol)
-            .withColumn("version", lit(batchId))
-          Sink.upsertBuckets(storePath, rows, "neighbor_id", "version", nBuckets)
-          val dead = b.where(col(vecCol).isNull)
-            .select(col(idCol).as("neighbor_id")).distinct()
-            .withColumn("version", lit(batchId))
-          if (!dead.isEmpty)
-            Sink.deleteKeys(storePath, dead, "neighbor_id", "version", nBuckets)
-        } finally { b.unpersist(); () }
-      }
-      .start()
+    codeStoreStream(vectors, idCol, vecCol, storePath, nBuckets, checkpointDir,
+      retire = col(vecCol).isNull,
+      encode = live => graft.operators.Similarity.ivfPqEncode(index, live, idCol, vecCol))
 
   /**
    * STREAMING OPQ code maintenance — the rotated-PQ sibling of
@@ -1213,6 +1194,26 @@ object StreamOps {
       basis: graft.operators.Pca.PcaModel,
       index: graft.operators.Similarity.PqIndex, idCol: String, vecCol: String,
       storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    codeStoreStream(vectors, idCol, vecCol, storePath, nBuckets, checkpointDir,
+      // a non-null vector the basis cannot rotate (wrong width) is a
+      // corrupt re-upload: RETIRE it (the streamingAudioFingerprints
+      // discipline) — Pca.rotate would silently drop the row and the
+      // store would keep serving the STALE code, breaking store ≡
+      // scratch-re-encode
+      retire = col(vecCol).isNull || size(col(vecCol)) =!= basis.dim,
+      encode = live => graft.operators.Similarity.pqEncode(index,
+        graft.operators.Pca.rotate(live, idCol, vecCol, basis).toDF(idCol, vecCol),
+        idCol, vecCol))
+
+  /** The shared code-store micro-batch discipline of [[streamingAnnCodes]]
+    * and [[streamingOpqCodes]]: ids with a live (non-`retire`) vector
+    * upsert their fresh encode; `retire` rows tombstone; re-ingests
+    * supersede by version; replays are idempotent. ONE definition so the
+    * two faces cannot drift. */
+  private def codeStoreStream(vectors: DataFrame, idCol: String, vecCol: String,
+      storePath: String, nBuckets: Int, checkpointDir: String,
+      retire: org.apache.spark.sql.Column,
+      encode: DataFrame => DataFrame): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1223,14 +1224,10 @@ object StreamOps {
           .where(col(idCol).isNotNull)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         try {
-          val rotated = graft.operators.Pca
-            .rotate(b.where(col(vecCol).isNotNull), idCol, vecCol, basis)
-            .toDF(idCol, vecCol)
-          val rows = graft.operators.Similarity
-            .pqEncode(index, rotated, idCol, vecCol)
+          val rows = encode(b.where(!coalesce(retire, lit(true))))
             .withColumn("version", lit(batchId))
           Sink.upsertBuckets(storePath, rows, "neighbor_id", "version", nBuckets)
-          val dead = b.where(col(vecCol).isNull)
+          val dead = b.where(coalesce(retire, lit(true)))
             .select(col(idCol).as("neighbor_id")).distinct()
             .withColumn("version", lit(batchId))
           if (!dead.isEmpty)

@@ -1093,10 +1093,14 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         // batch 1: first half; batch 2: second half + RE-ingest id 3 with
         // a new vector + tombstone id 5
         src.addData(corpus0.take(24): _*); q.processAllAvailable()
+        // re-ingest id 3 with a new vector, tombstone id 5, and RETIRE
+        // id 9 via a wrong-width re-upload (the basis cannot rotate it —
+        // serving its stale code would break store ≡ scratch)
         src.addData(corpus0.drop(24) ++ Seq((3L, vec(300L)),
-          (5L, null.asInstanceOf[Array[Double]])): _*)
+          (5L, null.asInstanceOf[Array[Double]]),
+          (9L, Array(1.0, 2.0))): _*)
         q.processAllAvailable()
-        val live = (corpus0.toMap ++ Map(3L -> vec(300L))) - 5L
+        val live = (corpus0.toMap ++ Map(3L -> vec(300L))) - 5L - 9L
         val scratch = Similarity.pqEncode(index,
           Pca.rotate(live.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding", basis)
             .toDF("vec_id", "embedding"),
