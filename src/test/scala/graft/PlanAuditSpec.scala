@@ -62,6 +62,21 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       s"expected exactly one hash exchange (the (train,eval) count):\n$p")
   }
 
+  it("q227 anchor aggregation is extraction + ONE map-side-combined exchange") {
+    val p = plan("q227_anchor_text")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange (the (target, anchor) count):\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  it("q225 sitemap extraction rides the scan: zero exchanges, doc_id-only read") {
+    val p = plan("q225_sitemap_frontier")
+    // union of two narrow extraction branches over the same scan
+    assert(!p.contains("Exchange"), s"frontier extraction must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
   it("q223 audio landmarks ride the scan: zero exchanges, doc_id-only read") {
     val p = plan("q223_audio_peaks")
     assert(!p.contains("Exchange"), s"FFT landmark pass must not shuffle:\n$p")
