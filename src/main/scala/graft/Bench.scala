@@ -29,35 +29,51 @@ object Bench {
     // host occasionally suffers multi-second CPU-steal bursts (BENCH_r04 was
     // inflated ~1.8x by one); steal only ever ADDS time, so the minimum is
     // the steal-free estimator of the query's true cost.
+    //
+    // Reps run INTERLEAVED — pass 1 over every query, then pass 2, then
+    // pass 3 — not back-to-back per query: consecutive reps of one query
+    // all land inside the same minutes-long noisy window, so a steal burst
+    // can inflate ALL of a query's reps at once and the min stops helping
+    // (BENCH_r11 measured 2-4x same-tree spread on the typed-kernel family
+    // that way). Interleaving puts a full-sweep's wall-clock (~minutes)
+    // between a query's reps, so a burst taxes one PASS, and the
+    // min-across-passes recovers each query's steal-free cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // optional comma-separated query filter for local iteration (the
     // Verify convention); the driver leaves it unset and runs the full map
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq
+    val queryList = SparkEntry.queries.toSeq
       .filter(q => filter.forall(_.contains(q._1)))
-      .sortBy(_._1).map { case (name, fn) =>
-      // Force EVERY output column: a bare count() would let Catalyst prune
-      // the projections under test (expression-only queries would measure a
-      // parquet row count, nothing else). Hashing all columns into one sum
-      // makes each expression's evaluation observable.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
-          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-            .agg(expr("bit_xor(h)")).collect()
-          (System.nanoTime() - t0) / 1e9
-        } finally SparkEntry.drainCleanups() // release per-query caches
-      }
+      .sortBy(_._1)
+    // Force EVERY output column: a bare count() would let Catalyst prune
+    // the projections under test (expression-only queries would measure a
+    // parquet row count, nothing else). Hashing all columns into one sum
+    // makes each expression's evaluation observable.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
       try {
-        val times = (1 to reps).map(_ => once())
-        (name, times.min, times, true)
-      } catch {
+        val df = fn(spark, sfDir)
+        // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(expr("bit_xor(h)")).collect()
+        (System.nanoTime() - t0) / 1e9
+      } finally SparkEntry.drainCleanups() // release per-query caches
+    }
+    val passTimes = scala.collection.mutable.LinkedHashMap(
+      queryList.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    val dead = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to reps; (name, fn) <- queryList if !dead(name)) {
+      try passTimes(name) = passTimes(name) :+ once(fn)
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          (name, -1.0, Nil: Seq[Double], false)
+          dead += name
       }
+    }
+    val results = queryList.map { case (name, _) =>
+      val ts = passTimes(name)
+      if (dead(name) || ts.isEmpty) (name, -1.0, Nil: Seq[Double], false)
+      else (name, ts.min, ts: Seq[Double], true)
     }
     val qs = results.map { case (k, v, _, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")

@@ -206,7 +206,12 @@ object Pca {
       .toDF("kind", "idx", "values")
   }
 
-  /** Load a [[modelToFrame]] back (component order restored by idx). */
+  /** Load a [[modelToFrame]] back (component order restored by idx).
+    * Structural integrity is checked LOUDLY (the `maxEntries` guard's
+    * discipline): a frame missing its singleton `mean`/`eig` rows, carrying
+    * duplicates of them, or with colliding `comp` indices is not a model
+    * frame and must fail with a diagnosis, not a bare
+    * `NoSuchElementException` or a silently-arbitrary row choice. */
   def modelFromStoreFrame(df: DataFrame, maxEntries: Int = 65536): PcaModel = {
     val rows = df.limit(maxEntries + 1).collect()
     require(rows.length <= maxEntries,
@@ -214,9 +219,20 @@ object Pca {
     def arr(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Double](2).toArray
     val byKind = rows.groupBy(_.getString(0))
-    val mean = arr(byKind("mean").head)
-    val eig = arr(byKind("eig").head)
-    val comps = byKind("comp").sortBy(_.getLong(1)).map(arr)
+    def exactlyOne(kind: String): org.apache.spark.sql.Row = {
+      val rs = byKind.getOrElse(kind, Array.empty[org.apache.spark.sql.Row])
+      require(rs.length == 1,
+        s"not a model frame: expected exactly one '$kind' row, found ${rs.length}")
+      rs.head
+    }
+    val mean = arr(exactlyOne("mean"))
+    val eig = arr(exactlyOne("eig"))
+    val compRows = byKind.getOrElse("comp", Array.empty[org.apache.spark.sql.Row])
+    require(compRows.nonEmpty, "not a model frame: no 'comp' rows")
+    val idxs = compRows.map(_.getLong(1))
+    require(idxs.distinct.length == idxs.length,
+      "not a model frame: duplicate 'comp' idx values")
+    val comps = compRows.sortBy(_.getLong(1)).map(arr)
     PcaModel(mean, comps, eig)
   }
 

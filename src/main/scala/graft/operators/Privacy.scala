@@ -146,14 +146,27 @@ object Privacy {
    * throughout, matching [[kAnonymize]]'s window semantics).
    */
   def tClosenessAudit(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
-      tNum: Long, tDen: Long): DataFrame = {
+      tNum: Long, tDen: Long, maxSensitiveDomain: Int = 65536): DataFrame = {
     require(tNum >= 0 && tDen > 0 && tNum <= tDen,
       s"t must be a fraction in [0, 1]: got $tNum/$tDen")
+    require(maxSensitiveDomain >= 1,
+      s"maxSensitiveDomain must be >= 1, got $maxSensitiveDomain")
     val qs = quasiCols.map(col)
     val cs = df.groupBy((qs :+ col(sensitiveCol).as("__s")): _*)
       .agg(count(lit(1)).as("n_cs"))
     val classes = cs.groupBy(qs: _*).agg(sum(col("n_cs")).as("n_c"))
     val corpus = df.groupBy(col(sensitiveCol).as("__s")).agg(count(lit(1)).as("n_s"))
+    // BROADCAST CONTRACT, checked loudly (the collectQueries/loadPqIndex
+    // discipline): the class×sensitive grid below is |classes| × |domain|
+    // rows, sane only while the sensitive DOMAIN is audit-small. A
+    // mis-pointed high-cardinality column (an id, free text) must fail
+    // with a diagnosis here, not silently build a corpus-squared grid.
+    val nSens = corpus.limit(maxSensitiveDomain + 1).count()
+    require(nSens <= maxSensitiveDomain,
+      s"sensitive column '$sensitiveCol' has more than $maxSensitiveDomain distinct values" +
+        " — not an auditable sensitive domain (is the column mis-pointed at an id or" +
+        " free-text field?); raise maxSensitiveDomain only if the domain is genuinely" +
+        " this large and the class-grid cost is accepted")
     val totals = corpus.agg(sum(col("n_s")).as("big_n"))
     // every (class, corpus-sensitive-value) cell: absent-in-class -> 0.
     // The cell join must be NULL-SAFE — a NULL sensitive (or quasi) value

@@ -36,6 +36,21 @@ import org.apache.spark.sql.functions._
  * artifact, or a detectably-unpublished one; never a silent mixture or
  * a silently partial corpus.
  *
+ * Two failure modes the staging dir alone does not cover are closed
+ * explicitly:
+ *  - TASK-ATTEMPT RACES (speculation / retry): each attempt streams into
+ *    an attempt-suffixed temp name and renames to the canonical shard
+ *    name only when its partition completes, so a killed mid-write
+ *    attempt can never leave a truncated file under a canonical name —
+ *    and because shard bytes are a pure function of the sorted partition,
+ *    even two attempts racing their renames land identical bytes;
+ *  - CONCURRENT EXPORTS to one path: a `.export-lock` file (created
+ *    atomically, heartbeat-refreshed every [[lockBeatMs]] while the
+ *    export runs) makes the second writer FAIL LOUDLY instead of reaping
+ *    the first one's staging dir and interleaving the two publish
+ *    phases under one manifest. A crashed writer's lock stops beating
+ *    and is reaped once it goes stale ([[lockStaleMs]]).
+ *
  * SCALE SHAPE: one shuffle (the content-addressed placement), then a
  * narrow per-partition streaming write — each task holds one open gzip
  * stream and a line buffer, never a shard in memory. Shards roll over
@@ -44,6 +59,40 @@ import org.apache.spark.sql.functions._
  * Local-filesystem contract, like every [[Sink]] store.
  */
 object Export {
+
+  /** Single-writer lock heartbeat period / staleness horizon: a live
+    * export refreshes the lock's mtime every beat from a daemon thread
+    * (the driver blocks in the job, so the beat must be off-thread); a
+    * lock that has not beaten for [[lockStaleMs]] belongs to a crashed
+    * writer and is reaped. Stale >> beat, so one missed beat under load
+    * never gets a live writer reaped. */
+  private val lockBeatMs = 5000L
+  private val lockStaleMs = 120000L
+
+  private def acquireLock(dir: java.io.File, path: String): (java.io.File, Thread) = {
+    val lock = new java.io.File(dir, ".export-lock")
+    def tryCreate(): Boolean =
+      try { java.nio.file.Files.createFile(lock.toPath); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryCreate()) {
+      val age = System.currentTimeMillis() - lock.lastModified()
+      require(age > lockStaleMs,
+        s"another export to $path holds .export-lock (last heartbeat ${age / 1000}s ago)" +
+          " — concurrent exports to one artifact would interleave their publish phases;" +
+          s" a crashed writer's lock goes stale after ${lockStaleMs / 1000}s")
+      require(lock.delete() && tryCreate(),
+        s"lost the .export-lock takeover race at $path — another writer is active")
+    }
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(lockBeatMs)
+        lock.setLastModified(System.currentTimeMillis()): Unit
+      } catch { case _: InterruptedException => () }
+    }, s"export-lock-beat:$path")
+    beat.setDaemon(true)
+    beat.start()
+    (lock, beat)
+  }
 
   /**
    * Write `df` as `nShards` hash-placed, id-sorted, size-bounded
@@ -60,8 +109,11 @@ object Export {
     import spark.implicits._
     val dir = new java.io.File(path)
     dir.mkdirs()
+    val (lock, beat) = acquireLock(dir, path)
+    try {
     // abandoned staging dirs from crashed exports are never published —
-    // reap them before staging anew
+    // reap them before staging anew (safe under the lock: only a STALE
+    // writer's leavings can be here)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
       .foreach(deleteRec)
@@ -73,7 +125,11 @@ object Export {
       .sortWithinPartitions(col("__id"), col("j"))
       .select(col("j")).as[String]
     val stats = lines.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      // attempt-unique temp suffix: a speculative or retried attempt of
+      // this partition must never truncate a sibling attempt's open file
+      val attempt = tc.taskAttemptId()
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
       var roll = 0
       var stream: java.util.zip.GZIPOutputStream = null
@@ -90,7 +146,8 @@ object Export {
         roll += 1
         stream = new java.util.zip.GZIPOutputStream(
           new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(new java.io.File(staging, file))))
+            new java.io.FileOutputStream(
+              new java.io.File(staging, s"$file.attempt-$attempt"))))
       }
       try {
         it.foreach { j =>
@@ -102,9 +159,20 @@ object Export {
           raw += bytes.length
         }
         close()
+        // partition complete: promote this attempt's finished temp files to
+        // the canonical shard names. Racing promotions from a speculative
+        // twin are benign — shard bytes are a pure function of the sorted
+        // partition, so both attempts rename identical bytes
+        out.foreach { case (f, _, _) =>
+          val tmp = new java.io.File(staging, s"$f.attempt-$attempt")
+          val canon = new java.io.File(staging, f)
+          if (canon.exists()) canon.delete(): Unit
+          require(tmp.renameTo(canon), s"cannot promote $tmp to $canon")
+        }
       } finally {
         // a failing task must not leak its open stream; its partial shard
-        // stays in staging and dies unpublished
+        // stays an attempt-suffixed temp in staging, never promoted,
+        // and dies unpublished
         if (stream != null) { stream.close(); stream = null }
       }
       out.iterator
@@ -133,6 +201,10 @@ object Export {
       if (manifest.isEmpty) "" else manifest + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "_SUCCESS"), "")
     stats
+    } finally {
+      beat.interrupt()
+      lock.delete(): Unit
+    }
   }
 
   private def deleteRec(f: java.io.File): Unit = {

@@ -92,16 +92,21 @@ object Feeds {
    * Parse RSS 2.0 / Atom feed blobs into `(idCol, fmt, item_idx, title,
    * link, published)` — `fmt` sniffs from the root element (`<rss` vs
    * `<feed`); a blob with neither root yields no rows (the damaged-feed
-   * contract). Items without a link are dropped (a frontier row IS its
+   * contract). The two sniffs are MUTUALLY EXCLUSIVE (rss wins, else
+   * atom): a substring sniff alone would parse a blob containing BOTH
+   * literals — e.g. an RSS feed whose item content embeds `<feed` —
+   * through both branches and emit duplicate rows for the same links.
+   * Items without a link are dropped (a frontier row IS its
    * URL); missing title/date are NULL. Dates stay verbatim STRINGS —
    * RFC-822 (RSS) and RFC-3339 (Atom) parsing is the caller's choice, and
    * a malformed date must not kill the row that carries a good URL.
    */
   def feedEntries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
     val x = col(xmlCol)
-    def entries(rootPattern: String, blockPattern: String, fmt: String,
+    val rssRoot = "(?is)<rss[\\s>]"
+    def entries(rootCond: Column, blockPattern: String, fmt: String,
         linkPattern: String, datePattern: String) = df
-      .where(x.rlike(rootPattern))
+      .where(rootCond)
       .select(col(idCol), posexplode(
         regexp_extract_all(x, lit(blockPattern), lit(0))).as(Seq("item_idx", "b")))
       .select(col(idCol), lit(fmt).as("fmt"), col("item_idx").cast("long"),
@@ -109,9 +114,10 @@ object Feeds {
         field(col("b"), linkPattern).as("link"),
         field(col("b"), datePattern).as("published"))
       .where(col("link").isNotNull)
-    entries("(?is)<rss[\\s>]", rssItemBlockPattern, "rss", rssLinkPattern, rssDatePattern)
+    entries(x.rlike(rssRoot), rssItemBlockPattern, "rss", rssLinkPattern, rssDatePattern)
       .unionByName(
-        entries("(?is)<feed[\\s>]", atomEntryBlockPattern, "atom", atomLinkPattern, atomDatePattern))
+        entries(x.rlike("(?is)<feed[\\s>]") && !x.rlike(rssRoot),
+          atomEntryBlockPattern, "atom", atomLinkPattern, atomDatePattern))
   }
 
   /**

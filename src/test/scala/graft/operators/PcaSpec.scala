@@ -164,6 +164,24 @@ class PcaSpec extends AnyFunSuite with SparkSuite {
     assert(r1 == r2)
   }
 
+  test("a malformed store frame fails loudly, never a bare NoSuchElement or silent pick") {
+    val rnd = new scala.util.Random(43)
+    val df = (0L until 40L).map(i => (i, Seq.fill(4)(rnd.nextDouble()))).toDF("id", "vec")
+    val good = Pca.modelToFrame(spark, Pca.opqBasis(df, "vec", m = 2))
+    def msgOf(frame: org.apache.spark.sql.DataFrame): String =
+      intercept[IllegalArgumentException](Pca.modelFromStoreFrame(frame)).getMessage
+    // missing mean row
+    assert(msgOf(good.where($"kind" =!= "mean")).contains("exactly one 'mean'"))
+    // duplicated eig row — silently using the first would mask store corruption
+    assert(msgOf(good.unionAll(good.where($"kind" === "eig")))
+      .contains("exactly one 'eig'"))
+    // colliding component indices
+    assert(msgOf(good.unionAll(good.where($"kind" === "comp" && $"idx" === 0)))
+      .contains("duplicate 'comp' idx"))
+    // no components at all
+    assert(msgOf(good.where($"kind" =!= "comp")).contains("no 'comp' rows"))
+  }
+
   test("OPQ codes beat or match plain PQ on an anisotropic corpus (ADC recall)") {
     // per-dim scales decay, so a CONTIGUOUS subspace split starves the
     // tail subspaces; eigenvalue allocation rebalances them

@@ -127,6 +127,19 @@ class PrivacySpec extends AnyFunSpec with SparkSuite {
         Privacy.tClosenessAudit(rows, Seq("a"), "s", 1, 0))
     }
 
+    it("fails loudly on a high-cardinality sensitive column (broadcast contract)") {
+      // a mis-pointed id column: the class x sensitive grid would be
+      // corpus-squared — the require must fire with a diagnosis, not
+      // silently build the grid
+      val wide = (1L to 10L).map(i => (i, "A", s"id-$i")).toDF("id", "a", "s")
+      val e = intercept[IllegalArgumentException](
+        Privacy.tClosenessAudit(wide, Seq("a"), "s", 1, 8, maxSensitiveDomain = 4))
+      assert(e.getMessage.contains("distinct values"))
+      // the same domain under a sufficient bound audits fine
+      assert(Privacy.tClosenessAudit(wide, Seq("a"), "s", 1, 8,
+        maxSensitiveDomain = 16).count() == 1L)
+    }
+
     it("treats a NULL sensitive value as an ordinary group (null-safe cell join)") {
       // both classes mirror the corpus distribution exactly (TV = 0) —
       // a null-unsafe join would zero the NULL cells and flag them

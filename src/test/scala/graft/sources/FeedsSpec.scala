@@ -86,6 +86,20 @@ class FeedsSpec extends AnyFunSpec with SparkSuite {
     assert(feedRows("<html><body>not a feed</body></html>") == Seq.empty)
   }
 
+  it("a blob carrying BOTH root literals parses through exactly one branch (rss wins)") {
+    // an RSS feed whose item content embeds the '<feed ' literal: a pure
+    // substring sniff would run it through both branches and emit the
+    // same link twice (once as rss, once as atom)
+    val xml =
+      """<rss version="2.0"><channel>
+        | <item><title>about &lt;feed&gt; and <feed xmlns="atom"> markup</title>
+        |   <link>https://d.example/p1</link></item>
+        |</channel></rss>""".stripMargin
+    val rows = feedRows(xml)
+    assert(rows.map(_._1).distinct == Seq("rss"))
+    assert(rows.map(_._4) == Seq("https://d.example/p1"))
+  }
+
   it("recrawlSet: new urls fetch, postdating signals go stale, unknown signals stay fresh") {
     val frontier = Seq(
       ("https://a.example/1", Some("2026-02-01T00:00:00Z")), // newer -> stale
