@@ -4346,7 +4346,11 @@ object SparkEntry {
       // WebP twins of the first 50 BMPs: the SAME pixel closed form
       // re-encoded through the real VP8L entropy coder (odd ids behind
       // the subtract-green transform), so the cross-format pair must
-      // share its phash exactly — a third decoder joins the gate
+      // share its phash exactly — a third decoder joins the gate. Every
+      // third twin additionally re-wraps as a VP8X extended container
+      // (the metadata-carrying crawl shape), so bare-vs-VP8X phash
+      // identity is gated here too: a broken container descent loses
+      // those twins and n_webp_found falls short of n_planted
       val webpTwins = first.map { id =>
         val w = (8 + id % 16).toInt
         val h = (8 + id % 8).toInt
@@ -4355,7 +4359,8 @@ object SparkEntry {
           0xff000000 | (((x + y) % 256) << 16) |
             ((((y + id) % 256).toInt) << 8) | ((x + id) % 256).toInt
         }
-        (id + 7000000L, multimodal.Webp.encodeLossless(w, h, argb, subtractGreen = id % 2 == 1))
+        val bare = multimodal.Webp.encodeLossless(w, h, argb, subtractGreen = id % 2 == 1)
+        (id + 7000000L, if (id % 3 == 0) multimodal.Webp.wrapVp8x(bare) else bare)
       }.toDF("img_id", "blob")
       val hashes = multimodal.Media.perceptualHash(
         bmps.unionByName(pngTwins).unionByName(jBase).unionByName(jProg)
@@ -4812,18 +4817,24 @@ object SparkEntry {
     // behind the REAL VP8L entropy coder (RIFF walk, LSB-first bit
     // reading, canonical prefix codes; odd ids additionally route through
     // the subtract-green transform), decoded back through the shared
-    // pixelMeans dispatch. The oracle replays the closed form per pixel —
-    // any prefix-code, bit-order, or transform slip lands on wrong means
-    // and fails the hash. LZ77/cache/predictor/color-transform/palette
-    // decode paths are pinned bit-exactly by WebpSpec's hand-rolled
-    // streams; lossy VP8 takes the honest fallback (WebpSpec).
+    // pixelMeans dispatch. Every THIRD id re-wraps as a VP8X extended
+    // container (VP8X header + ICCP metadata + the VP8L chunk + EXIF —
+    // the shape metadata-carrying crawl WebP actually ships), so the
+    // container descent is gated in-query: the oracle replays the closed
+    // form per pixel with no idea which stripe a row is in — a broken
+    // walk drops rows or shifts means and fails the hash. Any
+    // prefix-code, bit-order, or transform slip fails the same way.
+    // LZ77/cache/predictor/color-transform/palette decode paths are
+    // pinned bit-exactly by WebpSpec's hand-rolled streams; lossy VP8
+    // pixels take the honest fallback with VP8X-canvas dims (WebpSpec).
     "q220_webp_pixels" -> ((s, dir) => {
       import s.implicits._
       val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
         .select(col("doc_id")).as[Long]
         .map { id =>
-          (id, multimodal.Webp.syntheticWebpImage(
-            (8 + id % 16).toInt, (8 + id % 8).toInt, id))
+          val bare = multimodal.Webp.syntheticWebpImage(
+            (8 + id % 16).toInt, (8 + id % 8).toInt, id)
+          (id, if (id % 3 == 0) multimodal.Webp.wrapVp8x(bare) else bare)
         }.toDF("doc_id", "blob")
       multimodal.Media.pixelMeans(blobs, "doc_id", "blob")
     }),

@@ -13,13 +13,19 @@ package graft.multimodal
   * stored/uncompressed trick, so round-trips exercise genuine prefix
   * decoding on both sides.
   *
-  * Scope and honesty (the [[Media.parseBmp]] rule): LOSSLESS (VP8L) only.
-  * Lossy VP8 and VP8X-extended containers return None — the caller's
-  * documented fallback path — as does anything damaged or structurally
-  * out of subset (the one such restriction: color-indexing combined with
-  * OTHER transforms in one stream, which mainstream encoders do not
-  * emit). Alpha is decoded but not surfaced (the pixel contract is RGB,
-  * matching the other codecs).
+  * Scope and honesty (the [[Media.parseBmp]] rule): LOSSLESS (VP8L)
+  * pixels only, in BOTH container shapes — the bare `RIFF/WEBP/VP8L`
+  * layout and the VP8X-extended container (where the image chunk is a
+  * SIBLING of the leading `VP8X` header, after optional `ICCP`/`ANIM`
+  * metadata — any `cwebp -lossless` output with metadata or an alpha
+  * flag ships this shape; the RIFF walk simply skips non-image chunks,
+  * so the descent is the same loop). Lossy VP8 pixels return None —
+  * the caller's documented fallback path, its dims still surfaced from
+  * the VP8 key-frame header or the VP8X canvas declaration — as does
+  * anything damaged or structurally out of subset (the one such
+  * restriction: color-indexing combined with OTHER transforms in one
+  * stream, which mainstream encoders do not emit). Alpha is decoded but
+  * not surfaced (the pixel contract is RGB, matching the other codecs).
   *
   * Format reference: the public VP8L bitstream specification (RFC 9649 /
   * the WebP lossless format document). The 120-entry distance table is
@@ -45,9 +51,12 @@ object Webp {
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P'
 
-  /** The VP8L chunk payload, or None when the container is not a
-    * lossless WebP (lossy VP8 / extended VP8X fall to the caller's
-    * fallback — decoding them would need a full DCT codec). */
+  /** The VP8L chunk payload — found at the top RIFF level in a bare
+    * container AND as the image sibling inside a VP8X-extended one (the
+    * walk skips `VP8X`/`ICCP`/`ANIM`/... like any other non-`VP8L`
+    * chunk) — or None when no lossless payload exists (lossy VP8 falls
+    * to the caller's fallback — decoding it would need a full DCT
+    * codec). */
   private def vp8lPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (!isWebp(bytes)) return None
     var pos = 12
@@ -67,8 +76,10 @@ object Webp {
 
   /** Image dimensions: the VP8L header, or — for LOSSY files, whose
     * pixels this codec honestly refuses — the VP8 key-frame header (real
-    * parse: start code 9d 01 2a, 14-bit little-endian dimensions), so
-    * lossy captures at least profile correctly. */
+    * parse: start code 9d 01 2a, 14-bit little-endian dimensions), or
+    * finally the VP8X canvas declaration (24-bit little-endian minus-one
+    * fields), so lossy and animation captures at least profile
+    * correctly. */
   private[multimodal] def dims(bytes: Array[Byte]): Option[(Long, Long)] =
     vp8lPayload(bytes).flatMap { p =>
       if (p.length < 5 || (p(0) & 0xff) != 0x2f) None
@@ -78,7 +89,32 @@ object Webp {
         val h = br.read(14) + 1
         if (br.ok) Some((w.toLong, h.toLong)) else None
       }
-    }.orElse(vp8LossyDims(bytes))
+    }.orElse(vp8LossyDims(bytes)).orElse(vp8xDims(bytes))
+
+  /** Canvas dims from the VP8X extended-format header: flags (1 byte),
+    * reserved (3), then canvas width-1 and height-1 as 24-bit
+    * little-endian. The LAST resort — a decodable VP8L payload or a VP8
+    * key-frame header describes the actual image chunk; the canvas is
+    * the container's declaration. */
+  private def vp8xDims(bytes: Array[Byte]): Option[(Long, Long)] = {
+    if (!isWebp(bytes)) return None
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val size = (bytes(pos + 4) & 0xffL) | ((bytes(pos + 5) & 0xffL) << 8) |
+        ((bytes(pos + 6) & 0xffL) << 16) | ((bytes(pos + 7) & 0xffL) << 24)
+      if (size > bytes.length) return None
+      if (tag == "VP8X") {
+        val p = pos + 8
+        if (size < 10 || p + 10 > bytes.length) return None
+        def le24(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16)
+        return Some((le24(p + 4) + 1L, le24(p + 7) + 1L))
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
 
   private def vp8LossyDims(bytes: Array[Byte]): Option[(Long, Long)] = {
     if (!isWebp(bytes)) return None
@@ -863,5 +899,34 @@ object Webp {
       argb(y * w + x) = 0xff000000 | (v << 16) | (v << 8) | v
     }
     encodeLossless(w, h, argb, subtractGreen = seed % 2 == 1)
+  }
+
+  /**
+   * Re-wrap a bare lossless WebP as a VP8X extended container — the
+   * shape any `cwebp -lossless` output with metadata or an alpha flag
+   * ships: a leading VP8X header declaring the canvas, an ICCP metadata
+   * chunk (odd-length, so the even-padding walk is exercised), the
+   * original VP8L image chunk, then a trailing EXIF chunk. Fixture-side
+   * twin of the decoder's container descent: wrapping must not change a
+   * single decoded pixel (gated in-query by q220's VP8X stripe and in
+   * WebpSpec).
+   */
+  def wrapVp8x(bare: Array[Byte]): Array[Byte] = {
+    val d = dims(bare).getOrElse(
+      throw new IllegalArgumentException("not a decodable WebP — cannot re-wrap"))
+    def le24(v: Long): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      tag.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
+    }
+    val inner = java.util.Arrays.copyOfRange(bare, 12, bare.length)
+    val body = "WEBP".getBytes("US-ASCII") ++
+      chunk("VP8X", Array[Byte](0, 0, 0, 0) ++ le24(d._1 - 1) ++ le24(d._2 - 1)) ++
+      chunk("ICCP", Array[Byte](1, 2, 3)) ++ inner ++ chunk("EXIF", Array[Byte](9))
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 }

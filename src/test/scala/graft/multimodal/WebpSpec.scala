@@ -60,6 +60,55 @@ class WebpSpec extends AnyFunSuite with graft.SparkSuite {
       assert(Webp.decode(java.util.Arrays.copyOf(bytes, cut)).isEmpty, s"cut=$cut")
   }
 
+  private def le24(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    tag.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
+  }
+  /** Wrap inner chunks in a RIFF/WEBP container led by a VP8X header
+    * declaring canvas w x h — any `cwebp -lossless` output with metadata
+    * or an alpha flag ships this shape. */
+  private def vp8xContainer(w: Int, h: Int, inner: Array[Byte]*): Array[Byte] = {
+    val vp8x = chunk("VP8X", Array[Byte](0, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1))
+    val body = "WEBP".getBytes("US-ASCII") ++ vp8x ++ inner.flatten
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("VP8X-wrapped VP8L decodes pixel-identical to the bare container") {
+    val (w, h) = (9, 5)
+    val argb = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      0xff000000 | (((x * 7 + y) % 256) << 16) | (((y * 5) % 256) << 8) | ((x * 3) % 256)
+    }
+    val bare = Webp.encodeLossless(w, h, argb)
+    val vp8l = java.util.Arrays.copyOfRange(bare, 12, bare.length)
+    // realistic metadata shape: an ICCP chunk (odd-length, exercises the
+    // even-padding walk) precedes the image chunk, EXIF follows it
+    val wrapped = vp8xContainer(w, h,
+      chunk("ICCP", Array[Byte](1, 2, 3)), vp8l, chunk("EXIF", Array[Byte](9)))
+    assert(Webp.dims(wrapped).contains((w.toLong, h.toLong)))
+    val a = Webp.decode(bare).getOrElse(fail("bare decode failed"))
+    val b = Webp.decode(wrapped).getOrElse(fail("VP8X-wrapped decode failed"))
+    assert(b.width == w && b.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(a.pixel(x, y) == b.pixel(x, y), s"($x,$y)")
+  }
+
+  test("VP8X with a lossy VP8 payload: dims from the VP8X header, pixels refused") {
+    // the inner 'VP8 ' chunk here is opaque DCT data this codec honestly
+    // declines; the canvas dims still surface from the VP8X header
+    val lossyGuts = chunk("VP8 ", Array[Byte](0x10, 0, 0, 0x21, 0x04, 0x05))
+    val wrapped = vp8xContainer(31, 17, lossyGuts)
+    assert(Webp.decode(wrapped).isEmpty)
+    assert(Webp.dims(wrapped).contains((31L, 17L)))
+    // a VP8X header alone (truncated container) still refuses cleanly
+    assert(Webp.decode(vp8xContainer(8, 8)).isEmpty)
+  }
+
   test("palette (color-indexing) round-trip at every bundling width") {
     for (palSize <- Seq(2, 3, 4, 11, 16, 20)) {
       val palette = Array.tabulate(palSize)(i =>
