@@ -612,6 +612,27 @@ object SparkEntry {
         operators.Unigram.modelFromFrame(sources.Sink.readIndex(s, piecePath)))
     })
 
+  /** Memoized STANDING TOKEN-ID VOCABULARY for q237 — the id table the
+    * token-shard artifact encodes against: the standing BPE merges'
+    * distinct output symbols over this corpus, lexicographically
+    * id-assigned from 2 (0 = EOS, 1 = SPACE). Store-backed like the
+    * merge table itself — shards from two jobs must agree on every id. */
+  private val tokenVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  private[graft] def ensureTokenVocab(s: SparkSession, dir: String): Map[String, Long] =
+    tokenVocabs.computeIfAbsent(dir, _ => {
+      val root = indexStoreRoot(dir, "documents")
+      val path = s"$root/token_vocab_v1"
+      if (!sources.Sink.indexExists(path)) {
+        val (merges, _) = ensureTokenizers(s, dir)
+        sources.Sink.writeIndex(
+          operators.TokenShards.buildVocab(
+            tbl(s, dir, "documents").where(col("doc_id").isNotNull), "text", merges),
+          path)
+      }
+      operators.TokenShards.vocabFromFrame(sources.Sink.readIndex(s, path))
+    })
+
   private[graft] def ensurePqIndex(s: SparkSession, dir: String): operators.Similarity.PqIndex =
     pqIndexes.computeIfAbsent(dir, _ => {
       val root = indexStoreRoot(dir, "embeddings")
@@ -682,6 +703,7 @@ object SparkEntry {
     jpegBlobs(s, dir, "progressive").count() // standing SOF2 corpus (q182)
     ensureWarcFixture(s, dir) // standing crawl fixture files (q205)
     ensureTokenizers(s, dir): Unit // standing tokenizer artifacts (q232)
+    ensureTokenVocab(s, dir): Unit // standing token-id vocabulary (q237)
     ensureOpqIndex(s, dir)._2.codes.count(): Unit // standing OPQ basis+codes (q235)
     ()
   }
@@ -3909,6 +3931,147 @@ object SparkEntry {
             operators.Unigram.segment(w, model).length.toLong, reloadExact)
         }
         .toDF("word", "n_bpe_tokens", "n_unigram_pieces", "reload_exact")
+    }),
+
+    // q237: TRAIN-READY TOKEN SHARDS — the pipeline's terminal artifact,
+    // composed end-to-end from standing infrastructure: the stored BPE
+    // merge table (q232) + the stored token-id vocabulary tokenize the
+    // corpus ONCE (narrow pass, per-task word memoization), next-fit
+    // packing assembles fixed-context id sequences in the SAME streaming
+    // pass as the one group-sort exchange, and the staged-publish writer
+    // exports them as deterministic jsonl.gz shards. Three registry gates
+    // ride the output: LOSSLESSNESS (the published artifact decodes back
+    // to the exact normalized token stream of every document — explicit
+    // SPACE/EOS ids make the inverse total), byte DETERMINISM (re-export
+    // from a reshuffled input is SHA-identical), and the merge-table pin
+    // (the standing store equals the q222-pinned learned sequence, so the
+    // oracle can replay tokenization with literal merges). The oracle
+    // replays the WHOLE composition: per-word BPE via the q167 recursive
+    // CTE with the learned merges, per-doc id counts by the closed form
+    // sum(word symbols) + word count (n-1 SPACE + 1 EOS), and per-shard
+    // next-fit via the q62 packing CTE — shard/bin/doc/token counts must
+    // agree row-for-row. Same 0x1F-free oracle restriction as q167,
+    // asserted in-query.
+    "q237_token_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q237 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      // the oracle inlines the learned merges as literals (q222's pin);
+      // this flag turns silent store drift into a hash failure
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocab(s, dir)
+      val tokens = operators.TokenShards.tokenizeToIds(
+        docs, "doc_id", "text", merges, vocab)
+      val seqs = operators.TokenShards.packSequences(
+          tokens, "doc_id", nShards = 8, capacity = 512L)
+        .withColumn("seq_id",
+          format_string("s%03d-b%06d", col("shard"), col("bin")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { seqs.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/token_shards_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeJsonlShards(seqs, p1, "seq_id", nShards = 4,
+        maxShardBytes = 1L << 20)
+      sources.Export.writeJsonlShards(seqs.repartition(13), p2, "seq_id",
+        nShards = 4, maxShardBytes = 1L << 20)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      // losslessness from the PUBLISHED artifact: split each bin sequence
+      // on EOS (one segment per packed doc, in order), decode, and demand
+      // exact multiset equality with the source's normalized token stream
+      val back = sources.Export.readJsonlShards(s, p1, seqs.schema)
+      val bcRev = s.sparkContext.broadcast(vocab.map(_.swap))
+      val rebuilt = back.select(col("doc_ids"), col("ids"))
+        .as[(Seq[Long], Seq[Long])]
+        .flatMap { case (docIds, ids) =>
+          val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+          var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+          ids.foreach { id =>
+            cur += id
+            if (id == operators.TokenShards.eosId) {
+              segs += cur.toSeq
+              cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+            }
+          }
+          require(cur.isEmpty && segs.length == docIds.length,
+            "bin sequence does not parse back into its documents")
+          docIds.zip(segs).map { case (d, seg) =>
+            (d, operators.TokenShards.detokenize(seg, bcRev.value))
+          }
+        }.toDF("doc_id", "detok")
+      val source = docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
+        .where(length(col("detok")) > 0)
+      val lossless = rebuilt.exceptAll(source)
+        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      back.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("lossless_exact", lit(lossless))
+    }),
+
+    // q238: INCREMENTAL TOKEN-SHARD MAINTENANCE — snapshot v2 does not
+    // re-tokenize the corpus: one hash diff (Snapshot.delta — payloads
+    // never co-shuffled) identifies the changed slice, ONLY those
+    // documents re-tokenize, and the resulting token rows delta-export
+    // through the staged-publish writer. The in-query gate PROVES the
+    // apply law over token frames: v1 tokens − shipped ids − removals +
+    // the READ-BACK delta must equal a from-scratch v2 tokenization
+    // exactly (exceptAll both ways) — q233's law, lifted from text rows
+    // to token-id rows. Planted stripes are q233's (%10 added, %7 edited
+    // in place, %9 removed; NULL text rides every stripe and is never
+    // re-shipped under hash-of-null); the vocabulary is induced over the
+    // SNAPSHOT UNION in-query because the edit marker introduces symbols
+    // outside the standing corpus vocabulary — the loud-failure contract
+    // a production run would answer by rebuilding the artifact. The
+    // oracle replays stripe membership, status, and the per-doc id count
+    // closed form over the EDITED text through the learned-merges CTE.
+    "q238_token_shard_delta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q238 oracle requires a 0x1F-free corpus') IS NULL"))
+      val v1 = docs.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(9L)) =!= 0 ||
+          pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7L)) === 0,
+            concat(col("text"), lit(" [edited]"))).otherwise(col("text")).as("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val vocab = operators.TokenShards.vocabFromFrame(
+        operators.TokenShards.buildVocab(v1.unionByName(v2), "text", merges))
+      val tok1 = operators.TokenShards.tokenizeToIds(v1, "doc_id", "text", merges, vocab)
+      val delta = operators.Snapshot.delta(v1, v2, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { delta.unpersist(); () })
+      val ship = delta.where(col("status") =!= "removed")
+        .select(col("doc_id"), col("status"))
+      // ONLY the changed slice re-tokenizes (the whole point), and ONLY
+      // it exports
+      val deltaTokens = operators.TokenShards.tokenizeToIds(
+        v2.join(ship.select(col("doc_id")), Seq("doc_id")),
+        "doc_id", "text", merges, vocab)
+      val root = s"${indexStoreRoot(dir, "documents")}/token_delta_v1"
+      sources.Export.writeJsonlShards(deltaTokens, root, "doc_id", nShards = 4,
+        maxShardBytes = 1L << 20)
+      val back = sources.Export.readJsonlShards(s, root, deltaTokens.schema)
+      val removed = delta.where(col("status") === "removed").select(col("doc_id"))
+      val rebuilt = tok1
+        .join(ship.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(removed, Seq("doc_id"), "left_anti")
+        .unionByName(back)
+      val scratch = operators.TokenShards.tokenizeToIds(v2, "doc_id", "text", merges, vocab)
+      val applies = rebuilt.exceptAll(scratch)
+        .unionByName(scratch.exceptAll(rebuilt)).isEmpty
+      back.join(ship, Seq("doc_id"))
+        .select(col("doc_id"), col("status"), col("n_tokens"))
+        .withColumn("delta_applies_exactly", lit(applies))
     }),
 
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
@@ -8535,6 +8698,91 @@ object SparkEntry {
         |             ('wide', 2, 2), ('wider', 2, 2), ('widest', 2, 2),
         |             ('slow', 2, 1), ('slowest', 2, 2))
         |     AS m(word, b, u)""".stripMargin,
+    // q237: the WHOLE composition replayed — q167's recursive-CTE BPE
+    // apply with the LEARNED merges inlined (the q222 pin), the per-doc
+    // id-count closed form n = sum(word symbols) + word count (n-1 SPACE
+    // ids + 1 EOS id), and q62's next-fit recursion per doc_id%8 shard at
+    // capacity 512; losslessness/determinism/pin flags are in-query gates
+    // pinned TRUE
+    "q237_token_shards" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D]+')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       TRUE AS merges_pinned, TRUE AS deterministic, TRUE AS lossless_exact
+        |FROM pack GROUP BY 1, 2""".stripMargin,
+    // q238: stripe membership and status are pure id arithmetic (q233's
+    // replay); the shipped slice's id counts run the edited text through
+    // the same learned-merges CTE; the apply law is the in-query gate
+    "q238_token_shard_delta" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |v2 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
+        |                   THEN text || ' [edited]' ELSE text END AS text
+        |       FROM documents
+        |       WHERE doc_id IS NOT NULL AND (doc_id % 9 != 0 OR doc_id % 10 = 0)),
+        |ship AS (SELECT doc_id,
+        |                CASE WHEN doc_id % 10 = 0 THEN 'added' ELSE 'changed' END AS status
+        |         FROM v2
+        |         WHERE doc_id % 10 = 0 OR (doc_id % 7 = 0 AND text IS NOT NULL)),
+        |inst AS (SELECT v2.doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(v2.text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D]+')) AS w
+        |         FROM v2 JOIN ship USING (doc_id) WHERE v2.text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, CAST(sum(enc.nt) + count(*) AS BIGINT) AS n_tokens
+        |           FROM inst JOIN enc USING (w) GROUP BY 1)
+        |SELECT d.doc_id, s.status, d.n_tokens, TRUE AS delta_applies_exactly
+        |FROM doctok d JOIN ship s USING (doc_id)""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection

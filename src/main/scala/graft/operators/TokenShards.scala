@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.sorted.syntax._
+
+/**
+ * TRAIN-READY TOKEN SHARDS — the last mile of the pipeline: compose the
+ * standing tokenizer ([[Bpe]] merge table), the corpus, and next-fit
+ * sequence packing ([[Packing]]'s rule) into the artifact a trainer
+ * actually loads — fixed-context sequences of TOKEN IDS, exported
+ * through the deterministic staged-publish shard writer
+ * ([[graft.sources.Export]]). Everything upstream (clean, dedup, select,
+ * train the tokenizer) exists to produce exactly this output.
+ *
+ * The id scheme is a standing artifact like the merge table itself:
+ * id 0 = EOS (document boundary), id 1 = SPACE (inter-word boundary),
+ * ids 2.. = the tokenizer's output symbols in lexicographic order. The
+ * explicit SPACE token is what makes the encoding LOSSLESS over the
+ * normalized token stream: BPE symbols never contain whitespace, so
+ * without it a decoder could not recover word boundaries. Decoding is
+ * pure concatenation — `detokenize(tokenize(text)) ==
+ * edge-stripped-tokens-of(text) joined by single spaces` exactly, the
+ * gate q237 carries in-query.
+ *
+ * SCALE SHAPE:
+ *  - the VOCABULARY derives from the distinct-word frame (Heaps-bounded)
+ *    and is symbol-count-sized — a model artifact, stored once
+ *    ([[Bpe.mergesFrame]] discipline) and broadcast at apply time;
+ *  - TOKENIZATION is one narrow corpus pass: the merge loop runs once
+ *    per distinct word per task (a per-partition memo map — the
+ *    [[WordFrames.memoizedTokenCounts]] insight applied task-side, with
+ *    no join because the output here is the id SEQUENCE, not a count);
+ *  - PACKING + SEQUENCE ASSEMBLY is ONE exchange: the group-sort shuffle
+ *    establishes per-shard doc order, then a single streaming pass runs
+ *    next-fit AND assembles each bin's id sequence as it closes —
+ *    capacity-bounded state per task, bins never cross shards, shard
+ *    count is the parallelism knob at 100 TB exactly as in [[Packing]].
+ */
+object TokenShards {
+
+  /** Reserved ids: document boundary and inter-word boundary. */
+  val eosId: Long = 0L
+  val spaceId: Long = 1L
+  val firstSymbolId: Long = 2L
+
+  /**
+   * Vocabulary induction: every distinct symbol the merge table emits
+   * over the corpus's distinct words, as a store-able `(id, symbol)`
+   * frame — ids from [[firstSymbolId]] in lexicographic symbol order
+   * (deterministic for a given corpus + merges). The symbol frame is
+   * vocabulary-bounded, so the final ordering collect is guarded like
+   * every model-sized collect (`maxVocab`).
+   */
+  def buildVocab(docs: DataFrame, textCol: String, merges: Seq[(String, String)],
+      maxVocab: Int = 4000000): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val symbols = docs.where(col(textCol).isNotNull)
+      .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
+      .distinct()
+      .as[String]
+      .flatMap(w => Bpe.applyMerges(w, ranks))
+      .distinct()
+      .orderBy(col("value").asc)
+      .limit(maxVocab + 1)
+      .collect()
+    require(symbols.length <= maxVocab,
+      s"symbol inventory exceeds maxVocab=$maxVocab — not a vocabulary-sized corpus slice")
+    symbols.zipWithIndex
+      .map { case (s, i) => (firstSymbolId + i, s) }
+      .toSeq.toDF("id", "symbol")
+  }
+
+  /** Load a [[buildVocab]] frame back as the symbol→id map (guarded
+    * collect — vocabulary-sized by contract). */
+  def vocabFromFrame(df: DataFrame, maxEntries: Int = 4000000): Map[String, Long] = {
+    val rows = df.limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"vocab frame exceeds maxEntries=$maxEntries — not a vocabulary-sized frame")
+    val m = rows.map(r => (r.getString(1), r.getLong(0))).toMap
+    require(m.size == rows.length, "vocab frame carries duplicate symbols")
+    require(!m.valuesIterator.exists(_ < firstSymbolId),
+      s"vocab frame assigns an id below $firstSymbolId — collides with EOS/SPACE")
+    m
+  }
+
+  /**
+   * Tokenize documents to id sequences: `(idCol, ids, n_tokens)` where
+   * `ids` = per-word symbol ids joined by [[spaceId]], closed by one
+   * [[eosId]]. Documents with no tokens (null/blank text) are dropped —
+   * the [[Bpe.tokenCounts]] contract; a worded doc therefore encodes to
+   * exactly `sum(word symbol counts) + word count` ids (n-1 spaces + 1
+   * EOS). A word producing a symbol OUTSIDE the vocabulary fails loudly
+   * — the vocabulary is a standing artifact and silent id invention
+   * would corrupt every downstream shard.
+   */
+  def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val bcVocab = spark.sparkContext.broadcast(vocab)
+    val bcRanks = spark.sparkContext.broadcast(ranks)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-task memoization: the merge loop runs once per DISTINCT word
+        // seen by this task — Zipf makes the hit rate overwhelming
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        val v = bcVocab.value
+        val r = bcRanks.value
+        def encodeWord(w: String): Array[Long] =
+          memo.getOrElseUpdate(w, Bpe.applyMerges(w, r).map { s =>
+            v.getOrElse(s, throw new IllegalArgumentException(
+              s"symbol '$s' (word '$w') is not in the standing vocabulary — " +
+                "rebuild the vocab artifact over this corpus before exporting"))
+          }.toArray)
+        it.flatMap { case (id, text) =>
+          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          if (words.isEmpty) None
+          else {
+            val out = Array.newBuilder[Long]
+            var i = 0
+            while (i < words.length) {
+              if (i > 0) out += spaceId
+              out ++= encodeWord(words(i))
+              i += 1
+            }
+            out += eosId
+            val ids = out.result()
+            Some((id, ids, ids.length.toLong))
+          }
+        }
+      }
+      .toDF(idCol, "ids", "n_tokens")
+  }
+
+  /** Decode one id sequence back to its normalized text — the inverse
+    * the losslessness gate replays: symbols concatenate, [[spaceId]]
+    * becomes one space, [[eosId]] ends the document. */
+  def detokenize(ids: Seq[Long], idToSymbol: Map[Long, String]): String = {
+    val sb = new StringBuilder
+    ids.foreach { id =>
+      if (id == spaceId) sb.append(' ')
+      else if (id != eosId) sb.append(idToSymbol.getOrElse(id,
+        throw new IllegalArgumentException(s"unknown token id $id")))
+    }
+    sb.toString
+  }
+
+  /**
+   * Pack tokenized documents into fixed-context training sequences:
+   * `(shard, bin, doc_ids, ids, n_docs, n_tokens)` — one row per bin,
+   * its id sequence the concatenation of its documents' sequences in
+   * doc-id order (each already EOS-terminated by [[tokenizeToIds]]).
+   * Placement is `doc_id % nShards`; within a shard the packing rule is
+   * [[Packing.packGreedy]]'s next-fit over `n_tokens` (an oversize doc
+   * still gets a bin of its own — a document must never be lost to a
+   * bound). ONE exchange: the group-sort shuffle; next-fit and bin
+   * assembly then stream in the same pass with capacity-bounded state.
+   */
+  def packSequences(tokens: DataFrame, idCol: String, nShards: Int,
+      capacity: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val keyed = tokens.select(
+        pmod(col(idCol), lit(nShards.toLong)).as("_1"),
+        struct(col(idCol).cast("long").as("doc_id"), col("n_tokens").cast("long").as("n"),
+          col("ids")).as("_2"))
+      .as[(Long, (Long, Long, Array[Long]))]
+    keyed.groupSort(sortBy = _.getField("doc_id"))
+      .mapStreamByKey { vs =>
+        // streaming next-fit + assembly: one capacity-bounded bin buffer
+        new Iterator[(Long, Array[Long], Array[Long], Long, Long)] {
+          private var bin = 0L
+          private var fill = 0L
+          private val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          private def closeBin(): (Long, Array[Long], Array[Long], Long, Long) = {
+            val row = (bin, docIds.toArray, ids.toArray, docIds.length.toLong, fill)
+            docIds.clear(); ids.clear()
+            bin += 1L; fill = 0L
+            row
+          }
+          def hasNext: Boolean = vs.hasNext || fill > 0L
+          def next(): (Long, Array[Long], Array[Long], Long, Long) = {
+            while (vs.hasNext) {
+              val (docId, n, docTok) = vs.next()
+              if (fill > 0L && fill + n > capacity) {
+                val closed = closeBin()
+                docIds += docId; ids ++= docTok; fill = n
+                return closed
+              }
+              docIds += docId; ids ++= docTok; fill += n
+            }
+            closeBin()
+          }
+        }
+      }
+      .map { case (shard, (bin, docIds, ids, nDocs, nTok)) =>
+        (shard, bin, docIds, ids, nDocs, nTok)
+      }
+      .toDF("shard", "bin", "doc_ids", "ids", "n_docs", "n_tokens")
+  }
+}

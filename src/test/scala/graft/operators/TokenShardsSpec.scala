@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.SparkSuite
+
+/** The train-ready token-shard composition: vocabulary induction, lossless
+  * id encoding, streaming next-fit sequence assembly, and the export
+  * round trip. */
+class TokenShardsSpec extends AnyFunSpec with SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, lit, struct}
+  import graft.sorted.syntax._
+
+  private val merges = Bpe.fixtureMerges
+  private val ranks = merges.zipWithIndex.toMap
+
+  private def docsOf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  describe("buildVocab / vocabFromFrame") {
+    it("assigns lexicographic ids from 2 over the merge outputs, deterministically") {
+      val docs = docsOf((1L, "the thin cat"), (2L, "the  cat\tsat"))
+      val frame = TokenShards.buildVocab(docs, "text", merges)
+      val got = frame.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      // symbols: 'the'->[the]; 'thin'->[th,in]; 'cat'->[c,at]; 'sat'->[s,at]
+      val syms = Seq("at", "c", "in", "s", "th", "the").sorted
+      assert(got.toSeq == syms.zipWithIndex.map { case (s, i) => (2L + i, s) })
+      val m = TokenShards.vocabFromFrame(frame)
+      assert(m == got.map(_.swap).toMap)
+    }
+
+    it("rejects a corrupt vocab frame loudly") {
+      val dup = Seq((2L, "a"), (3L, "a")).toDF("id", "symbol")
+      assert(intercept[IllegalArgumentException](
+        TokenShards.vocabFromFrame(dup)).getMessage.contains("duplicate"))
+      val low = Seq((1L, "a")).toDF("id", "symbol")
+      assert(intercept[IllegalArgumentException](
+        TokenShards.vocabFromFrame(low)).getMessage.contains("EOS/SPACE"))
+    }
+  }
+
+  describe("tokenizeToIds") {
+    val docs = docsOf((1L, "the thin cat"), (2L, " the "), (3L, "   "),
+      (4L, null.asInstanceOf[String]))
+    val vocab = TokenShards.vocabFromFrame(TokenShards.buildVocab(docs, "text", merges))
+
+    it("encodes words joined by SPACE and closed by EOS; blank/null docs drop") {
+      val got = TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab)
+        .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+      def w(s: String) = Bpe.applyMerges(s, ranks).map(vocab)
+      val d1 = w("the") ++ Seq(TokenShards.spaceId) ++ w("thin") ++
+        Seq(TokenShards.spaceId) ++ w("cat") :+ TokenShards.eosId
+      assert(got.map(_._1).toSeq == Seq(1L, 2L))
+      assert(got(0)._2 == d1 && got(0)._3 == d1.length.toLong)
+      assert(got(1)._2 == (w("the") :+ TokenShards.eosId))
+      // n_tokens = sum(word symbols) + word count (the oracle's closed form)
+      assert(got(0)._3 == 5L + 3L) // the=1, thin=2, cat=2 symbols; 3 words
+    }
+
+    it("round-trips through detokenize exactly (normalized token stream)") {
+      val rev = vocab.map(_.swap)
+      val got = TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab)
+        .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+      assert(TokenShards.detokenize(got(0)._2, rev) == "the thin cat")
+      assert(TokenShards.detokenize(got(1)._2, rev) == "the")
+    }
+
+    it("fails loudly on a word whose symbols are outside the standing vocabulary") {
+      val alien = docsOf((9L, "zebra"))
+      val e = intercept[org.apache.spark.SparkException](
+        TokenShards.tokenizeToIds(alien, "doc_id", "text", merges, vocab).collect())
+      assert(e.getMessage.contains("standing vocabulary") ||
+        Option(e.getCause).exists(_.getMessage.contains("standing vocabulary")))
+    }
+  }
+
+  describe("packSequences") {
+    it("replays next-fit per shard in doc order and concatenates bin sequences") {
+      // one shard (nShards = 1), capacity 5: docs of 3, 3, 2, 7 tokens
+      // -> bins [d1], [d2, d3], [d4] (oversize d4 keeps its own bin)
+      val tokens = Seq(
+        (1L, Seq(10L, 11L, 0L), 3L),
+        (2L, Seq(12L, 13L, 0L), 3L),
+        (3L, Seq(14L, 0L), 2L),
+        (4L, Seq(20L, 21L, 22L, 23L, 24L, 25L, 0L), 7L))
+        .toDF("doc_id", "ids", "n_tokens")
+      val got = packSorted(tokens, nShards = 1, capacity = 5L)
+      assert(got.map(r => (r._2, r._3.toSeq, r._5, r._6)) == Seq(
+        (0L, Seq(1L), 1L, 3L),
+        (1L, Seq(2L, 3L), 2L, 5L),
+        (2L, Seq(4L), 1L, 7L)))
+      assert(got(1)._4.toSeq == Seq(12L, 13L, 0L, 14L, 0L))
+    }
+
+    it("keeps bins inside their hash shard; shard+bin rows match Packing.packGreedy") {
+      val tokens = (0L until 40L)
+        .map(i => (i, Seq.fill((1 + i % 5).toInt)(7L) :+ 0L, (2 + i % 5)))
+        .toDF("doc_id", "ids", "n_tokens")
+      val got = packSorted(tokens, nShards = 4, capacity = 8L)
+      // every doc in exactly one bin, in its own shard
+      val perDoc = got.flatMap { case (shard, bin, ds, _, _, _) =>
+        ds.map(d => (d, shard, bin))
+      }
+      assert(perDoc.map(_._1).sorted == (0L until 40L).toSeq)
+      assert(perDoc.forall { case (d, shard, _) => d % 4 == shard })
+      // the reference packer agrees bin-for-bin
+      val ref = Packing.packGreedy(
+        tokens.select((col("doc_id") % 4).as("_1"),
+          struct(col("doc_id"), lit(0L), col("n_tokens").cast("long")).as("_2"))
+          .as[(Long, (Long, Long, Long))].groupSort(), capacity = 8L)
+        .map { case (s, (d, _, _, b)) => (d, s, b) }.collect().toSet
+      assert(perDoc.toSet == ref)
+    }
+  }
+
+  private def packSorted(tokens: org.apache.spark.sql.DataFrame, nShards: Int,
+      capacity: Long): Seq[(Long, Long, Seq[Long], Seq[Long], Long, Long)] =
+    TokenShards.packSequences(tokens, "doc_id", nShards, capacity)
+      .as[(Long, Long, Seq[Long], Seq[Long], Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  describe("end to end with the export writer") {
+    it("shards round-trip and rebuild the corpus; digests are input-order invariant") {
+      val docs = docsOf((0L, "the cat sat on the mat"), (1L, "a thin cat"),
+        (2L, "the end"), (3L, "cat cat cat the the thin"))
+      val vocab = TokenShards.vocabFromFrame(TokenShards.buildVocab(docs, "text", merges))
+      val tokens = TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab)
+      val seqs = TokenShards.packSequences(tokens, "doc_id", nShards = 2, capacity = 8L)
+        .withColumn("seq_id",
+          org.apache.spark.sql.functions.format_string("s%03d-b%06d", col("shard"), col("bin")))
+      val path = java.nio.file.Files.createTempDirectory("tokshard").resolve("x").toString
+      graft.sources.Export.writeJsonlShards(seqs, path, "seq_id", 2, 1 << 20)
+      val digests1 = graft.sources.Export.shardDigests(path)
+      // re-export from a reshuffled equal input: byte-identical
+      graft.sources.Export.writeJsonlShards(seqs.repartition(7), path, "seq_id", 2, 1 << 20)
+      assert(graft.sources.Export.shardDigests(path) == digests1)
+      // rebuild: explode bins into docs, detokenize, compare to source
+      val back = graft.sources.Export.readJsonlShards(spark, path, seqs.schema)
+        .as[(Long, Long, Seq[Long], Seq[Long], Long, Long, String)].collect()
+      val rev = vocab.map(_.swap)
+      val rebuilt = back.flatMap { case (_, _, docIds, ids, _, _, _) =>
+        // split the bin sequence on EOS: one segment per doc, in order
+        val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ids.foreach { id =>
+          cur += id
+          if (id == TokenShards.eosId) { segs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty[Long] }
+        }
+        assert(cur.isEmpty && segs.length == docIds.length)
+        docIds.zip(segs).map { case (d, seg) => (d, TokenShards.detokenize(seg, rev)) }
+      }.toMap
+      assert(rebuilt == Map(
+        0L -> "the cat sat on the mat", 1L -> "a thin cat",
+        2L -> "the end", 3L -> "cat cat cat the the thin"))
+    }
+  }
+}
