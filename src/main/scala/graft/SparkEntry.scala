@@ -1019,9 +1019,10 @@ object SparkEntry {
     // set). Natural near-threshold recall is pinned by q45/q48 and the specs.
     "q27_minhash_neardup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      // eligibility = the kernel's own tokenization (Java trim/split; see q48)
+      // eligibility = the kernel's own tokenization (the shared segmentText
+      // kernel; see q48)
       val eligible = docs.where(col("doc_id") < 100 && col("text").isNotNull)
-        .filter(r => r.getAs[String]("text").trim.split("\\s+").length >= 3)
+        .filter(r => functions.Text.segmentText(r.getAs[String]("text")).length >= 3)
       val planted = eligible.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = docs.unionByName(planted)
       operators.Dedup.minhashNearDups(corpus, "doc_id", "text", unpersistHook = onCleanup)
@@ -1337,12 +1338,11 @@ object SparkEntry {
     // cap, true by orders of magnitude at the driver's scale factors.
     "q48_minhash_planted" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      // eligibility must match the minhash KERNEL's tokenization exactly
-      // (Java trim/split, which strips ALL whitespace <= U+0020 — SQL trim
-      // only strips spaces, so a leading tab/newline would skew the count);
-      // a typed filter reuses the kernel's split on the 100 candidate rows
+      // eligibility must match the minhash KERNEL's tokenization exactly —
+      // the shared segmentText kernel (edge strip + CJK-aware extraction),
+      // reused verbatim on the 100 candidate rows
       val eligible = docs.where(col("doc_id") < 100 && col("text").isNotNull)
-        .filter(r => r.getAs[String]("text").trim.split("\\s+").length >= 3)
+        .filter(r => functions.Text.segmentText(r.getAs[String]("text")).length >= 3)
       val planted = eligible.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = docs.unionByName(planted)
       val mh = operators.Dedup.minhashNearDups(corpus, "doc_id", "text")
@@ -1570,7 +1570,7 @@ object SparkEntry {
     "q64_top_terms" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
-          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("term"))
+          explode(functions.Text.edgeStrippedTokens(coalesce(col("text"), lit("")))).as("term"))
         .where(length(col("term")) > 0)
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1613,7 +1613,7 @@ object SparkEntry {
     "q66_heavy_hitters" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
-          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("term"))
+          explode(functions.Text.edgeStrippedTokens(coalesce(col("text"), lit("")))).as("term"))
         .where(length(col("term")) > 0)
       val sketch = operators.Sketch.countMin(toks, col("term"), depth = 5, width = 2048)
       val top = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
@@ -1893,7 +1893,7 @@ object SparkEntry {
     "q83_misra_gries" -> ((s, dir) => {
       val k = 64
       val toks = tbl(s, dir, "documents").select(
-          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("term"))
+          explode(functions.Text.edgeStrippedTokens(coalesce(col("text"), lit("")))).as("term"))
         .where(length(col("term")) > 0)
       val mg = operators.Sketch.misraGries(toks, "term", k)
       val tot = toks.agg(count(lit(1)).as("n"))
@@ -2041,7 +2041,7 @@ object SparkEntry {
     "q93_stopword_df" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").where(col("text").isNotNull)
       val docTerms = docs.select(col("doc_id"),
-          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+          explode(array_distinct(functions.Text.edgeStrippedTokens(col("text")))).as("term"))
         .where(length(col("term")) > 0)
       val n = docs.agg(count(lit(1)).as("n_docs"))
       docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -3174,7 +3174,7 @@ object SparkEntry {
     "q107_vocab_growth" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").where(col("text").isNotNull)
       val terms = docs.select(col("doc_id"),
-          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+          explode(array_distinct(functions.Text.edgeStrippedTokens(col("text")))).as("term"))
         .where(length(col("term")) > 0)
       val firstSeen = terms.groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
       firstSeen.groupBy(expr("first_doc div 50").as("bucket"))
@@ -4072,6 +4072,36 @@ object SparkEntry {
       back.join(ship, Seq("doc_id"))
         .select(col("doc_id"), col("status"), col("n_tokens"))
         .withColumn("delta_applies_exactly", lit(applies))
+    }),
+
+    // q239: CJK SEGMENTATION PARITY — the multilingual-crawl gate for the
+    // shared token kernel: planted texts mix space-less Han runs (repeat
+    // count striped by id so per-codepoint bigram repetition varies),
+    // Katakana, CJK-adjacent-to-Latin runs (机器x学习 — the x must stay
+    // its own token between codepoints), and plain English. EVERY trigram
+    // shingle string (the minhash/sparse-cosine term space) plus the
+    // typed repetition kernel's counts and accept flag are emitted
+    // row-for-row; the oracle re-derives all of it from the SAME
+    // extraction pattern (generated from Text.tokenExtractPattern — the
+    // q173/q185 shared-constants discipline, so kernel and replay cannot
+    // drift). A whitespace-only tokenizer reads each Han run as one
+    // token and fails every column here.
+    "q239_cjk_tokens" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("doc_id") < 200)
+      val text = concat(
+        expr("repeat('学習', CAST(1 + doc_id % 3 AS INT))"),
+        lit(" deep ナレッジ graph"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit(" 机器x学习"))
+          .otherwise(lit("")))
+      val planted = docs.select(col("doc_id"), text.as("text"))
+      val metrics = functions.Text.repetitionMetrics(planted, "doc_id", "text")
+      val shingles = planted.select(col("doc_id"),
+        posexplode(functions.Text.trigramShingles(
+          functions.Text.edgeStrippedTokens(col("text")))).as(Seq("pos", "shingle")))
+      shingles.join(metrics, Seq("doc_id"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("shingle"),
+          col("n_tokens"), col("n_distinct"), col("top_bigram_n"), col("repetition_ok"))
     }),
 
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
@@ -5184,14 +5214,14 @@ object SparkEntry {
     * string in >= 2 distinct docs), and the covered-position set. */
   private val repeatedSpanCtes: String =
     """WITH base AS (SELECT doc_id, text FROM documents),
-      |bw AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D]+') AS words
+      |bw AS (SELECT doc_id, regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
       |       FROM base WHERE text IS NOT NULL),
       |plant AS (SELECT doc_id + 2000000 AS doc_id,
       |                 'uniq' || doc_id || ' ' || array_to_string(words[1:25], ' ') AS text
       |          FROM bw WHERE doc_id < 50 AND len(words) >= 25),
       |corpus AS (SELECT doc_id, text FROM base
       |           UNION ALL SELECT doc_id, text FROM plant),
-      |w AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D]+') AS words
+      |w AS (SELECT doc_id, regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
       |      FROM corpus WHERE text IS NOT NULL),
       |ws AS (SELECT doc_id,
       |              unnest(range(len(words) - 4)) AS pos,
@@ -5211,7 +5241,7 @@ object SparkEntry {
   private val candidateCte: String =
     """WITH RECURSIVE d AS (SELECT doc_id,
       |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-      |                                '[^ \x09-\x0D]+') AS words
+      |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
       |           FROM documents WHERE text IS NOT NULL),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5426,7 +5456,7 @@ object SparkEntry {
     * ONE body feeds all three oracles, so the replay cannot drift. */
   private val lmModelCtes: String =
     """WITH d AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
-      |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+      |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
       |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
       |tr AS (SELECT tk FROM d WHERE doc_id % 2 = 0),
       |bgt AS (SELECT tk[i] AS w1, tk[i+1] AS w2
@@ -5576,7 +5606,7 @@ object SparkEntry {
     "q21_token_count" ->
       """SELECT doc_id,
         |       CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS n_tokens
+        |            ELSE len(regexp_extract_all(trim(text), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS n_tokens
         |FROM documents""".stripMargin,
     // q22: the trigram score columns and argmax CASE are GENERATED from
     // Text.langTrigrams (same table the Column kernel reads)
@@ -5592,20 +5622,20 @@ object SparkEntry {
       // coalesce(text,'') mirrors the Spark side's NULL guard
       """SELECT doc_id,
         |  CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END AS n_tokens,
+        |       ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS n_tokens,
         |  CASE WHEN (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) > 0
+        |                  ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END) > 0
         |       THEN CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
         |            CAST((CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) AS DOUBLE)
+        |                       ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END) AS DOUBLE)
         |       ELSE 0.0 END AS mean_token_len,
         |  CAST((len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' the ', ''))) // 5
         |     + (len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' a ', ''))) // 3 AS BIGINT) AS stopword_hits,
         |  (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |        ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END) BETWEEN 5 AND 100000
+        |        ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END) BETWEEN 5 AND 100000
         |   AND (CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
         |        CAST(greatest(CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                           ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '[ \x09-\x0D]+')) END, 1) AS DOUBLE))
+        |                           ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END, 1) AS DOUBLE))
         |       BETWEEN 2.0 AND 20.0 AS quality_ok
         |FROM documents""".stripMargin,
     "q24_fingerprint" ->
@@ -5742,7 +5772,7 @@ object SparkEntry {
     "q45_jaccard_exact" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5778,7 +5808,7 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 100 AND text IS NOT NULL
         |  AND len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                             '[^ \x09-\x0D]+')) >= 3""".stripMargin,
+        |                             '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) >= 3""".stripMargin,
     "q49_bucketed_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
@@ -5830,7 +5860,7 @@ object SparkEntry {
     "q54_chunk_words" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, words, start FROM (
         |        SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
@@ -5887,7 +5917,7 @@ object SparkEntry {
     "q58_dedup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5937,7 +5967,7 @@ object SparkEntry {
     "q27_minhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL AND doc_id < 100),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5968,7 +5998,7 @@ object SparkEntry {
     "q61_contamination" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5987,7 +6017,7 @@ object SparkEntry {
     "q62_pack_chunks" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
         |             CAST(start // 8 AS BIGINT) AS chunk_idx,
@@ -6011,7 +6041,7 @@ object SparkEntry {
     "q63_repetition" ->
       """WITH w AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', ''),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
         |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g
@@ -6027,12 +6057,12 @@ object SparkEntry {
         |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin,
     // q64: integer-exact ranking (tf DESC, df ASC, term ASC) — binary string
     // collation on lowercase-ASCII terms agrees across engines; tokens are
-    // runs of non-Java-\s chars ('[^ \x09-\x0D]+' — RE2's '\s' lacks \x0B,
+    // runs of non-Java-\s chars ('[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+' — RE2's '\s' lacks \x0B,
     // so a '\s+' split would diverge from Spark's Java-regex split on
     // vertical tabs)
     "q64_top_terms" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
@@ -6051,7 +6081,7 @@ object SparkEntry {
     "q65_incremental_dedup" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL AND doc_id < 100),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6065,7 +6095,7 @@ object SparkEntry {
     // the fixed lane hashes — so estimates equal the exact counts; same
     // Java-\s token class as q64
     "q66_heavy_hitters" ->
-      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1)
         |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
@@ -6174,17 +6204,15 @@ object SparkEntry {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
-    // q75: the whole curation pass replayed stage by stage — tokenization is
-    // the q21/q23-proven SQL-split pair (Spark `split` keeps the same
-    // empty-token artifacts as regexp_split_to_array; the split class is the
-    // explicit [ \x09-\x0D] because RE2's \s lacks \x0B, the q64 dialect
-    // note); bigrams, dedup group,
+    // q75: the whole curation pass replayed stage by stage — tokenization
+    // is the shared CJK-aware extraction (Text.tokenExtractPattern; the
+    // whitespace class is the explicit [ \x09-\x0D] because RE2's \s
+    // lacks \x0B, the q64 dialect note); bigrams, dedup group,
     // sampling threshold and scrub chain are the q63/q19/q70/q69 fragments
     "q75_curation_pipeline" ->
       """WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
         |tok AS (SELECT doc_id, lang, t,
-        |          CASE WHEN len(regexp_replace(t, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
-        |               ELSE regexp_split_to_array(trim(t), '[ \x09-\x0D]+') END AS words
+        |          regexp_extract_all(t, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |        FROM base),
         |qual AS (SELECT * FROM tok
         |         WHERE len(words) >= 5 AND len(words) <= 100000
@@ -6235,7 +6263,7 @@ object SparkEntry {
     "q78_dup_ngram_profile" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6299,7 +6327,7 @@ object SparkEntry {
     // q83: the oracle recomputes the exact heavy-hitter set (freq > n/65,
     // k=64) and asserts both Misra-Gries theorems hold (TRUE gates)
     "q83_misra_gries" ->
-      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1),
         |tot AS (SELECT count(*) AS n FROM toks)
@@ -6320,7 +6348,7 @@ object SparkEntry {
     "q85_containment_neardup" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6424,7 +6452,7 @@ object SparkEntry {
     // q93: distinct (doc, term) pairs with the kernel tokenization, df over
     // the same doc universe
     "q93_stopword_df" ->
-      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |            FROM documents WHERE text IS NOT NULL),
         |dt AS (SELECT DISTINCT doc_id, term FROM tk),
         |nd AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL)
@@ -6434,7 +6462,7 @@ object SparkEntry {
     // chain, integer waste arithmetic
     "q94_length_buckets" ->
       """WITH t AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                  ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS toks
+        |                  ELSE len(regexp_extract_all(trim(text), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS toks
         |           FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT toks,
         |        CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32
@@ -6491,7 +6519,7 @@ object SparkEntry {
     "q101_source_overlap" ->
       """WITH d AS (SELECT doc_id, source,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |gs AS (SELECT DISTINCT source, s FROM (
         |  SELECT source, unnest(list_transform(range(len(words)-2),
@@ -6561,7 +6589,7 @@ object SparkEntry {
     "q112_mixed_language" ->
       s"""WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'),
-        |                                '[^ \\x09-\\x0D]+') AS words
+        |                                '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, words, start FROM (
         |        SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
@@ -6603,7 +6631,7 @@ object SparkEntry {
     "q114_shingle_novelty" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6621,7 +6649,7 @@ object SparkEntry {
     "q115_boundary_overlap" ->
       """WITH tok AS (SELECT doc_id,
         |               regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                  '[^ \x09-\x0D]+') AS words
+        |                                  '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |             FROM documents WHERE text IS NOT NULL),
         |base AS (
         |  SELECT doc_id, words FROM tok
@@ -6645,10 +6673,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM olds WHERE doc_id < 20),
         |toko AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS t
+        |                ELSE len(regexp_extract_all(trim(text), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS t
         |         FROM olds),
         |tokn AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                ELSE len(regexp_split_to_array(trim(text), '[ \x09-\x0D]+')) END AS t
+        |                ELSE len(regexp_extract_all(trim(text), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS t
         |         FROM news)
         |SELECT CAST((SELECT sum(t) FROM toko) AS BIGINT) AS old_total,
         |       CAST((SELECT sum(t) FROM tokn) AS BIGINT) AS new_total,
@@ -6727,7 +6755,7 @@ object SparkEntry {
     // and each contribution is scaled to BIGINT before the order-free sum
     "q133_bm25_topk" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -6751,7 +6779,7 @@ object SparkEntry {
         |  FROM scores) WHERE rank <= 10""".stripMargin,
     "q134_hybrid_rrf" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -6795,7 +6823,7 @@ object SparkEntry {
     // BIGINT cross-multiplication (PMI's log is monotone — never computed)
     "q135_pmi_collocations" ->
       """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |toks AS (SELECT unnest(tk) AS w FROM d),
         |uni AS (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
@@ -6824,7 +6852,7 @@ object SparkEntry {
       """WITH d AS (SELECT
         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 8)) AS UBIGINT) % 8 AS shard,
         |    len(regexp_extract_all(regexp_replace(text,
-        |      '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+')) AS n_tok
+        |      '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS n_tok
         |  FROM documents WHERE text IS NOT NULL),
         |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
@@ -6836,7 +6864,7 @@ object SparkEntry {
     // cross-multiplications (no division anywhere)
     "q137_quality_rules" ->
       """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |m AS (SELECT len(tk) AS n_tok,
         |        CAST(coalesce(list_sum(list_transform(tk, t -> len(t))), 0) AS BIGINT) AS tok_chars
@@ -6861,7 +6889,7 @@ object SparkEntry {
     // 'x'-fill sibling, skeleton = md5 of the dash-joined length sequence
     "q139_templated_docs" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |plant AS (SELECT doc_id + 4000000 AS doc_id,
         |            array_to_string(list_transform(tk, t -> repeat('x', len(t))), ' ') AS text
@@ -6870,7 +6898,7 @@ object SparkEntry {
         |             UNION ALL SELECT doc_id, text FROM plant),
         |s AS (SELECT doc_id, md5(array_to_string(list_transform(
         |        regexp_extract_all(regexp_replace(text,
-        |          '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+'),
+        |          '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+'),
         |        t -> CAST(len(t) AS VARCHAR)), '-')) AS skel
         |      FROM all_docs WHERE text IS NOT NULL),
         |g AS (SELECT skel, CAST(count(*) AS BIGINT) AS n_group FROM s GROUP BY 1)
@@ -7172,7 +7200,7 @@ object SparkEntry {
     // has no WITH ORDINALITY); same [^ \x09-\x0D]+ tokenization as q93/q107
     "q122_bigram_lm" ->
       """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
         |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),
@@ -7225,7 +7253,7 @@ object SparkEntry {
       """WITH d AS (SELECT lang, source, text,
         |             CASE WHEN text IS NOT NULL THEN
         |               len(regexp_extract_all(regexp_replace(text,
-        |                 '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+'))
+        |                 '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+'))
         |             END AS n_tok
         |           FROM documents),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -7279,7 +7307,7 @@ object SparkEntry {
     // [^ \x09-\x0D]+ tokenization
     "q126_minhash_merge" ->
       """WITH d AS (SELECT source, regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
         |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
         |sh AS (SELECT DISTINCT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
         |       FROM d, unnest(generate_series(1, len(tk)-2)) AS u(i))
@@ -7332,7 +7360,7 @@ object SparkEntry {
     // same tokenization and the same integer threshold
     "q129_rare_bigram_rate" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
         |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),
@@ -7388,7 +7416,7 @@ object SparkEntry {
     // q107: first-seen doc per term with the kernel tokenization; cumulative
     // sum over the bucket frame
     "q107_vocab_growth" ->
-      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |            FROM documents WHERE text IS NOT NULL),
         |f AS (SELECT term, min(doc_id) AS first_doc FROM tk GROUP BY 1),
         |b AS (SELECT first_doc // 50 AS bucket, count(*) AS new_terms FROM f GROUP BY 1)
@@ -7459,7 +7487,7 @@ object SparkEntry {
     "q153_phrase_search" ->
       """WITH tk AS (SELECT doc_id,
         |              regexp_extract_all(regexp_replace(text,
-        |                '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS w
+        |                '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS w
         |            FROM documents WHERE text IS NOT NULL),
         |p AS (SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS pos FROM tk),
         |a AS (SELECT doc_id, pos FROM p WHERE term = 'table'),
@@ -7472,7 +7500,7 @@ object SparkEntry {
     "q154_importance_selection" ->
       """WITH d AS (SELECT doc_id, lang = 'en' AS t,
         |             regexp_extract_all(regexp_replace(text,
-        |               '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS w
+        |               '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS w
         |           FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, t, unnest(list_transform(range(len(w) - 1),
         |        i -> w[i + 1] || ' ' || w[i + 2])) AS gram
@@ -7742,7 +7770,7 @@ object SparkEntry {
         |           SELECT doc_id + 2000000, text FROM base WHERE doc_id < 50),
         |d AS (SELECT doc_id,
         |        regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                           '[^ \x09-\x0D]+') AS words
+        |                           '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |      FROM corpus),
         |toks AS (SELECT doc_id, unnest(list_transform(range(len(words)-2),
         |                i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS term
@@ -7774,7 +7802,7 @@ object SparkEntry {
         |           FROM base WHERE doc_id < 50),
         |d AS (SELECT doc_id,
         |        regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                           '[^ \x09-\x0D]+') AS tk
+        |                           '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
         |      FROM corpus),
         |toks AS (SELECT doc_id, unnest(tk) AS term,
         |                unnest(range(1, len(tk) + 1)) AS pos
@@ -7828,7 +7856,7 @@ object SparkEntry {
          |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
          |SELECT doc_id, main_text,
          |       CASE WHEN len(main_text) = 0 THEN 0
-         |            ELSE CAST(len(regexp_split_to_array(main_text, '[ \\x09-\\x0D]+')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(main_text, '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT)
          |       END AS n_tokens,
          |       TRUE AS nav_dropped, TRUE AS ad_dropped, TRUE AS footer_dropped
          |FROM m""".stripMargin
@@ -7851,7 +7879,7 @@ object SparkEntry {
          |SELECT doc_id, extracted,
          |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
          |            THEN 0
-         |            ELSE CAST(len(regexp_split_to_array(trim(extracted), '[ \\x09-\\x0D]+')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(trim(extracted), '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -7872,7 +7900,7 @@ object SparkEntry {
          |             CAST(unnest(range(len(sents))) AS BIGINT) AS sent_idx
          |      FROM e)
          |SELECT doc_id, sent_idx, sentence,
-         |       CAST(len(regexp_split_to_array(sentence, '[ \\x09-\\x0D]+')) AS BIGINT) AS n_tokens
+         |       CAST(len(regexp_extract_all(sentence, '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT) AS n_tokens
          |FROM u""".stripMargin,
     // q215: DuckDB's nfc_normalize replays the kernel — the two planted
     // variants are byte-distinct but NFC-identical
@@ -7901,7 +7929,7 @@ object SparkEntry {
         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
         |SELECT doc_id, extracted,
         |       CASE WHEN len(extracted) = 0 THEN 0
-        |            ELSE CAST(len(regexp_split_to_array(extracted, '[ \x09-\x0D]+')) AS BIGINT)
+        |            ELSE CAST(len(regexp_extract_all(extracted, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS BIGINT)
         |       END AS n_tokens
         |FROM e""".stripMargin,
     // q212: the PDF transport must be the identity on the text, modulo
@@ -7912,7 +7940,7 @@ object SparkEntry {
         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
         |SELECT doc_id, extracted,
         |       CASE WHEN len(extracted) = 0 THEN 0
-        |            ELSE CAST(len(regexp_split_to_array(extracted, '[ \x09-\x0D]+')) AS BIGINT)
+        |            ELSE CAST(len(regexp_extract_all(extracted, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS BIGINT)
         |       END AS n_tokens
         |FROM e""".stripMargin,
     // q211: the q206 closed form — the WARC transport around the codec
@@ -7978,7 +8006,7 @@ object SparkEntry {
          |e AS (SELECT doc_id, ${duckMainContent(htmlExpr)} AS extracted FROM kept)
          |SELECT doc_id, extracted,
          |       CASE WHEN len(extracted) = 0 THEN 0
-         |            ELSE CAST(len(regexp_split_to_array(extracted, '[ \\x09-\\x0D]+')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(extracted, '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -8054,7 +8082,7 @@ object SparkEntry {
          |SELECT doc_id, CAST(status AS BIGINT) AS status, extracted,
          |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
          |            THEN 0
-         |            ELSE CAST(len(regexp_split_to_array(trim(extracted), '[ \\x09-\\x0D]+')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(trim(extracted), '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -8159,7 +8187,7 @@ object SparkEntry {
         |  SELECT doc_id + 3000000 AS doc_id, lang, source,
         |         array_to_string(list_transform(
         |           regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+'),
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+'),
         |           w -> 'zz' || w), ' ') AS text
         |  FROM corpus WHERE doc_id < 100),
         |crawl AS (SELECT doc_id, lang, source, text FROM corpus
@@ -8175,7 +8203,7 @@ object SparkEntry {
         |kd AS (SELECT t.doc_id, coalesce(ka.kept_text, '') AS kept_text
         |       FROM (SELECT DISTINCT doc_id FROM l) t LEFT JOIN ka ON t.doc_id = ka.doc_id),
         |d AS (SELECT doc_id, regexp_extract_all(regexp_replace(kept_text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
         |      FROM kd),
         |tr AS (SELECT tk FROM d WHERE doc_id % 2 = 0 AND doc_id < 3000000),
         |bgt AS (SELECT tk[i] AS w1, tk[i+1] AS w2
@@ -8449,7 +8477,7 @@ object SparkEntry {
     // term 'spark' appearing in all three queries counts each doc once.
     "q166_bm25_query_table" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
@@ -8477,7 +8505,7 @@ object SparkEntry {
     // bounded-heap combiner applies, so the row sets agree exactly.
     "q170_bm25_topk_queries" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
@@ -8519,7 +8547,7 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 50 OR doc_id IS NULL
         |  UNION ALL SELECT * FROM batch),
         |toks AS (SELECT doc_id,
-        |           unnest(regexp_extract_all(text, '[^ \x09-\x0D]+')) AS term
+        |           unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
         |         FROM spliced WHERE text IS NOT NULL),
         |post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
         |SELECT doc_id % 8 AS doc_bucket, CAST(count(*) AS BIGINT) AS n_postings,
@@ -8713,7 +8741,7 @@ object SparkEntry {
         |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
         |inst AS (SELECT doc_id, unnest(regexp_extract_all(
         |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                 '[^ \x09-\x0D]+')) AS w
+        |                 '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS w
         |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |vocab AS (SELECT DISTINCT w FROM inst),
         |st AS (
@@ -8765,7 +8793,7 @@ object SparkEntry {
         |         WHERE doc_id % 10 = 0 OR (doc_id % 7 = 0 AND text IS NOT NULL)),
         |inst AS (SELECT v2.doc_id, unnest(regexp_extract_all(
         |                 regexp_replace(v2.text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                 '[^ \x09-\x0D]+')) AS w
+        |                 '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS w
         |         FROM v2 JOIN ship USING (doc_id) WHERE v2.text IS NOT NULL),
         |vocab AS (SELECT DISTINCT w FROM inst),
         |st AS (
@@ -8783,13 +8811,42 @@ object SparkEntry {
         |           FROM inst JOIN enc USING (w) GROUP BY 1)
         |SELECT d.doc_id, s.status, d.n_tokens, TRUE AS delta_applies_exactly
         |FROM doctok d JOIN ship s USING (doc_id)""".stripMargin,
+    // q239: the extraction pattern is GENERATED from the kernel constant
+    // (Text.tokenExtractPattern — identical syntax/semantics in Java regex
+    // and RE2); shingles, bigram repetition, and the accept rule replay
+    // verbatim over the planted multilingual texts
+    "q239_cjk_tokens" ->
+      s"""WITH d AS (SELECT doc_id,
+        |             repeat('学習', CAST(1 + doc_id % 3 AS INT)) || ' deep ナレッジ graph' ||
+        |             CASE WHEN doc_id % 2 = 0 THEN ' 机器x学习' ELSE '' END AS text
+        |           FROM documents WHERE doc_id IS NOT NULL AND doc_id < 200),
+        |w AS (SELECT doc_id, regexp_extract_all(text,
+        |             '${functions.Text.tokenExtractPattern}') AS words FROM d),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
+        |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g
+        |       FROM w WHERE len(words) >= 2),
+        |top AS (SELECT doc_id, max(cnt) AS top_n FROM (
+        |          SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |m AS (SELECT w.doc_id,
+        |             CAST(len(words) AS BIGINT) AS n_tokens,
+        |             CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+        |             CAST(coalesce(top.top_n, 0) AS BIGINT) AS top_bigram_n
+        |      FROM w LEFT JOIN top USING (doc_id)),
+        |sh AS (SELECT doc_id, CAST(k AS BIGINT) AS pos,
+        |              concat_ws(' ', words[k+1], words[k+2], words[k+3]) AS shingle
+        |       FROM w, unnest(range(len(words)-2)) AS u(k)
+        |       WHERE len(words) >= 3)
+        |SELECT sh.doc_id, sh.pos, sh.shingle, m.n_tokens, m.n_distinct, m.top_bigram_n,
+        |       (m.n_tokens < 10 OR (m.n_distinct * 2 >= m.n_tokens
+        |          AND m.top_bigram_n * 5 <= m.n_tokens - 1)) AS repetition_ok
+        |FROM sh JOIN m USING (doc_id)""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection
     "q176_span_attribution" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[^ \x09-\x0D]+') AS words
+        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |ev AS (SELECT doc_id AS eval_id, words[6:35] AS words FROM d
         |       WHERE doc_id < 20 AND len(words) >= 40),
@@ -8840,7 +8897,7 @@ object SparkEntry {
         |                        (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g')) AS m(rank,a,b)),
         |inst AS (SELECT doc_id, unnest(regexp_extract_all(
         |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                 '[^ \x09-\x0D]+')) AS w
+        |                 '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS w
         |         FROM documents WHERE text IS NOT NULL),
         |vocab AS (SELECT DISTINCT w FROM inst),
         |st AS (
@@ -8869,7 +8926,7 @@ object SparkEntry {
         |                        (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g')) AS m(rank,a,b)),
         |inst AS (SELECT doc_id, unnest(regexp_extract_all(
         |                 regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'),
-        |                 '[^ \\x09-\\x0D]+')) AS w
+        |                 '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS w
         |         FROM documents WHERE text IS NOT NULL),
         |vocab AS (SELECT DISTINCT w FROM inst),
         |st AS (

@@ -226,10 +226,10 @@ object Stress {
       .persist(MEMORY_AND_DISK_SER)
     val bn = timed("batch build (10x replicated)")(batch.count())
 
-    // eligible = docs the minhash kernel signs (>= 3 Java-split tokens)
+    // eligible = docs the minhash kernel signs (>= 3 segmentText tokens)
     import spark.implicits._
     val eligible = docs.as[(Long, String)]
-      .filter(r => r._2 != null && r._2.trim.split("\\s+").length >= 3).count()
+      .filter(r => functions.Text.segmentText(r._2).length >= 3).count()
     val drops0 = operators.Dedup.droppedHotBuckets(spark).value
     val found = operators.Dedup.incrementalNearDups(
       index, docs, batch, "doc_id", "text", threshold = 0.99)

@@ -13,34 +13,67 @@ import org.apache.spark.sql.functions._
  */
 object Text {
 
-  /** Blankness under the FULL `[\x00-\x20]` class (= Java trim): SQL trim
-    * strips spaces only, so a tab/newline-only text would read as
-    * "non-blank" and the `\s+` split would then mint phantom empty tokens
-    * (2 tokens for "\t"); every blank guard below shares this predicate so
-    * the Column forms agree with the typed repetition kernel's Java-trim
-    * semantics on fully-blank text. */
-  private def isBlank(text: Column): Column =
-    length(regexp_replace(text, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")) === 0
+  /** Codepoints segmented ONE TOKEN PER CODEPOINT regardless of
+    * whitespace: the space-less CJK scripts — CJK Unified Ideographs
+    * (U+4E00–9FFF), Extension A (U+3400–4DBF), Hiragana and Katakana
+    * (U+3040–30FF). Chinese/Japanese text carries essentially no spaces,
+    * so a pure whitespace tokenizer reads a whole sentence as ONE "word"
+    * — silently degrading token counts, repetition signals, shingle
+    * dedup, and tokenizer training corpora on a multilingual crawl. The
+    * per-codepoint fallback is the standard corpus-pipeline answer
+    * (Gopher's and CCNet's character-level treatment of CJK).
+    * Thai/Khmer/Lao are deliberately NOT listed: their grapheme clusters
+    * carry combining vowel marks a per-codepoint split would corrupt —
+    * proper segmentation there is dictionary-driven and out of scope
+    * (documented, not silent). Written with explicit `\x{...}` ranges —
+    * identical syntax and semantics under Java regex and RE2, the q69
+    * pattern-parity discipline. */
+  val cjkCodepointRanges: String =
+    "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}"
 
+  /** THE token-extraction pattern every tokenizing kernel and the
+    * CJK-aware oracle replays share: one token per CJK codepoint, else a
+    * maximal run of non-whitespace non-CJK. Whitespace is the EXPLICIT
+    * class `[ \x09-\x0D]` (= Java `\s`; RE2's `\s` lacks \x0B, so the
+    * class is spelled out — the q64 dialect rule). On CJK-free text this
+    * extracts exactly the whitespace-split tokens, so adopting it was
+    * value-neutral for every existing oracle. */
+  val tokenExtractPattern: String =
+    s"[$cjkCodepointRanges]|[^ \\x09-\\x0D$cjkCodepointRanges]+"
 
-  /** Whitespace token count (0 for blank/empty text — blank under the
-    * full control-char class, see [[isBlank]]). */
+  /** Whitespace+CJK token count (0 for blank/empty text; NULL for NULL —
+    * extraction of an all-whitespace string is the empty array, so the
+    * phantom-empty-token hazard of split() needs no guard here). */
   def tokenCount(text: Column): Column =
-    when(isBlank(text), lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+    size(regexp_extract_all(text, lit(tokenExtractPattern), lit(0))).cast("long")
 
   /** THE canonical token array every bigram/shingle kernel and its DuckDB
     * oracle share: strip the full `[\x00-\x20]` class (= Java trim) at the
-    * EDGES only, split on `\s+`, drop empties. Interior control bytes stay
-    * inside tokens — exactly what the oracle's
+    * EDGES only, then extract [[tokenExtractPattern]] runs (one token per
+    * CJK codepoint). Interior control bytes below \x09 stay inside tokens
+    * — exactly what the oracle's
     * `regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$',
-    * '', 'g'), '[^ \x09-\x0D]+')` extraction produces (the `'g'` flag
+    * '', 'g'), '<pattern>')` extraction produces (the `'g'` flag
     * matters: both edges must strip). Centralized here because five kernels
     * share it and a drifted copy is a silent Spark/oracle divergence. */
   def edgeStrippedTokens(text: Column): Column =
-    filter(
-      split(regexp_replace(text, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "\\s+"),
-      w => length(w) > lit(0))
+    regexp_extract_all(
+      regexp_replace(text, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""),
+      lit(tokenExtractPattern), lit(0))
+
+  /** Typed twin of [[edgeStrippedTokens]]/[[tokenExtractPattern]] for the
+    * hot-path JVM kernels (repetition, shingling, chunking, token-id
+    * encoding): Java `trim` IS the `[\x00-\x20]` edge strip, then the
+    * same extraction regex. One definition — a typed kernel and a Column
+    * kernel disagreeing on tokenization is a silent corpus-wide bug. */
+  private val tokenExtractRegex = java.util.regex.Pattern.compile(tokenExtractPattern)
+  def segmentText(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val m = tokenExtractRegex.matcher(text.trim)
+    val out = Array.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
 
   /** Exact number of occurrences of literal `token` via replace-arithmetic —
     * identical semantics in every SQL engine, exact integer math. */
@@ -141,18 +174,20 @@ object Text {
   /** Exact-dup fingerprint: MD5 hex of the text (identical across engines). */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** Rolling-hash style content signature over whitespace tokens: polynomial
-    * hash mod 10^9+7 (intermediates < 2^62: safe under ANSI long math). */
+  /** Rolling-hash style content signature over [[tokenExtractPattern]]
+    * tokens: polynomial hash mod 10^9+7 (intermediates < 2^62: safe under
+    * ANSI long math). */
   def tokenRollingHash(text: Column): Column =
     aggregate(
-      split(trim(text), "\\s+"),
+      regexp_extract_all(text, lit(tokenExtractPattern), lit(0)),
       lit(146959810393L),
       (acc, tok) => (acc % 1000000007L) * lit(31L) + crc32(tok).cast("long"))
 
-  /** Distinct whitespace-token count (0 for blank/empty text). */
+  /** Distinct token count under [[tokenExtractPattern]] (0 for
+    * blank/empty text). */
   def distinctTokenCount(text: Column): Column =
-    when(isBlank(text), lit(0L))
-      .otherwise(size(array_distinct(split(trim(text), "\\s+"))).cast("long"))
+    size(array_distinct(regexp_extract_all(text, lit(tokenExtractPattern), lit(0))))
+      .cast("long")
 
   /**
    * Fixed-point Shannon entropy of the lowercase alphanumeric CHARACTER
@@ -210,7 +245,7 @@ object Text {
     * the longest equal-run with one `aggregate` — per-row work, no shuffle,
     * no per-document state beyond the row itself. */
   def topBigramCount(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
+    val words = regexp_extract_all(text, lit(tokenExtractPattern), lit(0))
     val grams = array_sort(transform(
       sequence(lit(0), size(words) - 2),
       i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
@@ -224,7 +259,9 @@ object Text {
           greatest(run, acc.getField("best")).as("best"))
       },
       acc => acc.getField("best"))
-    when(isBlank(text) || size(words) < 2, lit(0L)).otherwise(best)
+    // extraction yields [] on blank text, so size < 2 covers the blank
+    // case the old split form needed isBlank for
+    when(size(words) < 2, lit(0L)).otherwise(best)
   }
 
   /**
@@ -257,16 +294,15 @@ object Text {
    * document in plain JVM code. The Column form's `aggregate` higher-order
    * function is interpreted per element (struct state allocated per bigram)
    * and dominated the corpus scan ~8×, the same reason
-   * `Dedup.shingleHashes` is a typed kernel. Semantics are identical on
-   * non-null text whose EDGES carry no control characters (parity-pinned in
-   * spec, interior tabs/newlines included): tokenization here is Java
-   * `trim` + `split("\\s+")` — the dedup kernels' convention — and Java
-   * `trim` strips every char <= U+0020 at the edges, while the Column
-   * form's SQL `trim` strips only spaces, so text with a leading tab or
-   * newline gives the Column form one phantom empty first token (divergence
-   * pinned in spec too). On NULL text the kernel treats the document as
-   * empty — (0, 0, 0, ok=true) — while the Column form propagates NULL, so
-   * Column-form callers should `coalesce(text, '')`.
+   * `Dedup.shingleHashes` is a typed kernel. Tokenization is the shared
+   * [[segmentText]] kernel — the exact typed twin of the Column form's
+   * [[tokenExtractPattern]] extraction, so the two forms agree on every
+   * text including edge control characters (parity-pinned in spec; the
+   * old split-based Column form minted a phantom empty token after a
+   * leading tab — extraction retired that divergence). On NULL text the
+   * kernel treats the document as empty — (0, 0, 0, ok=true) — while the
+   * Column form propagates NULL, so Column-form callers should
+   * `coalesce(text, '')`.
    * Narrow (mapPartitions) — no shuffle.
    */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
@@ -276,12 +312,7 @@ object Text {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val words: Array[String] =
-            if (text == null) Array.empty
-            else {
-              val w = text.trim.split("\\s+")
-              if (w.length == 1 && w(0).isEmpty) Array.empty else w
-            }
+          val words: Array[String] = segmentText(text)
           val n = words.length.toLong
           val distinct = new java.util.HashSet[String]()
           words.foreach(distinct.add)

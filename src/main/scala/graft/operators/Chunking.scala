@@ -39,7 +39,7 @@ object Chunking {
         rows.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
           else {
-            val words = text.trim.split("\\s+")
+            val words = graft.functions.Text.segmentText(text)
             if (words.length == 0 || (words.length == 1 && words(0).isEmpty)) Iterator.empty
             // a window at start > 0 contributes new tokens iff the document
             // extends past the previous window's end (= start + overlap)

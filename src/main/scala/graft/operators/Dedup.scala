@@ -184,7 +184,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
-          val words = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          val words = graft.functions.Text.segmentText(text)
           if (words.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[java.lang.Long]()
@@ -210,7 +210,8 @@ object Dedup {
     * START (0-based token index), NOT deduplicated — positions are the
     * point: they let a caller locate and cut a repeated span, which the
     * distinct [[shingleHashes]] form cannot. Same FNV-1a-64 kernel and
-    * tokenization (JVM trim + `\s+` split) as the shingle path. */
+    * tokenization (the shared [[graft.functions.Text.segmentText]]
+    * kernel) as the shingle path. */
   def windowHashes(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
     require(w > 0, s"window size must be positive, got $w")
     val spark = df.sparkSession
@@ -219,7 +220,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
-          val words = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          val words = graft.functions.Text.segmentText(text)
           if (words.length < w) Iterator.empty
           else (0 to words.length - w).iterator.map { i =>
             var h = 1469598103934665603L // FNV-1a 64 offset basis
@@ -383,7 +384,7 @@ object Dedup {
       .join(covSet, Seq(idCol), "left")
       .as[(Long, String, Array[Long])]
       .map { case (id, text, cov) =>
-        val words = text.trim.split("\\s+")
+        val words = graft.functions.Text.segmentText(text)
         val covered: Set[Long] = if (cov == null) Set.empty else cov.toSet
         val kept = words.iterator.zipWithIndex
           .collect { case (t, i) if !covered(i.toLong) => t }
@@ -428,7 +429,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
-          val words = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          val words = graft.functions.Text.segmentText(text)
           if (words.length < shingleN) Iterator.empty
           else {
             val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -1082,7 +1083,7 @@ object Dedup {
         val votes = new Array[Int](64) // reused across docs in the partition
         rows.filter(_._2 != null).map { case (id, text) =>
           java.util.Arrays.fill(votes, 0)
-          val words = text.trim.split("\\s+")
+          val words = graft.functions.Text.segmentText(text)
           var i = 0
           while (i < words.length) {
             val w = words(i)

@@ -121,7 +121,7 @@ object TokenShards {
                 "rebuild the vocab artifact over this corpus before exporting"))
           }.toArray)
         it.flatMap { case (id, text) =>
-          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          val words = graft.functions.Text.segmentText(text)
           if (words.isEmpty) None
           else {
             val out = Array.newBuilder[Long]

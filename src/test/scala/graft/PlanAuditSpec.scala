@@ -17,6 +17,23 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  it("every oracle token extraction uses the shared CJK-aware pattern (no drift)") {
+    // Spark kernels segment via Text.tokenExtractPattern; a DuckDB oracle
+    // still replaying the whitespace-only class would silently diverge the
+    // moment the corpus carries CJK — forbid the stale literal, and demand
+    // that every CJK-aware literal in the oracle SQL equals the kernel
+    // constant VERBATIM (drift in either side fails here, not at the gate)
+    val stale = "'[^ \\x09-\\x0D]+'"
+    val shared = "'" + functions.Text.tokenExtractPattern + "'"
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains(stale), s"$name replays whitespace-only tokenization")
+    }
+    val adopters = SparkEntry.oracleSql.values.count(_.contains(shared))
+    assert(adopters >= 50, s"only $adopters oracles carry the shared pattern — " +
+      "either the kernel constant changed without regenerating the oracles, or " +
+      "extraction sites were rewritten away from the shared literal")
+  }
+
   it("q21 token count reads ONLY (doc_id, text) from the documents scan") {
     val p = plan("q21_token_count")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)

@@ -537,14 +537,17 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       assert(Set(sh(1L), sh(3L), sh(4L), sh(5L)).size === 4)
     }
 
-    it("chunkWords round-trips every non-ASCII word incl. surrogate pairs") {
+    it("chunkWords round-trips every non-ASCII token incl. surrogate pairs") {
+      // "token" is the shared segmentText notion: CJK codepoints segment
+      // one-per-token (so 机器 contributes 机 and 器), everything else by
+      // whitespace — chunking must lose none of them in any script
       val chunks = Chunking.chunkWords(uni, "doc_id", "text", 3, 1)
         .as[(Long, Long, Long, String)].collect()
       for (id <- 1L to 5L) {
-        val original = uni.where(col("doc_id") === id)
-          .select("text").as[String].head().trim.split("\\s+").toSet
+        val original = graft.functions.Text.segmentText(
+          uni.where(col("doc_id") === id).select("text").as[String].head()).toSet
         val covered = chunks.filter(_._1 == id).flatMap(_._4.split(" ")).toSet
-        assert(covered === original, s"doc $id lost words in chunking")
+        assert(covered === original, s"doc $id lost tokens in chunking")
       }
     }
 

@@ -525,16 +525,33 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(kernel === columns)
     }
 
-    it("documented divergence: a leading tab is edge-stripped by the kernel " +
-       "(Java trim) but yields a phantom empty token in the Column form (SQL trim)") {
-      val docs = Seq((1L, "\ta b")).toDF("doc_id", "text")
+    it("edge control chars: kernel and Column form CONVERGE under extraction " +
+       "(the split form's phantom empty token after a leading tab is retired)") {
+      val docs = Seq((1L, "\ta b"), (2L, "\t"), (3L, "x\u0000y z")).toDF("doc_id", "text")
       val kernel = Text.repetitionMetrics(docs, "doc_id", "text")
-        .as[(Long, Long, Long, Long, Boolean)].head()
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
       val column = docs
         .select($"doc_id" +: Text.repetitionColumns($"text"): _*)
-        .as[(Long, Long, Long, Long, Boolean)].head()
-      assert(kernel._2 === 2L && kernel._3 === 2L)   // ["a", "b"]
-      assert(column._2 === 3L && column._3 === 3L)   // ["", "a", "b"]
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(kernel === column)
+      assert(kernel.find(_._1 == 1L).get._2 === 2L) // ["a", "b"] — no phantom
+      assert(kernel.find(_._1 == 2L).get._2 === 0L) // blank -> no tokens
+      // interior NUL stays inside its token (edge strip is EDGES only)
+      assert(kernel.find(_._1 == 3L).get._2 === 2L)
+    }
+
+    it("CJK codepoints segment one-per-token; Latin runs stay whole") {
+      // "日本語のテスト" = 3 Han + の + 3 Katakana + ... no spaces at all:
+      // a whitespace splitter would call this ONE token
+      val got = Seq((1L, "日本語のテスト"), (2L, "abc 日本 def"), (3L, "漢字abc"))
+        .toDF("doc_id", "text")
+        .select($"doc_id", Text.tokenCount($"text").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 7L, 2L -> 4L, 3L -> 3L))
+      // the typed kernel agrees exactly
+      assert(Text.segmentText("日本語のテスト").length === 7)
+      assert(Text.segmentText("abc 日本 def").toSeq === Seq("abc", "日", "本", "def"))
+      assert(Text.segmentText("漢字abc").toSeq === Seq("漢", "字", "abc"))
     }
   }
 
