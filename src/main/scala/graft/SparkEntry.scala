@@ -4104,6 +4104,75 @@ object SparkEntry {
           col("n_tokens"), col("n_distinct"), col("top_bigram_n"), col("repetition_ok"))
     }),
 
+    // q240: UNIGRAM TOKEN SHARDS — the q237 composition through the OTHER
+    // tokenizer family: the standing unigram-LM model (q232's store)
+    // Viterbi-encodes a planted corpus through the generalized
+    // segmenter-parametric shard machinery (buildVocabWith /
+    // tokenizeToIdsWith — the shard format does not care which family
+    // trained the tokenizer), packs, and exports with the same
+    // losslessness + byte-determinism gates. The planted corpus is
+    // q232's fixed sentence per doc, so the per-doc id count has a
+    // closed form the oracle replays exactly: 19 Viterbi pieces (the
+    // q232-pinned per-word segmentations) + 10 SPACE + 1 EOS = 30 ids —
+    // and under CONSTANT doc size, next-fit at capacity 128 is literally
+    // rn div 4 per shard, so bin geometry is pure id arithmetic. Any
+    // Viterbi, space/EOS, packing, or export drift shifts a count or
+    // boundary and fails the hash.
+    "q240_unigram_shards" -> ((s, dir) => {
+      import s.implicits._
+      val (_, model) = ensureTokenizers(s, dir)
+      val sentence = "low lower lowest new newer newest wide wider widest slow slowest"
+      val planted = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), lit(sentence).as("text"))
+      val seg = (w: String) => operators.Unigram.segment(w, model)
+      val vocab = operators.TokenShards.vocabFromFrame(
+        operators.TokenShards.buildVocabWith(planted, "text")(seg))
+      val tokens = operators.TokenShards.tokenizeToIdsWith(
+        planted, "doc_id", "text", vocab)(seg)
+      val seqs = operators.TokenShards.packSequences(
+          tokens, "doc_id", nShards = 4, capacity = 128L)
+        .withColumn("seq_id",
+          format_string("s%03d-b%06d", col("shard"), col("bin")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { seqs.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/unigram_shards_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeJsonlShards(seqs, p1, "seq_id", nShards = 2,
+        maxShardBytes = 1L << 20)
+      sources.Export.writeJsonlShards(seqs.repartition(7), p2, "seq_id",
+        nShards = 2, maxShardBytes = 1L << 20)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      val back = sources.Export.readJsonlShards(s, p1, seqs.schema)
+      val bcRev = s.sparkContext.broadcast(vocab.map(_.swap))
+      val rebuilt = back.select(col("doc_ids"), col("ids"))
+        .as[(Seq[Long], Seq[Long])]
+        .flatMap { case (docIds, ids) =>
+          val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+          var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+          ids.foreach { id =>
+            cur += id
+            if (id == operators.TokenShards.eosId) {
+              segs += cur.toSeq
+              cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+            }
+          }
+          require(cur.isEmpty && segs.length == docIds.length,
+            "bin sequence does not parse back into its documents")
+          docIds.zip(segs).map { case (d, sg) =>
+            (d, operators.TokenShards.detokenize(sg, bcRev.value))
+          }
+        }.toDF("doc_id", "detok")
+      val source = planted
+        .select(col("doc_id"),
+          concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
+      val lossless = rebuilt.exceptAll(source)
+        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      back.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("lossless_exact", lit(lossless))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -5214,14 +5283,14 @@ object SparkEntry {
     * string in >= 2 distinct docs), and the covered-position set. */
   private val repeatedSpanCtes: String =
     """WITH base AS (SELECT doc_id, text FROM documents),
-      |bw AS (SELECT doc_id, regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+      |bw AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
       |       FROM base WHERE text IS NOT NULL),
       |plant AS (SELECT doc_id + 2000000 AS doc_id,
       |                 'uniq' || doc_id || ' ' || array_to_string(words[1:25], ' ') AS text
       |          FROM bw WHERE doc_id < 50 AND len(words) >= 25),
       |corpus AS (SELECT doc_id, text FROM base
       |           UNION ALL SELECT doc_id, text FROM plant),
-      |w AS (SELECT doc_id, regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+      |w AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
       |      FROM corpus WHERE text IS NOT NULL),
       |ws AS (SELECT doc_id,
       |              unnest(range(len(words) - 4)) AS pos,
@@ -5241,7 +5310,7 @@ object SparkEntry {
   private val candidateCte: String =
     """WITH RECURSIVE d AS (SELECT doc_id,
       |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-      |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+      |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
       |           FROM documents WHERE text IS NOT NULL),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5456,7 +5525,7 @@ object SparkEntry {
     * ONE body feeds all three oracles, so the replay cannot drift. */
   private val lmModelCtes: String =
     """WITH d AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
-      |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+      |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
       |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
       |tr AS (SELECT tk FROM d WHERE doc_id % 2 = 0),
       |bgt AS (SELECT tk[i] AS w1, tk[i+1] AS w2
@@ -5606,7 +5675,7 @@ object SparkEntry {
     "q21_token_count" ->
       """SELECT doc_id,
         |       CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |            ELSE len(regexp_extract_all(trim(text), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS n_tokens
+        |            ELSE len(regexp_extract_all(trim(text), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS n_tokens
         |FROM documents""".stripMargin,
     // q22: the trigram score columns and argmax CASE are GENERATED from
     // Text.langTrigrams (same table the Column kernel reads)
@@ -5622,20 +5691,20 @@ object SparkEntry {
       // coalesce(text,'') mirrors the Spark side's NULL guard
       """SELECT doc_id,
         |  CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |       ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS n_tokens,
+        |       ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS n_tokens,
         |  CASE WHEN (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                  ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END) > 0
+        |                  ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) > 0
         |       THEN CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
         |            CAST((CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                       ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END) AS DOUBLE)
+        |                       ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) AS DOUBLE)
         |       ELSE 0.0 END AS mean_token_len,
         |  CAST((len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' the ', ''))) // 5
         |     + (len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' a ', ''))) // 3 AS BIGINT) AS stopword_hits,
         |  (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |        ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END) BETWEEN 5 AND 100000
+        |        ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) BETWEEN 5 AND 100000
         |   AND (CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
         |        CAST(greatest(CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                           ELSE len(regexp_extract_all(coalesce(text, ''), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END, 1) AS DOUBLE))
+        |                           ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END, 1) AS DOUBLE))
         |       BETWEEN 2.0 AND 20.0 AS quality_ok
         |FROM documents""".stripMargin,
     "q24_fingerprint" ->
@@ -5772,7 +5841,7 @@ object SparkEntry {
     "q45_jaccard_exact" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5808,7 +5877,7 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 100 AND text IS NOT NULL
         |  AND len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                             '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) >= 3""".stripMargin,
+        |                             '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) >= 3""".stripMargin,
     "q49_bucketed_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
@@ -5860,7 +5929,7 @@ object SparkEntry {
     "q54_chunk_words" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, words, start FROM (
         |        SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
@@ -5917,7 +5986,7 @@ object SparkEntry {
     "q58_dedup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5967,7 +6036,7 @@ object SparkEntry {
     "q27_minhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL AND doc_id < 100),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -5998,7 +6067,7 @@ object SparkEntry {
     "q61_contamination" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6017,7 +6086,7 @@ object SparkEntry {
     "q62_pack_chunks" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
         |             CAST(start // 8 AS BIGINT) AS chunk_idx,
@@ -6041,7 +6110,7 @@ object SparkEntry {
     "q63_repetition" ->
       """WITH w AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', ''),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
         |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g
@@ -6057,12 +6126,12 @@ object SparkEntry {
         |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin,
     // q64: integer-exact ranking (tf DESC, df ASC, term ASC) — binary string
     // collation on lowercase-ASCII terms agrees across engines; tokens are
-    // runs of non-Java-\s chars ('[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+' — RE2's '\s' lacks \x0B,
+    // runs of non-Java-\s chars ('[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]' — RE2's '\s' lacks \x0B,
     // so a '\s+' split would diverge from Spark's Java-regex split on
     // vertical tabs)
     "q64_top_terms" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
@@ -6081,7 +6150,7 @@ object SparkEntry {
     "q65_incremental_dedup" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL AND doc_id < 100),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6095,7 +6164,7 @@ object SparkEntry {
     // the fixed lane hashes — so estimates equal the exact counts; same
     // Java-\s token class as q64
     "q66_heavy_hitters" ->
-      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1)
         |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
@@ -6212,7 +6281,7 @@ object SparkEntry {
     "q75_curation_pipeline" ->
       """WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
         |tok AS (SELECT doc_id, lang, t,
-        |          regexp_extract_all(t, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |          regexp_extract_all(t, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |        FROM base),
         |qual AS (SELECT * FROM tok
         |         WHERE len(words) >= 5 AND len(words) <= 100000
@@ -6263,7 +6332,7 @@ object SparkEntry {
     "q78_dup_ngram_profile" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6327,7 +6396,7 @@ object SparkEntry {
     // q83: the oracle recomputes the exact heavy-hitter set (freq > n/65,
     // k=64) and asserts both Misra-Gries theorems hold (TRUE gates)
     "q83_misra_gries" ->
-      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1),
         |tot AS (SELECT count(*) AS n FROM toks)
@@ -6348,7 +6417,7 @@ object SparkEntry {
     "q85_containment_neardup" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6452,7 +6521,7 @@ object SparkEntry {
     // q93: distinct (doc, term) pairs with the kernel tokenization, df over
     // the same doc universe
     "q93_stopword_df" ->
-      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |            FROM documents WHERE text IS NOT NULL),
         |dt AS (SELECT DISTINCT doc_id, term FROM tk),
         |nd AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL)
@@ -6462,7 +6531,7 @@ object SparkEntry {
     // chain, integer waste arithmetic
     "q94_length_buckets" ->
       """WITH t AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                  ELSE len(regexp_extract_all(trim(text), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS toks
+        |                  ELSE len(regexp_extract_all(trim(text), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS toks
         |           FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT toks,
         |        CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32
@@ -6519,7 +6588,7 @@ object SparkEntry {
     "q101_source_overlap" ->
       """WITH d AS (SELECT doc_id, source,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |gs AS (SELECT DISTINCT source, s FROM (
         |  SELECT source, unnest(list_transform(range(len(words)-2),
@@ -6589,7 +6658,7 @@ object SparkEntry {
     "q112_mixed_language" ->
       s"""WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'),
-        |                                '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+') AS words
+        |                                '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, words, start FROM (
         |        SELECT doc_id, words, unnest(generate_series(0, len(words)-1, 6)) AS start
@@ -6631,7 +6700,7 @@ object SparkEntry {
     "q114_shingle_novelty" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest(list_transform(range(len(words)-2),
@@ -6649,7 +6718,7 @@ object SparkEntry {
     "q115_boundary_overlap" ->
       """WITH tok AS (SELECT doc_id,
         |               regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                  '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                  '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |             FROM documents WHERE text IS NOT NULL),
         |base AS (
         |  SELECT doc_id, words FROM tok
@@ -6673,10 +6742,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM olds WHERE doc_id < 20),
         |toko AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                ELSE len(regexp_extract_all(trim(text), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS t
+        |                ELSE len(regexp_extract_all(trim(text), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS t
         |         FROM olds),
         |tokn AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                ELSE len(regexp_extract_all(trim(text), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) END AS t
+        |                ELSE len(regexp_extract_all(trim(text), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS t
         |         FROM news)
         |SELECT CAST((SELECT sum(t) FROM toko) AS BIGINT) AS old_total,
         |       CAST((SELECT sum(t) FROM tokn) AS BIGINT) AS new_total,
@@ -6755,7 +6824,7 @@ object SparkEntry {
     // and each contribution is scaled to BIGINT before the order-free sum
     "q133_bm25_topk" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -6779,7 +6848,7 @@ object SparkEntry {
         |  FROM scores) WHERE rank <= 10""".stripMargin,
     "q134_hybrid_rrf" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -6823,7 +6892,7 @@ object SparkEntry {
     // BIGINT cross-multiplication (PMI's log is monotone — never computed)
     "q135_pmi_collocations" ->
       """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |toks AS (SELECT unnest(tk) AS w FROM d),
         |uni AS (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
@@ -6852,7 +6921,7 @@ object SparkEntry {
       """WITH d AS (SELECT
         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 8)) AS UBIGINT) % 8 AS shard,
         |    len(regexp_extract_all(regexp_replace(text,
-        |      '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS n_tok
+        |      '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS n_tok
         |  FROM documents WHERE text IS NOT NULL),
         |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
@@ -6864,7 +6933,7 @@ object SparkEntry {
     // cross-multiplications (no division anywhere)
     "q137_quality_rules" ->
       """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |m AS (SELECT len(tk) AS n_tok,
         |        CAST(coalesce(list_sum(list_transform(tk, t -> len(t))), 0) AS BIGINT) AS tok_chars
@@ -6889,7 +6958,7 @@ object SparkEntry {
     // 'x'-fill sibling, skeleton = md5 of the dash-joined length sequence
     "q139_templated_docs" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |plant AS (SELECT doc_id + 4000000 AS doc_id,
         |            array_to_string(list_transform(tk, t -> repeat('x', len(t))), ' ') AS text
@@ -6898,7 +6967,7 @@ object SparkEntry {
         |             UNION ALL SELECT doc_id, text FROM plant),
         |s AS (SELECT doc_id, md5(array_to_string(list_transform(
         |        regexp_extract_all(regexp_replace(text,
-        |          '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+'),
+        |          '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]'),
         |        t -> CAST(len(t) AS VARCHAR)), '-')) AS skel
         |      FROM all_docs WHERE text IS NOT NULL),
         |g AS (SELECT skel, CAST(count(*) AS BIGINT) AS n_group FROM s GROUP BY 1)
@@ -7200,7 +7269,7 @@ object SparkEntry {
     // has no WITH ORDINALITY); same [^ \x09-\x0D]+ tokenization as q93/q107
     "q122_bigram_lm" ->
       """WITH d AS (SELECT regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
         |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),
@@ -7253,7 +7322,7 @@ object SparkEntry {
       """WITH d AS (SELECT lang, source, text,
         |             CASE WHEN text IS NOT NULL THEN
         |               len(regexp_extract_all(regexp_replace(text,
-        |                 '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+'))
+        |                 '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]'))
         |             END AS n_tok
         |           FROM documents),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -7307,7 +7376,7 @@ object SparkEntry {
     // [^ \x09-\x0D]+ tokenization
     "q126_minhash_merge" ->
       """WITH d AS (SELECT source, regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
         |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
         |sh AS (SELECT DISTINCT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
         |       FROM d, unnest(generate_series(1, len(tk)-2)) AS u(i))
@@ -7360,7 +7429,7 @@ object SparkEntry {
     // same tokenization and the same integer threshold
     "q129_rare_bigram_rate" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
         |           FROM documents WHERE text IS NOT NULL),
         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
         |       FROM d, unnest(generate_series(1, len(tk)-1)) AS u(i)),
@@ -7416,7 +7485,7 @@ object SparkEntry {
     // q107: first-seen doc per term with the kernel tokenization; cumulative
     // sum over the bucket frame
     "q107_vocab_growth" ->
-      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |            FROM documents WHERE text IS NOT NULL),
         |f AS (SELECT term, min(doc_id) AS first_doc FROM tk GROUP BY 1),
         |b AS (SELECT first_doc // 50 AS bucket, count(*) AS new_terms FROM f GROUP BY 1)
@@ -7487,7 +7556,7 @@ object SparkEntry {
     "q153_phrase_search" ->
       """WITH tk AS (SELECT doc_id,
         |              regexp_extract_all(regexp_replace(text,
-        |                '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS w
+        |                '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS w
         |            FROM documents WHERE text IS NOT NULL),
         |p AS (SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS pos FROM tk),
         |a AS (SELECT doc_id, pos FROM p WHERE term = 'table'),
@@ -7500,7 +7569,7 @@ object SparkEntry {
     "q154_importance_selection" ->
       """WITH d AS (SELECT doc_id, lang = 'en' AS t,
         |             regexp_extract_all(regexp_replace(text,
-        |               '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS w
+        |               '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS w
         |           FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, t, unnest(list_transform(range(len(w) - 1),
         |        i -> w[i + 1] || ' ' || w[i + 2])) AS gram
@@ -7770,7 +7839,7 @@ object SparkEntry {
         |           SELECT doc_id + 2000000, text FROM base WHERE doc_id < 50),
         |d AS (SELECT doc_id,
         |        regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                           '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                           '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |      FROM corpus),
         |toks AS (SELECT doc_id, unnest(list_transform(range(len(words)-2),
         |                i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS term
@@ -7802,7 +7871,7 @@ object SparkEntry {
         |           FROM base WHERE doc_id < 50),
         |d AS (SELECT doc_id,
         |        regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                           '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+        |                           '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
         |      FROM corpus),
         |toks AS (SELECT doc_id, unnest(tk) AS term,
         |                unnest(range(1, len(tk) + 1)) AS pos
@@ -7856,7 +7925,7 @@ object SparkEntry {
          |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
          |SELECT doc_id, main_text,
          |       CASE WHEN len(main_text) = 0 THEN 0
-         |            ELSE CAST(len(regexp_extract_all(main_text, '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(main_text, '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
          |       END AS n_tokens,
          |       TRUE AS nav_dropped, TRUE AS ad_dropped, TRUE AS footer_dropped
          |FROM m""".stripMargin
@@ -7879,7 +7948,7 @@ object SparkEntry {
          |SELECT doc_id, extracted,
          |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
          |            THEN 0
-         |            ELSE CAST(len(regexp_extract_all(trim(extracted), '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(trim(extracted), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -7900,7 +7969,7 @@ object SparkEntry {
          |             CAST(unnest(range(len(sents))) AS BIGINT) AS sent_idx
          |      FROM e)
          |SELECT doc_id, sent_idx, sentence,
-         |       CAST(len(regexp_extract_all(sentence, '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT) AS n_tokens
+         |       CAST(len(regexp_extract_all(sentence, '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_tokens
          |FROM u""".stripMargin,
     // q215: DuckDB's nfc_normalize replays the kernel — the two planted
     // variants are byte-distinct but NFC-identical
@@ -7929,7 +7998,7 @@ object SparkEntry {
         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
         |SELECT doc_id, extracted,
         |       CASE WHEN len(extracted) = 0 THEN 0
-        |            ELSE CAST(len(regexp_extract_all(extracted, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS BIGINT)
+        |            ELSE CAST(len(regexp_extract_all(extracted, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS BIGINT)
         |       END AS n_tokens
         |FROM e""".stripMargin,
     // q212: the PDF transport must be the identity on the text, modulo
@@ -7940,7 +8009,7 @@ object SparkEntry {
         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
         |SELECT doc_id, extracted,
         |       CASE WHEN len(extracted) = 0 THEN 0
-        |            ELSE CAST(len(regexp_extract_all(extracted, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS BIGINT)
+        |            ELSE CAST(len(regexp_extract_all(extracted, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS BIGINT)
         |       END AS n_tokens
         |FROM e""".stripMargin,
     // q211: the q206 closed form — the WARC transport around the codec
@@ -8006,7 +8075,7 @@ object SparkEntry {
          |e AS (SELECT doc_id, ${duckMainContent(htmlExpr)} AS extracted FROM kept)
          |SELECT doc_id, extracted,
          |       CASE WHEN len(extracted) = 0 THEN 0
-         |            ELSE CAST(len(regexp_extract_all(extracted, '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(extracted, '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -8082,7 +8151,7 @@ object SparkEntry {
          |SELECT doc_id, CAST(status AS BIGINT) AS status, extracted,
          |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
          |            THEN 0
-         |            ELSE CAST(len(regexp_extract_all(trim(extracted), '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(trim(extracted), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -8187,7 +8256,7 @@ object SparkEntry {
         |  SELECT doc_id + 3000000 AS doc_id, lang, source,
         |         array_to_string(list_transform(
         |           regexp_extract_all(regexp_replace(text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+'),
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]'),
         |           w -> 'zz' || w), ' ') AS text
         |  FROM corpus WHERE doc_id < 100),
         |crawl AS (SELECT doc_id, lang, source, text FROM corpus
@@ -8203,7 +8272,7 @@ object SparkEntry {
         |kd AS (SELECT t.doc_id, coalesce(ka.kept_text, '') AS kept_text
         |       FROM (SELECT DISTINCT doc_id FROM l) t LEFT JOIN ka ON t.doc_id = ka.doc_id),
         |d AS (SELECT doc_id, regexp_extract_all(regexp_replace(kept_text,
-        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS tk
+        |             '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS tk
         |      FROM kd),
         |tr AS (SELECT tk FROM d WHERE doc_id % 2 = 0 AND doc_id < 3000000),
         |bgt AS (SELECT tk[i] AS w1, tk[i+1] AS w2
@@ -8477,7 +8546,7 @@ object SparkEntry {
     // term 'spark' appearing in all three queries counts each doc once.
     "q166_bm25_query_table" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
@@ -8505,7 +8574,7 @@ object SparkEntry {
     // bounded-heap combiner applies, so the row sets agree exactly.
     "q170_bm25_topk_queries" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
@@ -8547,7 +8616,7 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 50 OR doc_id IS NULL
         |  UNION ALL SELECT * FROM batch),
         |toks AS (SELECT doc_id,
-        |           unnest(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS term
+        |           unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |         FROM spliced WHERE text IS NOT NULL),
         |post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
         |SELECT doc_id % 8 AS doc_bucket, CAST(count(*) AS BIGINT) AS n_postings,
@@ -8741,7 +8810,7 @@ object SparkEntry {
         |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
         |inst AS (SELECT doc_id, unnest(regexp_extract_all(
         |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                 '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS w
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
         |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |vocab AS (SELECT DISTINCT w FROM inst),
         |st AS (
@@ -8793,7 +8862,7 @@ object SparkEntry {
         |         WHERE doc_id % 10 = 0 OR (doc_id % 7 = 0 AND text IS NOT NULL)),
         |inst AS (SELECT v2.doc_id, unnest(regexp_extract_all(
         |                 regexp_replace(v2.text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                 '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS w
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
         |         FROM v2 JOIN ship USING (doc_id) WHERE v2.text IS NOT NULL),
         |vocab AS (SELECT DISTINCT w FROM inst),
         |st AS (
@@ -8840,13 +8909,27 @@ object SparkEntry {
         |       (m.n_tokens < 10 OR (m.n_distinct * 2 >= m.n_tokens
         |          AND m.top_bigram_n * 5 <= m.n_tokens - 1)) AS repetition_ok
         |FROM sh JOIN m USING (doc_id)""".stripMargin,
+    // q240: per-doc id count closed form = 19 pinned Viterbi pieces (the
+    // q232 per-word segmentation pins) + 10 SPACE + 1 EOS = 30; constant
+    // doc size makes next-fit(128) per shard literally rn div 4 — bin
+    // geometry is pure id arithmetic; gates pinned TRUE
+    "q240_unigram_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(doc_id % 4 AS BIGINT) AS shard,
+        |             row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1 AS rn
+        |           FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT shard, CAST(rn // 4 AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(30 * count(*) AS BIGINT) AS n_tokens,
+        |       TRUE AS deterministic, TRUE AS lossless_exact
+        |FROM d GROUP BY 1, 2""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection
     "q176_span_attribution" ->
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                                '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+') AS words
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |           FROM documents WHERE text IS NOT NULL),
         |ev AS (SELECT doc_id AS eval_id, words[6:35] AS words FROM d
         |       WHERE doc_id < 20 AND len(words) >= 40),
@@ -8897,7 +8980,7 @@ object SparkEntry {
         |                        (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g')) AS m(rank,a,b)),
         |inst AS (SELECT doc_id, unnest(regexp_extract_all(
         |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
-        |                 '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]|[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+')) AS w
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
         |         FROM documents WHERE text IS NOT NULL),
         |vocab AS (SELECT DISTINCT w FROM inst),
         |st AS (
@@ -8926,7 +9009,7 @@ object SparkEntry {
         |                        (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g')) AS m(rank,a,b)),
         |inst AS (SELECT doc_id, unnest(regexp_extract_all(
         |                 regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'),
-        |                 '[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]|[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+')) AS w
+        |                 '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS w
         |         FROM documents WHERE text IS NOT NULL),
         |vocab AS (SELECT DISTINCT w FROM inst),
         |st AS (

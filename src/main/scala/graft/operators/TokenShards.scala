@@ -56,14 +56,24 @@ object TokenShards {
   def buildVocab(docs: DataFrame, textCol: String, merges: Seq[(String, String)],
       maxVocab: Int = 4000000): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
+    val ranks = merges.zipWithIndex.toMap
+    buildVocabWith(docs, textCol, maxVocab)(w => Bpe.applyMerges(w, ranks))
+  }
+
+  /** [[buildVocab]] generalized over the SEGMENTER — any trained
+    * tokenizer whose apply rule maps a word to a symbol sequence (BPE
+    * merge replay, unigram Viterbi, ...) induces an id table through the
+    * same machinery; the shard format does not care which family
+    * trained it. */
+  def buildVocabWith(docs: DataFrame, textCol: String, maxVocab: Int = 4000000)(
+      segment: String => Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ranks = merges.zipWithIndex.toMap
     val symbols = docs.where(col(textCol).isNotNull)
       .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
       .distinct()
       .as[String]
-      .flatMap(w => Bpe.applyMerges(w, ranks))
+      .flatMap(w => segment(w))
       .distinct()
       .orderBy(col("value").asc)
       .limit(maxVocab + 1)
@@ -100,22 +110,28 @@ object TokenShards {
    */
   def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], vocab: Map[String, Long]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    tokenizeToIdsWith(docs, idCol, textCol, vocab)(w => Bpe.applyMerges(w, ranks))
+  }
+
+  /** [[tokenizeToIds]] generalized over the segmenter (the
+    * [[buildVocabWith]] dual): the SAME segmenter that induced the vocab
+    * must encode, or the loud OOV contract fires. */
+  def tokenizeToIdsWith(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Long])(segment: String => Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ranks = merges.zipWithIndex.toMap
     val bcVocab = spark.sparkContext.broadcast(vocab)
-    val bcRanks = spark.sparkContext.broadcast(ranks)
     docs.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
-        // per-task memoization: the merge loop runs once per DISTINCT word
+        // per-task memoization: the segmenter runs once per DISTINCT word
         // seen by this task — Zipf makes the hit rate overwhelming
         val memo = scala.collection.mutable.HashMap.empty[String, Array[Long]]
         val v = bcVocab.value
-        val r = bcRanks.value
         def encodeWord(w: String): Array[Long] =
-          memo.getOrElseUpdate(w, Bpe.applyMerges(w, r).map { s =>
+          memo.getOrElseUpdate(w, segment(w).map { s =>
             v.getOrElse(s, throw new IllegalArgumentException(
               s"symbol '$s' (word '$w') is not in the standing vocabulary — " +
                 "rebuild the vocab artifact over this corpus before exporting"))
