@@ -469,6 +469,54 @@ object StreamOps {
         col("__c.n_tokens").as("n_tokens"), col("__c.chunk_hash").as("chunk_hash"))
 
   /**
+   * STREAMING maintenance of the standing TOKEN-ID store — the streaming
+   * face of [[graft.operators.TokenShards.tokenizeToIdsWith]], in the
+   * [[streamingChunks]] discipline: each micro-batch of `(id, text)`
+   * documents tokenizes ONCE under a FROZEN tokenizer (the merge table /
+   * model and the id vocabulary are standing artifacts shared by every
+   * job — the `streamingOpqCodes` frozen-model rule; a vocabulary miss
+   * fails LOUDLY through the kernel's OOV contract instead of minting
+   * ids) and upserts one row per doc: `(id, ids, version)`. A doc whose
+   * new text tokenizes to nothing upserts an EMPTY id list — doc-
+   * wholesale supersession, so a re-ingest that blanks a doc also
+   * removes it from every future shard build. Takedowns ride the generic
+   * [[deleteIdsFromStore]] tombstone; because shard assembly
+   * ([[graft.operators.TokenShards.packSequences]]) derives from the
+   * LIVE store rows, one tombstone purges the doc from the terminal
+   * training artifact with zero decrement bookkeeping.
+   */
+  def streamingTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Long], segment: String => Seq[String],
+      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val one = onePerDoc(batch, idCol, textCol)
+        val perDoc = graft.operators.TokenShards
+          .tokenizeToIdsWith(one, idCol, textCol, vocab)(segment)
+          .select(col(idCol), col("ids"))
+        val rows = one.select(col(idCol))
+          .join(perDoc, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("ids"), typedlit(Seq.empty[Long]).cast("array<bigint>"))
+              .as("ids"),
+            lit(batchId).as("version"))
+        graft.sources.Sink.upsertBuckets(storePath, rows, idCol, "version", nBuckets)
+      }
+      .start()
+
+  /** Read the [[streamingTokenIds]] store back as the exact
+    * `tokenizeToIds` shape `(idCol, ids, n_tokens)` — empty-id rows
+    * (blank/superseded-to-blank docs) contribute nothing, matching the
+    * batch kernel's docs-with-no-tokens drop. */
+  def tokenIdsFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, idCol: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .where(size(col("ids")) > 0)
+      .select(col(idCol), col("ids"), size(col("ids")).cast("long").as("n_tokens"))
+
+  /**
    * STREAMING crawl ingestion — the streaming face of [[graft.sources.Warc]]
    * closing the pipeline's front door: each micro-batch of raw `.warc.gz`
    * payloads (one row per FILE with a binary `content` column — the shape

@@ -637,6 +637,59 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("streamingTokenIds ≡ from-scratch tokenizeToIds (store-maintained token ids)") {
+    it("re-ingests supersede doc-wholesale; a takedown purges the doc from re-packed shards") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("tok_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("tok_ckpt").toString
+      val merges = graft.operators.Bpe.fixtureMerges
+      // vocabulary induced over the UNION of every text the stream will
+      // carry — the standing-artifact posture (a frozen tokenizer)
+      val allTexts = Seq("the thin cat", "a cat sat", "the end stands",
+        "fresh thing here", "")
+      val vocab = graft.operators.TokenShards.vocabFromFrame(
+        graft.operators.TokenShards.buildVocab(
+          allTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"), "text", merges))
+      val ranks = merges.zipWithIndex.toMap
+      val seg = (w: String) => graft.operators.Bpe.applyMerges(w, ranks)
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingTokenIds(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", vocab, seg, storePath = store, nBuckets = 4,
+        checkpointDir = ckpt)
+      def flat(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Long], Long)] =
+        df.select($"doc_id", $"ids", $"n_tokens")
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+      // batch 2: doc 1 re-ingests EDITED, doc 2 blanks (must vanish from
+      // the read face), doc 3 is fresh
+      val batches = Seq(
+        Seq((1L, "the thin cat"), (2L, "a cat sat")),
+        Seq((1L, "the end stands"), (2L, ""), (3L, "fresh thing here")))
+      try {
+        val live = scala.collection.mutable.Map.empty[Long, String]
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.foreach { case (id, t) => live(id) = t }
+          val scratch = graft.operators.TokenShards.tokenizeToIdsWith(
+            live.toSeq.toDF("doc_id", "text"), "doc_id", "text", vocab)(seg)
+          assert(flat(StreamOps.tokenIdsFromStore(spark, store, "doc_id")) ===
+            flat(scratch), s"after streaming ${live.toMap}")
+        }
+        // TAKEDOWN: tombstone doc 1; the terminal shard build derives from
+        // live rows only, so re-packing excludes it with zero bookkeeping
+        StreamOps.deleteIdsFromStore(store, Seq(1L).toDF("doc_id"), "doc_id",
+          version = Long.MaxValue, nBuckets = 4)
+        val packed = graft.operators.TokenShards.packSequences(
+          StreamOps.tokenIdsFromStore(spark, store, "doc_id"),
+          "doc_id", nShards = 2, capacity = 16L)
+        val packedDocs = packed.select(org.apache.spark.sql.functions.explode($"doc_ids").as("d"))
+          .collect().map(_.getLong(0)).toSet
+        assert(packedDocs === Set(3L)) // doc 1 taken down, doc 2 blanked
+      } finally q.stop()
+    }
+  }
+
   describe("streamingCrawl (store-maintained captured corpus from .warc.gz files)") {
     it("re-crawls supersede by url; same-batch duplicate captures pick the latest date") {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
