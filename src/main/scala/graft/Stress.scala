@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "opq", "scale")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "opq", "tokens", "scale")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -54,6 +54,7 @@ object Stress {
 
     if (mode == "incremental") { incrementalStudy(spark, sfDir); spark.stop(); return }
     if (mode == "curation") { curationStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "tokens") { tokensStudy(spark, sfDir); spark.stop(); return }
     if (mode == "snapshot") { snapshotStudy(spark, sfDir); spark.stop(); return }
     if (mode == "events") { eventsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "semantic") { semanticStudy(spark, sfDir); spark.stop(); return }
@@ -1360,6 +1361,78 @@ object Stress {
     println(f"[stress] digests identical across partitionings (expect true) " +
       f"[second pass $secs2%.1f s]")
     replica.unpersist(): Unit
+  }
+
+  /**
+   * Token-shard pipeline at 10x: the terminal training artifact
+   * (tokenize -> pack -> export) over the replicated, 20x-widened corpus.
+   * Three scale laws are checked, not just timed:
+   *  - REPLICA INVARIANCE: tokenization is a pure function of the text,
+   *    so all 10 replicas of a doc must produce the identical id
+   *    sequence (one distinct ids-hash per base doc — any per-task
+   *    memoization or broadcast slip shows up here);
+   *  - PACKING EFFICIENCY: next-fit wastes less than one doc per bin by
+   *    construction — the measured fill ratio makes the claim concrete;
+   *  - EXPORT DETERMINISM at mass: SHA-identical shards from a
+   *    reshuffled input, the exportStudy law over token payloads.
+   */
+  private def tokensStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.TokenShards
+    import graft.sources.Export
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", array_repeat(col("text"), 5)).as("text"))
+    val replica = (0 until 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (10x replicated, 5x-widened docs)")(replica.count())
+    val merges = graft.operators.Bpe.fixtureMerges
+    val vocabFrame = timedValue("vocabulary induction over the distinct-word frame")(
+      TokenShards.buildVocab(replica, "text", merges))._1
+    val vocab = TokenShards.vocabFromFrame(vocabFrame)
+    println(s"[stress] vocabulary: ${vocab.size} symbols")
+    val tokens = TokenShards.tokenizeToIds(replica, "doc_id", "text", merges, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val (mass, tsecs) = timedValue(s"tokenize $n docs")(
+      tokens.agg(sum(col("n_tokens"))).head().getLong(0))
+    println(f"[stress] $mass token ids, ${mass / 1e6 / tsecs}%.1f M ids/s")
+    // replica invariance: one distinct ids-hash per BASE doc id
+    val distinctPerBase = tokens
+      .select(pmod(col("doc_id"), lit(10000000L)).as("base"), xxhash64(col("ids")).as("h"))
+      .groupBy(col("base")).agg(countDistinct(col("h")).as("nh"))
+      .agg(max(col("nh"))).head().getLong(0)
+    println(s"[stress] max distinct ids-hashes per base doc: $distinctPerBase (expect 1)")
+    require(distinctPerBase == 1L, "replicas must tokenize identically")
+    val (seqs, psecs) = timedValue("pack (capacity 16384, 32 shards)")(
+      TokenShards.packSequences(tokens, "doc_id", nShards = 32, capacity = 16384L)
+        .withColumn("seq_id",
+          format_string("s%03d-b%09d", col("shard"), col("bin")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val stats = seqs.agg(count(lit(1)).as("bins"), sum(col("n_tokens")).as("m"),
+      sum(col("n_docs")).as("d")).head()
+    val (bins, m2) = (stats.getLong(0), stats.getLong(1))
+    require(m2 == mass, "packed token mass must equal tokenized mass")
+    val fill = m2.toDouble / (bins * 16384L)
+    println(f"[stress] $bins bins, fill ratio $fill%.3f " +
+      f"(next-fit wastes < 1 doc per bin) [$psecs%.1f s]")
+    require(fill > 0.5, "fill ratio collapsed — capacity no longer exceeds doc size")
+    val base = java.nio.file.Files.createTempDirectory("graft_token_stress")
+    val (p1, p2) = (base.resolve("a").toString, base.resolve("b").toString)
+    val (m1, esecs) = timedValue(s"export $bins sequences (32 shards, 64 MB bound)")(
+      Export.writeJsonlShards(seqs, p1, "seq_id", nShards = 32,
+        maxShardBytes = 64L << 20))
+    val raw = m1.map(_._3).sum
+    println(f"[stress] ${m1.size} shard files, ${raw / 1e6}%.0f MB raw, " +
+      f"${raw / 1e6 / esecs}%.0f MB/s")
+    Export.writeJsonlShards(seqs.repartition(101), p2, "seq_id", nShards = 32,
+      maxShardBytes = 64L << 20)
+    require(Export.shardDigests(p1) == Export.shardDigests(p2),
+      "token shards must be byte-deterministic under reshuffling")
+    println("[stress] token-shard digests identical across partitionings (expect true)")
+    seqs.unpersist(); tokens.unpersist(); replica.unpersist(): Unit
   }
 
   /**
