@@ -4173,6 +4173,87 @@ object SparkEntry {
         .withColumn("lossless_exact", lit(lossless))
     }),
 
+    // q241: THE NORTH STAR COMPOSED — crawl text to trainer artifact in
+    // one gated query: q75's full curation pass (quality gate, repetition
+    // gate, exact dedup, stratified rebalance, PII scrub) feeds the
+    // standing tokenizer, and the release slice tokenizes, packs, and
+    // exports as deterministic token-id shards. The oracle replays EVERY
+    // stage from proven fragments — q75's CTE chain to the scrubbed
+    // release, the learned-merges BPE recursion (q237's), the
+    // sum(symbols)+words id count, and the next-fit pack recursion — so
+    // a drift anywhere from the quality thresholds to the gzip bytes
+    // breaks the hash. Losslessness (shards decode back to the release
+    // slice's exact normalized token stream) and byte determinism ride
+    // in-query; the vocab is induced over the release slice because the
+    // scrub introduces marker tokens (<URL>, <EMAIL>) outside the raw
+    // corpus vocabulary. Same 0x1F-free oracle restriction as q167.
+    "q241_train_release" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q241 oracle requires a 0x1F-free corpus') IS NULL"))
+      val t = coalesce(col("text"), lit(""))
+      val kept = docs.select(col("doc_id"), col("lang"), col("text"))
+        .where(functions.Text.qualityOk(t) && functions.Text.repetitionOk(t))
+      val survivors = operators.Dedup.exactRows(kept, "doc_id", col("text"))
+      val sampled = operators.Sampling.stratifiedSample(survivors, "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+      val release = sampled.select(col("doc_id"),
+        functions.Text.scrubPii(col("text")).as("clean"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = operators.TokenShards.vocabFromFrame(
+        operators.TokenShards.buildVocab(release, "clean", merges))
+      val tokens = operators.TokenShards.tokenizeToIds(
+        release, "doc_id", "clean", merges, vocab)
+      val seqs = operators.TokenShards.packSequences(
+          tokens, "doc_id", nShards = 8, capacity = 512L)
+        .withColumn("seq_id",
+          format_string("s%03d-b%06d", col("shard"), col("bin")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { seqs.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/release_shards_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeJsonlShards(seqs, p1, "seq_id", nShards = 4,
+        maxShardBytes = 1L << 20)
+      sources.Export.writeJsonlShards(seqs.repartition(13), p2, "seq_id",
+        nShards = 4, maxShardBytes = 1L << 20)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      val back = sources.Export.readJsonlShards(s, p1, seqs.schema)
+      val bcRev = s.sparkContext.broadcast(vocab.map(_.swap))
+      val rebuilt = back.select(col("doc_ids"), col("ids"))
+        .as[(Seq[Long], Seq[Long])]
+        .flatMap { case (docIds, ids) =>
+          val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+          var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+          ids.foreach { id =>
+            cur += id
+            if (id == operators.TokenShards.eosId) {
+              segs += cur.toSeq
+              cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+            }
+          }
+          require(cur.isEmpty && segs.length == docIds.length,
+            "bin sequence does not parse back into its documents")
+          docIds.zip(segs).map { case (d, sg) =>
+            (d, operators.TokenShards.detokenize(sg, bcRev.value))
+          }
+        }.toDF("doc_id", "detok")
+      val source = release
+        .select(col("doc_id"),
+          concat_ws(" ", functions.Text.edgeStrippedTokens(col("clean"))).as("detok"))
+        .where(length(col("detok")) > 0)
+      val lossless = rebuilt.exceptAll(source)
+        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      back.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("lossless_exact", lit(lossless))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -8923,6 +9004,80 @@ object SparkEntry {
         |       CAST(30 * count(*) AS BIGINT) AS n_tokens,
         |       TRUE AS deterministic, TRUE AS lossless_exact
         |FROM d GROUP BY 1, 2""".stripMargin,
+    // q241: q75's proven curation CTE chain to the scrubbed release,
+    // then q237's learned-merges BPE recursion + id-count closed form +
+    // next-fit pack recursion over it — every stage a proven fragment
+    "q241_train_release" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents
+        |         WHERE doc_id IS NOT NULL),
+        |tok AS (SELECT doc_id, lang, t,
+        |          regexp_extract_all(t, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+        |        FROM base),
+        |qual AS (SELECT * FROM tok
+        |         WHERE len(words) >= 5 AND len(words) <= 100000
+        |           AND CAST(len(trim(t)) AS DOUBLE) / len(words) >= 2.0
+        |           AND CAST(len(trim(t)) AS DOUBLE) / len(words) <= 20.0),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
+        |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g
+        |       FROM qual WHERE len(words) >= 2),
+        |top AS (SELECT doc_id, max(cnt) AS top_n FROM (
+        |          SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |rep AS (SELECT q.doc_id, q.lang, q.t FROM qual q LEFT JOIN top ON q.doc_id = top.doc_id
+        |        WHERE len(q.words) < 10 OR (len(list_distinct(q.words)) * 2 >= len(q.words)
+        |          AND coalesce(top.top_n, 0) * 5 <= len(q.words) - 1)),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM rep GROUP BY t),
+        |surv AS (SELECT r.doc_id, r.lang, r.t FROM rep r JOIN ded USING (doc_id)),
+        |samp AS (SELECT doc_id, lang, t FROM surv
+        |         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)) AS UBIGINT)
+        |               < CASE lang WHEN 'en' THEN CAST(floor(0.5 * 4294967296) AS UBIGINT)
+        |                           WHEN 'zh' THEN CAST(floor(1.0 * 4294967296) AS UBIGINT)
+        |                           ELSE CAST(floor(0.25 * 4294967296) AS UBIGINT) END),
+        |rel AS (SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |         'https?://[^ \x09-\x0D]+', '<URL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM samp),
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(clean, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM rel),
+        |voc AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM voc
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       TRUE AS merges_pinned, TRUE AS deterministic, TRUE AS lossless_exact
+        |FROM pack GROUP BY 1, 2""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection
