@@ -34,6 +34,26 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       "extraction sites were rewritten away from the shared literal")
   }
 
+  it("token-shard tokenize+pack plans exactly ONE exchange (the group-sort shuffle)") {
+    // the q237 scale claim, pinned: tokenization is a narrow pass riding
+    // the scan, and next-fit + bin assembly stream inside the single
+    // group-sort exchange — a refactor that sneaks in a join or second
+    // shuffle between tokenize and pack fails here
+    val docs = SparkEntry.tbl(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val (merges, _) = SparkEntry.ensureTokenizers(spark, dir)
+    val vocab = SparkEntry.ensureTokenVocab(spark, dir)
+    val seqs = graft.operators.TokenShards.packSequences(
+      graft.operators.TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab),
+      "doc_id", nShards = 8, capacity = 512L)
+    val p = seqs.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected a single exchange:\n$p")
+    // the scan reads only the two consumed columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   it("q21 token count reads ONLY (doc_id, text) from the documents scan") {
     val p = plan("q21_token_count")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
