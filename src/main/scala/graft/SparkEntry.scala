@@ -3985,25 +3985,7 @@ object SparkEntry {
       // on EOS (one segment per packed doc, in order), decode, and demand
       // exact multiset equality with the source's normalized token stream
       val back = sources.Export.readJsonlShards(s, p1, seqs.schema)
-      val bcRev = s.sparkContext.broadcast(vocab.map(_.swap))
-      val rebuilt = back.select(col("doc_ids"), col("ids"))
-        .as[(Seq[Long], Seq[Long])]
-        .flatMap { case (docIds, ids) =>
-          val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
-          var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-          ids.foreach { id =>
-            cur += id
-            if (id == operators.TokenShards.eosId) {
-              segs += cur.toSeq
-              cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-            }
-          }
-          require(cur.isEmpty && segs.length == docIds.length,
-            "bin sequence does not parse back into its documents")
-          docIds.zip(segs).map { case (d, seg) =>
-            (d, operators.TokenShards.detokenize(seg, bcRev.value))
-          }
-        }.toDF("doc_id", "detok")
+      val rebuilt = operators.TokenShards.decodeBins(back, vocab)
       val source = docs.where(col("text").isNotNull)
         .select(col("doc_id"),
           concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
@@ -4144,25 +4126,7 @@ object SparkEntry {
       val deterministic =
         sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
       val back = sources.Export.readJsonlShards(s, p1, seqs.schema)
-      val bcRev = s.sparkContext.broadcast(vocab.map(_.swap))
-      val rebuilt = back.select(col("doc_ids"), col("ids"))
-        .as[(Seq[Long], Seq[Long])]
-        .flatMap { case (docIds, ids) =>
-          val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
-          var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-          ids.foreach { id =>
-            cur += id
-            if (id == operators.TokenShards.eosId) {
-              segs += cur.toSeq
-              cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-            }
-          }
-          require(cur.isEmpty && segs.length == docIds.length,
-            "bin sequence does not parse back into its documents")
-          docIds.zip(segs).map { case (d, sg) =>
-            (d, operators.TokenShards.detokenize(sg, bcRev.value))
-          }
-        }.toDF("doc_id", "detok")
+      val rebuilt = operators.TokenShards.decodeBins(back, vocab)
       val source = planted
         .select(col("doc_id"),
           concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
@@ -4223,25 +4187,7 @@ object SparkEntry {
       val deterministic =
         sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
       val back = sources.Export.readJsonlShards(s, p1, seqs.schema)
-      val bcRev = s.sparkContext.broadcast(vocab.map(_.swap))
-      val rebuilt = back.select(col("doc_ids"), col("ids"))
-        .as[(Seq[Long], Seq[Long])]
-        .flatMap { case (docIds, ids) =>
-          val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
-          var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-          ids.foreach { id =>
-            cur += id
-            if (id == operators.TokenShards.eosId) {
-              segs += cur.toSeq
-              cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-            }
-          }
-          require(cur.isEmpty && segs.length == docIds.length,
-            "bin sequence does not parse back into its documents")
-          docIds.zip(segs).map { case (d, sg) =>
-            (d, operators.TokenShards.detokenize(sg, bcRev.value))
-          }
-        }.toDF("doc_id", "detok")
+      val rebuilt = operators.TokenShards.decodeBins(back, vocab)
       val source = release
         .select(col("doc_id"),
           concat_ws(" ", functions.Text.edgeStrippedTokens(col("clean"))).as("detok"))

@@ -28,8 +28,10 @@ object Text {
     * (documented, not silent). Written with explicit `\x{...}` ranges —
     * identical syntax and semantics under Java regex and RE2, the q69
     * pattern-parity discipline. */
+  private[functions] val cjkRangeBounds: Array[(Int, Int)] =
+    Array((0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF))
   val cjkCodepointRanges: String =
-    "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}"
+    cjkRangeBounds.map { case (a, b) => f"\\x{$a%04X}-\\x{$b%04X}" }.mkString
 
   /** THE token-extraction pattern every tokenizing kernel and the
     * CJK-aware oracle replays share: a maximal run of non-whitespace
@@ -99,12 +101,19 @@ object Text {
     * kernel disagreeing on tokenization is a silent corpus-wide bug. */
   private val tokenExtractRegex = java.util.regex.Pattern.compile(tokenExtractPattern)
   private val wsSplitRegex = java.util.regex.Pattern.compile("\\s+")
+  // derived from the SAME bounds as the regex constant — widening the
+  // script list can never desynchronize the typed fast path from the
+  // Column kernels (the silent-divergence hazard this file warns about)
   private def hasCjk(s: String): Boolean = {
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if ((c >= 0x3040 && c <= 0x30FF) || (c >= 0x3400 && c <= 0x4DBF) ||
-        (c >= 0x4E00 && c <= 0x9FFF)) return true
+      val c = s.charAt(i).toInt
+      var r = 0
+      while (r < cjkRangeBounds.length) {
+        val (lo, hi) = cjkRangeBounds(r)
+        if (c >= lo && c <= hi) return true
+        r += 1
+      }
       i += 1
     }
     false
@@ -223,12 +232,13 @@ object Text {
   /** Exact-dup fingerprint: MD5 hex of the text (identical across engines). */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** Rolling-hash style content signature over [[tokenExtractPattern]]
-    * tokens: polynomial hash mod 10^9+7 (intermediates < 2^62: safe under
-    * ANSI long math). */
+  /** Rolling-hash style content signature over the shared token array
+    * ([[edgeStrippedTokens]] — CJK-aware, with the same ASCII fast path
+    * as every other Column kernel): polynomial hash mod 10^9+7
+    * (intermediates < 2^62: safe under ANSI long math). */
   def tokenRollingHash(text: Column): Column =
     aggregate(
-      regexp_extract_all(text, lit(tokenExtractPattern), lit(0)),
+      edgeStrippedTokens(text),
       lit(146959810393L),
       (acc, tok) => (acc % 1000000007L) * lit(31L) + crc32(tok).cast("long"))
 

@@ -170,6 +170,39 @@ object TokenShards {
   }
 
   /**
+   * Decode a packed-bin frame (`doc_ids`, `ids` columns — the
+   * [[packSequences]] shape, typically read back from a published
+   * export) to per-document normalized text: split each bin's id
+   * sequence on [[eosId]] (one EOS-terminated segment per packed doc,
+   * in order), zip with `doc_ids`, [[detokenize]] each. This is THE
+   * inverse contract the losslessness gates replay — owned here once so
+   * the gate queries and the spec cannot drift apart; a bin that does
+   * not parse back into exactly its documents fails loudly.
+   */
+  def decodeBins(bins: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val bcRev = spark.sparkContext.broadcast(vocab.map(_.swap))
+    bins.select(col("doc_ids"), col("ids"))
+      .as[(Seq[Long], Seq[Long])]
+      .flatMap { case (docIds, ids) =>
+        val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ids.foreach { id =>
+          cur += id
+          if (id == eosId) {
+            segs += cur.toSeq
+            cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+          }
+        }
+        require(cur.isEmpty && segs.length == docIds.length,
+          "bin sequence does not parse back into its documents")
+        docIds.zip(segs).map { case (d, seg) => (d, detokenize(seg, bcRev.value)) }
+      }
+      .toDF("doc_id", "detok")
+  }
+
+  /**
    * Pack tokenized documents into fixed-context training sequences:
    * `(shard, bin, doc_ids, ids, n_docs, n_tokens)` — one row per bin,
    * its id sequence the concatenation of its documents' sequences in
@@ -205,7 +238,12 @@ object TokenShards {
             bin += 1L; fill = 0L
             row
           }
-          def hasNext: Boolean = vs.hasNext || fill > 0L
+          // docIds.nonEmpty, not fill > 0: a zero-token document buffered
+          // right after an oversize-bin close has fill == 0 but must still
+          // emit — a document is never lost to a bound (tokenizeToIds
+          // never produces n == 0, but this is a public API over any
+          // (id, ids, n_tokens) frame)
+          def hasNext: Boolean = vs.hasNext || docIds.nonEmpty
           def next(): (Long, Array[Long], Array[Long], Long, Long) = {
             while (vs.hasNext) {
               val (docId, n, docTok) = vs.next()

@@ -80,8 +80,17 @@ object Export {
         s"another export to $path holds .export-lock (last heartbeat ${age / 1000}s ago)" +
           " — concurrent exports to one artifact would interleave their publish phases;" +
           s" a crashed writer's lock goes stale after ${lockStaleMs / 1000}s")
-      require(lock.delete() && tryCreate(),
+      // ATOMIC takeover: rename the stale lock to a contender-unique name —
+      // exactly one of two racing reclaimers' renames can succeed (the
+      // loser's source is gone), where a delete-then-create sequence would
+      // let BOTH proceed (the second delete removing the first's fresh
+      // lock). The subsequent create can still lose to a brand-new writer,
+      // which is the correct outcome: one writer survives, the rest fail
+      // loudly.
+      val reclaim = new java.io.File(dir, s".export-lock.reclaim-${System.nanoTime()}")
+      require(lock.renameTo(reclaim) && tryCreate(),
         s"lost the .export-lock takeover race at $path — another writer is active")
+      reclaim.delete(): Unit
     }
     val beat = new Thread(() => {
       try while (!Thread.interrupted()) {
@@ -160,14 +169,17 @@ object Export {
         }
         close()
         // partition complete: promote this attempt's finished temp files to
-        // the canonical shard names. Racing promotions from a speculative
+        // the canonical shard names via ATOMIC same-directory move (rename
+        // replaces in one step — a delete-then-rename pair would leave a
+        // window where a twin killed between the two steps strands the
+        // canonical name missing). Racing promotions from a speculative
         // twin are benign — shard bytes are a pure function of the sorted
-        // partition, so both attempts rename identical bytes
+        // partition, so both attempts move identical bytes
         out.foreach { case (f, _, _) =>
-          val tmp = new java.io.File(staging, s"$f.attempt-$attempt")
-          val canon = new java.io.File(staging, f)
-          if (canon.exists()) canon.delete(): Unit
-          require(tmp.renameTo(canon), s"cannot promote $tmp to $canon")
+          java.nio.file.Files.move(
+            new java.io.File(staging, s"$f.attempt-$attempt").toPath,
+            new java.io.File(staging, f).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
         }
       } finally {
         // a failing task must not leak its open stream; its partial shard

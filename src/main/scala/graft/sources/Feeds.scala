@@ -92,10 +92,13 @@ object Feeds {
    * Parse RSS 2.0 / Atom feed blobs into `(idCol, fmt, item_idx, title,
    * link, published)` — `fmt` sniffs from the root element (`<rss` vs
    * `<feed`); a blob with neither root yields no rows (the damaged-feed
-   * contract). The two sniffs are MUTUALLY EXCLUSIVE (rss wins, else
-   * atom): a substring sniff alone would parse a blob containing BOTH
-   * literals — e.g. an RSS feed whose item content embeds `<feed` —
-   * through both branches and emit duplicate rows for the same links.
+   * contract). The sniff takes the FIRST root-shaped element in document
+   * order — a substring sniff alone would parse a blob containing BOTH
+   * literals (an RSS feed whose item content embeds `<feed`, or an Atom
+   * feed whose entry discusses `<rss`) through both branches and emit
+   * duplicate rows, and a bare "rss wins" rule would silently DROP such
+   * an Atom feed; the real root element precedes any embedded literal,
+   * so first-in-document is the symmetric fix for both.
    * Items without a link are dropped (a frontier row IS its
    * URL); missing title/date are NULL. Dates stay verbatim STRINGS —
    * RFC-822 (RSS) and RFC-3339 (Atom) parsing is the caller's choice, and
@@ -103,7 +106,7 @@ object Feeds {
    */
   def feedEntries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
     val x = col(xmlCol)
-    val rssRoot = "(?is)<rss[\\s>]"
+    val firstRoot = lower(regexp_extract(x, "(?is)<(rss|feed)[\\s>]", 1))
     def entries(rootCond: Column, blockPattern: String, fmt: String,
         linkPattern: String, datePattern: String) = df
       .where(rootCond)
@@ -114,9 +117,9 @@ object Feeds {
         field(col("b"), linkPattern).as("link"),
         field(col("b"), datePattern).as("published"))
       .where(col("link").isNotNull)
-    entries(x.rlike(rssRoot), rssItemBlockPattern, "rss", rssLinkPattern, rssDatePattern)
+    entries(firstRoot === "rss", rssItemBlockPattern, "rss", rssLinkPattern, rssDatePattern)
       .unionByName(
-        entries(x.rlike("(?is)<feed[\\s>]") && !x.rlike(rssRoot),
+        entries(firstRoot === "feed",
           atomEntryBlockPattern, "atom", atomLinkPattern, atomDatePattern))
   }
 

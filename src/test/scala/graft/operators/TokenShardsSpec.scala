@@ -92,6 +92,21 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       assert(got(1)._4.toSeq == Seq(12L, 13L, 0L, 14L, 0L))
     }
 
+    it("never loses a zero-token document — even one buffered after an oversize close") {
+      // doc 1 (7 tokens) overflows capacity 5 and closes its bin while
+      // doc 2 (0 tokens) is being buffered: fill stays 0 but the doc must
+      // still emit (a document is never lost to a bound)
+      val tokens = Seq(
+        (1L, Seq(10L, 11L, 12L, 13L, 14L, 15L, 0L), 7L),
+        (2L, Seq.empty[Long], 0L))
+        .toDF("doc_id", "ids", "n_tokens")
+      val got = packSorted(tokens, nShards = 1, capacity = 5L)
+      assert(got.map(r => (r._2, r._3.toSeq)) == Seq((0L, Seq(1L)), (1L, Seq(2L))))
+      // an all-zero-token key emits its (empty-sequence) bin too
+      val onlyEmpty = Seq((3L, Seq.empty[Long], 0L)).toDF("doc_id", "ids", "n_tokens")
+      assert(packSorted(onlyEmpty, 1, 5L).map(_._3.toSeq) == Seq(Seq(3L)))
+    }
+
     it("keeps bins inside their hash shard; shard+bin rows match Packing.packGreedy") {
       val tokens = (0L until 40L)
         .map(i => (i, Seq.fill((1 + i % 5).toInt)(7L) :+ 0L, (2 + i % 5)))
@@ -134,21 +149,11 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       // re-export from a reshuffled equal input: byte-identical
       graft.sources.Export.writeJsonlShards(seqs.repartition(7), path, "seq_id", 2, 1 << 20)
       assert(graft.sources.Export.shardDigests(path) == digests1)
-      // rebuild: explode bins into docs, detokenize, compare to source
+      // rebuild through the OWNED inverse (decodeBins): explode bins into
+      // docs, detokenize, compare to source
       val back = graft.sources.Export.readJsonlShards(spark, path, seqs.schema)
-        .as[(Long, Long, Seq[Long], Seq[Long], Long, Long, String)].collect()
-      val rev = vocab.map(_.swap)
-      val rebuilt = back.flatMap { case (_, _, docIds, ids, _, _, _) =>
-        // split the bin sequence on EOS: one segment per doc, in order
-        val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
-        var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-        ids.foreach { id =>
-          cur += id
-          if (id == TokenShards.eosId) { segs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty[Long] }
-        }
-        assert(cur.isEmpty && segs.length == docIds.length)
-        docIds.zip(segs).map { case (d, seg) => (d, TokenShards.detokenize(seg, rev)) }
-      }.toMap
+      val rebuilt = TokenShards.decodeBins(back, vocab)
+        .as[(Long, String)].collect().toMap
       assert(rebuilt == Map(
         0L -> "the cat sat on the mat", 1L -> "a thin cat",
         2L -> "the end", 3L -> "cat cat cat the the thin"))

@@ -86,7 +86,7 @@ class FeedsSpec extends AnyFunSpec with SparkSuite {
     assert(feedRows("<html><body>not a feed</body></html>") == Seq.empty)
   }
 
-  it("a blob carrying BOTH root literals parses through exactly one branch (rss wins)") {
+  it("a blob carrying BOTH root literals parses through its FIRST root only") {
     // an RSS feed whose item content embeds the '<feed ' literal: a pure
     // substring sniff would run it through both branches and emit the
     // same link twice (once as rss, once as atom)
@@ -98,6 +98,17 @@ class FeedsSpec extends AnyFunSpec with SparkSuite {
     val rows = feedRows(xml)
     assert(rows.map(_._1).distinct == Seq("rss"))
     assert(rows.map(_._4) == Seq("https://d.example/p1"))
+    // ...and the SYMMETRIC case: an Atom feed whose entry content embeds
+    // '<rss ' must still parse as atom (an "rss wins" rule would silently
+    // drop the whole feed — the real root comes first in document order)
+    val atomXml =
+      """<feed xmlns="http://www.w3.org/2005/Atom">
+        | <entry><title>sample <rss version="2.0"> markup inside</title>
+        |   <link href="https://d.example/a1"/></entry>
+        |</feed>""".stripMargin
+    val atomRows = feedRows(atomXml)
+    assert(atomRows.map(_._1).distinct == Seq("atom"))
+    assert(atomRows.map(_._4) == Seq("https://d.example/a1"))
   }
 
   it("recrawlSet: new urls fetch, postdating signals go stale, unknown signals stay fresh") {
