@@ -134,6 +134,59 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       .as[(Long, Long, Seq[Long], Seq[Long], Long, Long)]
       .collect().sortBy(r => (r._1, r._2)).toSeq
 
+  describe("properties over random multilingual corpora") {
+    // mixed ASCII words, CJK runs, punctuation, and hostile whitespace —
+    // the encode->pack->decode identity and the capacity law must hold on
+    // anything, not just the golden fixtures
+    def randomDoc(rnd: scala.util.Random): String = {
+      val words = Seq.fill(1 + rnd.nextInt(12)) {
+        rnd.nextInt(4) match {
+          case 0 => Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString
+          case 1 => Seq.fill(1 + rnd.nextInt(4))((0x4E00 + rnd.nextInt(100)).toChar).mkString
+          case 2 => "the" // force merge hits
+          case 3 => Seq.fill(1 + rnd.nextInt(3))("!?#,."(rnd.nextInt(5))).mkString
+        }
+      }
+      val sep = Seq(" ", "  ", "\t", "\n")
+      words.mkString(sep(rnd.nextInt(sep.length))) +
+        (if (rnd.nextBoolean()) " " else "")
+    }
+
+    it("encode -> pack -> decode is the identity on the normalized token stream") {
+      val rnd = new scala.util.Random(1207)
+      val docs = (0L until 60L).map(i => (i, randomDoc(rnd))).toDF("doc_id", "text")
+      val vocab = TokenShards.vocabFromFrame(TokenShards.buildVocab(docs, "text", merges))
+      val tokens = TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab)
+      val seqs = TokenShards.packSequences(tokens, "doc_id", nShards = 3, capacity = 24L)
+      val rebuilt = TokenShards.decodeBins(seqs, vocab)
+        .as[(Long, String)].collect().toMap
+      val expected = (0L until 60L).map { i =>
+        i -> graft.functions.Text.segmentText(
+          docs.where(col("doc_id") === i).select("text").as[String].head()).mkString(" ")
+      }.filter(_._2.nonEmpty).toMap
+      assert(rebuilt == expected)
+    }
+
+    it("no bin exceeds capacity unless it is an oversize singleton") {
+      val rnd = new scala.util.Random(1213)
+      val docs = (0L until 80L).map(i => (i, randomDoc(rnd))).toDF("doc_id", "text")
+      val vocab = TokenShards.vocabFromFrame(TokenShards.buildVocab(docs, "text", merges))
+      val tokens = TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab)
+      for (cap <- Seq(8L, 24L, 64L)) {
+        val bins = TokenShards.packSequences(tokens, "doc_id", nShards = 2, capacity = cap)
+          .as[(Long, Long, Seq[Long], Seq[Long], Long, Long)].collect()
+        bins.foreach { case (shard, bin, ds, ids, nDocs, nTok) =>
+          assert(ids.length == nTok && ds.length == nDocs, s"census drift at $shard/$bin")
+          assert(nTok <= cap || nDocs == 1L,
+            s"overfilled multi-doc bin $shard/$bin: $nTok > $cap with $nDocs docs")
+        }
+        // and nothing is lost: every doc lands in exactly one bin
+        assert(bins.flatMap(_._3).sorted.toSeq ==
+          tokens.select("doc_id").as[Long].collect().sorted.toSeq)
+      }
+    }
+  }
+
   describe("end to end with the export writer") {
     it("shards round-trip and rebuild the corpus; digests are input-order invariant") {
       val docs = docsOf((0L, "the cat sat on the mat"), (1L, "a thin cat"),
