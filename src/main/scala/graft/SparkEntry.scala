@@ -3985,6 +3985,12 @@ object SparkEntry {
       // on EOS (one segment per packed doc, in order), decode, and demand
       // exact multiset equality with the source's normalized token stream
       val back = sources.Export.readJsonlShards(s, p1, seqs.schema)
+      // attention-boundary metadata law: each bin's doc_lens must sum to
+      // its token count (a trainer masks cross-doc attention by these
+      // offsets — a drifted length corrupts training silently)
+      require(back.where(expr(
+        "aggregate(doc_lens, CAST(0 AS BIGINT), (a, x) -> a + x) != n_tokens")).isEmpty,
+        "doc_lens must sum to each bin's token count")
       val rebuilt = operators.TokenShards.decodeBins(back, vocab)
       val source = docs.where(col("text").isNotNull)
         .select(col("doc_id"),

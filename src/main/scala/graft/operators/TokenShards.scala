@@ -204,9 +204,15 @@ object TokenShards {
 
   /**
    * Pack tokenized documents into fixed-context training sequences:
-   * `(shard, bin, doc_ids, ids, n_docs, n_tokens)` — one row per bin,
-   * its id sequence the concatenation of its documents' sequences in
-   * doc-id order (each already EOS-terminated by [[tokenizeToIds]]).
+   * `(shard, bin, doc_ids, doc_lens, ids, n_docs, n_tokens)` — one row
+   * per bin, its id sequence the concatenation of its documents'
+   * sequences in doc-id order (each already EOS-terminated by
+   * [[tokenizeToIds]]). `doc_lens` carries each packed document's id
+   * count in the same order as `doc_ids` — the ATTENTION-BOUNDARY
+   * metadata a trainer needs to mask cross-document attention inside a
+   * packed context without re-scanning for EOS (the boundaries are also
+   * recoverable from the ids themselves — [[decodeBins]] proves it —
+   * but a loader wants them as offsets, not a scan).
    * Placement is `doc_id % nShards`; within a shard the packing rule is
    * [[Packing.packGreedy]]'s next-fit over `n_tokens` (an oversize doc
    * still gets a bin of its own — a document must never be lost to a
@@ -227,16 +233,21 @@ object TokenShards {
     keyed.groupSort(sortBy = _.getField("doc_id"))
       .mapStreamByKey { vs =>
         // streaming next-fit + assembly: one capacity-bounded bin buffer
-        new Iterator[(Long, Array[Long], Array[Long], Long, Long)] {
+        new Iterator[(Long, Array[Long], Array[Long], Array[Long], Long, Long)] {
           private var bin = 0L
           private var fill = 0L
           private val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          private val docLens = scala.collection.mutable.ArrayBuffer.empty[Long]
           private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-          private def closeBin(): (Long, Array[Long], Array[Long], Long, Long) = {
-            val row = (bin, docIds.toArray, ids.toArray, docIds.length.toLong, fill)
-            docIds.clear(); ids.clear()
+          private def closeBin(): (Long, Array[Long], Array[Long], Array[Long], Long, Long) = {
+            val row = (bin, docIds.toArray, docLens.toArray, ids.toArray,
+              docIds.length.toLong, fill)
+            docIds.clear(); docLens.clear(); ids.clear()
             bin += 1L; fill = 0L
             row
+          }
+          private def buffer(docId: Long, docTok: Array[Long]): Unit = {
+            docIds += docId; docLens += docTok.length.toLong; ids ++= docTok
           }
           // docIds.nonEmpty, not fill > 0: a zero-token document buffered
           // right after an oversize-bin close has fill == 0 but must still
@@ -244,23 +255,23 @@ object TokenShards {
           // never produces n == 0, but this is a public API over any
           // (id, ids, n_tokens) frame)
           def hasNext: Boolean = vs.hasNext || docIds.nonEmpty
-          def next(): (Long, Array[Long], Array[Long], Long, Long) = {
+          def next(): (Long, Array[Long], Array[Long], Array[Long], Long, Long) = {
             while (vs.hasNext) {
               val (docId, n, docTok) = vs.next()
               if (fill > 0L && fill + n > capacity) {
                 val closed = closeBin()
-                docIds += docId; ids ++= docTok; fill = n
+                buffer(docId, docTok); fill = n
                 return closed
               }
-              docIds += docId; ids ++= docTok; fill += n
+              buffer(docId, docTok); fill += n
             }
             closeBin()
           }
         }
       }
-      .map { case (shard, (bin, docIds, ids, nDocs, nTok)) =>
-        (shard, bin, docIds, ids, nDocs, nTok)
+      .map { case (shard, (bin, docIds, docLens, ids, nDocs, nTok)) =>
+        (shard, bin, docIds, docLens, ids, nDocs, nTok)
       }
-      .toDF("shard", "bin", "doc_ids", "ids", "n_docs", "n_tokens")
+      .toDF("shard", "bin", "doc_ids", "doc_lens", "ids", "n_docs", "n_tokens")
   }
 }

@@ -85,11 +85,15 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
         (4L, Seq(20L, 21L, 22L, 23L, 24L, 25L, 0L), 7L))
         .toDF("doc_id", "ids", "n_tokens")
       val got = packSorted(tokens, nShards = 1, capacity = 5L)
-      assert(got.map(r => (r._2, r._3.toSeq, r._5, r._6)) == Seq(
+      assert(got.map(r => (r._2, r._3.toSeq, r._6, r._7)) == Seq(
         (0L, Seq(1L), 1L, 3L),
         (1L, Seq(2L, 3L), 2L, 5L),
         (2L, Seq(4L), 1L, 7L)))
-      assert(got(1)._4.toSeq == Seq(12L, 13L, 0L, 14L, 0L))
+      assert(got(1)._5.toSeq == Seq(12L, 13L, 0L, 14L, 0L))
+      // doc_lens: per-doc id counts in doc order, the attention-boundary
+      // metadata — must sum to the bin's token count
+      assert(got(1)._4.toSeq == Seq(3L, 2L))
+      assert(got.forall(r => r._4.sum == r._7))
     }
 
     it("never loses a zero-token document — even one buffered after an oversize close") {
@@ -113,7 +117,7 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
         .toDF("doc_id", "ids", "n_tokens")
       val got = packSorted(tokens, nShards = 4, capacity = 8L)
       // every doc in exactly one bin, in its own shard
-      val perDoc = got.flatMap { case (shard, bin, ds, _, _, _) =>
+      val perDoc = got.flatMap { case (shard, bin, ds, _, _, _, _) =>
         ds.map(d => (d, shard, bin))
       }
       assert(perDoc.map(_._1).sorted == (0L until 40L).toSeq)
@@ -129,9 +133,9 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
   }
 
   private def packSorted(tokens: org.apache.spark.sql.DataFrame, nShards: Int,
-      capacity: Long): Seq[(Long, Long, Seq[Long], Seq[Long], Long, Long)] =
+      capacity: Long): Seq[(Long, Long, Seq[Long], Seq[Long], Seq[Long], Long, Long)] =
     TokenShards.packSequences(tokens, "doc_id", nShards, capacity)
-      .as[(Long, Long, Seq[Long], Seq[Long], Long, Long)]
+      .as[(Long, Long, Seq[Long], Seq[Long], Seq[Long], Long, Long)]
       .collect().sortBy(r => (r._1, r._2)).toSeq
 
   describe("properties over random multilingual corpora") {
@@ -174,9 +178,11 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       val tokens = TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab)
       for (cap <- Seq(8L, 24L, 64L)) {
         val bins = TokenShards.packSequences(tokens, "doc_id", nShards = 2, capacity = cap)
-          .as[(Long, Long, Seq[Long], Seq[Long], Long, Long)].collect()
-        bins.foreach { case (shard, bin, ds, ids, nDocs, nTok) =>
+          .as[(Long, Long, Seq[Long], Seq[Long], Seq[Long], Long, Long)].collect()
+        bins.foreach { case (shard, bin, ds, lens, ids, nDocs, nTok) =>
           assert(ids.length == nTok && ds.length == nDocs, s"census drift at $shard/$bin")
+          assert(lens.length == nDocs && lens.sum == nTok,
+            s"doc_lens drift at $shard/$bin")
           assert(nTok <= cap || nDocs == 1L,
             s"overfilled multi-doc bin $shard/$bin: $nTok > $cap with $nDocs docs")
         }
