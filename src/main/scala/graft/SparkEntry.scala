@@ -5708,7 +5708,7 @@ object SparkEntry {
     "q21_token_count" ->
       """SELECT doc_id,
         |       CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |            ELSE len(regexp_extract_all(trim(text), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS n_tokens
+        |            ELSE len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS n_tokens
         |FROM documents""".stripMargin,
     // q22: the trigram score columns and argmax CASE are GENERATED from
     // Text.langTrigrams (same table the Column kernel reads)
@@ -5724,20 +5724,20 @@ object SparkEntry {
       // coalesce(text,'') mirrors the Spark side's NULL guard
       """SELECT doc_id,
         |  CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |       ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS n_tokens,
+        |       ELSE len(regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS n_tokens,
         |  CASE WHEN (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                  ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) > 0
+        |                  ELSE len(regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) > 0
         |       THEN CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
         |            CAST((CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                       ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) AS DOUBLE)
+        |                       ELSE len(regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) AS DOUBLE)
         |       ELSE 0.0 END AS mean_token_len,
         |  CAST((len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' the ', ''))) // 5
         |     + (len(concat(' ', coalesce(text, ''), ' ')) - len(replace(concat(' ', coalesce(text, ''), ' '), ' a ', ''))) // 3 AS BIGINT) AS stopword_hits,
         |  (CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |        ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) BETWEEN 5 AND 100000
+        |        ELSE len(regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END) BETWEEN 5 AND 100000
         |   AND (CAST(len(trim(coalesce(text, ''))) AS DOUBLE) /
         |        CAST(greatest(CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                           ELSE len(regexp_extract_all(coalesce(text, ''), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END, 1) AS DOUBLE))
+        |                           ELSE len(regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END, 1) AS DOUBLE))
         |       BETWEEN 2.0 AND 20.0 AS quality_ok
         |FROM documents""".stripMargin,
     "q24_fingerprint" ->
@@ -6564,7 +6564,7 @@ object SparkEntry {
     // chain, integer waste arithmetic
     "q94_length_buckets" ->
       """WITH t AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                  ELSE len(regexp_extract_all(trim(text), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS toks
+        |                  ELSE len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS toks
         |           FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT toks,
         |        CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32
@@ -6775,10 +6775,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM olds WHERE doc_id < 20),
         |toko AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                ELSE len(regexp_extract_all(trim(text), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS t
+        |                ELSE len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS t
         |         FROM olds),
         |tokn AS (SELECT CASE WHEN len(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
-        |                ELSE len(regexp_extract_all(trim(text), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS t
+        |                ELSE len(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS t
         |         FROM news)
         |SELECT CAST((SELECT sum(t) FROM toko) AS BIGINT) AS old_total,
         |       CAST((SELECT sum(t) FROM tokn) AS BIGINT) AS new_total,
@@ -7981,7 +7981,7 @@ object SparkEntry {
          |SELECT doc_id, extracted,
          |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
          |            THEN 0
-         |            ELSE CAST(len(regexp_extract_all(trim(extracted), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -8184,7 +8184,7 @@ object SparkEntry {
          |SELECT doc_id, CAST(status AS BIGINT) AS status, extracted,
          |       CASE WHEN len(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')) = 0
          |            THEN 0
-         |            ELSE CAST(len(regexp_extract_all(trim(extracted), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },

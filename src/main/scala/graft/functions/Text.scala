@@ -64,12 +64,16 @@ object Text {
   private val wsClassPattern: String = "[ \\x09-\\x0D]+"
 
   /** Whitespace+CJK token count (0 for blank/empty text; NULL for NULL).
-    * CJK rows count extraction tokens; CJK-free rows count split tokens
-    * over the edge-stripped text — identical by construction. */
+    * CJK rows count extraction tokens; CJK-free rows count split tokens —
+    * BOTH over the edge-stripped text, so the two branches agree even on
+    * rows with an edge control byte in \x00-\x08/\x0E-\x1F (the only
+    * chars where edge-stripping changes the extraction: \x09-\x0D and
+    * space are non-token chars either way). One edge semantics for both
+    * branches AND the oracle replays. */
   def tokenCount(text: Column): Column = {
     val stripped = regexp_replace(text, edgeStripPattern, "")
     when(text.rlike(cjkProbe),
-        size(regexp_extract_all(text, lit(tokenExtractPattern), lit(0))))
+        size(regexp_extract_all(stripped, lit(tokenExtractPattern), lit(0))))
       .otherwise(when(length(stripped) === 0, lit(0))
         .otherwise(size(split(stripped, wsClassPattern))))
       .cast("long")
@@ -247,7 +251,7 @@ object Text {
   def distinctTokenCount(text: Column): Column = {
     val stripped = regexp_replace(text, edgeStripPattern, "")
     when(text.rlike(cjkProbe),
-        size(array_distinct(regexp_extract_all(text, lit(tokenExtractPattern), lit(0)))))
+        size(array_distinct(regexp_extract_all(stripped, lit(tokenExtractPattern), lit(0)))))
       .otherwise(when(length(stripped) === 0, lit(0))
         .otherwise(size(array_distinct(split(stripped, wsClassPattern)))))
       .cast("long")
@@ -310,10 +314,12 @@ object Text {
     * no per-document state beyond the row itself. */
   def topBigramCount(text: Column): Column = {
     // same dispatch as tokenCount: the split branch's blank-text [""]
-    // artifact is neutralized by the size < 2 guard below
+    // artifact is neutralized by the size < 2 guard below; both branches
+    // read the edge-stripped text (the tokenCount edge-semantics rule)
+    val stripped = regexp_replace(text, edgeStripPattern, "")
     val words = when(text.rlike(cjkProbe),
-        regexp_extract_all(text, lit(tokenExtractPattern), lit(0)))
-      .otherwise(split(regexp_replace(text, edgeStripPattern, ""), wsClassPattern))
+        regexp_extract_all(stripped, lit(tokenExtractPattern), lit(0)))
+      .otherwise(split(stripped, wsClassPattern))
     val grams = array_sort(transform(
       sequence(lit(0), size(words) - 2),
       i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))

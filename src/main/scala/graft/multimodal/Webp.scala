@@ -924,8 +924,13 @@ object Webp {
       tag.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
     }
     val inner = java.util.Arrays.copyOfRange(bare, 12, bare.length)
+    // VP8X flags byte: ICCP (0x20) and EXIF (0x08) are SET because the
+    // corresponding chunks are written below — the shape cwebp ships; a
+    // zero-flags header embedding those chunks is a fixture no strict
+    // external decoder need accept, and never exercises flag handling
+    val vp8xFlags = (0x20 | 0x08).toByte
     val body = "WEBP".getBytes("US-ASCII") ++
-      chunk("VP8X", Array[Byte](0, 0, 0, 0) ++ le24(d._1 - 1) ++ le24(d._2 - 1)) ++
+      chunk("VP8X", Array[Byte](vp8xFlags, 0, 0, 0) ++ le24(d._1 - 1) ++ le24(d._2 - 1)) ++
       chunk("ICCP", Array[Byte](1, 2, 3)) ++ inner ++ chunk("EXIF", Array[Byte](9))
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }

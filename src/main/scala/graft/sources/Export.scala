@@ -88,9 +88,14 @@ object Export {
       // which is the correct outcome: one writer survives, the rest fail
       // loudly.
       val reclaim = new java.io.File(dir, s".export-lock.reclaim-${System.nanoTime()}")
-      require(lock.renameTo(reclaim) && tryCreate(),
+      require(lock.renameTo(reclaim),
         s"lost the .export-lock takeover race at $path — another writer is active")
+      // delete the reclaimed stale lock BEFORE contending for the fresh one:
+      // losing tryCreate to a brand-new writer must still fail loudly, but
+      // never strand a .reclaim-* file in the published artifact directory
       reclaim.delete(): Unit
+      require(tryCreate(),
+        s"lost the .export-lock takeover race at $path — another writer is active")
     }
     val beat = new Thread(() => {
       try while (!Thread.interrupted()) {

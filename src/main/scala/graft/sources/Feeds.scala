@@ -106,7 +106,16 @@ object Feeds {
    */
   def feedEntries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
     val x = col(xmlCol)
-    val firstRoot = lower(regexp_extract(x, "(?is)<(rss|feed)[\\s>]", 1))
+    // sniff over the blob with comments, doctype, CDATA sections, and
+    // processing instructions removed: a `<rss`/`<feed` literal inside a
+    // LEADING comment/doctype/CDATA would otherwise win the first-root
+    // race against the real root element (an Atom feed prefixed by
+    // `<!-- converted from <rss> -->` must still parse as Atom); the real
+    // root can never live inside any of these sections, so stripping them
+    // is sniff-neutral on every well-formed feed
+    val sniffSrc = regexp_replace(x,
+      "(?is)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>|<!DOCTYPE[^>]*>|<\\?.*?\\?>", "")
+    val firstRoot = lower(regexp_extract(sniffSrc, "(?is)<(rss|feed)[\\s>]", 1))
     def entries(rootCond: Column, blockPattern: String, fmt: String,
         linkPattern: String, datePattern: String) = df
       .where(rootCond)

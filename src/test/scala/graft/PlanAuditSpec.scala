@@ -27,6 +27,12 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     val shared = "'" + functions.Text.tokenExtractPattern + "'"
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains(stale), s"$name replays whitespace-only tokenization")
+      // the extraction source must be the EDGE-STRIPPED text (the kernels'
+      // [\x00-\x20] strip), never a space-only trim — a trim() source
+      // counts edge control bytes in \x00-\x08/\x0E-\x1F as token chars
+      // and silently diverges from every Spark kernel
+      assert(!sql.contains("regexp_extract_all(trim("),
+        s"$name extracts tokens over trim() — use the edge-stripped source")
     }
     val adopters = SparkEntry.oracleSql.values.count(_.contains(shared))
     assert(adopters >= 50, s"only $adopters oracles carry the shared pattern — " +

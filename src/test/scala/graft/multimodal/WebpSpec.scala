@@ -98,6 +98,23 @@ class WebpSpec extends AnyFunSuite with graft.SparkSuite {
       assert(a.pixel(x, y) == b.pixel(x, y), s"($x,$y)")
   }
 
+  test("wrapVp8x sets the ICCP and EXIF flag bits it embeds chunks for, " +
+       "and still decodes pixel-identical") {
+    val bare = Webp.syntheticWebpImage(11, 6, 4)
+    val wrapped = Webp.wrapVp8x(bare)
+    // VP8X payload starts after RIFF(12) + tag(4) + size(4); flags byte
+    // must carry ICCP (0x20) and EXIF (0x08) — the shape cwebp ships when
+    // those chunks are present (zero flags + embedded chunks is a fixture
+    // strict external decoders may reject)
+    assert(new String(wrapped, 12, 4, "US-ASCII") == "VP8X")
+    assert((wrapped(20) & 0xff) == (0x20 | 0x08))
+    val a = Webp.decode(bare).getOrElse(fail("bare decode failed"))
+    val b = Webp.decode(wrapped).getOrElse(fail("wrapVp8x decode failed"))
+    assert(a.width == b.width && a.height == b.height)
+    for (y <- 0 until a.height; x <- 0 until a.width)
+      assert(a.pixel(x, y) == b.pixel(x, y), s"($x,$y)")
+  }
+
   test("VP8X with a lossy VP8 payload: dims from the VP8X header, pixels refused") {
     // the inner 'VP8 ' chunk here is opaque DCT data this codec honestly
     // declines; the canvas dims still surface from the VP8X header

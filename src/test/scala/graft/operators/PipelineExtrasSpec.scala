@@ -540,6 +540,22 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       assert(kernel.find(_._1 == 3L).get._2 === 2L)
     }
 
+    it("edge control byte + CJK: the CJK branch extracts over the edge-stripped " +
+       "text, so it agrees with the typed kernel and the fast path's semantics") {
+      // before the fix the CJK branch extracted over RAW text, so the edge
+      // \u0001 became a phantom token (3, not 2) while the typed kernel and
+      // the oracle replay counted 2 — a latent corpus-wide divergence
+      val docs = Seq((1L, "\u0001 foo 日"), (2L, "日本\u0001"),
+        (3L, "\u0001 foo")).toDF("doc_id", "text")
+      val got = docs.select($"doc_id", Text.tokenCount($"text").as("n"),
+          Text.distinctTokenCount($"text").as("d"), Text.topBigramCount($"text").as("b"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, n, d, b) => id -> ((n, d, b)) }.toMap
+      assert(got === Map(1L -> ((2L, 2L, 1L)), 2L -> ((2L, 2L, 1L)), 3L -> ((1L, 1L, 0L))))
+      assert(Text.segmentText("\u0001 foo 日").toSeq === Seq("foo", "日"))
+      assert(Text.segmentText("日本\u0001").toSeq === Seq("日", "本"))
+    }
+
     it("CJK codepoints segment one-per-token; Latin runs stay whole") {
       // "日本語のテスト" = 3 Han + の + 3 Katakana + ... no spaces at all:
       // a whitespace splitter would call this ONE token

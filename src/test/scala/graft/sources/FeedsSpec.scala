@@ -111,6 +111,30 @@ class FeedsSpec extends AnyFunSpec with SparkSuite {
     assert(atomRows.map(_._4) == Seq("https://d.example/a1"))
   }
 
+  it("a root literal inside a LEADING comment/doctype/CDATA never wins the sniff") {
+    // an Atom feed prefixed by a comment that mentions '<rss ' (a converter
+    // note, say) must parse as atom — the comment precedes the real root in
+    // document order, so a raw first-in-document sniff would pick rss and
+    // silently drop every entry
+    val commented =
+      """<?xml version="1.0"?>
+        |<!-- converted from <rss version="2.0"> by feedmigrate -->
+        |<feed xmlns="http://www.w3.org/2005/Atom">
+        | <entry><title>A</title><link href="https://e.example/a"/></entry>
+        |</feed>""".stripMargin
+    assert(feedRows(commented).map(r => (r._1, r._4)) ==
+      Seq(("atom", "https://e.example/a")))
+    // symmetric: RSS behind a doctype + CDATA that both mention <feed
+    val cdataed =
+      """<!DOCTYPE rss [<!-- <feed> -->]><!--<feed a>-->
+        |<rss version="2.0"><channel>
+        | <item><title><![CDATA[about <feed xmlns="x"> markup]]></title>
+        |   <link>https://e.example/r</link></item>
+        |</channel></rss>""".stripMargin
+    assert(feedRows(cdataed).map(r => (r._1, r._4)) ==
+      Seq(("rss", "https://e.example/r")))
+  }
+
   it("recrawlSet: new urls fetch, postdating signals go stale, unknown signals stay fresh") {
     val frontier = Seq(
       ("https://a.example/1", Some("2026-02-01T00:00:00Z")), // newer -> stale
