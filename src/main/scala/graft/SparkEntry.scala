@@ -633,6 +633,29 @@ object SparkEntry {
       operators.TokenShards.vocabFromFrame(sources.Sink.readIndex(s, path))
     })
 
+  /** Memoized STANDING byte-fallback (TOTAL-scheme) token vocabulary for
+    * q242 — the same induction as [[ensureTokenVocab]] but with symbol
+    * ids from 258 (2..257 reserved for the raw bytes), so encoding under
+    * it is TOTAL: a never-seen codepoint decomposes to byte ids instead
+    * of failing. Store-backed beside the strict vocab; the two schemes
+    * are deliberately id-incompatible and load through scheme-checked
+    * readers. */
+  private val tokenVocabsTotal =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  private[graft] def ensureTokenVocabTotal(s: SparkSession, dir: String): Map[String, Long] =
+    tokenVocabsTotal.computeIfAbsent(dir, _ => {
+      val root = indexStoreRoot(dir, "documents")
+      val path = s"$root/token_vocab_total_v1"
+      if (!sources.Sink.indexExists(path)) {
+        val (merges, _) = ensureTokenizers(s, dir)
+        sources.Sink.writeIndex(
+          operators.TokenShards.buildVocabTotal(
+            tbl(s, dir, "documents").where(col("doc_id").isNotNull), "text", merges),
+          path)
+      }
+      operators.TokenShards.vocabFromFrameTotal(sources.Sink.readIndex(s, path))
+    })
+
   private[graft] def ensurePqIndex(s: SparkSession, dir: String): operators.Similarity.PqIndex =
     pqIndexes.computeIfAbsent(dir, _ => {
       val root = indexStoreRoot(dir, "embeddings")
@@ -4203,6 +4226,66 @@ object SparkEntry {
       back.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
         .withColumn("merges_pinned", lit(mergesPinned))
         .withColumn("deterministic", lit(deterministic))
+        .withColumn("lossless_exact", lit(lossless))
+    }),
+
+    // q242: BYTE-FALLBACK (TOTAL) TOKEN ENCODING — closes the operational
+    // gap a frozen strict vocabulary leaves open: a document carrying a
+    // codepoint the release corpus never saw must still encode. Under the
+    // TOTAL id scheme (ids 2..257 = raw bytes, symbols from 258 — the
+    // public SentencePiece byte_fallback / GPT-2 byte-level rule) the
+    // STANDING vocab (induced over the NATURAL corpus, store-backed like
+    // the merge table) encodes a planted never-seen-codepoint stripe
+    // through reserved byte ids — the marker spans 2-, 3-, and 4-byte
+    // UTF-8 codepoints, so multi-byte runs and the astral (surrogate-
+    // pair) path are all exercised — and the round trip back through the
+    // maximal-byte-run UTF-8 decode is EXACT, gated in-query by q237's
+    // exceptAll discipline. The oracle replays per-doc id and byte-id
+    // counts through the learned-merges CTE with strlen() as the UTF-8
+    // byte length of an out-of-vocabulary symbol.
+    "q242_byte_fallback" -> ((s, dir) => {
+      // 2+3+4+2 UTF-8 bytes; the class assert makes "never-seen" a loud
+      // precondition instead of a silent assumption (plus the 0x1F-free
+      // restriction every merge-replay oracle carries)
+      val marker = "\u00F1\u221A\uD835\uDEC0\u03B1"
+      val markerClass = "[\u00F1\u221A\uD835\uDEC0\u03B1\u001F]"
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull &&
+        assert_true(col("text").isNull || !col("text").rlike(markerClass),
+          lit("q242 oracle requires a marker-free, 0x1F-free corpus")).isNull)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0 && col("text").isNotNull,
+          concat(col("text"), lit(" " + marker))).otherwise(col("text")).as("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val tokens = operators.TokenShards.tokenizeToIdsTotal(
+          planted, "doc_id", "text", merges, vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { tokens.unpersist(); () })
+      // round trip from the id sequences alone: each doc is a one-doc bin
+      // (its sequence is already EOS-terminated), decoded through the
+      // byte-fallback-aware inverse
+      val rebuilt = operators.TokenShards.decodeBinsTotal(
+        tokens.select(array(col("doc_id")).as("doc_ids"), col("ids")), vocab)
+      val source = planted.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
+        .where(length(col("detok")) > 0)
+      val lossless = rebuilt.exceptAll(source)
+        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      val nByte = size(filter(col("ids"), i =>
+        i >= lit(operators.TokenShards.firstByteId) &&
+          i < lit(operators.TokenShards.totalFirstSymbolId)))
+      val out = tokens.select(col("doc_id"), col("n_tokens"),
+        nByte.cast("long").as("n_byte_ids"))
+      // the stripe must actually have taken the fallback path — a vocab
+      // accidentally covering the marker would pass losslessness vacuously
+      val exercised = !out.where(col("n_byte_ids") > 0).isEmpty
+      out.withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("fallback_exercised", lit(exercised))
         .withColumn("lossless_exact", lit(lossless))
     }),
 
@@ -9030,6 +9113,55 @@ object SparkEntry {
         |       CAST(sum(n) AS BIGINT) AS n_tokens,
         |       TRUE AS merges_pinned, TRUE AS deterministic, TRUE AS lossless_exact
         |FROM pack GROUP BY 1, 2""".stripMargin,
+    // q242: per-doc id/byte-id counts replayed through the learned-merges
+    // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
+    // symbol inventory) contributes strlen(sym) byte ids, an in-vocab
+    // symbol one id; + count(*) adds the n-1 inter-word SPACEs and the
+    // closing EOS. Losslessness/determinism are the in-query gates.
+    "q242_byte_fallback" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |planted AS (SELECT doc_id,
+        |                   CASE WHEN doc_id % 5 = 0 AND text IS NOT NULL
+        |                        THEN text || ' ñ√𝛀α' ELSE text END AS text
+        |            FROM documents WHERE doc_id IS NOT NULL),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM planted WHERE text IS NOT NULL),
+        |natw AS (SELECT DISTINCT unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocabw AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocabw
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |fin AS (SELECT w, state FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |wsym AS (SELECT w, unnest(str_split(trim(state, chr(31)), chr(31))) AS sym FROM fin),
+        |natsym AS (SELECT DISTINCT sym FROM wsym WHERE w IN (SELECT w FROM natw)),
+        |widcnt AS (SELECT w,
+        |             sum(CASE WHEN sym IN (SELECT sym FROM natsym)
+        |                      THEN 1 ELSE strlen(sym) END) AS idn,
+        |             sum(CASE WHEN sym IN (SELECT sym FROM natsym)
+        |                      THEN 0 ELSE strlen(sym) END) AS bn
+        |           FROM wsym GROUP BY w)
+        |SELECT inst.doc_id,
+        |       CAST(sum(widcnt.idn) + count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(widcnt.bn) AS BIGINT) AS n_byte_ids,
+        |       TRUE AS merges_pinned, TRUE AS fallback_exercised,
+        |       TRUE AS lossless_exact
+        |FROM inst JOIN widcnt USING (w) GROUP BY 1""".stripMargin,
     // q176: windows re-derived on STRINGS (the hash==string adjudication
     // of q78/q96); same edge-strip tokenization as the kernel; identical
     // gaps-and-islands diagonal run detection

@@ -42,13 +42,32 @@ object Bpe {
     ("e", "r"), ("o", "n"), ("r", "e"), ("s", "t"), ("e", "n"),
     ("a", "t"), ("e", "s"), ("o", "r"), ("in", "g"))
 
+  /** CODEPOINT-level symbol split — the base segmentation every BPE
+    * face (learn batched/fast/local, apply) starts from. Value-identical
+    * to a per-char split on any BMP-only corpus (every pinned oracle),
+    * but a Java-char split would tear an astral codepoint (emoji, math
+    * alphanumerics) into two lone surrogates — un-encodable as UTF-8,
+    * silently breaking [[TokenShards]]' byte-fallback total encoding and
+    * diverging from the DuckDB replay's `str_split(w, '')`, which splits
+    * codepoints. One helper so learn and apply can never disagree. */
+  private[operators] def codepointSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /**
    * Apply the merge table to one word; returns the final symbol sequence.
    * Exposed for the spec's golden-string pins. `ranks` maps a pair to its
    * merge priority (lower merges first).
    */
   def applyMerges(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    var syms: Vector[String] = codepointSymbols(word).toVector
     var done = syms.length < 2
     while (!done) {
       // lowest-rank adjacent pair present right now
@@ -184,7 +203,7 @@ object Bpe {
       .select(explode(graft.functions.Text.edgeStrippedTokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString).toArray, n) }
+      .map { case (w, n) => (codepointSymbols(w), n) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     state.count(): Unit
     val merges = Seq.newBuilder[(String, String)]
@@ -310,7 +329,7 @@ object Bpe {
     import scala.collection.mutable
     val words = mutable.ArrayBuffer.empty[Array[String]]
     val weights = mutable.ArrayBuffer.empty[Long]
-    vocab.foreach { case (w, n) => words += w.map(_.toString).toArray; weights += n }
+    vocab.foreach { case (w, n) => words += codepointSymbols(w); weights += n }
     val counts = mutable.HashMap.empty[(String, String), Long]
     // pair -> word indices that contained it when last registered; may go
     // stale after re-segmentation (lazy — verified against the live word
@@ -386,7 +405,7 @@ object Bpe {
    */
   def learnMergesLocal(vocab: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
     var state: Seq[(Vector[String], Long)] =
-      vocab.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+      vocab.toSeq.map { case (w, n) => (codepointSymbols(w).toVector, n) }
     val out = Seq.newBuilder[(String, String)]
     var round = 0
     var done = false

@@ -46,6 +46,28 @@ object TokenShards {
   val firstSymbolId: Long = 2L
 
   /**
+   * BYTE-FALLBACK (TOTAL) id scheme — the SentencePiece `byte_fallback` /
+   * GPT-2 byte-level rule (public knowledge): 256 ids are reserved for
+   * the raw bytes (`[firstByteId, firstByteId+255]`, id = firstByteId +
+   * byte value) and vocabulary symbols start at [[totalFirstSymbolId]].
+   * A symbol ABSENT from the standing vocabulary encodes as its UTF-8
+   * bytes instead of failing, so encoding is TOTAL: no input can be
+   * unencodable, the vocabulary is a CLOSED standing artifact across
+   * releases, and the streaming token-id store survives a micro-batch
+   * carrying a never-seen codepoint. Decoding buffers maximal byte-id
+   * runs and UTF-8-decodes them in one piece — segmenters split on
+   * codepoint boundaries, so each fallback symbol contributes whole,
+   * valid UTF-8 sequences and the round trip stays exact. The STRICT
+   * scheme above remains the frozen-release contract (q237): there, an
+   * OOV symbol is a corpus/vocabulary mismatch that must fail loudly.
+   * The two schemes are deliberately id-incompatible (symbol ids 2..257
+   * mean bytes only in the total scheme); the loaders and encoders
+   * `require` the right id range so a mixed artifact fails at the door.
+   */
+  val firstByteId: Long = firstSymbolId
+  val totalFirstSymbolId: Long = firstByteId + 256L
+
+  /**
    * Vocabulary induction: every distinct symbol the merge table emits
    * over the corpus's distinct words, as a store-able `(id, symbol)`
    * frame — ids from [[firstSymbolId]] in lexicographic symbol order
@@ -66,7 +88,27 @@ object TokenShards {
     * same machinery; the shard format does not care which family
     * trained it. */
   def buildVocabWith(docs: DataFrame, textCol: String, maxVocab: Int = 4000000)(
-      segment: String => Seq[String]): DataFrame = {
+      segment: String => Seq[String]): DataFrame =
+    buildVocabImpl(docs, textCol, maxVocab, firstSymbolId)(segment)
+
+  /** [[buildVocab]] in the TOTAL (byte-fallback) id scheme: symbol ids
+    * start at [[totalFirstSymbolId]], leaving [2, 257] for the reserved
+    * byte ids. Same induction, different id origin — the vocab frame is
+    * what marks an artifact as strict vs total. */
+  def buildVocabTotal(docs: DataFrame, textCol: String, merges: Seq[(String, String)],
+      maxVocab: Int = 4000000): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val ranks = merges.zipWithIndex.toMap
+    buildVocabTotalWith(docs, textCol, maxVocab)(w => Bpe.applyMerges(w, ranks))
+  }
+
+  /** [[buildVocabWith]] in the TOTAL id scheme. */
+  def buildVocabTotalWith(docs: DataFrame, textCol: String, maxVocab: Int = 4000000)(
+      segment: String => Seq[String]): DataFrame =
+    buildVocabImpl(docs, textCol, maxVocab, totalFirstSymbolId)(segment)
+
+  private def buildVocabImpl(docs: DataFrame, textCol: String, maxVocab: Int,
+      firstId: Long)(segment: String => Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val symbols = docs.where(col(textCol).isNotNull)
@@ -81,20 +123,30 @@ object TokenShards {
     require(symbols.length <= maxVocab,
       s"symbol inventory exceeds maxVocab=$maxVocab — not a vocabulary-sized corpus slice")
     symbols.zipWithIndex
-      .map { case (s, i) => (firstSymbolId + i, s) }
+      .map { case (s, i) => (firstId + i, s) }
       .toSeq.toDF("id", "symbol")
   }
 
   /** Load a [[buildVocab]] frame back as the symbol→id map (guarded
     * collect — vocabulary-sized by contract). */
-  def vocabFromFrame(df: DataFrame, maxEntries: Int = 4000000): Map[String, Long] = {
+  def vocabFromFrame(df: DataFrame, maxEntries: Int = 4000000): Map[String, Long] =
+    vocabFromFrameImpl(df, maxEntries, firstSymbolId, "EOS/SPACE")
+
+  /** Load a [[buildVocabTotal]] frame back — `require`s every id above
+    * the reserved byte range, so a STRICT-scheme frame (symbol ids from
+    * 2) fails at the door instead of silently aliasing bytes. */
+  def vocabFromFrameTotal(df: DataFrame, maxEntries: Int = 4000000): Map[String, Long] =
+    vocabFromFrameImpl(df, maxEntries, totalFirstSymbolId, "EOS/SPACE/byte")
+
+  private def vocabFromFrameImpl(df: DataFrame, maxEntries: Int, minId: Long,
+      reservedDesc: String): Map[String, Long] = {
     val rows = df.limit(maxEntries + 1).collect()
     require(rows.length <= maxEntries,
       s"vocab frame exceeds maxEntries=$maxEntries — not a vocabulary-sized frame")
     val m = rows.map(r => (r.getString(1), r.getLong(0))).toMap
     require(m.size == rows.length, "vocab frame carries duplicate symbols")
-    require(!m.valuesIterator.exists(_ < firstSymbolId),
-      s"vocab frame assigns an id below $firstSymbolId — collides with EOS/SPACE")
+    require(!m.valuesIterator.exists(_ < minId),
+      s"vocab frame assigns an id below $minId — collides with the $reservedDesc ids")
     m
   }
 
@@ -118,7 +170,34 @@ object TokenShards {
     * [[buildVocabWith]] dual): the SAME segmenter that induced the vocab
     * must encode, or the loud OOV contract fires. */
   def tokenizeToIdsWith(docs: DataFrame, idCol: String, textCol: String,
-      vocab: Map[String, Long])(segment: String => Seq[String]): DataFrame = {
+      vocab: Map[String, Long])(segment: String => Seq[String]): DataFrame =
+    tokenizeImpl(docs, idCol, textCol, vocab, total = false)(segment)
+
+  /** [[tokenizeToIds]] in the TOTAL (byte-fallback) scheme: a symbol
+    * outside the standing vocabulary encodes as its UTF-8 bytes through
+    * the reserved byte ids instead of failing — encoding is total, so
+    * the vocabulary stays a closed artifact across releases and no
+    * input (a novel codepoint, a new script, binary junk in a crawl) can
+    * kill an export or a streaming micro-batch. */
+  def tokenizeToIdsTotal(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: Map[String, Long]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    tokenizeToIdsTotalWith(docs, idCol, textCol, vocab)(w => Bpe.applyMerges(w, ranks))
+  }
+
+  /** [[tokenizeToIdsTotal]] generalized over the segmenter. */
+  def tokenizeToIdsTotalWith(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Long])(segment: String => Seq[String]): DataFrame =
+    tokenizeImpl(docs, idCol, textCol, vocab, total = true)(segment)
+
+  private def tokenizeImpl(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Long], total: Boolean)(
+      segment: String => Seq[String]): DataFrame = {
+    // scheme guard at the door: a strict-scheme vocab (symbol ids from 2)
+    // fed to the total encoder would alias the byte range silently
+    if (total) require(!vocab.valuesIterator.exists(_ < totalFirstSymbolId),
+      s"total-scheme encoding needs a byte-fallback vocab (ids >= $totalFirstSymbolId) — " +
+        "build it with buildVocabTotal, not buildVocab")
     val spark = docs.sparkSession
     import spark.implicits._
     val bcVocab = spark.sparkContext.broadcast(vocab)
@@ -130,12 +209,19 @@ object TokenShards {
         // seen by this task — Zipf makes the hit rate overwhelming
         val memo = scala.collection.mutable.HashMap.empty[String, Array[Long]]
         val v = bcVocab.value
+        def encodeSymbol(s: String, w: String): Array[Long] = v.get(s) match {
+          case Some(id) => Array(id)
+          case None if total =>
+            // byte fallback: whole, valid UTF-8 byte runs per symbol —
+            // the decoder's maximal-run UTF-8 decode reverses this exactly
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .map(b => firstByteId + (b & 0xff).toLong)
+          case None => throw new IllegalArgumentException(
+            s"symbol '$s' (word '$w') is not in the standing vocabulary — " +
+              "rebuild the vocab artifact over this corpus before exporting")
+        }
         def encodeWord(w: String): Array[Long] =
-          memo.getOrElseUpdate(w, segment(w).map { s =>
-            v.getOrElse(s, throw new IllegalArgumentException(
-              s"symbol '$s' (word '$w') is not in the standing vocabulary — " +
-                "rebuild the vocab artifact over this corpus before exporting"))
-          }.toArray)
+          memo.getOrElseUpdate(w, segment(w).toArray.flatMap(s => encodeSymbol(s, w)))
         it.flatMap { case (id, text) =>
           val words = graft.functions.Text.segmentText(text)
           if (words.isEmpty) None
@@ -169,6 +255,32 @@ object TokenShards {
     sb.toString
   }
 
+  /** [[detokenize]] in the TOTAL scheme: maximal runs of reserved byte
+    * ids buffer and UTF-8-decode in one piece (adjacent fallback symbols
+    * concatenate to one valid byte sequence — decoding per-id would tear
+    * multi-byte codepoints apart), symbol ids decode through the vocab. */
+  def detokenizeTotal(ids: Seq[Long], idToSymbol: Map[Long, String]): String = {
+    val sb = new StringBuilder
+    val run = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (run.size > 0) {
+      sb.append(new String(run.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
+    ids.foreach { id =>
+      if (id == spaceId) { flush(); sb.append(' ') }
+      else if (id == eosId) flush()
+      else if (id >= firstByteId && id < totalFirstSymbolId)
+        run.write((id - firstByteId).toInt)
+      else {
+        flush()
+        sb.append(idToSymbol.getOrElse(id,
+          throw new IllegalArgumentException(s"unknown token id $id")))
+      }
+    }
+    flush()
+    sb.toString
+  }
+
   /**
    * Decode a packed-bin frame (`doc_ids`, `ids` columns — the
    * [[packSequences]] shape, typically read back from a published
@@ -179,7 +291,16 @@ object TokenShards {
    * the gate queries and the spec cannot drift apart; a bin that does
    * not parse back into exactly its documents fails loudly.
    */
-  def decodeBins(bins: DataFrame, vocab: Map[String, Long]): DataFrame = {
+  def decodeBins(bins: DataFrame, vocab: Map[String, Long]): DataFrame =
+    decodeBinsImpl(bins, vocab, total = false)
+
+  /** [[decodeBins]] for TOTAL-scheme artifacts — same EOS-split inverse
+    * contract, byte-fallback-aware per-segment decode. */
+  def decodeBinsTotal(bins: DataFrame, vocab: Map[String, Long]): DataFrame =
+    decodeBinsImpl(bins, vocab, total = true)
+
+  private def decodeBinsImpl(bins: DataFrame, vocab: Map[String, Long],
+      total: Boolean): DataFrame = {
     val spark = bins.sparkSession
     import spark.implicits._
     val bcRev = spark.sparkContext.broadcast(vocab.map(_.swap))
@@ -197,7 +318,9 @@ object TokenShards {
         }
         require(cur.isEmpty && segs.length == docIds.length,
           "bin sequence does not parse back into its documents")
-        docIds.zip(segs).map { case (d, seg) => (d, detokenize(seg, bcRev.value)) }
+        docIds.zip(segs).map { case (d, seg) =>
+          (d, if (total) detokenizeTotal(seg, bcRev.value) else detokenize(seg, bcRev.value))
+        }
       }
       .toDF("doc_id", "detok")
   }

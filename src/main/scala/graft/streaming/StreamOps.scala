@@ -487,14 +487,24 @@ object StreamOps {
    */
   def streamingTokenIds(docs: DataFrame, idCol: String, textCol: String,
       vocab: Map[String, Long], segment: String => Seq[String],
-      storePath: String, nBuckets: Int, checkpointDir: String): StreamingQuery =
+      storePath: String, nBuckets: Int, checkpointDir: String,
+      total: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val one = onePerDoc(batch, idCol, textCol)
-        val perDoc = graft.operators.TokenShards
-          .tokenizeToIdsWith(one, idCol, textCol, vocab)(segment)
+        // total=true is the OPERATIONAL mode: under a byte-fallback vocab
+        // a micro-batch carrying a never-seen codepoint encodes through
+        // the reserved byte ids and the store keeps advancing; strict
+        // mode keeps the frozen-release contract (an OOV symbol kills
+        // the batch loudly — the vocabulary no longer covers the corpus)
+        val perDoc = (if (total)
+          graft.operators.TokenShards
+            .tokenizeToIdsTotalWith(one, idCol, textCol, vocab)(segment)
+        else
+          graft.operators.TokenShards
+            .tokenizeToIdsWith(one, idCol, textCol, vocab)(segment))
           .select(col(idCol), col("ids"))
         val rows = one.select(col(idCol))
           .join(perDoc, Seq(idCol), "left")

@@ -218,4 +218,72 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
         2L -> "the end", 3L -> "cat cat cat the the thin"))
     }
   }
+
+  describe("byte-fallback (total) scheme") {
+    val docs = docsOf((1L, "the thin cat"), (2L, " the "))
+    val vocabT = TokenShards.vocabFromFrameTotal(
+      TokenShards.buildVocabTotal(docs, "text", merges))
+
+    it("assigns symbol ids from 258, leaving 2..257 for the reserved bytes") {
+      assert(vocabT.values.min == TokenShards.totalFirstSymbolId)
+      // same symbol inventory as the strict frame, shifted id origin
+      val strict = TokenShards.vocabFromFrame(TokenShards.buildVocab(docs, "text", merges))
+      assert(vocabT.keySet == strict.keySet)
+      assert(vocabT.toSeq.sortBy(_._2).map(_._1) == strict.toSeq.sortBy(_._2).map(_._1))
+    }
+
+    it("scheme guards fire at the door: strict frame into the total loader, " +
+       "strict vocab into the total encoder") {
+      val strictFrame = TokenShards.buildVocab(docs, "text", merges)
+      assert(intercept[IllegalArgumentException](
+        TokenShards.vocabFromFrameTotal(strictFrame)).getMessage.contains("byte"))
+      val strict = TokenShards.vocabFromFrame(strictFrame)
+      assert(intercept[IllegalArgumentException](
+        TokenShards.tokenizeToIdsTotal(docs, "doc_id", "text", merges, strict))
+        .getMessage.contains("byte-fallback"))
+    }
+
+    it("an OOV symbol encodes as its UTF-8 bytes; in-vocab symbols and byte runs " +
+       "interleave and round-trip exactly") {
+      // 'cat\u00F1': merges give [c, at, \u00F1] — c and at in vocab, \u00F1 OOV
+      // (2 UTF-8 bytes); 'zebra' is fully OOV (5 single-byte symbols)
+      val alien = docsOf((9L, "zebra cat\u00F1 the"))
+      val got = TokenShards.tokenizeToIdsTotal(alien, "doc_id", "text", merges, vocabT)
+        .as[(Long, Seq[Long], Long)].collect().head
+      def byteIds(str: String): Seq[Long] =
+        str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => TokenShards.firstByteId + (b & 0xff).toLong).toSeq
+      val expect = byteIds("zebra") ++ Seq(TokenShards.spaceId) ++
+        Seq(vocabT("c"), vocabT("at")) ++ byteIds("\u00F1") ++
+        Seq(TokenShards.spaceId, vocabT("the"), TokenShards.eosId)
+      assert(got._2 == expect, s"got ${got._2}")
+      val rev = vocabT.map(_.swap)
+      assert(TokenShards.detokenizeTotal(got._2, rev) == "zebra cat\u00F1 the")
+    }
+
+    it("multi-byte and ASTRAL codepoints survive the byte fallback (no surrogate tearing)") {
+      // \u00F1 = 2 bytes, \u221A = 3, U+1D6C0 = 4 (surrogate pair in UTF-16)
+      val marker = "\u00F1\u221A\uD835\uDEC0\u03B1"
+      val alien = docsOf((7L, s"the $marker thin"))
+      val toks = TokenShards.tokenizeToIdsTotal(alien, "doc_id", "text", merges, vocabT)
+      val got = toks.as[(Long, Seq[Long], Long)].collect().head
+      val nByte = got._2.count(id =>
+        id >= TokenShards.firstByteId && id < TokenShards.totalFirstSymbolId)
+      assert(nByte == 11, s"expected 11 byte ids, got $nByte in ${got._2}")
+      val rev = vocabT.map(_.swap)
+      assert(TokenShards.detokenizeTotal(got._2, rev) == s"the $marker thin")
+      // and through the packed-bin inverse (the artifact-level gate)
+      val bins = TokenShards.packSequences(toks, "doc_id", nShards = 1, capacity = 64L)
+      val back = TokenShards.decodeBinsTotal(bins, vocabT)
+        .as[(Long, String)].collect().toMap
+      assert(back == Map(7L -> s"the $marker thin"))
+    }
+
+    it("strict detokenize refuses total-scheme byte ids (schemes cannot mix silently)") {
+      val rev = vocabT.map(_.swap)
+      val ids = Seq(TokenShards.firstByteId + 'z'.toLong, TokenShards.eosId)
+      assert(intercept[IllegalArgumentException](
+        TokenShards.detokenize(ids, rev)).getMessage.contains("unknown token id"))
+    }
+  }
 }

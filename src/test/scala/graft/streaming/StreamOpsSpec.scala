@@ -688,6 +688,51 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         assert(packedDocs === Set(3L)) // doc 1 taken down, doc 2 blanked
       } finally q.stop()
     }
+
+    it("total mode: a micro-batch carrying never-seen codepoints maintains the " +
+       "store through byte fallback instead of dying") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("tokt_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("tokt_ckpt").toString
+      val merges = graft.operators.Bpe.fixtureMerges
+      // the FROZEN standing vocab: induced over batch 1's text only — the
+      // release-time corpus; batch 2's novel codepoints are genuinely OOV
+      val vocab = graft.operators.TokenShards.vocabFromFrameTotal(
+        graft.operators.TokenShards.buildVocabTotal(
+          Seq((0L, "the thin cat sat")).toDF("doc_id", "text"), "text", merges))
+      val ranks = merges.zipWithIndex.toMap
+      val seg = (w: String) => graft.operators.Bpe.applyMerges(w, ranks)
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingTokenIds(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", vocab, seg, storePath = store, nBuckets = 4,
+        checkpointDir = ckpt, total = true)
+      try {
+        src.addData((1L, "the thin cat"))
+        q.processAllAvailable()
+        // batch 2: multi-byte AND astral codepoints the vocab never saw —
+        // under the strict scheme this batch would kill the query
+        val novel = "caf\u00E9 \u00F1\u221A\uD835\uDEC0\u03B1 the"
+        src.addData((2L, novel))
+        q.processAllAvailable()
+        val got = StreamOps.tokenIdsFromStore(spark, store, "doc_id")
+          .select($"doc_id", $"ids")
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+        assert(got.keySet == Set(1L, 2L))
+        // the store row decodes back to the exact normalized text
+        val rev = vocab.map(_.swap)
+        assert(graft.operators.TokenShards.detokenizeTotal(got(2L), rev) == novel)
+        // and it really took the fallback path (reserved byte ids present)
+        assert(got(2L).exists(id => id >= graft.operators.TokenShards.firstByteId &&
+          id < graft.operators.TokenShards.totalFirstSymbolId))
+        // store ≡ scratch under the same total encoder (the face law)
+        val scratch = graft.operators.TokenShards.tokenizeToIdsTotalWith(
+          Seq((1L, "the thin cat"), (2L, novel)).toDF("doc_id", "text"),
+          "doc_id", "text", vocab)(seg)
+          .select($"doc_id", $"ids")
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+        assert(got == scratch)
+      } finally q.stop()
+    }
   }
 
   describe("streamingCrawl (store-maintained captured corpus from .warc.gz files)") {
