@@ -4289,6 +4289,62 @@ object SparkEntry {
         .withColumn("lossless_exact", lit(lossless))
     }),
 
+    // q243: BINARY TOKEN SHARDS — the same terminal artifact as q237
+    // shipped in the payload encoding a trainer's loader actually mmaps
+    // (fixed-width little-endian ids + a per-bin offset/boundary index —
+    // the public Megatron-LM/GPT-NeoX .bin/.idx layout fused into one
+    // self-describing file per shard) instead of decimal JSON. The SAME
+    // gates as q237, now over binary bytes: digest-identical re-export
+    // under reshuffled input, doc_lens/token-count law on the read-back,
+    // and exact losslessness through decodeBins. tokenWidth derives from
+    // the standing vocab's max id (u16 when it fits — half the payload).
+    "q243_binary_shards" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q243 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocab(s, dir)
+      val width = if (vocab.valuesIterator.max <= 0xffffL) 2 else 4
+      val tokens = operators.TokenShards.tokenizeToIds(
+        docs, "doc_id", "text", merges, vocab)
+      val seqs = operators.TokenShards.packSequences(
+          tokens, "doc_id", nShards = 8, capacity = 512L)
+        .withColumn("bin_key", col("shard") * lit(4294967296L) + col("bin"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { seqs.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/binary_shards_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeBinaryShards(seqs, p1, "bin_key", nShards = 4,
+        maxShardBytes = 1L << 20, tokenWidth = width)
+      sources.Export.writeBinaryShards(seqs.repartition(13), p2, "bin_key",
+        nShards = 4, maxShardBytes = 1L << 20, tokenWidth = width)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      val back = sources.Export.readBinaryShards(s, p1)
+      // attention-boundary law survives the binary encoding: the index's
+      // per-doc lengths must sum to each bin's token count
+      require(back.where(expr(
+        "aggregate(doc_lens, CAST(0 AS BIGINT), (a, x) -> a + x) != n_tokens")).isEmpty,
+        "doc_lens must sum to each bin's token count")
+      val rebuilt = operators.TokenShards.decodeBins(back, vocab)
+      val source = docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
+        .where(length(col("detok")) > 0)
+      val lossless = rebuilt.exceptAll(source)
+        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      back.select((col("bin_key") / lit(4294967296L)).cast("long").as("shard"),
+          pmod(col("bin_key"), lit(4294967296L)).as("bin"),
+          col("n_docs"), col("n_tokens"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("lossless_exact", lit(lossless))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9088,6 +9144,49 @@ object SparkEntry {
         |st AS (
         |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
         |  FROM voc
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       TRUE AS merges_pinned, TRUE AS deterministic, TRUE AS lossless_exact
+        |FROM pack GROUP BY 1, 2""".stripMargin,
+    // q243: the binary artifact carries the SAME logical bins as q237 —
+    // identical pack replay; the binary-specific properties (byte
+    // determinism, index/boundary law, losslessness) are in-query gates
+    "q243_binary_shards" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
         |  UNION ALL
         |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
         |  FROM st, merges p

@@ -108,6 +108,63 @@ object Export {
     (lock, beat)
   }
 
+  /** The write protocol shared by every shard format: lock, reap
+    * abandoned staging dirs, stage, run `body` (which writes staged
+    * shards and returns the manifest stats), publish, release. One
+    * implementation so a new payload encoding can never fork the
+    * crash-safety story. */
+  private def stagedExport(path: String)(
+      body: java.io.File => Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = {
+    Sink.requireLocalPath(path)
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val (lock, beat) = acquireLock(dir, path)
+    try {
+      // abandoned staging dirs from crashed exports are never published —
+      // reap them before staging anew (safe under the lock: only a STALE
+      // writer's leavings can be here)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
+        .foreach(deleteRec)
+      val staging = new java.io.File(dir, s".staging-${System.nanoTime()}")
+      require(staging.mkdirs(), s"cannot create staging dir $staging")
+      val stats = body(staging)
+      publishStaged(dir, path, staging, stats)
+      stats
+    } finally {
+      beat.interrupt()
+      lock.delete(): Unit
+    }
+  }
+
+  /** PUBLISH: retract `_SUCCESS` first (readers refuse from here on),
+    * swap the shard set (ANY `part-*` file — one artifact per directory
+    * is the contract, whatever its payload encoding), manifest, then
+    * `_SUCCESS` last. */
+  private def publishStaged(dir: java.io.File, path: String, staging: java.io.File,
+      stats: Seq[(String, Long, Long)]): Unit = {
+    val successFile = new java.io.File(dir, "_SUCCESS")
+    if (successFile.exists()) require(successFile.delete(), s"cannot retract $successFile")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile &&
+        (f.getName.startsWith("part-") || f.getName == "_MANIFEST.jsonl"))
+      .foreach(f => require(f.delete(), s"cannot remove stale $f — aborting before " +
+        "a mixed-layout artifact can form"))
+    stats.foreach { case (f, _, _) =>
+      val (from, to) = (new java.io.File(staging, f), new java.io.File(dir, f))
+      require(from.renameTo(to), s"cannot publish shard $f")
+    }
+    require(staging.delete() || { deleteRec(staging); !staging.exists() },
+      s"cannot remove staging dir $staging")
+    val manifest = stats.map { case (f, r, b) =>
+      s"""{"file":"$f","rows":$r,"raw_bytes":$b}"""
+    }.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_MANIFEST.jsonl"),
+      if (manifest.isEmpty) "" else manifest + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "_SUCCESS"), "")
+  }
+
   /**
    * Write `df` as `nShards` hash-placed, id-sorted, size-bounded
    * `.jsonl.gz` shard families under `path`. Returns the manifest as
@@ -118,21 +175,9 @@ object Export {
       nShards: Int, maxShardBytes: Long): Seq[(String, Long, Long)] = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(maxShardBytes > 0, s"maxShardBytes must be positive, got $maxShardBytes")
-    Sink.requireLocalPath(path)
     val spark = df.sparkSession
     import spark.implicits._
-    val dir = new java.io.File(path)
-    dir.mkdirs()
-    val (lock, beat) = acquireLock(dir, path)
-    try {
-    // abandoned staging dirs from crashed exports are never published —
-    // reap them before staging anew (safe under the lock: only a STALE
-    // writer's leavings can be here)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
-      .foreach(deleteRec)
-    val staging = new java.io.File(dir, s".staging-${System.nanoTime()}")
-    require(staging.mkdirs(), s"cannot create staging dir $staging")
+    stagedExport(path) { staging =>
     val lines = df
       .select(to_json(struct(df.columns.map(col): _*)).as("j"), col(idCol).as("__id"))
       .repartition(nShards, col("__id"))
@@ -194,34 +239,210 @@ object Export {
       }
       out.iterator
     }.collect().sortBy(_._1).toSeq
-    // PUBLISH: retract _SUCCESS first (readers refuse from here on), swap
-    // the shard set, manifest, then _SUCCESS last
-    val successFile = new java.io.File(dir, "_SUCCESS")
-    if (successFile.exists()) require(successFile.delete(), s"cannot retract $successFile")
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile &&
-        ((f.getName.startsWith("part-") && f.getName.endsWith(".jsonl.gz")) ||
-          f.getName == "_MANIFEST.jsonl"))
-      .foreach(f => require(f.delete(), s"cannot remove stale $f — aborting before " +
-        "a mixed-layout artifact can form"))
-    stats.foreach { case (f, _, _) =>
-      val (from, to) = (new java.io.File(staging, f), new java.io.File(dir, f))
-      require(from.renameTo(to), s"cannot publish shard $f")
-    }
-    require(staging.delete() || { deleteRec(staging); !staging.exists() },
-      s"cannot remove staging dir $staging")
-    val manifest = stats.map { case (f, r, b) =>
-      s"""{"file":"$f","rows":$r,"raw_bytes":$b}"""
-    }.mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_MANIFEST.jsonl"),
-      if (manifest.isEmpty) "" else manifest + "\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "_SUCCESS"), "")
     stats
-    } finally {
-      beat.interrupt()
-      lock.delete(): Unit
     }
+  }
+
+  /** Binary shard magic: "GRBS" little-endian, format version 1. */
+  private val binMagic: Int = 0x53425247 // "GRBS" read LE
+  private val binVersion: Int = 1
+  private val binHeaderBytes: Int = 4 + 4 + 4 + 8 + 8 + 8
+
+  /**
+   * BINARY token-shard writer — the payload encoding a trainer's loader
+   * actually mmaps (the public Megatron-LM / GPT-NeoX `.bin`+`.idx`
+   * layout, fused into one self-describing file per shard): token ids as
+   * FIXED-WIDTH little-endian integers plus a per-bin offset index, in
+   * place of jsonl.gz's ~5-8 decimal bytes + parse per token. Same write
+   * protocol, staging discipline, manifest, and digests as
+   * [[writeJsonlShards]] (shared [[stagedExport]] machinery), and the
+   * same determinism engineering: hash placement by bin key, key-sorted
+   * partitions, payload a pure function of the sorted rows.
+   *
+   * File layout (all integers little-endian):
+   * {{{
+   *   header : magic "GRBS" (u32) | version (u32) | token_width (u32)
+   *          | n_bins (u64) | n_tokens (u64) | index_offset (u64, bytes)
+   *   payload: n_tokens ids, token_width bytes each, bins concatenated
+   *            in key order
+   *   index  : per bin, in payload order:
+   *            bin_key (u64) | n_tok (u64) | n_docs (u32)
+   *            | per doc: doc_id (u64) | doc_len (u64)
+   * }}}
+   * The index rides the file tail so the payload streams without
+   * buffering; the fixed-size header is patched once per file (a local
+   * `RandomAccessFile` seek — bytes stay a pure function of content).
+   * `doc_id`/`doc_len` per bin are the attention-boundary metadata
+   * ([[graft.operators.TokenShards.packSequences]]'s `doc_ids`/
+   * `doc_lens`), so the binary artifact is self-contained for a loader.
+   *
+   * Input frame contract: `(idCol: long bin key — UNIQUE, the content
+   * address; doc_ids: array<long>; doc_lens: array<long>; ids:
+   * array<long>)`. An id that does not fit `tokenWidth` bytes, or a
+   * duplicate bin key (which would make byte order undefined), fails
+   * LOUDLY. Shards roll over when the PAYLOAD would exceed
+   * `maxShardBytes` (one oversize bin still writes whole — a bin never
+   * splits across files).
+   */
+  def writeBinaryShards(df: DataFrame, path: String, idCol: String,
+      nShards: Int, maxShardBytes: Long, tokenWidth: Int): Seq[(String, Long, Long)] = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(maxShardBytes > 0, s"maxShardBytes must be positive, got $maxShardBytes")
+    require(tokenWidth == 2 || tokenWidth == 4,
+      s"tokenWidth must be 2 or 4 bytes, got $tokenWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxId = if (tokenWidth == 2) 0xffffL else 0xffffffffL
+    stagedExport(path) { staging =>
+      val rows = df
+        .select(col(idCol).cast("long"), col("doc_ids").cast("array<bigint>"),
+          col("doc_lens").cast("array<bigint>"), col("ids").cast("array<bigint>"))
+        .repartition(nShards, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .as[(Long, Seq[Long], Seq[Long], Seq[Long])]
+      rows.mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var roll = 0
+        var stream: java.io.BufferedOutputStream = null
+        var file: String = null
+        var nBins = 0L
+        var nTokens = 0L
+        // per-open-file index buffer: bin-count-sized, never token-sized
+        var index = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Long], Seq[Long])]
+        var lastKey = Long.MinValue
+        var first = true
+        def writeLe(b: java.io.OutputStream, v: Long, width: Int): Unit = {
+          var i = 0
+          while (i < width) { b.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+        }
+        def close(): Unit = if (stream != null) {
+          stream.flush(); stream.close(); stream = null
+          // footer index, then patch the header counts in place
+          val f = new java.io.File(staging, s"$file.attempt-$attempt")
+          val tail = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f, true))
+          index.foreach { case (key, nTok, docIds, docLens) =>
+            writeLe(tail, key, 8)
+            writeLe(tail, nTok, 8)
+            writeLe(tail, docIds.length.toLong, 4)
+            docIds.iterator.zip(docLens.iterator).foreach { case (d, l) =>
+              writeLe(tail, d, 8); writeLe(tail, l, 8)
+            }
+          }
+          tail.flush(); tail.close()
+          val raf = new java.io.RandomAccessFile(f, "rw")
+          try {
+            val hdr = java.nio.ByteBuffer.allocate(binHeaderBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            hdr.putInt(binMagic).putInt(binVersion).putInt(tokenWidth)
+              .putLong(nBins).putLong(nTokens)
+              .putLong(binHeaderBytes.toLong + nTokens * tokenWidth)
+            raf.seek(0L); raf.write(hdr.array())
+          } finally raf.close()
+          out += ((file, nBins, f.length()))
+          nBins = 0L; nTokens = 0L
+          index = scala.collection.mutable.ArrayBuffer.empty
+        }
+        def open(): Unit = {
+          file = f"part-$pid%05d-$roll%04d.grbs"
+          roll += 1
+          stream = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(
+              new java.io.File(staging, s"$file.attempt-$attempt")))
+          // header placeholder (patched at close)
+          stream.write(new Array[Byte](binHeaderBytes))
+        }
+        try {
+          it.foreach { case (key, docIds, docLens, ids) =>
+            require(first || key != lastKey,
+              s"duplicate bin key $key — byte order would be undefined")
+            first = false; lastKey = key
+            require(docIds.length == docLens.length,
+              s"bin $key: doc_ids and doc_lens lengths differ")
+            val payloadBytes = ids.length.toLong * tokenWidth
+            if (stream != null && nTokens * tokenWidth + payloadBytes > maxShardBytes)
+              close()
+            if (stream == null) open()
+            ids.foreach { id =>
+              require(id >= 0L && id <= maxId,
+                s"token id $id does not fit tokenWidth=$tokenWidth bytes")
+              writeLe(stream, id, tokenWidth)
+            }
+            index += ((key, ids.length.toLong, docIds, docLens))
+            nBins += 1L; nTokens += ids.length.toLong
+          }
+          close()
+          out.foreach { case (f, _, _) =>
+            java.nio.file.Files.move(
+              new java.io.File(staging, s"$f.attempt-$attempt").toPath,
+              new java.io.File(staging, f).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+        } finally {
+          if (stream != null) { stream.close(); stream = null }
+        }
+        out.iterator
+      }.collect().sortBy(_._1).toSeq
+    }
+  }
+
+  /** Read a published [[writeBinaryShards]] artifact back as
+    * `(bin_key, doc_ids, doc_lens, ids, n_docs, n_tokens)` — a
+    * DISTRIBUTED binaryFile scan over exactly the manifest's file list
+    * (shard files are `maxShardBytes`-bounded, so a whole file per task
+    * is the WARC-reader contract), parsed through the header/index/
+    * payload layout with every structural invariant `require`d. */
+  def readBinaryShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = manifestEntries(path).map(_._1)
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Seq[Long], Seq[Long], Seq[Long], Long, Long)]
+        .toDF("bin_key", "doc_ids", "doc_lens", "ids", "n_docs", "n_tokens")
+    spark.read.format("binaryFile")
+      .load(files.map(f => s"$path/$f"): _*)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(buf.remaining() >= binHeaderBytes, "binary shard truncated below header")
+        require(buf.getInt() == binMagic, "not a GRBS binary shard (bad magic)")
+        require(buf.getInt() == binVersion, "unsupported GRBS version")
+        val width = buf.getInt()
+        require(width == 2 || width == 4, s"bad token width $width")
+        val nBins = buf.getLong()
+        val nTokens = buf.getLong()
+        val indexOffset = buf.getLong()
+        require(indexOffset == binHeaderBytes.toLong + nTokens * width,
+          "index offset disagrees with the token count")
+        require(indexOffset <= bytes.length, "binary shard truncated below its index")
+        val idx = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        idx.position(indexOffset.toInt)
+        var tokenPos = binHeaderBytes.toLong
+        (0L until nBins).iterator.map { _ =>
+          val key = idx.getLong()
+          val nTok = idx.getLong()
+          val nDocs = idx.getInt()
+          val docIds = new Array[Long](nDocs)
+          val docLens = new Array[Long](nDocs)
+          var d = 0
+          while (d < nDocs) { docIds(d) = idx.getLong(); docLens(d) = idx.getLong(); d += 1 }
+          val ids = new Array[Long](nTok.toInt)
+          val pay = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          pay.position(tokenPos.toInt)
+          var t = 0
+          while (t < nTok) {
+            ids(t) = if (width == 2) (pay.getShort() & 0xffffL)
+              else (pay.getInt() & 0xffffffffL)
+            t += 1
+          }
+          tokenPos += nTok * width
+          (key, docIds.toSeq, docLens.toSeq, ids.toSeq, nDocs.toLong, nTok)
+        }
+      }
+      .toDF("bin_key", "doc_ids", "doc_lens", "ids", "n_docs", "n_tokens")
   }
 
   private def deleteRec(f: java.io.File): Unit = {
