@@ -4345,6 +4345,57 @@ object SparkEntry {
         .withColumn("lossless_exact", lit(lossless))
     }),
 
+    // q244: DETERMINISTIC TRAINING-ORDER SHUFFLE — the missing last step
+    // before a loader consumes the shards: packSequences leaves bins
+    // doc-id-ordered (corpus-adjacent sequences -> non-IID batches), so
+    // each bin gets a global train_seq under the seeded md5 permutation
+    // (Sampling's hash discipline applied to ORDER). Gated in-query:
+    // the assignment is invariant under input repartitioning, and the
+    // ORDERED artifact exports byte-identical from reshuffled input. The
+    // oracle recomputes the permutation EXACTLY — row_number over
+    // md5(seed:shard:bin) on the replayed pack — so any drift in the
+    // key recipe or the tiebreak is a hash failure.
+    "q244_train_order" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q244 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocab(s, dir)
+      val tokens = operators.TokenShards.tokenizeToIds(
+        docs, "doc_id", "text", merges, vocab)
+      val bins = operators.TokenShards.packSequences(
+          tokens, "doc_id", nShards = 8, capacity = 512L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { bins.unpersist(); () })
+      val ordered = operators.TokenShards.withTrainingOrder(bins, "release-1")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { ordered.unpersist(); () })
+      // partitioning invariance: the same permutation from reshuffled input
+      val ordered2 = operators.TokenShards.withTrainingOrder(
+        bins.repartition(17), "release-1")
+      val a = ordered.select(col("shard"), col("bin"), col("train_seq"))
+      val b = ordered2.select(col("shard"), col("bin"), col("train_seq"))
+      val invariant = a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
+      // the ordered artifact is byte-deterministic end to end
+      val root = s"${indexStoreRoot(dir, "documents")}/ordered_shards_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeJsonlShards(ordered, p1, "train_seq", nShards = 4,
+        maxShardBytes = 1L << 20)
+      sources.Export.writeJsonlShards(ordered2.repartition(13), p2, "train_seq",
+        nShards = 4, maxShardBytes = 1L << 20)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      ordered.select(col("shard"), col("bin"), col("train_seq"),
+          col("n_docs"), col("n_tokens"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("order_invariant", lit(invariant))
+        .withColumn("deterministic", lit(deterministic))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9212,6 +9263,51 @@ object SparkEntry {
         |       CAST(sum(n) AS BIGINT) AS n_tokens,
         |       TRUE AS merges_pinned, TRUE AS deterministic, TRUE AS lossless_exact
         |FROM pack GROUP BY 1, 2""".stripMargin,
+    // q244: q237's pack replay, then the EXACT permutation recompute —
+    // row_number over md5(seed:shard:bin) with the (shard, bin) tiebreak
+    "q244_train_order" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1)
+        |SELECT shard, bin,
+        |       row_number() OVER (ORDER BY md5('release-1:' || shard || ':' || bin),
+        |                          shard, bin) - 1 AS train_seq,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       TRUE AS merges_pinned, TRUE AS order_invariant, TRUE AS deterministic
+        |FROM pack GROUP BY shard, bin""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab

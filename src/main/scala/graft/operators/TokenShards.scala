@@ -342,6 +342,41 @@ object TokenShards {
    * bound). ONE exchange: the group-sort shuffle; next-fit and bin
    * assembly then stream in the same pass with capacity-bounded state.
    */
+  /**
+   * DETERMINISTIC TRAINING-ORDER SHUFFLE — the last step before a loader
+   * consumes the shards: packed bins are doc-id-ordered within shards
+   * ([[packSequences]] sorts by `doc_id`), so adjacent training sequences
+   * are corpus-adjacent — non-IID batches. This assigns each bin a
+   * global `train_seq` position under a SEEDED, PARTITIONING-INVARIANT
+   * permutation: the order key is `md5(seed:shard:bin)` (the
+   * [[Sampling.hash32]] md5 discipline applied to ORDER instead of
+   * selection — a pure function of (seed, bin identity), so reruns,
+   * repartitionings, and other engines replay the same permutation;
+   * ties, astronomically unlikely, break on (shard, bin) so the order is
+   * total). A new seed is a fresh epoch-level reshuffle of the SAME
+   * artifact.
+   *
+   * SCALE SHAPE: one range exchange (the total sort by order key) plus
+   * `zipWithIndex`'s partition-count pass to assign consecutive global
+   * positions — the standard distributed global-rank; NEVER a
+   * single-partition window (`row_number` over an unpartitioned window
+   * is the unbounded-window trap PlanAuditSpec sweeps for).
+   */
+  def withTrainingOrder(bins: DataFrame, seed: String): DataFrame = {
+    require(seed.nonEmpty, "seed must be non-empty — it names the permutation")
+    val spark = bins.sparkSession
+    val keyed = bins.withColumn("__order_key",
+      md5(concat_ws(":", lit(seed), col("shard"), col("bin"))))
+    val sorted = keyed.orderBy(col("__order_key"), col("shard"), col("bin"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "train_seq", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema).drop("__order_key")
+  }
+
   def packSequences(tokens: DataFrame, idCol: String, nShards: Int,
       capacity: Long): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")

@@ -286,4 +286,40 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
         TokenShards.detokenize(ids, rev)).getMessage.contains("unknown token id"))
     }
   }
+
+  describe("withTrainingOrder") {
+    val bins = (0L until 4L).flatMap(sh => (0L until 6L).map(b =>
+      (sh, b, Seq(sh * 10 + b), Seq(3L), Seq(1L, 1L, 0L), 1L, 3L)))
+      .toDF("shard", "bin", "doc_ids", "doc_lens", "ids", "n_docs", "n_tokens")
+
+    it("assigns consecutive global positions 0..N-1 under the seeded md5 permutation") {
+      val got = TokenShards.withTrainingOrder(bins, "seed-a")
+        .select($"shard", $"bin", $"train_seq")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got.values.toSeq.sorted == (0L until 24L))
+      // the permutation is the md5 order, recomputed independently here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def key(sh: Long, b: Long): String =
+        md.digest(s"seed-a:$sh:$b".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+      val expect = got.keys.toSeq.sortBy { case (sh, b) => (key(sh, b), sh, b) }
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toMap
+      assert(got == expect)
+      // ...and it is NOT the corpus order (the whole point)
+      assert(got.toSeq.sortBy(_._2).map(_._1) != got.keys.toSeq.sorted)
+    }
+
+    it("is partitioning-invariant; a different seed is a different permutation") {
+      val a = TokenShards.withTrainingOrder(bins, "seed-a")
+        .select($"shard", $"bin", $"train_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = TokenShards.withTrainingOrder(bins.repartition(7), "seed-a")
+        .select($"shard", $"bin", $"train_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a == b)
+      val c = TokenShards.withTrainingOrder(bins, "seed-b")
+        .select($"shard", $"bin", $"train_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a != c) // fresh epoch-level reshuffle
+    }
+  }
 }
