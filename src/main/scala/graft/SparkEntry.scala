@@ -4396,6 +4396,87 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q245: IMAGE-TEXT PAIR EXTRACTION — the multimodal analog of q227:
+    // (src, caption, kind) pairs from <img alt> attributes and
+    // <figure>/<figcaption> blocks, planted per doc with DECOYS a broken
+    // extractor would leak (srcless img, empty alt, altless img, orphan
+    // figure) and an ALT-FIRST figure img pinning attribute-order
+    // independence. One map-side-combined aggregation; the oracle is the
+    // planted closed form (entities decode, inline tags strip — the
+    // blockVisible rule q227 already gates).
+    "q245_image_captions" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+      val html = concat(
+        lit("<p>intro</p><img src=\"https://i"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example/a"), pmod(col("doc_id"), lit(11L)).cast("string"),
+        lit(".png\" alt=\"Alt &amp; cat "), pmod(col("doc_id"), lit(3L)).cast("string"),
+        lit("\"><img alt=\"srcless decoy\">" +
+          "<img src=\"https://skip.example/e.png\" alt=\"\">" +
+          "<img src=\"https://skip2.example/n.png\">" +
+          "<figure class=\"x\"><img alt=\"inner "),
+        pmod(col("doc_id"), lit(2L)).cast("string"),
+        lit("\" src=\"https://f"), pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit(".example/b"), pmod(col("doc_id"), lit(13L)).cast("string"),
+        lit(".jpg\"><figcaption>Fig <b>hot</b> "),
+        pmod(col("doc_id"), lit(4L)).cast("string"),
+        lit("</figcaption></figure><figure><figcaption>orphan</figcaption></figure>"))
+      docs.select(explode(functions.Text.imageCaptions(html)).as("p"))
+        .select(col("p.src").as("src"), col("p.caption").as("caption"),
+          col("p.kind").as("kind"))
+        .groupBy(col("src"), col("caption"), col("kind"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // q246: CAPTION-IMAGE TRAINING PAIRS — the composition the extractor
+    // exists for: page markup -> imageCaptions (src, caption) -> join to
+    // the crawl's captured blobs BY URL -> real decode (BMP and PNG
+    // codecs) -> cross-format phash consolidation (q192's gate composed:
+    // the alt-captioned BMP and the figure-captioned PNG of one doc are
+    // the SAME pixels, so their phashes must agree and the two captions
+    // consolidate onto one image). The oracle replays captions and the
+    // decoded channel means from the planted closed forms.
+    "q246_caption_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long].filter(_ < 50)
+      val pages = ids.toDF("doc_id").select(col("doc_id"), concat(
+        lit("<p>t</p><img src=\"https://img.example/a/"), col("doc_id").cast("string"),
+        lit(".bmp\" alt=\"photo &amp; A "), pmod(col("doc_id"), lit(6L)).cast("string"),
+        lit("\"><figure><img src=\"https://img.example/b/"), col("doc_id").cast("string"),
+        lit(".png\"><figcaption>Fig <b>B</b> "), pmod(col("doc_id"), lit(4L)).cast("string"),
+        lit("</figcaption></figure>")).as("html"))
+      val caps = pages
+        .select(col("doc_id"), explode(functions.Text.imageCaptions(col("html"))).as("p"))
+        .select(col("doc_id"), col("p.src").as("url"),
+          col("p.caption").as("caption"), col("p.kind").as("kind"))
+      // the blob store the crawl captured for those urls: BMP + PNG twin
+      // (same pixel closed form, different format and url)
+      val blobs = ids.flatMap { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        Seq((s"https://img.example/a/$id.bmp", id * 2L,
+            multimodal.Media.syntheticBmp(w, h, id)),
+          (s"https://img.example/b/$id.png", id * 2L + 1L,
+            multimodal.Media.syntheticPngImage(w, h, id)))
+      }.toDF("url", "img_id", "blob")
+      val decoded = multimodal.Media.pixelMeans(
+        blobs.select(col("img_id"), col("blob")), "img_id", "blob")
+      val hashes = multimodal.Media.perceptualHash(
+          blobs.select(col("img_id"), col("blob")), "img_id", "blob")
+        .select(col("img_id"), col("phash"))
+      val meta = blobs.select(col("url"), col("img_id"))
+        .join(decoded, "img_id").join(hashes, "img_id")
+      val joined = caps.join(meta, "url")
+      // per doc: the two formats must consolidate onto ONE phash
+      val perDoc = joined.groupBy(col("doc_id"))
+        .agg((countDistinct(col("phash")) === lit(1L)).as("same_image"))
+      joined.join(perDoc, "doc_id")
+        .select(col("doc_id"), col("kind"), col("caption"), col("url"),
+          col("width"), col("height"), col("mean_r"), col("mean_g"), col("mean_b"),
+          col("same_image"))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9308,6 +9389,51 @@ object SparkEntry {
         |       CAST(sum(n) AS BIGINT) AS n_tokens,
         |       TRUE AS merges_pinned, TRUE AS order_invariant, TRUE AS deterministic
         |FROM pack GROUP BY shard, bin""".stripMargin,
+    // q245: the planted closed form — entities decode, the <b> strips,
+    // every decoy vanishes
+    "q245_image_captions" ->
+      """WITH p AS (
+        |  SELECT 'https://i' || (doc_id % 7) || '.example/a' || (doc_id % 11) || '.png' AS src,
+        |         'Alt & cat ' || (doc_id % 3) AS caption, 'alt' AS kind
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'https://f' || (doc_id % 5) || '.example/b' || (doc_id % 13) || '.jpg',
+        |         'inner ' || (doc_id % 2), 'alt'
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'https://f' || (doc_id % 5) || '.example/b' || (doc_id % 13) || '.jpg',
+        |         'Fig hot ' || (doc_id % 4), 'figcaption'
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT src, caption, kind, count(*) AS n FROM p GROUP BY 1, 2, 3""".stripMargin,
+    // q246: captions are the planted closed form; channel means replay
+    // the syntheticBmp pixel formulas (r=(x+y)%256, g=(y+id)%256,
+    // b=(x+id)%256) over the planted geometry; phash consolidation is
+    // the in-query gate
+    "q246_caption_pairs" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |             FROM documents WHERE doc_id IS NOT NULL AND doc_id < 50),
+        |px AS (SELECT doc_id, w, h,
+        |              (x + y) % 256 AS vr, (y + doc_id) % 256 AS vg,
+        |              (x + doc_id) % 256 AS vb
+        |       FROM ids, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                 unnest(generate_series(0, h - 1)) AS uy(y)),
+        |m AS (SELECT doc_id, w, h,
+        |             CAST(sum(vr) // (w * h) AS BIGINT) AS mean_r,
+        |             CAST(sum(vg) // (w * h) AS BIGINT) AS mean_g,
+        |             CAST(sum(vb) // (w * h) AS BIGINT) AS mean_b
+        |      FROM px GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT doc_id, 'alt' AS kind, 'photo & A ' || (doc_id % 6) AS caption,
+        |         'https://img.example/a/' || doc_id || '.bmp' AS url
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 'figcaption', 'Fig B ' || (doc_id % 4),
+        |         'https://img.example/b/' || doc_id || '.png'
+        |  FROM ids)
+        |SELECT c.doc_id, c.kind, c.caption, c.url,
+        |       CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+        |       m.mean_r, m.mean_g, m.mean_b, TRUE AS same_image
+        |FROM c JOIN m ON c.doc_id = m.doc_id""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab

@@ -576,6 +576,65 @@ object Text {
       transform(regexp_extract_all(html, lit(anchorPairPattern), lit(2)), b => blockVisible(b)),
       (h, t) => struct(h.as("href"), t.as("anchor")))
 
+  /** One `<img ...>` tag (self-closing or not) — the multimodal analog
+    * of [[anchorHrefPattern]]: the tag is extracted whole, then its
+    * attributes are pulled from the tag string, so `src`/`alt` pair
+    * correctly in EITHER attribute order (a single all-in-one pattern
+    * would silently drop alt-first markup). Shared constants; RE2 ∩
+    * Java subset (no lookarounds). */
+  val imgTagPattern: String = "(?i)<img[\\s/][^>]*>"
+
+  /** `src="..."` inside one extracted tag. The leading `\s` keeps
+    * `data-src=` from matching (the char before `src` must be
+    * whitespace, and `-` is not). Double-quoted values only — the
+    * [[anchorHrefPattern]] contract. */
+  val imgSrcAttrPattern: String = "(?i)\\ssrc\\s*=\\s*\"([^\"]*)\""
+
+  /** `alt="..."` inside one extracted tag (same delimiter discipline). */
+  val imgAltAttrPattern: String = "(?i)\\salt\\s*=\\s*\"([^\"]*)\""
+
+  /** One `<figure>...</figure>` block (inner markup captured). */
+  val figureBlockPattern: String = "(?is)<figure[^>]*>(.*?)</figure>"
+
+  /** `<figcaption>...</figcaption>` inner markup. */
+  val figcaptionPattern: String = "(?is)<figcaption[^>]*>(.*?)</figcaption>"
+
+  /**
+   * IMAGE–TEXT PAIR EXTRACTION — the multimodal analog of
+   * [[anchorTexts]]: every textual description markup attaches to an
+   * image, as `(src, caption, kind)` structs in document order, the raw
+   * material of caption–image training pairs (composable with the blob
+   * decode + phash dedup chain — q246). Two caption sources, each a
+   * shared-constant pattern pass:
+   *  - `kind='alt'`: every `<img>` tag carrying BOTH a src and a
+   *    non-empty alt (the accessibility text — attribute order
+   *    irrelevant, see [[imgTagPattern]]);
+   *  - `kind='figcaption'`: every `<figure>` block carrying both an
+   *    `<img src>` and a `<figcaption>` (the editorial caption).
+   * A figure image with its own alt emits BOTH pairs — two independent
+   * caption signals for one image, which a pairing pipeline wants
+   * separately. Captions pass through [[blockVisible]] (inline tags
+   * stripped, entities decoded, edges trimmed — the [[anchorTexts]]
+   * rule). Srcless images, captionless figures, and empty captions
+   * yield no rows. Zero exchanges — rides the scan.
+   */
+  def imageCaptions(html: Column): Column = {
+    def pair(src: Column, caption: Column, kind: String) =
+      struct(src.as("src"), caption.as("caption"), lit(kind).as("kind"))
+    val altPairs = filter(
+      transform(regexp_extract_all(html, lit(imgTagPattern), lit(0)), tag =>
+        pair(regexp_extract(tag, imgSrcAttrPattern, 1),
+          blockVisible(regexp_extract(tag, imgAltAttrPattern, 1)), "alt")),
+      p => p.getField("src") =!= "" && p.getField("caption") =!= "")
+    val figPairs = filter(
+      transform(regexp_extract_all(html, lit(figureBlockPattern), lit(1)), block =>
+        pair(
+          regexp_extract(regexp_extract(block, imgTagPattern, 0), imgSrcAttrPattern, 1),
+          blockVisible(regexp_extract(block, figcaptionPattern, 1)), "figcaption")),
+      p => p.getField("src") =!= "" && p.getField("caption") =!= "")
+    concat(altPairs, figPairs)
+  }
+
   /** Sentence segmentation — the unit between the token and the document
     * that sentence-level dedup/chunking/packing keys on. Deliberately a
     * RULE, not a model: a sentence is a maximal run of non-terminator

@@ -571,6 +571,36 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Text.imageCaptions") {
+    it("pairs src with alt/figcaption in either attribute order; decoys yield nothing") {
+      val html =
+        """<p>x</p><img src="https://a.example/1.png" alt="An &amp; alt">
+          |<img alt="srcless"><img src="https://skip.example/e.png" alt="">
+          |<img src="https://skip2.example/n.png">
+          |<figure><img alt="inner one" src="https://f.example/2.jpg">
+          |<figcaption>Cap <b>hot</b> text</figcaption></figure>
+          |<figure><figcaption>orphan</figcaption></figure>""".stripMargin
+      val got = Seq((1L, html)).toDF("id", "html")
+        .select(explode(Text.imageCaptions($"html")).as("p"))
+        .select($"p.src", $"p.caption", $"p.kind")
+        .as[(String, String, String)].collect().toSet
+      assert(got === Set(
+        ("https://a.example/1.png", "An & alt", "alt"),
+        // the figure img emits BOTH its alt pair and the figcaption pair
+        ("https://f.example/2.jpg", "inner one", "alt"),
+        ("https://f.example/2.jpg", "Cap hot text", "figcaption")))
+    }
+
+    it("data-src never masquerades as src; a self-closing tag still pairs") {
+      val html = """<img data-src="https://lazy.example/x.png" alt="lazy">""" +
+        """<img src="https://b.example/s.png" alt="selfclosed"/>"""
+      val got = Seq((1L, html)).toDF("id", "html")
+        .select(explode(Text.imageCaptions($"html")).as("p"))
+        .select($"p.src", $"p.caption").as[(String, String)].collect().toSet
+      assert(got === Set(("https://b.example/s.png", "selfclosed")))
+    }
+  }
+
   describe("Text.scrubPii / piiCounts") {
     // same vector the DuckDB parity check uses: all four categories plus a
     // version string that must NOT match the IP/phone shapes
