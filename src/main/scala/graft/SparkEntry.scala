@@ -656,6 +656,46 @@ object SparkEntry {
       operators.TokenShards.vocabFromFrameTotal(sources.Sink.readIndex(s, path))
     })
 
+  /** The q241 RELEASE SLICE — quality/repetition gates, exact dedup,
+    * stratified rebalance, PII scrub — as one shared definition so the
+    * release query and its standing-vocabulary store can never drift on
+    * what "the release corpus" means. */
+  private[graft] def releaseSlice(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+      "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+        "'q241 oracle requires a 0x1F-free corpus') IS NULL"))
+    val t = coalesce(col("text"), lit(""))
+    val kept = docs.select(col("doc_id"), col("lang"), col("text"))
+      .where(functions.Text.qualityOk(t) && functions.Text.repetitionOk(t))
+    val survivors = operators.Dedup.exactRows(kept, "doc_id", col("text"))
+    val sampled = operators.Sampling.stratifiedSample(survivors, "lang", "doc_id",
+      Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+    sampled.select(col("doc_id"),
+      functions.Text.scrubPii(col("text")).as("clean"))
+  }
+
+  /** Memoized STANDING release-slice vocabulary for q241 — keyed by the
+    * source signature (baked into [[indexStoreRoot]]) and the scrub
+    * version (the path suffix): the recurring release path loads the id
+    * table instead of re-inducing it each run, exactly like the merge
+    * table itself ([[ensureTokenizers]]). Bumping the curation/scrub
+    * recipe bumps `scrub1` and re-induces — never silently reuses. */
+  private val releaseVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  private[graft] def ensureReleaseVocab(s: SparkSession, dir: String): Map[String, Long] =
+    releaseVocabs.computeIfAbsent(dir, _ => {
+      val root = indexStoreRoot(dir, "documents")
+      val path = s"$root/release_vocab_scrub1_v1"
+      if (!sources.Sink.indexExists(path)) {
+        val (merges, _) = ensureTokenizers(s, dir)
+        sources.Sink.writeIndex(
+          operators.TokenShards.buildVocab(releaseSlice(s, dir), "clean", merges),
+          path)
+      }
+      operators.TokenShards.vocabFromFrame(sources.Sink.readIndex(s, path))
+    })
+
   private[graft] def ensurePqIndex(s: SparkSession, dir: String): operators.Similarity.PqIndex =
     pqIndexes.computeIfAbsent(dir, _ => {
       val root = indexStoreRoot(dir, "embeddings")
@@ -4182,23 +4222,14 @@ object SparkEntry {
     // corpus vocabulary. Same 0x1F-free oracle restriction as q167.
     "q241_train_release" -> ((s, dir) => {
       import s.implicits._
-      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
-        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
-          "'q241 oracle requires a 0x1F-free corpus') IS NULL"))
-      val t = coalesce(col("text"), lit(""))
-      val kept = docs.select(col("doc_id"), col("lang"), col("text"))
-        .where(functions.Text.qualityOk(t) && functions.Text.repetitionOk(t))
-      val survivors = operators.Dedup.exactRows(kept, "doc_id", col("text"))
-      val sampled = operators.Sampling.stratifiedSample(survivors, "lang", "doc_id",
-        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
-      val release = sampled.select(col("doc_id"),
-        functions.Text.scrubPii(col("text")).as("clean"))
+      val release = releaseSlice(s, dir)
       val (merges, _) = ensureTokenizers(s, dir)
       val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
         ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
         ("w", "id"), ("low", "est"))
-      val vocab = operators.TokenShards.vocabFromFrame(
-        operators.TokenShards.buildVocab(release, "clean", merges))
+      // store-backed: the recurring release path LOADS the vocab (the
+      // q232 reload discipline) instead of re-inducing it per run
+      val vocab = ensureReleaseVocab(s, dir)
       val tokens = operators.TokenShards.tokenizeToIds(
         release, "doc_id", "clean", merges, vocab)
       val seqs = operators.TokenShards.packSequences(
@@ -4475,6 +4506,47 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("caption"), col("url"),
           col("width"), col("height"), col("mean_r"), col("mean_g"), col("mean_b"),
           col("same_image"))
+    }),
+
+    // q247: SHARD-LEVEL MIXTURE MANIFEST — the data-card bookkeeping a
+    // release ships beside its shards: per pack shard, the (lang,
+    // source) doc/token composition, one explode + join + tiny agg
+    // riding the pack output. The manifest rows EXPORT through the
+    // staged-publish writer and the published rows are gated in-query
+    // against a fresh recount (read-back ≡ recompute, exceptAll both
+    // ways); the oracle recounts composition through the learned-merges
+    // CTE's per-doc id counts (doc_lens sum to exactly what the shard
+    // ships — spaces and EOS included).
+    "q247_mixture_manifest" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q247 oracle requires a 0x1F-free corpus') IS NULL"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocab(s, dir)
+      val tokens = operators.TokenShards.tokenizeToIds(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", merges, vocab)
+      val bins = operators.TokenShards.packSequences(
+        tokens, "doc_id", nShards = 8, capacity = 512L)
+      val mixture = operators.TokenShards.mixtureManifest(
+          bins, docs.select(col("doc_id"), col("lang"), col("source")),
+          "doc_id", Seq("lang", "source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { mixture.unpersist(); () })
+      // the manifest is itself a published artifact (registry rows)
+      val root = s"${indexStoreRoot(dir, "documents")}/mixture_manifest_v1"
+      val keyed = mixture.withColumn("mix_key",
+        concat_ws(":", col("shard"), col("lang"), col("source")))
+      sources.Export.writeJsonlShards(keyed, root, "mix_key", nShards = 1,
+        maxShardBytes = 1L << 20)
+      val back = sources.Export.readJsonlShards(s, root, keyed.schema).drop("mix_key")
+      val consistent = back.exceptAll(mixture)
+        .unionByName(mixture.exceptAll(back)).isEmpty
+      mixture
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("manifest_consistent", lit(consistent))
     }),
 
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
@@ -9434,6 +9506,38 @@ object SparkEntry {
         |       CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
         |       m.mean_r, m.mean_g, m.mean_b, TRUE AS same_image
         |FROM c JOIN m ON c.doc_id = m.doc_id""".stripMargin,
+    // q247: per-doc id counts through the merges CTE (q237's doctok),
+    // then shard = doc_id % 8 joined to the doc's (lang, source)
+    "q247_mixture_manifest" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1)
+        |SELECT CAST(t.doc_id % 8 AS BIGINT) AS shard, d.lang, d.source,
+        |       count(*) AS n_docs, CAST(sum(t.n) AS BIGINT) AS n_tokens,
+        |       TRUE AS merges_pinned, TRUE AS manifest_consistent
+        |FROM doctok t JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab

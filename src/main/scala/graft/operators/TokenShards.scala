@@ -343,6 +343,31 @@ object TokenShards {
    * assembly then stream in the same pass with capacity-bounded state.
    */
   /**
+   * SHARD-LEVEL MIXTURE MANIFEST — the data-mixture bookkeeping a
+   * trainer's data card needs: for every pack shard, its composition
+   * over the given metadata dimensions (typically `lang`, `source`) as
+   * `(shard, dims..., n_docs, n_tokens)`. `n_tokens` sums the packed
+   * `doc_lens` (id counts INCLUDING the inter-word SPACEs and closing
+   * EOS — exactly what the shard ships), so the manifest reconciles
+   * against the artifact byte-for-token. Each document lives in exactly
+   * one bin (the [[packSequences]] invariant), so `n_docs` is a plain
+   * count. SCALE SHAPE: one explode riding the pack output, one hash
+   * join to the metadata frame (AQE broadcasts a small dimension side),
+   * one map-side-combined aggregation — dimension-cardinality-sized
+   * output, a registry row set, never corpus-sized.
+   */
+  def mixtureManifest(bins: DataFrame, docMeta: DataFrame, idCol: String,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "at least one mixture dimension is required")
+    val exploded = bins.select(col("shard"),
+        explode(arrays_zip(col("doc_ids"), col("doc_lens"))).as("d"))
+      .select(col("shard"), col("d.doc_ids").as(idCol), col("d.doc_lens").as("__len"))
+    exploded.join(docMeta, Seq(idCol))
+      .groupBy((col("shard") +: dims.map(col)): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("n_tokens"))
+  }
+
+  /**
    * DETERMINISTIC TRAINING-ORDER SHUFFLE — the last step before a loader
    * consumes the shards: packed bins are doc-id-ordered within shards
    * ([[packSequences]] sorts by `doc_id`), so adjacent training sequences

@@ -322,4 +322,24 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       assert(a != c) // fresh epoch-level reshuffle
     }
   }
+
+  describe("mixtureManifest") {
+    it("recounts each shard's (lang, source) composition from the packed doc_lens") {
+      val bins = Seq(
+        (0L, 0L, Seq(1L, 2L), Seq(5L, 7L), Seq.fill(12)(1L), 2L, 12L),
+        (0L, 1L, Seq(3L), Seq(4L), Seq.fill(4)(1L), 1L, 4L),
+        (1L, 0L, Seq(4L, 5L), Seq(6L, 2L), Seq.fill(8)(1L), 2L, 8L))
+        .toDF("shard", "bin", "doc_ids", "doc_lens", "ids", "n_docs", "n_tokens")
+      val meta = Seq((1L, "en", "web"), (2L, "en", "web"), (3L, "de", "web"),
+        (4L, "en", "book"), (5L, "en", "web")).toDF("doc_id", "lang", "source")
+      val got = TokenShards.mixtureManifest(bins, meta, "doc_id", Seq("lang", "source"))
+        .collect().map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+          (r.getLong(3), r.getLong(4)))).toMap
+      assert(got === Map(
+        (0L, "en", "web") -> ((2L, 12L)),   // docs 1+2: 5+7 ids
+        (0L, "de", "web") -> ((1L, 4L)),
+        (1L, "en", "book") -> ((1L, 6L)),
+        (1L, "en", "web") -> ((1L, 2L))))
+    }
+  }
 }
