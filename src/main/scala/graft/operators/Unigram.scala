@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
  *    discipline);
  *  - all orderings (seed top-N, prune victims) tie-break
  *    lexicographically;
- *  - single-character pieces are never pruned and carry an expected-count
+ *  - single-CODEPOINT pieces are never pruned and carry an expected-count
  *    floor of 1, so every word stays segmentable (the coverage rule the
  *    reference trainer enforces via required_chars).
  *
@@ -157,18 +157,42 @@ object Unigram {
       .filter(_._2 > 0L)
   }
 
-  /** Seed candidates of one word: every substring up to [[maxPieceLen]],
-    * weighted count × occurrences. */
+  /** Position `i` of `w` is a CODEPOINT boundary — never between the
+    * halves of a surrogate pair. Candidate pieces are enumerated on
+    * codepoint boundaries only (the [[graft.operators.Bpe]]
+    * `codepointSymbols` discipline): a piece tearing an astral codepoint
+    * would be un-encodable as UTF-8 and would silently break the
+    * byte-fallback total encoding downstream. Because every trained
+    * piece is then well-formed, the EM lattice and Viterbi never match a
+    * torn substring (a torn span starts with a low or ends with a high
+    * surrogate — equal to no well-formed piece), so boundary enforcement
+    * here covers the whole trainer. Value-identical on BMP-only corpora
+    * (every pinned oracle). */
+  private def isCpBoundary(w: String, i: Int): Boolean =
+    i <= 0 || i >= w.length ||
+      !(Character.isHighSurrogate(w.charAt(i - 1)) && Character.isLowSurrogate(w.charAt(i)))
+
+  /** One whole codepoint (the never-pruned inventory floor unit — a
+    * single Java char on the BMP, a surrogate pair above it). */
+  private def isSingleCp(s: String): Boolean =
+    s.nonEmpty && s.codePointCount(0, s.length) == 1
+
+  /** Seed candidates of one word: every codepoint-boundary substring up
+    * to [[maxPieceLen]] chars, weighted count × occurrences. */
   private[graft] def wordSeeds(w: String, count: Long): Iterator[(String, Long)] = {
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var j = 0
     while (j < w.length) {
-      val e = math.min(w.length, j + maxPieceLen)
-      var i = j + 1
-      while (i <= e) {
-        val s = w.substring(j, i)
-        acc.update(s, acc.getOrElse(s, 0L) + count)
-        i += 1
+      if (isCpBoundary(w, j)) {
+        val e = math.min(w.length, j + maxPieceLen)
+        var i = j + 1
+        while (i <= e) {
+          if (isCpBoundary(w, i)) {
+            val s = w.substring(j, i)
+            acc.update(s, acc.getOrElse(s, 0L) + count)
+          }
+          i += 1
+        }
       }
       j += 1
     }
@@ -184,11 +208,11 @@ object Unigram {
       prune: Boolean): Seq[(String, Long)] = {
     val fitted = current.map { s =>
       val e = sums.getOrElse(s, 0L)
-      (s, if (s.length == 1) math.max(e, 1L) else e)
+      (s, if (isSingleCp(s)) math.max(e, 1L) else e)
     }
-    if (!prune) fitted.filter { case (s, e) => s.length == 1 || e > 0L }
+    if (!prune) fitted.filter { case (s, e) => isSingleCp(s) || e > 0L }
     else {
-      val (chars, multi) = fitted.partition(_._1.length == 1)
+      val (chars, multi) = fitted.partition(p => isSingleCp(p._1))
       val live = multi.filter(_._2 > 0L)
       val target = math.max(0, vocabSize - chars.size)
       val excess = live.size - target
@@ -218,9 +242,9 @@ object Unigram {
     val sums = words.flatMap { case (w, c) => wordSeeds(w, c) }
       .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
       .map { case (s, e) => (s, e) }
-    val chars = sums.filter(_._1.length == 1).collect().toSeq
+    val chars = sums.filter(s => isSingleCp(s._1)).collect().toSeq
     val nMulti = math.max(0, seedSize - chars.size)
-    val multi = sums.filter(_._1.length > 1).toDF("piece", "w")
+    val multi = sums.filter(s => !isSingleCp(s._1)).toDF("piece", "w")
       .orderBy(col("w").desc, col("piece").asc).limit(nMulti)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     (chars ++ multi).sortBy(_._1)
@@ -230,7 +254,7 @@ object Unigram {
     * is left (single chars never prune, so a vocabSize below the char
     * inventory bottoms out at the inventory instead of looping). */
   private def atTarget(model: UnigramModel, vocabSize: Int): Boolean =
-    model.pieces.size <= vocabSize || model.pieces.forall(_._1.length == 1)
+    model.pieces.size <= vocabSize || model.pieces.forall(p => isSingleCp(p._1))
 
   private def emRounds(words: () => Iterator[(String, Long)],
       seed: Seq[(String, Long)], vocabSize: Int): UnigramModel = {
@@ -339,9 +363,10 @@ object Unigram {
   /**
    * Viterbi segmentation of one word — most probable piece sequence;
    * exact-score ties prefer the LONGER last piece (smaller split point),
-   * making the rule total and deterministic. Single characters absent
+   * making the rule total and deterministic. Single CODEPOINTS absent
    * from the model segment as themselves at [[UnigramModel.unkProb]]
-   * (strictly below any trained piece), so encoding never fails.
+   * (strictly below any trained piece), so encoding never fails — and
+   * never emits a torn surrogate half (see [[isCpBoundary]]).
    */
   def segment(w: String, model: UnigramModel): Vector[String] = {
     // LOG-SPACE Viterbi: a linear-space product underflows to 0.0 around
@@ -366,7 +391,11 @@ object Unigram {
           val piece = w.substring(j, i)
           val lp = probs.get(piece) match {
             case Some(p) => StrictMath.log(p)
-            case None => if (i - j == 1) logUnk else logZero
+            // unknown fallback is one whole CODEPOINT (2 chars when
+            // astral) — a lone-surrogate "piece" would mangle to '?'
+            // under UTF-8 downstream
+            case None =>
+              if (j + Character.charCount(w.codePointAt(j)) == i) logUnk else logZero
           }
           if (lp != logZero) {
             val s = best(j) + lp

@@ -133,4 +133,40 @@ class UnigramSpec extends AnyFunSuite with SparkSuite {
     }
     assert(ex.getMessage.contains("maxVocab"))
   }
+
+  test("astral codepoints never tear: pieces, floor, and unk all move whole codepoints") {
+    // U+1D6C0 (surrogate pair) inside and between trained morphemes: every
+    // candidate piece, the never-pruned floor, the unknown fallback, and
+    // Viterbi backtrace must respect codepoint boundaries — a lone
+    // surrogate piece would UTF-8-mangle to '?' under total encoding
+    val astral = "\uD835\uDEC0"
+    val word = s"low${astral}est"
+    val docs = Seq((1L, s"$word low lowest est")).toDF("id", "text")
+    val m = Unigram.trainCollected(docs, "text", vocabSize = 12, seedSize = 24)
+    m.pieces.foreach { case (piece, _) =>
+      assert(!Character.isLowSurrogate(piece.charAt(0)), s"torn head in '$piece'")
+      assert(!Character.isHighSurrogate(piece.charAt(piece.length - 1)),
+        s"torn tail in '$piece'")
+    }
+    val segs = Unigram.segment(word, m)
+    assert(segs.mkString("") == word, s"$word segmented to $segs")
+    segs.foreach { piece =>
+      assert(!Character.isLowSurrogate(piece.charAt(0)), s"torn head in '$piece'")
+      assert(!Character.isHighSurrogate(piece.charAt(piece.length - 1)),
+        s"torn tail in '$piece'")
+    }
+    // a NEVER-SEEN astral codepoint segments as one whole-codepoint unk
+    val novel = "\uD83D\uDE00" // U+1F600
+    val unkSegs = Unigram.segment(s"a${novel}b", m)
+    assert(unkSegs.mkString("") == s"a${novel}b")
+    assert(unkSegs.contains(novel), s"expected whole-codepoint unk in $unkSegs")
+    // ...and the byte-fallback TOTAL encoding round-trips through it
+    val alien = Seq((7L, s"$word a${novel}b")).toDF("doc_id", "text")
+    val vocabT = TokenShards.vocabFromFrameTotal(
+      TokenShards.buildVocabTotalWith(alien, "text")(w => Unigram.segment(w, m)))
+    val toks = TokenShards.tokenizeToIdsTotalWith(alien, "doc_id", "text", vocabT)(
+      w => Unigram.segment(w, m))
+    val ids = toks.select($"ids").as[Seq[Long]].collect().head
+    assert(TokenShards.detokenizeTotal(ids, vocabT.map(_.swap)) == s"$word a${novel}b")
+  }
 }
