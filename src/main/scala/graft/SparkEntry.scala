@@ -4549,6 +4549,42 @@ object SparkEntry {
         .withColumn("manifest_consistent", lit(consistent))
     }),
 
+    // q248: CLUSTER-BALANCED SELECTION — the topic-axis curation move:
+    // no embedding cluster contributes more than ~cap rows (in
+    // expectation), deterministically. The operator is capPerKeySample
+    // (md5 threshold per key, exact integer math, corpus never
+    // shuffles); the ORACLE face runs it over a PLANTED skewed
+    // assignment (70/20/5/5% cells) replayed exactly q89-style; the
+    // REAL face runs the SAME operator over the standing k-means cells
+    // (ensureIvfIndex — float-trained, so not value-replayable) with
+    // CERTAIN gates carried as booleans: the kept set is invariant
+    // under input repartitioning, and every under-cap cell keeps ALL
+    // its rows (threshold 2^32 — no hash can miss it).
+    "q248_cluster_balance" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+      val m10 = pmod(col("doc_id"), lit(10L))
+      val cell = when(m10 < 7, lit(0L)).when(m10 < 9, lit(1L))
+        .otherwise(pmod(col("doc_id"), lit(2L)) + lit(2L))
+      val planted = docs.select(col("doc_id"), cell.as("cell"))
+      val kept = operators.Sampling.capPerKeySample(planted, "cell", "doc_id", 40L)
+      val cells = ensureIvfIndex(s, dir).assigned
+        .select(col("neighbor_id").as("vec_id"), col("cent_id"))
+      val keptA = operators.Sampling.capPerKeySample(cells, "cent_id", "vec_id", 20L)
+      val keptB = operators.Sampling.capPerKeySample(
+        cells.repartition(13), "cent_id", "vec_id", 20L)
+      val deterministic = keptA.select(col("vec_id")).exceptAll(keptB.select(col("vec_id")))
+        .unionByName(keptB.select(col("vec_id")).exceptAll(keptA.select(col("vec_id"))))
+        .isEmpty
+      val sizes = cells.groupBy(col("cent_id")).agg(count(lit(1)).as("__n"))
+      val keptSizes = keptA.groupBy(col("cent_id")).agg(count(lit(1)).as("__k"))
+      val underCapIntact = sizes.where(col("__n") <= 20)
+        .join(keptSizes, Seq("cent_id"), "left")
+        .where(coalesce(col("__k"), lit(0L)) =!= col("__n")).isEmpty
+      kept.select(col("doc_id"), col("cell"))
+        .withColumn("real_cells_deterministic", lit(deterministic))
+        .withColumn("under_cap_intact", lit(underCapIntact))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9538,6 +9574,20 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS manifest_consistent
         |FROM doctok t JOIN documents d USING (doc_id)
         |GROUP BY 1, 2, 3""".stripMargin,
+    // q248: the planted-cell face replays exactly (q89's md5-threshold
+    // discipline); the real-cell invariants ride as in-query booleans
+    "q248_cluster_balance" ->
+      """WITH a AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 10 < 7 THEN 0 WHEN doc_id % 10 < 9 THEN 1
+        |                  ELSE doc_id % 2 + 2 END AS cell
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |cnt AS (SELECT cell, count(*) AS n FROM a GROUP BY 1),
+        |thr AS (SELECT cell, CAST(4294967296 * least(40, n) // n AS UBIGINT) AS t FROM cnt)
+        |SELECT a.doc_id, CAST(a.cell AS BIGINT) AS cell,
+        |       TRUE AS real_cells_deterministic, TRUE AS under_cap_intact
+        |FROM a JOIN thr USING (cell)
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'keycap'), 1, 8)) AS UBIGINT)
+        |      < t""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab

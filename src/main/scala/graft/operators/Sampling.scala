@@ -171,6 +171,36 @@ object Sampling {
   }
 
   /**
+   * EXPECTED-CAP per-key sampling — the cluster-balancing move for
+   * embedding-space curation: no key (topic cluster, near-dup component,
+   * crawl host) contributes more than ~`cap` rows IN EXPECTATION; keys
+   * at or under the cap keep everything. Keep a row iff
+   * `hash32(id, "keycap") < floor(2^32 · min(cap, n_key) / n_key)` —
+   * the [[deterministicSample]] md5 discipline with a per-key threshold,
+   * so the decision is per-row, partitioning-invariant, and
+   * engine-replayable in exact integer math (DuckDB `//`, Spark `div`).
+   * Unlike [[topKPerKey]]'s hard rank cap this needs NO per-key ordering
+   * state — the corpus never shuffles; one key-cardinality-sized count
+   * aggregation broadcasts back and the filter rides the scan. Growing a
+   * key's population only ever LOWERS its members' threshold — rows
+   * leave monotonically, never churn in and out. NULL keys drop (the
+   * [[temperatureMix]] rule).
+   */
+  def capPerKeySample(df: DataFrame, keyCol: String, idCol: String, cap: Long): DataFrame = {
+    require(cap > 0 && cap < (1L << 31), s"cap must be in [1, 2^31), got $cap")
+    Seq("__key", "__n", "__thr").foreach(c =>
+      require(!df.columns.contains(c), s"$c is reserved by capPerKeySample"))
+    val thr = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__key"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__key"),
+        expr(s"4294967296L * least(${cap}L, __n) div __n").as("__thr"))
+    df.join(broadcast(thr), df(keyCol).cast("string") === col("__key"))
+      .where(hash32(col(idCol), "keycap") < col("__thr"))
+      .drop("__key", "__thr")
+  }
+
+  /**
    * GROUP-level train/holdout assignment: `is_holdout` is a function of
    * `groupCol`'s hash (salt "groupsplit"), not the row's — every member of a
    * group lands on the same side of the split. THE leakage guard for

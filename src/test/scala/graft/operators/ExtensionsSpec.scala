@@ -430,6 +430,34 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](Sampling.temperatureMix(mixed, "src", "id", 0L))
     }
 
+    it("capPerKeySample: heavy keys shrink toward the cap, under-cap keys stay whole") {
+      // 2000 'hot' rows vs 30 'cold': cap 100 -> hot keeps ~5% (rate
+      // 100/2000), cold keeps EVERYTHING (threshold 2^32 is unmissable)
+      val mixed = ((0L until 2000L).map(i => (i, "hot")) ++
+        (50000L until 50030L).map(i => (i, "cold"))).toDF("id", "k")
+      val kept = Sampling.capPerKeySample(mixed, "k", "id", 100L)
+        .as[(Long, String)].collect()
+      val byKey = kept.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(byKey.getOrElse("cold", 0) === 30) // certain, not statistical
+      val hotRate = byKey.getOrElse("hot", 0).toDouble / 2000
+      assert(hotRate > 0.02 && hotRate < 0.09, s"hot keep rate $hotRate should be ~0.05")
+      // partitioning-invariant; growing a key only ever REMOVES members
+      val again = Sampling.capPerKeySample(mixed.repartition(7), "k", "id", 100L)
+        .as[(Long, String)].collect()
+      assert(kept.toSet === again.toSet)
+      val grown = mixed.unionByName(
+        (100000L until 102000L).map(i => (i, "hot")).toDF("id", "k"))
+      val keptGrown = Sampling.capPerKeySample(grown, "k", "id", 100L)
+        .as[(Long, String)].collect().toSet
+      assert(keptGrown.filter(_._2 == "hot").subsetOf(kept.toSet.filter(_._2 == "hot")
+        ++ (100000L until 102000L).map(i => (i, "hot"))))
+      // null keys drop; cap contract is loud
+      assert(Sampling.capPerKeySample(
+        mixed.unionByName(Seq((7L, null.asInstanceOf[String])).toDF("id", "k")),
+        "k", "id", 100L).where(col("k").isNull).count() === 0L)
+      intercept[IllegalArgumentException](Sampling.capPerKeySample(mixed, "k", "id", 0L))
+    }
+
     it("topKPerKey keeps the k best rows per key (value desc, id asc), invariant to partitioning") {
       val rows = Seq(
         ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L),
