@@ -60,6 +60,37 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  it("total (byte-fallback) tokenization is one NARROW pass riding the scan") {
+    val docs = SparkEntry.tbl(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val (merges, _) = SparkEntry.ensureTokenizers(spark, dir)
+    val vocab = SparkEntry.ensureTokenVocabTotal(spark, dir)
+    val p = graft.operators.TokenShards
+      .tokenizeToIdsTotal(docs, "doc_id", "text", merges, vocab)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"total tokenization must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  it("q245 caption extraction is ONE map-side-combined exchange over a doc_id-only read") {
+    val p = plan("q245_image_captions")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange (the (src, caption, kind) count):\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  it("q248 planted face: broadcast threshold join + the one cell-count exchange; " +
+     "the corpus itself never shuffles") {
+    val p = plan("q248_cluster_balance")
+    assert(p.contains("BroadcastHashJoin"), s"the per-cell threshold dim must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the cell-count aggregation exchange:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   it("q21 token count reads ONLY (doc_id, text) from the documents scan") {
     val p = plan("q21_token_count")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
