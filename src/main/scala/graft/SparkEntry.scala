@@ -4585,6 +4585,64 @@ object SparkEntry {
         .withColumn("under_cap_intact", lit(underCapIntact))
     }),
 
+    // q249: EPOCH STREAMS over the ordered artifact — the multi-epoch
+    // loader contract: one packed corpus, one training-order permutation
+    // PER EPOCH SEED, each epoch exported as a binary GRBS artifact
+    // keyed by train_seq (a loader mmaps shards and walks bins by
+    // ascending key — the stream IS the artifact). Gated in-query: each
+    // epoch's binary export is byte-deterministic under reshuffled
+    // input, the two epochs range over the SAME bin multiset, and their
+    // permutations genuinely differ. The oracle replays BOTH
+    // permutations exactly (row_number over md5(seed:shard:bin) per
+    // epoch on the replayed pack).
+    "q249_epoch_order" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q249 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocab(s, dir)
+      val width = if (vocab.valuesIterator.max <= 0xffffL) 2 else 4
+      val bins = operators.TokenShards.packSequences(
+          operators.TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab),
+          "doc_id", nShards = 8, capacity = 512L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { bins.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/epoch_shards_v1"
+      val epochs = Seq(0, 1).map { e =>
+        val ordered = operators.TokenShards.withTrainingOrder(bins, s"epoch-$e")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        onCleanup(() => { ordered.unpersist(); () })
+        val keyed = ordered.select(col("train_seq").as("bin_key"),
+          col("doc_ids"), col("doc_lens"), col("ids"))
+        val (p1, p2) = (s"$root/e$e/a", s"$root/e$e/b")
+        sources.Export.writeBinaryShards(keyed, p1, "bin_key", nShards = 4,
+          maxShardBytes = 1L << 20, tokenWidth = width)
+        sources.Export.writeBinaryShards(keyed.repartition(11 + e), p2, "bin_key",
+          nShards = 4, maxShardBytes = 1L << 20, tokenWidth = width)
+        val deterministic =
+          sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+        (e, ordered, deterministic)
+      }
+      val Seq((_, o0, d0), (_, o1, d1)) = epochs
+      val key0 = o0.select(col("shard"), col("bin"))
+      val key1 = o1.select(col("shard"), col("bin"))
+      val sameBins = key0.exceptAll(key1).unionByName(key1.exceptAll(key0)).isEmpty
+      val differ = !o0.select(col("shard"), col("bin"), col("train_seq"))
+        .exceptAll(o1.select(col("shard"), col("bin"), col("train_seq"))).isEmpty
+      epochs.map { case (e, o, det) =>
+        o.select(lit(e.toLong).as("epoch"), col("train_seq"), col("shard"),
+            col("bin"), col("n_docs"), col("n_tokens"))
+          .withColumn("deterministic", lit(det))
+      }.reduce(_.unionByName(_))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("same_bin_multiset", lit(sameBins))
+        .withColumn("epochs_differ", lit(differ))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9588,6 +9646,55 @@ object SparkEntry {
         |FROM a JOIN thr USING (cell)
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'keycap'), 1, 8)) AS UBIGINT)
         |      < t""".stripMargin,
+    // q249: q237's pack replay with one md5 permutation PER EPOCH seed
+    "q249_epoch_order" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1),
+        |b AS (SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM pack GROUP BY 1, 2),
+        |e AS (SELECT 0 AS epoch FROM (VALUES (1)) UNION ALL SELECT 1 FROM (VALUES (1)))
+        |SELECT CAST(e.epoch AS BIGINT) AS epoch,
+        |       row_number() OVER (PARTITION BY e.epoch
+        |                          ORDER BY md5('epoch-' || e.epoch || ':' || shard || ':' || bin),
+        |                          shard, bin) - 1 AS train_seq,
+        |       shard, bin, n_docs, n_tokens,
+        |       TRUE AS deterministic, TRUE AS merges_pinned,
+        |       TRUE AS same_bin_multiset, TRUE AS epochs_differ
+        |FROM b, e""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab
