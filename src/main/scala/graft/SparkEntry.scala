@@ -4643,6 +4643,25 @@ object SparkEntry {
         .withColumn("epochs_differ", lit(differ))
     }),
 
+    // q250: TOKEN-BUDGET MIXTURE — the data-card composition trainers
+    // actually budget by: hit a target TOKEN share per language under a
+    // total token budget (doc-count mixing over-serves strata of long
+    // documents). Bernoulli-by-row at p = min(target, actual)/actual
+    // keeps expected token mass at target; thresholds are exact integer
+    // md5 arithmetic, so the oracle replays the keep set row-for-row.
+    // 'es' is deliberately ABSENT from the share map (targets 0, drops)
+    // — the dropped-stratum path is exercised, not assumed.
+    "q250_token_budget_mix" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          functions.Text.tokenCount(coalesce(col("text"), lit(""))).as("n_tokens"))
+      operators.Sampling.tokenBudgetMix(docs, "lang", "doc_id", "n_tokens",
+          Map("en" -> 500L, "de" -> 200L, "fr" -> 150L, "zh" -> 150L),
+          budget = 20000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9695,6 +9714,25 @@ object SparkEntry {
         |       TRUE AS deterministic, TRUE AS merges_pinned,
         |       TRUE AS same_bin_multiset, TRUE AS epochs_differ
         |FROM b, e""".stripMargin,
+    // q250: the q21 token-count form per doc, stratum masses, the exact
+    // integer threshold, and the md5 keep-set replayed row-for-row
+    "q250_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CASE WHEN len(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')) = 0 THEN 0
+        |                  ELSE len(regexp_extract_all(regexp_replace(coalesce(text, ''), '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                       '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) END AS w
+        |           FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |m AS (SELECT lang, sum(w) AS actual FROM t GROUP BY 1),
+        |thr AS (SELECT lang,
+        |          CAST(4294967296 * least((20000 * (CASE lang WHEN 'en' THEN 500
+        |               WHEN 'de' THEN 200 WHEN 'fr' THEN 150 WHEN 'zh' THEN 150
+        |               ELSE 0 END)) // 1000, actual)
+        |               // greatest(actual, 1) AS UBIGINT) AS thr
+        |        FROM m)
+        |SELECT t.doc_id, t.lang, CAST(t.w AS BIGINT) AS n_tokens
+        |FROM t JOIN thr USING (lang)
+        |WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR) || 'tokmix'), 1, 8)) AS UBIGINT)
+        |      < thr""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab

@@ -201,6 +201,53 @@ object Sampling {
   }
 
   /**
+   * TOKEN-BUDGET mixture sampling — the data-card move trainers actually
+   * budget by: hit a TARGET TOKEN COMPOSITION, not a document-count one
+   * ([[temperatureMix]] flattens doc counts; a stratum of long documents
+   * would blow its token share right through a doc-count target). Given
+   * integer milli-shares (`Map("en" -> 600, "code" -> 250, ...)`) and a
+   * total token `budget`, stratum s targets `budget·share_s div 1000`
+   * tokens and keeps each row with probability
+   * `min(target_s, actual_s) / actual_s` — Bernoulli on the row keeps
+   * the EXPECTED KEPT TOKEN MASS at the target regardless of how tokens
+   * distribute across documents. Same [[hash32]] discipline (salt
+   * "tokmix"): thresholds are exact 64-bit integer math (the `least`
+   * operand is ≤ budget < 2^31, so `2^32·least` never overflows even
+   * when a stratum's actual mass is in the trillions), the corpus never
+   * shuffles (one stratum-cardinality mass aggregation broadcasts back),
+   * and the keep decision is per-row, partitioning-invariant, and
+   * engine-replayable. Strata absent from the map target 0 and drop;
+   * NULL strata drop; `weightCol` must be a non-negative integer token
+   * count (the q21 tokenCount contract).
+   */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, sharesMilli: Map[String, Long], budget: Long): DataFrame = {
+    require(budget > 0 && budget < (1L << 31), s"budget must be in [1, 2^31), got $budget")
+    require(sharesMilli.values.forall(s => s >= 0 && s <= 1000),
+      s"milli-shares must be in [0, 1000], got $sharesMilli")
+    require(sharesMilli.values.sum <= 1000,
+      s"milli-shares sum to ${sharesMilli.values.sum} > 1000 — not a composition")
+    Seq("__stratum", "__actual", "__share", "__thr").foreach(c =>
+      require(!df.columns.contains(c), s"$c is reserved by tokenBudgetMix"))
+    val shareExpr = sharesMilli.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (els, (k, sh)) =>
+        when(col("__stratum") === k, lit(sh)).otherwise(els)
+    }
+    val thrWithShare = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("__stratum"))
+      .agg(sum(col(weightCol)).cast("long").as("__actual"))
+      .withColumn("__share", shareExpr)
+      // greatest(,1): an all-zero-weight stratum targets 0 and keeps 0
+      // rows — never a division by zero under ANSI
+      .select(col("__stratum"),
+        expr(s"4294967296L * least((${budget}L * __share) div 1000L, __actual)" +
+          " div greatest(__actual, 1L)").as("__thr"))
+    df.join(broadcast(thrWithShare), df(stratumCol).cast("string") === col("__stratum"))
+      .where(hash32(col(idCol), "tokmix") < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
+  /**
    * GROUP-level train/holdout assignment: `is_holdout` is a function of
    * `groupCol`'s hash (salt "groupsplit"), not the row's — every member of a
    * group lands on the same side of the split. THE leakage guard for

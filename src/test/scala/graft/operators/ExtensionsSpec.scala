@@ -458,6 +458,39 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](Sampling.capPerKeySample(mixed, "k", "id", 0L))
     }
 
+    it("tokenBudgetMix hits the token target per stratum; unlisted strata drop") {
+      // 'big': 1000 docs x 100 tokens = 100k mass, 600 milli of a 50k
+      // budget -> target 30k -> keep rate 0.3 of the MASS; 'small':
+      // 400 milli -> target 20k > its 8k mass -> keeps EVERYTHING;
+      // 'out': no share -> drops entirely (certain)
+      val rows = ((0L until 1000L).map(i => (i, "big", 100L)) ++
+        (10000L until 10400L).map(i => (i, "small", 20L)) ++
+        (90000L until 90050L).map(i => (i, "out", 10L))).toDF("id", "k", "w")
+      val kept = Sampling.tokenBudgetMix(rows, "k", "id", "w",
+        Map("big" -> 600L, "small" -> 400L), budget = 50000L)
+        .as[(Long, String, Long)].collect()
+      val mass = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      assert(mass.getOrElse("small", 0L) === 8000L) // under target: all kept, certain
+      assert(!mass.contains("out"))                 // unlisted: dropped, certain
+      val bigMass = mass.getOrElse("big", 0L).toDouble
+      assert(bigMass > 30000 * 0.8 && bigMass < 30000 * 1.2,
+        s"big kept mass $bigMass should be ~30000")
+      // invariance + a zero-weight stratum never divides by zero
+      val again = Sampling.tokenBudgetMix(rows.repartition(7), "k", "id", "w",
+        Map("big" -> 600L, "small" -> 400L), budget = 50000L)
+        .as[(Long, String, Long)].collect()
+      assert(kept.toSet === again.toSet)
+      val zeroed = Seq((1L, "z", 0L), (2L, "z", 0L)).toDF("id", "k", "w")
+      assert(Sampling.tokenBudgetMix(zeroed, "k", "id", "w",
+        Map("z" -> 1000L), budget = 100L).count() === 0L)
+      // composition contracts are loud
+      intercept[IllegalArgumentException](
+        Sampling.tokenBudgetMix(rows, "k", "id", "w", Map("big" -> 1001L), 100L))
+      intercept[IllegalArgumentException](
+        Sampling.tokenBudgetMix(rows, "k", "id", "w",
+          Map("big" -> 600L, "small" -> 600L), 100L))
+    }
+
     it("topKPerKey keeps the k best rows per key (value desc, id asc), invariant to partitioning") {
       val rows = Seq(
         ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L),
