@@ -342,6 +342,13 @@ object Export {
               .putLong(binHeaderBytes.toLong + nTokens * tokenWidth)
             raf.seek(0L); raf.write(hdr.array())
           } finally raf.close()
+          // the reader parses a whole file through one byte array with Int
+          // positions (the binaryFile contract) — an over-2GiB file (only
+          // possible via ONE pathological oversize bin; rollover bounds
+          // everything else to maxShardBytes) must fail here, not there
+          require(f.length() <= Int.MaxValue.toLong,
+            s"shard $file exceeds the 2 GiB single-file read envelope — " +
+              "lower maxShardBytes or split the oversize bin")
           out += ((file, nBins, f.length()))
           nBins = 0L; nTokens = 0L
           index = scala.collection.mutable.ArrayBuffer.empty
