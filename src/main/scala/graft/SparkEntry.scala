@@ -767,6 +767,8 @@ object SparkEntry {
     ensureWarcFixture(s, dir) // standing crawl fixture files (q205)
     ensureTokenizers(s, dir): Unit // standing tokenizer artifacts (q232)
     ensureTokenVocab(s, dir): Unit // standing token-id vocabulary (q237)
+    ensureTokenVocabTotal(s, dir): Unit // standing byte-fallback vocabulary (q242)
+    ensureReleaseVocab(s, dir): Unit // standing release-slice vocabulary (q241)
     ensureOpqIndex(s, dir)._2.codes.count(): Unit // standing OPQ basis+codes (q235)
     ()
   }

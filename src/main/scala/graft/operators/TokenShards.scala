@@ -398,9 +398,17 @@ object TokenShards {
     require(seed.nonEmpty, "seed must be non-empty — it names the permutation")
     val spark = bins.sparkSession
     import spark.implicits._
-    val skinny = bins
+    val keys = bins
       .select(md5(concat_ws(":", lit(seed), col("shard"), col("bin"))).as("__order_key"),
         col("shard").cast("long").as("shard"), col("bin").cast("long").as("bin"))
+    // (shard, bin) must be UNIQUE — [[packSequences]] guarantees it, but
+    // this is a public API over any bin frame, and a duplicate key would
+    // silently CROSS-PRODUCT ranks through the join-back below. The check
+    // is one tiny agg over the skinny key frame, never the payload.
+    require(keys.groupBy(col("shard"), col("bin")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).isEmpty,
+      "duplicate (shard, bin) keys — the training order would be ill-defined")
+    val skinny = keys
       .orderBy(col("__order_key"), col("shard"), col("bin"))
       .select(col("shard"), col("bin"))
       .as[(Long, Long)]

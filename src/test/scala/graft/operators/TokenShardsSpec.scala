@@ -321,6 +321,13 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(a != c) // fresh epoch-level reshuffle
     }
+
+    it("duplicate (shard, bin) keys fail loudly instead of cross-producting ranks") {
+      val dup = bins.unionByName(bins.limit(1))
+      val e = intercept[IllegalArgumentException](
+        TokenShards.withTrainingOrder(dup, "seed-a"))
+      assert(e.getMessage.contains("duplicate (shard, bin)"))
+    }
   }
 
   describe("mixtureManifest") {
