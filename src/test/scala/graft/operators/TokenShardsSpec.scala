@@ -171,6 +171,36 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       assert(rebuilt == expected)
     }
 
+    it("TOTAL encoding round-trips on any corpus under any IMPOVERISHED vocab " +
+       "(random symbols evicted -> byte fallback), including astral codepoints") {
+      val rnd = new scala.util.Random(1223)
+      def astralWord(): String =
+        Seq.fill(1 + rnd.nextInt(3))(new String(Character.toChars(
+          0x1D400 + rnd.nextInt(200)))).mkString
+      val docs = (0L until 50L).map { i =>
+        val base = randomDoc(rnd)
+        // every 3rd doc additionally carries astral words (surrogate pairs)
+        (i, if (i % 3 == 0) base + " " + astralWord() + " " + astralWord() else base)
+      }.toDF("doc_id", "text")
+      val full = TokenShards.vocabFromFrameTotal(
+        TokenShards.buildVocabTotal(docs, "text", merges))
+      // evict a random half of the symbols: those now take the byte path —
+      // the round trip must hold under ANY closed vocabulary, not just a
+      // corpus-complete one (that is what TOTAL means)
+      val impoverished = full.filter(_ => rnd.nextBoolean())
+      for (vocab <- Seq(full, impoverished, Map.empty[String, Long])) {
+        val tokens = TokenShards.tokenizeToIdsTotal(docs, "doc_id", "text", merges, vocab)
+        val seqs = TokenShards.packSequences(tokens, "doc_id", nShards = 3, capacity = 32L)
+        val rebuilt = TokenShards.decodeBinsTotal(seqs, vocab)
+          .as[(Long, String)].collect().toMap
+        val expected = (0L until 50L).map { i =>
+          i -> graft.functions.Text.segmentText(
+            docs.where(col("doc_id") === i).select("text").as[String].head()).mkString(" ")
+        }.filter(_._2.nonEmpty).toMap
+        assert(rebuilt == expected, s"vocab size ${vocab.size}")
+      }
+    }
+
     it("no bin exceeds capacity unless it is an oversize singleton") {
       val rnd = new scala.util.Random(1213)
       val docs = (0L until 80L).map(i => (i, randomDoc(rnd))).toDF("doc_id", "text")
