@@ -4664,6 +4664,55 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
     }),
 
+    // q251: RELEASE DATA CARD — the metrics report a release ships next
+    // to its shards: corpus/release doc counts, the integer keep rate,
+    // total release tokens, bin count at the release geometry, and
+    // per-language doc/token composition — every number derived from the
+    // SAME proven kernels the release itself runs (releaseSlice, the
+    // standing release vocab, tokenizeToIds, packSequences), and every
+    // number replayed by the oracle through q241's full curation CTE
+    // chain. One long-typed (metric, key, value) row set — the data
+    // card IS a query result, so it can never drift from the artifact.
+    "q251_data_card" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q251 oracle requires a 0x1F-free corpus') IS NULL"))
+      val release = releaseSlice(s, dir)
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureReleaseVocab(s, dir)
+      val tokens = operators.TokenShards.tokenizeToIds(
+          release, "doc_id", "clean", merges, vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { tokens.unpersist(); () })
+      val bins = operators.TokenShards.packSequences(tokens, "doc_id",
+        nShards = 8, capacity = 512L)
+      val byLang = tokens.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      def row(metric: String, key: org.apache.spark.sql.Column,
+          value: org.apache.spark.sql.Column) =
+        Seq(lit(metric).as("metric"), key.as("key"), value.cast("long").as("value"))
+      val corpusDocs = docs.agg(count(lit(1)).as("v"))
+      val releaseDocs = release.agg(count(lit(1)).as("v"))
+      val card = Seq(
+        corpusDocs.select(row("corpus_docs", lit("all"), col("v")): _*),
+        releaseDocs.select(row("release_docs", lit("all"), col("v")): _*),
+        releaseDocs.crossJoin(broadcast(corpusDocs.select(col("v").as("c"))))
+          .select(row("kept_rate_permille", lit("all"),
+            expr("v * 1000L div c")): _*),
+        tokens.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("v"))
+          .select(row("release_tokens", lit("all"), col("v")): _*),
+        bins.agg(count(lit(1)).as("v"))
+          .select(row("bins", lit("all"), col("v")): _*),
+        byLang.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+          .select(row("tokenized_docs_by_lang", col("lang"), col("v")): _*),
+        byLang.groupBy(col("lang")).agg(sum(col("n_tokens")).as("v"))
+          .select(row("tokens_by_lang", col("lang"), col("v")): _*)
+      ).reduce(_.unionByName(_))
+      card.withColumn("merges_pinned", lit(mergesPinned))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9735,6 +9784,87 @@ object SparkEntry {
         |FROM t JOIN thr USING (lang)
         |WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR) || 'tokmix'), 1, 8)) AS UBIGINT)
         |      < thr""".stripMargin,
+    // q251: q241's full curation replay, read out as data-card metrics
+    "q251_data_card" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents
+        |         WHERE doc_id IS NOT NULL),
+        |tok AS (SELECT doc_id, lang, t,
+        |          regexp_extract_all(t, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+        |        FROM base),
+        |qual AS (SELECT * FROM tok
+        |         WHERE len(words) >= 5 AND len(words) <= 100000
+        |           AND CAST(len(trim(t)) AS DOUBLE) / len(words) >= 2.0
+        |           AND CAST(len(trim(t)) AS DOUBLE) / len(words) <= 20.0),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
+        |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g
+        |       FROM qual WHERE len(words) >= 2),
+        |top AS (SELECT doc_id, max(cnt) AS top_n FROM (
+        |          SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |rep AS (SELECT q.doc_id, q.lang, q.t FROM qual q LEFT JOIN top ON q.doc_id = top.doc_id
+        |        WHERE len(q.words) < 10 OR (len(list_distinct(q.words)) * 2 >= len(q.words)
+        |          AND coalesce(top.top_n, 0) * 5 <= len(q.words) - 1)),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM rep GROUP BY t),
+        |surv AS (SELECT r.doc_id, r.lang, r.t FROM rep r JOIN ded USING (doc_id)),
+        |samp AS (SELECT doc_id, lang, t FROM surv
+        |         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)) AS UBIGINT)
+        |               < CASE lang WHEN 'en' THEN CAST(floor(0.5 * 4294967296) AS UBIGINT)
+        |                           WHEN 'zh' THEN CAST(floor(1.0 * 4294967296) AS UBIGINT)
+        |                           ELSE CAST(floor(0.25 * 4294967296) AS UBIGINT) END),
+        |rel AS (SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |         'https?://[^ \x09-\x0D]+', '<URL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM samp),
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(clean, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM rel),
+        |voc AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM voc
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1)
+        |SELECT 'corpus_docs' AS metric, 'all' AS key,
+        |       (SELECT count(*) FROM base) AS value, TRUE AS merges_pinned
+        |UNION ALL SELECT 'release_docs', 'all', (SELECT count(*) FROM rel), TRUE
+        |UNION ALL SELECT 'kept_rate_permille', 'all',
+        |       (SELECT count(*) FROM rel) * 1000 // (SELECT count(*) FROM base), TRUE
+        |UNION ALL SELECT 'release_tokens', 'all',
+        |       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM doctok), TRUE
+        |UNION ALL SELECT 'bins', 'all',
+        |       (SELECT count(*) FROM (SELECT shard, bin FROM pack GROUP BY 1, 2)), TRUE
+        |UNION ALL SELECT 'tokenized_docs_by_lang', samp.lang, count(*), TRUE
+        |          FROM doctok JOIN samp USING (doc_id) GROUP BY samp.lang
+        |UNION ALL SELECT 'tokens_by_lang', samp.lang, CAST(sum(doctok.n) AS BIGINT), TRUE
+        |          FROM doctok JOIN samp USING (doc_id) GROUP BY samp.lang""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab
