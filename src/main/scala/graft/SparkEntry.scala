@@ -5823,14 +5823,14 @@ object SparkEntry {
     * string in >= 2 distinct docs), and the covered-position set. */
   private val repeatedSpanCtes: String =
     """WITH base AS (SELECT doc_id, text FROM documents),
-      |bw AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+      |bw AS (SELECT doc_id, regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
       |       FROM base WHERE text IS NOT NULL),
       |plant AS (SELECT doc_id + 2000000 AS doc_id,
       |                 'uniq' || doc_id || ' ' || array_to_string(words[1:25], ' ') AS text
       |          FROM bw WHERE doc_id < 50 AND len(words) >= 25),
       |corpus AS (SELECT doc_id, text FROM base
       |           UNION ALL SELECT doc_id, text FROM plant),
-      |w AS (SELECT doc_id, regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+      |w AS (SELECT doc_id, regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
       |      FROM corpus WHERE text IS NOT NULL),
       |ws AS (SELECT doc_id,
       |              unnest(range(len(words) - 4)) AS pos,
@@ -6671,7 +6671,7 @@ object SparkEntry {
     // vertical tabs)
     "q64_top_terms" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+        |                unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
@@ -6704,7 +6704,7 @@ object SparkEntry {
     // the fixed lane hashes — so estimates equal the exact counts; same
     // Java-\s token class as q64
     "q66_heavy_hitters" ->
-      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+      """WITH toks AS (SELECT unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1)
         |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
@@ -6821,7 +6821,7 @@ object SparkEntry {
     "q75_curation_pipeline" ->
       """WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
         |tok AS (SELECT doc_id, lang, t,
-        |          regexp_extract_all(t, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+        |          regexp_extract_all(regexp_replace(t, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |        FROM base),
         |qual AS (SELECT * FROM tok
         |         WHERE len(words) >= 5 AND len(words) <= 100000
@@ -6936,7 +6936,7 @@ object SparkEntry {
     // q83: the oracle recomputes the exact heavy-hitter set (freq > n/65,
     // k=64) and asserts both Misra-Gries theorems hold (TRUE gates)
     "q83_misra_gries" ->
-      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+      """WITH toks AS (SELECT unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1),
         |tot AS (SELECT count(*) AS n FROM toks)
@@ -7061,7 +7061,7 @@ object SparkEntry {
     // q93: distinct (doc, term) pairs with the kernel tokenization, df over
     // the same doc universe
     "q93_stopword_df" ->
-      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |            FROM documents WHERE text IS NOT NULL),
         |dt AS (SELECT DISTINCT doc_id, term FROM tk),
         |nd AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL)
@@ -7364,7 +7364,7 @@ object SparkEntry {
     // and each contribution is scaled to BIGINT before the order-free sum
     "q133_bm25_topk" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+        |                unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -7388,7 +7388,7 @@ object SparkEntry {
         |  FROM scores) WHERE rank <= 10""".stripMargin,
     "q134_hybrid_rrf" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+        |                unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -8025,7 +8025,7 @@ object SparkEntry {
     // q107: first-seen doc per term with the kernel tokenization; cumulative
     // sum over the bucket frame
     "q107_vocab_growth" ->
-      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |            FROM documents WHERE text IS NOT NULL),
         |f AS (SELECT term, min(doc_id) AS first_doc FROM tk GROUP BY 1),
         |b AS (SELECT first_doc // 50 AS bucket, count(*) AS new_terms FROM f GROUP BY 1)
@@ -8465,7 +8465,7 @@ object SparkEntry {
          |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
          |SELECT doc_id, main_text,
          |       CASE WHEN len(main_text) = 0 THEN 0
-         |            ELSE CAST(len(regexp_extract_all(main_text, '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(regexp_replace(main_text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
          |       END AS n_tokens,
          |       TRUE AS nav_dropped, TRUE AS ad_dropped, TRUE AS footer_dropped
          |FROM m""".stripMargin
@@ -8509,7 +8509,7 @@ object SparkEntry {
          |             CAST(unnest(range(len(sents))) AS BIGINT) AS sent_idx
          |      FROM e)
          |SELECT doc_id, sent_idx, sentence,
-         |       CAST(len(regexp_extract_all(sentence, '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_tokens
+         |       CAST(len(regexp_extract_all(regexp_replace(sentence, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_tokens
          |FROM u""".stripMargin,
     // q215: DuckDB's nfc_normalize replays the kernel — the two planted
     // variants are byte-distinct but NFC-identical
@@ -8538,7 +8538,7 @@ object SparkEntry {
         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
         |SELECT doc_id, extracted,
         |       CASE WHEN len(extracted) = 0 THEN 0
-        |            ELSE CAST(len(regexp_extract_all(extracted, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS BIGINT)
+        |            ELSE CAST(len(regexp_extract_all(regexp_replace(extracted, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS BIGINT)
         |       END AS n_tokens
         |FROM e""".stripMargin,
     // q212: the PDF transport must be the identity on the text, modulo
@@ -8549,7 +8549,7 @@ object SparkEntry {
         |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
         |SELECT doc_id, extracted,
         |       CASE WHEN len(extracted) = 0 THEN 0
-        |            ELSE CAST(len(regexp_extract_all(extracted, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS BIGINT)
+        |            ELSE CAST(len(regexp_extract_all(regexp_replace(extracted, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS BIGINT)
         |       END AS n_tokens
         |FROM e""".stripMargin,
     // q211: the q206 closed form — the WARC transport around the codec
@@ -8615,7 +8615,7 @@ object SparkEntry {
          |e AS (SELECT doc_id, ${duckMainContent(htmlExpr)} AS extracted FROM kept)
          |SELECT doc_id, extracted,
          |       CASE WHEN len(extracted) = 0 THEN 0
-         |            ELSE CAST(len(regexp_extract_all(extracted, '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
+         |            ELSE CAST(len(regexp_extract_all(regexp_replace(extracted, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'), '[^ \\x09-\\x0D\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]+|[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]')) AS BIGINT)
          |       END AS n_tokens
          |FROM e""".stripMargin
     },
@@ -9086,7 +9086,7 @@ object SparkEntry {
     // term 'spark' appearing in all three queries counts each doc once.
     "q166_bm25_query_table" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+        |                unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
@@ -9114,7 +9114,7 @@ object SparkEntry {
     // bounded-heap combiner applies, so the row sets agree exactly.
     "q170_bm25_topk_queries" ->
       """WITH toks AS (SELECT doc_id,
-        |                unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+        |                unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |              FROM documents WHERE text IS NOT NULL),
         |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
@@ -9156,7 +9156,7 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 50 OR doc_id IS NULL
         |  UNION ALL SELECT * FROM batch),
         |toks AS (SELECT doc_id,
-        |           unnest(regexp_extract_all(text, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
+        |           unnest(regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS term
         |         FROM spliced WHERE text IS NOT NULL),
         |post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
         |SELECT doc_id % 8 AS doc_bucket, CAST(count(*) AS BIGINT) AS n_postings,
@@ -9429,7 +9429,8 @@ object SparkEntry {
         |             repeat('学習', CAST(1 + doc_id % 3 AS INT)) || ' deep ナレッジ graph' ||
         |             CASE WHEN doc_id % 2 = 0 THEN ' 机器x学习' ELSE '' END AS text
         |           FROM documents WHERE doc_id IS NOT NULL AND doc_id < 200),
-        |w AS (SELECT doc_id, regexp_extract_all(text,
+        |w AS (SELECT doc_id, regexp_extract_all(
+        |             regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'),
         |             '${functions.Text.tokenExtractPattern}') AS words FROM d),
         |bg AS (SELECT doc_id, unnest(list_transform(range(len(words)-1),
         |         i -> concat_ws(' ', words[i+1], words[i+2]))) AS g
@@ -9471,7 +9472,7 @@ object SparkEntry {
         |base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents
         |         WHERE doc_id IS NOT NULL),
         |tok AS (SELECT doc_id, lang, t,
-        |          regexp_extract_all(t, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+        |          regexp_extract_all(regexp_replace(t, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |        FROM base),
         |qual AS (SELECT * FROM tok
         |         WHERE len(words) >= 5 AND len(words) <= 100000
@@ -9790,7 +9791,7 @@ object SparkEntry {
         |base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents
         |         WHERE doc_id IS NOT NULL),
         |tok AS (SELECT doc_id, lang, t,
-        |          regexp_extract_all(t, '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+        |          regexp_extract_all(regexp_replace(t, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
         |        FROM base),
         |qual AS (SELECT * FROM tok
         |         WHERE len(words) >= 5 AND len(words) <= 100000

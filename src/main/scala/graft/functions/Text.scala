@@ -602,10 +602,12 @@ object Text {
   /**
    * IMAGE–TEXT PAIR EXTRACTION — the multimodal analog of
    * [[anchorTexts]]: every textual description markup attaches to an
-   * image, as `(src, caption, kind)` structs in document order, the raw
-   * material of caption–image training pairs (composable with the blob
-   * decode + phash dedup chain — q246). Two caption sources, each a
-   * shared-constant pattern pass:
+   * image, as `(src, caption, kind)` structs — GROUPED BY KIND (all alt
+   * pairs in document order, then all figcaption pairs in document
+   * order; the two scans are independent, so kinds are NOT interleaved
+   * by page position) — the raw material of caption–image training
+   * pairs (composable with the blob decode + phash dedup chain — q246).
+   * Two caption sources, each a shared-constant pattern pass:
    *  - `kind='alt'`: every `<img>` tag carrying BOTH a src and a
    *    non-empty alt (the accessibility text — attribute order
    *    irrelevant, see [[imgTagPattern]]);

@@ -263,7 +263,19 @@ object TokenShards {
     val sb = new StringBuilder
     val run = new java.io.ByteArrayOutputStream()
     def flush(): Unit = if (run.size > 0) {
-      sb.append(new String(run.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      // STRICT decode: the encoder only ever emits whole valid UTF-8 per
+      // symbol, so an invalid run marks a corrupted or foreign artifact —
+      // fail loudly (the strict scheme's unknown-id discipline), never
+      // smuggle U+FFFD replacement chars into training text
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try sb.append(dec.decode(java.nio.ByteBuffer.wrap(run.toByteArray)))
+      catch {
+        case e: java.nio.charset.CharacterCodingException =>
+          throw new IllegalArgumentException(
+            "byte-id run is not valid UTF-8 — corrupted or foreign total-scheme artifact", e)
+      }
       run.reset()
     }
     ids.foreach { id =>
@@ -359,10 +371,22 @@ object TokenShards {
   def mixtureManifest(bins: DataFrame, docMeta: DataFrame, idCol: String,
       dims: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "at least one mixture dimension is required")
+    // loud join contracts — the manifest's whole point is that it
+    // RECONCILES against the artifact byte-for-token, so a doc missing
+    // from the metadata (silently undercounting) or duplicated in it
+    // (silently double-counting) must fail, not skew the data card
+    require(docMeta.groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).isEmpty,
+      s"docMeta carries duplicate $idCol rows — the mixture would double-count")
     val exploded = bins.select(col("shard"),
         explode(arrays_zip(col("doc_ids"), col("doc_lens"))).as("d"))
       .select(col("shard"), col("d.doc_ids").as(idCol), col("d.doc_lens").as("__len"))
-    exploded.join(docMeta, Seq(idCol))
+    val joined = exploded.join(
+      docMeta.withColumn("__present", lit(1)), Seq(idCol), "left")
+    require(joined.where(col("__present").isNull).isEmpty,
+      "packed documents missing from docMeta — the mixture would undercount; " +
+        "feed the SAME corpus slice the shards were packed from")
+    joined
       .groupBy((col("shard") +: dims.map(col)): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("n_tokens"))
   }

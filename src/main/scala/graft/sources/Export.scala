@@ -310,6 +310,7 @@ object Export {
         var file: String = null
         var nBins = 0L
         var nTokens = 0L
+        var idxBytes = 0L
         // per-open-file index buffer: bin-count-sized, never token-sized
         var index = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Long], Seq[Long])]
         var lastKey = Long.MinValue
@@ -343,14 +344,15 @@ object Export {
             raf.seek(0L); raf.write(hdr.array())
           } finally raf.close()
           // the reader parses a whole file through one byte array with Int
-          // positions (the binaryFile contract) — an over-2GiB file (only
-          // possible via ONE pathological oversize bin; rollover bounds
-          // everything else to maxShardBytes) must fail here, not there
+          // positions (the binaryFile contract) — an over-2GiB file is
+          // only possible via ONE pathological oversize bin (the rollover
+          // bound counts header + payload + index) and must fail here,
+          // not there
           require(f.length() <= Int.MaxValue.toLong,
             s"shard $file exceeds the 2 GiB single-file read envelope — " +
-              "lower maxShardBytes or split the oversize bin")
+              "split the oversize bin (or lower maxShardBytes below 2 GiB)")
           out += ((file, nBins, f.length()))
-          nBins = 0L; nTokens = 0L
+          nBins = 0L; nTokens = 0L; idxBytes = 0L
           index = scala.collection.mutable.ArrayBuffer.empty
         }
         def open(): Unit = {
@@ -370,7 +372,15 @@ object Export {
             require(docIds.length == docLens.length,
               s"bin $key: doc_ids and doc_lens lengths differ")
             val payloadBytes = ids.length.toLong * tokenWidth
-            if (stream != null && nTokens * tokenWidth + payloadBytes > maxShardBytes)
+            // roll on the WHOLE file size (header + payload + index), not
+            // payload alone: many small bins carry real index mass
+            // (20 B + 16 B/doc each), and a payload-only bound could
+            // silently burst maxShardBytes — and the 2 GiB read envelope —
+            // through index overhead
+            val binIndexBytes = 20L + 16L * docIds.length
+            if (stream != null &&
+                binHeaderBytes + nTokens * tokenWidth + idxBytes +
+                  payloadBytes + binIndexBytes > maxShardBytes)
               close()
             if (stream == null) open()
             ids.foreach { id =>
@@ -380,6 +390,7 @@ object Export {
             }
             index += ((key, ids.length.toLong, docIds, docLens))
             nBins += 1L; nTokens += ids.length.toLong
+            idxBytes += binIndexBytes
           }
           close()
           out.foreach { case (f, _, _) =>
@@ -429,9 +440,14 @@ object Export {
         idx.position(indexOffset.toInt)
         var tokenPos = binHeaderBytes.toLong
         (0L until nBins).iterator.map { _ =>
+          require(idx.remaining() >= 20, "GRBS index truncated mid-record")
           val key = idx.getLong()
           val nTok = idx.getLong()
           val nDocs = idx.getInt()
+          require(nTok >= 0L && tokenPos + nTok * width <= indexOffset,
+            "GRBS index claims a token span beyond the payload — corrupt shard")
+          require(nDocs >= 0 && idx.remaining() >= 16L * nDocs,
+            "GRBS index truncated inside a bin's doc table")
           val docIds = new Array[Long](nDocs)
           val docLens = new Array[Long](nDocs)
           var d = 0

@@ -113,8 +113,13 @@ object Feeds {
     // `<!-- converted from <rss> -->` must still parse as Atom); the real
     // root can never live inside any of these sections, so stripping them
     // is sniff-neutral on every well-formed feed
+    // the DOCTYPE branch consumes an optional INTERNAL SUBSET ([...])
+    // whole: '<!DOCTYPE feed [<!ENTITY e "v"> <rss note> ]>' must strip
+    // entirely — a plain [^>]* would stop at the subset's first '>' and
+    // leave a root-shaped literal in the sniff source
     val sniffSrc = regexp_replace(x,
-      "(?is)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>|<!DOCTYPE[^>]*>|<\\?.*?\\?>", "")
+      "(?is)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>|<!DOCTYPE[^>\\[]*(?:\\[[^\\]]*\\])?[^>]*>|<\\?.*?\\?>",
+      "")
     val firstRoot = lower(regexp_extract(sniffSrc, "(?is)<(rss|feed)[\\s>]", 1))
     def entries(rootCond: Column, blockPattern: String, fmt: String,
         linkPattern: String, datePattern: String) = df

@@ -33,6 +33,17 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
       // and silently diverges from every Spark kernel
       assert(!sql.contains("regexp_extract_all(trim("),
         s"$name extracts tokens over trim() — use the edge-stripped source")
+      // ...and positively: EVERY shared-pattern extraction must read a
+      // regexp_replace(-wrapped (edge-stripped) source — a raw column
+      // source is the same latent divergence with no trim() to grep for
+      var at = sql.indexOf(shared)
+      while (at >= 0) {
+        val callStart = sql.lastIndexOf("regexp_extract_all(", at)
+        assert(callStart >= 0 &&
+          sql.substring(callStart, at).contains("regexp_replace("),
+          s"$name extracts the shared pattern from a raw (un-edge-stripped) source")
+        at = sql.indexOf(shared, at + 1)
+      }
     }
     val adopters = SparkEntry.oracleSql.values.count(_.contains(shared))
     assert(adopters >= 50, s"only $adopters oracles carry the shared pattern — " +

@@ -317,6 +317,36 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("mixtureManifest join contracts") {
+    val bins = Seq((0L, 0L, Seq(1L, 2L), Seq(5L, 7L), Seq.fill(12)(1L), 2L, 12L))
+      .toDF("shard", "bin", "doc_ids", "doc_lens", "ids", "n_docs", "n_tokens")
+
+    it("missing metadata fails loudly instead of silently undercounting") {
+      val partial = Seq((1L, "en", "web")).toDF("doc_id", "lang", "source")
+      val e = intercept[IllegalArgumentException](
+        TokenShards.mixtureManifest(bins, partial, "doc_id", Seq("lang", "source")))
+      assert(e.getMessage.contains("missing from docMeta"))
+    }
+
+    it("duplicate metadata fails loudly instead of silently double-counting") {
+      val dup = Seq((1L, "en", "web"), (1L, "de", "web"), (2L, "en", "web"))
+        .toDF("doc_id", "lang", "source")
+      val e = intercept[IllegalArgumentException](
+        TokenShards.mixtureManifest(bins, dup, "doc_id", Seq("lang", "source")))
+      assert(e.getMessage.contains("duplicate"))
+    }
+  }
+
+  describe("detokenizeTotal strictness") {
+    it("an invalid UTF-8 byte run fails loudly, never decodes to U+FFFD") {
+      // a lone continuation byte 0xC3 cannot end a UTF-8 sequence
+      val ids = Seq(TokenShards.firstByteId + 0xC3L, TokenShards.eosId)
+      val e = intercept[IllegalArgumentException](
+        TokenShards.detokenizeTotal(ids, Map.empty))
+      assert(e.getMessage.contains("not valid UTF-8"))
+    }
+  }
+
   describe("withTrainingOrder") {
     val bins = (0L until 4L).flatMap(sh => (0L until 6L).map(b =>
       (sh, b, Seq(sh * 10 + b), Seq(3L), Seq(1L, 1L, 0L), 1L, 3L)))

@@ -133,6 +133,16 @@ class FeedsSpec extends AnyFunSpec with SparkSuite {
         |</channel></rss>""".stripMargin
     assert(feedRows(cdataed).map(r => (r._1, r._4)) ==
       Seq(("rss", "https://e.example/r")))
+    // a DOCTYPE with an INTERNAL SUBSET strips whole: the subset's own
+    // '>' characters must not end the strip early and leak '<rss ' into
+    // the sniff source
+    val subset =
+      """<!DOCTYPE feed [<!ENTITY e "v"> <rss note> ]>
+        |<feed xmlns="http://www.w3.org/2005/Atom">
+        | <entry><title>S</title><link href="https://e.example/s"/></entry>
+        |</feed>""".stripMargin
+    assert(feedRows(subset).map(r => (r._1, r._4)) ==
+      Seq(("atom", "https://e.example/s")))
   }
 
   it("recrawlSet: new urls fetch, postdating signals go stale, unknown signals stay fresh") {
