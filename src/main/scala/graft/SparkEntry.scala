@@ -4713,6 +4713,59 @@ object SparkEntry {
       card.withColumn("merges_pinned", lit(mergesPinned))
     }),
 
+    // q252: INCREMENTAL BINARY SHARD MAINTENANCE — q238's apply law with
+    // the BINARY transport: only the changed slice re-tokenizes, and the
+    // delta ships as a GRBS artifact (one single-doc bin per changed
+    // document — doc_id is the bin key, its token count the boundary),
+    // so the production delta path and the trainer payload share one
+    // encoding. The in-query gate is the same apply law, now THROUGH the
+    // binary round trip: v1 tokens − shipped − removed + the GRBS
+    // READ-BACK must equal a from-scratch v2 tokenization exactly.
+    "q252_binary_delta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q252 oracle requires a 0x1F-free corpus') IS NULL"))
+      val v1 = docs.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(9L)) =!= 0 ||
+          pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7L)) === 0,
+            concat(col("text"), lit(" [edited]"))).otherwise(col("text")).as("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val vocab = operators.TokenShards.vocabFromFrame(
+        operators.TokenShards.buildVocab(v1.unionByName(v2), "text", merges))
+      val width = if (vocab.valuesIterator.max <= 0xffffL) 2 else 4
+      val tok1 = operators.TokenShards.tokenizeToIds(v1, "doc_id", "text", merges, vocab)
+      val delta = operators.Snapshot.delta(v1, v2, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { delta.unpersist(); () })
+      val ship = delta.where(col("status") =!= "removed")
+        .select(col("doc_id"), col("status"))
+      val deltaTokens = operators.TokenShards.tokenizeToIds(
+        v2.join(ship.select(col("doc_id")), Seq("doc_id")),
+        "doc_id", "text", merges, vocab)
+      val keyed = deltaTokens.select(col("doc_id").as("bin_key"),
+        array(col("doc_id")).as("doc_ids"),
+        array(col("n_tokens")).as("doc_lens"), col("ids"))
+      val root = s"${indexStoreRoot(dir, "documents")}/binary_delta_v1"
+      sources.Export.writeBinaryShards(keyed, root, "bin_key", nShards = 4,
+        maxShardBytes = 1L << 20, tokenWidth = width)
+      val back = sources.Export.readBinaryShards(s, root)
+        .select(col("bin_key").as("doc_id"), col("ids"), col("n_tokens"))
+      val removed = delta.where(col("status") === "removed").select(col("doc_id"))
+      val rebuilt = tok1
+        .join(ship.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(removed, Seq("doc_id"), "left_anti")
+        .unionByName(back)
+      val scratch = operators.TokenShards.tokenizeToIds(v2, "doc_id", "text", merges, vocab)
+      val applies = rebuilt.exceptAll(scratch)
+        .unionByName(scratch.exceptAll(rebuilt)).isEmpty
+      back.join(ship, Seq("doc_id"))
+        .select(col("doc_id"), col("status"), col("n_tokens"))
+        .withColumn("delta_applies_exactly", lit(applies))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9866,6 +9919,44 @@ object SparkEntry {
         |          FROM doctok JOIN samp USING (doc_id) GROUP BY samp.lang
         |UNION ALL SELECT 'tokens_by_lang', samp.lang, CAST(sum(doctok.n) AS BIGINT), TRUE
         |          FROM doctok JOIN samp USING (doc_id) GROUP BY samp.lang""".stripMargin,
+    // q252: the binary transport must be the identity on the delta —
+    // identical replay to q238 (stripes, statuses, per-doc id counts)
+    "q252_binary_delta" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |v2 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
+        |                   THEN text || ' [edited]' ELSE text END AS text
+        |       FROM documents
+        |       WHERE doc_id IS NOT NULL AND (doc_id % 9 != 0 OR doc_id % 10 = 0)),
+        |ship AS (SELECT doc_id,
+        |                CASE WHEN doc_id % 10 = 0 THEN 'added' ELSE 'changed' END AS status
+        |         FROM v2
+        |         WHERE doc_id % 10 = 0 OR (doc_id % 7 = 0 AND text IS NOT NULL)),
+        |inst AS (SELECT v2.doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(v2.text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM v2 JOIN ship USING (doc_id) WHERE v2.text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, CAST(sum(enc.nt) + count(*) AS BIGINT) AS n_tokens
+        |           FROM inst JOIN enc USING (w) GROUP BY 1)
+        |SELECT d.doc_id, s.status, d.n_tokens, TRUE AS delta_applies_exactly
+        |FROM doctok d JOIN ship s USING (doc_id)""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab

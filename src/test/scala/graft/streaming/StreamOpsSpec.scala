@@ -686,6 +686,13 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
         val packedDocs = packed.select(org.apache.spark.sql.functions.explode($"doc_ids").as("d"))
           .collect().map(_.getLong(0)).toSet
         assert(packedDocs === Set(3L)) // doc 1 taken down, doc 2 blanked
+        // ...and the DATA CARD follows the takedown: the mixture manifest
+        // recomputed from the live store carries only the surviving doc
+        val meta = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("doc_id", "lang")
+        val mix = graft.operators.TokenShards.mixtureManifest(
+            packed, meta, "doc_id", Seq("lang"))
+          .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+        assert(mix === Map("fr" -> 1L))
       } finally q.stop()
     }
 
