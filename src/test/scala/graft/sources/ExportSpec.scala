@@ -230,4 +230,60 @@ class ExportSpec extends AnyFunSpec with SparkSuite {
     assert(onDisk(pb, mb) < onDisk(pj, mj),
       s"binary ${onDisk(pb, mb)}B should undercut jsonl.gz ${onDisk(pj, mj)}B")
   }
+
+  it("GRBS property: random bin frames round-trip exactly under any rollover bound " +
+     "and both widths, with digests invariant to input partitioning") {
+    val rnd = new scala.util.Random(2026)
+    // random bins: empty id lists, width-boundary ids, ragged doc counts
+    val data = (0L until 40L).map { k =>
+      val nDocs = rnd.nextInt(4) // 0..3 docs (0 = an empty bin row)
+      val docIds = Seq.fill(nDocs)(rnd.nextLong().abs % 1000000L)
+      val docLens = Seq.fill(nDocs)(rnd.nextInt(30).toLong)
+      val nIds = docLens.sum.toInt
+      val ids = Seq.fill(nIds)(rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => 65535L // u16 boundary
+        case _ => rnd.nextInt(65536).toLong
+      })
+      (k, docIds, docLens, ids)
+    }
+    val df = binsOf(data: _*)
+    for (bound <- Seq(64L, 300L, 1L << 20); width <- Seq(2, 4)) {
+      val path = tmp(s"bx_prop_${bound}_$width")
+      val manifest = Export.writeBinaryShards(df, path, "bin_key",
+        nShards = 3, maxShardBytes = bound, tokenWidth = width)
+      assert(manifest.map(_._2).sum === 40L, s"bound=$bound width=$width")
+      val back = Export.readBinaryShards(spark, path)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+          r.getSeq[Long](3))).sortBy(_._1)
+      assert(back.toSeq === data.sortBy(_._1).map { case (k, di, dl, ids) =>
+        (k, di, dl, ids) }, s"bound=$bound width=$width")
+      // determinism under reshuffle at every geometry
+      val p2 = tmp(s"bx_prop2_${bound}_$width")
+      Export.writeBinaryShards(
+        df.repartition(9).sortWithinPartitions(org.apache.spark.sql.functions.rand(1)),
+        p2, "bin_key", nShards = 3, maxShardBytes = bound, tokenWidth = width)
+      assert(Export.shardDigests(path) === Export.shardDigests(p2),
+        s"bound=$bound width=$width")
+      // manifest raw_bytes is the true on-disk size, file by file
+      manifest.foreach { case (f, _, b) =>
+        assert(new java.io.File(path, f).length() === b)
+      }
+    }
+  }
+
+  it("a truncated GRBS shard fails loudly at read, never parses garbage") {
+    val df = binsOf((1L, Seq(10L), Seq(5L), Seq(1L, 2L, 3L, 4L, 0L)),
+      (2L, Seq(11L), Seq(3L), Seq(5L, 6L, 0L)))
+    val path = tmp("bx_trunc")
+    val manifest = Export.writeBinaryShards(df, path, "bin_key", 1, 1 << 20, 2)
+    val f = new java.io.File(path, manifest.head._1)
+    // chop the index tail: header checks pass, per-bin parse must require
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, java.util.Arrays.copyOf(bytes, bytes.length - 10))
+    val e = intercept[org.apache.spark.SparkException](
+      Export.readBinaryShards(spark, path).collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("GRBS") || msg.contains("truncated"), msg)
+  }
 }
