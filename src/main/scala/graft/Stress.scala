@@ -1407,6 +1407,17 @@ object Stress {
       .agg(max(col("nh"))).head().getLong(0)
     println(s"[stress] max distinct ids-hashes per base doc: $distinctPerBase (expect 1)")
     require(distinctPerBase == 1L, "replicas must tokenize identically")
+    // TOTAL (byte-fallback) encoding over the same corpus: the per-symbol
+    // vocab-map miss path plus byte decomposition must stay within the
+    // same throughput class as strict encoding (same narrow shape)
+    val vocabT = TokenShards.vocabFromFrameTotal(
+      TokenShards.buildVocabTotal(replica, "text", merges))
+    val (massT, ttsecs) = timedValue(s"tokenize $n docs (TOTAL scheme)")(
+      TokenShards.tokenizeToIdsTotal(replica, "doc_id", "text", merges, vocabT)
+        .agg(sum(col("n_tokens"))).head().getLong(0))
+    println(f"[stress] total-scheme: $massT ids, ${massT / 1e6 / ttsecs}%.1f M ids/s " +
+      "(expect same id count as strict -- full vocab, no fallback fires)")
+    require(massT == mass, "total scheme under a full vocab must emit identical id counts")
     val (seqs, psecs) = timedValue("pack (capacity 16384, 32 shards)")(
       TokenShards.packSequences(tokens, "doc_id", nShards = 32, capacity = 16384L)
         .withColumn("seq_id",
