@@ -102,6 +102,15 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  it("q250 token-budget mix: broadcast threshold dim + one mass-agg exchange; " +
+     "the corpus never shuffles") {
+    val p = plan("q250_token_budget_mix")
+    assert(p.contains("BroadcastHashJoin"), s"the per-stratum threshold must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the stratum-mass aggregation exchange:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   it("q21 token count reads ONLY (doc_id, text) from the documents scan") {
     val p = plan("q21_token_count")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
