@@ -4766,6 +4766,82 @@ object SparkEntry {
         .withColumn("delta_applies_exactly", lit(applies))
     }),
 
+    // q253: MULTIMODAL PAIR RELEASE — the q241-analog for the
+    // caption-image pipeline: extract pairs (q245's kernel), join to the
+    // captured blobs, decode + phash through the real codecs, CONSOLIDATE
+    // near-duplicate images (one doc's BMP and PNG twins carry identical
+    // pixels, so both captions re-target ONE canonical copy — min url per
+    // phash group), tokenize the surviving captions against an in-query
+    // release vocabulary under the standing merges, and publish the pair
+    // frame through the deterministic staged writer. Gates in-query:
+    // byte-deterministic export under reshuffle, and the consolidation
+    // law (every pair's canonical url is its phash group's min). The
+    // oracle replays pairs, canonical urls, and caption id counts in
+    // closed form (no pinned merge applies to the caption alphabet, so a
+    // caption's id count is exactly len(caption) + 1 — single-char
+    // symbols + inter-word spaces + EOS; any merge-table or tokenizer
+    // drift breaks the hash).
+    "q253_pair_release" -> ((s, dir) => {
+      import s.implicits._
+      val ids = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long].filter(_ < 50)
+      val pages = ids.toDF("doc_id").select(col("doc_id"), concat(
+        lit("<img src=\"https://img.example/a/"), col("doc_id").cast("string"),
+        lit(".bmp\" alt=\"photo &amp; A "), pmod(col("doc_id"), lit(6L)).cast("string"),
+        lit("\"><figure><img src=\"https://img.example/b/"), col("doc_id").cast("string"),
+        lit(".png\"><figcaption>Fig <b>B</b> "), pmod(col("doc_id"), lit(4L)).cast("string"),
+        lit("</figcaption></figure>")).as("html"))
+      val caps = pages
+        .select(col("doc_id"), explode(functions.Text.imageCaptions(col("html"))).as("p"))
+        .select(col("doc_id"), col("p.src").as("url"),
+          col("p.caption").as("caption"), col("p.kind").as("kind"))
+      val blobs = ids.flatMap { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        Seq((s"https://img.example/a/$id.bmp", id * 2L,
+            multimodal.Media.syntheticBmp(w, h, id)),
+          (s"https://img.example/b/$id.png", id * 2L + 1L,
+            multimodal.Media.syntheticPngImage(w, h, id)))
+      }.toDF("url", "img_id", "blob")
+      val hashes = multimodal.Media.perceptualHash(
+          blobs.select(col("img_id"), col("blob")), "img_id", "blob")
+        .join(blobs.select(col("url"), col("img_id")), "img_id")
+        .select(col("url"), col("phash"))
+      // near-dup consolidation: one canonical copy per phash group
+      val canon = hashes.groupBy(col("phash")).agg(min(col("url")).as("canonical_url"))
+      val pairs = caps.join(hashes, "url").join(canon, "phash")
+        .select(col("doc_id"), col("kind"), col("caption"), col("canonical_url"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { pairs.unpersist(); () })
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val capDocs = pairs.select(
+        (col("doc_id") * 2 + when(col("kind") === "alt", 0L).otherwise(1L)).as("pair_id"),
+        col("caption"))
+      val vocab = operators.TokenShards.vocabFromFrame(
+        operators.TokenShards.buildVocab(capDocs, "caption", merges))
+      val toks = operators.TokenShards.tokenizeToIds(
+        capDocs, "pair_id", "caption", merges, vocab)
+      val release = pairs.select(
+          (col("doc_id") * 2 + when(col("kind") === "alt", 0L).otherwise(1L)).as("pair_id"),
+          col("doc_id"), col("kind"), col("caption"), col("canonical_url"))
+        .join(toks.select(col("pair_id"), col("n_tokens")), "pair_id")
+      val root = s"${indexStoreRoot(dir, "documents")}/pair_release_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeJsonlShards(release, p1, "pair_id", nShards = 2,
+        maxShardBytes = 1L << 20)
+      sources.Export.writeJsonlShards(release.repartition(7), p2, "pair_id",
+        nShards = 2, maxShardBytes = 1L << 20)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      release.drop("pair_id")
+        .withColumn("n_caption_ids", col("n_tokens")).drop("n_tokens")
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("deterministic", lit(deterministic))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -9957,6 +10033,25 @@ object SparkEntry {
         |           FROM inst JOIN enc USING (w) GROUP BY 1)
         |SELECT d.doc_id, s.status, d.n_tokens, TRUE AS delta_applies_exactly
         |FROM doctok d JOIN ship s USING (doc_id)""".stripMargin,
+    // q253: pairs, canonical urls, and caption id counts in closed form —
+    // the caption alphabet hits no pinned merge, so every symbol is one
+    // char and ids = len(caption) + 1 (n-1 spaces + EOS make the +1 with
+    // single-char words folded in: sum(len) + nwords = len + 1 exactly)
+    "q253_pair_release" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+        |             WHERE doc_id IS NOT NULL AND doc_id < 50),
+        |c AS (
+        |  SELECT doc_id, 'alt' AS kind, 'photo & A ' || (doc_id % 6) AS caption,
+        |         'https://img.example/a/' || doc_id || '.bmp' AS canonical_url
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 'figcaption', 'Fig B ' || (doc_id % 4),
+        |         'https://img.example/a/' || doc_id || '.bmp'
+        |  FROM ids)
+        |SELECT doc_id, kind, caption, canonical_url,
+        |       CAST(length(caption) + 1 AS BIGINT) AS n_caption_ids,
+        |       TRUE AS merges_pinned, TRUE AS deterministic
+        |FROM c""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab
