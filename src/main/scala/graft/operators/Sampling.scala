@@ -234,6 +234,12 @@ object Sampling {
         when(col("__stratum") === k, lit(sh)).otherwise(els)
     }
     val thrWithShare = df.where(col(stratumCol).isNotNull)
+      // a negative (or NULL) weight would silently deflate the stratum
+      // mass and inflate every sibling's keep rate — fail in-plan, not
+      // in the math (assert_true is NULL when the condition holds, and
+      // throws otherwise — including on a NULL weight)
+      .where(expr(s"assert_true($weightCol >= 0, " +
+        s"'tokenBudgetMix: negative or NULL token weight in $weightCol') IS NULL"))
       .groupBy(col(stratumCol).cast("string").as("__stratum"))
       .agg(sum(col(weightCol)).cast("long").as("__actual"))
       .withColumn("__share", shareExpr)

@@ -489,6 +489,12 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](
         Sampling.tokenBudgetMix(rows, "k", "id", "w",
           Map("big" -> 600L, "small" -> 600L), 100L))
+      // a negative weight fails in-plan, never silently deflates the mass
+      val neg = Seq((1L, "k", 5L), (2L, "k", -1L)).toDF("id", "k", "w")
+      val e = intercept[Exception](
+        Sampling.tokenBudgetMix(neg, "k", "id", "w", Map("k" -> 1000L), 100L).count())
+      assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("negative"))
     }
 
     it("topKPerKey keeps the k best rows per key (value desc, id asc), invariant to partitioning") {
