@@ -4809,6 +4809,17 @@ object SparkEntry {
         .select(col("url"), col("phash"))
       // near-dup consolidation: one canonical copy per phash group
       val canon = hashes.groupBy(col("phash")).agg(min(col("url")).as("canonical_url"))
+      // drift gate: the dHash is invariant to constant luma offsets, and
+      // fixture images for ids congruent mod 16 share dims and differ only
+      // by constant channel shifts — structurally CLOSE to colliding. The
+      // min-url canonical law alone is tautological (it can't see a
+      // cross-doc merge), so pin that every phash group spans exactly ONE
+      // source doc: future fixture/codec drift fails here, loudly, instead
+      // of silently desynchronizing from the closed-form oracle.
+      val maxDocsPerGroup = hashes
+        .join(blobs.select(col("url"), expr("img_id div 2").as("src_doc")), "url")
+        .groupBy(col("phash")).agg(countDistinct(col("src_doc")).as("nd"))
+        .agg(max(col("nd"))).as[Long].first()
       val pairs = caps.join(hashes, "url").join(canon, "phash")
         .select(col("doc_id"), col("kind"), col("caption"), col("canonical_url"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -4840,6 +4851,7 @@ object SparkEntry {
         .withColumn("n_caption_ids", col("n_tokens")).drop("n_tokens")
         .withColumn("merges_pinned", lit(mergesPinned))
         .withColumn("deterministic", lit(deterministic))
+        .withColumn("single_doc_groups", lit(maxDocsPerGroup == 1L))
     }),
 
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
@@ -10050,7 +10062,8 @@ object SparkEntry {
         |  FROM ids)
         |SELECT doc_id, kind, caption, canonical_url,
         |       CAST(length(caption) + 1 AS BIGINT) AS n_caption_ids,
-        |       TRUE AS merges_pinned, TRUE AS deterministic
+        |       TRUE AS merges_pinned, TRUE AS deterministic,
+        |       TRUE AS single_doc_groups
         |FROM c""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed

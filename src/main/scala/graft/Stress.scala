@@ -1361,7 +1361,8 @@ object Stress {
     require(identical, "exports must be byte-deterministic under reshuffling")
     println(f"[stress] digests identical across partitionings (expect true) " +
       f"[second pass $secs2%.1f s]")
-    replica.unpersist(): Unit
+    replica.unpersist()
+    deleteRec(base.toFile)
   }
 
   /**
@@ -1444,7 +1445,8 @@ object Stress {
     require(Export.shardDigests(p1) == Export.shardDigests(p2),
       "token shards must be byte-deterministic under reshuffling")
     println("[stress] token-shard digests identical across partitionings (expect true)")
-    seqs.unpersist(); tokens.unpersist(); replica.unpersist(): Unit
+    seqs.unpersist(); tokens.unpersist(); replica.unpersist()
+    deleteRec(base.toFile)
   }
 
 
@@ -1520,7 +1522,8 @@ object Stress {
       "read-back must recover every bin and every token id")
     println(f"[stress] read-back recovered $bins bins / $mass ids " +
       f"(expect equal) [$rsecs%.1f s]")
-    ordered.unpersist(); seqs.unpersist(); tokens.unpersist(); replica.unpersist(): Unit
+    ordered.unpersist(); seqs.unpersist(); tokens.unpersist(); replica.unpersist()
+    deleteRec(base.toFile)
   }
 
   /**
@@ -1564,6 +1567,16 @@ object Stress {
     println(f"[stress] OPQ - plain = ${opq - plain}%+.3f recall@10 " +
       "(rotation is free at search time: k·dim per query)")
     emb.unpersist(): Unit
+  }
+
+  /** The export studies write multi-GB GRBS/jsonl payloads to temp dirs;
+    * leaving them behind leaks gigabytes per stress run — delete the temp
+    * root on the way out, matching the unpersist cleanup each study
+    * already does for its cached frames. */
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
   }
 
   private def timedValue[T](label: String)(f: => T): (T, Double) = {

@@ -580,18 +580,23 @@ object Text {
     * of [[anchorHrefPattern]]: the tag is extracted whole, then its
     * attributes are pulled from the tag string, so `src`/`alt` pair
     * correctly in EITHER attribute order (a single all-in-one pattern
-    * would silently drop alt-first markup). Shared constants; RE2 ∩
-    * Java subset (no lookarounds). */
-  val imgTagPattern: String = "(?i)<img[\\s/][^>]*>"
+    * would silently drop alt-first markup). Double-quoted attribute
+    * values are OPAQUE runs inside the tag body: `alt="a > b"` must not
+    * end the tag at the quoted `>` (a bare `[^>]*` clipped that caption
+    * silently). Unterminated quotes remain out of contract — the
+    * [[anchorHrefPattern]] double-quote discipline. Shared constants;
+    * RE2 ∩ Java subset (no lookarounds). */
+  val imgTagPattern: String = "(?i)<img[\\s/](?:[^>\"]|\"[^\"]*\")*>"
 
-  /** `src="..."` inside one extracted tag. The leading `\s` keeps
+  /** `src="..."` inside one extracted tag. The leading `[\s/]` keeps
     * `data-src=` from matching (the char before `src` must be
-    * whitespace, and `-` is not). Double-quoted values only — the
+    * whitespace or the self-closing slash — `<img/src="...">` is legal
+    * markup — and `-` is neither). Double-quoted values only — the
     * [[anchorHrefPattern]] contract. */
-  val imgSrcAttrPattern: String = "(?i)\\ssrc\\s*=\\s*\"([^\"]*)\""
+  val imgSrcAttrPattern: String = "(?i)[\\s/]src\\s*=\\s*\"([^\"]*)\""
 
   /** `alt="..."` inside one extracted tag (same delimiter discipline). */
-  val imgAltAttrPattern: String = "(?i)\\salt\\s*=\\s*\"([^\"]*)\""
+  val imgAltAttrPattern: String = "(?i)[\\s/]alt\\s*=\\s*\"([^\"]*)\""
 
   /** One `<figure>...</figure>` block (inner markup captured). */
   val figureBlockPattern: String = "(?is)<figure[^>]*>(.*?)</figure>"

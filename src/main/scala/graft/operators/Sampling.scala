@@ -185,9 +185,25 @@ object Sampling {
    * key's population only ever LOWERS its members' threshold — rows
    * leave monotonically, never churn in and out. NULL keys drop (the
    * [[temperatureMix]] rule).
+   *
+   * CARDINALITY CONTRACT: the per-key threshold frame is broadcast, so
+   * the key must be BOUNDED — IVF cells (≤ k), topic clusters, language
+   * buckets. Near-dup components or crawl hosts at corpus scale are
+   * ~10^8–10^9 distinct keys: a broadcast that size kills the driver and
+   * every executor long before the join runs. The [[Similarity]]
+   * `collectQueries` discipline applies: the threshold frame is COUNTED
+   * before the hint and the call fails loudly past `maxKeys` (default
+   * 2^22 ≈ 4M keys ≈ tens of MB broadcast — generous for every bounded
+   * key family, far below the unbounded ones). The count is one extra
+   * map-side-combined aggregation over `df` — cheap insurance against
+   * the silent scale-killer. Raise `maxKeys` only with a deliberate
+   * memory budget; for genuinely unbounded keys use [[topKPerKey]]'s
+   * shuffled rank cap instead.
    */
-  def capPerKeySample(df: DataFrame, keyCol: String, idCol: String, cap: Long): DataFrame = {
+  def capPerKeySample(df: DataFrame, keyCol: String, idCol: String, cap: Long,
+      maxKeys: Long = 1L << 22): DataFrame = {
     require(cap > 0 && cap < (1L << 31), s"cap must be in [1, 2^31), got $cap")
+    require(maxKeys > 0, s"maxKeys must be positive, got $maxKeys")
     Seq("__key", "__n", "__thr").foreach(c =>
       require(!df.columns.contains(c), s"$c is reserved by capPerKeySample"))
     val thr = df.where(col(keyCol).isNotNull)
@@ -195,6 +211,14 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .select(col("__key"),
         expr(s"4294967296L * least(${cap}L, __n) div __n").as("__thr"))
+    // guard BEFORE the broadcast hint: limit bounds the count job itself,
+    // so even a 10^9-key frame answers the question with bounded work
+    val nKeys = thr.limit(((maxKeys min (Int.MaxValue - 1L)) + 1).toInt).count()
+    require(nKeys <= maxKeys,
+      s"capPerKeySample key '$keyCol' exceeds maxKeys=$maxKeys distinct values — " +
+        "the per-key threshold frame is broadcast by contract; this key is not " +
+        "bounded-cardinality. Use topKPerKey's shuffled rank cap, or raise " +
+        "maxKeys deliberately with a matching broadcast memory budget")
     df.join(broadcast(thr), df(keyCol).cast("string") === col("__key"))
       .where(hash32(col(idCol), "keycap") < col("__thr"))
       .drop("__key", "__thr")

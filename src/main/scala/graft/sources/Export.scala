@@ -439,7 +439,11 @@ object Export {
         val idx = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         idx.position(indexOffset.toInt)
         var tokenPos = binHeaderBytes.toLong
-        (0L until nBins).iterator.map { _ =>
+        // materialize the bins EAGERLY (the file is maxShardBytes-bounded
+        // and already whole in memory) so the exact-consumption checks
+        // below can run after the last record — a lazy iterator would
+        // return before they fire
+        val bins = (0L until nBins).map { _ =>
           require(idx.remaining() >= 20, "GRBS index truncated mid-record")
           val key = idx.getLong()
           val nTok = idx.getLong()
@@ -464,6 +468,17 @@ object Export {
           tokenPos += nTok * width
           (key, docIds.toSeq, docLens.toSeq, ids.toSeq, nDocs.toLong, nTok)
         }
+        // the index must consume the file EXACTLY: payload bytes beyond the
+        // last bin's span, or trailing garbage after the last index record,
+        // are a corrupted/concatenated artifact and must fail at the door —
+        // the same loud-contract discipline the writer advertises
+        require(tokenPos == indexOffset,
+          s"GRBS payload has ${indexOffset - tokenPos} bytes beyond the last " +
+            "bin's span — corrupt or concatenated shard")
+        require(idx.position() == bytes.length,
+          s"GRBS shard has ${bytes.length - idx.position()} trailing bytes " +
+            "after the last index record — corrupt or concatenated shard")
+        bins.iterator
       }
       .toDF("bin_key", "doc_ids", "doc_lens", "ids", "n_docs", "n_tokens")
   }

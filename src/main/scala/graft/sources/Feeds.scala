@@ -116,9 +116,13 @@ object Feeds {
     // the DOCTYPE branch consumes an optional INTERNAL SUBSET ([...])
     // whole: '<!DOCTYPE feed [<!ENTITY e "v"> <rss note> ]>' must strip
     // entirely — a plain [^>]* would stop at the subset's first '>' and
-    // leave a root-shaped literal in the sniff source
+    // leave a root-shaped literal in the sniff source. Inside the subset,
+    // quoted runs are opaque: '<!ENTITY e "a]b">' carries a ']' in its
+    // VALUE, so the subset scanner skips "..."/'...' wholesale instead of
+    // ending the subset at the first raw ']'
     val sniffSrc = regexp_replace(x,
-      "(?is)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>|<!DOCTYPE[^>\\[]*(?:\\[[^\\]]*\\])?[^>]*>|<\\?.*?\\?>",
+      "(?is)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>|" +
+        "<!DOCTYPE[^>\\[]*(?:\\[(?:[^\\]\"']|\"[^\"]*\"|'[^']*')*\\])?[^>]*>|<\\?.*?\\?>",
       "")
     val firstRoot = lower(regexp_extract(sniffSrc, "(?is)<(rss|feed)[\\s>]", 1))
     def entries(rootCond: Column, blockPattern: String, fmt: String,

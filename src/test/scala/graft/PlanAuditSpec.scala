@@ -798,6 +798,27 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  it("q204 fans out through REUSED exchanges (the measured no-persist decision can't silently regress)") {
+    // q204's cleaned frame (the lineDedup chain) feeds THREE consumers —
+    // LM training, scoring, and the release join — and is deliberately NOT
+    // persisted: ReuseExchange computes the chain once for all consumers
+    // (persist was MEASURED 2x slower at sf0.1). That reuse is a plan
+    // property, invisible to the no-Window pin below: a refactor that
+    // perturbs one consumer's subtree (a different column order, an extra
+    // projection below the exchange) would silently ~3x the heaviest bench
+    // row. Pin the ReusedExchange count in the non-adaptive tree (AQE
+    // reuses at runtime, same subtrees — the static tree is the stable
+    // observable).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q204_release_pipeline")
+      val reused = "ReusedExchange".r.findAllIn(p).size
+      assert(reused >= 4,
+        s"q204 expected >=4 ReusedExchange nodes (got $reused) — the cleaned " +
+          s"fan-out is recomputing per consumer:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   it("q200/q204 kAnonymize subtree plans NO Window at all (groupBy class sizes + skew-splittable join back)") {
     Seq("q200_k_anonymity", "q204_release_pipeline").foreach { q =>
       val p = plan(q)

@@ -458,6 +458,21 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](Sampling.capPerKeySample(mixed, "k", "id", 0L))
     }
 
+    it("capPerKeySample fails loudly past the maxKeys broadcast contract") {
+      // the threshold frame is broadcast, so key cardinality is a CONTRACT:
+      // 5 distinct keys against maxKeys=3 must fail BEFORE the join plans,
+      // with a message that names the key and the escape hatches
+      val manyKeys = (0L until 50L).map(i => (i, s"host${i % 5}")).toDF("id", "k")
+      val e = intercept[IllegalArgumentException](
+        Sampling.capPerKeySample(manyKeys, "k", "id", 10L, maxKeys = 3L))
+      assert(e.getMessage.contains("maxKeys=3") && e.getMessage.contains("topKPerKey"))
+      // at-the-boundary passes (the limit(maxKeys+1) probe is exact, not off-by-one)
+      assert(Sampling.capPerKeySample(manyKeys, "k", "id", 100L, maxKeys = 5L)
+        .count() === 50L)
+      intercept[IllegalArgumentException](
+        Sampling.capPerKeySample(manyKeys, "k", "id", 10L, maxKeys = 0L))
+    }
+
     it("tokenBudgetMix hits the token target per stratum; unlisted strata drop") {
       // 'big': 1000 docs x 100 tokens = 100k mass, 600 milli of a 50k
       // budget -> target 30k -> keep rate 0.3 of the MASS; 'small':

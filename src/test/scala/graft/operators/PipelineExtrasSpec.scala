@@ -599,6 +599,20 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
         .select($"p.src", $"p.caption").as[(String, String)].collect().toSet
       assert(got === Set(("https://b.example/s.png", "selfclosed")))
     }
+
+    it("a '>' inside a quoted attribute does not clip the tag; <img/src=...> pairs") {
+      // quoted runs are opaque in the tag body: the alt carries a literal
+      // '>' and must survive whole; the slash-only self-closing form
+      // ('<img/src=...>', legal markup) must still yield its src
+      val html = """<img src="https://q.example/g.png" alt="a &gt; b or a > b">""" +
+        """<img/src="https://s.example/h.png" alt="slashform">"""
+      val got = Seq((1L, html)).toDF("id", "html")
+        .select(explode(Text.imageCaptions($"html")).as("p"))
+        .select($"p.src", $"p.caption").as[(String, String)].collect().toSet
+      assert(got === Set(
+        ("https://q.example/g.png", "a > b or a > b"),
+        ("https://s.example/h.png", "slashform")))
+    }
   }
 
   describe("Text.scrubPii / piiCounts") {

@@ -286,4 +286,30 @@ class ExportSpec extends AnyFunSpec with SparkSuite {
     val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("GRBS") || msg.contains("truncated"), msg)
   }
+
+  it("the index must consume a GRBS shard exactly: trailing or concatenated bytes fail") {
+    // a concatenated artifact (cat a.bin b.bin) passes every PER-RECORD
+    // invariant of the first file's index — only the exact-consumption
+    // check at the end of the parse catches it
+    val df = binsOf((1L, Seq(10L), Seq(5L), Seq(1L, 2L, 3L, 4L, 0L)),
+      (2L, Seq(11L), Seq(3L), Seq(5L, 6L, 0L)))
+    val path = tmp("bx_exact")
+    val manifest = Export.writeBinaryShards(df, path, "bin_key", 1, 1 << 20, 2)
+    val f = new java.io.File(path, manifest.head._1)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val doubled = java.util.Arrays.copyOf(bytes, bytes.length * 2)
+    System.arraycopy(bytes, 0, doubled, bytes.length, bytes.length)
+    java.nio.file.Files.write(f.toPath, doubled)
+    val e = intercept[org.apache.spark.SparkException](
+      Export.readBinaryShards(spark, path).collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("trailing bytes") || msg.contains("beyond the last"), msg)
+    // plain trailing garbage after a valid index fails the same door
+    java.nio.file.Files.write(f.toPath,
+      java.util.Arrays.copyOf(bytes, bytes.length + 7))
+    val e2 = intercept[org.apache.spark.SparkException](
+      Export.readBinaryShards(spark, path).collect())
+    val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("trailing bytes"), msg2)
+  }
 }

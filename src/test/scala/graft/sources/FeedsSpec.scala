@@ -143,6 +143,16 @@ class FeedsSpec extends AnyFunSpec with SparkSuite {
         |</feed>""".stripMargin
     assert(feedRows(subset).map(r => (r._1, r._4)) ==
       Seq(("atom", "https://e.example/s")))
+    // a ']' inside a QUOTED entity value must not end the subset early:
+    // '<!ENTITY e "a]b">' would otherwise leave '"> <rss note> ]>' (with
+    // its root-shaped literal) in the sniff source
+    val quotedBracket =
+      """<!DOCTYPE feed [<!ENTITY e "a]b"> <rss note> ]>
+        |<feed xmlns="http://www.w3.org/2005/Atom">
+        | <entry><title>Q</title><link href="https://e.example/q"/></entry>
+        |</feed>""".stripMargin
+    assert(feedRows(quotedBracket).map(r => (r._1, r._4)) ==
+      Seq(("atom", "https://e.example/q")))
   }
 
   it("recrawlSet: new urls fetch, postdating signals go stale, unknown signals stay fresh") {
