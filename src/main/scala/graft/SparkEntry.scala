@@ -4854,6 +4854,110 @@ object SparkEntry {
         .withColumn("single_doc_groups", lit(maxDocsPerGroup == 1L))
     }),
 
+    // q254: RELEASE-ARTIFACT DECONTAMINATION GATE — the terminal
+    // composition of q61/q176 over q243's artifact: nothing upstream
+    // proves the PUBLISHED binary shards are eval-clean after the full
+    // tokenize -> pack -> GRBS -> read-back chain, so this query probes
+    // the artifact itself: readBinaryShards -> decodeBinsTotalIndexed
+    // (per-doc detok via the STANDING total-scheme vocab — byte fallback
+    // makes planted eval words encodable) -> evalGramHits (8-gram, the
+    // q176 width). Eval set = q176's derivation (tokens 6-35 of doc_id <
+    // 20) plus one planted 16-word item. Three planted train docs drive
+    // the gates: C (doc -1) embeds the planted eval text verbatim;
+    // boundary docs A (doc -16) and B (doc -8) carry only the excerpt's
+    // first/second HALF and — ids chosen ≡ 0 mod nShards, below every
+    // natural id — are GUARANTEED pack-adjacent in shard 0's first bin.
+    // Gates, all in-query booleans:
+    //  * detect_equals_audit: the artifact-level probe of the DIRTY
+    //    release reproduces the source-level audit EXACTLY (the encode/
+    //    pack/binary/decode chain loses no contamination signal);
+    //  * clean_zero_hits: after the decontamination stage (drop every
+    //    audited doc) the published artifact probes EMPTY;
+    //  * boundary_same_bin + boundary_unflagged + boundary_naive_hit:
+    //    A and B share a bin, neither is flagged by the doc-level probe,
+    //    yet a NAIVE prober that concatenates the bin's documents DOES
+    //    see the spanning 8-grams — the per-document EOS-split decode is
+    //    what makes the probe boundary-correct, and this triple proves
+    //    it on a live artifact rather than by inspection.
+    // The oracle replays the audit in closed form (word shingles over
+    // corpus + planted docs vs eval grams — no tokenizer CTE needed: the
+    // chain's fidelity is exactly what detect_equals_audit pins).
+    "q254_release_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val words = functions.Text.edgeStrippedTokens(col("text"))
+      val evalNat = docs
+        .where(col("doc_id") < 20 && col("text").isNotNull && size(words) >= 40)
+        .select(col("doc_id"), concat_ws(" ", slice(words, 6, 30)).as("text"))
+      val evWords = (1 to 16).map(i => s"qzev$i")
+      val evalSet = evalNat.unionByName(
+        Seq((-100L, evWords.mkString(" "))).toDF("doc_id", "text"))
+      val planted = Seq(
+        (-16L, ((1 to 4).map(i => s"qzfa$i") ++ evWords.take(7)).mkString(" ")),
+        (-8L, (evWords.slice(7, 14) ++ (1 to 4).map(i => s"qzfb$i")).mkString(" ")),
+        (-1L, (Seq("qzfc1", "qzfc2") ++ evWords ++ Seq("qzfc3", "qzfc4")).mkString(" ")))
+        .toDF("doc_id", "text")
+      val corpus = docs.unionByName(planted)
+      // the source-level audit (q61's operator): what decontamination drops
+      val flagged = operators.Contamination
+        .evalGramHits(corpus, evalSet, "doc_id", "text", 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { flagged.unpersist(); () })
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val width = if (vocab.valuesIterator.max <= 0xffffL) 2 else 4
+      val root = s"${indexStoreRoot(dir, "documents")}/decon_release_v1"
+      def publish(frame: org.apache.spark.sql.DataFrame, path: String)
+          : org.apache.spark.sql.DataFrame = {
+        val tokens = operators.TokenShards.tokenizeToIdsTotal(
+          frame, "doc_id", "text", ensureTokenizers(s, dir)._1, vocab)
+        val seqs = operators.TokenShards.packSequences(
+            tokens, "doc_id", nShards = 8, capacity = 512L)
+          .withColumn("bin_key", col("shard") * lit(4294967296L) + col("bin"))
+        sources.Export.writeBinaryShards(seqs, path, "bin_key", nShards = 4,
+          maxShardBytes = 1L << 20, tokenWidth = width)
+        operators.TokenShards.decodeBinsTotalIndexed(
+          sources.Export.readBinaryShards(s, path), "bin_key", vocab)
+      }
+      val dirty = publish(corpus, s"$root/dirty")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { dirty.unpersist(); () })
+      // artifact-level probe of the dirty release == the source audit
+      // (evalGramHits reads the SAME id/text column names off both frames,
+      // so the eval side is renamed per probe surface)
+      val evalDetok = evalSet.withColumnRenamed("text", "detok")
+      val detected = operators.Contamination.evalGramHits(
+        dirty.select(col("doc_id"), col("detok")), evalDetok, "doc_id", "detok", 8)
+      val detectEqualsAudit = detected.exceptAll(flagged)
+        .unionByName(flagged.exceptAll(detected)).isEmpty
+      // the decontamination stage, then the published CLEAN artifact probes empty
+      val clean = corpus.join(
+        flagged.select(col("train_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      val cleanZeroHits = operators.Contamination.evalGramHits(
+        publish(clean, s"$root/clean").select(col("doc_id"), col("detok")),
+        evalDetok, "doc_id", "detok", 8).isEmpty
+      // pack-boundary triple over the LIVE dirty artifact
+      val abBins = dirty.where(col("doc_id").isin(-16L, -8L))
+        .select(col("doc_id"), col("key")).as[(Long, Long)].collect().toMap
+      val boundarySameBin =
+        abBins.size == 2 && abBins(-16L) == abBins(-8L)
+      val boundaryUnflagged = flagged
+        .where(col("train_id").isin(-16L, -8L)).isEmpty
+      val naiveBinText = dirty.groupBy(col("key"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("detok")))),
+          x => x.getField("detok")), " ").as("text"))
+      val boundaryNaiveHit = !operators.Contamination.evalGramHits(
+        naiveBinText, evalSet.withColumnRenamed("doc_id", "key"), "key", "text", 8)
+        .where(col("train_id") === abBins.getOrElse(-16L, Long.MinValue)).isEmpty
+      detected
+        .withColumn("detect_equals_audit", lit(detectEqualsAudit))
+        .withColumn("clean_zero_hits", lit(cleanZeroHits))
+        .withColumn("boundary_same_bin", lit(boundarySameBin))
+        .withColumn("boundary_unflagged", lit(boundaryUnflagged))
+        .withColumn("boundary_naive_hit", lit(boundaryNaiveHit))
+    }),
+
     // q176: SPAN-LEVEL contamination attribution — q61 says "train doc X
     // shares n-grams with eval item Y"; this says "X contains a VERBATIM
     // 30-token run of Y" (run of r aligned w-windows = common substring of
@@ -10065,6 +10169,42 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS deterministic,
         |       TRUE AS single_doc_groups
         |FROM c""".stripMargin,
+    // q254: the audit replays in closed form — distinct 8-gram overlap of
+    // (corpus + planted docs) against (q176's excerpt eval set + the
+    // planted 16-word item); the gates are constants because the chain
+    // fidelity they certify is exactly what detect_equals_audit pins
+    // in-query. Planted texts tokenize through the same shared pattern.
+    "q254_release_decontamination" ->
+      """WITH nat AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+        |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |pl AS (SELECT CAST(d AS BIGINT) AS doc_id,
+        |              regexp_extract_all(txt, '[^ ]+') AS words
+        |       FROM (VALUES
+        |         (-16, 'qzfa1 qzfa2 qzfa3 qzfa4 qzev1 qzev2 qzev3 qzev4 qzev5 qzev6 qzev7'),
+        |         (-8,  'qzev8 qzev9 qzev10 qzev11 qzev12 qzev13 qzev14 qzfb1 qzfb2 qzfb3 qzfb4'),
+        |         (-1,  'qzfc1 qzfc2 qzev1 qzev2 qzev3 qzev4 qzev5 qzev6 qzev7 qzev8 qzev9 qzev10 qzev11 qzev12 qzev13 qzev14 qzev15 qzev16 qzfc3 qzfc4')
+        |       ) AS v(d, txt)),
+        |alld AS (SELECT doc_id, words FROM nat UNION ALL SELECT doc_id, words FROM pl),
+        |ev AS (SELECT words[6:35] AS words FROM nat WHERE doc_id < 20 AND len(words) >= 40
+        |       UNION ALL
+        |       SELECT regexp_extract_all('qzev1 qzev2 qzev3 qzev4 qzev5 qzev6 qzev7 qzev8 qzev9 qzev10 qzev11 qzev12 qzev13 qzev14 qzev15 qzev16', '[^ ]+')),
+        |evg AS (SELECT DISTINCT s FROM (
+        |  SELECT unnest(list_transform(range(len(words) - 7),
+        |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4],
+        |                   words[i+5], words[i+6], words[i+7], words[i+8]))) AS s
+        |  FROM ev WHERE len(words) >= 8)),
+        |tg AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words) - 7),
+        |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4],
+        |                   words[i+5], words[i+6], words[i+7], words[i+8]))) AS s
+        |  FROM alld WHERE len(words) >= 8))
+        |SELECT tg.doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_eval_grams,
+        |       TRUE AS detect_equals_audit, TRUE AS clean_zero_hits,
+        |       TRUE AS boundary_same_bin, TRUE AS boundary_unflagged,
+        |       TRUE AS boundary_naive_hit
+        |FROM tg JOIN evg USING (s) GROUP BY 1""".stripMargin,
     // q242: per-doc id/byte-id counts replayed through the learned-merges
     // CTE — an OOV symbol (one absent from the NATURAL corpus's replayed
     // symbol inventory) contributes strlen(sym) byte ids, an in-vocab

@@ -311,6 +311,50 @@ object TokenShards {
   def decodeBinsTotal(bins: DataFrame, vocab: Map[String, Long]): DataFrame =
     decodeBinsImpl(bins, vocab, total = true)
 
+  /** [[decodeBins]] with PLACEMENT kept: `(key, pos, doc_id, detok)`
+    * where `key` is the caller's bin-key column and `pos` the document's
+    * 0-based position within its bin. The positional attribution is what
+    * artifact-level audits need — a release-decontamination probe has to
+    * reason about which documents are PACK-ADJACENT (a naive prober that
+    * concatenates a bin's documents would see n-grams spanning the
+    * boundary), and a loader-resume manifest addresses documents by
+    * (bin, position). Same EOS-split inverse contract as [[decodeBins]]. */
+  def decodeBinsIndexed(bins: DataFrame, keyCol: String,
+      vocab: Map[String, Long]): DataFrame =
+    decodeBinsIndexedImpl(bins, keyCol, vocab, total = false)
+
+  /** [[decodeBinsIndexed]] for TOTAL-scheme artifacts. */
+  def decodeBinsTotalIndexed(bins: DataFrame, keyCol: String,
+      vocab: Map[String, Long]): DataFrame =
+    decodeBinsIndexedImpl(bins, keyCol, vocab, total = true)
+
+  private def decodeBinsIndexedImpl(bins: DataFrame, keyCol: String,
+      vocab: Map[String, Long], total: Boolean): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val bcRev = spark.sparkContext.broadcast(vocab.map(_.swap))
+    bins.select(col(keyCol).cast("long"), col("doc_ids"), col("ids"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .flatMap { case (key, docIds, ids) =>
+        val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ids.foreach { id =>
+          cur += id
+          if (id == eosId) {
+            segs += cur.toSeq
+            cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+          }
+        }
+        require(cur.isEmpty && segs.length == docIds.length,
+          "bin sequence does not parse back into its documents")
+        docIds.zip(segs).zipWithIndex.map { case ((d, seg), i) =>
+          (key, i.toLong, d,
+            if (total) detokenizeTotal(seg, bcRev.value) else detokenize(seg, bcRev.value))
+        }
+      }
+      .toDF("key", "pos", "doc_id", "detok")
+  }
+
   private def decodeBinsImpl(bins: DataFrame, vocab: Map[String, Long],
       total: Boolean): DataFrame = {
     val spark = bins.sparkSession

@@ -201,6 +201,30 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       }
     }
 
+    it("indexed decode keeps placement: (key, pos) agrees with each bin's doc_ids order") {
+      val rnd = new scala.util.Random(1231)
+      val docs = (0L until 40L).map(i => (i, randomDoc(rnd))).toDF("doc_id", "text")
+      val vocab = TokenShards.vocabFromFrame(TokenShards.buildVocab(docs, "text", merges))
+      val tokens = TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab)
+      val seqs = TokenShards.packSequences(tokens, "doc_id", nShards = 3, capacity = 24L)
+        .withColumn("bin_key", col("shard") * 1000L + col("bin"))
+      val indexed = TokenShards.decodeBinsIndexed(seqs, "bin_key", vocab)
+        .as[(Long, Long, Long, String)].collect()
+      // placement law: for every bin, pos-ordered doc_ids == the packed doc_ids array
+      val byBin = indexed.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      val packed = seqs.select(col("bin_key"), col("doc_ids"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(byBin == packed)
+      // and the detok payload agrees with the unindexed decode, doc for doc
+      val plain = TokenShards.decodeBins(seqs, vocab).as[(Long, String)].collect().toMap
+      assert(indexed.map(r => r._3 -> r._4).toMap == plain)
+      // positions are 0-based and gapless within each bin
+      indexed.groupBy(_._1).foreach { case (k, rows) =>
+        assert(rows.map(_._2).sorted.toSeq == (0L until rows.length.toLong), s"bin $k")
+      }
+    }
+
     it("no bin exceeds capacity unless it is an oversize singleton") {
       val rnd = new scala.util.Random(1213)
       val docs = (0L until 80L).map(i => (i, randomDoc(rnd))).toDF("doc_id", "text")
