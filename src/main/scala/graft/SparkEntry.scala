@@ -4645,6 +4645,94 @@ object SparkEntry {
         .withColumn("epochs_differ", lit(differ))
     }),
 
+    // q255: LOADER-RESUME OFFSET MANIFEST — closes the q249 loop: the
+    // GRBS index locates BINS, but a crashed trainer knows a TOKEN
+    // position; this publishes, per epoch seed, each bin's cumulative
+    // global token offset (offsetManifest's chunked distributed scan —
+    // no global sort, no unbounded window, payload untouched). Gated
+    // in-query against the LIVE epoch-0 GRBS artifact: pick the
+    // mid-epoch token position T = total div 3, binary-search the
+    // manifest for the resume bin R (last offset <= T), and prove the
+    // offset-addressed read — all of bin R's ids from position T -
+    // offset(R), plus every later bin whole — reproduces EXACTLY the
+    // suffix of the global stream at positions >= T (token-for-token,
+    // position-for-position, via exceptAll both ways over the read-back
+    // artifact). The manifest itself publishes through the staged
+    // writer, byte-deterministic under reshuffle. The oracle extends
+    // q249's permutation replay with the window prefix sum.
+    "q255_resume_offsets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q255 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocab(s, dir)
+      val width = if (vocab.valuesIterator.max <= 0xffffL) 2 else 4
+      val bins = operators.TokenShards.packSequences(
+          operators.TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab),
+          "doc_id", nShards = 8, capacity = 512L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { bins.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/resume_offsets_v1"
+      val manifests = Seq(0, 1).map { e =>
+        val ordered = operators.TokenShards.withTrainingOrder(bins, s"epoch-$e")
+        val m = operators.TokenShards.offsetManifest(ordered)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        onCleanup(() => { m.unpersist(); () })
+        (e, ordered, m)
+      }
+      // the manifest is a release artifact: staged publish, reshuffle-stable
+      val (mp1, mp2) = (s"$root/m/a", s"$root/m/b")
+      sources.Export.writeJsonlShards(manifests.head._3, mp1, "train_seq",
+        nShards = 2, maxShardBytes = 1L << 20)
+      sources.Export.writeJsonlShards(manifests.head._3.repartition(13), mp2,
+        "train_seq", nShards = 2, maxShardBytes = 1L << 20)
+      val deterministic =
+        sources.Export.shardDigests(mp1) == sources.Export.shardDigests(mp2)
+      // epoch-0 stream as a published GRBS artifact keyed by train_seq
+      val keyed = manifests.head._2.select(col("train_seq").as("bin_key"),
+        col("doc_ids"), col("doc_lens"), col("ids"))
+      sources.Export.writeBinaryShards(keyed, s"$root/e0", "bin_key",
+        nShards = 4, maxShardBytes = 1L << 20, tokenWidth = width)
+      val back = sources.Export.readBinaryShards(s, s"$root/e0")
+        .select(col("bin_key").as("train_seq"), col("ids"))
+        .join(manifests.head._3.select(col("train_seq"), col("token_offset")),
+          "train_seq")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { back.unpersist(); () })
+      // global stream positions from the manifest offsets
+      val stream = back.select(col("train_seq"), col("token_offset"),
+        posexplode(col("ids")).as(Seq("pos", "id")))
+        .select((col("token_offset") + col("pos")).as("gpos"), col("id"),
+          col("train_seq"), col("pos"))
+      val total = manifests.head._3
+        .agg(sum(col("n_tokens"))).as[Long].first()
+      val t = total / 3
+      // resume point: last manifest row with offset <= T (bounded collect:
+      // exactly one row survives the max-offset filter)
+      val Array((seqR, offR)) = manifests.head._3.where(col("token_offset") <= t)
+        .orderBy(col("token_offset").desc).limit(1)
+        .select(col("train_seq"), col("token_offset"))
+        .as[(Long, Long)].collect()
+      val truth = stream.where(col("gpos") >= t).select(col("gpos"), col("id"))
+      val addressed = stream.where(col("train_seq") > seqR ||
+          (col("train_seq") === seqR && col("pos") >= t - offR))
+        .select(col("gpos"), col("id"))
+      val resumeExact = truth.exceptAll(addressed)
+        .unionByName(addressed.exceptAll(truth)).isEmpty
+      manifests.map { case (e, _, m) =>
+        m.select(lit(e.toLong).as("epoch"), col("train_seq"), col("shard"),
+          col("bin"), col("n_tokens"), col("token_offset"))
+      }.reduce(_.unionByName(_))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("resume_exact", lit(resumeExact))
+    }),
+
     // q250: TOKEN-BUDGET MIXTURE — the data-card composition trainers
     // actually budget by: hit a target TOKEN share per language under a
     // total token budget (doc-count mixing over-serves strata of long
@@ -10010,6 +10098,61 @@ object SparkEntry {
         |       shard, bin, n_docs, n_tokens,
         |       TRUE AS deterministic, TRUE AS merges_pinned,
         |       TRUE AS same_bin_multiset, TRUE AS epochs_differ
+        |FROM b, e""".stripMargin,
+    // q255: q249's permutation replay extended with the exclusive window
+    // prefix sum — token_offset = running n_tokens over the SAME order key
+    // minus the row's own mass (shares the pinned merges CTE family:
+    // q237/q243/q244/q249; regenerate together if the merges change)
+    "q255_resume_offsets" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1),
+        |b AS (SELECT shard, bin, CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM pack GROUP BY 1, 2),
+        |e AS (SELECT 0 AS epoch FROM (VALUES (1)) UNION ALL SELECT 1 FROM (VALUES (1)))
+        |SELECT CAST(e.epoch AS BIGINT) AS epoch,
+        |       row_number() OVER (PARTITION BY e.epoch
+        |                          ORDER BY md5('epoch-' || e.epoch || ':' || shard || ':' || bin),
+        |                          shard, bin) - 1 AS train_seq,
+        |       shard, bin, n_tokens,
+        |       CAST(sum(n_tokens) OVER (PARTITION BY e.epoch
+        |                           ORDER BY md5('epoch-' || e.epoch || ':' || shard || ':' || bin),
+        |                           shard, bin
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - n_tokens AS BIGINT) AS token_offset,
+        |       TRUE AS merges_pinned, TRUE AS deterministic, TRUE AS resume_exact
         |FROM b, e""".stripMargin,
     // q250: the q21 token-count form per doc, stratum masses, the exact
     // integer threshold, and the md5 keep-set replayed row-for-row

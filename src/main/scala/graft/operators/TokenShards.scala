@@ -486,6 +486,77 @@ object TokenShards {
     bins.join(ranked, Seq("shard", "bin"))
   }
 
+  /**
+   * LOADER-RESUME OFFSET MANIFEST — the prefix-sum artifact that turns
+   * the GRBS per-bin index from "locate bin k" into "locate TOKEN t": for
+   * an epoch-ordered bin frame ([[withTrainingOrder]]'s `train_seq`,
+   * dense 0..N-1), each bin's cumulative global token offset
+   * `token_offset = Σ n_tokens over train_seq' < train_seq`. A crashed
+   * trainer resumes mid-epoch by binary-searching the manifest for the
+   * last `token_offset <= t`, opening that bin through the shard index,
+   * and skipping `t - token_offset` ids — no rescan of anything.
+   *
+   * SCALE SHAPE — a distributed exclusive scan with NO global sort and
+   * NO unbounded window: `train_seq` is chunked by VALUE (2^16 per
+   * chunk — deterministic arithmetic, not sampling, so recomputation can
+   * never re-partition), per-chunk masses aggregate in one pass over the
+   * SKINNY projection (the payload never moves) and collect
+   * chunk-count-sized (bins/2^16 rows — ~100k rows for 6G bins; guarded),
+   * chunk base offsets prefix-sum on the driver and broadcast back, and
+   * the within-chunk running sum streams through ONE [[graft.sorted]]
+   * group-sort exchange with O(1) state per chunk. The same collected
+   * chunk stats verify the DENSE 0..N-1 contract chunk-locally
+   * (count == distinct, min/max pin the range, interior chunks full) —
+   * a duplicate or missing sequence number fails loudly before any
+   * offset is emitted.
+   */
+  def offsetManifest(ordered: DataFrame): DataFrame = {
+    val spark = ordered.sparkSession
+    import spark.implicits._
+    val chunkWidth = 1L << 16
+    val skinny = ordered.select(col("train_seq").cast("long").as("train_seq"),
+      col("shard").cast("long").as("shard"), col("bin").cast("long").as("bin"),
+      col("n_tokens").cast("long").as("n_tokens"))
+    val stats = skinny
+      .groupBy(expr(s"train_seq div $chunkWidth").as("__chunk"))
+      .agg(sum(col("n_tokens")).as("__mass"), count(lit(1)).as("__n"),
+        countDistinct(col("train_seq")).as("__nd"),
+        min(col("train_seq")).as("__mn"), max(col("train_seq")).as("__mx"))
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect()
+    require(stats.length <= (1 << 22),
+      s"offsetManifest: ${stats.length} chunks (> 2^22) — the chunk-base " +
+        "collect would exceed its driver budget; raise chunkWidth deliberately")
+    val sorted = stats.sortBy(_._1)
+    sorted.zipWithIndex.foreach { case ((c, _, n, nd, mn, mx), i) =>
+      require(c == i && n == nd && mn == c * chunkWidth && mx == mn + n - 1 &&
+        (i == sorted.length - 1 || n == chunkWidth),
+        "offsetManifest: train_seq must be dense 0..N-1 (withTrainingOrder's " +
+          s"contract) — chunk $c has count=$n distinct=$nd min=$mn max=$mx")
+    }
+    // exclusive prefix: bases(i) = total mass of chunks 0..i-1
+    val bases = sorted.map(_._2).scanLeft(0L)(_ + _).init
+    val bc = spark.sparkContext.broadcast(bases)
+    val kv = skinny.select(expr(s"train_seq div $chunkWidth").as("_1"),
+        struct(col("train_seq"), col("shard"), col("bin"), col("n_tokens")).as("_2"))
+      .as[(Long, (Long, Long, Long, Long))]
+    kv.groupSort(sortBy = _.getField("train_seq"))
+      .mapStreamByKey { vs =>
+        new Iterator[(Long, Long, Long, Long, Long)] {
+          private var run = Long.MinValue
+          def hasNext: Boolean = vs.hasNext
+          def next(): (Long, Long, Long, Long, Long) = {
+            val (seq, sh, b, n) = vs.next()
+            if (run == Long.MinValue) run = bc.value((seq / chunkWidth).toInt)
+            val o = run; run += n
+            (seq, sh, b, n, o)
+          }
+        }
+      }
+      .map(_._2)
+      .toDF("train_seq", "shard", "bin", "n_tokens", "token_offset")
+  }
+
   def packSequences(tokens: DataFrame, idCol: String, nShards: Int,
       capacity: Long): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")

@@ -225,6 +225,35 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       }
     }
 
+    it("offsetManifest: exact exclusive prefix sums across chunk boundaries, " +
+       "partitioning-invariant; non-dense train_seq fails loudly") {
+      val rnd = new scala.util.Random(1237)
+      // 70k bins spans two 2^16 value-chunks — the chunk-base handoff at
+      // train_seq 65536 is exactly where a base-offset bug would land
+      val n = 70000
+      val masses = Array.fill(n)(1L + rnd.nextInt(100))
+      val rows = (0 until n).map(i => (i.toLong, i.toLong % 8, i.toLong / 8, masses(i)))
+      val bins = rows.toDF("train_seq", "shard", "bin", "n_tokens")
+      val got = TokenShards.offsetManifest(bins)
+        .select(col("train_seq"), col("token_offset"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val expected = masses.scanLeft(0L)(_ + _).init
+      assert(got.map(_._1).toSeq == (0L until n.toLong))
+      assert(got.map(_._2).toSeq == expected.toSeq)
+      // invariant under input layout
+      val again = TokenShards.offsetManifest(bins.repartition(17))
+        .select(col("train_seq"), col("token_offset"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == again.toSeq)
+      // duplicate and missing sequence numbers both fail at the door
+      val dup = bins.unionByName(bins.where(col("train_seq") === 3L))
+      val eDup = intercept[IllegalArgumentException](TokenShards.offsetManifest(dup))
+      assert(eDup.getMessage.contains("dense"))
+      val gap = bins.where(col("train_seq") =!= 3L)
+      val eGap = intercept[IllegalArgumentException](TokenShards.offsetManifest(gap))
+      assert(eGap.getMessage.contains("dense"))
+    }
+
     it("no bin exceeds capacity unless it is an oversize singleton") {
       val rnd = new scala.util.Random(1213)
       val docs = (0L until 80L).map(i => (i, randomDoc(rnd))).toDF("doc_id", "text")
