@@ -4733,6 +4733,72 @@ object SparkEntry {
         .withColumn("resume_exact", lit(resumeExact))
     }),
 
+    // q256: FILL-IN-THE-MIDDLE TRANSFORM (Bavarian et al. 2022) over the
+    // TOTAL-scheme token stream: a seeded deterministic half of the
+    // corpus rewrites to PSM sentinel order, sentinels allocated just
+    // above the standing vocabulary. Gated in-query: fimRestore over the
+    // transformed frame reproduces the source ids EXACTLY (reassembly ≡
+    // source), and the transformed corpus round-trips through the binary
+    // writer (digest-stable under reshuffle, read-back ids identical).
+    // The oracle replays the md5-seeded selection and split boundaries
+    // exactly — prefix/middle/suffix lengths are pure integer functions
+    // of (doc_id, seed, token count), and the token count comes from the
+    // pinned merges CTE.
+    "q256_fim_transform" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q256 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val vocabMax = vocab.valuesIterator.max
+      val (pre, suf, mid) = (vocabMax + 1, vocabMax + 2, vocabMax + 3)
+      val tokens = operators.TokenShards.tokenizeToIdsTotal(
+          docs, "doc_id", "text", merges, vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { tokens.unpersist(); () })
+      val fim = operators.TokenShards.fimTransform(
+          tokens, "fim-release-1", rateMilli = 500L, pre, suf, mid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { fim.unpersist(); () })
+      // reassembly ≡ source, id-for-id over the whole corpus
+      val restored = operators.TokenShards.fimRestore(fim, pre, suf, mid)
+        .select(col("doc_id"), col("ids"))
+      val source = tokens.select(col("doc_id"), col("ids"))
+      val reassemblyExact = restored.exceptAll(source)
+        .unionByName(source.exceptAll(restored)).isEmpty
+      // the transformed corpus is a publishable artifact: binary round-trip
+      val width = if (mid <= 0xffffL) 2 else 4
+      val seqs = operators.TokenShards.packSequences(
+          fim.select(col("doc_id"), col("ids"), col("n_tokens")),
+          "doc_id", nShards = 8, capacity = 512L)
+        .withColumn("bin_key", col("shard") * lit(4294967296L) + col("bin"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { seqs.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/fim_shards_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeBinaryShards(seqs, p1, "bin_key", nShards = 4,
+        maxShardBytes = 1L << 20, tokenWidth = width)
+      sources.Export.writeBinaryShards(seqs.repartition(13), p2, "bin_key",
+        nShards = 4, maxShardBytes = 1L << 20, tokenWidth = width)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      val back = sources.Export.readBinaryShards(s, p1)
+        .select(col("bin_key"), col("ids"))
+      val written = seqs.select(col("bin_key"), col("ids"))
+      val binaryRoundtrip = back.exceptAll(written)
+        .unionByName(written.exceptAll(back)).isEmpty
+      fim.select(col("doc_id"), col("fim_applied"), col("prefix_len"),
+          col("middle_len"), col("suffix_len"), col("n_tokens"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("reassembly_exact", lit(reassemblyExact))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("binary_roundtrip", lit(binaryRoundtrip))
+    }),
+
     // q250: TOKEN-BUDGET MIXTURE — the data-card composition trainers
     // actually budget by: hit a target TOKEN share per language under a
     // total token budget (doc-count mixing over-serves strata of long
@@ -10099,6 +10165,50 @@ object SparkEntry {
         |       TRUE AS deterministic, TRUE AS merges_pinned,
         |       TRUE AS same_bin_multiset, TRUE AS epochs_differ
         |FROM b, e""".stripMargin,
+    // q256: the pinned merges CTE yields each doc's token count n; the
+    // md5-seeded selection and split points are then pure integer
+    // arithmetic over (doc_id, c = n - 1) — replayed to the digit
+    "q256_fim_transform" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |h AS (SELECT doc_id, CAST(n - 1 AS BIGINT) AS c,
+        |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'fim-release-1:fim'), 1, 8)) AS UBIGINT) < 2147483648 AS applied,
+        |        CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'fim-release-1:i'), 1, 8)) AS UBIGINT) AS BIGINT) AS hi,
+        |        CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'fim-release-1:j'), 1, 8)) AS UBIGINT) AS BIGINT) AS hj
+        |      FROM doctok),
+        |sp AS (SELECT doc_id, c, applied, hi % (c + 1) AS i,
+        |              hi % (c + 1) + (hj % (c - (hi % (c + 1)) + 1)) AS j
+        |       FROM h)
+        |SELECT doc_id, applied AS fim_applied,
+        |       CASE WHEN applied THEN i ELSE c END AS prefix_len,
+        |       CASE WHEN applied THEN j - i ELSE CAST(0 AS BIGINT) END AS middle_len,
+        |       CASE WHEN applied THEN c - j ELSE CAST(0 AS BIGINT) END AS suffix_len,
+        |       CASE WHEN applied THEN c + 4 ELSE c + 1 END AS n_tokens,
+        |       TRUE AS merges_pinned, TRUE AS reassembly_exact,
+        |       TRUE AS deterministic, TRUE AS binary_roundtrip
+        |FROM sp""".stripMargin,
     // q255: q249's permutation replay extended with the exclusive window
     // prefix sum — token_offset = running n_tokens over the SAME order key
     // minus the row's own mass (shares the pinned merges CTE family:

@@ -27,6 +27,18 @@ object Sampling {
   def hash32(id: Column, salt: String = ""): Column =
     conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")
 
+  /** [[hash32]] evaluated JVM-side, for typed kernels that decide per-row
+    * inside a map (the FIM split, for one) — SAME bytes, same salt
+    * discipline, so a typed kernel and a Column expression (and the
+    * DuckDB oracle) can never disagree on a sampling decision. Parity
+    * with the Column form is spec-pinned. */
+  def hash32Local(id: Long, salt: String = ""): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest((id.toString + salt).getBytes("UTF-8"))
+    // first 8 hex chars == first 4 bytes, big-endian, zero-extended
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Keep ~`fraction` of rows, deterministically: a row survives iff its id
     * hash (salt "sample") falls below fraction * 2^32. Rerunning,
     * repartitioning, or scaling the cluster cannot change the sample;

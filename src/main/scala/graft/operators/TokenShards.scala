@@ -487,6 +487,93 @@ object TokenShards {
   }
 
   /**
+   * FILL-IN-THE-MIDDLE TRANSFORM (public: Bavarian et al. 2022, "Efficient
+   * Training of Language Models to Fill in the Middle") — the standard
+   * code-corpus training transform: a seeded deterministic fraction of
+   * documents is rewritten from `[tokens, EOS]` to PSM order
+   * `[PRE, prefix, SUF, suffix, MID, middle, EOS]`, teaching the model to
+   * infill `middle` given both sides. Everything is EXACT integer md5
+   * arithmetic in the [[Sampling.hash32]] salt discipline, so the oracle
+   * replays every decision:
+   *  - selection: `hash32(doc_id, seed + ":fim") < rateMilli * 2^32 div
+   *    1000` — per-document, partitioning-invariant;
+   *  - split points over the `c = n_tokens - 1` content ids (EOS is never
+   *    split): `i = hash32(doc_id, seed + ":i") mod (c + 1)`,
+   *    `j = i + hash32(doc_id, seed + ":j") mod (c - i + 1)` — any of
+   *    prefix/middle/suffix may legitimately be empty, as in the paper.
+   * Sentinels are CALLER-ALLOCATED ids above the standing vocabulary
+   * (the total scheme keeps 0/1/2..257 reserved; symbols are contiguous
+   * from 258, so `vocabMax + 1..3` are free and stable while the
+   * vocabulary is the standing artifact it already is). A sentinel
+   * colliding with a document's ids would corrupt reassembly — each doc
+   * is checked and fails loudly. Unselected documents pass through
+   * unchanged (`prefix_len = c`, middle/suffix 0 — AR order is "all
+   * prefix"). Narrow: one typed pass, no exchange, payload stays put.
+   */
+  def fimTransform(tokens: DataFrame, seed: String, rateMilli: Long,
+      preId: Long, sufId: Long, midId: Long): DataFrame = {
+    require(seed.nonEmpty, "seed must be non-empty — it names the transform")
+    require(rateMilli >= 0 && rateMilli <= 1000, s"rateMilli in [0,1000], got $rateMilli")
+    val sentinels = Seq(preId, sufId, midId)
+    require(sentinels.distinct.size == 3 && sentinels.forall(_ >= totalFirstSymbolId),
+      s"sentinel ids must be 3 distinct ids at/above $totalFirstSymbolId " +
+        "(above the standing vocabulary's max id), got " + sentinels.mkString(", "))
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val threshold = (rateMilli * 4294967296L) / 1000L
+    tokens.select(col("doc_id").cast("long"), col("ids"))
+      .as[(Long, Seq[Long])]
+      .map { case (docId, ids) =>
+        require(ids.nonEmpty && ids.last == eosId,
+          s"doc $docId: ids must be EOS-terminated (the tokenizeToIds shape)")
+        require(!ids.exists(sentinels.contains),
+          s"doc $docId carries a sentinel id — allocate sentinels above the vocabulary")
+        val c = ids.length - 1
+        if (Sampling.hash32Local(docId, seed + ":fim") >= threshold) {
+          (docId, ids, ids.length.toLong, false, c.toLong, 0L, 0L)
+        } else {
+          val i = (Sampling.hash32Local(docId, seed + ":i") % (c + 1)).toInt
+          val j = i + (Sampling.hash32Local(docId, seed + ":j") % (c - i + 1)).toInt
+          val out = (preId +: ids.slice(0, i)) ++ (sufId +: ids.slice(j, c)) ++
+            (midId +: ids.slice(i, j)) :+ eosId
+          (docId, out, out.length.toLong, true, i.toLong, (j - i).toLong, (c - j).toLong)
+        }
+      }
+      .toDF("doc_id", "ids", "n_tokens", "fim_applied",
+        "prefix_len", "middle_len", "suffix_len")
+  }
+
+  /** Inverse of [[fimTransform]]: a PSM-ordered document (leading `preId`)
+    * reassembles to `[prefix, middle, suffix, EOS]`; any other document
+    * passes through. Malformed PSM framing (missing/mis-ordered
+    * sentinels) fails loudly — it marks a foreign or corrupted artifact,
+    * never a silent partial restore. */
+  def fimRestore(tokens: DataFrame, preId: Long, sufId: Long, midId: Long): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col("doc_id").cast("long"), col("ids"))
+      .as[(Long, Seq[Long])]
+      .map { case (docId, ids) =>
+        if (ids.isEmpty || ids.head != preId) (docId, ids, ids.length.toLong)
+        else {
+          require(ids.last == eosId, s"doc $docId: PSM frame must be EOS-terminated")
+          val body = ids.slice(1, ids.length - 1)
+          val si = body.indexOf(sufId)
+          val mi = body.indexOf(midId)
+          require(si >= 0 && mi > si && body.indexOf(preId) < 0 &&
+            body.lastIndexOf(sufId) == si && body.lastIndexOf(midId) == mi,
+            s"doc $docId: malformed PSM framing")
+          val prefix = body.slice(0, si)
+          val suffix = body.slice(si + 1, mi)
+          val middle = body.slice(mi + 1, body.length)
+          val out = (prefix ++ middle ++ suffix) :+ eosId
+          (docId, out, out.length.toLong)
+        }
+      }
+      .toDF("doc_id", "ids", "n_tokens")
+  }
+
+  /**
    * LOADER-RESUME OFFSET MANIFEST — the prefix-sum artifact that turns
    * the GRBS per-bin index from "locate bin k" into "locate TOKEN t": for
    * an epoch-ordered bin frame ([[withTrainingOrder]]'s `train_seq`,

@@ -458,6 +458,19 @@ class ExtensionsSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](Sampling.capPerKeySample(mixed, "k", "id", 0L))
     }
 
+    it("hash32Local is bit-identical to the hash32 Column form (typed kernels " +
+       "and Column expressions can never disagree on a sampling decision)") {
+      val ids = Seq(0L, 1L, -1L, 42L, 123456789L, Long.MaxValue, Long.MinValue + 1)
+      for (salt <- Seq("", "sample", "fim-release-1:i", "tokmix")) {
+        val viaColumn = ids.toDF("id")
+          .select(col("id"), Sampling.hash32(col("id"), salt).as("h"))
+          .as[(Long, Long)].collect().toMap
+        ids.foreach { id =>
+          assert(Sampling.hash32Local(id, salt) == viaColumn(id), s"id=$id salt=$salt")
+        }
+      }
+    }
+
     it("capPerKeySample fails loudly past the maxKeys broadcast contract") {
       // the threshold frame is broadcast, so key cardinality is a CONTRACT:
       // 5 distinct keys against maxKeys=3 must fail BEFORE the join plans,

@@ -225,6 +225,62 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       }
     }
 
+    it("fimTransform: seeded PSM rewrite is deterministic, lens partition the " +
+       "content, restore is the exact inverse; contracts are loud") {
+      val rnd = new scala.util.Random(1249)
+      val docs = (0L until 200L).map { i =>
+        // content ids in the total-scheme SYMBOL range, varied lengths 1..40
+        val c = 1 + rnd.nextInt(40)
+        (i, (Seq.fill(c)(258L + rnd.nextInt(1000)) :+ 0L))
+      }.toDF("doc_id", "ids")
+      val (pre, suf, mid) = (90001L, 90002L, 90003L)
+      val fim = TokenShards.fimTransform(docs, "fimtest", 500L, pre, suf, mid)
+        .as[(Long, Seq[Long], Long, Boolean, Long, Long, Long)].collect()
+      val srcById = docs.as[(Long, Seq[Long])].collect().toMap
+      // ~half selected (seeded, not random); lens partition the content
+      val applied = fim.filter(_._4)
+      assert(applied.nonEmpty && applied.length < fim.length)
+      fim.foreach { case (id, ids, n, app, p, m, sfx) =>
+        val c = srcById(id).length - 1
+        assert(p + m + sfx == c, s"doc $id lens must partition content")
+        assert(n == ids.length.toLong)
+        if (app) {
+          assert(ids.length == c + 4, s"doc $id: 3 sentinels + EOS")
+          assert(ids.head == pre && ids.last == 0L)
+        } else assert(ids == srcById(id))
+      }
+      // deterministic under repartitioning, rate 0 is the identity, rate 1000 total
+      val again = TokenShards.fimTransform(docs.repartition(7), "fimtest", 500L, pre, suf, mid)
+        .as[(Long, Seq[Long], Long, Boolean, Long, Long, Long)].collect()
+      assert(fim.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+      assert(TokenShards.fimTransform(docs, "fimtest", 0L, pre, suf, mid)
+        .where(col("fim_applied")).isEmpty)
+      assert(TokenShards.fimTransform(docs, "fimtest", 1000L, pre, suf, mid)
+        .where(!col("fim_applied")).isEmpty)
+      // restore is the exact inverse on the whole frame
+      val restored = TokenShards.fimRestore(
+          TokenShards.fimTransform(docs, "fimtest", 500L, pre, suf, mid), pre, suf, mid)
+        .select(col("doc_id"), col("ids")).as[(Long, Seq[Long])].collect().toMap
+      assert(restored == srcById)
+      // loud contracts: sentinel collision, non-EOS-terminated, bad sentinels
+      val collide = Seq((1L, Seq(90001L, 0L))).toDF("doc_id", "ids")
+      assert(intercept[org.apache.spark.SparkException](
+        TokenShards.fimTransform(collide, "s", 1000L, pre, suf, mid).collect())
+        .getMessage != null)
+      val unterminated = Seq((1L, Seq(300L))).toDF("doc_id", "ids")
+      assert(intercept[org.apache.spark.SparkException](
+        TokenShards.fimTransform(unterminated, "s", 0L, pre, suf, mid).collect())
+        .getMessage != null)
+      intercept[IllegalArgumentException](
+        TokenShards.fimTransform(docs, "s", 500L, pre, pre, mid))
+      intercept[IllegalArgumentException](
+        TokenShards.fimTransform(docs, "s", 1001L, pre, suf, mid))
+      // malformed PSM framing fails at restore, never partially restores
+      val bad = Seq((1L, Seq(pre, 300L, mid, 301L, suf, 0L))).toDF("doc_id", "ids")
+      assert(intercept[org.apache.spark.SparkException](
+        TokenShards.fimRestore(bad, pre, suf, mid).collect()).getMessage != null)
+    }
+
     it("offsetManifest: exact exclusive prefix sums across chunk boundaries, " +
        "partitioning-invariant; non-dense train_seq fails loudly") {
       val rnd = new scala.util.Random(1237)
