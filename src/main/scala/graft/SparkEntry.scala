@@ -4799,6 +4799,75 @@ object SparkEntry {
         .withColumn("binary_roundtrip", lit(binaryRoundtrip))
     }),
 
+    // q257: SFT CONVERSATION ASSEMBLY — role-tagged multi-turn records
+    // with per-token loss masks (assistant spans trainable, boilerplate
+    // masked), assembled via the group-sorted layout: one exchange, no
+    // window. Natural conversations derive from documents by arithmetic
+    // (conv = doc div 6, role cycles system/user/assistant/user/
+    // assistant/user); one PLANTED pre-tokenized conversation pins the
+    // mask layout id-for-id in-query (corpus-independent — the spec pins
+    // the same law on a tiny vocab). The record frame publishes through
+    // the staged jsonl writer, digest-stable under reshuffle. The oracle
+    // replays per-turn token counts through the pinned merges CTE and
+    // aggregates them in turn order.
+    "q257_sft_assembly" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q257 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val vMax = vocab.valuesIterator.max
+      val roleIds = Map("system" -> (vMax + 1), "user" -> (vMax + 2),
+        "assistant" -> (vMax + 3))
+      val roleOf = element_at(
+        array(lit("system"), lit("user"), lit("assistant"),
+          lit("user"), lit("assistant"), lit("user")),
+        (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+      val natTurns = operators.TokenShards.tokenizeToIdsTotal(
+          docs, "doc_id", "text", merges, vocab)
+        .select((col("doc_id") / 6).cast("long").as("conv_id"),
+          pmod(col("doc_id"), lit(6L)).as("turn_idx"), roleOf.as("role"), col("ids"))
+      val planted = Seq(
+        (-1L, 0L, "system", Seq(vMax + 10, 0L)),
+        (-1L, 1L, "user", Seq(vMax + 11, vMax + 12, 0L)),
+        (-1L, 2L, "assistant", Seq(vMax + 13, 0L)))
+        .toDF("conv_id", "turn_idx", "role", "ids")
+      val assembled = operators.Sft.assembleConversations(
+          natTurns.unionByName(planted), roleIds, Set("assistant"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { assembled.unpersist(); () })
+      // hand-pinned planted record: ids and mask, position for position
+      val Array((pIds, pMask)) = assembled.where(col("conv_id") === -1L)
+        .select(col("ids"), col("mask")).as[(Seq[Long], Seq[Long])].collect()
+      val plantedPinned =
+        pIds == Seq(vMax + 1, vMax + 10, 0L, vMax + 2, vMax + 11, vMax + 12, 0L,
+          vMax + 3, vMax + 13, 0L) &&
+        pMask == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 1L)
+      // mask law over EVERY record: aligned lengths, trainable count exact
+      val maskLaw = assembled.where(size(col("ids")) =!= size(col("mask")) ||
+        col("n_trainable") =!= size(filter(col("mask"), m => m === 1L))).isEmpty
+      // release artifact: staged publish, reshuffle-stable
+      val root = s"${indexStoreRoot(dir, "documents")}/sft_records_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeJsonlShards(assembled, p1, "conv_id", nShards = 2,
+        maxShardBytes = 1L << 20)
+      sources.Export.writeJsonlShards(assembled.repartition(13), p2, "conv_id",
+        nShards = 2, maxShardBytes = 1L << 20)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      assembled.select(col("conv_id"), col("n_turns"), col("n_tokens"),
+          col("n_trainable"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("planted_mask_pinned", lit(plantedPinned))
+        .withColumn("mask_law", lit(maskLaw))
+        .withColumn("deterministic", lit(deterministic))
+    }),
+
     // q250: TOKEN-BUDGET MIXTURE — the data-card composition trainers
     // actually budget by: hit a target TOKEN share per language under a
     // total token budget (doc-count mixing over-serves strata of long
@@ -10209,6 +10278,48 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS reassembly_exact,
         |       TRUE AS deterministic, TRUE AS binary_roundtrip
         |FROM sp""".stripMargin,
+    // q257: per-turn token counts via the pinned merges CTE, aggregated
+    // per conversation (conv = doc div 6; +1 per turn is the role tag;
+    // turns 2 and 4 of the cycle are the assistant's); the planted
+    // pre-tokenized conversation is a closed-form row
+    "q257_sft_assembly" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |turns AS (SELECT doc_id // 6 AS conv_id, doc_id % 6 AS ti, n FROM doctok),
+        |conv AS (SELECT CAST(conv_id AS BIGINT) AS conv_id,
+        |                CAST(count(*) AS BIGINT) AS n_turns,
+        |                CAST(sum(n + 1) AS BIGINT) AS n_tokens,
+        |                CAST(coalesce(sum(CASE WHEN ti IN (2, 4) THEN n END), 0) AS BIGINT) AS n_trainable
+        |         FROM turns GROUP BY 1
+        |         UNION ALL
+        |         SELECT CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+        |                CAST(10 AS BIGINT), CAST(2 AS BIGINT))
+        |SELECT conv_id, n_turns, n_tokens, n_trainable,
+        |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
+        |       TRUE AS mask_law, TRUE AS deterministic
+        |FROM conv""".stripMargin,
     // q255: q249's permutation replay extended with the exclusive window
     // prefix sum — token_offset = running n_tokens over the SAME order key
     // minus the row's own mass (shares the pinned merges CTE family:
