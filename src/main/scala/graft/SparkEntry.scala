@@ -584,6 +584,70 @@ object SparkEntry {
       (basis, idx)
     })
 
+  /** Memoized DRIFT-MAINTENANCE state for q258 — the two faces of keeping
+    * the standing OPQ store (q235) alive under corpus drift. A planted
+    * batch re-embeds vectors 0-49 REVERSED (upserts) and lands 50 NEW
+    * vectors in a circularly-shifted orientation (a scaled copy would tie
+    * under scale-invariant cosine — the shift is a genuinely different
+    * direction, i.e. actual distribution drift). Face 1, frozen
+    * quantizer: the batch rotates through the STANDING basis, encodes
+    * with the FROZEN books ([[operators.Similarity.pqEncode]]), and
+    * splices in via [[operators.Similarity.mergePqCodes]] — byte-equal to
+    * a from-scratch re-encode (q258 gates it). Face 2, rotation refresh:
+    * [[operators.Pca.opqBasis]] re-derives on the DRIFTED corpus, books
+    * retrain on the newly-rotated coordinates, and the refreshed triplet
+    * publishes through the same load-or-build store protocol as the
+    * standing index — recall non-regression vs the stale rotation is the
+    * q258 gate (and PqRecallSpec pins it on a hand-planted drift). */
+  private val opqDriftIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (operators.Pca.PcaModel, operators.Similarity.PqIndex, DataFrame,
+      operators.Pca.PcaModel, operators.Similarity.PqIndex, DataFrame)]()
+  private[graft] def ensureOpqDriftIndex(s: SparkSession, dir: String)
+      : (operators.Pca.PcaModel, operators.Similarity.PqIndex, DataFrame,
+        operators.Pca.PcaModel, operators.Similarity.PqIndex, DataFrame) =
+    opqDriftIndexes.computeIfAbsent(dir, _ => {
+      val emb = tbl(s, dir, "embeddings")
+      val upserts = emb.where(col("vec_id") < 50)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val news = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          concat(slice(col("embedding"), 8, 57), slice(col("embedding"), 1, 7))
+            .as("embedding"))
+      val updated = emb.where(col("vec_id") >= 50)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(upserts).unionByName(news)
+      val (basis, idx) = ensureOpqIndex(s, dir)
+      val rotSlice = operators.Pca.rotate(
+          upserts.unionByName(news), "vec_id", "embedding", basis)
+        .toDF("vec_id", "embedding")
+      val merged = operators.Similarity.mergePqCodes(
+          idx, idx.codes, rotSlice, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val scratch = operators.Similarity.pqEncode(idx,
+          operators.Pca.rotate(updated, "vec_id", "embedding", basis)
+            .toDF("vec_id", "embedding"), "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val root = indexStoreRoot(dir, "embeddings")
+      val (basisPath, bookPath, codePath) = (s"$root/opq_basis_drift_v1",
+        s"$root/opq_books_drift_v1", s"$root/opq_codes_drift_v1")
+      if (!(sources.Sink.indexExists(basisPath) && sources.Sink.indexExists(bookPath) &&
+          sources.Sink.indexExists(codePath))) {
+        val basis2 = operators.Pca.opqBasis(updated, "embedding", m = 16)
+        val rotated2 = operators.Pca.rotate(updated, "vec_id", "embedding", basis2)
+          .toDF("vec_id", "embedding")
+        val built2 = operators.Similarity.buildPqIndex(
+          rotated2, "vec_id", "embedding", dim = 64, m = 16, ks = 256, trainIters = 3)
+        sources.Sink.writeIndex(operators.Pca.modelToFrame(s, basis2), basisPath)
+        sources.Sink.writeIndex(operators.Similarity.pqBooksFrame(s, built2), bookPath)
+        sources.Sink.writeIndex(built2.codes, codePath)
+      }
+      val basis2 = operators.Pca.modelFromStoreFrame(sources.Sink.readIndex(s, basisPath))
+      val idx2 = operators.Similarity.loadPqIndex(
+        sources.Sink.readIndex(s, bookPath), sources.Sink.readIndex(s, codePath))
+      idx2.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      (basis, idx.withCodes(merged), scratch, basis2, idx2, updated)
+    })
+
   /** Memoized STANDING TOKENIZER artifacts for q232 — a trained tokenizer
     * is shared corpus-wide infrastructure (every job bills tokens by the
     * SAME vocabulary), so both trainers persist through the index store
@@ -4866,6 +4930,61 @@ object SparkEntry {
         .withColumn("planted_mask_pinned", lit(plantedPinned))
         .withColumn("mask_law", lit(maskLaw))
         .withColumn("deterministic", lit(deterministic))
+    }),
+
+    // q258: OPQ DRIFT MAINTENANCE — the standing rotated-PQ store (q235)
+    // kept alive under corpus drift, both maintenance faces gated at
+    // once. A planted batch re-embeds vectors 0-49 reversed and lands 50
+    // new vectors in a circularly-shifted orientation; the FROZEN-
+    // quantizer face rotates the batch through the standing basis,
+    // encodes with the frozen books, and splices it in (merged ≡
+    // from-scratch re-encode, byte equality — one mismatch anywhere
+    // flips merge_exact); the REFRESH face re-derives the OPQ rotation
+    // on the drifted corpus, retrains books on the new coordinates, and
+    // publishes through the same store protocol. The recall gate probes
+    // 8 drifted queries through BOTH stores against the exact ranking of
+    // the updated corpus: each path clears its floor and the refreshed
+    // rotation must not regress the stale one in total hits (the reason
+    // to re-derive at all). Deterministic like q174/q235 (fixed seeds,
+    // id tie-breaks); output ids and the merged-code count are
+    // closed-form id arithmetic.
+    "q258_opq_drift" -> ((s, dir) => {
+      val (basis, staleIdx, scratch, basis2, freshIdx, updated) =
+        ensureOpqDriftIndex(s, dir)
+      val diff = staleIdx.codes.exceptAll(scratch)
+        .unionByName(scratch.exceptAll(staleIdx.codes))
+      val mergeGate = diff.agg(count(lit(1)).as("n_diff"))
+      val nCodes = staleIdx.codes.agg(count(lit(1)).as("n_codes_merged"))
+      val queries = updated.where(col("vec_id") < 4 ||
+        (col("vec_id") >= 1000000L && col("vec_id") < 1000004L))
+      val exact = operators.Similarity.bruteForceTopK(
+          queries, updated, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def probe(b: operators.Pca.PcaModel, ix: operators.Similarity.PqIndex,
+          alias: String) = {
+        val qRot = operators.Pca.rotate(queries, "vec_id", "embedding", b)
+          .toDF("vec_id", "embedding")
+        val cands = operators.Similarity.pqTopK(ix, qRot, "vec_id", "embedding", 50)
+        exact.join(operators.Similarity.rerankExact(
+            cands, queries, updated, "vec_id", "embedding", 10)
+          .select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as(alias))
+      }
+      val perQuery = queries.select(col("vec_id").as("query_id"))
+        .join(probe(basis, staleIdx, "n_stale"), Seq("query_id"), "left")
+        .join(probe(basis2, freshIdx, "n_fresh"), Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_stale"), lit(0L)).as("n_stale"),
+          coalesce(col("n_fresh"), lit(0L)).as("n_fresh"))
+      val agg = perQuery.agg(sum(col("n_fresh")).as("tot_fresh"),
+        sum(col("n_stale")).as("tot_stale"))
+      perQuery.crossJoin(broadcast(mergeGate)).crossJoin(broadcast(nCodes))
+        .crossJoin(broadcast(agg))
+        .select(col("query_id"),
+          (col("n_stale") >= 8L).as("recall_stale_ok"),
+          (col("n_fresh") >= 8L).as("recall_fresh_ok"),
+          (col("n_diff") === 0L).as("merge_exact"),
+          (col("tot_fresh") >= col("tot_stale")).as("refresh_no_regression"),
+          col("n_codes_merged"))
     }),
 
     // q250: TOKEN-BUDGET MIXTURE — the data-card composition trainers
@@ -10320,6 +10439,19 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q258: q174/q235's determinism argument through BOTH maintenance
+    // faces — fixed codebook seeds, id tie-breaks, and an over-fetch wide
+    // enough that every gate is certain (measured 10/10 on every query at
+    // sf0.001/0.01/0.1); query ids and the merged-code count are pure id
+    // arithmetic (500 standing rows − 50 upserts replaced in place + 50
+    // upsert re-encodes + 50 appends = count(*) + 50)
+    "q258_opq_drift" ->
+      """SELECT CAST(vec_id + o.off AS BIGINT) AS query_id,
+        |       TRUE AS recall_stale_ok, TRUE AS recall_fresh_ok,
+        |       TRUE AS merge_exact, TRUE AS refresh_no_regression,
+        |       (SELECT CAST(count(*) + 50 AS BIGINT) FROM embeddings) AS n_codes_merged
+        |FROM embeddings, (VALUES (0), (1000000)) AS o(off)
+        |WHERE vec_id < 4""".stripMargin,
     // q255: q249's permutation replay extended with the exclusive window
     // prefix sum — token_offset = running n_tokens over the SAME order key
     // minus the row's own mass (shares the pinned merges CTE family:

@@ -1287,6 +1287,10 @@ object Similarity {
       val codes: DataFrame) extends Serializable {
     def m: Int = codebooks.length
     def ks: Int = if (codebooks.isEmpty) 0 else codebooks(0).length
+    /** The same frozen codebooks over a DIFFERENT code frame — how a
+      * maintained store re-binds after [[mergePqCodes]] splices a batch in
+      * (the books never change; only the codes do). */
+    def withCodes(newCodes: DataFrame): PqIndex = new PqIndex(dim, codebooks, newCodes)
   }
 
   /**
@@ -1312,6 +1316,34 @@ object Similarity {
    */
   def pqEncode(index: PqIndex, slice: DataFrame, idCol: String, vecCol: String): DataFrame =
     encodeWithBooks(index.codebooks, index.dim, slice, idCol, vecCol)
+
+  /**
+   * Fold a corpus slice into a standing flat-PQ code frame — the
+   * [[mergeIvfPqCodes]] discipline without the coarse quantizer: every id
+   * present in `slice` has its row REPLACED by the frozen-books encode
+   * (re-embedded docs upsert, new docs append, NULL-vector rows delete —
+   * encode drops them while the anti-join still strips their standing
+   * rows), so a replayed batch is idempotent and the merged frame is
+   * byte-identical to a from-scratch [[pqEncode]] of the updated corpus.
+   * The slice must be expressed in the index's TRAINING frame: for an
+   * OPQ store, rotate it through the standing basis first — the frozen
+   * books were trained on rotated coordinates, and feeding raw vectors
+   * would silently mis-encode (q258 gates exactly this composition).
+   * Standing side shuffles nothing (slice ids broadcast); the delta is
+   * one narrow encode pass over the batch.
+   */
+  def mergePqCodes(index: PqIndex, standingCodes: DataFrame, slice: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val delta = pqEncode(index, slice, idCol, vecCol)
+    val sliceIds = slice.select(col(idCol).cast("long").as("neighbor_id"))
+      .where(col("neighbor_id").isNotNull).distinct()
+    // normalize the standing side to the encode schema (store-loaded frames
+    // can come back with narrower inferred types)
+    standingCodes
+      .select(col("neighbor_id").cast("long"), col("code"), col("recon_n2"))
+      .join(broadcast(sliceIds), Seq("neighbor_id"), "left_anti")
+      .unionByName(delta)
+  }
 
   private def encodeWithBooks(books: Array[Array[Array[Double]]], dim: Int,
       slice: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -283,4 +283,84 @@ class PqRecallSpec extends AnyFunSpec with SparkSuite {
       assert(a === b)
     }
   }
+
+  describe("mergePqCodes — standing flat-PQ store maintenance") {
+    import spark.implicits._
+
+    it("upsert + append + NULL-delete merge is byte-identical to a from-scratch " +
+       "re-encode, and a replayed batch is idempotent") {
+      val rnd = new scala.util.Random(53)
+      def vec() = Seq.fill(16)(rnd.nextDouble() * 2 - 1)
+      val base = (0L until 60L).map(i => (i, vec())).toDF("vec_id", "embedding")
+      val idx = Similarity.buildPqIndex(base, "vec_id", "embedding",
+        dim = 16, m = 4, ks = 16, trainIters = 3)
+      // ids 0-4 re-embed (upsert), 100-104 arrive (append), 5-6 leave
+      // (NULL vectors: encode drops them, the anti-join strips their rows)
+      val slice = ((0L until 5L).map(i => (i, vec())) ++
+        (100L until 105L).map(i => (i, vec())) ++
+        (5L until 7L).map(i => (i, null.asInstanceOf[Seq[Double]])))
+        .toDF("vec_id", "embedding")
+      val merged = Similarity.mergePqCodes(idx, idx.codes, slice, "vec_id", "embedding")
+      val updated = base.join(slice.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(slice.where($"embedding".isNotNull))
+      val scratch = Similarity.pqEncode(idx, updated, "vec_id", "embedding")
+      assert(merged.exceptAll(scratch).unionByName(scratch.exceptAll(merged)).isEmpty)
+      assert(merged.count() === 60L - 2L + 5L) // 5 replaced in place
+      val replayed = Similarity.mergePqCodes(idx, merged, slice, "vec_id", "embedding")
+      assert(replayed.exceptAll(merged).unionByName(merged.exceptAll(replayed)).isEmpty)
+    }
+
+    it("OPQ drift maintenance: the refreshed rotation's ADC recall does not " +
+       "regress the stale one on drifted queries (q258's spec-side pin)") {
+      // base corpus: anisotropy decaying along the NATURAL dims (the
+      // distribution opqBasis was derived for); drift: new vectors whose
+      // anisotropy decays along the REVERSED dims — the stale rotation's
+      // eigenvalue allocation and books were trained for the wrong
+      // distribution, the refreshed ones were not
+      val rnd = new scala.util.Random(61)
+      val dim = 16
+      def decay(i: Long, rev: Boolean) = (0 until dim).map { d =>
+        val s = if (rev) dim - 1 - d else d
+        (rnd.nextDouble() * 2 - 1) / (1.0 + s * 0.7)
+      }
+      val base = (0L until 400L).map(i => (i, decay(i, rev = false)))
+        .toDF("vec_id", "embedding")
+      val drift = (1000L until 1200L).map(i => (i, decay(i, rev = true)))
+        .toDF("vec_id", "embedding")
+      val updated = base.unionByName(drift)
+      val queries = drift.where($"vec_id" < 1012)
+      val exact = pairSet(Similarity.bruteForceTopK(
+        queries, updated, "vec_id", "embedding", K))
+      def adcRecall(basis: Pca.PcaModel, ix: Similarity.PqIndex): Double = {
+        val rq = Pca.rotate(queries, "vec_id", "embedding", basis)
+          .toDF("vec_id", "embedding")
+        pairSet(Similarity.pqTopK(ix, rq, "vec_id", "embedding", K))
+          .intersect(exact).size.toDouble / exact.size
+      }
+      // stale store: basis + books from BASE, the drift batch merged in
+      // through the frozen quantizer (the q258 face-1 composition)
+      val staleBasis = Pca.opqBasis(base, "embedding", m = 4)
+      val staleIdx = Similarity.buildPqIndex(
+        Pca.rotate(base, "vec_id", "embedding", staleBasis).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = dim, m = 4, ks = 16, trainIters = 3)
+      val mergedIdx = staleIdx.withCodes(Similarity.mergePqCodes(staleIdx,
+        staleIdx.codes,
+        Pca.rotate(drift, "vec_id", "embedding", staleBasis).toDF("vec_id", "embedding"),
+        "vec_id", "embedding"))
+      // refreshed store: basis + books re-derived on the DRIFTED corpus
+      val freshBasis = Pca.opqBasis(updated, "embedding", m = 4)
+      val freshIdx = Similarity.buildPqIndex(
+        Pca.rotate(updated, "vec_id", "embedding", freshBasis).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = dim, m = 4, ks = 16, trainIters = 3)
+      val (stale, fresh) = (adcRecall(staleBasis, mergedIdx), adcRecall(freshBasis, freshIdx))
+      info(f"ADC recall@$K on drifted queries: stale $stale%.3f, refreshed $fresh%.3f")
+      // measured: stale 0.092, refreshed 0.417 (seed 61) — re-deriving the
+      // rotation is not a tie-break, it is the difference between a dead
+      // and a usable ADC stage on the drifted slice (production recall on
+      // top of either comes from over-fetch + re-rank, q258's gate)
+      assert(fresh >= stale + 0.15,
+        f"refreshed rotation no longer materially beats stale: $fresh%.3f vs $stale%.3f")
+      assert(fresh > 0.35, f"refreshed ADC recall $fresh%.3f unexpectedly low")
+    }
+  }
 }
