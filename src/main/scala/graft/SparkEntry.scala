@@ -4932,6 +4932,81 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q259: DPO PREFERENCE-PAIR ASSEMBLY — prompt + chosen/rejected
+    // response branches with positionally-aligned loss masks and the
+    // standard left-truncation policy (prompt tail survives, BOTH
+    // branches share the identical kept prompt, a response that cannot
+    // fit invalidates the pair rather than clipping). Natural pairs
+    // derive from documents by arithmetic (pair = doc div 3: prompt,
+    // chosen, rejected in role order; one group-sort-free pivot
+    // exchange); two PLANTED pre-tokenized pairs pin the truncation
+    // arithmetic and the invalid path id-for-id in-query. The oracle
+    // replays every length through the pinned merges CTE: keep =
+    // least(p-1, 600 - greatest(c, r)).
+    "q259_dpo_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q259 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val vMax = vocab.valuesIterator.max
+      val role = pmod(col("doc_id"), lit(3L))
+      val triples = operators.TokenShards.tokenizeToIdsTotal(
+          docs, "doc_id", "text", merges, vocab)
+        .groupBy((col("doc_id") / 3).cast("long").as("pair_id"))
+        .agg(first(when(role === 0, col("ids")), ignoreNulls = true).as("prompt_ids"),
+          first(when(role === 1, col("ids")), ignoreNulls = true).as("chosen_ids"),
+          first(when(role === 2, col("ids")), ignoreNulls = true).as("rejected_ids"))
+        .where(col("prompt_ids").isNotNull && col("chosen_ids").isNotNull &&
+          col("rejected_ids").isNotNull)
+      val natural = operators.Sft.preferencePairs(triples, maxLen = 600)
+      // planted pair -1 exercises LEFT truncation (keep = min(3, 5-3) = 2),
+      // pair -2 the invalid path (longer response 6 > maxLen 5)
+      val planted = operators.Sft.preferencePairs(Seq(
+        (-1L, Seq(vMax + 10, vMax + 11, vMax + 12, 0L), Seq(vMax + 13, 0L),
+          Seq(vMax + 14, vMax + 15, 0L)),
+        (-2L, Seq(0L), Seq(vMax + 20, vMax + 21, vMax + 22, vMax + 23, vMax + 24, 0L),
+          Seq(vMax + 25, 0L)))
+        .toDF("pair_id", "prompt_ids", "chosen_ids", "rejected_ids"), maxLen = 5)
+      val out = natural.unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { out.unpersist(); () })
+      val Array((p1s, p1m, p1r, p1rm)) = out.where(col("pair_id") === -1L)
+        .select(col("chosen_seq"), col("chosen_mask"), col("rejected_seq"),
+          col("rejected_mask"))
+        .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].collect()
+      val plantedPinned =
+        p1s == Seq(vMax + 11, vMax + 12, vMax + 13, 0L) &&
+        p1m == Seq(0L, 0L, 1L, 1L) &&
+        p1r == Seq(vMax + 11, vMax + 12, vMax + 14, vMax + 15, 0L) &&
+        p1rm == Seq(0L, 0L, 1L, 1L, 1L) &&
+        out.where(col("pair_id") === -2L && !col("valid") &&
+          size(col("chosen_seq")) === 0).count() == 1L
+      // the mask/shared-prompt laws over EVERY valid record: masks align
+      // with their sequences, the masked span is exactly prompt_kept long
+      // on BOTH branches, and both branches open with the IDENTICAL kept
+      // prompt (the law branch-asymmetric truncation would break)
+      val maskLaw = out.where(col("valid") && (
+        size(col("chosen_seq")) =!= size(col("chosen_mask")) ||
+        size(col("rejected_seq")) =!= size(col("rejected_mask")) ||
+        size(filter(col("chosen_mask"), m => m === 0L)) =!= col("prompt_kept") ||
+        size(filter(col("rejected_mask"), m => m === 0L)) =!= col("prompt_kept") ||
+        slice(col("chosen_seq"), lit(1), col("prompt_kept").cast("int")) =!=
+          slice(col("rejected_seq"), lit(1), col("prompt_kept").cast("int"))))
+        .isEmpty
+      out.select(col("pair_id"), col("valid"), col("prompt_kept"),
+          size(col("chosen_seq")).cast("long").as("chosen_len"),
+          size(col("rejected_seq")).cast("long").as("rejected_len"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("planted_pinned", lit(plantedPinned))
+        .withColumn("mask_law", lit(maskLaw))
+    }),
+
     // q258: OPQ DRIFT MAINTENANCE — the standing rotated-PQ store (q235)
     // kept alive under corpus drift, both maintenance faces gated at
     // once. A planted batch re-embeds vectors 0-49 reversed and lands 50
@@ -10439,6 +10514,55 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q259: every length replays through the pinned merges CTE — per-doc
+    // token mass n (subwords + one space/EOS frame per word) gives
+    // p = n_prompt - 1 (the prompt's EOS never ships), keep =
+    // least(p, 600 - greatest(c, r)), branch length = keep + response
+    // mass; the planted truncation/invalid pairs are closed-form rows
+    "q259_dpo_pairs" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |trip AS (SELECT doc_id // 3 AS pair_id,
+        |                max(CASE WHEN doc_id % 3 = 0 THEN n END) AS pn,
+        |                max(CASE WHEN doc_id % 3 = 1 THEN n END) AS cn,
+        |                max(CASE WHEN doc_id % 3 = 2 THEN n END) AS rn
+        |         FROM doctok GROUP BY 1 HAVING count(*) = 3),
+        |calc AS (SELECT pair_id, least(pn - 1, 600 - greatest(cn, rn)) AS keep, cn, rn
+        |         FROM trip)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id, keep >= 0 AS valid,
+        |       CAST(CASE WHEN keep >= 0 THEN keep ELSE 0 END AS BIGINT) AS prompt_kept,
+        |       CAST(CASE WHEN keep >= 0 THEN keep + cn ELSE 0 END AS BIGINT) AS chosen_len,
+        |       CAST(CASE WHEN keep >= 0 THEN keep + rn ELSE 0 END AS BIGINT) AS rejected_len,
+        |       TRUE AS merges_pinned, TRUE AS planted_pinned, TRUE AS mask_law
+        |FROM calc
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), TRUE, CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+        |       CAST(5 AS BIGINT), TRUE, TRUE, TRUE
+        |UNION ALL
+        |SELECT CAST(-2 AS BIGINT), FALSE, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT), TRUE, TRUE, TRUE""".stripMargin,
     // q258: q174/q235's determinism argument through BOTH maintenance
     // faces — fixed codebook seeds, id tie-breaks, and an over-fetch wide
     // enough that every gate is certain (measured 10/10 on every query at

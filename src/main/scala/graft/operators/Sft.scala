@@ -77,4 +77,56 @@ object Sft {
       }
       .toDF("conv_id", "n_turns", "ids", "mask", "n_tokens", "n_trainable")
   }
+
+  /**
+   * DPO/RLHF PREFERENCE-PAIR ASSEMBLY — the training-format last mile for
+   * preference optimization: each pair carries one prompt and two
+   * responses (chosen beats rejected), and the trainer needs BOTH
+   * branches laid out as `[shared prompt tail, response..., EOS]` with a
+   * positionally-aligned loss mask (prompt tokens 0, response+EOS tokens
+   * 1 — the DPO log-prob sums run over the response span only).
+   *
+   * All three inputs are EOS-terminated (the
+   * [[TokenShards.tokenizeToIds]] shape); the prompt's EOS never ships —
+   * the prompt flows INTO the response. Truncation is the standard
+   * preference-data policy: the prompt truncates from the LEFT (its tail
+   * is what conditions the response) until `prompt + longer response`
+   * fits `maxLen`, and BOTH branches share the identical kept prompt —
+   * branch-asymmetric truncation would silently corrupt the DPO loss
+   * (the pair must differ only in the response). A pair whose longer
+   * response alone exceeds `maxLen` cannot be truncated into validity:
+   * it emits `valid = false` with empty sequences so callers count and
+   * filter, never a silently-clipped response.
+   *
+   * SCALE SHAPE: one narrow typed pass — per-row arithmetic, no
+   * exchange, the token payload never moves.
+   */
+  def preferencePairs(pairs: DataFrame, maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("pair_id").cast("long"), col("prompt_ids"),
+        col("chosen_ids"), col("rejected_ids"))
+      .as[(Long, Seq[Long], Seq[Long], Seq[Long])]
+      .map { case (id, prompt, chosen, rejected) =>
+        def checkEos(name: String, ids: Seq[Long]): Unit =
+          require(ids != null && ids.nonEmpty && ids.last == TokenShards.eosId,
+            s"pair $id: $name ids must be EOS-terminated (the tokenizeToIds shape)")
+        checkEos("prompt", prompt); checkEos("chosen", chosen); checkEos("rejected", rejected)
+        val p = prompt.length - 1
+        val (c, r) = (chosen.length, rejected.length)
+        val keep = math.min(p, maxLen - math.max(c, r))
+        if (keep < 0)
+          (id, false, 0L, Seq.empty[Long], Seq.empty[Long],
+            Seq.empty[Long], Seq.empty[Long])
+        else {
+          val kept = prompt.slice(p - keep, p)
+          (id, true, keep.toLong,
+            kept ++ chosen, Seq.fill(keep)(0L) ++ Seq.fill(c)(1L),
+            kept ++ rejected, Seq.fill(keep)(0L) ++ Seq.fill(r)(1L))
+        }
+      }
+      .toDF("pair_id", "valid", "prompt_kept", "chosen_seq", "chosen_mask",
+        "rejected_seq", "rejected_mask")
+  }
 }

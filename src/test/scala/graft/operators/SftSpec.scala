@@ -73,4 +73,55 @@ class SftSpec extends AnyFunSpec with SparkSuite {
           roles, Set("assistant", "robot")))
     }
   }
+
+  describe("Sft.preferencePairs") {
+    def assemble(rows: Seq[(Long, Seq[Long], Seq[Long], Seq[Long])],
+        maxLen: Int) =
+      Sft.preferencePairs(
+        rows.toDF("pair_id", "prompt_ids", "chosen_ids", "rejected_ids"), maxLen)
+
+    it("assembles the HAND-PINNED pair exactly: shared prompt, masks, no truncation") {
+      val got = assemble(Seq(
+        (7L, Seq(300L, 301L, 0L), Seq(302L, 0L), Seq(303L, 304L, 0L))), maxLen = 10)
+        .as[(Long, Boolean, Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])].head()
+      assert(got._1 == 7L && got._2 && got._3 == 2L)
+      assert(got._4 == Seq(300L, 301L, 302L, 0L)) // prompt EOS never ships
+      assert(got._5 == Seq(0L, 0L, 1L, 1L))       // loss on response + its EOS only
+      assert(got._6 == Seq(300L, 301L, 303L, 304L, 0L))
+      assert(got._7 == Seq(0L, 0L, 1L, 1L, 1L))
+    }
+
+    it("left-truncates the prompt to fit the LONGER response; both branches " +
+       "share the identical kept prompt; an unfittable response invalidates") {
+      val rows = Seq(
+        // p=3, c=2, r=3, maxLen=5: keep = min(3, 5-3) = 2, prompt TAIL kept
+        (1L, Seq(10L, 11L, 12L, 0L), Seq(20L, 0L), Seq(30L, 31L, 0L)),
+        // longer response 6 > maxLen 5 -> invalid, empty sequences
+        (2L, Seq(10L, 0L), Seq(20L, 21L, 22L, 23L, 24L, 0L), Seq(30L, 0L)),
+        // keep = 0 is legal: the whole prompt truncates away
+        (3L, Seq(10L, 11L, 0L), Seq(20L, 21L, 22L, 23L, 0L), Seq(30L, 0L)))
+      val got = assemble(rows, maxLen = 5)
+        .as[(Long, Boolean, Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+        .collect().sortBy(_._1)
+      assert(got(0)._4 == Seq(11L, 12L, 20L, 0L) && got(0)._3 == 2L)
+      assert(got(0)._6 == Seq(11L, 12L, 30L, 31L, 0L))
+      assert(got(0)._4.take(2) == got(0)._6.take(2)) // identical kept prompt
+      assert(!got(1)._2 && got(1)._4.isEmpty && got(1)._6.isEmpty)
+      assert(got(2)._2 && got(2)._3 == 0L && got(2)._4 == Seq(20L, 21L, 22L, 23L, 0L))
+      // partitioning-invariant (pure per-row transform)
+      assert(assemble(rows, maxLen = 5).collect().toSet ===
+        Sft.preferencePairs(rows.toDF("pair_id", "prompt_ids", "chosen_ids",
+          "rejected_ids").repartition(7), 5).collect().toSet)
+    }
+
+    it("contracts are loud: unterminated inputs and a degenerate maxLen") {
+      val ok = Seq((1L, Seq(10L, 0L), Seq(20L, 0L), Seq(30L, 0L)))
+      assert(assemble(ok, 10).collect().length == 1)
+      intercept[org.apache.spark.SparkException](
+        assemble(Seq((1L, Seq(10L), Seq(20L, 0L), Seq(30L, 0L))), 10).collect())
+      intercept[org.apache.spark.SparkException](
+        assemble(Seq((1L, Seq(10L, 0L), Seq.empty[Long], Seq(30L, 0L))), 10).collect())
+      intercept[IllegalArgumentException](assemble(ok, 0))
+    }
+  }
 }
