@@ -4932,6 +4932,85 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q260: PACKED SFT SHARDS WITH A BINARY MASK CHANNEL — the terminal
+    // SFT artifact: q257's conversations pack into capacity-bounded
+    // training bins WITHOUT tearing a record (loss masks and attention
+    // boundaries are record-scoped), the mask riding the one packer
+    // implementation as the ids' low bit, and the bins publish through
+    // the GRBM masked binary writer (GRBS layout + a bit-packed
+    // per-token mask section a loader mmaps — 1 bit/token, ~3% of a
+    // 4-byte-id payload). Gated in-query: byte-determinism under
+    // reshuffle, bit-exact round trip through the artifact, and the
+    // no-tear law (every record in exactly one bin at full length). The
+    // oracle replays the pack with the q243 recursive next-fit CTE over
+    // per-conversation masses and the trainable mass per bin.
+    "q260_sft_packed_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q260 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val vMax = vocab.valuesIterator.max
+      val width = if (vMax + 3L <= 0xffffL) 2 else 4
+      val roleIds = Map("system" -> (vMax + 1), "user" -> (vMax + 2),
+        "assistant" -> (vMax + 3))
+      val roleOf = element_at(
+        array(lit("system"), lit("user"), lit("assistant"),
+          lit("user"), lit("assistant"), lit("user")),
+        (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+      val natTurns = operators.TokenShards.tokenizeToIdsTotal(
+          docs, "doc_id", "text", merges, vocab)
+        .select((col("doc_id") / 6).cast("long").as("conv_id"),
+          pmod(col("doc_id"), lit(6L)).as("turn_idx"), roleOf.as("role"), col("ids"))
+      val records = operators.Sft.assembleConversations(
+          natTurns, roleIds, Set("assistant"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { records.unpersist(); () })
+      val packed = operators.Sft.packMaskedSequences(
+          records, "conv_id", nShards = 4, capacity = 8192L)
+        .withColumn("bin_key", col("shard") * lit(4294967296L) + col("bin"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { packed.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/sft_packed_v1"
+      val (p1, p2) = (s"$root/a", s"$root/b")
+      sources.Export.writeMaskedBinaryShards(packed, p1, "bin_key",
+        nShards = 2, maxShardBytes = 1L << 20, tokenWidth = width)
+      sources.Export.writeMaskedBinaryShards(packed.repartition(13), p2, "bin_key",
+        nShards = 2, maxShardBytes = 1L << 20, tokenWidth = width)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      val back = sources.Export.readMaskedBinaryShards(s, p1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { back.unpersist(); () })
+      val cols = Seq("bin_key", "doc_ids", "doc_lens", "ids", "mask").map(col)
+      val roundtrip = back.select(cols: _*).exceptAll(packed.select(cols: _*))
+        .unionByName(packed.select(cols: _*).exceptAll(back.select(cols: _*)))
+        .isEmpty
+      // no-tear law: every record lands in EXACTLY one bin at full length
+      val members = back.select(
+          explode(arrays_zip(col("doc_ids"), col("doc_lens"))).as("z"))
+        .select(col("z.doc_ids").as("conv_id"), col("z.doc_lens").as("len"))
+      val noTear = members
+        .join(records.select(col("conv_id"), col("n_tokens")), Seq("conv_id"), "full")
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("k"),
+          min((col("len") === col("n_tokens")).cast("int")).as("ok"))
+        .where(col("k") =!= 1 || col("ok") =!= 1).isEmpty
+      back.select((col("bin_key") / lit(4294967296L)).cast("long").as("shard"),
+          pmod(col("bin_key"), lit(4294967296L)).as("bin"),
+          col("n_docs").as("n_records"), col("n_tokens"),
+          aggregate(col("mask"), lit(0L), (a, x) => a + x).as("n_trainable"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("binary_roundtrip", lit(roundtrip))
+        .withColumn("no_tear", lit(noTear))
+    }),
+
     // q259: DPO PREFERENCE-PAIR ASSEMBLY — prompt + chosen/rejected
     // response branches with positionally-aligned loss masks and the
     // standard left-truncation policy (prompt tail survives, BOTH
@@ -10514,6 +10593,55 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q260: per-conversation masses through the pinned merges CTE (each
+    // of the 6 turns costs its doc mass n + 1 role tag; trainable mass =
+    // the assistant turns' n), then the q243 recursive next-fit replay
+    // at capacity 8192 over conv order per shard
+    "q260_sft_packed_shards" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |convtok AS (SELECT doc_id // 6 AS conv_id, sum(n + 1) AS n,
+        |                   coalesce(sum(CASE WHEN doc_id % 6 IN (2, 4) THEN n END), 0) AS tr
+        |            FROM doctok GROUP BY 1),
+        |c AS (SELECT CAST(conv_id % 4 AS BIGINT) AS shard, conv_id, n, tr,
+        |             row_number() OVER (PARTITION BY conv_id % 4 ORDER BY conv_id) AS rn
+        |      FROM convtok),
+        |pack AS (
+        |  SELECT shard, rn, n, tr, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n, c.tr,
+        |         CASE WHEN p.fill + c.n > 8192 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 8192 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_records,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tr) AS BIGINT) AS n_trainable,
+        |       TRUE AS merges_pinned, TRUE AS deterministic,
+        |       TRUE AS binary_roundtrip, TRUE AS no_tear
+        |FROM pack GROUP BY 1, 2""".stripMargin,
     // q259: every length replays through the pinned merges CTE — per-doc
     // token mass n (subwords + one space/EOS frame per word) gives
     // p = n_prompt - 1 (the prompt's EOS never ships), keep =

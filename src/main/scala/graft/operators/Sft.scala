@@ -129,4 +129,36 @@ object Sft {
       .toDF("pair_id", "valid", "prompt_kept", "chosen_seq", "chosen_mask",
         "rejected_seq", "rejected_mask")
   }
+
+  /**
+   * Pack whole masked records (SFT conversations, preference branches)
+   * into capacity-bounded training bins WITHOUT splitting a record — an
+   * SFT example must never tear across a bin (its loss mask is
+   * record-scoped and its attention boundary is the record) — carrying
+   * the per-token loss mask through the pack positionally intact.
+   *
+   * ONE packer implementation keeps the next-fit semantics in one place:
+   * the mask bit rides each id's LOW BIT through
+   * [[TokenShards.packSequences]] (`id*2 + m`) and unzips after — exact
+   * integer arithmetic (any real vocabulary id stays far under 2^62).
+   * Alignment and bit-ness are enforced in-plan BEFORE the ride-along; a
+   * malformed mask fails loudly instead of corrupting ids. Input:
+   * `(idCol, n_tokens, ids, mask)`; output: the packSequences bin frame
+   * plus the positionally-reassembled `mask` column.
+   */
+  def packMaskedSequences(records: DataFrame, idCol: String, nShards: Int,
+      capacity: Long): DataFrame = {
+    val checked = records.where(expr(
+      "assert_true(ids IS NOT NULL AND mask IS NOT NULL AND " +
+        "size(ids) = size(mask) AND " +
+        "size(filter(mask, m -> m != 0 AND m != 1)) = 0, " +
+        "'packMaskedSequences: mask must align with ids and hold only bits') IS NULL"))
+    val zipped = checked.select(col(idCol), col("n_tokens"),
+      zip_with(col("ids"), col("mask"), (i, m) => i * lit(2L) + m).as("ids"))
+    TokenShards.packSequences(zipped, idCol, nShards, capacity)
+      .select(col("shard"), col("bin"), col("doc_ids"), col("doc_lens"),
+        transform(col("ids"), x => shiftright(x, 1)).as("ids"),
+        transform(col("ids"), x => x.bitwiseAND(lit(1L))).as("mask"),
+        col("n_docs"), col("n_tokens"))
+  }
 }

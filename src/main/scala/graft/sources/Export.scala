@@ -483,6 +483,265 @@ object Export {
       .toDF("bin_key", "doc_ids", "doc_lens", "ids", "n_docs", "n_tokens")
   }
 
+  private val maskMagic: Int = 0x4d425247 // "GRBM" read LE
+  private val maskVersion: Int = 1
+  private val maskHeaderBytes: Int = 4 + 4 + 4 + 8 + 8 + 8 + 8
+
+  /**
+   * MASKED binary shard writer — the [[writeBinaryShards]] layout with a
+   * LOSS-MASK channel, the payload an SFT/preference trainer mmaps: ids
+   * as fixed-width LE integers AND a bit-packed per-token mask, so the
+   * loader reads "which positions train" without parsing anything. One
+   * mask BIT per token (LSB-first within each byte) costs ~3% of a
+   * 4-byte-id payload — a byte-per-token mask channel would cost 25%.
+   *
+   * File layout (all integers little-endian):
+   * {{{
+   *   header : magic "GRBM" (u32) | version (u32) | token_width (u32)
+   *          | n_bins (u64) | n_tokens (u64) | mask_bytes (u64)
+   *          | index_offset (u64)
+   *   payload: n_tokens ids, token_width bytes each, bins in key order
+   *   mask   : per bin ceil(n_tok/8) bytes, LSB-first, BYTE-ALIGNED per
+   *            bin (a loader slices one bin's mask without bit offsets;
+   *            padding bits are zero), bins in key order
+   *   index  : as GRBS — bin_key (u64) | n_tok (u64) | n_docs (u32)
+   *            | per doc: doc_id (u64) | doc_len (u64)
+   * }}}
+   * Same staging/manifest/digest protocol ([[stagedExport]]) and the
+   * same streaming discipline: the mask section streams through a
+   * per-file side temp that is appended at close, so in-memory state
+   * stays BIN-COUNT-sized (never token-sized) exactly like the GRBS
+   * writer. Input frame contract: `(idCol: long UNIQUE bin key;
+   * doc_ids; doc_lens; ids: array<long>; mask: array<long> of 0/1,
+   * positionally aligned with ids)` — a mask/ids length mismatch or a
+   * non-bit mask value fails LOUDLY per bin.
+   */
+  def writeMaskedBinaryShards(df: DataFrame, path: String, idCol: String,
+      nShards: Int, maxShardBytes: Long, tokenWidth: Int): Seq[(String, Long, Long)] = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(maxShardBytes > 0, s"maxShardBytes must be positive, got $maxShardBytes")
+    require(tokenWidth == 2 || tokenWidth == 4,
+      s"tokenWidth must be 2 or 4 bytes, got $tokenWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxId = if (tokenWidth == 2) 0xffffL else 0xffffffffL
+    stagedExport(path) { staging =>
+      val rows = df
+        .select(col(idCol).cast("long"), col("doc_ids").cast("array<bigint>"),
+          col("doc_lens").cast("array<bigint>"), col("ids").cast("array<bigint>"),
+          col("mask").cast("array<bigint>"))
+        .repartition(nShards, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .as[(Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+      rows.mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var roll = 0
+        var stream: java.io.BufferedOutputStream = null
+        var maskStream: java.io.BufferedOutputStream = null
+        var file: String = null
+        var nBins = 0L
+        var nTokens = 0L
+        var maskBytes = 0L
+        var idxBytes = 0L
+        var index = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Long], Seq[Long])]
+        var lastKey = Long.MinValue
+        var first = true
+        def writeLe(b: java.io.OutputStream, v: Long, width: Int): Unit = {
+          var i = 0
+          while (i < width) { b.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+        }
+        def maskTemp = new java.io.File(staging, s"$file.attempt-$attempt.mask")
+        def close(): Unit = if (stream != null) {
+          stream.flush(); stream.close(); stream = null
+          maskStream.flush(); maskStream.close(); maskStream = null
+          val f = new java.io.File(staging, s"$file.attempt-$attempt")
+          val tail = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f, true))
+          // mask section (streamed via the side temp), then the index
+          java.nio.file.Files.copy(maskTemp.toPath, tail): Unit
+          require(maskTemp.delete(), s"cannot remove mask temp for $file")
+          index.foreach { case (key, nTok, docIds, docLens) =>
+            writeLe(tail, key, 8)
+            writeLe(tail, nTok, 8)
+            writeLe(tail, docIds.length.toLong, 4)
+            docIds.iterator.zip(docLens.iterator).foreach { case (d, l) =>
+              writeLe(tail, d, 8); writeLe(tail, l, 8)
+            }
+          }
+          tail.flush(); tail.close()
+          val raf = new java.io.RandomAccessFile(f, "rw")
+          try {
+            val hdr = java.nio.ByteBuffer.allocate(maskHeaderBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            hdr.putInt(maskMagic).putInt(maskVersion).putInt(tokenWidth)
+              .putLong(nBins).putLong(nTokens).putLong(maskBytes)
+              .putLong(maskHeaderBytes.toLong + nTokens * tokenWidth + maskBytes)
+            raf.seek(0L); raf.write(hdr.array())
+          } finally raf.close()
+          require(f.length() <= Int.MaxValue.toLong,
+            s"shard $file exceeds the 2 GiB single-file read envelope — " +
+              "split the oversize bin (or lower maxShardBytes below 2 GiB)")
+          out += ((file, nBins, f.length()))
+          nBins = 0L; nTokens = 0L; maskBytes = 0L; idxBytes = 0L
+          index = scala.collection.mutable.ArrayBuffer.empty
+        }
+        def open(): Unit = {
+          file = f"part-$pid%05d-$roll%04d.grbm"
+          roll += 1
+          stream = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(
+              new java.io.File(staging, s"$file.attempt-$attempt")))
+          stream.write(new Array[Byte](maskHeaderBytes))
+          maskStream = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(maskTemp))
+        }
+        try {
+          it.foreach { case (key, docIds, docLens, ids, mask) =>
+            require(first || key != lastKey,
+              s"duplicate bin key $key — byte order would be undefined")
+            first = false; lastKey = key
+            require(docIds.length == docLens.length,
+              s"bin $key: doc_ids and doc_lens lengths differ")
+            require(mask != null && mask.length == ids.length,
+              s"bin $key: mask and ids lengths differ")
+            val binMaskBytes = (ids.length.toLong + 7L) / 8L
+            val payloadBytes = ids.length.toLong * tokenWidth
+            val binIndexBytes = 20L + 16L * docIds.length
+            if (stream != null &&
+                maskHeaderBytes + nTokens * tokenWidth + maskBytes + idxBytes +
+                  payloadBytes + binMaskBytes + binIndexBytes > maxShardBytes)
+              close()
+            if (stream == null) open()
+            ids.foreach { id =>
+              require(id >= 0L && id <= maxId,
+                s"token id $id does not fit tokenWidth=$tokenWidth bytes")
+              writeLe(stream, id, tokenWidth)
+            }
+            var acc = 0
+            var bit = 0
+            mask.foreach { m =>
+              require(m == 0L || m == 1L, s"bin $key: mask value $m is not a bit")
+              acc |= (m.toInt << bit)
+              bit += 1
+              if (bit == 8) { maskStream.write(acc); acc = 0; bit = 0 }
+            }
+            if (bit > 0) maskStream.write(acc) // zero-padded tail bits
+            index += ((key, ids.length.toLong, docIds, docLens))
+            nBins += 1L; nTokens += ids.length.toLong
+            maskBytes += binMaskBytes; idxBytes += binIndexBytes
+          }
+          close()
+          out.foreach { case (f, _, _) =>
+            java.nio.file.Files.move(
+              new java.io.File(staging, s"$f.attempt-$attempt").toPath,
+              new java.io.File(staging, f).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+        } finally {
+          if (stream != null) { stream.close(); stream = null }
+          if (maskStream != null) { maskStream.close(); maskStream = null }
+        }
+        out.iterator
+      }.collect().sortBy(_._1).toSeq
+    }
+  }
+
+  /** Read a published [[writeMaskedBinaryShards]] artifact back as
+    * `(bin_key, doc_ids, doc_lens, ids, mask, n_docs, n_tokens)` —
+    * the [[readBinaryShards]] contract plus the decoded mask channel;
+    * every structural invariant (section bounds, exact consumption,
+    * ZERO padding bits) is `require`d at the door. */
+  def readMaskedBinaryShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val files = manifestEntries(path).map(_._1)
+    if (files.isEmpty)
+      return spark.emptyDataset[
+          (Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long], Long, Long)]
+        .toDF("bin_key", "doc_ids", "doc_lens", "ids", "mask", "n_docs", "n_tokens")
+    spark.read.format("binaryFile")
+      .load(files.map(f => s"$path/$f"): _*)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(buf.remaining() >= maskHeaderBytes, "masked shard truncated below header")
+        require(buf.getInt() == maskMagic, "not a GRBM masked binary shard (bad magic)")
+        require(buf.getInt() == maskVersion, "unsupported GRBM version")
+        val width = buf.getInt()
+        require(width == 2 || width == 4, s"bad token width $width")
+        val nBins = buf.getLong()
+        val nTokens = buf.getLong()
+        val maskBytesTotal = buf.getLong()
+        val indexOffset = buf.getLong()
+        val maskStart = maskHeaderBytes.toLong + nTokens * width
+        require(indexOffset == maskStart + maskBytesTotal,
+          "index offset disagrees with the token/mask counts")
+        require(indexOffset <= bytes.length, "masked shard truncated below its index")
+        val idx = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        idx.position(indexOffset.toInt)
+        var tokenPos = maskHeaderBytes.toLong
+        var maskPos = maskStart
+        val bins = (0L until nBins).map { _ =>
+          require(idx.remaining() >= 20, "GRBM index truncated mid-record")
+          val key = idx.getLong()
+          val nTok = idx.getLong()
+          val nDocs = idx.getInt()
+          require(nTok >= 0L && tokenPos + nTok * width <= maskStart,
+            "GRBM index claims a token span beyond the payload — corrupt shard")
+          val binMaskBytes = (nTok + 7L) / 8L
+          require(maskPos + binMaskBytes <= indexOffset,
+            "GRBM index claims a mask span beyond the mask section — corrupt shard")
+          require(nDocs >= 0 && idx.remaining() >= 16L * nDocs,
+            "GRBM index truncated inside a bin's doc table")
+          val docIds = new Array[Long](nDocs)
+          val docLens = new Array[Long](nDocs)
+          var d = 0
+          while (d < nDocs) { docIds(d) = idx.getLong(); docLens(d) = idx.getLong(); d += 1 }
+          val ids = new Array[Long](nTok.toInt)
+          val pay = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          pay.position(tokenPos.toInt)
+          var t = 0
+          while (t < nTok) {
+            ids(t) = if (width == 2) (pay.getShort() & 0xffffL)
+              else (pay.getInt() & 0xffffffffL)
+            t += 1
+          }
+          val mask = new Array[Long](nTok.toInt)
+          var mb = 0
+          while (mb < binMaskBytes) {
+            val b = bytes((maskPos + mb).toInt) & 0xff
+            var bit = 0
+            while (bit < 8) {
+              val pos = mb * 8 + bit
+              if (pos < nTok) mask(pos) = ((b >> bit) & 1).toLong
+              else require(((b >> bit) & 1) == 0,
+                s"bin $key: nonzero mask padding bit — corrupt shard")
+              bit += 1
+            }
+            mb += 1
+          }
+          tokenPos += nTok * width
+          maskPos += binMaskBytes
+          (key, docIds.toSeq, docLens.toSeq, ids.toSeq, mask.toSeq, nDocs.toLong, nTok)
+        }
+        require(tokenPos == maskStart,
+          s"GRBM payload has ${maskStart - tokenPos} bytes beyond the last " +
+            "bin's span — corrupt or concatenated shard")
+        require(maskPos == indexOffset,
+          s"GRBM mask section has ${indexOffset - maskPos} bytes beyond the " +
+            "last bin's span — corrupt or concatenated shard")
+        require(idx.position() == bytes.length,
+          s"GRBM shard has ${bytes.length - idx.position()} trailing bytes " +
+            "after the last index record — corrupt or concatenated shard")
+        bins.iterator
+      }
+      .toDF("bin_key", "doc_ids", "doc_lens", "ids", "mask", "n_docs", "n_tokens")
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
     f.delete(): Unit

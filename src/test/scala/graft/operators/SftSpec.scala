@@ -124,4 +124,48 @@ class SftSpec extends AnyFunSpec with SparkSuite {
       intercept[IllegalArgumentException](assemble(ok, 0))
     }
   }
+
+  describe("Sft.packMaskedSequences") {
+    val records = Seq(
+      (0L, 3L, Seq(100L, 101L, 0L), Seq(0L, 1L, 1L)),
+      (1L, 2L, Seq(102L, 0L), Seq(1L, 1L)),
+      (2L, 4L, Seq(103L, 104L, 105L, 0L), Seq(0L, 0L, 1L, 1L)),
+      (3L, 1L, Seq(0L), Seq(0L)))
+
+    it("masks ride the pack positionally intact and bins match the unmasked " +
+       "packer exactly (one packer implementation)") {
+      val df = records.toDF("conv_id", "n_tokens", "ids", "mask")
+      val packed = Sft.packMaskedSequences(df, "conv_id", nShards = 2, capacity = 5L)
+        .as[(Long, Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long], Long, Long)]
+        .collect().sortBy(r => (r._1, r._2))
+      val plain = TokenShards.packSequences(
+          df.select(col("conv_id"), col("n_tokens"), col("ids")),
+          "conv_id", nShards = 2, capacity = 5L)
+        .as[(Long, Long, Seq[Long], Seq[Long], Seq[Long], Long, Long)]
+        .collect().sortBy(r => (r._1, r._2))
+      assert(packed.map(r => (r._1, r._2, r._3, r._4, r._5, r._7, r._8)).toSeq ===
+        plain.toSeq)
+      // each bin's mask is the positional concatenation of its records'
+      val byId = records.map(r => (r._1, r._4)).toMap
+      packed.foreach { case (_, _, docIds, _, ids, mask, _, _) =>
+        assert(mask === docIds.flatMap(byId))
+        assert(mask.length === ids.length)
+      }
+    }
+
+    it("contracts are loud: misaligned and non-bit masks never reach the packer") {
+      def pack(rows: Seq[(Long, Long, Seq[Long], Seq[Long])]) =
+        Sft.packMaskedSequences(rows.toDF("conv_id", "n_tokens", "ids", "mask"),
+          "conv_id", 1, 100L).collect()
+      assert(pack(records).nonEmpty)
+      def failsLoudly(rows: Seq[(Long, Long, Seq[Long], Seq[Long])]): Unit = {
+        val e = intercept[Exception](pack(rows))
+        val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+        assert(msg.contains("packMaskedSequences"), msg)
+      }
+      failsLoudly(Seq((0L, 2L, Seq(100L, 0L), Seq(1L))))
+      failsLoudly(Seq((0L, 2L, Seq(100L, 0L), Seq(1L, 7L))))
+      failsLoudly(Seq((0L, 2L, Seq(100L, 0L), null.asInstanceOf[Seq[Long]])))
+    }
+  }
 }

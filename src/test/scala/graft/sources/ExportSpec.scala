@@ -312,4 +312,93 @@ class ExportSpec extends AnyFunSpec with SparkSuite {
     val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
     assert(msg2.contains("trailing bytes"), msg2)
   }
+
+  // ---- masked binary (GRBM) SFT shards ----
+
+  private def maskedBinsOf(rows: (Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])*) =
+    rows.toSeq.toDF("bin_key", "doc_ids", "doc_lens", "ids", "mask")
+
+  private val maskedBins = Seq(
+    // 5 tokens: mask crosses no byte; 9 tokens: mask spans two bytes with
+    // padding bits; an empty bin; a 1-token bin
+    (1L, Seq(10L, 11L), Seq(3L, 2L), Seq(300L, 1L, 2L, 259L, 0L), Seq(0L, 1L, 1L, 0L, 1L)),
+    (2L, Seq(12L), Seq(9L), (0L until 9L).map(i => 258L + i), Seq(1L, 0L, 1L, 0L, 1L, 0L, 1L, 0L, 1L)),
+    (3L, Seq.empty[Long], Seq.empty[Long], Seq.empty[Long], Seq.empty[Long]),
+    (7L, Seq(13L), Seq(1L), Seq(0L), Seq(1L)))
+
+  it("GRBM masked shards round-trip bins, ids, and mask bits exactly, " +
+     "byte-deterministic under reshuffled input at both widths") {
+    for (width <- Seq(2, 4)) {
+      val df = maskedBinsOf(maskedBins: _*)
+      val (p1, p2) = (tmp(s"mx_rt$width"), tmp(s"mx_rt${width}b"))
+      val manifest = Export.writeMaskedBinaryShards(df, p1, "bin_key",
+        nShards = 2, maxShardBytes = 1 << 20, tokenWidth = width)
+      assert(manifest.map(_._2).sum === maskedBins.size.toLong)
+      val back = Export.readMaskedBinaryShards(spark, p1)
+        .select($"bin_key", $"doc_ids", $"doc_lens", $"ids", $"mask", $"n_docs", $"n_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+          r.getSeq[Long](3), r.getSeq[Long](4), r.getLong(5), r.getLong(6)))
+        .sortBy(_._1)
+      assert(back.toSeq === maskedBins.sortBy(_._1).map { case (k, di, dl, ids, m) =>
+        (k, di, dl, ids, m, di.length.toLong, ids.length.toLong) })
+      Export.writeMaskedBinaryShards(
+        df.repartition(11).sortWithinPartitions(org.apache.spark.sql.functions.rand(3)),
+        p2, "bin_key", nShards = 2, maxShardBytes = 1 << 20, tokenWidth = width)
+      assert(Export.shardDigests(p1) === Export.shardDigests(p2))
+    }
+  }
+
+  it("GRBM rolls over on the whole-file bound (mask section included); " +
+     "a bin never splits") {
+    val many = (0L until 30L).map(i =>
+      (i, Seq(i), Seq(8L), (0L until 8L).toSeq, Seq(0L, 1L, 0L, 1L, 0L, 1L, 0L, 1L)))
+    val path = tmp("mx_roll")
+    // 8 ids x 2B + 1 mask byte + 36B index per bin; tight bound -> 1-2 bins/file
+    val manifest = Export.writeMaskedBinaryShards(maskedBinsOf(many: _*), path,
+      "bin_key", nShards = 2, maxShardBytes = 160, tokenWidth = 2)
+    assert(manifest.map(_._2).sum === 30L)
+    assert(manifest.forall(_._2 <= 2L), manifest.toString)
+    val back = Export.readMaskedBinaryShards(spark, path)
+    assert(back.count() === 30L)
+    assert(back.where(org.apache.spark.sql.functions.expr(
+      "aggregate(mask, CAST(0 AS BIGINT), (a, x) -> a + x) != 4")).isEmpty)
+  }
+
+  it("GRBM contracts fail loudly: mask misalignment, non-bit mask values, " +
+     "tampered padding bits, truncation") {
+    val bad1 = maskedBinsOf((1L, Seq(10L), Seq(2L), Seq(1L, 0L), Seq(1L)))
+    val e1 = intercept[org.apache.spark.SparkException](
+      Export.writeMaskedBinaryShards(bad1, tmp("mx_b1"), "bin_key", 1, 1 << 20, 2))
+    val m1 = e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse("")
+    assert(m1.contains("mask and ids lengths differ"), m1)
+    val bad2 = maskedBinsOf((1L, Seq(10L), Seq(2L), Seq(1L, 0L), Seq(1L, 2L)))
+    val e2 = intercept[org.apache.spark.SparkException](
+      Export.writeMaskedBinaryShards(bad2, tmp("mx_b2"), "bin_key", 1, 1 << 20, 2))
+    val m2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("is not a bit"), m2)
+    // a flipped PADDING bit in the mask section must fail the read door —
+    // it marks a corrupt or foreign artifact, never silent acceptance
+    val ok = maskedBinsOf((1L, Seq(10L), Seq(5L), Seq(1L, 2L, 3L, 4L, 0L),
+      Seq(0L, 1L, 0L, 1L, 0L)))
+    val path = tmp("mx_pad")
+    val manifest = Export.writeMaskedBinaryShards(ok, path, "bin_key", 1, 1 << 20, 2)
+    val f = new java.io.File(path, manifest.head._1)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // mask section = one byte right after 44B header + 5 ids x 2B
+    val maskByteAt = 44 + 10
+    bytes(maskByteAt) = (bytes(maskByteAt) | 0x80).toByte // bit 7 pads (nTok=5)
+    java.nio.file.Files.write(f.toPath, bytes)
+    val e3 = intercept[org.apache.spark.SparkException](
+      Export.readMaskedBinaryShards(spark, path).collect())
+    val m3 = e3.getMessage + Option(e3.getCause).map(_.getMessage).getOrElse("")
+    assert(m3.contains("padding bit"), m3)
+    // truncation below the index fails loudly
+    bytes(maskByteAt) = (bytes(maskByteAt) & 0x7f).toByte
+    java.nio.file.Files.write(f.toPath, java.util.Arrays.copyOf(bytes, bytes.length - 6))
+    val e4 = intercept[org.apache.spark.SparkException](
+      Export.readMaskedBinaryShards(spark, path).collect())
+    val m4 = e4.getMessage + Option(e4.getCause).map(_.getMessage).getOrElse("")
+    assert(m4.contains("GRBM") || m4.contains("truncated"), m4)
+  }
 }
