@@ -4932,6 +4932,48 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q261: TOKENIZER-DRIFT MONITOR — the byte-fallback rate of the
+    // total scheme as a standing signal: every 5th document drifts (an
+    // appended word of three UNSEEN codepoints — the corpus is asserted
+    // ASCII, so '§ß€' is out-of-vocabulary by construction) and encodes
+    // against the STANDING vocabulary; the monitor aggregates fallback
+    // mass per shard and alarms on the rate. Closed form: the drift word
+    // costs 7 byte ids (2+2+3 UTF-8 bytes) + 1 word frame, so n_tokens
+    // rises by 8 and n_fallback by 7 per drifted doc — the oracle
+    // replays both through the pinned merges CTE. The un-drifted corpus
+    // is gated fallback-free in-query (the vocabulary FITS its own
+    // corpus; any nonzero clean mass means encode/vocab drift).
+    "q261_fallback_monitor" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT (contains(text, chr(31)) OR " +
+          "rlike(text, '[§ß€]')), " +
+          "'q261 oracle requires a 0x1F-free, drift-char-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val drifted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0, concat(col("text"), lit(" §ß€")))
+          .otherwise(col("text")).as("text"))
+      val stats = operators.TokenShards.fallbackStats(
+        operators.TokenShards.tokenizeToIdsTotal(
+          drifted, "doc_id", "text", merges, vocab), "doc_id")
+      val cleanZero = operators.TokenShards.fallbackStats(
+          operators.TokenShards.tokenizeToIdsTotal(
+            docs, "doc_id", "text", merges, vocab), "doc_id")
+        .where(col("n_fallback") =!= 0L).isEmpty
+      stats.groupBy(pmod(col("doc_id"), lit(8L)).as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_fallback")).as("n_fallback"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_fallback"),
+          expr("n_fallback * 1000 div n_tokens").cast("long").as("fallback_permille"))
+        .withColumn("alarm", col("fallback_permille") >= 2L)
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("clean_zero", lit(cleanZero))
+    }),
+
     // q260: PACKED SFT SHARDS WITH A BINARY MASK CHANNEL — the terminal
     // SFT artifact: q257's conversations pack into capacity-bounded
     // training bins WITHOUT tearing a record (loss masks and attention
@@ -10593,6 +10635,45 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q261: natural masses through the pinned merges CTE; the drift word
+    // is closed-form (+8 tokens / +7 fallback ids per doc_id % 5 = 0)
+    "q261_fallback_monitor" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |drift AS (SELECT doc_id,
+        |                 n + CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END AS n,
+        |                 CASE WHEN doc_id % 5 = 0 THEN 7 ELSE 0 END AS fb
+        |          FROM doctok)
+        |SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(fb) AS BIGINT) AS n_fallback,
+        |       CAST(sum(fb) * 1000 // sum(n) AS BIGINT) AS fallback_permille,
+        |       (sum(fb) * 1000 // sum(n)) >= 2 AS alarm,
+        |       TRUE AS merges_pinned, TRUE AS clean_zero
+        |FROM drift GROUP BY 1""".stripMargin,
     // q260: per-conversation masses through the pinned merges CTE (each
     // of the 6 turns costs its doc mass n + 1 role tag; trainable mass =
     // the assistant turns' n), then the q243 recursive next-fit replay

@@ -644,6 +644,26 @@ object TokenShards {
       .toDF("train_seq", "shard", "bin", "n_tokens", "token_offset")
   }
 
+  /**
+   * TOKENIZER-DRIFT MONITOR — byte-fallback mass per record. The total
+   * scheme ([[tokenizeToIdsTotal]]) keeps encoding TOTAL by decomposing
+   * unseen symbols into raw-byte ids ([[firstByteId]], 2..257); the RATE
+   * of those ids is the standing signal that the vocabulary no longer
+   * fits the corpus (new script, new domain, new jargon) and the
+   * tokenizer should retrain — byte-fallback tokens are semantically
+   * valid but ~3-4x less efficient per character than learned symbols,
+   * so a rising rate silently inflates every downstream token budget.
+   * Emits `(idCol, n_tokens, n_fallback)` in one narrow pass (a
+   * projection over the scan — no exchange, the payload never moves);
+   * callers aggregate per shard/batch/day and alert on the ratio.
+   */
+  def fallbackStats(tokens: DataFrame, idCol: String): DataFrame =
+    tokens.select(col(idCol),
+      size(col("ids")).cast("long").as("n_tokens"),
+      size(filter(col("ids"), i =>
+        i >= lit(firstByteId) && i < lit(totalFirstSymbolId)))
+        .cast("long").as("n_fallback"))
+
   def packSequences(tokens: DataFrame, idCol: String, nShards: Int,
       capacity: Long): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")

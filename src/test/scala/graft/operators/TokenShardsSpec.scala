@@ -518,4 +518,41 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
         (1L, "en", "web") -> ((1L, 2L))))
     }
   }
+
+  describe("fallbackStats — the tokenizer-drift monitor") {
+    it("counts exactly the reserved byte ids [2, 257], boundary-inclusive") {
+      import spark.implicits._
+      val tokens = Seq(
+        // EOS/SPACE (0/1) are NOT fallback; 2 and 257 are the byte-range
+        // boundaries; 258 is the first learned symbol
+        (1L, Seq(0L, 1L, 2L, 257L, 258L, 300L)),
+        (2L, Seq(258L, 259L, 0L)),
+        (3L, Seq.empty[Long]))
+        .toDF("doc_id", "ids")
+      val got = TokenShards.fallbackStats(tokens, "doc_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === Seq((1L, 6L, 2L), (2L, 3L, 0L), (3L, 0L, 0L)))
+    }
+
+    it("a total-scheme encode of unseen codepoints is visible to the monitor " +
+       "and an in-vocab corpus is fallback-free") {
+      import spark.implicits._
+      val corpus = Seq((1L, "low lower")).toDF("doc_id", "text")
+      val merges = Seq(("l", "o"), ("lo", "w"))
+      val vocab = TokenShards.vocabFromFrameTotal(
+        TokenShards.buildVocabTotal(corpus, "text", merges))
+      val clean = TokenShards.fallbackStats(
+        TokenShards.tokenizeToIdsTotal(corpus, "doc_id", "text", merges, vocab),
+        "doc_id").as[(Long, Long, Long)].head()
+      assert(clean._3 === 0L)
+      // '§' (2 UTF-8 bytes) is out of vocabulary -> exactly 2 byte ids
+      val drifted = TokenShards.fallbackStats(
+        TokenShards.tokenizeToIdsTotal(
+          Seq((1L, "low § lower")).toDF("doc_id", "text"),
+          "doc_id", "text", merges, vocab),
+        "doc_id").as[(Long, Long, Long)].head()
+      assert(drifted._3 === 2L)
+      assert(drifted._2 === clean._2 + 3L) // 2 byte ids + 1 word frame
+    }
+  }
 }
