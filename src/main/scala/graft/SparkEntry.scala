@@ -4932,6 +4932,37 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q262: VOCABULARY-UPDATE PROPOSALS — the drift loop closed: where
+    // q261 ALARMS, this names the fix. Two planted drift words with
+    // different frequencies ('§ß' on every 5th doc, '€¶' on every 7th —
+    // the corpus is asserted free of all four codepoints) encode against
+    // the standing vocabulary; every maximal byte-fallback run decodes
+    // strictly back to its surface form, and the top-k by occurrence is
+    // the retrain shortlist. The un-drifted corpus is gated run-free
+    // in-query. Closed-form oracle: ranks, texts, byte widths, and
+    // counts all derive from the doc-id arithmetic — no merges CTE
+    // needed (the proposal is vocabulary-relative, not mass-relative).
+    "q262_vocab_proposals" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT rlike(text, '[§ß€¶]'), " +
+          "'q262 oracle requires a drift-char-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val drifted = docs.select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(5L)) === 0, lit(" §ß")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7L)) === 0, lit(" €¶")).otherwise(lit("")))
+        .as("text"))
+      val proposals = operators.TokenShards.vocabProposals(
+        operators.TokenShards.fallbackRuns(
+          operators.TokenShards.tokenizeToIdsTotal(
+            drifted, "doc_id", "text", merges, vocab), "doc_id"), k = 10)
+      val cleanEmpty = operators.TokenShards.fallbackRuns(
+        operators.TokenShards.tokenizeToIdsTotal(
+          docs, "doc_id", "text", merges, vocab), "doc_id").isEmpty
+      proposals.withColumn("clean_empty", lit(cleanEmpty))
+    }),
+
     // q261: TOKENIZER-DRIFT MONITOR — the byte-fallback rate of the
     // total scheme as a standing signal: every 5th document drifts (an
     // appended word of three UNSEEN codepoints — the corpus is asserted
@@ -10635,6 +10666,19 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q262: the proposal list is closed-form — two runs, ranked by the
+    // doc-count arithmetic (every-5th beats every-7th), UTF-8 widths
+    // 2+2 and 3+2 bytes
+    "q262_vocab_proposals" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |           WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS rank, '§ß' AS run_text,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 5 = 0) AS n_occurrences,
+        |       CAST(4 AS BIGINT) AS n_bytes, TRUE AS clean_empty
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), '€¶',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 7 = 0),
+        |       CAST(5 AS BIGINT), TRUE""".stripMargin,
     // q261: natural masses through the pinned merges CTE; the drift word
     // is closed-form (+8 tokens / +7 fallback ids per doc_id % 5 = 0)
     "q261_fallback_monitor" ->

@@ -255,6 +255,24 @@ object TokenShards {
     sb.toString
   }
 
+  /** STRICT byte-run decode: the encoder only ever emits whole valid
+    * UTF-8 per symbol, so an invalid run marks a corrupted or foreign
+    * artifact — fail loudly (the strict scheme's unknown-id discipline),
+    * never smuggle U+FFFD replacement chars into training text. Shared
+    * by [[detokenizeTotal]] and [[fallbackRuns]] so the strictness
+    * contract cannot fork. */
+  private[operators] def decodeUtf8Strict(bytes: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          "byte-id run is not valid UTF-8 — corrupted or foreign total-scheme artifact", e)
+    }
+  }
+
   /** [[detokenize]] in the TOTAL scheme: maximal runs of reserved byte
     * ids buffer and UTF-8-decode in one piece (adjacent fallback symbols
     * concatenate to one valid byte sequence — decoding per-id would tear
@@ -263,19 +281,7 @@ object TokenShards {
     val sb = new StringBuilder
     val run = new java.io.ByteArrayOutputStream()
     def flush(): Unit = if (run.size > 0) {
-      // STRICT decode: the encoder only ever emits whole valid UTF-8 per
-      // symbol, so an invalid run marks a corrupted or foreign artifact —
-      // fail loudly (the strict scheme's unknown-id discipline), never
-      // smuggle U+FFFD replacement chars into training text
-      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-      try sb.append(dec.decode(java.nio.ByteBuffer.wrap(run.toByteArray)))
-      catch {
-        case e: java.nio.charset.CharacterCodingException =>
-          throw new IllegalArgumentException(
-            "byte-id run is not valid UTF-8 — corrupted or foreign total-scheme artifact", e)
-      }
+      sb.append(decodeUtf8Strict(run.toByteArray))
       run.reset()
     }
     ids.foreach { id =>
@@ -663,6 +669,68 @@ object TokenShards {
       size(filter(col("ids"), i =>
         i >= lit(firstByteId) && i < lit(totalFirstSymbolId)))
         .cast("long").as("n_fallback"))
+
+  /**
+   * The drift loop's second half ([[fallbackStats]] DETECTS; this
+   * PROPOSES): extract every MAXIMAL run of reserved byte ids from a
+   * total-scheme token frame and decode it strictly — each run is an
+   * out-of-vocabulary surface form the standing vocabulary had to spell
+   * in bytes, i.e. exactly the unit whose adoption as a learned symbol
+   * would reclaim that fallback mass. Runs are maximal spans between
+   * in-vocab tokens (adjacent unseen codepoints concatenate — they were
+   * one surface unit in the source). One narrow typed pass; records
+   * without fallback contribute nothing. Emits `(idCol, run_text,
+   * n_bytes)`, one row per run occurrence.
+   */
+  def fallbackRuns(tokens: DataFrame, idCol: String): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col(idCol).cast("long"), col("ids"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, ids) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+        val run = new java.io.ByteArrayOutputStream()
+        def flush(): Unit = if (run.size > 0) {
+          runs += ((id, decodeUtf8Strict(run.toByteArray), run.size.toLong))
+          run.reset()
+        }
+        (if (ids == null) Seq.empty[Long] else ids).foreach { t =>
+          if (t >= firstByteId && t < totalFirstSymbolId)
+            run.write((t - firstByteId).toInt)
+          else flush()
+        }
+        flush()
+        runs
+      }
+      .toDF(idCol, "run_text", "n_bytes")
+  }
+
+  /**
+   * Rank [[fallbackRuns]] surface forms into a VOCABULARY-UPDATE
+   * PROPOSAL — the top-k out-of-vocabulary units by occurrence, the
+   * frame a tokenizer-retrain job consumes to extend the standing
+   * vocabulary where the corpus actually drifted. Deterministic order
+   * (count desc, text asc); the rank is computed by a k-bounded
+   * broadcast self-join over the ALREADY-truncated top-k (k² driver-free
+   * comparisons, no window) so the aggregation stays one exchange and
+   * the scan-side mass never sorts globally.
+   */
+  def vocabProposals(runs: DataFrame, k: Int): DataFrame = {
+    require(k > 0 && k <= 65536, s"k must be in (0, 65536], got $k")
+    val top = runs.groupBy(col("run_text"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("n_bytes")).as("n_bytes"))
+      .orderBy(col("n_occurrences").desc, col("run_text"))
+      .limit(k)
+    val peers = broadcast(top.select(col("run_text").as("__rt"),
+      col("n_occurrences").as("__n")))
+    top.join(peers,
+        col("__n") > col("n_occurrences") ||
+          (col("__n") === col("n_occurrences") && col("__rt") < col("run_text")),
+        "left")
+      .groupBy(col("run_text"), col("n_occurrences"), col("n_bytes"))
+      .agg((count(col("__rt")) + 1L).as("rank"))
+      .select(col("rank"), col("run_text"), col("n_occurrences"), col("n_bytes"))
+  }
 
   def packSequences(tokens: DataFrame, idCol: String, nShards: Int,
       capacity: Long): DataFrame = {

@@ -555,4 +555,46 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
       assert(drifted._2 === clean._2 + 3L) // 2 byte ids + 1 word frame
     }
   }
+
+  describe("fallbackRuns / vocabProposals — the vocabulary-update shortlist") {
+    import spark.implicits._
+    def byteIds(s: String): Seq[Long] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => TokenShards.firstByteId + (b & 0xff).toLong).toSeq
+
+    it("extracts MAXIMAL runs (adjacent byte ids concatenate; any in-vocab " +
+       "token splits) and decodes them strictly") {
+      val tokens = Seq(
+        // [§ß][space][€][EOS] -> two runs; the symbol id 300 splits a third
+        (1L, byteIds("§ß") ++ Seq(1L) ++ byteIds("€") ++ Seq(0L)),
+        (2L, byteIds("¶") ++ Seq(300L) ++ byteIds("¶") ++ Seq(0L)),
+        (3L, Seq(300L, 0L)))
+        .toDF("doc_id", "ids")
+      val got = TokenShards.fallbackRuns(tokens, "doc_id")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq === Seq((1L, "§ß", 4L), (1L, "€", 3L),
+        (2L, "¶", 2L), (2L, "¶", 2L)))
+      // a torn multi-byte run (half of '§') fails loudly, never U+FFFD
+      val torn = Seq((1L, byteIds("§").take(1) :+ 0L)).toDF("doc_id", "ids")
+      val e = intercept[Exception](TokenShards.fallbackRuns(torn, "doc_id").collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("not valid UTF-8"), msg)
+    }
+
+    it("proposals rank by (count desc, text asc), truncate at k, and are " +
+       "partitioning-invariant") {
+      val runs = (Seq.fill(5)("aa") ++ Seq.fill(3)("bb") ++ Seq.fill(3)("ab") ++
+        Seq.fill(1)("zz")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t, t.getBytes("UTF-8").length.toLong) }
+        .toDF("doc_id", "run_text", "n_bytes")
+      val got = TokenShards.vocabProposals(runs, 3)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === Seq((1L, "aa", 5L, 2L), (2L, "ab", 3L, 2L),
+        (3L, "bb", 3L, 2L)))
+      val again = TokenShards.vocabProposals(runs.repartition(7), 3)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(again.toSeq === got.toSeq)
+      intercept[IllegalArgumentException](TokenShards.vocabProposals(runs, 0))
+    }
+  }
 }
