@@ -4932,6 +4932,32 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q263: PREFERENCE-JUDGMENT CONSISTENCY AUDIT — the reward-model
+    // data-QA pass over q259's input side: each prompt group of 4 docs
+    // carries 6 pairwise judgments under a total order (lower member
+    // wins), EXCEPT every 10th group flips (0,2) into a planted 3-cycle
+    // and every 10th+3 group adds an opposing vote on (0,1) — a planted
+    // contradiction. The audit names exactly those groups inconsistent.
+    // Closed-form oracle: pair counts and both defect classes derive
+    // from doc-id arithmetic with membership guards.
+    "q263_preference_audit" -> ((s, dir) => {
+      val m = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select((col("doc_id") / 4).cast("long").as("group_id"),
+          pmod(col("doc_id"), lit(4L)).as("m"))
+      val pairs = m.as("a").join(m.as("b"),
+          col("a.group_id") === col("b.group_id") && col("a.m") < col("b.m"))
+        .select(col("a.group_id").as("group_id"), col("a.m").as("i"), col("b.m").as("j"))
+      val flip = pmod(col("group_id"), lit(10L)) === 0 &&
+        col("i") === 0 && col("j") === 2
+      val base = pairs.select(col("group_id"),
+        when(flip, col("j")).otherwise(col("i")).as("winner"),
+        when(flip, col("i")).otherwise(col("j")).as("loser"))
+      val contra = pairs.where(pmod(col("group_id"), lit(10L)) === 3 &&
+          col("i") === 0 && col("j") === 1)
+        .select(col("group_id"), col("j").as("winner"), col("i").as("loser"))
+      operators.Sft.preferenceCycles(base.unionByName(contra))
+    }),
+
     // q262: VOCABULARY-UPDATE PROPOSALS — the drift loop closed: where
     // q261 ALARMS, this names the fix. Two planted drift words with
     // different frequencies ('§ß' on every 5th doc, '€¶' on every 7th —
@@ -10666,6 +10692,30 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q263: pair counts from the within-group self-join; planted defects
+    // fire only when their member vertices exist (membership guards keep
+    // the closed form honest for incomplete tail groups)
+    "q263_preference_audit" ->
+      """WITH m AS (SELECT doc_id // 4 AS g, doc_id % 4 AS i
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (SELECT a.g AS g, count(*) AS pairs
+        |      FROM m a JOIN m b ON a.g = b.g AND a.i < b.i GROUP BY 1),
+        |mm AS (SELECT g, max(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS h0,
+        |              max(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS h1,
+        |              max(CASE WHEN i = 2 THEN 1 ELSE 0 END) AS h2
+        |       FROM m GROUP BY 1),
+        |d AS (SELECT p.g, p.pairs,
+        |             CASE WHEN p.g % 10 = 0 AND h0 = 1 AND h1 = 1 AND h2 = 1
+        |                  THEN 1 ELSE 0 END AS cyc,
+        |             CASE WHEN p.g % 10 = 3 AND h0 = 1 AND h1 = 1
+        |                  THEN 1 ELSE 0 END AS con
+        |      FROM p JOIN mm ON p.g = mm.g)
+        |SELECT CAST(g AS BIGINT) AS group_id,
+        |       CAST(pairs + con AS BIGINT) AS n_edges,
+        |       CAST(cyc AS BIGINT) AS n_cycles,
+        |       CAST(con AS BIGINT) AS n_contradictions,
+        |       cyc = 0 AND con = 0 AS consistent
+        |FROM d""".stripMargin,
     // q262: the proposal list is closed-form — two runs, ranked by the
     // doc-count arithmetic (every-5th beats every-7th), UTF-8 widths
     // 2+2 and 3+2 bytes

@@ -131,6 +131,67 @@ object Sft {
   }
 
   /**
+   * PREFERENCE-JUDGMENT CONSISTENCY AUDIT — the data-QA pass reward-model
+   * and DPO corpora need before training: pairwise judgments inside a
+   * prompt group should form a partial order, and the two ways they fail
+   * are DIRECT CONTRADICTIONS (the same pair judged in both directions)
+   * and 3-CYCLES (A beats B beats C beats A — no consistent ranking
+   * exists, so a Bradley-Terry/DPO fit is being asked to explain noise).
+   * Input: `(group_id, winner, loser)` judgment edges; output per group:
+   * edge/cycle/contradiction counts and a `consistent` verdict, the
+   * drop/re-judge shortlist.
+   *
+   * Duplicate same-direction judgments are legitimate (multiple
+   * annotators agree); a contradiction counts once per OPPOSING VOTE
+   * PAIR (multiplicity product), which is exactly the mass a
+   * majority-vote resolution would have to discard. Each directed
+   * 3-cycle counts once, at its minimum vertex.
+   *
+   * SCALE SHAPE: every join keys on `(group_id, vertex)` — judgments
+   * only compare within a prompt group, so candidate mass is bounded by
+   * the group's own edge count and the triangle join never leaves the
+   * group. (A single global tournament would make `group_id` a skew key;
+   * the within-group contract IS the partitioning contract.)
+   */
+  def preferenceCycles(edges: DataFrame): DataFrame = {
+    // The contract check rides a SEPARATE aggregate branch, not a per-row
+    // assert in the main plan: a filter assert's conjunct can be pushed
+    // into an upstream join and evaluate before that join's own
+    // predicates (conjunct order is undefined), and even a
+    // projection-level guard gets SUBSTITUTED into pushed-down filters
+    // by the optimizer (both observed on this very plan) — firing on
+    // rows the source join would have dropped. A one-row violation
+    // count cross-joined into the output keeps the hot path codegen'd
+    // and still fails the action loudly before any result is trusted.
+    val e = edges.select(col("group_id").cast("long"),
+      col("winner").cast("long"), col("loser").cast("long"))
+    val bad = e.agg(sum(when(col("winner").isNull || col("loser").isNull ||
+      col("winner") === col("loser"), 1L).otherwise(0L)).as("__n_bad"))
+    val stats = e.groupBy(col("group_id")).agg(count(lit(1)).as("n_edges"))
+    val ab = e.toDF("group_id", "a", "b")
+    val bc = e.toDF("group_id", "b", "c")
+    val ca = e.toDF("group_id", "c", "a0")
+    val cyc = ab.join(bc, Seq("group_id", "b"))
+      .join(ca, Seq("group_id", "c"))
+      .where(col("a0") === col("a") && col("a") < col("b") && col("a") < col("c"))
+      .groupBy(col("group_id")).agg(count(lit(1)).as("n_cycles"))
+    val rev = e.select(col("group_id"),
+      col("loser").as("winner"), col("winner").as("loser"))
+    val con = e.join(rev, Seq("group_id", "winner", "loser"))
+      .where(col("winner") < col("loser"))
+      .groupBy(col("group_id")).agg(count(lit(1)).as("n_contradictions"))
+    stats.join(cyc, Seq("group_id"), "left").join(con, Seq("group_id"), "left")
+      .crossJoin(broadcast(bad))
+      .where(expr("assert_true(__n_bad = 0, " +
+        "'preferenceCycles: a self- or null-preference is meaningless') IS NULL"))
+      .select(col("group_id"), col("n_edges"),
+        coalesce(col("n_cycles"), lit(0L)).as("n_cycles"),
+        coalesce(col("n_contradictions"), lit(0L)).as("n_contradictions"))
+      .withColumn("consistent",
+        col("n_cycles") === 0L && col("n_contradictions") === 0L)
+  }
+
+  /**
    * Pack whole masked records (SFT conversations, preference branches)
    * into capacity-bounded training bins WITHOUT splitting a record — an
    * SFT example must never tear across a bin (its loss mask is

@@ -125,6 +125,47 @@ class SftSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Sft.preferenceCycles") {
+    def audit(rows: Seq[(Long, Long, Long)]) =
+      Sft.preferenceCycles(rows.toDF("group_id", "winner", "loser"))
+        .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+
+    it("finds each directed 3-cycle once, counts opposing-vote pairs, and " +
+       "certifies clean groups") {
+      val got = audit(Seq(
+        // group 0: total order 1>2>3, 1>3 — consistent
+        (0L, 1L, 2L), (0L, 2L, 3L), (0L, 1L, 3L),
+        // group 1: a 3-cycle (1>2>3>1) — exactly ONE cycle, not three rotations
+        (1L, 1L, 2L), (1L, 2L, 3L), (1L, 3L, 1L),
+        // group 2: a direct contradiction with agreeing duplicates: 1>2 twice,
+        // 2>1 once -> 2 opposing vote pairs (the mass majority-vote discards)
+        (2L, 1L, 2L), (2L, 1L, 2L), (2L, 2L, 1L)))
+      assert(got.toSeq === Seq(
+        (0L, 3L, 0L, 0L, true),
+        (1L, 3L, 1L, 0L, false),
+        (2L, 3L, 0L, 2L, false)))
+    }
+
+    it("cycles never cross groups; the same edges in one group do cycle") {
+      val split = audit(Seq((0L, 1L, 2L), (1L, 2L, 3L), (2L, 3L, 1L)))
+      assert(split.forall(r => r._3 == 0L && r._5))
+      val joined = audit(Seq((9L, 1L, 2L), (9L, 2L, 3L), (9L, 3L, 1L)))
+      assert(joined.toSeq === Seq((9L, 3L, 1L, 0L, false)))
+    }
+
+    it("a self- or null-preference fails loudly") {
+      val e = intercept[Exception](audit(Seq((0L, 1L, 2L), (0L, 2L, 2L))))
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("preferenceCycles"), msg)
+      val withNull = Seq((java.lang.Long.valueOf(0L), java.lang.Long.valueOf(1L),
+        null.asInstanceOf[java.lang.Long]))
+        .toDF("group_id", "winner", "loser")
+      val e2 = intercept[Exception](Sft.preferenceCycles(withNull).collect())
+      val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+      assert(msg2.contains("preferenceCycles"), msg2)
+    }
+  }
+
   describe("Sft.packMaskedSequences") {
     val records = Seq(
       (0L, 3L, Seq(100L, 101L, 0L), Seq(0L, 1L, 1L)),
