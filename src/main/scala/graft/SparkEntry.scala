@@ -4932,6 +4932,53 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q264: CURRICULUM ORDER — sequence-length warmup over the packed
+    // artifact: each bin's stage is its LONGEST member document bucketed
+    // at 128 tokens, and the loader order is stage-major (all short-doc
+    // bins first, seeded-shuffled within each stage) via
+    // withCurriculumOrder — the q244 machinery with a stage prefix.
+    // Gated in-query: stage never decreases along train_seq (adjacent-
+    // rank join, no window), and the assignment is invariant under input
+    // repartitioning. The oracle replays pack + per-bin max mass + the
+    // two-level row_number exactly.
+    "q264_curriculum_order" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q264 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocab(s, dir)
+      val tokens = operators.TokenShards.tokenizeToIds(
+        docs, "doc_id", "text", merges, vocab)
+      val bins = operators.TokenShards.packSequences(
+          tokens, "doc_id", nShards = 8, capacity = 512L)
+        .withColumn("stage", expr(
+          "aggregate(doc_lens, CAST(0 AS BIGINT), (a, x) -> greatest(a, x)) div 128"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { bins.unpersist(); () })
+      val ordered = operators.TokenShards.withCurriculumOrder(
+          bins, "stage", "curriculum-1")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { ordered.unpersist(); () })
+      val r1 = ordered.select(col("train_seq"), col("stage"))
+      val monotone = r1.as("x")
+        .join(r1.as("y"), col("x.train_seq") + 1 === col("y.train_seq"))
+        .where(col("x.stage") > col("y.stage")).isEmpty
+      val seq1 = ordered.select(col("shard"), col("bin"), col("train_seq"))
+      val seq2 = operators.TokenShards.withCurriculumOrder(
+          bins.repartition(13), "stage", "curriculum-1")
+        .select(col("shard"), col("bin"), col("train_seq"))
+      val invariant = seq1.exceptAll(seq2).unionByName(seq2.exceptAll(seq1)).isEmpty
+      ordered.select(col("shard"), col("bin"), col("stage"), col("train_seq"),
+          col("n_docs"), col("n_tokens"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("stage_monotone", lit(monotone))
+        .withColumn("order_invariant", lit(invariant))
+    }),
+
     // q263: PREFERENCE-JUDGMENT CONSISTENCY AUDIT — the reward-model
     // data-QA pass over q259's input side: each prompt group of 4 docs
     // carries 6 pairwise judgments under a total order (lower member
@@ -10692,6 +10739,56 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q264: q244's pack replay + per-bin max member mass div 128 as the
+    // stage, then the EXACT two-level permutation — row_number over
+    // (stage, md5(seed:shard:bin), shard, bin)
+    "q264_curriculum_order" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1),
+        |g AS (SELECT shard, bin, max(n) // 128 AS stage,
+        |             CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM pack GROUP BY 1, 2)
+        |SELECT shard, bin, CAST(stage AS BIGINT) AS stage,
+        |       row_number() OVER (ORDER BY stage,
+        |                          md5('curriculum-1:' || shard || ':' || bin),
+        |                          shard, bin) - 1 AS train_seq,
+        |       n_docs, n_tokens, TRUE AS merges_pinned,
+        |       TRUE AS stage_monotone, TRUE AS order_invariant
+        |FROM g""".stripMargin,
     // q263: pair counts from the within-group self-join; planted defects
     // fire only when their member vertices exist (membership guards keep
     // the closed form honest for incomplete tail groups)

@@ -468,13 +468,41 @@ object TokenShards {
    * (`row_number` over an unpartitioned window is the unbounded-window
    * trap PlanAuditSpec sweeps for).
    */
-  def withTrainingOrder(bins: DataFrame, seed: String): DataFrame = {
+  def withTrainingOrder(bins: DataFrame, seed: String): DataFrame =
+    withOrderImpl(bins, None, seed)
+
+  /**
+   * CURRICULUM ORDER — [[withTrainingOrder]] with a STAGE-MAJOR sort:
+   * bins order by `(stageCol asc, seeded md5 permutation within stage)`,
+   * so a loader walking ascending `train_seq` consumes all of stage 0
+   * (shuffled), then stage 1, … — the curriculum / sequence-length-
+   * warmup shape (e.g. stage = bucketed longest member document, so
+   * early training sees short sequences). Same machinery, same
+   * contracts, same scale shape (skinny range sort + `zipWithIndex`,
+   * never a single-partition window); the stage column must be
+   * long-castable and NON-NULL (a null stage would sort
+   * nondeterministically between engines — it fails loudly).
+   */
+  def withCurriculumOrder(bins: DataFrame, stageCol: String, seed: String): DataFrame =
+    withOrderImpl(bins, Some(stageCol), seed)
+
+  private def withOrderImpl(bins: DataFrame, stageCol: Option[String],
+      seed: String): DataFrame = {
     require(seed.nonEmpty, "seed must be non-empty — it names the permutation")
     val spark = bins.sparkSession
     import spark.implicits._
+    val stage = stageCol.map(c => col(c).cast("long").as("__stage"))
     val keys = bins
-      .select(md5(concat_ws(":", lit(seed), col("shard"), col("bin"))).as("__order_key"),
-        col("shard").cast("long").as("shard"), col("bin").cast("long").as("bin"))
+      .select(stage.toSeq ++ Seq(
+        md5(concat_ws(":", lit(seed), col("shard"), col("bin"))).as("__order_key"),
+        col("shard").cast("long").as("shard"), col("bin").cast("long").as("bin")): _*)
+    // a null stage would sort nondeterministically between engines — the
+    // check is a tiny agg over the skinny key frame (never an in-plan
+    // assert: see preferenceCycles on why those can misfire)
+    stageCol.foreach { _ =>
+      require(keys.where(col("__stage").isNull).isEmpty,
+        "curriculum stage must be non-null on every bin")
+    }
     // (shard, bin) must be UNIQUE — [[packSequences]] guarantees it, but
     // this is a public API over any bin frame, and a duplicate key would
     // silently CROSS-PRODUCT ranks through the join-back below. The check
@@ -483,7 +511,8 @@ object TokenShards {
       .where(col("__c") > 1).isEmpty,
       "duplicate (shard, bin) keys — the training order would be ill-defined")
     val skinny = keys
-      .orderBy(col("__order_key"), col("shard"), col("bin"))
+      .orderBy(stage.map(_ => col("__stage")).toSeq ++
+        Seq(col("__order_key"), col("shard"), col("bin")): _*)
       .select(col("shard"), col("bin"))
       .as[(Long, Long)]
     val ranked = skinny.rdd.zipWithIndex

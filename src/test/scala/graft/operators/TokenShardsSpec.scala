@@ -497,6 +497,44 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
         TokenShards.withTrainingOrder(dup, "seed-a"))
       assert(e.getMessage.contains("duplicate (shard, bin)"))
     }
+
+    it("withCurriculumOrder is stage-major, seeded within stages, and " +
+       "degenerates to withTrainingOrder on a constant stage") {
+      val staged = bins.withColumn("stage",
+        org.apache.spark.sql.functions.pmod($"bin", org.apache.spark.sql.functions.lit(3L)))
+      val got = TokenShards.withCurriculumOrder(staged, "stage", "seed-a")
+        .select($"shard", $"bin", $"stage", $"train_seq")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got.values.map(_._2).toSeq.sorted == (0L until 24L))
+      // independent recompute: (stage, md5, shard, bin)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def key(sh: Long, b: Long): String =
+        md.digest(s"seed-a:$sh:$b".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+      val expect = got.toSeq
+        .sortBy { case ((sh, b), (st, _)) => (st, key(sh, b), sh, b) }
+        .zipWithIndex.map { case (((sh, b), (st, _)), i) => ((sh, b), (st, i.toLong)) }
+        .toMap
+      assert(got == expect)
+      // stage blocks are contiguous along train_seq
+      val stagesInOrder = got.values.toSeq.sortBy(_._2).map(_._1)
+      assert(stagesInOrder == stagesInOrder.sorted)
+      // a constant stage reproduces the plain training order exactly
+      val flat = TokenShards.withCurriculumOrder(
+        bins.withColumn("stage", org.apache.spark.sql.functions.lit(7L)), "stage", "seed-a")
+        .select($"shard", $"bin", $"train_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val plain = TokenShards.withTrainingOrder(bins, "seed-a")
+        .select($"shard", $"bin", $"train_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(flat == plain)
+      // a null stage fails loudly (it would sort nondeterministically)
+      val e = intercept[IllegalArgumentException](
+        TokenShards.withCurriculumOrder(
+          bins.withColumn("stage",
+            org.apache.spark.sql.functions.lit(null).cast("long")), "stage", "seed-a"))
+      assert(e.getMessage.contains("non-null"))
+    }
   }
 
   describe("mixtureManifest") {
