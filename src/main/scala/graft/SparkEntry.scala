@@ -4932,6 +4932,63 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q265: CROSS-ARTIFACT OVERLAP AUDIT — "don't double-train": the SFT
+    // release probed against the pretraining corpus, end to end through
+    // the artifact. The q260 conversations pack, publish as GRBM, read
+    // back, split into records BY BOUNDARY METADATA (not EOS —
+    // conversations carry interior EOS per turn), and decode through the
+    // role-aware inverse (decodeConversations, strict byte-run door);
+    // each decoded turn then probes the pretraining text for 8-gram
+    // overlap via the SHUFFLE-join shape (neither side broadcastable at
+    // scale). By construction every natural turn IS a pretraining doc —
+    // the audit must find every one fully covered (detection power), and
+    // three planted novel-word rows must probe zero (specificity). The
+    // oracle replays per-doc distinct-8-gram counts in closed form.
+    "q265_cross_artifact_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q265 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val vMax = vocab.valuesIterator.max
+      val width = if (vMax + 3L <= 0xffffL) 2 else 4
+      val roleIds = Map("system" -> (vMax + 1), "user" -> (vMax + 2),
+        "assistant" -> (vMax + 3))
+      val roleOf = element_at(
+        array(lit("system"), lit("user"), lit("assistant"),
+          lit("user"), lit("assistant"), lit("user")),
+        (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+      val natTurns = operators.TokenShards.tokenizeToIdsTotal(
+          docs, "doc_id", "text", merges, vocab)
+        .select((col("doc_id") / 6).cast("long").as("conv_id"),
+          pmod(col("doc_id"), lit(6L)).as("turn_idx"), roleOf.as("role"), col("ids"))
+      val records = operators.Sft.assembleConversations(
+        natTurns, roleIds, Set("assistant"))
+      val packed = operators.Sft.packMaskedSequences(
+          records, "conv_id", nShards = 4, capacity = 8192L)
+        .withColumn("bin_key", col("shard") * lit(4294967296L) + col("bin"))
+      val path = s"${indexStoreRoot(dir, "documents")}/cross_overlap_v1"
+      sources.Export.writeMaskedBinaryShards(packed, path, "bin_key",
+        nShards = 2, maxShardBytes = 1L << 20, tokenWidth = width)
+      val back = operators.TokenShards.splitBinsByLens(
+          sources.Export.readMaskedBinaryShards(s, path))
+        .withColumnRenamed("doc_id", "conv_id")
+      val turns = operators.Sft.decodeConversations(back,
+          vocab.map(_.swap), roleIds.map(_.swap))
+        .select((col("conv_id") * 6 + col("turn_idx")).as("doc_id"), col("text"))
+      val probes = turns.unionByName(Seq(
+        (-1L, (1 to 10).map(i => s"qzna$i").mkString(" ")),
+        (-2L, (1 to 10).map(i => s"qznb$i").mkString(" ")),
+        (-3L, (1 to 10).map(i => s"qznc$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+      operators.Contamination.crossCorpusOverlap(
+          probes, docs.where(col("text").isNotNull), "doc_id", "text", 8)
+        .select(col("a_id").as("doc_id"), col("n_grams"), col("n_overlap"),
+          (col("n_overlap") === col("n_grams")).as("fully_covered"))
+    }),
+
     // q264: CURRICULUM ORDER — sequence-length warmup over the packed
     // artifact: each bin's stage is its LONGEST member document bucketed
     // at 128 tokens, and the loader order is stage-major (all short-doc
@@ -10739,6 +10796,25 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q265: per-doc DISTINCT 8-gram counts in closed form (every natural
+    // turn is its source doc, so overlap = total); planted novel rows
+    // are constants
+    "q265_cross_artifact_overlap" ->
+      """WITH toks AS (SELECT doc_id,
+        |             regexp_extract_all(regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                                '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]') AS words
+        |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |g AS (SELECT doc_id, count(DISTINCT s) AS n FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(words) - 7),
+        |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4],
+        |                   words[i+5], words[i+6], words[i+7], words[i+8]))) AS s
+        |  FROM toks WHERE len(words) >= 8) GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_grams,
+        |       CAST(n AS BIGINT) AS n_overlap, TRUE AS fully_covered
+        |FROM g
+        |UNION ALL
+        |SELECT CAST(d AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), FALSE
+        |FROM (VALUES (-1), (-2), (-3)) AS v(d)""".stripMargin,
     // q264: q244's pack replay + per-bin max member mass div 128 as the
     // stage, then the EXACT two-level permutation — row_number over
     // (stage, md5(seed:shard:bin), shard, bin)

@@ -50,6 +50,34 @@ object Contamination {
   }
 
   /**
+   * CROSS-ARTIFACT overlap — "don't double-train": for each `a`-side
+   * document, how many of its distinct n-grams appear ANYWHERE in the
+   * `b`-side corpus. Unlike [[evalGramHits]], NEITHER side is
+   * small-by-contract (an SFT release probed against a pretraining
+   * release is big × big), so the shape is a SHUFFLE join on the gram
+   * hash — both shingle frames are (id, h)/(h) longs, the texts never
+   * shuffle, and the b side collapses to distinct hashes first. Output:
+   * `(a_id, n_grams, n_overlap)` per a-document with at least one
+   * n-gram; `n_overlap == n_grams` means every window of the document
+   * already exists in `b` (the fully-redundant case a dedup between the
+   * two artifacts would drop).
+   */
+  def crossCorpusOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val aSh = Dedup.shingleHashes(a, idCol, textCol, n)
+      .select(col(idCol).as("a_id"), col("h"))
+    val bSh = Dedup.shingleHashes(b, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val totals = aSh.groupBy(col("a_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = aSh.join(bSh, "h")
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq("a_id"), "left")
+      .select(col("a_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
+  /**
    * Per-training-document contamination summary: how many distinct eval
    * n-grams the document contains, across the WHOLE eval set (the form used
    * for a drop/keep decision when pair attribution isn't needed). Same

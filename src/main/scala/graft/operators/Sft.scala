@@ -131,6 +131,54 @@ object Sft {
   }
 
   /**
+   * Inverse of [[assembleConversations]]: parse each record's
+   * `[roleId, content..., EOS]*` frame back into per-turn rows
+   * `(conv_id, turn_idx, role, text)`, detokenizing turn content
+   * through the total scheme ([[TokenShards.detokenizeTotal]] — byte
+   * runs decode strictly). The inspection/audit face of the SFT
+   * artifact: overlap probes, PII re-scans, and eyeballing all need
+   * TEXT back out of a published record, and the role-id framing is
+   * what a vocab-only decoder would choke on. Malformed framing (a
+   * segment whose leading id is not a role id — including an empty
+   * segment, whose "role" is the EOS itself — or a role id INSIDE turn
+   * content) fails loudly: it marks a foreign or torn artifact, never a
+   * silent mis-parse. One narrow typed pass.
+   */
+  def decodeConversations(records: DataFrame, idToSymbol: Map[Long, String],
+      roleNames: Map[Long, String]): DataFrame = {
+    require(roleNames.nonEmpty, "roleNames must name at least one role id")
+    val spark = records.sparkSession
+    import spark.implicits._
+    val bcSym = spark.sparkContext.broadcast(idToSymbol)
+    val bcRole = spark.sparkContext.broadcast(roleNames)
+    records.select(col("conv_id").cast("long"), col("ids"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (conv, ids) =>
+        val roles = bcRole.value
+        val syms = bcSym.value
+        require(ids != null && ids.nonEmpty && ids.last == TokenShards.eosId,
+          s"conversation $conv: record must be EOS-terminated")
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String)]
+        var turn = 0L
+        var i = 0
+        while (i < ids.length) {
+          val e = ids.indexOf(TokenShards.eosId, i)
+          val role = roles.getOrElse(ids(i), throw new IllegalArgumentException(
+            s"conversation $conv turn $turn: leading id ${ids(i)} is not a role id — " +
+              "foreign or torn record"))
+          val content = ids.slice(i + 1, e)
+          require(!content.exists(roles.contains),
+            s"conversation $conv turn $turn: role id inside turn content — torn record")
+          out += ((conv, turn, role, TokenShards.detokenizeTotal(content, syms)))
+          turn += 1
+          i = e + 1
+        }
+        out
+      }
+      .toDF("conv_id", "turn_idx", "role", "text")
+  }
+
+  /**
    * PREFERENCE-JUDGMENT CONSISTENCY AUDIT — the data-QA pass reward-model
    * and DPO corpora need before training: pairwise judgments inside a
    * prompt group should form a partial order, and the two ways they fail

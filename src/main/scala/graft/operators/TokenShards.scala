@@ -680,6 +680,34 @@ object TokenShards {
   }
 
   /**
+   * Split packed bins back into records by the BOUNDARY METADATA
+   * (`doc_ids`/`doc_lens`), NOT by EOS — the splitter for record
+   * artifacts whose payloads legitimately contain INTERIOR EOS ids
+   * (SFT conversations end every turn with EOS, so [[decodeBins]]'s
+   * EOS-split contract cannot apply to them). One narrow typed pass;
+   * a bin whose lens do not tile its ids exactly fails loudly.
+   */
+  def splitBinsByLens(bins: DataFrame): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    bins.select(col("doc_ids").cast("array<bigint>"),
+        col("doc_lens").cast("array<bigint>"), col("ids").cast("array<bigint>"))
+      .as[(Seq[Long], Seq[Long], Seq[Long])]
+      .flatMap { case (docIds, docLens, ids) =>
+        require(docIds.length == docLens.length, "doc_ids and doc_lens lengths differ")
+        require(docLens.sum == ids.length.toLong,
+          s"doc_lens (sum ${docLens.sum}) do not tile the bin's ${ids.length} ids")
+        var off = 0
+        docIds.iterator.zip(docLens.iterator).map { case (d, l) =>
+          val s = ids.slice(off, off + l.toInt)
+          off += l.toInt
+          (d, s)
+        }.toSeq
+      }
+      .toDF("doc_id", "ids")
+  }
+
+  /**
    * TOKENIZER-DRIFT MONITOR — byte-fallback mass per record. The total
    * scheme ([[tokenizeToIdsTotal]]) keeps encoding TOTAL by decomposing
    * unseen symbols into raw-byte ids ([[firstByteId]], 2..257); the RATE

@@ -50,6 +50,24 @@ class PipelineExtrasSpec extends AnyFunSpec with SparkSuite {
       // doc 3: (b c d) from eval 100
       assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
     }
+
+    it("crossCorpusOverlap reports per-a-doc totals and hits via a shuffle " +
+       "join (neither side broadcast by the operator)") {
+      val b = Seq((50L, "a b c d e f g h")).toDF("doc_id", "text")
+      // doc 1: 5 trigrams, all inside b; doc 2: none; doc 3: (b c d) only
+      val got = Contamination.crossCorpusOverlap(train, b, "doc_id", "text", 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 5L, 5L), (2L, 5L, 0L), (3L, 5L, 1L)))
+      // big x big contract: the gram join must not hinge on a broadcast
+      // hint from the operator (AQE may still pick one for tiny frames;
+      // assert the OPERATOR adds none by checking the logical plan)
+      val lp = Contamination.crossCorpusOverlap(train, b, "doc_id", "text", 3)
+        .queryExecution.logical.toString
+      assert(!lp.contains("ResolvedHint"), lp)
+      // a doc with fewer words than n contributes no row (nothing to probe)
+      val tiny = Seq((7L, "a b")).toDF("doc_id", "text")
+      assert(Contamination.crossCorpusOverlap(tiny, b, "doc_id", "text", 3).isEmpty)
+    }
   }
 
   describe("Packing.packGreedy") {

@@ -125,6 +125,59 @@ class SftSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Sft.decodeConversations (with TokenShards.splitBinsByLens)") {
+    // tiny total-scheme world: symbol 300 -> "lo", 301 -> "w"; roles 900/901
+    val syms = Map(300L -> "lo", 301L -> "w")
+    val roles2 = Map(900L -> "user", 901L -> "assistant")
+
+    it("parses the [roleId, content..., EOS]* frame back to per-turn text, " +
+       "surviving the pack/split round trip") {
+      val records = Seq(
+        // user: "lo w" ; assistant: "w"
+        (1L, Seq(900L, 300L, 1L, 301L, 0L, 901L, 301L, 0L)),
+        (2L, Seq(901L, 300L, 0L)))
+        .toDF("conv_id", "ids")
+      val got = Sft.decodeConversations(records, syms, roles2)
+        .as[(Long, Long, String, String)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq === Seq(
+        (1L, 0L, "user", "lo w"), (1L, 1L, "assistant", "w"),
+        (2L, 0L, "assistant", "lo")))
+      // through the masked packer and the lens-based splitter (records
+      // carry INTERIOR EOS, so the EOS-split decodeBins contract cannot
+      // apply — doc_lens tiling is what recovers them)
+      val withMask = records.select(col("conv_id"),
+        org.apache.spark.sql.functions.size(col("ids")).cast("long").as("n_tokens"),
+        col("ids"), org.apache.spark.sql.functions.transform(col("ids"),
+          _ => org.apache.spark.sql.functions.lit(0L)).as("mask"))
+      val bins = Sft.packMaskedSequences(withMask, "conv_id", 1, 100L)
+      val split = TokenShards.splitBinsByLens(bins)
+        .withColumnRenamed("doc_id", "conv_id")
+      val again = Sft.decodeConversations(split, syms, roles2)
+        .as[(Long, Long, String, String)].collect().sortBy(r => (r._1, r._2))
+      assert(again.toSeq === got.toSeq)
+    }
+
+    it("foreign or torn frames fail loudly: non-role leading id, empty " +
+       "segment, role id inside content, lens that do not tile") {
+      def dec(ids: Seq[Long]) = Sft.decodeConversations(
+        Seq((1L, ids)).toDF("conv_id", "ids"), syms, roles2).collect()
+      def fails(ids: Seq[Long], want: String): Unit = {
+        val e = intercept[Exception](dec(ids))
+        val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+        assert(msg.contains(want), msg)
+      }
+      fails(Seq(300L, 0L), "not a role id")          // content id leads
+      fails(Seq(900L, 300L, 0L, 0L), "not a role id") // empty segment: EOS leads
+      fails(Seq(900L, 901L, 0L), "role id inside")    // torn frame
+      fails(Seq(900L, 300L), "EOS-terminated")
+      val badBins = Seq((0L, 0L, Seq(1L, 2L), Seq(2L, 3L), Seq(0L, 0L, 0L, 0L)))
+        .toDF("shard", "bin", "doc_ids", "doc_lens", "ids")
+      val e = intercept[Exception](TokenShards.splitBinsByLens(badBins).collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("tile"), msg)
+    }
+  }
+
   describe("Sft.preferenceCycles") {
     def audit(rows: Seq[(Long, Long, Long)]) =
       Sft.preferenceCycles(rows.toDF("group_id", "winner", "loser"))
