@@ -4932,6 +4932,55 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q266: MAJORITY-VOTE PREFERENCE RESOLUTION — q263's repair step.
+    // Three annotators per pair (four on the planted tie) under a total
+    // order, with planted defects: every 10th+1 group carries one
+    // dissent on (0,1) — resolves at margin 1; every 10th+5 group ties
+    // (2,3) 2-2 — unresolvable, dropped; every 10th+7 group is a
+    // CONDORCET paradox (majorities 0>1, 1>2, 2>0) — resolution cannot
+    // fix it, and the residual cycle audit over the RESOLVED set names
+    // exactly those groups. Contradictions are zero by construction
+    // after resolution (gated in-query via preferenceCycles). Closed-
+    // form oracle: votes, margins, directions, and residual cycles all
+    // derive from the id arithmetic with membership guards.
+    "q266_preference_resolution" -> ((s, dir) => {
+      val m = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select((col("doc_id") / 4).cast("long").as("group_id"),
+          pmod(col("doc_id"), lit(4L)).as("m"))
+      val pairs = m.as("a").join(m.as("b"),
+          col("a.group_id") === col("b.group_id") && col("a.m") < col("b.m"))
+        .select(col("a.group_id").as("group_id"), col("a.m").as("i"), col("b.m").as("j"))
+      val gmod = pmod(col("group_id"), lit(10L))
+      val isTiePair = gmod === 5 && col("i") === 2 && col("j") === 3
+      val votes3 = pairs.withColumn("a", explode(array(lit(0), lit(1), lit(2))))
+      val votes = votes3.unionByName(
+        pairs.where(isTiePair).withColumn("a", lit(3)))
+      // dissent rules: g%10==1 pair (0,1) annotator 2 votes j; the tie
+      // pair's annotators 2..3 vote j; the Condorcet pair (0,2) of
+      // g%10==7 has annotators 1..2 vote j
+      val votesJ =
+        (gmod === 1 && col("i") === 0 && col("j") === 1 && col("a") === 2) ||
+        (isTiePair && col("a") >= 2) ||
+        (gmod === 7 && col("i") === 0 && col("j") === 2 && col("a") >= 1)
+      val ballots = votes.select(col("group_id"),
+        when(votesJ, col("j")).otherwise(col("i")).as("winner"),
+        when(votesJ, col("i")).otherwise(col("j")).as("loser"))
+      val resolved = operators.Sft.resolvePreferences(ballots)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { resolved.unpersist(); () })
+      val residual = operators.Sft.preferenceCycles(
+        resolved.where(col("resolved"))
+          .select(col("group_id"), col("winner"), col("loser")))
+      val contradictionsZero =
+        residual.where(col("n_contradictions") =!= 0L).isEmpty
+      resolved
+        .join(residual.select(col("group_id"),
+          col("n_cycles").as("n_cycles_residual")), Seq("group_id"))
+        .select(col("group_id"), col("lo"), col("hi"), col("winner"), col("loser"),
+          col("n_votes"), col("margin"), col("resolved"), col("n_cycles_residual"))
+        .withColumn("contradictions_zero", lit(contradictionsZero))
+    }),
+
     // q265: CROSS-ARTIFACT OVERLAP AUDIT — "don't double-train": the SFT
     // release probed against the pretraining corpus, end to end through
     // the artifact. The q260 conversations pack, publish as GRBM, read
@@ -10796,6 +10845,38 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q266: votes, margins, directions, and the residual Condorcet cycle
+    // replay from the id arithmetic; the membership guards keep the
+    // closed form honest for incomplete tail groups
+    "q266_preference_resolution" ->
+      """WITH m AS (SELECT doc_id // 4 AS g, doc_id % 4 AS i
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |mm AS (SELECT g, max(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS h0,
+        |              max(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS h1,
+        |              max(CASE WHEN i = 2 THEN 1 ELSE 0 END) AS h2
+        |       FROM m GROUP BY 1),
+        |p AS (SELECT a.g AS g, a.i AS i, b.i AS j
+        |      FROM m a JOIN m b ON a.g = b.g AND a.i < b.i),
+        |r AS (SELECT p.g, p.i AS lo, p.j AS hi,
+        |             CASE WHEN p.g % 10 = 5 AND p.i = 2 AND p.j = 3
+        |                  THEN 4 ELSE 3 END AS n_votes,
+        |             CASE WHEN p.g % 10 = 5 AND p.i = 2 AND p.j = 3 THEN 0
+        |                  WHEN p.g % 10 = 1 AND p.i = 0 AND p.j = 1 THEN 1
+        |                  WHEN p.g % 10 = 7 AND p.i = 0 AND p.j = 2 THEN 1
+        |                  ELSE 3 END AS margin,
+        |             CASE WHEN p.g % 10 = 7 AND p.i = 0 AND p.j = 2
+        |                  THEN p.j ELSE p.i END AS winner
+        |      FROM p),
+        |res AS (SELECT g, CASE WHEN g % 10 = 7 AND h0 = 1 AND h1 = 1 AND h2 = 1
+        |                       THEN 1 ELSE 0 END AS cyc
+        |        FROM mm)
+        |SELECT CAST(r.g AS BIGINT) AS group_id, CAST(lo AS BIGINT) AS lo,
+        |       CAST(hi AS BIGINT) AS hi, CAST(winner AS BIGINT) AS winner,
+        |       CAST(CASE WHEN winner = lo THEN hi ELSE lo END AS BIGINT) AS loser,
+        |       CAST(n_votes AS BIGINT) AS n_votes, CAST(margin AS BIGINT) AS margin,
+        |       margin > 0 AS resolved, CAST(res.cyc AS BIGINT) AS n_cycles_residual,
+        |       TRUE AS contradictions_zero
+        |FROM r JOIN res ON r.g = res.g""".stripMargin,
     // q265: per-doc DISTINCT 8-gram counts in closed form (every natural
     // turn is its source doc, so overlap = total); planted novel rows
     // are constants

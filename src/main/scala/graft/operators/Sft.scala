@@ -240,6 +240,44 @@ object Sft {
   }
 
   /**
+   * MAJORITY-VOTE RESOLUTION — the repair step after
+   * [[preferenceCycles]] names the defects: multi-annotator judgments
+   * collapse to one edge per unordered pair by net vote margin. A tied
+   * pair is UNRESOLVABLE (`resolved = false`, winner/loser pinned to
+   * (lo, hi) deterministically so the frame stays engine-replayable) —
+   * callers must filter on `resolved` before training. Resolution
+   * eliminates contradictions BY CONSTRUCTION (one direction survives
+   * per pair); it can NOT eliminate majority cycles — the Condorcet
+   * paradox is real data, not a bug — so the residual
+   * [[preferenceCycles]] pass over the resolved set is what names the
+   * groups still needing exclusion or re-judging.
+   *
+   * Output per (group_id, lo, hi): `(winner, loser, n_votes, margin,
+   * resolved)`. One hash aggregation on (group, pair); the same
+   * aggregate-branch input contract as [[preferenceCycles]].
+   */
+  def resolvePreferences(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("group_id").cast("long"),
+      col("winner").cast("long"), col("loser").cast("long"))
+    val bad = e.agg(sum(when(col("winner").isNull || col("loser").isNull ||
+      col("winner") === col("loser"), 1L).otherwise(0L)).as("__n_bad"))
+    e.select(col("group_id"),
+        least(col("winner"), col("loser")).as("lo"),
+        greatest(col("winner"), col("loser")).as("hi"),
+        when(col("winner") < col("loser"), 1L).otherwise(-1L).as("__d"))
+      .groupBy(col("group_id"), col("lo"), col("hi"))
+      .agg(sum(col("__d")).as("__net"), count(lit(1)).as("n_votes"))
+      .crossJoin(broadcast(bad))
+      .where(expr("assert_true(__n_bad = 0, " +
+        "'resolvePreferences: a self- or null-preference is meaningless') IS NULL"))
+      .select(col("group_id"), col("lo"), col("hi"),
+        when(col("__net") >= 0, col("lo")).otherwise(col("hi")).as("winner"),
+        when(col("__net") >= 0, col("hi")).otherwise(col("lo")).as("loser"),
+        col("n_votes"), abs(col("__net")).as("margin"),
+        (col("__net") =!= 0L).as("resolved"))
+  }
+
+  /**
    * Pack whole masked records (SFT conversations, preference branches)
    * into capacity-bounded training bins WITHOUT splitting a record — an
    * SFT example must never tear across a bin (its loss mask is

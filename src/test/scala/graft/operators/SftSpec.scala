@@ -219,6 +219,45 @@ class SftSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("Sft.resolvePreferences") {
+    def resolve(rows: Seq[(Long, Long, Long)]) =
+      Sft.resolvePreferences(rows.toDF("group_id", "winner", "loser"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+        .collect().sortBy(r => (r._1, r._2, r._3))
+
+    it("collapses multi-annotator votes to one edge per pair by net margin; " +
+       "ties are unresolvable and deterministically pinned") {
+      val got = resolve(Seq(
+        (0L, 1L, 2L), (0L, 1L, 2L), (0L, 2L, 1L),  // 2-1 for 1>2
+        (0L, 3L, 1L),                              // single vote 3>1
+        (1L, 1L, 2L), (1L, 2L, 1L)))               // 1-1 tie
+      assert(got.toSeq === Seq(
+        // (group, lo, hi, winner, loser, n_votes, margin, resolved)
+        (0L, 1L, 2L, 1L, 2L, 3L, 1L, true),
+        (0L, 1L, 3L, 3L, 1L, 1L, 1L, true),
+        (1L, 1L, 2L, 1L, 2L, 2L, 0L, false)))
+    }
+
+    it("resolution kills contradictions by construction but NOT Condorcet " +
+       "cycles — the residual audit still names them") {
+      val condorcet = Seq(
+        (7L, 1L, 2L), (7L, 1L, 2L), (7L, 2L, 1L),  // 1>2
+        (7L, 2L, 3L), (7L, 2L, 3L), (7L, 3L, 2L),  // 2>3
+        (7L, 3L, 1L), (7L, 3L, 1L), (7L, 1L, 3L))  // 3>1
+      val res = Sft.resolvePreferences(condorcet.toDF("group_id", "winner", "loser"))
+      val audit = Sft.preferenceCycles(res.where(col("resolved"))
+          .select(col("group_id"), col("winner"), col("loser")))
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      assert(audit.toSeq === Seq((7L, 3L, 1L, 0L, false)))
+    }
+
+    it("a self- or null-preference fails loudly") {
+      val e = intercept[Exception](resolve(Seq((0L, 1L, 1L))))
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("resolvePreferences"), msg)
+    }
+  }
+
   describe("Sft.packMaskedSequences") {
     val records = Seq(
       (0L, 3L, Seq(100L, 101L, 0L), Seq(0L, 1L, 1L)),
