@@ -4932,6 +4932,30 @@ object SparkEntry {
         .withColumn("deterministic", lit(deterministic))
     }),
 
+    // q267: PACKING-UTILIZATION REPORT — the $-per-token data-card
+    // metric: padding waste per shard at the release geometry (fixed-
+    // length loaders pad every fittable bin to capacity), with the
+    // OVERSIZE population reported separately so it cannot flatter the
+    // average. Capacity 512 against ~60-700-token docs exercises both
+    // populations. The oracle replays the pack recursion and the same
+    // integer fixed-point arithmetic.
+    "q267_pack_utilization" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q267 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocab(s, dir)
+      val bins = operators.TokenShards.packSequences(
+        operators.TokenShards.tokenizeToIds(docs, "doc_id", "text", merges, vocab),
+        "doc_id", nShards = 8, capacity = 512L)
+      operators.TokenShards.packUtilization(bins, capacity = 512L)
+        .withColumn("merges_pinned", lit(mergesPinned))
+    }),
+
     // q266: MAJORITY-VOTE PREFERENCE RESOLUTION — q263's repair step.
     // Three annotators per pair (four on the planted tie) under a total
     // order, with planted defects: every 10th+1 group carries one
@@ -10845,6 +10869,62 @@ object SparkEntry {
         |       TRUE AS merges_pinned, TRUE AS planted_mask_pinned,
         |       TRUE AS mask_law, TRUE AS deterministic
         |FROM conv""".stripMargin,
+    // q267: the pack replay aggregated per shard with the same integer
+    // fixed-point waste/utilization arithmetic, oversize kept separate
+    "q267_pack_utilization" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |c AS (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id, n,
+        |             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM doctok),
+        |pack AS (
+        |  SELECT shard, rn, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.n,
+        |         CASE WHEN p.fill + c.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 512 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rn = p.rn + 1),
+        |b AS (SELECT shard, bin, sum(n) AS nt FROM pack GROUP BY 1, 2),
+        |agg AS (SELECT shard, count(*) AS n_bins, sum(nt) AS n_tokens,
+        |               sum(CASE WHEN nt <= 512 THEN 1 ELSE 0 END) AS n_padded_bins,
+        |               sum(CASE WHEN nt <= 512 THEN 512 - nt ELSE 0 END) AS waste_tokens,
+        |               sum(CASE WHEN nt > 512 THEN 1 ELSE 0 END) AS n_oversize,
+        |               sum(CASE WHEN nt > 512 THEN nt - 512 ELSE 0 END) AS excess_tokens
+        |        FROM b GROUP BY 1)
+        |SELECT shard, CAST(n_bins AS BIGINT) AS n_bins,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_padded_bins AS BIGINT) AS n_padded_bins,
+        |       CAST(waste_tokens AS BIGINT) AS waste_tokens,
+        |       CAST(n_oversize AS BIGINT) AS n_oversize,
+        |       CAST(excess_tokens AS BIGINT) AS excess_tokens,
+        |       CAST(CASE WHEN n_padded_bins = 0 THEN 1000
+        |                 ELSE (n_padded_bins * 512 - waste_tokens) * 1000
+        |                      // (n_padded_bins * 512) END AS BIGINT) AS utilization_permille,
+        |       TRUE AS merges_pinned
+        |FROM agg""".stripMargin,
     // q266: votes, margins, directions, and the residual Condorcet cycle
     // replay from the id arithmetic; the membership guards keep the
     // closed form honest for incomplete tail groups

@@ -680,6 +680,37 @@ object TokenShards {
   }
 
   /**
+   * PACKING-UTILIZATION REPORT — the $-per-token metric of a packed
+   * release: a fixed-length trainer pads every bin to `capacity`, so
+   * wasted slots are wasted compute. Per shard: bin/token counts, the
+   * padding waste over fittable bins (`capacity - n_tokens` each), and
+   * the OVERSIZE population separately (next-fit emits an over-capacity
+   * record whole rather than losing it; a fixed-length loader must
+   * truncate or length-class those, so hiding them inside an average
+   * would overstate utilization). `utilization_permille` is integer
+   * fixed-point over the padded slots only; a shard with no fittable
+   * bins reports 1000 (no padded slots, nothing wasted). One
+   * aggregation over the bin frame's skinny columns.
+   */
+  def packUtilization(bins: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val fits = col("n_tokens") <= capacity
+    bins.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(fits, 1L).otherwise(0L)).as("n_padded_bins"),
+        sum(when(fits, lit(capacity) - col("n_tokens")).otherwise(0L))
+          .as("waste_tokens"),
+        sum(when(fits, 0L).otherwise(1L)).as("n_oversize"),
+        sum(when(fits, 0L).otherwise(col("n_tokens") - capacity))
+          .as("excess_tokens"))
+      .withColumn("utilization_permille",
+        when(col("n_padded_bins") === 0L, 1000L).otherwise(
+          expr(s"(n_padded_bins * $capacity - waste_tokens) * 1000 " +
+            s"div (n_padded_bins * $capacity)")))
+  }
+
+  /**
    * Split packed bins back into records by the BOUNDARY METADATA
    * (`doc_ids`/`doc_lens`), NOT by EOS — the splitter for record
    * artifacts whose payloads legitimately contain INTERIOR EOS ids

@@ -594,6 +594,28 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("packUtilization — the padding-waste report") {
+    it("computes waste over fittable bins, reports oversize separately, " +
+       "and a no-fittable shard reads 1000") {
+      import spark.implicits._
+      val bins = Seq(
+        (0L, 0L, 8L),   // waste 2
+        (0L, 1L, 10L),  // waste 0 (exactly full)
+        (0L, 2L, 13L),  // OVERSIZE: excess 3, not averaged in
+        (1L, 0L, 14L))  // a shard of only-oversize bins
+        .toDF("shard", "bin", "n_tokens")
+      val got = TokenShards.packUtilization(bins, capacity = 10L)
+        .select("shard", "n_bins", "n_tokens", "n_padded_bins", "waste_tokens",
+          "n_oversize", "excess_tokens", "utilization_permille")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1)
+      assert(got.toSeq === Seq(
+        (0L, 3L, 31L, 2L, 2L, 1L, 3L, 900L), // (20-2)*1000 div 20
+        (1L, 1L, 14L, 0L, 0L, 1L, 4L, 1000L)))
+      intercept[IllegalArgumentException](TokenShards.packUtilization(bins, 0L))
+    }
+  }
+
   describe("fallbackRuns / vocabProposals — the vocabulary-update shortlist") {
     import spark.implicits._
     def byteIds(s: String): Seq[Long] =
