@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
  */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "opq", "tokens", "binary", "scale")
+    val modes = Set("embed", "incremental", "curation", "snapshot", "events", "semantic", "retrieval", "rdd", "graph", "selection", "components", "store", "ivfcap", "standing", "kcore", "ann", "linkage", "allpairs", "knn", "lm", "crawl", "bpe", "bpefast", "unigram", "export", "opq", "tokens", "binary", "sft", "scale")
     val explicitMode = args.headOption.filter(modes)
     // a MISSPELLED mode must fail loudly, not silently run `embed` with the
     // typo as sfDir (the Verify query-filter convention): a bare first arg
@@ -56,6 +56,7 @@ object Stress {
     if (mode == "curation") { curationStudy(spark, sfDir); spark.stop(); return }
     if (mode == "tokens") { tokensStudy(spark, sfDir); spark.stop(); return }
     if (mode == "binary") { binaryStudy(spark, sfDir); spark.stop(); return }
+    if (mode == "sft") { sftStudy(spark, sfDir); spark.stop(); return }
     if (mode == "snapshot") { snapshotStudy(spark, sfDir); spark.stop(); return }
     if (mode == "events") { eventsStudy(spark, sfDir); spark.stop(); return }
     if (mode == "semantic") { semanticStudy(spark, sfDir); spark.stop(); return }
@@ -1524,6 +1525,102 @@ object Stress {
       f"(expect equal) [$rsecs%.1f s]")
     ordered.unpersist(); seqs.unpersist(); tokens.unpersist(); replica.unpersist()
     deleteRec(base.toFile)
+  }
+
+  /**
+   * SFT terminal path at 10x: conversations assemble over the
+   * group-sorted layout, pack WHOLE-RECORD with the loss mask riding
+   * the packer's low bit, export as GRBM (bit-packed mask channel), and
+   * read back — measuring assembly/pack/export throughput, the mask
+   * channel's REAL byte overhead against GRBS on the identical bins
+   * (floor: 1/(8·width) of the payload, i.e. ~6% at width 2), and the
+   * boundary-metadata record recovery at scale.
+   */
+  private def sftStudy(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.{Sft, TokenShards}
+    import graft.sources.Export
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", array_repeat(col("text"), 5)).as("text"))
+    val replica = (0 until 10)
+      .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("text")))
+      .reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = timed("corpus build (10x replicated, 5x-widened docs)")(replica.count())
+    val merges = graft.operators.Bpe.fixtureMerges
+    val vocab = TokenShards.vocabFromFrameTotal(
+      TokenShards.buildVocabTotal(replica, "text", merges))
+    val vMax = vocab.valuesIterator.max
+    val width = if (vMax + 3L <= 0xffffL) 2 else 4
+    val roleIds = Map("system" -> (vMax + 1), "user" -> (vMax + 2),
+      "assistant" -> (vMax + 3))
+    println(s"[stress] vocabulary: ${vocab.size} symbols, token width $width bytes")
+    val roleOf = element_at(
+      array(lit("system"), lit("user"), lit("assistant"),
+        lit("user"), lit("assistant"), lit("user")),
+      (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+    val turns = TokenShards.tokenizeToIdsTotal(replica, "doc_id", "text", merges, vocab)
+      .select((col("doc_id") / 6).cast("long").as("conv_id"),
+        pmod(col("doc_id"), lit(6L)).as("turn_idx"), roleOf.as("role"), col("ids"))
+    val (records, asecs) = timedValue("conversation assembly (one group-sort exchange)")({
+      val r = Sft.assembleConversations(turns, roleIds, Set("assistant"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      r.count(): Unit
+      r
+    })
+    val rs = records.agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("m"),
+      sum(col("n_trainable")).as("t")).head()
+    val (nConv, mass, trainable) = (rs.getLong(0), rs.getLong(1), rs.getLong(2))
+    println(f"[stress] $nConv conversations, $mass ids, $trainable trainable " +
+      f"(${mass / 1e6 / asecs}%.1f M ids/s assembly incl. tokenize)")
+    val (packed, psecs) = timedValue("masked whole-record pack (32 shards, cap 16384)")({
+      val p = Sft.packMaskedSequences(records, "conv_id", nShards = 32, capacity = 16384L)
+        .withColumn("bin_key", col("shard") * lit(4294967296L) + col("bin"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      p.count(): Unit
+      p
+    })
+    val bins = packed.count()
+    println(f"[stress] $bins bins (${mass / 1e6 / psecs}%.1f M ids/s pack)")
+    val base = java.nio.file.Files.createTempDirectory("graft_sft_stress")
+    try {
+      val (p1, p2, p3) = (base.resolve("a").toString, base.resolve("b").toString,
+        base.resolve("g").toString)
+      val (m1, wsecs) = timedValue(s"GRBM export $bins bins (32 shards, 64 MB bound)")(
+        Export.writeMaskedBinaryShards(packed, p1, "bin_key", nShards = 32,
+          maxShardBytes = 64L << 20, tokenWidth = width))
+      val grbmBytes = m1.map(_._3).sum
+      println(f"[stress] ${m1.size} GRBM files, ${grbmBytes / 1e6}%.0f MB, " +
+        f"${grbmBytes / 1e6 / wsecs}%.0f MB/s")
+      Export.writeMaskedBinaryShards(packed.repartition(101), p2, "bin_key",
+        nShards = 32, maxShardBytes = 64L << 20, tokenWidth = width)
+      require(Export.shardDigests(p1) == Export.shardDigests(p2),
+        "GRBM shards must be byte-deterministic under reshuffling")
+      println("[stress] GRBM digests identical across partitionings (expect true)")
+      val mG = Export.writeBinaryShards(
+        packed.select(col("bin_key"), col("doc_ids"), col("doc_lens"), col("ids")),
+        p3, "bin_key", nShards = 32, maxShardBytes = 64L << 20, tokenWidth = width)
+      val grbsBytes = mG.map(_._3).sum
+      println(f"[stress] mask-channel overhead vs GRBS on identical bins: " +
+        f"${(grbmBytes - grbsBytes).toDouble / mass}%.4f bytes/token " +
+        f"(floor ${1.0 / 8}%.4f; expect ~the floor + header delta)")
+      val (back, rsecs) = timedValue("GRBM read-back + lens-based record recovery")(
+        TokenShards.splitBinsByLens(Export.readMaskedBinaryShards(spark, p1))
+          .agg(count(lit(1)).as("n"), sum(size(col("ids")))).head())
+      require(back.getLong(0) == nConv && back.getLong(1) == mass,
+        "record recovery must reproduce every conversation and every id")
+      println(f"[stress] recovered $nConv records / $mass ids (expect equal) " +
+        f"[$rsecs%.1f s]")
+      val maskMass = Export.readMaskedBinaryShards(spark, p1)
+        .agg(sum(expr("aggregate(mask, CAST(0 AS BIGINT), (a, x) -> a + x)")))
+        .head().getLong(0)
+      require(maskMass == trainable,
+        s"mask mass $maskMass must equal the assembled trainable mass $trainable")
+      println(s"[stress] mask mass through the artifact = $trainable (expect equal)")
+    } finally deleteRec(base.toFile)
+    packed.unpersist(); records.unpersist(); replica.unpersist()
   }
 
   /**
