@@ -516,6 +516,60 @@ object StreamOps {
       }
       .start()
 
+  /**
+   * STREAMING SFT-TURN STORE — the streaming face of
+   * [[graft.operators.Sft.assembleConversations]]: collection pipelines
+   * emit conversation TURNS as users interact, not whole conversations,
+   * so the standing store is keyed per (conv_id, turn_idx) — packed into
+   * one long `turn_key = conv_id * 2^20 + turn_idx` (a conversation
+   * deeper than 2^20 turns fails loudly at the batch door) — and a
+   * re-shipped turn supersedes wholesale (an edited or re-moderated turn
+   * replaces its ids; last writer wins by version). An EMPTY-ids row is
+   * the TURN TOMBSTONE: the read face drops it, so a redacted turn
+   * vanishes from every later release with zero decrement bookkeeping
+   * (the [[streamingTokenIds]] blanking discipline). Duplicate captures
+   * of one turn inside a batch reduce first to one deterministic winner
+   * (max (role, ids) — the [[streamingPostings]] idempotent-replay
+   * rule). ASSEMBLY stays a release-time concern: the store holds turns,
+   * and `Sft.assembleConversations(sftTurnsFromStore(...))` re-derives
+   * the record frame when a release is cut — the group-sort exchange
+   * runs once per release, never per micro-batch.
+   */
+  def streamingSftTurns(turns: DataFrame, storePath: String, nBuckets: Int,
+      checkpointDir: String): StreamingQuery =
+    turns.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.select(
+          col("conv_id").cast("long").as("conv_id"),
+          col("turn_idx").cast("long").as("turn_idx"),
+          col("role").cast("string").as("role"), col("ids"))
+          .where(expr("assert_true(conv_id IS NOT NULL AND turn_idx IS NOT NULL " +
+            "AND turn_idx >= 0 AND turn_idx < 1048576, " +
+            "'turn_idx must sit in [0, 2^20) — the turn_key packing bound') IS NULL"))
+        val reduced = keyed
+          .groupBy((col("conv_id") * lit(1048576L) + col("turn_idx")).as("turn_key"))
+          .agg(max(struct(col("conv_id"), col("turn_idx"), col("role"), col("ids")))
+            .as("__w"))
+          .select(col("turn_key"), col("__w.conv_id").as("conv_id"),
+            col("__w.turn_idx").as("turn_idx"), col("__w.role").as("role"),
+            col("__w.ids").as("ids"), lit(batchId).as("version"))
+        graft.sources.Sink.upsertBuckets(storePath, reduced, "turn_key",
+          "version", nBuckets)
+      }
+      .start()
+
+  /** Read the [[streamingSftTurns]] store back as the exact
+    * [[graft.operators.Sft.assembleConversations]] input shape
+    * `(conv_id, turn_idx, role, ids)` — tombstoned (empty-ids) turns
+    * contribute nothing. */
+  def sftTurnsFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    graft.sources.Sink.readStore(spark, storePath)
+      .where(size(col("ids")) > 0)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("ids"))
+
   /** Read the [[streamingTokenIds]] store back as the exact
     * `tokenizeToIds` shape `(idCol, ids, n_tokens)` — empty-id rows
     * (blank/superseded-to-blank docs) contribute nothing, matching the

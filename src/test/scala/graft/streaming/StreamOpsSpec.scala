@@ -1751,4 +1751,67 @@ class StreamOpsSpec extends AnyFunSpec with SparkSuite {
       } finally q.stop()
     }
   }
+
+  describe("streamingSftTurns ≡ release-time assembly over the live turn store") {
+    it("out-of-order arrival, turn re-ship, in-batch duplicates, and a turn " +
+       "tombstone all reconcile to the from-scratch assembly") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val store = java.nio.file.Files.createTempDirectory("sft_store").resolve("s").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("sft_ckpt").toString
+      val roleIds = Map("user" -> 900L, "assistant" -> 901L)
+      val src = MemoryStream[(Long, Long, String, Seq[Long])]
+      val q = StreamOps.streamingSftTurns(
+        src.toDF().toDF("conv_id", "turn_idx", "role", "ids"),
+        storePath = store, nBuckets = 4, checkpointDir = ckpt)
+      def assembled(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Long], Seq[Long])] =
+        graft.operators.Sft.assembleConversations(df, roleIds, Set("assistant"))
+          .select($"conv_id", $"n_turns", $"ids", $"mask")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))).toSet
+      // batch 1: conv 1 turns arrive OUT OF ORDER; conv 2 starts
+      // batch 2: conv 1 turn 2 lands, turn 0 RE-SHIPS edited, and the
+      //          batch carries a duplicate capture of conv 2 turn 1
+      //          (the max-(role, ids) winner must be deterministic)
+      // batch 3: conv 2 turn 1 is TOMBSTONED (redaction) via empty ids
+      val batches = Seq(
+        Seq((1L, 1L, "assistant", Seq(301L, 0L)), (1L, 0L, "user", Seq(300L, 0L)),
+          (2L, 0L, "user", Seq(310L, 0L))),
+        Seq((1L, 2L, "user", Seq(302L, 0L)), (1L, 0L, "user", Seq(303L, 304L, 0L)),
+          (2L, 1L, "assistant", Seq(311L, 0L)), (2L, 1L, "assistant", Seq(312L, 0L))),
+        Seq((2L, 1L, "assistant", Seq.empty[Long])))
+      val live = scala.collection.mutable.Map.empty[(Long, Long), (String, Seq[Long])]
+      try {
+        batches.foreach { b =>
+          src.addData(b: _*)
+          q.processAllAvailable()
+          b.groupBy(r => (r._1, r._2)).foreach { case (k, rows) =>
+            // mirror the in-batch winner rule: max (role, ids)
+            val w = {
+              // Spark's max(struct(role, ids)) compares arrays element-wise
+              // then by length — exactly Ordering.Implicits.seqOrdering
+              import scala.math.Ordering.Implicits.seqOrdering
+              rows.map(r => (r._3, r._4)).max
+            }
+            if (w._2.isEmpty) live.remove(k) else live(k) = w
+          }
+          val scratch = live.toSeq
+            .map { case ((c, t), (role, ids)) => (c, t, role, ids) }
+            .toDF("conv_id", "turn_idx", "role", "ids")
+          assert(assembled(StreamOps.sftTurnsFromStore(spark, store)) ===
+            assembled(scratch), s"after ${live.toMap}")
+        }
+        // the post-tombstone record truly lost the redacted turn
+        val conv2 = graft.operators.Sft.assembleConversations(
+            StreamOps.sftTurnsFromStore(spark, store), roleIds, Set("assistant"))
+          .where($"conv_id" === 2L)
+          .select($"n_turns", $"ids").collect().head
+        assert(conv2.getLong(0) === 1L)
+        assert(conv2.getSeq[Long](1) === Seq(900L, 310L, 0L))
+        // a turn_idx outside the packing bound fails the batch loudly
+        src.addData((3L, 1048576L, "user", Seq(320L, 0L)))
+        val e = intercept[Exception](q.processAllAvailable())
+        val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+        assert(msg.contains("turn_key packing bound") || msg.contains("2^20"), msg)
+      } finally q.stop()
+    }
+  }
 }
