@@ -4956,6 +4956,99 @@ object SparkEntry {
         .withColumn("merges_pinned", lit(mergesPinned))
     }),
 
+    // q268: PACKED DPO SHARDS — the preference path made terminal, the
+    // q260 discipline over q259's pairs: each pair ships as ONE record
+    // (chosen branch ++ rejected branch, masks concatenated — the pair
+    // is the training unit and must never split), packed whole-record
+    // into GRBM bins, with the branch boundary published as a jsonl
+    // SIDECAR (pair_id, prompt_kept, chosen_len, rejected_len) — a
+    // loader slices the record at chosen_len to recover both branches.
+    // Gated in-query: byte-determinism, and slicing the READ-BACK
+    // artifact by the sidecar reproduces every branch's ids AND mask
+    // exactly against the recomputed assembly. The oracle replays pair
+    // masses (chosen_len + rejected_len) and trainable masses (cn + rn)
+    // through the q259 length replay + the pack recursion.
+    "q268_dpo_packed_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id").isNotNull && expr(
+        "assert_true(text IS NULL OR NOT contains(text, chr(31)), " +
+          "'q268 oracle requires a 0x1F-free corpus') IS NULL"))
+        .select(col("doc_id"), col("text"))
+      val (merges, _) = ensureTokenizers(s, dir)
+      val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+        ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
+        ("w", "id"), ("low", "est"))
+      val vocab = ensureTokenVocabTotal(s, dir)
+      val width = if (vocab.valuesIterator.max <= 0xffffL) 2 else 4
+      val role = pmod(col("doc_id"), lit(3L))
+      val triples = operators.TokenShards.tokenizeToIdsTotal(
+          docs, "doc_id", "text", merges, vocab)
+        .groupBy((col("doc_id") / 3).cast("long").as("pair_id"))
+        .agg(first(when(role === 0, col("ids")), ignoreNulls = true).as("prompt_ids"),
+          first(when(role === 1, col("ids")), ignoreNulls = true).as("chosen_ids"),
+          first(when(role === 2, col("ids")), ignoreNulls = true).as("rejected_ids"))
+        .where(col("prompt_ids").isNotNull && col("chosen_ids").isNotNull &&
+          col("rejected_ids").isNotNull)
+      val assembledPairs = operators.Sft.preferencePairs(triples, maxLen = 600)
+        .where(col("valid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { assembledPairs.unpersist(); () })
+      val records = assembledPairs.select(col("pair_id"),
+        concat(col("chosen_seq"), col("rejected_seq")).as("ids"),
+        concat(col("chosen_mask"), col("rejected_mask")).as("mask"),
+        (size(col("chosen_seq")) + size(col("rejected_seq"))).cast("long")
+          .as("n_tokens"))
+      val packed = operators.Sft.packMaskedSequences(
+          records, "pair_id", nShards = 4, capacity = 8192L)
+        .withColumn("bin_key", col("shard") * lit(4294967296L) + col("bin"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      onCleanup(() => { packed.unpersist(); () })
+      val root = s"${indexStoreRoot(dir, "documents")}/dpo_packed_v1"
+      val (p1, p2, ps) = (s"$root/a", s"$root/b", s"$root/sidecar")
+      sources.Export.writeMaskedBinaryShards(packed, p1, "bin_key",
+        nShards = 2, maxShardBytes = 1L << 20, tokenWidth = width)
+      sources.Export.writeMaskedBinaryShards(packed.repartition(13), p2, "bin_key",
+        nShards = 2, maxShardBytes = 1L << 20, tokenWidth = width)
+      val deterministic =
+        sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
+      val sidecar = assembledPairs.select(col("pair_id"), col("prompt_kept"),
+        size(col("chosen_seq")).cast("long").as("chosen_len"),
+        size(col("rejected_seq")).cast("long").as("rejected_len"))
+      sources.Export.writeJsonlShards(sidecar, ps, "pair_id", nShards = 1,
+        maxShardBytes = 1L << 20)
+      // slicing the READ-BACK artifact at the sidecar boundary reproduces
+      // both branches — ids AND masks — against the recomputed assembly
+      val back = operators.TokenShards.splitBinsByLens(
+          sources.Export.readMaskedBinaryShards(s, p1)).toDF("pair_id", "ids")
+        .join(operators.TokenShards.splitBinsByLens(
+          sources.Export.readMaskedBinaryShards(s, p1)
+            .select(col("doc_ids"), col("doc_lens"), col("mask").as("ids")))
+          .toDF("pair_id", "mask"), "pair_id")
+        .join(sources.Export.readJsonlShards(s, ps, new org.apache.spark.sql.types.StructType()
+            .add("pair_id", "long").add("prompt_kept", "long")
+            .add("chosen_len", "long").add("rejected_len", "long")),
+          "pair_id")
+      val sliced = back.select(col("pair_id"),
+        slice(col("ids"), lit(1), col("chosen_len").cast("int")).as("chosen_seq"),
+        slice(col("mask"), lit(1), col("chosen_len").cast("int")).as("chosen_mask"),
+        slice(col("ids"), col("chosen_len").cast("int") + 1,
+          col("rejected_len").cast("int")).as("rejected_seq"),
+        slice(col("mask"), col("chosen_len").cast("int") + 1,
+          col("rejected_len").cast("int")).as("rejected_mask"))
+      val want = assembledPairs.select(col("pair_id"), col("chosen_seq"),
+        col("chosen_mask"), col("rejected_seq"), col("rejected_mask"))
+      val branchesExact = sliced.exceptAll(want)
+        .unionByName(want.exceptAll(sliced)).isEmpty
+      sources.Export.readMaskedBinaryShards(s, p1)
+        .select((col("bin_key") / lit(4294967296L)).cast("long").as("shard"),
+          pmod(col("bin_key"), lit(4294967296L)).as("bin"),
+          col("n_docs").as("n_pairs"), col("n_tokens"),
+          aggregate(col("mask"), lit(0L), (a, x) => a + x).as("n_trainable"))
+        .withColumn("merges_pinned", lit(mergesPinned))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("branches_exact", lit(branchesExact))
+    }),
+
     // q266: MAJORITY-VOTE PREFERENCE RESOLUTION — q263's repair step.
     // Three annotators per pair (four on the planted tie) under a total
     // order, with planted defects: every 10th+1 group carries one
@@ -10925,6 +11018,59 @@ object SparkEntry {
         |                      // (n_padded_bins * 512) END AS BIGINT) AS utilization_permille,
         |       TRUE AS merges_pinned
         |FROM agg""".stripMargin,
+    // q268: pair masses (chosen_len + rejected_len) and trainable masses
+    // (cn + rn) through the q259 length replay, then the q243 pack
+    // recursion at capacity 8192 over valid pairs in pair order
+    "q268_dpo_packed_shards" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+        |                  chr(31)||a||b||chr(31) AS rep
+        |           FROM (VALUES (0,'l','o'),(1,'lo','w'),(2,'e','s'),(3,'es','t'),
+        |                        (4,'e','r'),(5,'e','w'),(6,'i','d'),(7,'n','ew'),
+        |                        (8,'w','id'),(9,'low','est')) AS m(rank,a,b)),
+        |inst AS (SELECT doc_id, unnest(regexp_extract_all(
+        |                 regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |                 '[^ \x09-\x0D\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]+|[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]')) AS w
+        |         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |vocab AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS state
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.w, replace(replace(st.state, p.pat, p.rep), p.pat, p.rep) AS state
+        |  FROM st, merges p
+        |  WHERE contains(st.state, p.pat)
+        |    AND p.rank = (SELECT min(m.rank) FROM merges m WHERE contains(st.state, m.pat))),
+        |enc AS (SELECT w, length(state) - length(replace(state, chr(31), '')) - 1 AS nt
+        |        FROM st
+        |        WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(st.state, m.pat))),
+        |doctok AS (SELECT inst.doc_id, sum(enc.nt) + count(*) AS n
+        |           FROM inst JOIN enc USING (w) GROUP BY 1),
+        |trip AS (SELECT doc_id // 3 AS pair_id,
+        |                max(CASE WHEN doc_id % 3 = 0 THEN n END) AS pn,
+        |                max(CASE WHEN doc_id % 3 = 1 THEN n END) AS cn,
+        |                max(CASE WHEN doc_id % 3 = 2 THEN n END) AS rn
+        |         FROM doctok GROUP BY 1 HAVING count(*) = 3),
+        |masses AS (SELECT pair_id,
+        |                  2 * least(pn - 1, 600 - greatest(cn, rn)) + cn + rn AS n,
+        |                  cn + rn AS tr
+        |           FROM trip WHERE least(pn - 1, 600 - greatest(cn, rn)) >= 0),
+        |c AS (SELECT CAST(pair_id % 4 AS BIGINT) AS shard, pair_id, n, tr,
+        |             row_number() OVER (PARTITION BY pair_id % 4 ORDER BY pair_id) AS rnum
+        |      FROM masses),
+        |pack AS (
+        |  SELECT shard, rnum, n, tr, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM c WHERE rnum = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rnum, c.n, c.tr,
+        |         CASE WHEN p.fill + c.n > 8192 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + c.n > 8192 THEN c.n ELSE p.fill + c.n END
+        |  FROM pack p JOIN c ON c.shard = p.shard AND c.rnum = p.rnum + 1)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tr) AS BIGINT) AS n_trainable,
+        |       TRUE AS merges_pinned, TRUE AS deterministic, TRUE AS branches_exact
+        |FROM pack GROUP BY 1, 2""".stripMargin,
     // q266: votes, margins, directions, and the residual Condorcet cycle
     // replay from the id arithmetic; the membership guards keep the
     // closed form honest for incomplete tail groups
