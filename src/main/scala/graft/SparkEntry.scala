@@ -38,7 +38,7 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (acc, f) =>
+    val out = df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case _: org.apache.spark.sql.types.TimestampNTZType |
              _: org.apache.spark.sql.types.TimestampType =>
@@ -46,6 +46,40 @@ object SparkEntry {
             (unix_micros(col(f.name).cast("timestamp")) * 1000L).as(f.name))
         case _ => acc
       }
+    }
+    out
+  }
+
+  /** Scale-adaptive kernel fan-out (optimization guide §2.2/§2.5: derive
+    * partitioning from the input, never a constant tuned for one scale).
+    *
+    * The bench inputs are single-row-group parquet files, so every scan is
+    * ONE task and every narrow kernel riding it (tokenize, regex quality
+    * gates, codec decode, line hashing) runs single-threaded no matter how
+    * many cores the session has — measured: the full suite's wall-clock at
+    * local[4] ≈ local[32] before this change, and the heavy kernel rows
+    * (q193 char entropy, q165 JPEG resize, q218 main content) drop 3-8x
+    * with the fan-out. When (and only when) a frame's lineage supplies
+    * fewer partitions than the session's cores, redistribute rows
+    * round-robin once before the expensive per-row kernel. At production
+    * scale the file count supplies the parallelism (splits >= cores) and
+    * this is the IDENTITY — no exchange is added, so the
+    * zero-payload-shuffle plan shapes PlanAuditSpec pins are the at-scale
+    * plans (the audit pins run with the conf off to assert exactly that
+    * mode). Applied SELECTIVELY at kernel-dominated sites only — blanket
+    * fan-out at the load point was measured to hurt the cheap RDD/
+    * group-sort block (q01-q44 +50%: their per-query work is exchange-
+    * bound, not kernel-bound) while kernel rows won 3-8x, so the narrow
+    * RDD surfaces and small aggregation queries keep their unfanned
+    * scans. Disable with spark.graft.scan.fanout=false. */
+  private[graft] def fanned(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (!s.conf.get("spark.graft.scan.fanout", "true").toBoolean) df
+    else {
+      val cores = s.sparkContext.defaultParallelism
+      val parts = df.rdd.getNumPartitions
+      if (parts * 2 >= cores) df
+      else df.repartition(cores * 2)
     }
   }
 
@@ -177,8 +211,8 @@ object SparkEntry {
   private def jpegBlobs(s: SparkSession, dir: String, shape: String): DataFrame =
     jpegBlobCaches.computeIfAbsent(s"$dir#$shape", _ => {
       import s.implicits._
-      val ids = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id")).as[Long]
+      val ids = fanned(tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"))).as[Long]
       val frame = shape match {
         case "varied" => ids.map { id =>
           (id, multimodal.Media.syntheticJpegImage(
@@ -1784,7 +1818,7 @@ object SparkEntry {
     // exercises all four patterns. Whole-stage codegen, zero shuffles —
     // scrubbing rides the corpus scan.
     "q69_pii_scrub" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = fanned(tbl(s, dir, "documents"))
       val aug = concat(coalesce(col("text"), lit("")),
         lit(" Contact user"), col("doc_id").cast("string"),
         lit("@example.com via https://site"), col("doc_id").cast("string"),
@@ -2293,7 +2327,7 @@ object SparkEntry {
     // the typo/OCR/template-fill duplicates token-set Jaccard is blind to
     "q105_edit_distance" -> ((s, dir) =>
       operators.Dedup.editDistanceVerify(
-        rareShingleCandidates(s, dir), tbl(s, dir, "documents"),
+        rareShingleCandidates(s, dir), fanned(tbl(s, dir, "documents")),
         "doc_id", "text", maxDist = 50)),
 
     // time-to-convert: first view -> first purchase after it, per user, in
@@ -2315,7 +2349,8 @@ object SparkEntry {
     // artifact that a single whole-doc language label hides. main_lang =
     // most chunks, ties to the lexicographically smallest tag
     "q112_mixed_language" -> ((s, dir) => {
-      val chunks = operators.Chunking.chunkWords(tbl(s, dir, "documents"), "doc_id", "text", 8, 2)
+      val chunks = operators.Chunking.chunkWords(
+        fanned(tbl(s, dir, "documents")), "doc_id", "text", 8, 2)
       val counts = chunks
         .select(col("doc_id"), functions.Text.langGuess(col("chunk_text")).as("lg"))
         .groupBy(col("doc_id"), col("lg")).agg(count(lit(1)).as("c"))
@@ -2667,8 +2702,8 @@ object SparkEntry {
     "q126_minhash_merge" -> ((s, dir) => {
       val nSeeds = 16
       val words = functions.Text.edgeStrippedTokens(col("text"))
-      val sh = tbl(s, dir, "documents")
-        .where(col("text").isNotNull && col("source").isNotNull)
+      val sh = fanned(tbl(s, dir, "documents")
+          .where(col("text").isNotNull && col("source").isNotNull))
         .select(col("source"), col("doc_id"), words.as("tk"))
         .where(size(col("tk")) >= 3)
         .select(col("source"), col("doc_id"),
@@ -3229,8 +3264,8 @@ object SparkEntry {
     // Unknown-codec '00dc' streams still reject (honesty rule unchanged).
     "q172_mjpeg_frames" -> ((s, dir) => {
       import s.implicits._
-      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id")).as[Long]
+      val blobs = fanned(tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+          .select(col("doc_id"))).as[Long]
         .map(id => (id, multimodal.Media.syntheticMjpegAvi(16, 16, 2, id)))
         .toDF("doc_id", "blob")
       multimodal.Media.videoFrameMeans(blobs, "doc_id", "blob")
@@ -3683,8 +3718,8 @@ object SparkEntry {
     // is orders below the planted peak, making the argmax certain.
     "q223_audio_peaks" -> ((s, dir) => {
       import s.implicits._
-      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id")).as[Long]
+      val blobs = fanned(tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+          .select(col("doc_id"))).as[Long]
         .map { id =>
           val nw = (3 + id % 5).toInt
           val bins = Array.tabulate(nw)(w => (1 + ((id + 3L * w) % 127)).toInt)
@@ -3704,8 +3739,8 @@ object SparkEntry {
     // certainty.
     "q224_audio_dedup" -> ((s, dir) => {
       import s.implicits._
-      val keyed = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id")).as[Long]
+      val keyed = fanned(tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+          .select(col("doc_id"))).as[Long]
         .flatMap { id =>
           val nw = (3 + id % 5).toInt
           val bins = Array.tabulate(nw)(w => (1 + ((id + 3L * w) % 127)).toInt)
@@ -4632,12 +4667,14 @@ object SparkEntry {
       val cell = when(m10 < 7, lit(0L)).when(m10 < 9, lit(1L))
         .otherwise(pmod(col("doc_id"), lit(2L)) + lit(2L))
       val planted = docs.select(col("doc_id"), cell.as("cell"))
-      val kept = operators.Sampling.capPerKeySample(planted, "cell", "doc_id", 40L)
+      val kept = operators.Sampling.capPerKeySample(planted, "cell", "doc_id", 40L,
+        unpersistHook = onCleanup)
       val cells = ensureIvfIndex(s, dir).assigned
         .select(col("neighbor_id").as("vec_id"), col("cent_id"))
-      val keptA = operators.Sampling.capPerKeySample(cells, "cent_id", "vec_id", 20L)
+      val keptA = operators.Sampling.capPerKeySample(cells, "cent_id", "vec_id", 20L,
+        unpersistHook = onCleanup)
       val keptB = operators.Sampling.capPerKeySample(
-        cells.repartition(13), "cent_id", "vec_id", 20L)
+        cells.repartition(13), "cent_id", "vec_id", 20L, unpersistHook = onCleanup)
       val deterministic = keptA.select(col("vec_id")).exceptAll(keptB.select(col("vec_id")))
         .unionByName(keptB.select(col("vec_id")).exceptAll(keptA.select(col("vec_id"))))
         .isEmpty
@@ -6210,8 +6247,8 @@ object SparkEntry {
     // n_found == n_planted deterministically; the dropped-cell count
     // (expected 0 under the wide cap) rides the same row.
     "q191_knn_graph" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-        .where(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val emb = fanned(tbl(s, dir, "embeddings")
+        .where(col("vec_id").isNotNull && col("embedding").isNotNull))
       val first = emb.where(col("vec_id") < 64)
       val planted = first.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
@@ -6306,9 +6343,9 @@ object SparkEntry {
           lit(9000002L).as("doc_id"),
           concat(md5(lit("seed1").cast("binary")), md5(lit("seed2").cast("binary")),
             md5(lit("seed3").cast("binary"))).as("text")))
-      val corpus = tbl(s, dir, "documents")
+      val corpus = fanned(tbl(s, dir, "documents")
         .where(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")))
         .unionByName(planted)
       corpus.select(
         (col("doc_id") +: functions.Text.charEntropyColumns(col("text"))): _*)
@@ -6328,7 +6365,8 @@ object SparkEntry {
         lit("<body><h1>Heading</h1><!-- hidden comment --><p>"),
         col("text"),
         lit("</p><p>5 &lt; 7 &amp;&amp; 9 &gt; 3, &quot;q&#39;s&quot;&nbsp;end</p></body></html>"))
-      tbl(s, dir, "documents").where(col("doc_id").isNotNull && col("text").isNotNull)
+      fanned(tbl(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull))
         .select(col("doc_id"), functions.Text.stripHtml(html).as("extracted"))
         .select(col("doc_id"), col("extracted"),
           functions.Text.tokenCount(col("extracted")).as("n_tokens"))
@@ -6355,7 +6393,8 @@ object SparkEntry {
         col("text"),
         lit(" Related: <a href=\"/more\">see also</a></p>" +
           "<div>zzfooter</div></body></html>"))
-      tbl(s, dir, "documents").where(col("doc_id").isNotNull && col("text").isNotNull)
+      fanned(tbl(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull))
         .select(col("doc_id"),
           functions.Text.extractMainContent(page).as("main_text"),
           functions.Text.stripHtml(page).as("__stripped"))
@@ -6508,8 +6547,8 @@ object SparkEntry {
       // tail — 4 sentences per doc, each branch of the rule live
       val prose = concat(substring(col("text"), 1, 80), lit(". Planted two!"),
         lit(" Is this three? "), col("text"))
-      tbl(s, dir, "documents")
-        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      fanned(tbl(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull))
         .select(col("doc_id"),
           posexplode(functions.Text.sentences(prose)).as(Seq("sent_idx", "sentence")))
         .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
@@ -6585,9 +6624,9 @@ object SparkEntry {
     // blobs never shuffle.
     "q212_pdf_text" -> ((s, dir) => {
       import s.implicits._
-      val blobs = tbl(s, dir, "documents")
-        .where(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val blobs = fanned(tbl(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("text"))).as[(Long, String)]
         .map { case (id, text) =>
           (id, multimodal.Pdf.synthetic(text, compress = id % 2 == 0))
         }.toDF("doc_id", "blob")
@@ -6741,8 +6780,8 @@ object SparkEntry {
     // pixels take the honest fallback with VP8X-canvas dims (WebpSpec).
     "q220_webp_pixels" -> ((s, dir) => {
       import s.implicits._
-      val blobs = tbl(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id")).as[Long]
+      val blobs = fanned(tbl(s, dir, "documents").where(col("doc_id").isNotNull)
+          .select(col("doc_id"))).as[Long]
         .map { id =>
           val bare = multimodal.Webp.syntheticWebpImage(
             (8 + id % 16).toInt, (8 + id % 8).toInt, id)

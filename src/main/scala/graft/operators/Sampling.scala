@@ -213,18 +213,27 @@ object Sampling {
    * shuffled rank cap instead.
    */
   def capPerKeySample(df: DataFrame, keyCol: String, idCol: String, cap: Long,
-      maxKeys: Long = 1L << 22): DataFrame = {
+      maxKeys: Long = 1L << 22,
+      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
     require(cap > 0 && cap < (1L << 31), s"cap must be in [1, 2^31), got $cap")
     require(maxKeys > 0, s"maxKeys must be positive, got $maxKeys")
     Seq("__key", "__n", "__thr").foreach(c =>
       require(!df.columns.contains(c), s"$c is reserved by capPerKeySample"))
+    // persisted so the guard count and the broadcast below share ONE
+    // aggregation pass over `df` (unpersisted via the caller's hook; the
+    // frame is bounded by the maxKeys contract, so an un-hooked leak is
+    // key-cardinality-sized, never corpus-sized)
     val thr = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("__key"))
       .agg(count(lit(1)).as("__n"))
       .select(col("__key"),
         expr(s"4294967296L * least(${cap}L, __n) div __n").as("__thr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    unpersistHook(() => { thr.unpersist(); () })
     // guard BEFORE the broadcast hint: limit bounds the count job itself,
     // so even a 10^9-key frame answers the question with bounded work
+    // (the limit also bounds what the persist above materializes on that
+    // first pass — only the probed prefix caches when the guard trips)
     val nKeys = thr.limit(((maxKeys min (Int.MaxValue - 1L)) + 1).toInt).count()
     require(nKeys <= maxKeys,
       s"capPerKeySample key '$keyCol' exceeds maxKeys=$maxKeys distinct values — " +

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** The scale-adaptive scan fan-out (SparkEntry.fanOutScan): when the file
+  * layout under-supplies the session's cores, tbl() redistributes rows
+  * round-robin once at the load point; at scale (splits >= cores) and for
+  * tiny dimension tables it is the identity. Results must be identical in
+  * both modes — the fan-out is pure placement. */
+class FanOutSpec extends AnyFunSpec with SparkSuite {
+
+  private val bigDir = "/root/testdata/sf0.1" // single-file, single-row-group tables
+
+  private def withFanout[A](on: Boolean)(f: => A): A = {
+    spark.conf.set("spark.graft.scan.fanout", on.toString)
+    try f finally spark.conf.set("spark.graft.scan.fanout", "false")
+  }
+
+  it("fans out an under-partitioned corpus scan, and only then") {
+    val planOn = withFanout(on = true) {
+      SparkEntry.fanned(SparkEntry.tbl(spark, bigDir, "documents"))
+        .queryExecution.executedPlan.toString
+    }
+    assert(planOn.contains("RoundRobinPartitioning"),
+      s"expected a round-robin fan-out exchange at local scale:\n$planOn")
+    val planOff = withFanout(on = false) {
+      SparkEntry.fanned(SparkEntry.tbl(spark, bigDir, "documents"))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!planOff.contains("Exchange"),
+      s"scale mode must add no exchange:\n$planOff")
+    // a frame whose lineage already supplies the cores is left alone
+    val already = withFanout(on = true) {
+      SparkEntry.fanned(spark.range(1000).repartition(64).toDF())
+        .queryExecution.executedPlan.toString
+    }
+    assert("RoundRobinPartitioning".r.findAllIn(already).size == 1,
+      s"an already-parallel frame must not re-fan:\n$already")
+  }
+
+  it("fan-out changes placement only: query results are identical in both modes") {
+    def rows(): Map[org.apache.spark.sql.Row, Int] =
+      SparkEntry.queries("q69_pii_scrub")(spark, bigDir)
+        .collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val off = withFanout(on = false)(rows())
+    val on = withFanout(on = true)(rows())
+    assert(on == off, "fan-out changed a query result")
+  }
+}

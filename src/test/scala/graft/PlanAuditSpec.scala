@@ -96,8 +96,15 @@ class PlanAuditSpec extends AnyFunSpec with SparkSuite {
      "the corpus itself never shuffles") {
     val p = plan("q248_cluster_balance")
     assert(p.contains("BroadcastHashJoin"), s"the per-cell threshold dim must broadcast:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"expected only the cell-count aggregation exchange:\n$p")
+    // every hash exchange must be the cell-count aggregation over the
+    // grouping key — never the corpus rows (the threshold frame is
+    // persisted since round 14 so the guard count and the broadcast share
+    // one pass, and the cached sub-plan's agg exchange can print more
+    // than once in the dump; the property is WHAT shuffles, not how often
+    // the same exchange is rendered)
+    val hashEx = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("_groupingexpression")),
+      s"expected only cell-count aggregation exchanges, got $hashEx:\n$p")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
     assert(!p.contains("Window"), p)
   }

@@ -10,6 +10,11 @@ object SparkSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // plan pins (PlanAuditSpec) assert the AT-SCALE plan shapes, where the
+    // file layout supplies scan parallelism and SparkEntry.fanOutScan is
+    // the identity — run the suite in that mode (FanOutSpec covers the
+    // local fan-out mode's result-identity explicitly)
+    .config("spark.graft.scan.fanout", "false")
     .getOrCreate()
 }
 
