@@ -3,18 +3,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
-/** Paired A/B timing for the scan fan-out (optimization tooling): runs each
-  * named query alternately with spark.graft.scan.fanout off and on inside
-  * ONE session, interleaved across passes, and reports per-mode minima.
-  * Ambient CPU-steal bursts hit both modes of a pass equally, so the
-  * paired minima are window-robust where two separate full-bench sweeps
-  * are not. Usage:
-  *   SPARK_GRAFT_CPUS=32 runMain graft.AbBench <sfDir> <reps> q1,q2,...
+/** Paired A/B timing for a boolean query-shape conf (optimization
+  * tooling): runs each named query alternately with the conf off and on
+  * inside ONE session, interleaved across passes, and reports per-mode
+  * minima. Ambient CPU-steal bursts hit both modes of a pass equally, so
+  * the paired minima are window-robust where two separate full-bench
+  * sweeps are not. The conf defaults to the round-14 scan fan-out; round
+  * 15 passes its own kill switches (spark.graft.gate.onepass, ...) as the
+  * optional 4th arg. Usage:
+  *   SPARK_GRAFT_CPUS=32 runMain graft.AbBench <sfDir> <reps> q1,q2,... [confKey]
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
     val (sfDir, reps) = (args(0), args(1).toInt)
     val names = args(2).split(",").toSeq
+    val confKey = if (args.length > 3) args(3) else "spark.graft.scan.fanout"
     val unknown = names.toSet -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,8 +30,8 @@ object AbBench {
     spark.range(1000000).selectExpr("sum(id) as s").collect()
     SparkEntry.tbl(spark, sfDir, "lineitem").limit(10).collect()
     SparkEntry.prepare(spark, sfDir)
-    def once(name: String, fanout: Boolean): Double = {
-      spark.conf.set("spark.graft.scan.fanout", fanout.toString)
+    def once(name: String, on: Boolean): Double = {
+      spark.conf.set(confKey, on.toString)
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)

@@ -165,6 +165,21 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
+    // Per-run artifact, written UNCONDITIONALLY for every full (unfiltered)
+    // run and keyed by core count AND scale factor: round 14's driver came
+    // back with n_common=0 because (a) the full per-query line exceeds the
+    // capture tail and (b) the divert guard above kept BENCH_LAST.json
+    // un-updated in a hot window while the 8-core run clobbered the 32-core
+    // run's diverted artifact (both landed in BENCH_CONTENDED.json). The
+    // quiet-record divert semantics stay BENCH_LAST-only; this file is the
+    // driver's always-present per-query channel for THIS exact run shape.
+    if (filter.isEmpty) {
+      val sfBase = new java.io.File(sfDir).getName
+      val runFile = s"BENCH_RUN_c${cpus}_$sfBase.json"
+      try java.nio.file.Files.write(java.nio.file.Paths.get(runFile),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] could not write $runFile: $e") }
+    }
     System.out.println(String.format(java.util.Locale.ROOT,
       """{"metric":"total","value":%.3f,"q01_q44":%.3f,"failed":%d,"n_queries":%d,"sf":"%s"}""",
       Double.box(total), Double.box(q01q44), Int.box(failed), Int.box(results.size), sfDir))

@@ -214,32 +214,43 @@ object Sampling {
    */
   def capPerKeySample(df: DataFrame, keyCol: String, idCol: String, cap: Long,
       maxKeys: Long = 1L << 22,
-      unpersistHook: (() => Unit) => Unit = _ => ()): DataFrame = {
+      unpersistHook: (() => Unit) => Unit = null): DataFrame = {
     require(cap > 0 && cap < (1L << 31), s"cap must be in [1, 2^31), got $cap")
     require(maxKeys > 0, s"maxKeys must be positive, got $maxKeys")
     Seq("__key", "__n", "__thr").foreach(c =>
       require(!df.columns.contains(c), s"$c is reserved by capPerKeySample"))
     // persisted so the guard count and the broadcast below share ONE
-    // aggregation pass over `df` (unpersisted via the caller's hook; the
-    // frame is bounded by the maxKeys contract, so an un-hooked leak is
-    // key-cardinality-sized, never corpus-sized)
+    // aggregation pass over `df`. Lifecycle: a caller that threads an
+    // `unpersistHook` owns the drain (the q248 onCleanup shape — one
+    // pass, released after the query materializes); a caller that does
+    // NOT is made SELF-CLEANING — the cache is dropped right after the
+    // guard count, trading the second aggregation pass back for zero
+    // session-lifetime leak (an un-hooked call must never accumulate a
+    // maxKeys-sized cache per invocation). The guard-failure path
+    // unpersists unconditionally for both kinds of caller.
     val thr = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("__key"))
       .agg(count(lit(1)).as("__n"))
       .select(col("__key"),
         expr(s"4294967296L * least(${cap}L, __n) div __n").as("__thr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    unpersistHook(() => { thr.unpersist(); () })
+    if (unpersistHook != null) unpersistHook(() => { thr.unpersist(); () })
     // guard BEFORE the broadcast hint: limit bounds the count job itself,
     // so even a 10^9-key frame answers the question with bounded work
     // (the limit also bounds what the persist above materializes on that
     // first pass — only the probed prefix caches when the guard trips)
-    val nKeys = thr.limit(((maxKeys min (Int.MaxValue - 1L)) + 1).toInt).count()
-    require(nKeys <= maxKeys,
-      s"capPerKeySample key '$keyCol' exceeds maxKeys=$maxKeys distinct values — " +
-        "the per-key threshold frame is broadcast by contract; this key is not " +
-        "bounded-cardinality. Use topKPerKey's shuffled rank cap, or raise " +
-        "maxKeys deliberately with a matching broadcast memory budget")
+    val nKeys =
+      try thr.limit(((maxKeys min (Int.MaxValue - 1L)) + 1).toInt).count()
+      catch { case t: Throwable => thr.unpersist(); throw t }
+    if (nKeys > maxKeys) {
+      thr.unpersist()
+      throw new IllegalArgumentException(
+        s"capPerKeySample key '$keyCol' exceeds maxKeys=$maxKeys distinct values — " +
+          "the per-key threshold frame is broadcast by contract; this key is not " +
+          "bounded-cardinality. Use topKPerKey's shuffled rank cap, or raise " +
+          "maxKeys deliberately with a matching broadcast memory budget")
+    }
+    if (unpersistHook == null) thr.unpersist()
     df.join(broadcast(thr), df(keyCol).cast("string") === col("__key"))
       .where(hash32(col(idCol), "keycap") < col("__thr"))
       .drop("__key", "__thr")

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funspec.AnyFunSpec
 
-/** The scale-adaptive scan fan-out (SparkEntry.fanOutScan): when the file
-  * layout under-supplies the session's cores, tbl() redistributes rows
-  * round-robin once at the load point; at scale (splits >= cores) and for
-  * tiny dimension tables it is the identity. Results must be identical in
-  * both modes — the fan-out is pure placement. */
+/** The scale-adaptive scan fan-out (SparkEntry.fanned, applied per call
+  * site at the kernel-bound queries — tbl() itself never fans): when a
+  * wrapped frame's lineage under-supplies the session's cores, fanned()
+  * redistributes its rows round-robin; at scale (splits >= cores) it is
+  * the identity. Results must be identical in both modes — the fan-out is
+  * pure placement. */
 class FanOutSpec extends AnyFunSpec with SparkSuite {
 
   private val bigDir = "/root/testdata/sf0.1" // single-file, single-row-group tables
@@ -40,11 +41,19 @@ class FanOutSpec extends AnyFunSpec with SparkSuite {
   }
 
   it("fan-out changes placement only: query results are identical in both modes") {
-    def rows(): Map[org.apache.spark.sql.Row, Int] =
-      SparkEntry.queries("q69_pii_scrub")(spark, bigDir)
-        .collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
-    val off = withFanout(on = false)(rows())
-    val on = withFanout(on = true)(rows())
-    assert(on == off, "fan-out changed a query result")
+    // q69 (regex kernel) plus the fanned sites whose internals do
+    // partition-order-sensitive work and so carry the real identity risk:
+    // q191 (IVF/kNN float partial sums), q126 (minhash merge), q105
+    // (edit-distance verify). The others share these code paths or are
+    // per-row pure kernels.
+    for (q <- Seq("q69_pii_scrub", "q105_edit_distance",
+        "q126_minhash_merge", "q191_knn_graph")) {
+      def rows(): Map[org.apache.spark.sql.Row, Int] =
+        SparkEntry.queries(q)(spark, bigDir)
+          .collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      val off = withFanout(on = false)(rows())
+      val on = withFanout(on = true)(rows())
+      assert(on == off, s"fan-out changed the result of $q")
+    }
   }
 }

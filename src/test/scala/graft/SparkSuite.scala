@@ -11,9 +11,10 @@ object SparkSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     // plan pins (PlanAuditSpec) assert the AT-SCALE plan shapes, where the
-    // file layout supplies scan parallelism and SparkEntry.fanOutScan is
-    // the identity — run the suite in that mode (FanOutSpec covers the
-    // local fan-out mode's result-identity explicitly)
+    // file layout supplies scan parallelism and SparkEntry.fanned (applied
+    // per call site, never inside tbl()) is the identity — run the suite in
+    // that mode (FanOutSpec covers the local fan-out mode's result-identity
+    // explicitly)
     .config("spark.graft.scan.fanout", "false")
     .getOrCreate()
 }
