@@ -71,7 +71,19 @@ object SparkEntry {
     * group-sort block (q01-q44 +50%: their per-query work is exchange-
     * bound, not kernel-bound) while kernel rows won 3-8x, so the narrow
     * RDD surfaces and small aggregation queries keep their unfanned
-    * scans. Disable with spark.graft.scan.fanout=false. */
+    * scans. Disable with spark.graft.scan.fanout=false.
+    *
+    * CONTRACT: wrap CORPUS-LINEAGE frames only (the big side whose scan
+    * supplies too few splits), never a small dimension frame. As defense
+    * in depth the fan target is BOUNDED by the lineage itself
+    * ([[fanTarget]]): at most 32x the supplying partition count with a
+    * floor of 64, so a misused 1-partition dim frame on a 10k-core
+    * cluster fans to 64 partitions, not 20,000 — while every local-mode
+    * site keeps its exact measured width (2x cores caps the target at
+    * <= 64 whenever cores <= 32, which covers the bench's own 32- and
+    * 8-core shapes bit-for-bit). */
+  private[graft] def fanTarget(cores: Int, parts: Int): Int =
+    math.min(cores * 2, math.max(64, parts * 32))
   private[graft] def fanned(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     if (!s.conf.get("spark.graft.scan.fanout", "true").toBoolean) df
@@ -79,7 +91,7 @@ object SparkEntry {
       val cores = s.sparkContext.defaultParallelism
       val parts = df.rdd.getNumPartitions
       if (parts * 2 >= cores) df
-      else df.repartition(cores * 2)
+      else df.repartition(fanTarget(cores, parts))
     }
   }
 
@@ -94,6 +106,72 @@ object SparkEntry {
   def drainCleanups(): Unit = {
     var cb = cleanups.poll()
     while (cb != null) { cb(); cb = cleanups.poll() }
+  }
+
+  /** ONE-PASS multiset symmetric difference (optimization guide §2.4 fewer
+    * shuffles / §5 don't pay one aggregation twice). The equivalence-gate
+    * pattern the artifact queries carried —
+    * `a.exceptAll(b).unionByName(b.exceptAll(a))` — computes EACH input
+    * subtree TWICE (once per exceptAll; read-back/decode/tokenize chains
+    * are expensive) and pays TWO signed-count aggregations over a ∪ b
+    * (Catalyst rewrites every exceptAll to union → sum(±1) → filter →
+    * replicate). The same exact comparison needs one pass and one
+    * exchange: tag a's rows +1 and b's -1, aggregate the signed count per
+    * row VALUE, keep groups with a non-zero net. For every value v with
+    * counts ca(v)/cb(v), net(v) = ca(v) - cb(v), so
+    * `|a ⊖ b| = Σ max(net,0) + Σ max(-net,0) = Σ |net|` — emptiness and
+    * the diff cardinality are both exact, with identical null/NaN
+    * semantics (exceptAll's own rewrite groups by the same null-safe,
+    * float-normalized keys). Column matching is POSITIONAL like
+    * exceptAll's. Kill switch `spark.graft.gate.onepass=false` falls back
+    * to the literal two-exceptAll form (paired A/B evidence; the plan
+    * pins hold in both modes). */
+  private[graft] def multisetDiffCount(a: DataFrame, b: DataFrame): Long = {
+    require(a.columns.length == b.columns.length,
+      s"positional schema mismatch: ${a.columns.length} vs ${b.columns.length} columns")
+    val s = a.sparkSession
+    if (!s.conf.get("spark.graft.gate.onepass", "true").toBoolean)
+      a.exceptAll(b).unionByName(b.toDF(a.columns: _*).exceptAll(a)).count()
+    else {
+      val keys = a.columns.toSeq.map(col)
+      val net = a.withColumn("__ms_sgn", lit(1L))
+        .unionByName(b.toDF(a.columns: _*).withColumn("__ms_sgn", lit(-1L)))
+        .groupBy(keys: _*).agg(sum(col("__ms_sgn")).as("__ms_net"))
+        .where(col("__ms_net") =!= 0L)
+      val out = net.agg(coalesce(sum(abs(col("__ms_net"))), lit(0L)).as("__ms_n"))
+        .collect()
+      out(0).getLong(0)
+    }
+  }
+
+  /** Conf-gated within-query persist (MEMORY_AND_DISK_SER): the kill
+    * switch `spark.graft.query.persist=false` makes it the identity so
+    * AbBench can pair the persisted and recompute-per-consumer shapes in
+    * one session. Callers still register their own unpersist cleanup
+    * (unpersisting a never-persisted frame is a no-op). */
+  private[graft] def persistGated(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf.get("spark.graft.query.persist", "true").toBoolean)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    df
+  }
+
+  /** [[multisetDiffCount]]'s emptiness form — `multiset(a) == multiset(b)`
+    * exactly, computing each side once. (`isEmpty` early-exits on the
+    * first non-zero group instead of counting them all.) */
+  private[graft] def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    require(a.columns.length == b.columns.length,
+      s"positional schema mismatch: ${a.columns.length} vs ${b.columns.length} columns")
+    val s = a.sparkSession
+    if (!s.conf.get("spark.graft.gate.onepass", "true").toBoolean)
+      a.exceptAll(b).unionByName(b.toDF(a.columns: _*).exceptAll(a)).isEmpty
+    else {
+      val keys = a.columns.toSeq.map(col)
+      a.withColumn("__ms_sgn", lit(1L))
+        .unionByName(b.toDF(a.columns: _*).withColumn("__ms_sgn", lit(-1L)))
+        .groupBy(keys: _*).agg(sum(col("__ms_sgn")).as("__ms_net"))
+        .where(col("__ms_net") =!= 0L)
+        .isEmpty
+    }
   }
 
   /** MEMOIZED co-purchase pair graph (q144's construction, SINGLE-SOURCED
@@ -208,8 +286,12 @@ object SparkEntry {
     * layout, not registered with [[onCleanup]]; same single-session
     * contract as the other dir-keyed caches. */
   private val jpegBlobCaches = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def jpegBlobs(s: SparkSession, dir: String, shape: String): DataFrame =
-    jpegBlobCaches.computeIfAbsent(s"$dir#$shape", _ => {
+  private def jpegBlobs(s: SparkSession, dir: String, shape: String): DataFrame = {
+    // the memo key carries the fanout conf value: a session that flips
+    // spark.graft.scan.fanout after warm-up must not silently keep the
+    // other mode's frame (the kill switch has to actually kill)
+    val fanout = s.conf.get("spark.graft.scan.fanout", "true")
+    jpegBlobCaches.computeIfAbsent(s"$dir#$shape#$fanout", _ => {
       import s.implicits._
       val ids = fanned(tbl(s, dir, "documents").where(col("doc_id").isNotNull)
         .select(col("doc_id"))).as[Long]
@@ -228,6 +310,7 @@ object SparkEntry {
       frame.toDF("doc_id", "blob")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     })
+  }
 
   /** MEMOIZED `.warc.gz` fixture corpus for q205 — the crawl-ingestion
     * standing asset: at 100 TB the WARC files already exist on storage
@@ -1487,9 +1570,8 @@ object SparkEntry {
         .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b")), col("id_a") < col("id_b"))
         .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
         .select(col("id_a"), col("id_b"))
-      brute.exceptAll(banded).unionByName(banded.exceptAll(brute))
-        .agg(count(lit(1)).as("n_diff"))
-        .select((col("n_diff") === 0).as("banding_complete"))
+      sigs.sparkSession.range(1).toDF()
+        .select(lit(multisetDiffCount(brute, banded) == 0L).as("banding_complete"))
     }),
 
     // planted-duplicate recall for the minhash near-dup pipeline: exact
@@ -3591,8 +3673,8 @@ object SparkEntry {
         .unionByName(batch)
       val scratch = operators.Retrieval.buildPostings(spliced, "doc_id", "text")
       // symmetric difference — empty iff merged ≡ scratch (tf compared too)
-      val diff = merged.exceptAll(scratch).unionByName(scratch.exceptAll(merged))
-      val gate = diff.agg(count(lit(1)).as("n_diff"))
+      val gate = merged.sparkSession.range(1).toDF()
+        .select(lit(multisetDiffCount(merged, scratch)).as("n_diff"))
       merged
         .groupBy(pmod(col("doc_id"), lit(8L)).as("doc_bucket"))
         .agg(count(lit(1)).as("n_postings"), sum(col("tf")).as("tf_mass"))
@@ -3946,7 +4028,7 @@ object SparkEntry {
         sources.Export.shardDigests(p1) == sources.Export.shardDigests(p2)
       val bounded = manifest.forall(_._3 <= (1L << 20))
       val back = sources.Export.readJsonlShards(s, p1, docs.schema)
-      val exact = back.exceptAll(docs).unionByName(docs.exceptAll(back)).isEmpty
+      val exact = multisetEqual(back, docs)
       back.select(col("doc_id"), col("lang"),
           length(col("text")).cast("long").as("n_chars"))
         .withColumn("round_trip_exact", lit(exact))
@@ -3988,7 +4070,7 @@ object SparkEntry {
         .join(deltaIds, Seq("doc_id"), "left_anti")
         .join(removed, Seq("doc_id"), "left_anti")
         .unionByName(back)
-      val applies = rebuilt.exceptAll(v2).unionByName(v2.exceptAll(rebuilt)).isEmpty
+      val applies = multisetEqual(rebuilt, v2)
       back.select(col("doc_id"), col("lang"),
           length(col("text")).cast("long").as("n_chars"))
         .withColumn("delta_applies_exactly", lit(applies))
@@ -4160,8 +4242,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
         .where(length(col("detok")) > 0)
-      val lossless = rebuilt.exceptAll(source)
-        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      val lossless = multisetEqual(rebuilt, source)
       back.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
         .withColumn("merges_pinned", lit(mergesPinned))
         .withColumn("deterministic", lit(deterministic))
@@ -4219,8 +4300,7 @@ object SparkEntry {
         .join(removed, Seq("doc_id"), "left_anti")
         .unionByName(back)
       val scratch = operators.TokenShards.tokenizeToIds(v2, "doc_id", "text", merges, vocab)
-      val applies = rebuilt.exceptAll(scratch)
-        .unionByName(scratch.exceptAll(rebuilt)).isEmpty
+      val applies = multisetEqual(rebuilt, scratch)
       back.join(ship, Seq("doc_id"))
         .select(col("doc_id"), col("status"), col("n_tokens"))
         .withColumn("delta_applies_exactly", lit(applies))
@@ -4300,8 +4380,7 @@ object SparkEntry {
       val source = planted
         .select(col("doc_id"),
           concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
-      val lossless = rebuilt.exceptAll(source)
-        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      val lossless = multisetEqual(rebuilt, source)
       back.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
         .withColumn("deterministic", lit(deterministic))
         .withColumn("lossless_exact", lit(lossless))
@@ -4323,7 +4402,13 @@ object SparkEntry {
     // corpus vocabulary. Same 0x1F-free oracle restriction as q167.
     "q241_train_release" -> ((s, dir) => {
       import s.implicits._
-      val release = releaseSlice(s, dir)
+      // the curation chain (quality/repetition gates -> exact dedup ->
+      // stratified rebalance -> PII scrub) feeds BOTH the tokenize->pack
+      // side and the losslessness gate's source side; without the persist
+      // it re-ran end to end per consumer (guide §5 — measured, see
+      // OPTIMIZATION_r15.md q241)
+      val release = persistGated(releaseSlice(s, dir))
+      onCleanup(() => { release.unpersist(); () })
       val (merges, _) = ensureTokenizers(s, dir)
       val mergesPinned = merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"),
         ("es", "t"), ("e", "r"), ("e", "w"), ("i", "d"), ("n", "ew"),
@@ -4353,8 +4438,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", functions.Text.edgeStrippedTokens(col("clean"))).as("detok"))
         .where(length(col("detok")) > 0)
-      val lossless = rebuilt.exceptAll(source)
-        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      val lossless = multisetEqual(rebuilt, source)
       back.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
         .withColumn("merges_pinned", lit(mergesPinned))
         .withColumn("deterministic", lit(deterministic))
@@ -4406,8 +4490,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
         .where(length(col("detok")) > 0)
-      val lossless = rebuilt.exceptAll(source)
-        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      val lossless = multisetEqual(rebuilt, source)
       val nByte = size(filter(col("ids"), i =>
         i >= lit(operators.TokenShards.firstByteId) &&
           i < lit(operators.TokenShards.totalFirstSymbolId)))
@@ -4467,8 +4550,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", functions.Text.edgeStrippedTokens(col("text"))).as("detok"))
         .where(length(col("detok")) > 0)
-      val lossless = rebuilt.exceptAll(source)
-        .unionByName(source.exceptAll(rebuilt)).isEmpty
+      val lossless = multisetEqual(rebuilt, source)
       back.select((col("bin_key") / lit(4294967296L)).cast("long").as("shard"),
           pmod(col("bin_key"), lit(4294967296L)).as("bin"),
           col("n_docs"), col("n_tokens"))
@@ -4511,7 +4593,7 @@ object SparkEntry {
         bins.repartition(17), "release-1")
       val a = ordered.select(col("shard"), col("bin"), col("train_seq"))
       val b = ordered2.select(col("shard"), col("bin"), col("train_seq"))
-      val invariant = a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
+      val invariant = multisetEqual(a, b)
       // the ordered artifact is byte-deterministic end to end
       val root = s"${indexStoreRoot(dir, "documents")}/ordered_shards_v1"
       val (p1, p2) = (s"$root/a", s"$root/b")
@@ -4643,8 +4725,7 @@ object SparkEntry {
       sources.Export.writeJsonlShards(keyed, root, "mix_key", nShards = 1,
         maxShardBytes = 1L << 20)
       val back = sources.Export.readJsonlShards(s, root, keyed.schema).drop("mix_key")
-      val consistent = back.exceptAll(mixture)
-        .unionByName(mixture.exceptAll(back)).isEmpty
+      val consistent = multisetEqual(back, mixture)
       mixture
         .withColumn("merges_pinned", lit(mergesPinned))
         .withColumn("manifest_consistent", lit(consistent))
@@ -4675,9 +4756,8 @@ object SparkEntry {
         unpersistHook = onCleanup)
       val keptB = operators.Sampling.capPerKeySample(
         cells.repartition(13), "cent_id", "vec_id", 20L, unpersistHook = onCleanup)
-      val deterministic = keptA.select(col("vec_id")).exceptAll(keptB.select(col("vec_id")))
-        .unionByName(keptB.select(col("vec_id")).exceptAll(keptA.select(col("vec_id"))))
-        .isEmpty
+      val deterministic = multisetEqual(
+        keptA.select(col("vec_id")), keptB.select(col("vec_id")))
       val sizes = cells.groupBy(col("cent_id")).agg(count(lit(1)).as("__n"))
       val keptSizes = keptA.groupBy(col("cent_id")).agg(count(lit(1)).as("__k"))
       val underCapIntact = sizes.where(col("__n") <= 20)
@@ -4733,7 +4813,7 @@ object SparkEntry {
       val Seq((_, o0, d0), (_, o1, d1)) = epochs
       val key0 = o0.select(col("shard"), col("bin"))
       val key1 = o1.select(col("shard"), col("bin"))
-      val sameBins = key0.exceptAll(key1).unionByName(key1.exceptAll(key0)).isEmpty
+      val sameBins = multisetEqual(key0, key1)
       val differ = !o0.select(col("shard"), col("bin"), col("train_seq"))
         .exceptAll(o1.select(col("shard"), col("bin"), col("train_seq"))).isEmpty
       epochs.map { case (e, o, det) =>
@@ -4819,12 +4899,31 @@ object SparkEntry {
         .orderBy(col("token_offset").desc).limit(1)
         .select(col("train_seq"), col("token_offset"))
         .as[(Long, Long)].collect()
-      val truth = stream.where(col("gpos") >= t).select(col("gpos"), col("id"))
-      val addressed = stream.where(col("train_seq") > seqR ||
-          (col("train_seq") === seqR && col("pos") >= t - offR))
-        .select(col("gpos"), col("id"))
-      val resumeExact = truth.exceptAll(addressed)
-        .unionByName(addressed.exceptAll(truth)).isEmpty
+      // resume gate in ONE pass over the exploded token stream (guide
+      // §2.4/§5): truth (gpos >= T) and addressed (the offset-addressed
+      // read) are both FILTERS of the same frame, so their multiset
+      // difference over (gpos, id) equals the per-value sum of
+      // (truthPred - addrPred) — a row where the predicates agree
+      // contributes +1 and -1 to the same group (net 0), so only
+      // disagreeing rows shuffle at all. The old exceptAll-both-ways form
+      // computed the posexplode'd stream FOUR times and shuffled it twice.
+      // Kill switch spark.graft.gate.onepass=false restores that form.
+      val truthP = col("gpos") >= t
+      val addrP = col("train_seq") > seqR ||
+        (col("train_seq") === seqR && col("pos") >= t - offR)
+      val resumeExact =
+        if (!s.conf.get("spark.graft.gate.onepass", "true").toBoolean) {
+          val truth = stream.where(truthP).select(col("gpos"), col("id"))
+          val addressed = stream.where(addrP).select(col("gpos"), col("id"))
+          truth.exceptAll(addressed)
+            .unionByName(addressed.exceptAll(truth)).isEmpty
+        } else stream
+          .select(col("gpos"), col("id"),
+            (truthP.cast("long") - addrP.cast("long")).as("__ms_sgn"))
+          .where(col("__ms_sgn") =!= 0L)
+          .groupBy(col("gpos"), col("id")).agg(sum(col("__ms_sgn")).as("__ms_net"))
+          .where(col("__ms_net") =!= 0L)
+          .isEmpty
       manifests.map { case (e, _, m) =>
         m.select(lit(e.toLong).as("epoch"), col("train_seq"), col("shard"),
           col("bin"), col("n_tokens"), col("token_offset"))
@@ -4869,8 +4968,7 @@ object SparkEntry {
       val restored = operators.TokenShards.fimRestore(fim, pre, suf, mid)
         .select(col("doc_id"), col("ids"))
       val source = tokens.select(col("doc_id"), col("ids"))
-      val reassemblyExact = restored.exceptAll(source)
-        .unionByName(source.exceptAll(restored)).isEmpty
+      val reassemblyExact = multisetEqual(restored, source)
       // the transformed corpus is a publishable artifact: binary round-trip
       val width = if (mid <= 0xffffL) 2 else 4
       val seqs = operators.TokenShards.packSequences(
@@ -4890,8 +4988,7 @@ object SparkEntry {
       val back = sources.Export.readBinaryShards(s, p1)
         .select(col("bin_key"), col("ids"))
       val written = seqs.select(col("bin_key"), col("ids"))
-      val binaryRoundtrip = back.exceptAll(written)
-        .unionByName(written.exceptAll(back)).isEmpty
+      val binaryRoundtrip = multisetEqual(back, written)
       fim.select(col("doc_id"), col("fim_applied"), col("prefix_len"),
           col("middle_len"), col("suffix_len"), col("n_tokens"))
         .withColumn("merges_pinned", lit(mergesPinned))
@@ -5055,12 +5152,12 @@ object SparkEntry {
         maxShardBytes = 1L << 20)
       // slicing the READ-BACK artifact at the sidecar boundary reproduces
       // both branches — ids AND masks — against the recomputed assembly
-      val back = operators.TokenShards.splitBinsByLens(
-          sources.Export.readMaskedBinaryShards(s, p1)).toDF("pair_id", "ids")
-        .join(operators.TokenShards.splitBinsByLens(
-          sources.Export.readMaskedBinaryShards(s, p1)
-            .select(col("doc_ids"), col("doc_lens"), col("mask").as("ids")))
-          .toDF("pair_id", "mask"), "pair_id")
+      // one artifact read + one split for BOTH channels (ids + mask) —
+      // the previous shape read and split the shards once per channel
+      // and joined the halves back on pair_id (guide §5)
+      val back = operators.TokenShards.splitMaskedBinsByLens(
+          sources.Export.readMaskedBinaryShards(s, p1))
+        .toDF("pair_id", "ids", "mask")
         .join(sources.Export.readJsonlShards(s, ps, new org.apache.spark.sql.types.StructType()
             .add("pair_id", "long").add("prompt_kept", "long")
             .add("chosen_len", "long").add("rejected_len", "long")),
@@ -5074,8 +5171,7 @@ object SparkEntry {
           col("rejected_len").cast("int")).as("rejected_mask"))
       val want = assembledPairs.select(col("pair_id"), col("chosen_seq"),
         col("chosen_mask"), col("rejected_seq"), col("rejected_mask"))
-      val branchesExact = sliced.exceptAll(want)
-        .unionByName(want.exceptAll(sliced)).isEmpty
+      val branchesExact = multisetEqual(sliced, want)
       sources.Export.readMaskedBinaryShards(s, p1)
         .select((col("bin_key") / lit(4294967296L)).cast("long").as("shard"),
           pmod(col("bin_key"), lit(4294967296L)).as("bin"),
@@ -5231,7 +5327,7 @@ object SparkEntry {
       val seq2 = operators.TokenShards.withCurriculumOrder(
           bins.repartition(13), "stage", "curriculum-1")
         .select(col("shard"), col("bin"), col("train_seq"))
-      val invariant = seq1.exceptAll(seq2).unionByName(seq2.exceptAll(seq1)).isEmpty
+      val invariant = multisetEqual(seq1, seq2)
       ordered.select(col("shard"), col("bin"), col("stage"), col("train_seq"),
           col("n_docs"), col("n_tokens"))
         .withColumn("merges_pinned", lit(mergesPinned))
@@ -5394,9 +5490,7 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       onCleanup(() => { back.unpersist(); () })
       val cols = Seq("bin_key", "doc_ids", "doc_lens", "ids", "mask").map(col)
-      val roundtrip = back.select(cols: _*).exceptAll(packed.select(cols: _*))
-        .unionByName(packed.select(cols: _*).exceptAll(back.select(cols: _*)))
-        .isEmpty
+      val roundtrip = multisetEqual(back.select(cols: _*), packed.select(cols: _*))
       // no-tear law: every record lands in EXACTLY one bin at full length
       val members = back.select(
           explode(arrays_zip(col("doc_ids"), col("doc_lens"))).as("z"))
@@ -5511,9 +5605,8 @@ object SparkEntry {
     "q258_opq_drift" -> ((s, dir) => {
       val (basis, staleIdx, scratch, basis2, freshIdx, updated) =
         ensureOpqDriftIndex(s, dir)
-      val diff = staleIdx.codes.exceptAll(scratch)
-        .unionByName(scratch.exceptAll(staleIdx.codes))
-      val mergeGate = diff.agg(count(lit(1)).as("n_diff"))
+      val mergeGate = scratch.sparkSession.range(1).toDF()
+        .select(lit(multisetDiffCount(staleIdx.codes, scratch)).as("n_diff"))
       val nCodes = staleIdx.codes.agg(count(lit(1)).as("n_codes_merged"))
       val queries = updated.where(col("vec_id") < 4 ||
         (col("vec_id") >= 1000000L && col("vec_id") < 1000004L))
@@ -5661,8 +5754,7 @@ object SparkEntry {
         .join(removed, Seq("doc_id"), "left_anti")
         .unionByName(back)
       val scratch = operators.TokenShards.tokenizeToIds(v2, "doc_id", "text", merges, vocab)
-      val applies = rebuilt.exceptAll(scratch)
-        .unionByName(scratch.exceptAll(rebuilt)).isEmpty
+      val applies = multisetEqual(rebuilt, scratch)
       back.join(ship, Seq("doc_id"))
         .select(col("doc_id"), col("status"), col("n_tokens"))
         .withColumn("delta_applies_exactly", lit(applies))
@@ -5830,8 +5922,7 @@ object SparkEntry {
       val evalDetok = evalSet.withColumnRenamed("text", "detok")
       val detected = operators.Contamination.evalGramHits(
         dirty.select(col("doc_id"), col("detok")), evalDetok, "doc_id", "detok", 8)
-      val detectEqualsAudit = detected.exceptAll(flagged)
-        .unionByName(flagged.exceptAll(detected)).isEmpty
+      val detectEqualsAudit = multisetEqual(detected, flagged)
       // the decontamination stage, then the published CLEAN artifact probes empty
       val clean = corpus.join(
         flagged.select(col("train_id").as("doc_id")), Seq("doc_id"), "left_anti")
@@ -5960,8 +6051,8 @@ object SparkEntry {
       val merged = operators.Similarity.mergeIvfPqCodes(
         idx, idx.codes, slice, "vec_id", "embedding")
       val scratch = operators.Similarity.ivfPqEncode(idx, news, "vec_id", "embedding")
-      val diff = merged.exceptAll(scratch).unionByName(scratch.exceptAll(merged))
-      val gate = diff.agg(count(lit(1)).as("n_diff"))
+      val gate = merged.sparkSession.range(1).toDF()
+        .select(lit(multisetDiffCount(merged, scratch)).as("n_diff"))
       merged
         .groupBy(pmod(col("neighbor_id"), lit(8L)).as("vec_bucket"))
         .agg(count(lit(1)).as("n_rows"))
@@ -6171,23 +6262,17 @@ object SparkEntry {
         operators.Classifier.nbCounts(batchA, "lang", "text", 1024),
         operators.Classifier.nbCounts(batchB, "lang", "text", 1024))
       val scratch = operators.Classifier.nbCounts(train, "lang", "text", 1024)
-      def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).unionByName(b.exceptAll(a))
-      val gate = diff(merged.tokenCounts, scratch.tokenCounts)
-        .unionByName(diff(merged.labelTotals, scratch.labelTotals)
-          .select(col("label"), col("n_tok").as("b"), col("n_tok").as("c")))
-        .unionByName(diff(merged.docCounts, scratch.docCounts)
-          .select(col("label"), col("n_docs").as("b"), col("n_docs").as("c")))
-        .agg(count(lit(1)).as("n_diff"))
+      val nDiff = multisetDiffCount(merged.tokenCounts, scratch.tokenCounts) +
+        multisetDiffCount(merged.labelTotals, scratch.labelTotals) +
+        multisetDiffCount(merged.docCounts, scratch.docCounts)
       val pred = operators.Classifier.nbPredict(
         test, "doc_id", "text", operators.Classifier.modelFromCounts(merged))
       test.select(col("doc_id").as("id"), col("lang").as("actual"))
         .join(pred, Seq("id"))
         .groupBy(col("actual"), col("predicted"))
         .agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(gate))
         .select(col("actual"), col("predicted"), col("n"),
-          (col("n_diff") === 0L).as("merge_exact"))
+          lit(nDiff == 0L).as("merge_exact"))
     }),
 
     // all-pairs sparse cosine over a TF postings space (Bayardo-style
@@ -6486,17 +6571,12 @@ object SparkEntry {
         operators.Lm.lmCounts(docs.where(pmod(col("doc_id"), lit(4L)) === 2), "text"))
       val scratch = operators.Lm.lmCounts(
         docs.where(pmod(col("doc_id"), lit(2L)) === 0), "text")
-      def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).unionByName(b.exceptAll(a))
-      val gate = diff(merged.bigrams, scratch.bigrams)
-        .unionByName(diff(merged.unigrams, scratch.unigrams)
-          .select(col("w").as("w1"), col("w").as("w2"), col("n")))
-        .agg(count(lit(1)).as("n_diff"))
+      val nDiff = multisetDiffCount(merged.bigrams, scratch.bigrams) +
+        multisetDiffCount(merged.unigrams, scratch.unigrams)
       operators.Lm.scoreDocs(
           docs.where(pmod(col("doc_id"), lit(2L)) === 1), "doc_id", "text", merged)
-        .crossJoin(broadcast(gate))
         .select(col("doc_id"), col("n_bigrams"), col("nll_fp"), col("avg_nll_fp"),
-          (col("n_diff") === 0L).as("merge_exact"))
+          lit(nDiff == 0L).as("merge_exact"))
     }),
 
     // q199: the LM as an actual FILTER — keep/drop verdicts, not raw

@@ -69,12 +69,17 @@ object Contamination {
       .select(col(idCol).as("a_id"), col("h"))
     val bSh = Dedup.shingleHashes(b, idCol, textCol, n)
       .select(col("h")).distinct()
-    val totals = aSh.groupBy(col("a_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = aSh.join(bSh, "h")
-      .groupBy(col("a_id")).agg(count(lit(1)).as("n_overlap"))
-    totals.join(hits, Seq("a_id"), "left")
-      .select(col("a_id"), col("n_grams"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    // ONE pass over the a side (guide §2.4/§5): a LEFT join against the
+    // distinct b hashes marks each a-gram hit-or-miss (b is distinct, so
+    // the join never duplicates an a row), and a single aggregation
+    // counts totals and hits together — the previous shape scanned aSh
+    // twice (totals + hits), aggregated twice, and joined the two back;
+    // for an a side derived from an artifact read-back + decode chain
+    // that was the dominant cost, not the join itself.
+    aSh.join(bSh.withColumn("__hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_overlap"))
+      .select(col("a_id"), col("n_grams"), col("n_overlap"))
   }
 
   /**

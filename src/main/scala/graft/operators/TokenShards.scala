@@ -738,6 +738,36 @@ object TokenShards {
       .toDF("doc_id", "ids")
   }
 
+  /** [[splitBinsByLens]] for MASKED bins: slice `ids` AND the parallel
+    * `mask` channel by the same boundary metadata in one typed pass —
+    * the masked-artifact read-back previously re-read and re-split the
+    * whole artifact once per channel and joined the halves back
+    * (guide §5: don't pay one pass twice). A mask that does not tile
+    * the ids fails loudly, like the lens contract. */
+  def splitMaskedBinsByLens(bins: DataFrame): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    bins.select(col("doc_ids").cast("array<bigint>"),
+        col("doc_lens").cast("array<bigint>"), col("ids").cast("array<bigint>"),
+        col("mask").cast("array<bigint>"))
+      .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+      .flatMap { case (docIds, docLens, ids, mask) =>
+        require(docIds.length == docLens.length, "doc_ids and doc_lens lengths differ")
+        require(docLens.sum == ids.length.toLong,
+          s"doc_lens (sum ${docLens.sum}) do not tile the bin's ${ids.length} ids")
+        require(mask.length == ids.length,
+          s"mask (${mask.length}) does not tile the bin's ${ids.length} ids")
+        var off = 0
+        docIds.iterator.zip(docLens.iterator).map { case (d, l) =>
+          val s = ids.slice(off, off + l.toInt)
+          val m = mask.slice(off, off + l.toInt)
+          off += l.toInt
+          (d, s, m)
+        }.toSeq
+      }
+      .toDF("doc_id", "ids", "mask")
+  }
+
   /**
    * TOKENIZER-DRIFT MONITOR — byte-fallback mass per record. The total
    * scheme ([[tokenizeToIdsTotal]]) keeps encoding TOTAL by decomposing

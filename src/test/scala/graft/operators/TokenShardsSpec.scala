@@ -39,6 +39,40 @@ class TokenShardsSpec extends AnyFunSpec with SparkSuite {
     }
   }
 
+  describe("splitMaskedBinsByLens") {
+    it("slices ids and mask by the same boundaries, agreeing with the single-channel splitter") {
+      val bins = Seq(
+        (Seq(10L, 11L), Seq(2L, 3L), Seq(1L, 2L, 3L, 4L, 5L), Seq(0L, 1L, 1L, 0L, 1L)),
+        (Seq(12L), Seq(1L), Seq(9L), Seq(1L)))
+        .toDF("doc_ids", "doc_lens", "ids", "mask")
+      val got = TokenShards.splitMaskedBinsByLens(bins)
+        .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        (10L, Seq(1L, 2L), Seq(0L, 1L)),
+        (11L, Seq(3L, 4L, 5L), Seq(1L, 0L, 1L)),
+        (12L, Seq(9L), Seq(1L))))
+      // channel-for-channel agreement with splitBinsByLens (the shape the
+      // q268 read-back used before the one-pass splitter)
+      val ids1 = TokenShards.splitBinsByLens(
+        bins.select(col("doc_ids"), col("doc_lens"), col("ids")))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      val mask1 = TokenShards.splitBinsByLens(
+        bins.select(col("doc_ids"), col("doc_lens"), col("mask").as("ids")))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      assert(got.map(r => (r._1, r._2)) == ids1)
+      assert(got.map(r => (r._1, r._3)) == mask1)
+    }
+
+    it("rejects a mask that does not tile the ids") {
+      val bad = Seq((Seq(10L), Seq(2L), Seq(1L, 2L), Seq(1L)))
+        .toDF("doc_ids", "doc_lens", "ids", "mask")
+      val e = intercept[org.apache.spark.SparkException](
+        TokenShards.splitMaskedBinsByLens(bad).collect())
+      assert(e.getMessage.contains("mask") ||
+        Option(e.getCause).exists(_.getMessage.contains("mask")))
+    }
+  }
+
   describe("tokenizeToIds") {
     val docs = docsOf((1L, "the thin cat"), (2L, " the "), (3L, "   "),
       (4L, null.asInstanceOf[String]))
